@@ -1,13 +1,478 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.dedup.Dedup
+import graft.ops.{Quality, Relational}
+import graft.similarity.Similarity
+import graft.text.Text
+import graft.weather.Weather
+
+/** Driver contract (see SURVEY.md §7 + BASELINE.md): one named query per
+  * implemented operator from SURVEY.md §2, each paired with ANSI SQL the
+  * driver runs in DuckDB over the same parquet tables.
+  *
+  * Oracle-parity rules used throughout (SURVEY.md §7.4 "oracle parity"):
+  *  - sums/averages of doubles go through DECIMAL casts so the aggregate is
+  *    exact and engine/order-independent; the final value is cast back to
+  *    DOUBLE (IEEE-deterministic on both engines).
+  *  - integer aggregates are cast to BIGINT on both sides (DuckDB SUM(int)
+  *    is HUGEINT); window `row_number` is cast to BIGINT (Spark emits INT).
+  *  - ordered/top-k queries always carry a unique tie-break key.
+  *  - `events.ts` is microsecond-truncated identically on both sides
+  *    (see [[Tables.events]]); sub-second outputs go out as `epoch_us`
+  *    BIGINTs or formatted strings.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val D2 = DecimalType(18, 2)
+  private val D6 = DecimalType(18, 6)
+
+  final case class QueryDef(
+      name: String,
+      doc: String,
+      oracle: Option[String],
+      run: (SparkSession, String) => DataFrame)
+
+  /** Flagship (driver smoke-checks rows > 0 on sf0.001): the reference's
+    * whole spine — parse → explode → clean → quality gate → upsert → mart —
+    * on the canonical fixtures (SURVEY.md §7.1).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Weather.runFixturePipeline(spark)
+
+  // -------------------------------------------------------------------
+  // relational core over the TPC-H-ish tables
+  // -------------------------------------------------------------------
+
+  private def revenue: Column =
+    (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(D6)
+
+  private val fiveWayJoin: (SparkSession, String) => DataFrame = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+
+  private val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q01_pricing_summary",
+      "O13/O14/O15: grouped hash aggregation (TPC-H Q1 shape) — sums, " +
+        "averages and counts per (returnflag, linestatus) after a pushed-down " +
+        "timestamp range filter (fct_city_day.sql:2-11 analog).",
+      Some("""SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount)*(1.0+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/COUNT(l_quantity) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/COUNT(l_extendedprice) AS avg_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)/COUNT(l_discount) AS avg_disc,
+        |  CAST(COUNT(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin),
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("2000-01-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(D2)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(D2)).cast("double").as("sum_base_price"),
+          sum(revenue).cast("double").as("sum_disc_price"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+            (lit(1.0) + col("l_tax"))).cast(D6)).cast("double").as("sum_charge"),
+          (sum(col("l_quantity").cast(D2)).cast("double") /
+            count(col("l_quantity"))).as("avg_qty"),
+          (sum(col("l_extendedprice").cast(D2)).cast("double") /
+            count(col("l_extendedprice"))).as("avg_price"),
+          (sum(col("l_discount").cast(D6)).cast("double") /
+            count(col("l_discount"))).as("avg_disc"),
+          count(lit(1)).cast("long").as("count_order"))),
+
+    QueryDef("q02_region_revenue",
+      "Multi-way join (lineitem⋈orders shuffle join; customer/nation/region " +
+        "broadcast) + grouped aggregation — the join surface the reference " +
+        "delegates to Postgres (SURVEY.md §2.3 note).",
+      Some("""SELECT r_name,
+        |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin),
+      (s, dir) => fiveWayJoin(s, dir)
+        .groupBy(col("r_name"))
+        .agg(
+          sum(revenue).cast("double").as("revenue"),
+          countDistinct(col("o_orderkey")).cast("long").as("n_orders"),
+          count(lit(1)).cast("long").as("n_items"))),
+
+    QueryDef("q03_top_orders",
+      "O20: top-k sort-limit (TakeOrderedAndProject; README.md:308-313 " +
+        "'coldest day' analog) with a unique tie-break.",
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin),
+      (s, dir) => Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)),
+
+    QueryDef("q04_order_priority",
+      "Left-semi join (EXISTS) + aggregation, TPC-H Q4 shape — the " +
+        "reference's set-membership filter (SURVEY.md O22).",
+      Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin),
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        o.join(Tables.lineitem(s, dir),
+            col("o_orderkey") === col("l_orderkey") && col("l_shipdate") > col("o_orderdate"),
+            "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).cast("long").as("order_count"))
+      }),
+
+    QueryDef("q05_customers_no_orders",
+      "O17: anti-join — the reference's incremental-skip pattern " +
+        "(load_to_postgres.py:164-168) as NOT EXISTS.",
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')""".stripMargin),
+      (s, dir) => Tables.customer(s, dir)
+        .join(Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))),
+
+    QueryDef("q06_distinct_user_types",
+      "O16: distinct (backfill_openmeteo.py:53-63 existing-hours set analog).",
+      Some("SELECT DISTINCT user_id, event_type FROM events"),
+      (s, dir) => Tables.events(s, dir)
+        .select(col("user_id"), col("event_type")).distinct()),
+
+    QueryDef("q07_latest_event",
+      "O12: keyed last-write-wins dedup ≡ the Postgres ON CONFLICT upsert " +
+        "(load_to_postgres.py:96-99), as a row_number window.",
+      Some("""SELECT user_id, event_type, event_id, value FROM (
+        |  SELECT user_id, event_type, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin),
+      (s, dir) => Relational.dedupLatest(Tables.events(s, dir),
+          Seq("user_id", "event_type"), Seq(col("ts").desc, col("event_id").desc))
+        .select(col("user_id"), col("event_type"), col("event_id"), col("value"))),
+
+    QueryDef("q08_union_alerts",
+      "O23: union of per-branch results (etl_openmeteo.py:100-102 analog).",
+      Some("""SELECT event_id, user_id, value, 'hi_purchase' AS tag FROM events
+        |WHERE event_type = 'purchase' AND value > 150
+        |UNION ALL
+        |SELECT event_id, user_id, value, 'error_low' AS tag FROM events
+        |WHERE event_type = 'error' AND value < 50""".stripMargin),
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        e.filter(col("event_type") === "purchase" && col("value") > 150)
+          .select(col("event_id"), col("user_id"), col("value"), lit("hi_purchase").as("tag"))
+          .unionByName(
+            e.filter(col("event_type") === "error" && col("value") < 50)
+              .select(col("event_id"), col("user_id"), col("value"), lit("error_low").as("tag")))
+      }),
+
+    QueryDef("q09_daily_mart",
+      "O8/O13/O14: the fct_city_day daily mart shape (avg/min/max/sum per " +
+        "key per day; fct_city_day.sql:2-11 + docs/dashboard.md:89-95) over " +
+        "events.",
+      Some("""SELECT event_type, CAST(ts AS DATE) AS day,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/COUNT(value) AS avg_value,
+        |  MIN(value) AS min_value, MAX(value) AS max_value
+        |FROM events GROUP BY event_type, CAST(ts AS DATE)""".stripMargin),
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(
+          count(lit(1)).cast("long").as("n_events"),
+          sum(col("value").cast(D2)).cast("double").as("sum_value"),
+          (sum(col("value").cast(D2)).cast("double") / count(col("value"))).as("avg_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))),
+
+    QueryDef("q10_report_range",
+      "O4/O9/O10/O19: half-open time-window predicate + display rounding + " +
+        "derived hour bucket (README.md:294-304 report shape).",
+      Some("""SELECT event_id, event_type, user_id, ROUND(value, 2) AS value_r,
+        |  strftime(ts, '%Y-%m-%d %H:00:00') AS hour_bucket
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-20 00:00:00'""".stripMargin),
+      (s, dir) => Tables.events(s, dir)
+        .filter(col("ts") >= lit("2024-01-10").cast("timestamp") &&
+          col("ts") < lit("2024-01-20").cast("timestamp"))
+        .select(col("event_id"), col("event_type"), col("user_id"),
+          round(col("value"), 2).as("value_r"),
+          date_format(col("ts"), "yyyy-MM-dd HH:00:00").as("hour_bucket"))),
+
+    QueryDef("q11_rollup_revenue",
+      "Grouping sets (ROLLUP) over the join graph — subtotal + grand-total " +
+        "rows with GROUPING indicators.",
+      Some("""SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
+        |  CAST(GROUPING(r_name) AS INT) AS g_region, CAST(GROUPING(n_name) AS INT) AS g_nation,
+        |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)""".stripMargin),
+      (s, dir) => fiveWayJoin(s, dir)
+        .rollup(col("r_name"), col("n_name"))
+        .agg(
+          grouping(col("r_name")).cast("int").as("g_region"),
+          grouping(col("n_name")).cast("int").as("g_nation"),
+          sum(revenue).cast("double").as("revenue"),
+          count(lit(1)).cast("long").as("n_items"))
+        .select(
+          coalesce(col("r_name"), lit("ALL")).as("region"),
+          coalesce(col("n_name"), lit("ALL")).as("nation"),
+          col("g_region"), col("g_nation"), col("revenue"), col("n_items"))),
+
+    QueryDef("q12_running_total",
+      "Window functions: per-customer order sequence + running spend " +
+        "(decimal-exact running sum).",
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS order_seq,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |FROM orders""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.orders(s, dir).select(
+          col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          row_number().over(w).cast("long").as("order_seq"),
+          sum(col("o_totalprice").cast(D2))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double").as("running_spend"))
+      }),
+
+    QueryDef("q13_gap_minutes",
+      "O18: calendar-spine gap detection (backfill_openmeteo.py:44-75) — " +
+        "sequence+explode spine anti-joined with the minute buckets present.",
+      Some("""WITH b AS (SELECT date_trunc('minute', min(ts)) AS m0,
+        |                      date_trunc('minute', max(ts)) AS m1 FROM events),
+        |spine AS (SELECT unnest(generate_series(m0, m1, INTERVAL 1 MINUTE)) AS mn FROM b),
+        |present AS (SELECT DISTINCT date_trunc('minute', ts) AS mn FROM events)
+        |SELECT strftime(mn, '%Y-%m-%d %H:%M:00') AS minute_start
+        |FROM spine WHERE mn NOT IN (SELECT mn FROM present)""".stripMargin),
+      (s, dir) => Relational.calendarGaps(Tables.events(s, dir), "ts", "minute", "1 minute")
+        .select(date_format(col("bucket"), "yyyy-MM-dd HH:mm:00").as("minute_start"))),
+
+    QueryDef("q14_json_props",
+      "Semi-structured JSON column: extract typed field from `props` and " +
+        "aggregate (events.props per TESTDATA.md; from_json/get_json_object).",
+      Some("""SELECT event_type, CAST(COUNT(k) AS BIGINT) AS n,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  CAST(MIN(k) AS INT) AS min_k, CAST(MAX(k) AS INT) AS max_k
+        |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |      FROM events) GROUP BY event_type""".stripMargin),
+      (s, dir) => Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(col("k")).cast("long").as("n"),
+          sum(col("k")).cast("long").as("sum_k"),
+          min(col("k")).cast("int").as("min_k"),
+          max(col("k")).cast("int").as("max_k"))),
+
+    QueryDef("q15_quality_gate",
+      "Q1-Q10: the whole Great-Expectations-style suite evaluated in one " +
+        "aggregation pass (ge/validate_raw_weather.py:143-189): not-null, " +
+        "range and set-membership violation counts.",
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COALESCE(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS not_null_ts,
+        |  CAST(COALESCE(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS not_null_user_id,
+        |  CAST(COALESCE(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS not_null_event_type,
+        |  CAST(COALESCE(SUM(CASE WHEN value IS NOT NULL AND NOT (value BETWEEN 0 AND 150) THEN 1 ELSE 0 END), 0) AS BIGINT) AS between_value,
+        |  CAST(COALESCE(SUM(CASE WHEN event_type IS NOT NULL AND event_type NOT IN ('click','purchase','error','signup','view') THEN 1 ELSE 0 END), 0) AS BIGINT) AS in_set_event_type
+        |FROM events""".stripMargin),
+      (s, dir) => Quality.violationCounts(Tables.events(s, dir), Seq(
+        Quality.notNull("ts"),
+        Quality.notNull("user_id"),
+        Quality.notNull("event_type"),
+        Quality.between("value", 0, 150),
+        Quality.inSet("event_type", Seq("click", "purchase", "error", "signup", "view"))))),
+
+    QueryDef("q16_pivot_roundtrip",
+      "O1/O2: the load-bearing columnar→row pivot — pack events into " +
+        "struct-of-parallel-arrays per user, then arrays_zip+explode back " +
+        "(load_to_postgres.py:77-87 semantics). Roundtrip must reproduce the " +
+        "source rows exactly.",
+      Some("SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events"),
+      (s, dir) => {
+        val packed = Tables.events(s, dir)
+          .groupBy(col("user_id"))
+          .agg(sort_array(collect_list(struct(col("ts"), col("event_id"), col("value")))).as("recs"))
+          .select(col("user_id"),
+            expr("transform(recs, r -> r.ts)").as("ts_arr"),
+            expr("transform(recs, r -> r.event_id)").as("id_arr"),
+            expr("transform(recs, r -> r.value)").as("val_arr"))
+        Relational.zipExplode(packed, Seq("ts_arr", "id_arr", "val_arr"), Seq("user_id"))
+          .select(col("user_id"), unix_micros(col("ts_arr")).as("ts_us"),
+            col("id_arr").as("event_id"), col("val_arr").as("value"))
+      }),
+
+    QueryDef("q17_sessions",
+      "Sessionization: gap>30min starts a new session (streaming-state " +
+        "analog of SURVEY.md §2.5, batch-expressed with windows).",
+      Some("""WITH g AS (SELECT user_id, ts, event_id,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+        |       THEN 1 ELSE 0 END AS is_new FROM events),
+        |s AS (SELECT user_id, ts,
+        |  SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  epoch_us(MIN(ts)) AS start_us, epoch_us(MAX(ts)) AS end_us
+        |FROM s GROUP BY user_id, session_id""".stripMargin),
+      (s, dir) => Relational.sessionize(Tables.events(s, dir), "user_id", "ts", 1800,
+          tieBreak = Seq("event_id"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          count(lit(1)).cast("long").as("n_events"),
+          unix_micros(min(col("ts"))).as("start_us"),
+          unix_micros(max(col("ts"))).as("end_us"))),
+
+    // -----------------------------------------------------------------
+    // training-data pipeline operators (BASELINE.json north star)
+    // -----------------------------------------------------------------
+
+    QueryDef("d01_exact_dedup",
+      "Exact deduplication: hash-groupBy on md5(text); every doc labeled " +
+        "with its canonical group id and group size.",
+      Some("""SELECT doc_id, md5(text) AS content_md5,
+        |  MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+        |  CAST(COUNT(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS dup_count
+        |FROM documents""".stripMargin),
+      (s, dir) => Dedup.exactDupGroups(Tables.documents(s, dir))),
+
+    QueryDef("d02_jaccard_neardup",
+      "N-gram (token-set) Jaccard near-dup pairs within a `source` block — " +
+        "the exact correctness baseline that MinHash+LSH approximates at scale.",
+      Some("""WITH t AS (SELECT doc_id, source,
+        |  list_distinct(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS toks
+        |  FROM documents)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+        |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.9""".stripMargin),
+      (s, dir) => Dedup.jaccardPairs(Tables.documents(s, dir), "source", 0.9)),
+
+    QueryDef("d03_lang_stats",
+      "Corpus statistics per (lang, source): doc counts and average length.",
+      Some("""SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(n_chars) AS DOUBLE)/COUNT(n_chars) AS avg_chars
+        |FROM documents GROUP BY lang, source""".stripMargin),
+      (s, dir) => Tables.documents(s, dir)
+        .groupBy(col("lang"), col("source"))
+        .agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          (sum(col("n_chars")).cast("double") / count(col("n_chars"))).as("avg_chars"))),
+
+    QueryDef("t01_text_features",
+      "Text analysis: token counts, average token length, stopword ratio, " +
+        "marker-based language-ID heuristic, rolling-hash fingerprint — all " +
+        "codegen'd built-ins, no UDFs.",
+      Some("""WITH t AS (SELECT doc_id, lang, text,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |f AS (SELECT doc_id, lang, text,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+        |  CAST(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT))) AS BIGINT) AS sum_token_len,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS hits_en,
+        |  CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS BIGINT) AS hits_de,
+        |  CAST(len(list_filter(toks, x -> x IN ('le','la','les','et','est'))) AS BIGINT) AS hits_fr,
+        |  CAST(len(list_filter(toks, x -> x IN ('el','los','las','y','es'))) AS BIGINT) AS hits_es
+        |  FROM t)
+        |SELECT doc_id, lang, n_tokens, n_distinct_tokens, sum_token_len,
+        |  ROUND(CAST(sum_token_len AS DOUBLE)/n_tokens, 4) AS avg_token_len,
+        |  hits_en AS stopword_hits,
+        |  ROUND(CAST(hits_en AS DOUBLE)/n_tokens, 4) AS stopword_ratio,
+        |  CASE WHEN greatest(hits_en, hits_de, hits_fr, hits_es) = 0 THEN 'und'
+        |       WHEN hits_en = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'en'
+        |       WHEN hits_de = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'de'
+        |       WHEN hits_fr = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'fr'
+        |       ELSE 'es' END AS lang_guess,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(generate_series(1, length(text)),
+        |                   i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS BIGINT) AS fingerprint
+        |FROM f""".stripMargin),
+      (s, dir) => Text.features(Tables.documents(s, dir))
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_distinct_tokens"),
+          col("sum_token_len"), col("avg_token_len"), col("stopword_hits"),
+          col("stopword_ratio"), col("lang_guess"), col("fingerprint"))),
+
+    QueryDef("s01_knn_bruteforce",
+      "Similarity search, exact baseline: brute-force cosine top-3 for 10 " +
+        "probe vectors over the corpus (floats widened to double; zip_with + " +
+        "aggregate dot products inside codegen; one window shuffle).",
+      Some(knnOracle(cellFilter = false)),
+      (s, dir) => Similarity.bruteForceTopK(
+        Tables.embeddings(s, dir), col("vec_id") < 10, 3)
+        .withColumnRenamed("rank", "knn_rank")),
+
+    QueryDef("s02_knn_ivf",
+      "Similarity search, IVF-style scale path: probes only scan their own " +
+        "coarse cell (label ≡ centroid assignment) — equi-join on the cell " +
+        "key instead of a cross product.",
+      Some(knnOracle(cellFilter = true)),
+      (s, dir) => Similarity.cellTopK(
+        Tables.embeddings(s, dir), col("vec_id") < 10, 3)
+        .withColumnRenamed("rank", "knn_rank"))
+  )
+
+  private def knnOracle(cellFilter: Boolean): String = {
+    val cellJoin = if (cellFilter) " AND e.label = p.plabel" else ""
+    s"""WITH e AS (SELECT vec_id, label,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |p AS (SELECT vec_id AS pid, label AS plabel, v AS pv FROM e WHERE vec_id < 10),
+       |prod AS (SELECT pid, e.vec_id AS nid, unnest(pv) AS x, unnest(v) AS y
+       |         FROM p CROSS JOIN e WHERE e.vec_id <> pid$cellJoin),
+       |dots AS (SELECT pid, nid, SUM(x*y) AS dot, SUM(x*x) AS na2, SUM(y*y) AS nb2
+       |         FROM prod GROUP BY pid, nid),
+       |cs AS (SELECT pid, nid, ROUND(dot/(SQRT(na2)*SQRT(nb2)), 6) AS cos_sim FROM dots),
+       |r AS (SELECT pid, nid, cos_sim,
+       |      ROW_NUMBER() OVER (PARTITION BY pid ORDER BY cos_sim DESC, nid) AS rn FROM cs)
+       |SELECT pid, nid, cos_sim, CAST(rn AS BIGINT) AS knn_rank FROM r WHERE rn <= 3""".stripMargin
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map(d => d.name -> d.run).toMap
+
+  /** DuckDB-runnable ANSI SQL per query (same column names/types). */
+  def oracleSql: Map[String, String] =
+    defs.flatMap(d => d.oracle.map(d.name -> _)).toMap
 }

@@ -1,0 +1,142 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.text.Text
+
+/** Deduplication operators for a training-data pipeline, from exact to
+  * approximate:
+  *
+  *  - exact:   hash-groupBy on md5(text) — one shuffle keyed by digest.
+  *  - n-gram Jaccard: exact pairwise similarity within a blocking key
+  *    (quadratic per block; the correctness baseline for near-dup).
+  *  - MinHash+LSH: shingle → k minhashes → band → bucket-join so candidate
+  *    generation is a shuffle on (band, signature) instead of an all-pairs
+  *    product — the 100 TB scale path.
+  *  - SimHash: 64-bit signature whose hamming distance approximates cosine
+  *    similarity of the token multiset.
+  *
+  * All hashing is built from deterministic integer arithmetic on a
+  * polynomial token hash, so every operator is reproducible and (where
+  * registered) repeatable by the DuckDB oracle.
+  */
+object Dedup {
+
+  /** Deterministic 64-bit-safe polynomial hash of a token (mod 2^31-1),
+    * identical in ANSI SQL: fold(h*31 + codepoint) mod 2147483647.
+    */
+  def tokenHashSql(v: String): String =
+    s"aggregate(transform(sequence(1, length($v)), " +
+      s"i -> cast(ascii(substr($v, i, 1)) as bigint)), " +
+      s"cast(0 as bigint), (acc, c) -> (acc * 31 + c) % 2147483647)"
+
+  /** Exact duplicate grouping (SURVEY.md §7.2 step 9): every doc labeled
+    * with the canonical (minimum) doc_id of its md5(text) group and the
+    * group size. Single shuffle on the digest.
+    */
+  def exactDupGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val byHash = Window.partitionBy(col("content_md5"))
+    docs
+      .withColumn("content_md5", md5(col(textCol)))
+      .withColumn("canonical_id", min(col(idCol)).over(byHash))
+      .withColumn("dup_count", count(lit(1)).over(byHash).cast("long"))
+      .select(col(idCol), col("content_md5"), col("canonical_id"), col("dup_count"))
+  }
+
+  /** Exact n-gram (token-set) Jaccard near-dup pairs within a blocking key.
+    * Quadratic within each block — correct but only viable when blocks are
+    * bounded; `minhashCandidates` is the scale path that feeds this as a
+    * verifier.
+    */
+  def jaccardPairs(
+      docs: DataFrame,
+      blockCol: String,
+      threshold: Double,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t = docs.select(
+      col(blockCol).as("block"),
+      col(idCol).as("id"),
+      array_distinct(Text.tokens(col(textCol))).as("toks"))
+    val a = t.as("a")
+    val b = t.as("b")
+    val inter = size(array_intersect(col("a.toks"), col("b.toks"))).cast("double")
+    val uni = size(array_union(col("a.toks"), col("b.toks"))).cast("double")
+    a.join(b, col("a.block") === col("b.block") && col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("doc_a"),
+        col("b.id").as("doc_b"),
+        round(inter / uni, 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signatures: k permutations h_i(x) = (a_i*x + b_i) mod p over
+    * deterministic token hashes. Returns (id, sig: array<bigint>). Linear
+    * scan, no shuffle.
+    */
+  def minhashSignatures(
+      docs: DataFrame,
+      numHashes: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val p = 2147483647L // 2^31-1, Mersenne prime
+    val tokHash = tokenHashSql("t")
+    // a_i, b_i derived from the permutation index by fixed odd multipliers
+    // so the oracle can regenerate them from i alone.
+    val sig = expr(
+      s"""transform(sequence(0, ${numHashes - 1}), i ->
+         |  aggregate(
+         |    transform(array_distinct(filter(split(trim($textCol), '\\\\s+'), t -> t <> '')),
+         |              t -> ((cast(i as bigint) * 40503 + 1299721) * ($tokHash) + i * 7919 + 104729) % $p),
+         |    cast($p as bigint), (acc, h) -> least(acc, h)))""".stripMargin)
+    docs.select(col(idCol).as("id"), sig.as("sig"))
+  }
+
+  /** LSH banding: split the k-wide signature into bands of `rowsPerBand`,
+    * emit one (band_idx, band_sig) bucket key per doc per band, and
+    * bucket-join to produce candidate pairs. The shuffle is keyed on the
+    * band hash — candidate generation never materializes the all-pairs
+    * product, which is what makes near-dup feasible at 100 TB.
+    */
+  def minhashCandidates(signatures: DataFrame, rowsPerBand: Int): DataFrame = {
+    val bands = signatures.select(
+      col("id"),
+      posexplode(expr(s"transform(sequence(0, size(sig) div $rowsPerBand - 1), " +
+        s"b -> slice(sig, b*$rowsPerBand + 1, $rowsPerBand))")))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_sig")
+    val l = bands.as("l")
+    val r = bands.as("r")
+    l.join(r,
+        col("l.band") === col("r.band") &&
+          col("l.band_sig") === col("r.band_sig") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
+      .distinct()
+  }
+
+  /** SimHash: 64-bit signature from per-token polynomial hashes; bit j of
+    * the signature is 1 iff the majority of tokens have bit j set in their
+    * hash. Hamming distance between signatures ≈ angular distance between
+    * token multisets. Linear, shuffle-free.
+    */
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tokHash = tokenHashSql("t")
+    // For each of 32 bits: count tokens with the bit set vs total, set the
+    // bit when count*2 > total. (31-bit token hash → 31 usable bits.)
+    val sig = expr(
+      s"""aggregate(sequence(0, 30), cast(0 as bigint), (acc, j) ->
+         |  acc + if(
+         |    size(filter(transform(filter(split(trim($textCol), '\\\\s+'), t -> t <> ''),
+         |                          t -> ($tokHash)),
+         |                h -> (h div shiftleft(cast(1 as bigint), j)) % 2 = 1)) * 2
+         |      > size(filter(split(trim($textCol), '\\\\s+'), t -> t <> '')),
+         |    shiftleft(cast(1 as bigint), j), cast(0 as bigint)))""".stripMargin)
+    docs.select(col(idCol).as("id"), sig.as("simhash"))
+  }
+
+  /** Hamming distance between two simhash signatures. */
+  def hammingDist(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b)).cast("long")
+}

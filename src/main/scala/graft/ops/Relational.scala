@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Generic relational operators the reference pipeline performs, re-expressed
+  * as reusable DataFrame combinators (SURVEY.md §2.3).
+  *
+  * Every operator stays fully distributed — no driver-side collects — so each
+  * survives a 100 TB / 1000-executor scale-up: dedup and sessionization are
+  * single-shuffle window operators keyed by their partition keys; gap
+  * detection joins a generated spine against a pre-aggregated distinct set.
+  */
+object Relational {
+
+  /** Last-write-wins keyed dedup — the batch-functional equivalent of the
+    * reference's Postgres `ON CONFLICT (city,timestamp) DO UPDATE` upsert
+    * (load_to_postgres.py:90-102; SURVEY.md O12). Exactly one row per key
+    * survives: the first under `order` (pass e.g. `_ingested_at desc` +
+    * tie-breaks). One hash shuffle on `keys`; no driver involvement.
+    */
+  def dedupLatest(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Calendar-spine gap detection (backfill_openmeteo.py:44-75; SURVEY.md
+    * O18): generate every expected bucket of `grain` between the min and max
+    * of `tsCol`, anti-join the buckets actually present. The spine is built
+    * with `sequence`+`explode` from a 1-row bounds aggregate — no
+    * driver-side loop — and the present-set is pre-aggregated to distinct
+    * buckets before the join, so the anti-join is tiny at any scale.
+    */
+  def calendarGaps(df: DataFrame, tsCol: String, grain: String, step: String): DataFrame = {
+    val present = df.select(date_trunc(grain, col(tsCol)).as("bucket")).distinct()
+    val bounds = df.agg(
+      date_trunc(grain, min(col(tsCol))).as("b0"),
+      date_trunc(grain, max(col(tsCol))).as("b1"))
+    val spine = bounds.select(
+      explode(expr(s"sequence(b0, b1, interval $step)")).as("bucket"))
+    spine.join(present, Seq("bucket"), "left_anti")
+  }
+
+  /** Sessionize a keyed event stream: a new session starts when the gap to
+    * the previous event for the same key exceeds `gapSeconds`. Two window
+    * passes over one shuffle on the key.
+    */
+  def sessionize(df: DataFrame, key: String, tsCol: String, gapSeconds: Long,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val byKey = Window.partitionBy(col(key))
+      .orderBy(col(tsCol) +: tieBreak.map(col): _*)
+    val prev = lag(col(tsCol), 1).over(byKey)
+    val isNew = when(
+      prev.isNull || unix_micros(col(tsCol)) - unix_micros(prev) > gapSeconds * 1000000L,
+      1L).otherwise(0L)
+    df.withColumn("__new", isNew)
+      .withColumn("session_id",
+        sum(col("__new")).over(byKey.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("__new")
+  }
+
+  /** Struct-of-arrays → rows pivot used by the reference for the hourly
+    * payload (SURVEY.md O1/O2): zip the parallel arrays positionally and
+    * explode one row per element. `arrays_zip` pads ragged arrays with null
+    * (the information-preserving policy of run_once.py:45-47; see SURVEY.md
+    * §1.3).
+    */
+  def zipExplode(df: DataFrame, arrayCols: Seq[String], keep: Seq[String]): DataFrame = {
+    val zipped = arrays_zip(arrayCols.map(col): _*).as("__z")
+    val out = keep.map(col) ++ arrayCols.map(c => col(s"__z.$c").as(c))
+    df.select(keep.map(col) :+ explode(zipped).as("__z"): _*)
+      .select(out: _*)
+  }
+}

@@ -1,0 +1,76 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  *  - `bruteForceTopK` is the exact baseline: broadcast the (small) probe
+  *    set against the corpus, compute cosine per pair inside whole-stage
+  *    codegen (`zip_with` + `aggregate` on doubles — no UDFs), rank with
+  *    one window shuffle keyed by probe.
+  *  - `cellTopK` is the IVF-style scale path: both sides are keyed by a
+  *    coarse cell id (here the `label` column standing in for a centroid
+  *    assignment), so each probe only scans its own cell — the scan cost
+  *    drops by the number of cells and the join is an equi-join on the
+  *    cell key instead of a cross product.
+  *
+  * Cosines are computed in double precision (floats widened first) and
+  * rounded to 6 decimals so results are reproducible across engines.
+  */
+object Similarity {
+
+  /** embedding array<float> → array<double>, unit work per row. */
+  private def widened(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("__v", transform(col(vecCol), x => x.cast("double")))
+
+  private val dot: Column =
+    aggregate(zip_with(col("__pv"), col("__v"), (x, y) => x * y),
+      lit(0.0), (acc, z) => acc + z)
+
+  private def norm(c: Column): Column =
+    sqrt(aggregate(transform(c, x => x * x), lit(0.0), (acc, z) => acc + z))
+
+  /** Exact cosine top-k: for every probe row (filtered by `isProbe`), the k
+    * nearest corpus vectors (excluding itself), ties broken by neighbor id.
+    */
+  def bruteForceTopK(
+      emb: DataFrame,
+      isProbe: Column,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val corpus = widened(emb, vecCol).select(col(idCol).as("nid"), col("__v"))
+    val probes = widened(emb.filter(isProbe), vecCol)
+      .select(col(idCol).as("pid"), col("__v").as("__pv"))
+    rank(corpus.crossJoin(broadcast(probes)), k)
+  }
+
+  /** IVF-style ANN: restrict each probe to its own coarse cell. */
+  def cellTopK(
+      emb: DataFrame,
+      isProbe: Column,
+      k: Int,
+      cellCol: String = "label",
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val corpus = widened(emb, vecCol)
+      .select(col(idCol).as("nid"), col(cellCol).as("__cell"), col("__v"))
+    val probes = widened(emb.filter(isProbe), vecCol)
+      .select(col(idCol).as("pid"), col(cellCol).as("__pcell"), col("__v").as("__pv"))
+    rank(corpus.join(broadcast(probes), col("__cell") === col("__pcell")), k)
+  }
+
+  private def rank(pairs: DataFrame, k: Int): DataFrame = {
+    val cos = round(dot / (norm(col("__pv")) * norm(col("__v"))), 6)
+    val w = Window.partitionBy(col("pid")).orderBy(col("cos_sim").desc, col("nid"))
+    pairs
+      .filter(col("nid") =!= col("pid"))
+      .withColumn("cos_sim", cos)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("pid"), col("nid"), col("cos_sim"), col("__rn").cast("long").as("rank"))
+  }
+}

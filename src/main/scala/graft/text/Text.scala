@@ -1,0 +1,77 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * tokenization, language-ID heuristic, quality scoring, and document
+  * fingerprinting. All built from codegen-friendly built-in expressions —
+  * no UDFs — so they run inside whole-stage codegen and scale linearly
+  * with document count (embarrassingly parallel per row; zero shuffles).
+  */
+object Text {
+
+  /** Whitespace tokenizer; empty tokens filtered so "" input → 0 tokens. */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= lit(""))
+
+  /** English-ish stopword markers used for both language-ID and quality
+    * scoring. Kept tiny and explicit so the DuckDB oracle can repeat the
+    * exact same list.
+    */
+  val EnMarkers: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+  val DeMarkers: Seq[String] = Seq("der", "die", "das", "und", "ist")
+  val FrMarkers: Seq[String] = Seq("le", "la", "les", "et", "est")
+  val EsMarkers: Seq[String] = Seq("el", "los", "las", "y", "es")
+
+  private def hits(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isin(markers.map(lit): _*)))
+
+  /** N-gram/stopword-marker language-ID heuristic: the language whose marker
+    * list scores the most hits wins; deterministic priority order on ties
+    * (en > de > fr > es), 'und' (undetermined) when nothing hits.
+    */
+  def langGuess(toks: Column): Column = {
+    val en = hits(toks, EnMarkers); val de = hits(toks, DeMarkers)
+    val fr = hits(toks, FrMarkers); val es = hits(toks, EsMarkers)
+    val best = greatest(en, de, fr, es)
+    when(best === 0, "und")
+      .when(en === best, "en")
+      .when(de === best, "de")
+      .when(fr === best, "fr")
+      .otherwise("es")
+  }
+
+  /** Polynomial rolling-hash fingerprint of the whole document,
+    * h = fold(h*31 + codepoint) mod 1e9+7 — deterministic, order-sensitive,
+    * and expressible identically in ANSI SQL for the oracle.
+    */
+  def fingerprint(textCol: String): Column =
+    expr(
+      s"aggregate(transform(sequence(1, length($textCol)), " +
+        s"i -> cast(ascii(substr($textCol, i, 1)) as bigint)), " +
+        "cast(0 as bigint), (acc, c) -> (acc * 31 + c) % 1000000007)")
+
+  /** Per-document feature vector: token counts, distinct ratio, average
+    * token length, stopword ratio, language guess, fingerprint. One
+    * projection, no shuffle.
+    */
+  def features(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    docs
+      .withColumn("toks", t)
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_distinct_tokens", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("sum_token_len",
+        aggregate(transform(col("toks"), tk => length(tk).cast("long")),
+          lit(0L), (acc, x) => acc + x))
+      .withColumn("avg_token_len",
+        round(col("sum_token_len").cast("double") / col("n_tokens"), 4))
+      .withColumn("stopword_hits", hits(col("toks"), EnMarkers).cast("long"))
+      .withColumn("stopword_ratio",
+        round(col("stopword_hits").cast("double") / col("n_tokens"), 4))
+      .withColumn("lang_guess", langGuess(col("toks")))
+      .withColumn("fingerprint", fingerprint(textCol))
+      .drop("toks")
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+
+class DedupSimilaritySpec extends SparkSpec {
+
+  test("exactDupGroups labels exact duplicates with one canonical id") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox"), (2L, "the quick brown fox"),
+      (3L, "something else"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactDupGroups(docs).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("canonical_id"), r.getAs[Long]("dup_count")))
+      .toSet
+    assert(out == Set((1L, 1L, 2L), (2L, 1L, 2L), (3L, 3L, 1L)))
+  }
+
+  test("jaccardPairs: identical docs score 1.0, disjoint docs drop out") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "blk", "alpha beta gamma"), (2L, "blk", "alpha beta gamma"),
+      (3L, "blk", "delta epsilon zeta"))
+      .toDF("doc_id", "source", "text")
+    val pairs = Dedup.jaccardPairs(docs, "source", 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("minhash: identical docs have identical signatures; LSH finds them") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "one two three four five six"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs, numHashes = 16).cache()
+    val s = sigs.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(s(1L) == s(2L))
+    assert(s(1L) != s(3L))
+    assert(s(1L).length == 16)
+    val cands = Dedup.minhashCandidates(sigs, rowsPerBand = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(cands.toSet == Set((1L, 2L)))
+  }
+
+  test("minhash signatures are deterministic across evaluations") {
+    import spark.implicits._
+    val docs = Seq((1L, "spark scala parquet shuffle")).toDF("doc_id", "text")
+    val a = Dedup.minhashSignatures(docs, 8).collect()(0).getSeq[Long](1)
+    val b = Dedup.minhashSignatures(docs, 8).collect()(0).getSeq[Long](1)
+    assert(a == b)
+  }
+
+  test("simhash: identical docs → distance 0; different docs → distance > 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "totally unrelated words here"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.simhash(docs).cache()
+    val a = sh.as("a"); val b = sh.as("b")
+    val d = a.join(b, col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"),
+        Dedup.hammingDist(col("a.simhash"), col("b.simhash")).as("d"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(d((1L, 2L)) == 0L)
+    assert(d((1L, 3L)) > 0L)
+  }
+
+  test("bruteForceTopK: nearest neighbor of a vector is its duplicate") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f), 0),
+      (1L, Seq(1.0f, 0.0f, 0.0f), 0),  // duplicate of 0
+      (2L, Seq(0.0f, 1.0f, 0.0f), 1),
+      (3L, Seq(0.9f, 0.1f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.bruteForceTopK(emb, col("vec_id") === 0, 2)
+      .collect().map(r => (r.getAs[Long]("nid"), r.getAs[Double]("cos_sim")))
+    assert(out.head._1 == 1L)
+    assert(out.head._2 == 1.0)
+    assert(out(1)._1 == 3L)
+  }
+
+  test("cellTopK restricts candidates to the probe's cell") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f), 7), (1L, Seq(0.9f, 0.1f), 7),
+      (2L, Seq(1.0f, 0.0f), 8)) // same direction but different cell
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.cellTopK(emb, col("vec_id") === 0, 5)
+      .collect().map(_.getAs[Long]("nid"))
+    assert(out.toSeq == Seq(1L))
+  }
+}

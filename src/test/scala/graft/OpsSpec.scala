@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Relational
+
+class OpsSpec extends SparkSpec {
+  import org.apache.spark.sql.Row
+
+  test("dedupLatest keeps exactly the newest row per key and is idempotent") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1, "old"), ("a", 2, "new"), ("b", 5, "only"))
+      .toDF("k", "v", "tag")
+    val deduped = Relational.dedupLatest(df, Seq("k"), Seq(col("v").desc))
+    val got = deduped.collect().map(r => (r.getString(0), r.getString(2))).toSet
+    assert(got == Set(("a", "new"), ("b", "only")))
+    // idempotency: load(load(x)) == load(x)
+    val twice = Relational.dedupLatest(deduped, Seq("k"), Seq(col("v").desc))
+    assert(twice.collect().toSet == deduped.collect().toSet)
+  }
+
+  test("calendarGaps returns exactly the absent buckets") {
+    import spark.implicits._
+    val present = Seq("2024-01-01 00:10:00", "2024-01-01 01:20:00",
+      "2024-01-01 03:59:00") // hour 02 missing
+      .map(java.sql.Timestamp.valueOf).toDF("ts")
+    val gaps = Relational.calendarGaps(present, "ts", "hour", "1 hour")
+      .collect().map(_.getTimestamp(0).toString)
+    assert(gaps.toSeq == Seq("2024-01-01 02:00:00.0"))
+  }
+
+  test("sessionize splits on gap > threshold") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:10:00"),
+      (1L, "2024-01-01 02:00:00"), (2L, "2024-01-01 00:00:00"))
+      .map { case (u, t) => (u, java.sql.Timestamp.valueOf(t)) }
+      .toDF("user_id", "ts")
+    val s = Relational.sessionize(df, "user_id", "ts", 1800)
+    val sessions = s.groupBy(col("user_id"), col("session_id")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sessions == Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+
+  test("zipExplode pads ragged arrays with null") {
+    import spark.implicits._
+    val df = Seq((Seq(1, 2, 3), Seq("x", "y")))
+      .toDF("nums", "labels")
+    val out = Relational.zipExplode(df, Seq("nums", "labels"), Nil).collect()
+    assert(out.length == 3)
+    assert(out(2) == Row(3, null))
+  }
+}
