@@ -51,6 +51,13 @@ object SparkEntry {
   private def revenue: Column =
     (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(D6)
 
+  /** DuckDB rendering of [[Dedup.tokenHashSql]] (same fold, same modulus). */
+  private val duckTokenHash: String =
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(generate_series(1, length(t)), " +
+      "j -> CAST(ascii(substr(t, j, 1)) AS BIGINT))), " +
+      "(acc, c) -> (acc * 31 + c) % 2147483647)"
+
   private val fiveWayJoin: (SparkSession, String) => DataFrame = (s, dir) =>
     Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
@@ -239,12 +246,17 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)""".stripMargin),
       (s, dir) => fiveWayJoin(s, dir)
+        // pre-aggregate to the finest grouping first (125 groups), then
+        // rollup over the tiny partial — decimal sums re-aggregate exactly,
+        // and the expensive join output is scanned once instead of 3×.
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(revenue).as("rev_part"), count(lit(1)).as("cnt_part"))
         .rollup(col("r_name"), col("n_name"))
         .agg(
           grouping(col("r_name")).cast("int").as("g_region"),
           grouping(col("n_name")).cast("int").as("g_nation"),
-          sum(revenue).cast("double").as("revenue"),
-          count(lit(1)).cast("long").as("n_items"))
+          sum(col("rev_part")).cast("double").as("revenue"),
+          sum(col("cnt_part")).cast("long").as("n_items"))
         .select(
           coalesce(col("r_name"), lit("ALL")).as("region"),
           coalesce(col("n_name"), lit("ALL")).as("nation"),
@@ -433,6 +445,131 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_distinct_tokens"),
           col("sum_token_len"), col("avg_token_len"), col("stopword_hits"),
           col("stopword_ratio"), col("lang_guess"), col("fingerprint"))),
+
+    QueryDef("q18_asof_join",
+      "As-of (backward) join: each purchase matched to the user's most " +
+        "recent click at-or-before it — composed from built-ins as one " +
+        "union + running `last(ignoreNulls)` window (single shuffle on the " +
+        "key; no per-pair join, so it scales like a sort, not a product).",
+      Some("""SELECT p.user_id, p.event_id, epoch_us(p.ts) AS purchase_us,
+        |  (SELECT epoch_us(max(c.ts)) FROM events c
+        |   WHERE c.user_id = p.user_id AND c.event_type = 'click'
+        |     AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))) AS click_us
+        |FROM events p WHERE p.event_type = 'purchase'""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.events(s, dir)
+          .filter(col("event_type").isin("click", "purchase"))
+          .withColumn("click_ts", when(col("event_type") === "click", col("ts")))
+          .withColumn("last_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("purchase_us"),
+            unix_micros(col("last_click_ts")).as("click_us"))
+      }),
+
+    QueryDef("q19_above_customer_avg",
+      "Correlated scalar subquery shape: orders above their own customer's " +
+        "average order value (decomposed to groupBy + equi-join).",
+      Some("""WITH ca AS (SELECT o_custkey AS k,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_price
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT o_custkey, o_orderkey, o_totalprice
+        |FROM orders JOIN ca ON o_custkey = k
+        |WHERE o_totalprice > avg_price""".stripMargin),
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val ca = o.groupBy(col("o_custkey").as("k"))
+          .agg((sum(col("o_totalprice").cast(D2)).cast("double") /
+            count(lit(1))).as("avg_price"))
+        o.join(ca, col("o_custkey") === col("k"))
+          .filter(col("o_totalprice") > col("avg_price"))
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      }),
+
+    QueryDef("q20_pivot",
+      "Pivot: per-user event counts spread into one column per event type.",
+      Some("""SELECT user_id,
+        |  CAST(COALESCE(SUM(CASE WHEN event_type='click' THEN 1 END), 0) AS BIGINT) AS click,
+        |  CAST(COALESCE(SUM(CASE WHEN event_type='error' THEN 1 END), 0) AS BIGINT) AS error,
+        |  CAST(COALESCE(SUM(CASE WHEN event_type='purchase' THEN 1 END), 0) AS BIGINT) AS purchase,
+        |  CAST(COALESCE(SUM(CASE WHEN event_type='signup' THEN 1 END), 0) AS BIGINT) AS signup,
+        |  CAST(COALESCE(SUM(CASE WHEN event_type='view' THEN 1 END), 0) AS BIGINT) AS view
+        |FROM events GROUP BY user_id""".stripMargin),
+      (s, dir) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val pivoted = Tables.events(s, dir)
+          .groupBy(col("user_id"))
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+        pivoted.select(col("user_id") +:
+          types.map(t => coalesce(col(t), lit(0L)).cast("long").as(t)): _*)
+      }),
+
+    QueryDef("q21_percentiles",
+      "Exact interpolated percentiles (median/p90) per group — Spark " +
+        "`percentile` ≡ DuckDB `quantile_cont`.",
+      Some("""SELECT o_orderstatus,
+        |  quantile_cont(o_totalprice, 0.5) AS p50,
+        |  quantile_cont(o_totalprice, 0.9) AS p90,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM orders GROUP BY o_orderstatus""".stripMargin),
+      (s, dir) => Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          expr("percentile(o_totalprice, 0.5)").as("p50"),
+          expr("percentile(o_totalprice, 0.9)").as("p90"),
+          count(lit(1)).cast("long").as("n"))),
+
+    QueryDef("d04_minhash_sigs",
+      "MinHash signatures (16 permutations over deterministic polynomial " +
+        "token hashes), flattened one row per (doc, permutation). The LSH " +
+        "banding built on these is exercised in DedupSimilaritySpec; " +
+        "signatures are the oracle-checkable core.",
+      Some(s"""WITH t AS (SELECT doc_id,
+        |  list_distinct(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS toks
+        |  FROM documents),
+        |h AS (SELECT doc_id, list_transform(toks, t -> $duckTokenHash) AS hs FROM t),
+        |sig AS (SELECT doc_id,
+        |  list_transform(generate_series(0, 15), i ->
+        |    list_reduce(list_prepend(CAST(2147483647 AS BIGINT),
+        |      list_transform(hs, h -> ((CAST(i AS BIGINT) * 40503 + 1299721) * h + i * 7919 + 104729) % 2147483647)),
+        |      (acc, x) -> least(acc, x))) AS sig
+        |  FROM h)
+        |SELECT doc_id, unnest(generate_series(0, 15)) AS perm, unnest(sig) AS minhash
+        |FROM sig""".stripMargin),
+      (s, dir) => Dedup.minhashSignatures(Tables.documents(s, dir), 16)
+        .select(col("id").as("doc_id"), posexplode(col("sig")))
+        .select(col("doc_id"), col("pos").cast("long").as("perm"),
+          col("col").as("minhash"))),
+
+    QueryDef("d05_simhash",
+      "SimHash 31-bit signatures over the token multiset — near-dup " +
+        "fingerprint whose hamming distance approximates angular distance.",
+      Some(s"""WITH t AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |h AS (SELECT doc_id, list_transform(toks, t -> $duckTokenHash) AS hs FROM t)
+        |SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 30), j ->
+        |  CASE WHEN len(list_filter(hs, h -> (h // (CAST(1 AS BIGINT) << j)) % 2 = 1)) * 2 > len(hs)
+        |       THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS simhash
+        |FROM h""".stripMargin),
+      (s, dir) => Dedup.simhash(Tables.documents(s, dir))
+        .select(col("id").as("doc_id"), col("simhash"))),
+
+    QueryDef("m01_binary_features",
+      "Multimodal columns: media payloads as opaque binary + codegen'd " +
+        "byte-level features (length, digest, base64). The codec-dependent " +
+        "stages (decode/resize/frame-sample) are stubbed mapPartitions " +
+        "batch ops in graft.multimodal, exercised by MultimodalSpec.",
+      Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS digest_md5, to_base64(encode(text)) AS payload_b64
+        |FROM documents""".stripMargin),
+      (s, dir) => graft.multimodal.Multimodal.binaryFeatures(
+        Tables.documents(s, dir).withColumn("payload", col("text").cast("binary")),
+        "doc_id", "payload")),
 
     QueryDef("s01_knn_bruteforce",
       "Similarity search, exact baseline: brute-force cosine top-3 for 10 " +

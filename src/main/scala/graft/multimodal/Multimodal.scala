@@ -1,0 +1,137 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns for a training-data pipeline: image/audio/video
+  * payloads ride through the engine as opaque `binary` columns plus typed
+  * metadata, exactly like any other column — partitioned, shuffled and
+  * predicate-pruned by Spark without interpreting the bytes.
+  *
+  * The actual codec work (JPEG decode, resampling, frame extraction) is
+  * STUBBED with deterministic byte-level fakes — media codecs are not
+  * available in this environment — but the Spark-side plumbing is real and
+  * is the part that matters at 100 TB:
+  *
+  *  - batch-shaped processing via `mapPartitions` over a typed Dataset
+  *    (one decoder instance per partition, amortized across rows — the
+  *    same shape a Pandas-UDF / mapInPandas deployment uses);
+  *  - schema contracts: binary payload + metadata struct in, fixed-width
+  *    feature struct out, so downstream stages stay columnar;
+  *  - per-row cost is bounded and row-independent → embarrassingly
+  *    parallel, no shuffle introduced by any decode/feature stage.
+  *
+  * To productionize, replace the bodies marked "STUB" with real codec
+  * calls; no plan shape changes.
+  */
+object Multimodal {
+
+  /** One media payload: opaque bytes + the metadata a lake would carry. */
+  final case class MediaRow(
+      media_id: Long,
+      kind: String, // "image" | "audio" | "video"
+      bytes: Array[Byte])
+
+  /** Decoded (stub) metadata — stands in for codec-derived dimensions. */
+  final case class MediaMeta(
+      media_id: Long,
+      kind: String,
+      n_bytes: Long,
+      width: Int, // STUB: derived from header bytes, not a real decode
+      height: Int,
+      channels: Int)
+
+  /** Fixed-width feature vector per payload (stand-in for an embedding). */
+  final case class MediaFeatures(
+      media_id: Long,
+      n_bytes: Long,
+      checksum: Long,
+      features: Array[Float])
+
+  /** A sampled "frame": every `stride`-th block of `frameLen` bytes. */
+  final case class Frame(
+      media_id: Long,
+      frame_idx: Int,
+      frame_bytes: Array[Byte])
+
+  private def rollingHash(bytes: Array[Byte]): Long = {
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h * 31 + (bytes(i) & 0xff)) % 1000000007L
+      i += 1
+    }
+    h
+  }
+
+  /** STUB decode: metadata from the payload header. A real implementation
+    * parses the container format here; the batch shape (one pass per
+    * partition, streaming iterator in/out) is what a codec needs.
+    */
+  def decodeMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition setup: a real decoder is instantiated ONCE here
+      rows.map { r =>
+        val b = r.bytes
+        def at(i: Int): Int = if (b.length > i) b(i) & 0xff else 0
+        MediaMeta(r.media_id, r.kind, b.length.toLong,
+          width = 16 + at(0), height = 16 + at(1), channels = 1 + at(2) % 4)
+      }
+    }
+  }
+
+  /** STUB feature extraction: deterministic 8-dim float vector seeded from
+    * a rolling checksum — stands in for a vision/audio embedding model.
+    */
+  def extractFeatures(media: Dataset[MediaRow], dim: Int = 8): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val h = rollingHash(r.bytes)
+        val fs = Array.tabulate(dim) { i =>
+          (((h >> (i * 7)) & 0x7f).toFloat / 127.0f) - 0.5f
+        }
+        MediaFeatures(r.media_id, r.bytes.length.toLong, h, fs)
+      }
+    }
+  }
+
+  /** STUB frame sampling: every `stride`-th `frameLen`-byte block. A real
+    * implementation seeks keyframes; the fan-out shape (one row → N frame
+    * rows, bounded per row) is identical.
+    */
+  def sampleFrames(media: Dataset[MediaRow], frameLen: Int, stride: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val n = math.max(0, r.bytes.length / (frameLen * stride))
+      (0 until n).map { i =>
+        val start = i * frameLen * stride
+        Frame(r.media_id, i, r.bytes.slice(start, start + frameLen))
+      }
+    }
+  }
+
+  /** Column-level (codegen'd) feature extraction over any binary column —
+    * the subset expressible without a codec, used by the oracle-checked
+    * query: byte length, md5 digest, base64 payload echo.
+    */
+  def binaryFeatures(df: DataFrame, idCol: String, binCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      length(col(binCol)).cast("long").as("n_bytes"),
+      md5(col(binCol)).as("digest_md5"),
+      // Spark's base64 emits MIME 76-char lines; strip the CRLFs so the
+      // digest matches unwrapped encoders (DuckDB, python base64).
+      regexp_replace(base64(col(binCol)), "[\\r\\n]", "").as("payload_b64"))
+
+  /** Wrap documents.text as an opaque payload table — the stand-in media
+    * corpus for this environment (payload bytes are fake; plumbing real).
+    */
+  def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id").as("media_id"), lit("image").as("kind"),
+        col("text").cast("binary").as("bytes"))
+      .as[MediaRow]
+  }
+}

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.weather.Weather
+
+/** Structured Streaming face of the pipeline (SURVEY.md §2.5): the same
+  * explode/clean/dedup/daily-agg functions applied to `readStream`, with
+  * the reference's cadence semantics mapped onto Spark's model:
+  *
+  *  - hourly Airflow cron (etl_openmeteo.py:14)    → Trigger.AvailableNow
+  *    per run (or ProcessingTime("1 hour") resident);
+  *  - `_ingest_log` idempotency (load_to_postgres.py:152-185) → the file
+  *    source's checkpointed input log;
+  *  - 7-day backfill lookback (backfill_openmeteo.py:38-39) → 7-day
+  *    watermark bounding state;
+  *  - PK upsert (create_staging.sql:10) → `dropDuplicates` within the
+  *    watermark on (city, timestamp);
+  *  - daily mart (fct_city_day.sql:3) → 1-day tumbling window aggregate.
+  */
+object WeatherStreaming {
+
+  /** Streaming staging rows from a partitioned JSON lake directory
+    * (layout `city=…/ds=…/hour=…`, written by [[Weather.writeLake]]);
+    * partition discovery materializes `city`.
+    */
+  def readStagingStream(spark: SparkSession, lakePath: String): DataFrame = {
+    val raw = spark.readStream
+      .schema(Weather.RawWeatherSchema.add("_ingested_at", "timestamp"))
+      .option("basePath", lakePath)
+      .json(lakePath)
+    Weather.clean(Weather.explodeHourly(raw))
+  }
+
+  /** Watermarked exactly-once staging: late data beyond 7 days dropped,
+    * duplicate (city, timestamp) arrivals within the watermark deduped.
+    */
+  def dedupedStaging(staging: DataFrame): DataFrame =
+    staging
+      .withWatermark("timestamp", "7 days")
+      .dropDuplicates("city", "timestamp")
+
+  /** Tumbling 1-day windowed mart in streaming mode (append with the
+    * watermark; emits a window per city per day once finalized).
+    */
+  def dailyMartStream(staging: DataFrame): DataFrame =
+    dedupedStaging(staging)
+      .groupBy(window(col("timestamp"), "1 day"), col("city"))
+      .agg(
+        avg(col("temperature_2m")).as("temperature_avg"),
+        min(col("temperature_2m")).as("temperature_min"),
+        max(col("temperature_2m")).as("temperature_max"),
+        sum(col("precipitation")).as("precipitation_sum"),
+        max(col("wind_speed_10m")).as("wind_speed_max"),
+        count(lit(1)).as("n_hours"))
+      .select(col("window.start").as("day"), col("city"),
+        col("temperature_avg"), col("temperature_min"), col("temperature_max"),
+        col("precipitation_sum"), col("wind_speed_max"), col("n_hours"))
+}

@@ -147,10 +147,21 @@ object Weather {
   def newFiles(listing: DataFrame, ingestLog: DataFrame): DataFrame =
     listing.join(ingestLog, Seq("key"), "left_anti")
 
-  /** S3 sink: Hive-partitioned lake layout (s3_writer.py:59-61). */
-  def writeLake(df: DataFrame, path: String): Unit =
-    withPartitionKeys(df)
-      .write.partitionBy("city", "ds", "hour").mode("append").json(path)
+  /** S3 sink: Hive-partitioned raw-payload lake (s3_writer.py:59-61).
+    * Input must carry `city`/`ds`/`hour` key columns (see
+    * [[withPartitionKeys]] for deriving them from a timestamp).
+    */
+  def writeLake(raw: DataFrame, path: String): Unit =
+    raw.write.partitionBy("city", "ds", "hour").mode("append").json(path)
+
+  /** Batch read of the raw lake with partition discovery — `city`/`ds`/
+    * `hour` materialize from the directory layout (SURVEY.md S5/S9).
+    */
+  def readLake(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(RawWeatherSchema.add("_ingested_at", "timestamp"))
+      .option("basePath", path)
+      .json(path)
 
   // ---- fixture pipeline (the driver's flagship `entry`) -----------------
 

@@ -29,6 +29,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
   }
 
+  test("jaccardPairsPrefix agrees with the inverted-index formulation") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "blk", "alpha beta gamma delta"), (2L, "blk", "alpha beta gamma epsilon"),
+      (3L, "blk", "alpha beta gamma delta"), (4L, "blk", "unrelated words entirely"))
+      .toDF("doc_id", "source", "text")
+    val a = Dedup.jaccardPairs(docs, "source", 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = Dedup.jaccardPairsPrefix(docs, "source", 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a == b)
+    assert(a.contains((1L, 3L, 1.0)))
+  }
+
   test("minhash: identical docs have identical signatures; LSH finds them") {
     import spark.implicits._
     val docs = Seq(

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.MediaRow
+
+class MultimodalSpec extends SparkSpec {
+
+  private def media = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      MediaRow(1L, "image", Array.tabulate(64)(i => (i * 7 % 251).toByte)),
+      MediaRow(2L, "audio", Array.tabulate(200)(i => (i * 13 % 251).toByte)),
+      MediaRow(3L, "image", Array.emptyByteArray))
+      .toDS()
+  }
+
+  test("decodeMeta is deterministic and total (empty payloads included)") {
+    val metas = Multimodal.decodeMeta(media).collect().map(m => m.media_id -> m).toMap
+    assert(metas(1L).n_bytes == 64L)
+    assert(metas(1L).width == 16 + 0 && metas(1L).height == 16 + 7)
+    assert(metas(3L).n_bytes == 0L && metas(3L).width == 16)
+    // deterministic across evaluations
+    val again = Multimodal.decodeMeta(media).collect().map(m => m.media_id -> m).toMap
+    assert(metas == again)
+  }
+
+  test("extractFeatures yields fixed-width vectors with stable checksums") {
+    val fs = Multimodal.extractFeatures(media, dim = 8).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(fs.values.forall(_.features.length == 8))
+    assert(fs(3L).checksum == 0L)
+    val again = Multimodal.extractFeatures(media, dim = 8).collect()
+      .map(f => f.media_id -> f.checksum).toMap
+    assert(fs.view.mapValues(_.checksum).toMap == again)
+  }
+
+  test("sampleFrames fans out bounded frame rows per payload") {
+    val frames = Multimodal.sampleFrames(media, frameLen = 10, stride = 2).collect()
+    val byId = frames.groupBy(_.media_id)
+    assert(byId(1L).length == 3)  // 64 / 20
+    assert(byId(2L).length == 10) // 200 / 20
+    assert(!byId.contains(3L))
+    assert(frames.forall(_.frame_bytes.length <= 10))
+  }
+
+  test("binaryFeatures matches plain-text md5/length semantics") {
+    val df = Multimodal.binaryFeatures(
+      media.toDF().withColumnRenamed("bytes", "payload"), "media_id", "payload")
+    val row = df.filter(col("media_id") === 1L).head()
+    assert(row.getAs[Long]("n_bytes") == 64L)
+    assert(row.getAs[String]("digest_md5").length == 32)
+  }
+}

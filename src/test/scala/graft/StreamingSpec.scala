@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.weather.Weather
+import graft.streaming.WeatherStreaming
+
+class StreamingSpec extends SparkSpec {
+
+  private def rawFixture = {
+    val s = spark
+    import s.implicits._
+    Weather.fixturePayloads
+      .toDF("city", "_ingested_at_s", "raw_json")
+      .select(col("city"),
+        col("_ingested_at_s").cast("timestamp").as("_ingested_at"),
+        from_json(col("raw_json"), Weather.RawWeatherSchema).as("p"))
+      .select(col("city"), col("_ingested_at"), col("p.*"))
+      .withColumn("ds", lit("2025-10-31"))
+      .withColumn("hour", lit("12"))
+  }
+
+  test("lake write → batch read roundtrip preserves payloads and partitions") {
+    val dir = Files.createTempDirectory("lake").toString
+    Weather.writeLake(rawFixture, dir)
+    val back = Weather.readLake(spark, dir)
+    assert(back.count() == 5) // 5 payload objects
+    assert(back.columns.contains("city") && back.columns.contains("ds"))
+    val staged = Weather.clean(Weather.explodeHourly(back))
+    assert(staged.count() == 13) // 4 cities × 3 hours + 1 re-ingest hour
+  }
+
+  test("streaming lake → watermarked dedup → daily mart matches batch") {
+    val dir = Files.createTempDirectory("lake-stream").toString
+    Weather.writeLake(rawFixture, dir)
+    val mart = WeatherStreaming.dailyMartStream(
+      WeatherStreaming.readStagingStream(spark, dir))
+    val q = mart.writeStream
+      .format("memory").queryName("mart_stream")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("mart_stream")
+    assert(got.count() == 4) // one window row per city
+    val warsaw = got.filter(col("city") === "Warsaw").head()
+    // dedup keeps the re-ingested 12:00 row (16.1): avg = (15.5+15.7+16.1)/3
+    // (streaming dropDuplicates keeps the first arrival; both rows for the
+    // key carry the same hour so n_hours stays 3)
+    assert(warsaw.getAs[Long]("n_hours") == 3L)
+  }
+
+  test("streaming dedup bounds duplicates within the watermark") {
+    val dir = Files.createTempDirectory("lake-dup").toString
+    Weather.writeLake(rawFixture, dir)
+    Weather.writeLake(rawFixture, dir) // same files arrive twice
+    val staged = WeatherStreaming.dedupedStaging(
+      WeatherStreaming.readStagingStream(spark, dir))
+    val q = staged.writeStream
+      .format("memory").queryName("staging_stream")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    // 12 distinct (city, timestamp) keys despite 26 arriving rows (the
+    // Warsaw re-ingest shares its key with the original 12:00 hour)
+    assert(spark.table("staging_stream").count() == 12)
+  }
+}
