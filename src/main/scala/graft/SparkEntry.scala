@@ -523,6 +523,104 @@ object SparkEntry {
           expr("percentile(o_totalprice, 0.9)").as("p90"),
           count(lit(1)).cast("long").as("n"))),
 
+    QueryDef("q22_batching",
+      "O21: chunk a worklist into bounded API batches — the reference's " +
+        "24-hour backfill batching (backfill_openmeteo.py:119-124) as " +
+        "floor(row_number/24) over the gap list.",
+      Some("""WITH b AS (SELECT date_trunc('minute', min(ts)) AS m0,
+        |                      date_trunc('minute', max(ts)) AS m1 FROM events),
+        |spine AS (SELECT unnest(generate_series(m0, m1, INTERVAL 1 MINUTE)) AS mn FROM b),
+        |gaps AS (SELECT mn FROM spine
+        |         WHERE mn NOT IN (SELECT DISTINCT date_trunc('minute', ts) FROM events)),
+        |numbered AS (SELECT mn, ROW_NUMBER() OVER (ORDER BY mn) - 1 AS rn FROM gaps)
+        |SELECT CAST(rn // 24 AS BIGINT) AS batch_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_minutes,
+        |  strftime(MIN(mn), '%Y-%m-%d %H:%M:00') AS batch_start,
+        |  strftime(MAX(mn), '%Y-%m-%d %H:%M:00') AS batch_end
+        |FROM numbered GROUP BY batch_id""".stripMargin),
+      (s, dir) => {
+        val gaps = Relational.calendarGaps(Tables.events(s, dir), "ts", "minute", "1 minute")
+        gaps
+          .withColumn("rn",
+            row_number().over(Window.orderBy(col("bucket"))).cast("long") - 1)
+          .withColumn("batch_id", (col("rn") / 24).cast("long"))
+          .groupBy(col("batch_id"))
+          .agg(
+            count(lit(1)).cast("long").as("n_minutes"),
+            date_format(min(col("bucket")), "yyyy-MM-dd HH:mm:00").as("batch_start"),
+            date_format(max(col("bucket")), "yyyy-MM-dd HH:mm:00").as("batch_end"))
+      }),
+
+    QueryDef("q23_topk_per_group",
+      "Top-k per group: 3 highest-value orders per market segment " +
+        "(rank window over a broadcast join).",
+      Some("""SELECT c_mktsegment, o_orderkey, o_totalprice FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders JOIN customer ON o_custkey = c_custkey) WHERE rn <= 3""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, dir)
+          .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+      }),
+
+    QueryDef("q24_set_ops",
+      "Set operations: users who clicked EXCEPT those who purchased, " +
+        "unioned with users who did both (INTERSECT), tagged.",
+      Some("""SELECT user_id, 'click_only' AS cohort FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'click'
+        |  EXCEPT
+        |  SELECT user_id FROM events WHERE event_type = 'purchase')
+        |UNION ALL
+        |SELECT user_id, 'click_and_buy' AS cohort FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'click'
+        |  INTERSECT
+        |  SELECT user_id FROM events WHERE event_type = 'purchase')""".stripMargin),
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val clickers = e.filter(col("event_type") === "click").select(col("user_id"))
+        val buyers = e.filter(col("event_type") === "purchase").select(col("user_id"))
+        clickers.except(buyers).withColumn("cohort", lit("click_only"))
+          .unionByName(
+            clickers.intersect(buyers).withColumn("cohort", lit("click_and_buy")))
+      }),
+
+    QueryDef("t02_token_stats",
+      "Token counting two ways: whitespace tokens and a BPE-ish regex " +
+        "segmentation (letter runs / digit runs / single symbols) — the " +
+        "pre-tokenizer shape BPE vocabularies are trained over.",
+      Some("""SELECT doc_id,
+        |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS bpe_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents""".stripMargin),
+      (s, dir) => Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0)"))
+          .cast("long").as("bpe_tokens"),
+        length(col("text")).cast("long").as("n_chars"))),
+
+    QueryDef("s03_cosine_neardup",
+      "Embedding-cosine near-dup: threshold similarity join within a " +
+        "coarse cell (label), cosine per pair via the native codegen'd " +
+        "CosineSimilarity expression.",
+      Some("""WITH e AS (SELECT vec_id, label,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |prod AS (SELECT a.vec_id AS va, b.vec_id AS vb, unnest(a.v) AS x, unnest(b.v) AS y
+        |         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
+        |dots AS (SELECT va, vb, SUM(x*y) AS dot, SUM(x*x) AS na2, SUM(y*y) AS nb2
+        |         FROM prod GROUP BY va, vb)
+        |SELECT va AS vec_a, vb AS vec_b,
+        |  ROUND(dot/(SQRT(na2)*SQRT(nb2)), 6) AS cos_sim
+        |FROM dots WHERE ROUND(dot/(SQRT(na2)*SQRT(nb2)), 6) >= 0.3""".stripMargin),
+      (s, dir) => Similarity.cosineNearDup(Tables.embeddings(s, dir), 0.3)),
+
     QueryDef("d04_minhash_sigs",
       "MinHash signatures (16 permutations over deterministic polynomial " +
         "token hashes), flattened one row per (doc, permutation). The LSH " +

@@ -23,13 +23,13 @@ import graft.text.Text
   */
 object Dedup {
 
-  /** Deterministic 64-bit-safe polynomial hash of a token (mod 2^31-1),
-    * identical in ANSI SQL: fold(h*31 + codepoint) mod 2147483647.
+  /** Deterministic polynomial hash of a token (mod 2^31-1), identical in
+    * ANSI SQL to `fold(h*31 + codepoint) mod 2147483647`. Rendered as a
+    * call to the native codegen'd [[graft.functions.PolyHash]] — callable
+    * by name inside SQL lambda bodies after registration.
     */
   def tokenHashSql(v: String): String =
-    s"aggregate(transform(sequence(1, length($v)), " +
-      s"i -> cast(ascii(substr($v, i, 1)) as bigint)), " +
-      s"cast(0 as bigint), (acc, c) -> (acc * 31 + c) % 2147483647)"
+    s"${graft.functions.PolyHash.FnName}($v, 31, 2147483647)"
 
   /** Exact duplicate grouping (SURVEY.md §7.2 step 9): every doc labeled
     * with the canonical (minimum) doc_id of its md5(text) group and the
@@ -138,17 +138,20 @@ object Dedup {
       numHashes: Int,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    graft.functions.PolyHash.register(docs.sparkSession)
     val p = 2147483647L // 2^31-1, Mersenne prime
-    val tokHash = tokenHashSql("t")
-    // a_i, b_i derived from the permutation index by fixed odd multipliers
-    // so the oracle can regenerate them from i alone.
+    // token hashes computed ONCE per doc, then each permutation folds a
+    // min over them; a_i, b_i derive from the permutation index by fixed
+    // odd multipliers so the oracle can regenerate them from i alone.
+    val hs = expr(
+      s"transform(array_distinct(filter(split(trim($textCol), '\\\\s+'), t -> t <> ''))," +
+        s" t -> ${tokenHashSql("t")})")
     val sig = expr(
       s"""transform(sequence(0, ${numHashes - 1}), i ->
-         |  aggregate(
-         |    transform(array_distinct(filter(split(trim($textCol), '\\\\s+'), t -> t <> '')),
-         |              t -> ((cast(i as bigint) * 40503 + 1299721) * ($tokHash) + i * 7919 + 104729) % $p),
-         |    cast($p as bigint), (acc, h) -> least(acc, h)))""".stripMargin)
-    docs.select(col(idCol).as("id"), sig.as("sig"))
+         |  aggregate(hs, cast($p as bigint), (acc, h) ->
+         |    least(acc, ((cast(i as bigint) * 40503 + 1299721) * h + i * 7919 + 104729) % $p)))""".stripMargin)
+    docs.select(col(idCol).as("id"), hs.as("hs"))
+      .select(col("id"), sig.as("sig"))
   }
 
   /** LSH banding: split the k-wide signature into bands of `rowsPerBand`,
@@ -181,6 +184,7 @@ object Dedup {
     * doc, then folded per bit.
     */
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    graft.functions.PolyHash.register(docs.sparkSession)
     val tokHash = tokenHashSql("t")
     docs
       .select(col(idCol).as("id"),

@@ -3,6 +3,7 @@ package graft.similarity
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.CosineSimilarity
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`).
@@ -26,12 +27,10 @@ object Similarity {
   private def widened(df: DataFrame, vecCol: String): DataFrame =
     df.withColumn("__v", transform(col(vecCol), x => x.cast("double")))
 
-  private val dot: Column =
-    aggregate(zip_with(col("__pv"), col("__v"), (x, y) => x * y),
-      lit(0.0), (acc, z) => acc + z)
-
-  private def norm(c: Column): Column =
-    sqrt(aggregate(transform(c, x => x * x), lit(0.0), (acc, z) => acc + z))
+  // cosine via the native codegen'd expression (graft.functions.
+  // CosineSimilarity) — same left-to-right accumulation as the
+  // zip_with+aggregate formulation, so results are bit-identical, but it
+  // runs inside whole-stage codegen instead of interpreted HOF lambdas.
 
   /** Exact cosine top-k: for every probe row (filtered by `isProbe`), the k
     * nearest corpus vectors (excluding itself), ties broken by neighbor id.
@@ -64,7 +63,8 @@ object Similarity {
   }
 
   private def rank(pairs: DataFrame, k: Int): DataFrame = {
-    val cos = round(dot / (norm(col("__pv")) * norm(col("__v"))), 6)
+    val cos = round(
+      CosineSimilarity(pairs.sparkSession, col("__pv"), col("__v")), 6)
     val w = Window.partitionBy(col("pid")).orderBy(col("cos_sim").desc, col("nid"))
     pairs
       .filter(col("nid") =!= col("pid"))
@@ -72,5 +72,27 @@ object Similarity {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .select(col("pid"), col("nid"), col("cos_sim"), col("__rn").cast("long").as("rank"))
+  }
+
+  /** Embedding-cosine near-dup: all pairs within a coarse cell whose
+    * cosine meets `threshold` — a threshold similarity join. Cell blocking
+    * keeps the candidate product bounded per cell (the IVF partitioning
+    * again); the cosine itself is one codegen'd expression per pair.
+    */
+  def cosineNearDup(
+      emb: DataFrame,
+      threshold: Double,
+      cellCol: String = "label",
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val t = widened(emb, vecCol)
+      .select(col(idCol).as("id"), col(cellCol).as("cell"), col("__v"))
+    val pairs = t.as("a").join(t.as("b"),
+      col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+    val cos = round(CosineSimilarity(pairs.sparkSession,
+      col("a.__v"), col("b.__v")), 6)
+    pairs
+      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"), cos.as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
   }
 }

@@ -44,13 +44,13 @@ object Text {
 
   /** Polynomial rolling-hash fingerprint of the whole document,
     * h = fold(h*31 + codepoint) mod 1e9+7 — deterministic, order-sensitive,
-    * and expressible identically in ANSI SQL for the oracle.
+    * and expressible identically in ANSI SQL for the oracle. Computed by
+    * the native codegen'd [[graft.functions.PolyHash]] expression.
     */
-  def fingerprint(textCol: String): Column =
-    expr(
-      s"aggregate(transform(sequence(1, length($textCol)), " +
-        s"i -> cast(ascii(substr($textCol, i, 1)) as bigint)), " +
-        "cast(0 as bigint), (acc, c) -> (acc * 31 + c) % 1000000007)")
+  def fingerprint(spark: org.apache.spark.sql.SparkSession, textCol: String): Column = {
+    graft.functions.PolyHash.register(spark)
+    expr(s"${graft.functions.PolyHash.FnName}($textCol, 31, 1000000007)")
+  }
 
   /** Per-document feature vector: token counts, distinct ratio, average
     * token length, stopword ratio, language guess, fingerprint. One
@@ -71,7 +71,7 @@ object Text {
       .withColumn("stopword_ratio",
         round(col("stopword_hits").cast("double") / col("n_tokens"), 4))
       .withColumn("lang_guess", langGuess(col("toks")))
-      .withColumn("fingerprint", fingerprint(textCol))
+      .withColumn("fingerprint", fingerprint(docs.sparkSession, textCol))
       .drop("toks")
   }
 }

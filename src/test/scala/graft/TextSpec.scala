@@ -26,7 +26,7 @@ class TextSpec extends SparkSpec {
     import spark.implicits._
     val df = Seq("ab").toDF("text")
     // h = ((0*31 + 97) * 31 + 98) % 1e9+7 = 97*31 + 98 = 3105
-    val got = df.select(Text.fingerprint("text")).collect()(0).getLong(0)
+    val got = df.select(Text.fingerprint(spark, "text")).collect()(0).getLong(0)
     assert(got == 3105L)
   }
 
