@@ -34,36 +34,39 @@ object Weather {
     * pads ragged arrays with null (pad-then-gate policy, SURVEY.md §1.3).
     * Input needs `city` and `_ingested_at` alongside the payload columns.
     */
-  def explodeHourly(raw: DataFrame): DataFrame =
-    raw.select(
-        col("city"), col("latitude"), col("longitude"), col("timezone"),
-        col("_ingested_at"),
+  def explodeHourly(raw: DataFrame): DataFrame = {
+    // O11: provenance columns ride along when present (s3_uri ≡ the
+    // validator's provenance field, validate_raw_weather.py:84)
+    val extras = raw.columns.filter(Set("s3_uri").contains).toSeq
+    val keep = Seq("city", "latitude", "longitude", "timezone", "_ingested_at") ++ extras
+    raw.select(keep.map(col) :+
         explode(arrays_zip(
           col("hourly.time").as("time"),
           col("hourly.temperature_2m").as("temperature_2m"),
           col("hourly.precipitation").as("precipitation"),
-          col("hourly.wind_speed_10m").as("wind_speed_10m"))).as("h"))
-      .select(
-        col("city"), col("latitude"), col("longitude"), col("timezone"),
+          col("hourly.wind_speed_10m").as("wind_speed_10m"))).as("h"): _*)
+      .select(keep.map(col) ++ Seq(
         col("h.time").as("time"),
         col("h.temperature_2m").as("temperature_2m"),
         col("h.precipitation").as("precipitation"),
-        col("h.wind_speed_10m").as("wind_speed_10m"),
-        col("_ingested_at"))
+        col("h.wind_speed_10m").as("wind_speed_10m")): _*)
+  }
 
   /** O3/O6: ISO-8601 parse with the reference's `Z`→`+00:00` fixup
     * (run_once.py:36), defensive double casts (stg_weather_hourly.sql:4-6).
     * Session timezone is pinned UTC.
     */
-  def clean(df: DataFrame): DataFrame =
-    df.select(
+  def clean(df: DataFrame): DataFrame = {
+    val extras = df.columns.filter(Set("s3_uri").contains).toSeq
+    df.select(Seq(
       col("city"),
       to_timestamp(regexp_replace(col("time"), "Z$", "+00:00")).as("timestamp"),
       col("temperature_2m").cast("double"),
       col("precipitation").cast("double"),
       col("wind_speed_10m").cast("double"),
       col("latitude"), col("longitude"), col("timezone"),
-      col("_ingested_at"))
+      col("_ingested_at")) ++ extras.map(col): _*)
+  }
 
   /** O7: derived Hive partition keys `ds`/`hour` (s3_writer.py:59-61). */
   def withPartitionKeys(df: DataFrame, tsCol: String = "timestamp"): DataFrame =

@@ -1,0 +1,76 @@
+package graft.weather
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Quality
+
+/** The reference's entry points as composed jobs (SURVEY.md §3):
+  * EP2's bulk incremental load (run_load_once.py) and the stateful upsert
+  * sink that stands in for Postgres staging.
+  */
+object WeatherJobs {
+
+  /** Functional upsert sink (SURVEY.md S6/S7/O12): read current staging
+    * parquet (if any), union the new batch, keep the newest row per
+    * (city, timestamp) by `_ingested_at`, overwrite. Last-write-wins and
+    * idempotent — re-loading the same batch is a no-op — which is exactly
+    * the contract of the reference's `ON CONFLICT DO UPDATE`
+    * (load_to_postgres.py:90-102). At scale the overwrite would be
+    * partition-scoped (`partitionBy(ds)` + dynamic overwrite) so only
+    * touched days rewrite.
+    */
+  def upsertParquet(spark: SparkSession, batch: DataFrame, stagingPath: String): Unit = {
+    val merged =
+      if (Files.exists(Paths.get(stagingPath))) {
+        val current = spark.read.parquet(stagingPath)
+        Weather.dedupUpsert(current.unionByName(batch))
+      } else Weather.dedupUpsert(batch)
+    // two-phase write: the source of the union cannot be overwritten in
+    // place while it is being read
+    val tmp = stagingPath + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(stagingPath)
+  }
+
+  /** Keys already loaded, persisted like `staging._ingest_log`
+    * (load_to_postgres.py:152-162).
+    */
+  def readIngestLog(spark: SparkSession, logPath: String): DataFrame =
+    if (Files.exists(Paths.get(logPath))) spark.read.parquet(logPath)
+    else spark.emptyDataFrame.withColumn("key", lit(""))
+      .filter(lit(false)).select(col("key"))
+
+  /** EP2 — bulk incremental load (run_load_once.py:57-103 restated):
+    * enumerate lake files, anti-join the ingest log (O17), read only new
+    * files, explode/clean/gate, upsert into staging, append the log.
+    * The per-file driver loop of the reference collapses into one
+    * distributed job per stage; `limitFiles` ≡ its `limit_files` knob.
+    *
+    * Returns the number of new files processed.
+    */
+  def loadIncremental(
+      spark: SparkSession,
+      lakePath: String,
+      stagingPath: String,
+      logPath: String,
+      limitFiles: Option[Int] = None): Long = {
+    val lake = Weather.readLake(spark, lakePath)
+      .withColumn("s3_uri", input_file_name()) // O11 provenance
+    val listing = lake.select(col("s3_uri").as("key")).distinct()
+    val newKeysDf = Weather.newFiles(listing, readIngestLog(spark, logPath))
+    val limited = limitFiles.map(newKeysDf.limit).getOrElse(newKeysDf)
+    val newKeys = limited // small: one row per new file
+    val nNew = newKeys.count()
+    if (nNew > 0) {
+      val batch = lake.join(newKeys, col("s3_uri") === col("key"), "left_semi")
+      val staged = Weather.clean(Weather.explodeHourly(batch))
+      val gated = Quality.gate(staged, Weather.weatherSuite)
+      upsertParquet(spark, gated, stagingPath)
+      newKeys.select(col("key"))
+        .withColumn("ingested_at", current_timestamp())
+        .write.mode("append").parquet(logPath)
+    }
+    nNew
+  }
+}
