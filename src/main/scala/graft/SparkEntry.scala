@@ -590,6 +590,66 @@ object SparkEntry {
             clickers.intersect(buyers).withColumn("cohort", lit("click_and_buy")))
       }),
 
+    QueryDef("q25_range_join",
+      "Range (interval) self-join: ordered event pairs per user within 60 " +
+        "seconds, banded by window-width buckets so it stays an equi-join " +
+        "(the banding rewrite that keeps range joins shuffle-bounded).",
+      Some("""SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+        |  epoch_us(a.ts) AS ts_a_us, epoch_us(b.ts) AS ts_b_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+        | AND epoch_us(b.ts) - epoch_us(a.ts) <= 60000000""".stripMargin),
+      (s, dir) => Relational.rangeSelfJoin(
+        Tables.events(s, dir), "user_id", "ts", "event_id", 60L)),
+
+    QueryDef("q26_cube",
+      "CUBE grouping sets: event counts and value sums across all " +
+        "(type, day-of-week) combinations plus all margins.",
+      Some("""SELECT COALESCE(event_type, 'ALL') AS event_type,
+        |  COALESCE(CAST(dow AS VARCHAR), 'ALL') AS dow,
+        |  CAST(GROUPING(event_type) AS INT) AS g_type,
+        |  CAST(GROUPING(dow) AS INT) AS g_dow,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM (SELECT event_type, CAST(dayofweek(ts) + 1 AS INT) AS dow, value FROM events)
+        |GROUP BY CUBE(event_type, dow)""".stripMargin),
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_type"), dayofweek(col("ts")).cast("int").as("dow"), col("value"))
+        .cube(col("event_type"), col("dow"))
+        .agg(
+          grouping(col("event_type")).cast("int").as("g_type"),
+          grouping(col("dow")).cast("int").as("g_dow"),
+          count(lit(1)).cast("long").as("n"),
+          sum(col("value").cast(D2)).cast("double").as("sum_value"))
+        .select(
+          coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          coalesce(col("dow").cast("string"), lit("ALL")).as("dow"),
+          col("g_type"), col("g_dow"), col("n"), col("sum_value"))),
+
+    QueryDef("q27_window_nav",
+      "Window navigation: lead/lag/first/last per user ordered by time — " +
+        "inter-event gaps and session-relative positions.",
+      Some("""SELECT user_id, event_id,
+        |  epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us,
+        |  lead(event_id) OVER w AS next_event_id,
+        |  first_value(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_event_id,
+        |  last_value(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_event_id
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val whole = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.events(s, dir).select(
+          col("user_id"), col("event_id"),
+          (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))).as("gap_us"),
+          lead(col("event_id"), 1).over(w).as("next_event_id"),
+          first(col("event_id")).over(whole).as("first_event_id"),
+          last(col("event_id")).over(whole).as("last_event_id"))
+      }),
+
     QueryDef("t02_token_stats",
       "Token counting two ways: whitespace tokens and a BPE-ish regex " +
         "segmentation (letter runs / digit runs / single symbols) — the " +

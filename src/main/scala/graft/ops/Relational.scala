@@ -62,6 +62,34 @@ object Relational {
       .drop("__new")
   }
 
+  /** Range (interval) self-join: ordered pairs (a earlier, b later) of
+    * rows sharing `key` with `b.ts − a.ts ≤ windowSeconds`, banded by
+    * window-width time bucket so the join is an equi-join on
+    * (key, bucket) with the later side probing only its own and the
+    * previous bucket — never a full per-key cross product with a non-equi
+    * filter. This is the standard banding rewrite that keeps range joins
+    * shuffle-bounded at 100 TB. Each qualifying pair matches exactly one
+    * of the two probes, so no dedup is needed.
+    */
+  def rangeSelfJoin(
+      df: DataFrame, key: String, tsCol: String, idCol: String,
+      windowSeconds: Long): DataFrame = {
+    val w = windowSeconds * 1000000L
+    val bucket = (unix_micros(col(tsCol)) / lit(w)).cast("long")
+    val t = df.select(col(key).as("k"), col(idCol).as("id"),
+      col(tsCol).as("ts"), bucket.as("b"))
+    val earlier = t.as("l")
+    val later = t.select(col("k"), col("id"), col("ts"),
+      explode(array(col("b"), col("b") - 1)).as("b")).as("r")
+    earlier.join(later,
+        col("l.k") === col("r.k") && col("l.b") === col("r.b") &&
+          (col("l.ts") < col("r.ts") ||
+            (col("l.ts") === col("r.ts") && col("l.id") < col("r.id"))) &&
+          unix_micros(col("r.ts")) - unix_micros(col("l.ts")) <= w)
+      .select(col("l.k").as(key), col("l.id").as("id_a"), col("r.id").as("id_b"),
+        unix_micros(col("l.ts")).as("ts_a_us"), unix_micros(col("r.ts")).as("ts_b_us"))
+  }
+
   /** Struct-of-arrays → rows pivot used by the reference for the hourly
     * payload (SURVEY.md O1/O2): zip the parallel arrays positionally and
     * explode one row per element. `arrays_zip` pads ragged arrays with null

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.ops.Relational
+import graft.weather.Weather
+
+/** Property-based invariants (SURVEY.md §5): upsert idempotency and
+  * last-write-wins, aggregation merge laws, pad-policy invariants.
+  * ScalaCheck generators driven deterministically (fixed seeds) so runs
+  * are reproducible; the scalatest/scalacheck bridge isn't on the
+  * classpath, so cases are materialized explicitly.
+  */
+class PropertySpec extends SparkSpec {
+
+  private val rowGen: Gen[(String, String, Long, Double)] = for {
+    city <- Gen.oneOf("Warsaw", "Berlin", "Paris")
+    hour <- Gen.choose(0, 5)
+    ingest <- Gen.choose(0L, 3L)
+    temp <- Gen.choose(-30.0, 40.0)
+  } yield (city, f"2025-10-30 0$hour%d:00:00", ingest, math.round(temp * 10) / 10.0)
+
+  private def cases[A](g: Gen[A], n: Int): Seq[A] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("property: upsert is idempotent and keeps the newest row per key") {
+    for (rows <- cases(Gen.listOfN(12, rowGen), 10)) {
+      val s = spark
+      import s.implicits._
+      val df = rows.toDF("city", "ts_s", "ingest_seq", "temperature_2m")
+        .select(col("city"), col("ts_s").cast("timestamp").as("timestamp"),
+          timestamp_seconds(col("ingest_seq") + 1700000000L).as("_ingested_at"),
+          col("temperature_2m"))
+      val once = Weather.dedupUpsert(df)
+      val twice = Weather.dedupUpsert(once)
+      val keys = once.select(col("city"), col("timestamp")).collect().toSeq
+      assert(keys.length == keys.distinct.length)
+      assert(once.collect().toSet == twice.collect().toSet)
+      val maxIngest = df.groupBy(col("city"), col("timestamp"))
+        .agg(max(col("_ingested_at")).as("m")).collect()
+        .map(r => (r.getString(0), r.getTimestamp(1)) -> r.getTimestamp(2)).toMap
+      once.select(col("city"), col("timestamp"), col("_ingested_at"))
+        .collect().foreach { r =>
+          assert(r.getTimestamp(2) == maxIngest((r.getString(0), r.getTimestamp(1))))
+        }
+    }
+  }
+
+  test("property: agg-of-union equals merge of partial aggs (sum/count)") {
+    val pair = for {
+      xs <- Gen.listOfN(10, rowGen); ys <- Gen.listOfN(10, rowGen)
+    } yield (xs, ys)
+    for ((xs, ys) <- cases(pair, 10)) {
+      val s = spark
+      import s.implicits._
+      val a = xs.toDF("city", "ts_s", "seq", "v")
+      val b = ys.toDF("city", "ts_s", "seq", "v")
+      def key(d: org.apache.spark.sql.DataFrame) = d.collect()
+        .map(r => r.getString(0) -> (math.round(r.getDouble(1) * 1e6), r.getLong(2))).toMap
+      val whole = key(a.unionByName(b).groupBy(col("city"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n")))
+      val partial = key(
+        a.groupBy(col("city")).agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+          .unionByName(b.groupBy(col("city")).agg(sum(col("v")).as("s"), count(lit(1)).as("n")))
+          .groupBy(col("city")).agg(sum(col("s")).as("s"), sum(col("n")).as("n")))
+      assert(whole == partial)
+    }
+  }
+
+  test("property: zipExplode output length is the max input array length") {
+    val arrGen = Gen.listOf(Gen.choose(0, 9))
+    val pair = for { xs <- arrGen; ys <- arrGen } yield (xs, ys)
+    for ((xs, ys) <- cases(pair, 20)) {
+      val s = spark
+      import s.implicits._
+      val df = Seq((xs, ys)).toDF("a", "b")
+      val n = Relational.zipExplode(df, Seq("a", "b"), Nil).count()
+      assert(n == math.max(xs.length, ys.length))
+    }
+  }
+}
