@@ -58,10 +58,13 @@ object SparkEntry {
       "j -> CAST(ascii(substr(t, j, 1)) AS BIGINT))), " +
       "(acc, c) -> (acc * 31 + c) % 2147483647)"
 
+  // nation/region are bounded-size dims → always broadcast; orders and
+  // customer scale with the fact table, so their join strategy is left to
+  // stats + AQE (broadcast at small SF, shuffle join at 100 TB).
   private val fiveWayJoin: (SparkSession, String) => DataFrame = (s, dir) =>
     Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
 
@@ -563,7 +566,7 @@ object SparkEntry {
         val w = Window.partitionBy(col("c_mktsegment"))
           .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         Tables.orders(s, dir)
-          .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 3)
           .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))

@@ -14,6 +14,22 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  /** Skew mitigation by salting: aggregate a skewed key in two stages —
+    * first by (key, salt) so one hot key spreads over `buckets` reducers,
+    * then merge the partials by key. Correct for any algebraic aggregate
+    * expressed as (partial, merge) column pairs; here specialized to
+    * sum/count which cover the reference's aggregates. AQE's skew-join
+    * handling covers joins; this covers aggregation skew.
+    */
+  def saltedSumCount(
+      df: DataFrame, key: String, valueCol: String, buckets: Int): DataFrame = {
+    df.withColumn("__salt", pmod(crc32(col(valueCol).cast("string")), lit(buckets)))
+      .groupBy(col(key), col("__salt"))
+      .agg(sum(col(valueCol)).as("__s"), count(lit(1)).as("__n"))
+      .groupBy(col(key))
+      .agg(sum(col("__s")).as("sum_value"), sum(col("__n")).cast("long").as("n"))
+  }
+
   /** Last-write-wins keyed dedup — the batch-functional equivalent of the
     * reference's Postgres `ON CONFLICT (city,timestamp) DO UPDATE` upsert
     * (load_to_postgres.py:90-102; SURVEY.md O12). Exactly one row per key
