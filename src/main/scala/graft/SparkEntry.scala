@@ -684,6 +684,50 @@ object SparkEntry {
         |FROM dots WHERE ROUND(dot/(SQRT(na2)*SQRT(nb2)), 6) >= 0.3""".stripMargin),
       (s, dir) => Similarity.cosineNearDup(Tables.embeddings(s, dir), 0.3)),
 
+    QueryDef("t03_doc_embedding_join",
+      "Cross-modal join: documents equi-joined to their embedding row, " +
+        "emitting per-doc vector norms (floats widened to double, summed " +
+        "in index order for oracle parity).",
+      Some("""WITH e AS (SELECT vec_id, label,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+        |SELECT doc_id, lang, label,
+        |  ROUND(SQRT(list_sum(list_transform(v, x -> x*x))), 6) AS norm_r
+        |FROM documents JOIN e ON doc_id = vec_id""".stripMargin),
+      (s, dir) => Tables.documents(s, dir)
+        .join(Tables.embeddings(s, dir), col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("lang"), col("label"),
+          round(sqrt(aggregate(
+            transform(col("embedding"), x => x.cast("double")),
+            lit(0.0), (acc, x) => acc + x * x)), 6).as("norm_r"))),
+
+    QueryDef("q28_json_map",
+      "Semi-structured parsing to a typed MAP column: from_json(props) → " +
+        "map, keys enumerated and values aggregated per key.",
+      Some("""SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(json_extract_string(json(props), '$.' || k) AS INT)) AS BIGINT) AS sum_v
+        |FROM (SELECT unnest(json_keys(json(props))) AS k, props FROM events)
+        |GROUP BY k""".stripMargin),
+      (s, dir) => Tables.events(s, dir)
+        .select(explode(from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType))))
+        .groupBy(col("key").as("k"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("value").cast("int")).cast("long").as("sum_v"))
+        .select(col("k"), col("n"), col("sum_v"))),
+
+    QueryDef("qa1_approx_distinct",
+      "HLL++ sketch: approx_count_distinct per event type alongside the " +
+        "exact count. No SQL oracle — the sketch estimate is engine-" +
+        "specific by nature (driver records the weaker rows-only check).",
+      None,
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))),
+
     QueryDef("d04_minhash_sigs",
       "MinHash signatures (16 permutations over deterministic polynomial " +
         "token hashes), flattened one row per (doc, permutation). The LSH " +

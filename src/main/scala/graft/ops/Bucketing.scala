@@ -18,6 +18,12 @@ object Bucketing {
       df: DataFrame, table: String, bucketCol: String, numBuckets: Int): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
+    // a dropped table can leave its warehouse location behind (e.g. after
+    // a previous session died); managed-table creation refuses to reuse it
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .bucketBy(numBuckets, bucketCol)
       .sortBy(bucketCol)

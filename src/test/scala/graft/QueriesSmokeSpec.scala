@@ -10,8 +10,10 @@ class QueriesSmokeSpec extends SparkSpec {
   }
 
   test("every query has an oracle or a documented reason not to") {
+    // approximate sketches are engine-specific by nature → rows-only check
+    val allowedNoOracle = Set("qa1_approx_distinct")
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
+    assert(noOracle == allowedNoOracle, s"queries without oracle: $noOracle")
   }
 
   for (name <- SparkEntry.queries.keys.toSeq.sorted) {
