@@ -748,6 +748,57 @@ object SparkEntry {
         |FROM dots WHERE ROUND(dot/(SQRT(na2)*SQRT(nb2)), 6) >= 0.3""".stripMargin),
       (s, dir) => Similarity.cosineNearDup(Tables.embeddings(s, dir), 0.3)),
 
+    QueryDef("t04_chunking",
+      "Document chunking into overlapping token windows (40 tokens, " +
+        "stride 20) — the context-window segmentation a training pipeline " +
+        "applies before tokenization. Pure explode, shuffle-free.",
+      Some("""WITH t AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |  unnest(generate_series(0,
+        |    greatest(0, CAST(ceil(CAST(len(toks) - 40 AS DOUBLE) / 20) AS INT)))) AS chunk_idx
+        |  FROM t)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  array_to_string(list_slice(toks, chunk_idx*20 + 1, chunk_idx*20 + 40), ' ') AS chunk_text,
+        |  CAST(len(list_slice(toks, chunk_idx*20 + 1, chunk_idx*20 + 40)) AS BIGINT) AS chunk_tokens
+        |FROM c WHERE len(list_slice(toks, chunk_idx*20 + 1, chunk_idx*20 + 40)) > 0""".stripMargin),
+      (s, dir) => Text.chunk(Tables.documents(s, dir), chunkTokens = 40, strideTokens = 20)),
+
+    QueryDef("t05_quality_filter",
+      "Heuristic quality pre-filter: minimum token count, bounded average " +
+        "token length, stopword-ratio floor — the web-corpus cleaning pass.",
+      Some("""WITH t AS (SELECT doc_id, text, lang, source, n_chars,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |f AS (SELECT doc_id, text, lang, source, n_chars,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+        |  CAST(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT))) AS BIGINT) AS stl,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS hits_en,
+        |  CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS BIGINT) AS hits_de,
+        |  CAST(len(list_filter(toks, x -> x IN ('le','la','les','et','est'))) AS BIGINT) AS hits_fr,
+        |  CAST(len(list_filter(toks, x -> x IN ('el','los','las','y','es'))) AS BIGINT) AS hits_es,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(generate_series(1, length(text)),
+        |                   i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+        |  FROM t),
+        |g AS (SELECT doc_id, text, lang, source, n_chars, n_tokens, n_distinct_tokens,
+        |  ROUND(CAST(stl AS DOUBLE)/n_tokens, 4) AS avg_token_len,
+        |  ROUND(CAST(hits_en AS DOUBLE)/n_tokens, 4) AS stopword_ratio,
+        |  CASE WHEN greatest(hits_en, hits_de, hits_fr, hits_es) = 0 THEN 'und'
+        |       WHEN hits_en = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'en'
+        |       WHEN hits_de = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'de'
+        |       WHEN hits_fr = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'fr'
+        |       ELSE 'es' END AS lang_guess,
+        |  CAST(fingerprint AS BIGINT) AS fingerprint
+        |  FROM f)
+        |SELECT * FROM g
+        |WHERE n_tokens >= 30 AND avg_token_len <= 6.0 AND stopword_ratio >= 0.01""".stripMargin),
+      (s, dir) => Text.qualityFilter(Tables.documents(s, dir),
+        minTokens = 30, maxAvgTokenLen = 6.0, minStopwordRatio = 0.01)),
+
     QueryDef("t03_doc_embedding_join",
       "Cross-modal join: documents equi-joined to their embedding row, " +
         "emitting per-doc vector norms (floats widened to double, summed " +

@@ -59,17 +59,25 @@ object Dedup {
       threshold: Double,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val postings = docs.select(
+    val raw = docs.select(
       col(blockCol).as("block"),
       col(idCol).as("id"),
       explode(array_distinct(Text.tokens(col(textCol)))).as("tok"))
+    // dictionary-encode (block, token) to one long key before the heavy
+    // self-join: the postings join then hashes/compares a single word
+    // instead of two strings. The dictionary is a distinct + stats-driven
+    // (broadcast when small) join; ids are internal to this plan, so
+    // their assignment order doesn't matter.
+    val dict = raw.select(col("block"), col("tok")).distinct()
+      .withColumn("key_id", monotonically_increasing_id())
+    val postings = raw.join(dict, Seq("block", "tok"))
+      .select(col("id"), col("key_id"))
     val sizes = docs.select(
       col(idCol).as("id"),
       size(array_distinct(Text.tokens(col(textCol)))).cast("long").as("sz"))
     val inter = postings.as("a")
       .join(postings.as("b"),
-        col("a.block") === col("b.block") && col("a.tok") === col("b.tok") &&
-          col("a.id") < col("b.id"))
+        col("a.key_id") === col("b.key_id") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter

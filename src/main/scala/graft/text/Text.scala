@@ -52,6 +52,43 @@ object Text {
     expr(s"${graft.functions.PolyHash.FnName}($textCol, 31, 1000000007)")
   }
 
+  /** Chunk documents into overlapping token windows — the
+    * context-window-sized pieces a training pipeline feeds downstream.
+    * One row per chunk: (doc id, chunk index, chunk text, token count).
+    * Pure projection + explode: linear, shuffle-free, parallel per doc.
+    */
+  def chunk(docs: DataFrame, chunkTokens: Int, strideTokens: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(strideTokens > 0 && chunkTokens > 0)
+    val toks = tokens(col(textCol))
+    docs
+      .withColumn("toks", toks)
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0),
+          greatest(lit(0),
+            ceil((size(col("toks")) - lit(chunkTokens)).cast("double") / strideTokens)
+              .cast("int")))))
+      .withColumn("chunk_toks",
+        slice(col("toks"), col("chunk_idx") * strideTokens + 1, lit(chunkTokens)))
+      .filter(size(col("chunk_toks")) > 0)
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        concat_ws(" ", col("chunk_toks")).as("chunk_text"),
+        size(col("chunk_toks")).cast("long").as("chunk_tokens"))
+  }
+
+  /** Quality filter: keep documents meeting minimum token count, bounded
+    * average token length, and a stopword-ratio floor — the classic
+    * heuristic pre-filter of web-scale corpora.
+    */
+  def qualityFilter(docs: DataFrame, minTokens: Long, maxAvgTokenLen: Double,
+      minStopwordRatio: Double, textCol: String = "text"): DataFrame = {
+    val f = features(docs, textCol)
+    f.filter(col("n_tokens") >= minTokens &&
+        col("avg_token_len") <= maxAvgTokenLen &&
+        col("stopword_ratio") >= minStopwordRatio)
+      .drop("sum_token_len", "stopword_hits")
+  }
+
   /** Per-document feature vector: token counts, distinct ratio, average
     * token length, stopword ratio, language guess, fingerprint. One
     * projection, no shuffle.

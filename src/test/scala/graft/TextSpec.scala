@@ -30,6 +30,32 @@ class TextSpec extends SparkSpec {
     assert(got == 3105L)
   }
 
+  test("chunk produces overlapping windows covering every token") {
+    import spark.implicits._
+    val text = (1 to 90).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val chunks = Text.chunk(df, chunkTokens = 40, strideTokens = 20)
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(chunks.length == 4) // starts at tokens 1, 21, 41, 61
+    assert(chunks.head._2.startsWith("w1 ") && chunks.head._3 == 40)
+    assert(chunks.last._2.startsWith("w61") && chunks.last._3 == 30)
+    // overlap: chunk 1 begins mid-chunk-0
+    assert(chunks(1)._2.startsWith("w21"))
+  }
+
+  test("qualityFilter keeps only documents meeting all thresholds") {
+    import spark.implicits._
+    val good = ("good", (1 to 40).map(_ => "the word").mkString(" "))
+    val short = ("short", "the a")
+    val longTokens = ("longtok", (1 to 40).map(_ => "supercalifragilistic").mkString(" "))
+    val df = Seq(good, short, longTokens).map { case (id, t) => (id, t) }
+      .toDF("doc_id", "text")
+    val kept = Text.qualityFilter(df, minTokens = 30, maxAvgTokenLen = 6.0,
+      minStopwordRatio = 0.01).select(col("doc_id")).collect().map(_.getString(0))
+    assert(kept.toSeq == Seq("good"))
+  }
+
   test("features computes consistent ratios") {
     import spark.implicits._
     val df = Seq((1L, "the the xyzzy")).toDF("doc_id", "text")
