@@ -2,7 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.weather.Weather
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.ops.Quality
+import graft.weather.{Weather, WeatherJobs}
 
 /** Structured Streaming face of the pipeline (SURVEY.md §2.5): the same
   * explode/clean/dedup/daily-agg functions applied to `readStream`, with
@@ -39,6 +41,30 @@ object WeatherStreaming {
     staging
       .withWatermark("timestamp", "7 days")
       .dropDuplicates("city", "timestamp")
+
+  /** The reference DAG end-to-end in streaming form: new lake files →
+    * staging rows → per-micro-batch quality gate → idempotent upsert into
+    * staging parquet. A failing batch throws inside `foreachBatch`, which
+    * fails the streaming query and leaves staging untouched — the exact
+    * blocking semantics of the Airflow validate→load edge
+    * (etl_openmeteo.py:179-183), with the file-source checkpoint playing
+    * the `_ingest_log` role.
+    */
+  def gatedLoadStream(
+      spark: SparkSession,
+      lakePath: String,
+      stagingPath: String,
+      checkpointPath: String): StreamingQuery =
+    readStagingStream(spark, lakePath).writeStream
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val gated = Quality.gate(batch, Weather.weatherSuite)
+          WeatherJobs.upsertParquet(spark, gated, stagingPath)
+        }
+      }
+      .start()
 
   /** Tumbling 1-day windowed mart in streaming mode (append with the
     * watermark; emits a window per city per day once finalized).

@@ -51,6 +51,40 @@ class StreamingSpec extends SparkSpec {
     assert(warsaw.getAs[Long]("n_hours") == 3L)
   }
 
+  test("gatedLoadStream loads good batches and blocks bad ones") {
+    val base = Files.createTempDirectory("gated").toString
+    val lake = s"$base/lake"; val staging = s"$base/staging"
+    Weather.writeLake(rawFixture, lake)
+    val q1 = WeatherStreaming.gatedLoadStream(spark, lake, staging, s"$base/cp1")
+    q1.awaitTermination(60000)
+    assert(spark.read.parquet(staging).count() == 12) // deduped staging keys
+    // a poisoned payload (temperature 150 °C) arrives: the gate throws,
+    // the query fails, staging is untouched
+    val s = spark
+    import s.implicits._
+    val bad = Seq(("Oslo", "2025-10-31 14:00:00",
+      """{"latitude": 59.9, "longitude": 10.7, "timezone": "Europe/Berlin",
+        |"hourly": {"time": ["2025-10-31T13:00"], "temperature_2m": [150.0],
+        |"precipitation": [0.0], "wind_speed_10m": [1.0]}}""".stripMargin))
+      .toDF("city", "_ingested_at_s", "raw_json")
+      .select(col("city"), col("_ingested_at_s").cast("timestamp").as("_ingested_at"),
+        from_json(col("raw_json"), Weather.RawWeatherSchema).as("p"))
+      .select(col("city"), col("_ingested_at"), col("p.*"))
+      .withColumn("ds", lit("2025-10-31")).withColumn("hour", lit("14"))
+    Weather.writeLake(bad, lake)
+    val q2 = WeatherStreaming.gatedLoadStream(spark, lake, staging, s"$base/cp2")
+    val failed =
+      try { q2.awaitTermination(60000); false }
+      catch { case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+        e.getMessage.contains("quality gate failed") ||
+          Option(e.getCause).exists(_.getMessage.contains("quality gate failed"))
+      }
+    assert(failed, "expected the bad batch to fail the streaming query")
+    assert(spark.read.parquet(staging).count() == 12)
+    assert(spark.read.parquet(staging)
+      .filter(col("city") === "Oslo").count() == 0)
+  }
+
   test("streaming dedup bounds duplicates within the watermark") {
     val dir = Files.createTempDirectory("lake-dup").toString
     Weather.writeLake(rawFixture, dir)
