@@ -52,6 +52,16 @@ object Text {
     expr(s"${graft.functions.PolyHash.FnName}($textCol, 31, 1000000007)")
   }
 
+  /** Word n-gram shingles: contiguous n-token windows joined by a single
+    * space — the unit MinHash-style near-dup usually hashes (word order
+    * becomes part of the set, unlike unigram tokens).
+    */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array())
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+
   /** Chunk documents into overlapping token windows — the
     * context-window-sized pieces a training pipeline feeds downstream.
     * One row per chunk: (doc id, chunk index, chunk text, token count).

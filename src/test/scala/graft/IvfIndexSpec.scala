@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.similarity.{IvfIndex, Similarity}
+
+class IvfIndexSpec extends SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, sf0001).cache()
+  private lazy val probes = emb.filter(col("vec_id") < 10)
+
+  test("nProbe = k degenerates to exact brute-force search") {
+    val ix = IvfIndex.build(emb, k = 8)
+    val ivf = IvfIndex.search(ix, probes, k = 5, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val exact = Similarity.bruteForceTopK(emb, col("vec_id") < 10, 5)
+      .collect().map(r => (r.getAs[Long]("pid"), r.getAs[Long]("nid"),
+        r.getAs[Long]("rank"))).toSet
+    assert(ivf == exact)
+  }
+
+  test("partial probing trades recall for a bounded scan, recall stays high") {
+    val ix = IvfIndex.build(emb, k = 8)
+    val ivf = IvfIndex.search(ix, probes, k = 5, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.bruteForceTopK(emb, col("vec_id") < 10, 5)
+      .collect().map(r => (r.getAs[Long]("pid"), r.getAs[Long]("nid"))).toSet
+    val recall = (ivf & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low for nProbe=3 of 8 cells")
+    assert(ivf.size == exact.size) // still returns k per probe
+  }
+
+  test("every corpus vector is assigned to exactly one cell") {
+    val ix = IvfIndex.build(emb, k = 8)
+    assert(ix.assigned.count() == emb.count())
+    assert(ix.assigned.select(col("cell")).distinct().count() <= 8)
+  }
+}

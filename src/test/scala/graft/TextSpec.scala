@@ -30,6 +30,15 @@ class TextSpec extends SparkSpec {
     assert(got == 3105L)
   }
 
+  test("shingles produce n-token windows; short docs yield none") {
+    import spark.implicits._
+    val df = Seq("a b c d", "a b").toDF("text")
+    val got = df.select(Text.shingles(Text.tokens(col("text")), 3))
+      .collect().map(_.getSeq[String](0))
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1) == Seq.empty)
+  }
+
   test("chunk produces overlapping windows covering every token") {
     import spark.implicits._
     val text = (1 to 90).map(i => s"w$i").mkString(" ")
