@@ -843,6 +843,22 @@ object SparkEntry {
           approx_count_distinct(col("user_id")).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))),
 
+    QueryDef("s04_hyperplane_lsh",
+      "Random-hyperplane LSH signatures for cosine similarity (Charikar): " +
+        "bit j = sign(v · h_j) with hyperplanes regenerated from integer " +
+        "hashing — the LSH-bucketed ANN scale path beside the IVF one. " +
+        "Bucketing/candidate joins are exercised in DedupSimilaritySpec.",
+      Some("""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings)
+        |SELECT vec_id, CAST(list_sum(list_transform(generate_series(0, 7), j ->
+        |  CASE WHEN list_sum(list_transform(generate_series(1, len(v)), i ->
+        |         CAST(v[i] AS DOUBLE) *
+        |         (CAST((CAST(j AS BIGINT) * len(v) + (i - 1)) * 2654435761 % 2147483647 AS DOUBLE)
+        |            / 2147483647 - 0.5))) >= 0
+        |       THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS lsh_sig
+        |FROM e""".stripMargin),
+      (s, dir) => Similarity.hyperplaneSignatures(Tables.embeddings(s, dir), 8)
+        .select(col("id").as("vec_id"), col("lsh_sig"))),
+
     QueryDef("d04_minhash_sigs",
       "MinHash signatures (16 permutations over deterministic polynomial " +
         "token hashes), flattened one row per (doc, permutation). The LSH " +

@@ -74,6 +74,44 @@ object Similarity {
       .select(col("pid"), col("nid"), col("cos_sim"), col("__rn").cast("long").as("rank"))
   }
 
+  /** Random-hyperplane LSH signatures for cosine similarity (Charikar's
+    * SimHash for dense vectors, public literature): bit j of the signature
+    * is the sign of `v · h_j`, where hyperplane `h_j` is derived
+    * deterministically from (j, dimension index) by integer hashing — no
+    * stored model, any engine can regenerate it, and
+    * P[bit_a = bit_j] = 1 − θ(a,b)/π. Bucketing on signature prefixes
+    * groups likely-similar vectors without any pairwise work: the
+    * LSH-bucketed scale path next to the IVF one.
+    */
+  def hyperplaneSignatures(
+      emb: DataFrame,
+      nBits: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    // h(j, i) in [-0.5, 0.5): Knuth multiplicative hash of the flat index
+    val sig = expr(
+      s"""aggregate(sequence(0, ${nBits - 1}), cast(0 as bigint), (acc, j) ->
+         |  acc + if(
+         |    aggregate(zip_with(transform(v, x -> cast(x as double)),
+         |                       transform(sequence(0, size(v) - 1), i ->
+         |                         cast((cast(j as bigint) * size(v) + i) * 2654435761 % 2147483647 as double)
+         |                           / 2147483647 - 0.5),
+         |                       (x, h) -> x * h),
+         |              cast(0 as double), (a, z) -> a + z) >= 0,
+         |    shiftleft(cast(1 as bigint), j), cast(0 as bigint)))""".stripMargin)
+    emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .select(col("id"), sig.as("lsh_sig"))
+  }
+
+  /** Candidate pairs from hyperplane-LSH bucketing: vectors sharing the
+    * full signature land in one bucket; the equi-join on the signature is
+    * the only shuffle. Pair with exact cosine verification downstream.
+    */
+  def hyperplaneCandidates(signatures: DataFrame): DataFrame =
+    signatures.as("a").join(signatures.as("b"),
+        col("a.lsh_sig") === col("b.lsh_sig") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"))
+
   /** Embedding-cosine near-dup: all pairs within a coarse cell whose
     * cosine meets `threshold` — a threshold similarity join. Cell blocking
     * keeps the candidate product bounded per cell (the IVF partitioning

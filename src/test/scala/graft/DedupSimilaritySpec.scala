@@ -84,6 +84,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(d((1L, 3L)) > 0L)
   }
 
+  test("hyperplane LSH: identical vectors share signatures and bucket together") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Seq(0.5f, 0.5f, -0.2f)), (1L, Seq(0.5f, 0.5f, -0.2f)),
+      (2L, Seq(-0.5f, -0.5f, 0.2f))) // antipodal → complementary bits
+      .toDF("vec_id", "embedding")
+    val sigs = Similarity.hyperplaneSignatures(emb, 8).cache()
+    val byId = sigs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId(0L) == byId(1L))
+    assert(byId(0L) != byId(2L))
+    val cands = Similarity.hyperplaneCandidates(sigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cands.toSet == Set((0L, 1L)))
+  }
+
   test("bruteForceTopK: nearest neighbor of a vector is its duplicate") {
     import spark.implicits._
     val emb = Seq(
