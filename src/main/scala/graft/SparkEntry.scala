@@ -881,6 +881,40 @@ object SparkEntry {
         .select(col("doc_id"), col("pos").cast("long").as("perm"),
           col("col").as("minhash"))),
 
+    QueryDef("d06_dedup_clusters",
+      "Near-dup CLUSTERS from near-dup PAIRS: connected components over " +
+        "the jaccard>=0.9 edge list via iterative label propagation " +
+        "(bounded by component diameter; each round is joins+aggs). Every " +
+        "doc gets the minimum doc_id reachable from it; singletons keep " +
+        "their own id. Oracle = recursive-CTE transitive closure.",
+      Some("""WITH RECURSIVE t AS (SELECT doc_id, source,
+        |  list_distinct(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS toks
+        |  FROM documents),
+        |pairs AS (SELECT doc_a, doc_b FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.toks, b.toks))) AS j
+        |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |  WHERE round(j, 6) >= 0.9),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(node, label) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node),
+        |comp AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node)
+        |SELECT d.doc_id, COALESCE(c.label, d.doc_id) AS cluster_id
+        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.node""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.jaccardPairs(docs, "source", 0.9)
+        val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+        docs.select(col("doc_id"))
+          .join(comp, col("doc_id") === col("node"), "left")
+          .select(col("doc_id"),
+            coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      }),
+
     QueryDef("d05_simhash",
       "SimHash 31-bit signatures over the token multiset — near-dup " +
         "fingerprint whose hamming distance approximates angular distance.",

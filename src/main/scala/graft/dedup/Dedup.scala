@@ -185,6 +185,57 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over an undirected edge list — the step that
+    * turns near-dup PAIRS into dedup CLUSTERS (every doc labeled with the
+    * minimum id reachable from it). Iterative label propagation: each
+    * round every node adopts the minimum label among itself and its
+    * neighbors, until a fixpoint. Rounds are pure joins+aggregations
+    * (distributed); the driver only checks the scalar "did anything
+    * change" count, and the round count is bounded by the component
+    * diameter — the standard large-scale formulation (cf. the
+    * large-star/small-star algorithm in the public MapReduce literature).
+    */
+  def connectedComponents(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxIterations: Int = 20): DataFrame = {
+    val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .distinct()
+      .cache()
+    // localCheckpoint (not cache) per round: with a self-join in the loop
+    // the logical plan would otherwise double in size every iteration and
+    // analysis time explodes exponentially; checkpointing truncates the
+    // lineage so each round plans against a constant-size tree.
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIterations) {
+      val neighborMin = sym
+        .join(labels, sym("b") === labels("node"))
+        .groupBy(col("a").as("node")).agg(min(col("label")).as("nlabel"))
+      val adopted = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      // pointer jumping (path halving): additionally adopt the label OF
+      // one's label, so propagation distance doubles per round and the
+      // loop converges in O(log diameter) rounds instead of O(diameter)
+      val updated = adopted.as("x")
+        .join(adopted.select(col("node").as("ln"), col("label").as("ll")).as("y"),
+          col("x.label") === col("y.ln"), "left")
+        .select(col("x.node").as("node"),
+          least(col("x.label"), coalesce(col("ll"), col("x.label"))).as("label"))
+        .localCheckpoint(true)
+      val changed = updated.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).count()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
   /** SimHash: 31-bit signature from per-token polynomial hashes; bit j of
     * the signature is 1 iff the majority of tokens have bit j set in their
     * hash. Hamming distance between signatures ≈ angular distance between

@@ -84,6 +84,15 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(d((1L, 3L)) > 0L)
   }
 
+  test("connectedComponents labels chains and keeps components separate") {
+    import spark.implicits._
+    // chain 1-2-3, pair 10-11, singleton edgeless node is absent by design
+    val edges = Seq((1L, 2L), (3L, 2L), (10L, 11L)).toDF("a", "b")
+    val comp = Dedup.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("hyperplane LSH: identical vectors share signatures and bucket together") {
     import spark.implicits._
     val emb = Seq(
