@@ -717,6 +717,24 @@ object SparkEntry {
         month(col("o_orderdate")).cast("int").as("m"),
         to_date(date_trunc("week", col("o_orderdate"))).as("week_start"))),
 
+    QueryDef("q32_tz_cutoff",
+      "O5: timezone-aware local-time predicate — keep only events before " +
+        "noon Europe/Warsaw local wall-clock time (fetch_october_2025.py:" +
+        "93-97 cutoff semantics), emitting the local hour and wall time.",
+      Some("""SELECT event_id, user_id,
+        |  CAST(hour(timezone('Europe/Warsaw', timezone('UTC', ts))) AS INT) AS local_hour,
+        |  strftime(timezone('Europe/Warsaw', timezone('UTC', ts)), '%Y-%m-%d %H:%M:%S') AS local_wall
+        |FROM events
+        |WHERE hour(timezone('Europe/Warsaw', timezone('UTC', ts))) < 12""".stripMargin),
+      (s, dir) => {
+        val local = from_utc_timestamp(col("ts"), "Europe/Warsaw")
+        Tables.events(s, dir)
+          .filter(hour(local) < 12)
+          .select(col("event_id"), col("user_id"),
+            hour(local).cast("int").as("local_hour"),
+            date_format(local, "yyyy-MM-dd HH:mm:ss").as("local_wall"))
+      }),
+
     QueryDef("t02_token_stats",
       "Token counting two ways: whitespace tokens and a BPE-ish regex " +
         "segmentation (letter runs / digit runs / single symbols) — the " +
