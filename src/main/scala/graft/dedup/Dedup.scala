@@ -63,15 +63,13 @@ object Dedup {
       col(blockCol).as("block"),
       col(idCol).as("id"),
       explode(array_distinct(Text.tokens(col(textCol)))).as("tok"))
-    // dictionary-encode (block, token) to one long key before the heavy
-    // self-join: the postings join then hashes/compares a single word
-    // instead of two strings. The dictionary is a distinct + stats-driven
-    // (broadcast when small) join; ids are internal to this plan, so
-    // their assignment order doesn't matter.
-    val dict = raw.select(col("block"), col("tok")).distinct()
-      .withColumn("key_id", monotonically_increasing_id())
-    val postings = raw.join(dict, Seq("block", "tok"))
-      .select(col("id"), col("key_id"))
+    // encode (block, token) to one long key before the heavy self-join:
+    // the postings join then hashes/compares a single word instead of two
+    // strings. xxhash64 is deterministic per value — both join sides see
+    // the same key even if a subtree re-executes after executor loss
+    // (monotonically_increasing_id would not survive that). Collision odds
+    // for 64-bit hashes are ~n²/2⁶⁵ — immaterial below ~10⁸ distinct keys.
+    val postings = raw.select(col("id"), xxhash64(col("block"), col("tok")).as("key_id"))
     val sizes = docs.select(
       col(idCol).as("id"),
       size(array_distinct(Text.tokens(col(textCol)))).cast("long").as("sz"))
@@ -169,10 +167,17 @@ object Dedup {
     * product, which is what makes near-dup feasible at 100 TB.
     */
   def minhashCandidates(signatures: DataFrame, rowsPerBand: Int): DataFrame = {
+    require(rowsPerBand >= 1, "rowsPerBand must be positive")
+    // guard sequence(0, -1): Spark generates a DESCENDING [0, -1] there,
+    // which would build a bogus band from a negative slice offset when a
+    // signature is narrower than one band
     val bands = signatures.select(
       col("id"),
-      posexplode(expr(s"transform(sequence(0, size(sig) div $rowsPerBand - 1), " +
-        s"b -> slice(sig, b*$rowsPerBand + 1, $rowsPerBand))")))
+      posexplode(expr(
+        s"CASE WHEN size(sig) >= $rowsPerBand THEN " +
+          s"transform(sequence(0, size(sig) div $rowsPerBand - 1), " +
+          s"b -> slice(sig, b*$rowsPerBand + 1, $rowsPerBand)) " +
+          s"ELSE array() END")))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_sig")
     val l = bands.as("l")
@@ -229,10 +234,12 @@ object Dedup {
         .localCheckpoint(true)
       val changed = updated.join(labels.withColumnRenamed("label", "old"), "node")
         .filter(col("label") =!= col("old")).count()
+      labels.unpersist() // release the superseded round's checkpoint blocks
       labels = updated
       converged = changed == 0
       i += 1
     }
+    sym.unpersist()
     labels
   }
 

@@ -104,7 +104,12 @@ object Multimodal {
   def sampleFrames(media: Dataset[MediaRow], frameLen: Int, stride: Int): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.flatMap { r =>
-      val n = math.max(0, r.bytes.length / (frameLen * stride))
+      // a frame exists at offset i*frameLen*stride whenever a full
+      // frameLen block fits — including one inside the trailing partial
+      // stride window
+      val n =
+        if (r.bytes.length < frameLen) 0
+        else (r.bytes.length - frameLen) / (frameLen * stride) + 1
       (0 until n).map { i =>
         val start = i * frameLen * stride
         Frame(r.media_id, i, r.bytes.slice(start, start + frameLen))

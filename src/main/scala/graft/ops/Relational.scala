@@ -23,7 +23,10 @@ object Relational {
     */
   def saltedSumCount(
       df: DataFrame, key: String, valueCol: String, buckets: Int): DataFrame = {
-    df.withColumn("__salt", pmod(crc32(col(valueCol).cast("string")), lit(buckets)))
+    // the salt must be independent of the DATA (identical values would all
+    // land in one bucket); a row-position-derived salt spreads any hot key
+    // uniformly, and the assignment is irrelevant to the merged result
+    df.withColumn("__salt", pmod(monotonically_increasing_id(), lit(buckets.toLong)))
       .groupBy(col(key), col("__salt"))
       .agg(sum(col(valueCol)).as("__s"), count(lit(1)).as("__n"))
       .groupBy(col(key))

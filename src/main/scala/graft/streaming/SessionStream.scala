@@ -16,22 +16,28 @@ object SessionStream {
 
   final case class Event(user_id: Long, ts_us: Long, event_id: Long)
   final case class SessionState(
-      sessionStartUs: Long, lastTsUs: Long, nEvents: Long, sessionSeq: Long)
+      sessionStartUs: Long, lastTsUs: Long, nEvents: Long)
+  /** Sessions are identified by (user_id, start_us) — a counter would
+    * restart after state removal on timeout and collide with previously
+    * emitted keys; the start timestamp cannot.
+    */
   final case class SessionOut(
-      user_id: Long, session_seq: Long, n_events: Long,
+      user_id: Long, n_events: Long,
       start_us: Long, end_us: Long, closed: Boolean)
 
   /** Fold a user's new events into session state; emit a closed session
-    * whenever a gap larger than `gapUs` appears (or on timeout).
+    * whenever a gap larger than `gapUs` appears (or on timeout —
+    * `timeoutMs` defaults to the event-time gap, so processing-time
+    * expiry approximates the same cutoff).
     */
-  def updateSessions(gapUs: Long)(
+  def updateSessions(gapUs: Long, timeoutMs: Long)(
       userId: Long,
       events: Iterator[Event],
       state: GroupState[SessionState]): Iterator[SessionOut] = {
     if (state.hasTimedOut) {
       val s = state.get
       state.remove()
-      return Iterator(SessionOut(userId, s.sessionSeq, s.nEvents,
+      return Iterator(SessionOut(userId, s.nEvents,
         s.sessionStartUs, s.lastTsUs, closed = true))
     }
     val sorted = events.toSeq.sortBy(e => (e.ts_us, e.event_id))
@@ -40,29 +46,34 @@ object SessionStream {
     for (e <- sorted) {
       cur match {
         case Some(s) if e.ts_us - s.lastTsUs > gapUs =>
-          out :+= SessionOut(userId, s.sessionSeq, s.nEvents,
+          out :+= SessionOut(userId, s.nEvents,
             s.sessionStartUs, s.lastTsUs, closed = true)
-          cur = Some(SessionState(e.ts_us, e.ts_us, 1, s.sessionSeq + 1))
+          cur = Some(SessionState(e.ts_us, e.ts_us, 1))
         case Some(s) =>
           cur = Some(s.copy(lastTsUs = e.ts_us, nEvents = s.nEvents + 1))
         case None =>
-          cur = Some(SessionState(e.ts_us, e.ts_us, 1, 1))
+          cur = Some(SessionState(e.ts_us, e.ts_us, 1))
       }
     }
     cur.foreach { s =>
       state.update(s)
-      state.setTimeoutDuration("30 seconds")
+      state.setTimeoutDuration(s"$timeoutMs milliseconds")
     }
     out.iterator
   }
 
-  /** Wire the updater over a (possibly streaming) typed event Dataset. */
-  def sessionize(spark: SparkSession, events: Dataset[Event], gapUs: Long): Dataset[SessionOut] = {
+  /** Wire the updater over a (possibly streaming) typed event Dataset.
+    * `timeoutMs` bounds how long an idle session's state lives before the
+    * session is force-closed (defaults to the gap, in processing time).
+    */
+  def sessionize(spark: SparkSession, events: Dataset[Event], gapUs: Long,
+      timeoutMs: Long = -1L): Dataset[SessionOut] = {
     import spark.implicits._
+    val t = if (timeoutMs > 0) timeoutMs else math.max(1L, gapUs / 1000L)
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
-        updateSessions(gapUs))
+        updateSessions(gapUs, t))
   }
 }

@@ -59,10 +59,15 @@ object WeatherStreaming {
       .option("checkpointLocation", checkpointPath)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val gated = Quality.gate(batch, Weather.weatherSuite)
-          WeatherJobs.upsertParquet(spark, gated, stagingPath)
-        }
+        // persist: the batch feeds three actions (emptiness check, gate
+        // aggregate, upsert write) — without it each re-reads the files
+        batch.persist()
+        try {
+          if (!batch.isEmpty) {
+            val gated = Quality.gate(batch, Weather.weatherSuite)
+            WeatherJobs.upsertParquet(spark, gated, stagingPath)
+          }
+        } finally batch.unpersist()
       }
       .start()
 

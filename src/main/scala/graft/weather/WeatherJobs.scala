@@ -27,10 +27,18 @@ object WeatherJobs {
         Weather.dedupUpsert(current.unionByName(batch))
       } else Weather.dedupUpsert(batch)
     // two-phase write: the source of the union cannot be overwritten in
-    // place while it is being read
-    val tmp = stagingPath + ".tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(stagingPath)
+    // place while it is being read. Finish with a directory rename (not a
+    // second full write), which shrinks the non-atomic window to
+    // delete+rename; a table format with atomic commits (Delta/Iceberg)
+    // would close it entirely but isn't available in this environment.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val tmp = new org.apache.hadoop.fs.Path(stagingPath + ".tmp")
+    val dst = new org.apache.hadoop.fs.Path(stagingPath)
+    val fs = dst.getFileSystem(hconf)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(dst)) fs.delete(dst, true)
+    fs.rename(tmp, dst)
   }
 
   /** Keys already loaded, persisted like `staging._ingest_log`
@@ -60,7 +68,12 @@ object WeatherJobs {
     val listing = lake.select(col("s3_uri").as("key")).distinct()
     val newKeysDf = Weather.newFiles(listing, readIngestLog(spark, logPath))
     val limited = limitFiles.map(newKeysDf.limit).getOrElse(newKeysDf)
-    val newKeys = limited // small: one row per new file
+    // MATERIALIZE the chosen key set once: an unordered limit() is not
+    // stable across actions, and this frame feeds three of them (count,
+    // the staging load's semi-join, the log append) — without pinning,
+    // the log could record a file the load never read, and the anti-join
+    // would then skip that file's data forever.
+    val newKeys = limited.localCheckpoint(true)
     val nNew = newKeys.count()
     if (nNew > 0) {
       val batch = lake.join(newKeys, col("s3_uri") === col("key"), "left_semi")

@@ -60,6 +60,13 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(cands.toSet == Set((1L, 2L)))
   }
 
+  test("minhashCandidates yields no bands when signatures are narrower than a band") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta"), (2L, "alpha beta")).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs, numHashes = 2)
+    assert(Dedup.minhashCandidates(sigs, rowsPerBand = 4).count() == 0)
+  }
+
   test("minhash signatures are deterministic across evaluations") {
     import spark.implicits._
     val docs = Seq((1L, "spark scala parquet shuffle")).toDF("doc_id", "text")

@@ -39,10 +39,21 @@ class MultimodalSpec extends SparkSpec {
   test("sampleFrames fans out bounded frame rows per payload") {
     val frames = Multimodal.sampleFrames(media, frameLen = 10, stride = 2).collect()
     val byId = frames.groupBy(_.media_id)
-    assert(byId(1L).length == 3)  // 64 / 20
-    assert(byId(2L).length == 10) // 200 / 20
+    assert(byId(1L).length == 3)  // offsets 0, 20, 40 (54 would exceed 64-10? no: (64-10)/20+1 = 3)
+    assert(byId(2L).length == 10) // (200-10)/20 + 1
     assert(!byId.contains(3L))
     assert(frames.forall(_.frame_bytes.length <= 10))
+  }
+
+  test("sampleFrames keeps a full trailing frame inside a partial stride window") {
+    val s = spark
+    import s.implicits._
+    val m = Seq(MediaRow(9L, "video", Array.tabulate(30)(_.toByte))).toDS()
+    // offsets 0 and 20 both hold full 10-byte frames; naive len/(10*2)
+    // would emit only one
+    val frames = Multimodal.sampleFrames(m, frameLen = 10, stride = 2).collect()
+    assert(frames.map(_.frame_idx).sorted.toSeq == Seq(0, 1))
+    assert(frames.forall(_.frame_bytes.length == 10))
   }
 
   test("binaryFeatures matches plain-text md5/length semantics") {

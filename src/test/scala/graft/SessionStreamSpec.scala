@@ -22,7 +22,8 @@ class SessionStreamSpec extends SparkSpec {
     val stream = spark.readStream
       .schema(implicitly[org.apache.spark.sql.Encoder[Event]].schema)
       .parquet(dir).as[Event]
-    val out = SessionStream.sessionize(spark, stream, gapUs = minuteUs)
+    val out = SessionStream.sessionize(spark, stream, gapUs = minuteUs,
+      timeoutMs = 1000L) // short processing-time flush so the test observes it
     val q = out.writeStream
       .format("memory").queryName("sessions_out")
       .outputMode("append")
@@ -31,13 +32,16 @@ class SessionStreamSpec extends SparkSpec {
     q.awaitTermination(60000)
     q.stop()
     // user 1's first session closes on the observed 120s gap; the
-    // remaining live sessions close on the timeout flush at end of input
+    // remaining live sessions close on the timeout flush at end of input.
+    // Sessions are keyed by (user_id, start_us) — stable across state loss.
     val emitted = spark.table("sessions_out").as[SessionStream.SessionOut]
       .collect().toSeq
-    assert(emitted.map(e => (e.user_id, e.session_seq, e.n_events, e.closed)).toSet ==
-      Set((1L, 1L, 2L, true), (1L, 2L, 1L, true), (2L, 1L, 1L, true)))
-    val first = emitted.find(e => e.user_id == 1L && e.session_seq == 1L).get
-    assert(first.start_us == 0L && first.end_us == 10L * 1000000L)
+    assert(emitted.map(e => (e.user_id, e.start_us, e.n_events, e.closed)).toSet ==
+      Set((1L, 0L, 2L, true),
+        (1L, 10L * 1000000L + 2L * minuteUs, 1L, true),
+        (2L, 0L, 1L, true)))
+    val first = emitted.find(e => e.user_id == 1L && e.start_us == 0L).get
+    assert(first.end_us == 10L * 1000000L)
   }
 
   test("batch semantics agree with the window-based sessionizer") {
