@@ -735,6 +735,37 @@ object SparkEntry {
             date_format(local, "yyyy-MM-dd HH:mm:ss").as("local_wall"))
       }),
 
+    QueryDef("q33_null_semantics",
+      "NULL semantics pinned cross-engine: NULLs group as one key, " +
+        "COUNT(col) skips them, and the self-join uses null-safe equality " +
+        "(<=> ≡ IS NOT DISTINCT FROM) so the NULL bucket matches itself.",
+      Some("""WITH e AS (SELECT
+        |    CASE WHEN value > 150 THEN NULL ELSE value END AS v,
+        |    CASE WHEN user_id % 3 = 0 THEN NULL ELSE user_id % 3 END AS b
+        |  FROM events),
+        |g AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(v) AS BIGINT) AS n_nonnull,
+        |    CAST(COUNT(*) - COUNT(v) AS BIGINT) AS n_null,
+        |    CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |  FROM e GROUP BY b)
+        |SELECT x.b AS bucket, x.n_rows, x.n_nonnull, x.n_null, x.sum_v,
+        |  y.n_rows AS matched_rows
+        |FROM g x JOIN g y ON x.b IS NOT DISTINCT FROM y.b""".stripMargin),
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .withColumn("v", when(col("value") > 150, lit(null)).otherwise(col("value")))
+          .withColumn("b", when(col("user_id") % 3 === 0, lit(null))
+            .otherwise(col("user_id") % 3))
+        val g = e.groupBy(col("b")).agg(
+          count(lit(1)).cast("long").as("n_rows"),
+          count(col("v")).cast("long").as("n_nonnull"),
+          (count(lit(1)) - count(col("v"))).cast("long").as("n_null"),
+          sum(col("v").cast(D2)).cast("double").as("sum_v"))
+        g.as("x").join(g.as("y"), col("x.b") <=> col("y.b"))
+          .select(col("x.b").as("bucket"), col("x.n_rows"), col("x.n_nonnull"),
+            col("x.n_null"), col("x.sum_v"), col("y.n_rows").as("matched_rows"))
+      }),
+
     QueryDef("t02_token_stats",
       "Token counting two ways: whitespace tokens and a BPE-ish regex " +
         "segmentation (letter runs / digit runs / single symbols) — the " +
