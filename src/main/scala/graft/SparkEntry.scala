@@ -766,6 +766,46 @@ object SparkEntry {
             col("x.n_null"), col("x.sum_v"), col("y.n_rows").as("matched_rows"))
       }),
 
+    QueryDef("q34_conditional_agg_pct",
+      "Conditional aggregation ratio (TPC-H Q14 shape): promo revenue as a " +
+        "percentage of total revenue per month — one pass, decimal-exact " +
+        "numerator and denominator, one final IEEE division.",
+      Some("""SELECT CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m,
+        |  100.0 * CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+        |                        THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+        |        / CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS urgent_pct,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM orders GROUP BY year(o_orderdate), month(o_orderdate)""".stripMargin),
+      (s, dir) => Tables.orders(s, dir)
+        .groupBy(year(col("o_orderdate")).cast("int").as("y"),
+          month(col("o_orderdate")).cast("int").as("m"))
+        .agg(
+          (lit(100.0) *
+            sum(when(col("o_orderpriority") === "1-URGENT",
+              col("o_totalprice").cast(D2))).cast("double") /
+            sum(col("o_totalprice").cast(D2)).cast("double")).as("urgent_pct"),
+          count(lit(1)).cast("long").as("n_orders"))),
+
+    QueryDef("q35_or_predicates",
+      "Disjunctive predicate stack (TPC-H Q19 shape): OR of conjunctions " +
+        "mixing IN lists, ranges, and inequalities — exercises predicate " +
+        "normalization/pushdown without changing results.",
+      Some("""SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE (l_returnflag IN ('A', 'R') AND l_quantity >= 30 AND l_discount < 0.03)
+        |   OR (l_linestatus = 'O' AND l_quantity <= 5 AND l_tax > 0.05)
+        |   OR (l_shipdate >= TIMESTAMP '2001-06-01 00:00:00' AND l_extendedprice > 4000)""".stripMargin),
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(
+          (col("l_returnflag").isin("A", "R") && col("l_quantity") >= 30 &&
+            col("l_discount") < 0.03) ||
+          (col("l_linestatus") === "O" && col("l_quantity") <= 5 &&
+            col("l_tax") > 0.05) ||
+          (col("l_shipdate") >= lit("2001-06-01").cast("timestamp") &&
+            col("l_extendedprice") > 4000))
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"))),
+
     QueryDef("t02_token_stats",
       "Token counting two ways: whitespace tokens and a BPE-ish regex " +
         "segmentation (letter runs / digit runs / single symbols) — the " +

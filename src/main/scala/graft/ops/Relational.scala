@@ -33,6 +33,23 @@ object Relational {
       .agg(sum(col("__s")).as("sum_value"), sum(col("__n")).cast("long").as("n"))
   }
 
+  /** Skew mitigation for joins: salt the skewed (large) side's key with a
+    * row-position bucket and replicate each small-side row once per
+    * bucket, so one hot key's probe rows spread over `buckets` tasks.
+    * Semantically identical to the plain equi-join (every original pair
+    * matches in exactly one bucket). AQE's skew-join split covers most
+    * cases at runtime; this is the explicit form for when it can't (e.g.
+    * aggregation-free pipelines below a shuffle already in flight).
+    */
+  def saltedJoin(
+      large: DataFrame, small: DataFrame, key: String, buckets: Int): DataFrame = {
+    val saltedLarge = large.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(buckets.toLong)))
+    val replicatedSmall = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit(buckets.toLong - 1))))
+    saltedLarge.join(replicatedSmall, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Last-write-wins keyed dedup — the batch-functional equivalent of the
     * reference's Postgres `ON CONFLICT (city,timestamp) DO UPDATE` upsert
     * (load_to_postgres.py:90-102; SURVEY.md O12). Exactly one row per key

@@ -1,0 +1,76 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.text.Text
+
+/** The operators composed as one end-to-end training-data curation job —
+  * the flow a user of this engine actually runs over a raw corpus:
+  *
+  *   1. quality pre-filter (drop junk docs),
+  *   2. exact dedup (md5 canonicalization, keep one doc per digest),
+  *   3. near-dup clustering (jaccard pairs → connected components → keep
+  *      each cluster's canonical doc),
+  *   4. chunking into training-window pieces,
+  *   5. per-chunk fingerprints + token counts for downstream bookkeeping.
+  *
+  * Every stage is one of the audited operators (PLANS.md): the pipeline
+  * introduces no new shuffle shapes, and intermediate results stay
+  * DataFrames end to end — at 100 TB each arrow is the same plan, only
+  * wider.
+  */
+object TrainingDataPipeline {
+
+  final case class Result(
+      kept: DataFrame,    // surviving canonical docs
+      chunks: DataFrame,  // training-window chunks of the survivors
+      stats: DataFrame)   // 1-row funnel accounting
+
+  def run(
+      spark: SparkSession,
+      docs: DataFrame,
+      minTokens: Long = 20,
+      nearDupThreshold: Double = 0.95,
+      chunkTokens: Int = 40,
+      strideTokens: Int = 20): Result = {
+
+    val total = docs.count()
+
+    // 1. quality pre-filter
+    val quality = Text.qualityFilter(docs, minTokens,
+      maxAvgTokenLen = 12.0, minStopwordRatio = 0.0)
+      .localCheckpoint(true)
+    val nQuality = quality.count()
+
+    // 2. exact dedup: keep each digest's canonical (minimum-id) doc
+    val exact = Dedup.exactDupGroups(quality)
+      .filter(col("doc_id") === col("canonical_id"))
+      .select(col("doc_id"))
+    val exactKept = quality.join(exact, Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
+    val nExact = exactKept.count()
+
+    // 3. near-dup clusters: keep each cluster's canonical doc
+    val pairs = Dedup.jaccardPairs(exactKept, "source", nearDupThreshold)
+    val clusters = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    val kept = exactKept
+      .join(clusters, exactKept("doc_id") === clusters("node"), "left")
+      .filter(col("node").isNull || col("label") === col("doc_id"))
+      .drop("node", "label")
+      .localCheckpoint(true)
+    val nKept = kept.count()
+
+    // 4-5. chunk survivors and fingerprint each chunk
+    val chunks = Text.chunk(kept, chunkTokens, strideTokens)
+      .withColumn("chunk_fingerprint",
+        graft.functions.PolyHash(spark, col("chunk_text"), 31L, 1000000007L))
+    val nChunks = chunks.count()
+
+    import spark.implicits._
+    val stats = Seq((total, nQuality, nExact, nKept, nChunks))
+      .toDF("docs_in", "after_quality", "after_exact_dedup",
+        "after_neardup", "chunks_out")
+    Result(kept, chunks, stats)
+  }
+}
