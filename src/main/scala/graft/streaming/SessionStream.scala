@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Stateful streaming sessionization with explicit custom state
@@ -75,5 +76,61 @@ object SessionStream {
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
         updateSessions(gapUs, t))
+  }
+
+  /** Event-time variant: sessions close when the WATERMARK passes
+    * `last event + gap` — the semantically exact closure (processing-time
+    * timeouts only approximate it under lag). Requires a watermark on the
+    * event-time column; state per key stays O(1).
+    */
+  def sessionizeEventTime(
+      spark: SparkSession,
+      events: Dataset[Event],
+      gapUs: Long,
+      watermarkDelay: String = "10 seconds"): Dataset[SessionOut] = {
+    import spark.implicits._
+
+    def update(userId: Long, it: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        return Iterator(SessionOut(userId, s.nEvents,
+          s.sessionStartUs, s.lastTsUs, closed = true))
+      }
+      val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      var out = Vector.empty[SessionOut]
+      var cur = state.getOption
+      for (e <- sorted) {
+        cur match {
+          case Some(s) if e.ts_us - s.lastTsUs > gapUs =>
+            out :+= SessionOut(userId, s.nEvents, s.sessionStartUs,
+              s.lastTsUs, closed = true)
+            cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+          case Some(s) =>
+            cur = Some(s.copy(lastTsUs = e.ts_us, nEvents = s.nEvents + 1))
+          case None =>
+            cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        // close when the watermark passes the gap boundary; clamp to the
+        // watermark for state touched by late-arriving data (a timeout
+        // below the watermark is rejected by the state machinery)
+        val boundary = (s.lastTsUs + gapUs) / 1000L
+        state.setTimeoutTimestamp(
+          math.max(boundary, state.getCurrentWatermarkMs() + 1))
+      }
+      out.iterator
+    }
+
+    events
+      .withColumn("__ts", expr("timestamp_micros(ts_us)"))
+      .withWatermark("__ts", watermarkDelay)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update _)
   }
 }

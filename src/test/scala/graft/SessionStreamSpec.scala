@@ -44,6 +44,40 @@ class SessionStreamSpec extends SparkSpec {
     assert(first.end_us == 10L * 1000000L)
   }
 
+  test("event-time sessionization closes sessions when the watermark passes the gap") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("sessET").toString + "/events"
+    val minuteUs = 60L * 1000000L
+    // user 1 finishes early; user 2's much later activity drives the
+    // watermark far past user 1's last-event+gap, closing 1's session
+    val base = 1000L * minuteUs // keep clear of the epoch==initial-watermark edge
+    Seq(
+      Event(1L, base, 1L), Event(1L, base + 10L * 1000000L, 2L),
+      Event(2L, base + 60L * minuteUs, 3L), Event(2L, base + 61L * minuteUs, 4L))
+      .toDS().coalesce(1).write.parquet(dir) // ONE file → one data batch
+    // one batch for all events: the post-batch watermark (61min − 1s)
+    // passes user 1's last-event+gap (70s) deterministically, and the
+    // engine schedules the extra timeout batch before AvailableNow stops
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Event]].schema)
+      .parquet(dir).as[Event]
+    val out = SessionStream.sessionizeEventTime(spark, stream,
+      gapUs = minuteUs, watermarkDelay = "1 second")
+    val q = out.writeStream
+      .format("memory").queryName("sessions_et")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    q.stop()
+    val emitted = spark.table("sessions_et").as[SessionStream.SessionOut]
+      .collect().toSeq.map(e => (e.user_id, e.start_us, e.n_events, e.closed))
+    // user 1's session must be closed by event-time timeout; user 2's may
+    // remain open state (no wall-clock involved) and thus unemitted
+    assert(emitted.contains((1L, base, 2L, true)), emitted.toString)
+  }
+
   test("batch semantics agree with the window-based sessionizer") {
     val s = spark
     import s.implicits._
