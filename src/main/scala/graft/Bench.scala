@@ -7,6 +7,16 @@ import org.apache.spark.sql.SparkSession
   * Results are materialized through the `noop` sink so every column of
   * every row is computed (a bare `count()` lets Spark prune most of the
   * work and would overstate throughput).
+  *
+  * Harness hygiene:
+  *  - every table is warmed (scanned through noop) before the timed loop,
+  *    so the first query to touch lineitem isn't charged its first-scan IO
+  *    and codegen warm-up;
+  *  - each query is timed best-of-2 to damp container noise (same query
+  *    has measured 2.5 s vs 8.4 s across runs here);
+  *  - a query that throws is recorded with a -1 sentinel and listed in a
+  *    "failed" array instead of silently contributing an artificially
+  *    short elapsed time to the total.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -24,20 +34,30 @@ object Bench {
     // timed region so the first alphabetical query isn't charged for it
     spark.range(1000000).selectExpr("sum(id)")
       .write.mode("overwrite").format("noop").save()
-    spark.read.parquet(s"$sfDir/region.parquet")
-      .write.mode("overwrite").format("noop").save()
+    // warm every input table: pull each file through the OS page cache and
+    // parquet footer/decoder paths before any query is timed
+    Tables.names.foreach { t =>
+      Tables.table(spark, sfDir, t)
+        .write.mode("overwrite").format("noop").save()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      try name -> math.min(once(), once())
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        name -> -1.0
       }
-      name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -543,9 +543,13 @@ object SparkEntry {
         |FROM numbered GROUP BY batch_id""".stripMargin),
       (s, dir) => {
         val gaps = Relational.calendarGaps(Tables.events(s, dir), "ts", "minute", "1 minute")
-        gaps
-          .withColumn("rn",
-            row_number().over(Window.orderBy(col("bucket"))).cast("long") - 1)
+        // two-stage global numbering: partition by day, number within, add
+        // broadcast per-day offsets — no single-partition sort over the gap
+        // list (a week-long outage at minute grain × many keys would funnel
+        // every row through one task under a bare Window.orderBy).
+        Relational.twoStageRowNumber(
+            gaps, date_trunc("day", col("bucket")), Seq(col("bucket")), "rn1")
+          .withColumn("rn", col("rn1") - 1)
           .withColumn("batch_id", (col("rn") / 24).cast("long"))
           .groupBy(col("batch_id"))
           .agg(
@@ -922,15 +926,24 @@ object SparkEntry {
         .select(col("k"), col("n"), col("sum_v"))),
 
     QueryDef("qa1_approx_distinct",
-      "HLL++ sketch: approx_count_distinct per event type alongside the " +
-        "exact count. No SQL oracle — the sketch estimate is engine-" +
-        "specific by nature (driver records the weaker rows-only check).",
-      None,
+      "HLL++ sketch with a TOLERANCE oracle: the estimate itself is engine-" +
+        "specific, so the checkable output is the exact distinct count plus " +
+        "a boolean asserting |approx − exact| ≤ 3·rsd·exact + 1 (documented " +
+        "HLL++ error bound at rsd=0.05, three sigmas, +1 for tiny groups). " +
+        "DuckDB's side emits literal TRUE — the hash matches iff the sketch " +
+        "held its bound on every group.",
+      Some("""SELECT event_type,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS within_tol
+        |FROM events GROUP BY event_type""".stripMargin),
       (s, dir) => Tables.events(s, dir)
         .groupBy(col("event_type"))
         .agg(
-          approx_count_distinct(col("user_id")).as("approx_users"),
-          countDistinct(col("user_id")).as("exact_users"))),
+          approx_count_distinct(col("user_id"), 0.05).as("approx_users"),
+          countDistinct(col("user_id")).cast("long").as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")).cast("double") <=
+            lit(3 * 0.05) * col("exact_users") + lit(1.0)).as("within_tol"))),
 
     QueryDef("s04_hyperplane_lsh",
       "Random-hyperplane LSH signatures for cosine similarity (Charikar): " +

@@ -211,8 +211,13 @@ object Dedup {
     // the logical plan would otherwise double in size every iteration and
     // analysis time explodes exponentially; checkpointing truncates the
     // lineage so each round plans against a constant-size tree.
-    var labels = sym.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node"))
+    //
+    // Seed with min(node, min-neighbor) — one aggregation over sym — which
+    // is exactly what round 1 of plain propagation would compute from
+    // identity labels, so the first real round starts a step ahead.
+    var labels = sym.groupBy(col("a").as("node"))
+      .agg(min(col("b")).as("mnb"))
+      .select(col("node"), least(col("node"), col("mnb")).as("label"))
       .localCheckpoint(true)
     var converged = false
     var i = 0
@@ -221,7 +226,7 @@ object Dedup {
         .join(labels, sym("b") === labels("node"))
         .groupBy(col("a").as("node")).agg(min(col("label")).as("nlabel"))
       val adopted = labels.join(neighborMin, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("label").as("old"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
       // pointer jumping (path halving): additionally adopt the label OF
       // one's label, so propagation distance doubles per round and the
@@ -229,14 +234,16 @@ object Dedup {
       val updated = adopted.as("x")
         .join(adopted.select(col("node").as("ln"), col("label").as("ll")).as("y"),
           col("x.label") === col("y.ln"), "left")
-        .select(col("x.node").as("node"),
+        .select(col("x.node").as("node"), col("x.old").as("old"),
           least(col("x.label"), coalesce(col("ll"), col("x.label"))).as("label"))
         .localCheckpoint(true)
-      val changed = updated.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).count()
+      // convergence check rides on the materialized round: `old` was carried
+      // through the round's joins, so this is a short-circuiting scan of the
+      // checkpoint blocks just written — not the extra join + count() job of
+      // the naive formulation (which used to cost as much as the round).
+      converged = updated.filter(col("label") =!= col("old")).isEmpty
       labels.unpersist() // release the superseded round's checkpoint blocks
-      labels = updated
-      converged = changed == 0
+      labels = updated.drop("old")
       i += 1
     }
     sym.unpersist()

@@ -21,12 +21,23 @@ object Relational {
     * sum/count which cover the reference's aggregates. AQE's skew-join
     * handling covers joins; this covers aggregation skew.
     */
+  /** Deterministic per-row salt in [0, buckets): a content hash of every
+    * column, so a recomputed map task (executor loss, stage retry) assigns
+    * the SAME salt to the same row — a row-position salt
+    * (monotonically_increasing_id) would re-salt recomputed rows and could
+    * duplicate or drop them across reduce partitions. Exact duplicate rows
+    * share a bucket (degraded spread, never wrong results); callers with a
+    * unique id column can pass it as `saltCols` for perfect spread.
+    */
+  private def contentSalt(df: DataFrame, buckets: Int, saltCols: Seq[String]): Column = {
+    val cols = if (saltCols.nonEmpty) saltCols.map(col) else df.columns.toSeq.map(col)
+    pmod(xxhash64(cols: _*), lit(buckets.toLong))
+  }
+
   def saltedSumCount(
-      df: DataFrame, key: String, valueCol: String, buckets: Int): DataFrame = {
-    // the salt must be independent of the DATA (identical values would all
-    // land in one bucket); a row-position-derived salt spreads any hot key
-    // uniformly, and the assignment is irrelevant to the merged result
-    df.withColumn("__salt", pmod(monotonically_increasing_id(), lit(buckets.toLong)))
+      df: DataFrame, key: String, valueCol: String, buckets: Int,
+      saltCols: Seq[String] = Nil): DataFrame = {
+    df.withColumn("__salt", contentSalt(df, buckets, saltCols))
       .groupBy(col(key), col("__salt"))
       .agg(sum(col(valueCol)).as("__s"), count(lit(1)).as("__n"))
       .groupBy(col(key))
@@ -34,17 +45,17 @@ object Relational {
   }
 
   /** Skew mitigation for joins: salt the skewed (large) side's key with a
-    * row-position bucket and replicate each small-side row once per
-    * bucket, so one hot key's probe rows spread over `buckets` tasks.
+    * deterministic content-hash bucket and replicate each small-side row
+    * once per bucket, so one hot key's probe rows spread over `buckets` tasks.
     * Semantically identical to the plain equi-join (every original pair
     * matches in exactly one bucket). AQE's skew-join split covers most
     * cases at runtime; this is the explicit form for when it can't (e.g.
     * aggregation-free pipelines below a shuffle already in flight).
     */
   def saltedJoin(
-      large: DataFrame, small: DataFrame, key: String, buckets: Int): DataFrame = {
-    val saltedLarge = large.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(buckets.toLong)))
+      large: DataFrame, small: DataFrame, key: String, buckets: Int,
+      saltCols: Seq[String] = Nil): DataFrame = {
+    val saltedLarge = large.withColumn("__salt", contentSalt(large, buckets, saltCols))
     val replicatedSmall = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(buckets.toLong - 1))))
     saltedLarge.join(replicatedSmall, Seq(key, "__salt")).drop("__salt")
@@ -75,8 +86,20 @@ object Relational {
     val bounds = df.agg(
       date_trunc(grain, min(col(tsCol))).as("b0"),
       date_trunc(grain, max(col(tsCol))).as("b1"))
-    val spine = bounds.select(
-      explode(expr(s"sequence(b0, b1, interval $step)")).as("bucket"))
+    // two-level spine: exploding the whole range out of the 1-row bounds
+    // aggregate would generate (and push through every downstream operator)
+    // ALL spine rows in ONE task. Instead explode a coarse day spine from
+    // the bounds row (tiny: one row per day), repartition it, then explode
+    // each day's fine buckets in parallel — years of minute-grain spine
+    // spread over the cluster instead of a single straggler task.
+    val days = bounds
+      .select(explode(expr(
+        "sequence(date_trunc('DAY', b0), date_trunc('DAY', b1), interval 1 day)")).as("day"),
+        col("b0"), col("b1"))
+      .repartition(col("day"))
+    val spine = days.select(explode(expr(
+      s"sequence(greatest(day, b0), " +
+        s"least(day + interval 1 day - interval $step, b1), interval $step)")).as("bucket"))
     spine.join(present, Seq("bucket"), "left_anti")
   }
 
@@ -126,16 +149,47 @@ object Relational {
         unix_micros(col("l.ts")).as("ts_a_us"), unix_micros(col("r.ts")).as("ts_b_us"))
   }
 
+  /** Global row numbering without a single-partition sort: `row_number()
+    * .over(Window.orderBy(...))` funnels EVERY row through one task, a
+    * straight scale-killer on large inputs. Instead, number rows within a
+    * coarse partition (e.g. a day bucket), count rows per partition, turn
+    * the counts into cumulative offsets with a window over the TINY
+    * per-partition count frame (one row per coarse bucket — the only
+    * single-partition sort left, bounded by the number of buckets, not
+    * rows), and broadcast the offsets back. Requires `coarse` to be
+    * consistent with `order` (rows in a lower coarse bucket sort before
+    * rows in a higher one — true for any truncation of the order key).
+    * Emits a 1-based BIGINT `outCol`, identical to the naive global
+    * row_number.
+    */
+  def twoStageRowNumber(
+      df: DataFrame, coarse: Column, order: Seq[Column], outCol: String): DataFrame = {
+    val t = df.withColumn("__coarse", coarse)
+    val wLocal = Window.partitionBy(col("__coarse")).orderBy(order: _*)
+    val counts = t.groupBy(col("__coarse")).agg(count(lit(1)).as("__cnt"))
+    val wOff = Window.orderBy(col("__coarse"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .select(col("__coarse"),
+        coalesce(sum(col("__cnt")).over(wOff), lit(0L)).as("__off"))
+    t.withColumn("__lrn", row_number().over(wLocal).cast("long"))
+      .join(broadcast(offsets), Seq("__coarse"))
+      .withColumn(outCol, col("__off") + col("__lrn"))
+      .drop("__coarse", "__lrn", "__off")
+  }
+
   /** Struct-of-arrays → rows pivot used by the reference for the hourly
     * payload (SURVEY.md O1/O2): zip the parallel arrays positionally and
     * explode one row per element. `arrays_zip` pads ragged arrays with null
     * (the information-preserving policy of run_once.py:45-47; see SURVEY.md
-    * §1.3).
+    * §1.3), and `explode_outer` extends the same pad-don't-drop policy to a
+    * row whose arrays are ALL empty: it survives as one row of nulls (for
+    * the downstream quality gate to judge) instead of vanishing.
     */
   def zipExplode(df: DataFrame, arrayCols: Seq[String], keep: Seq[String]): DataFrame = {
     val zipped = arrays_zip(arrayCols.map(col): _*).as("__z")
     val out = keep.map(col) ++ arrayCols.map(c => col(s"__z.$c").as(c))
-    df.select(keep.map(col) :+ explode(zipped).as("__z"): _*)
+    df.select(keep.map(col) :+ explode_outer(zipped).as("__z"): _*)
       .select(out: _*)
   }
 }

@@ -37,9 +37,24 @@ class OpenMeteoV2Source extends TableProvider {
     OpenMeteoV2Source.Schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new OpenMeteoV2Source.WeatherTable(properties.get("cities"),
-      properties.get("window"), properties.get("transport"))
+      properties: util.Map[String, String]): Table = {
+    // validate up front, on the driver: a missing/malformed option must
+    // fail here naming the option, not as an NPE/MatchError deep in scan
+    // planning or on an executor.
+    def req(key: String): String = {
+      val v = properties.get(key)
+      if (v == null || v.trim.isEmpty) throw new IllegalArgumentException(
+        s"OpenMeteoV2Source: required option '$key' is missing or empty")
+      v
+    }
+    val cities = req("cities")
+    val window = req("window")
+    val transport = req("transport")
+    OpenMeteoV2Source.parseCities(cities) // throws naming the bad segment
+    if (window.split("/").length != 2) throw new IllegalArgumentException(
+      s"OpenMeteoV2Source: option 'window' must be '<startIso>/<endIso>', got '$window'")
+    new OpenMeteoV2Source.WeatherTable(cities, window, transport)
+  }
 }
 
 object OpenMeteoV2Source {
@@ -60,8 +75,16 @@ object OpenMeteoV2Source {
 
   def parseCities(spec: String): Seq[CitySpec] =
     spec.split(";").toSeq.filter(_.nonEmpty).map { s =>
-      val Array(n, lat, lon) = s.split(":")
-      CitySpec(n, lat.toDouble, lon.toDouble)
+      s.split(":") match {
+        case Array(n, lat, lon) =>
+          try CitySpec(n, lat.toDouble, lon.toDouble)
+          catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"OpenMeteoV2Source: option 'cities' segment '$s' has non-numeric lat/lon")
+          }
+        case _ => throw new IllegalArgumentException(
+          s"OpenMeteoV2Source: option 'cities' segment '$s' is not 'name:lat:lon'")
+      }
     }
 
   class WeatherTable(cities: String, window: String, transport: String)

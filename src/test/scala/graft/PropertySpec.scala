@@ -68,7 +68,8 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  test("property: zipExplode output length is the max input array length") {
+  test("property: zipExplode output length is the max input array length " +
+      "(all-empty rows survive as one null row — pad, don't drop)") {
     val arrGen = Gen.listOf(Gen.choose(0, 9))
     val pair = for { xs <- arrGen; ys <- arrGen } yield (xs, ys)
     for ((xs, ys) <- cases(pair, 20)) {
@@ -76,7 +77,7 @@ class PropertySpec extends SparkSpec {
       import s.implicits._
       val df = Seq((xs, ys)).toDF("a", "b")
       val n = Relational.zipExplode(df, Seq("a", "b"), Nil).count()
-      assert(n == math.max(xs.length, ys.length))
+      assert(n == math.max(1, math.max(xs.length, ys.length)))
     }
   }
 }

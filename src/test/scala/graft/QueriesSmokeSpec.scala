@@ -9,11 +9,9 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query has an oracle or a documented reason not to") {
-    // approximate sketches are engine-specific by nature → rows-only check
-    val allowedNoOracle = Set("qa1_approx_distinct")
+  test("every query has an oracle (sketches get a tolerance oracle)") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == allowedNoOracle, s"queries without oracle: $noOracle")
+    assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
   }
 
   for (name <- SparkEntry.queries.keys.toSeq.sorted) {
