@@ -1,0 +1,124 @@
+package graft.sources
+
+import java.util
+import java.util.UUID
+
+import scala.collection.mutable
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 WRITE face of the raw-payload lake (SURVEY.md S3) — the
+  * `SupportsWrite` twin of [[OpenMeteoV2Source]]'s read connector, and the
+  * V2 form of `Weather.writeLake`. The reference's S3 writer routes each
+  * raw JSON payload to a Hive-style key
+  * `city=<c>/ds=<yyyy-mm-dd>/hour=<hh>/` (s3_writer.py:59-61); here every
+  * executor-side [[LakeDataWriter]] does that routing for its partition of
+  * rows — fully distributed, no driver involvement per row.
+  *
+  * {{{
+  * df.select(col("city"), col("ds"), col("hour"),
+  *     to_json(struct(...)).as("raw_json"))   // serialization stays codegen'd
+  *   .write.format("graft.sources.WeatherLakeV2Sink")
+  *   .mode("append").save(path)
+  * }}}
+  *
+  * Each task writes files named `part-<taskId>-<uuid>.json` directly under
+  * their final partition directories; `abort()` deletes the task's files,
+  * so a failed task leaves nothing behind and a retried task writes fresh
+  * names (append-only eventual-commit, the object-store-friendly layout the
+  * reference uses — no directory rename on commit).
+  */
+class WeatherLakeV2Sink extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    WeatherLakeV2Sink.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    if (path == null || path.trim.isEmpty) throw new IllegalArgumentException(
+      "WeatherLakeV2Sink: required option 'path' is missing (use .save(<path>))")
+    new WeatherLakeV2Sink.LakeTable(path)
+  }
+}
+
+object WeatherLakeV2Sink {
+  /** Pre-serialized payload row: partition keys + the raw JSON line. */
+  val Schema: StructType = StructType(Seq(
+    StructField("city", StringType, nullable = false),
+    StructField("ds", StringType, nullable = false),
+    StructField("hour", StringType, nullable = false),
+    StructField("raw_json", StringType, nullable = false)))
+
+  class LakeTable(path: String) extends Table with SupportsWrite {
+    override def name(): String = s"weather_lake($path)"
+    override def schema(): StructType = Schema
+    override def capabilities(): util.Set[TableCapability] =
+      util.EnumSet.of(TableCapability.BATCH_WRITE)
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+      new WriteBuilder {
+        override def build(): Write = new Write {
+          override def toBatch: BatchWrite = new BatchWrite {
+            override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory =
+              new LakeWriterFactory(path)
+            // files land under their final names during the task; nothing
+            // to move on commit (object-store-friendly, like the reference)
+            override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+            override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+          }
+        }
+      }
+  }
+
+  final case class FilesWritten(paths: Seq[String]) extends WriterCommitMessage
+
+  class LakeWriterFactory(path: String) extends DataWriterFactory {
+    override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+      new LakeDataWriter(path, partitionId, taskId)
+  }
+
+  /** Routes each row's JSON line into its `city=/ds=/hour=` directory,
+    * keeping one open stream per partition directory seen (bounded by the
+    * distinct key combinations in this task's rows). Production threads
+    * the real Hadoop conf through the factory; the default conf resolves
+    * local and default-FS paths, which is what this sandbox exercises.
+    */
+  class LakeDataWriter(basePath: String, partitionId: Int, taskId: Long)
+      extends DataWriter[InternalRow] {
+    private val fs = new Path(basePath).getFileSystem(new Configuration())
+    private val streams = mutable.Map.empty[String, org.apache.hadoop.fs.FSDataOutputStream]
+    private val written = mutable.ArrayBuffer.empty[String]
+    private val fileUuid = UUID.randomUUID().toString
+
+    override def write(row: InternalRow): Unit = {
+      val dir = s"city=${row.getString(0)}/ds=${row.getString(1)}/hour=${row.getString(2)}"
+      val out = streams.getOrElseUpdate(dir, {
+        val f = new Path(basePath,
+          s"$dir/part-$partitionId-$taskId-$fileUuid.json")
+        written += f.toString
+        fs.create(f, false)
+      })
+      out.write(row.getString(3).getBytes("UTF-8"))
+      out.write('\n')
+    }
+
+    override def commit(): WriterCommitMessage = {
+      streams.values.foreach(_.close())
+      FilesWritten(written.toSeq)
+    }
+
+    override def abort(): Unit = {
+      streams.values.foreach(s => try s.close() catch { case _: Exception => })
+      written.foreach(p => try fs.delete(new Path(p), false)
+        catch { case _: Exception => })
+    }
+
+    override def close(): Unit = ()
+  }
+}

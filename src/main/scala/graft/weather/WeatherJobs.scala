@@ -41,6 +41,45 @@ object WeatherJobs {
     fs.rename(tmp, dst)
   }
 
+  /** Partition-scoped MERGE upsert — the 100 TB form of [[upsertParquet]]:
+    * the staging table is Hive-partitioned by `ds` (derived from
+    * `timestamp`), and a batch rewrites ONLY the `ds` partitions it
+    * touches, via dynamic partition overwrite. Untouched partitions' files
+    * are left physically in place — an hourly batch against years of
+    * staging rewrites one or two days, not the table. Same last-write-wins
+    * contract as the reference's `ON CONFLICT DO UPDATE`
+    * (load_to_postgres.py:96-99): newest `_ingested_at` per
+    * (city, timestamp) survives, and re-applying a batch is a no-op.
+    *
+    * The touched-partition read is pruned with literal `ds` values (the
+    * driver-side collect is bounded by the number of DAYS in the batch —
+    * a handful for any incremental load, never data-scaled), so the merge
+    * input is O(touched partitions + batch), not O(table).
+    */
+  def mergeUpsertParquet(spark: SparkSession, batch: DataFrame, stagingPath: String): Unit = {
+    val withDs = batch.withColumn("ds", date_format(col("timestamp"), "yyyy-MM-dd"))
+    val merged =
+      if (Files.exists(Paths.get(stagingPath))) {
+        val touched = withDs.select(col("ds")).distinct()
+          .collect().map(_.getString(0)).toSeq
+        val current = spark.read.option("basePath", stagingPath).parquet(stagingPath)
+          .filter(col("ds").isin(touched: _*)) // partition-pruned scan
+        Weather.dedupUpsert(current.unionByName(withDs))
+      } else Weather.dedupUpsert(withDs)
+    // materialize before overwriting: the merged frame reads the same
+    // partitions the write replaces; checkpointing severs the file
+    // dependency. The pinned data is only the touched slice, so this stays
+    // small regardless of table size.
+    val pinned = merged.localCheckpoint(true)
+    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try pinned.write.mode("overwrite").partitionBy("ds").parquet(stagingPath)
+    finally prevMode match {
+      case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   /** Keys already loaded, persisted like `staging._ingest_log`
     * (load_to_postgres.py:152-162).
     */

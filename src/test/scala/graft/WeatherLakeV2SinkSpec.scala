@@ -1,0 +1,78 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.weather.Weather
+
+/** The DSv2 write path (WeatherLakeV2Sink) must be a drop-in twin of
+  * Weather.writeLake: identical Hive partition directory layout, and
+  * readLake parses both lakes into identical rows.
+  */
+class WeatherLakeV2SinkSpec extends SparkSpec {
+
+  private def rawFixture: DataFrame = {
+    val s = spark
+    import s.implicits._
+    Weather.fixturePayloads
+      .toDF("city", "_ingested_at_s", "raw_json")
+      .select(col("city"),
+        col("_ingested_at_s").cast("timestamp").as("_ingested_at"),
+        from_json(col("raw_json"), Weather.RawWeatherSchema).as("p"))
+      .select(col("city"), col("_ingested_at"), col("p.*"))
+      .withColumn("ds", lit("2025-10-31"))
+      .withColumn("hour", date_format(col("_ingested_at"), "HH"))
+  }
+
+  private def partitionDirs(root: String): Set[String] = {
+    def walk(f: File): Seq[File] =
+      if (f.isDirectory) f +: f.listFiles().toSeq.flatMap(walk) else Nil
+    walk(new File(root))
+      .filter(d => d.getName.startsWith("hour="))
+      .map(_.getAbsolutePath.stripPrefix(new File(root).getAbsolutePath))
+      .toSet
+  }
+
+  private def canon(lake: String): Set[(String, String, String, Double, Double, String, String, Long)] =
+    Weather.readLake(spark, lake)
+      .select(col("city"), col("ds").cast("string"), col("hour").cast("string"),
+        col("latitude"), col("longitude"), col("timezone"),
+        to_json(col("hourly")).as("hourly_json"),
+        unix_micros(col("_ingested_at")).as("ing_us"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3),
+        r.getDouble(4), r.getString(5), r.getString(6), r.getLong(7)))
+      .toSet
+
+  test("V2 sink layout and content match writeLake") {
+    val base = Files.createTempDirectory("lakev2").toString
+    val v1 = s"$base/v1"; val v2 = s"$base/v2"
+    val raw = rawFixture
+    Weather.writeLake(raw, v1)
+    raw.select(col("city"), col("ds"), col("hour"),
+        to_json(struct(col("latitude"), col("longitude"), col("timezone"),
+          col("hourly"), col("_ingested_at"))).as("raw_json"))
+      .write.format("graft.sources.WeatherLakeV2Sink")
+      .mode("append").save(v2)
+    // identical Hive partition directory tree
+    val d1 = partitionDirs(v1)
+    assert(d1.nonEmpty)
+    assert(d1.map(_.replace("/v1", "")) ==
+      partitionDirs(v2).map(_.replace("/v2", "")))
+    // identical parsed content through the same reader
+    val c1 = canon(v1)
+    assert(c1.size == 5) // 5 fixture payload rows
+    assert(c1 == canon(v2))
+  }
+
+  test("missing path option fails fast with the option named") {
+    val e = intercept[IllegalArgumentException] {
+      new graft.sources.WeatherLakeV2Sink()
+        .getTable(graft.sources.WeatherLakeV2Sink.Schema,
+          Array.empty, new java.util.HashMap[String, String]())
+    }
+    assert(e.getMessage.contains("path"))
+  }
+}
