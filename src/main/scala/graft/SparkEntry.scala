@@ -1059,8 +1059,115 @@ object SparkEntry {
       Some(knnOracle(cellFilter = true)),
       (s, dir) => Similarity.cellTopK(
         Tables.embeddings(s, dir), col("vec_id") < 10, 3)
-        .withColumnRenamed("rank", "knn_rank"))
+        .withColumnRenamed("rank", "knn_rank")),
+
+    QueryDef("s05_knn_ivf_seeded",
+      "Full IVF search, oracled end-to-end with 1 < nProbe < nCells: " +
+        "centroids are deterministically seeded (embeddings of the 8 lowest " +
+        "ids — reproducible by any engine from the table alone), every " +
+        "vector is assigned to its argmax-cosine cell, and each probe scans " +
+        "only its 3 nearest cells. Exercises the real IVF candidate-" +
+        "pruning path, unlike s02's precomputed label cells.",
+      Some(seededIvfOracle(nCells = 8, nProbe = 3, k = 3)),
+      (s, dir) => graft.similarity.IvfIndex.seededSearch(
+        Tables.embeddings(s, dir), nCells = 8, col("vec_id") < 10,
+        k = 3, nProbe = 3)),
+
+    QueryDef("q36_nested_in_subqueries",
+      "TPC-H Q20 shape: two-level nested IN subqueries plus a correlated " +
+        "scalar aggregate — exercises Catalyst's predicate-subquery " +
+        "rewrite (semi-joins) and scalar decorrelation paths that no " +
+        "hand-built DataFrame query touches. Tables referenced by path " +
+        "(parquet.`…`) so no session temp-view state is mutated.",
+      Some("""SELECT p_partkey, p_name, p_retailprice
+        |FROM part
+        |WHERE p_name LIKE '%red%' AND p_partkey IN (
+        |  SELECT l_partkey FROM lineitem l
+        |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 5000)
+        |    AND l_quantity > (
+        |      SELECT 1.8 * CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*)
+        |      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey))""".stripMargin),
+      (s, dir) => s.sql(
+        s"""SELECT p_partkey, p_name, p_retailprice
+           |FROM parquet.`$dir/part.parquet`
+           |WHERE p_name LIKE '%red%' AND p_partkey IN (
+           |  SELECT l_partkey FROM parquet.`$dir/lineitem.parquet` l
+           |  WHERE l_suppkey IN (
+           |      SELECT s_suppkey FROM parquet.`$dir/supplier.parquet`
+           |      WHERE s_acctbal > 5000)
+           |    AND l_quantity > (
+           |      SELECT 1.8 * CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*)
+           |      FROM parquet.`$dir/lineitem.parquet` l2
+           |      WHERE l2.l_partkey = l.l_partkey))""".stripMargin)),
+
+    QueryDef("q37_semi_anti_self_join",
+      "TPC-H Q21 shape: multi-way join with EXISTS (semi) and NOT EXISTS " +
+        "(anti) self-joins on lineitem — suppliers who were the ONLY late " +
+        "shipper (>90 days after order date) in a multi-supplier finished " +
+        "order. Exercises correlated-exists decorrelation over a " +
+        "self-joined fact table.",
+      Some("""SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM supplier, lineitem l1, orders o
+        |WHERE s_suppkey = l1.l_suppkey AND o.o_orderkey = l1.l_orderkey
+        |  AND o.o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |              WHERE l3.l_orderkey = l1.l_orderkey
+        |                AND l3.l_suppkey <> l1.l_suppkey
+        |                AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY s_name""".stripMargin),
+      (s, dir) => s.sql(
+        s"""SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+           |FROM parquet.`$dir/supplier.parquet`,
+           |     parquet.`$dir/lineitem.parquet` l1,
+           |     parquet.`$dir/orders.parquet` o
+           |WHERE s_suppkey = l1.l_suppkey AND o.o_orderkey = l1.l_orderkey
+           |  AND o.o_orderstatus = 'F'
+           |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+           |  AND EXISTS (SELECT 1 FROM parquet.`$dir/lineitem.parquet` l2
+           |              WHERE l2.l_orderkey = l1.l_orderkey
+           |                AND l2.l_suppkey <> l1.l_suppkey)
+           |  AND NOT EXISTS (SELECT 1 FROM parquet.`$dir/lineitem.parquet` l3
+           |              WHERE l3.l_orderkey = l1.l_orderkey
+           |                AND l3.l_suppkey <> l1.l_suppkey
+           |                AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+           |GROUP BY s_name""".stripMargin))
   )
+
+  /** DuckDB replica of the full seeded-IVF search (IvfIndex.seededSearch):
+    * same centroid seeding (lowest `nCells` ids), same rounded-cosine
+    * argmax assignment with lowest-cell ties, same nProbe cell ranking per
+    * probe, same top-k.
+    */
+  private def seededIvfOracle(nCells: Int, nProbe: Int, k: Int): String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings),
+       |cent AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < $nCells),
+       |aprod AS (SELECT e.vec_id AS nid, cell, unnest(v) AS x, unnest(cv) AS y
+       |          FROM e CROSS JOIN cent),
+       |adots AS (SELECT nid, cell, SUM(x*y) AS dot, SUM(x*x) AS n2, SUM(y*y) AS c2
+       |          FROM aprod GROUP BY nid, cell),
+       |acos AS (SELECT nid, cell, ROUND(dot/(SQRT(n2)*SQRT(c2)), 6) AS a_cos FROM adots),
+       |assign AS (SELECT nid, cell FROM (
+       |  SELECT nid, cell, ROW_NUMBER() OVER (PARTITION BY nid
+       |    ORDER BY a_cos DESC, cell) AS rn FROM acos) WHERE rn = 1),
+       |probecells AS (SELECT nid AS pid, cell FROM (
+       |  SELECT nid, cell, ROW_NUMBER() OVER (PARTITION BY nid
+       |    ORDER BY a_cos DESC, cell) AS cr FROM acos WHERE nid < 10)
+       |  WHERE cr <= $nProbe),
+       |cand AS (SELECT pid, a.nid FROM probecells p JOIN assign a ON p.cell = a.cell
+       |         WHERE a.nid <> p.pid),
+       |prod AS (SELECT pid, nid, unnest(pe.v) AS x, unnest(ne.v) AS y
+       |         FROM cand JOIN e pe ON pe.vec_id = pid JOIN e ne ON ne.vec_id = nid),
+       |dots AS (SELECT pid, nid, SUM(x*y) AS dot, SUM(x*x) AS na2, SUM(y*y) AS nb2
+       |         FROM prod GROUP BY pid, nid),
+       |cs AS (SELECT pid, nid, ROUND(dot/(SQRT(na2)*SQRT(nb2)), 6) AS cos_sim FROM dots),
+       |r AS (SELECT pid, nid, cos_sim,
+       |      ROW_NUMBER() OVER (PARTITION BY pid ORDER BY cos_sim DESC, nid) AS rn FROM cs)
+       |SELECT pid, nid, cos_sim, CAST(rn AS BIGINT) AS knn_rank FROM r WHERE rn <= $k""".stripMargin
 
   private def knnOracle(cellFilter: Boolean): String = {
     val cellJoin = if (cellFilter) " AND e.label = p.plabel" else ""

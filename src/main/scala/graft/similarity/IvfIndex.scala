@@ -51,6 +51,63 @@ object IvfIndex {
       .toSeq.toDF("cell", "centroid")
   }
 
+  /** Deterministic "seeded" IVF — the oracle-checkable variant of [[build]]:
+    * centroids are the embeddings of the `nCells` lowest ids (k-means++'s
+    * seeding step without the Lloyd iterations — no trained model, so ANY
+    * engine can reproduce the exact index from the table alone). Assignment
+    * is argmax cosine over the centroid set, cosines rounded to 6 decimals
+    * and ties to the lowest cell so both engines rank identically.
+    * Returns (nid, cell, v). One broadcast of O(nCells·dim) + one window
+    * shuffle keyed by vector id — the same join shape as the learned index.
+    */
+  def seededAssign(emb: DataFrame, nCells: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    val e = emb.select(col(idCol).as("nid"), widened(vecCol).as("v"))
+    val cent = e.filter(col("nid") < nCells)
+      .select(col("nid").as("cell"), col("v").as("cv"))
+    val w = Window.partitionBy(col("nid"))
+      .orderBy(col("a_cos").desc, col("cell").asc)
+    e.crossJoin(broadcast(cent))
+      .withColumn("a_cos", round(CosineSimilarity(spark, col("v"), col("cv")), 6))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("nid"), col("cell"), col("v"))
+  }
+
+  /** IVF search over the seeded index with 1 ≤ nProbe ≤ nCells: rank cells
+    * per probe by centroid cosine, scan only the top `nProbe` cells'
+    * vectors, return cosine top-k. Equi-join on the cell key — per-probe
+    * cost is O(nProbe · corpus / nCells), never a cross product.
+    */
+  def seededSearch(emb: DataFrame, nCells: Int, isProbe: Column, k: Int,
+      nProbe: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCells, s"nProbe=$nProbe out of [1,$nCells]")
+    val spark = emb.sparkSession
+    val assigned = seededAssign(emb, nCells, idCol, vecCol)
+    val cent = emb.filter(col(idCol) < nCells)
+      .select(col(idCol).as("cell"), widened(vecCol).as("cv"))
+    val probes = emb.filter(isProbe)
+      .select(col(idCol).as("pid"), widened(vecCol).as("__pv"))
+    val wc = Window.partitionBy(col("pid"))
+      .orderBy(col("c_cos").desc, col("cell").asc)
+    val probeCells = probes.crossJoin(broadcast(cent))
+      .withColumn("c_cos", round(CosineSimilarity(spark, col("__pv"), col("cv")), 6))
+      .withColumn("__cr", row_number().over(wc))
+      .filter(col("__cr") <= nProbe)
+      .select(col("pid"), col("__pv"), col("cell"))
+    val w = Window.partitionBy(col("pid")).orderBy(col("cos_sim").desc, col("nid"))
+    probeCells.join(assigned, Seq("cell"))
+      .filter(col("nid") =!= col("pid"))
+      .withColumn("cos_sim",
+        round(CosineSimilarity(spark, col("__pv"), col("v")), 6))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("pid"), col("nid"), col("cos_sim"),
+        col("__rn").cast("long").as("knn_rank"))
+  }
+
   /** Top-k nearest (by cosine) corpus vectors per probe, scanning only the
     * nProbe nearest cells per probe.
     */

@@ -29,6 +29,28 @@ class IvfIndexSpec extends SparkSpec {
     assert(ivf.size == exact.size) // still returns k per probe
   }
 
+  test("seeded IVF: nProbe = nCells degenerates to exact brute-force search") {
+    val ivf = IvfIndex.seededSearch(emb, nCells = 8, col("vec_id") < 10,
+        k = 5, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val exact = Similarity.bruteForceTopK(emb, col("vec_id") < 10, 5)
+      .collect().map(r => (r.getAs[Long]("pid"), r.getAs[Long]("nid"),
+        r.getAs[Long]("rank"))).toSet
+    assert(ivf == exact)
+  }
+
+  test("seeded IVF assignment is total and deterministic across evaluations") {
+    val a1 = IvfIndex.seededAssign(emb, nCells = 8)
+      .select(col("nid"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a2 = IvfIndex.seededAssign(emb, nCells = 8)
+      .select(col("nid"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a1 == a2)
+    assert(a1.size == emb.count())
+    assert(a1.map(_._1).size == a1.size) // one cell per vector
+  }
+
   test("every corpus vector is assigned to exactly one cell") {
     val ix = IvfIndex.build(emb, k = 8)
     assert(ix.assigned.count() == emb.count())
