@@ -1,14 +1,34 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
 
-/** Dev tool: print the formatted physical plan of a named query and time it
-  * (cold + warm). Usage: runMain graft.Explain <name> [sfDir].
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Dev tool, two modes:
+  *
+  *  - `runMain graft.Explain <name> [sfDir]` — print the formatted physical
+  *    plan of one query and time it (cold + warm).
+  *  - `runMain graft.Explain --all [sfDir] [outDir]` — dump every query's
+  *    formatted plan to `<outDir>/<name>.txt` with volatile tokens
+  *    (expression ids, plan ids, file paths, stats) scrubbed, so snapshots
+  *    are committable and plan regressions (a lost pushdown, a new
+  *    Exchange) show up as git diffs round-over-round.
   */
 object Explain {
+
+  /** Strip run-variable noise so two dumps of the same logical plan are
+    * byte-identical.
+    */
+  def scrub(plan: String, sfDir: String): String = plan
+    .replace(sfDir, "<SF>")
+    .replaceAll("#\\d+", "#x")
+    .replaceAll("plan_id=\\d+", "plan_id=x")
+    .replaceAll("Location: InMemoryFileIndex[^\\n]*", "Location: <scrubbed>")
+    .replaceAll("file:[^,\\]\\s]*", "<path>")
+    .replaceAll("Statistics\\([^)]*\\)", "Statistics(<scrubbed>)")
+
   def main(args: Array[String]): Unit = {
-    val name = args(0)
-    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -18,13 +38,29 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fn = SparkEntry.queries(name)
-    println(fn(spark, sfDir).queryExecution.explainString(
-      org.apache.spark.sql.execution.FormattedMode))
-    for (i <- 1 to 3) {
-      val t0 = System.nanoTime()
-      fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      println(f"run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    if (args.headOption.contains("--all")) {
+      val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+      val outDir = if (args.length > 2) args(2) else "plans"
+      Files.createDirectories(Paths.get(outDir))
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        try {
+          val plan = fn(spark, sfDir).queryExecution.explainString(FormattedMode)
+          Files.writeString(Paths.get(s"$outDir/$name.txt"), scrub(plan, sfDir))
+          println(s"[plans] wrote $outDir/$name.txt")
+        } catch { case e: Throwable =>
+          System.err.println(s"[plans] $name failed: ${e.getMessage}")
+        }
+      }
+    } else {
+      val name = args(0)
+      val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+      val fn = SparkEntry.queries(name)
+      println(fn(spark, sfDir).queryExecution.explainString(FormattedMode))
+      for (i <- 1 to 3) {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        println(f"run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
     }
     spark.stop()
   }

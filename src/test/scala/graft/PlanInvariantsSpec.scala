@@ -1,0 +1,69 @@
+package graft
+
+/** Plan-shape regression gate: the properties that make the catalog scale
+  * (pushdowns, pruning, partitioned windows, no cartesian products) are
+  * asserted on the ACTUAL physical plans, so losing one fails loudly in CI
+  * instead of silently costing 2× at the bench. Complemented by the
+  * committable `runMain graft.Explain --all` snapshots under plans/.
+  */
+class PlanInvariantsSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001)
+      .queryExecution.executedPlan.toString
+
+  private def formatted(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+
+  test("q01: shipdate filter is pushed to the parquet scan") {
+    val f = formatted("q01_pricing_summary")
+    assert(f.contains("PushedFilters:"), "no pushdown section in scan")
+    assert(f.matches("(?s).*PushedFilters: \\[[^\\]]*l_shipdate[^\\]]*\\].*"),
+      "l_shipdate not in PushedFilters")
+  }
+
+  test("q01: scan prunes to the referenced columns only") {
+    val f = formatted("q01_pricing_summary")
+    val readSchema = f.linesIterator.filter(_.contains("ReadSchema:")).mkString
+    assert(readSchema.nonEmpty)
+    assert(!readSchema.contains("l_orderkey"),
+      s"unpruned column in scan: $readSchema")
+    assert(!readSchema.contains("l_partkey"),
+      s"unpruned column in scan: $readSchema")
+  }
+
+  test("q22: the gap-numbering window is partitioned, not a global sort") {
+    val p = plan("q22_batching")
+    assert(p.contains("hashpartitioning(__coarse"),
+      "two-stage row numbering lost its coarse partitioning")
+  }
+
+  test("q02: bounded dims join via broadcast") {
+    val p = plan("q02_region_revenue")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "nation/region no longer broadcast")
+  }
+
+  test("q36: IN subqueries decorrelate to semi-joins") {
+    val p = plan("q36_nested_in_subqueries")
+    assert(p.contains("LeftSemi"), "predicate subquery not rewritten to semi-join")
+  }
+
+  test("q37: NOT EXISTS decorrelates to an anti-join") {
+    val p = plan("q37_semi_anti_self_join")
+    assert(p.contains("LeftAnti"), "NOT EXISTS not rewritten to anti-join")
+    assert(p.contains("LeftSemi"), "EXISTS not rewritten to semi-join")
+  }
+
+  test("no query plans a CartesianProduct (cross joins must broadcast)") {
+    // iterative queries (d06) run their loop during plan construction at
+    // sf0.001 — acceptable here; this sweep is the whole point of the gate
+    for (name <- SparkEntry.queries.keys.toSeq.sorted) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct")
+    }
+  }
+}
