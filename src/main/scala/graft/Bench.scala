@@ -12,8 +12,12 @@ import org.apache.spark.sql.SparkSession
   *  - every table is warmed (scanned through noop) before the timed loop,
   *    so the first query to touch lineitem isn't charged its first-scan IO
   *    and codegen warm-up;
-  *  - each query is timed best-of-2 to damp container noise (same query
-  *    has measured 2.5 s vs 8.4 s across runs here);
+  *  - timing runs as N full INTERLEAVED passes over the whole query list
+  *    (pass 1: q1..qN, pass 2: q1..qN, ...), per-query min across passes.
+  *    Back-to-back best-of-2 put both samples of a query inside the same
+  *    noisy window (this container has measured the same plan at 0.5 s and
+  *    12.6 s minutes apart); interleaving separates a query's samples by a
+  *    full pass (~30 s+), so a noise burst can poison at most one of them;
   *  - a query that throws is recorded with a -1 sentinel and listed in a
   *    "failed" array instead of silently contributing an artificially
   *    short elapsed time to the total.
@@ -40,18 +44,26 @@ object Bench {
       Tables.table(spark, sfDir, t)
         .write.mode("overwrite").format("noop").save()
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        (System.nanoTime() - t0) / 1e9
-      }
-      try name -> math.min(once(), once())
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        name -> -1.0
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val best = scala.collection.mutable.LinkedHashMap[String, Double]()
+    for (pass <- 1 to passes; (name, fn) <- ordered) {
+      val elapsed =
+        try {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed (pass $pass): ${e.getMessage}")
+          -1.0
+        }
+      best.get(name) match {
+        case Some(prev) if prev >= 0 && elapsed >= 0 => best(name) = math.min(prev, elapsed)
+        case Some(prev) if prev >= 0 => () // keep the good sample over a late failure
+        case _ => best(name) = elapsed
       }
     }
+    val results = best.toSeq
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }

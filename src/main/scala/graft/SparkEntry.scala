@@ -1073,6 +1073,76 @@ object SparkEntry {
         Tables.embeddings(s, dir), nCells = 8, col("vec_id") < 10,
         k = 3, nProbe = 3)),
 
+    QueryDef("s06_knn_ivf_learned",
+      "Learned-KMeans IVF search, oracled end-to-end: trains 8 Lloyd " +
+        "centroids (seed 42), EXPORTS them to parquet, then runs the same " +
+        "rounded-cosine assignment + 3-probe-cell top-3 search as s05 over " +
+        "the trained centers. The oracle reads the exported centroid " +
+        "doubles back bit-exactly, so the production-shaped index (trained " +
+        "model, real candidate pruning) is hash-checkable without the " +
+        "oracle retraining k-means.",
+      Some(learnedIvfOracle(nProbe = 3, k = 3)),
+      (s, dir) => graft.similarity.IvfIndex.learnedSearch(
+        Tables.embeddings(s, dir), k = 8, col("vec_id") < 10,
+        topK = 3, nProbe = 3)),
+
+    QueryDef("p01_curation_pipeline",
+      "The COMPOSED curation pipeline end-to-end (TrainingDataPipeline): " +
+        "quality filter (t05's thresholds) → exact dedup (d01's md5 " +
+        "canonicalization) → near-dup clustering (d02/d06's jaccard>=0.9 " +
+        "connected components) → 40/20 token chunking (t04) with per-chunk " +
+        "rolling-hash fingerprints. Each stage is individually oracled; " +
+        "this row hash-checks the CROSS-STAGE column contracts by " +
+        "composing the same four oracle CTE chains in DuckDB.",
+      Some("""WITH RECURSIVE tok AS (SELECT doc_id, text, source,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |q AS (SELECT doc_id, text, source, toks FROM (
+        |  SELECT doc_id, text, source, toks,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    ROUND(CAST(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT))) AS DOUBLE)/len(toks), 4) AS avg_token_len,
+        |    ROUND(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)/len(toks), 4) AS stopword_ratio
+        |  FROM tok)
+        |  WHERE n_tokens >= 30 AND avg_token_len <= 6.0 AND stopword_ratio >= 0.01),
+        |ex AS (SELECT doc_id, text, source, toks FROM (
+        |  SELECT q.*, MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id FROM q)
+        |  WHERE doc_id = canonical_id),
+        |dtoks AS (SELECT doc_id, source, list_distinct(toks) AS dt FROM ex),
+        |pairs AS (SELECT doc_a, doc_b FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.dt, b.dt)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.dt, b.dt))) AS j
+        |  FROM dtoks a JOIN dtoks b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |  WHERE round(j, 6) >= 0.9),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(node, label) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node),
+        |comp AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node),
+        |kept AS (SELECT ex.doc_id, ex.toks FROM ex
+        |         LEFT JOIN comp c ON ex.doc_id = c.node
+        |         WHERE c.node IS NULL OR c.label = ex.doc_id),
+        |cidx AS (SELECT doc_id, toks,
+        |  unnest(generate_series(0,
+        |    greatest(0, CAST(ceil(CAST(len(toks) - 40 AS DOUBLE) / 20) AS INT)))) AS chunk_idx
+        |  FROM kept),
+        |ch AS (SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  array_to_string(list_slice(toks, chunk_idx*20 + 1, chunk_idx*20 + 40), ' ') AS chunk_text,
+        |  CAST(len(list_slice(toks, chunk_idx*20 + 1, chunk_idx*20 + 40)) AS BIGINT) AS chunk_tokens
+        |  FROM cidx WHERE len(list_slice(toks, chunk_idx*20 + 1, chunk_idx*20 + 40)) > 0)
+        |SELECT doc_id, chunk_idx, chunk_text, chunk_tokens,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(generate_series(1, length(chunk_text)),
+        |                   i -> CAST(ascii(substr(chunk_text, i, 1)) AS BIGINT))),
+        |    (acc, ci) -> (acc * 31 + ci) % 1000000007) AS BIGINT) AS chunk_fingerprint
+        |FROM ch""".stripMargin),
+      (s, dir) => graft.pipeline.TrainingDataPipeline.run(
+        s, Tables.documents(s, dir),
+        minTokens = 30, maxAvgTokenLen = 6.0, minStopwordRatio = 0.01,
+        nearDupThreshold = 0.9, chunkTokens = 40, strideTokens = 20).chunks),
+
     QueryDef("q36_nested_in_subqueries",
       "TPC-H Q20 shape: two-level nested IN subqueries plus a correlated " +
         "scalar aggregate — exercises Catalyst's predicate-subquery " +
@@ -1134,7 +1204,61 @@ object SparkEntry {
            |              WHERE l3.l_orderkey = l1.l_orderkey
            |                AND l3.l_suppkey <> l1.l_suppkey
            |                AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
-           |GROUP BY s_name""".stripMargin))
+           |GROUP BY s_name""".stripMargin)),
+
+    QueryDef("q38_having_semi_join",
+      "TPC-H Q18 shape: IN-subquery whose inner query is an AGGREGATED " +
+        "fact table with HAVING (large-quantity orders) — a semi-join " +
+        "against a derived aggregate, the one decorrelation pattern " +
+        "q19/q36 don't cover. Top-100 by totalprice with a unique " +
+        "orderkey tie-break for determinism.",
+      Some("""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM customer, orders, lineitem
+        |WHERE o_orderkey IN (
+        |    SELECT l_orderkey FROM lineitem
+        |    GROUP BY l_orderkey
+        |    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+        |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin),
+      (s, dir) => s.sql(
+        s"""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+           |FROM parquet.`$dir/customer.parquet`,
+           |     parquet.`$dir/orders.parquet`,
+           |     parquet.`$dir/lineitem.parquet`
+           |WHERE o_orderkey IN (
+           |    SELECT l_orderkey FROM parquet.`$dir/lineitem.parquet`
+           |    GROUP BY l_orderkey
+           |    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+           |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+           |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+           |ORDER BY o_totalprice DESC, o_orderkey
+           |LIMIT 100""".stripMargin)),
+
+    QueryDef("q39_scalar_agg_filter",
+      "TPC-H Q17 shape: correlated scalar AGGREGATE subquery as a filter " +
+        "against the same fact table (small-quantity lineitems below half " +
+        "their part's average) feeding a global aggregate — Catalyst " +
+        "decorrelates to an aggregate-then-join. AVG expressed as " +
+        "decimal-sum/count for cross-engine float parity.",
+      Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/7.0 AS avg_yearly
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey AND p_size <= 10
+        |  AND l_quantity < (
+        |    SELECT 0.5 * CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*)
+        |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin),
+      (s, dir) => s.sql(
+        s"""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/7.0 AS avg_yearly
+           |FROM parquet.`$dir/lineitem.parquet`,
+           |     parquet.`$dir/part.parquet`
+           |WHERE p_partkey = l_partkey AND p_size <= 10
+           |  AND l_quantity < (
+           |    SELECT 0.5 * CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*)
+           |    FROM parquet.`$dir/lineitem.parquet` l2
+           |    WHERE l2.l_partkey = p_partkey)""".stripMargin))
   )
 
   /** DuckDB replica of the full seeded-IVF search (IvfIndex.seededSearch):
@@ -1143,9 +1267,24 @@ object SparkEntry {
     * probe, same top-k.
     */
   private def seededIvfOracle(nCells: Int, nProbe: Int, k: Int): String =
+    ivfOracle(s"SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < $nCells",
+      nProbe, k)
+
+  /** DuckDB replica of IvfIndex.learnedSearch: identical to the seeded
+    * oracle except the centroid CTE reads the EXPORTED trained centroids —
+    * parquet roundtrips the doubles bit-exactly, so assignment, cell
+    * ranking, and top-k reproduce hash-exactly without retraining k-means.
+    */
+  private def learnedIvfOracle(nProbe: Int, k: Int): String =
+    ivfOracle(
+      "SELECT cell, cv FROM read_parquet('" +
+        graft.similarity.IvfIndex.ExportedCentroidsPath + "/*.parquet')",
+      nProbe, k)
+
+  private def ivfOracle(centSql: String, nProbe: Int, k: Int): String =
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |           FROM embeddings),
-       |cent AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < $nCells),
+       |cent AS ($centSql),
        |aprod AS (SELECT e.vec_id AS nid, cell, unnest(v) AS x, unnest(cv) AS y
        |          FROM e CROSS JOIN cent),
        |adots AS (SELECT nid, cell, SUM(x*y) AS dot, SUM(x*x) AS n2, SUM(y*y) AS c2

@@ -31,6 +31,8 @@ object TrainingDataPipeline {
       spark: SparkSession,
       docs: DataFrame,
       minTokens: Long = 20,
+      maxAvgTokenLen: Double = 12.0,
+      minStopwordRatio: Double = 0.0,
       nearDupThreshold: Double = 0.95,
       chunkTokens: Int = 40,
       strideTokens: Int = 20): Result = {
@@ -39,7 +41,7 @@ object TrainingDataPipeline {
 
     // 1. quality pre-filter
     val quality = Text.qualityFilter(docs, minTokens,
-      maxAvgTokenLen = 12.0, minStopwordRatio = 0.0)
+      maxAvgTokenLen, minStopwordRatio)
       .localCheckpoint(true)
     val nQuality = quality.count()
 

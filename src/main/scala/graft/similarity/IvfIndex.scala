@@ -51,21 +51,22 @@ object IvfIndex {
       .toSeq.toDF("cell", "centroid")
   }
 
-  /** Deterministic "seeded" IVF — the oracle-checkable variant of [[build]]:
-    * centroids are the embeddings of the `nCells` lowest ids (k-means++'s
-    * seeding step without the Lloyd iterations — no trained model, so ANY
-    * engine can reproduce the exact index from the table alone). Assignment
-    * is argmax cosine over the centroid set, cosines rounded to 6 decimals
-    * and ties to the lowest cell so both engines rank identically.
-    * Returns (nid, cell, v). One broadcast of O(nCells·dim) + one window
-    * shuffle keyed by vector id — the same join shape as the learned index.
+  /** Where s06 materializes its trained centroids so the DuckDB oracle can
+    * reproduce assignment from the SAME doubles (parquet roundtrips doubles
+    * exactly). Written by the query, read by the static oracle SQL.
     */
-  def seededAssign(emb: DataFrame, nCells: Int, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+  val ExportedCentroidsPath = "/tmp/graft_ivf_centroids"
+
+  /** Assign every vector to its argmax-cosine cell over an arbitrary
+    * centroid frame `cent` (cell, cv: array<double>). Cosines rounded to 6
+    * decimals and ties to the lowest cell so any engine given the same
+    * centroid doubles ranks identically. Returns (nid, cell, v). One
+    * broadcast of O(nCells·dim) + one window shuffle keyed by vector id.
+    */
+  def assignByCosine(emb: DataFrame, cent: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = emb.sparkSession
     val e = emb.select(col(idCol).as("nid"), widened(vecCol).as("v"))
-    val cent = e.filter(col("nid") < nCells)
-      .select(col("nid").as("cell"), col("v").as("cv"))
     val w = Window.partitionBy(col("nid"))
       .orderBy(col("a_cos").desc, col("cell").asc)
     e.crossJoin(broadcast(cent))
@@ -75,19 +76,17 @@ object IvfIndex {
       .select(col("nid"), col("cell"), col("v"))
   }
 
-  /** IVF search over the seeded index with 1 ≤ nProbe ≤ nCells: rank cells
+  /** IVF search over an arbitrary centroid frame `cent` (cell, cv) with
+    * 1 ≤ nProbe ≤ nCells: assign the corpus by argmax cosine, rank cells
     * per probe by centroid cosine, scan only the top `nProbe` cells'
     * vectors, return cosine top-k. Equi-join on the cell key — per-probe
     * cost is O(nProbe · corpus / nCells), never a cross product.
     */
-  def seededSearch(emb: DataFrame, nCells: Int, isProbe: Column, k: Int,
-      nProbe: Int, idCol: String = "vec_id",
+  def searchWithCentroids(emb: DataFrame, cent: DataFrame, isProbe: Column,
+      k: Int, nProbe: Int, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    require(nProbe >= 1 && nProbe <= nCells, s"nProbe=$nProbe out of [1,$nCells]")
     val spark = emb.sparkSession
-    val assigned = seededAssign(emb, nCells, idCol, vecCol)
-    val cent = emb.filter(col(idCol) < nCells)
-      .select(col(idCol).as("cell"), widened(vecCol).as("cv"))
+    val assigned = assignByCosine(emb, cent, idCol, vecCol)
     val probes = emb.filter(isProbe)
       .select(col(idCol).as("pid"), widened(vecCol).as("__pv"))
     val wc = Window.partitionBy(col("pid"))
@@ -106,6 +105,52 @@ object IvfIndex {
       .filter(col("__rn") <= k)
       .select(col("pid"), col("nid"), col("cos_sim"),
         col("__rn").cast("long").as("knn_rank"))
+  }
+
+  /** Deterministic "seeded" centroid frame: the embeddings of the `nCells`
+    * lowest ids (k-means++'s seeding step without the Lloyd iterations —
+    * no trained model, so ANY engine can reproduce the exact index from
+    * the table alone).
+    */
+  def seededCentroids(emb: DataFrame, nCells: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    emb.filter(col(idCol) < nCells)
+      .select(col(idCol).as("cell"), widened(vecCol).as("cv"))
+
+  /** [[assignByCosine]] over the seeded centroids — the oracle-checkable
+    * variant of [[build]]'s assignment.
+    */
+  def seededAssign(emb: DataFrame, nCells: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    assignByCosine(emb, seededCentroids(emb, nCells, idCol, vecCol), idCol, vecCol)
+
+  /** IVF search over the seeded index — [[searchWithCentroids]] with the
+    * reproducible-from-the-table centroid set.
+    */
+  def seededSearch(emb: DataFrame, nCells: Int, isProbe: Column, k: Int,
+      nProbe: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCells, s"nProbe=$nProbe out of [1,$nCells]")
+    searchWithCentroids(emb, seededCentroids(emb, nCells, idCol, vecCol),
+      isProbe, k, nProbe, idCol, vecCol)
+  }
+
+  /** The learned-index twin of [[seededSearch]]: train k-means centroids
+    * ([[build]]'s step 1), EXPORT them to `exportPath` as (cell, cv)
+    * parquet, then run the same rounded-cosine assignment + nProbe search
+    * over them. Because the oracle reads the exported doubles back
+    * bit-exactly, the full search — Lloyd-trained centroids included — is
+    * hash-checkable in any engine (reference: pgvector-style IVFFlat /
+    * FAISS IVF, public literature).
+    */
+  def learnedSearch(emb: DataFrame, k: Int, isProbe: Column, topK: Int,
+      nProbe: Int, exportPath: String = ExportedCentroidsPath,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nProbe >= 1 && nProbe <= k, s"nProbe=$nProbe out of [1,$k]")
+    val ix = build(emb, k, idCol, vecCol)
+    val cent = centroids(ix).select(col("cell"), col("centroid").as("cv"))
+    cent.coalesce(1).write.mode("overwrite").parquet(exportPath)
+    searchWithCentroids(emb, cent, isProbe, topK, nProbe, idCol, vecCol)
   }
 
   /** Top-k nearest (by cosine) corpus vectors per probe, scanning only the

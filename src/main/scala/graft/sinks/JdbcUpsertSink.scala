@@ -1,6 +1,6 @@
 package graft.sinks
 
-import java.sql.Connection
+import java.sql.{Connection, Statement}
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, Row}
@@ -44,7 +44,8 @@ object JdbcUpsertSink {
   final case class SingleStatement(sql: String) extends UpsertStatements
   /** Portable two-step: batched UPDATE (params: non-keys then keys), then
     * batched INSERT (params: all columns) for the rows the UPDATE missed
-    * (per-statement update count 0).
+    * (per-statement update count 0; a SUCCESS_NO_INFO count is resolved by
+    * re-applying that row's UPDATE singly before deciding).
     */
   final case class UpdateThenInsert(updateSql: String, insertSql: String)
       extends UpsertStatements
@@ -133,7 +134,21 @@ object JdbcUpsertSink {
                   val counts = up.executeBatch()
                   var inserts = 0
                   group.iterator.zip(counts.iterator).foreach { case (r, c) =>
-                    if (c == 0) {
+                    // JDBC drivers may legally report SUCCESS_NO_INFO (-2)
+                    // for every statement in a batch. Treating that as
+                    // "updated" would silently drop rows whose key doesn't
+                    // exist (the INSERT leg never runs). Unknown counts are
+                    // resolved by re-applying that row's UPDATE singly —
+                    // idempotent (same key, same SET values under the
+                    // key-unique batch contract) and returning a real count.
+                    val updated =
+                      if (c == Statement.SUCCESS_NO_INFO) {
+                        var p = 1
+                        nonKeyIdx.foreach { i => up.setObject(p, r.get(i)); p += 1 }
+                        keyIdx.foreach { i => up.setObject(p, r.get(i)); p += 1 }
+                        up.executeUpdate() > 0
+                      } else c > 0
+                    if (!updated) {
                       var i = 0
                       while (i < n) { ins.setObject(i + 1, r.get(i)); i += 1 }
                       ins.addBatch()

@@ -109,6 +109,68 @@ class JdbcUpsertSinkSpec extends SparkSpec {
     assert(rows.contains(("Warsaw", "2025-10-31 12:00:00.0", 16.1)))
   }
 
+  /** Wrap a real Derby connection so every PreparedStatement.executeBatch
+    * still executes, but reports Statement.SUCCESS_NO_INFO (-2) for every
+    * statement — the legal JDBC driver behavior that made the naive
+    * `count == 0 → INSERT` routing a silent data-loss path.
+    */
+  private def noInfoConnection(real: java.sql.Connection): java.sql.Connection = {
+    import java.lang.reflect.{InvocationHandler, InvocationTargetException, Method, Proxy}
+    def call(target: AnyRef, m: Method, args: Array[AnyRef]): AnyRef =
+      try { if (args == null) m.invoke(target) else m.invoke(target, args: _*) }
+      catch { case e: InvocationTargetException => throw e.getCause }
+    def wrapStatement(st: java.sql.PreparedStatement): java.sql.PreparedStatement = {
+      var batched = 0
+      val h = new InvocationHandler {
+        def invoke(proxy: AnyRef, m: Method, args: Array[AnyRef]): AnyRef =
+          m.getName match {
+            case "addBatch" if args == null || args.isEmpty =>
+              batched += 1; call(st, m, args)
+            case "executeBatch" =>
+              val n = batched; batched = 0
+              call(st, m, args) // the batch DOES run; only the counts lie
+              Array.fill(n)(java.sql.Statement.SUCCESS_NO_INFO)
+            case _ => call(st, m, args)
+          }
+      }
+      Proxy.newProxyInstance(getClass.getClassLoader,
+        Array(classOf[java.sql.PreparedStatement]), h)
+        .asInstanceOf[java.sql.PreparedStatement]
+    }
+    val h = new InvocationHandler {
+      def invoke(proxy: AnyRef, m: Method, args: Array[AnyRef]): AnyRef = {
+        val out = call(real, m, args)
+        if (m.getName == "prepareStatement")
+          wrapStatement(out.asInstanceOf[java.sql.PreparedStatement])
+        else out
+      }
+    }
+    Proxy.newProxyInstance(getClass.getClassLoader,
+      Array(classOf[java.sql.Connection]), h).asInstanceOf[java.sql.Connection]
+  }
+
+  test("AnsiDialect drops no rows under a SUCCESS_NO_INFO-returning driver") {
+    // runs after the tests above: Warsaw 10:00 exists, Lisbon/Madrid don't
+    JdbcUpsertSink.Connections.register("derby-noinfo",
+      () => noInfoConnection(DriverManager.getConnection(dbUrl)))
+    val b = batch(Seq(
+      ("Warsaw", "2025-10-31 10:00:00", 20.0, "2025-11-01 09:00:00"),
+      ("Lisbon", "2025-10-31 10:00:00", 21.5, "2025-11-01 09:00:00"),
+      ("Madrid", "2025-10-31 10:00:00", 22.5, "2025-11-01 09:00:00")))
+    JdbcUpsertSink.upsert(b, "derby-noinfo", "weather_staging",
+      Seq("city", "ts"), JdbcUpsertSink.AnsiDialect, batchSize = 2)
+    val rows = tableRows()
+    // update leg still lands, and — the regression this spec pins — the
+    // new keys are NOT silently swallowed by the unknown batch counts
+    assert(rows.contains(("Warsaw", "2025-10-31 10:00:00.0", 20.0)))
+    assert(rows.contains(("Lisbon", "2025-10-31 10:00:00.0", 21.5)))
+    assert(rows.contains(("Madrid", "2025-10-31 10:00:00.0", 22.5)))
+    // idempotent under the same lying driver
+    JdbcUpsertSink.upsert(b, "derby-noinfo", "weather_staging",
+      Seq("city", "ts"), JdbcUpsertSink.AnsiDialect, batchSize = 2)
+    assert(tableRows() == rows)
+  }
+
   test("PostgresDialect renders the reference's ON CONFLICT statement") {
     val schema = batch(Nil).schema
     val JdbcUpsertSink.SingleStatement(sql) = JdbcUpsertSink.PostgresDialect
