@@ -23,6 +23,11 @@ object Explain {
   def scrub(plan: String, sfDir: String): String = plan
     .replace(sfDir, "<SF>")
     .replaceAll("#\\d+", "#x")
+    // lambda variable names carry a session-global counter (x_5 vs x_18
+    // depending on how many lambdas the session created before this plan)
+    .replaceAll("lambda x_\\d+", "lambda x_n")
+    // RDD ids in ExistingRDD/localCheckpoint arguments are a session counter
+    .replaceAll("RDD\\[\\d+\\]", "RDD[x]")
     .replaceAll("plan_id=\\d+", "plan_id=x")
     .replaceAll("Location: InMemoryFileIndex[^\\n]*", "Location: <scrubbed>")
     .replaceAll("file:[^,\\]\\s]*", "<path>")

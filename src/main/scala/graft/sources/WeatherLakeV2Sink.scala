@@ -61,19 +61,75 @@ object WeatherLakeV2Sink {
     override def schema(): StructType = Schema
     override def capabilities(): util.Set[TableCapability] =
       util.EnumSet.of(TableCapability.BATCH_WRITE)
-    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+      val jobId = info.queryId()
       new WriteBuilder {
         override def build(): Write = new Write {
           override def toBatch: BatchWrite = new BatchWrite {
             override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory =
               new LakeWriterFactory(path)
-            // files land under their final names during the task; nothing
-            // to move on commit (object-store-friendly, like the reference)
-            override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+            // Files land under their final names during the task (no
+            // directory rename — object-store-friendly, like the
+            // reference). Job commit publishes a MANIFEST listing every
+            // task-committed file, written to a temp name and renamed so
+            // it appears atomically: readers that filter through
+            // [[committedFiles]] never see files from a job that died
+            // between task commits and job commit.
+            override def commit(messages: Array[WriterCommitMessage]): Unit = {
+              val files = messages.collect { case FilesWritten(ps) => ps }.flatten
+              writeManifest(path, jobId, files)
+            }
             override def abort(messages: Array[WriterCommitMessage]): Unit = ()
           }
         }
       }
+    }
+  }
+
+  /** Directory of per-job manifests under the lake root. */
+  val ManifestDir = "_manifests"
+
+  private[sources] def writeManifest(basePath: String, jobId: String,
+      files: Seq[String]): Unit = {
+    val fs = new Path(basePath).getFileSystem(new Configuration())
+    val mdir = new Path(basePath, ManifestDir)
+    fs.mkdirs(mdir)
+    val tmp = new Path(mdir, s".manifest-$jobId.tmp")
+    val out = fs.create(tmp, true)
+    try files.foreach(f => out.write((f + "\n").getBytes("UTF-8")))
+    finally out.close()
+    fs.rename(tmp, new Path(mdir, s"manifest-$jobId.txt"))
+  }
+
+  /** Every file recorded by a COMPLETED job's manifest — the read-side
+    * filter that drops orphan files left by jobs that died after some
+    * task commits but before job commit.
+    */
+  def committedFiles(basePath: String): Seq[String] = {
+    val fs = new Path(basePath).getFileSystem(new Configuration())
+    val mdir = new Path(basePath, ManifestDir)
+    if (!fs.exists(mdir)) Seq.empty
+    else fs.listStatus(mdir).toSeq
+      .filter(s => s.getPath.getName.startsWith("manifest-"))
+      .flatMap { s =>
+        val in = fs.open(s.getPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      }
+      .filter(_.nonEmpty)
+  }
+
+  /** The manifest-gated read path: only lines from files a completed job
+    * committed. Returns (value: raw JSON line) rows; parse with the
+    * caller's schema (Weather.RawWeatherSchema for the weather lake).
+    */
+  def readCommitted(spark: org.apache.spark.sql.SparkSession,
+      basePath: String): org.apache.spark.sql.DataFrame = {
+    val files = committedFiles(basePath)
+    if (files.isEmpty) {
+      import spark.implicits._
+      spark.emptyDataset[String].toDF("value")
+    } else spark.read.text(files: _*)
   }
 
   final case class FilesWritten(paths: Seq[String]) extends WriterCommitMessage

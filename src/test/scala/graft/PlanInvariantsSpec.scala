@@ -57,13 +57,32 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), "EXISTS not rewritten to semi-join")
   }
 
-  test("no query plans a CartesianProduct (cross joins must broadcast)") {
+  test("sweep: no CartesianProduct, and plans/ snapshots are FRESH") {
     // iterative queries (d06) run their loop during plan construction at
-    // sf0.001 — acceptable here; this sweep is the whole point of the gate
+    // sf0.001 — acceptable here; this sweep is the whole point of the gate.
+    // Freshness: the committed plans/<name>.txt snapshots must byte-match
+    // the scrubbed formatted plan of the CURRENT code — a plan regression
+    // can no longer hide behind a stale snapshot. Regenerate with
+    // `sbt "runMain graft.Explain --all"` after any intentional change.
+    val dir = java.nio.file.Paths.get("plans")
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
-      val p = plan(name)
-      assert(!p.contains("CartesianProduct"),
+      val qe = SparkEntry.queries(name)(spark, sf0001).queryExecution
+      assert(!qe.executedPlan.toString.contains("CartesianProduct"),
         s"$name plans a CartesianProduct")
+      val actual = Explain.scrub(qe.explainString(
+        org.apache.spark.sql.execution.FormattedMode), sf0001)
+      val snap = dir.resolve(s"$name.txt")
+      assert(java.nio.file.Files.exists(snap),
+        s"missing snapshot plans/$name.txt — run `sbt \"runMain graft.Explain --all\"`")
+      val committed = java.nio.file.Files.readString(snap)
+      if (committed != actual) {
+        val firstDiff = committed.linesIterator.zipAll(
+          actual.linesIterator, "<EOF>", "<EOF>")
+          .zipWithIndex.collectFirst { case ((a, b), i) if a != b =>
+            s"line ${i + 1}: committed '$a' vs actual '$b'" }
+        fail(s"STALE snapshot plans/$name.txt (${firstDiff.getOrElse("?")}) — " +
+          "regenerate with `sbt \"runMain graft.Explain --all\"`")
+      }
     }
   }
 }

@@ -26,6 +26,47 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("saltedJoin SPREADS a hot key that a plain shuffle join piles onto one task") {
+    val s = spark
+    import s.implicits._
+    // pin the shape: no broadcast (force the shuffle the salt exists for),
+    // no AQE (so partition sizes reflect the static plan, not a runtime fix)
+    val oldBroadcast = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val oldAqe = s.conf.get("spark.sql.adaptive.enabled")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // 95% of probe rows carry one hot key
+      val large = ((1 to 9500).map(i => ("hot", i.toLong)) ++
+        (1 to 500).map(i => (s"cold${i % 10}", i.toLong))).toDF("k", "v")
+      val small = ("hot" +: (0 until 10).map(i => s"cold$i"))
+        .map(k => (k, s"dim_$k")).toDF("k", "dim")
+      def partitionFractions(df: org.apache.spark.sql.DataFrame): Seq[Double] = {
+        val sizes = df.rdd
+          .mapPartitions(it => Iterator(it.size.toLong), preservesPartitioning = true)
+          .collect()
+        val total = sizes.sum.toDouble
+        sizes.map(_ / total).toSeq
+      }
+      val plain = large.join(small, Seq("k"))
+      val salted = Relational.saltedJoin(large, small, "k", buckets = 16,
+        saltCols = Seq("v"))
+      // identical result set
+      assert(plain.groupBy("k").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        == salted.groupBy("k").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+      // the demonstration: the plain shuffle join lands >=90% of output in
+      // ONE task; the salted join caps every task at a bounded share.
+      // Replacing saltedJoin with a plain join makes this assertion fail.
+      assert(partitionFractions(plain).max >= 0.9,
+        "fixture is not skewed enough to demonstrate anything")
+      assert(partitionFractions(salted).max <= 0.5,
+        "salted join failed to spread the hot key across reduce tasks")
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBroadcast)
+      s.conf.set("spark.sql.adaptive.enabled", oldAqe)
+    }
+  }
+
   test("bucketed join of co-bucketed tables plans without a shuffle") {
     val s = spark
     import s.implicits._

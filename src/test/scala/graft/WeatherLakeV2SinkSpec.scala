@@ -67,6 +67,55 @@ class WeatherLakeV2SinkSpec extends SparkSpec {
     assert(c1 == canon(v2))
   }
 
+  test("job commit publishes a manifest; the gated read path sees the files") {
+    val lake = Files.createTempDirectory("lakev2m").toString
+    rawFixture.select(col("city"), col("ds"), col("hour"),
+        to_json(struct(col("latitude"), col("longitude"), col("timezone"),
+          col("hourly"), col("_ingested_at"))).as("raw_json"))
+      .write.format("graft.sources.WeatherLakeV2Sink")
+      .mode("append").save(lake)
+    val manifests = new File(s"$lake/_manifests").listFiles()
+      .filter(_.getName.startsWith("manifest-"))
+    assert(manifests.length == 1, "job commit must publish exactly one manifest")
+    assert(new File(s"$lake/_manifests").listFiles()
+      .forall(!_.getName.endsWith(".tmp")), "temp manifest must be renamed away")
+    val committed = graft.sources.WeatherLakeV2Sink.committedFiles(lake)
+    assert(committed.nonEmpty)
+    // gated read returns every written line (5 fixture payload rows)
+    assert(graft.sources.WeatherLakeV2Sink.readCommitted(spark, lake).count() == 5)
+  }
+
+  test("a job that dies between task commit and job commit leaves no visible files") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val lake = Files.createTempDirectory("lakev2orphan").toString
+    // first, a COMPLETED job (manifest published)
+    rawFixture.limit(2).select(col("city"), col("ds"), col("hour"),
+        to_json(struct(col("latitude"), col("longitude"))).as("raw_json"))
+      .write.format("graft.sources.WeatherLakeV2Sink")
+      .mode("append").save(lake)
+    val visibleBefore = graft.sources.WeatherLakeV2Sink.readCommitted(spark, lake).count()
+    assert(visibleBefore == 2)
+    // now simulate the crash: drive the writer directly — the TASK commits
+    // (files are on disk under final names) but the JOB never commits, so
+    // no manifest for it is ever published
+    val w = new graft.sources.WeatherLakeV2Sink.LakeWriterFactory(lake)
+      .createWriter(partitionId = 0, taskId = 99L)
+    w.write(InternalRow(
+      UTF8String.fromString("Ghostville"), UTF8String.fromString("2025-10-31"),
+      UTF8String.fromString("23"), UTF8String.fromString("{\"orphan\":true}")))
+    w.commit() // task-level commit only; job dies here
+    // the orphan file IS physically present...
+    val orphanDir = new File(s"$lake/city=Ghostville/ds=2025-10-31/hour=23")
+    assert(orphanDir.isDirectory && orphanDir.listFiles().nonEmpty,
+      "orphan task file should exist on disk")
+    // ...but the manifest-gated read path must not surface it
+    assert(graft.sources.WeatherLakeV2Sink.committedFiles(lake)
+      .forall(!_.contains("Ghostville")))
+    assert(graft.sources.WeatherLakeV2Sink.readCommitted(spark, lake).count()
+      == visibleBefore)
+  }
+
   test("missing path option fails fast with the option named") {
     val e = intercept[IllegalArgumentException] {
       new graft.sources.WeatherLakeV2Sink()
