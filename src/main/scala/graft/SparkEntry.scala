@@ -667,18 +667,19 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM (SELECT event_type, CAST(dayofweek(ts) + 1 AS INT) AS dow FROM events)
         |GROUP BY GROUPING SETS ((event_type), (dow))""".stripMargin),
-      (s, dir) => {
+      (s, dir) =>
+        // the Dataset groupingSets API (Spark 4) — no session temp-view
+        // state mutated, unlike the SQL GROUPING SETS form
         Tables.events(s, dir)
           .select(col("event_type"), dayofweek(col("ts")).cast("int").as("dow"))
-          .createOrReplaceTempView("graft_events_gs")
-        s.sql("""SELECT COALESCE(event_type, 'ALL') AS event_type,
-          |  COALESCE(CAST(dow AS STRING), 'ALL') AS dow,
-          |  CAST(grouping(event_type) AS INT) AS g_type,
-          |  CAST(grouping(dow) AS INT) AS g_dow,
-          |  CAST(count(*) AS BIGINT) AS n
-          |FROM graft_events_gs
-          |GROUP BY GROUPING SETS ((event_type), (dow))""".stripMargin)
-      }),
+          .groupingSets(Seq(Seq(col("event_type")), Seq(col("dow"))),
+            col("event_type"), col("dow"))
+          .agg(grouping(col("event_type")).cast("int").as("g_type"),
+            grouping(col("dow")).cast("int").as("g_dow"),
+            count(lit(1)).cast("long").as("n"))
+          .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+            coalesce(col("dow").cast("string"), lit("ALL")).as("dow"),
+            col("g_type"), col("g_dow"), col("n"))),
 
     QueryDef("q30_string_functions",
       "String function surface: case mapping, length, substring, concat, " +
@@ -1142,6 +1143,97 @@ object SparkEntry {
         s, Tables.documents(s, dir),
         minTokens = 30, maxAvgTokenLen = 6.0, minStopwordRatio = 0.01,
         nearDupThreshold = 0.9, chunkTokens = 40, strideTokens = 20).chunks),
+
+    QueryDef("t06_repetition",
+      "Gopher-style repetition quality signals (Rae et al. 2021 §A1.1): " +
+        "duplicated token-3-gram fraction and most-frequent-token share — " +
+        "the boilerplate/spam detectors a corpus filter runs before " +
+        "training. Linear projection; per-token counting is O(len²) " +
+        "WITHIN a row only, never a cross-row join.",
+      Some("""WITH t AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, toks,
+        |  CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |       ELSE list_transform(generate_series(1, len(toks) - 2),
+        |              i -> array_to_string(list_slice(toks, i, i + 2), ' ')) END AS g3
+        |  FROM t)
+        |SELECT doc_id, CAST(len(g3) AS BIGINT) AS n_3grams,
+        |  ROUND(CASE WHEN len(g3) = 0 THEN 0.0
+        |    ELSE CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)/len(g3) END, 6) AS dup_3gram_frac,
+        |  ROUND(CASE WHEN len(toks) = 0 THEN 0.0
+        |    ELSE CAST(list_max(list_transform(list_distinct(toks),
+        |           tk -> len(list_filter(toks, x -> x = tk)))) AS DOUBLE)/len(toks) END, 6) AS top_token_frac
+        |FROM g""".stripMargin),
+      (s, dir) => Text.repetitionFeatures(Tables.documents(s, dir))),
+
+    QueryDef("t07_hash_split",
+      "Deterministic train/val/test split (80/10/10): bucket = " +
+        "PolyHash(doc_id) mod 100 — the same row lands in the same split " +
+        "on every engine, run, and cluster size, unlike randomSplit. " +
+        "Shuffle-free projection; reproducible from the table alone.",
+      Some("""WITH h AS (SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(generate_series(1, length(CAST(doc_id AS VARCHAR))),
+        |                   i -> CAST(ascii(substr(CAST(doc_id AS VARCHAR), i, 1)) AS BIGINT))),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) % 100 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM h""".stripMargin),
+      (s, dir) => graft.ops.Relational.hashSplit(
+        Tables.documents(s, dir), "doc_id", trainPct = 80, valPct = 10)
+        .select(col("doc_id"), col("bucket"), col("split"))),
+
+    QueryDef("t08_normalize_redact",
+      "Canonicalize + PII-redact: lowercase, replace emails and 7+-digit " +
+        "runs with typed placeholders, collapse whitespace — the scrub " +
+        "pass before fingerprinting/training. Codegen'd regexp_replace " +
+        "chain, linear, shuffle-free.",
+      Some("""SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{7,}', '<NUM>', 'g'),
+        |    '\s+', ' ', 'g')) AS clean_text,
+        |  (trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{7,}', '<NUM>', 'g'),
+        |    '\s+', ' ', 'g')) <> text) AS changed
+        |FROM documents""".stripMargin),
+      (s, dir) => Tables.documents(s, dir)
+        .withColumn("clean_text", Text.normalizeRedact(col("text")))
+        .select(col("doc_id"), col("clean_text"),
+          (col("clean_text") =!= col("text")).as("changed"))),
+
+    QueryDef("s07_embedding_quantize",
+      "Embedding post-processing: L2 norm and int8 quantization " +
+        "(floor(x/norm*127 + .5), the symmetric linear scheme of public " +
+        "vector stores), exploded per dimension so every quantized value " +
+        "is hash-checked. Norm computed as a SEQUENTIAL left fold in both " +
+        "engines so float summation order is identical.",
+      Some("""WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |  SQRT(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(v, x -> x*x)), (a, b) -> a + b)) AS norm FROM e)
+        |SELECT vec_id, ROUND(norm, 6) AS l2_norm,
+        |  CAST(generate_subscripts(v, 1) - 1 AS BIGINT) AS dim,
+        |  CAST(FLOOR(unnest(v) / norm * 127 + 0.5) AS INT) AS q
+        |FROM n""".stripMargin),
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("v"))
+        e.withColumn("norm",
+            sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+          .select(col("vec_id"), round(col("norm"), 6).as("l2_norm"),
+            col("norm"), posexplode(col("v")).as(Seq("dim", "xv")))
+          .select(col("vec_id"), col("l2_norm"),
+            col("dim").cast("long").as("dim"),
+            floor(col("xv") / col("norm") * lit(127) + lit(0.5))
+              .cast("int").as("q"))
+      }),
 
     QueryDef("q36_nested_in_subqueries",
       "TPC-H Q20 shape: two-level nested IN subqueries plus a correlated " +

@@ -192,4 +192,28 @@ object Relational {
     df.select(keep.map(col) :+ explode_outer(zipped).as("__z"): _*)
       .select(out: _*)
   }
+
+  /** Deterministic train/val/test split: bucket = PolyHash(id as string)
+    * mod 100, label by cumulative percentage thresholds. The same row gets
+    * the same split on every engine, every run, every cluster size —
+    * unlike randomSplit, which depends on partitioning. Pure projection:
+    * linear, shuffle-free, reproducible from the table alone (the property
+    * a 100 TB training corpus needs so a re-run never leaks val rows into
+    * train).
+    */
+  def hashSplit(df: DataFrame, idCol: String,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"invalid split: train=$trainPct val=$valPct")
+    val spark = df.sparkSession
+    graft.functions.PolyHash.register(spark)
+    val bucket = pmod(
+      expr(s"${graft.functions.PolyHash.FnName}(CAST($idCol AS STRING), 31, 1000000007)"),
+      lit(100L))
+    df.withColumn("bucket", bucket.cast("long"))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
 }

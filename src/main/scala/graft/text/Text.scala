@@ -99,6 +99,52 @@ object Text {
       .drop("sum_token_len", "stopword_hits")
   }
 
+  /** Repetition signals in the style of the Gopher quality rules (public
+    * literature: Rae et al. 2021 §A1.1): the fraction of duplicated token
+    * 3-grams and the share of the single most frequent token. High values
+    * flag boilerplate/spam documents for removal before training. One
+    * projection over the token array — linear, shuffle-free; the
+    * per-distinct-token count is O(tokens²) WITHIN a row, bounded by
+    * document length, never a cross-row join.
+    */
+  def repetitionFeatures(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    docs.select(col(idCol), t.as("toks"))
+      .withColumn("g3", shingles(col("toks"), 3))
+      .select(
+        col(idCol),
+        size(col("g3")).cast("long").as("n_3grams"),
+        round(when(size(col("g3")) === 0, 0.0)
+          .otherwise((size(col("g3")) - size(array_distinct(col("g3"))))
+            .cast("double") / size(col("g3"))), 6).as("dup_3gram_frac"),
+        round(when(size(col("toks")) === 0, 0.0)
+          .otherwise(array_max(transform(array_distinct(col("toks")),
+            tk => size(filter(col("toks"), x => x === tk))))
+            .cast("double") / size(col("toks"))), 6).as("top_token_frac"))
+  }
+
+  /** Email-ish and long-digit-run patterns, conservative syntax shared by
+    * Java regex and RE2-style engines so the oracle can repeat them.
+    */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val LongNumRe = "[0-9]{7,}"
+
+  /** Canonicalize + redact: lowercase, collapse whitespace runs, replace
+    * email addresses and 7+-digit runs with typed placeholders — the
+    * PII-scrub / normalization pass before hashing or training. Pure
+    * codegen'd regexp_replace chain, linear, shuffle-free.
+    */
+  def normalizeRedact(textCol: Column): Column =
+    // collapse BEFORE trim: trim only strips spaces (not tabs/newlines) in
+    // both Spark and ANSI SQL, so stray \t at the edges must first be
+    // collapsed into plain spaces
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(textCol), EmailRe, "<EMAIL>"),
+        LongNumRe, "<NUM>"),
+      "\\s+", " "))
+
   /** Per-document feature vector: token counts, distinct ratio, average
     * token length, stopword ratio, language guess, fingerprint. One
     * projection, no shuffle.

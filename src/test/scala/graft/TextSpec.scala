@@ -75,4 +75,49 @@ class TextSpec extends SparkSpec {
     assert(r.getAs[Double]("stopword_ratio") == 0.6667)
     assert(r.getAs[String]("lang_guess") == "en")
   }
+
+  test("repetitionFeatures flags boilerplate and handles tiny docs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam"), // all 3-grams identical
+      (2L, "one two three four five six"),   // no repetition
+      (3L, "ab"),                            // < 3 tokens: zero 3-grams
+      (4L, "")).toDF("doc_id", "text")
+    val r = Text.repetitionFeatures(df).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Double]("dup_3gram_frac") == 0.75) // 4 grams, 1 distinct
+    assert(r(1L).getAs[Double]("top_token_frac") == 1.0)
+    assert(r(2L).getAs[Double]("dup_3gram_frac") == 0.0)
+    assert(r(3L).getAs[Long]("n_3grams") == 0L)
+    assert(r(3L).getAs[Double]("dup_3gram_frac") == 0.0)
+    assert(r(4L).getAs[Double]("top_token_frac") == 0.0)
+  }
+
+  test("hashSplit is deterministic, complete, and roughly proportioned") {
+    import spark.implicits._
+    val df = (1L to 1000L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val a = graft.ops.Relational.hashSplit(df, "doc_id")
+      .select(col("doc_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = graft.ops.Relational.hashSplit(df.repartition(7), "doc_id")
+      .select(col("doc_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b, "split must not depend on partitioning")
+    assert(a.size == 1000)
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / 1000.0).toMap
+    assert(frac("train") > 0.7 && frac("train") < 0.9)
+    assert(frac("val") > 0.04 && frac("val") < 0.2)
+    assert(frac("test") > 0.04 && frac("test") < 0.2)
+  }
+
+  test("normalizeRedact scrubs emails and digit runs and collapses space") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "  Contact Bob.Smith+x@Example.COM  or call 5551234567 now \t"),
+      (2L, "short 123456 stays")).toDF("doc_id", "text")
+    val r = df.select(col("doc_id"), Text.normalizeRedact(col("text")).as("c"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r(1L) == "contact <EMAIL> or call <NUM> now")
+    assert(r(2L) == "short 123456 stays") // 6 digits: below the 7+ threshold
+  }
 }
