@@ -946,6 +946,30 @@ object SparkEntry {
           (abs(col("approx_users") - col("exact_users")).cast("double") <=
             lit(3 * 0.05) * col("exact_users") + lit(1.0)).as("within_tol"))),
 
+    QueryDef("qa2_approx_percentile",
+      "Approximate-percentile sketch (Greenwald-Khanna, accuracy=100 → " +
+        "rank error ≤ 1%) with a TOLERANCE oracle, like qa1: the sketch " +
+        "value is engine-specific, so the checkable output is the group " +
+        "size plus a boolean asserting the approx median's RANK is within " +
+        "2ε·n + 2 of n/2. DuckDB emits literal TRUE — the hash matches iff " +
+        "the sketch held its published bound on every group.",
+      Some("""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  TRUE AS within_tol
+        |FROM orders GROUP BY o_orderstatus""".stripMargin),
+      (s, dir) => {
+        val t = Tables.orders(s, dir)
+        val ap = t.groupBy(col("o_orderstatus"))
+          .agg(expr("approx_percentile(o_totalprice, 0.5, 100)").as("ap50"))
+        t.join(broadcast(ap), Seq("o_orderstatus"))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(when(col("o_totalprice") <= col("ap50"), 1L).otherwise(0L))
+              .as("rank_le"))
+          .select(col("o_orderstatus"), col("n"),
+            (abs(col("rank_le") - col("n") * lit(0.5)) <=
+              col("n") * lit(0.02) + lit(2.0)).as("within_tol"))
+      }),
+
     QueryDef("s04_hyperplane_lsh",
       "Random-hyperplane LSH signatures for cosine similarity (Charikar): " +
         "bit j = sign(v · h_j) with hyperplanes regenerated from integer " +

@@ -42,6 +42,19 @@ object WeatherStreaming {
       .withWatermark("timestamp", "7 days")
       .dropDuplicates("city", "timestamp")
 
+  /** Retry-tolerant payload dedup (§2.5 exactly-once hardening): a RETRIED
+    * fetch of the same (city, ds, hour) arrives with a DIFFERENT
+    * `_ingested_at` — each attempt stamps its own clock — so a
+    * `dropDuplicates` key set that includes the event-time column can
+    * never match the duplicate. `dropDuplicatesWithinWatermark` dedups on
+    * the business key alone while the watermark both bounds state (keys
+    * older than `delay` are evicted — O(active keys), not O(history)) and
+    * defines how late a retry can still be suppressed.
+    */
+  def dedupRetries(raw: DataFrame, delay: String = "1 hour"): DataFrame =
+    raw.withWatermark("_ingested_at", delay)
+      .dropDuplicatesWithinWatermark("city", "ds", "hour")
+
   /** The reference DAG end-to-end in streaming form: new lake files →
     * staging rows → per-micro-batch quality gate → idempotent upsert into
     * staging parquet. A failing batch throws inside `foreachBatch`, which

@@ -101,4 +101,46 @@ class StreamingSpec extends SparkSpec {
     // Warsaw re-ingest shares its key with the original 12:00 hour)
     assert(spark.table("staging_stream").count() == 12)
   }
+
+  test("dedupRetries suppresses a retried fetch with a DIFFERENT ingest timestamp") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("retries").toString
+    val dir = s"$base/raw"; val cp = s"$base/cp"; val out = s"$base/out"
+    def payloads(rows: Seq[(String, String, String, String)]) =
+      rows.toDF("city", "ds", "hour", "ing_s")
+        .select(col("city"), col("ds"), col("hour"),
+          col("ing_s").cast("timestamp").as("_ingested_at"))
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("city STRING, ds STRING, hour STRING, _ingested_at TIMESTAMP")
+        .parquet(dir)
+      // file sink (not memory): the second run must RECOVER the dedup
+      // state from the checkpoint, which the memory sink doesn't support
+      val q = WeatherStreaming.dedupRetries(stream).writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000); q.stop()
+    }
+    payloads(Seq(
+      ("Warsaw", "2025-10-31", "12", "2025-10-31 12:05:00"),
+      ("Berlin", "2025-10-31", "12", "2025-10-31 12:06:00")))
+      .write.mode("append").parquet(dir)
+    runOnce()
+    // the retry arrives 15 min later with ITS OWN _ingested_at — a
+    // dropDuplicates key including the event-time column would pass it
+    payloads(Seq(
+      ("Warsaw", "2025-10-31", "12", "2025-10-31 12:20:00"), // retry: dropped
+      ("Paris", "2025-10-31", "12", "2025-10-31 12:21:00"))) // new: kept
+      .write.mode("append").parquet(dir)
+    runOnce()
+    val got = spark.read.parquet(out)
+      .select(col("city")).collect().map(_.getString(0)).toSeq
+    assert(got.sorted == Seq("Berlin", "Paris", "Warsaw"),
+      s"expected the Warsaw retry suppressed, got $got")
+  }
 }
