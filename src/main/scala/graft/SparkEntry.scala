@@ -1166,7 +1166,8 @@ object SparkEntry {
       (s, dir) => graft.pipeline.TrainingDataPipeline.run(
         s, Tables.documents(s, dir),
         minTokens = 30, maxAvgTokenLen = 6.0, minStopwordRatio = 0.01,
-        nearDupThreshold = 0.9, chunkTokens = 40, strideTokens = 20).chunks),
+        nearDupThreshold = 0.9, chunkTokens = 40, strideTokens = 20,
+        collectStats = false).chunks),
 
     QueryDef("t06_repetition",
       "Gopher-style repetition quality signals (Rae et al. 2021 §A1.1): " +

@@ -35,15 +35,21 @@ object TrainingDataPipeline {
       minStopwordRatio: Double = 0.0,
       nearDupThreshold: Double = 0.95,
       chunkTokens: Int = 40,
-      strideTokens: Int = 20): Result = {
+      strideTokens: Int = 20,
+      collectStats: Boolean = true): Result = {
 
-    val total = docs.count()
+    // funnel accounting is optional: with collectStats=false the count
+    // jobs (including a second full chunking pass) are skipped and stats
+    // carries -1 sentinels — the kept/chunks frames are unaffected
+    def tally(df: DataFrame): Long = if (collectStats) df.count() else -1L
+
+    val total = tally(docs)
 
     // 1. quality pre-filter
     val quality = Text.qualityFilter(docs, minTokens,
       maxAvgTokenLen, minStopwordRatio)
       .localCheckpoint(true)
-    val nQuality = quality.count()
+    val nQuality = tally(quality)
 
     // 2. exact dedup: keep each digest's canonical (minimum-id) doc
     val exact = Dedup.exactDupGroups(quality)
@@ -51,7 +57,7 @@ object TrainingDataPipeline {
       .select(col("doc_id"))
     val exactKept = quality.join(exact, Seq("doc_id"), "left_semi")
       .localCheckpoint(true)
-    val nExact = exactKept.count()
+    val nExact = tally(exactKept)
 
     // 3. near-dup clusters: keep each cluster's canonical doc
     val pairs = Dedup.jaccardPairs(exactKept, "source", nearDupThreshold)
@@ -61,13 +67,13 @@ object TrainingDataPipeline {
       .filter(col("node").isNull || col("label") === col("doc_id"))
       .drop("node", "label")
       .localCheckpoint(true)
-    val nKept = kept.count()
+    val nKept = tally(kept)
 
     // 4-5. chunk survivors and fingerprint each chunk
     val chunks = Text.chunk(kept, chunkTokens, strideTokens)
       .withColumn("chunk_fingerprint",
         graft.functions.PolyHash(spark, col("chunk_text"), 31L, 1000000007L))
-    val nChunks = chunks.count()
+    val nChunks = tally(chunks)
 
     import spark.implicits._
     val stats = Seq((total, nQuality, nExact, nKept, nChunks))
