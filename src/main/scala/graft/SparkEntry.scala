@@ -1260,6 +1260,46 @@ object SparkEntry {
               .cast("int").as("q"))
       }),
 
+    QueryDef("t09_stratified_sample",
+      "Deterministic stratified downsampling: keep 50% of the dominant " +
+        "language ('en') and 80% of everything else, keyed on the PolyHash " +
+        "bucket of doc_id — the corpus-rebalance op, reproducible on every " +
+        "engine/run/partitioning unlike seeded-RNG sampleBy. Linear " +
+        "projection+filter, shuffle-free.",
+      Some("""WITH h AS (SELECT doc_id, lang,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(generate_series(1, length(CAST(doc_id AS VARCHAR))),
+        |                   i -> CAST(ascii(substr(CAST(doc_id AS VARCHAR), i, 1)) AS BIGINT))),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) % 100 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket
+        |FROM h WHERE bucket < (CASE WHEN lang = 'en' THEN 50 ELSE 80 END)""".stripMargin),
+      (s, dir) => graft.ops.Relational.stratifiedSampleByHash(
+        Tables.documents(s, dir), "doc_id", "lang",
+        rates = Map("en" -> 50), defaultPct = 80)
+        .select(col("doc_id"), col("lang"), col("bucket"))),
+
+    QueryDef("t10_vocabulary",
+      "Vocabulary extraction: global token frequency table with rank — " +
+        "explode → hash-aggregate (one shuffle, map-side combine); the " +
+        "rank window runs over the AGGREGATED vocabulary (bounded distinct " +
+        "tokens), never the token stream, so the single-partition sort is " +
+        "over vocab-size rows only.",
+      Some("""WITH t AS (SELECT
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |x AS (SELECT unnest(toks) AS token FROM t),
+        |v AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM x GROUP BY token)
+        |SELECT token, n,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank
+        |FROM v""".stripMargin),
+      (s, dir) => Tables.documents(s, dir)
+        .select(explode(Text.tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("n").desc, col("token"))).cast("long"))),
+
     QueryDef("q36_nested_in_subqueries",
       "TPC-H Q20 shape: two-level nested IN subqueries plus a correlated " +
         "scalar aggregate — exercises Catalyst's predicate-subquery " +

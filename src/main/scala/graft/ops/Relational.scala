@@ -205,15 +205,40 @@ object Relational {
       trainPct: Int = 80, valPct: Int = 10): DataFrame = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
       s"invalid split: train=$trainPct val=$valPct")
-    val spark = df.sparkSession
-    graft.functions.PolyHash.register(spark)
-    val bucket = pmod(
-      expr(s"${graft.functions.PolyHash.FnName}(CAST($idCol AS STRING), 31, 1000000007)"),
-      lit(100L))
-    df.withColumn("bucket", bucket.cast("long"))
+    df.withColumn("bucket", hashBucket(df, idCol))
       .withColumn("split",
         when(col("bucket") < trainPct, "train")
           .when(col("bucket") < trainPct + valPct, "val")
           .otherwise("test"))
+  }
+
+  /** Deterministic percentile bucket in [0, 100) from a PolyHash of the id
+    * column — the shared primitive of [[hashSplit]] and
+    * [[stratifiedSampleByHash]].
+    */
+  private def hashBucket(df: DataFrame, idCol: String): Column = {
+    graft.functions.PolyHash.register(df.sparkSession)
+    pmod(
+      expr(s"${graft.functions.PolyHash.FnName}(CAST($idCol AS STRING), 31, 1000000007)"),
+      lit(100L)).cast("long")
+  }
+
+  /** Deterministic per-stratum downsampling: keep a row iff its hash
+    * bucket falls below its stratum's rate — `rates` maps stratum value to
+    * keep-fraction in percent; unknown strata use `defaultPct`. The same
+    * doc survives (or not) on every engine/run/partitioning, so a corpus
+    * rebalance (e.g. downweight the dominant language) is reproducible —
+    * the property `df.sampleBy` (seeded per-partition RNG) does not give.
+    * Pure projection+filter: linear, shuffle-free.
+    */
+  def stratifiedSampleByHash(df: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Int], defaultPct: Int): DataFrame = {
+    require((rates.values ++ Seq(defaultPct)).forall(p => p >= 0 && p <= 100),
+      "rates are percentages in [0, 100]")
+    val rate = rates.foldLeft(lit(defaultPct)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.withColumn("bucket", hashBucket(df, idCol))
+      .filter(col("bucket") < rate)
   }
 }

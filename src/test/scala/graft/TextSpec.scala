@@ -110,6 +110,23 @@ class TextSpec extends SparkSpec {
     assert(frac("test") > 0.04 && frac("test") < 0.2)
   }
 
+  test("stratifiedSampleByHash is deterministic and rate-respecting per stratum") {
+    import spark.implicits._
+    val df = (1L to 2000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val a = graft.ops.Relational.stratifiedSampleByHash(
+      df, "doc_id", "lang", Map("en" -> 50), defaultPct = 80)
+    val b = graft.ops.Relational.stratifiedSampleByHash(
+      df.repartition(13), "doc_id", "lang", Map("en" -> 50), defaultPct = 80)
+    val ka = a.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ka == b.select("doc_id").collect().map(_.getLong(0)).toSet,
+      "sample must not depend on partitioning")
+    val byLang = a.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("en") > 350 && byLang("en") < 650)  // ~50% of 1000
+    assert(byLang("de") > 650 && byLang("de") < 950)  // ~80% of 1000
+  }
+
   test("normalizeRedact scrubs emails and digit runs and collapses space") {
     import spark.implicits._
     val df = Seq(
