@@ -1260,6 +1260,29 @@ object SparkEntry {
               .cast("int").as("q"))
       }),
 
+    QueryDef("d07_contamination",
+      "Benchmark-contamination scan: flag every candidate doc sharing at " +
+        "least one token 5-gram with the eval partition (source='src0') — " +
+        "the train/test-overlap check run before any release. One " +
+        "inverted-index semi-join keyed on the gram (eval side broadcast); " +
+        "never an all-pairs product.",
+      Some("""WITH t AS (SELECT doc_id, source,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, source,
+        |  CASE WHEN len(toks) < 5 THEN CAST([] AS VARCHAR[])
+        |       ELSE list_distinct(list_transform(generate_series(1, len(toks) - 4),
+        |              i -> array_to_string(list_slice(toks, i, i + 4), ' '))) END AS gs
+        |  FROM t),
+        |eg AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE source = 'src0'),
+        |cand AS (SELECT doc_id, unnest(gs) AS gram FROM g WHERE source <> 'src0'),
+        |flagged AS (SELECT DISTINCT doc_id FROM cand JOIN eg USING (gram))
+        |SELECT d.doc_id, (f.doc_id IS NOT NULL) AS contaminated
+        |FROM documents d LEFT JOIN flagged f USING (doc_id)
+        |WHERE d.source <> 'src0'""".stripMargin),
+      (s, dir) => Dedup.contaminationFlags(
+        Tables.documents(s, dir), col("source") === "src0", n = 5)),
+
     QueryDef("t09_stratified_sample",
       "Deterministic stratified downsampling: keep 50% of the dominant " +
         "language ('en') and 80% of everything else, keyed on the PolyHash " +

@@ -275,4 +275,29 @@ object Dedup {
   /** Hamming distance between two simhash signatures. */
   def hammingDist(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast("long")
+
+  /** Benchmark-contamination check: flag every candidate document sharing
+    * at least one token n-gram with the eval/benchmark partition — the
+    * train-test-overlap scan a training pipeline runs before release
+    * (public practice, e.g. GPT-3 appendix C / PaLM §7-style n-gram
+    * overlap). Shape: distinct n-grams per doc (explode), then ONE
+    * semi-join keyed on the gram — an inverted-index probe, never an
+    * all-pairs product; the eval side is typically tiny and broadcasts.
+    * At 100 TB key the same shuffle on xxhash64(gram) to shrink width.
+    */
+  def contaminationFlags(docs: DataFrame, isEval: Column, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val grams = docs.select(col(idCol).as("id"), isEval.as("is_eval"),
+      explode(array_distinct(Text.shingles(Text.tokens(col(textCol)), n)))
+        .as("gram"))
+    val evalGrams = grams.filter(col("is_eval")).select("gram").distinct()
+    val flagged = grams.filter(!col("is_eval"))
+      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      .select(col("id")).distinct()
+      .withColumn("__c", lit(true))
+    docs.filter(!isEval)
+      .select(col(idCol))
+      .join(flagged.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__c"), lit(false)).as("contaminated"))
+  }
 }
