@@ -1260,6 +1260,37 @@ object SparkEntry {
               .cast("int").as("q"))
       }),
 
+    QueryDef("q40_top_supplier_view",
+      "TPC-H Q15 shape: a derived revenue aggregate (the VIEW) consumed " +
+        "twice — once joined to supplier, once inside a scalar MAX " +
+        "subquery selecting the top supplier(s). Exercises common-" +
+        "subexpression planning over an aggregated derived table; revenue " +
+        "uses q01's decimal-cast recipe so both engines compare identical " +
+        "doubles.",
+      Some("""WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier, revenue
+        |WHERE s_suppkey = supplier_no
+        |  AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)""".stripMargin),
+      (s, dir) => s.sql(
+        s"""WITH revenue AS (
+           |  SELECT l_suppkey AS supplier_no,
+           |    CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+           |  FROM parquet.`$dir/lineitem.parquet`
+           |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           |    AND l_shipdate < TIMESTAMP '1996-04-01'
+           |  GROUP BY l_suppkey)
+           |SELECT s_suppkey, s_name, total_revenue
+           |FROM parquet.`$dir/supplier.parquet`, revenue
+           |WHERE s_suppkey = supplier_no
+           |  AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)""".stripMargin)),
+
     QueryDef("d07_contamination",
       "Benchmark-contamination scan: flag every candidate doc sharing at " +
         "least one token 5-gram with the eval partition (source='src0') — " +
