@@ -145,17 +145,20 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     graft.functions.PolyHash.register(docs.sparkSession)
+    graft.functions.MinHashSig.register(docs.sparkSession)
     val p = 2147483647L // 2^31-1, Mersenne prime
     // token hashes computed ONCE per doc, then each permutation folds a
     // min over them; a_i, b_i derive from the permutation index by fixed
     // odd multipliers so the oracle can regenerate them from i alone.
+    // The fold runs in the native MinHashSig expression (one codegen'd
+    // double loop) — bit-identical to the HOF form
+    // `transform(sequence(0, k-1), i -> aggregate(hs, p, least(…)))`,
+    // which paid two interpreted lambda frames per permutation×token.
     val hs = expr(
       s"transform(array_distinct(filter(split(trim($textCol), '\\\\s+'), t -> t <> ''))," +
         s" t -> ${tokenHashSql("t")})")
     val sig = expr(
-      s"""transform(sequence(0, ${numHashes - 1}), i ->
-         |  aggregate(hs, cast($p as bigint), (acc, h) ->
-         |    least(acc, ((cast(i as bigint) * 40503 + 1299721) * h + i * 7919 + 104729) % $p)))""".stripMargin)
+      s"${graft.functions.MinHashSig.FnName}(hs, $numHashes, $p)")
     docs.select(col(idCol).as("id"), hs.as("hs"))
       .select(col("id"), sig.as("sig"))
   }

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{MinHashSig, PolyHash}
+
+/** The native MinHashSig expression must be BIT-IDENTICAL to the HOF
+  * formulation it replaced (transform(sequence(0,k-1), i -> aggregate(hs,
+  * p, (acc,h) -> least(acc, (i*40503+1299721)*h + i*7919+104729 % p)))) —
+  * d04's DuckDB oracle replicates that exact formula, so any divergence
+  * is a correctness break, not just a perf delta.
+  */
+class MinHashSigSpec extends SparkSpec {
+
+  private val p = 2147483647L
+
+  test("native signature equals the HOF fold on real token arrays") {
+    val s = spark
+    import s.implicits._
+    PolyHash.register(s); MinHashSig.register(s)
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "spark table scan merge window",
+      "one",
+      "", // empty: zero tokens → every slot is the init p
+      "dup dup dup dup").toDF("text")
+    val hs = expr(
+      s"transform(array_distinct(filter(split(trim(text), '\\\\s+'), t -> t <> ''))," +
+        s" t -> ${PolyHash.FnName}(t, 31, $p))")
+    val both = docs.select(hs.as("hs"))
+      .select(
+        expr(s"${MinHashSig.FnName}(hs, 16, $p)").as("native"),
+        expr(
+          s"""transform(sequence(0, 15), i ->
+             |  aggregate(hs, cast($p as bigint), (acc, h) ->
+             |    least(acc, ((cast(i as bigint) * 40503 + 1299721) * h + i * 7919 + 104729) % $p)))""".stripMargin)
+          .as("hof"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+      assert(r.getSeq[Long](0).length == 16)
+    }
+    // the empty-token row really is all-init
+    assert(both(3).getSeq[Long](0).forall(_ == p))
+  }
+
+  test("null input array yields null, not a crash") {
+    val s = spark
+    import s.implicits._
+    MinHashSig.register(s)
+    val r = Seq(Tuple1(Option.empty[Seq[Long]]), Tuple1(Some(Seq(7L, 9L))))
+      .toDF("hs")
+      .select(expr(s"${MinHashSig.FnName}(hs, 4, $p)").as("sig"))
+      .collect()
+    assert(r(0).isNullAt(0))
+    assert(r(1).getSeq[Long](0).length == 4)
+  }
+}
