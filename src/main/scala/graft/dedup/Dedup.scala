@@ -290,12 +290,18 @@ object Dedup {
     */
   def contaminationFlags(docs: DataFrame, isEval: Column, n: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // distinct/broadcast/semi-join carry the 64-bit xxhash of the gram,
+    // not the gram string: an 8-byte key instead of ~n-token text shrinks
+    // the broadcast and every comparison; a cross-boundary collision
+    // (~|grams|²/2⁶⁴) is negligible against the near-dup thresholds this
+    // feeds. The gram string itself never leaves the projection.
     val grams = docs.select(col(idCol).as("id"), isEval.as("is_eval"),
       explode(array_distinct(Text.shingles(Text.tokens(col(textCol)), n)))
         .as("gram"))
-    val evalGrams = grams.filter(col("is_eval")).select("gram").distinct()
+      .select(col("id"), col("is_eval"), xxhash64(col("gram")).as("gh"))
+    val evalGrams = grams.filter(col("is_eval")).select("gh").distinct()
     val flagged = grams.filter(!col("is_eval"))
-      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      .join(broadcast(evalGrams), Seq("gh"), "left_semi")
       .select(col("id")).distinct()
       .withColumn("__c", lit(true))
     docs.filter(!isEval)
