@@ -56,4 +56,22 @@ class IvfIndexSpec extends SparkSpec {
     assert(ix.assigned.count() == emb.count())
     assert(ix.assigned.select(col("cell")).distinct().count() <= 8)
   }
+
+  test("learnedSearch at nProbe = k equals brute force and exports its centroids") {
+    val dir = java.nio.file.Files.createTempDirectory("cent").toString + "/c"
+    val ivf = IvfIndex.learnedSearch(emb, k = 8, col("vec_id") < 10,
+        topK = 5, nProbe = 8, exportPath = dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val exact = Similarity.bruteForceTopK(emb, col("vec_id") < 10, 5)
+      .collect().map(r => (r.getAs[Long]("pid"), r.getAs[Long]("nid"),
+        r.getAs[Long]("rank"))).toSet
+    assert(ivf == exact)
+    // the exported frame is exactly (cell, cv: array<double>) with k rows
+    // — the doubles the s06 oracle reads back to reproduce assignment
+    val cent = spark.read.parquet(dir)
+    assert(cent.columns.toSeq == Seq("cell", "cv"))
+    assert(cent.count() == 8)
+    assert(cent.select(col("cell")).collect().map(_.getInt(0)).toSet
+      == (0 until 8).toSet)
+  }
 }
