@@ -261,18 +261,18 @@ object Dedup {
     */
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     graft.functions.PolyHash.register(docs.sparkSession)
+    graft.functions.SimHashSig.register(docs.sparkSession)
     val tokHash = tokenHashSql("t")
+    // single-pass native bit-count fold — bit-identical to the HOF form
+    // `aggregate(sequence(0,30), 0L, (acc, j) -> acc + if(size(filter(hs,
+    // h -> (h div 2^j) % 2 = 1)) * 2 > size(hs), 2^j, 0))`, which walked
+    // the token array once per bit in interpreted lambdas
     docs
       .select(col(idCol).as("id"),
         expr(s"transform(filter(split(trim($textCol), '\\\\s+'), t -> t <> '')," +
           s" t -> ($tokHash))").as("hs"))
-      .select(col("id"), expr(
-        """aggregate(sequence(0, 30), cast(0 as bigint), (acc, j) ->
-          |  acc + if(
-          |    size(filter(hs, h -> (h div shiftleft(cast(1 as bigint), j)) % 2 = 1)) * 2
-          |      > size(hs),
-          |    shiftleft(cast(1 as bigint), j), cast(0 as bigint)))""".stripMargin)
-        .as("simhash"))
+      .select(col("id"),
+        expr(s"${graft.functions.SimHashSig.FnName}(hs, 31)").as("simhash"))
   }
 
   /** Hamming distance between two simhash signatures. */

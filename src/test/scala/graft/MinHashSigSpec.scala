@@ -43,6 +43,33 @@ class MinHashSigSpec extends SparkSpec {
     assert(both(3).getSeq[Long](0).forall(_ == p))
   }
 
+  test("native simhash equals the HOF bit-count fold on real token arrays") {
+    val s = spark
+    import s.implicits._
+    PolyHash.register(s); graft.functions.SimHashSig.register(s)
+    val docs = Seq(
+      "the quick brown fox the quick",
+      "spark table scan",
+      "solo",
+      "").toDF("text")
+    val hs = expr(
+      s"transform(filter(split(trim(text), '\\\\s+'), t -> t <> '')," +
+        s" t -> ${PolyHash.FnName}(t, 31, $p))")
+    val both = docs.select(hs.as("hs"))
+      .select(
+        expr(s"${graft.functions.SimHashSig.FnName}(hs, 31)").as("native"),
+        expr(
+          """aggregate(sequence(0, 30), cast(0 as bigint), (acc, j) ->
+            |  acc + if(
+            |    size(filter(hs, h -> (h div shiftleft(cast(1 as bigint), j)) % 2 = 1)) * 2
+            |      > size(hs),
+            |    shiftleft(cast(1 as bigint), j), cast(0 as bigint)))""".stripMargin)
+          .as("hof"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    assert(both(3).getLong(0) == 0L) // empty doc → empty multiset → 0
+  }
+
   test("null input array yields null, not a crash") {
     val s = spark
     import s.implicits._
