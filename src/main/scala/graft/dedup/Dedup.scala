@@ -294,11 +294,14 @@ object Dedup {
     // not the gram string: an 8-byte key instead of ~n-token text shrinks
     // the broadcast and every comparison; a cross-boundary collision
     // (~|grams|²/2⁶⁴) is negligible against the near-dup thresholds this
-    // feeds. The gram string itself never leaves the projection.
+    // feeds. Gram construction + hashing + dedup run in the native
+    // ShingleHash64 loop — the gram string never exists outside it.
+    graft.functions.ShingleHash64.register(docs.sparkSession)
     val grams = docs.select(col(idCol).as("id"), isEval.as("is_eval"),
-      explode(array_distinct(Text.shingles(Text.tokens(col(textCol)), n)))
-        .as("gram"))
-      .select(col("id"), col("is_eval"), xxhash64(col("gram")).as("gh"))
+      explode(expr(
+        s"${graft.functions.ShingleHash64.FnName}(" +
+          s"filter(split(trim($textCol), '\\\\s+'), t -> t <> ''), $n)"))
+        .as("gh"))
     val evalGrams = grams.filter(col("is_eval")).select("gh").distinct()
     val flagged = grams.filter(!col("is_eval"))
       .join(broadcast(evalGrams), Seq("gh"), "left_semi")

@@ -70,6 +70,31 @@ class MinHashSigSpec extends SparkSpec {
     assert(both(3).getLong(0) == 0L) // empty doc → empty multiset → 0
   }
 
+  test("native shingle hashes equal the HOF xxhash64-over-gram chain") {
+    val s = spark
+    import s.implicits._
+    graft.functions.ShingleHash64.register(s)
+    val docs = Seq(
+      "the quick brown fox jumps",
+      "a b a b a b", // repeated grams: dedup must keep first occurrence
+      "one two",     // shorter than n=3: empty result
+      "").toDF("text")
+    val toks = "filter(split(trim(text), '\\\\s+'), t -> t <> '')"
+    val both = docs.select(
+        expr(s"${graft.functions.ShingleHash64.FnName}($toks, 3)").as("native"),
+        // sequence(1, 0) is DESCENDING in Spark, so the short-doc case
+        // needs an explicit empty guard in the HOF formulation
+        expr(s"""CASE WHEN size($toks) < 3 THEN array()
+          |ELSE array_distinct(transform(
+          |  sequence(1, size($toks) - 2),
+          |  i -> xxhash64(concat_ws(' ', slice($toks, i, 3))))) END""".stripMargin)
+          .as("hof"))
+      .collect()
+    both.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+    assert(both(2).getSeq[Long](0).isEmpty)
+    assert(both(3).getSeq[Long](0).isEmpty)
+  }
+
   test("null input array yields null, not a crash") {
     val s = spark
     import s.implicits._
