@@ -98,7 +98,13 @@ object WeatherLakeV2Sink {
     val out = fs.create(tmp, true)
     try files.foreach(f => out.write((f + "\n").getBytes("UTF-8")))
     finally out.close()
-    fs.rename(tmp, new Path(mdir, s"manifest-$jobId.txt"))
+    val dest = new Path(mdir, s"manifest-$jobId.txt")
+    // a silently failed rename would lose the manifest and hide every file
+    // this job wrote from the gated read path — surface it as a commit
+    // failure instead (Spark then aborts the job loudly)
+    if (!fs.rename(tmp, dest) && !fs.exists(dest))
+      throw new java.io.IOException(
+        s"WeatherLakeV2Sink: failed to publish manifest $dest")
   }
 
   /** Every file recorded by a COMPLETED job's manifest — the read-side
