@@ -970,6 +970,42 @@ object SparkEntry {
               col("n") * lit(0.02) + lit(2.0)).as("within_tol"))
       }),
 
+    QueryDef("qa3_sketch_merge_rollup",
+      "MERGEABLE sketch rollup — the incremental-aggregation pattern for " +
+        "100 TB: per-(event_type, day) partial HLL sketches (Datasketches " +
+        "hll_sketch_agg, the binary a nightly job would persist per " +
+        "partition) are merged with hll_union_agg and estimated, never " +
+        "re-scanning history. TOLERANCE oracle like qa1: the estimate is " +
+        "engine-specific, so the checkable output is the exact distinct, " +
+        "the partial-sketch count (proves the rollup really was two-level) " +
+        "and a boolean asserting |approx − exact| ≤ 3·rse·exact + 1 at " +
+        "lgK=12 (rse = 1.04/√2^12 ≈ 0.0163). DuckDB emits literal TRUE.",
+      Some("""SELECT event_type,
+        |  CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_partials,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS within_tol
+        |FROM events GROUP BY event_type""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        // stage 1: one mergeable sketch per (group, day) — at scale these
+        // land in a sketch table and history is never re-read
+        val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(hll_sketch_agg(col("user_id"), 12).as("sketch"))
+        // stage 2: merge the partials (register-wise max — associative,
+        // commutative, idempotent) and estimate
+        val merged = daily.groupBy(col("event_type"))
+          .agg(count(lit(1)).cast("long").as("n_partials"),
+            hll_sketch_estimate(
+              hll_union_agg(col("sketch"), allowDifferentLgConfigK = false))
+              .as("approx_users"))
+        ev.groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).cast("long").as("exact_users"))
+          .join(broadcast(merged), Seq("event_type"))
+          .select(col("event_type"), col("n_partials"), col("exact_users"),
+            (abs(col("approx_users") - col("exact_users")).cast("double") <=
+              lit(3 * 0.0163) * col("exact_users") + lit(1.0)).as("within_tol"))
+      }),
+
     QueryDef("s04_hyperplane_lsh",
       "Random-hyperplane LSH signatures for cosine similarity (Charikar): " +
         "bit j = sign(v · h_j) with hyperplanes regenerated from integer " +
@@ -1110,6 +1146,31 @@ object SparkEntry {
       (s, dir) => graft.similarity.IvfIndex.learnedSearch(
         Tables.embeddings(s, dir), k = 8, col("vec_id") < 10,
         topK = 3, nProbe = 3)),
+
+    QueryDef("s08_ivf_recall",
+      "ANN quality metric, fully hash-oracled: recall@3 of the learned " +
+        "IVF search (8 trained cells, only nProbe=2 probed — real pruning, " +
+        "2 of 8 cells ≈ 75% of the corpus skipped) against the exact " +
+        "brute-force top-3 truth. Both engines recompute truth from the " +
+        "embeddings and the approx result from the exported centroid " +
+        "doubles (s06's recipe), so per-probe recall matches bit-exactly — " +
+        "no tolerance needed even though the index is approximate.",
+      Some(ivfRecallOracle(nProbe = 2, k = 3)),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val truth = Similarity.bruteForceTopK(emb, col("vec_id") < 10, 3)
+          .select(col("pid"), col("nid"))
+        val approx = graft.similarity.IvfIndex.learnedSearch(
+          emb, k = 8, col("vec_id") < 10, topK = 3, nProbe = 2,
+          exportPath = graft.similarity.IvfIndex.ExportedCentroidsRecallPath)
+          .select(col("pid"), col("nid"), lit(1).as("__hit"))
+        truth.join(approx, Seq("pid", "nid"), "left")
+          .groupBy(col("pid"))
+          .agg(count(lit(1)).cast("long").as("n_truth"),
+            count(col("__hit")).cast("long").as("n_hit"))
+          .select(col("pid"), col("n_truth"), col("n_hit"),
+            round(col("n_hit").cast("double") / col("n_truth"), 6).as("recall"))
+      }),
 
     QueryDef("p01_curation_pipeline",
       "The COMPOSED curation pipeline end-to-end (TrainingDataPipeline): " +
@@ -1491,6 +1552,53 @@ object SparkEntry {
       "SELECT cell, cv FROM read_parquet('" +
         graft.similarity.IvfIndex.ExportedCentroidsPath + "/*.parquet')",
       nProbe, k)
+
+  /** s08's oracle: brute-force truth (knnOracle's CTE chain) and the
+    * learned-IVF result (ivfOracle's chain over the s08 centroid export)
+    * recomputed side by side, joined into per-probe recall. Exact — both
+    * engines see the same centroid doubles, cosines round to 6 decimals,
+    * ties break on id, so truth, approx, and recall all match bit-exactly.
+    */
+  private def ivfRecallOracle(nProbe: Int, k: Int): String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings),
+       |p AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id < 10),
+       |tprod AS (SELECT pid, e.vec_id AS nid, unnest(pv) AS x, unnest(v) AS y
+       |          FROM p CROSS JOIN e WHERE e.vec_id <> pid),
+       |tdots AS (SELECT pid, nid, SUM(x*y) AS dot, SUM(x*x) AS na2, SUM(y*y) AS nb2
+       |          FROM tprod GROUP BY pid, nid),
+       |tcs AS (SELECT pid, nid, ROUND(dot/(SQRT(na2)*SQRT(nb2)), 6) AS cos_sim FROM tdots),
+       |tr AS (SELECT pid, nid,
+       |       ROW_NUMBER() OVER (PARTITION BY pid ORDER BY cos_sim DESC, nid) AS rn FROM tcs),
+       |truth AS (SELECT pid, nid FROM tr WHERE rn <= $k),
+       |cent AS (SELECT cell, cv FROM read_parquet('${graft.similarity.IvfIndex.ExportedCentroidsRecallPath}/*.parquet')),
+       |aprod AS (SELECT e.vec_id AS nid, cell, unnest(v) AS x, unnest(cv) AS y
+       |          FROM e CROSS JOIN cent),
+       |adots AS (SELECT nid, cell, SUM(x*y) AS dot, SUM(x*x) AS n2, SUM(y*y) AS c2
+       |          FROM aprod GROUP BY nid, cell),
+       |acos AS (SELECT nid, cell, ROUND(dot/(SQRT(n2)*SQRT(c2)), 6) AS a_cos FROM adots),
+       |assign AS (SELECT nid, cell FROM (
+       |  SELECT nid, cell, ROW_NUMBER() OVER (PARTITION BY nid
+       |    ORDER BY a_cos DESC, cell) AS rn FROM acos) WHERE rn = 1),
+       |probecells AS (SELECT nid AS pid, cell FROM (
+       |  SELECT nid, cell, ROW_NUMBER() OVER (PARTITION BY nid
+       |    ORDER BY a_cos DESC, cell) AS cr FROM acos WHERE nid < 10)
+       |  WHERE cr <= $nProbe),
+       |cand AS (SELECT pc.pid, a.nid FROM probecells pc JOIN assign a ON pc.cell = a.cell
+       |         WHERE a.nid <> pc.pid),
+       |cprod AS (SELECT pid, cand.nid, unnest(pe.v) AS x, unnest(ne.v) AS y
+       |          FROM cand JOIN e pe ON pe.vec_id = pid JOIN e ne ON ne.vec_id = cand.nid),
+       |cdots AS (SELECT pid, nid, SUM(x*y) AS dot, SUM(x*x) AS na2, SUM(y*y) AS nb2
+       |          FROM cprod GROUP BY pid, nid),
+       |ccs AS (SELECT pid, nid, ROUND(dot/(SQRT(na2)*SQRT(nb2)), 6) AS cos_sim FROM cdots),
+       |ar AS (SELECT pid, nid,
+       |       ROW_NUMBER() OVER (PARTITION BY pid ORDER BY cos_sim DESC, nid) AS rn FROM ccs),
+       |approx AS (SELECT pid, nid FROM ar WHERE rn <= $k)
+       |SELECT t.pid, CAST(COUNT(*) AS BIGINT) AS n_truth,
+       |  CAST(COUNT(a.nid) AS BIGINT) AS n_hit,
+       |  ROUND(CAST(COUNT(a.nid) AS DOUBLE)/COUNT(*), 6) AS recall
+       |FROM truth t LEFT JOIN approx a ON t.pid = a.pid AND t.nid = a.nid
+       |GROUP BY t.pid""".stripMargin
 
   private def ivfOracle(centSql: String, nProbe: Int, k: Int): String =
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

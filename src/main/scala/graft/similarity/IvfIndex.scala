@@ -57,6 +57,12 @@ object IvfIndex {
     */
   val ExportedCentroidsPath = "/tmp/graft_ivf_centroids"
 
+  /** s08's own export location: it probes fewer cells than s06 (nProbe=2),
+    * and a shared path would let one query's export clobber the doubles the
+    * other query's static oracle SQL reads at compare time.
+    */
+  val ExportedCentroidsRecallPath = "/tmp/graft_ivf_centroids_s08"
+
   /** Assign every vector to its argmax-cosine cell over an arbitrary
     * centroid frame `cent` (cell, cv: array<double>). Cosines rounded to 6
     * decimals and ties to the lowest cell so any engine given the same
