@@ -169,12 +169,18 @@ object Dedup {
     * band hash — candidate generation never materializes the all-pairs
     * product, which is what makes near-dup feasible at 100 TB.
     */
-  def minhashCandidates(signatures: DataFrame, rowsPerBand: Int): DataFrame = {
+  /** The banding projection alone: one (id, band, band_sig) row per doc
+    * per band — the bucket keys [[minhashCandidates]] self-joins on, also
+    * reusable as a persisted registry key for incremental/streaming
+    * near-dup (join new docs' keys against the stored corpus keys instead
+    * of re-banding history).
+    */
+  def bandKeys(signatures: DataFrame, rowsPerBand: Int): DataFrame = {
     require(rowsPerBand >= 1, "rowsPerBand must be positive")
     // guard sequence(0, -1): Spark generates a DESCENDING [0, -1] there,
     // which would build a bogus band from a negative slice offset when a
     // signature is narrower than one band
-    val bands = signatures.select(
+    signatures.select(
       col("id"),
       posexplode(expr(
         s"CASE WHEN size(sig) >= $rowsPerBand THEN " +
@@ -183,6 +189,10 @@ object Dedup {
           s"ELSE array() END")))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_sig")
+  }
+
+  def minhashCandidates(signatures: DataFrame, rowsPerBand: Int): DataFrame = {
+    val bands = bandKeys(signatures, rowsPerBand)
     val l = bands.as("l")
     val r = bands.as("r")
     l.join(r,

@@ -47,4 +47,49 @@ class CurationStreamSpec extends SparkSpec {
     CurationStream.run(spark, in, out, cp).awaitTermination(60000)
     assert(spark.read.parquet(out).count() == 2)
   }
+
+  // 32 distinct short tokens incl. a stopword → passes the quality gate;
+  // token-SET-preserving reorderings share every MinHash band but not the
+  // md5 digest, so only the LSH stage can catch them
+  private def toks(prefix: String) = "the" +: (1 to 31).map(i => s"$prefix$i")
+  private val baseDoc = toks("tok").mkString(" ")
+  private val reorderedDoc = toks("tok").reverse.mkString(" ")
+  private val otherDoc = toks("bar").mkString(" ")
+  private val freshDoc = toks("zed").mkString(" ")
+
+  test("near-dup stream suppresses same-token-set docs across batches and restarts") {
+    // sanity: the near-dup fixture really collides on every band, the
+    // fresh doc on none (deterministic — fixed texts, fixed permutations)
+    val keys = CurationStream.docBandKeys(
+      docs(Seq((1L, baseDoc), (3L, reorderedDoc), (4L, freshDoc))))
+    val byDoc = keys.collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(byDoc(1L) == byDoc(3L), "reordered doc must share all bands")
+    assert(byDoc(1L).intersect(byDoc(4L)).isEmpty, "fresh doc must not collide")
+
+    val base = Files.createTempDirectory("neardup").toString
+    val in = s"$base/in"; val out = s"$base/out"
+    val reg = s"$base/reg"; val cp = s"$base/cp"
+    // batch 1: two distinct docs plus an in-batch near-dup of doc 1
+    docs(Seq((1L, baseDoc), (2L, otherDoc), (3L, reorderedDoc)))
+      .write.mode("append").parquet(in)
+    CurationStream.runNearDup(spark, in, out, reg, cp).awaitTermination(60000)
+    val firstIds = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(firstIds == Set(1L, 2L),
+      s"lower-id doc wins the in-batch near-dup, got $firstIds")
+    // batch 2 AFTER a restart: a reordered re-crawl of doc 1 (cross-batch
+    // NEAR dup — digest differs, bands collide with the registry) plus a
+    // genuinely new doc
+    docs(Seq((5L, reorderedDoc), (6L, freshDoc)))
+      .write.mode("append").parquet(in)
+    CurationStream.runNearDup(spark, in, out, reg, cp).awaitTermination(60000)
+    val allIds = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(allIds == Set(1L, 2L, 6L),
+      s"cross-batch near-dup must be suppressed by the registry, got $allIds")
+    // restart with no new input: nothing re-processed, output unchanged
+    CurationStream.runNearDup(spark, in, out, reg, cp).awaitTermination(60000)
+    assert(spark.read.parquet(out).count() == 3)
+  }
 }
