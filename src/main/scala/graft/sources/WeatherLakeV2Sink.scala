@@ -138,6 +138,86 @@ object WeatherLakeV2Sink {
     } else spark.read.text(files: _*)
   }
 
+  // -----------------------------------------------------------------
+  // manifest-cursor incremental reader
+  // -----------------------------------------------------------------
+
+  /** Names of every completed job's manifest under the lake root. */
+  def manifestNames(basePath: String): Seq[String] = {
+    val fs = new Path(basePath).getFileSystem(new Configuration())
+    val mdir = new Path(basePath, ManifestDir)
+    if (!fs.exists(mdir)) Seq.empty
+    else fs.listStatus(mdir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("manifest-")).sorted
+  }
+
+  private def readLines(fs: org.apache.hadoop.fs.FileSystem, p: Path): Seq[String] = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    finally in.close()
+  }
+
+  /** Manifest names already consumed, per the cursor file (empty before
+    * the first [[advanceCursor]]).
+    */
+  def consumedManifests(cursorPath: String): Set[String] = {
+    val p = new Path(cursorPath)
+    val fs = p.getFileSystem(new Configuration())
+    if (fs.exists(p)) readLines(fs, p).filter(_.nonEmpty).toSet else Set.empty
+  }
+
+  /** Incremental consumption of the lake — the manifest-cursor twin of
+    * `WeatherJobs.loadIncremental`'s listing scan: return only the rows of
+    * manifests not yet recorded at `cursorPath`, plus the manifest names
+    * to pass to [[advanceCursor]] once the batch is durably processed.
+    * Because the unit of progress is a whole job's manifest, a reader
+    * never sees half a job, and an unadvanced cursor replays the full
+    * manifest (at-least-once, idempotent for keyed upsert consumers).
+    * O(new manifests) driver work — the data files themselves are read
+    * distributed via `spark.read.text`.
+    */
+  def readNewCommits(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, cursorPath: String):
+      (org.apache.spark.sql.DataFrame, Seq[String]) = {
+    val fresh = manifestNames(basePath)
+      .filterNot(consumedManifests(cursorPath))
+    val fs = new Path(basePath).getFileSystem(new Configuration())
+    val files = fresh
+      .flatMap(n => readLines(fs, new Path(new Path(basePath, ManifestDir), n)))
+      .filter(_.nonEmpty)
+    val df =
+      if (files.isEmpty) {
+        import spark.implicits._
+        spark.emptyDataset[String].toDF("value")
+      } else spark.read.text(files: _*)
+    (df, fresh)
+  }
+
+  /** Durably mark manifests consumed: rewrite the cursor with the union of
+    * old and new names via tmp-then-rename, so a torn write can't corrupt
+    * it (a lost rename surfaces as an exception, and an unadvanced cursor
+    * only replays — never skips — data).
+    */
+  def advanceCursor(cursorPath: String, manifests: Seq[String]): Unit = {
+    if (manifests.nonEmpty) {
+      val p = new Path(cursorPath)
+      val fs = p.getFileSystem(new Configuration())
+      val all = (consumedManifests(cursorPath) ++ manifests).toSeq.sorted
+      val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+      val out = fs.create(tmp, true)
+      try all.foreach(n => out.write((n + "\n").getBytes("UTF-8")))
+      finally out.close()
+      // Hadoop rename refuses an existing destination: drop the old cursor
+      // first. A crash inside this window loses only PROGRESS, not data —
+      // the next read replays every manifest (at-least-once), it never
+      // skips one.
+      if (fs.exists(p)) fs.delete(p, false)
+      if (!fs.rename(tmp, p))
+        throw new java.io.IOException(
+          s"WeatherLakeV2Sink: failed to advance manifest cursor $p")
+    }
+  }
+
   final case class FilesWritten(paths: Seq[String]) extends WriterCommitMessage
 
   class LakeWriterFactory(path: String) extends DataWriterFactory {

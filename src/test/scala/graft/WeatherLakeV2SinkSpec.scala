@@ -116,6 +116,35 @@ class WeatherLakeV2SinkSpec extends SparkSpec {
       == visibleBefore)
   }
 
+  test("manifest-cursor incremental read consumes each job exactly once") {
+    import graft.sources.WeatherLakeV2Sink
+    val base = Files.createTempDirectory("lakev2cursor").toString
+    val lake = s"$base/lake"; val cursor = s"$base/cursor.txt"
+    def sink(df: DataFrame): Unit =
+      df.select(col("city"), col("ds"), col("hour"),
+          to_json(struct(col("latitude"), col("longitude"))).as("raw_json"))
+        .write.format("graft.sources.WeatherLakeV2Sink")
+        .mode("append").save(lake)
+    // job 1 commits 2 rows
+    sink(rawFixture.limit(2))
+    val (first, m1) = WeatherLakeV2Sink.readNewCommits(spark, lake, cursor)
+    assert(first.count() == 2 && m1.length == 1)
+    // an unadvanced cursor REPLAYS (at-least-once) — it never skips
+    assert(WeatherLakeV2Sink.readNewCommits(spark, lake, cursor)._1.count() == 2)
+    WeatherLakeV2Sink.advanceCursor(cursor, m1)
+    // nothing new → empty batch, no manifests
+    val (empty, m2) = WeatherLakeV2Sink.readNewCommits(spark, lake, cursor)
+    assert(empty.count() == 0 && m2.isEmpty)
+    // job 2 commits 3 more rows; only ITS rows surface
+    sink(rawFixture.limit(3))
+    val (second, m3) = WeatherLakeV2Sink.readNewCommits(spark, lake, cursor)
+    assert(second.count() == 3 && m3.length == 1 && m3 != m1)
+    WeatherLakeV2Sink.advanceCursor(cursor, m3)
+    assert(WeatherLakeV2Sink.readNewCommits(spark, lake, cursor)._1.count() == 0)
+    // the full gated read still sees both jobs
+    assert(WeatherLakeV2Sink.readCommitted(spark, lake).count() == 5)
+  }
+
   test("missing path option fails fast with the option named") {
     val e = intercept[IllegalArgumentException] {
       new graft.sources.WeatherLakeV2Sink()
