@@ -25,7 +25,10 @@ object Explain {
     .replaceAll("#\\d+", "#x")
     // lambda variable names carry a session-global counter (x_5 vs x_18
     // depending on how many lambdas the session created before this plan)
-    .replaceAll("lambda x_\\d+", "lambda x_n")
+    .replaceAll("lambda ([a-z]+)_\\d+", "lambda $1_n")
+    // RDD callsites embed source line numbers, which move on unrelated
+    // edits to the file
+    .replaceAll("at ([A-Za-z0-9_.]+)\\.scala:\\d+", "at $1.scala:<line>")
     // RDD ids in ExistingRDD/localCheckpoint arguments are a session counter
     .replaceAll("RDD\\[\\d+\\]", "RDD[x]")
     .replaceAll("plan_id=\\d+", "plan_id=x")
