@@ -1530,7 +1530,76 @@ object SparkEntry {
            |  AND l_quantity < (
            |    SELECT 0.5 * CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*)
            |    FROM parquet.`$dir/lineitem.parquet` l2
-           |    WHERE l2.l_partkey = p_partkey)""".stripMargin))
+           |    WHERE l2.l_partkey = p_partkey)""".stripMargin)),
+
+    QueryDef("q41_global_avg_anti",
+      "TPC-H Q22 shape (adapted: segment stands in for the phone-prefix " +
+        "country code, and the anti-join is against URGENT orders since " +
+        "every synthetic customer has some order): an UNCORRELATED scalar " +
+        "aggregate subquery as a filter bound (above the positive-balance " +
+        "average) AND a filtered NOT EXISTS anti-join, grouped by " +
+        "segment. Covers the scalar-subquery-in-predicate + anti-join " +
+        "combination q05/q19/q39 exercise only separately. AVG as " +
+        "decimal-sum/count for cross-engine float parity.",
+      Some("""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer c
+        |WHERE c_acctbal > (
+        |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*)
+        |    FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment""".stripMargin),
+      (s, dir) => s.sql(
+        s"""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,
+           |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+           |FROM parquet.`$dir/customer.parquet` c
+           |WHERE c_acctbal > (
+           |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*)
+           |    FROM parquet.`$dir/customer.parquet` WHERE c_acctbal > 0.0)
+           |  AND NOT EXISTS (
+           |    SELECT 1 FROM parquet.`$dir/orders.parquet` o
+           |    WHERE o.o_custkey = c.c_custkey
+           |      AND o.o_orderpriority = '1-URGENT')
+           |GROUP BY c_mktsegment""".stripMargin)),
+
+    QueryDef("q42_range_frame_window",
+      "RANGE-frame sliding window — the frame type q12/q27's ROWS frames " +
+        "don't cover: a 7-day moving revenue sum/count per order status, " +
+        "RANGE BETWEEN 6 PRECEDING AND CURRENT ROW over a numeric day " +
+        "axis (gaps in the calendar shrink the frame; a ROWS frame would " +
+        "silently span them). The window input is the DAILY AGGREGATE — " +
+        "O(status × days), bounded regardless of SF — so the per-status " +
+        "window sort never sees fact-table cardinality.",
+      Some("""WITH d AS (
+        |  SELECT o_orderstatus, CAST(o_orderdate AS DATE) AS day,
+        |    date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS day_num,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1, 2, 3)
+        |SELECT o_orderstatus, day,
+        |  CAST(rev_dec AS DOUBLE) AS day_rev,
+        |  CAST(SUM(rev_dec) OVER w AS DOUBLE) AS mov_rev,
+        |  CAST(SUM(n) OVER w AS BIGINT) AS mov_n
+        |FROM d
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY day_num
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin),
+      (s, dir) => {
+        val daily = Tables.orders(s, dir)
+          .groupBy(col("o_orderstatus"),
+            to_date(col("o_orderdate")).as("day"))
+          .agg(sum(col("o_totalprice").cast(D2)).as("rev_dec"),
+            count(lit(1)).cast("long").as("n"))
+          .withColumn("day_num",
+            datediff(col("day"), lit("1990-01-01").cast("date")))
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("day_num")).rangeBetween(-6, 0)
+        daily.select(col("o_orderstatus"), col("day"),
+          col("rev_dec").cast("double").as("day_rev"),
+          sum(col("rev_dec")).over(w).cast("double").as("mov_rev"),
+          sum(col("n")).over(w).cast("long").as("mov_n"))
+      })
   )
 
   /** DuckDB replica of the full seeded-IVF search (IvfIndex.seededSearch):
