@@ -1375,6 +1375,54 @@ object SparkEntry {
       (s, dir) => Dedup.contaminationFlags(
         Tables.documents(s, dir), col("source") === "src0", n = 5)),
 
+    QueryDef("d08_kmv_overlap",
+      "Cross-source corpus-overlap estimation via KMV (k-minimum-values) " +
+        "sketches over 3-gram hashes, k=64: per-source state is O(k) and " +
+        "pair scoring merges sketches (k smallest of the union — the same " +
+        "mergeability qa3 leans on), never joining full gram sets. The " +
+        "sketch is DETERMINISTIC (k smallest md5-prefix hashes), so the " +
+        "estimate is exact-oracle-checked — no tolerance band — and the " +
+        "exact Jaccard rides along as the estimator-quality witness.",
+      Some("""WITH tok AS (SELECT doc_id, source,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |grams AS (SELECT DISTINCT source,
+        |    CAST(CONCAT('0x', substr(md5(g), 1, 15)) AS BIGINT) AS h
+        |  FROM (SELECT source, unnest(CASE WHEN len(toks) < 3 THEN []
+        |         ELSE list_transform(generate_series(1, len(toks)-2),
+        |              i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) END) AS g
+        |        FROM tok)),
+        |sketch AS (SELECT source, h FROM (
+        |    SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+        |    FROM grams) WHERE rn <= 64),
+        |srcs AS (SELECT DISTINCT source FROM documents),
+        |prs AS (SELECT a.source AS src_a, b.source AS src_b
+        |        FROM srcs a JOIN srcs b ON a.source < b.source),
+        |u AS (
+        |  SELECT p.src_a, p.src_b, s.h,
+        |         MAX(CASE WHEN s.source = p.src_a THEN 1 ELSE 0 END) AS in_a,
+        |         MAX(CASE WHEN s.source = p.src_b THEN 1 ELSE 0 END) AS in_b
+        |  FROM prs p JOIN sketch s ON s.source IN (p.src_a, p.src_b)
+        |  GROUP BY 1,2,3),
+        |ur AS (SELECT src_a, src_b, in_a, in_b,
+        |       ROW_NUMBER() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn FROM u),
+        |est AS (SELECT src_a, src_b,
+        |        ROUND(CAST(SUM(in_a*in_b) AS DOUBLE)/64, 6) AS est_j
+        |        FROM ur WHERE rn <= 64 GROUP BY 1,2),
+        |sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM grams GROUP BY 1),
+        |inter AS (SELECT p.src_a, p.src_b, CAST(COUNT(*) AS BIGINT) AS ninter
+        |          FROM prs p JOIN grams ga ON ga.source = p.src_a
+        |                     JOIN grams gb ON gb.source = p.src_b AND ga.h = gb.h
+        |          GROUP BY 1,2),
+        |ex AS (SELECT p.src_a, p.src_b,
+        |       ROUND(CAST(COALESCE(i.ninter,0) AS DOUBLE)/(sa.n + sb.n - COALESCE(i.ninter,0)), 6) AS exact_j
+        |       FROM prs p LEFT JOIN inter i ON i.src_a = p.src_a AND i.src_b = p.src_b
+        |       JOIN sizes sa ON sa.source = p.src_a JOIN sizes sb ON sb.source = p.src_b)
+        |SELECT e.src_a, e.src_b, est.est_j, e.exact_j
+        |FROM ex e JOIN est ON est.src_a = e.src_a AND est.src_b = e.src_b""".stripMargin),
+      (s, dir) => Dedup.kmvSourceOverlap(
+        Tables.documents(s, dir), k = 64, n = 3)),
+
     QueryDef("t09_stratified_sample",
       "Deterministic stratified downsampling: keep 50% of the dominant " +
         "language ('en') and 80% of everything else, keyed on the PolyHash " +

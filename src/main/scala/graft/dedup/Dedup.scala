@@ -203,6 +203,78 @@ object Dedup {
       .distinct()
   }
 
+  /** KMV (k-minimum-values) sketch estimate of the pairwise n-gram
+    * Jaccard overlap BETWEEN corpus sources — "how much does source A
+    * overlap source B" without ever joining their full gram sets. Public
+    * literature: Bar-Yossef et al.'s distinct-value KMV sketch and its
+    * Jaccard estimator J ≈ |U ∩ A ∩ B| / k where U is the k smallest of
+    * the union of the two sketches (union of KMV sketches IS the sketch
+    * of the union — same merge property qa3 uses for HLL).
+    *
+    * Returns one row per unordered source pair: (src_a, src_b, est_j,
+    * exact_j). Everything is deterministic — the "sketch" is the k
+    * smallest md5-derived 60-bit gram hashes — so the estimate itself is
+    * exact-oracle-checkable, no tolerance band needed; `exact_j` is
+    * emitted beside it as the estimator-quality witness (feasible at test
+    * SF; at 100 TB only the sketch path runs: per-source state is O(k),
+    * the pair table O(sources²·k), and the full gram-set join never
+    * happens).
+    */
+  def kmvSourceOverlap(docs: DataFrame, k: Int, n: Int,
+      srcCol: String = "source", textCol: String = "text"): DataFrame = {
+    // distinct 60-bit gram hashes per source (md5 prefix: reproducible on
+    // any engine, uniform — the property the k-minimum estimator needs)
+    val grams = docs
+      .withColumn("toks", Text.tokens(col(textCol)))
+      .select(col(srcCol).as("source"),
+        explode(Text.shingles(col("toks"), n)).as("g"))
+      .select(col("source"),
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("h"))
+      .distinct()
+    // per-source KMV sketch: the k smallest hashes. The window input is
+    // already the deduped gram set; at extreme skew the same result comes
+    // from a partial min-k aggregate, but the shuffle key (source) and
+    // state (k values) are what matter at scale.
+    val bySource = Window.partitionBy(col("source")).orderBy(col("h"))
+    val sketch = grams.withColumn("rn", row_number().over(bySource))
+      .filter(col("rn") <= k).select(col("source"), col("h"))
+    val srcs = docs.select(col(srcCol).as("source")).distinct()
+    val pairs = srcs.as("a").join(srcs.as("b"),
+        col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"))
+    // merged sketch per pair: membership flags per hash, k smallest kept
+    val ua = pairs.join(sketch.withColumnRenamed("source", "src_a"), Seq("src_a"))
+      .select(col("src_a"), col("src_b"), col("h"),
+        lit(1).as("in_a"), lit(0).as("in_b"))
+    val ub = pairs.join(sketch.withColumnRenamed("source", "src_b"), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("h"),
+        lit(0).as("in_a"), lit(1).as("in_b"))
+    val merged = ua.union(ub)
+      .groupBy(col("src_a"), col("src_b"), col("h"))
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+    val byPair = Window.partitionBy(col("src_a"), col("src_b")).orderBy(col("h"))
+    val est = merged.withColumn("rn", row_number().over(byPair))
+      .filter(col("rn") <= k)
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(round(sum(col("in_a") * col("in_b")).cast("double") / lit(k), 6)
+        .as("est_j"))
+    // exact Jaccard over the full gram-hash sets — the estimator's truth
+    val sizes = grams.groupBy(col("source")).agg(count(lit(1)).cast("long").as("n"))
+    val inter = grams.as("ga").join(grams.as("gb"),
+        col("ga.h") === col("gb.h") && col("ga.source") < col("gb.source"))
+      .groupBy(col("ga.source").as("src_a"), col("gb.source").as("src_b"))
+      .agg(count(lit(1)).cast("long").as("ninter"))
+    val exact = pairs.join(inter, Seq("src_a", "src_b"), "left")
+      .na.fill(0L, Seq("ninter"))
+      .join(sizes.toDF("src_a", "na"), Seq("src_a"))
+      .join(sizes.toDF("src_b", "nb"), Seq("src_b"))
+      .select(col("src_a"), col("src_b"),
+        round(col("ninter").cast("double") /
+          (col("na") + col("nb") - col("ninter")), 6).as("exact_j"))
+    est.join(exact, Seq("src_a", "src_b"))
+      .select(col("src_a"), col("src_b"), col("est_j"), col("exact_j"))
+  }
+
   /** Connected components over an undirected edge list — the step that
     * turns near-dup PAIRS into dedup CLUSTERS (every doc labeled with the
     * minimum id reachable from it). Iterative label propagation: each
