@@ -29,6 +29,9 @@ object Explain {
     // RDD callsites embed source line numbers, which move on unrelated
     // edits to the file
     .replaceAll("at ([A-Za-z0-9_.]+)\\.scala:\\d+", "at $1.scala:<line>")
+    // typed-API (map/flatMap/mapPartitions) plans print the JVM lambda
+    // object identity — different every process
+    .replaceAll("\\$\\$Lambda\\$\\d+/0x[0-9a-f]+@[0-9a-f]+", "\\$\\$Lambda\\$<id>")
     // RDD ids in ExistingRDD/localCheckpoint arguments are a session counter
     .replaceAll("RDD\\[\\d+\\]", "RDD[x]")
     .replaceAll("plan_id=\\d+", "plan_id=x")

@@ -1104,6 +1104,32 @@ object SparkEntry {
         Tables.documents(s, dir).withColumn("payload", col("text").cast("binary")),
         "doc_id", "payload")),
 
+    QueryDef("m02_frame_sample",
+      "Multimodal frame sampling ORACLED end-to-end: the mapPartitions " +
+        "fan-out (one payload row → N bounded frame rows, the video " +
+        "keyframe-extraction shape) over documents-as-media, checked by " +
+        "md5 of every sampled 32-byte block at stride 2. The corpus is " +
+        "ASCII so the oracle's VARCHAR slicing is byte-exact; a real " +
+        "deployment swaps the byte slicer for a codec without changing " +
+        "the plan shape (flatMap, no shuffle).",
+      Some("""WITH m AS (SELECT doc_id AS media_id, text AS t, length(text) AS len
+        |       FROM documents),
+        |f AS (SELECT media_id, t,
+        |      unnest(CASE WHEN len < 32 THEN []
+        |             ELSE generate_series(0, CAST((len-32)//64 AS BIGINT)) END) AS fi
+        |      FROM m)
+        |SELECT media_id, CAST(fi AS INTEGER) AS frame_idx,
+        |  md5(substring(t, CAST(fi*64+1 AS BIGINT), 32)) AS frame_md5
+        |FROM f""".stripMargin),
+      (s, dir) => {
+        val media = graft.multimodal.Multimodal.mediaFromDocuments(
+          s, Tables.documents(s, dir))
+        graft.multimodal.Multimodal.sampleFrames(media, frameLen = 32, stride = 2)
+          .toDF()
+          .select(col("media_id"), col("frame_idx"),
+            md5(col("frame_bytes")).as("frame_md5"))
+      }),
+
     QueryDef("s01_knn_bruteforce",
       "Similarity search, exact baseline: brute-force cosine top-3 for 10 " +
         "probe vectors over the corpus (floats widened to double; zip_with + " +
