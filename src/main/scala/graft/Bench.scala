@@ -44,7 +44,13 @@ object Bench {
       Tables.table(spark, sfDir, t)
         .write.mode("overwrite").format("noop").save()
     }
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    val passesRaw = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3")
+    val passes = passesRaw.toIntOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"SPARK_GRAFT_BENCH_PASSES must be an integer, got '$passesRaw'"))
+    require(passes >= 1,
+      s"SPARK_GRAFT_BENCH_PASSES must be >= 1, got $passes " +
+        "(0 would emit an empty-but-successful results JSON)")
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val best = scala.collection.mutable.LinkedHashMap[String, Double]()
     for (pass <- 1 to passes; (name, fn) <- ordered) {

@@ -993,8 +993,10 @@ object SparkEntry {
           .agg(hll_sketch_agg(col("user_id"), 12).as("sketch"))
         // stage 2: merge the partials (register-wise max — associative,
         // commutative, idempotent) and estimate
+        // count(day), not count(*): a null-ts row would form a null-day
+        // partial that DuckDB's COUNT(DISTINCT date) ignores
         val merged = daily.groupBy(col("event_type"))
-          .agg(count(lit(1)).cast("long").as("n_partials"),
+          .agg(count(col("day")).cast("long").as("n_partials"),
             hll_sketch_estimate(
               hll_union_agg(col("sketch"), allowDifferentLgConfigK = false))
               .as("approx_users"))
@@ -1433,7 +1435,7 @@ object SparkEntry {
         |ur AS (SELECT src_a, src_b, in_a, in_b,
         |       ROW_NUMBER() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn FROM u),
         |est AS (SELECT src_a, src_b,
-        |        ROUND(CAST(SUM(in_a*in_b) AS DOUBLE)/64, 6) AS est_j
+        |        ROUND(CAST(SUM(in_a*in_b) AS DOUBLE)/LEAST(64, COUNT(*)), 6) AS est_j
         |        FROM ur WHERE rn <= 64 GROUP BY 1,2),
         |sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM grams GROUP BY 1),
         |inter AS (SELECT p.src_a, p.src_b, CAST(COUNT(*) AS BIGINT) AS ninter

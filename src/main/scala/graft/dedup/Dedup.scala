@@ -253,11 +253,15 @@ object Dedup {
       .groupBy(col("src_a"), col("src_b"), col("h"))
       .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
     val byPair = Window.partitionBy(col("src_a"), col("src_b")).orderBy(col("h"))
+    // estimator denominator is min(k, |merged sketch|): when both sources
+    // have fewer than k grams the sketches are exhaustive and dividing by
+    // the constant k would systematically underestimate (J ≈ |U∩A∩B|/k is
+    // only the k-th-order statistic form when the union sketch is full)
     val est = merged.withColumn("rn", row_number().over(byPair))
       .filter(col("rn") <= k)
       .groupBy(col("src_a"), col("src_b"))
-      .agg(round(sum(col("in_a") * col("in_b")).cast("double") / lit(k), 6)
-        .as("est_j"))
+      .agg(round(sum(col("in_a") * col("in_b")).cast("double") /
+        least(lit(k), count(lit(1))), 6).as("est_j"))
     // exact Jaccard over the full gram-hash sets — the estimator's truth
     val sizes = grams.groupBy(col("source")).agg(count(lit(1)).cast("long").as("n"))
     val inter = grams.as("ga").join(grams.as("gb"),

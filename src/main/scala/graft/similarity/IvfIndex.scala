@@ -54,6 +54,15 @@ object IvfIndex {
   /** Where s06 materializes its trained centroids so the DuckDB oracle can
     * reproduce assignment from the SAME doubles (parquet roundtrips doubles
     * exactly). Written by the query, read by the static oracle SQL.
+    *
+    * CONSTRAINT: the driver contract makes `oracleSql` a static string, so
+    * this path cannot vary per run/SF — the export is shared mutable state
+    * between "query ran" and "oracle compared". Correct under the
+    * verify-then-compare flow (Verify and the DuckDB compare run
+    * back-to-back on one SF, which is how both the driver and
+    * tools/verify_local.py operate); interleaving another s06/s08
+    * invocation at a different SF between the two steps would swap the
+    * doubles under the pending oracle.
     */
   val ExportedCentroidsPath = "/tmp/graft_ivf_centroids"
 

@@ -114,14 +114,8 @@ object WeatherLakeV2Sink {
   def committedFiles(basePath: String): Seq[String] = {
     val fs = new Path(basePath).getFileSystem(new Configuration())
     val mdir = new Path(basePath, ManifestDir)
-    if (!fs.exists(mdir)) Seq.empty
-    else fs.listStatus(mdir).toSeq
-      .filter(s => s.getPath.getName.startsWith("manifest-"))
-      .flatMap { s =>
-        val in = fs.open(s.getPath)
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-        finally in.close()
-      }
+    manifestNames(basePath)
+      .flatMap(n => readLines(fs, new Path(mdir, n)))
       .filter(_.nonEmpty)
   }
 

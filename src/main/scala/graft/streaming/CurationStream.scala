@@ -92,8 +92,15 @@ object CurationStream {
     * policy as the batch `Dedup.exactDupGroups` canonical-min choice.)
     */
   def nearDupBatch(batch: DataFrame, registry: DataFrame,
-      numPerms: Int = 16, rowsPerBand: Int = 4): (DataFrame, DataFrame) = {
-    val keys = docBandKeys(batch, numPerms, rowsPerBand)
+      numPerms: Int = 16, rowsPerBand: Int = 4): (DataFrame, DataFrame) =
+    nearDupFromKeys(batch, docBandKeys(batch, numPerms, rowsPerBand), registry)
+
+  /** [[nearDupBatch]] over precomputed band keys — callers driving multiple
+    * actions (the streaming sink) persist `keys` so the MinHash signatures
+    * are computed once per batch, not once per downstream join.
+    */
+  def nearDupFromKeys(batch: DataFrame, keys: DataFrame,
+      registry: DataFrame): (DataFrame, DataFrame) = {
     val dupVsRegistry = keys.join(registry, Seq("band_key"), "left_semi")
       .select(col("doc_id")).distinct()
     val survivorKeys = keys.join(registry, Seq("band_key"), "left_anti")
@@ -125,15 +132,17 @@ object CurationStream {
       numPerms: Int = 16, rowsPerBand: Int = 4): StreamingQuery =
     curatedStream(spark, docsPath).writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val (kept, keptKeys) =
-          nearDupBatch(batch, readRegistry(spark, registryPath, batchId),
-            numPerms, rowsPerBand)
+        // the band keys feed three joins plus the registry write — persist
+        // so the MinHash signature pass runs once per batch
+        val keys = docBandKeys(batch, numPerms, rowsPerBand).persist()
+        val (kept, keptKeys) = nearDupFromKeys(batch, keys,
+          readRegistry(spark, registryPath, batchId))
         kept.persist()
         try {
           kept.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
           keptKeys.write.mode("overwrite")
             .parquet(s"$registryPath/batch=$batchId")
-        } finally kept.unpersist()
+        } finally { kept.unpersist(); keys.unpersist() }
         ()
       }
       .option("checkpointLocation", checkpointPath)
