@@ -140,4 +140,26 @@ class DedupSimilaritySpec extends SparkSpec {
       .collect().map(_.getAs[Long]("nid"))
     assert(out.toSeq == Seq(1L))
   }
+
+  test("kmvSourceOverlap: exhaustive small sketches estimate exactly") {
+    import spark.implicits._
+    // every source has FAR fewer than k distinct 3-grams, so the KMV
+    // sketches are the complete gram sets and the estimate must equal the
+    // exact Jaccard — the regression case for dividing by min(k, |union|)
+    // rather than the constant k (which would report 4/64 here). The d08
+    // oracle shares the estimator formula, so only this spec can catch a
+    // denominator bug.
+    val docs = Seq(
+      (1L, "srcA", "one two three four five six"),   // 4 grams
+      (2L, "srcB", "one two three four five six"),   // identical → J = 1
+      (3L, "srcC", "seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "source", "text")
+    val out = Dedup.kmvSourceOverlap(docs, k = 64, n = 3).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(("srcA", "srcB")) == (1.0, 1.0),
+      s"identical tiny sources must estimate J=1, got ${out(("srcA", "srcB"))}")
+    assert(out(("srcA", "srcC")) == (0.0, 0.0))
+    assert(out(("srcB", "srcC")) == (0.0, 0.0))
+  }
 }
