@@ -1008,6 +1008,62 @@ object SparkEntry {
               lit(3 * 0.0163) * col("exact_users") + lit(1.0)).as("within_tol"))
       }),
 
+    QueryDef("qa4_theta_intersection",
+      "Theta-sketch set INTERSECTION — the audience-overlap estimate HLL " +
+        "structurally cannot give (HLL only unions): distinct users doing " +
+        "BOTH event types, for every type pair, from per-type Datasketches " +
+        "theta sketches intersected with theta_intersection_agg. TOLERANCE " +
+        "oracle like qa1: the estimate is engine-specific, so the " +
+        "checkable output is the exact intersection plus a boolean holding " +
+        "the estimate to 5% of the pair's exact UNION + 2 (intersection " +
+        "error scales with the union, per the Datasketches bounds; at " +
+        "test SFs the sketch is in exact mode and the slack is free). " +
+        "DuckDB emits literal TRUE.",
+      Some("""WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+        |t AS (SELECT DISTINCT event_type FROM events),
+        |prs AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+        |        FROM t a JOIN t b ON a.event_type < b.event_type),
+        |i AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |      CAST(COUNT(*) AS BIGINT) AS exact_inter
+        |      FROM u x JOIN u y ON x.user_id = y.user_id
+        |        AND x.event_type < y.event_type GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b,
+        |  COALESCE(i.exact_inter, CAST(0 AS BIGINT)) AS exact_inter,
+        |  TRUE AS within_tol
+        |FROM prs p LEFT JOIN i
+        |  ON i.type_a = p.type_a AND i.type_b = p.type_b""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val perType = ev.groupBy(col("event_type"))
+          .agg(expr("theta_sketch_agg(user_id)").as("sk"),
+            countDistinct(col("user_id")).cast("long").as("nd"))
+        val pairs = perType.as("a")
+          .join(perType.as("b"), col("a.event_type") < col("b.event_type"))
+          .select(col("a.event_type").as("type_a"),
+            col("b.event_type").as("type_b"),
+            col("a.nd").as("nd_a"), col("b.nd").as("nd_b"),
+            col("a.sk").as("ska"), col("b.sk").as("skb"))
+        val est = pairs
+          .select(col("type_a"), col("type_b"), col("nd_a"), col("nd_b"),
+            explode(array(col("ska"), col("skb"))).as("sk"))
+          .groupBy(col("type_a"), col("type_b"), col("nd_a"), col("nd_b"))
+          .agg(expr("theta_sketch_estimate(theta_intersection_agg(sk))")
+            .as("est_inter"))
+        val users = ev.select(col("event_type"), col("user_id")).distinct()
+        val exact = users.as("x")
+          .join(users.as("y"), col("x.user_id") === col("y.user_id") &&
+            col("x.event_type") < col("y.event_type"))
+          .groupBy(col("x.event_type").as("type_a"),
+            col("y.event_type").as("type_b"))
+          .agg(count(lit(1)).cast("long").as("exact_inter"))
+        est.join(exact, Seq("type_a", "type_b"), "left")
+          .na.fill(0L, Seq("exact_inter"))
+          .select(col("type_a"), col("type_b"), col("exact_inter"),
+            (abs(col("est_inter") - col("exact_inter")).cast("double") <=
+              lit(0.05) * (col("nd_a") + col("nd_b") - col("exact_inter")) +
+                lit(2.0)).as("within_tol"))
+      }),
+
     QueryDef("s04_hyperplane_lsh",
       "Random-hyperplane LSH signatures for cosine similarity (Charikar): " +
         "bit j = sign(v · h_j) with hyperplanes regenerated from integer " +
