@@ -1578,8 +1578,14 @@ object SparkEntry {
       "TPC-H Q21 shape: multi-way join with EXISTS (semi) and NOT EXISTS " +
         "(anti) self-joins on lineitem — suppliers who were the ONLY late " +
         "shipper (>90 days after order date) in a multi-supplier finished " +
-        "order. Exercises correlated-exists decorrelation over a " +
-        "self-joined fact table.",
+        "order. The ORACLE keeps the literal correlated-exists SQL; the " +
+        "Spark side runs the classic single-scan rewrite: both EXISTS " +
+        "clauses collapse into per-order collect_set window aggregates " +
+        "(distinct suppliers / distinct LATE suppliers), so lineitem is " +
+        "scanned once and shuffled once on l_orderkey instead of three " +
+        "scans + two decorrelated self-joins — the rewrite Catalyst " +
+        "cannot derive itself. collect_set is bounded by " +
+        "suppliers-per-order, so the window state stays small at scale.",
       Some("""SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
         |FROM supplier, lineitem l1, orders o
         |WHERE s_suppkey = l1.l_suppkey AND o.o_orderkey = l1.l_orderkey
@@ -1593,22 +1599,35 @@ object SparkEntry {
         |                AND l3.l_suppkey <> l1.l_suppkey
         |                AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
         |GROUP BY s_name""".stripMargin),
-      (s, dir) => s.sql(
-        s"""SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
-           |FROM parquet.`$dir/supplier.parquet`,
-           |     parquet.`$dir/lineitem.parquet` l1,
-           |     parquet.`$dir/orders.parquet` o
-           |WHERE s_suppkey = l1.l_suppkey AND o.o_orderkey = l1.l_orderkey
-           |  AND o.o_orderstatus = 'F'
-           |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
-           |  AND EXISTS (SELECT 1 FROM parquet.`$dir/lineitem.parquet` l2
-           |              WHERE l2.l_orderkey = l1.l_orderkey
-           |                AND l2.l_suppkey <> l1.l_suppkey)
-           |  AND NOT EXISTS (SELECT 1 FROM parquet.`$dir/lineitem.parquet` l3
-           |              WHERE l3.l_orderkey = l1.l_orderkey
-           |                AND l3.l_suppkey <> l1.l_suppkey
-           |                AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
-           |GROUP BY s_name""".stripMargin)),
+      (s, dir) => {
+        // One lineitem scan. Per order (status F): EXISTS-other-supplier
+        // <=> #distinct suppliers > 1; NOT-EXISTS-other-LATE-supplier for a
+        // late row l1 <=> the distinct-late-supplier set is exactly
+        // {l1.supplier}, i.e. has size 1 (l1's own supplier is always in it).
+        val lines = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+          .join(
+            Tables.orders(s, dir)
+              .where(col("o_orderstatus") === "F")
+              .select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+          .withColumn("is_late",
+            col("l_shipdate") > date_add(col("o_orderdate"), 90))
+        val perOrder = Window.partitionBy(col("l_orderkey"))
+        lines
+          .withColumn("n_supp",
+            size(collect_set(col("l_suppkey")).over(perOrder)))
+          .withColumn("n_late_supp",
+            size(collect_set(when(col("is_late"), col("l_suppkey")))
+              .over(perOrder)))
+          .where(col("is_late") && col("n_supp") > 1 &&
+            col("n_late_supp") === 1)
+          .join(Tables.supplier(s, dir)
+            .select(col("s_suppkey"), col("s_name")),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).cast("long").as("numwait"))
+      }),
 
     QueryDef("q38_having_semi_join",
       "TPC-H Q18 shape: IN-subquery whose inner query is an AGGREGATED " +

@@ -51,10 +51,30 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), "predicate subquery not rewritten to semi-join")
   }
 
-  test("q37: NOT EXISTS decorrelates to an anti-join") {
+  test("q37: single-scan rewrite reads lineitem ONCE, windows stay partitioned") {
+    // The Q21 shape is written as the single-scan window rewrite: both
+    // EXISTS self-joins collapse into per-order collect_set windows. The
+    // properties that make it scale: exactly one lineitem scan (the naive
+    // decorrelated form needs three) and windows partitioned on l_orderkey
+    // (never a global sort).
+    val f = formatted("q37_semi_anti_self_join")
+    val lineitemScans = f.linesIterator.count(l =>
+      l.contains("ReadSchema:") && l.contains("l_suppkey"))
+    assert(lineitemScans == 1, s"expected 1 lineitem scan, saw $lineitemScans")
     val p = plan("q37_semi_anti_self_join")
-    assert(p.contains("LeftAnti"), "NOT EXISTS not rewritten to anti-join")
-    assert(p.contains("LeftSemi"), "EXISTS not rewritten to semi-join")
+    assert(!p.contains("LeftSemi") && !p.contains("LeftAnti"),
+      "rewrite regressed to decorrelated self-joins")
+    assert(p.contains("windowspecdefinition(l_orderkey"),
+      "window lost its l_orderkey partitioning")
+  }
+
+  test("q05/q41: NOT EXISTS / NOT IN decorrelate to anti-joins") {
+    // q37 no longer exercises anti-join decorrelation (its Spark side is
+    // the single-scan rewrite); these two still must.
+    assert(plan("q05_customers_no_orders").contains("LeftAnti"),
+      "q05 anti-join lost")
+    assert(plan("q41_global_avg_anti").contains("LeftAnti"),
+      "q41 NOT IN not rewritten to anti-join")
   }
 
   test("sweep: no CartesianProduct, and plans/ snapshots are FRESH") {
