@@ -1064,6 +1064,45 @@ object SparkEntry {
                 lit(2.0)).as("within_tol"))
       }),
 
+    QueryDef("qa5_cms_heavy_hitters",
+      "Count-min-sketch heavy hitters: per-day CMS sketches of user_id " +
+        "(Spark's built-in count_min_sketch) merged into one with the " +
+        "custom cms_merge TypedImperativeAggregate, then the top-20 users " +
+        "probed against the merged sketch with the codegen'd cms_estimate " +
+        "expression — the partial-sketch-then-rollup path a partitioned " +
+        "frequency pipeline runs, since CMS merge (cell-wise add, Cormode " +
+        "& Muthukrishnan 2005) is exact. TOLERANCE oracle like qa1: exact " +
+        "counts are hash-checked; the estimate is held to the CMS " +
+        "guarantee exact <= est <= exact + ceil(eps*N) + 1. DuckDB emits " +
+        "literal TRUE.",
+      Some("""SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt,
+        |  TRUE AS within_tol
+        |FROM events GROUP BY user_id
+        |ORDER BY exact_cnt DESC, user_id LIMIT 20""".stripMargin),
+      (s, dir) => {
+        import graft.functions.{CmsEstimate, CmsMergeAgg}
+        val eps = 0.0005
+        val ev = Tables.events(s, dir)
+        val perDay = ev
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(expr(s"count_min_sketch(user_id, ${eps}d, 0.99d, 42)").as("sk"),
+            count(lit(1)).cast("long").as("n"))
+        val merged = perDay.agg(
+          CmsMergeAgg(s, col("sk")).as("sk"),
+          sum(col("n")).cast("long").as("n_total"))
+        val top = ev.groupBy(col("user_id"))
+          .agg(count(lit(1)).cast("long").as("exact_cnt"))
+          .orderBy(col("exact_cnt").desc, col("user_id"))
+          .limit(20)
+        val est = CmsEstimate(s, col("sk"), col("user_id"))
+        top.crossJoin(merged)
+          .select(col("user_id"), col("exact_cnt"),
+            (est >= col("exact_cnt") &&
+              est <= col("exact_cnt") +
+                ceil(lit(eps) * col("n_total")).cast("long") + lit(1L))
+              .as("within_tol"))
+      }),
+
     QueryDef("s04_hyperplane_lsh",
       "Random-hyperplane LSH signatures for cosine similarity (Charikar): " +
         "bit j = sign(v · h_j) with hyperplanes regenerated from integer " +
