@@ -143,7 +143,8 @@ object Dedup {
       docs: DataFrame,
       numHashes: Int,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      carry: Seq[String] = Nil): DataFrame = {
     graft.functions.PolyHash.register(docs.sparkSession)
     graft.functions.MinHashSig.register(docs.sparkSession)
     val p = 2147483647L // 2^31-1, Mersenne prime
@@ -159,8 +160,8 @@ object Dedup {
         s" t -> ${tokenHashSql("t")})")
     val sig = expr(
       s"${graft.functions.MinHashSig.FnName}(hs, $numHashes, $p)")
-    docs.select(col(idCol).as("id"), hs.as("hs"))
-      .select(col("id"), sig.as("sig"))
+    docs.select(col(idCol).as("id") +: carry.map(col) :+ hs.as("hs"): _*)
+      .select(col("id") +: carry.map(col) :+ sig.as("sig"): _*)
   }
 
   /** LSH banding: split the k-wide signature into bands of `rowsPerBand`,
@@ -175,18 +176,19 @@ object Dedup {
     * near-dup (join new docs' keys against the stored corpus keys instead
     * of re-banding history).
     */
-  def bandKeys(signatures: DataFrame, rowsPerBand: Int): DataFrame = {
+  def bandKeys(signatures: DataFrame, rowsPerBand: Int,
+      carry: Seq[String] = Nil): DataFrame = {
     require(rowsPerBand >= 1, "rowsPerBand must be positive")
     // guard sequence(0, -1): Spark generates a DESCENDING [0, -1] there,
     // which would build a bogus band from a negative slice offset when a
     // signature is narrower than one band
     signatures.select(
-      col("id"),
+      col("id") +: carry.map(col) :+
       posexplode(expr(
         s"CASE WHEN size(sig) >= $rowsPerBand THEN " +
           s"transform(sequence(0, size(sig) div $rowsPerBand - 1), " +
           s"b -> slice(sig, b*$rowsPerBand + 1, $rowsPerBand)) " +
-          s"ELSE array() END")))
+          s"ELSE array() END")): _*)
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_sig")
   }
