@@ -1789,6 +1789,44 @@ object SparkEntry {
           col("rev_dec").cast("double").as("day_rev"),
           sum(col("rev_dec")).over(w).cast("double").as("mov_rev"),
           sum(col("n")).over(w).cast("long").as("mov_n"))
+      }),
+
+    QueryDef("q43_scd2_intervals",
+      "SCD2 (slowly-changing-dimension type 2) interval build: compact " +
+        "each user's event_type history to its CHANGE POINTS (lag over " +
+        "(user, ts, event_id) — consecutive repeats collapse), then close " +
+        "each interval with the next change's timestamp (lead), leaving " +
+        "the latest row open-ended with is_current=true. The canonical " +
+        "warehouse dimension-versioning transform. Both windows share one " +
+        "per-user partitioning, so the whole build is a single shuffle on " +
+        "user_id; timestamps go out as epoch_us BIGINTs per the parity " +
+        "rules.",
+      Some("""WITH e AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT user_id, ts, event_id, event_type FROM e
+        |      WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type AS state,
+        |  epoch_us(ts) AS valid_from_us,
+        |  epoch_us(lead(ts) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id)) AS valid_to_us,
+        |  lead(ts) OVER (PARTITION BY user_id
+        |                 ORDER BY ts, event_id) IS NULL AS is_current
+        |FROM c""".stripMargin),
+      (s, dir) => {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val changes = Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+          .where(col("prev").isNull || col("prev") =!= col("event_type"))
+        val nextTs = lead(col("ts"), 1).over(byUser)
+        changes.select(col("user_id"), col("event_type").as("state"),
+          unix_micros(col("ts")).as("valid_from_us"),
+          unix_micros(nextTs).as("valid_to_us"),
+          nextTs.isNull.as("is_current"))
       })
   )
 
