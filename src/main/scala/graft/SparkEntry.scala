@@ -1827,6 +1827,234 @@ object SparkEntry {
           unix_micros(col("ts")).as("valid_from_us"),
           unix_micros(nextTs).as("valid_to_us"),
           nextTs.isNull.as("is_current"))
+      }),
+
+    QueryDef("q44_unpivot",
+      "Unpivot/melt: wide per-returnflag aggregate metrics back to long " +
+        "(metric, value) rows — the inverse of q20's pivot, via Spark's " +
+        "native `unpivot` (Expand under the hood: one pass, no join/union " +
+        "re-scan of the aggregate).",
+      Some("""WITH w AS (SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+        |UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM w
+        |UNION ALL SELECT l_returnflag, 'sum_disc', sum_disc FROM w""".stripMargin),
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(col("l_quantity").cast(D2)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(D2)).cast("double").as("sum_price"),
+          sum(col("l_discount").cast(D6)).cast("double").as("sum_disc"))
+        .unpivot(
+          Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+          "metric", "value")),
+
+    QueryDef("q45_lateral_topn",
+      "LATERAL correlated subquery with ORDER BY + LIMIT: each BUILDING " +
+        "customer joined to its own top-2 orders — exercises Catalyst's " +
+        "lateral-join decorrelation (DomainJoin + windowed rewrite), a " +
+        "planner path the window-function form of top-k (q23) never " +
+        "touches. Tables referenced by path so no temp-view state.",
+      Some("""SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |WHERE c.c_mktsegment = 'BUILDING'""".stripMargin),
+      (s, dir) => s.sql(
+        s"""SELECT c_custkey, o_orderkey, o_totalprice
+           |FROM parquet.`$dir/customer.parquet` c, LATERAL (
+           |  SELECT o_orderkey, o_totalprice FROM parquet.`$dir/orders.parquet`
+           |  WHERE o_custkey = c.c_custkey
+           |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+           |WHERE c.c_mktsegment = 'BUILDING'""".stripMargin)),
+
+    QueryDef("q46_window_distribution",
+      "Distribution window functions: ntile quartiles (unique " +
+        "totalprice+key ordering — ntile is order-sensitive), plus " +
+        "rank/dense_rank/percent_rank/cume_dist over the TIED orderdate " +
+        "ordering (all four are tie-deterministic: equal keys get equal " +
+        "values). Both specs share one partition key, so the whole query " +
+        "is a single shuffle on o_orderpriority with two in-partition " +
+        "sorts.",
+      Some("""SELECT o_orderkey, o_orderpriority,
+        |  CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile,
+        |  CAST(rank() OVER wd AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER wd AS BIGINT) AS drnk,
+        |  ROUND(percent_rank() OVER wd, 6) AS pct_rnk,
+        |  ROUND(cume_dist() OVER wd, 6) AS cdist
+        |FROM orders
+        |WINDOW wd AS (PARTITION BY o_orderpriority ORDER BY o_orderdate)""".stripMargin),
+      (s, dir) => {
+        val byPrice = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        val byDate = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_orderdate"))
+        Tables.orders(s, dir).select(
+          col("o_orderkey"), col("o_orderpriority"),
+          ntile(4).over(byPrice).cast("long").as("quartile"),
+          rank().over(byDate).cast("long").as("rnk"),
+          dense_rank().over(byDate).cast("long").as("drnk"),
+          round(percent_rank().over(byDate), 6).as("pct_rnk"),
+          round(cume_dist().over(byDate), 6).as("cdist"))
+      }),
+
+    QueryDef("q47_nation_flow",
+      "TPC-H Q7 shape (volume shipping): lineitem joined through supplier " +
+        "and orders→customer to TWO nation dimensions (supplier's and " +
+        "customer's), revenue per (supp_nation, cust_nation, year). Both " +
+        "nation joins broadcast (bounded dim); supplier/orders/customer " +
+        "strategies left to stats + AQE — broadcast at test SF, shuffle " +
+        "join at 100 TB.",
+      Some("""SELECT supp_nation, cust_nation, yr,
+        |  CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |    l_extendedprice * (1.0 - l_discount) AS volume
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE n1.n_name < n2.n_name)
+        |GROUP BY supp_nation, cust_nation, yr""".stripMargin),
+      (s, dir) => {
+        val n1 = Tables.nation(s, dir)
+          .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+        val n2 = Tables.nation(s, dir)
+          .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+        Tables.lineitem(s, dir)
+          .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+          .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+          .filter(col("supp_nation") < col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("o_orderdate")).cast("long").as("yr"))
+          .agg(
+            sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(D6))
+              .cast("double").as("revenue"),
+            count(lit(1)).cast("long").as("n_items"))
+      }),
+
+    QueryDef("q48_full_outer",
+      "FULL OUTER join: per-nation counts of a thinned customer cohort vs " +
+        "high-balance suppliers — both sides have nations the other lacks, " +
+        "so every null-extension path of the outer join materializes " +
+        "(verified non-degenerate at sf0.01: 5 customer-only + 3 " +
+        "supplier-only nations).",
+      Some("""WITH c AS (SELECT c_nationkey AS nk,
+        |    CAST(COUNT(*) AS BIGINT) AS n_cust,
+        |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS cust_bal
+        |  FROM customer
+        |  WHERE c_mktsegment = 'BUILDING' AND c_custkey % 5 = 0
+        |  GROUP BY c_nationkey),
+        |s AS (SELECT s_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_supp
+        |  FROM supplier WHERE s_acctbal > 5000 GROUP BY s_nationkey)
+        |SELECT COALESCE(c.nk, s.nk) AS nationkey,
+        |  COALESCE(n_cust, 0) AS n_cust,
+        |  COALESCE(cust_bal, 0.0) AS cust_bal,
+        |  COALESCE(n_supp, 0) AS n_supp,
+        |  c.nk IS NULL AS supplier_only,
+        |  s.nk IS NULL AS customer_only
+        |FROM c FULL OUTER JOIN s ON c.nk = s.nk""".stripMargin),
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+          .filter(col("c_mktsegment") === "BUILDING" && col("c_custkey") % 5 === 0)
+          .groupBy(col("c_nationkey").as("c_nk"))
+          .agg(count(lit(1)).cast("long").as("n_cust"),
+            sum(col("c_acctbal").cast(D2)).cast("double").as("cust_bal"))
+        val sp = Tables.supplier(s, dir)
+          .filter(col("s_acctbal") > 5000)
+          .groupBy(col("s_nationkey").as("s_nk"))
+          .agg(count(lit(1)).cast("long").as("n_supp"))
+        c.join(sp, col("c_nk") === col("s_nk"), "full_outer")
+          .select(
+            coalesce(col("c_nk"), col("s_nk")).as("nationkey"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+            coalesce(col("cust_bal"), lit(0.0)).as("cust_bal"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp"),
+            col("c_nk").isNull.as("supplier_only"),
+            col("s_nk").isNull.as("customer_only"))
+      }),
+
+    QueryDef("d09_char_ngram_jaccard",
+      "Character 5-gram Jaccard near-dup (d02's inverted-index plan over " +
+        "CHARACTER shingles instead of word tokens — robust to " +
+        "token-boundary edits): distinct char-grams per doc, postings " +
+        "equi-join keyed on xxhash64(block, gram), one aggregation per " +
+        "surviving pair. Never an all-pairs product.",
+      Some("""WITH d AS (SELECT source, doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(length(text)-4, 1)),
+        |      i -> substr(text, i, 5))) AS gs
+        |  FROM documents),
+        |sz AS (SELECT doc_id, CAST(len(gs) AS BIGINT) AS sz FROM d),
+        |p AS (SELECT source, doc_id, unnest(gs) AS g FROM d),
+        |i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |  FROM p a JOIN p b ON a.source = b.source AND a.g = b.g
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT doc_a, doc_b,
+        |  ROUND(CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter), 6) AS jaccard
+        |FROM i
+        |JOIN sz sa ON sa.doc_id = doc_a
+        |JOIN sz sb ON sb.doc_id = doc_b
+        |WHERE ROUND(CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter), 6) >= 0.6""".stripMargin),
+      (s, dir) => Dedup.jaccardPairsFeatures(
+        Tables.documents(s, dir), "source", 0.6, "doc_id",
+        array_distinct(Text.charShingles(col("text"), 5)))),
+
+    QueryDef("t11_tfidf_topterms",
+      "TF-IDF top terms: term frequency per (doc, token), document " +
+        "frequency over the aggregated term table (never the raw token " +
+        "stream), idf = ln(N/df), top-3 terms per doc by rounded score " +
+        "with a token tie-break. Corpus size N joins in as a broadcast " +
+        "scalar — no driver-side collect.",
+      Some("""WITH t AS (SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> x <> '')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM t GROUP BY doc_id, token),
+        |df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+        |sc AS (SELECT doc_id, tf.token AS token, tf, df,
+        |    ROUND(tf * ln(n_docs / df), 6) AS tfidf
+        |  FROM tf JOIN df USING(token) CROSS JOIN n),
+        |r AS (SELECT doc_id, token, tf, df, tfidf,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf DESC, token) AS rn FROM sc)
+        |SELECT doc_id, token, tf, df, tfidf,
+        |  CAST(rn AS BIGINT) AS term_rank
+        |FROM r WHERE rn <= 3""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val tf = docs
+          .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+          .groupBy(col("doc_id"), col("token"))
+          .agg(count(lit(1)).cast("long").as("tf"))
+        val dfreq = tf.groupBy(col("token"))
+          .agg(count(lit(1)).cast("long").as("df"))
+        val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+        val byDoc = Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("token"))
+        tf.join(dfreq, "token")
+          .crossJoin(broadcast(n))
+          .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("df")), 6))
+          .withColumn("term_rank", row_number().over(byDoc).cast("long"))
+          .filter(col("term_rank") <= 3)
+          .select(col("doc_id"), col("token"), col("tf"), col("df"),
+            col("tfidf"), col("term_rank"))
       })
   )
 

@@ -58,11 +58,26 @@ object Dedup {
       blockCol: String,
       threshold: Double,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    jaccardPairsFeatures(docs, blockCol, threshold, idCol,
+      array_distinct(Text.tokens(col(textCol))))
+
+  /** [[jaccardPairs]] over an arbitrary DISTINCT feature-array column —
+    * the same inverted-index plan shape reused for character n-gram
+    * shingles (or any other set representation of a document). `feats`
+    * must already be deduplicated (e.g. wrapped in `array_distinct`);
+    * set sizes and posting lists both derive from it.
+    */
+  def jaccardPairsFeatures(
+      docs: DataFrame,
+      blockCol: String,
+      threshold: Double,
+      idCol: String,
+      feats: Column): DataFrame = {
     val raw = docs.select(
       col(blockCol).as("block"),
       col(idCol).as("id"),
-      explode(array_distinct(Text.tokens(col(textCol)))).as("tok"))
+      explode(feats).as("tok"))
     // encode (block, token) to one long key before the heavy self-join:
     // the postings join then hashes/compares a single word instead of two
     // strings. xxhash64 is deterministic per value — both join sides see
@@ -72,7 +87,7 @@ object Dedup {
     val postings = raw.select(col("id"), xxhash64(col("block"), col("tok")).as("key_id"))
     val sizes = docs.select(
       col(idCol).as("id"),
-      size(array_distinct(Text.tokens(col(textCol)))).cast("long").as("sz"))
+      size(feats).cast("long").as("sz"))
     val inter = postings.as("a")
       .join(postings.as("b"),
         col("a.key_id") === col("b.key_id") && col("a.id") < col("b.id"))

@@ -62,6 +62,19 @@ object Text {
         sequence(lit(1), size(toks) - lit(n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
 
+  /** Character n-gram shingles: every length-`n` substring (the trailing
+    * grams shorter when the text runs out, exactly like ANSI substr).
+    * Character-level shingling is the standard unit for near-dup detection
+    * that must survive token-boundary edits (whitespace/punctuation churn)
+    * where word-level shingles break.
+    */
+  def charShingles(text: Column, n: Int): Column = {
+    require(n >= 1, "shingle width must be positive")
+    transform(
+      sequence(lit(1), greatest(length(text) - lit(n - 1), lit(1))),
+      i => text.substr(i, lit(n)))
+  }
+
   /** Chunk documents into overlapping token windows — the
     * context-window-sized pieces a training pipeline feeds downstream.
     * One row per chunk: (doc id, chunk index, chunk text, token count).

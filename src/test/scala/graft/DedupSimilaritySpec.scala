@@ -29,6 +29,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
   }
 
+  test("jaccardPairsFeatures over char shingles: boundary edits survive, " +
+      "word-shingle misses") {
+    import spark.implicits._
+    // same characters, one space moved: token sets disagree almost
+    // entirely, but char 3-gram sets overlap heavily
+    val docs = Seq(
+      (1L, "blk", "thequick brownfox"), (2L, "blk", "thequickbrown fox"),
+      (3L, "blk", "zzzz yyyy xxxx"))
+      .toDF("doc_id", "source", "text")
+    val charPairs = Dedup.jaccardPairsFeatures(docs, "source", 0.5, "doc_id",
+        array_distinct(graft.text.Text.charShingles(col("text"), 3)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(charPairs.toSeq == Seq((1L, 2L)))
+    val tokenPairs = Dedup.jaccardPairs(docs, "source", 0.5).collect()
+    assert(tokenPairs.isEmpty)
+  }
+
   test("jaccardPairsPrefix agrees with the inverted-index formulation") {
     import spark.implicits._
     val docs = Seq(

@@ -39,6 +39,18 @@ class TextSpec extends SparkSpec {
     assert(got(1) == Seq.empty)
   }
 
+  test("charShingles emit every substring position, ANSI-substr tails") {
+    import spark.implicits._
+    val df = Seq("abcde", "ab", "").toDF("text")
+    val got = df.select(Text.charShingles(col("text"), 3))
+      .collect().map(_.getSeq[String](0))
+    assert(got(0) == Seq("abc", "bcd", "cde"))
+    // shorter than n: one whole-text shingle (substr truncates)
+    assert(got(1) == Seq("ab"))
+    // empty text: single empty shingle, kept so the row survives
+    assert(got(2) == Seq(""))
+  }
+
   test("chunk produces overlapping windows covering every token") {
     import spark.implicits._
     val text = (1 to 90).map(i => s"w$i").mkString(" ")
