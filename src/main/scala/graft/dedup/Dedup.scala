@@ -116,29 +116,103 @@ object Dedup {
       blockCol: String,
       threshold: Double,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    jaccardPairsPrefixFeatures(docs, blockCol, threshold, idCol,
+      array_distinct(Text.tokens(col(textCol))))
+
+  /** [[jaccardPairsPrefix]] over an arbitrary DISTINCT feature-array
+    * column (same contract as [[jaccardPairsFeatures]]). This is the
+    * variant to reach for when features are character n-grams: boundary
+    * grams repeat across most documents of a block, so full postings
+    * self-join quadratically on those hot keys, while the rare-first
+    * prefix index skips them entirely.
+    */
+  def jaccardPairsPrefixFeatures(
+      docs: DataFrame,
+      blockCol: String,
+      threshold: Double,
+      idCol: String,
+      feats: Column): DataFrame = {
+    // Each distinct feature is hashed WITH its block into one 64-bit key
+    // up front: document frequency, the prefix self-join, and the final
+    // intersection verification all compare longs — never the feature
+    // strings (at char-n-gram scale the string form of the verify step
+    // alone measured 20+ s at sf0.1). Key equality implies same block, so
+    // the join needs no separate block condition; cross-block collisions
+    // are impossible by construction and within-block 64-bit collisions
+    // are ~sz²/2⁶⁵ per doc pair — immaterial.
     val t = docs.select(
       col(blockCol).as("block"),
       col(idCol).as("id"),
-      array_distinct(Text.tokens(col(textCol))).as("toks"))
+      feats.as("f"))
+      .select(col("id"),
+        sort_array(transform(col("f"), x => xxhash64(col("block"), x))).as("toks"))
       .withColumn("sz", size(col("toks")).cast("long"))
-    val postings = t.select(col("block"), col("id"), col("sz"),
-      explode(col("toks")).as("tok"))
-    // global document frequency defines the rare-first prefix order
+    prefixJoinVerify(t, threshold)
+  }
+
+  /** Character n-gram Jaccard near-dup pairs — the char-shingle twin of
+    * [[jaccardPairsPrefix]], with the whole per-document feature build
+    * (shingle → seeded hash → sort → dedup) in the single codegen'd
+    * [[graft.functions.CharGramHash64]] loop instead of interpreted HOF
+    * frames. Char grams are the representation that survives
+    * token-boundary edits; they also recur in most documents of a block,
+    * which is exactly the hot-key regime where the plain inverted index
+    * self-joins quadratically and prefix filtering wins.
+    */
+  def charGramJaccardPairs(
+      docs: DataFrame,
+      blockCol: String,
+      n: Int,
+      threshold: Double,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    graft.functions.CharGramHash64.register(docs.sparkSession)
+    val t = docs.select(
+      col(idCol).as("id"),
+      expr(s"${graft.functions.CharGramHash64.FnName}(" +
+        s"$textCol, $n, xxhash64($blockCol))").as("toks"))
+      .withColumn("sz", size(col("toks")).cast("long"))
+    prefixJoinVerify(t, threshold)
+  }
+
+  /** Shared PPJoin core over pre-hashed documents `t` = (id, toks:
+    * SORTED distinct array<bigint> with the blocking key folded into the
+    * hashes, sz): rare-first prefix postings, bucketed candidate join
+    * with the length filter, exact verify via one merge-intersect per
+    * candidate. Emits (doc_a, doc_b, jaccard ≥ threshold).
+    */
+  private def prefixJoinVerify(tRaw: DataFrame, threshold: Double): DataFrame = {
+    graft.functions.IntersectCardSorted.register(tRaw.sparkSession)
+    // Materialize the hashed-document frame once: it feeds postings AND
+    // both sides of the verify join, and Spark would otherwise recompute
+    // the gram hashing per reference (only exchanges get reused, not
+    // projection subtrees). Same for the prefix index below — it IS an
+    // index; every PPJoin implementation builds it once before probing.
+    val t = tRaw.localCheckpoint(true)
+    val postings = t.select(col("id"), col("sz"), explode(col("toks")).as("tok"))
+    // document frequency of the block-hashed key (= block-local df)
+    // defines the rare-first prefix order — a consistent total order
+    // across every within-block comparison, which is all PPJoin needs
     val tokenDf = postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val prefixLen = col("sz") - ceil(lit(threshold) * col("sz")) + 1
     val byDoc = Window.partitionBy(col("id")).orderBy(col("df").asc, col("tok").asc)
     val prefixes = postings.join(tokenDf, "tok")
       .withColumn("pos", row_number().over(byDoc))
       .filter(col("pos") <= prefixLen)
-      .select(col("block"), col("id"), col("tok"))
+      .select(col("id"), col("sz"), col("tok"))
+      .localCheckpoint(true)
     val candidates = prefixes.as("a")
       .join(prefixes.as("b"),
-        col("a.block") === col("b.block") && col("a.tok") === col("b.tok") &&
-          col("a.id") < col("b.id"))
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
+          // PPJoin length filter: J ≥ t forces min(sz) ≥ t·max(sz), so
+          // size-mismatched pairs drop before the distinct + verify
+          col("a.sz") >= lit(threshold) * col("b.sz") &&
+          col("b.sz") >= lit(threshold) * col("a.sz"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
-    val inter = size(array_intersect(col("ta.toks"), col("tb.toks"))).cast("long")
+    val inter = expr(s"${graft.functions.IntersectCardSorted.FnName}(" +
+      "ta.toks, tb.toks)")
     candidates
       .join(t.select(col("id").as("doc_a"), col("toks"), col("sz")).as("ta"), "doc_a")
       .join(t.select(col("id").as("doc_b"), col("toks"), col("sz")).as("tb"), "doc_b")

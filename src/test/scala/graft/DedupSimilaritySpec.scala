@@ -38,12 +38,17 @@ class DedupSimilaritySpec extends SparkSpec {
       (1L, "blk", "thequick brownfox"), (2L, "blk", "thequickbrown fox"),
       (3L, "blk", "zzzz yyyy xxxx"))
       .toDF("doc_id", "source", "text")
-    val charPairs = Dedup.jaccardPairsFeatures(docs, "source", 0.5, "doc_id",
-        array_distinct(graft.text.Text.charShingles(col("text"), 3)))
+    val grams = array_distinct(graft.text.Text.charShingles(col("text"), 3))
+    val charPairs = Dedup.jaccardPairsFeatures(docs, "source", 0.5, "doc_id", grams)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(charPairs.toSeq == Seq((1L, 2L)))
     val tokenPairs = Dedup.jaccardPairs(docs, "source", 0.5).collect()
     assert(tokenPairs.isEmpty)
+    // the prefix-filtered formulation returns the identical pair set
+    val prefixPairs = Dedup.jaccardPairsPrefixFeatures(docs, "source", 0.5,
+        "doc_id", grams)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(prefixPairs.toSeq == Seq((1L, 2L)))
   }
 
   test("jaccardPairsPrefix agrees with the inverted-index formulation") {
