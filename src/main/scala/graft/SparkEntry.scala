@@ -2017,6 +2017,46 @@ object SparkEntry {
       (s, dir) => Dedup.charGramJaccardPairs(
         Tables.documents(s, dir), "source", 5, 0.6)),
 
+    QueryDef("s09_pq_search",
+      "Product quantization (Jégou et al. 2011, the FAISS PQ family): " +
+        "4 per-subspace k-means codebooks (16 codes each) trained and " +
+        "EXPORTED, corpus encoded to 4 codes/vector, probes ADC-scored " +
+        "as sums of (subspace, code) lookup-table entries — vectors are " +
+        "never decompressed at search time. Distances are rounded at " +
+        "1e-6 and carried as scaled BIGINTs, so the ADC sums are exact " +
+        "integer adds and the whole trained pipeline hash-matches the " +
+        "oracle reading the same exported doubles (the s06 recipe).",
+      Some(s"""WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |cb AS (SELECT m, code, cv FROM read_parquet(
+        |  '${graft.similarity.PqIndex.ExportedCodebooksPath}/*.parquet')),
+        |sv AS (SELECT vec_id, m,
+        |    v[(m*sub+1):((m+1)*sub)] AS sv
+        |  FROM (SELECT vec_id, v, CAST(len(v)/4 AS INT) AS sub FROM e)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS m) ms),
+        |prod AS (SELECT vec_id, m, code, unnest(sv) AS x, unnest(cv) AS y
+        |  FROM sv JOIN cb USING(m)),
+        |d AS (SELECT vec_id, m, code,
+        |    CAST(ROUND(SUM((x-y)*(x-y))*1000000, 0) AS BIGINT) AS d6
+        |  FROM prod GROUP BY vec_id, m, code),
+        |codes AS (SELECT vec_id AS nid, m, code FROM (
+        |  SELECT vec_id, m, code,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d6, code) AS rn
+        |  FROM d) WHERE rn = 1),
+        |lut AS (SELECT vec_id AS pid, m, code, d6 AS pd6 FROM d WHERE vec_id < 10),
+        |adc AS (SELECT pid, nid, CAST(SUM(pd6) AS BIGINT) AS adc_dist6
+        |  FROM codes JOIN lut USING(m, code)
+        |  WHERE nid <> pid GROUP BY pid, nid),
+        |r AS (SELECT pid, nid, adc_dist6,
+        |  ROW_NUMBER() OVER (PARTITION BY pid ORDER BY adc_dist6, nid) AS rn
+        |  FROM adc)
+        |SELECT pid, nid, adc_dist6, CAST(rn AS BIGINT) AS pq_rank
+        |FROM r WHERE rn <= 3""".stripMargin),
+      (s, dir) => graft.similarity.PqIndex.searchAdc(
+        Tables.embeddings(s, dir), m = 4, k = 16,
+        isProbe = col("vec_id") < 10, topK = 3)),
+
     QueryDef("t11_tfidf_topterms",
       "TF-IDF top terms: term frequency per (doc, token), document " +
         "frequency over the aggregated term table (never the raw token " +

@@ -1,0 +1,146 @@
+package graft.similarity
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.L2SqDistance
+
+/** Product quantization (PQ) for embedding compression + approximate
+  * search (Jégou et al., "Product Quantization for Nearest Neighbor
+  * Search", TPAMI 2011 — public literature; the FAISS `PQ` index family):
+  *
+  *  1. split each D-dim vector into M contiguous subvectors of D/M dims;
+  *  2. train an independent k-means codebook (K centroids) per subspace;
+  *  3. encode every vector as M small codes (argmin-L2 centroid per
+  *     subspace) — D doubles compress to M bytes;
+  *  4. ADC search: for a probe, precompute the M×K table of squared
+  *     distances from its subvectors to every centroid, then score any
+  *     corpus vector as the SUM of M table lookups — no decompression.
+  *
+  * Scale shape: codebooks are O(M·K·D/M) and broadcast; encode is one
+  * linear scan; the ADC score join is keyed on (subspace, code) — per
+  * probe it touches corpus·M lookup rows, the standard PQ brute-force
+  * scan (compose with IVF cells to cut it further, as FAISS IVFADC does).
+  *
+  * Determinism/oracle recipe (same as [[IvfIndex.learnedSearch]]): the
+  * trained codebooks are EXPORTED to parquet inside the query, and all
+  * distances are rounded at 1e-6 then held as scaled BIGINTs, so
+  * encoding, the ADC sums (exact integer addition — no float-order
+  * sensitivity), and the final ranking reproduce hash-exactly in any
+  * engine reading the same exported doubles.
+  */
+object PqIndex {
+
+  /** Where s09 materializes its trained codebooks for the DuckDB oracle
+    * (one row per (m, code): the subspace centroid). Static because
+    * `oracleSql` is a static string; see the IvfIndex.ExportedCentroidsPath
+    * caveat on interleaving runs at different SFs.
+    */
+  val ExportedCodebooksPath = "/tmp/graft_pq_codebooks"
+
+  private def widened(vecCol: String): Column =
+    transform(col(vecCol), x => x.cast("double"))
+
+  /** Train one k-means codebook per subspace; returns the codebook frame
+    * (m, code, cv: array<double>) — O(M·K·D/M) rows, always broadcast.
+    * Lloyd quality only affects compression error, never correctness:
+    * whatever centroids come out are exported and define the index.
+    */
+  def trainCodebooks(emb: DataFrame, m: Int, k: Int,
+      vecCol: String = "embedding", maxIter: Int = 5): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val v = emb.select(widened(vecCol).as("v"))
+    val dim = v.head().getSeq[Double](0).length
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    val sub = dim / m
+    // The M subspace fits are independent — submit them as concurrent
+    // Spark jobs so training wall-clock is one fit, not M (the scheduler
+    // interleaves their stages across the executor slots a single
+    // small-k fit leaves idle).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fits = (0 until m).map { mi => Future {
+      val subVecs = v.select(
+        array_to_vector(slice(col("v"), mi * sub + 1, sub)).as("fv"))
+      val model = new KMeans().setK(k).setSeed(42L + mi).setMaxIter(maxIter)
+        .setFeaturesCol("fv").setPredictionCol("code")
+        .fit(subVecs)
+      model.clusterCenters.zipWithIndex.map { case (c, code) =>
+        (mi, code, c.toArray)
+      }.toSeq
+    }}
+    val books = Await.result(Future.sequence(fits), Duration.Inf).flatten
+    books.toDF("m", "code", "cv")
+  }
+
+  /** Per-row subvectors: (id, m, sv) — one row per subspace. */
+  private def subvectors(emb: DataFrame, m: Int, idCol: String,
+      vecCol: String, idAlias: String): DataFrame = {
+    val dim = size(col("__v"))
+    val sub = (dim / m).cast("int")
+    emb.select(col(idCol).as(idAlias), widened(vecCol).as("__v"))
+      .select(col(idAlias), posexplode(
+        transform(sequence(lit(0), lit(m - 1)),
+          mi => slice(col("__v"), mi * sub + 1, sub))))
+      .withColumnRenamed("pos", "m")
+      .withColumnRenamed("col", "sv")
+  }
+
+  /** Squared L2 scaled to an exact integer: round(d² · 1e6) as BIGINT.
+    * Integer distances make every downstream sum order-independent and
+    * every argmin/ranking tie-break engine-agnostic.
+    */
+  private def dist6(spark: org.apache.spark.sql.SparkSession,
+      a: Column, b: Column): Column =
+    round(L2SqDistance(spark, a, b) * 1e6, 0).cast("long")
+
+  /** Encode the corpus against a codebook frame: (id, m, code) — the
+    * argmin-L2 centroid per subspace, ties to the lowest code. Kept in
+    * exploded form because ADC joins on (m, code) directly.
+    */
+  def encode(emb: DataFrame, codebooks: DataFrame, m: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    val subs = subvectors(emb, m, idCol, vecCol, "nid")
+    subs.join(broadcast(codebooks), Seq("m"))
+      .groupBy(col("nid"), col("m"))
+      .agg(min(struct(
+        dist6(spark, col("sv"), col("cv")).as("d6"),
+        col("code"))).getField("code").as("code"))
+  }
+
+  /** End-to-end PQ search: train codebooks, EXPORT them, encode the
+    * corpus, ADC-score every (probe, corpus) pair via the (m, code) join,
+    * return the top-k per probe by scaled integer distance (ascending,
+    * ties to the lowest neighbor id). Probes score against codes only —
+    * corpus vectors are never decompressed.
+    */
+  def searchAdc(emb: DataFrame, m: Int, k: Int, isProbe: Column, topK: Int,
+      exportPath: String = ExportedCodebooksPath,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    val codebooks = trainCodebooks(emb, m, k, vecCol)
+    codebooks.coalesce(1).write.mode("overwrite").parquet(exportPath)
+    val cb = spark.read.parquet(exportPath)
+    val codes = encode(emb, cb, m, idCol, vecCol)
+    // per-probe lookup table: distance from each probe subvector to every
+    // centroid of its subspace — M·K rows per probe, broadcastable
+    val lut = subvectors(emb.filter(isProbe), m, idCol, vecCol, "pid")
+      .join(broadcast(cb), Seq("m"))
+      .select(col("pid"), col("m"), col("code"),
+        dist6(spark, col("sv"), col("cv")).as("pd6"))
+    val byProbe = Window.partitionBy(col("pid"))
+      .orderBy(col("adc_dist6").asc, col("nid").asc)
+    codes.join(broadcast(lut), Seq("m", "code"))
+      .filter(col("nid") =!= col("pid"))
+      .groupBy(col("pid"), col("nid"))
+      .agg(sum(col("pd6")).as("adc_dist6"))
+      .withColumn("pq_rank", row_number().over(byProbe).cast("long"))
+      .filter(col("pq_rank") <= topK)
+      .select(col("pid"), col("nid"), col("adc_dist6"), col("pq_rank"))
+  }
+}
