@@ -2098,6 +2098,194 @@ object SparkEntry {
           .filter(col("term_rank") <= 3)
           .select(col("doc_id"), col("token"), col("tf"), col("df"),
             col("tfidf"), col("term_rank"))
+      }),
+
+    QueryDef("t12_sequence_packing",
+      "Concat-and-chop sequence packing: per-source cumulative token " +
+        "count assigns each doc to the fixed-budget (256-token) training " +
+        "sequence its first token lands in, flagging docs that straddle a " +
+        "cut. One window PARTITIONED BY source — per-shard packing, never " +
+        "a global token order.",
+      Some("""WITH t AS (SELECT source, doc_id,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT source, doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+        |  FROM t WHERE n_tokens > 0)
+        |SELECT source, doc_id, n_tokens, tokens_before,
+        |  CAST(floor(tokens_before / 256) AS BIGINT) AS seq_id,
+        |  (floor((tokens_before + n_tokens - 1) / 256) >
+        |   floor(tokens_before / 256)) AS straddles_cut
+        |FROM c""".stripMargin),
+      (s, dir) => Text.packSequences(Tables.documents(s, dir), budgetTokens = 256)),
+
+    QueryDef("d10_cluster_representatives",
+      "Canonical-doc selection after near-dup clustering: d06's connected " +
+        "components labeled back onto documents, ONE window per cluster " +
+        "picks the best copy (max n_chars, tie lowest id) and the cluster " +
+        "size — the keep/drop decision of the dedup pipeline. Oracle " +
+        "extends the d06 recursive-CTE closure with the same window.",
+      Some("""WITH RECURSIVE t AS (SELECT doc_id, source,
+        |  list_distinct(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS toks
+        |  FROM documents),
+        |pairs AS (SELECT doc_a, doc_b FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.toks, b.toks))) AS j
+        |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |  WHERE round(j, 6) >= 0.9),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(node, label) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node),
+        |comp AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node),
+        |lab AS (SELECT d.doc_id, d.n_chars,
+        |    COALESCE(c.label, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+        |r AS (SELECT cluster_id, doc_id, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+        |      ORDER BY n_chars DESC, doc_id) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+        |  FROM lab)
+        |SELECT cluster_id, doc_id AS rep_doc_id, cluster_size,
+        |  CAST(n_chars AS BIGINT) AS rep_quality
+        |FROM r WHERE rn = 1""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.jaccardPairs(docs, "source", 0.9)
+        val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+        Dedup.clusterRepresentatives(docs, comp)
+      }),
+
+    QueryDef("t13_unigram_logprob",
+      "Unigram-LM quality score (perplexity proxy): corpus term counts → " +
+        "per-token ln p(t), per-doc mean. Two hash aggs + one vocab join; " +
+        "the corpus total is a one-row broadcast. Log-probs round to 6dp " +
+        "then DECIMAL-sum so the mean is order-independent on both engines.",
+      Some("""WITH tok AS (SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> x <> '')) AS token
+        |  FROM documents),
+        |vocab AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM tok GROUP BY token),
+        |tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM vocab)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  ROUND(CAST(SUM(CAST(ROUND(ln(cnt / total), 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |    / COUNT(*), 6) AS avg_logprob
+        |FROM tok JOIN vocab USING(token) CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin),
+      (s, dir) => Text.unigramLogProb(Tables.documents(s, dir))),
+
+    QueryDef("q49_min_cost_supplier",
+      "TPC-H Q2 shape: correlated scalar-MIN subquery (cheapest European " +
+        "line per part) against the same filtered join tree — Catalyst " +
+        "decorrelates to an aggregate + join on the correlation key; " +
+        "nation/region stay broadcast.",
+      Some("""SELECT p.p_partkey, p.p_type, s.s_name, n.n_name,
+        |  l.l_extendedprice AS min_price
+        |FROM part p, lineitem l, supplier s, nation n, region r
+        |WHERE p.p_partkey = l.l_partkey AND l.l_suppkey = s.s_suppkey
+        |  AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+        |  AND r.r_name = 'EUROPE' AND p.p_size <= 10
+        |  AND l.l_extendedprice = (
+        |    SELECT MIN(l2.l_extendedprice)
+        |    FROM lineitem l2, supplier s2, nation n2, region r2
+        |    WHERE l2.l_partkey = p.p_partkey AND l2.l_suppkey = s2.s_suppkey
+        |      AND s2.s_nationkey = n2.n_nationkey
+        |      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')""".stripMargin),
+      (s, dir) => s.sql(
+        s"""SELECT p.p_partkey, p.p_type, s.s_name, n.n_name,
+           |  l.l_extendedprice AS min_price
+           |FROM parquet.`$dir/part.parquet` p,
+           |     parquet.`$dir/lineitem.parquet` l,
+           |     parquet.`$dir/supplier.parquet` s,
+           |     parquet.`$dir/nation.parquet` n,
+           |     parquet.`$dir/region.parquet` r
+           |WHERE p.p_partkey = l.l_partkey AND l.l_suppkey = s.s_suppkey
+           |  AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+           |  AND r.r_name = 'EUROPE' AND p.p_size <= 10
+           |  AND l.l_extendedprice = (
+           |    SELECT MIN(l2.l_extendedprice)
+           |    FROM parquet.`$dir/lineitem.parquet` l2,
+           |         parquet.`$dir/supplier.parquet` s2,
+           |         parquet.`$dir/nation.parquet` n2,
+           |         parquet.`$dir/region.parquet` r2
+           |    WHERE l2.l_partkey = p.p_partkey AND l2.l_suppkey = s2.s_suppkey
+           |      AND s2.s_nationkey = n2.n_nationkey
+           |      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')""".stripMargin)),
+
+    QueryDef("q50_group_share_having",
+      "TPC-H Q11 shape: per-supplier revenue kept only when it exceeds " +
+        "1.05× the MEAN supplier revenue — an uncorrelated scalar subquery " +
+        "in HAVING (scale-invariant where a fixed global fraction is not: " +
+        "supplier count grows with SF). Two aggregations over one fact " +
+        "table; the scalar joins in as a one-row broadcast, never a collect.",
+      Some("""SELECT l_suppkey,
+        |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |GROUP BY l_suppkey
+        |HAVING CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) > (
+        |  SELECT 1.05 * CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+        |         / COUNT(DISTINCT l_suppkey)
+        |  FROM lineitem)""".stripMargin),
+      (s, dir) => s.sql(
+        s"""SELECT l_suppkey,
+           |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+           |FROM parquet.`$dir/lineitem.parquet`
+           |GROUP BY l_suppkey
+           |HAVING CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) > (
+           |  SELECT 1.05 * CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+           |         / COUNT(DISTINCT l_suppkey)
+           |  FROM parquet.`$dir/lineitem.parquet`)""".stripMargin)),
+
+    QueryDef("q51_interval_merge",
+      "Gaps-and-islands interval coalescing: each event opens a " +
+        "[ts, ts+value sec] interval; overlapping intervals per user merge " +
+        "via the running-max-end trick (new island when start > max prior " +
+        "end, island id = running flag sum). Both windows PARTITIONED BY " +
+        "user — per-key state, no global sort. Interval bounds go out as " +
+        "epoch microseconds (sub-second oracle parity).",
+      Some("""WITH iv AS (SELECT user_id, event_id,
+        |    epoch_us(ts) AS start_us,
+        |    epoch_us(ts) + CAST(round(value * 1000000, 0) AS BIGINT) AS end_us
+        |  FROM events),
+        |f AS (SELECT user_id, event_id, start_us, end_us,
+        |    CASE WHEN start_us > COALESCE(MAX(end_us) OVER (
+        |        PARTITION BY user_id ORDER BY start_us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      -9223372036854775808) THEN 1 ELSE 0 END AS is_new
+        |  FROM iv),
+        |g AS (SELECT user_id, start_us, end_us,
+        |    SUM(is_new) OVER (PARTITION BY user_id
+        |      ORDER BY start_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM f)
+        |SELECT user_id, CAST(island AS BIGINT) AS island,
+        |  MIN(start_us) AS merged_start_us, MAX(end_us) AS merged_end_us,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM g GROUP BY user_id, island""".stripMargin),
+      (s, dir) => {
+        val byStart = Window.partitionBy(col("user_id"))
+          .orderBy(col("start_us"), col("event_id"))
+        val prior = byStart.rowsBetween(Window.unboundedPreceding, -1)
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("start_us"),
+            (unix_micros(col("ts")) +
+              round(col("value") * 1000000, 0).cast("long")).as("end_us"))
+          .withColumn("is_new",
+            when(col("start_us") > coalesce(max(col("end_us")).over(prior),
+              lit(Long.MinValue)), 1).otherwise(0))
+          .withColumn("island",
+            sum(col("is_new")).over(byStart).cast("long"))
+          .groupBy(col("user_id"), col("island"))
+          .agg(min(col("start_us")).as("merged_start_us"),
+            max(col("end_us")).as("merged_end_us"),
+            count(lit(1)).cast("long").as("n_events"))
       })
   )
 

@@ -430,6 +430,36 @@ object Dedup {
     labels
   }
 
+  /** Canonical-document selection over near-dup clusters: every document
+    * joins its component label (singletons keep their own id), then ONE
+    * window partitioned by cluster picks the representative — highest
+    * `qualityCol`, ties broken by lowest id so the choice is deterministic.
+    * Emits one row per cluster (id, representative, size, quality). This is
+    * the "keep the best copy, drop the rest" step a dedup pipeline runs
+    * after clustering; the window is keyed on cluster_id, so skewed giant
+    * clusters are the only hotspot — and cluster sizes are bounded by the
+    * near-dup threshold, not corpus size.
+    */
+  def clusterRepresentatives(
+      docs: DataFrame, components: DataFrame,
+      idCol: String = "doc_id", qualityCol: String = "n_chars"): DataFrame = {
+    val labeled = docs
+      .join(components, docs(idCol) === components("node"), "left")
+      .select(docs(idCol), col(qualityCol),
+        coalesce(col("label"), docs(idCol)).as("cluster_id"))
+    val byCluster = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col(qualityCol).desc, col(idCol))
+    labeled
+      .withColumn("rn", row_number().over(byCluster))
+      .withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster_id"))).cast("long"))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col(idCol).as("rep_doc_id"),
+        col("cluster_size"), col(qualityCol).cast("long").as("rep_quality"))
+  }
+
   /** SimHash: 31-bit signature from per-token polynomial hashes; bit j of
     * the signature is 1 iff the majority of tokens have bit j set in their
     * hash. Hamming distance between signatures ≈ angular distance between

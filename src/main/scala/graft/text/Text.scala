@@ -99,6 +99,61 @@ object Text {
         size(col("chunk_toks")).cast("long").as("chunk_tokens"))
   }
 
+  /** Concat-and-chop sequence packing: lay each shard's documents end to
+    * end in deterministic (`orderCol`) order and cut the token stream every
+    * `budgetTokens` — the GPT-style packing step that turns a cleaned corpus
+    * into fixed-length training sequences. Each document reports the
+    * sequence its first token lands in plus whether it straddles a cut.
+    *
+    * Scale shape: ONE window partitioned by the shard column (a 100 TB run
+    * packs per source/shard exactly like this — a single global token order
+    * would serialize the corpus through one partition). Empty documents are
+    * dropped (they contribute no tokens to any sequence).
+    */
+  def packSequences(docs: DataFrame, budgetTokens: Long,
+      shardCol: String = "source", orderCol: String = "doc_id",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(budgetTokens > 0, "token budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol)).orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .select(col(shardCol), col(idCol),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_id", floor(col("tokens_before") / budgetTokens))
+      .withColumn("end_seq_id",
+        floor((col("tokens_before") + col("n_tokens") - 1) / budgetTokens))
+      .select(col(shardCol), col(idCol), col("n_tokens"), col("tokens_before"),
+        col("seq_id"), (col("end_seq_id") > col("seq_id")).as("straddles_cut"))
+  }
+
+  /** Corpus unigram log-probability score — the cheap perplexity proxy used
+    * to rank documents by "typicality" (fluent text scores high, gibberish
+    * and boilerplate low). Two hash aggregations (term counts, then the
+    * per-doc mean), one equi-join of the token stream against the vocabulary;
+    * the corpus total rides along as a one-row broadcast. Per-token log-probs
+    * are rounded then decimal-summed so the mean is order-independent and
+    * engine-exact (the oracle-parity discipline from SparkEntry's header).
+    */
+  def unigramLogProb(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val vocab = tok.groupBy(col("token")).agg(count(lit(1)).cast("long").as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).cast("double").as("total"))
+    tok.join(vocab, "token")
+      .crossJoin(broadcast(total))
+      .select(col(idCol),
+        round(log(col("cnt") / col("total")), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("logp"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("long").as("n_tokens"),
+        round((sum(col("logp")).cast("double") / count(lit(1))), 6)
+          .as("avg_logprob"))
+  }
+
   /** Quality filter: keep documents meeting minimum token count, bounded
     * average token length, and a stopword-ratio floor — the classic
     * heuristic pre-filter of web-scale corpora.

@@ -184,4 +184,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(("srcA", "srcC")) == (0.0, 0.0))
     assert(out(("srcB", "srcC")) == (0.0, 0.0))
   }
+
+  test("clusterRepresentatives: best quality wins, ties break low, singletons survive") {
+    import spark.implicits._
+    // component {1,2,3} (labeled 1), singleton 4 (no component row)
+    val docs = Seq(
+      (1L, 10L), (2L, 30L), (3L, 30L), (4L, 7L)
+    ).toDF("doc_id", "n_chars")
+    val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("node", "label")
+    val got = Dedup.clusterRepresentatives(docs, comp)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // quality tie 2 vs 3 at 30 chars → lowest doc_id (2) is canonical
+    assert(got(1L) == ((2L, 3L, 30L)))
+    assert(got(4L) == ((4L, 1L, 7L)))
+    assert(got.size == 2)
+  }
 }

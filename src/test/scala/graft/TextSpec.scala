@@ -149,4 +149,38 @@ class TextSpec extends SparkSpec {
     assert(r(1L) == "contact <EMAIL> or call <NUM> now")
     assert(r(2L) == "short 123456 stays") // 6 digits: below the 7+ threshold
   }
+
+  test("packSequences: per-shard cumulative assignment, straddle flags, empties dropped") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s1", "a b c"),          // 3 toks, before=0, seq 0
+      (2L, "s1", "d e f g"),        // 4 toks, before=3, ends at 6 → straddles the 5-cut
+      (3L, "s1", ""),               // empty → dropped
+      (4L, "s1", "h i j"),          // before=7, seq 1, ends 9 → inside seq 1
+      (5L, "s2", "x y")             // other shard restarts at 0
+    ).toDF("doc_id", "source", "text")
+    val got = Text.packSequences(docs, budgetTokens = 5)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(!got.contains(3L))
+    assert(got(1L) == ((3L, 0L, 0L, false)))
+    assert(got(2L) == ((4L, 3L, 0L, true)))   // spans tokens 3..6 across the cut at 5
+    assert(got(4L) == ((3L, 7L, 1L, false)))
+    assert(got(5L) == ((2L, 0L, 0L, false)))  // shard s2 independent
+  }
+
+  test("unigramLogProb: uniform corpus scores ln(1/V) per token") {
+    import spark.implicits._
+    // 4 tokens total, each distinct → p = 1/4 each, avg = ln(0.25)
+    val docs = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+    val got = Text.unigramLogProb(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val expected = BigDecimal(math.log(0.25)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((2L, expected)))
+    assert(got(2L) == ((2L, expected)))
+    // frequent tokens score higher (less negative) than rare ones
+    val skew = Seq((1L, "a a a b")).toDF("doc_id", "text")
+    val row = Text.unigramLogProb(skew).collect()(0)
+    assert(row.getDouble(2) > math.log(0.25)) // 3/4 mass on 'a' beats uniform
+  }
 }
