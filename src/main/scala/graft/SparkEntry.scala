@@ -2286,6 +2286,70 @@ object SparkEntry {
           .agg(min(col("start_us")).as("merged_start_us"),
             max(col("end_us")).as("merged_end_us"),
             count(lit(1)).cast("long").as("n_events"))
+      }),
+
+    QueryDef("d11_edit_distance_join",
+      "Edit-distance similarity join (ed ≤ 16, 4-grams): the exact q-gram " +
+        "count filter (one edit disturbs ≤ n grams, so near pairs share " +
+        "≥ max(|G_a|,|G_b|) − k·n multiset grams) feeds an inverted-index " +
+        "candidate join; too-short docs fall back to an in-block pair " +
+        "join; survivors verify with the banded three-arg levenshtein. " +
+        "The oracle states the SAME semantics the simple way — in-block " +
+        "all-pairs levenshtein — so the filter math itself is what gets " +
+        "hash-checked.",
+      Some("""WITH d AS (SELECT doc_id, source, lang, text, length(text) AS L
+        |  FROM documents)
+        |SELECT doc_a, doc_b, edit_dist FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+        |  FROM d a JOIN d b ON a.source = b.source AND a.lang = b.lang
+        |    AND a.doc_id < b.doc_id AND abs(a.L - b.L) <= 16)
+        |WHERE edit_dist <= 16""".stripMargin),
+      (s, dir) => Dedup.editDistancePairs(Tables.documents(s, dir),
+        Seq("source", "lang"), n = 4, maxDist = 16)),
+
+    QueryDef("q52_funnel",
+      "Conversion funnel (view → click → purchase, strictly ordered " +
+        "first-touch): per-user min timestamps gated on the prior stage. " +
+        "Three hash aggregations + equi-joins on user_id — no window over " +
+        "the raw event stream, so the fact table is scanned per stage and " +
+        "reduced immediately.",
+      Some("""WITH v AS (SELECT user_id, MIN(epoch_us(ts)) AS view_us
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS click_us
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.view_us
+        |  GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS purchase_us
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.click_us
+        |  GROUP BY e.user_id)
+        |SELECT v.user_id, v.view_us, c.click_us, p.purchase_us,
+        |  CAST(1 + CAST(c.user_id IS NOT NULL AS INT)
+        |         + CAST(p.user_id IS NOT NULL AS INT) AS INT) AS stages_reached
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |       LEFT JOIN p ON v.user_id = p.user_id""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("ts_us"))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts_us")).as("view_us"))
+        val c = ev.filter(col("event_type") === "click")
+          .join(v, "user_id")
+          .filter(col("ts_us") > col("view_us"))
+          .groupBy(col("user_id")).agg(min(col("ts_us")).as("click_us"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(c, "user_id")
+          .filter(col("ts_us") > col("click_us"))
+          .groupBy(col("user_id")).agg(min(col("ts_us")).as("purchase_us"))
+        v.join(c, Seq("user_id"), "left")
+          .join(p, Seq("user_id"), "left")
+          .select(col("user_id"), col("view_us"), col("click_us"),
+            col("purchase_us"),
+            (lit(1) + col("click_us").isNotNull.cast("int") +
+              col("purchase_us").isNotNull.cast("int")).cast("int")
+              .as("stages_reached"))
       })
   )
 

@@ -185,6 +185,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(("srcB", "srcC")) == (0.0, 0.0))
   }
 
+  test("editDistancePairs: exact within threshold, blocked, short-doc fallback") {
+    import spark.implicits._
+    val long = "the quick brown fox jumps over the lazy dog and keeps running " * 4
+    val docs = Seq(
+      (1L, "A", long),                        // long doc, gram route
+      (2L, "A", long.replaceFirst("quick", "quiet")), // 2 edits from doc 1
+      (3L, "A", "ab"),                        // short: ≤ k·n grams
+      (4L, "A", "ax"),                        // ed(3,4)=1, shares NO 4-gram
+      (5L, "B", long)                         // identical text, other block
+    ).toDF("doc_id", "blockv", "text")
+    val got = Dedup.editDistancePairs(docs, Seq("blockv"), n = 4, maxDist = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got((1L, 2L)) == 2L, "gram-route pair must verify at its true distance")
+    assert(got((3L, 4L)) == 1L, "zero-shared-gram short pair must come via the fallback")
+    assert(!got.keySet.exists { case (a, b) => Set(a, b).contains(5L) },
+      "blocking must exclude cross-block pairs even for identical text")
+    assert(got.size == 2)
+  }
+
   test("clusterRepresentatives: best quality wins, ties break low, singletons survive") {
     import spark.implicits._
     // component {1,2,3} (labeled 1), singleton 4 (no component row)
