@@ -2350,7 +2350,28 @@ object SparkEntry {
             (lit(1) + col("click_us").isNotNull.cast("int") +
               col("purchase_us").isNotNull.cast("int")).cast("int")
               .as("stages_reached"))
-      })
+      }),
+
+    QueryDef("t14_source_cap",
+      "Deterministic per-source document cap (the per-domain cap of " +
+        "web-corpus curation): rows rank by PolyHash of their id inside " +
+        "each source, keep the first 15 — a uniform-ish, partitioning-" +
+        "independent choice instead of arrival order. One window per " +
+        "source.",
+      Some("""WITH h AS (SELECT doc_id, source,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(generate_series(1, length(CAST(doc_id AS VARCHAR))),
+        |      i -> CAST(ascii(substr(CAST(doc_id AS VARCHAR), i, 1)) AS BIGINT))),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS hv
+        |  FROM documents),
+        |r AS (SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rn
+        |  FROM h)
+        |SELECT doc_id, source, CAST(rn AS BIGINT) AS keep_rank
+        |FROM r WHERE rn <= 15""".stripMargin),
+      (s, dir) => Relational.capPerGroup(
+        Tables.documents(s, dir), "source", "doc_id", maxRows = 15)
+        .select(col("doc_id"), col("source"), col("keep_rank")))
   )
 
   /** DuckDB replica of the full seeded-IVF search (IvfIndex.seededSearch):

@@ -231,6 +231,27 @@ object Relational {
     * the property `df.sampleBy` (seeded per-partition RNG) does not give.
     * Pure projection+filter: linear, shuffle-free.
     */
+  /** Deterministic per-group cap — keep at most `maxRows` rows per group
+    * (the per-domain document cap of web-corpus curation): rows rank by
+    * PolyHash of their id (id itself as the tie-break, though ids are
+    * unique), so the kept subset is a uniform-ish, partitioning- and
+    * engine-independent choice, not "whatever arrived first". ONE window
+    * per group key; group sizes are data-bounded (domains), and the output
+    * carries `keep_rank` so downstream stages can tighten the cap without
+    * re-ranking.
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      maxRows: Int): DataFrame = {
+    require(maxRows > 0, "cap must be positive")
+    graft.functions.PolyHash.register(df.sparkSession)
+    val hv = expr(
+      s"${graft.functions.PolyHash.FnName}(CAST($idCol AS STRING), 31, 1000000007)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(hv.asc, col(idCol).asc)
+    df.withColumn("keep_rank", row_number().over(w).cast("long"))
+      .filter(col("keep_rank") <= maxRows)
+  }
+
   def stratifiedSampleByHash(df: DataFrame, idCol: String, strataCol: String,
       rates: Map[String, Int], defaultPct: Int): DataFrame = {
     require((rates.values ++ Seq(defaultPct)).forall(p => p >= 0 && p <= 100),

@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.FunnelStream
+import graft.streaming.FunnelStream.{Event, FunnelOut}
+
+class FunnelStreamSpec extends SparkSpec {
+
+  private def run(dir: String, timeoutMs: Long = 1000L): Seq[FunnelOut] = {
+    val s = spark
+    import s.implicits._
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Event]].schema)
+      .parquet(dir).as[Event]
+    val name = s"funnel_out_${System.nanoTime()}"
+    val q = FunnelStream.funnel(spark, stream, timeoutMs).writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    q.stop()
+    spark.table(name).as[FunnelOut].collect().toSeq
+  }
+
+  test("funnel advances strictly ordered stages, one emission per advance") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("funnel").toString + "/ev"
+    Seq(
+      // user 1 converts fully; the out-of-order click BEFORE the view and
+      // the duplicate second view must both be ignored
+      Event(1L, 100L, 1L, "view"),
+      Event(1L, 50L, 2L, "click"),   // before first view → not stage 2
+      Event(1L, 200L, 3L, "view"),   // duplicate stage → ignored
+      Event(1L, 300L, 4L, "click"),
+      Event(1L, 400L, 5L, "purchase"),
+      // user 2 clicks without ever viewing → never enters the funnel
+      Event(2L, 100L, 6L, "click"),
+      Event(2L, 200L, 7L, "purchase")
+    ).toDS().coalesce(1).write.parquet(dir)
+    val got = run(dir)
+    assert(got.filter(_.user_id == 2L).isEmpty,
+      "stage order is strict: no view → no funnel entry")
+    val u1 = got.filter(_.user_id == 1L).sortBy(_.stage)
+    assert(u1.map(_.stage) == Seq(1, 2, 3), s"one emission per advance: $u1")
+    assert(u1.last ==
+      FunnelOut(1L, 3, 100L, 300L, 400L, completed = true, closed = true))
+  }
+
+  test("abandoned funnels expire via timeout with completed=false") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("funnelTo").toString + "/ev"
+    Seq(Event(3L, 100L, 1L, "view"), Event(3L, 200L, 2L, "click"))
+      .toDS().coalesce(1).write.parquet(dir)
+    val got = run(dir) // AvailableNow flushes the timed-out state at the end
+    assert(got.exists(o => o.stage == 2 && o.closed && !o.completed &&
+      o.purchase_us == -1L), s"expected an expiry row, got $got")
+  }
+
+  test("state survives across micro-batches: stages split over batches still chain") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("funnelMb").toString + "/ev"
+    // two files → two micro-batches with maxFilesPerTrigger=1
+    Seq(Event(4L, 100L, 1L, "view"))
+      .toDS().coalesce(1).write.parquet(dir)
+    Thread.sleep(200) // file source orders batches by modTime
+    Seq(Event(4L, 200L, 2L, "click"), Event(4L, 300L, 3L, "purchase"))
+      .toDS().coalesce(1).write.mode("append").parquet(dir)
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Event]].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir).as[Event]
+    val q = FunnelStream.funnel(spark, stream, 1000L).writeStream
+      .format("memory").queryName("funnel_mb")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    q.stop()
+    val got = spark.table("funnel_mb").as[FunnelOut].collect().toSeq
+      .filter(_.user_id == 4L)
+    assert(got.map(_.stage).sorted == Seq(1, 2, 3))
+    assert(got.exists(o => o.stage == 3 && o.completed))
+  }
+}

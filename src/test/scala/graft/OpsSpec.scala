@@ -50,4 +50,20 @@ class OpsSpec extends SparkSpec {
     assert(out.length == 3)
     assert(out(2) == Row(3, null))
   }
+
+  test("capPerGroup caps each group and picks a partitioning-independent subset") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "grp")
+    val once = Relational.capPerGroup(df, "grp", "id", maxRows = 10)
+    val counts = once.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("a" -> 10L, "b" -> 10L))
+    assert(once.agg(org.apache.spark.sql.functions.max("keep_rank"))
+      .collect()(0).getLong(0) == 10L)
+    // same kept ids no matter how the input is partitioned
+    val again = Relational.capPerGroup(df.repartition(7), "grp", "id", 10)
+    assert(once.select("id").collect().map(_.getLong(0)).toSet ==
+      again.select("id").collect().map(_.getLong(0)).toSet)
+  }
 }
