@@ -2371,7 +2371,57 @@ object SparkEntry {
         |FROM r WHERE rn <= 15""".stripMargin),
       (s, dir) => Relational.capPerGroup(
         Tables.documents(s, dir), "source", "doc_id", maxRows = 15)
-        .select(col("doc_id"), col("source"), col("keep_rank")))
+        .select(col("doc_id"), col("source"), col("keep_rank"))),
+
+    QueryDef("t15_cooccurrence_pmi",
+      "Token co-occurrence PMI over document presence sets: vocabulary " +
+        "restricted to df ≥ 50 FIRST (the aggregated term table, never " +
+        "the raw token stream, bounds the pair fan-out), then within-doc " +
+        "pair join → count, pmi = ln(n_ab·N / (df_a·df_b)). All inputs " +
+        "to the log are exact BIGINTs, so the rounded double is engine-" +
+        "deterministic.",
+      Some("""WITH pres AS (SELECT DISTINCT doc_id,
+        |    unnest(list_distinct(list_filter(
+        |      regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))) AS tok
+        |  FROM documents),
+        |v AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM pres
+        |  GROUP BY tok HAVING COUNT(*) >= 50),
+        |p2 AS (SELECT p.doc_id, p.tok FROM pres p JOIN v USING(tok)),
+        |pr AS (SELECT a.tok AS tok_a, b.tok AS tok_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_ab
+        |  FROM p2 a JOIN p2 b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |  GROUP BY 1, 2),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+        |SELECT tok_a, tok_b, n_ab,
+        |  ROUND(ln(CAST(n_ab AS DOUBLE) * n_docs / (va.df * vb.df)), 6) AS pmi
+        |FROM pr JOIN v va ON va.tok = tok_a JOIN v vb ON vb.tok = tok_b
+        |CROSS JOIN n""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pres = docs.select(col("doc_id"),
+          explode(array_distinct(Text.tokens(col("text")))).as("tok"))
+        val vocab = pres.groupBy(col("tok"))
+          .agg(count(lit(1)).cast("long").as("df"))
+          .filter(col("df") >= 50)
+        // vocab is df-bounded (≪ corpus) → broadcast both the presence
+        // filter and the df lookups; the only corpus-sized shuffle is the
+        // within-doc pair aggregation
+        val p2 = pres.join(broadcast(vocab.select(col("tok"))), "tok")
+          .select(col("doc_id"), col("tok"))
+        val pairs = p2.as("a")
+          .join(p2.as("b"),
+            col("a.doc_id") === col("b.doc_id") && col("a.tok") < col("b.tok"))
+          .groupBy(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"))
+          .agg(count(lit(1)).cast("long").as("n_ab"))
+        val n = docs.agg(count(lit(1)).cast("long").as("n_docs"))
+        pairs
+          .join(broadcast(vocab.select(col("tok").as("tok_a"), col("df").as("df_a"))), "tok_a")
+          .join(broadcast(vocab.select(col("tok").as("tok_b"), col("df").as("df_b"))), "tok_b")
+          .crossJoin(broadcast(n))
+          .select(col("tok_a"), col("tok_b"), col("n_ab"),
+            round(log(col("n_ab").cast("double") * col("n_docs") /
+              (col("df_a") * col("df_b"))), 6).as("pmi"))
+      })
   )
 
   /** DuckDB replica of the full seeded-IVF search (IvfIndex.seededSearch):
