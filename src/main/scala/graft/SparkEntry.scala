@@ -2111,8 +2111,8 @@ object SparkEntry {
         |      x -> x <> '')) AS BIGINT) AS n_tokens
         |  FROM documents),
         |c AS (SELECT source, doc_id, n_tokens,
-        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
         |  FROM t WHERE n_tokens > 0)
         |SELECT source, doc_id, n_tokens, tokens_before,
         |  CAST(floor(tokens_before / 256) AS BIGINT) AS seq_id,
