@@ -60,6 +60,43 @@ class FunnelStreamSpec extends SparkSpec {
       o.purchase_us == -1L), s"expected an expiry row, got $got")
   }
 
+  test("funnel state survives a checkpointed RESTART: stages chain across runs") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("funnelCp").toString
+    val dir = s"$base/ev"; val cp = s"$base/cp"; val out = s"$base/out"
+    def run(): Unit = {
+      // parquet sink: memory sink can't recover from a checkpoint, and
+      // checkpoint recovery is exactly what this spec exercises
+      val stream = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[Event]].schema)
+        .parquet(dir).as[Event]
+      val q = FunnelStream.funnel(spark, stream, timeoutMs = 3600000L)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000); q.stop()
+    }
+    // run 1: the user only views
+    Seq(Event(7L, 100L, 1L, "view"))
+      .toDS().coalesce(1).write.mode("append").parquet(dir)
+    run()
+    // run 2 (fresh query, same checkpoint): click+purchase must gate on
+    // the view recovered FROM STATE, not from reprocessed input
+    Seq(Event(7L, 200L, 2L, "click"), Event(7L, 300L, 3L, "purchase"))
+      .toDS().coalesce(1).write.mode("append").parquet(dir)
+    run()
+    val got = spark.read.parquet(out).as[FunnelOut].collect().toSeq
+      .filter(_.user_id == 7L)
+    assert(got.map(_.stage).sorted == Seq(1, 2, 3),
+      s"stages must chain across the restart, got $got")
+    assert(got.exists(o => o.stage == 3 && o.completed && o.view_us == 100L),
+      "the completed row must carry the pre-restart view timestamp from state")
+  }
+
   test("state survives across micro-batches: stages split over batches still chain") {
     val s = spark
     import s.implicits._
