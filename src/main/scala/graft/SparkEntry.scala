@@ -2421,6 +2421,36 @@ object SparkEntry {
           .select(col("tok_a"), col("tok_b"), col("n_ab"),
             round(log(col("n_ab").cast("double") * col("n_docs") /
               (col("df_a") * col("df_b"))), 6).as("pmi"))
+      }),
+
+    QueryDef("q53_multiset_ops",
+      "MULTISET set operations (EXCEPT ALL / INTERSECT ALL — q24 covers " +
+        "only the DISTINCT forms): per-custkey order streams differenced " +
+        "and intersected with duplicate counting (max(a−b,0) / min(a,b) " +
+        "copies), then aggregated to a stable comparable shape.",
+      Some("""SELECT 'except_all' AS op, o_custkey, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |      EXCEPT ALL
+        |      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |GROUP BY o_custkey
+        |UNION ALL
+        |SELECT 'intersect_all' AS op, o_custkey, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |      INTERSECT ALL
+        |      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |GROUP BY o_custkey""".stripMargin),
+      (s, dir) => {
+        val f = Tables.orders(s, dir)
+          .filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+        val o = Tables.orders(s, dir)
+          .filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+        val ex = f.exceptAll(o).groupBy(col("o_custkey"))
+          .agg(count(lit(1)).cast("long").as("n"))
+          .select(lit("except_all").as("op"), col("o_custkey"), col("n"))
+        val in = f.intersectAll(o).groupBy(col("o_custkey"))
+          .agg(count(lit(1)).cast("long").as("n"))
+          .select(lit("intersect_all").as("op"), col("o_custkey"), col("n"))
+        ex.unionByName(in)
       })
   )
 
