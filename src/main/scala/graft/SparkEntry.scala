@@ -1567,10 +1567,14 @@ object SparkEntry {
 
     QueryDef("t10_vocabulary",
       "Vocabulary extraction: global token frequency table with rank — " +
-        "explode → hash-aggregate (one shuffle, map-side combine); the " +
-        "rank window runs over the AGGREGATED vocabulary (bounded distinct " +
-        "tokens), never the token stream, so the single-partition sort is " +
-        "over vocab-size rows only.",
+        "explode → hash-aggregate (one shuffle, map-side combine), then " +
+        "TWO-STAGE global numbering (Relational.twoStageRowNumber): rows " +
+        "rank within (count, token-prefix) buckets and broadcast offsets " +
+        "stitch the buckets, so no single task ever sorts the whole " +
+        "vocabulary — a web corpus has billions of distinct tokens " +
+        "(typos, URLs, hashes) and a bare Window.orderBy would funnel " +
+        "them all through one partition. The prefix leg of the bucket " +
+        "key splits the huge Zipf tail (n=1) across ~|alphabet| tasks.",
       Some("""WITH t AS (SELECT
         |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
         |  FROM documents),
@@ -1579,12 +1583,21 @@ object SparkEntry {
         |SELECT token, n,
         |  CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank
         |FROM v""".stripMargin),
-      (s, dir) => Tables.documents(s, dir)
-        .select(explode(Text.tokens(col("text"))).as("token"))
-        .groupBy(col("token"))
-        .agg(count(lit(1)).cast("long").as("n"))
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("n").desc, col("token"))).cast("long"))),
+      (s, dir) => {
+        val vocab = Tables.documents(s, dir)
+          .select(explode(Text.tokens(col("text"))).as("token"))
+          .groupBy(col("token"))
+          .agg(count(lit(1)).cast("long").as("n"))
+        // (-n, first char) is a truncation of the (n desc, token asc)
+        // rank order, as twoStageRowNumber requires
+        graft.ops.Relational.twoStageRowNumber(
+          vocab,
+          coarse = struct((-col("n")).as("negn"),
+            substring(col("token"), 1, 1).as("pfx")),
+          order = Seq(col("n").desc, col("token").asc),
+          outCol = "rank")
+          .select(col("token"), col("n"), col("rank"))
+      }),
 
     QueryDef("q36_nested_in_subqueries",
       "TPC-H Q20 shape: two-level nested IN subqueries plus a correlated " +
@@ -2029,8 +2042,8 @@ object SparkEntry {
       Some(s"""WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),
-        |cb AS (SELECT m, code, cv FROM read_parquet(
-        |  '${graft.similarity.PqIndex.ExportedCodebooksPath}/*.parquet')),
+        |cb AS (SELECT m, code, cv FROM
+        |  ${graft.similarity.ModelExport.oracleFromWhere(graft.similarity.PqIndex.ExportedCodebooksPath)}),
         |sv AS (SELECT vec_id, m,
         |    v[(m*sub+1):((m+1)*sub)] AS sv
         |  FROM (SELECT vec_id, v, CAST(len(v)/4 AS INT) AS sub FROM e)
@@ -2470,8 +2483,8 @@ object SparkEntry {
     */
   private def learnedIvfOracle(nProbe: Int, k: Int): String =
     ivfOracle(
-      "SELECT cell, cv FROM read_parquet('" +
-        graft.similarity.IvfIndex.ExportedCentroidsPath + "/*.parquet')",
+      "SELECT cell, cv FROM " + graft.similarity.ModelExport.oracleFromWhere(
+        graft.similarity.IvfIndex.ExportedCentroidsPath),
       nProbe, k)
 
   /** s08's oracle: brute-force truth (knnOracle's CTE chain) and the
@@ -2492,7 +2505,7 @@ object SparkEntry {
        |tr AS (SELECT pid, nid,
        |       ROW_NUMBER() OVER (PARTITION BY pid ORDER BY cos_sim DESC, nid) AS rn FROM tcs),
        |truth AS (SELECT pid, nid FROM tr WHERE rn <= $k),
-       |cent AS (SELECT cell, cv FROM read_parquet('${graft.similarity.IvfIndex.ExportedCentroidsRecallPath}/*.parquet')),
+       |cent AS (SELECT cell, cv FROM ${graft.similarity.ModelExport.oracleFromWhere(graft.similarity.IvfIndex.ExportedCentroidsRecallPath)}),
        |aprod AS (SELECT e.vec_id AS nid, cell, unnest(v) AS x, unnest(cv) AS y
        |          FROM e CROSS JOIN cent),
        |adots AS (SELECT nid, cell, SUM(x*y) AS dot, SUM(x*x) AS n2, SUM(y*y) AS c2

@@ -204,8 +204,13 @@ object Dedup {
     require(n >= 1 && maxDist >= 0)
     val kn = maxDist.toLong * n
     // base is reused by the gram route, the short fallback, and the verify
-    // join — materialize once (projection subtrees are not plan-reused)
-    val base = docs.select(
+    // join — materialize once (projection subtrees are not plan-reused).
+    // Rows with a NULL blocking key are dropped up front: xxhash64 skips
+    // NULL inputs, which would silently co-block every null-keyed doc,
+    // while the SQL equality join this mirrors never matches NULL = NULL.
+    val base = docs
+      .filter(blockCols.map(col(_).isNotNull).reduce(_ && _))
+      .select(
         col(idCol).as("id"),
         xxhash64(blockCols.map(col): _*).as("blk"),
         col(textCol).as("txt"),
@@ -229,12 +234,24 @@ object Dedup {
       .filter(col("common") >= greatest(col("g_a"), col("g_b")) - lit(kn))
       .select(col("doc_a"), col("doc_b"))
     // docs with ≤ k·n grams can pass ed ≤ k while sharing NO gram — the
-    // bound cannot prune them; enumerate their in-block pairs directly
+    // bound cannot prune them; pair them via a (block, length-bucket)
+    // equi-join instead of all-pairs-per-block: ed ≤ k forces
+    // |len_a − len_b| ≤ k, and with bucket = ⌊len/(k+1)⌋ any such pair
+    // lands within one bucket of each other, so emitting every short doc
+    // to buckets {b, b+1} makes bucket equality a complete (no false
+    // negatives, dedup'd by the downstream distinct) banded join. Short
+    // docs are the most numerous in a web corpus — this keeps the
+    // fallback linear in docs-per-(block, ~k-length-range), not
+    // quadratic in docs-per-block.
+    val bucket = (col("len") / lit(maxDist + 1)).cast("long")
     val short = base.filter(col("g") <= kn)
-      .select(col("id"), col("blk"), col("len"))
+      .select(col("id"), col("blk"), col("len"),
+        explode(array(bucket, bucket + 1)).as("lb"))
     val shortCands = short.as("a")
       .join(short.as("b"),
-        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+        col("a.blk") === col("b.blk") && col("a.lb") === col("b.lb") &&
+          col("a.id") < col("b.id") &&
+          abs(col("a.len") - col("b.len")) <= maxDist)
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
     val sides = base.select(col("id"), col("txt"), col("len"))
     gramCands.union(shortCands).distinct()

@@ -223,14 +223,6 @@ object Relational {
       lit(100L)).cast("long")
   }
 
-  /** Deterministic per-stratum downsampling: keep a row iff its hash
-    * bucket falls below its stratum's rate — `rates` maps stratum value to
-    * keep-fraction in percent; unknown strata use `defaultPct`. The same
-    * doc survives (or not) on every engine/run/partitioning, so a corpus
-    * rebalance (e.g. downweight the dominant language) is reproducible —
-    * the property `df.sampleBy` (seeded per-partition RNG) does not give.
-    * Pure projection+filter: linear, shuffle-free.
-    */
   /** Deterministic per-group cap — keep at most `maxRows` rows per group
     * (the per-domain document cap of web-corpus curation): rows rank by
     * PolyHash of their id (id itself as the tie-break, though ids are
@@ -252,6 +244,14 @@ object Relational {
       .filter(col("keep_rank") <= maxRows)
   }
 
+  /** Deterministic per-stratum downsampling: keep a row iff its hash
+    * bucket falls below its stratum's rate — `rates` maps stratum value to
+    * keep-fraction in percent; unknown strata use `defaultPct`. The same
+    * doc survives (or not) on every engine/run/partitioning, so a corpus
+    * rebalance (e.g. downweight the dominant language) is reproducible —
+    * the property `df.sampleBy` (seeded per-partition RNG) does not give.
+    * Pure projection+filter: linear, shuffle-free.
+    */
   def stratifiedSampleByHash(df: DataFrame, idCol: String, strataCol: String,
       rates: Map[String, Int], defaultPct: Int): DataFrame = {
     require((rates.values ++ Seq(defaultPct)).forall(p => p >= 0 && p <= 100),

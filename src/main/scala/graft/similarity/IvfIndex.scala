@@ -29,12 +29,18 @@ object IvfIndex {
   private def widened(vecCol: String): Column =
     transform(col(vecCol), x => x.cast("double"))
 
-  /** Train centroids and assign each corpus vector to its cell. */
+  /** Train centroids and assign each corpus vector to its cell. `maxIter`
+    * is capped low: Lloyd convergence only tunes cell balance, never
+    * correctness — whatever centroids come out are exported and DEFINE the
+    * index (the oracle reads them back), and each extra iteration is a
+    * full corpus pass (several scheduler round-trips on small data, a real
+    * shuffle at scale).
+    */
   def build(emb: DataFrame, k: Int, idCol: String = "vec_id",
-      vecCol: String = "embedding"): Index = {
+      vecCol: String = "embedding", maxIter: Int = 8): Index = {
     val vecs = emb.select(col(idCol), widened(vecCol).as("v"))
       .withColumn("fv", array_to_vector(col("v")))
-    val model = new KMeans().setK(k).setSeed(42L)
+    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(maxIter)
       .setFeaturesCol("fv").setPredictionCol("cell")
       .fit(vecs)
     val assigned = model.transform(vecs)
@@ -51,22 +57,17 @@ object IvfIndex {
       .toSeq.toDF("cell", "centroid")
   }
 
-  /** Where s06 materializes its trained centroids so the DuckDB oracle can
-    * reproduce assignment from the SAME doubles (parquet roundtrips doubles
-    * exactly). Written by the query, read by the static oracle SQL.
-    *
-    * CONSTRAINT: the driver contract makes `oracleSql` a static string, so
-    * this path cannot vary per run/SF — the export is shared mutable state
-    * between "query ran" and "oracle compared". Correct under the
-    * verify-then-compare flow (Verify and the DuckDB compare run
-    * back-to-back on one SF, which is how both the driver and
-    * tools/verify_local.py operate); interleaving another s06/s08
-    * invocation at a different SF between the two steps would swap the
-    * doubles under the pending oracle.
+  /** BASE directory where s06 materializes its trained centroids so the
+    * DuckDB oracle can reproduce assignment from the SAME doubles (parquet
+    * roundtrips doubles exactly). [[learnedSearch]] writes under
+    * `<base>/sig=<corpus signature>` ([[ModelExport.sigPath]]) and the
+    * static oracle SQL selects the matching partition by recomputing the
+    * signature from its own table ([[ModelExport.oracleFromWhere]]), so
+    * runs at different SFs never clobber each other's exported doubles.
     */
   val ExportedCentroidsPath = "/tmp/graft_ivf_centroids"
 
-  /** s08's own export location: it probes fewer cells than s06 (nProbe=2),
+  /** s08's own export base: it probes fewer cells than s06 (nProbe=2),
     * and a shared path would let one query's export clobber the doubles the
     * other query's static oracle SQL reads at compare time.
     */
@@ -151,10 +152,11 @@ object IvfIndex {
   }
 
   /** The learned-index twin of [[seededSearch]]: train k-means centroids
-    * ([[build]]'s step 1), EXPORT them to `exportPath` as (cell, cv)
-    * parquet, then run the same rounded-cosine assignment + nProbe search
-    * over them. Because the oracle reads the exported doubles back
-    * bit-exactly, the full search — Lloyd-trained centroids included — is
+    * ([[build]]'s step 1), EXPORT them as (cell, cv) parquet under
+    * `exportPath`'s corpus-signature partition ([[ModelExport.sigPath]]),
+    * then run the same rounded-cosine assignment + nProbe search over
+    * them. Because the oracle reads the exported doubles back bit-exactly,
+    * the full search — Lloyd-trained centroids included — is
     * hash-checkable in any engine (reference: pgvector-style IVFFlat /
     * FAISS IVF, public literature).
     */
@@ -164,7 +166,8 @@ object IvfIndex {
     require(nProbe >= 1 && nProbe <= k, s"nProbe=$nProbe out of [1,$k]")
     val ix = build(emb, k, idCol, vecCol)
     val cent = centroids(ix).select(col("cell"), col("centroid").as("cv"))
-    cent.coalesce(1).write.mode("overwrite").parquet(exportPath)
+    cent.coalesce(1).write.mode("overwrite")
+      .parquet(ModelExport.sigPath(exportPath, emb, idCol))
     searchWithCentroids(emb, cent, isProbe, topK, nProbe, idCol, vecCol)
   }
 

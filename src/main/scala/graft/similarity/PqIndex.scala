@@ -33,10 +33,12 @@ import graft.functions.L2SqDistance
   */
 object PqIndex {
 
-  /** Where s09 materializes its trained codebooks for the DuckDB oracle
-    * (one row per (m, code): the subspace centroid). Static because
-    * `oracleSql` is a static string; see the IvfIndex.ExportedCentroidsPath
-    * caveat on interleaving runs at different SFs.
+  /** BASE directory where s09 materializes its trained codebooks for the
+    * DuckDB oracle (one row per (m, code): the subspace centroid).
+    * [[searchAdc]] writes under `<base>/sig=<corpus signature>`
+    * ([[ModelExport.sigPath]]) so runs at different SFs keep their own
+    * exported doubles; the static oracle SQL picks the matching partition
+    * via [[ModelExport.oracleFromWhere]].
     */
   val ExportedCodebooksPath = "/tmp/graft_pq_codebooks"
 
@@ -124,8 +126,9 @@ object PqIndex {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = emb.sparkSession
     val codebooks = trainCodebooks(emb, m, k, vecCol)
-    codebooks.coalesce(1).write.mode("overwrite").parquet(exportPath)
-    val cb = spark.read.parquet(exportPath)
+    val path = ModelExport.sigPath(exportPath, emb, idCol)
+    codebooks.coalesce(1).write.mode("overwrite").parquet(path)
+    val cb = spark.read.parquet(path)
     val codes = encode(emb, cb, m, idCol, vecCol)
     // per-probe lookup table: distance from each probe subvector to every
     // centroid of its subspace — M·K rows per probe, broadcastable

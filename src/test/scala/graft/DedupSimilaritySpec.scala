@@ -204,6 +204,44 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.size == 2)
   }
 
+  test("editDistancePairs: short-doc fallback join is length-banded") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "A", "ab"),               // short fallback docs
+      (2L, "A", "ax"),               // ed(1,2)=1 → pair
+      (3L, "A", "abcdefghijklmnop")  // 14 chars longer than doc 1 → banded out
+    ).toDF("doc_id", "blockv", "text")
+    val out = Dedup.editDistancePairs(docs, Seq("blockv"), n = 4, maxDist = 5)
+    // the length predicate must sit INSIDE the fallback join (with the
+    // lb bucket key), not only in the post-union verify: short docs are
+    // the most numerous at web scale and an unbanded in-block pair join
+    // would be quadratic in them
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val joinConds = out.queryExecution.optimizedPlan.collect {
+      case j: Join => j.condition.map(_.sql).getOrElse("")
+    }
+    assert(joinConds.exists(c => c.contains("lb") && c.contains("abs(")),
+      s"no join carries the banded length predicate:\n${joinConds.mkString("\n")}")
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)))
+  }
+
+  test("editDistancePairs: NULL block keys never pair") {
+    import spark.implicits._
+    // xxhash64 ignores NULL inputs — without the explicit null guard both
+    // null-keyed docs would co-block (and pair, ed=1); the SQL equality
+    // join the oracle uses never matches NULL = NULL
+    val docs = Seq(
+      (1L, Option.empty[String], "ab"),
+      (2L, Option.empty[String], "ax"),
+      (3L, Some("A"), "ab"),
+      (4L, Some("A"), "ax")
+    ).toDF("doc_id", "blockv", "text")
+    val got = Dedup.editDistancePairs(docs, Seq("blockv"), n = 4, maxDist = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((3L, 4L)))
+  }
+
   test("clusterRepresentatives: best quality wins, ties break low, singletons survive") {
     import spark.implicits._
     // component {1,2,3} (labeled 1), singleton 4 (no component row)

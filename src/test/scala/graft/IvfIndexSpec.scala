@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.similarity.{IvfIndex, Similarity}
+import graft.similarity.{IvfIndex, ModelExport, Similarity}
 
 class IvfIndexSpec extends SparkSpec {
 
@@ -66,10 +66,13 @@ class IvfIndexSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("pid"), r.getAs[Long]("nid"),
         r.getAs[Long]("rank"))).toSet
     assert(ivf == exact)
-    // the exported frame is exactly (cell, cv: array<double>) with k rows
-    // — the doubles the s06 oracle reads back to reproduce assignment
+    // the export is content-addressed under a corpus-signature hive
+    // partition (ModelExport.sigPath) so multi-SF runs never clobber each
+    // other; reading the base dir surfaces `sig` as a partition column
     val cent = spark.read.parquet(dir)
-    assert(cent.columns.toSeq == Seq("cell", "cv"))
+    assert(cent.columns.toSeq == Seq("cell", "cv", "sig"))
+    assert(cent.select(col("sig")).distinct().collect().map(_.getString(0))
+      .toSeq == Seq(ModelExport.corpusSig(emb)))
     assert(cent.count() == 8)
     assert(cent.select(col("cell")).collect().map(_.getInt(0)).toSet
       == (0 until 8).toSet)

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 /** Plan-shape regression gate: the properties that make the catalog scale
   * (pushdowns, pruning, partitioned windows, no cartesian products) are
   * asserted on the ACTUAL physical plans, so losing one fails loudly in CI
@@ -38,6 +40,15 @@ class PlanInvariantsSpec extends SparkSpec {
     val p = plan("q22_batching")
     assert(p.contains("hashpartitioning(__coarse"),
       "two-stage row numbering lost its coarse partitioning")
+  }
+
+  test("t10: the vocabulary rank window is partitioned, not a global sort") {
+    // the only unpartitioned window allowed in this plan is the offset
+    // stitch over the per-bucket COUNT frame (one row per coarse bucket);
+    // the vocabulary itself must rank inside hash-partitioned buckets
+    val p = plan("t10_vocabulary")
+    assert(p.contains("hashpartitioning(__coarse"),
+      "vocabulary rank lost its two-stage coarse partitioning")
   }
 
   test("q02: bounded dims join via broadcast") {
@@ -104,5 +115,14 @@ class PlanInvariantsSpec extends SparkSpec {
           "regenerate with `sbt \"runMain graft.Explain --all\"`")
       }
     }
+    // and no ORPHANS: every committed snapshot must belong to a registered
+    // query, so a renamed/deleted query can't leave a stale file that
+    // still looks like coverage
+    val orphans = java.nio.file.Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".txt"))
+      .map(_.stripSuffix(".txt"))
+      .filterNot(SparkEntry.queries.keySet)
+      .toSeq.sorted
+    assert(orphans.isEmpty, s"orphan snapshots with no registered query: $orphans")
   }
 }
