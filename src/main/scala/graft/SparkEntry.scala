@@ -2070,6 +2070,63 @@ object SparkEntry {
         Tables.embeddings(s, dir), m = 4, k = 16,
         isProbe = col("vec_id") < 10, topK = 3)),
 
+    QueryDef("s10_ivfadc",
+      "IVFADC (Jégou et al. 2011 §IV, the FAISS IVFPQ composition): " +
+        "coarse IVF cells prune candidates BEFORE any ADC scoring — " +
+        "probes rank the 8 seeded cells by centroid cosine, keep 3, and " +
+        "ADC-score only those cells' codes via the (pid, m, code) " +
+        "broadcast LUT join; per-probe cost falls from corpus-x-M " +
+        "lookups (s09's PQ brute-force) to nProbe/nCells of it — the " +
+        "pruning that makes PQ pay at 100 TB. Codebooks trained+exported " +
+        "(s09 recipe), assignment seeded+rounded (s05 recipe), so the " +
+        "whole composed index is hash-exact.",
+      Some(s"""WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |cent AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8),
+        |aprod AS (SELECT e.vec_id AS nid, cell, unnest(v) AS x, unnest(cv) AS y
+        |          FROM e CROSS JOIN cent),
+        |adots AS (SELECT nid, cell, SUM(x*y) AS dot, SUM(x*x) AS n2, SUM(y*y) AS c2
+        |          FROM aprod GROUP BY nid, cell),
+        |acos AS (SELECT nid, cell, ROUND(dot/(SQRT(n2)*SQRT(c2)), 6) AS a_cos FROM adots),
+        |assign AS (SELECT nid, cell FROM (
+        |  SELECT nid, cell, ROW_NUMBER() OVER (PARTITION BY nid
+        |    ORDER BY a_cos DESC, cell) AS rn FROM acos) WHERE rn = 1),
+        |probecells AS (SELECT nid AS pid, cell FROM (
+        |  SELECT nid, cell, ROW_NUMBER() OVER (PARTITION BY nid
+        |    ORDER BY a_cos DESC, cell) AS cr FROM acos WHERE nid < 10)
+        |  WHERE cr <= 3),
+        |cb AS (SELECT m, code, cv FROM
+        |  ${graft.similarity.ModelExport.oracleFromWhere(graft.similarity.PqIndex.ExportedIvfAdcCodebooksPath)}),
+        |sv AS (SELECT vec_id, m,
+        |    v[(m*sub+1):((m+1)*sub)] AS sv
+        |  FROM (SELECT vec_id, v, CAST(len(v)/4 AS INT) AS sub FROM e)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS m) ms),
+        |prod AS (SELECT vec_id, m, code, unnest(sv) AS x, unnest(cv) AS y
+        |  FROM sv JOIN cb USING(m)),
+        |d AS (SELECT vec_id, m, code,
+        |    CAST(ROUND(SUM((x-y)*(x-y))*1000000, 0) AS BIGINT) AS d6
+        |  FROM prod GROUP BY vec_id, m, code),
+        |codes AS (SELECT vec_id AS nid, m, code FROM (
+        |  SELECT vec_id, m, code,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d6, code) AS rn
+        |  FROM d) WHERE rn = 1),
+        |lut AS (SELECT vec_id AS pid, m, code, d6 AS pd6 FROM d WHERE vec_id < 10),
+        |cand AS (SELECT pc.pid, a.nid FROM probecells pc JOIN assign a ON pc.cell = a.cell
+        |         WHERE a.nid <> pc.pid),
+        |adc AS (SELECT c.pid, c.nid, CAST(SUM(l.pd6) AS BIGINT) AS adc_dist6
+        |  FROM cand c JOIN codes co ON co.nid = c.nid
+        |  JOIN lut l ON l.pid = c.pid AND l.m = co.m AND l.code = co.code
+        |  GROUP BY c.pid, c.nid),
+        |r AS (SELECT pid, nid, adc_dist6,
+        |  ROW_NUMBER() OVER (PARTITION BY pid ORDER BY adc_dist6, nid) AS rn
+        |  FROM adc)
+        |SELECT pid, nid, adc_dist6, CAST(rn AS BIGINT) AS ivfadc_rank
+        |FROM r WHERE rn <= 3""".stripMargin),
+      (s, dir) => graft.similarity.PqIndex.ivfAdcSearch(
+        Tables.embeddings(s, dir), nCells = 8, nProbe = 3, m = 4, k = 16,
+        isProbe = col("vec_id") < 10, topK = 3)),
+
     QueryDef("t11_tfidf_topterms",
       "TF-IDF top terms: term frequency per (doc, token), document " +
         "frequency over the aggregated term table (never the raw token " +

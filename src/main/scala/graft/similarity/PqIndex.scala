@@ -5,7 +5,7 @@ import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.L2SqDistance
+import graft.functions.{CosineSimilarity, L2SqDistance}
 
 /** Product quantization (PQ) for embedding compression + approximate
   * search (Jégou et al., "Product Quantization for Nearest Neighbor
@@ -41,6 +41,12 @@ object PqIndex {
     * via [[ModelExport.oracleFromWhere]].
     */
   val ExportedCodebooksPath = "/tmp/graft_pq_codebooks"
+
+  /** s10's own codebook export base — [[ivfAdcSearch]] trains the same
+    * shape of codebooks as [[searchAdc]] but a shared base would let the
+    * two queries clobber each other's doubles between run and compare.
+    */
+  val ExportedIvfAdcCodebooksPath = "/tmp/graft_pq_codebooks_s10"
 
   private def widened(vecCol: String): Column =
     transform(col(vecCol), x => x.cast("double"))
@@ -145,5 +151,66 @@ object PqIndex {
       .withColumn("pq_rank", row_number().over(byProbe).cast("long"))
       .filter(col("pq_rank") <= topK)
       .select(col("pid"), col("nid"), col("adc_dist6"), col("pq_rank"))
+  }
+
+  /** IVFADC (Jégou et al. 2011 §IV — the FAISS IVFPQ composition): coarse
+    * IVF cells prune the candidate set BEFORE any ADC scoring. Every
+    * corpus vector is assigned to its argmax-cosine coarse cell (the
+    * [[IvfIndex.seededCentroids]] quantizer — reproducible from the table
+    * alone), each probe ranks cells by centroid cosine and keeps `nProbe`;
+    * only the codes of those cells' vectors join the ADC lookup table.
+    * Per-probe cost drops from O(corpus·M) lookups ([[searchAdc]]'s PQ
+    * brute-force scan) to O(nProbe·corpus/nCells·M) — the pruning step
+    * that makes PQ pay at 100 TB. Codebooks are trained over the raw
+    * vectors and EXPORTED (the [[searchAdc]] recipe), so the composed
+    * index — coarse pruning AND compressed scoring — hash-matches an
+    * oracle reading the same exported doubles. (Classic IVFADC encodes
+    * residuals v − centroid; raw-vector encoding keeps the codebooks
+    * cell-independent, which is what lets one broadcast LUT serve every
+    * probed cell — the accuracy gap is a documented trade, not a bug.)
+    */
+  def ivfAdcSearch(emb: DataFrame, nCells: Int, nProbe: Int, m: Int, k: Int,
+      isProbe: Column, topK: Int,
+      exportPath: String = ExportedIvfAdcCodebooksPath,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCells, s"nProbe=$nProbe out of [1,$nCells]")
+    val spark = emb.sparkSession
+    // coarse quantizer: seeded centroids, rounded-cosine assignment
+    val cent = IvfIndex.seededCentroids(emb, nCells, idCol, vecCol)
+    val assigned = IvfIndex.assignByCosine(emb, cent, idCol, vecCol)
+      .select(col("nid"), col("cell"))
+    val probes = emb.filter(isProbe)
+      .select(col(idCol).as("pid"), widened(vecCol).as("__pv"))
+    val wc = Window.partitionBy(col("pid"))
+      .orderBy(col("c_cos").desc, col("cell").asc)
+    val probeCells = probes.crossJoin(broadcast(cent))
+      .withColumn("c_cos", round(CosineSimilarity(spark, col("__pv"), col("cv")), 6))
+      .withColumn("__cr", row_number().over(wc))
+      .filter(col("__cr") <= nProbe)
+      .select(col("pid"), col("cell"))
+    // PQ codebooks: train, export, encode (searchAdc's recipe)
+    val codebooks = trainCodebooks(emb, m, k, vecCol)
+    val path = ModelExport.sigPath(exportPath, emb, idCol)
+    codebooks.coalesce(1).write.mode("overwrite").parquet(path)
+    val cb = spark.read.parquet(path)
+    val codes = encode(emb, cb, m, idCol, vecCol)
+    // candidates pruned by cell BEFORE touching any code: |cand|·M lookup
+    // rows instead of |corpus|·M
+    val cand = probeCells.join(assigned, Seq("cell"))
+      .filter(col("nid") =!= col("pid"))
+      .select(col("pid"), col("nid"))
+    val lut = subvectors(emb.filter(isProbe), m, idCol, vecCol, "pid")
+      .join(broadcast(cb), Seq("m"))
+      .select(col("pid"), col("m"), col("code"),
+        dist6(spark, col("sv"), col("cv")).as("pd6"))
+    val byProbe = Window.partitionBy(col("pid"))
+      .orderBy(col("adc_dist6").asc, col("nid").asc)
+    cand.join(codes, Seq("nid"))
+      .join(broadcast(lut), Seq("pid", "m", "code"))
+      .groupBy(col("pid"), col("nid"))
+      .agg(sum(col("pd6")).as("adc_dist6"))
+      .withColumn("ivfadc_rank", row_number().over(byProbe).cast("long"))
+      .filter(col("ivfadc_rank") <= topK)
+      .select(col("pid"), col("nid"), col("adc_dist6"), col("ivfadc_rank"))
   }
 }

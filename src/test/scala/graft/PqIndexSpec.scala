@@ -59,4 +59,42 @@ class PqIndexSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(out.sorted.toSeq == again.sorted.toSeq)
   }
+
+  test("IVFADC at nProbe = nCells degenerates to the full PQ ADC scan") {
+    // with every cell probed the coarse pruning admits every candidate,
+    // so the composed index must reproduce searchAdc exactly (same
+    // codebook seed, same integer ADC sums, same tie-breaks)
+    val docs = fixture
+    val full = PqIndex.searchAdc(docs, m = 2, k = 2,
+        isProbe = col("vec_id").isin(0L, 15L), topK = 3,
+        exportPath = "/tmp/graft_pq_codebooks_spec2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ivfadc = PqIndex.ivfAdcSearch(docs, nCells = 4, nProbe = 4,
+        m = 2, k = 2, isProbe = col("vec_id").isin(0L, 15L), topK = 3,
+        exportPath = "/tmp/graft_pq_codebooks_spec2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(ivfadc.sorted.toSeq == full.sorted.toSeq)
+  }
+
+  test("IVFADC scores only candidates from probed cells") {
+    import graft.similarity.IvfIndex
+    val docs = fixture
+    val nCells = 4; val nProbe = 1
+    val out = PqIndex.ivfAdcSearch(docs, nCells = nCells, nProbe = nProbe,
+        m = 2, k = 2, isProbe = col("vec_id").isin(0L, 15L), topK = 8,
+        exportPath = "/tmp/graft_pq_codebooks_spec3")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // recompute the coarse structure independently: every returned
+    // neighbor must live in its probe's single probed cell
+    // seeded cells are keyed by the seed vector's id, so `cell` is LONG
+    val assigned = IvfIndex.seededAssign(docs, nCells)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probeCell = Map(0L -> assigned(0L), 15L -> assigned(15L))
+    // nProbe=1 probes the probe's own best cell (it contains the probe
+    // itself, cosine 1.0 with its centroid's cell by construction here)
+    assert(out.nonEmpty)
+    for ((pid, nid) <- out)
+      assert(assigned(nid) == probeCell(pid),
+        s"neighbor $nid of probe $pid is outside the probed cell")
+  }
 }
