@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Stateful streaming conversion funnel — the streaming twin of the batch
@@ -22,7 +23,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * retro-updates for bounded state; run the batch query for the exact
   * backfill answer).
   */
-object FunnelStream {
+// Serializable: funnelEventTime's updater closes over the module's private
+// helpers (advance/toOut), so the stateless module itself ships with the task
+object FunnelStream extends Serializable {
 
   final case class Event(
       user_id: Long, ts_us: Long, event_id: Long, event_type: String)
@@ -101,5 +104,81 @@ object FunnelStream {
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
         updateFunnel(timeoutMs))
+  }
+
+  /** Event-time state: the funnel timestamps plus the BUFFER of events the
+    * watermark has not yet passed — the piece that lets a late-but-in-
+    * watermark event take effect in event-time order.
+    */
+  final case class EventTimeFunnelState(
+      viewUs: Long, clickUs: Long, purchaseUs: Long, pending: Seq[Event])
+
+  /** Event-time twin of [[funnel]] (EventTimeTimeout + watermark, the
+    * sessionizeEventTime precedent): events BUFFER until the watermark
+    * passes their timestamp, then fold in (ts, event_id) order — at that
+    * point no earlier in-watermark event can still arrive, so the fold is
+    * FINAL. An in-watermark late event therefore retroactively advances
+    * the funnel: the click that unblocks an already-buffered purchase
+    * completes the funnel here, where the processing-time variant (which
+    * rejected and forgot that purchase on arrival) provably cannot. The
+    * honest cost: state per user is O(events inside the watermark window),
+    * not O(1) — the same buffered-lateness trade
+    * `dropDuplicatesWithinWatermark` makes. Events at or below the
+    * watermark on arrival are dropped (the standard allowed-lateness
+    * contract). Unconverted funnels expire `idleGapUs` of EVENT time after
+    * their newest activity, emitting the final `completed=false` row.
+    */
+  def funnelEventTime(
+      spark: SparkSession,
+      events: Dataset[Event],
+      watermarkDelay: String = "10 seconds",
+      idleGapUs: Long = 60000000L): Dataset[FunnelOut] = {
+    import spark.implicits._
+
+    def update(userId: Long, it: Iterator[Event],
+        state: GroupState[EventTimeFunnelState]): Iterator[FunnelOut] = {
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      var st = state.getOption
+        .getOrElse(EventTimeFunnelState(Unset, Unset, Unset, Nil))
+      if (!state.hasTimedOut)
+        st = st.copy(pending = st.pending ++ it.filter(_.ts_us > wmUs))
+      // events the watermark has passed are finalizable NOW
+      val (ripe, hold) = st.pending.partition(_.ts_us <= wmUs)
+      var out = Vector.empty[FunnelOut]
+      var fs = FunnelState(st.viewUs, st.clickUs, st.purchaseUs)
+      for (e <- ripe.sortBy(e => (e.ts_us, e.event_id)))
+        advance(fs, e).foreach { next =>
+          fs = next
+          out :+= toOut(userId, fs, closed = fs.purchaseUs != Unset)
+        }
+      val latestUs = Seq(fs.viewUs, fs.clickUs, fs.purchaseUs).max max
+        (if (hold.nonEmpty) hold.map(_.ts_us).max else Unset)
+      if (fs.purchaseUs != Unset) {
+        if (state.exists) state.remove()
+      } else if (hold.isEmpty && stageOf(fs) == 0) {
+        if (state.exists) state.remove() // nothing to hold or expire
+      } else if (hold.isEmpty && wmUs >= latestUs + idleGapUs) {
+        state.remove() // abandoned: idle horizon passed in event time
+        out :+= toOut(userId, fs, closed = true)
+      } else {
+        state.update(EventTimeFunnelState(fs.viewUs, fs.clickUs,
+          fs.purchaseUs, hold))
+        // wake when the watermark passes the next pending event, else at
+        // the idle-expiry horizon; timestamps must sit above the watermark
+        val wakeUs =
+          if (hold.nonEmpty) hold.map(_.ts_us).min else latestUs + idleGapUs
+        state.setTimeoutTimestamp(
+          math.max(wakeUs / 1000L, state.getCurrentWatermarkMs() + 1))
+      }
+      out.iterator
+    }
+
+    events
+      .withColumn("__ts", expr("timestamp_micros(ts_us)"))
+      .withWatermark("__ts", watermarkDelay)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update _)
   }
 }

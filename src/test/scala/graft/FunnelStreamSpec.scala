@@ -97,6 +97,89 @@ class FunnelStreamSpec extends SparkSpec {
       "the completed row must carry the pre-restart view timestamp from state")
   }
 
+  private def runEventTime(dir: String, idleGapUs: Long): Seq[FunnelOut] = {
+    val s = spark
+    import s.implicits._
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Event]].schema)
+      .option("maxFilesPerTrigger", "1") // one file per micro-batch, so the
+      .parquet(dir).as[Event]            // watermark advances between files
+    val name = s"funnel_et_${System.nanoTime()}"
+    val q = FunnelStream.funnelEventTime(spark, stream,
+        watermarkDelay = "2 seconds", idleGapUs = idleGapUs).writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    q.stop()
+    spark.table(name).as[FunnelOut].collect().toSeq
+  }
+
+  test("event-time funnel: an in-watermark late click unblocks the buffered purchase") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("funnelEt").toString
+    val dir = s"$base/ev"
+    // batch 1: view + purchase — the purchase is PREMATURE (no click yet)
+    Seq(Event(1L, 1000000L, 1L, "view"), Event(1L, 3000000L, 2L, "purchase"))
+      .toDS().coalesce(1).write.mode("append").parquet(dir)
+    Thread.sleep(200)
+    // batch 2: the click arrives LATE (one batch behind) but inside the
+    // watermark (wm = 3s − 2s = 1s < 2s)
+    Seq(Event(1L, 2000000L, 3L, "click"))
+      .toDS().coalesce(1).write.mode("append").parquet(dir)
+    Thread.sleep(200)
+    // batches 3-4: another user's events push the watermark past 3s so
+    // user 1's buffer finalizes
+    Seq(Event(999L, 10000000L, 4L, "view"))
+      .toDS().coalesce(1).write.mode("append").parquet(dir)
+    Thread.sleep(200)
+    Seq(Event(999L, 11000000L, 5L, "click"))
+      .toDS().coalesce(1).write.mode("append").parquet(dir)
+    val et = runEventTime(dir, idleGapUs = 3600000000L)
+    val u1 = et.filter(_.user_id == 1L).sortBy(_.stage)
+    assert(u1.map(_.stage) == Seq(1, 2, 3),
+      s"late click must retroactively chain the funnel, got $u1")
+    assert(u1.last ==
+      FunnelOut(1L, 3, 1000000L, 2000000L, 3000000L,
+        completed = true, closed = true))
+    // the processing-time variant on the SAME input provably cannot: it
+    // rejected the premature purchase on arrival and forgot it
+    val name = s"funnel_pt_${System.nanoTime()}"
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Event]].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir).as[Event]
+    val q = FunnelStream.funnel(spark, stream, timeoutMs = 3600000L)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000); q.stop()
+    val pt = spark.table(name).as[FunnelOut].collect().toSeq
+      .filter(_.user_id == 1L)
+    assert(pt.map(_.stage).max == 2 && !pt.exists(_.completed),
+      s"processing-time variant should stall at stage 2, got $pt")
+  }
+
+  test("event-time funnel: idle funnels expire on EVENT time with completed=false") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("funnelEtIdle").toString + "/ev"
+    Seq(Event(5L, 1000000L, 1L, "view"))
+      .toDS().coalesce(1).write.mode("append").parquet(dir)
+    Thread.sleep(200)
+    // watermark jumps to 98s — far past view(1s) + idle gap (5s)
+    Seq(Event(999L, 100000000L, 2L, "view"))
+      .toDS().coalesce(1).write.mode("append").parquet(dir)
+    Thread.sleep(200)
+    Seq(Event(999L, 101000000L, 3L, "click"))
+      .toDS().coalesce(1).write.mode("append").parquet(dir)
+    val got = runEventTime(dir, idleGapUs = 5000000L)
+    assert(got.exists(o => o.user_id == 5L && o.stage == 1 && o.closed &&
+      !o.completed && o.purchase_us == -1L),
+      s"expected an event-time expiry row for user 5, got $got")
+  }
+
   test("state survives across micro-batches: stages split over batches still chain") {
     val s = spark
     import s.implicits._
