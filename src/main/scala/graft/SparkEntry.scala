@@ -2521,7 +2521,46 @@ object SparkEntry {
           .agg(count(lit(1)).cast("long").as("n"))
           .select(lit("intersect_all").as("op"), col("o_custkey"), col("n"))
         ex.unionByName(in)
-      })
+      }),
+
+    QueryDef("w01_weather_pipeline",
+      "The reference's flagship EP1 spine ORACLED end-to-end (entry's " +
+        "hash-checkable twin): the deterministic fixture lake is exported " +
+        "to parquet, then both engines run the SAME composed chain — " +
+        "zip-explode with ragged-array null padding, ISO timestamp parse, " +
+        "quality gate, last-write-wins upsert on (city, hour) by ingest " +
+        "time, daily per-city mart. Every stage is individually oracled " +
+        "elsewhere (q16/q15/q07/q09); this row hash-checks their " +
+        "CROSS-STAGE composition, p01-style.",
+      Some(s"""WITH f AS (SELECT * FROM read_parquet(
+        |    '${graft.weather.Weather.FixtureLakePath}/*.parquet')),
+        |x AS (SELECT city, _ingested_at, t, temp, prec, wind,
+        |    unnest(generate_series(1,
+        |      greatest(len(t), len(temp), len(prec), len(wind)))) AS i
+        |  FROM f),
+        |h AS (SELECT city, _ingested_at, t[i] AS time_s,
+        |    temp[i] AS temperature_2m, prec[i] AS precipitation,
+        |    wind[i] AS wind_speed_10m
+        |  FROM x),
+        |c AS (SELECT city,
+        |    strptime(regexp_replace(time_s, 'Z$$', ''), '%Y-%m-%dT%H:%M') AS ts,
+        |    temperature_2m, precipitation, wind_speed_10m, _ingested_at
+        |  FROM h),
+        |u AS (SELECT city, ts, temperature_2m, precipitation, wind_speed_10m
+        |  FROM (SELECT c.*, ROW_NUMBER() OVER (PARTITION BY city, ts
+        |      ORDER BY _ingested_at DESC) AS rn FROM c)
+        |  WHERE rn = 1)
+        |SELECT city, CAST(ts AS DATE) AS day,
+        |  ROUND(AVG(temperature_2m), 6) AS temperature_avg,
+        |  MIN(temperature_2m) AS temperature_min,
+        |  MAX(temperature_2m) AS temperature_max,
+        |  ROUND(AVG(precipitation), 6) AS precipitation_avg,
+        |  ROUND(SUM(precipitation), 6) AS precipitation_sum,
+        |  ROUND(AVG(wind_speed_10m), 6) AS wind_speed_avg,
+        |  MAX(wind_speed_10m) AS wind_speed_max,
+        |  CAST(COUNT(*) AS BIGINT) AS n_hours
+        |FROM u GROUP BY city, CAST(ts AS DATE)""".stripMargin),
+      (s, _) => graft.weather.Weather.oracledFixturePipeline(s))
   )
 
   /** DuckDB replica of the full seeded-IVF search (IvfIndex.seededSearch):

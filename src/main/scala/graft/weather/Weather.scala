@@ -217,4 +217,60 @@ object Weather {
     val gated = Quality.gate(staged, weatherSuite)
     dailyMart(dedupUpsert(gated))
   }
+
+  /** Parquet export of the PARSED fixture payloads, hourly arrays
+    * flattened to top-level columns — the bytes BOTH engines read for the
+    * oracled w01 spine. A static path is safe here (unlike the model
+    * exports): the fixture is constant, SF-independent data, so every run
+    * writes identical content.
+    */
+  val FixtureLakePath = "/tmp/graft_weather_fixture"
+
+  def exportFixtureLake(spark: SparkSession,
+      path: String = FixtureLakePath): DataFrame = {
+    import spark.implicits._
+    val flat = fixturePayloads
+      .toDF("city", "_ingested_at_s", "raw_json")
+      .select(
+        col("city"),
+        col("_ingested_at_s").cast("timestamp").as("_ingested_at"),
+        from_json(col("raw_json"), RawWeatherSchema).as("p"))
+      .select(col("city"), col("_ingested_at"),
+        col("p.latitude").as("latitude"),
+        col("p.longitude").as("longitude"),
+        col("p.timezone").as("timezone"),
+        col("p.hourly.time").as("t"),
+        col("p.hourly.temperature_2m").as("temp"),
+        col("p.hourly.precipitation").as("prec"),
+        col("p.hourly.wind_speed_10m").as("wind"))
+    flat.coalesce(1).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
+  /** The ORACLED flagship spine (w01): read the exported fixture lake
+    * back (same bytes as the oracle), reassemble the hourly struct, and
+    * run the composed zip-explode-pad → timestamp-parse → quality gate →
+    * last-write-wins upsert → daily mart chain, with display rounding on
+    * the float aggregates for cross-engine parity. `entry`'s
+    * [[runFixturePipeline]] stays the smoke surface; this is the
+    * hash-checkable twin.
+    */
+  def oracledFixturePipeline(spark: SparkSession): DataFrame = {
+    val flat = exportFixtureLake(spark)
+    val raw = flat.select(col("city"), col("_ingested_at"),
+      col("latitude"), col("longitude"), col("timezone"),
+      struct(col("t").as("time"), col("temp").as("temperature_2m"),
+        col("prec").as("precipitation"), col("wind").as("wind_speed_10m"))
+        .as("hourly"))
+    val staged = clean(explodeHourly(raw))
+    val gated = Quality.gate(staged, weatherSuite)
+    dailyMart(dedupUpsert(gated))
+      .select(col("city"), col("day"),
+        round(col("temperature_avg"), 6).as("temperature_avg"),
+        col("temperature_min"), col("temperature_max"),
+        round(col("precipitation_avg"), 6).as("precipitation_avg"),
+        round(col("precipitation_sum"), 6).as("precipitation_sum"),
+        round(col("wind_speed_avg"), 6).as("wind_speed_avg"),
+        col("wind_speed_max"), col("n_hours"))
+  }
 }
