@@ -1122,8 +1122,7 @@ object SparkEntry {
     QueryDef("d04_minhash_sigs",
       "MinHash signatures (16 permutations over deterministic polynomial " +
         "token hashes), flattened one row per (doc, permutation). The LSH " +
-        "banding built on these is exercised in DedupSimilaritySpec; " +
-        "signatures are the oracle-checkable core.",
+        "banding join built on these is oracled end-to-end as d12.",
       Some(s"""WITH t AS (SELECT doc_id,
         |  list_distinct(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS toks
         |  FROM documents),
@@ -1140,6 +1139,37 @@ object SparkEntry {
         .select(col("id").as("doc_id"), posexplode(col("sig")))
         .select(col("doc_id"), col("pos").cast("long").as("perm"),
           col("col").as("minhash"))),
+
+    QueryDef("d12_lsh_candidates",
+      "The LSH BANDING JOIN oracled end-to-end (closes d04's spec-only " +
+        "gap): 16-permutation signatures split into 2 bands of 8 (the " +
+        "(1/b)^(1/r) ≈ 0.92 threshold of the J≥0.9 cluster pipeline), " +
+        "one bucket key per (doc, band), candidates = the band-bucket " +
+        "equi-join — the shuffle is keyed on the band hash and the " +
+        "all-pairs product is never materialized, which is what makes " +
+        "MinHash near-dup feasible at 100 TB. Deterministic permutations " +
+        "mean the candidate SET itself (not just the signatures) " +
+        "hash-matches the oracle.",
+      Some(s"""WITH t AS (SELECT doc_id,
+        |  list_distinct(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS toks
+        |  FROM documents),
+        |h AS (SELECT doc_id, list_transform(toks, t -> $duckTokenHash) AS hs FROM t),
+        |sig AS (SELECT doc_id,
+        |  list_transform(generate_series(0, 15), i ->
+        |    list_reduce(list_prepend(CAST(2147483647 AS BIGINT),
+        |      list_transform(hs, h -> ((CAST(i AS BIGINT) * 40503 + 1299721) * h + i * 7919 + 104729) % 2147483647)),
+        |      (acc, x) -> least(acc, x))) AS sig
+        |  FROM h),
+        |bands AS (SELECT doc_id, unnest(generate_series(0, 1)) AS band, sig FROM sig),
+        |keys AS (SELECT doc_id, band,
+        |  sig[(band*8+1):((band+1)*8)] AS band_sig FROM bands)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM keys a JOIN keys b
+        |  ON a.band = b.band AND a.band_sig = b.band_sig
+        |  AND a.doc_id < b.doc_id""".stripMargin),
+      (s, dir) => Dedup.minhashCandidates(
+        Dedup.minhashSignatures(Tables.documents(s, dir), 16),
+        rowsPerBand = 8)),
 
     QueryDef("d06_dedup_clusters",
       "Near-dup CLUSTERS from near-dup PAIRS: connected components over " +
