@@ -1171,6 +1171,35 @@ object SparkEntry {
         Dedup.minhashSignatures(Tables.documents(s, dir), 16),
         rowsPerBand = 8)),
 
+    QueryDef("d13_paragraph_dedup",
+      "Paragraph-level dedup (CCNet): fixed-width token segments stand in " +
+        "for paragraphs (the corpus has no newline structure), only the " +
+        "globally first occurrence of each distinct segment survives, and " +
+        "documents are reassembled from the survivors. Segmentation is a " +
+        "linear slice; the one shuffle keys on the segment text (a 128-bit " +
+        "digest at production scale — same plan); the first-occurrence " +
+        "window is hash-partitioned per segment, never global.",
+      Some("""WITH t AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |segs AS (SELECT doc_id, toks,
+        |  unnest(generate_series(0, (len(toks) - 1) // 5)) AS seg_idx
+        |  FROM t WHERE len(toks) > 0),
+        |s2 AS (SELECT doc_id, seg_idx,
+        |  array_to_string(toks[(seg_idx*5+1):(seg_idx*5+5)], ' ') AS seg FROM segs),
+        |r AS (SELECT doc_id, seg_idx, seg,
+        |  row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn FROM s2),
+        |agg AS (SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_segs,
+        |  CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE rn = 1), '') AS dedup_text
+        |  FROM r GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.n_segs, CAST(0 AS BIGINT)) AS n_segs,
+        |  coalesce(a.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+        |  coalesce(a.dedup_text, '') AS dedup_text
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin),
+      (s, dir) => Dedup.paragraphDedup(Tables.documents(s, dir), widthTokens = 5)),
+
     QueryDef("d06_dedup_clusters",
       "Near-dup CLUSTERS from near-dup PAIRS: connected components over " +
         "the jaccard>=0.9 edge list via iterative label propagation " +

@@ -44,6 +44,53 @@ object Dedup {
       .select(col(idCol), col("content_md5"), col("canonical_id"), col("dup_count"))
   }
 
+  /** Paragraph-level dedup (CCNet, Wenzek et al. 2020 §4.1): keep only the
+    * globally FIRST occurrence of each distinct paragraph and reassemble
+    * the survivors per document. The synthetic corpus has no newline
+    * structure, so fixed-width token segments stand in for paragraphs;
+    * swapping the segmenter for `split(text, '\n\n')` changes nothing
+    * downstream.
+    *
+    * Scale shape: segmentation is linear (slice, no per-token explode);
+    * the one shuffle keys on the segment text (production would key on a
+    * 128-bit digest — identical plan), and the first-occurrence window is
+    * hash-partitioned per segment, never global. Reassembly is a hash
+    * aggregation back on the doc id.
+    *
+    * Output: (doc_id, n_segs, n_kept, dedup_text); documents whose every
+    * segment already appeared earlier survive with `dedup_text = ''`.
+    */
+  def paragraphDedup(docs: DataFrame, widthTokens: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(widthTokens > 0, "segment width must be positive")
+    val segs = docs
+      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .withColumn("seg_idx",
+        explode(sequence(lit(0),
+          floor((size(col("toks")) - 1).cast("double") / widthTokens).cast("int"))))
+      .select(col("id"), col("seg_idx"),
+        concat_ws(" ",
+          slice(col("toks"), col("seg_idx") * widthTokens + 1, lit(widthTokens))).as("seg"))
+    val firstWins = Window.partitionBy(col("seg")).orderBy(col("id"), col("seg_idx"))
+    val perDoc = segs
+      .withColumn("kept", row_number().over(firstWins) === 1)
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_segs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).cast("long").as("n_kept"),
+        concat_ws(" ",
+          transform(
+            sort_array(collect_list(
+              when(col("kept"), struct(col("seg_idx"), col("seg"))))),
+            s => s.getField("seg"))).as("dedup_text"))
+    docs.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_segs"), lit(0L)).as("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("dedup_text"), lit("")).as("dedup_text"))
+  }
+
   /** Exact token-set Jaccard near-dup pairs within a blocking key, via an
     * inverted-index join: explode distinct tokens, equi-join postings on
     * (block, token), count shared tokens per pair with one aggregation,

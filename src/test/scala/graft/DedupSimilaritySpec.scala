@@ -18,6 +18,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out == Set((1L, 1L, 2L), (2L, 1L, 2L), (3L, 3L, 1L)))
   }
 
+  test("paragraphDedup keeps only the globally first occurrence of each " +
+      "segment and reassembles survivors") {
+    import spark.implicits._
+    // width 2: doc 1 = [a b][c d], doc 2 = [a b][x y] (first segment is a
+    // repeat of doc 1's), doc 3 = [c d][c d] (repeats doc 1's second segment
+    // AND itself), doc 4 = [a b] only (fully duplicated away)
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b x y"), (3L, "c d c d"), (4L, "a b"))
+      .toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(docs, widthTokens = 2).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_segs"),
+        r.getAs[Long]("n_kept"), r.getAs[String]("dedup_text")))
+      .toSet
+    assert(out == Set(
+      (1L, 2L, 2L, "a b c d"),
+      (2L, 2L, 1L, "x y"),
+      (3L, 2L, 0L, ""),
+      (4L, 1L, 0L, "")))
+    // a trailing partial segment is its own paragraph, not merged or dropped
+    val partial = Dedup.paragraphDedup(
+        Seq((1L, "a b c")).toDF("doc_id", "text"), widthTokens = 2)
+      .collect().map(r => (r.getAs[Long]("n_segs"), r.getAs[String]("dedup_text")))
+    assert(partial.toSeq == Seq((2L, "a b c")))
+  }
+
   test("jaccardPairs: identical docs score 1.0, disjoint docs drop out") {
     import spark.implicits._
     val docs = Seq(
