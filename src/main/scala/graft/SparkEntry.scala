@@ -2582,6 +2582,85 @@ object SparkEntry {
         ex.unionByName(in)
       }),
 
+    QueryDef("q54_waiting_supplier",
+      "TPC-H Q21 shape: double correlation on the SAME fact table — count " +
+        "late shipments per supplier on finished multi-supplier orders " +
+        "where the supplier was the ONLY late one. EXISTS (another supplier " +
+        "on the order) decorrelates to a left-semi join and NOT EXISTS " +
+        "(another LATE supplier) to a left-anti join, both keyed on " +
+        "l_orderkey — the fact table shuffles on its join key three times " +
+        "but is never re-scanned per outer row; nation stays broadcast.",
+      Some("""SELECT s.s_name, n.n_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM supplier s, lineitem l1, orders o, nation n
+        |WHERE s.s_suppkey = l1.l_suppkey
+        |  AND o.o_orderkey = l1.l_orderkey
+        |  AND o.o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3, orders o3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND o3.o_orderkey = l3.l_orderkey
+        |                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+        |  AND s.s_nationkey = n.n_nationkey
+        |GROUP BY s.s_name, n.n_name""".stripMargin),
+      (s, dir) => s.sql(
+        s"""SELECT s.s_name, n.n_name, CAST(COUNT(*) AS BIGINT) AS numwait
+           |FROM parquet.`$dir/supplier.parquet` s,
+           |     parquet.`$dir/lineitem.parquet` l1,
+           |     parquet.`$dir/orders.parquet` o,
+           |     parquet.`$dir/nation.parquet` n
+           |WHERE s.s_suppkey = l1.l_suppkey
+           |  AND o.o_orderkey = l1.l_orderkey
+           |  AND o.o_orderstatus = 'F'
+           |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+           |  AND EXISTS (SELECT 1 FROM parquet.`$dir/lineitem.parquet` l2
+           |              WHERE l2.l_orderkey = l1.l_orderkey
+           |                AND l2.l_suppkey <> l1.l_suppkey)
+           |  AND NOT EXISTS (SELECT 1 FROM parquet.`$dir/lineitem.parquet` l3,
+           |                       parquet.`$dir/orders.parquet` o3
+           |                  WHERE l3.l_orderkey = l1.l_orderkey
+           |                    AND l3.l_suppkey <> l1.l_suppkey
+           |                    AND o3.o_orderkey = l3.l_orderkey
+           |                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+           |  AND s.s_nationkey = n.n_nationkey
+           |GROUP BY s.s_name, n.n_name""".stripMargin)),
+
+    QueryDef("q55_dormant_rich_customers",
+      "TPC-H Q22 shape: uncorrelated scalar subquery (mean positive balance " +
+        "over the selected nations, broadcast as a one-row cross join) " +
+        "gates customers, a correlated NOT EXISTS against recent orders " +
+        "decorrelates to a left-anti join on o_custkey, and the survivors " +
+        "aggregate per nation. The anti side is pre-filtered by the pushed " +
+        "order-date predicate before it shuffles.",
+      Some("""WITH sel AS (SELECT * FROM customer
+        |  WHERE c_nationkey IN (1,3,5,7,9,11,13)),
+        |ab AS (SELECT CAST(AVG(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS a
+        |       FROM sel WHERE c_acctbal > 0.0)
+        |SELECT c.c_nationkey AS cntry, CAST(COUNT(*) AS BIGINT) AS numcust,
+        |  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM sel c, ab
+        |WHERE c.c_acctbal > ab.a
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+        |GROUP BY c.c_nationkey""".stripMargin),
+      (s, dir) => s.sql(
+        s"""WITH sel AS (SELECT * FROM parquet.`$dir/customer.parquet`
+           |  WHERE c_nationkey IN (1,3,5,7,9,11,13)),
+           |ab AS (SELECT CAST(AVG(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS a
+           |       FROM sel WHERE c_acctbal > 0.0)
+           |SELECT c.c_nationkey AS cntry, CAST(COUNT(*) AS BIGINT) AS numcust,
+           |  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+           |FROM sel c, ab
+           |WHERE c.c_acctbal > ab.a
+           |  AND NOT EXISTS (SELECT 1 FROM parquet.`$dir/orders.parquet` o
+           |                  WHERE o.o_custkey = c.c_custkey
+           |                    AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+           |GROUP BY c.c_nationkey""".stripMargin)),
+
     QueryDef("w01_weather_pipeline",
       "The reference's flagship EP1 spine ORACLED end-to-end (entry's " +
         "hash-checkable twin): the deterministic fixture lake is exported " +
