@@ -1200,6 +1200,30 @@ object SparkEntry {
         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin),
       (s, dir) => Dedup.paragraphDedup(Tables.documents(s, dir), widthTokens = 5)),
 
+    QueryDef("d14_dup_ngram_fraction",
+      "Cross-document duplicate n-gram rate (the ExactSubstr dedup signal " +
+        "aggregated per doc): fraction of each doc's distinct token " +
+        "5-grams appearing in at least one OTHER doc. Distinct postings " +
+        "shuffle once on the gram for the df count and re-join df on the " +
+        "same key (exchange reuse — no third shuffle); never all-pairs.",
+      Some("""WITH t AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(toks) < 5 THEN CAST([] AS VARCHAR[])
+        |      ELSE list_distinct(list_transform(generate_series(1, len(toks) - 4),
+        |        i -> array_to_string(list_slice(toks, i, i + 4), ' '))) END AS gs
+        |  FROM t),
+        |p AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+        |df AS (SELECT gram, count(*) AS df FROM p GROUP BY gram),
+        |agg AS (SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |        CAST(count(*) FILTER (WHERE df.df >= 2) AS BIGINT) AS n_dup
+        |        FROM p JOIN df USING (gram) GROUP BY p.doc_id)
+        |SELECT d.doc_id, coalesce(a.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+        |  coalesce(a.n_dup, CAST(0 AS BIGINT)) AS n_dup,
+        |  CAST(a.n_dup AS DOUBLE) / a.n_grams AS dup_frac
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin),
+      (s, dir) => Dedup.dupNgramStats(Tables.documents(s, dir), n = 5)),
+
     QueryDef("d06_dedup_clusters",
       "Near-dup CLUSTERS from near-dup PAIRS: connected components over " +
         "the jaccard>=0.9 edge list via iterative label propagation " +

@@ -91,6 +91,50 @@ object Dedup {
         coalesce(col("dedup_text"), lit("")).as("dedup_text"))
   }
 
+  /** Cross-document duplicate n-gram rate (Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better" — the ExactSubstr signal
+    * aggregated per document): for each doc, the fraction of its DISTINCT
+    * token n-grams that also occur in at least one OTHER document. Docs
+    * with a high rate are boilerplate/mirror candidates the substring
+    * deduper would cut.
+    *
+    * Scale shape: per-doc distinctness is `array_distinct` INSIDE the row
+    * (no shuffle), so the postings are (doc, gram)-unique the moment they
+    * explode; document frequency is a count over a gram-partitioned
+    * window — the postings shuffle exactly once on the gram and carry
+    * their df out of the same exchange (an agg+join would shuffle them
+    * twice); the per-doc rollup is one hash aggregation on the id. The
+    * gram key is the string here so the DuckDB oracle is exact;
+    * production keys on a 128-bit digest — same plan. Zipf-head grams
+    * (site boilerplate) skew the gram partitioning; at web scale cap or
+    * pre-filter grams with df above a threshold, which also shrinks the
+    * window input. Never an all-pairs product.
+    *
+    * Output: (doc_id, n_grams, n_dup, dup_frac); docs shorter than n
+    * tokens carry n_grams = 0 and a NULL dup_frac.
+    */
+  def dupNgramStats(docs: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n > 0, "gram width must be positive")
+    val grams = docs
+      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+      .select(col("id"),
+        explode(array_distinct(Text.shingles(col("toks"), n))).as("gram"))
+    // postings are (id, gram)-unique, so the window count IS the df
+    val withDf = grams.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("gram"))))
+    val perDoc = withDf
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_grams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).cast("long").as("n_dup"))
+    docs.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        (col("n_dup").cast("double") / col("n_grams")).as("dup_frac"))
+  }
+
   /** Exact token-set Jaccard near-dup pairs within a blocking key, via an
     * inverted-index join: explode distinct tokens, equi-join postings on
     * (block, token), count shared tokens per pair with one aggregation,

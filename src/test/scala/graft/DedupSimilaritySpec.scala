@@ -43,6 +43,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(partial.toSeq == Seq((2L, "a b c")))
   }
 
+  test("dupNgramStats counts grams shared with ANY other doc, distinct " +
+      "within a doc, and leaves short docs at zero grams") {
+    import spark.implicits._
+    // width 2: doc 1 grams {a b, b c}; doc 2 grams {a b, b x};
+    // doc 3 = "z z z" grams {z z} (repeated in-doc gram counts ONCE);
+    // doc 4 single token -> no grams
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b x"), (3L, "z z z"), (4L, "q"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dupNgramStats(docs, n = 2).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_grams"),
+        r.getAs[Long]("n_dup"), Option(r.get(3)).map(_.asInstanceOf[Double])))
+      .toSet
+    assert(out == Set(
+      (1L, 2L, 1L, Some(0.5)),
+      (2L, 2L, 1L, Some(0.5)),
+      (3L, 1L, 0L, Some(0.0)),
+      (4L, 0L, 0L, None)))
+  }
+
   test("jaccardPairs: identical docs score 1.0, disjoint docs drop out") {
     import spark.implicits._
     val docs = Seq(
