@@ -2576,6 +2576,39 @@ object SparkEntry {
               (col("df_a") * col("df_b"))), 6).as("pmi"))
       }),
 
+    QueryDef("t16_token_budget_mix",
+      "Token-budget domain mixing (DoReMi-style target mixtures): each " +
+        "source's docs order by PolyHash(doc_id) and stay `kept` while " +
+        "the running token total fits the source's budget (src0 gets " +
+        "1000 tokens, everyone else 600). The cumulative sum is TWO-STAGE " +
+        "— hash-range buckets, per-bucket sums rolled into broadcast " +
+        "prefix offsets, within-bucket windows — so no task ever sorts a " +
+        "whole source, even when one source is most of the corpus.",
+      Some("""WITH w AS (SELECT doc_id, source,
+        |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |    x -> x <> '')) AS BIGINT) AS tokens,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(generate_series(1, length(CAST(doc_id AS VARCHAR))),
+        |      i -> CAST(ascii(substr(CAST(doc_id AS VARCHAR), i, 1)) AS BIGINT))),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS hv
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, tokens,
+        |  CAST(SUM(tokens) OVER (PARTITION BY source ORDER BY hv, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM w)
+        |SELECT doc_id, source, tokens, cum_tokens,
+        |  cum_tokens <= (CASE WHEN source = 'src0' THEN 1000 ELSE 600 END) AS kept
+        |FROM c""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            size(Text.tokens(col("text"))).cast("long").as("tokens"))
+        Relational.budgetPerGroup(docs, "source", "doc_id", "tokens",
+          when(col("source") === "src0", lit(1000L)).otherwise(lit(600L)))
+          .select(col("doc_id"), col("source"), col("tokens"),
+            col("cum_weight").as("cum_tokens"), col("kept"))
+      }),
+
     QueryDef("q53_multiset_ops",
       "MULTISET set operations (EXCEPT ALL / INTERSECT ALL — q24 covers " +
         "only the DISTINCT forms): per-custkey order streams differenced " +

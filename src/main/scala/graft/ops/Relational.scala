@@ -244,6 +244,48 @@ object Relational {
       .filter(col("keep_rank") <= maxRows)
   }
 
+  /** Deterministic per-group WEIGHT budget — the token-budget domain-mixing
+    * step of corpus curation (hit a target token count per source, cf.
+    * DoReMi-style mixtures): each group's rows order by PolyHash(id) (a
+    * reproducible pseudo-random permutation) and a row is `kept` while the
+    * running weight total, including the row itself, stays within the
+    * group's budget. Same kept set on every engine/run/partitioning.
+    *
+    * The running total is computed in TWO stages so no task ever sorts a
+    * whole group (one source can be most of a 100 TB corpus): rows
+    * range-bucket on the HIGH bits of their hash (hash >> 22 — a
+    * truncation of the (hash, id) order, so bucket boundaries respect
+    * it), per-bucket sums roll into per-group prefix offsets over the
+    * tiny (groups × ≤240)-row frame — the only unpartitioned-within-group
+    * window left, bounded by bucket count, not rows — the offsets
+    * broadcast back, and the inclusive cumulative window runs partitioned
+    * by (group, bucket). Emits `cum_weight` (BIGINT, inclusive of the
+    * current row) and `kept`; `budgetFor` is evaluated per row (e.g. a
+    * CASE over the group column), so budgets ride along without a join.
+    */
+  def budgetPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      weightCol: String, budgetFor: Column): DataFrame = {
+    graft.functions.PolyHash.register(df.sparkSession)
+    val hv = expr(
+      s"${graft.functions.PolyHash.FnName}(CAST($idCol AS STRING), 31, 1000000007)")
+    val t = df.withColumn("__hv", hv)
+      .withColumn("__bkt", shiftright(col("__hv"), 22))
+    val wOff = Window.partitionBy(col(groupCol)).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = t.groupBy(col(groupCol), col("__bkt"))
+      .agg(sum(col(weightCol)).as("__bsum"))
+      .select(col(groupCol), col("__bkt"),
+        coalesce(sum(col("__bsum")).over(wOff), lit(0L)).as("__off"))
+    val wLocal = Window.partitionBy(col(groupCol), col("__bkt"))
+      .orderBy(col("__hv").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.withColumn("__lc", sum(col(weightCol)).over(wLocal))
+      .join(broadcast(offsets), Seq(groupCol, "__bkt"))
+      .withColumn("cum_weight", (col("__off") + col("__lc")).cast("long"))
+      .withColumn("kept", col("cum_weight") <= budgetFor)
+      .drop("__hv", "__bkt", "__lc", "__off")
+  }
+
   /** Deterministic per-stratum downsampling: keep a row iff its hash
     * bucket falls below its stratum's rate — `rates` maps stratum value to
     * keep-fraction in percent; unknown strata use `defaultPct`. The same

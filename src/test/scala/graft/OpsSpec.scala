@@ -66,4 +66,35 @@ class OpsSpec extends SparkSpec {
     assert(once.select("id").collect().map(_.getLong(0)).toSet ==
       again.select("id").collect().map(_.getLong(0)).toSet)
   }
+
+  test("budgetPerGroup's two-stage running total matches the naive " +
+      "single-window cumsum and is partitioning-independent") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 200 ids spread across many hash-range buckets; weights vary per row
+    val df = (1L to 200L).map(i => (i, if (i % 3 == 0) "a" else "b", i % 7 + 1))
+      .toDF("id", "grp", "w")
+    val out = Relational.budgetPerGroup(df, "grp", "id", "w", lit(150L))
+    graft.functions.PolyHash.register(spark)
+    val hv = expr("graft_poly_hash(CAST(id AS STRING), 31, 1000000007)")
+    val naive = df.withColumn("__hv", hv)
+      .withColumn("cum", sum(col("w")).over(
+        Window.partitionBy(col("grp")).orderBy(col("__hv"), col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val got = out.select("id", "cum_weight").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = naive.select("id", "cum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    // kept = inclusive total within budget; both kept and dropped exist
+    val kept = out.filter(col("kept")).agg(max(col("cum_weight")))
+      .collect()(0).getLong(0)
+    assert(kept <= 150L)
+    assert(out.filter(!col("kept")).count() > 0)
+    // partitioning-independent kept set
+    val again = Relational.budgetPerGroup(df.repartition(7), "grp", "id", "w", lit(150L))
+    assert(out.filter(col("kept")).select("id").collect().map(_.getLong(0)).toSet ==
+      again.filter(col("kept")).select("id").collect().map(_.getLong(0)).toSet)
+  }
 }
