@@ -2210,6 +2210,37 @@ object SparkEntry {
         Tables.embeddings(s, dir), nCells = 8, nProbe = 3, m = 4, k = 16,
         isProbe = col("vec_id") < 10, topK = 3)),
 
+    QueryDef("s11_semdedup",
+      "SemDeDup (semantic dedup): k-means the embedding space (8 trained " +
+        "cells, exported like s06), then scan for near-identical pairs " +
+        "ONLY within each cell — the cluster bound keeps the pairwise " +
+        "step from going corpus-quadratic (raise k with corpus size so " +
+        "cells stay small). A vector is a dup iff a LOWER-id cellmate has " +
+        "cosine >= 0.35 — keep-first greedy, engine-independent. The " +
+        "oracle reassigns and rescans from the exported centroid doubles.",
+      Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |cent AS (SELECT cell, cv FROM ${graft.similarity.ModelExport.oracleFromWhere(graft.similarity.IvfIndex.ExportedCentroidsSemDedupPath)}),
+        |aprod AS (SELECT e.vec_id AS nid, cell, unnest(v) AS x, unnest(cv) AS y
+        |          FROM e CROSS JOIN cent),
+        |adots AS (SELECT nid, cell, SUM(x*y) AS dot, SUM(x*x) AS n2, SUM(y*y) AS c2
+        |          FROM aprod GROUP BY nid, cell),
+        |acos AS (SELECT nid, cell, ROUND(dot/(SQRT(n2)*SQRT(c2)), 6) AS a_cos FROM adots),
+        |assign AS (SELECT nid, cell FROM (
+        |  SELECT nid, cell, ROW_NUMBER() OVER (PARTITION BY nid
+        |    ORDER BY a_cos DESC, cell) AS rn FROM acos) WHERE rn = 1),
+        |pprod AS (SELECT a.nid AS aid, b.nid AS bid, unnest(ea.v) AS x, unnest(eb.v) AS y
+        |          FROM assign a JOIN assign b ON a.cell = b.cell AND b.nid < a.nid
+        |          JOIN e ea ON ea.vec_id = a.nid JOIN e eb ON eb.vec_id = b.nid),
+        |pdots AS (SELECT aid, bid, SUM(x*y) AS dot, SUM(x*x) AS na2, SUM(y*y) AS nb2
+        |          FROM pprod GROUP BY aid, bid),
+        |dups AS (SELECT DISTINCT aid FROM pdots
+        |         WHERE ROUND(dot/(SQRT(na2)*SQRT(nb2)), 6) >= 0.35)
+        |SELECT s.nid AS vec_id, s.cell, (d.aid IS NOT NULL) AS is_dup
+        |FROM assign s LEFT JOIN dups d ON d.aid = s.nid""".stripMargin),
+      (s, dir) => graft.similarity.IvfIndex.semDedup(
+        Tables.embeddings(s, dir), k = 8, threshold = 0.35)),
+
     QueryDef("t11_tfidf_topterms",
       "TF-IDF top terms: term frequency per (doc, token), document " +
         "frequency over the aggregated term table (never the raw token " +

@@ -171,6 +171,50 @@ object IvfIndex {
     searchWithCentroids(emb, cent, isProbe, topK, nProbe, idCol, vecCol)
   }
 
+  /** s11's export base (see [[ExportedCentroidsRecallPath]] for why each
+    * learned-model query owns its path).
+    */
+  val ExportedCentroidsSemDedupPath = "/tmp/graft_ivf_centroids_s11"
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication = k-means the embedding space, then look for
+    * near-identical pairs ONLY within each cluster — the cluster bound is
+    * what keeps the pairwise step from being corpus-quadratic (the paper
+    * scales k with the corpus so cells stay small; same lever here). A
+    * vector is a duplicate iff some LOWER-id vector in its cell has
+    * cosine >= `threshold` — the deterministic keep-first greedy, so the
+    * kept set is engine- and partitioning-independent (the paper keeps
+    * per-ball exemplars; first-wins is the oracle-checkable variant).
+    *
+    * Trained centroids EXPORT under the corpus-signature partition
+    * ([[ModelExport.sigPath]]) exactly like [[learnedSearch]], so the
+    * DuckDB oracle reproduces assignment and the in-cell pair scan from
+    * the same doubles, bit-exactly.
+    *
+    * Output: (vec_id, cell, is_dup).
+    */
+  def semDedup(emb: DataFrame, k: Int, threshold: Double,
+      exportPath: String = ExportedCentroidsSemDedupPath,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    val ix = build(emb, k, idCol, vecCol)
+    val cent = centroids(ix).select(col("cell"), col("centroid").as("cv"))
+    cent.coalesce(1).write.mode("overwrite")
+      .parquet(ModelExport.sigPath(exportPath, emb, idCol))
+    val assigned = assignByCosine(emb, cent, idCol, vecCol)
+    val a = assigned.select(col("cell"), col("nid").as("aid"), col("v").as("av"))
+    val b = assigned.select(col("cell"), col("nid").as("bid"), col("v").as("bv"))
+    val dupIds = a.join(b, Seq("cell"))
+      .filter(col("bid") < col("aid"))
+      .filter(round(CosineSimilarity(spark, col("av"), col("bv")), 6)
+        >= threshold)
+      .select(col("aid").as("nid")).distinct()
+    assigned.select(col("nid"), col("cell"))
+      .join(dupIds.withColumn("__dup", lit(true)), Seq("nid"), "left")
+      .select(col("nid").as(idCol), col("cell"),
+        coalesce(col("__dup"), lit(false)).as("is_dup"))
+  }
+
   /** Top-k nearest (by cosine) corpus vectors per probe, scanning only the
     * nProbe nearest cells per probe.
     */

@@ -77,4 +77,23 @@ class IvfIndexSpec extends SparkSpec {
     assert(cent.select(col("cell")).collect().map(_.getInt(0)).toSet
       == (0 until 8).toSet)
   }
+
+  test("semDedup flags the LATER twin of a near-identical pair and keeps " +
+      "orthogonal vectors") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("semdedup").toString + "/c"
+    val tiny = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0.999f, 0.01f, 0f, 0f)), // twin of 1 -> dup (first wins)
+      (3L, Array(0f, 1f, 0f, 0f)))        // far from both -> kept
+      .toDF("vec_id", "embedding")
+    val out = IvfIndex.semDedup(tiny, k = 2, threshold = 0.9, exportPath = dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out == Map(1L -> false, 2L -> true, 3L -> false))
+    // threshold above max pairwise cosine -> nothing flagged
+    val none = IvfIndex.semDedup(tiny, k = 2, threshold = 0.999999,
+        exportPath = dir)
+      .filter(col("is_dup")).count()
+    assert(none == 0L)
+  }
 }
