@@ -2640,6 +2640,38 @@ object SparkEntry {
             col("cum_weight").as("cum_tokens"), col("kept"))
       }),
 
+    QueryDef("t17_bigram_logprob",
+      "Interpolated bigram-LM quality score (Jelinek-Mercer, λ=0.75): " +
+        "per position, p = λ·c(prev,cur)/c(prev) + 0.25·c(cur)/N; per-doc " +
+        "mean ln p. Bigram/unigram counts are hash aggs the token stream " +
+        "re-joins on vocab-bounded keys; the corpus total is a one-row " +
+        "broadcast; 6dp-round + DECIMAL sum keeps the mean " +
+        "order-independent (t13's parity recipe).",
+      Some("""WITH t AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |tok AS (SELECT unnest(toks) AS token FROM t),
+        |uni AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY token),
+        |tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM uni),
+        |pos AS (SELECT doc_id, toks, unnest(generate_series(2, len(toks))) AS i
+        |        FROM t WHERE len(toks) >= 2),
+        |bi AS (SELECT doc_id, toks[i-1] AS prev, toks[i] AS cur FROM pos),
+        |big AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS bcnt
+        |        FROM bi GROUP BY prev, cur),
+        |sc AS (SELECT doc_id,
+        |  ROUND(ln(0.75 * big.bcnt / up.cnt + 0.25 * uc.cnt / tot.total), 6) AS lp
+        |  FROM bi JOIN big USING (prev, cur)
+        |  JOIN uni up ON up.token = bi.prev
+        |  JOIN uni uc ON uc.token = bi.cur
+        |  CROSS JOIN tot),
+        |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  ROUND(CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+        |  FROM sc GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+        |  a.avg_logprob
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin),
+      (s, dir) => Text.bigramLogProb(Tables.documents(s, dir))),
+
     QueryDef("q53_multiset_ops",
       "MULTISET set operations (EXCEPT ALL / INTERSECT ALL — q24 covers " +
         "only the DISTINCT forms): per-custkey order streams differenced " +

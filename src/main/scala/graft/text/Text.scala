@@ -154,6 +154,54 @@ object Text {
           .as("avg_logprob"))
   }
 
+  /** Interpolated bigram-LM quality score — the t13 unigram's stronger
+    * sibling (Jelinek-Mercer smoothing, public LM literature): per bigram
+    * position, p = λ·c(prev,cur)/c(prev) + (1−λ)·c(cur)/N, scored as the
+    * per-doc mean of ln p over positions 2..n. Corpus-trained in the same
+    * pass that scores (both count tables come from the scored corpus).
+    *
+    * Scale shape: bigram and unigram count tables are hash aggregations
+    * with map-side partials; the token stream then equi-joins them on the
+    * bigram / token keys — shuffles on data-bounded vocab keys, never a
+    * cross product; the corpus total is a one-row broadcast. Log-probs
+    * round to 6dp then DECIMAL-sum so the mean is order-independent on
+    * both engines (t13's parity recipe).
+    *
+    * Output: (doc_id, n_bigrams, avg_logprob); docs with < 2 tokens carry
+    * n_bigrams = 0 and a NULL score.
+    */
+  def bigramLogProb(docs: DataFrame, lambda: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+    val bi = toks.filter(size(col("toks")) >= 2)
+      .select(col(idCol), explode(transform(
+        sequence(lit(2), size(col("toks"))),
+        i => struct(element_at(col("toks"), i - 1).as("prev"),
+          element_at(col("toks"), i).as("cur")))).as("bg"))
+      .select(col(idCol), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+    val tok = docs.select(explode(tokens(col(textCol))).as("token"))
+    val uni = tok.groupBy(col("token")).agg(count(lit(1)).cast("long").as("cnt"))
+    val total = uni.agg(sum(col("cnt")).cast("double").as("total"))
+    val big = bi.groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).cast("long").as("bcnt"))
+    val perDoc = bi
+      .join(big, Seq("prev", "cur"))
+      .join(uni.select(col("token").as("prev"), col("cnt").as("pcnt")), Seq("prev"))
+      .join(uni.select(col("token").as("cur"), col("cnt").as("ccnt")), Seq("cur"))
+      .crossJoin(broadcast(total))
+      .select(col(idCol),
+        round(log(lit(lambda) * col("bcnt") / col("pcnt")
+          + lit(1.0 - lambda) * col("ccnt") / col("total")), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("lp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        round(sum(col("lp")).cast("double") / count(lit(1)), 6).as("avg_logprob"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_logprob"))
+  }
+
   /** Quality filter: keep documents meeting minimum token count, bounded
     * average token length, and a stopword-ratio floor — the classic
     * heuristic pre-filter of web-scale corpora.

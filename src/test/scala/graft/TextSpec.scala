@@ -183,4 +183,25 @@ class TextSpec extends SparkSpec {
     val row = Text.unigramLogProb(skew).collect()(0)
     assert(row.getDouble(2) > math.log(0.25)) // 3/4 mass on 'a' beats uniform
   }
+
+  test("bigramLogProb: repeated bigrams outscore rare ones; short docs " +
+      "get zero bigrams and a null score") {
+    import spark.implicits._
+    // corpus: (a,b) seen twice, (a,c) once; unigrams a:3 b:2 c:1 x:1, N=7
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "x"))
+      .toDF("doc_id", "text")
+    val got = Text.bigramLogProb(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+    // identical docs score identically; exact value: λ=0.75,
+    // p(b|a) = 0.75*2/3 + 0.25*2/7
+    val pAB = BigDecimal(math.log(0.75 * 2.0 / 3.0 + 0.25 * 2.0 / 7.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((1L, Some(pAB))))
+    assert(got(1L) == got(2L))
+    // the rarer (a,c) bigram with the rarer tail scores strictly lower
+    assert(got(3L)._2.get < got(1L)._2.get)
+    // a single-token doc has no bigram positions
+    assert(got(4L) == ((0L, None)))
+  }
 }
