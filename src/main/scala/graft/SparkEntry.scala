@@ -2818,7 +2818,61 @@ object SparkEntry {
         |  MAX(wind_speed_10m) AS wind_speed_max,
         |  CAST(COUNT(*) AS BIGINT) AS n_hours
         |FROM u GROUP BY city, CAST(ts AS DATE)""".stripMargin),
-      (s, _) => graft.weather.Weather.oracledFixturePipeline(s))
+      (s, _) => graft.weather.Weather.oracledFixturePipeline(s)),
+
+    QueryDef("t18_epoch_shuffle",
+      "Deterministic global epoch shuffle: shuffle_key = md5(doc_id ++ " +
+        "':e1') gives a per-epoch pseudo-random permutation identical " +
+        "on every engine/run/cluster size (orderBy(rand(seed)) is not, " +
+        "and a polynomial hash of sequential ids is near-monotone); " +
+        "pos = global rank via twoStageRowNumber on the key's leading " +
+        "hex pair — no task ever sorts the whole corpus — and shard " +
+        "deals the shuffled order round-robin to 8 consumers.",
+      Some("""WITH h AS (SELECT doc_id,
+        |  md5(CAST(doc_id AS VARCHAR) || ':e1') AS shuffle_key FROM documents)
+        |SELECT doc_id, shuffle_key,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos,
+        |  CAST((ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) - 1) % 8 AS BIGINT) AS shard
+        |FROM h""".stripMargin),
+      (s, dir) => graft.ops.Relational.epochShuffle(
+          Tables.documents(s, dir).select(col("doc_id")),
+          "doc_id", epoch = 1, nShards = 8)
+        .select(col("doc_id"), col("shuffle_key"), col("pos"), col("shard"))),
+
+    QueryDef("t19_dsir_importance",
+      "DSIR-style importance resampling (Xie et al. 2023, unigram " +
+        "variant): pool docs (source <> 'src0') score by how much more " +
+        "likely their tokens are under the src0 target distribution than " +
+        "the pool's own — log w = Σ[ln p_tgt(t) − ln p_pool(t)], add-one " +
+        "smoothed over the joint vocab; selected = exact-DECIMAL sum > 0. " +
+        "Two vocab-keyed hash aggs + one token-stream equi-join; totals " +
+        "are a one-row broadcast.",
+      Some("""WITH tok AS (SELECT doc_id, source,
+        |    unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> x <> '')) AS token
+        |  FROM documents),
+        |tcnt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt_t
+        |  FROM tok WHERE source = 'src0' GROUP BY token),
+        |pcnt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt_p
+        |  FROM tok WHERE source <> 'src0' GROUP BY token),
+        |vocab AS (SELECT token, COALESCE(cnt_t, 0) AS cnt_t,
+        |    COALESCE(cnt_p, 0) AS cnt_p
+        |  FROM tcnt FULL OUTER JOIN pcnt USING(token)),
+        |tot AS (SELECT CAST(SUM(cnt_t) AS DOUBLE) AS tot_t,
+        |    CAST(SUM(cnt_p) AS DOUBLE) AS tot_p,
+        |    CAST(COUNT(*) AS DOUBLE) AS v FROM vocab),
+        |w AS (SELECT token,
+        |    CAST(ROUND(ln((cnt_t + 1) / (tot_t + v)), 6) AS DECIMAL(18,6))
+        |      - CAST(ROUND(ln((cnt_p + 1) / (tot_p + v)), 6) AS DECIMAL(18,6)) AS w
+        |  FROM vocab CROSS JOIN tot)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  ROUND(CAST(SUM(w) AS DOUBLE), 6) AS log_importance,
+        |  (SUM(w) > 0) AS selected
+        |FROM tok JOIN w USING(token)
+        |WHERE source <> 'src0'
+        |GROUP BY doc_id""".stripMargin),
+      (s, dir) => graft.text.Text.dsirImportance(
+        Tables.documents(s, dir), col("source") === "src0"))
   )
 
   /** DuckDB replica of the full seeded-IVF search (IvfIndex.seededSearch):

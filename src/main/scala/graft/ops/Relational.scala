@@ -304,4 +304,31 @@ object Relational {
     df.withColumn("bucket", hashBucket(df, idCol))
       .filter(col("bucket") < rate)
   }
+
+  /** Deterministic global epoch shuffle — the "shuffle the corpus each
+    * training epoch" step, reproducible from the table alone: every row
+    * gets a pseudo-random `shuffle_key` = md5(id ++ ":e<epoch>") (a
+    * different permutation per epoch, the same permutation on every
+    * engine/run/cluster size, unlike `orderBy(rand(seed))`, which depends
+    * on partitioning), a 1-based global `pos` in key order, and a
+    * round-robin `shard` in [0, nShards) so consumers can pull disjoint
+    * slices of the shuffled order. md5, not a polynomial hash: PolyHash
+    * of a sequential id is near-monotone in the id (last-digit changes
+    * move the key by 1), which would "shuffle" the corpus back into
+    * insertion order; a cryptographic digest actually scatters.
+    *
+    * The global numbering is [[twoStageRowNumber]] on the key's leading
+    * hex pair (a truncation of the (key, id) order — 256 coarse buckets),
+    * so no task ever sorts the whole corpus — the scale property a naive
+    * `row_number() OVER (ORDER BY key)` epoch shuffle lacks.
+    */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val keyed = df.withColumn("shuffle_key",
+      md5(concat(col(idCol).cast("string"), lit(s":e$epoch"))))
+    twoStageRowNumber(keyed, substring(col("shuffle_key"), 1, 2),
+        Seq(col("shuffle_key").asc, col(idCol).asc), "pos")
+      .withColumn("shard", pmod(col("pos") - 1, lit(nShards.toLong)))
+  }
 }

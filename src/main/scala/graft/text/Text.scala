@@ -202,6 +202,56 @@ object Text {
         col("avg_logprob"))
   }
 
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling", unigram variant):
+    * score every pool document by how much more likely its tokens are
+    * under the TARGET distribution (the high-quality slice you want more
+    * of) than under the pool's own distribution — log w(doc) =
+    * Σ_t [ln p_tgt(t) − ln p_pool(t)], add-one smoothed over the joint
+    * vocabulary. Positive log-weight = "looks like the target"; `selected`
+    * keeps those, giving a deterministic importance-resampled subset (the
+    * hash-free analogue of DSIR's Gumbel sampling — reproducible from the
+    * tables alone).
+    *
+    * Scale shape: two vocab-keyed hash aggregations (target counts, pool
+    * counts) full-outer-merged into one per-token weight table; totals are
+    * a one-row broadcast; the pool token stream equi-joins the weight
+    * table — shuffles on vocab keys only, never a cross product. Each ln
+    * rounds to 6dp and the difference DECIMAL-sums per doc, so both the
+    * score and the `selected` cut are order-independent and engine-exact
+    * (t13's parity recipe; the selection compares the exact DECIMAL sum,
+    * not the rounded double).
+    */
+  def dsirImportance(docs: DataFrame, targetFilter: Column,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(idCol), targetFilter.as("__tgt"),
+      explode(tokens(col(textCol))).as("token"))
+    val tgtCnt = tok.filter(col("__tgt")).groupBy(col("token"))
+      .agg(count(lit(1)).cast("long").as("cnt_t"))
+    val poolCnt = tok.filter(!col("__tgt")).groupBy(col("token"))
+      .agg(count(lit(1)).cast("long").as("cnt_p"))
+    val vocab = tgtCnt.join(poolCnt, Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("cnt_t"), lit(0L)).as("cnt_t"),
+        coalesce(col("cnt_p"), lit(0L)).as("cnt_p"))
+    val tots = vocab.agg(
+      sum(col("cnt_t")).cast("double").as("tot_t"),
+      sum(col("cnt_p")).cast("double").as("tot_p"),
+      count(lit(1)).cast("double").as("v"))
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val weights = vocab.crossJoin(broadcast(tots))
+      .select(col("token"),
+        (round(log((col("cnt_t") + 1) / (col("tot_t") + col("v"))), 6).cast(dec)
+          - round(log((col("cnt_p") + 1) / (col("tot_p") + col("v"))), 6).cast(dec))
+          .as("w"))
+    tok.filter(!col("__tgt"))
+      .join(weights, Seq("token"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        round(sum(col("w")).cast("double"), 6).as("log_importance"),
+        (sum(col("w")) > lit(0)).as("selected"))
+  }
+
   /** Quality filter: keep documents meeting minimum token count, bounded
     * average token length, and a stopword-ratio floor — the classic
     * heuristic pre-filter of web-scale corpora.

@@ -97,4 +97,29 @@ class OpsSpec extends SparkSpec {
     assert(out.filter(col("kept")).select("id").collect().map(_.getLong(0)).toSet ==
       again.filter(col("kept")).select("id").collect().map(_.getLong(0)).toSet)
   }
+
+  test("epochShuffle numbers the hash permutation like a naive global " +
+      "row_number, independent of partitioning, and re-deals per epoch") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val df = (1L to 200L).toDF("id")
+    val out = Relational.epochShuffle(df, "id", epoch = 1, nShards = 8)
+    // pos is a permutation of 1..N and shard deals it round-robin
+    assert(out.select("pos").collect().map(_.getLong(0)).sorted.toSeq ==
+      (1L to 200L).toSeq)
+    assert(out.filter(pmod(col("pos") - 1, lit(8L)) =!= col("shard")).count() == 0)
+    // two-stage numbering == naive single-window global row_number
+    val naive = out.select(col("id"), col("pos"), row_number().over(
+        Window.orderBy(col("shuffle_key"), col("id"))).cast("long").as("np"))
+    assert(naive.filter(col("pos") =!= col("np")).count() == 0)
+    // partitioning-independent
+    val again = Relational.epochShuffle(df.repartition(7), "id", 1, 8)
+    assert(out.select("id", "pos").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      again.select("id", "pos").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    // a different epoch is a different permutation
+    val e2 = Relational.epochShuffle(df, "id", epoch = 2, nShards = 8)
+    val p1 = out.select("id", "pos").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val p2 = e2.select("id", "pos").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p1 != p2)
+  }
 }

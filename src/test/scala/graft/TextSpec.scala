@@ -204,4 +204,25 @@ class TextSpec extends SparkSpec {
     // a single-token doc has no bigram positions
     assert(got(4L) == ((0L, None)))
   }
+
+  test("dsirImportance: target-like pool docs carry positive log weight " +
+      "and get selected; target docs never appear in the output") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a b", "tgt"),  // target distribution: a:2 b:1
+      (2L, "a a", "pool"),   // looks like the target
+      (3L, "z z", "pool"))   // target has never seen z
+      .toDF("doc_id", "text", "source")
+    val got = Text.dsirImportance(docs, col("source") === "tgt").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    assert(got.keySet == Set(2L, 3L)) // doc 1 is target-side, excluded
+    // vocab {a,b,z}: cnt_t a=2 b=1 z=0 (tot 3), cnt_p a=2 z=2 (tot 4), V=3
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val wA = r6(math.log(3.0 / 6.0)) - r6(math.log(3.0 / 7.0))
+    val wZ = r6(math.log(1.0 / 6.0)) - r6(math.log(3.0 / 7.0))
+    assert(got(2L) == ((2L, (wA * 2).toDouble, true)))
+    assert(got(3L) == ((2L, (wZ * 2).toDouble, false)))
+  }
 }
