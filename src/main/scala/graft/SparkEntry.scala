@@ -2872,7 +2872,67 @@ object SparkEntry {
         |WHERE source <> 'src0'
         |GROUP BY doc_id""".stripMargin),
       (s, dir) => graft.text.Text.dsirImportance(
-        Tables.documents(s, dir), col("source") === "src0"))
+        Tables.documents(s, dir), col("source") === "src0")),
+
+    QueryDef("q56_order_count_histogram",
+      "TPC-H Q13 shape: the customer order-count DISTRIBUTION — a LEFT " +
+        "join whose extra predicate lives in the ON clause (a WHERE " +
+        "would silently turn it inner and drop the zero-order " +
+        "customers), then TWO stacked aggregations: orders per customer, " +
+        "customers per order-count. Both aggs shuffle on data-bounded " +
+        "keys (custkey, then the tiny count domain); no decorrelation " +
+        "needed.",
+      Some("""SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        |FROM (SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+        |      FROM customer c LEFT JOIN orders o
+        |        ON c.c_custkey = o.o_custkey
+        |        AND o.o_orderpriority <> '1-URGENT'
+        |      GROUP BY c.c_custkey)
+        |GROUP BY c_count""".stripMargin),
+      (s, dir) => s.sql(
+        s"""SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+           |FROM (SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+           |      FROM parquet.`$dir/customer.parquet` c
+           |      LEFT JOIN parquet.`$dir/orders.parquet` o
+           |        ON c.c_custkey = o.o_custkey
+           |        AND o.o_orderpriority <> '1-URGENT'
+           |      GROUP BY c.c_custkey)
+           |GROUP BY c_count""".stripMargin)),
+
+    QueryDef("d15_cdc_chunks",
+      "Content-defined chunking (Rabin-style CDC): cut where the rolling " +
+        "hash of the trailing 8 code points divides 64, so chunk edges " +
+        "follow content — an early insertion only reshapes the chunks it " +
+        "touches (fixed-width cuts shift every downstream edge), and " +
+        "shared text runs yield shared chunk_md5 dedup keys at any " +
+        "offset. Native one-pass codegen'd boundary scan " +
+        "(CdcBoundaries); the oracle replays it as the O(n·w) per-window " +
+        "poly_hash recompute. Linear, shuffle-free.",
+      Some("""WITH d AS (SELECT doc_id, text, length(text) AS len
+        |    FROM documents WHERE length(text) > 0),
+        |b AS (SELECT doc_id, text, len,
+        |  list_filter(generate_series(8, len), i ->
+        |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |       list_transform(generate_series(i - 7, i),
+        |         j -> CAST(ascii(substr(text, CAST(j AS INT), 1)) AS BIGINT))),
+        |       (acc, c) -> (acc * 31 + c) % 1000000007) % 64) = 0) AS bs
+        |  FROM d),
+        |e AS (SELECT doc_id, text, len,
+        |  CASE WHEN len(bs) > 0 AND bs[-1] = len THEN bs
+        |       ELSE list_append(bs, len) END AS ends
+        |  FROM b),
+        |c AS (SELECT doc_id, text, ends,
+        |  unnest(generate_series(1, len(ends))) AS k FROM e)
+        |SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+        |  CAST(CASE WHEN k = 1 THEN 1 ELSE ends[k - 1] + 1 END AS BIGINT) AS start_pos,
+        |  CAST(ends[k] - CASE WHEN k = 1 THEN 1 ELSE ends[k - 1] + 1 END + 1
+        |    AS BIGINT) AS chunk_len,
+        |  md5(substr(text, CAST(CASE WHEN k = 1 THEN 1 ELSE ends[k - 1] + 1 END AS INT),
+        |    CAST(ends[k] - CASE WHEN k = 1 THEN 1 ELSE ends[k - 1] + 1 END + 1 AS INT)))
+        |    AS chunk_md5
+        |FROM c""".stripMargin),
+      (s, dir) => graft.text.Text.cdcChunks(
+        Tables.documents(s, dir), window = 8, divisor = 64))
   )
 
   /** DuckDB replica of the full seeded-IVF search (IvfIndex.seededSearch):

@@ -99,6 +99,45 @@ object Text {
         size(col("chunk_toks")).cast("long").as("chunk_tokens"))
   }
 
+  /** Content-defined chunking ([[graft.functions.CdcBoundaries]]): cut
+    * each document where the rolling hash of the trailing `window` code
+    * points divides `divisor`, so chunk edges follow the content — an
+    * insertion early in a document only reshapes the chunks it touches,
+    * where [[chunk]]'s fixed-width cuts shift every downstream edge. The
+    * per-chunk md5 is the sub-document dedup key: two documents sharing a
+    * run of text longer than ~2·divisor share interior chunk digests no
+    * matter where the run sits in either document.
+    *
+    * Scale shape: the boundary scan is one codegen'd rolling pass per
+    * document and the rest is array HOFs — linear, shuffle-free; the
+    * digest groupBy a caller would add shuffles on content keys only.
+    * Empty documents yield no chunks; a document shorter than `window`
+    * (no full hash window) is one whole-document chunk.
+    */
+  def cdcChunks(docs: DataFrame, window: Int = 8, divisor: Long = 64,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(window > 0 && divisor > 0)
+    graft.functions.CdcBoundaries.register(docs.sparkSession)
+    docs
+      .filter(length(col(textCol)) > 0)
+      .select(col(idCol), col(textCol).as("__text"),
+        length(col(textCol)).as("__len"),
+        expr(s"${graft.functions.CdcBoundaries.FnName}(" +
+          s"$textCol, $window, $divisor)").as("__bs"))
+      .withColumn("__ends",
+        when(size(col("__bs")) > 0 &&
+            element_at(col("__bs"), -1) === col("__len"), col("__bs"))
+          .otherwise(concat(col("__bs"), array(col("__len").cast("int")))))
+      .withColumn("__c", explode(expr(
+        "transform(__ends, (e, i) -> struct(i + 1 AS k, " +
+          "CASE WHEN i = 0 THEN 1 ELSE __ends[i - 1] + 1 END AS s, e AS e))")))
+      .select(col(idCol), col("__c.k").cast("long").as("chunk_idx"),
+        col("__c.s").cast("long").as("start_pos"),
+        (col("__c.e") - col("__c.s") + 1).cast("long").as("chunk_len"),
+        md5(expr("substring(__text, __c.s, __c.e - __c.s + 1)"))
+          .as("chunk_md5"))
+  }
+
   /** Concat-and-chop sequence packing: lay each shard's documents end to
     * end in deterministic (`orderCol`) order and cut the token stream every
     * `budgetTokens` — the GPT-style packing step that turns a cleaned corpus

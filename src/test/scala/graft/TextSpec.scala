@@ -225,4 +225,39 @@ class TextSpec extends SparkSpec {
     assert(got(2L) == ((2L, (wA * 2).toDouble, true)))
     assert(got(3L) == ((2L, (wZ * 2).toDouble, false)))
   }
+
+  test("CdcBoundaries: the rolling pass equals the per-window poly_hash " +
+      "recompute, and cdcChunks reassemble to the document") {
+    import spark.implicits._
+    graft.functions.CdcBoundaries.register(spark)
+    graft.functions.PolyHash.register(spark)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and then " * 8),
+      (2L, "short"), // shorter than the window -> one whole-doc chunk
+      (3L, ""))      // empty -> no chunks
+      .toDF("doc_id", "text")
+    // native rolling scan == O(n*w) HOF recompute, per position
+    val both = docs.filter(length(col("text")) > 0).select(col("doc_id"),
+      expr("graft_cdc_boundaries(text, 8, 64)").as("fast"),
+      expr("filter(sequence(8, length(text)), i -> " +
+        "graft_poly_hash(substring(text, i - 7, 8), 31, 1000000007) % 64 = 0)")
+        .as("slow"))
+    assert(both.filter(expr(
+      "fast <> transform(slow, x -> CAST(x AS INT))")).count() == 0)
+    val chunks = graft.text.Text.cdcChunks(docs, window = 8, divisor = 64)
+    val byDoc = chunks.collect().groupBy(_.getLong(0))
+    assert(!byDoc.contains(3L)) // empty doc yields no chunks
+    assert(byDoc(2L).map(r => (r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((1L, 5L))) // sub-window doc is one whole chunk
+    // doc 1 splits into multiple chunks that tile the text exactly
+    val d1 = byDoc(1L).sortBy(_.getLong(1))
+    assert(d1.length > 1)
+    val text1 = "the quick brown fox jumps over the lazy dog and then " * 8
+    assert(d1.head.getLong(2) == 1L)
+    assert(d1.map(_.getLong(3)).sum == text1.length)
+    d1.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(2) == a.getLong(2) + a.getLong(3)) }
+    // content-defined: the SAME repeated run yields repeated chunk digests
+    assert(d1.map(_.getString(4)).distinct.length < d1.length)
+  }
 }
