@@ -2932,7 +2932,43 @@ object SparkEntry {
         |    AS chunk_md5
         |FROM c""".stripMargin),
       (s, dir) => graft.text.Text.cdcChunks(
-        Tables.documents(s, dir), window = 8, divisor = 64))
+        Tables.documents(s, dir), window = 8, divisor = 64)),
+
+    QueryDef("t20_curriculum_order",
+      "Curriculum ordering: docs phase by length (the easy→hard proxy of " +
+        "curriculum learning; boundaries at the corpus token quartiles), " +
+        "deterministically shuffled WITHIN each phase by md5 key, with a " +
+        "phase-major global position — the exact read order a curriculum " +
+        "dataloader consumes. Position via twoStageRowNumber on " +
+        "(phase ++ key-prefix) coarse buckets, so no task sorts a whole " +
+        "phase (a per-phase window would funnel a quarter of a 100 TB " +
+        "corpus through one task).",
+      Some("""WITH t AS (SELECT doc_id,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |p AS (SELECT doc_id, n_tokens,
+        |    CASE WHEN n_tokens < 32 THEN 1 WHEN n_tokens < 56 THEN 2
+        |         WHEN n_tokens < 76 THEN 3 ELSE 4 END AS phase,
+        |    md5(CAST(doc_id AS VARCHAR) || ':c1') AS k
+        |  FROM t)
+        |SELECT doc_id, n_tokens, CAST(phase AS BIGINT) AS phase,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY phase, k, doc_id) AS BIGINT) AS pos
+        |FROM p""".stripMargin),
+      (s, dir) => {
+        val toks = Tables.documents(s, dir).select(col("doc_id"),
+          size(graft.text.Text.tokens(col("text"))).cast("long").as("n_tokens"))
+        val phased = toks
+          .withColumn("phase",
+            when(col("n_tokens") < 32, 1L).when(col("n_tokens") < 56, 2L)
+              .when(col("n_tokens") < 76, 3L).otherwise(4L))
+          .withColumn("__k",
+            md5(concat(col("doc_id").cast("string"), lit(":c1"))))
+        graft.ops.Relational.twoStageRowNumber(phased,
+            concat(col("phase").cast("string"), substring(col("__k"), 1, 2)),
+            Seq(col("phase").asc, col("__k").asc, col("doc_id").asc), "pos")
+          .select(col("doc_id"), col("n_tokens"), col("phase"), col("pos"))
+      })
   )
 
   /** DuckDB replica of the full seeded-IVF search (IvfIndex.seededSearch):
