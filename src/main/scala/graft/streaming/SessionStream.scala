@@ -1,7 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.{col, count, expr, lit, max, min, session_window, unix_micros}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Stateful streaming sessionization with explicit custom state
@@ -132,5 +132,32 @@ object SessionStream {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update _)
+  }
+
+  /** The DECLARATIVE twin of [[sessionizeEventTime]]: Spark's built-in
+    * `session_window` grouping, where the engine owns session merge,
+    * state-store layout, and watermark-driven closure — no hand-written
+    * state machine to get wrong, and the streaming aggregation exchanges
+    * only on (user_id, window), exactly like a batch groupBy would.
+    * Prefer this whenever the requirement is "one row per closed session
+    * with aggregates"; the custom [[sessionize]]/[[sessionizeEventTime]]
+    * updaters exist for what this cannot express — per-event progress
+    * emission, custom session identity, processing-time flushes (see also
+    * [[FunnelStream]]). Output mirrors [[SessionOut]] minus `closed`
+    * (append mode only ever emits closed sessions).
+    */
+  def sessionizeDeclarative(
+      spark: SparkSession,
+      events: Dataset[Event],
+      gap: String = "1 minute",
+      watermarkDelay: String = "10 seconds"): DataFrame = {
+    events
+      .withColumn("__ts", expr("timestamp_micros(ts_us)"))
+      .withWatermark("__ts", watermarkDelay)
+      .groupBy(col("user_id"), session_window(col("__ts"), gap).as("__sw"))
+      .agg(count(lit(1)).as("n_events"),
+        unix_micros(min(col("__ts"))).as("start_us"),
+        unix_micros(max(col("__ts"))).as("end_us"))
+      .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"))
   }
 }

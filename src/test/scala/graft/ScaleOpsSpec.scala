@@ -80,4 +80,34 @@ class ScaleOpsSpec extends SparkSpec {
       s"expected shuffle-free bucketed join, got:\n$plan")
     assert(joined.count() == 1000)
   }
+
+  test("the bucketed layout also serves a bucket-key aggregation " +
+      "shuffle-free, where the plain layout shuffles both join sides") {
+    val s = spark
+    import s.implicits._
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange hashpartitioning".r
+        .findAllIn(df.queryExecution.executedPlan.toString).size
+    val left = (1 to 1000).map(i => (i.toLong, s"l$i")).toDF("k", "lv")
+    val right = (1 to 1000).map(i => (i.toLong, s"r$i")).toDF("k", "rv")
+    Bucketing.writeBucketed(left, "bkt_agg", "k", 4)
+    // groupBy on the bucket key reuses the on-disk partitioning — the
+    // incremental-rollup read path pays zero shuffle, same as the join
+    val agg = s.table("bkt_agg").groupBy("k")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    assert(exchanges(agg) == 0, agg.queryExecution.executedPlan.toString)
+    assert(agg.count() == 1000)
+    // control: identical data as PLAIN parquet shuffles both join sides
+    val old = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("plainjoin").toString
+      left.write.parquet(s"$dir/l")
+      right.write.parquet(s"$dir/r")
+      val plain = s.read.parquet(s"$dir/l")
+        .join(s.read.parquet(s"$dir/r"), "k")
+      assert(exchanges(plain) == 2, plain.queryExecution.executedPlan.toString)
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
 }

@@ -78,6 +78,39 @@ class SessionStreamSpec extends SparkSpec {
     assert(emitted.contains((1L, base, 2L, true)), emitted.toString)
   }
 
+  test("built-in session_window closes the same sessions the custom " +
+      "event-time updater does once the watermark passes the gap") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("sessSW").toString + "/events"
+    val minuteUs = 60L * 1000000L
+    val base = 1000L * minuteUs
+    // user 1: two events 10s apart (one session), then user 2's activity
+    // an hour later drives the watermark past user 1's session-window end
+    Seq(
+      Event(1L, base, 1L), Event(1L, base + 10L * 1000000L, 2L),
+      Event(2L, base + 60L * minuteUs, 3L), Event(2L, base + 61L * minuteUs, 4L))
+      .toDS().coalesce(1).write.parquet(dir)
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Event]].schema)
+      .parquet(dir).as[Event]
+    val out = SessionStream.sessionizeDeclarative(spark, stream,
+      gap = "1 minute", watermarkDelay = "1 second")
+    val q = out.writeStream
+      .format("memory").queryName("sessions_sw")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    q.stop()
+    val emitted = spark.table("sessions_sw")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // user 1's session (2 events, [base, base+10s]) is closed and emitted;
+    // user 2's window end (last + gap) is past the final watermark → open
+    assert(emitted == Set((1L, 2L, base, base + 10L * 1000000L)), emitted.toString)
+  }
+
   test("batch semantics agree with the window-based sessionizer") {
     val s = spark
     import s.implicits._
