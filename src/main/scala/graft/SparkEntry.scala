@@ -2968,7 +2968,35 @@ object SparkEntry {
             concat(col("phase").cast("string"), substring(col("__k"), 1, 2)),
             Seq(col("phase").asc, col("__k").asc, col("doc_id").asc), "pos")
           .select(col("doc_id"), col("n_tokens"), col("phase"), col("pos"))
-      })
+      }),
+
+    QueryDef("d16_exact_substr_spans",
+      "ExactSubstr duplicate-span extraction (Lee et al. 2022): per doc, " +
+        "the maximal character ranges whose every 40-char window digest " +
+        "repeats somewhere in the corpus — the ranges the substring " +
+        "deduper cuts (d14 reports the rate; this emits the spans). One " +
+        "corpus shuffle on the digest (window count, never a position " +
+        "self-join), then gaps-and-islands per doc over duplicated " +
+        "positions only.",
+      Some("""WITH d AS (SELECT doc_id, text, length(text) AS n
+        |    FROM documents WHERE length(text) >= 40),
+        |p AS (SELECT doc_id, unnest(generate_series(1, n - 39)) AS pos, text FROM d),
+        |g AS (SELECT doc_id, pos, md5(substr(text, CAST(pos AS INT), 40)) AS g FROM p),
+        |dup AS (SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY g) AS c FROM g) t
+        |  WHERE c > 1),
+        |isl AS (SELECT doc_id, pos,
+        |    SUM(CASE WHEN prev IS NULL OR pos - prev > 40 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM (SELECT doc_id, pos,
+        |      lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM dup) t)
+        |SELECT doc_id, CAST(island AS BIGINT) AS span_idx,
+        |  CAST(MIN(pos) AS BIGINT) AS start_pos,
+        |  CAST(MAX(pos) + 39 AS BIGINT) AS end_pos,
+        |  CAST(MAX(pos) + 40 - MIN(pos) AS BIGINT) AS span_len
+        |FROM isl GROUP BY doc_id, island""".stripMargin),
+      (s, dir) => graft.dedup.Dedup.exactSubstrSpans(
+        Tables.documents(s, dir), minLen = 40))
   )
 
   /** DuckDB replica of the full seeded-IVF search (IvfIndex.seededSearch):

@@ -135,6 +135,62 @@ object Dedup {
         (col("n_dup").cast("double") / col("n_grams")).as("dup_frac"))
   }
 
+  /** ExactSubstr duplicate-SPAN extraction (the actionable sibling of
+    * [[dupNgramStats]]'s rate, after Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): find, per document,
+    * the maximal character ranges whose every `minLen`-char window also
+    * occurs elsewhere in the corpus — the ranges the ExactSubstr deduper
+    * would cut. A position is duplicated when its `minLen`-char digest
+    * repeats globally (within- or cross-document); runs of duplicated
+    * positions closer than `minLen` merge into one span (they share
+    * window characters), q51's gaps-and-islands on the position stream.
+    *
+    * Scale shape: the per-position digest stream projects to
+    * (id, pos, digest) before anything shuffles — document text never
+    * rides through an exchange. One corpus shuffle on the digest key (a
+    * count over a digest-partitioned window, the d14 recipe — never a
+    * self-join of positions), then per-document windows over the
+    * surviving duplicated positions only. The published 100 TB pipeline
+    * builds a distributed suffix array; this window formulation trades
+    * its construction for `minLen`× byte amplification of ONE shuffle —
+    * the right trade until the corpus outgrows shuffle capacity. Zipf
+    * boilerplate digests skew the digest partitioning; cap df at a
+    * threshold upstream the same way d14 documents.
+    *
+    * Output: (doc_id, span_idx, start_pos, end_pos, span_len), 1-based
+    * inclusive character positions; documents with no duplicated window
+    * emit no rows.
+    */
+  def exactSubstrSpans(docs: DataFrame, minLen: Int = 40,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minLen > 0, "minLen must be positive")
+    val pos = docs.filter(length(col(textCol)) >= minLen)
+      .select(col(idCol), col(textCol).as("__text"),
+        length(col(textCol)).as("__n"))
+      .select(col(idCol),
+        explode(sequence(lit(1), col("__n") - (minLen - 1))).as("pos"),
+        col("__text"))
+      .select(col(idCol), col("pos"),
+        md5(expr(s"substring(__text, pos, $minLen)")).as("__g"))
+    val dup = pos
+      .withColumn("__c", count(lit(1)).over(Window.partitionBy(col("__g"))))
+      .filter(col("__c") > 1)
+      .select(col(idCol), col("pos"))
+    val wd = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    dup.withColumn("__prev", lag(col("pos"), 1).over(wd))
+      .withColumn("__new",
+        when(col("__prev").isNull || col("pos") - col("__prev") > minLen, 1L)
+          .otherwise(0L))
+      .withColumn("__island", sum(col("__new")).over(
+        wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min(col("pos")).cast("long").as("start_pos"),
+        (max(col("pos")) + (minLen - 1)).cast("long").as("end_pos"),
+        (max(col("pos")) + minLen - min(col("pos"))).cast("long").as("span_len"))
+      .select(col(idCol), col("__island").cast("long").as("span_idx"),
+        col("start_pos"), col("end_pos"), col("span_len"))
+  }
+
   /** Exact token-set Jaccard near-dup pairs within a blocking key, via an
     * inverted-index join: explode distinct tokens, equi-join postings on
     * (block, token), count shared tokens per pair with one aggregation,

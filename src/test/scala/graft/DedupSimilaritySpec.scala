@@ -302,4 +302,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got(4L) == ((4L, 1L, 7L)))
     assert(got.size == 2)
   }
+
+  test("exactSubstrSpans finds the shared run in both docs, merges " +
+      "overlapping windows into one maximal span, and stays silent on " +
+      "unique text") {
+    import spark.implicits._
+    val shared = "abcdefghij" * 6 // 60 chars, shared verbatim across docs
+    val docs = Seq(
+      (1L, "AAAA_unique_prefix_xyz " + shared),
+      (2L, shared + " BBBB_other_suffix_123"),
+      (3L, "totally unique text with no repeats whatsoever here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exactSubstrSpans(docs, minLen = 20).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(!got.contains(3L)) // no duplicated window → no rows
+    // NOTE: "abcdefghij"*6 repeats internally with period 10, so within
+    // ONE doc the 20-char windows starting 10 apart are also equal — the
+    // span still merges into a single maximal range covering the run.
+    // doc 1: run occupies positions 24..83; doc 2: positions 1..60.
+    assert(got(1L) == ((1L, 24L, 83L, 60L)))
+    assert(got(2L) == ((1L, 1L, 60L, 60L)))
+  }
 }
