@@ -2996,7 +2996,50 @@ object SparkEntry {
         |  CAST(MAX(pos) + 40 - MIN(pos) AS BIGINT) AS span_len
         |FROM isl GROUP BY doc_id, island""".stripMargin),
       (s, dir) => graft.dedup.Dedup.exactSubstrSpans(
-        Tables.documents(s, dir), minLen = 40))
+        Tables.documents(s, dir), minLen = 40)),
+
+    QueryDef("d17_archive_screen",
+      "Incremental archive screening — the daily-batch shape of corpus " +
+        "curation: screen NEW docs (odd ids) against the historical " +
+        "archive (even ids) without ever pairing history with itself — " +
+        "exact md5 semi-join, LSH band keys joined new-vs-archive only " +
+        "(the persisted-registry pattern), exact distinct-token Jaccard " +
+        "on the candidates, max per new doc; is_dup = exact OR best ≥ " +
+        "0.9 on the 6dp-rounded value.",
+      Some(s"""WITH t AS (SELECT doc_id, doc_id % 2 = 0 AS arch, md5(text) AS d,
+        |    list_distinct(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+        |      x -> x <> '')) AS toks
+        |  FROM documents),
+        |h AS (SELECT doc_id, arch, list_transform(toks, t -> $duckTokenHash) AS hs FROM t),
+        |sig AS (SELECT doc_id, arch,
+        |  list_transform(generate_series(0, 15), i ->
+        |    list_reduce(list_prepend(CAST(2147483647 AS BIGINT),
+        |      list_transform(hs, h -> ((CAST(i AS BIGINT) * 40503 + 1299721) * h + i * 7919 + 104729) % 2147483647)),
+        |      (acc, x) -> least(acc, x))) AS sig
+        |  FROM h),
+        |bands AS (SELECT doc_id, arch, unnest(generate_series(0, 1)) AS band, sig FROM sig),
+        |keys AS (SELECT doc_id, arch, band,
+        |  sig[(band*8+1):((band+1)*8)] AS band_sig FROM bands),
+        |cand AS (SELECT DISTINCT n.doc_id AS id, o.doc_id AS arch_id
+        |  FROM keys n JOIN keys o ON n.band = o.band AND n.band_sig = o.band_sig
+        |  WHERE NOT n.arch AND o.arch),
+        |pairs AS (SELECT c.id, c.arch_id,
+        |    len(list_intersect(tn.toks, ta.toks)) AS i,
+        |    len(tn.toks) + len(ta.toks) - len(list_intersect(tn.toks, ta.toks)) AS u
+        |  FROM cand c JOIN t tn ON tn.doc_id = c.id JOIN t ta ON ta.doc_id = c.arch_id),
+        |ver AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+        |    MAX(CASE WHEN u > 0 THEN ROUND(CAST(i AS DOUBLE)/u, 6) END) AS best_jaccard
+        |  FROM pairs GROUP BY id),
+        |ex AS (SELECT DISTINCT b.doc_id AS id FROM t b WHERE NOT b.arch
+        |  AND EXISTS (SELECT 1 FROM t a WHERE a.arch AND a.d = b.d))
+        |SELECT b.doc_id, (ex.id IS NOT NULL) AS exact_dup,
+        |  COALESCE(ver.n_candidates, CAST(0 AS BIGINT)) AS n_candidates,
+        |  ver.best_jaccard,
+        |  ((ex.id IS NOT NULL) OR COALESCE(ver.best_jaccard >= 0.9, false)) AS is_dup
+        |FROM t b LEFT JOIN ex ON ex.id = b.doc_id LEFT JOIN ver ON ver.id = b.doc_id
+        |WHERE NOT b.arch""".stripMargin),
+      (s, dir) => graft.dedup.Dedup.archiveScreen(
+        Tables.documents(s, dir), pmod(col("doc_id"), lit(2)) === 0))
   )
 
   /** DuckDB replica of the full seeded-IVF search (IvfIndex.seededSearch):

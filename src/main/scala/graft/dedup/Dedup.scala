@@ -531,6 +531,67 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental archive screening — the daily-batch realization of the
+    * registry pattern [[bandKeys]] documents: screen a NEW batch against
+    * the historical corpus without ever pairing history with itself.
+    * Three stages, each new-vs-archive only: (1) exact — the batch doc's
+    * md5 digest semi-joins the archive digests; (2) candidates — the
+    * batch's LSH band keys equi-join the archive's (in production the
+    * archive side is the PERSISTED key registry, so history is never
+    * re-banded); (3) verify — exact distinct-token Jaccard on candidate
+    * pairs only, max per batch doc. `is_dup` = exact OR best ≥
+    * `threshold` (compared on the 6dp-rounded value, engine-exact).
+    *
+    * Scale shape: shuffles key on digest / band hash / candidate ids —
+    * never an all-pairs product, and the archive-side work is O(archive)
+    * once (amortized into the registry), O(batch) per day after.
+    *
+    * Output: one row per batch doc — (doc_id, exact_dup, n_candidates,
+    * best_jaccard: null when no candidate, is_dup).
+    */
+  def archiveScreen(docs: DataFrame, isArchive: Column,
+      threshold: Double = 0.9, numHashes: Int = 16, rowsPerBand: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tagged = docs.withColumn("__arch", isArchive)
+    val base = tagged.select(col(idCol).as("id"), col("__arch"),
+      md5(col(textCol)).as("__d"),
+      array_distinct(graft.text.Text.tokens(col(textCol))).as("__toks"))
+    val batch = base.filter(!col("__arch"))
+    val arch = base.filter(col("__arch"))
+    val exact = batch.join(arch.select(col("__d")).distinct(), Seq("__d"),
+        "left_semi")
+      .select(col("id"), lit(true).as("exact_dup"))
+    val sigs = minhashSignatures(tagged, numHashes, idCol, textCol,
+      carry = Seq("__arch"))
+    val bands = bandKeys(sigs, rowsPerBand, carry = Seq("__arch"))
+    val cands = bands.filter(!col("__arch")).as("n")
+      .join(bands.filter(col("__arch")).as("o"),
+        col("n.band") === col("o.band") &&
+          col("n.band_sig") === col("o.band_sig"))
+      .select(col("n.id").as("id"), col("o.id").as("arch_id"))
+      .distinct()
+    val verified = cands
+      .join(batch.select(col("id"), col("__toks").as("__tn")), "id")
+      .join(arch.select(col("id").as("arch_id"), col("__toks").as("__to")),
+        "arch_id")
+      .withColumn("__i", size(array_intersect(col("__tn"), col("__to"))))
+      .withColumn("__u", size(col("__tn")) + size(col("__to")) - col("__i"))
+      .withColumn("jaccard",
+        when(col("__u") > 0, round(col("__i").cast("double") / col("__u"), 6)))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast("long").as("n_candidates"),
+        max(col("jaccard")).as("best_jaccard"))
+    batch.select(col("id"))
+      .join(exact, Seq("id"), "left")
+      .join(verified, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("exact_dup"), lit(false)).as("exact_dup"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("best_jaccard"),
+        (coalesce(col("exact_dup"), lit(false)) ||
+          coalesce(col("best_jaccard") >= threshold, lit(false))).as("is_dup"))
+  }
+
   /** KMV (k-minimum-values) sketch estimate of the pairwise n-gram
     * Jaccard overlap BETWEEN corpus sources — "how much does source A
     * overlap source B" without ever joining their full gram sets. Public

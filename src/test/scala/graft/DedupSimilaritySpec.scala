@@ -324,4 +324,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got(1L) == ((1L, 24L, 83L, 60L)))
     assert(got(2L) == ((1L, 1L, 60L, 60L)))
   }
+
+  test("archiveScreen: exact copies flag exact_dup, near-dups verify by " +
+      "jaccard, archive-internal twins never pair, output is batch-only") {
+    import spark.implicits._
+    val words = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      (10L, words, true),                           // archive
+      (12L, words.replace("kappa", "KAPPA"), true), // archive twin of 10
+      (1L, words, false),                           // batch: exact copy of 10
+      (3L, words.replace("alpha", "OMEGA"), false), // batch: near-dup (J=19/21)
+      (5L, "totally different content nothing shared at all", false))
+      .toDF("doc_id", "text", "arch")
+    val got = Dedup.archiveScreen(docs.drop("arch"),
+        isArchive = col("doc_id") >= 10, threshold = 0.9)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Double]), r.getBoolean(4))))
+      .toMap
+    // archive docs (10, 12) never appear: no history-vs-history pairing
+    assert(got.keySet == Set(1L, 3L, 5L))
+    val (e1, n1, j1, d1) = got(1L)
+    assert(e1 && d1 && n1 >= 1 && j1.contains(1.0)) // exact + jaccard 1
+    val (e3, n3, j3, d3) = got(3L)
+    val j1921 = BigDecimal(19.0 / 21.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(!e3 && n3 >= 1 && j3.contains(j1921) && d3 == (j1921 >= 0.9))
+    assert(got(5L) == ((false, 0L, None, false)))
+  }
 }
