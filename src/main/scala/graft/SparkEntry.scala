@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.dedup.Dedup
-import graft.ops.{Quality, Relational}
+import graft.ops.{Quality, Relational, TimeSeries}
 import graft.similarity.Similarity
 import graft.text.Text
 import graft.weather.Weather
@@ -2898,6 +2898,53 @@ object SparkEntry {
            |        AND o.o_orderpriority <> '1-URGENT'
            |      GROUP BY c.c_custkey)
            |GROUP BY c_count""".stripMargin)),
+
+    QueryDef("q57_gapfill_interpolate",
+      "Time-series gap repair: per-user daily averages, then every missing " +
+        "day inside the user's observed span filled by linear interpolation " +
+        "between the bracketing observations (TimeSeries.gapFillLinear). " +
+        "Spine exploded from per-key bounds rows; forward/backward " +
+        "IGNORE-NULLS window frames over ONE sort on (user, day) carry the " +
+        "brackets — per-key state only, no global sort, no driver loop. The " +
+        "daily average is decimal-summed and the interpolation keeps an " +
+        "oracle-identical IEEE evaluation order.",
+      Some("""WITH obs AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)/COUNT(value) AS v
+        |  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+        |b AS (SELECT user_id, MIN(day) AS dmin, MAX(day) AS dmax FROM obs GROUP BY user_id),
+        |spine AS (
+        |  SELECT user_id, CAST(unnest(generate_series(dmin, dmax, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM b),
+        |j AS (
+        |  SELECT s.user_id, s.day, o.v
+        |  FROM spine s LEFT JOIN obs o ON s.user_id = o.user_id AND s.day = o.day),
+        |br AS (
+        |  SELECT user_id, day, v,
+        |    last_value(v IGNORE NULLS) OVER wp AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER wp AS pd,
+        |    first_value(v IGNORE NULLS) OVER wn AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER wn AS nd
+        |  FROM j
+        |  WINDOW
+        |    wp AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wn AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, day,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       ELSE pv + ((nv - pv) * (CAST(date_diff('day', pd, day) AS DOUBLE)
+        |         / CAST(date_diff('day', pd, nd) AS DOUBLE)))
+        |  END AS value_filled,
+        |  CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS INT) AS interpolated
+        |FROM br""".stripMargin),
+      (s, dir) => {
+        val obs = Tables.events(s, dir)
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg((sum(col("value").cast(D6)).cast("double") /
+            count(col("value"))).as("v"))
+        TimeSeries.gapFillLinear(obs, "user_id", "day", "v")
+          .select(col("user_id"), col("day"),
+            col("v_filled").as("value_filled"), col("interpolated"))
+      }),
 
     QueryDef("d15_cdc_chunks",
       "Content-defined chunking (Rabin-style CDC): cut where the rolling " +
