@@ -2946,6 +2946,42 @@ object SparkEntry {
             col("v_filled").as("value_filled"), col("interpolated"))
       }),
 
+    QueryDef("q58_overlap_join_grid",
+      "Interval-overlap self-join via grid bucketing " +
+        "(TimeSeries.overlapSelfJoinGrid): per-user daily purchase spans " +
+        "[first, last) meet in fixed 6-hour epoch cells — an EQUI-join on " +
+        "the cell key, never a theta/cartesian product — and each " +
+        "overlapping cross-user pair is emitted exactly once by the " +
+        "first-common-cell rule, then aggregated to co-activity per user " +
+        "pair. The oracle states the same semantics as a plain inequality " +
+        "join; durations stay in exact BIGINT microseconds.",
+      Some("""WITH spans AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |         epoch_us(MIN(ts)) AS s_us, epoch_us(MAX(ts)) AS e_us
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        |  HAVING epoch_us(MIN(ts)) < epoch_us(MAX(ts)))
+        |SELECT a.user_id AS user_a, b.user_id AS user_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+        |  CAST(SUM(LEAST(a.e_us, b.e_us) - GREATEST(a.s_us, b.s_us)) AS BIGINT) AS overlap_us
+        |FROM spans a JOIN spans b
+        |  ON a.user_id < b.user_id AND a.s_us < b.e_us AND b.s_us < a.e_us
+        |GROUP BY 1, 2""".stripMargin),
+      (s, dir) => {
+        val spans = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(unix_micros(min(col("ts"))).as("s_us"),
+            unix_micros(max(col("ts"))).as("e_us"))
+          .filter(col("s_us") < col("e_us"))
+        TimeSeries.overlapSelfJoinGrid(spans, "s_us", "e_us",
+            cellUs = 6L * 3600L * 1000000L,
+            pairPred = col("a.user_id") < col("b.user_id"))
+          .groupBy(col("a_user_id").as("user_a"), col("b_user_id").as("user_b"))
+          .agg(count(lit(1)).cast("long").as("n_overlaps"),
+            sum(least(col("a_e_us"), col("b_e_us")) -
+              greatest(col("a_s_us"), col("b_s_us"))).cast("long").as("overlap_us"))
+      }),
+
     QueryDef("d15_cdc_chunks",
       "Content-defined chunking (Rabin-style CDC): cut where the rolling " +
         "hash of the trailing 8 code points divides 64, so chunk edges " +

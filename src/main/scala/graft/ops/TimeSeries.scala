@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -34,6 +34,48 @@ object TimeSeries {
     * (key, day): a forward pass carrying the last non-null (value, day) and
     * a backward pass carrying the next. No global sort, no driver state.
     */
+  /** Grid-bucketed interval-overlap self-join (the partition-based
+    * spatial/temporal join of DeWitt's PBSM, re-expressed over time): each
+    * interval `[startCol, endCol)` (µs epoch longs, start < end) is exploded
+    * into the fixed-width grid cells it covers, candidates meet by cell
+    * EQUI-join — never an all-pairs/theta join — and each qualifying pair is
+    * kept exactly once via the first-common-cell rule
+    * (`cell == max(cellOf(a.start), cellOf(b.start))`), so no DISTINCT pass
+    * is needed. `pairPred` (over aliases `a`/`b`, e.g.
+    * `col("a.user_id") < col("b.user_id")`) prunes inside the join.
+    *
+    * Output: every column of `spans` twice, prefixed `a_` / `b_`, one row
+    * per overlapping pair (strict overlap: touching endpoints don't match).
+    *
+    * Scale: the shuffle key is the grid cell, so co-occurring intervals
+    * meet on one partition while disjoint time ranges never pair; cell
+    * width trades fan-out (long intervals hit e/W cells) against per-cell
+    * candidate quadratics — size it near the median interval length.
+    */
+  def overlapSelfJoinGrid(
+      spans: DataFrame,
+      startCol: String,
+      endCol: String,
+      cellUs: Long,
+      pairPred: Column): DataFrame = {
+    require(cellUs > 0, "cell width must be positive")
+    // integer `div`, not `/`: Column./ is double division, and a 2^50-µs
+    // epoch divided as double can land on the wrong cell at a boundary.
+    val withCells = spans
+      .withColumn("__c0", expr(s"$startCol div ${cellUs}L"))
+      .withColumn("__cell",
+        explode(sequence(col("__c0"), expr(s"($endCol - 1L) div ${cellUs}L"))))
+    val joined = withCells.as("a").join(withCells.as("b"),
+      col("a.__cell") === col("b.__cell") &&
+        pairPred &&
+        col(s"a.$startCol") < col(s"b.$endCol") &&
+        col(s"b.$startCol") < col(s"a.$endCol") &&
+        col("a.__cell") === greatest(col("a.__c0"), col("b.__c0")))
+    joined.select(
+      spans.columns.map(c => col(s"a.$c").as(s"a_$c")) ++
+        spans.columns.map(c => col(s"b.$c").as(s"b_$c")): _*)
+  }
+
   def gapFillLinear(obs: DataFrame, key: String, dayCol: String, valCol: String): DataFrame = {
     val bounds = obs.groupBy(col(key))
       .agg(min(col(dayCol)).as("__d0"), max(col(dayCol)).as("__d1"))

@@ -46,6 +46,35 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.head.getAs[Int]("interpolated") === 0)
   }
 
+  test("overlapSelfJoinGrid finds each overlapping pair exactly once") {
+    // cell width 10 so every interval spans many cells — the
+    // first-common-cell rule must still emit one row per pair
+    val spans = Seq(
+      (1L, 0L, 100L), (2L, 50L, 150L), (3L, 100L, 200L),
+      (4L, 300L, 400L), (5L, 0L, 1000L)
+    ).toDF("id", "s", "e")
+    val out = TimeSeries.overlapSelfJoinGrid(spans, "s", "e", 10L,
+        col("a.id") < col("b.id"))
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+
+    val rows = Seq((1L, 0L, 100L), (2L, 50L, 150L), (3L, 100L, 200L),
+      (4L, 300L, 400L), (5L, 0L, 1000L))
+    val brute = for {
+      (ia, sa, ea) <- rows; (ib, sb, eb) <- rows
+      if ia < ib && sa < eb && sb < ea
+    } yield (ia, ib)
+    assert(out === brute.sorted) // incl: (1,3) touch at 100 — NOT a pair
+  }
+
+  test("overlapSelfJoinGrid is an equi-join on the grid cell, never a product") {
+    val spans = Seq((1L, 0L, 25L), (2L, 20L, 40L)).toDF("id", "s", "e")
+    val plan = TimeSeries.overlapSelfJoinGrid(spans, "s", "e", 10L,
+      col("a.id") < col("b.id")).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+  }
+
   test("gapFillLinear windows are partitioned by the series key (no global sort)") {
     val obs = Seq(
       ("a", day("2024-01-01"), 1.0), ("a", day("2024-01-03"), 3.0),
