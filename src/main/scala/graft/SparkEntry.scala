@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.dedup.Dedup
-import graft.ops.{Quality, Relational, TimeSeries}
+import graft.ops.{Graph, Quality, Relational, TimeSeries}
 import graft.similarity.Similarity
 import graft.text.Text
 import graft.weather.Weather
@@ -50,6 +50,32 @@ object SparkEntry {
 
   private def revenue: Column =
     (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(D6)
+
+  /** DuckDB rendering of [[Graph.pageRank]] with the iterations unrolled as
+    * CTEs — same symmetrized edge list, same decimal-summed update, and the
+    * teleport term spelled `(1.0 - 0.85)` so both engines evaluate the same
+    * IEEE subtraction (a literal `0.15` is NOT the double `1.0 - 0.85`).
+    */
+  private def pageRankOracleSql(iters: Int): String = {
+    val head =
+      """WITH eraw AS (
+        |  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS a,
+        |                  's' || CAST(l.l_suppkey AS VARCHAR) AS b
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |e AS (SELECT a AS src, b AS dst FROM eraw
+        |      UNION ALL SELECT b AS src, a AS dst FROM eraw),
+        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+        |r0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) AS pr FROM deg)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s""",
+         |r$i AS (
+         |  SELECT e.dst AS node,
+         |    (1.0 - 0.85) + 0.85 * CAST(SUM(CAST(r.pr / d.outdeg AS DECIMAL(38,12))) AS DOUBLE) AS pr
+         |  FROM e JOIN r${i - 1} r ON e.src = r.node JOIN deg d ON d.src = e.src
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString
+    s"$head$steps\nSELECT node, ROUND(pr, 6) AS pagerank FROM r$iters"
+  }
 
   /** DuckDB rendering of [[Dedup.tokenHashSql]] (same fold, same modulus). */
   private val duckTokenHash: String =
@@ -2980,6 +3006,28 @@ object SparkEntry {
           .agg(count(lit(1)).cast("long").as("n_overlaps"),
             sum(least(col("a_e_us"), col("b_e_us")) -
               greatest(col("a_s_us"), col("b_s_us"))).cast("long").as("overlap_us"))
+      }),
+
+    QueryDef("g01_pagerank",
+      "Distributed PageRank (ops.Graph.pageRank, Page et al. 1999): 5 fixed " +
+        "iterations over the symmetrized customer-supplier bipartite graph " +
+        "from orders x lineitem. One equi-join + one hash aggregate per " +
+        "iteration, localCheckpoint truncating lineage each round; per-edge " +
+        "contributions are DECIMAL(38,12)-cast before the sum so ranks are " +
+        "bit-identical across engines and shuffle layouts, making the whole " +
+        "fixed-point chain deterministic. Oracle unrolls the iterations as " +
+        "CTEs with the identical decimal-summed update.",
+      Some(pageRankOracleSql(5)),
+      (s, dir) => {
+        val eraw = Tables.orders(s, dir)
+          .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+          .select(concat(lit("c"), col("o_custkey").cast("string")).as("a"),
+            concat(lit("s"), col("l_suppkey").cast("string")).as("b"))
+          .distinct()
+        val edges = eraw.select(col("a").as("src"), col("b").as("dst"))
+          .unionAll(eraw.select(col("b").as("src"), col("a").as("dst")))
+        Graph.pageRank(edges, "src", "dst", iterations = 5, damping = 0.85)
+          .select(col("node"), round(col("pr"), 6).as("pagerank"))
       }),
 
     QueryDef("d15_cdc_chunks",

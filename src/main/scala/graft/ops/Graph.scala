@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Distributed graph measures over edge-list DataFrames — the companion to
+  * [[graft.dedup.Dedup.connectedComponents]] (which owns the cluster-finding
+  * half of the graph story). Public-literature algorithms only (Page et al.
+  * 1999); no reference analog — the reference delegates relational analytics
+  * to Postgres and has no graph surface.
+  *
+  * Scale notes: one iteration = one equi-join (edges × ranks on src) plus one
+  * hash aggregate on dst — both shuffle on a node key, never on a pair.
+  * `localCheckpoint` after every iteration truncates the growing lineage
+  * (the same discipline as connected components: a cached-but-uncheckpointed
+  * iterate re-executes the whole chain on executor loss and its plan doubles
+  * per round).
+  */
+object Graph {
+
+  /** PageRank (non-normalized variant: `pr = (1-d) + d·Σ pr(u)/outdeg(u)`,
+    * fixed iteration count) over a DIRECTED edge list. Undirected graphs:
+    * symmetrize before calling (`union` of both directions) — then every
+    * node has outdegree ≥ 1 and no dangling-mass term is needed; this
+    * function requires that property and drops rank mass from true sinks.
+    *
+    * Engine-parity: each per-edge contribution `pr/outdeg` is cast to
+    * DECIMAL(38,12) BEFORE the sum, so the aggregate is exact and
+    * order-independent — two engines (or two shuffle layouts) produce
+    * bit-identical ranks every iteration, which keeps the whole fixed-point
+    * chain deterministic end-to-end.
+    */
+  def pageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int,
+      damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val deg = e.groupBy("src").agg(count(lit(1)).cast("long").as("outdeg"))
+    // (src, dst, outdeg) is iteration-invariant: checkpoint once and reuse
+    val ed = e.join(deg, "src").localCheckpoint()
+    var ranks = deg.select(col("src").as("node"), lit(1.0).as("pr"))
+    for (_ <- 1 to iterations) {
+      ranks = ed.join(ranks, col("src") === col("node"))
+        .select(col("dst"),
+          (col("pr") / col("outdeg")).cast(DecimalType(38, 12)).as("contrib"))
+        .groupBy(col("dst").as("node"))
+        .agg((lit(1.0 - damping) +
+          lit(damping) * sum(col("contrib")).cast("double")).as("pr"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+}
