@@ -3008,6 +3008,39 @@ object SparkEntry {
               greatest(col("a_s_us"), col("b_s_us"))).cast("long").as("overlap_us"))
       }),
 
+    QueryDef("t21_bm25",
+      "Okapi BM25 batch retrieval scoring (Text.bm25): every document " +
+        "scored against the query bag ('spark','join','vector') with the " +
+        "Lucene positive-idf flavor, k1=1.2, b=0.75. tf is explode -> " +
+        "hash-agg FILTERED to the query terms before the shuffle, df " +
+        "aggregates that tiny frame, N/avgdl ride along as a one-row " +
+        "broadcast; idf and per-term contributions are rounded + " +
+        "decimal-cast before the per-doc sum so transcendental ln stays " +
+        "engine-exact.",
+      Some("""WITH t AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM t),
+        |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(CAST(dl AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avgdl FROM m),
+        |tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM m)
+        |  WHERE term IN ('spark', 'join', 'vector')
+        |  GROUP BY doc_id, dl, term),
+        |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |c AS (SELECT tf.doc_id,
+        |    CAST(ROUND(
+        |      ROUND(ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0), 6) *
+        |      ((tf * (1.2 + 1.0)) / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))),
+        |    6) AS DECIMAL(18,6)) AS contrib
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |  CAST(SUM(contrib) AS DOUBLE) AS bm25
+        |FROM c GROUP BY doc_id""".stripMargin),
+      (s, dir) =>
+        Text.bm25(Tables.documents(s, dir), "doc_id", "text",
+          Seq("spark", "join", "vector"))),
+
     QueryDef("g01_pagerank",
       "Distributed PageRank (ops.Graph.pageRank, Page et al. 1999): 5 fixed " +
         "iterations over the symmetrized customer-supplier bipartite graph " +

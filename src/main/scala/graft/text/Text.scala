@@ -168,6 +168,53 @@ object Text {
         col("seq_id"), (col("end_seq_id") > col("seq_id")).as("straddles_cut"))
   }
 
+  /** Okapi BM25 relevance of every document against a fixed bag of query
+    * terms (Robertson/Spärck Jones; the Lucene `(1 + (N-df+0.5)/(df+0.5))`
+    * idf flavor, so idf stays positive even for df > N/2). The retrieval
+    * primitive of a RAG corpus store, as a batch scoring pass.
+    *
+    * Plan shape: tf comes from one explode→hash-aggregate FILTERED to the
+    * query terms before the shuffle (postings for ≤ |terms| tokens, not the
+    * whole vocabulary); df aggregates that same tiny frame; N and avgdl ride
+    * along as a one-row broadcast. Linear in corpus size, one shuffle on
+    * (doc, term), never a global sort.
+    *
+    * Engine-parity: idf and the per-term contribution are rounded to 6
+    * digits and decimal-cast before the per-doc sum (transcendental `ln`
+    * may differ in the last ulp across libm builds; the round washes it),
+    * so scores hash-match across engines.
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val meta = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), size(col("__toks")).cast("long").as("dl"),
+        col("__toks"))
+    val stats = meta.agg(
+      count(lit(1)).cast("long").as("n_docs"),
+      (sum(col("dl").cast(D6)).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = meta
+      .select(col(idCol), col("dl"), explode(col("__toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("long").as("df"))
+    val idf = round(log(
+      (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)) + lit(1.0)), 6)
+    val tfc = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) +
+        lit(b) * (col("dl").cast("double") / col("avgdl"))))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .select(col(idCol),
+        round(idf * tfc, 6).cast(D6).as("__contrib"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_terms"),
+        sum(col("__contrib")).cast("double").as("bm25"))
+  }
+
   /** Corpus unigram log-probability score — the cheap perplexity proxy used
     * to rank documents by "typicality" (fluent text scores high, gibberish
     * and boilerplate low). Two hash aggregations (term counts, then the

@@ -260,4 +260,29 @@ class TextSpec extends SparkSpec {
     // content-defined: the SAME repeated run yields repeated chunk digests
     assert(d1.map(_.getString(4)).distinct.length < d1.length)
   }
+
+  test("bm25 matches the hand-computed Okapi formula on a 3-doc corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark join spark x"), // tf(spark)=2, dl=4
+      (2L, "join y z"),           // tf(join)=1,  dl=3
+      (3L, "a b c d e")           // no query terms, but counts in N/avgdl
+    ).toDF("doc_id", "text")
+    val out = Text.bm25(docs, "doc_id", "text", Seq("spark", "join"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+    val avgdl = 4.0   // (4 + 3 + 5) / 3
+    def idf(df: Long) = math.rint(
+      math.log((3.0 - df + 0.5) / (df + 0.5) + 1.0) * 1e6) / 1e6
+    def tfc(tf: Double, dl: Long) = (tf * (1.2 + 1.0)) /
+      (tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl / avgdl)))
+    def contrib(tf: Double, dl: Long, df: Long) =
+      math.rint(idf(df) * tfc(tf, dl) * 1e6) / 1e6
+
+    assert(out.keySet === Set(1L, 2L))   // doc 3 matches no term
+    assert(out(1L)._1 === 2L)
+    assert(math.abs(out(1L)._2 -
+      (contrib(2.0, 4, 1) + contrib(1.0, 4, 2))) < 1e-9)
+    assert(out(2L) === ((1L, contrib(1.0, 3, 2))))
+  }
 }
