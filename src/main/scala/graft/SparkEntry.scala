@@ -3008,6 +3008,30 @@ object SparkEntry {
               greatest(col("a_s_us"), col("b_s_us"))).cast("long").as("overlap_us"))
       }),
 
+    QueryDef("q59_rolling_distinct",
+      "Rolling 7-day active users (WAU) via Spark's native sliding " +
+        "window(ts, '7 days', '1 day'): the heavy distinct collapses events " +
+        "to (user, day) FIRST — one corpus-sized shuffle — and only that " +
+        "small aggregate fans out 7x through the sliding-window Expand. " +
+        "Epoch-aligned window semantics are mirrored in the oracle by " +
+        "enumerating each day's 7 covering windows.",
+      Some("""WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |x AS (SELECT user_id,
+        |    CAST(unnest(generate_series(day - INTERVAL 6 DAY, day, INTERVAL 1 DAY)) AS DATE) AS window_start
+        |  FROM ud)
+        |SELECT window_start,
+        |  CAST(window_start + INTERVAL 7 DAY AS DATE) AS window_end,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM x GROUP BY window_start""".stripMargin),
+      (s, dir) => {
+        val ud = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        ud.groupBy(window(to_timestamp(col("day")), "7 days", "1 day").as("w"))
+          .agg(countDistinct(col("user_id")).cast("long").as("n_users"))
+          .select(col("w.start").cast("date").as("window_start"),
+            col("w.end").cast("date").as("window_end"), col("n_users"))
+      }),
+
     QueryDef("t21_bm25",
       "Okapi BM25 batch retrieval scoring (Text.bm25): every document " +
         "scored against the query bag ('spark','join','vector') with the " +
