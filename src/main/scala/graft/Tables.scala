@@ -33,10 +33,22 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
-  /** Events table with `ts` normalized to a microsecond TimestampType. */
+  /** Events table with `ts` normalized to a microsecond TimestampType.
+    *
+    * The driver has generated `events.ts` as both TIMESTAMP(NANOS) (rounds
+    * 1-4) and TIMESTAMP(MICROS) (round 5+); handle either. NANOS is read as
+    * a long (`nanosAsLong`) and truncated to micros; MICROS arrives as
+    * TIMESTAMP_NTZ and is cast to TimestampType under the UTC session zone —
+    * identical values, and exactly what DuckDB yields on the same file.
+    */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 }
