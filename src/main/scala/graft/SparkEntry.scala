@@ -2382,12 +2382,14 @@ object SparkEntry {
         |  FROM documents),
         |vocab AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
         |  FROM tok GROUP BY token),
-        |tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM vocab)
-        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-        |  ROUND(CAST(SUM(CAST(ROUND(ln(cnt / total), 6) AS DECIMAL(18,6))) AS DOUBLE)
-        |    / COUNT(*), 6) AS avg_logprob
-        |FROM tok JOIN vocab USING(token) CROSS JOIN tot
-        |GROUP BY doc_id""".stripMargin),
+        |tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM vocab),
+        |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  SUM(CAST(ROUND(ln(cnt / total), 6) AS DECIMAL(18,6))) AS logp_sum
+        |  FROM tok JOIN vocab USING(token) CROSS JOIN tot
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        |  """.stripMargin + Text.meanE6Sql("logp_sum", "n_tokens") +
+        " AS avg_logprob\nFROM agg"),
       (s, dir) => Text.unigramLogProb(Tables.documents(s, dir))),
 
     QueryDef("q49_min_cost_supplier",
@@ -2691,11 +2693,14 @@ object SparkEntry {
         |  JOIN uni uc ON uc.token = bi.cur
         |  CROSS JOIN tot),
         |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-        |  ROUND(CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
-        |  FROM sc GROUP BY doc_id)
+        |  SUM(CAST(lp AS DECIMAL(18,6))) AS lp_sum
+        |  FROM sc GROUP BY doc_id),
+        |avg AS (SELECT doc_id, n_bigrams,
+        |  """.stripMargin + Text.meanE6Sql("lp_sum", "n_bigrams") +
+        """ AS avg_logprob FROM agg)
         |SELECT d.doc_id, coalesce(a.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
         |  a.avg_logprob
-        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin),
+        |FROM documents d LEFT JOIN avg a USING (doc_id)""".stripMargin),
       (s, dir) => Text.bigramLogProb(Tables.documents(s, dir))),
 
     QueryDef("q53_multiset_ops",

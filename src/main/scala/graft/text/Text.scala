@@ -223,6 +223,27 @@ object Text {
     * are rounded then decimal-summed so the mean is order-independent and
     * engine-exact (the oracle-parity discipline from SparkEntry's header).
     */
+  /** Exact 6-dp mean of a DECIMAL(_,6) sum named `sumName` over a BIGINT
+    * count named `nName`: the sum goes to integer micro-units and divides
+    * with half-away-from-zero tie rounding over NON-NEGATIVE operands, so
+    * Spark's truncating `div` and DuckDB's flooring `//` agree bit-exactly.
+    * `round(sum/count, 6)` on a DOUBLE is NOT engine-stable: Spark rounds
+    * the shortest decimal rendering (BigDecimal.valueOf) while DuckDB
+    * rounds the binary double, and they split `...xx5` ties (t17 hit one
+    * at sf0.001).
+    */
+  private[graft] def meanE6Expr(sumName: String, nName: String): Column =
+    expr(s"cast((case when $sumName < 0 then -1L else 1L end) * " +
+      s"((abs(cast($sumName * 1000000 as bigint)) * 2 + $nName) div ($nName * 2)) " +
+      s"as double) / 1e6")
+
+  /** DuckDB rendering of [[meanE6Expr]] (same micro-unit fold, `//` floor
+    * division over the same non-negative operands). */
+  private[graft] def meanE6Sql(sumName: String, nName: String): String =
+    s"CAST((CASE WHEN $sumName < 0 THEN -1 ELSE 1 END) * " +
+      s"((abs(CAST($sumName * 1000000 AS BIGINT)) * 2 + $nName) // ($nName * 2)) " +
+      s"AS DOUBLE) / 1e6"
+
   def unigramLogProb(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
@@ -236,8 +257,9 @@ object Text {
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).cast("long").as("n_tokens"),
-        round((sum(col("logp")).cast("double") / count(lit(1))), 6)
-          .as("avg_logprob"))
+        sum(col("logp")).as("logp_sum"))
+      .select(col(idCol), col("n_tokens"),
+        meanE6Expr("logp_sum", "n_tokens").as("avg_logprob"))
   }
 
   /** Interpolated bigram-LM quality score — the t13 unigram's stronger
@@ -281,7 +303,9 @@ object Text {
           .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("lp"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("long").as("n_bigrams"),
-        round(sum(col("lp")).cast("double") / count(lit(1)), 6).as("avg_logprob"))
+        sum(col("lp")).as("lp_sum"))
+      .select(col(idCol), col("n_bigrams"),
+        meanE6Expr("lp_sum", "n_bigrams").as("avg_logprob"))
     docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
