@@ -3232,8 +3232,100 @@ object SparkEntry {
         |FROM t b LEFT JOIN ex ON ex.id = b.doc_id LEFT JOIN ver ON ver.id = b.doc_id
         |WHERE NOT b.arch""".stripMargin),
       (s, dir) => graft.dedup.Dedup.archiveScreen(
-        Tables.documents(s, dir), pmod(col("doc_id"), lit(2)) === 0))
+        Tables.documents(s, dir), pmod(col("doc_id"), lit(2)) === 0)),
+
+    QueryDef("q60_small_qty_revenue",
+      "TPC-H Q17 shape: correlated scalar-AVG subquery on the SAME fact " +
+        "table (lines below 20% of their part's average quantity) — " +
+        "Catalyst decorrelates to one partial-agg of lineitem grouped on " +
+        "l_partkey joined back on the correlation key, so lineitem is " +
+        "scanned twice but never per-outer-row; part is broadcast. " +
+        "Quantities are integral doubles, so AVG's sum is exact in any " +
+        "order and the 0.2x gate is engine-deterministic.",
+      Some(q60Sql(identity)),
+      (s, dir) => s.sql(q60Sql(n => s"parquet.`$dir/$n.parquet`"))),
+
+    QueryDef("q61_large_orders",
+      "TPC-H Q18 shape: IN over a grouped-HAVING subquery on the fact " +
+        "table (orders whose total quantity tops 250) — planned as a " +
+        "left-semi join against the aggregated order totals; both sides " +
+        "shuffle once on l_orderkey/o_orderkey and AQE picks the join " +
+        "strategy from the semi side's runtime size.",
+      Some(q61Sql(identity)),
+      (s, dir) => s.sql(q61Sql(n => s"parquet.`$dir/$n.parquet`"))),
+
+    QueryDef("q62_promo_part_suppliers",
+      "TPC-H Q20 shape (partsupp-free): nested IN (promo parts) feeding a " +
+        "grouped HAVING with a CORRELATED scalar-SUM against the same " +
+        "windowed fact slice — suppliers shipping >30% of a promo part's " +
+        "total. Catalyst decorrelates the HAVING subquery to a per-part " +
+        "aggregate joined on the grouping key; the date filter is pushed " +
+        "to both lineitem scans; part and nation stay broadcast.",
+      Some(q62Sql(identity)),
+      (s, dir) => s.sql(q62Sql(n => s"parquet.`$dir/$n.parquet`"))),
+
+    QueryDef("q63_top_revenue_supplier",
+      "TPC-H Q15 shape: a revenue CTE reused twice — once as the join " +
+        "input, once under an uncorrelated scalar MAX — with equality on " +
+        "the EXACT decimal-summed revenue (double-summed revenue would " +
+        "make the argmax order-dependent). The CTE aggregates lineitem " +
+        "once per use on the l_suppkey shuffle; the one-row MAX becomes " +
+        "a broadcast filter.",
+      Some(q63Sql(identity)),
+      (s, dir) => s.sql(q63Sql(n => s"parquet.`$dir/$n.parquet`")))
   )
+
+  /** TPC-H Q17/Q18/Q20/Q15 shapes run the SAME SQL text on both engines —
+    * Spark over `parquet.`<dir>/t.parquet`` (exercising Catalyst's
+    * subquery decorrelation), DuckDB over the bare table views — so the
+    * oracle is the text itself, not a re-derivation. `t` maps a logical
+    * table name to the engine's reference.
+    */
+  private def q60Sql(t: String => String): String =
+    s"""SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+       |FROM ${t("lineitem")} l, ${t("part")} p
+       |WHERE p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#12'
+       |  AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+       |                      FROM ${t("lineitem")} l2
+       |                      WHERE l2.l_partkey = l.l_partkey)""".stripMargin
+
+  private def q61Sql(t: String => String): String =
+    s"""SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+       |FROM ${t("customer")} c, ${t("orders")} o, ${t("lineitem")} l
+       |WHERE o.o_orderkey IN (SELECT l_orderkey FROM ${t("lineitem")}
+       |                       GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+       |  AND c.c_custkey = o.o_custkey AND o.o_orderkey = l.l_orderkey
+       |GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice""".stripMargin
+
+  private def q62Sql(t: String => String): String =
+    s"""SELECT s.s_suppkey, s.s_name, n.n_name
+       |FROM ${t("supplier")} s, ${t("nation")} n
+       |WHERE s.s_nationkey = n.n_nationkey
+       |  AND s.s_suppkey IN (
+       |    SELECT l.l_suppkey
+       |    FROM ${t("lineitem")} l
+       |    WHERE l.l_partkey IN (SELECT p_partkey FROM ${t("part")}
+       |                          WHERE p_name LIKE 'small%')
+       |      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+       |      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+       |    GROUP BY l.l_suppkey, l.l_partkey
+       |    HAVING SUM(l.l_quantity) > 0.3 * (
+       |      SELECT SUM(l2.l_quantity) FROM ${t("lineitem")} l2
+       |      WHERE l2.l_partkey = l.l_partkey
+       |        AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
+       |        AND l2.l_shipdate <  TIMESTAMP '1998-01-01'))""".stripMargin
+
+  private def q63Sql(t: String => String): String =
+    s"""WITH rev AS (SELECT l_suppkey AS supplier_no,
+       |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS r
+       |  FROM ${t("lineitem")}
+       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |    AND l_shipdate <  TIMESTAMP '1996-04-01'
+       |  GROUP BY l_suppkey)
+       |SELECT s.s_suppkey, s.s_name, CAST(r.r AS DOUBLE) AS total_rev
+       |FROM ${t("supplier")} s JOIN rev r ON s.s_suppkey = r.supplier_no
+       |WHERE r.r = (SELECT MAX(r) FROM rev)""".stripMargin
 
   /** DuckDB replica of the full seeded-IVF search (IvfIndex.seededSearch):
     * same centroid seeding (lowest `nCells` ids), same rounded-cosine
