@@ -3272,7 +3272,133 @@ object SparkEntry {
         "once per use on the l_suppkey shuffle; the one-row MAX becomes " +
         "a broadcast filter.",
       Some(q63Sql(identity)),
-      (s, dir) => s.sql(q63Sql(n => s"parquet.`$dir/$n.parquet`")))
+      (s, dir) => s.sql(q63Sql(n => s"parquet.`$dir/$n.parquet`"))),
+
+    QueryDef("g02_triangle_count",
+      "Per-node triangle counts on the part co-purchase graph (parts " +
+        "sharing an order, ≤7 lines/order so pair fan-out is bounded) via " +
+        "compact-forward: edges orient low-(degree,id)→high, so each " +
+        "triangle closes exactly once and a node's forward adjacency is " +
+        "O(sqrt(|E|)) no matter how hot the hub — the wedge equi-join + " +
+        "(a,c) semi-join never see a theta product.",
+      Some("""WITH pl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |       FROM pl a JOIN pl b ON a.l_orderkey = b.l_orderkey
+        |        AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+        |        FROM (SELECT u AS node FROM e0 UNION ALL SELECT v AS node FROM e0)
+        |        GROUP BY node),
+        |fwd AS (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e0.u < e0.v)
+        |               THEN e0.u ELSE e0.v END AS s,
+        |               CASE WHEN du.d < dv.d OR (du.d = dv.d AND e0.u < e0.v)
+        |               THEN e0.v ELSE e0.u END AS t
+        |        FROM e0 JOIN deg du ON du.node = e0.u
+        |                JOIN deg dv ON dv.node = e0.v),
+        |tri AS (SELECT e1.s AS a, e1.t AS b, e2.t AS c
+        |        FROM fwd e1 JOIN fwd e2 ON e2.s = e1.t
+        |        WHERE EXISTS (SELECT 1 FROM fwd e3
+        |                      WHERE e3.s = e1.s AND e3.t = e2.t))
+        |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+        |GROUP BY node""".stripMargin),
+      (s, dir) => {
+        val pl = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val edges = pl.as("a")
+          .join(pl.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+          .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        Graph.triangleCounts(edges, "u", "v")
+      }),
+
+    QueryDef("q64_cohort_retention",
+      "Weekly cohort retention on events: cohort = ISO week of a user's " +
+        "first event, retention cell = distinct users active k weeks " +
+        "later. Events collapse to distinct (user, week) BEFORE the " +
+        "cohort join, so the join input is user-cardinality-bounded; the " +
+        "first-touch table is one hash agg on user_id. Week offsets are " +
+        "exact integer day-diffs div 7 (non-negative, so trunc == floor).",
+      Some("""WITH f AS (SELECT user_id,
+        |  CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+        |  FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id,
+        |  CAST(date_trunc('week', ts) AS DATE) AS act_week FROM events)
+        |SELECT f.cohort_week,
+        |  CAST(date_diff('day', f.cohort_week, a.act_week) // 7 AS BIGINT)
+        |    AS week_offset,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val f = ev.groupBy("user_id").agg(min(col("ts")).as("first_ts"))
+          .select(col("user_id"),
+            to_date(date_trunc("week", col("first_ts"))).as("cohort_week"))
+        val a = ev.select(col("user_id"),
+          to_date(date_trunc("week", col("ts"))).as("act_week")).distinct()
+        a.join(f, "user_id")
+          .groupBy(col("cohort_week"),
+            expr("cast(datediff(act_week, cohort_week) div 7 as bigint)")
+              .as("week_offset"))
+          .agg(count(lit(1)).cast("long").as("n_users"))
+      }),
+
+    QueryDef("q65_group_median_mode",
+      "Exact per-group median + mode WITHOUT a per-group value sort: " +
+        "quantities are low-cardinality, so both statistics come off the " +
+        "(flag, qty, count) HISTOGRAM — median from the cumulative-count " +
+        "window (the two middle positions bracket it), mode from a " +
+        "count-desc/value-asc rank — one fact-table hash agg, then " +
+        "windows over ~|distinct values| rows per group. The sort-based " +
+        "alternative (percentile/quantile_cont over raw rows) buffers " +
+        "every group value in one task — this shape survives 100 TB.",
+      Some("""WITH cnt AS (SELECT l_returnflag AS flag, l_quantity AS qty,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM lineitem GROUP BY 1, 2),
+        |cum AS (SELECT flag, qty, n,
+        |    SUM(n) OVER (PARTITION BY flag ORDER BY qty) AS c,
+        |    SUM(n) OVER (PARTITION BY flag) AS total
+        |  FROM cnt),
+        |med AS (SELECT flag,
+        |    (MAX(CASE WHEN c - n < (total + 1) // 2 AND (total + 1) // 2 <= c
+        |              THEN qty END)
+        |   + MAX(CASE WHEN c - n < (total + 2) // 2 AND (total + 2) // 2 <= c
+        |              THEN qty END)) / 2.0 AS median_qty
+        |  FROM cum GROUP BY flag),
+        |md AS (SELECT flag, qty AS mode_qty, n AS mode_count FROM
+        |    (SELECT *, ROW_NUMBER() OVER (PARTITION BY flag
+        |       ORDER BY n DESC, qty) AS rn FROM cnt) WHERE rn = 1)
+        |SELECT med.flag AS l_returnflag, med.median_qty,
+        |  md.mode_qty, md.mode_count
+        |FROM med JOIN md ON med.flag = md.flag""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.{Window => W}
+        val cnt = Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag").as("flag"), col("l_quantity").as("qty"))
+          .agg(count(lit(1)).cast("long").as("n"))
+        val cum = cnt
+          .withColumn("c", sum(col("n")).over(
+            W.partitionBy("flag").orderBy("qty")))
+          .withColumn("total", sum(col("n")).over(W.partitionBy("flag")))
+        // lo/hi are the 1-based middle positions; `div` (not `/`) because
+        // Spark's `/` on BIGINT is double division while the oracle's `//`
+        // is integral — operands are positive so trunc == floor anyway
+        val lo = expr("(total + 1) div 2")
+        val hi = expr("(total + 2) div 2")
+        val med = cum.groupBy("flag").agg(
+          ((max(when(col("c") - col("n") < lo && lo <= col("c"), col("qty"))) +
+            max(when(col("c") - col("n") < hi && hi <= col("c"), col("qty"))))
+            / lit(2.0)).as("median_qty"))
+        val md = cnt
+          .withColumn("rn", row_number().over(
+            W.partitionBy("flag").orderBy(col("n").desc, col("qty"))))
+          .filter(col("rn") === 1)
+          .select(col("flag"), col("qty").as("mode_qty"),
+            col("n").as("mode_count"))
+        med.join(md, "flag")
+          .select(col("flag").as("l_returnflag"), col("median_qty"),
+            col("mode_qty"), col("mode_count"))
+      })
   )
 
   /** TPC-H Q17/Q18/Q20/Q15 shapes run the SAME SQL text on both engines —

@@ -54,4 +54,48 @@ object Graph {
     }
     ranks
   }
+
+  /** Per-node triangle participation counts over an UNDIRECTED edge list
+    * (each edge once, either direction; self-loops and duplicates are
+    * dropped here). Compact-forward algorithm (Latapy 2008; Schank &
+    * Wagner 2005): orient every edge from its lower-(degree, id) endpoint
+    * to the higher one — an acyclic orientation under which each triangle
+    * appears EXACTLY once as (a→b, b→c, a→c) — then close wedges with two
+    * equi-joins. The orientation is the scale lever: a node's forward
+    * adjacency is bounded by O(sqrt(|E|)) regardless of its real degree,
+    * so the wedge join never explodes on hubs the way a naive
+    * undirected-adjacency self-join does. Every step is an equi-join or
+    * hash aggregate on a node key — no theta products.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e0 = edges
+      .select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+    val deg = e0.select(col("u").as("node"))
+      .union(e0.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).cast("long").as("d"))
+    val fwd = e0
+      .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("s"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("t"))
+      .localCheckpoint()
+    val tri = fwd.as("e1")
+      .join(fwd.as("e2"), col("e1.t") === col("e2.s"))
+      .select(col("e1.s").as("a"), col("e1.t").as("b"), col("e2.t").as("c"))
+      .join(fwd.select(col("s").as("a"), col("t").as("c")), Seq("a", "c"),
+        "left_semi")
+    // one pass: each triangle contributes at all three corners via explode
+    // (a 3-way union would execute the wedge join three times)
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).cast("long").as("n_triangles"))
+  }
 }

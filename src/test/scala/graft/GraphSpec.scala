@@ -40,4 +40,32 @@ class GraphSpec extends SparkSpec {
     assert(plan.contains("ExistingRDD"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("triangleCounts: K4 has every node in C(3,2)=3 triangles") {
+    val e = Seq(("a", "b"), ("a", "c"), ("a", "d"),
+      ("b", "c"), ("b", "d"), ("c", "d")).toDF("u", "v")
+    val out = Graph.triangleCounts(e, "u", "v")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+  }
+
+  test("triangleCounts: a 4-cycle has none; duplicates/reversals/loops don't inflate") {
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),
+      ("b", "a"), ("a", "b"), ("a", "a")).toDF("u", "v")
+    assert(Graph.triangleCounts(e, "u", "v").count() === 0L)
+    // one real triangle, listed messily: counted exactly once per corner
+    val t = Seq(("x", "y"), ("y", "x"), ("y", "z"), ("x", "z"), ("z", "x"))
+      .toDF("u", "v")
+    val out = Graph.triangleCounts(t, "u", "v")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("x" -> 1L, "y" -> 1L, "z" -> 1L))
+  }
+
+  test("triangleCounts joins stay equi-joins (no theta product)") {
+    val e = Seq(("a", "b"), ("b", "c"), ("a", "c")).toDF("u", "v")
+    val plan = Graph.triangleCounts(e, "u", "v")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
