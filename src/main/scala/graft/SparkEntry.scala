@@ -3398,6 +3398,124 @@ object SparkEntry {
         med.join(md, "flag")
           .select(col("flag").as("l_returnflag"), col("median_qty"),
             col("mode_qty"), col("mode_count"))
+      }),
+
+    QueryDef("q66_salted_join",
+      "Skew-mitigated fact⋈dim join through Relational.saltedJoin: the " +
+        "fact side salts its key with a deterministic content-hash bucket " +
+        "and the dim side replicates once per bucket, so one hot key's " +
+        "probe rows spread over 8 tasks instead of piling onto one — " +
+        "semantically IDENTICAL to the plain equi-join, which is exactly " +
+        "what the oracle runs. ScaleOpsSpec pins the spread property; " +
+        "this query pins result equality under the oracle hash.",
+      Some("""SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderpriority""".stripMargin),
+      (s, dir) => {
+        val joined = Relational.saltedJoin(
+          Tables.lineitem(s, dir),
+          Tables.orders(s, dir).withColumnRenamed("o_orderkey", "l_orderkey"),
+          "l_orderkey", buckets = 8,
+          saltCols = Seq("l_orderkey", "l_linenumber"))
+        joined.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).cast("long").as("n_lines"),
+            sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .cast(D6)).cast("double").as("revenue"))
+      }),
+
+    QueryDef("d18_bloom_screen",
+      "Banned-phrase screening behind a deterministic Bloom filter " +
+        "(Dedup.bloomGramScreen) — d07's scale refinement: the eval " +
+        "slice's distinct 3-grams set k=2 PolyHash-derived bit positions " +
+        "in an 8192-bit array, and only grams with BOTH positions set " +
+        "(true matches + reproducible false positives) pay the exact " +
+        "membership join — so the broadcast is O(bits), not " +
+        "O(|gram set|), which at web scale is the difference between a " +
+        "fixed array and billions of keys. The oracle replays the " +
+        "identical integer hash family, so even the FP counts hash-match " +
+        "(visible per doc as n_bloom_candidates > n_exact).",
+      Some(s"""WITH base AS (SELECT doc_id, source = 'src0' AS blocked,
+        |  list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g0 AS (SELECT doc_id, blocked,
+        |  CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |       ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |              i -> array_to_string(list_slice(toks, i, i + 2), ' '))) END AS gs
+        |  FROM base),
+        |g AS (SELECT doc_id, blocked, list_transform(gs, t -> $duckTokenHash) AS hs FROM g0),
+        |gr AS (SELECT doc_id, blocked, unnest(hs) AS h FROM g),
+        |bg AS (SELECT DISTINCT h FROM gr WHERE blocked),
+        |bl AS (SELECT DISTINCT unnest([((40503*h + 1299721) % 2147483647) % 8192,
+        |                               ((48271*h + 104729) % 2147483647) % 8192]) AS p
+        |       FROM bg),
+        |pr AS (SELECT gr.doc_id, gr.h,
+        |    unnest([((40503*gr.h + 1299721) % 2147483647) % 8192,
+        |            ((48271*gr.h + 104729) % 2147483647) % 8192]) AS p
+        |  FROM gr WHERE NOT gr.blocked),
+        |cand AS (SELECT pr.doc_id, pr.h, bool_and(bl.p IS NOT NULL) AS bloom_hit
+        |  FROM pr LEFT JOIN bl USING (p) GROUP BY 1, 2),
+        |scored AS (SELECT doc_id, bloom_hit,
+        |    (bloom_hit AND EXISTS (SELECT 1 FROM bg WHERE bg.h = cand.h)) AS ex
+        |  FROM cand),
+        |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |    CAST(COUNT(*) FILTER (WHERE bloom_hit) AS BIGINT) AS n_bloom_candidates,
+        |    CAST(COUNT(*) FILTER (WHERE ex) AS BIGINT) AS n_exact
+        |  FROM scored GROUP BY doc_id)
+        |SELECT b.doc_id, COALESCE(a.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+        |  COALESCE(a.n_bloom_candidates, CAST(0 AS BIGINT)) AS n_bloom_candidates,
+        |  COALESCE(a.n_exact, CAST(0 AS BIGINT)) AS n_exact,
+        |  COALESCE(a.n_exact > 0, false) AS contaminated
+        |FROM (SELECT doc_id FROM base WHERE NOT blocked) b
+        |LEFT JOIN agg a USING (doc_id)""".stripMargin),
+      (s, dir) => Dedup.bloomGramScreen(
+        Tables.documents(s, dir), col("source") === "src0")),
+
+    QueryDef("qa6_hll_registers",
+      "Deterministic HyperLogLog (Flajolet et al. 2007) distinct-user " +
+        "estimate per event type: minstd-hashed ids land in 64 registers " +
+        "(bucket = low 6 bits, rho = leading-zero rank of the remaining " +
+        "25 bits via bin-string length — engine-portable, no clz " +
+        "builtin), registers MAX-merge in one hash agg, and the harmonic " +
+        "estimate sums exact DECIMAL powers of two. The per-type state is " +
+        "O(64) regardless of cardinality — the mergeable-sketch shape " +
+        "qa3's rollup uses, here with a cross-engine-replayable hash. " +
+        "Exact distinct counted alongside for calibration.",
+      Some("""WITH h AS (SELECT event_type,
+        |    (48271 * (user_id + 1)) % 2147483647 AS hv FROM events),
+        |r AS (SELECT event_type, hv % 64 AS bucket,
+        |    CAST(26 - length(ltrim(bin(hv // 64), '0')) AS BIGINT) AS rho
+        |  FROM h),
+        |reg AS (SELECT event_type, bucket, MAX(rho) AS r FROM r GROUP BY 1, 2),
+        |est AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |    CAST(SUM(CAST(POWER(0.5, r) AS DECIMAL(38,30))) AS DOUBLE)
+        |      + (64 - COUNT(*)) AS denom
+        |  FROM reg GROUP BY 1),
+        |ex AS (SELECT event_type,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+        |  FROM events GROUP BY 1)
+        |SELECT est.event_type, ex.n_exact, est.n_buckets,
+        |  ROUND(0.709 * 4096 / est.denom, 4) AS hll_estimate
+        |FROM est JOIN ex ON est.event_type = ex.event_type""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val h = ev.select(col("event_type"),
+          (lit(48271L) * (col("user_id") + 1)) % lit(2147483647L) as "hv")
+        val r = h.select(col("event_type"),
+          pmod(col("hv"), lit(64L)).as("bucket"),
+          (lit(26) - length(ltrim(bin(expr("hv div 64")), "0")))
+            .cast("long").as("rho"))
+        val reg = r.groupBy("event_type", "bucket").agg(max("rho").as("r"))
+        val est = reg.groupBy("event_type").agg(
+          count(lit(1)).cast("long").as("n_buckets"),
+          (sum(pow(lit(0.5), col("r")).cast(DecimalType(38, 30)))
+            .cast("double") + (lit(64) - count(lit(1)))).as("denom"))
+        val ex = ev.groupBy("event_type")
+          .agg(countDistinct(col("user_id")).cast("long").as("n_exact"))
+        est.join(ex, "event_type")
+          .select(col("event_type"), col("n_exact"), col("n_buckets"),
+            round(lit(0.709) * lit(4096) / col("denom"), 4).as("hll_estimate"))
       })
   )
 

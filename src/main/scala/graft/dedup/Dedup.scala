@@ -817,4 +817,68 @@ object Dedup {
       .join(flagged.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("__c"), lit(false)).as("contaminated"))
   }
+
+  /** Banned-phrase screening behind a DETERMINISTIC Bloom filter (Bloom
+    * 1970; the same k-hash/bit-array scheme as Spark's runtime
+    * `might_contain`, but with engine-reproducible hashes so an oracle can
+    * replay even the false positives): the blocklist side's distinct token
+    * n-grams set k=2 PolyHash-derived bit positions; a probe gram is a
+    * Bloom CANDIDATE iff both its positions are set, and only candidates
+    * pay the exact membership join. This is [[contaminationFlags]]'s scale
+    * refinement: the broadcast shrinks from the full distinct-gram set to
+    * O(bits) — at 100 TB a web-corpus gram set is billions wide while the
+    * filter stays a fixed array — at the price of a quantified FP rate the
+    * output keeps visible per doc (n_bloom_candidates vs n_exact).
+    *
+    * Gram identity is the 31-bit PolyHash (like d07 carries xxhash64, the
+    * membership join compares hashes, not strings); pos_i = ((a_i·h + b_i)
+    * mod P) mod bits with fixed odd multipliers — integer-exact anywhere.
+    */
+  def bloomGramScreen(docs: DataFrame, isBlocked: Column, n: Int = 3,
+      bits: Int = 8192, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.PolyHash.register(spark)
+    val toks = s"filter(split(trim($textCol), '\\\\s+'), x -> x <> '')"
+    val gramsExpr = expr(
+      s"""CASE WHEN size($toks) < $n THEN array()
+         |ELSE array_distinct(transform(
+         |  sequence(1, size($toks) - ${n - 1}),
+         |  i -> array_join(slice($toks, i, $n), ' '))) END""".stripMargin)
+    val g = docs.select(col(idCol), isBlocked.as("blocked"),
+      explode(gramsExpr).as("gram"))
+      .withColumn("h", expr(s"${tokenHashSql("gram")}"))
+    val seeds = Seq((40503L, 1299721L), (48271L, 104729L))
+    def pos(i: Int): Column = {
+      val (a, b) = seeds(i)
+      pmod(pmod(lit(a) * col("h") + lit(b), lit(2147483647L)), lit(bits.toLong))
+    }
+    val blockedGrams = g.filter(col("blocked")).select(col("h")).distinct()
+    val blockedBits = blockedGrams
+      .select(explode(array(pos(0), pos(1))).as("p")).distinct()
+    val probe = g.filter(!col("blocked"))
+      .select(col(idCol), col("h"), explode(array(pos(0), pos(1))).as("p"))
+      .join(broadcast(blockedBits.withColumn("__set", lit(true))), Seq("p"), "left")
+      .groupBy(col(idCol), col("h"))
+      .agg(min(coalesce(col("__set"), lit(false))).as("bloom_hit"))
+    // only CANDIDATES pay the exact membership join; Bloom admits no false
+    // negatives, so non-candidate grams are exact-misses by construction
+    val exact = probe.filter(col("bloom_hit"))
+      .join(broadcast(blockedGrams.withColumn("__m", lit(true))), Seq("h"), "left")
+      .select(col(idCol), col("bloom_hit"),
+        coalesce(col("__m"), lit(false)).as("exact"))
+      .union(probe.filter(!col("bloom_hit"))
+        .select(col(idCol), col("bloom_hit"), lit(false).as("exact")))
+    val perDoc = exact.groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_grams"),
+        sum(col("bloom_hit").cast("long")).cast("long").as("n_bloom_candidates"),
+        sum(col("exact").cast("long")).cast("long").as("n_exact"))
+    docs.filter(!isBlocked).select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_bloom_candidates"), lit(0L)).as("n_bloom_candidates"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("n_exact") > 0, lit(false)).as("contaminated"))
+  }
 }
