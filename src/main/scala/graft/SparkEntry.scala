@@ -3516,7 +3516,63 @@ object SparkEntry {
         est.join(ex, "event_type")
           .select(col("event_type"), col("n_exact"), col("n_buckets"),
             round(lit(0.709) * lit(4096) / col("denom"), 4).as("hll_estimate"))
-      })
+      }),
+
+    QueryDef("t22_sentence_split",
+      "Sentence segmentation with offsets (Text.sentenceSplit): maximal " +
+        "non-terminator runs plus trailing .!? — the same lookbehind-free " +
+        "regex evaluates identically under Java regex and RE2 — with " +
+        "per-doc index and char_start from a doc-partitioned cumulative " +
+        "window (bounded by per-doc sentence count; linear and " +
+        "shuffle-free otherwise). The chunking granularity between " +
+        "t04's fixed token windows and d13's paragraphs. The synthetic " +
+        "corpus carries no punctuation, so the fixture injects " +
+        "terminators deterministically (same left-to-right replace on " +
+        "both engines) before splitting — without it every doc would be " +
+        "one trivial sentence.",
+      Some("""WITH pd AS (SELECT doc_id,
+        |    replace(replace(text, ' table ', ' table. '),
+        |            ' value ', ' value! ') AS text FROM documents),
+        |s AS (SELECT doc_id,
+        |    regexp_extract_all(text, '[^.!?]+[.!?]*') AS ss FROM pd),
+        |p AS (SELECT doc_id, ss, unnest(generate_series(1, len(ss))) AS i FROM s)
+        |SELECT doc_id, CAST(i AS BIGINT) AS sent_idx, ss[i] AS sentence,
+        |  CAST(length(ss[i]) AS BIGINT) AS n_chars,
+        |  CAST(SUM(length(ss[i])) OVER (PARTITION BY doc_id ORDER BY i)
+        |    - length(ss[i]) AS BIGINT) AS char_start
+        |FROM p""".stripMargin),
+      (s, dir) => Text.sentenceSplit(Tables.documents(s, dir)
+        .withColumn("text", expr(
+          "replace(replace(text, ' table ', ' table. '), ' value ', ' value! ')")))),
+
+    QueryDef("t23_quality_classifier",
+      "Hashed-feature linear classifier inference " +
+        "(Text.hashedLinearScore — the fastText/VW hashing-trick shape " +
+        "with deterministic pseudo-weights): tokens hash into 64 feature " +
+        "buckets with integer micro-weights, doc score = exact " +
+        "half-away-rounded integer mean, keep = score > 0. Swap in a " +
+        "trained weight vector and this is production quality-classifier " +
+        "scoring: one explode + one per-doc hash agg, bit-identical " +
+        "decisions on any engine or partitioning.",
+      Some(s"""WITH tok AS (SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+        |      x -> x <> '')) AS token
+        |  FROM documents),
+        |b AS (SELECT doc_id,
+        |    (2654435761 * ((list_transform([token], t -> $duckTokenHash)[1] % 64) + 1))
+        |      % 2000001 - 1000000 AS wm
+        |  FROM tok),
+        |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(wm) AS BIGINT) AS s
+        |  FROM b GROUP BY doc_id),
+        |sc AS (SELECT doc_id, n_tokens,
+        |    CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END) *
+        |      ((abs(s) * 2 + n_tokens) // (n_tokens * 2)) AS BIGINT) AS score_micro
+        |  FROM agg)
+        |SELECT d.doc_id, COALESCE(sc.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+        |  sc.score_micro, COALESCE(sc.score_micro > 0, false) AS keep
+        |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin),
+      (s, dir) => Text.hashedLinearScore(Tables.documents(s, dir)))
   )
 
   /** TPC-H Q17/Q18/Q20/Q15 shapes run the SAME SQL text on both engines —

@@ -443,4 +443,61 @@ object Text {
       .withColumn("fingerprint", fingerprint(docs.sparkSession, textCol))
       .drop("toks")
   }
+
+  /** Sentence segmentation with stream offsets: sentences are maximal
+    * `[^.!?]+` runs plus their trailing terminators (the same regex on
+    * both engines — no lookbehind, so RE2 and Java agree), indexed per
+    * doc with `char_start` = cumulative length of the preceding extracted
+    * sentences (offsets into the extracted stream; a leading terminator
+    * run is skipped by the pattern, so stream == source offset except in
+    * that degenerate case). The offset window partitions by doc — bounded
+    * by per-doc sentence count, never a global sort. Linear, shuffle-free
+    * otherwise.
+    */
+  def sentenceSplit(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val sents = docs.select(col(idCol),
+      posexplode(expr(s"regexp_extract_all($textCol, '[^.!?]+[.!?]*', 0)"))
+        .as(Seq("pos", "sentence")))
+    val w = W.partitionBy(col(idCol)).orderBy(col("pos"))
+    sents.select(col(idCol), (col("pos") + 1).cast("long").as("sent_idx"),
+      col("sentence"), length(col("sentence")).cast("long").as("n_chars"),
+      (sum(length(col("sentence")).cast("long")).over(w)
+        - length(col("sentence"))).cast("long").as("char_start"))
+  }
+
+  /** Hashed-feature linear quality classifier INFERENCE (the fastText /
+    * Vowpal-Wabbit hashing-trick shape, with fixed pseudo-weights so both
+    * engines reproduce it): tokens hash into `nBuckets` feature buckets,
+    * each bucket carries a deterministic integer micro-weight in
+    * [-1e6, 1e6], and a doc's score is the mean token weight — exact
+    * BIGINT arithmetic end-to-end (sum of micro-weights, then the
+    * half-away-from-zero integer mean), so the decision boundary is
+    * bit-identical anywhere. Replace the pseudo-weights with a trained
+    * vector and this is production classifier scoring: one explode + one
+    * hash agg per doc, no shuffle wider than the doc table.
+    */
+  def hashedLinearScore(docs: DataFrame, nBuckets: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.PolyHash.register(spark)
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val wm = tok.select(col(idCol),
+      ((lit(2654435761L) *
+        (pmod(expr(s"${graft.functions.PolyHash.FnName}(token, 31, 2147483647)"),
+          lit(nBuckets.toLong)) + 1)) % lit(2000001L) - lit(1000000L)).as("wm"))
+    val agg = wm.groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(col("wm")).cast("long").as("s"))
+      .select(col(idCol), col("n_tokens"),
+        (when(col("s") < 0, lit(-1L)).otherwise(lit(1L)) *
+          expr("(abs(s) * 2 + n_tokens) div (n_tokens * 2)"))
+          .cast("long").as("score_micro"))
+    docs.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("score_micro"),
+        coalesce(col("score_micro") > 0, lit(false)).as("keep"))
+  }
 }

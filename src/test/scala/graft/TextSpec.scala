@@ -285,4 +285,28 @@ class TextSpec extends SparkSpec {
       (contrib(2.0, 4, 1) + contrib(1.0, 4, 2))) < 1e-9)
     assert(out(2L) === ((1L, contrib(1.0, 3, 2))))
   }
+
+  test("sentenceSplit: terminators close sentences, offsets are cumulative") {
+    import spark.implicits._
+    val df = Seq((1L, "Hi there. How? Fine! end"), (2L, "")).toDF("doc_id", "text")
+    val out = Text.sentenceSplit(df).orderBy("doc_id", "sent_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(4)))
+    assert(out.toSeq === Seq(
+      (1L, 1L, "Hi there.", 0L), (1L, 2L, " How?", 9L),
+      (1L, 3L, " Fine!", 14L), (1L, 4L, " end", 20L)))
+  }
+
+  test("hashedLinearScore: exact integer mean, empty doc keeps nothing") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha alpha alpha"), (2L, " ")).toDF("doc_id", "text")
+    val out = Text.hashedLinearScore(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getBoolean(3)))).toMap
+    // one distinct token repeated: the mean IS that token's bucket weight
+    val h = graft.functions.PolyHash.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("alpha"), 31, 2147483647L)
+    val wm = 2654435761L * ((h % 64) + 1) % 2000001L - 1000000L
+    assert(out(1L) === ((3L, Some(wm), wm > 0)))
+    assert(out(2L) === ((0L, None, false)))
+  }
 }
