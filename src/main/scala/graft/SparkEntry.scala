@@ -3572,8 +3572,95 @@ object SparkEntry {
         |SELECT d.doc_id, COALESCE(sc.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
         |  sc.score_micro, COALESCE(sc.score_micro > 0, false) AS keep
         |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin),
-      (s, dir) => Text.hashedLinearScore(Tables.documents(s, dir)))
+      (s, dir) => Text.hashedLinearScore(Tables.documents(s, dir))),
+
+    QueryDef("t24_temperature_mix",
+      "Temperature-based (T=2) language rebalancing " +
+        "(Relational.temperatureMix): target share of each lang ∝ " +
+        "sqrt(n), so the 218-doc English head downsamples while the " +
+        "64-doc tail keeps most of its mass. Rates derive from observed " +
+        "counts in-job (tiny per-stratum table broadcast back — no " +
+        "driver collect) and the keep decision is a per-stratum " +
+        "micro-threshold on the PolyHash id bucket, so the kept set is " +
+        "partitioning- and engine-independent. sqrt is IEEE-exact and " +
+        "the share sum runs over DECIMAL casts, so the oracle reproduces " +
+        "the thresholds bit-exactly.",
+      Some("""WITH counts AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY lang),
+        |cw AS (SELECT lang, n, CAST(sqrt(n) AS DECIMAL(28,12)) AS w FROM counts),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total_n, SUM(w) AS tot_w FROM cw),
+        |rates AS (SELECT lang, CAST(FLOOR(1000000.0 * LEAST(1.0,
+        |    (0.5 * CAST(total_n AS DOUBLE)) *
+        |    (CAST(w AS DOUBLE) / CAST(tot_w AS DOUBLE)) /
+        |    CAST(n AS DOUBLE))) AS BIGINT) AS keep_micro
+        |  FROM cw CROSS JOIN tot)
+        |SELECT d.doc_id, d.lang, r.keep_micro
+        |FROM documents d JOIN rates r USING (lang)
+        |WHERE list_transform([CAST(d.doc_id AS VARCHAR) || ':mix'],
+        |    t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(1, length(t)),
+        |        j -> CAST(ascii(substr(t, j, 1)) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007))[1] % 1000000
+        |  < r.keep_micro""".stripMargin),
+      (s, dir) => Relational.temperatureMix(
+        Tables.documents(s, dir), "doc_id", "lang")),
+
+    QueryDef("q67_nation_profit",
+      "TPC-H Q9 shape: five-way star join (part LIKE-filtered, nation " +
+        "broadcast) aggregating profit per nation x order-year — the " +
+        "classic multi-dim fact aggregation; the LIKE filter prunes part " +
+        "before the fact join and AQE sizes the rest.",
+      Some(q67Sql(identity)),
+      (s, dir) => s.sql(q67Sql(n => s"parquet.`$dir/$n.parquet`"))),
+
+    QueryDef("q68_returned_revenue_topk",
+      "TPC-H Q10 shape: returned-items revenue per customer over a date " +
+        "window, top-20 by exact decimal-summed revenue with a unique " +
+        "key tie-break — join-agg-sort-limit, the canonical report query.",
+      Some(q68Sql(identity)),
+      (s, dir) => s.sql(q68Sql(n => s"parquet.`$dir/$n.parquet`"))),
+
+    QueryDef("q69_supplier_relationship",
+      "TPC-H Q16 shape (partsupp-free): COUNT(DISTINCT) per group above " +
+        "a NOT IN subquery — Catalyst decorrelates the NOT IN to a " +
+        "broadcast anti join on the supplier blocklist and plans the " +
+        "distinct-agg as a two-phase aggregate.",
+      Some(q69Sql(identity)),
+      (s, dir) => s.sql(q69Sql(n => s"parquet.`$dir/$n.parquet`")))
   )
+
+  private def q67Sql(t: String => String): String =
+    s"""SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       |  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
+       |    AS DOUBLE) AS profit
+       |FROM ${t("part")} p, ${t("supplier")} s, ${t("lineitem")} l,
+       |     ${t("orders")} o, ${t("nation")} n
+       |WHERE s.s_suppkey = l.l_suppkey AND p.p_partkey = l.l_partkey
+       |  AND o.o_orderkey = l.l_orderkey AND s.s_nationkey = n.n_nationkey
+       |  AND p.p_name LIKE '%gear%'
+       |GROUP BY n.n_name, year(o.o_orderdate)""".stripMargin
+
+  private def q68Sql(t: String => String): String =
+    s"""SELECT c.c_custkey, c.c_name, n.n_name,
+       |  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
+       |    AS DOUBLE) AS revenue
+       |FROM ${t("customer")} c, ${t("orders")} o, ${t("lineitem")} l, ${t("nation")} n
+       |WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
+       |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+       |  AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+       |  AND l.l_returnflag = 'R' AND c.c_nationkey = n.n_nationkey
+       |GROUP BY c.c_custkey, c.c_name, n.n_name
+       |ORDER BY revenue DESC, c.c_custkey
+       |LIMIT 20""".stripMargin
+
+  private def q69Sql(t: String => String): String =
+    s"""SELECT p.p_brand, p.p_type,
+       |  CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+       |FROM ${t("lineitem")} l JOIN ${t("part")} p ON p.p_partkey = l.l_partkey
+       |WHERE p.p_brand <> 'Brand#12' AND p.p_type NOT LIKE 'PROMO%'
+       |  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM ${t("supplier")}
+       |                          WHERE s_acctbal < 0)
+       |GROUP BY p.p_brand, p.p_type""".stripMargin
 
   /** TPC-H Q17/Q18/Q20/Q15 shapes run the SAME SQL text on both engines —
     * Spark over `parquet.`<dir>/t.parquet`` (exercising Catalyst's

@@ -331,4 +331,44 @@ object Relational {
         Seq(col("shuffle_key").asc, col(idCol).asc), "pos")
       .withColumn("shard", pmod(col("pos") - 1, lit(nShards.toLong)))
   }
+
+  /** Temperature-based (T=2, i.e. sqrt-weighted) source rebalancing — the
+    * multilingual/domain upsampling step of corpus mixing (the α-sampling
+    * of public LLM data recipes): target share of stratum i ∝ sqrt(n_i),
+    * so heavy strata downsample and the tail keeps more of its mass.
+    * `targetFrac` scales the output corpus vs the input. Keep decisions
+    * are a per-stratum micro-threshold on the PolyHash id bucket —
+    * partitioning- and engine-independent like [[stratifiedSampleByHash]],
+    * but with rates DERIVED from the observed counts in the same job:
+    * counts → one tiny per-stratum table (broadcast join back), never a
+    * driver collect. Engine parity: sqrt is IEEE-correctly-rounded
+    * everywhere, the share sum runs over exact DECIMAL casts, and the
+    * final threshold is floored to integer micro-units.
+    */
+  def temperatureMix(df: DataFrame, idCol: String, strataCol: String,
+      targetFrac: Double = 0.5): DataFrame = {
+    graft.functions.PolyHash.register(df.sparkSession)
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .withColumn("w", sqrt(col("n")).cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+    val tot = counts.agg(sum(col("n")).cast("long").as("total_n"),
+      sum(col("w")).as("tot_w"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .select(col(strataCol),
+        floor(lit(1000000.0) * least(lit(1.0),
+          (lit(targetFrac) * col("total_n").cast("double")) *
+            (col("w").cast("double") / col("tot_w").cast("double")) /
+            col("n").cast("double")))
+          .cast("long").as("keep_micro"))
+    // the ':mix' suffix pads short ids past 6 chars so the polynomial
+    // wraps the modulus — PolyHash of a bare 3-digit id is itself < 1e5,
+    // which would land EVERY row under any realistic micro-threshold
+    val bucket = pmod(
+      expr(s"${graft.functions.PolyHash.FnName}(" +
+        s"CONCAT(CAST($idCol AS STRING), ':mix'), 31, 1000000007)"),
+      lit(1000000L))
+    df.join(broadcast(rates), strataCol)
+      .filter(bucket < col("keep_micro"))
+      .select(col(idCol), col(strataCol), col("keep_micro"))
+  }
 }

@@ -353,4 +353,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!e3 && n3 >= 1 && j3.contains(j1921) && d3 == (j1921 >= 0.9))
     assert(got(5L) == ((false, 0L, None, false)))
   }
+
+  test("bloomGramScreen: no false negatives, candidates bound the exact join") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "the cat sat on the mat today", true),   // blocklist
+      (1L, "the cat sat on a rug", false),           // shares 'the cat sat'
+      (2L, "dogs bark at the moon loudly", false),   // no shared 3-gram
+      (3L, "", false))                               // no grams at all
+      .toDF("doc_id", "text", "blocked")
+    val got = Dedup.bloomGramScreen(docs.drop("blocked"),
+        isBlocked = col("doc_id") >= 10L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L))
+    val (g1, b1, e1, c1) = got(1L)
+    // 'the cat sat' and 'cat sat on' are true hits: Bloom may add FPs
+    // but NEVER misses them
+    assert(g1 === 4L && e1 === 2L && b1 >= e1 && c1)
+    val (g2, b2, e2, c2) = got(2L)
+    assert(g2 === 4L && e2 === 0L && b2 >= 0L && !c2)
+    assert(got(3L) === ((0L, 0L, 0L, false)))
+  }
 }

@@ -110,4 +110,21 @@ class ScaleOpsSpec extends SparkSpec {
       assert(exchanges(plain) == 2, plain.queryExecution.executedPlan.toString)
     } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
+
+  test("temperatureMix: heavy strata downsample harder than the tail") {
+    import spark.implicits._
+    val df = ((1 to 900).map(i => (i.toLong, "head")) ++
+      (901 to 1000).map(i => (i.toLong, "tail"))).toDF("id", "src")
+    val out = Relational.temperatureMix(df, "id", "src", targetFrac = 0.5)
+    val rates = out.select("src", "keep_micro").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // shares ∝ sqrt(n): head keep = 500·(30/40)/900 ≈ 0.417, tail
+    // keep = 500·(10/40)/100 = 1.0 (capped) — the tail keeps everything
+    assert(rates("head") === 416666L)
+    assert(rates("tail") === 1000000L)
+    assert(out.filter($"src" === "tail").count() === 100L)
+    val headKept = out.filter($"src" === "head").count()
+    // hash-bucket selection: close to the 41.7% rate, never all or none
+    assert(headKept > 300L && headKept < 520L, s"headKept=$headKept")
+  }
 }
