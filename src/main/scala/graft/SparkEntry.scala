@@ -3626,8 +3626,71 @@ object SparkEntry {
         "broadcast anti join on the supplier blocklist and plans the " +
         "distinct-agg as a two-phase aggregate.",
       Some(q69Sql(identity)),
-      (s, dir) => s.sql(q69Sql(n => s"parquet.`$dir/$n.parquet`")))
+      (s, dir) => s.sql(q69Sql(n => s"parquet.`$dir/$n.parquet`"))),
+
+    QueryDef("q70_promo_share",
+      "TPC-H Q14 shape: promo-revenue share over a month window — the " +
+        "ratio of a CASE-gated decimal sum to the total decimal sum in " +
+        "ONE pass over the joined slice (no second scan for the " +
+        "denominator); part broadcasts, the date filter pushes to the " +
+        "lineitem scan. Both sums are exact decimals, so the ratio is " +
+        "engine-deterministic.",
+      Some(q70Sql(identity)),
+      (s, dir) => s.sql(q70Sql(n => s"parquet.`$dir/$n.parquet`"))),
+
+    QueryDef("q71_market_share",
+      "TPC-H Q8 shape: a target nation's revenue share within one " +
+        "region's flow per order-year — nested conditional aggregation " +
+        "(the numerator is a CASE inside the same group as the " +
+        "denominator, both exact decimal sums) over a five-way join with " +
+        "nation/region broadcast twice (supplier AND customer sides).",
+      Some(q71Sql(identity)),
+      (s, dir) => s.sql(q71Sql(n => s"parquet.`$dir/$n.parquet`"))),
+
+    QueryDef("q72_revenue_delta",
+      "TPC-H Q6 shape: the forecasting-delta single-row aggregate — " +
+        "discount-band + quantity + date predicates all push to the " +
+        "parquet scan (PushedFilters carries every one), then one exact " +
+        "decimal sum of extendedprice*discount. The smallest query in " +
+        "the suite; its entire cost is the pruned scan.",
+      Some(q72Sql(identity)),
+      (s, dir) => s.sql(q72Sql(n => s"parquet.`$dir/$n.parquet`")))
   )
+
+  private def q70Sql(t: String => String): String =
+    s"""SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+       |    THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))
+       |    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) * 100.0
+       |  / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
+       |    AS DOUBLE) AS promo_share_pct
+       |FROM ${t("lineitem")} l JOIN ${t("part")} p ON l.l_partkey = p.p_partkey
+       |WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+       |  AND l.l_shipdate <  TIMESTAMP '1996-04-01'""".stripMargin
+
+  private def q71Sql(t: String => String): String =
+    s"""SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       |  CAST(SUM(CASE WHEN ns.n_name = 'NATION_5'
+       |    THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))
+       |    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+       |  / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
+       |    AS DOUBLE) AS mkt_share
+       |FROM ${t("lineitem")} l, ${t("orders")} o, ${t("customer")} c,
+       |     ${t("supplier")} s, ${t("nation")} ns, ${t("nation")} nc,
+       |     ${t("region")} r
+       |WHERE l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+       |  AND l.l_suppkey = s.s_suppkey AND s.s_nationkey = ns.n_nationkey
+       |  AND c.c_nationkey = nc.n_nationkey AND nc.n_regionkey = r.r_regionkey
+       |  AND r.r_name = 'ASIA'
+       |GROUP BY year(o.o_orderdate)""".stripMargin
+
+  private def q72Sql(t: String => String): String =
+    s"""SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+       |    AS DOUBLE) AS revenue_delta
+       |FROM ${t("lineitem")}
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+       |  AND l_discount >= 0.05 AND l_discount <= 0.07
+       |  AND l_quantity < 24""".stripMargin
 
   private def q67Sql(t: String => String): String =
     s"""SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
