@@ -3654,7 +3654,42 @@ object SparkEntry {
         "decimal sum of extendedprice*discount. The smallest query in " +
         "the suite; its entire cost is the pruned scan.",
       Some(q72Sql(identity)),
-      (s, dir) => s.sql(q72Sql(n => s"parquet.`$dir/$n.parquet`")))
+      (s, dir) => s.sql(q72Sql(n => s"parquet.`$dir/$n.parquet`"))),
+
+    QueryDef("s12_centroid_outliers",
+      "Embedding-quality pruning (Similarity.centroidOutliers): every " +
+        "vector scores its cosine to its label's MEAN vector and flags " +
+        "the ones pointing away (< 0.2) — the mislabeled/noise cut run " +
+        "before clustering or dedup. One per-dim explode, a (label, dim) " +
+        "centroid agg (|labels|·d rows — broadcast-sized at any corpus), " +
+        "and the score join reuses the same key. Centroid and score both " +
+        "accumulate through DECIMAL casts, so the oracle hash-matches " +
+        "bit-exactly.",
+      Some("""WITH e AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |p AS (SELECT vec_id, label, v, unnest(generate_series(1, len(v))) AS dim
+        |  FROM e),
+        |d AS (SELECT vec_id, label, dim, v[dim] AS x FROM p),
+        |cent AS (SELECT label, dim,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS c
+        |  FROM d GROUP BY label, dim),
+        |agg AS (SELECT d.vec_id, d.label,
+        |    SUM(CAST(d.x * cent.c AS DECIMAL(38,12))) AS dt,
+        |    SUM(CAST(d.x * d.x AS DECIMAL(38,12))) AS x2,
+        |    SUM(CAST(cent.c * cent.c AS DECIMAL(38,12))) AS c2
+        |  FROM d JOIN cent ON d.label = cent.label AND d.dim = cent.dim
+        |  GROUP BY d.vec_id, d.label)
+        |SELECT vec_id, label,
+        |  ROUND(CAST(dt AS DOUBLE) /
+        |    (sqrt(CAST(x2 AS DOUBLE)) * sqrt(CAST(c2 AS DOUBLE))), 6)
+        |    AS cos_centroid,
+        |  ROUND(CAST(dt AS DOUBLE) /
+        |    (sqrt(CAST(x2 AS DOUBLE)) * sqrt(CAST(c2 AS DOUBLE))), 6) < 0.2
+        |    AS is_outlier
+        |FROM agg""".stripMargin),
+      (s, dir) => graft.similarity.Similarity.centroidOutliers(
+        Tables.embeddings(s, dir), threshold = 0.2))
   )
 
   private def q70Sql(t: String => String): String =

@@ -3,6 +3,7 @@ package graft.similarity
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.functions.CosineSimilarity
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -132,5 +133,40 @@ object Similarity {
     pairs
       .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"), cos.as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
+  }
+
+  /** Embedding-quality pruning by centroid distance — the vector-side
+    * analogue of the text quality filter: score every vector's cosine to
+    * its label's MEAN vector and flag the ones pointing away (mislabeled /
+    * noise / encoder-failure rows, the SemDeDup-paper preprocessing cut).
+    * Shape: one per-dimension explode, a (label, dim) hash agg for the
+    * centroids (|labels|·d rows — broadcast-sized at any corpus scale),
+    * and the score join reuses the same (label, dim) key before
+    * re-aggregating per vector. Engine parity: per-dim sums and the three
+    * cosine accumulators go through DECIMAL casts, so centroid AND score
+    * are bit-identical regardless of row order; sqrt is IEEE-exact.
+    */
+  def centroidOutliers(
+      emb: DataFrame,
+      threshold: Double,
+      labelCol: String = "label",
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val dec = DecimalType(38, 12)
+    val d = widened(emb, vecCol)
+      .select(col(idCol), col(labelCol),
+        posexplode(col("__v")).as(Seq("dim", "x")))
+    val cent = d.groupBy(col(labelCol), col("dim"))
+      .agg((sum(col("x").cast(dec)).cast("double") / count(lit(1))).as("c"))
+    d.join(cent, Seq(labelCol, "dim"))
+      .groupBy(col(idCol), col(labelCol))
+      .agg(sum((col("x") * col("c")).cast(dec)).as("__dot"),
+        sum((col("x") * col("x")).cast(dec)).as("__x2"),
+        sum((col("c") * col("c")).cast(dec)).as("__c2"))
+      .select(col(idCol), col(labelCol),
+        round(col("__dot").cast("double") /
+          (sqrt(col("__x2").cast("double")) * sqrt(col("__c2").cast("double"))), 6)
+          .as("cos_centroid"))
+      .withColumn("is_outlier", col("cos_centroid") < threshold)
   }
 }

@@ -375,4 +375,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(g2 === 4L && e2 === 0L && b2 >= 0L && !c2)
     assert(got(3L) === ((0L, 0L, 0L, false)))
   }
+
+  test("centroidOutliers: vectors against their label mean, outliers flagged") {
+    import graft.similarity.Similarity
+    val s = spark
+    import s.implicits._
+    val emb = Seq(
+      (1L, 0L, Seq(1f, 0f)), (2L, 0L, Seq(1f, 0f)), (3L, 0L, Seq(-1f, 0f)),
+      (4L, 1L, Seq(0f, 2f)))
+      .toDF("vec_id", "label", "embedding")
+    val got = Similarity.centroidOutliers(emb, threshold = 0.2)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    // label 0 centroid = [1/3, 0]: aligned vectors score 1, the flipped
+    // one scores -1; label 1's single vector IS its centroid
+    assert(got(1L) === ((1.0, false)))
+    assert(got(2L) === ((1.0, false)))
+    assert(got(3L) === ((-1.0, true)))
+    assert(got(4L) === ((1.0, false)))
+  }
 }
