@@ -95,6 +95,31 @@ class MinHashSigSpec extends SparkSpec {
     assert(both(3).getSeq[Long](0).isEmpty)
   }
 
+  test("native poly-gram hashes equal the HOF PolyHash-over-gram chain") {
+    val s = spark
+    import s.implicits._
+    graft.functions.PolyGramHash.register(s)
+    graft.functions.PolyHash.register(s)
+    val docs = Seq(
+      "the quick brown fox jumps",
+      "a b a b a b", // repeated grams: dedup must keep first occurrence
+      "one two",     // shorter than n=3: empty result
+      "").toDF("text")
+    val toks = "filter(split(trim(text), '\\\\s+'), t -> t <> '')"
+    val both = docs.select(
+        expr(s"${graft.functions.PolyGramHash.FnName}($toks, 3)").as("native"),
+        expr(s"""CASE WHEN size($toks) < 3 THEN array()
+          |ELSE array_distinct(transform(
+          |  sequence(1, size($toks) - 2),
+          |  i -> ${graft.functions.PolyHash.FnName}(
+          |    array_join(slice($toks, i, 3), ' '), 31, 2147483647))) END""".stripMargin)
+          .as("hof"))
+      .collect()
+    both.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+    assert(both(2).getSeq[Long](0).isEmpty)
+    assert(both(3).getSeq[Long](0).isEmpty)
+  }
+
   test("null input array yields null, not a crash") {
     val s = spark
     import s.implicits._
