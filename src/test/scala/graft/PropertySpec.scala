@@ -80,4 +80,24 @@ class PropertySpec extends SparkSpec {
       assert(n == math.max(1, math.max(xs.length, ys.length)))
     }
   }
+
+  test("property: PolyGramHash equals the string-building reference fold") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    // pure-JVM check (no Spark plan): the native rolling fold must equal
+    // PolyHash over the materialized gram string for arbitrary tokens
+    val tokGen = Gen.listOfN(8,
+      Gen.oneOf(Gen.alphaNumStr.map(_.take(5)), Gen.const("")))
+    for (toks <- cases(tokGen, 40); n <- Seq(1, 2, 3)) {
+      val arr = new GenericArrayData(
+        toks.map(t => UTF8String.fromString(t): Any).toArray)
+      val native = graft.functions.PolyGramHash.compute(arr, n)
+        .toLongArray().toSeq
+      val expected = toks.sliding(n).filter(_.length == n)
+        .map(w => graft.functions.PolyHash.compute(
+          UTF8String.fromString(w.mkString(" ")), 31L, 2147483647L))
+        .toSeq.distinct
+      assert(native == expected, s"toks=$toks n=$n")
+    }
+  }
 }
