@@ -3689,7 +3689,40 @@ object SparkEntry {
         |    AS is_outlier
         |FROM agg""".stripMargin),
       (s, dir) => graft.similarity.Similarity.centroidOutliers(
-        Tables.embeddings(s, dir), threshold = 0.2))
+        Tables.embeddings(s, dir), threshold = 0.2)),
+
+    QueryDef("q73_incremental_agg",
+      "Incremental aggregate maintenance — the mart-refresh pattern at " +
+        "100 TB: history's PARTIAL aggregates (count + decimal sum per " +
+        "key) merge with the new partition's partials by re-aggregation, " +
+        "so a refresh touches only the delta, never recomputing history " +
+        "(PropertySpec pins the merge law; this query pins it against " +
+        "the oracle, which IS the full recompute). The derived mean " +
+        "comes off the merged exact sums, so it is identical to the " +
+        "from-scratch answer bit for bit.",
+      Some("""SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |    / COUNT(*) AS DOUBLE) AS mean_value
+        |FROM events GROUP BY user_id""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val cutoff = lit("2024-01-16").cast("timestamp")
+        def partial(df: DataFrame): DataFrame = df.groupBy("user_id")
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("value").cast(D6)).as("s"))
+        // history partials persist in a real mart; here both sides compute
+        // from their slice, and ONLY the re-aggregation is the refresh
+        partial(ev.filter(col("ts") < cutoff))
+          .unionByName(partial(ev.filter(col("ts") >= cutoff)))
+          .groupBy("user_id")
+          .agg(sum(col("n")).cast("long").as("n_events"),
+            sum(col("s")).as("s2"))
+          .select(col("user_id"), col("n_events"),
+            col("s2").cast("double").as("total_value"),
+            (col("s2").cast("double") / col("n_events")).cast("double")
+              .as("mean_value"))
+      })
   )
 
   private def q70Sql(t: String => String): String =
