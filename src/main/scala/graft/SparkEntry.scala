@@ -3496,7 +3496,8 @@ object SparkEntry {
         |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
         |  FROM events GROUP BY 1)
         |SELECT est.event_type, ex.n_exact, est.n_buckets,
-        |  ROUND(0.709 * 4096 / est.denom, 4) AS hll_estimate
+        |  FLOOR(CAST(0.709 AS DOUBLE) * 4096 / est.denom * 1e4 + 0.5) / 1e4
+        |    AS hll_estimate
         |FROM est JOIN ex ON est.event_type = ex.event_type""".stripMargin),
       (s, dir) => {
         val ev = Tables.events(s, dir)
@@ -3513,9 +3514,12 @@ object SparkEntry {
             .cast("double") + (lit(64) - count(lit(1)))).as("denom"))
         val ex = ev.groupBy("event_type")
           .agg(countDistinct(col("user_id")).cast("long").as("n_exact"))
+        // 4-dp display via floor(x*1e4 + 0.5): identical IEEE double ops on
+        // both engines, unlike round(double, 4) whose tie-splitting differs
         est.join(ex, "event_type")
           .select(col("event_type"), col("n_exact"), col("n_buckets"),
-            round(lit(0.709) * lit(4096) / col("denom"), 4).as("hll_estimate"))
+            (floor(lit(0.709) * lit(4096) / col("denom") * lit(1e4) + lit(0.5))
+              .cast("double") / 1e4).as("hll_estimate"))
       }),
 
     QueryDef("t22_sentence_split",
@@ -3679,15 +3683,16 @@ object SparkEntry {
         |    SUM(CAST(d.x * d.x AS DECIMAL(38,12))) AS x2,
         |    SUM(CAST(cent.c * cent.c AS DECIMAL(38,12))) AS c2
         |  FROM d JOIN cent ON d.label = cent.label AND d.dim = cent.dim
-        |  GROUP BY d.vec_id, d.label)
+        |  GROUP BY d.vec_id, d.label),
+        |c AS (SELECT vec_id, label,
+        |    CAST(dt AS DOUBLE) /
+        |      (sqrt(CAST(x2 AS DOUBLE)) * sqrt(CAST(c2 AS DOUBLE))) AS cs
+        |  FROM agg)
         |SELECT vec_id, label,
-        |  ROUND(CAST(dt AS DOUBLE) /
-        |    (sqrt(CAST(x2 AS DOUBLE)) * sqrt(CAST(c2 AS DOUBLE))), 6)
-        |    AS cos_centroid,
-        |  ROUND(CAST(dt AS DOUBLE) /
-        |    (sqrt(CAST(x2 AS DOUBLE)) * sqrt(CAST(c2 AS DOUBLE))), 6) < 0.2
-        |    AS is_outlier
-        |FROM agg""".stripMargin),
+        |  (CASE WHEN cs < 0 THEN -1 ELSE 1 END)
+        |    * FLOOR(ABS(cs) * 1e6 + 0.5) / 1e6 AS cos_centroid,
+        |  cs < 0.2 AS is_outlier
+        |FROM c""".stripMargin),
       (s, dir) => graft.similarity.Similarity.centroidOutliers(
         Tables.embeddings(s, dir), threshold = 0.2)),
 

@@ -144,7 +144,13 @@ object Similarity {
     * and the score join reuses the same (label, dim) key before
     * re-aggregating per vector. Engine parity: per-dim sums and the three
     * cosine accumulators go through DECIMAL casts, so centroid AND score
-    * are bit-identical regardless of row order; sqrt is IEEE-exact.
+    * are bit-identical regardless of row order; sqrt is IEEE-exact. The
+    * outlier flag compares the RAW double against the threshold (never the
+    * rounded value), and the displayed 6-dp score rounds via
+    * sign·floor(|x|·1e6 + 0.5) — all IEEE-exact double ops, so both
+    * engines agree even on `...5` ties where native round() diverges
+    * (Spark rounds the shortest decimal rendering, DuckDB the binary
+    * double).
     */
   def centroidOutliers(
       emb: DataFrame,
@@ -164,9 +170,12 @@ object Similarity {
         sum((col("x") * col("x")).cast(dec)).as("__x2"),
         sum((col("c") * col("c")).cast(dec)).as("__c2"))
       .select(col(idCol), col(labelCol),
-        round(col("__dot").cast("double") /
-          (sqrt(col("__x2").cast("double")) * sqrt(col("__c2").cast("double"))), 6)
-          .as("cos_centroid"))
-      .withColumn("is_outlier", col("cos_centroid") < threshold)
+        (col("__dot").cast("double") /
+          (sqrt(col("__x2").cast("double")) * sqrt(col("__c2").cast("double"))))
+          .as("__cos"))
+      .select(col(idCol), col(labelCol),
+        (signum(col("__cos")) * floor(abs(col("__cos")) * 1e6 + 0.5) / 1e6)
+          .as("cos_centroid"),
+        (col("__cos") < threshold).as("is_outlier"))
   }
 }

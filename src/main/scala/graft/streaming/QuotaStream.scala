@@ -33,6 +33,14 @@ object QuotaStream extends Serializable {
   /** Fold one source's new docs against its running quota count. Emits an
     * admit/reject row per doc; `admitted_so_far` carries the post-decision
     * count so downstream can see quota pressure without re-aggregating.
+    *
+    * MEMORY: the deterministic sort materializes ONE source's share of ONE
+    * micro-batch on the executor (`docs.toSeq`) — and the hot source this
+    * operator exists to throttle is exactly the group most likely to
+    * dominate a batch. Bound the batch at the source
+    * (`maxFilesPerTrigger` / `maxOffsetsPerTrigger`) so a single group's
+    * slice fits in executor heap; when strict replay-determinism isn't
+    * required, admit in iterator order instead and the fold is O(1).
     */
   def updateQuota(maxDocs: Long)(
       source: String,

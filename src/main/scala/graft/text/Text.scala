@@ -231,6 +231,13 @@ object Text {
     * the shortest decimal rendering (BigDecimal.valueOf) while DuckDB
     * rounds the binary double, and they split `...xx5` ties (t17 hit one
     * at sf0.001).
+    *
+    * PRECONDITION: |sumName| < 2^63 / 1e6 ≈ 9.2e12 — the `cast(sum *
+    * 1000000 as bigint)` overflows past that (silent null under non-ANSI
+    * Spark, error under DuckDB). Log-prob sums are bounded well below it
+    * (|logp| ≤ ~30 per token ⇒ needs ~3e11 tokens in ONE doc to trip);
+    * callers aggregating unbounded magnitudes must keep the doubling /
+    * halving arithmetic in DECIMAL before the final cast instead.
     */
   private[graft] def meanE6Expr(sumName: String, nName: String): Column =
     expr(s"cast((case when $sumName < 0 then -1L else 1L end) * " +
