@@ -30,6 +30,17 @@ object Graph {
     * order-independent — two engines (or two shuffle layouts) produce
     * bit-identical ranks every iteration, which keeps the whole fixed-point
     * chain deterministic end-to-end.
+    *
+    * Job shape: the invariant (src, dst, outdeg) table checkpoints ONCE;
+    * the rank iterates do NOT checkpoint every round — PageRank's lineage
+    * grows linearly (one join + one agg per round, no self-join), so the
+    * whole fixed-point chain compiles into ONE multi-stage job in which
+    * each iteration is a map-combined O(E)→O(V) aggregate stage and the
+    * O(V) ranks side broadcasts into the edge join (AQE). Eager per-round
+    * materialization (the connected-components discipline) pays a job
+    * launch + checkpoint write per round and is only needed when the loop
+    * self-joins; a checkpoint every 8th round still bounds plan depth for
+    * deep runs without taxing the common shallow ones.
     */
   def pageRank(
       edges: DataFrame,
@@ -43,14 +54,14 @@ object Graph {
     // (src, dst, outdeg) is iteration-invariant: checkpoint once and reuse
     val ed = e.join(deg, "src").localCheckpoint()
     var ranks = deg.select(col("src").as("node"), lit(1.0).as("pr"))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       ranks = ed.join(ranks, col("src") === col("node"))
         .select(col("dst"),
           (col("pr") / col("outdeg")).cast(DecimalType(38, 12)).as("contrib"))
         .groupBy(col("dst").as("node"))
         .agg((lit(1.0 - damping) +
           lit(damping) * sum(col("contrib")).cast("double")).as("pr"))
-        .localCheckpoint()
+      if (i % 8 == 0) ranks = ranks.localCheckpoint()
     }
     ranks
   }
@@ -67,13 +78,30 @@ object Graph {
     * undirected-adjacency self-join does. Every step is an equi-join or
     * hash aggregate on a node key — no theta products.
     */
+  /** Edge-count ceiling under which [[triangleCounts]] broadcasts the
+    * (deduped, oriented) edge table into the wedge and closing joins. The
+    * edge set is the BOUNDED side of compact-forward (the wedge stream is
+    * the one that explodes), so hashing it once per executor turns the
+    * whole wedge→close→count pipeline into a single shuffle-free stage —
+    * the O(W) wedge stream is never exchanged or sorted. 8M edges ≈ 128 MB
+    * hashed, comfortably inside executor memory; past the ceiling the
+    * joins fall back to Spark's shuffle strategies, which is the correct
+    * posture for billion-edge graphs.
+    */
+  private val BroadcastEdgeLimit = 8L * 1000 * 1000
+
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // checkpoint the deduped edge set FIRST: deg scans it twice and the
+    // orientation join once more — uncheckpointed, the upstream pair
+    // build would run three times
     val e0 = edges
       .select(col(srcCol).as("u"), col(dstCol).as("v"))
       .filter(col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("u"),
         greatest(col("u"), col("v")).as("v"))
       .distinct()
+      .localCheckpoint()
+    val nEdges = e0.count() // O(1) scan of the checkpoint just written
     val deg = e0.select(col("u").as("node"))
       .union(e0.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).cast("long").as("d"))
@@ -88,13 +116,18 @@ object Graph {
           (col("du") === col("dv") && col("u") < col("v")), col("v"))
           .otherwise(col("u")).as("t"))
       .localCheckpoint()
+    // checkpointed tables report unknown/huge stats, so AQE never elects
+    // the broadcast on its own — hint it while |E| provably fits
+    def bounded(df: DataFrame): DataFrame =
+      if (nEdges <= BroadcastEdgeLimit) broadcast(df) else df
     val tri = fwd.as("e1")
-      .join(fwd.as("e2"), col("e1.t") === col("e2.s"))
+      .join(bounded(fwd.as("e2")), col("e1.t") === col("e2.s"))
       .select(col("e1.s").as("a"), col("e1.t").as("b"), col("e2.t").as("c"))
-      .join(fwd.select(col("s").as("a"), col("t").as("c")), Seq("a", "c"),
-        "left_semi")
+      .join(bounded(fwd.select(col("s").as("a"), col("t").as("c"))),
+        Seq("a", "c"), "left_semi")
     // one pass: each triangle contributes at all three corners via explode
-    // (a 3-way union would execute the wedge join three times)
+    // (a 3-way union would execute the wedge join three times); the agg is
+    // map-combined down to per-partition distinct nodes before its shuffle
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).cast("long").as("n_triangles"))
   }
