@@ -104,6 +104,33 @@ object SparkEntry {
       Dedup.connectedComponents(pairs, "doc_a", "doc_b")
     })
 
+  /** Bucketed materializations of lineitem + orders (32 buckets on the
+    * order key, one file per bucket) for the co-located join path (q74).
+    * Table names are content-addressed by the orders corpus signature —
+    * the ModelExport discipline — so Verify runs at different SFs write
+    * disjoint tables; within a session the write happens once and every
+    * later pass (bench passes 2..N, repeated plans) reuses the layout,
+    * exactly the amortization a production lake gets from bucketing.
+    */
+  private val bucketedCache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private def bucketedTables(s: SparkSession, dir: String): (String, String) =
+    bucketedCache.getOrElseUpdate(s"${System.identityHashCode(s)}#$dir", {
+      val r = Tables.orders(s, dir).agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(col("o_orderkey")).cast("long").as("sg")).head()
+      val sig = s"n${r.getLong(0)}_s${r.getLong(1)}"
+      val liT = s"graft_li_bkt_$sig"
+      val ordT = s"graft_ord_bkt_$sig"
+      if (!s.catalog.tableExists(liT))
+        graft.ops.Bucketing.writeBucketed(
+          Tables.lineitem(s, dir), liT, "l_orderkey", 32)
+      if (!s.catalog.tableExists(ordT))
+        graft.ops.Bucketing.writeBucketed(
+          Tables.orders(s, dir), ordT, "o_orderkey", 32)
+      (liT, ordT)
+    })
+
   // nation/region are bounded-size dims → always broadcast; orders and
   // customer scale with the fact table, so their join strategy is left to
   // stats + AQE (broadcast at small SF, shuffle join at 100 TB).
@@ -3759,6 +3786,36 @@ object SparkEntry {
             col("s2").cast("double").as("total_value"),
             (col("s2").cast("double") / col("n_events")).cast("double")
               .as("mean_value"))
+      }),
+
+    QueryDef("q74_bucketed_join",
+      "The 100 TB lake posture, end-to-end: lineitem AND orders persist " +
+        "as parquet tables bucketed 32 ways on their order key " +
+        "(ops.Bucketing — one file per bucket), so the recurring " +
+        "fact-to-fact join reads co-located buckets and plans ZERO " +
+        "exchanges on either join side (PlanInvariantsSpec pins it; only " +
+        "the 5-row priority agg shuffles). The write is the one-time " +
+        "cost that deletes the dominant repeated shuffle of a star " +
+        "workload — at 100 TB the orders⋈lineitem exchange IS the " +
+        "bottleneck. Materialization is content-addressed per corpus " +
+        "(n<count>_s<orderkey sum>) so multi-SF runs never collide; the " +
+        "oracle answers from the plain tables, proving the bucketed " +
+        "layout changes the plan, not the result.",
+      Some("""SELECT o_orderpriority,
+        |  CAST(COUNT(*) AS BIGINT) AS n_late_lines,
+        |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6)))
+        |    AS DOUBLE) AS late_revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate
+        |GROUP BY o_orderpriority""".stripMargin),
+      (s, dir) => {
+        val (liT, ordT) = bucketedTables(s, dir)
+        s.table(liT).hint("merge")
+          .join(s.table(ordT), col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") > col("o_orderdate"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).cast("long").as("n_late_lines"),
+            sum(revenue).cast("double").as("late_revenue"))
       })
   )
 

@@ -24,7 +24,12 @@ object Bucketing {
     val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    df.write
+    // pre-shuffle into the bucket layout so each bucket lands as ONE file:
+    // without it every input partition writes its own slice of every
+    // bucket (numPartitions × numBuckets small files — the lake killer),
+    // and multi-file buckets force a per-bucket sort on read
+    df.repartition(numBuckets, org.apache.spark.sql.functions.col(bucketCol))
+      .write
       .bucketBy(numBuckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")

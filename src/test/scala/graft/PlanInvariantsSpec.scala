@@ -57,6 +57,18 @@ class PlanInvariantsSpec extends SparkSpec {
       "nation/region no longer broadcast")
   }
 
+  test("q74: bucketed join plans ZERO exchanges on either join side") {
+    // both inputs are bucketed 32 ways on the order key, so the sort-merge
+    // join must consume the bucket layout directly; the only exchange
+    // allowed in the plan is the 5-row priority aggregate's
+    val p = plan("q74_bucketed_join")
+    assert(p.contains("SortMergeJoin"), "bucketed join lost its SMJ shape")
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey"),
+      "lineitem side re-shuffled despite bucketing")
+    assert(!p.contains("Exchange hashpartitioning(o_orderkey"),
+      "orders side re-shuffled despite bucketing")
+  }
+
   test("q36: IN subqueries decorrelate to semi-joins") {
     val p = plan("q36_nested_in_subqueries")
     assert(p.contains("LeftSemi"), "predicate subquery not rewritten to semi-join")
