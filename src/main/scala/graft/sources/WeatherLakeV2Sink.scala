@@ -89,6 +89,13 @@ object WeatherLakeV2Sink {
   /** Directory of per-job manifests under the lake root. */
   val ManifestDir = "_manifests"
 
+  /** Directive line marking another manifest as replaced by this one.
+    * Lines starting with `#` are directives, never file paths; a manifest
+    * named in any live manifest's supersedes directive contributes no
+    * files to the committed view.
+    */
+  val SupersedesPrefix = "#supersedes "
+
   private[sources] def writeManifest(basePath: String, jobId: String,
       files: Seq[String]): Unit = {
     val fs = new Path(basePath).getFileSystem(new Configuration())
@@ -107,16 +114,34 @@ object WeatherLakeV2Sink {
         s"WeatherLakeV2Sink: failed to publish manifest $dest")
   }
 
-  /** Every file recorded by a COMPLETED job's manifest — the read-side
-    * filter that drops orphan files left by jobs that died after some
-    * task commits but before job commit.
+  /** Manifests still contributing files to the committed view: every
+    * published manifest minus those named in a `#supersedes` directive of
+    * any other manifest (compaction publishes the directive and the
+    * replacement file list in ONE atomic rename, so a concurrent reader
+    * resolves either the old live set or the new one — never both).
+    */
+  def liveManifests(basePath: String): Seq[String] = {
+    val fs = new Path(basePath).getFileSystem(new Configuration())
+    val mdir = new Path(basePath, ManifestDir)
+    val names = manifestNames(basePath)
+    val superseded = names.flatMap(n =>
+      readLines(fs, new Path(mdir, n))
+        .filter(_.startsWith(SupersedesPrefix))
+        .map(_.stripPrefix(SupersedesPrefix).trim)).toSet
+    names.filterNot(superseded)
+  }
+
+  /** Every file recorded by a COMPLETED job's live manifest — the
+    * read-side filter that drops orphan files left by jobs that died
+    * after some task commits but before job commit, and files whose
+    * manifest a compaction superseded.
     */
   def committedFiles(basePath: String): Seq[String] = {
     val fs = new Path(basePath).getFileSystem(new Configuration())
     val mdir = new Path(basePath, ManifestDir)
-    manifestNames(basePath)
+    liveManifests(basePath)
       .flatMap(n => readLines(fs, new Path(mdir, n)))
-      .filter(_.nonEmpty)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
   }
 
   /** The manifest-gated read path: only lines from files a completed job
@@ -173,12 +198,16 @@ object WeatherLakeV2Sink {
   def readNewCommits(spark: org.apache.spark.sql.SparkSession,
       basePath: String, cursorPath: String):
       (org.apache.spark.sql.DataFrame, Seq[String]) = {
-    val fresh = manifestNames(basePath)
+    // live manifests only: a consumer that never saw the pre-compaction
+    // manifests reads each row exactly once from the compacted view; one
+    // that already consumed them sees the compaction manifest as a replay
+    // of rows it processed (at-least-once, idempotent for keyed upserts)
+    val fresh = liveManifests(basePath)
       .filterNot(consumedManifests(cursorPath))
     val fs = new Path(basePath).getFileSystem(new Configuration())
     val files = fresh
       .flatMap(n => readLines(fs, new Path(new Path(basePath, ManifestDir), n)))
-      .filter(_.nonEmpty)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
     val df =
       if (files.isEmpty) {
         import spark.implicits._
@@ -210,6 +239,108 @@ object WeatherLakeV2Sink {
         throw new java.io.IOException(
           s"WeatherLakeV2Sink: failed to advance manifest cursor $p")
     }
+  }
+
+  // -----------------------------------------------------------------
+  // manifest-driven small-file compaction
+  // -----------------------------------------------------------------
+
+  /** Rewrite every multi-file partition directory of the committed view
+    * into ONE file, publishing the result as a single superseding
+    * manifest. The reference layout writes one object per city-hour
+    * (s3_writer.py:59-61) — at 100 TB that is the classic small-file
+    * killer, and this is the maintenance job that repairs it.
+    *
+    * Safety under concurrency, in commit order:
+    *  1. the live-manifest set is snapshotted up front; jobs that commit
+    *     AFTER the snapshot are untouched (their manifests stay live);
+    *  2. compacted replacement files are written under fresh names —
+    *     until step 3 they are invisible (no manifest lists them), so a
+    *     failed compaction leaves only manifest-less orphans, exactly
+    *     like a died write job;
+    *  3. one manifest is published by atomic rename carrying BOTH the
+    *     `#supersedes` directives for every snapshotted manifest and the
+    *     full surviving file list (untouched single files + compacted
+    *     files). A concurrent reader resolves either the old live set or
+    *     the new one — never a mix, never a double-read;
+    *  4. superseded DATA files are NOT deleted — readers that listed
+    *     before the publish keep reading them; reclaim space later with
+    *     [[vacuum]] once in-flight readers have drained.
+    *
+    * The rewrite itself is distributed: committed lines are read with
+    * `spark.read`, routed by partition directory (file basenames are
+    * uuid-unique, so the mapping rides a broadcast equi-join — no UDF),
+    * and each directory's rows land in one file via `mapPartitions`.
+    * Returns the number of directories compacted (0 = nothing to do).
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, basePath: String): Int = {
+    import org.apache.spark.sql.functions.{broadcast, col, element_at, input_file_name, split}
+    val fs = new Path(basePath).getFileSystem(new Configuration())
+    val mdir = new Path(basePath, ManifestDir)
+    val snapshot = liveManifests(basePath)
+    val filesByDir = snapshot
+      .flatMap(n => readLines(fs, new Path(mdir, n)))
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .groupBy(f => new Path(f).getParent.toString)
+    val multi = filesByDir.filter(_._2.size > 1)
+    if (multi.isEmpty) return 0
+    val keep = filesByDir.collect { case (_, fs1) if fs1.size == 1 => fs1.head }.toSeq
+    val session = spark
+    import session.implicits._
+    val dirOfBase = multi.toSeq.flatMap { case (d, fls) =>
+      fls.map(f => (new Path(f).getName, d)) }
+    val newFiles = session.read.text(multi.values.flatten.toSeq: _*)
+      .select(element_at(split(input_file_name(), "/"), -1).as("base"), col("value"))
+      .join(broadcast(dirOfBase.toDF("base", "dir")), "base")
+      .select(col("dir"), col("value"))
+      .repartition(col("dir"))
+      .mapPartitions { it =>
+        val pfs = new Path(basePath).getFileSystem(new Configuration())
+        val streams = mutable.Map.empty[String, org.apache.hadoop.fs.FSDataOutputStream]
+        val written = mutable.ArrayBuffer.empty[String]
+        it.foreach { row =>
+          val out = streams.getOrElseUpdate(row.getString(0), {
+            val f = new Path(row.getString(0),
+              s"part-compact-${UUID.randomUUID().toString}.json")
+            written += f.toString
+            pfs.create(f, false)
+          })
+          out.write(row.getString(1).getBytes("UTF-8"))
+          out.write('\n')
+        }
+        streams.values.foreach(_.close())
+        written.iterator
+      }
+      .collect().toSeq
+    writeManifest(basePath, s"compact-${UUID.randomUUID().toString}",
+      snapshot.map(n => s"$SupersedesPrefix$n") ++ keep ++ newFiles)
+    multi.size
+  }
+
+  /** Reclaim space after [[compact]]: delete data files referenced ONLY
+    * by superseded manifests, then the superseded manifests themselves.
+    * Run this once readers that listed before the compaction publish have
+    * drained — a reader mid-scan over a superseded file would lose it.
+    * Files younger than `minAgeMs` are kept even when unreferenced: they
+    * may belong to an in-flight write job whose manifest isn't published
+    * yet.
+    */
+  def vacuum(basePath: String, minAgeMs: Long = 0L): Int = {
+    val fs = new Path(basePath).getFileSystem(new Configuration())
+    val mdir = new Path(basePath, ManifestDir)
+    val live = liveManifests(basePath)
+    val liveFiles = committedFiles(basePath).toSet
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    val superseded = manifestNames(basePath).filterNot(live.toSet)
+    val stale = superseded
+      .flatMap(n => readLines(fs, new Path(mdir, n)))
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .filterNot(liveFiles)
+      .map(new Path(_))
+      .filter(p => fs.exists(p) && fs.getFileStatus(p).getModificationTime < cutoff)
+    stale.foreach(fs.delete(_, false))
+    superseded.foreach(n => fs.delete(new Path(mdir, n), false))
+    stale.size
   }
 
   final case class FilesWritten(paths: Seq[String]) extends WriterCommitMessage

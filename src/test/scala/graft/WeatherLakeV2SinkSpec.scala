@@ -145,6 +145,58 @@ class WeatherLakeV2SinkSpec extends SparkSpec {
     assert(WeatherLakeV2Sink.readCommitted(spark, lake).count() == 5)
   }
 
+  test("compaction collapses multi-file partitions; pre-compaction readers stay safe") {
+    import graft.sources.WeatherLakeV2Sink
+    val lake = Files.createTempDirectory("lakev2compact").toString
+    def sink(df: DataFrame): Unit =
+      df.select(col("city"), col("ds"), col("hour"),
+          to_json(struct(col("latitude"), col("longitude"))).as("raw_json"))
+        .write.format("graft.sources.WeatherLakeV2Sink")
+        .mode("append").save(lake)
+    // two committed jobs over the SAME partitions → ≥2 files per dir
+    sink(rawFixture.limit(3))
+    sink(rawFixture.limit(3))
+    val before = WeatherLakeV2Sink.committedFiles(lake)
+    val rowsBefore = WeatherLakeV2Sink.readCommitted(spark, lake)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(rowsBefore.size == 6)
+    val dirsWithManyFiles = before.groupBy(f => f.substring(0, f.lastIndexOf('/')))
+      .count(_._2.size > 1)
+    assert(dirsWithManyFiles > 0, "fixture must produce multi-file partitions")
+
+    val compacted = WeatherLakeV2Sink.compact(spark, lake)
+    assert(compacted == dirsWithManyFiles)
+
+    // committed view: same rows, now at most one file per partition dir
+    val after = WeatherLakeV2Sink.committedFiles(lake)
+    assert(after.groupBy(f => f.substring(0, f.lastIndexOf('/')))
+      .forall(_._2.size == 1), "a partition dir still has multiple live files")
+    assert(WeatherLakeV2Sink.readCommitted(spark, lake)
+      .collect().map(_.getString(0)).sorted.toSeq == rowsBefore)
+
+    // CONCURRENT-READER SAFETY: a reader that resolved the file list
+    // before the compaction publish must still find every old file intact
+    assert(before.forall(f => new File(f).isFile),
+      "compaction must not delete superseded data files")
+    assert(spark.read.text(before: _*).count() == 6)
+
+    // idempotent: nothing left to compact
+    assert(WeatherLakeV2Sink.compact(spark, lake) == 0)
+
+    // a job committing AFTER compaction stays live alongside the
+    // compacted view
+    sink(rawFixture.limit(2))
+    assert(WeatherLakeV2Sink.readCommitted(spark, lake).count() == 8)
+
+    // vacuum reclaims the superseded files (readers drained) and keeps
+    // every live one; the committed view is unaffected
+    val removed = WeatherLakeV2Sink.vacuum(lake)
+    assert(removed == before.size,
+      s"expected ${before.size} superseded files reclaimed, got $removed")
+    assert(WeatherLakeV2Sink.committedFiles(lake).forall(f => new File(f).isFile))
+    assert(WeatherLakeV2Sink.readCommitted(spark, lake).count() == 8)
+  }
+
   test("missing path option fails fast with the option named") {
     val e = intercept[IllegalArgumentException] {
       new graft.sources.WeatherLakeV2Sink()
