@@ -64,7 +64,7 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) =>
         only.forall(o => o.contains(n) || o.contains(n.takeWhile(_ != '_'))) }
-    val best = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val samples = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
     for (pass <- 1 to passes; (name, fn) <- ordered) {
       val elapsed =
         try {
@@ -75,13 +75,26 @@ object Bench {
           System.err.println(s"[bench] $name failed (pass $pass): ${e.getMessage}")
           -1.0
         }
-      best.get(name) match {
-        case Some(prev) if prev >= 0 && elapsed >= 0 => best(name) = math.min(prev, elapsed)
-        case Some(prev) if prev >= 0 => () // keep the good sample over a late failure
-        case _ => best(name) = elapsed
-      }
+      samples(name) = samples.getOrElse(name, Vector.empty) :+ elapsed
     }
-    val results = best.toSeq
+    // per-query min stays the headline (it survives one-sided container
+    // noise); the median rides along so a poisoned min-of-N — all samples
+    // landing in one noise burst, like BENCH_r06's q01=11.4s — is
+    // detectable from the artifact itself instead of needing a re-run
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.size
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val results = samples.toSeq.map { case (name, xs) =>
+      val ok = xs.filter(_ >= 0)
+      (name, if (ok.isEmpty) -1.0 else ok.min,
+        if (ok.isEmpty) -1.0 else median(ok))
+    }
+    // min/median spread beyond 3x = the samples disagree wildly; treat
+    // that query's numbers as container noise, not as a regression signal
+    val noisy = results.collect {
+      case (name, mn, md) if mn > 0 && md / mn > 3.0 => name
+    }
     // The driver captures only the last 2000 chars of output and parses
     // the JSON line out of that window; BENCH_r03.json recorded
     // parsed:null because 74 full query names alone (~1,700 chars of
@@ -93,15 +106,19 @@ object Bench {
     def shortId(name: String): String = name.takeWhile(_ != '_')
     require(results.map(n => shortId(n._1)).distinct.size == results.size,
       "short query ids must stay unique — rename the colliding query")
-    val qs = results.map { case (k, v) => "\"" + shortId(k) + "\":" + fmt(v) }
+    val qs = results.map { case (k, v, _) => "\"" + shortId(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + shortId(k) + "\"" }
+    val failed = results.collect { case (k, v, _) if v < 0 => "\"" + shortId(k) + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    System.err.println(results.map { case (k, v) => s"[bench] $k ${v}s" }
-      .mkString("\n"))
+    val noisyJson = noisy.map(n => "\"" + shortId(n) + "\"")
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    System.err.println(results.map { case (k, mn, md) =>
+      val flag = if (noisy.contains(k)) " NOISY(min/median disagree >3x)" else ""
+      s"[bench] $k min=${mn}s median=${md}s$flag"
+    }.mkString("\n"))
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"noisy":$noisyJson,"sf":"$sfDir"}"""
     require(line.length <= 1900,
       s"bench JSON line is ${line.length} chars — won't survive the driver's " +
         "2000-char output tail; shrink the key scheme")
