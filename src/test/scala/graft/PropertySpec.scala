@@ -81,6 +81,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: salted join and salted agg equal their plain forms under skew") {
+    // adversarial distribution: one hot key dominates (the case the salt
+    // exists for), plus a dim key with no fact rows and fact keys missing
+    // from the dim — the equivalence must hold row-for-row (multiset), not
+    // just per key
+    val skewRow = for {
+      key <- Gen.frequency((20, Gen.const("hot")), (3, Gen.oneOf("a", "b", "c", "d")))
+      v <- Gen.choose(-1000L, 1000L)
+    } yield (key, v)
+    def multiset(rows: Array[org.apache.spark.sql.Row]) =
+      rows.toSeq.groupBy(identity).view.mapValues(_.size).toMap
+    for (rows <- cases(Gen.listOfN(60, skewRow), 8); buckets <- Seq(1, 7)) {
+      val s = spark
+      import s.implicits._
+      val df = rows.toDF("k", "v")
+      // agg law: saltedSumCount ≡ groupBy.agg(sum, count)
+      val salted = Relational.saltedSumCount(df, "k", "v", buckets)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val plain = df.groupBy("k")
+        .agg(sum("v").as("s"), count(lit(1)).cast("long").as("n"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(salted == plain, s"salted agg diverged (buckets=$buckets)")
+      // join law: saltedJoin ≡ plain equi-join (dim has an unmatched key,
+      // facts have keys the dim lacks)
+      val dim = Seq(("hot", 1L), ("a", 2L), ("b", 3L), ("z", 9L)).toDF("k", "w")
+      val sj = multiset(Relational.saltedJoin(df, dim, "k", buckets).collect())
+      val pj = multiset(df.join(dim, Seq("k")).collect())
+      assert(sj == pj, s"salted join diverged (buckets=$buckets)")
+    }
+  }
+
   test("property: PolyGramHash equals the string-building reference fold") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import org.apache.spark.unsafe.types.UTF8String
