@@ -1508,6 +1508,61 @@ object SparkEntry {
         nearDupThreshold = 0.9, chunkTokens = 40, strideTokens = 20,
         collectStats = false).chunks),
 
+    QueryDef("p02_curation_lineage",
+      "Document-level lineage for the curation pipeline: every input doc " +
+        "with its survival flag and the FIRST stage that cut it " +
+        "(quality / exact_dup / near_dup; null for survivors) — the audit " +
+        "trail a production corpus release ships (per-stage cut rates, " +
+        "\"where did my doc go\", contamination-drop proof). Three keyed " +
+        "left joins against the checkpointed stage outputs p01 already " +
+        "materializes; same oracle CTE chain, projected per doc instead " +
+        "of per chunk.",
+      Some("""WITH RECURSIVE tok AS (SELECT doc_id, text, source,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |q AS (SELECT doc_id, text, source, toks FROM (
+        |  SELECT doc_id, text, source, toks,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    ROUND(CAST(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT))) AS DOUBLE)/len(toks), 4) AS avg_token_len,
+        |    ROUND(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)/len(toks), 4) AS stopword_ratio
+        |  FROM tok)
+        |  WHERE n_tokens >= 30 AND avg_token_len <= 6.0 AND stopword_ratio >= 0.01),
+        |ex AS (SELECT doc_id, text, source, toks FROM (
+        |  SELECT q.*, MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id FROM q)
+        |  WHERE doc_id = canonical_id),
+        |dtoks AS (SELECT doc_id, source, list_distinct(toks) AS dt FROM ex),
+        |pairs AS (SELECT doc_a, doc_b FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.dt, b.dt)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.dt, b.dt))) AS j
+        |  FROM dtoks a JOIN dtoks b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |  WHERE round(j, 6) >= 0.9),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(node, label) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node),
+        |comp AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node),
+        |kept AS (SELECT ex.doc_id FROM ex
+        |         LEFT JOIN comp c ON ex.doc_id = c.node
+        |         WHERE c.node IS NULL OR c.label = ex.doc_id)
+        |SELECT d.doc_id,
+        |  k.doc_id IS NOT NULL AS kept,
+        |  CASE WHEN q.doc_id IS NULL THEN 'quality'
+        |       WHEN e.doc_id IS NULL THEN 'exact_dup'
+        |       WHEN k.doc_id IS NULL THEN 'near_dup'
+        |       ELSE NULL END AS drop_reason
+        |FROM documents d
+        |LEFT JOIN q ON d.doc_id = q.doc_id
+        |LEFT JOIN ex e ON d.doc_id = e.doc_id
+        |LEFT JOIN kept k ON d.doc_id = k.doc_id""".stripMargin),
+      (s, dir) => graft.pipeline.TrainingDataPipeline.run(
+        s, Tables.documents(s, dir),
+        minTokens = 30, maxAvgTokenLen = 6.0, minStopwordRatio = 0.01,
+        nearDupThreshold = 0.9, chunkTokens = 40, strideTokens = 20,
+        collectStats = false).lineage),
+
     QueryDef("t06_repetition",
       "Gopher-style repetition quality signals (Rae et al. 2021 §A1.1): " +
         "duplicated token-3-gram fraction and most-frequent-token share — " +

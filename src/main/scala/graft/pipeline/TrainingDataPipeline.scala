@@ -25,7 +25,8 @@ object TrainingDataPipeline {
   final case class Result(
       kept: DataFrame,    // surviving canonical docs
       chunks: DataFrame,  // training-window chunks of the survivors
-      stats: DataFrame)   // 1-row funnel accounting
+      stats: DataFrame,   // 1-row funnel accounting
+      lineage: DataFrame) // per-doc audit: kept flag + first drop reason
 
   def run(
       spark: SparkSession,
@@ -79,6 +80,28 @@ object TrainingDataPipeline {
     val stats = Seq((total, nQuality, nExact, nKept, nChunks))
       .toDF("docs_in", "after_quality", "after_exact_dedup",
         "after_neardup", "chunks_out")
-    Result(kept, chunks, stats)
+
+    // per-doc lineage: WHY did a document leave the corpus — the audit
+    // trail a production curation pipeline ships with every release
+    // (debugging "where did my doc go", measuring per-stage cut rates,
+    // proving a contaminant was dropped). drop_reason names the FIRST
+    // stage that cut the doc; null for survivors. Three keyed left joins
+    // against the already-checkpointed stage outputs — lazily planned, so
+    // callers that ignore it pay nothing.
+    val lineage = docs.select(col("doc_id"))
+      .join(quality.select(col("doc_id"), lit(true).as("__q")),
+        Seq("doc_id"), "left")
+      .join(exactKept.select(col("doc_id"), lit(true).as("__e")),
+        Seq("doc_id"), "left")
+      .join(kept.select(col("doc_id"), lit(true).as("__k")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("__k").isNotNull.as("kept"),
+        when(col("__q").isNull, "quality")
+          .when(col("__e").isNull, "exact_dup")
+          .when(col("__k").isNull, "near_dup")
+          .otherwise(lit(null).cast("string")).as("drop_reason"))
+
+    Result(kept, chunks, stats, lineage)
   }
 }
