@@ -64,14 +64,16 @@ object PqIndex {
     val dim = v.head().getSeq[Double](0).length
     require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
     val sub = dim / m
-    // The M subspace fits are independent — submit them as concurrent
-    // Spark jobs so training wall-clock is one fit, not M (the scheduler
-    // interleaves their stages across the executor slots a single
-    // small-k fit leaves idle).
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    val fits = (0 until m).map { mi => Future {
+    // The M subspace fits run SEQUENTIALLY. They were submitted as
+    // concurrent driver-thread Futures for a round ("wall-clock of one
+    // fit, not M") until concurrent fits over the same parent frame were
+    // caught producing centroids containing values spliced from two
+    // DIFFERENT input rows (a (1.03, 2.0) center over data whose second
+    // dim is only ever 1 or 9 — impossible without cross-row bleed
+    // between the racing fit jobs). M is small (≤8) and each fit is
+    // seconds; determinism of the exported codebooks is what the oracle
+    // contract rests on, so the concurrency is not worth the race.
+    val books = (0 until m).flatMap { mi =>
       val subVecs = v.select(
         array_to_vector(slice(col("v"), mi * sub + 1, sub)).as("fv"))
       val model = new KMeans().setK(k).setSeed(42L + mi).setMaxIter(maxIter)
@@ -80,8 +82,7 @@ object PqIndex {
       model.clusterCenters.zipWithIndex.map { case (c, code) =>
         (mi, code, c.toArray)
       }.toSeq
-    }}
-    val books = Await.result(Future.sequence(fits), Duration.Inf).flatten
+    }
     books.toDF("m", "code", "cv")
   }
 
