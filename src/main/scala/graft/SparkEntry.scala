@@ -3871,7 +3871,166 @@ object SparkEntry {
           .groupBy(col("o_orderpriority"))
           .agg(count(lit(1)).cast("long").as("n_late_lines"),
             sum(revenue).cast("double").as("late_revenue"))
-      })
+      }),
+
+    QueryDef("t25_gopher_rules",
+      "Full Gopher-style repetition rule set (Rae et al. 2021 Table A1, " +
+        "token-unit adaptation): duplicate 2/3/4-gram fractions, top-2-gram " +
+        "token coverage, distinct-token ratio, and the composed keep/drop " +
+        "verdict. The verdict cross-multiplies RAW integer counts against " +
+        "rational thresholds (never compares rounded doubles) and the " +
+        "fractions round through exact integer micro-units, so the cut is " +
+        "bit-identical on any engine. One projection, zero shuffles; " +
+        "per-gram counting is O(len²) within a row only.",
+      Some("""WITH t AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, toks,
+        |  CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+        |       ELSE list_transform(generate_series(1, len(toks) - 1),
+        |              i -> array_to_string(list_slice(toks, i, i + 1), ' ')) END AS g2,
+        |  CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |       ELSE list_transform(generate_series(1, len(toks) - 2),
+        |              i -> array_to_string(list_slice(toks, i, i + 2), ' ')) END AS g3,
+        |  CASE WHEN len(toks) < 4 THEN CAST([] AS VARCHAR[])
+        |       ELSE list_transform(generate_series(1, len(toks) - 3),
+        |              i -> array_to_string(list_slice(toks, i, i + 3), ' ')) END AS g4
+        |  FROM t),
+        |c AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(g2) AS BIGINT) AS n2,
+        |  CAST(len(g2) - len(list_distinct(g2)) AS BIGINT) AS dup2,
+        |  CAST(len(g3) AS BIGINT) AS n3,
+        |  CAST(len(g3) - len(list_distinct(g3)) AS BIGINT) AS dup3,
+        |  CAST(len(g4) AS BIGINT) AS n4,
+        |  CAST(len(g4) - len(list_distinct(g4)) AS BIGINT) AS dup4,
+        |  CAST(CASE WHEN len(g2) = 0 THEN 0
+        |    ELSE list_max(list_transform(list_distinct(g2),
+        |           gg -> len(list_filter(g2, x -> x = gg)))) END AS BIGINT) AS max2,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+        |  FROM g)
+        |SELECT doc_id, n_tokens,
+        |  CASE WHEN n2 = 0 THEN 0.0 ELSE
+        |    CAST(floor((dup2*2000000 + n2)/(2.0*n2)) AS DOUBLE)/1000000.0 END AS dup_2gram_frac,
+        |  CASE WHEN n3 = 0 THEN 0.0 ELSE
+        |    CAST(floor((dup3*2000000 + n3)/(2.0*n3)) AS DOUBLE)/1000000.0 END AS dup_3gram_frac,
+        |  CASE WHEN n4 = 0 THEN 0.0 ELSE
+        |    CAST(floor((dup4*2000000 + n4)/(2.0*n4)) AS DOUBLE)/1000000.0 END AS dup_4gram_frac,
+        |  CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+        |    CAST(floor((max2*2*2000000 + n_tokens)/(2.0*n_tokens)) AS DOUBLE)/1000000.0 END AS top_2gram_frac,
+        |  CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+        |    CAST(floor((n_distinct*2000000 + n_tokens)/(2.0*n_tokens)) AS DOUBLE)/1000000.0 END AS distinct_ratio,
+        |  (dup2*20 <= n2 AND dup3*50 <= n3 AND dup4*50 <= n4
+        |   AND max2*20 <= n_tokens AND n_distinct*5 >= n_tokens*2) AS gopher_keep
+        |FROM c""".stripMargin),
+      (s, dir) => Text.gopherRepetition(Tables.documents(s, dir))),
+
+    QueryDef("q75_zorder_scan",
+      "Morton/Z-order curve encoding over (l_orderkey, l_partkey) — the " +
+        "multi-dimensional lake-layout primitive (Delta/Iceberg OPTIMIZE " +
+        "ZORDER): a range write ordered by this value gives every file a " +
+        "tight bounding box over BOTH keys, so a 2-D box predicate prunes " +
+        "files on min/max stats in both dimensions (ZOrderSpec measures " +
+        "the actual skip rate vs a single-column sort). Native codegen'd " +
+        "expression (graft.functions.ZOrderEncode), one static-call loop " +
+        "per row inside whole-stage codegen; the oracle replays the " +
+        "interleave as 32 unrolled shift/mask terms.",
+      Some(s"""SELECT l_orderkey, l_partkey,
+        |  CAST(${graft.functions.ZOrderEncode.sql("l_orderkey", "l_partkey")}
+        |    AS BIGINT) AS zval
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 256 AND 1023
+        |  AND l_partkey BETWEEN 32 AND 159""".stripMargin),
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_orderkey").between(256, 1023) &&
+          col("l_partkey").between(32, 159))
+        .select(col("l_orderkey"), col("l_partkey"),
+          graft.functions.ZOrderEncode(s,
+            col("l_orderkey").cast("long"),
+            col("l_partkey").cast("long")).as("zval"))),
+
+    QueryDef("s13_random_projection",
+      "Johnson-Lindenstrauss ±1 random projection (Achlioptas 2003) of " +
+        "the 64-dim embeddings to 16 dims — the standard pre-reduction " +
+        "before LSH/IVF at corpus scale. Signs derive from a squared " +
+        "multiplicative hash of the flattened index pair (squaring breaks " +
+        "the affine column correlation a linear mix leaves), so every " +
+        "executor regenerates the matrix identically (nothing broadcast, " +
+        "no driver state); the " +
+        "inner fold is strictly sequential so the double sums are " +
+        "bit-identical across engines and go out UNROUNDED. Shuffle-free " +
+        "projection, O(in·out) per row.",
+      Some("""WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |j AS (SELECT vec_id, v, unnest(generate_series(0, 15)) AS out_dim FROM e)
+        |SELECT vec_id, CAST(out_dim AS BIGINT) AS out_dim,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(generate_series(1, len(v)), i ->
+        |      (1.0 - 2.0 * CAST((
+        |         ((((i-1)*1024 + out_dim + 1) * 2654435761) % 2147483647)
+        |         * ((((i-1)*1024 + out_dim + 1) * 2654435761) % 2147483647)
+        |         % 2147483647 & 1) AS DOUBLE)) * v[i])),
+        |    (a, b) -> a + b) AS value
+        |FROM j""".stripMargin),
+      (s, dir) => Similarity.randomProjection(Tables.embeddings(s, dir))),
+
+    QueryDef("p03_report_card",
+      "Per-source dataset report card — the release artifact a corpus " +
+        "pipeline publishes next to the data: docs in, survivors, " +
+        "per-stage cut counts, and token mass before/after, per source. " +
+        "All exact BIGINT counts (no rounded ratios) so the card is " +
+        "bit-reproducible. One |sources|-group hash agg over the lineage " +
+        "frame p02 already plans; same oracle CTE chain, aggregated.",
+      Some("""WITH RECURSIVE tok AS (SELECT doc_id, text, source,
+        |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |q AS (SELECT doc_id, text, source, toks FROM (
+        |  SELECT doc_id, text, source, toks,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    ROUND(CAST(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT))) AS DOUBLE)/len(toks), 4) AS avg_token_len,
+        |    ROUND(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)/len(toks), 4) AS stopword_ratio
+        |  FROM tok)
+        |  WHERE n_tokens >= 30 AND avg_token_len <= 6.0 AND stopword_ratio >= 0.01),
+        |ex AS (SELECT doc_id, text, source, toks FROM (
+        |  SELECT q.*, MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id FROM q)
+        |  WHERE doc_id = canonical_id),
+        |dtoks AS (SELECT doc_id, source, list_distinct(toks) AS dt FROM ex),
+        |pairs AS (SELECT doc_a, doc_b FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.dt, b.dt)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.dt, b.dt))) AS j
+        |  FROM dtoks a JOIN dtoks b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |  WHERE round(j, 6) >= 0.9),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(node, label) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node),
+        |comp AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node),
+        |kept AS (SELECT ex.doc_id FROM ex
+        |         LEFT JOIN comp c ON ex.doc_id = c.node
+        |         WHERE c.node IS NULL OR c.label = ex.doc_id)
+        |SELECT d.source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(k.doc_id) AS BIGINT) AS n_kept,
+        |  CAST(COUNT(*) FILTER (WHERE q.doc_id IS NULL) AS BIGINT) AS drop_quality,
+        |  CAST(COUNT(*) FILTER (WHERE q.doc_id IS NOT NULL AND e.doc_id IS NULL)
+        |    AS BIGINT) AS drop_exact_dup,
+        |  CAST(COUNT(*) FILTER (WHERE e.doc_id IS NOT NULL AND k.doc_id IS NULL)
+        |    AS BIGINT) AS drop_near_dup,
+        |  CAST(SUM(len(t.toks)) AS BIGINT) AS total_tokens,
+        |  CAST(COALESCE(SUM(len(t.toks)) FILTER (WHERE k.doc_id IS NOT NULL), 0)
+        |    AS BIGINT) AS kept_tokens
+        |FROM documents d
+        |JOIN tok t ON d.doc_id = t.doc_id
+        |LEFT JOIN q ON d.doc_id = q.doc_id
+        |LEFT JOIN ex e ON d.doc_id = e.doc_id
+        |LEFT JOIN kept k ON d.doc_id = k.doc_id
+        |GROUP BY d.source""".stripMargin),
+      (s, dir) => graft.pipeline.TrainingDataPipeline.reportCard(
+        s, Tables.documents(s, dir),
+        minTokens = 30, maxAvgTokenLen = 6.0, minStopwordRatio = 0.01,
+        nearDupThreshold = 0.9))
   )
 
   private def q70Sql(t: String => String): String =

@@ -104,4 +104,41 @@ object TrainingDataPipeline {
 
     Result(kept, chunks, stats, lineage)
   }
+
+  /** The per-source dataset report card — the release artifact a corpus
+    * pipeline publishes next to the data: for every source, how many
+    * documents went in, how many survived, how many each stage cut, and
+    * the token mass before/after. All columns are exact BIGINT counts
+    * (no rounded ratios), so the card is bit-reproducible anywhere.
+    *
+    * Scale: one extra hash aggregation keyed on source over the lineage
+    * frame [[run]] already plans lazily — the per-source card costs one
+    * shuffle of |sources| groups on top of the pipeline itself.
+    */
+  def reportCard(
+      spark: SparkSession,
+      docs: DataFrame,
+      minTokens: Long = 20,
+      maxAvgTokenLen: Double = 12.0,
+      minStopwordRatio: Double = 0.0,
+      nearDupThreshold: Double = 0.95): DataFrame = {
+    val lineage = run(spark, docs, minTokens, maxAvgTokenLen,
+      minStopwordRatio, nearDupThreshold, collectStats = false).lineage
+    docs.select(col("doc_id"), col("source"),
+        size(Text.tokens(col("text"))).cast("long").as("__nt"))
+      .join(lineage, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        count(when(col("kept"), 1)).cast("long").as("n_kept"),
+        count(when(col("drop_reason") === "quality", 1)).cast("long")
+          .as("drop_quality"),
+        count(when(col("drop_reason") === "exact_dup", 1)).cast("long")
+          .as("drop_exact_dup"),
+        count(when(col("drop_reason") === "near_dup", 1)).cast("long")
+          .as("drop_near_dup"),
+        sum(col("__nt")).cast("long").as("total_tokens"),
+        coalesce(sum(when(col("kept"), col("__nt"))), lit(0L)).cast("long")
+          .as("kept_tokens"))
+  }
 }

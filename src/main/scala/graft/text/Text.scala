@@ -407,6 +407,67 @@ object Text {
             .cast("double") / size(col("toks"))), 6).as("top_token_frac"))
   }
 
+  /** Exact 6-dp rounding of the non-negative integer ratio k/n: the value
+    * goes to micro-units with half-up tie rounding entirely in integer
+    * arithmetic — `floor((k*2e6 + n) / (2n))` — so Spark and DuckDB agree
+    * bit-exactly (a `round(k/n, 6)` on the DOUBLE quotient splits `...5`
+    * ties across engines; see [[meanE6Expr]]). The double division inside
+    * `floor` is itself exact here: operands stay far below 2^53 and a
+    * correctly-rounded quotient of integers that small cannot land within
+    * one ulp of a wrong integer boundary. 0 when n = 0.
+    */
+  private def ratioE6(k: Column, n: Column): Column =
+    when(n === 0, lit(0.0)).otherwise(
+      floor((k.cast("long") * lit(2000000L) + n.cast("long")) /
+        (n.cast("long") * lit(2L))).cast("double") / lit(1e6))
+
+  /** The full Gopher-style repetition rule set (public literature: Rae et
+    * al. 2021, Table A1), adapted to token units for whitespace-token
+    * corpora: duplicate 2/3/4-gram fractions, the token share covered by
+    * the single most frequent 2-gram, the distinct-token ratio, and the
+    * composed keep/drop verdict. The verdict compares RAW INTEGER counts
+    * cross-multiplied against rational thresholds (dup2 ≤ 1/20, dup3 ≤
+    * 1/50, dup4 ≤ 1/50, 2·max2/n ≤ 1/10, distinct/n ≥ 2/5), so the cut is
+    * bit-reproducible on any engine — no rounded-double boundary can flip
+    * it. Fractions are reported at exact 6 dp via [[ratioE6]].
+    *
+    * Scale: one projection, zero shuffles; the per-distinct-gram count is
+    * O(len²) WITHIN a row only (bounded by document length), never a
+    * cross-row join — linear in corpus size, embarrassingly parallel.
+    */
+  def gopherRepetition(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    def maxCount(g: Column): Column =
+      when(size(g) === 0, lit(0L)).otherwise(
+        array_max(transform(array_distinct(g),
+          gg => size(filter(g, x => x === gg)))).cast("long"))
+    docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .withColumn("g2", shingles(col("toks"), 2))
+      .withColumn("g3", shingles(col("toks"), 3))
+      .withColumn("g4", shingles(col("toks"), 4))
+      .select(Seq(col(idCol), size(col("toks")).cast("long").as("n_tokens"),
+        size(col("g2")).cast("long").as("n2"),
+        (size(col("g2")) - size(array_distinct(col("g2")))).cast("long").as("dup2"),
+        size(col("g3")).cast("long").as("n3"),
+        (size(col("g3")) - size(array_distinct(col("g3")))).cast("long").as("dup3"),
+        size(col("g4")).cast("long").as("n4"),
+        (size(col("g4")) - size(array_distinct(col("g4")))).cast("long").as("dup4"),
+        maxCount(col("g2")).as("max2"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct")): _*)
+      .select(
+        col(idCol), col("n_tokens"),
+        ratioE6(col("dup2"), col("n2")).as("dup_2gram_frac"),
+        ratioE6(col("dup3"), col("n3")).as("dup_3gram_frac"),
+        ratioE6(col("dup4"), col("n4")).as("dup_4gram_frac"),
+        ratioE6(col("max2") * 2, col("n_tokens")).as("top_2gram_frac"),
+        ratioE6(col("n_distinct"), col("n_tokens")).as("distinct_ratio"),
+        (col("dup2") * 20 <= col("n2") &&
+          col("dup3") * 50 <= col("n3") &&
+          col("dup4") * 50 <= col("n4") &&
+          col("max2") * 20 <= col("n_tokens") &&
+          col("n_distinct") * 5 >= col("n_tokens") * 2).as("gopher_keep"))
+  }
+
   /** Email-ish and long-digit-run patterns, conservative syntax shared by
     * Java regex and RE2-style engines so the oracle can repeat them.
     */

@@ -394,4 +394,37 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got(3L) === ((-1.0, true)))
     assert(got(4L) === ((1.0, false)))
   }
+
+  test("randomProjection: bit-exact vs a driver-side replay of the same " +
+    "fold, and JL norm preservation holds on real embeddings") {
+    val s = spark
+    val emb = Tables.embeddings(s, sf0001)
+    val outDims = 16
+    val proj = Similarity.randomProjection(emb, outDims).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    // driver-side replay: same sign LCG, same strictly-sequential double
+    // fold — values must be BIT-identical, not approximately equal
+    def sign(i: Int, j: Int): Double = {
+      val h = (i.toLong * 1024L + j + 1L) * 2654435761L % 2147483647L
+      if ((h * h % 2147483647L & 1L) == 0L) 1.0 else -1.0
+    }
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    val someIds = vecs.keys.toSeq.sorted.take(5)
+    for (id <- someIds; j <- 0 until outDims) {
+      var acc = 0.0
+      val v = vecs(id)
+      for (i <- v.indices) acc = acc + sign(i, j) * v(i)
+      assert(proj((id, j.toLong)) == acc, s"vec $id dim $j")
+    }
+
+    // JL with ±1 entries: E‖proj‖² = outDims·‖v‖²; the realized ratio
+    // should concentrate near 1 for nearly every vector
+    val ratios = vecs.map { case (id, v) =>
+      val p2 = (0 until outDims).map(j => { val x = proj((id, j.toLong)); x * x }).sum
+      p2 / (outDims * v.map(x => x * x).sum)
+    }.toSeq
+    assert(ratios.count(r => r > 0.4 && r < 2.5) >= (ratios.size * 0.9).toInt)
+  }
 }

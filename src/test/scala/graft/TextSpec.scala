@@ -309,4 +309,36 @@ class TextSpec extends SparkSpec {
     assert(out(1L) === ((3L, Some(wm), wm > 0)))
     assert(out(2L) === ((0L, None, false)))
   }
+
+  test("gopherRepetition: repetitive docs drop, diverse docs keep, " +
+    "fractions are exact micro-unit roundings") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a a a a a a a"), // one token: distinct 1/8, top-2-gram covers all
+      (2L, "the quick brown fox jumps over one lazy dog while rain falls " +
+        "softly upon green hills near silver lakes under bright autumn " +
+        "skies today"), // 24 distinct tokens
+      (3L, "x y x y x y x y x y"), // 'x y' 2-gram dominates
+      (4L, ""), // empty: all fractions 0, keep (vacuous)
+      (5L, "one two three")).toDF("doc_id", "text")
+    val out = Text.gopherRepetition(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(5),
+        r.getDouble(6), r.getBoolean(7)))).toMap
+    // doc 1: 7 2-grams all "a a" → dup 6/7; top-2-gram 2*7/8; distinct 1/8
+    assert(out(1L)._1 == 8L)
+    assert(out(1L)._2 == math.floor((6 * 2000000.0 + 7) / 14) / 1e6)
+    assert(out(1L)._3 == 1.75) // 2*max2/n = 14/8
+    assert(out(1L)._4 == 0.125)
+    assert(!out(1L)._5)
+    // doc 2: 24 distinct tokens, no repeated grams → keep
+    // (top-2-gram coverage 2/24 rounds to 83333 micro-units exactly)
+    assert(out(2L) === ((24L, 0.0, 0.083333, 1.0, true)))
+    // doc 3: alternating pair → dup-heavy, top-2-gram-heavy, low distinct
+    assert(!out(3L)._5)
+    // doc 4: empty is vacuous-keep with all-zero fractions
+    assert(out(4L) === ((0L, 0.0, 0.0, 0.0, true)))
+    // doc 5: 3 tokens — too short for the 1/10 coverage rule (any 2-gram
+    // covers 2/3 of it), so the verdict drops it
+    assert(!out(5L)._5)
+  }
 }
