@@ -78,15 +78,14 @@ object Graph {
     * undirected-adjacency self-join does. Every step is an equi-join or
     * hash aggregate on a node key — no theta products.
     */
-  /** Edge-count ceiling under which [[triangleCounts]] broadcasts the
-    * (deduped, oriented) edge table into the wedge and closing joins. The
-    * edge set is the BOUNDED side of compact-forward (the wedge stream is
-    * the one that explodes), so hashing it once per executor turns the
-    * whole wedge→close→count pipeline into a single shuffle-free stage —
-    * the O(W) wedge stream is never exchanged or sorted. 8M edges ≈ 128 MB
-    * hashed, comfortably inside executor memory; past the ceiling the
-    * joins fall back to Spark's shuffle strategies, which is the correct
-    * posture for billion-edge graphs.
+  /** Edge-count ceiling under which [[triangleCounts]] runs its bounded
+    * regime: the forward ADJACENCY (one array per node, Σ lengths = |E|,
+    * ≈ 16 MB of longs at the ceiling) broadcasts and each edge closes its
+    * own triangles with an in-row set intersection — no wedge row is ever
+    * materialized through join machinery. Past the ceiling the operator
+    * falls back to the shuffle wedge join + semi-join close, the correct
+    * posture for billion-edge graphs where nothing bounded fits an
+    * executor.
     */
   private val BroadcastEdgeLimit = 8L * 1000 * 1000
 
@@ -102,12 +101,17 @@ object Graph {
       .distinct()
       .localCheckpoint()
     val nEdges = e0.count() // O(1) scan of the checkpoint just written
+    val small = nEdges <= BroadcastEdgeLimit
+    // deg has one row per NODE (≤ 2|E|, usually far fewer) — broadcast it
+    // into the orientation join while the graph is bounded, so orienting
+    // costs zero shuffles on the edge stream
+    def boundedDeg(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val deg = e0.select(col("u").as("node"))
       .union(e0.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).cast("long").as("d"))
     val fwd = e0
-      .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
-      .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
+      .join(boundedDeg(deg.select(col("node").as("u"), col("d").as("du"))), "u")
+      .join(boundedDeg(deg.select(col("node").as("v"), col("d").as("dv"))), "v")
       .select(
         when(col("du") < col("dv") ||
           (col("du") === col("dv") && col("u") < col("v")), col("u"))
@@ -116,17 +120,35 @@ object Graph {
           (col("du") === col("dv") && col("u") < col("v")), col("v"))
           .otherwise(col("u")).as("t"))
       .localCheckpoint()
-    // checkpointed tables report unknown/huge stats, so AQE never elects
-    // the broadcast on its own — hint it while |E| provably fits
-    def bounded(df: DataFrame): DataFrame =
-      if (nEdges <= BroadcastEdgeLimit) broadcast(df) else df
-    val tri = fwd.as("e1")
-      .join(bounded(fwd.as("e2")), col("e1.t") === col("e2.s"))
-      .select(col("e1.s").as("a"), col("e1.t").as("b"), col("e2.t").as("c"))
-      .join(bounded(fwd.select(col("s").as("a"), col("t").as("c"))),
-        Seq("a", "c"), "left_semi")
+    val tri =
+      if (small) {
+        // Bounded regime: the whole forward ADJACENCY (one array per node,
+        // Σ lengths = |E| ≈ 16 MB at the 8M ceiling) broadcasts, and each
+        // oriented edge (a,b) closes its triangles as array_intersect(
+        // adj(a), adj(b)) — the classic edge-iterator formulation. The
+        // O(W) wedge stream is never materialized as join rows: closure
+        // work happens inside one per-row set intersection, so the only
+        // shuffle left in the whole query is the final per-node count agg.
+        val adj = fwd.groupBy(col("s")).agg(collect_list(col("t")).as("nbrs"))
+        fwd
+          .join(broadcast(adj.select(col("s").as("a"), col("nbrs").as("na"))),
+            col("s") === col("a"))
+          .join(broadcast(adj.select(col("s").as("b"), col("nbrs").as("nb"))),
+            col("t") === col("b"))
+          .select(col("a"), col("b"),
+            explode(array_intersect(col("na"), col("nb"))).as("c"))
+      } else {
+        // Scale regime (past the broadcast ceiling): shuffle wedge join +
+        // (a,c) semi-join close — every step an equi-join on a node key,
+        // the correct posture for billion-edge graphs
+        fwd.as("e1")
+          .join(fwd.as("e2"), col("e1.t") === col("e2.s"))
+          .select(col("e1.s").as("a"), col("e1.t").as("b"), col("e2.t").as("c"))
+          .join(fwd.select(col("s").as("a"), col("t").as("c")),
+            Seq("a", "c"), "left_semi")
+      }
     // one pass: each triangle contributes at all three corners via explode
-    // (a 3-way union would execute the wedge join three times); the agg is
+    // (a 3-way union would execute the closure three times); the agg is
     // map-combined down to per-partition distinct nodes before its shuffle
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).cast("long").as("n_triangles"))
