@@ -403,8 +403,9 @@ class DedupSimilaritySpec extends SparkSpec {
     val proj = Similarity.randomProjection(emb, outDims).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
 
-    // driver-side replay: same sign LCG, same strictly-sequential double
-    // fold — values must be BIT-identical, not approximately equal
+    // driver-side replay: same squared-multiplicative sign hash, same
+    // strictly-sequential double fold — values must be BIT-identical,
+    // not approximately equal
     def sign(i: Int, j: Int): Double = {
       val h = (i.toLong * 1024L + j + 1L) * 2654435761L % 2147483647L
       if ((h * h % 2147483647L & 1L) == 0L) 1.0 else -1.0
