@@ -4061,8 +4061,64 @@ object SparkEntry {
         Tables.documents(s, dir)
           .select(col("doc_id").as("media_id"),
             col("text").cast("binary").as("payload")),
-        "media_id", "payload"))
+        "media_id", "payload")),
+
+    QueryDef("t26_bpe_tokenize",
+      "REAL byte-pair-encoding tokenization (Sennrich et al. 2016; the " +
+        "GPT-2 merge-apply loop): every word starts as code points, the " +
+        "lowest-rank adjacent pair fuses left-to-right until no pair is " +
+        "in the merge table, and the corpus aggregates to exact per-piece " +
+        "counts — actual-tokenizer accounting, not the whitespace proxy. " +
+        "Native codegen'd expression per row, ONE piece-keyed hash agg. " +
+        "The oracle replays the identical loop as a recursive CTE: " +
+        "distinct words iterate (best pair via delimited-string " +
+        "containment, merge-all via a left fold), then join back to the " +
+        "token stream.",
+      Some(t26Sql),
+      (s, dir) => Text.bpeTokenize(Tables.documents(s, dir)))
   )
+
+  /** DuckDB rendering of [[Text.bpeTokenize]]: the same merge ranking as a
+    * VALUES list, the merge-apply fixed point as a recursive CTE over the
+    * DISTINCT words (state = symbols joined by '|'; the lowest-rank
+    * applicable pair is found by substring containment on the delimited
+    * string, and merge-all-occurrences is a left fold that fuses the
+    * trailing symbol when it equals sx and the next equals sy — the fused
+    * symbol differs from sx, so overlapping runs like 'aaa' fuse
+    * non-overlapping exactly like the Scala loop), then a join back to
+    * the full token stream and a piece-count aggregate.
+    */
+  private def t26Sql: String = {
+    val merges = Text.BpeMerges.zipWithIndex
+      .map { case ((a, b), i) => s"('$a','$b',$i)" }.mkString(", ")
+    s"""WITH RECURSIVE merges(sx, sy, rank) AS (SELECT * FROM (VALUES $merges)),
+       |words AS (SELECT DISTINCT w FROM (
+       |  SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |                x -> x <> '')) AS w
+       |  FROM documents)),
+       |bpe(w, s) AS (
+       |  SELECT w, array_to_string(regexp_split_to_array(w, ''), '|') FROM words
+       |  UNION
+       |  SELECT b.w,
+       |    list_reduce(string_split(b.s, '|'), (acc, x) ->
+       |      CASE WHEN acc = m.sx AND x = m.sy THEN m.sx || m.sy
+       |           WHEN ends_with(acc, '|' || m.sx) AND x = m.sy
+       |             THEN left(acc, length(acc) - length(m.sx) - 1) || '|' || m.sx || m.sy
+       |           ELSE acc || '|' || x END)
+       |  FROM bpe b
+       |  JOIN LATERAL (SELECT mm.sx, mm.sy FROM merges mm
+       |                WHERE contains('|' || b.s || '|', '|' || mm.sx || '|' || mm.sy || '|')
+       |                ORDER BY mm.rank LIMIT 1) m ON true),
+       |final AS (SELECT w, s FROM bpe
+       |  WHERE NOT EXISTS (SELECT 1 FROM merges mm
+       |    WHERE contains('|' || s || '|', '|' || mm.sx || '|' || mm.sy || '|'))),
+       |tok AS (SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |               x -> x <> '')) AS w
+       |        FROM documents),
+       |pieces AS (SELECT unnest(string_split(f.s, '|')) AS piece
+       |           FROM tok t JOIN final f ON t.w = f.w)
+       |SELECT piece, CAST(COUNT(*) AS BIGINT) AS n FROM pieces GROUP BY piece""".stripMargin
+  }
 
   private def q70Sql(t: String => String): String =
     s"""SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO'

@@ -468,6 +468,40 @@ object Text {
           col("n_distinct") * 5 >= col("n_tokens") * 2).as("gopher_keep"))
   }
 
+  /** Canonical merge ranking for [[bpeTokenize]] — fixed and tiny so the
+    * oracle can embed it as a VALUES list; ranks are list positions. In a
+    * real deployment this is the `merges.txt` a trained tokenizer ships.
+    */
+  val BpeMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("a", "n"), ("s", "c"), ("sc", "an"),
+    ("r", "o"), ("ro", "w"), ("t", "a"), ("b", "l"), ("ta", "bl"),
+    ("tabl", "e"), ("e", "r"), ("o", "r"), ("s", "t"), ("i", "n"),
+    ("d", "a"), ("da", "ta"), ("l", "o"), ("w", "i"), ("wi", "n"))
+
+  /** REAL byte-pair-encoding tokenization over the corpus (Sennrich et al.
+    * 2016): every word runs the exact GPT-2-style merge-apply loop against
+    * [[BpeMerges]] via the native codegen'd
+    * [[graft.functions.BpeEncode]] expression, and the result aggregates
+    * to the corpus piece vocabulary with exact counts — the token-level
+    * accounting (packing budgets, per-piece frequencies) a training
+    * pipeline needs actual-tokenizer numbers for, not the whitespace
+    * proxy.
+    *
+    * Scale: one projection (per-row encode, no shuffle) plus ONE hash
+    * aggregate on the piece key, map-combined to |piece vocabulary| rows
+    * per partition. Zipf-heavy corpora can dictionary-encode distinct
+    * words first (distinct → encode → join back — the oracle's shape);
+    * the per-row form keeps the plan a single scan-project-agg.
+    */
+  def bpeTokenize(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    docs.select(explode(tokens(col(textCol))).as("word"))
+      .select(explode(
+        graft.functions.BpeEncode(spark, col("word"), BpeMerges)).as("piece"))
+      .groupBy(col("piece"))
+      .agg(count(lit(1)).cast("long").as("n"))
+  }
+
   /** Email-ish and long-digit-run patterns, conservative syntax shared by
     * Java regex and RE2-style engines so the oracle can repeat them.
     */

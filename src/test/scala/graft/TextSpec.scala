@@ -341,4 +341,67 @@ class TextSpec extends SparkSpec {
     // covers 2/3 of it), so the verdict drops it
     assert(!out(5L)._5)
   }
+
+  test("bpeTokenize: the native merge-apply loop matches a reference BPE " +
+    "on every corpus word, handles overlap runs and no-merge words") {
+    import spark.implicits._
+    import graft.functions.BpeEncode
+
+    // independent reference implementation of the same algorithm
+    def refEncode(word: String, merges: Seq[(String, String)]): Seq[String] = {
+      val ranks = merges.zipWithIndex.toMap
+      var syms = word.map(_.toString).toVector
+      var done = false
+      while (!done && syms.length >= 2) {
+        val present = syms.zip(syms.tail).flatMap(p => ranks.get(p))
+        if (present.isEmpty) done = true
+        else {
+          val (sx, sy) = merges(present.min)
+          val out = Vector.newBuilder[String]
+          var k = 0
+          while (k < syms.length) {
+            if (k + 1 < syms.length && syms(k) == sx && syms(k + 1) == sy) {
+              out += sx + sy; k += 2
+            } else { out += syms(k); k += 1 }
+          }
+          syms = out.result()
+        }
+      }
+      syms
+    }
+
+    val merges = Text.BpeMerges
+    // hand-picked edges: rank order matters ('the' = t+h first, NOT t+a),
+    // overlap run, untokenizable word, single char
+    val words = Seq("the", "table", "scan", "data", "window", "thth",
+      "aaa", "zzz", "q", "tatata") ++
+      Tables.documents(spark, sf0001).select("text").as[String].collect()
+        .flatMap(_.split("\\s+")).filter(_.nonEmpty).distinct
+    val df = words.toDF("word")
+    val got = df.select(col("word"),
+        BpeEncode(spark, col("word"), merges).as("pieces"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    words.foreach { w =>
+      assert(got(w) == refEncode(w, merges), s"word '$w'")
+    }
+    // spot-pin a few results so the reference itself is checked
+    assert(got("the") == Seq("the"))
+    assert(got("scan") == Seq("scan"))
+    assert(got("table") == Seq("table"))
+    assert(got("data") == Seq("data"))
+    // (a,n) at rank 2: "aaa" has no (a,a) merge → stays chars
+    assert(got("aaa") == Seq("a", "a", "a"))
+    // merge-all is non-overlapping left-to-right: t+h fuses twice
+    assert(got("thth") == Seq("th", "th"))
+
+    // corpus aggregate: piece counts equal the reference's counts
+    val docs = Tables.documents(spark, sf0001)
+    val agg = Text.bpeTokenize(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val refCounts = docs.select("text").as[String].collect()
+      .flatMap(_.split("\\s+")).filter(_.nonEmpty)
+      .flatMap(w => refEncode(w, merges))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    assert(agg == refCounts)
+  }
 }
