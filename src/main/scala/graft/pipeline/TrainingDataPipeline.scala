@@ -121,9 +121,15 @@ object TrainingDataPipeline {
       minTokens: Long = 20,
       maxAvgTokenLen: Double = 12.0,
       minStopwordRatio: Double = 0.0,
-      nearDupThreshold: Double = 0.95): DataFrame = {
-    val lineage = run(spark, docs, minTokens, maxAvgTokenLen,
-      minStopwordRatio, nearDupThreshold, collectStats = false).lineage
+      nearDupThreshold: Double = 0.95): DataFrame =
+    reportCardFrom(docs, run(spark, docs, minTokens, maxAvgTokenLen,
+      minStopwordRatio, nearDupThreshold, collectStats = false).lineage)
+
+  /** [[reportCard]] over an ALREADY-computed lineage frame — the form a
+    * release pipeline uses, aggregating the materialized audit table
+    * instead of re-running the stages.
+    */
+  def reportCardFrom(docs: DataFrame, lineage: DataFrame): DataFrame = {
     docs.select(col("doc_id"), col("source"),
         size(Text.tokens(col("text"))).cast("long").as("__nt"))
       .join(lineage, Seq("doc_id"))

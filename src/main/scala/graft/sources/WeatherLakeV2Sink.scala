@@ -242,6 +242,64 @@ object WeatherLakeV2Sink {
   }
 
   // -----------------------------------------------------------------
+  // snapshot-pinned (time-travel) reads
+  // -----------------------------------------------------------------
+
+  /** Capture the current snapshot: the set of published manifest names.
+    * A snapshot is the lake's version handle — [[readAsOf]] over a held
+    * snapshot returns the same rows forever (repeatable reads across
+    * concurrent appends AND compactions), the manifest-set analog of a
+    * Delta/Iceberg version pin.
+    */
+  def snapshot(basePath: String): Seq[String] = manifestNames(basePath)
+
+  /** Read the lake AS OF a captured snapshot: only the snapshot's
+    * manifests contribute, and `#supersedes` directives are honored only
+    * WITHIN the snapshot — a compaction published after the capture
+    * neither hides nor duplicates anything, because its replacement
+    * manifest is simply not in the set. Later appends are invisible.
+    *
+    * Durability bound (same contract as every lake format): a snapshot
+    * taken BEFORE a compaction reads the original data files, which
+    * survive until [[vacuum]] reclaims them — vacuum is the explicit
+    * horizon that invalidates older snapshots. Readers that must outlive
+    * vacuum pin the compacted snapshot instead.
+    */
+  def readAsOf(spark: org.apache.spark.sql.SparkSession, basePath: String,
+      snap: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val fs = new Path(basePath).getFileSystem(new Configuration())
+    val mdir = new Path(basePath, ManifestDir)
+    def linesIfPresent(n: String): Option[Seq[String]] = {
+      val p = new Path(mdir, n)
+      if (fs.exists(p)) Some(readLines(fs, p)) else None
+    }
+    val present = snap.distinct.flatMap(n => linesIfPresent(n).map(n -> _))
+    val superseded = present.flatMap(_._2
+      .filter(_.startsWith(SupersedesPrefix))
+      .map(_.stripPrefix(SupersedesPrefix).trim)).toSet
+    // vacuum reclaims superseded manifests with their files: a snapshot
+    // manifest that is GONE but superseded within the snapshot is exactly
+    // the compacted-away case — its rows live on in the replacement.
+    // Gone and NOT superseded means the snapshot predates the vacuum
+    // horizon and its data is unrecoverable — fail loudly, never return
+    // a silently partial table.
+    val missing = snap.distinct.toSet -- present.map(_._1).toSet
+    val lost = missing.filterNot(superseded)
+    if (lost.nonEmpty)
+      throw new IllegalStateException(
+        "WeatherLakeV2Sink.readAsOf: snapshot predates the vacuum horizon; " +
+          s"manifests reclaimed without a superseding replacement: " +
+          lost.toSeq.sorted.mkString(", "))
+    val files = present.filterNot(p => superseded(p._1))
+      .flatMap(_._2)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+    if (files.isEmpty) {
+      import spark.implicits._
+      spark.emptyDataset[String].toDF("value")
+    } else spark.read.text(files: _*)
+  }
+
+  // -----------------------------------------------------------------
   // manifest-driven small-file compaction
   // -----------------------------------------------------------------
 

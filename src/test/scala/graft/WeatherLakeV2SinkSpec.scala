@@ -197,6 +197,62 @@ class WeatherLakeV2SinkSpec extends SparkSpec {
     assert(WeatherLakeV2Sink.readCommitted(spark, lake).count() == 8)
   }
 
+  test("snapshot-pinned reads: repeatable across appends AND compaction; " +
+    "vacuum is the documented horizon") {
+    import graft.sources.WeatherLakeV2Sink
+    val lake = Files.createTempDirectory("lakev2asof").toString
+    def sink(df: DataFrame): Unit =
+      df.select(col("city"), col("ds"), col("hour"),
+          to_json(struct(col("latitude"), col("longitude"))).as("raw_json"))
+        .write.format("graft.sources.WeatherLakeV2Sink")
+        .mode("append").save(lake)
+    def rows(df: DataFrame): Seq[String] =
+      df.collect().map(_.getString(0)).sorted.toSeq
+
+    sink(rawFixture.limit(3))
+    val snap1 = WeatherLakeV2Sink.snapshot(lake)
+    val v1 = rows(WeatherLakeV2Sink.readCommitted(spark, lake))
+    assert(v1.size == 3)
+
+    sink(rawFixture.limit(3)) // same partitions again → multi-file dirs
+    val snap2 = WeatherLakeV2Sink.snapshot(lake)
+    val v2 = rows(WeatherLakeV2Sink.readCommitted(spark, lake))
+    assert(v2.size == 6)
+
+    // a held snapshot is a version pin: snap1 still reads exactly v1
+    assert(rows(WeatherLakeV2Sink.readAsOf(spark, lake, snap1)) == v1)
+
+    // compaction rewrites the CURRENT view; both held snapshots read
+    // their original rows (their manifests aren't superseded within the
+    // captured set, and the superseded files survive until vacuum)
+    assert(WeatherLakeV2Sink.compact(spark, lake) > 0)
+    assert(rows(WeatherLakeV2Sink.readAsOf(spark, lake, snap1)) == v1)
+    assert(rows(WeatherLakeV2Sink.readAsOf(spark, lake, snap2)) == v2)
+
+    // a snapshot taken AFTER compaction honors the supersedes directive
+    // within its own set — no duplicates from old + replacement manifests
+    val snap3 = WeatherLakeV2Sink.snapshot(lake)
+    assert(rows(WeatherLakeV2Sink.readAsOf(spark, lake, snap3)) == v2)
+
+    // later appends are invisible to every held snapshot
+    sink(rawFixture.limit(2))
+    assert(rows(WeatherLakeV2Sink.readAsOf(spark, lake, snap2)) == v2)
+    assert(WeatherLakeV2Sink.readCommitted(spark, lake).count() == 8)
+
+    // vacuum invalidates snapshots older than the compaction (their data
+    // files are reclaimed) while post-compaction snapshots keep working:
+    // snap3 resolves through the superseding manifest, snap1's manifests
+    // are gone WITHOUT a replacement inside its captured set, so the read
+    // fails loudly instead of returning a silently partial table — the
+    // explicit durability horizon every lake format documents
+    assert(WeatherLakeV2Sink.vacuum(lake) > 0)
+    assert(rows(WeatherLakeV2Sink.readAsOf(spark, lake, snap3)) == v2)
+    val err = intercept[IllegalStateException] {
+      WeatherLakeV2Sink.readAsOf(spark, lake, snap1)
+    }
+    assert(err.getMessage.contains("vacuum horizon"))
+  }
+
   test("missing path option fails fast with the option named") {
     val e = intercept[IllegalArgumentException] {
       new graft.sources.WeatherLakeV2Sink()
