@@ -437,23 +437,23 @@ object Text {
     */
   def gopherRepetition(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    def maxCount(g: Column): Column =
-      when(size(g) === 0, lit(0L)).otherwise(
-        array_max(transform(array_distinct(g),
-          gg => size(filter(g, x => x === gg)))).cast("long"))
+    // one native hash-map pass per gram order (graft.functions.GramStats:
+    // [n_grams, dups, max_count]) instead of the O(len²) interpreted
+    // array_distinct/filter chain — identical counts, spec-pinned
+    val s = docs.sparkSession
+    def st(n: Int) = graft.functions.GramStats(s, col("toks"), n)
     docs.select(col(idCol), tokens(col(textCol)).as("toks"))
-      .withColumn("g2", shingles(col("toks"), 2))
-      .withColumn("g3", shingles(col("toks"), 3))
-      .withColumn("g4", shingles(col("toks"), 4))
-      .select(Seq(col(idCol), size(col("toks")).cast("long").as("n_tokens"),
-        size(col("g2")).cast("long").as("n2"),
-        (size(col("g2")) - size(array_distinct(col("g2")))).cast("long").as("dup2"),
-        size(col("g3")).cast("long").as("n3"),
-        (size(col("g3")) - size(array_distinct(col("g3")))).cast("long").as("dup3"),
-        size(col("g4")).cast("long").as("n4"),
-        (size(col("g4")) - size(array_distinct(col("g4")))).cast("long").as("dup4"),
-        maxCount(col("g2")).as("max2"),
-        size(array_distinct(col("toks"))).cast("long").as("n_distinct")): _*)
+      .withColumn("s1", st(1))
+      .withColumn("s2", st(2))
+      .withColumn("s3", st(3))
+      .withColumn("s4", st(4))
+      .select(Seq(col(idCol),
+        col("s1").getItem(0).as("n_tokens"),
+        col("s2").getItem(0).as("n2"), col("s2").getItem(1).as("dup2"),
+        col("s3").getItem(0).as("n3"), col("s3").getItem(1).as("dup3"),
+        col("s4").getItem(0).as("n4"), col("s4").getItem(1).as("dup4"),
+        col("s2").getItem(2).as("max2"),
+        (col("s1").getItem(0) - col("s1").getItem(1)).as("n_distinct")): _*)
       .select(
         col(idCol), col("n_tokens"),
         ratioE6(col("dup2"), col("n2")).as("dup_2gram_frac"),

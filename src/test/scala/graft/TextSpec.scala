@@ -342,6 +342,34 @@ class TextSpec extends SparkSpec {
     assert(!out(5L)._5)
   }
 
+  test("GramStats: native one-pass counts equal the HOF " +
+    "array_distinct/filter chain on real corpus docs") {
+    val s = spark
+    import s.implicits._
+    graft.functions.GramStats.register(s)
+    val docs = Tables.documents(s, sf0001).select("text")
+      .union(Seq("", "a", "a a", "a a a a", "x y x y").toDF("text"))
+    for (n <- Seq(1, 2, 3, 4)) {
+      val both = docs
+        .withColumn("toks", Text.tokens(col("text")))
+        .withColumn("g", Text.shingles(col("toks"), n))
+        .select(
+          expr(s"${graft.functions.GramStats.FnName}(toks, $n)").as("native"),
+          size(col("g")).cast("long").as("h_n"),
+          (size(col("g")) - size(array_distinct(col("g")))).cast("long").as("h_dup"),
+          when(size(col("g")) === 0, lit(0L)).otherwise(
+            array_max(transform(array_distinct(col("g")),
+              gg => size(filter(col("g"), x => x === gg)))).cast("long"))
+            .as("h_max"))
+        .collect()
+      both.foreach { r =>
+        val nat = r.getSeq[Long](0)
+        assert(nat == Seq(r.getLong(1), r.getLong(2), r.getLong(3)),
+          s"n=$n: native $nat vs hof (${r.getLong(1)}, ${r.getLong(2)}, ${r.getLong(3)})")
+      }
+    }
+  }
+
   test("bpeTokenize: the native merge-apply loop matches a reference BPE " +
     "on every corpus word, handles overlap runs and no-merge words") {
     import spark.implicits._
