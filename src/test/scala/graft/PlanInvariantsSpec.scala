@@ -69,6 +69,28 @@ class PlanInvariantsSpec extends SparkSpec {
       "orders side re-shuffled despite bucketing")
   }
 
+  test("q75: both box predicates push to the parquet scan under the " +
+    "native z-order projection") {
+    val f = formatted("q75_zorder_scan")
+    assert(f.matches("(?s).*PushedFilters: \\[[^\\]]*l_orderkey[^\\]]*\\].*"),
+      "l_orderkey box not in PushedFilters")
+    assert(f.matches("(?s).*PushedFilters: \\[[^\\]]*l_partkey[^\\]]*\\].*"),
+      "l_partkey box not in PushedFilters")
+  }
+
+  test("t25/t26/m03: linear text/binary operators keep at most the final " +
+    "aggregate exchange") {
+    // these are scan→project(+explode)→agg shapes; a second exchange means
+    // an accidental shuffle crept into a linear operator
+    for (q <- Seq("t25_gopher_rules", "m03_header_fields", "t26_bpe_tokenize")) {
+      val exchanges = plan(q).linesIterator
+        .count(l => l.contains("Exchange ") && !l.contains("BroadcastExchange"))
+      val allowed = if (q == "t25_gopher_rules" || q == "m03_header_fields") 0 else 1
+      assert(exchanges <= allowed,
+        s"$q plans $exchanges shuffle exchanges (allowed $allowed)")
+    }
+  }
+
   test("q36: IN subqueries decorrelate to semi-joins") {
     val p = plan("q36_nested_in_subqueries")
     assert(p.contains("LeftSemi"), "predicate subquery not rewritten to semi-join")
