@@ -51,13 +51,21 @@ object Graph {
     require(iterations >= 1, "need at least one iteration")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val deg = e.groupBy("src").agg(count(lit(1)).cast("long").as("outdeg"))
-    // (src, dst, outdeg) is iteration-invariant: checkpoint once and reuse
-    val ed = e.join(deg, "src").localCheckpoint()
+      .localCheckpoint()
+    // the edge list is iteration-invariant: checkpoint once and reuse
+    val ed = e.localCheckpoint()
+    // contributions PRE-DIVIDE on the O(V) ranks side: pr/outdeg computes
+    // once per NODE (and the decimal cast with it), so the O(E) edge join
+    // carries a ready 2-column (node, contrib) build side instead of
+    // dividing per edge — same numbers divided, bit-identical contribs,
+    // |V|/|E| of the arithmetic
     var ranks = deg.select(col("src").as("node"), lit(1.0).as("pr"))
     for (i <- 1 to iterations) {
-      ranks = ed.join(ranks, col("src") === col("node"))
-        .select(col("dst"),
+      val contribs = ranks.join(broadcast(deg.select(col("src").as("node"),
+          col("outdeg"))), "node")
+        .select(col("node"),
           (col("pr") / col("outdeg")).cast(DecimalType(38, 12)).as("contrib"))
+      ranks = ed.join(contribs, col("src") === col("node"))
         .groupBy(col("dst").as("node"))
         .agg((lit(1.0 - damping) +
           lit(damping) * sum(col("contrib")).cast("double")).as("pr"))
