@@ -208,18 +208,12 @@ object Similarity {
     // samples (measured maxcorr 0.97 → JL concentration fails); squaring
     // breaks the affine structure (measured maxcorr 0.31 ≈ the 64-sample
     // noise floor). Exact BIGINT arithmetic in both engines: h ≤ 2^31 ⇒
-    // h² ≤ 4.62e18 < 2^63.
-    def sign(i: Column, j: Column): Column = {
-      val h = ((i.cast("long") * lit(1024L) + j.cast("long") + lit(1L))
-        * lit(2654435761L)) % lit(2147483647L)
-      lit(1.0) - lit(2.0) * ((h * h) % lit(2147483647L))
-        .bitwiseAND(lit(1L)).cast("double")
-    }
+    // h² ≤ 4.62e18 < 2^63. The projection runs as the native codegen'd
+    // JlProject expression — one fused loop, i-ascending adds, bit-equal
+    // to the HOF fold it replaced (spec-pinned by the driver-side replay).
     widened(emb, vecCol)
       .select(col(idCol), posexplode(
-        transform(sequence(lit(0), lit(outDims - 1)), j =>
-          aggregate(sequence(lit(0), size(col("__v")) - 1), lit(0.0),
-            (acc, i) => acc + sign(i, j) * element_at(col("__v"), i + 1))))
+        graft.functions.JlProject(emb.sparkSession, col("__v"), outDims))
         .as(Seq("out_dim", "value")))
       .select(col(idCol), col("out_dim").cast("long").as("out_dim"),
         col("value"))
