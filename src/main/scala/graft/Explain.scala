@@ -38,6 +38,9 @@ object Explain {
     .replaceAll("Location: InMemoryFileIndex[^\\n]*", "Location: <scrubbed>")
     .replaceAll("file:[^,\\]\\s]*", "<path>")
     .replaceAll("Statistics\\([^)]*\\)", "Statistics(<scrubbed>)")
+    // content-addressed materializations (bucketed tables, exported models)
+    // embed a corpus signature — row count + key sum — that varies by SF
+    .replaceAll("_bkt_n\\d+_s\\d+", "_bkt_<sig>")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

@@ -4086,7 +4086,55 @@ object SparkEntry {
         "containment, merge-all via a left fold), then join back to the " +
         "token stream.",
       Some(t26Sql),
-      (s, dir) => Text.bpeTokenize(Tables.documents(s, dir)))
+      (s, dir) => Text.bpeTokenize(Tables.documents(s, dir))),
+
+    QueryDef("t27_phrase_search",
+      "Exact phrase search over a positional inverted index (one posting " +
+        "row per token occurrence, built by a single posexplode): each " +
+        "phrase term selects its own postings list and adjacency is an " +
+        "equi-join on (doc, pos − offset), so every shuffle carries only " +
+        "the phrase terms' postings — document-frequency-bounded, never " +
+        "corpus-bounded, the search-engine plan. The oracle replays the " +
+        "phrase scan as a per-doc position list-filter.",
+      Some("""WITH t AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> x <> '') AS toks FROM documents),
+        |m AS (SELECT doc_id,
+        |    unnest(list_filter(generate_series(1, len(toks) - 2),
+        |      i -> toks[i] = 'join' AND toks[i+1] = 'part'
+        |           AND toks[i+2] = 'filter')) AS p
+        |  FROM t)
+        |SELECT doc_id, CAST(p AS BIGINT) AS start FROM m""".stripMargin),
+      (s, dir) => Text.phraseSearch(Tables.documents(s, dir),
+        Seq("join", "part", "filter"))),
+
+    QueryDef("t28_source_divergence",
+      "Per-source unigram KL divergence from the corpus blend — the " +
+        "dataset-mixing diagnostic that flags which sources drift " +
+        "furthest from the distribution they feed. ONE corpus-sized " +
+        "(source, token) hash agg; per-source totals broadcast, corpus " +
+        "term counts re-aggregate the per-source counts, grand total is " +
+        "a one-row broadcast. ln inputs are exact BIGINT ratios and " +
+        "per-term contributions sum in DECIMAL(38,12), so the result is " +
+        "order-independent and engine-exact.",
+      Some("""WITH toks AS (SELECT source,
+        |    unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> x <> '')) AS tok FROM documents),
+        |cst AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c_st
+        |  FROM toks GROUP BY 1, 2),
+        |ns AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s
+        |  FROM cst GROUP BY 1),
+        |ct AS (SELECT tok, CAST(SUM(c_st) AS BIGINT) AS c_t
+        |  FROM cst GROUP BY 1),
+        |n AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n_total FROM ct)
+        |SELECT source, n_s AS n_tokens,
+        |  ROUND(CAST(SUM(CAST(
+        |    (CAST(c_st AS DOUBLE) / n_s) *
+        |    ln(CAST(c_st AS DOUBLE) * n_total / (n_s * c_t))
+        |    AS DECIMAL(38,12))) AS DOUBLE), 6) AS kl
+        |FROM cst JOIN ns USING(source) JOIN ct USING(tok) CROSS JOIN n
+        |GROUP BY source, n_s""".stripMargin),
+      (s, dir) => Text.sourceKlDivergence(Tables.documents(s, dir)))
   )
 
   /** DuckDB rendering of [[Text.bpeTokenize]]: the same merge ranking as a

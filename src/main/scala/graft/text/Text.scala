@@ -602,4 +602,88 @@ object Text {
         col("score_micro"),
         coalesce(col("score_micro") > 0, lit(false)).as("keep"))
   }
+
+  /** Positional inverted index: one posting row (id, pos, term) per token
+    * occurrence, positions 1-based. THE index structure for exact-phrase /
+    * proximity search over a tokenized corpus; built with a single
+    * posexplode so it inherits the scan's partitioning (no shuffle).
+    */
+  def postings(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+        posexplode(tokens(col(textCol))).as(Seq("pos0", "term")))
+      .select(col(idCol), (col("pos0") + 1).cast("long").as("pos"),
+        col("term"))
+
+  /** Exact phrase search over the positional index — the classic
+    * inverted-index phrase plan: each phrase term selects its own postings
+    * list, and adjacency is enforced by equi-joining on
+    * (id, pos − term offset) so every occurrence of the full phrase
+    * surfaces as one (id, start) row. Every join is keyed on BOTH the doc
+    * id and the aligned start position, so the shuffles carry only the
+    * phrase terms' postings (term-selectivity-bounded, never
+    * corpus-bounded) and no per-doc array is ever re-materialized — at
+    * 100 TB the cost is the document frequency of the rarest phrase term,
+    * exactly as in a search engine.
+    */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val post = postings(docs, idCol, textCol)
+    val first = post.filter(col("term") === phrase.head)
+      .select(col(idCol), col("pos").as("start"))
+    phrase.zipWithIndex.drop(1).foldLeft(first) { case (acc, (w, i)) =>
+      val pi = post.filter(col("term") === w)
+        .select(col(idCol).as("m_id"), (col("pos") - i).as("m_start"))
+      acc.join(pi,
+          acc(idCol) === col("m_id") && col("start") === col("m_start"))
+        .select(acc(idCol), col("start"))
+    }
+  }
+
+  /** Per-source unigram KL divergence from the corpus distribution,
+    * KL(P_s ‖ P) = Σ_t (c_st/N_s)·ln(c_st·N / (N_s·c_t)) — the
+    * dataset-mixing diagnostic (which sources' token distributions drift
+    * furthest from the blend they feed). One corpus-sized (source, token)
+    * hash agg; everything downstream is vocabulary-bounded: per-source
+    * totals broadcast (|sources| rows), corpus term counts re-aggregate
+    * the per-source counts (never a second pass over the token stream),
+    * and the grand total is a one-row broadcast. Engine parity: all ln
+    * inputs are exact BIGINT ratios, and per-term contributions pass
+    * through DECIMAL(38,12) before summing so the total is
+    * order-independent (the PageRank/logprob recipe). BIGINT products
+    * bound: N_s·c_t < 2^63 needs N < ~3e9 tokens per uniform source —
+    * switch the divisor product to DECIMAL beyond that.
+    */
+  def sourceKlDivergence(docs: DataFrame, srcCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(srcCol),
+      explode(tokens(col(textCol))).as("tok"))
+    // ONE pass over the token stream: the (source, token) counts feed four
+    // consumers (contribs, per-source totals, corpus counts, grand total),
+    // and without materialization Catalyst re-plans the corpus-sized
+    // explode+agg once per consumer — at 100 TB that's 4× the dominant
+    // scan. The agg output itself is |sources|·|vocab|-bounded, so
+    // checkpointing it is cheap and truncates all four branches to a
+    // small-table read.
+    val cst = toks.groupBy(col(srcCol), col("tok"))
+      .agg(count(lit(1)).cast("long").as("c_st"))
+      .localCheckpoint(true)
+    val ns = cst.groupBy(col(srcCol))
+      .agg(sum(col("c_st")).cast("long").as("n_s"))
+    val ct = cst.groupBy(col("tok"))
+      .agg(sum(col("c_st")).cast("long").as("c_t"))
+    val n = ct.agg(sum(col("c_t")).cast("long").as("n_total"))
+    cst.join(broadcast(ns), srcCol)
+      .join(ct, "tok")
+      .crossJoin(broadcast(n))
+      .select(col(srcCol), col("n_s"),
+        ((col("c_st").cast("double") / col("n_s")) *
+          log(col("c_st").cast("double") * col("n_total") /
+            (col("n_s") * col("c_t"))))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 12)).as("contrib"))
+      .groupBy(col(srcCol), col("n_s"))
+      .agg(round(sum(col("contrib")).cast("double"), 6).as("kl"))
+      .select(col(srcCol), col("n_s").as("n_tokens"), col("kl"))
+  }
 }

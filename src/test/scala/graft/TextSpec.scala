@@ -432,4 +432,41 @@ class TextSpec extends SparkSpec {
       .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
     assert(agg == refCounts)
   }
+
+  test("phraseSearch finds every occurrence with 1-based start positions") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c a b c a b"), // "a b c" at 1 and 4
+      (2L, "a a b c"),         // at 2
+      (3L, "c b a"),           // none
+      (4L, "a b")              // too short
+    ).toDF("doc_id", "text")
+    val got = Text.phraseSearch(df, Seq("a", "b", "c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 1L), (1L, 4L), (2L, 2L)))
+    // single-term phrase degenerates to the term's postings list
+    val one = Text.phraseSearch(df, Seq("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(one == Set((1L, 3L), (1L, 6L), (2L, 4L), (3L, 1L)))
+  }
+
+  test("sourceKlDivergence: zero for identical distributions, positive for drift") {
+    import spark.implicits._
+    val df = Seq(
+      ("s1", "x x y"), ("s2", "x x y"), // both near the corpus blend
+      ("s3", "z")                       // disjoint rare token → large KL
+    ).toDF("source", "text")
+    val got = Text.sourceKlDivergence(df)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got("s1")._1 == 3L && got("s2")._1 == 3L && got("s3")._1 == 1L)
+    // KL is always >= 0 (Gibbs), and s3 (disjoint support) must dominate
+    assert(got.values.forall(_._2 >= 0.0))
+    assert(got("s3")._2 > got("s1")._2)
+    assert(got("s1")._2 == got("s2")._2) // symmetric inputs, identical value
+    // hand checks: corpus c(x)=4, c(y)=2, c(z)=1, N=7
+    // s1: 2/3*ln(2*7/(3*4)) + 1/3*ln(1*7/(3*2)) = ln(7/6)
+    // s3: 1*ln(1*7/(1*1)) = ln 7
+    assert(math.abs(got("s1")._2 - math.log(7.0 / 6.0)) < 1e-6)
+    assert(math.abs(got("s3")._2 - math.log(7.0)) < 1e-6)
+  }
 }
