@@ -3961,6 +3961,35 @@ object SparkEntry {
             col("l_orderkey").cast("long"),
             col("l_partkey").cast("long")).as("zval"))),
 
+    QueryDef("q76_asof_native",
+      "q18's as-of join through the NATIVE physical operator — custom " +
+        "LogicalPlan + SparkStrategy + SparkPlan (plans.AsOfJoinPlan), " +
+        "the whole-operator extension rung: both sides hash-clustered on " +
+        "user_id and sorted by (ts, event_id), then one O(|L|+|R|) " +
+        "forward-merge per partition with O(1) state — no union, no " +
+        "window, each side sorts alone. Same oracle as q18, so the " +
+        "operator is hash-checked against the composed formulation at " +
+        "every SF.",
+      Some("""SELECT p.user_id, p.event_id, epoch_us(p.ts) AS purchase_us,
+        |  (SELECT epoch_us(max(c.ts)) FROM events c
+        |   WHERE c.user_id = p.user_id AND c.event_type = 'click'
+        |     AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))) AS click_us
+        |FROM events p WHERE p.event_type = 'purchase'""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        graft.plans.AsOfJoinPlan.asofJoin(purchases, clicks,
+            keys = Seq("user_id" -> "user_id"),
+            order = Seq("ts" -> "ts", "event_id" -> "event_id"),
+            strict = true)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("purchase_us"),
+            unix_micros(col("ts_r")).as("click_us"))
+      }),
+
     QueryDef("s13_random_projection",
       "Johnson-Lindenstrauss ±1 random projection (Achlioptas 2003) of " +
         "the 64-dim embeddings to 16 dims — the standard pre-reduction " +

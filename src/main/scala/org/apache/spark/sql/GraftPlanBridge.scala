@@ -1,0 +1,23 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic.{Dataset => ClassicDataset, SparkSession => ClassicSparkSession}
+
+/** The one `sql`-package-private doorway a library-defined logical operator
+  * needs: turning a hand-built [[LogicalPlan]] back into a [[DataFrame]].
+  * `classic.Dataset.ofRows` is `private[sql]`, so this object lives in the
+  * `org.apache.spark.sql` package — the standard extension-library trick
+  * (public knowledge; the whole `SparkSessionExtensions` ecosystem pairs
+  * custom plans with exactly this bridge). Nothing else private is touched.
+  */
+object GraftPlanBridge {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    ClassicDataset.ofRows(spark.asInstanceOf[ClassicSparkSession], plan)
+
+  /** Test-only peek: the strategies a [[SparkSessionExtensions]] instance
+    * would inject (`buildPlannerStrategies` is `private[sql]`).
+    */
+  def plannerStrategies(ext: SparkSessionExtensions, spark: SparkSession)
+      : Seq[org.apache.spark.sql.execution.SparkStrategy] =
+    ext.buildPlannerStrategies(spark)
+}

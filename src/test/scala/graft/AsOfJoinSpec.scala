@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.plans.{AsOfJoinExec, AsOfJoinPlan, AsOfJoinStrategy, GraftExtensions}
+
+/** The native backward as-of join (custom LogicalPlan + Strategy + Exec):
+  * semantics pinned to the composed window formulation q18 uses, plus the
+  * plan-shape and null/tie edge cases a physical operator must own.
+  */
+class AsOfJoinSpec extends SparkSpec {
+
+  private def trades = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      ("A", 10L, 1L), ("A", 20L, 2L), ("A", 30L, 3L),
+      ("B", 15L, 4L), ("C", 5L, 5L)
+    ).toDF("sym", "t", "trade_id")
+  }
+
+  private def quotes = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      ("A", 5L, 100L), ("A", 10L, 101L), ("A", 25L, 102L),
+      ("B", 99L, 103L), ("D", 1L, 104L)
+    ).toDF("sym", "t", "px")
+  }
+
+  test("asofJoin backward non-strict: last quote at-or-before each trade") {
+    val got = AsOfJoinPlan.asofJoin(trades, quotes,
+        keys = Seq("sym" -> "sym"), order = Seq("t" -> "t"), strict = false)
+      .select(col("sym"), col("t"), col("px_r"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(got == Set(
+      ("A", 10L, 101L), // exact-time quote matches when non-strict
+      ("A", 20L, 101L),
+      ("A", 30L, 102L),
+      ("B", 15L, -1L),  // only future quote for B
+      ("C", 5L, -1L)))  // no quotes at all for C
+  }
+
+  test("asofJoin strict: an equal-time right row no longer matches") {
+    val got = AsOfJoinPlan.asofJoin(trades, quotes,
+        keys = Seq("sym" -> "sym"), order = Seq("t" -> "t"), strict = true)
+      .select(col("sym"), col("t"), col("px_r"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(got(("A", 10L, 100L))) // t=10 now takes the t=5 quote
+  }
+
+  test("asofJoin: null keys never match, null order rows are skipped") {
+    val s = spark
+    import s.implicits._
+    val l = Seq((Option("A"), Option(10L), 1L), (Option.empty[String], Option(10L), 2L))
+      .toDF("k", "t", "id")
+    val r = Seq((Option("A"), Option(5L), 7L), (Option("A"), Option.empty[Long], 8L),
+        (Option.empty[String], Option(1L), 9L))
+      .toDF("k", "t", "v")
+    val got = AsOfJoinPlan.asofJoin(l, r,
+        keys = Seq("k" -> "k"), order = Seq("t" -> "t"))
+      .select(col("id"), col("v_r"))
+      .collect().map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
+    assert(got == Map(1L -> 7L, 2L -> -1L))
+  }
+
+  test("asofJoin matches the q18 window formulation on the events fixture") {
+    val ev = Tables.events(spark, sf0001)
+    // window formulation (q18's exact shape)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val expected = ev.filter(col("event_type").isin("click", "purchase"))
+      .withColumn("click_ts", when(col("event_type") === "click", col("ts")))
+      .withColumn("last_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), unix_micros(col("last_click_ts")).as("click_us"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) Long.MinValue else r.getLong(1))).toMap
+    // native operator, composite strict ordering (ts, event_id)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val got = AsOfJoinPlan.asofJoin(purchases, clicks,
+        keys = Seq("user_id" -> "user_id"),
+        order = Seq("ts" -> "ts", "event_id" -> "event_id"), strict = true)
+      .select(col("event_id"), unix_micros(col("ts_r")).as("click_us"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) Long.MinValue else r.getLong(1))).toMap
+    assert(got.nonEmpty && got == expected)
+  }
+
+  test("asofJoin plans as AsOfJoinExec: no window, no union, merge on clustered sides") {
+    val df = AsOfJoinPlan.asofJoin(trades, quotes,
+      keys = Seq("sym" -> "sym"), order = Seq("t" -> "t"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+    assert(!plan.contains("Window"), "native as-of must not fall back to a window")
+    assert(!plan.contains("Union"), "native as-of must not union its inputs")
+    // sanity: the physical node really is ours (sparkPlan, because the
+    // AdaptiveSparkPlanExec wrapper hides its input from collect)
+    val execs = df.queryExecution.sparkPlan.collect { case e: AsOfJoinExec => e }
+    assert(execs.nonEmpty)
+  }
+
+  test("GraftExtensions injects the same strategy via SparkSessionExtensions") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val strategies = org.apache.spark.sql.GraftPlanBridge.plannerStrategies(ext, spark)
+    assert(strategies.contains(AsOfJoinStrategy))
+  }
+}

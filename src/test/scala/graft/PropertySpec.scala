@@ -131,4 +131,50 @@ class PropertySpec extends SparkSpec {
       assert(native == expected, s"toks=$toks n=$n")
     }
   }
+
+  test("property: phraseSearch equals the brute-force sliding-window scan") {
+    // small alphabet forces overlaps and repeated phrase terms — the cases
+    // where a join-based formulation could double-count or miss
+    val docGen = Gen.listOfN(12, Gen.oneOf("a", "b", "c")).map(_.mkString(" "))
+    val corpusGen = Gen.listOfN(6, docGen)
+    val phraseGen = Gen.choose(1, 3)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c")))
+    val pair = for { c <- corpusGen; p <- phraseGen } yield (c, p)
+    for ((docsRaw, phrase) <- cases(pair, 15)) {
+      val s = spark
+      import s.implicits._
+      val docs = docsRaw.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.text.Text.phraseSearch(docs, phrase)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = docsRaw.zipWithIndex.flatMap { case (t, i) =>
+        val toks = t.split("\\s+").filter(_.nonEmpty)
+        toks.sliding(phrase.length).zipWithIndex.collect {
+          case (w, p) if w.toSeq == phrase => (i.toLong, (p + 1).toLong)
+        }
+      }.toSet
+      assert(got == expected, s"phrase=$phrase docs=$docsRaw")
+    }
+  }
+
+  test("property: sourceKlDivergence is non-negative and zero iff no drift") {
+    // Gibbs' inequality: KL(P_s || corpus) >= 0, with equality only when
+    // the source's distribution equals the blend — e.g. a single-source
+    // corpus, where the blend IS the source
+    val docGen = Gen.listOfN(6, Gen.oneOf("x", "y", "z")).map(_.mkString(" "))
+    val rowGen = for {
+      src <- Gen.oneOf("s1", "s2", "s3"); t <- docGen
+    } yield (src, t)
+    for (rows <- cases(Gen.listOfN(9, rowGen), 15)) {
+      val s = spark
+      import s.implicits._
+      val kl = graft.text.Text.sourceKlDivergence(rows.toDF("source", "text"))
+        .collect().map(r => r.getDouble(2))
+      assert(kl.forall(_ >= 0.0), s"negative KL for rows=$rows")
+      val single = graft.text.Text.sourceKlDivergence(
+        rows.map { case (_, t) => ("only", t) }.toDF("source", "text"))
+        .collect().map(r => r.getDouble(2))
+      assert(single.toSeq == Seq(0.0), "single-source corpus must have KL 0")
+    }
+  }
 }
