@@ -372,6 +372,9 @@ object Dedup {
           i => col("txt").substr(i, lit(n)))).as("gram"))
       .groupBy(col("id"), col("g"), xxhash64(col("blk"), col("gram")).as("key"))
       .agg(count(lit(1)).as("cnt"))
+      // both sides of the candidate self-join consume this — materialize
+      // so the char-gram explode+agg (the dominant map work) runs once
+      .localCheckpoint(true)
     val gramCands = gramCnt.as("a")
       .join(gramCnt.as("b"),
         col("a.key") === col("b.key") && col("a.id") < col("b.id"))
@@ -553,9 +556,12 @@ object Dedup {
       threshold: Double = 0.9, numHashes: Int = 16, rowsPerBand: Int = 8,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val tagged = docs.withColumn("__arch", isArchive)
+    // (id, flag, digest, token set) feeds the exact screen, both sides of
+    // the verify join, and the final left joins — one materialization
     val base = tagged.select(col(idCol).as("id"), col("__arch"),
       md5(col(textCol)).as("__d"),
       array_distinct(graft.text.Text.tokens(col(textCol))).as("__toks"))
+      .localCheckpoint(true)
     val batch = base.filter(!col("__arch"))
     val arch = base.filter(col("__arch"))
     val exact = batch.join(arch.select(col("__d")).distinct(), Seq("__d"),
@@ -620,6 +626,10 @@ object Dedup {
       .select(col("source"),
         conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("h"))
       .distinct()
+      // four consumers (sketch window, per-source sizes, both sides of the
+      // exact-intersection self-join) — materialize the deduped gram set
+      // once instead of re-running explode+md5+distinct per consumer
+      .localCheckpoint(true)
     // per-source KMV sketch: the k smallest hashes. The window input is
     // already the deduped gram set; at extreme skew the same result comes
     // from a partial min-k aggregate, but the shuffle key (source) and
