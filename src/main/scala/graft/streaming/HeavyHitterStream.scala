@@ -35,13 +35,13 @@ object HeavyHitterStream extends Serializable {
 
   private val Seed = 42
 
-  private def newSketch(eps: Double, confidence: Double): CountMinSketch =
+  private[streaming] def newSketch(eps: Double, confidence: Double): CountMinSketch =
     CountMinSketch.create(eps, confidence, Seed)
 
-  private def deserialize(bytes: Array[Byte]): CountMinSketch =
+  private[streaming] def deserialize(bytes: Array[Byte]): CountMinSketch =
     CountMinSketch.readFrom(new ByteArrayInputStream(bytes))
 
-  private def serialize(cms: CountMinSketch): Array[Byte] = {
+  private[streaming] def serialize(cms: CountMinSketch): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     cms.writeTo(out)
     out.toByteArray
