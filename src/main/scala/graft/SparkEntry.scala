@@ -3990,6 +3990,35 @@ object SparkEntry {
             unix_micros(col("ts_r")).as("click_us"))
       }),
 
+    QueryDef("q77_asof_tolerance",
+      "The native as-of join with a BOUNDED lookback (pandas " +
+        "merge_asof(tolerance=...)): a click only counts if it fell " +
+        "within the hour before the purchase. Same merge, one extra O(1) " +
+        "window check at emit — the buffered match ages out instead of " +
+        "matching forever, which is what attribution windows and " +
+        "staleness-bounded feature joins need. The oracle adds the " +
+        "interval bound to q76's correlated-max form.",
+      Some("""SELECT p.user_id, p.event_id, epoch_us(p.ts) AS purchase_us,
+        |  (SELECT epoch_us(max(c.ts)) FROM events c
+        |   WHERE c.user_id = p.user_id AND c.event_type = 'click'
+        |     AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))
+        |     AND c.ts >= p.ts - INTERVAL 1 HOUR) AS click_us
+        |FROM events p WHERE p.event_type = 'purchase'""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        graft.plans.AsOfJoinPlan.asofJoin(purchases, clicks,
+            keys = Seq("user_id" -> "user_id"),
+            order = Seq("ts" -> "ts", "event_id" -> "event_id"),
+            strict = true, tolerance = Some(3600L * 1000000L))
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("purchase_us"),
+            unix_micros(col("ts_r")).as("click_us"))
+      }),
+
     QueryDef("s13_random_projection",
       "Johnson-Lindenstrauss ±1 random projection (Achlioptas 2003) of " +
         "the 64-dim embeddings to 16 dims — the standard pre-reduction " +

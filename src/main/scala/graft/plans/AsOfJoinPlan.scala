@@ -44,11 +44,16 @@ case class AsOfJoin(
     rightKeys: Seq[Expression],
     leftOrder: Seq[Expression],
     rightOrder: Seq[Expression],
-    strict: Boolean) extends BinaryNode {
+    strict: Boolean,
+    tolerance: Option[Long] = None) extends BinaryNode {
   require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
     "as-of join needs matching, non-empty equi-key lists")
   require(leftOrder.length == rightOrder.length && leftOrder.nonEmpty,
     "as-of join needs matching, non-empty ordering lists")
+  require(tolerance.forall(t =>
+      t >= 0 && AsOfJoinExec.toleranceSupported(leftOrder.head.dataType)),
+    "tolerance needs a non-negative bound and a timestamp/integral head " +
+      "ordering column")
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -59,8 +64,8 @@ case class AsOfJoin(
 /** Planner rule: one physical form, the partitioned forward-merge. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lo, ro, strict) =>
-      AsOfJoinExec(lk, rk, lo, ro, strict, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lo, ro, strict, tol) =>
+      AsOfJoinExec(lk, rk, lo, ro, strict, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -71,6 +76,7 @@ case class AsOfJoinExec(
     leftOrder: Seq[Expression],
     rightOrder: Seq[Expression],
     strict: Boolean,
+    tolerance: Option[Long],
     left: SparkPlan,
     right: SparkPlan) extends SparkPlan with BinaryExecNode {
 
@@ -102,6 +108,8 @@ case class AsOfJoinExec(
     val lk = leftKeys; val rk = rightKeys
     val lo = leftOrder; val ro = rightOrder
     val strictLocal = strict
+    val tolLocal = tolerance
+    val headType = leftOrder.head.dataType
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       if (!lIter.hasNext) Iterator.empty
       else {
@@ -115,10 +123,15 @@ case class AsOfJoinExec(
         val joined = new JoinedRow
         val nullRight = new GenericInternalRow(rOut.size)
         val rBuf = rIter.buffered
+        // the head ordering value as a long (µs for timestamps), for the
+        // tolerance window; validated representable at plan construction
+        val headLong: InternalRow => Long = AsOfJoinExec.headAsLong(headType)
         // O(1) merge state: the best-so-far right row of the CURRENT key
-        // group (copied — child iterators reuse row buffers)
+        // group (copied — child iterators reuse row buffers) and its head
+        // ordering value
         var lastRight: InternalRow = null
         var lastRightKey: UnsafeRow = null
+        var lastRightHead: Long = 0L
         lIter.map { l =>
           val lKey = lKeyProj(l)
           if (lastRightKey != null && keyOrd.compare(lastRightKey, lKey) != 0) {
@@ -141,15 +154,48 @@ case class AsOfJoinExec(
                   if (!rOrd.anyNull) {
                     lastRight = r.copy()
                     lastRightKey = lKey.copy()
+                    lastRightHead = headLong(rOrd)
                   }
                 } else scanning = false
               } else scanning = false
             }
           }
-          resultProj(joined(l, if (lastRight != null) lastRight else nullRight))
+          // the buffered match may have aged out of the tolerance window
+          // for THIS left row (it stays buffered: it can never age back in,
+          // but a fresher right row may still arrive for a later left row)
+          val inWindow = lastRight != null && (tolLocal match {
+            case Some(t) => headLong(lOrdProj(l)) - lastRightHead <= t
+            case None => true
+          })
+          resultProj(joined(l, if (inWindow) lastRight else nullRight))
         }
       }
     }
+  }
+}
+
+object AsOfJoinExec {
+  import org.apache.spark.sql.types._
+
+  /** Ordering-head types whose value is losslessly a long — the µs/native
+    * units the tolerance bound is expressed in.
+    */
+  def toleranceSupported(dt: DataType): Boolean = dt match {
+    case TimestampType | TimestampNTZType | LongType | IntegerType |
+         ShortType | ByteType | DateType => true
+    case _ => false
+  }
+
+  /** Read the head ordering value (position 0 of the ordering projection)
+    * as a long in its native units.
+    */
+  def headAsLong(dt: DataType): InternalRow => Long = dt match {
+    case TimestampType | TimestampNTZType | LongType => _.getLong(0)
+    case IntegerType | DateType => _.getInt(0).toLong
+    case ShortType => _.getShort(0).toLong
+    case ByteType => _.getByte(0).toLong
+    case other => throw new IllegalArgumentException(
+      s"tolerance unsupported for head ordering type $other")
   }
 }
 
@@ -167,9 +213,11 @@ object AsOfJoinPlan {
 
   /** Backward as-of join `left ASOF JOIN right ON keys ORDER order`:
     * every left row picks the last right row at-or-before it (strictly
-    * before when `strict`). Right columns are suffixed (`_r`) — which
-    * also re-aliases them to fresh expression ids, keeping a self-join's
-    * two sides unambiguous for the optimizer.
+    * before when `strict`), optionally only if that row lies within
+    * `tolerance` of the left's head ordering value (native units — µs for
+    * timestamps; pandas `merge_asof(tolerance=...)`). Right columns are
+    * suffixed (`_r`) — which also re-aliases them to fresh expression
+    * ids, keeping a self-join's two sides unambiguous for the optimizer.
     */
   def asofJoin(
       left: DataFrame,
@@ -177,7 +225,8 @@ object AsOfJoinPlan {
       keys: Seq[(String, String)],
       order: Seq[(String, String)],
       strict: Boolean = false,
-      rightSuffix: String = "_r"): DataFrame = {
+      rightSuffix: String = "_r",
+      tolerance: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     register(spark)
     val r2 = right.select(right.columns.map(c => col(c).as(c + rightSuffix)): _*)
@@ -192,7 +241,7 @@ object AsOfJoinPlan {
       keys.map { case (_, rn) => attr(rPlan, rn + rightSuffix) },
       order.map { case (ln, _) => attr(lPlan, ln) },
       order.map { case (_, rn) => attr(rPlan, rn + rightSuffix) },
-      strict)
+      strict, tolerance)
     GraftPlanBridge.ofRows(spark, node)
   }
 }

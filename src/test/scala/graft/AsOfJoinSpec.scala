@@ -93,6 +93,38 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got.nonEmpty && got == expected)
   }
 
+  test("asofJoin tolerance: buffered matches age out of the window") {
+    // quotes at t=5,10,25 for A; tolerance 6 units of t
+    val got = AsOfJoinPlan.asofJoin(trades, quotes,
+        keys = Seq("sym" -> "sym"), order = Seq("t" -> "t"),
+        strict = false, tolerance = Some(6L))
+      .select(col("sym"), col("t"), col("px_r"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(got == Set(
+      ("A", 10L, 101L), // exact-time quote, diff 0
+      ("A", 20L, -1L),  // last quote t=10 is 10 units stale → aged out
+      ("A", 30L, 102L), // t=25 quote, diff 5 ≤ 6
+      ("B", 15L, -1L),
+      ("C", 5L, -1L)))
+    // boundary: diff == tolerance still matches (c.ts >= p.ts - tol)
+    val boundary = AsOfJoinPlan.asofJoin(trades, quotes,
+        keys = Seq("sym" -> "sym"), order = Seq("t" -> "t"),
+        strict = false, tolerance = Some(10L))
+      .select(col("sym"), col("t"), col("px_r"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(boundary(("A", 20L, 101L)), "diff-equals-tolerance must match")
+    // tolerance on a non-integral head ordering column is rejected
+    val s = spark
+    import s.implicits._
+    val dbl = Seq(("A", 1.5, 1L)).toDF("sym", "t", "id")
+    intercept[IllegalArgumentException] {
+      AsOfJoinPlan.asofJoin(dbl, dbl, keys = Seq("sym" -> "sym"),
+        order = Seq("t" -> "t"), tolerance = Some(1L))
+    }
+  }
+
   test("asofJoin plans as AsOfJoinExec: no window, no union, merge on clustered sides") {
     val df = AsOfJoinPlan.asofJoin(trades, quotes,
       keys = Seq("sym" -> "sym"), order = Seq("t" -> "t"))
