@@ -199,16 +199,63 @@ object AsOfJoinExec {
   }
 }
 
+/** The `Rule[LogicalPlan]` leg of the extension: Catalyst's own pushdown
+  * and pruning rules stop at an operator they don't know, so without this
+  * a filter above an as-of join runs post-join and the scans read every
+  * column. Both rewrites exploit the operator's 1:1-per-left-row contract:
+  *
+  *  - deterministic predicates referencing ONLY left-side attributes
+  *    commute with the join (each output row exists iff its left row
+  *    does), so they push into the left child — and from there Spark's
+  *    file-source planning carries them into `PushedFilters`;
+  *  - a Project above the join needs only its own references plus the
+  *    join's key/ordering columns, so both children prune to that set —
+  *    and the scans' `ReadSchema` shrinks accordingly.
+  *
+  * Runs in the user-optimizer fixed-point batch; both cases return the
+  * original node unchanged when there is nothing to do, which is the
+  * convergence guarantee.
+  */
+object AsOfJoinOptimizations extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.{And, AttributeSet}
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, aj: AsOfJoin) =>
+      val (push, keep) = splitConjunctivePredicates(cond).partition(p =>
+        p.deterministic && p.references.subsetOf(aj.left.outputSet))
+      if (push.isEmpty) f
+      else {
+        val pushed = aj.copy(left = Filter(push.reduce(And), aj.left))
+        if (keep.isEmpty) pushed else Filter(keep.reduce(And), pushed)
+      }
+    case p @ Project(fields, aj: AsOfJoin) =>
+      val needed = AttributeSet(fields.flatMap(_.references)) ++
+        AttributeSet((aj.leftKeys ++ aj.rightKeys ++ aj.leftOrder ++
+          aj.rightOrder).flatMap(_.references))
+      def prune(child: LogicalPlan): LogicalPlan = {
+        val kept = child.output.filter(needed.contains)
+        if (kept.length == child.output.length) child else Project(kept, child)
+      }
+      val (nl, nr) = (prune(aj.left), prune(aj.right))
+      if ((nl eq aj.left) && (nr eq aj.right)) p
+      else Project(fields, aj.copy(left = nl, right = nr))
+  }
+}
+
 object AsOfJoinPlan {
 
-  /** Idempotently add the planner strategy to the session (the
-    * config-free path; [[GraftExtensions]] is the `spark.sql.extensions`
-    * twin for sessions built with the config).
+  /** Idempotently add the planner strategy AND the optimizer rule to the
+    * session (the config-free path; [[GraftExtensions]] is the
+    * `spark.sql.extensions` twin for sessions built with the config).
     */
   def register(spark: SparkSession): Unit = synchronized {
     val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
     if (!exp.extraStrategies.contains(AsOfJoinStrategy))
       exp.extraStrategies = exp.extraStrategies :+ AsOfJoinStrategy
+    if (!exp.extraOptimizations.contains(AsOfJoinOptimizations))
+      exp.extraOptimizations = exp.extraOptimizations :+ AsOfJoinOptimizations
   }
 
   /** Backward as-of join `left ASOF JOIN right ON keys ORDER order`:
@@ -251,6 +298,8 @@ object AsOfJoinPlan {
   * identical to [[AsOfJoinPlan.register]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => AsOfJoinOptimizations)
+  }
 }

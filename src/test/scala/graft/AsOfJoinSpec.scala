@@ -138,6 +138,54 @@ class AsOfJoinSpec extends SparkSpec {
     assert(execs.nonEmpty)
   }
 
+  test("optimizer rule: left-only filters push through AsOfJoin into the scan") {
+    val ev = Tables.events(spark, sf0001)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val df = AsOfJoinPlan.asofJoin(purchases, clicks,
+        keys = Seq("user_id" -> "user_id"), order = Seq("ts" -> "ts"))
+      .filter(col("event_id") > 500L)
+    // semantic check: same rows as filtering AFTER the join without the rule
+    val expected = AsOfJoinPlan.asofJoin(purchases, clicks,
+        keys = Seq("user_id" -> "user_id"), order = Seq("ts" -> "ts"))
+      .collect().filter(r => r.getLong(1) > 500L).length
+    assert(df.count() == expected)
+    // plan check: the predicate reached the LEFT parquet scan's pushdown,
+    // and no Filter remains above the as-of join
+    val physical = df.queryExecution.executedPlan.toString
+    // (the plan printer truncates long PushedFilters lists, so match the
+    // predicate's prefix)
+    assert(physical.contains("GreaterThan(event_id,5"),
+      s"left-only predicate must reach PushedFilters:\n$physical")
+    val optimized = df.queryExecution.optimizedPlan
+    val filterAboveJoin = optimized.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.child.isInstanceOf[graft.plans.AsOfJoin] => f
+    }
+    assert(filterAboveJoin.isEmpty, s"filter stayed above the join:\n$optimized")
+  }
+
+  test("optimizer rule: projection prunes both children down to needed + key/order columns") {
+    val ev = Tables.events(spark, sf0001)
+    // carry a WIDE extra column on each side; project it away above the join
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"), col("props"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"), col("props"))
+    val df = AsOfJoinPlan.asofJoin(purchases, clicks,
+        keys = Seq("user_id" -> "user_id"),
+        order = Seq("ts" -> "ts", "event_id" -> "event_id"))
+      .select(col("user_id"), col("ts_r"))
+    // props never needs to leave either scan
+    val schemas = "ReadSchema: [^\\n]*".r
+      .findAllIn(df.queryExecution.executedPlan.toString).toList
+    assert(schemas.nonEmpty && schemas.forall(!_.contains("props")),
+      s"props must be pruned from every scan, got $schemas")
+    assert(df.count() > 0)
+  }
+
   test("GraftExtensions injects the same strategy via SparkSessionExtensions") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)
