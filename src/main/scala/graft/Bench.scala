@@ -102,11 +102,16 @@ object Bench {
     // query by its unique short id (the contract's own example uses
     // "q1"-style keys) at millisecond precision; the full-name,
     // full-precision per-query timings go to stderr for humans.
+    // per-query values at centisecond precision: with 152 registered
+    // queries, millisecond keys pushed the line to ~1.9k chars — right at
+    // the cap that protects the driver's 2000-char output tail. Total
+    // keeps 3 decimals; full-precision per-query timings are on stderr.
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def fmtQ(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     def shortId(name: String): String = name.takeWhile(_ != '_')
     require(results.map(n => shortId(n._1)).distinct.size == results.size,
       "short query ids must stay unique — rename the colliding query")
-    val qs = results.map { case (k, v, _) => "\"" + shortId(k) + "\":" + fmt(v) }
+    val qs = results.map { case (k, v, _) => "\"" + shortId(k) + "\":" + fmtQ(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v, _) if v < 0 => "\"" + shortId(k) + "\"" }
       .mkString("[", ",", "]")
@@ -118,7 +123,7 @@ object Bench {
       s"[bench] $k min=${mn}s median=${md}s$flag"
     }.mkString("\n"))
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"noisy":$noisyJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"noisy":$noisyJson,"sf":"${new java.io.File(sfDir).getName}"}"""
     require(line.length <= 1900,
       s"bench JSON line is ${line.length} chars — won't survive the driver's " +
         "2000-char output tail; shrink the key scheme")
