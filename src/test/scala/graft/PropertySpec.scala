@@ -157,6 +157,47 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: native as-of join equals the brute-force last-before scan") {
+    // adversarial shape for a merge exec: few keys (long runs), duplicate
+    // timestamps (ties), keys present on only one side, and both strict
+    // and tolerance variants — compared row-for-row against a reference
+    // computed by brute force on the driver
+    val rowGen = for {
+      k <- Gen.oneOf("a", "b", "c")
+      t <- Gen.choose(0L, 20L)
+    } yield (k, t)
+    val caseGen = for {
+      ls <- Gen.listOfN(14, rowGen)
+      rs <- Gen.listOfN(14, rowGen)
+      strict <- Gen.oneOf(true, false)
+      tol <- Gen.oneOf(Option.empty[Long], Some(3L), Some(0L))
+    } yield (ls, rs, strict, tol)
+    for ((lsRaw, rsRaw, strict, tol) <- cases(caseGen, 12)) {
+      val s = spark
+      import s.implicits._
+      // unique per-side ids double as deterministic tie-breaks
+      val ls = lsRaw.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      val rs = rsRaw.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      val got = graft.plans.AsOfJoinPlan.asofJoin(
+          ls.toDF("k", "t", "id"), rs.toDF("k", "t", "id"),
+          keys = Seq("k" -> "k"), order = Seq("t" -> "t", "id" -> "id"),
+          strict = strict, tolerance = tol)
+        .select(col("id"), col("id_r"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      val expected = ls.map { case (lk, lt, lid) =>
+        val m = rs.filter { case (rk, rt, rid) =>
+          val before = rt < lt || (rt == lt &&
+            (if (strict) rid < lid else rid <= lid))
+          rk == lk && before && tol.forall(w => lt - rt <= w)
+        }.sortBy { case (_, rt, rid) => (rt, rid) }.lastOption
+        lid -> m.map(_._3).getOrElse(-1L)
+      }.toMap
+      assert(got == expected,
+        s"strict=$strict tol=$tol ls=$ls rs=$rs")
+    }
+  }
+
   test("property: sourceKlDivergence is non-negative and zero iff no drift") {
     // Gibbs' inequality: KL(P_s || corpus) >= 0, with equality only when
     // the source's distribution equals the blend — e.g. a single-source
