@@ -3599,6 +3599,79 @@ object SparkEntry {
       (s, dir) => Dedup.bloomGramScreen(
         Tables.documents(s, dir), col("source") === "src0")),
 
+    QueryDef("d19_lsh_recall",
+      "Estimator-quality witness for the LSH near-dup path (the d-family " +
+        "analog of s08's IVF recall): d12's banding candidates scored " +
+        "against d02's exact J≥0.9 truth on a DETERMINISTIC 4-source " +
+        "sample — recall says how much the 2×8 banding misses, precision " +
+        "how much it over-generates. Sampling is the 100 TB posture: " +
+        "exact truth is quadratic per block, so calibration runs on a " +
+        "slice and the tuned config runs the banded path on everything. " +
+        "All counts are exact BIGINTs joined as one-row broadcasts.",
+      Some(s"""WITH t AS (SELECT doc_id, source,
+        |  list_distinct(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS toks
+        |  FROM documents
+        |  WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+        |truth AS (SELECT doc_a, doc_b FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(a.toks, b.toks))), 6) AS j
+        |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |  WHERE j >= 0.9),
+        |h AS (SELECT doc_id, list_transform(toks, t -> $duckTokenHash) AS hs FROM t),
+        |sig AS (SELECT doc_id,
+        |  list_transform(generate_series(0, 15), i ->
+        |    list_reduce(list_prepend(CAST(2147483647 AS BIGINT),
+        |      list_transform(hs, h -> ((CAST(i AS BIGINT) * 40503 + 1299721) * h + i * 7919 + 104729) % 2147483647)),
+        |      (acc, x) -> least(acc, x))) AS sig
+        |  FROM h),
+        |bands AS (SELECT doc_id, unnest(generate_series(0, 1)) AS band, sig FROM sig),
+        |keys AS (SELECT doc_id, band,
+        |  sig[(band*8+1):((band+1)*8)] AS band_sig FROM bands),
+        |cand0 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM keys a JOIN keys b
+        |    ON a.band = b.band AND a.band_sig = b.band_sig
+        |    AND a.doc_id < b.doc_id),
+        |cand AS (SELECT c.doc_a, c.doc_b FROM cand0 c
+        |  JOIN t ta ON ta.doc_id = c.doc_a
+        |  JOIN t tb ON tb.doc_id = c.doc_b
+        |  WHERE ta.source = tb.source),
+        |n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+        |n2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand FROM cand),
+        |n3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+        |  FROM truth tr JOIN cand c
+        |    ON tr.doc_a = c.doc_a AND tr.doc_b = c.doc_b)
+        |SELECT n_truth, n_cand, n_hit,
+        |  CASE WHEN n_truth > 0
+        |    THEN ROUND(CAST(n_hit AS DOUBLE) / n_truth, 6) END AS recall,
+        |  CASE WHEN n_cand > 0
+        |    THEN ROUND(CAST(n_hit AS DOUBLE) / n_cand, 6) END AS prec
+        |FROM n1 CROSS JOIN n2 CROSS JOIN n3""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .filter(col("source").isin("src0", "src1", "src2", "src3"))
+        val truth = Dedup.jaccardPairs(docs, "source", 0.9)
+          .select(col("doc_a"), col("doc_b"))
+          .localCheckpoint(true) // feeds n_truth AND the hit join
+        val src = docs.select(col("doc_id"), col("source"))
+        val cand = Dedup.minhashCandidates(
+            Dedup.minhashSignatures(docs, 16), rowsPerBand = 8)
+          .join(broadcast(src.toDF("doc_a", "src_a")), "doc_a")
+          .join(broadcast(src.toDF("doc_b", "src_b")), "doc_b")
+          .filter(col("src_a") === col("src_b"))
+          .select(col("doc_a"), col("doc_b"))
+          .localCheckpoint(true) // feeds n_cand AND the hit join
+        val hit = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+        truth.agg(count(lit(1)).cast("long").as("n_truth"))
+          .crossJoin(cand.agg(count(lit(1)).cast("long").as("n_cand")))
+          .crossJoin(hit.agg(count(lit(1)).cast("long").as("n_hit")))
+          .select(col("n_truth"), col("n_cand"), col("n_hit"),
+            when(col("n_truth") > 0,
+              round(col("n_hit").cast("double") / col("n_truth"), 6)).as("recall"),
+            when(col("n_cand") > 0,
+              round(col("n_hit").cast("double") / col("n_cand"), 6)).as("prec"))
+      }),
+
     QueryDef("qa6_hll_registers",
       "Deterministic HyperLogLog (Flajolet et al. 2007) distinct-user " +
         "estimate per event type: minstd-hashed ids land in 64 registers " +
