@@ -127,7 +127,16 @@ object Bench {
     require(line.length <= 1900,
       s"bench JSON line is ${line.length} chars — won't survive the driver's " +
         "2000-char output tail; shrink the key scheme")
+    // BENCH_r07 lost its total: sbt interleaves stdout ([info]) and stderr
+    // ([error]) nondeterministically, and in the driver's run the stdout
+    // JSON line flushed BEFORE the stderr per-query dump, landing outside
+    // the 2000-char output tail the driver parses. Emit the SAME JSON line
+    // on BOTH streams, stderr last — whichever ordering sbt's logger picks,
+    // the final captured output ends with a parseable copy of the line.
     println(line)
+    System.out.flush()
+    System.err.println(line)
+    System.err.flush()
     spark.stop()
   }
 }
