@@ -9,33 +9,55 @@ import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Dist
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.functions.col
 
+/** The as-of join's match direction (pandas `merge_asof(direction=...)`).
+  *
+  *  - [[AsOfDirection.Backward]]: the LAST right row at-or-before the left
+  *    row (strictly before when `strict`) — attribution, staleness joins.
+  *  - [[AsOfDirection.Forward]]: the FIRST right row at-or-after the left
+  *    row (strictly after when `strict`) — next-event / time-to-response.
+  *  - [[AsOfDirection.Nearest]]: whichever of those two candidates is
+  *    closer by the HEAD ordering column's value (µs for timestamps,
+  *    native units otherwise); ties go backward, pandas-style. Requires a
+  *    head ordering type losslessly representable as a long.
+  */
+sealed abstract class AsOfDirection
+object AsOfDirection {
+  case object Backward extends AsOfDirection
+  case object Forward extends AsOfDirection
+  case object Nearest extends AsOfDirection
+}
+
 /** A whole-operator extension — rung (c) of the build ladder: a custom
-  * `LogicalPlan` + `SparkStrategy` + `SparkPlan` for the BACKWARD AS-OF
-  * JOIN, the one relational operator the engine composes from built-ins
-  * (q18: union + running `last(ignoreNulls)` window) that deserves its own
-  * physical form.
+  * `LogicalPlan` + `SparkStrategy` + `SparkPlan` for the AS-OF JOIN, the
+  * one relational operator the engine composes from built-ins (q18: union
+  * + running `last(ignoreNulls)` window) that deserves its own physical
+  * form.
   *
   * Semantics (PostgreSQL-style lateral `ORDER BY ... LIMIT 1`, pandas
-  * `merge_asof(direction="backward")`): for every left row, attach the
-  * LAST right row with the same equi-key whose ordering tuple is `<` the
-  * left's (or `<=` when `strict = false`); no match → right columns null
+  * `merge_asof`): for every left row, attach the matching right row with
+  * the same equi-key per [[AsOfDirection]] — backward: last right row
+  * whose ordering tuple is `<` the left's (`<=` when `strict = false`);
+  * forward: first right row `>` (`>=`); nearest: the closer of the two by
+  * head-column distance, ties backward. No match → right columns null
   * (left outer). Ordering tuples compare lexicographically, so a unique
   * tie-break column (event id) makes the match deterministic.
   *
   * Physical plan: both children hash-CLUSTERED on the equi-key and sorted
   * by (key, ordering) — exactly a sort-merge join's requirements — then a
   * single zipped forward-merge per partition: the right iterator advances
-  * monotonically, one buffered row per key group, O(|L| + |R|) time and
-  * O(1) state. The window formulation materializes the union of both
-  * inputs through one sort; this never unions, never windows, and keeps
-  * the left side's partitioning and ordering for downstream reuse.
-  * At 100 TB both shapes shuffle the same bytes; the merge halves the
-  * sort volume (each side sorts alone) and drops the row-widening union.
+  * monotonically with O(1) state per key group (the last strictly-before
+  * row, the first/last tuple-equal rows, and a one-row lookahead for the
+  * forward candidate), O(|L| + |R|) time. The window formulation
+  * materializes the union of both inputs through one sort; this never
+  * unions, never windows, and keeps the left side's partitioning and
+  * ordering for downstream reuse. At 100 TB both shapes shuffle the same
+  * bytes; the merge halves the sort volume (each side sorts alone) and
+  * drops the row-widening union.
   *
   * SQL-join null semantics: null-keyed rows never match (right ones are
   * consumed unbuffered, left ones keep their group empty); right rows
-  * with a null ordering tuple can't satisfy `ord < left.ord` and are
-  * skipped. Nulls-first child ordering makes both guards single-pass.
+  * with a null ordering tuple never match. Nulls-first child ordering
+  * makes both guards single-pass.
   */
 case class AsOfJoin(
     left: LogicalPlan,
@@ -45,15 +67,31 @@ case class AsOfJoin(
     leftOrder: Seq[Expression],
     rightOrder: Seq[Expression],
     strict: Boolean,
-    tolerance: Option[Long] = None) extends BinaryNode {
+    tolerance: Option[Long] = None,
+    direction: AsOfDirection = AsOfDirection.Backward) extends BinaryNode {
   require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
     "as-of join needs matching, non-empty equi-key lists")
   require(leftOrder.length == rightOrder.length && leftOrder.nonEmpty,
     "as-of join needs matching, non-empty ordering lists")
+  // the merge's comparators are built from LEFT-side types and applied to
+  // both sides' projected rows, so a type mismatch must fail at plan
+  // construction, not as a runtime ClassCastException mid-merge
+  require(leftKeys.zip(rightKeys).forall { case (l, r) => l.dataType == r.dataType },
+    "as-of join equi-key dataTypes must match pairwise: " +
+      leftKeys.map(_.dataType.simpleString).mkString("(", ",", ")") + " vs " +
+      rightKeys.map(_.dataType.simpleString).mkString("(", ",", ")"))
+  require(leftOrder.zip(rightOrder).forall { case (l, r) => l.dataType == r.dataType },
+    "as-of join ordering dataTypes must match pairwise: " +
+      leftOrder.map(_.dataType.simpleString).mkString("(", ",", ")") + " vs " +
+      rightOrder.map(_.dataType.simpleString).mkString("(", ",", ")"))
   require(tolerance.forall(t =>
       t >= 0 && AsOfJoinExec.toleranceSupported(leftOrder.head.dataType)),
     "tolerance needs a non-negative bound and a timestamp/integral head " +
       "ordering column")
+  require(direction != AsOfDirection.Nearest ||
+      AsOfJoinExec.toleranceSupported(leftOrder.head.dataType),
+    "direction=nearest measures distance on the head ordering column, " +
+      "which must be a timestamp/integral type")
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -64,8 +102,9 @@ case class AsOfJoin(
 /** Planner rule: one physical form, the partitioned forward-merge. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lo, ro, strict, tol) =>
-      AsOfJoinExec(lk, rk, lo, ro, strict, tol, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lo, ro, strict, tol, dir) =>
+      AsOfJoinExec(lk, rk, lo, ro, strict, tol, dir,
+        planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -77,6 +116,7 @@ case class AsOfJoinExec(
     rightOrder: Seq[Expression],
     strict: Boolean,
     tolerance: Option[Long],
+    direction: AsOfDirection,
     left: SparkPlan,
     right: SparkPlan) extends SparkPlan with BinaryExecNode {
 
@@ -109,7 +149,12 @@ case class AsOfJoinExec(
     val lo = leftOrder; val ro = rightOrder
     val strictLocal = strict
     val tolLocal = tolerance
+    val dir = direction
     val headType = leftOrder.head.dataType
+    // the head ordering value as a long (µs for timestamps) drives the
+    // tolerance window and nearest's distance; validated representable at
+    // plan construction, so only materialize the reader when needed
+    val needHead = tolLocal.isDefined || dir == AsOfDirection.Nearest
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       if (!lIter.hasNext) Iterator.empty
       else {
@@ -123,22 +168,44 @@ case class AsOfJoinExec(
         val joined = new JoinedRow
         val nullRight = new GenericInternalRow(rOut.size)
         val rBuf = rIter.buffered
-        // the head ordering value as a long (µs for timestamps), for the
-        // tolerance window; validated representable at plan construction
-        val headLong: InternalRow => Long = AsOfJoinExec.headAsLong(headType)
-        // O(1) merge state: the best-so-far right row of the CURRENT key
-        // group (copied — child iterators reuse row buffers) and its head
-        // ordering value
-        var lastRight: InternalRow = null
-        var lastRightKey: UnsafeRow = null
-        var lastRightHead: Long = 0L
+        val headLong: InternalRow => Long =
+          if (needHead) AsOfJoinExec.headAsLong(headType) else null
+        // O(1) merge state for the CURRENT key group (rows copied — child
+        // iterators reuse row buffers). Which slots are populated depends
+        // on direction:
+        //   prev     last right row with ordering tuple strictly < the
+        //            current left's (backward/nearest candidate)
+        //   eqFirst  first right row with tuple == the current left's
+        //            (forward non-strict candidate)
+        //   eqLast   last such row (backward/nearest non-strict candidate;
+        //            ages into prev when the left advances past it)
+        // The forward strictly-after candidate is the UNCONSUMED rBuf.head
+        // — a peek, so it stays available for later left rows.
+        val needPrev = dir != AsOfDirection.Forward
+        val needEqFirst = dir == AsOfDirection.Forward && !strictLocal
+        val needEqLast = dir != AsOfDirection.Forward
+        var groupKey: UnsafeRow = null
+        var prev: InternalRow = null
+        var prevHead: Long = 0L
+        var eqFirst: InternalRow = null
+        var eqLast: InternalRow = null
+        var eqOrd: UnsafeRow = null
+        var eqHead: Long = 0L
         lIter.map { l =>
           val lKey = lKeyProj(l)
-          if (lastRightKey != null && keyOrd.compare(lastRightKey, lKey) != 0) {
-            lastRight = null; lastRightKey = null
+          if (groupKey != null && keyOrd.compare(groupKey, lKey) != 0) {
+            groupKey = null; prev = null
+            eqFirst = null; eqLast = null; eqOrd = null
           }
+          var matched: InternalRow = null
           if (!lKey.anyNull) {
             val lOrd = lOrdProj(l)
+            // tuple-equal state from an earlier (smaller) left row ages
+            // into the strictly-before slot
+            if (eqOrd != null && ordOrd.compare(eqOrd, lOrd) < 0) {
+              if (needPrev && eqLast != null) { prev = eqLast; prevHead = eqHead }
+              eqFirst = null; eqLast = null; eqOrd = null
+            }
             var scanning = true
             while (scanning && rBuf.hasNext) {
               val rKey = rKeyProj(rBuf.head)
@@ -148,26 +215,78 @@ case class AsOfJoinExec(
               else if (kc == 0) {
                 val rOrd = rOrdProj(rBuf.head)
                 val oc = ordOrd.compare(rOrd, lOrd)
-                if (oc < 0 || (!strictLocal && oc == 0)) {
+                if (oc < 0) {
                   val r = rBuf.next()
-                  // a null ordering tuple can never satisfy ord < left.ord
+                  // a null ordering tuple never matches — consume, drop
+                  if (needPrev && !rOrd.anyNull) {
+                    prev = r.copy()
+                    if (needHead) prevHead = headLong(rOrd)
+                    if (groupKey == null) groupKey = lKey.copy()
+                  }
+                } else if (oc == 0) {
+                  val r = rBuf.next()
                   if (!rOrd.anyNull) {
-                    lastRight = r.copy()
-                    lastRightKey = lKey.copy()
-                    lastRightHead = headLong(rOrd)
+                    if (eqOrd == null) eqOrd = rOrd.copy()
+                    if (needEqFirst && eqFirst == null) eqFirst = r.copy()
+                    if (needEqLast) eqLast = r.copy()
+                    if (needHead) eqHead = headLong(rOrd)
+                    if (groupKey == null) groupKey = lKey.copy()
                   }
                 } else scanning = false
               } else scanning = false
             }
+            // ---- candidate selection ----
+            // backward: last tuple <= (non-strict) or < (strict) the left's
+            var b: InternalRow = null; var bHead = 0L
+            if (dir != AsOfDirection.Forward) {
+              if (!strictLocal && eqLast != null) { b = eqLast; bHead = eqHead }
+              else { b = prev; bHead = prevHead }
+            }
+            // forward: first tuple >= (non-strict) or > (strict) — the
+            // tuple-equal first row, else the unconsumed lookahead
+            var f: InternalRow = null; var fHead = 0L
+            if (dir != AsOfDirection.Backward) {
+              if (needEqFirst && eqFirst != null) { f = eqFirst; fHead = eqHead }
+              else if (rBuf.hasNext) {
+                val hKey = rKeyProj(rBuf.head)
+                if (!hKey.anyNull && keyOrd.compare(hKey, lKey) == 0) {
+                  val hOrd = rOrdProj(rBuf.head)
+                  if (!hOrd.anyNull && ordOrd.compare(hOrd, lOrd) > 0) {
+                    f = rBuf.head
+                    if (needHead) fHead = headLong(hOrd)
+                  }
+                }
+              }
+            }
+            // tolerance window and nearest distance both need the left
+            // head value; a null head makes distances undefined — then
+            // tolerance can't hold, and nearest degrades to backward
+            // preference
+            if (needHead) {
+              if (lOrd.isNullAt(0)) {
+                if (tolLocal.isDefined) { b = null; f = null }
+                matched = if (b != null) b else f
+              } else {
+                val lHead = headLong(lOrd)
+                tolLocal.foreach { t =>
+                  if (b != null && lHead - bHead > t) b = null
+                  if (f != null && fHead - lHead > t) f = null
+                }
+                matched = dir match {
+                  case AsOfDirection.Backward => b
+                  case AsOfDirection.Forward => f
+                  case AsOfDirection.Nearest =>
+                    if (b != null && f != null) {
+                      // ties go backward, pandas-style
+                      if (lHead - bHead <= fHead - lHead) b else f
+                    } else if (b != null) b else f
+                }
+              }
+            } else {
+              matched = if (dir == AsOfDirection.Forward) f else b
+            }
           }
-          // the buffered match may have aged out of the tolerance window
-          // for THIS left row (it stays buffered: it can never age back in,
-          // but a fresher right row may still arrive for a later left row)
-          val inWindow = lastRight != null && (tolLocal match {
-            case Some(t) => headLong(lOrdProj(l)) - lastRightHead <= t
-            case None => true
-          })
-          resultProj(joined(l, if (inWindow) lastRight else nullRight))
+          resultProj(joined(l, if (matched != null) matched else nullRight))
         }
       }
     }
@@ -221,7 +340,16 @@ object AsOfJoinOptimizations extends org.apache.spark.sql.catalyst.rules.Rule[Lo
   import org.apache.spark.sql.catalyst.expressions.{And, AttributeSet}
   import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // fast-path guard: the rule sits in session-global extraOptimizations
+    // once registered, so every query's fixed-point batch calls it — skip
+    // the transform allocation for the overwhelming majority of plans
+    // that contain no AsOfJoin node (and keep the match surface strictly
+    // limited to plans that do)
+    if (!plan.exists(_.isInstanceOf[AsOfJoin])) plan else applyToAsOf(plan)
+  }
+
+  private def applyToAsOf(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, aj: AsOfJoin) =>
       val (push, keep) = splitConjunctivePredicates(cond).partition(p =>
         p.deterministic && p.references.subsetOf(aj.left.outputSet))
@@ -258,13 +386,23 @@ object AsOfJoinPlan {
       exp.extraOptimizations = exp.extraOptimizations :+ AsOfJoinOptimizations
   }
 
-  /** Backward as-of join `left ASOF JOIN right ON keys ORDER order`:
-    * every left row picks the last right row at-or-before it (strictly
-    * before when `strict`), optionally only if that row lies within
-    * `tolerance` of the left's head ordering value (native units — µs for
-    * timestamps; pandas `merge_asof(tolerance=...)`). Right columns are
-    * suffixed (`_r`) — which also re-aliases them to fresh expression
-    * ids, keeping a self-join's two sides unambiguous for the optimizer.
+  /** As-of join `left ASOF JOIN right ON keys ORDER order`: every left
+    * row picks the right row per [[AsOfDirection]] — backward (default):
+    * the last right row at-or-before it (strictly before when `strict`);
+    * forward: the first at-or-after; nearest: the closer of those two by
+    * head-column distance, ties backward — optionally only if that row
+    * lies within `tolerance` of the left's head ordering value (native
+    * units — µs for timestamps; pandas `merge_asof(tolerance=...)`).
+    * Right columns are suffixed (`_r`) — which also re-aliases them to
+    * fresh expression ids, keeping a self-join's two sides unambiguous
+    * for the optimizer.
+    *
+    * Determinism: ordering tuples compare lexicographically, and when
+    * multiple right rows share an identical FULL ordering tuple within a
+    * key group the match's non-ordering payload columns are whichever row
+    * the (unstable-within-ties) child sort emits last (backward) / the
+    * lookahead sees first (forward). Append a unique tie-break column
+    * (event id) to `order` to make the matched row itself deterministic.
     */
   def asofJoin(
       left: DataFrame,
@@ -273,7 +411,8 @@ object AsOfJoinPlan {
       order: Seq[(String, String)],
       strict: Boolean = false,
       rightSuffix: String = "_r",
-      tolerance: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long] = None,
+      direction: AsOfDirection = AsOfDirection.Backward): DataFrame = {
     val spark = left.sparkSession
     register(spark)
     val r2 = right.select(right.columns.map(c => col(c).as(c + rightSuffix)): _*)
@@ -288,7 +427,7 @@ object AsOfJoinPlan {
       keys.map { case (_, rn) => attr(rPlan, rn + rightSuffix) },
       order.map { case (ln, _) => attr(lPlan, ln) },
       order.map { case (_, rn) => attr(rPlan, rn + rightSuffix) },
-      strict, tolerance)
+      strict, tolerance, direction)
     GraftPlanBridge.ofRows(spark, node)
   }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.plans.{AsOfJoinExec, AsOfJoinPlan, AsOfJoinStrategy, GraftExtensions}
+import graft.plans.{AsOfDirection, AsOfJoinExec, AsOfJoinPlan, AsOfJoinStrategy, GraftExtensions}
 
 /** The native backward as-of join (custom LogicalPlan + Strategy + Exec):
   * semantics pinned to the composed window formulation q18 uses, plus the
@@ -122,6 +122,109 @@ class AsOfJoinSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       AsOfJoinPlan.asofJoin(dbl, dbl, keys = Seq("sym" -> "sym"),
         order = Seq("t" -> "t"), tolerance = Some(1L))
+    }
+  }
+
+  test("asofJoin forward: first quote at-or-after each trade") {
+    val got = AsOfJoinPlan.asofJoin(trades, quotes,
+        keys = Seq("sym" -> "sym"), order = Seq("t" -> "t"),
+        strict = false, direction = AsOfDirection.Forward)
+      .select(col("sym"), col("t"), col("px_r"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(got == Set(
+      ("A", 10L, 101L), // exact-time quote matches when non-strict
+      ("A", 20L, 102L),
+      ("A", 30L, -1L),  // no quote after t=30
+      ("B", 15L, 103L), // B's only quote is in the future
+      ("C", 5L, -1L)))
+    // strict: the t=10 trade skips the equal-time quote
+    val strict = AsOfJoinPlan.asofJoin(trades, quotes,
+        keys = Seq("sym" -> "sym"), order = Seq("t" -> "t"),
+        strict = true, direction = AsOfDirection.Forward)
+      .select(col("sym"), col("t"), col("px_r"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(strict(("A", 10L, 102L)), "strict forward must skip the equal-time quote")
+    // tolerance bounds the lookAHEAD window
+    val tol = AsOfJoinPlan.asofJoin(trades, quotes,
+        keys = Seq("sym" -> "sym"), order = Seq("t" -> "t"),
+        strict = false, tolerance = Some(6L),
+        direction = AsOfDirection.Forward)
+      .select(col("sym"), col("t"), col("px_r"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(tol == Set(
+      ("A", 10L, 101L), // diff 0
+      ("A", 20L, 102L), // t=25 quote, diff 5 <= 6
+      ("A", 30L, -1L),
+      ("B", 15L, -1L),  // t=99 quote is 84 units ahead → out of window
+      ("C", 5L, -1L)))
+  }
+
+  test("asofJoin nearest: closer of the two candidates, ties go backward") {
+    val got = AsOfJoinPlan.asofJoin(trades, quotes,
+        keys = Seq("sym" -> "sym"), order = Seq("t" -> "t"),
+        strict = false, direction = AsOfDirection.Nearest)
+      .select(col("sym"), col("t"), col("px_r"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(got == Set(
+      ("A", 10L, 101L), // exact match, distance 0
+      ("A", 20L, 102L), // backward t=10 (d=10) vs forward t=25 (d=5) → forward
+      ("A", 30L, 102L), // only a backward candidate
+      ("B", 15L, 103L), // only a forward candidate
+      ("C", 5L, -1L)))
+    // equidistant candidates: backward wins (pandas tie rule)
+    val s = spark
+    import s.implicits._
+    val l = Seq(("A", 10L, 1L)).toDF("sym", "t", "id")
+    val r = Seq(("A", 5L, 100L), ("A", 15L, 200L)).toDF("sym", "t", "px")
+    val tie = AsOfJoinPlan.asofJoin(l, r,
+        keys = Seq("sym" -> "sym"), order = Seq("t" -> "t"),
+        direction = AsOfDirection.Nearest)
+      .select(col("px_r")).collect().map(_.getLong(0)).toSeq
+    assert(tie == Seq(100L), "equidistant nearest must prefer the backward row")
+    // strict nearest excludes the equal-time quote from BOTH sides
+    val strict = AsOfJoinPlan.asofJoin(trades, quotes,
+        keys = Seq("sym" -> "sym"), order = Seq("t" -> "t"),
+        strict = true, direction = AsOfDirection.Nearest)
+      .select(col("sym"), col("t"), col("px_r"))
+      .collect().map(x => (x.getString(0), x.getLong(1),
+        if (x.isNullAt(2)) -1L else x.getLong(2))).toSet
+    assert(strict(("A", 10L, 100L)), // t=5 (d=5) beats t=25 (d=15)
+      s"strict nearest must take the t=5 quote, got $strict")
+    // tolerance prunes candidates on both sides before the distance pick
+    val tol = AsOfJoinPlan.asofJoin(trades, quotes,
+        keys = Seq("sym" -> "sym"), order = Seq("t" -> "t"),
+        strict = false, tolerance = Some(6L),
+        direction = AsOfDirection.Nearest)
+      .select(col("sym"), col("t"), col("px_r"))
+      .collect().map(x => (x.getString(0), x.getLong(1),
+        if (x.isNullAt(2)) -1L else x.getLong(2))).toSet
+    assert(tol(("B", 15L, -1L)), "nearest candidate outside tolerance must drop")
+    assert(tol(("A", 20L, 102L)), "in-window forward candidate must survive")
+    // nearest needs an integral/timestamp head ordering column
+    val dbl = Seq(("A", 1.5, 1L)).toDF("sym", "t", "id")
+    intercept[IllegalArgumentException] {
+      AsOfJoinPlan.asofJoin(dbl, dbl, keys = Seq("sym" -> "sym"),
+        order = Seq("t" -> "t"), direction = AsOfDirection.Nearest)
+    }
+  }
+
+  test("asofJoin rejects mismatched key/order dataTypes at construction") {
+    val s = spark
+    import s.implicits._
+    val l = Seq(("A", 10L, 1L)).toDF("sym", "t", "id")
+    val rIntKey = Seq((1, 5L, 100L)).toDF("sym", "t", "px")
+    intercept[IllegalArgumentException] {
+      AsOfJoinPlan.asofJoin(l, rIntKey,
+        keys = Seq("sym" -> "sym"), order = Seq("t" -> "t"))
+    }
+    val rIntOrd = Seq(("A", 5, 100L)).toDF("sym", "t", "px")
+    intercept[IllegalArgumentException] {
+      AsOfJoinPlan.asofJoin(l, rIntOrd,
+        keys = Seq("sym" -> "sym"), order = Seq("t" -> "t"))
     }
   }
 

@@ -157,11 +157,12 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  test("property: native as-of join equals the brute-force last-before scan") {
+  test("property: native as-of join equals the brute-force scan in all three directions") {
     // adversarial shape for a merge exec: few keys (long runs), duplicate
-    // timestamps (ties), keys present on only one side, and both strict
-    // and tolerance variants — compared row-for-row against a reference
-    // computed by brute force on the driver
+    // timestamps (ties), keys present on only one side, and every
+    // (direction, strict, tolerance) combination — compared row-for-row
+    // against a reference computed by brute force on the driver
+    import graft.plans.AsOfDirection
     val rowGen = for {
       k <- Gen.oneOf("a", "b", "c")
       t <- Gen.choose(0L, 20L)
@@ -171,8 +172,10 @@ class PropertySpec extends SparkSpec {
       rs <- Gen.listOfN(14, rowGen)
       strict <- Gen.oneOf(true, false)
       tol <- Gen.oneOf(Option.empty[Long], Some(3L), Some(0L))
-    } yield (ls, rs, strict, tol)
-    for ((lsRaw, rsRaw, strict, tol) <- cases(caseGen, 12)) {
+      dir <- Gen.oneOf[AsOfDirection](AsOfDirection.Backward,
+        AsOfDirection.Forward, AsOfDirection.Nearest)
+    } yield (ls, rs, strict, tol, dir)
+    for ((lsRaw, rsRaw, strict, tol, dir) <- cases(caseGen, 18)) {
       val s = spark
       import s.implicits._
       // unique per-side ids double as deterministic tie-breaks
@@ -181,20 +184,39 @@ class PropertySpec extends SparkSpec {
       val got = graft.plans.AsOfJoinPlan.asofJoin(
           ls.toDF("k", "t", "id"), rs.toDF("k", "t", "id"),
           keys = Seq("k" -> "k"), order = Seq("t" -> "t", "id" -> "id"),
-          strict = strict, tolerance = tol)
+          strict = strict, tolerance = tol, direction = dir)
         .select(col("id"), col("id_r"))
         .collect().map(r => r.getLong(0) ->
           (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      // brute-force reference: candidates by full-tuple comparison, the
+      // nearest pick by head distance with ties going backward
       val expected = ls.map { case (lk, lt, lid) =>
-        val m = rs.filter { case (rk, rt, rid) =>
-          val before = rt < lt || (rt == lt &&
-            (if (strict) rid < lid else rid <= lid))
-          rk == lk && before && tol.forall(w => lt - rt <= w)
+        def tupLt(rt: Long, rid: Long, strictCmp: Boolean): Boolean =
+          rt < lt || (rt == lt && (if (strictCmp) rid < lid else rid <= lid))
+        // backward: max tuple <= (or <) the left's, within lookBACK window
+        val b = rs.filter { case (rk, rt, rid) =>
+          rk == lk && tupLt(rt, rid, strict) && tol.forall(w => lt - rt <= w)
         }.sortBy { case (_, rt, rid) => (rt, rid) }.lastOption
+        // forward: min tuple strictly past the non-matching set, within
+        // the lookAHEAD window; non-strict admits tuple-equal rows
+        val f = rs.filter { case (rk, rt, rid) =>
+          val after = rt > lt || (rt == lt &&
+            (if (strict) rid > lid else rid >= lid))
+          rk == lk && after && tol.forall(w => rt - lt <= w)
+        }.sortBy { case (_, rt, rid) => (rt, rid) }.headOption
+        val m = dir match {
+          case AsOfDirection.Backward => b
+          case AsOfDirection.Forward => f
+          case AsOfDirection.Nearest => (b, f) match {
+            case (Some((_, bt, _)), Some((_, ft, _))) =>
+              if (lt - bt <= ft - lt) b else f
+            case _ => b.orElse(f)
+          }
+        }
         lid -> m.map(_._3).getOrElse(-1L)
       }.toMap
       assert(got == expected,
-        s"strict=$strict tol=$tol ls=$ls rs=$rs")
+        s"dir=$dir strict=$strict tol=$tol ls=$ls rs=$rs")
     }
   }
 
