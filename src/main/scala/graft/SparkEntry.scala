@@ -4092,6 +4092,76 @@ object SparkEntry {
             unix_micros(col("ts_r")).as("click_us"))
       }),
 
+    QueryDef("q78_asof_forward",
+      "The native as-of join in FORWARD direction (pandas " +
+        "merge_asof(direction='forward')): each purchase attaches the " +
+        "FIRST subsequent click — next-event / time-to-response joins. " +
+        "Same single-pass merge; the candidate is the unconsumed one-row " +
+        "lookahead instead of the buffered last-before row, still " +
+        "O(|L|+|R|) and O(1) state. The oracle is the correlated-min " +
+        "mirror of q76's correlated-max form.",
+      Some("""SELECT p.user_id, p.event_id, epoch_us(p.ts) AS purchase_us,
+        |  (SELECT epoch_us(min(c.ts)) FROM events c
+        |   WHERE c.user_id = p.user_id AND c.event_type = 'click'
+        |     AND (c.ts > p.ts OR (c.ts = p.ts AND c.event_id > p.event_id))) AS click_us
+        |FROM events p WHERE p.event_type = 'purchase'""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        graft.plans.AsOfJoinPlan.asofJoin(purchases, clicks,
+            keys = Seq("user_id" -> "user_id"),
+            order = Seq("ts" -> "ts", "event_id" -> "event_id"),
+            strict = true,
+            direction = graft.plans.AsOfDirection.Forward)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("purchase_us"),
+            unix_micros(col("ts_r")).as("click_us"))
+      }),
+
+    QueryDef("q79_asof_nearest",
+      "The native as-of join in NEAREST direction with a 1-hour " +
+        "tolerance (pandas merge_asof(direction='nearest', " +
+        "tolerance=...)): each purchase attaches whichever click is " +
+        "closer in time — the last-before or first-after — with ties " +
+        "going backward, and candidates outside the window dropped on " +
+        "BOTH sides. One merge keeps both candidates live (buffered " +
+        "last-before + unconsumed lookahead) and picks by head-column " +
+        "distance at emit, O(1) per row. The oracle computes both " +
+        "correlated extremes and replays the distance pick as a CASE.",
+      Some("""SELECT user_id, event_id, purchase_us,
+        |  CASE WHEN b_us IS NOT NULL
+        |            AND (f_us IS NULL OR purchase_us - b_us <= f_us - purchase_us)
+        |       THEN b_us ELSE f_us END AS click_us
+        |FROM (
+        |  SELECT p.user_id, p.event_id, epoch_us(p.ts) AS purchase_us,
+        |    (SELECT epoch_us(max(c.ts)) FROM events c
+        |     WHERE c.user_id = p.user_id AND c.event_type = 'click'
+        |       AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))
+        |       AND c.ts >= p.ts - INTERVAL 1 HOUR) AS b_us,
+        |    (SELECT epoch_us(min(c.ts)) FROM events c
+        |     WHERE c.user_id = p.user_id AND c.event_type = 'click'
+        |       AND (c.ts > p.ts OR (c.ts = p.ts AND c.event_id > p.event_id))
+        |       AND c.ts <= p.ts + INTERVAL 1 HOUR) AS f_us
+        |  FROM events p WHERE p.event_type = 'purchase')""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        graft.plans.AsOfJoinPlan.asofJoin(purchases, clicks,
+            keys = Seq("user_id" -> "user_id"),
+            order = Seq("ts" -> "ts", "event_id" -> "event_id"),
+            strict = true, tolerance = Some(3600L * 1000000L),
+            direction = graft.plans.AsOfDirection.Nearest)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("purchase_us"),
+            unix_micros(col("ts_r")).as("click_us"))
+      }),
+
     QueryDef("s13_random_projection",
       "Johnson-Lindenstrauss ±1 random projection (Achlioptas 2003) of " +
         "the 64-dim embeddings to 16 dims — the standard pre-reduction " +
