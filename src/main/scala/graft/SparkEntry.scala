@@ -152,6 +152,28 @@ object SparkEntry {
       (liT, ordT)
     })
 
+  /** Events bucketed 32 ways on user_id AND bucket-sorted by
+    * (user_id, ts, event_id) — the native as-of join's full required
+    * ordering, so an asofJoin over this layout plans with ZERO exchanges
+    * and ZERO sorts on either side (q80; PlanInvariantsSpec pins it).
+    * Same content-addressing + once-per-session discipline as the
+    * lineitem/orders pair above.
+    */
+  private val bucketedEventsCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def bucketedEvents(s: SparkSession, dir: String): String =
+    bucketedEventsCache.getOrElseUpdate(s"${System.identityHashCode(s)}#$dir", {
+      val r = Tables.events(s, dir).agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(col("event_id")).cast("long").as("sg")).head()
+      val evT = s"graft_ev_bkt_n${r.getLong(0)}_s${r.getLong(1)}"
+      if (!s.catalog.tableExists(evT))
+        graft.ops.Bucketing.writeBucketed(
+          Tables.events(s, dir), evT, "user_id", 32,
+          sortCols = Seq("user_id", "ts", "event_id"))
+      evT
+    })
+
   // nation/region are bounded-size dims → always broadcast; orders and
   // customer scale with the fact table, so their join strategy is left to
   // stats + AQE (broadcast at small SF, shuffle join at 100 TB).
@@ -4157,6 +4179,38 @@ object SparkEntry {
             order = Seq("ts" -> "ts", "event_id" -> "event_id"),
             strict = true, tolerance = Some(3600L * 1000000L),
             direction = graft.plans.AsOfDirection.Nearest)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("purchase_us"),
+            unix_micros(col("ts_r")).as("click_us"))
+      }),
+
+    QueryDef("q80_asof_bucketed",
+      "The native as-of join over the BUCKETED lake layout: events " +
+        "persist bucketed 32 ways on user_id and bucket-sorted by " +
+        "(user_id, ts, event_id) — exactly AsOfJoinExec's required " +
+        "distribution AND ordering — so the same q76 attribution join " +
+        "plans with ZERO exchanges and ZERO sorts on either side " +
+        "(PlanInvariantsSpec pins it). At 100 TB this stacks the two big " +
+        "wins: the operator halves the merge's sort volume vs the window " +
+        "formulation, and the layout then deletes the remaining " +
+        "shuffle+sort entirely for every recurring as-of over the " +
+        "stream. Oracle answers from the PLAIN events table — layout " +
+        "changes the plan, never the result.",
+      Some("""SELECT p.user_id, p.event_id, epoch_us(p.ts) AS purchase_us,
+        |  (SELECT epoch_us(max(c.ts)) FROM events c
+        |   WHERE c.user_id = p.user_id AND c.event_type = 'click'
+        |     AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))) AS click_us
+        |FROM events p WHERE p.event_type = 'purchase'""".stripMargin),
+      (s, dir) => {
+        val ev = s.table(bucketedEvents(s, dir))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        graft.plans.AsOfJoinPlan.asofJoin(purchases, clicks,
+            keys = Seq("user_id" -> "user_id"),
+            order = Seq("ts" -> "ts", "event_id" -> "event_id"),
+            strict = true)
           .select(col("user_id"), col("event_id"),
             unix_micros(col("ts")).as("purchase_us"),
             unix_micros(col("ts_r")).as("click_us"))

@@ -12,10 +12,15 @@ object Bucketing {
 
   /** Persist `df` as a bucketed managed table (overwriting any previous
     * definition). Bucket count should match the downstream parallelism
-    * target, not the current data size.
+    * target, not the current data size. `sortCols` (default: the bucket
+    * column) orders rows WITHIN each bucket file; because each bucket
+    * lands as one file, the read side reports that ordering, so an
+    * operator requiring (bucketCol, more...) — a sort-merge join, the
+    * native as-of join — plans with neither an Exchange NOR a Sort.
     */
   def writeBucketed(
-      df: DataFrame, table: String, bucketCol: String, numBuckets: Int): Unit = {
+      df: DataFrame, table: String, bucketCol: String, numBuckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
     // a dropped table can leave its warehouse location behind (e.g. after
@@ -28,10 +33,18 @@ object Bucketing {
     // without it every input partition writes its own slice of every
     // bucket (numPartitions × numBuckets small files — the lake killer),
     // and multi-file buckets force a per-bucket sort on read
+    val sc = if (sortCols.isEmpty) Seq(bucketCol) else sortCols
+    // Spark stopped reporting bucket sort order by default (SPARK-28632)
+    // because multi-file buckets only sort within each file; this layout
+    // guarantees ONE file per bucket (the repartition below), so opt back
+    // in — the conf only takes effect when the scan sees single-file
+    // buckets, and it's what lets downstream SMJ / as-of plans elide
+    // their Sorts as well as their Exchanges
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     df.repartition(numBuckets, org.apache.spark.sql.functions.col(bucketCol))
       .write
       .bucketBy(numBuckets, bucketCol)
-      .sortBy(bucketCol)
+      .sortBy(sc.head, sc.tail: _*)
       .format("parquet")
       .saveAsTable(table)
   }

@@ -69,6 +69,28 @@ class PlanInvariantsSpec extends SparkSpec {
       "orders side re-shuffled despite bucketing")
   }
 
+  test("q74: bucket-sorted layout also elides the per-bucket sorts") {
+    // the table is bucket-sorted on the join key with one file per
+    // bucket, and the single-file opt-in conf is set at write time, so
+    // the SMJ consumes the scan's reported ordering directly
+    val p = plan("q74_bucketed_join")
+    assert(!p.contains("Sort ["),
+      "bucketed join re-sorted despite the bucket-sorted single-file layout")
+  }
+
+  test("q80: as-of over the bucketed layout plans ZERO exchanges and ZERO sorts") {
+    // events bucketed 32 ways on user_id and bucket-sorted by
+    // (user_id, ts, event_id) — exactly AsOfJoinExec's required
+    // distribution and ordering, so both children plan bare:
+    // scan → filter → project → AsOfJoin
+    val p = plan("q80_asof_bucketed")
+    assert(p.contains("AsOfJoin"), "q80 lost the native as-of operator")
+    assert(!p.contains("Exchange"),
+      s"as-of over bucketed events must not shuffle:\n$p")
+    assert(!p.contains("Sort ["),
+      s"as-of over bucket-sorted events must not re-sort:\n$p")
+  }
+
   test("q75: both box predicates push to the parquet scan under the " +
     "native z-order projection") {
     val f = formatted("q75_zorder_scan")
