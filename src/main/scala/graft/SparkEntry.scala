@@ -4369,9 +4369,11 @@ object SparkEntry {
         "furthest from the distribution they feed. ONE corpus-sized " +
         "(source, token) hash agg; per-source totals broadcast, corpus " +
         "term counts re-aggregate the per-source counts, grand total is " +
-        "a one-row broadcast. ln inputs are exact BIGINT ratios and " +
-        "per-term contributions sum in DECIMAL(38,12), so the result is " +
-        "order-independent and engine-exact.",
+        "a one-row broadcast. The ln argument is a product of two DOUBLE " +
+        "ratios (overflow-free at any corpus size — a BIGINT n_s*c_t " +
+        "product would wrap past ~3e9 tokens) and per-term contributions " +
+        "sum in DECIMAL(38,12), so the result is order-independent and " +
+        "engine-exact.",
       Some("""WITH toks AS (SELECT source,
         |    unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
         |      x -> x <> '')) AS tok FROM documents),
@@ -4385,7 +4387,7 @@ object SparkEntry {
         |SELECT source, n_s AS n_tokens,
         |  ROUND(CAST(SUM(CAST(
         |    (CAST(c_st AS DOUBLE) / n_s) *
-        |    ln(CAST(c_st AS DOUBLE) * n_total / (n_s * c_t))
+        |    ln((CAST(c_st AS DOUBLE) / n_s) * (CAST(n_total AS DOUBLE) / c_t))
         |    AS DECIMAL(38,12))) AS DOUBLE), 6) AS kl
         |FROM cst JOIN ns USING(source) JOIN ct USING(tok) CROSS JOIN n
         |GROUP BY source, n_s""".stripMargin),

@@ -648,12 +648,13 @@ object Text {
     * hash agg; everything downstream is vocabulary-bounded: per-source
     * totals broadcast (|sources| rows), corpus term counts re-aggregate
     * the per-source counts (never a second pass over the token stream),
-    * and the grand total is a one-row broadcast. Engine parity: all ln
-    * inputs are exact BIGINT ratios, and per-term contributions pass
-    * through DECIMAL(38,12) before summing so the total is
-    * order-independent (the PageRank/logprob recipe). BIGINT products
-    * bound: N_s·c_t < 2^63 needs N < ~3e9 tokens per uniform source —
-    * switch the divisor product to DECIMAL beyond that.
+    * and the grand total is a one-row broadcast. Engine parity: the ln
+    * argument is the product of two DOUBLE ratios (c_st/N_s)·(N/c_t) —
+    * IEEE-deterministic and overflow-free at any corpus size (a BIGINT
+    * N_s·c_t product would silently wrap past ~3e9 tokens per uniform
+    * source) — and per-term contributions pass through DECIMAL(38,12)
+    * before summing so the total is order-independent (the
+    * PageRank/logprob recipe).
     */
   def sourceKlDivergence(docs: DataFrame, srcCol: String = "source",
       textCol: String = "text"): DataFrame = {
@@ -679,8 +680,8 @@ object Text {
       .crossJoin(broadcast(n))
       .select(col(srcCol), col("n_s"),
         ((col("c_st").cast("double") / col("n_s")) *
-          log(col("c_st").cast("double") * col("n_total") /
-            (col("n_s") * col("c_t"))))
+          log((col("c_st").cast("double") / col("n_s")) *
+            (col("n_total").cast("double") / col("c_t"))))
           .cast(org.apache.spark.sql.types.DecimalType(38, 12)).as("contrib"))
       .groupBy(col(srcCol), col("n_s"))
       .agg(round(sum(col("contrib")).cast("double"), 6).as("kl"))
