@@ -1,0 +1,154 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.StreamAsOf
+import graft.streaming.StreamAsOf.{AsOfMatch, Tick}
+
+/** The streaming as-of join: one buffered right row per key in named
+  * transformWithState state. Parity against the batch native operator,
+  * checkpointed restart, late-data append semantics, and the tolerance
+  * window.
+  */
+class StreamAsOfSpec extends SparkSpec {
+
+  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+
+  private def withRocksDb[T](f: => T): T = {
+    val prev = spark.conf.getOption(ProviderKey)
+    spark.conf.set(ProviderKey, StreamAsOf.RequiredStateStoreProvider)
+    try f
+    finally prev match {
+      case Some(v) => spark.conf.set(ProviderKey, v)
+      case None => spark.conf.unset(ProviderKey)
+    }
+  }
+
+  private def runAvailableNow(dir: String, toleranceUs: Long = -1L): Seq[AsOfMatch] =
+    withRocksDb {
+      val s = spark
+      import s.implicits._
+      val stream = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[Tick]].schema)
+        .parquet(dir).as[Tick]
+      val name = s"asof_stream_${System.nanoTime()}"
+      val q = StreamAsOf.matches(spark, stream, toleranceUs).writeStream
+        .format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000); q.stop()
+      spark.table(name).as[AsOfMatch].collect().toSeq
+    }
+
+  test("streaming as-of matches the batch native operator on the events fixture") {
+    val s = spark
+    import s.implicits._
+    val ev = Tables.events(spark, sf0001)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), (col("event_type") === "click").as("is_right"))
+      .as[Tick]
+    val dir = Files.createTempDirectory("asofStream").toString + "/ticks"
+    ev.coalesce(1).write.parquet(dir)
+    val got = runAvailableNow(dir)
+      .map(m => m.event_id -> (if (m.matched) m.right_ts_us else Long.MinValue))
+      .toMap
+    // batch reference: the native backward-strict as-of join (q76's shape)
+    val evb = Tables.events(spark, sf0001)
+    val purchases = evb.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val clicks = evb.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val expected = graft.plans.AsOfJoinPlan.asofJoin(purchases, clicks,
+        keys = Seq("user_id" -> "user_id"),
+        order = Seq("ts" -> "ts", "event_id" -> "event_id"), strict = true)
+      .select(col("event_id"), unix_micros(col("ts_r")).as("click_us"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) Long.MinValue else r.getLong(1))).toMap
+    assert(got.nonEmpty && got == expected,
+      "streaming as-of diverged from the batch operator on in-order replay")
+  }
+
+  test("buffered right row survives a checkpointed RESTART") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("asofStreamCp").toString
+    val dir = s"$base/ticks"; val cp = s"$base/cp"; val out = s"$base/out"
+    def run(): Unit = withRocksDb {
+      val stream = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[Tick]].schema)
+        .parquet(dir).as[Tick]
+      val q = StreamAsOf.matches(spark, stream).writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000); q.stop()
+    }
+    // run 1: only a right row — nothing emits, but the buffer persists
+    Seq(Tick(7L, 10L, 100L, is_right = true))
+      .toDS().coalesce(1).write.mode("append").parquet(dir)
+    run()
+    // run 2 (fresh query, same checkpoint): a left row must match the
+    // right buffered in run 1 — recovered state, not reprocessed input
+    Seq(Tick(7L, 20L, 1L, is_right = false))
+      .toDS().coalesce(1).write.mode("append").parquet(dir)
+    run()
+    val got = spark.read.parquet(out).as[AsOfMatch].collect().toSeq
+    assert(got.map(m => (m.event_id, m.matched, m.right_event_id)) ==
+      Seq((1L, true, 100L)),
+      s"left must match the right row recovered from the checkpoint, got $got")
+  }
+
+  test("late right rows upgrade the buffer but never revise emitted matches") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("asofStreamLate").toString
+    val dir = s"$base/ticks"; val cp = s"$base/cp"; val out = s"$base/out"
+    def run(): Unit = withRocksDb {
+      val stream = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[Tick]].schema)
+        .parquet(dir).as[Tick]
+      val q = StreamAsOf.matches(spark, stream).writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000); q.stop()
+    }
+    // batch 1: right t=10, left t=20 → match (10, id 100)
+    Seq(Tick(1L, 10L, 100L, is_right = true),
+        Tick(1L, 20L, 1L, is_right = false))
+      .toDS().coalesce(1).write.mode("append").parquet(dir)
+    run()
+    // batch 2: a LATE right t=15 (newer than the buffer, older than the
+    // emitted left) plus an even older right t=5 (ignored outright), then
+    // a new left t=30 — it takes t=15; the t=20 left is NOT revised
+    Seq(Tick(1L, 15L, 101L, is_right = true),
+        Tick(1L, 5L, 99L, is_right = true),
+        Tick(1L, 30L, 2L, is_right = false))
+      .toDS().coalesce(1).write.mode("append").parquet(dir)
+    run()
+    val got = spark.read.parquet(out).as[AsOfMatch].collect().toSeq
+      .map(m => m.event_id -> m.right_event_id).toMap
+    assert(got == Map(1L -> 100L, 2L -> 101L),
+      s"late right must only affect subsequent lefts, got $got")
+  }
+
+  test("tolerance: a stale buffered right stops matching") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("asofStreamTol").toString + "/ticks"
+    Seq(Tick(1L, 10L, 100L, is_right = true),
+        Tick(1L, 14L, 1L, is_right = false),  // diff 4 <= 5 → match
+        Tick(1L, 20L, 2L, is_right = false))  // diff 10 > 5 → aged out
+      .toDS().coalesce(1).write.parquet(dir)
+    val got = runAvailableNow(dir, toleranceUs = 5L)
+      .map(m => m.event_id -> m.matched).toMap
+    assert(got == Map(1L -> true, 2L -> false), s"tolerance window broken: $got")
+  }
+}
