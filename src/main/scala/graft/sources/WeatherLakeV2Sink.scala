@@ -378,10 +378,15 @@ object WeatherLakeV2Sink {
   /** Reclaim space after [[compact]]: delete data files referenced ONLY
     * by superseded manifests, then the superseded manifests themselves.
     * Run this once readers that listed before the compaction publish have
-    * drained — a reader mid-scan over a superseded file would lose it.
-    * Files younger than `minAgeMs` are kept even when unreferenced: they
-    * may belong to an in-flight write job whose manifest isn't published
-    * yet.
+    * drained — a reader mid-scan over a superseded file would lose it
+    * (WeatherLakeV2SinkSpec's vacuum-adversarial test pins the failure
+    * mode: such a reader fails LOUDLY on the missing path, never returns
+    * a silent subset). Files younger than `minAgeMs` are kept even when
+    * unreferenced: they may belong to an in-flight write job whose
+    * manifest isn't published yet. A superseded manifest is deleted only
+    * once every non-live file it references is gone from disk — deleting
+    * it earlier would orphan the age-guarded survivors (no manifest left
+    * to find them by, so no later vacuum could ever reclaim them).
     */
   def vacuum(basePath: String, minAgeMs: Long = 0L): Int = {
     val fs = new Path(basePath).getFileSystem(new Configuration())
@@ -390,15 +395,20 @@ object WeatherLakeV2Sink {
     val liveFiles = committedFiles(basePath).toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
     val superseded = manifestNames(basePath).filterNot(live.toSet)
-    val stale = superseded
-      .flatMap(n => readLines(fs, new Path(mdir, n)))
-      .filter(l => l.nonEmpty && !l.startsWith("#"))
-      .filterNot(liveFiles)
-      .map(new Path(_))
-      .filter(p => fs.exists(p) && fs.getFileStatus(p).getModificationTime < cutoff)
-    stale.foreach(fs.delete(_, false))
-    superseded.foreach(n => fs.delete(new Path(mdir, n), false))
-    stale.size
+    var removed = 0
+    superseded.foreach { n =>
+      val present = readLines(fs, new Path(mdir, n))
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
+        .filterNot(liveFiles)
+        .map(new Path(_))
+        .filter(fs.exists)
+      val (old, young) =
+        present.partition(p => fs.getFileStatus(p).getModificationTime < cutoff)
+      old.foreach(fs.delete(_, false))
+      removed += old.size
+      if (young.isEmpty) fs.delete(new Path(mdir, n), false)
+    }
+    removed
   }
 
   final case class FilesWritten(paths: Seq[String]) extends WriterCommitMessage

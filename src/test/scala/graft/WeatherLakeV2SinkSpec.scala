@@ -253,6 +253,58 @@ class WeatherLakeV2SinkSpec extends SparkSpec {
     assert(err.getMessage.contains("vacuum horizon"))
   }
 
+  test("vacuum adversarial: a pre-compaction reader keeps the old set under " +
+    "the age guard, or fails LOUDLY after reclaim — never a silent subset") {
+    import graft.sources.WeatherLakeV2Sink
+    val lake = Files.createTempDirectory("lakev2vacuum").toString
+    def sink(df: DataFrame): Unit =
+      df.select(col("city"), col("ds"), col("hour"),
+          to_json(struct(col("latitude"), col("longitude"))).as("raw_json"))
+        .write.format("graft.sources.WeatherLakeV2Sink")
+        .mode("append").save(lake)
+    sink(rawFixture.limit(3))
+    sink(rawFixture.limit(3)) // same partitions again → multi-file dirs
+    // the adversary: a reader resolves its file list BEFORE compaction
+    val preList = WeatherLakeV2Sink.committedFiles(lake)
+    assert(WeatherLakeV2Sink.compact(spark, lake) > 0)
+
+    // age-guarded vacuum (readers may still be draining): nothing
+    // reclaimed, the pre-compaction list stays fully readable
+    assert(WeatherLakeV2Sink.vacuum(lake, minAgeMs = 3600000L) == 0)
+    assert(spark.read.text(preList: _*).count() == 6,
+      "age-guarded vacuum must leave the old snapshot fully scannable")
+    // the age guard must NOT orphan the survivors: their superseded
+    // manifests stay until the files are actually reclaimed, so a later
+    // unguarded vacuum can still find and delete them
+    val unreferencedYoung = new File(s"$lake/_inflight_orphan.json")
+    Files.write(unreferencedYoung.toPath, "{}\n".getBytes)
+    val removed = WeatherLakeV2Sink.vacuum(lake)
+    assert(removed == preList.size,
+      s"expected the ${preList.size} superseded files reclaimed on the " +
+        s"second (unguarded) pass, got $removed — age-guarded vacuum " +
+        "orphaned them")
+    // vacuum only ever touches manifest-referenced files: the unpublished
+    // in-flight file is not its to delete
+    assert(unreferencedYoung.isFile,
+      "vacuum must never delete files no manifest references")
+
+    // drained-readers precondition violated: the stale list now fails
+    // LOUDLY at scan (missing input path) instead of silently returning
+    // whichever subset survived
+    val err = intercept[Throwable] {
+      spark.read.text(preList: _*).count()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(err).exists(t =>
+        t.isInstanceOf[java.io.FileNotFoundException] ||
+          String.valueOf(t.getMessage).contains("PATH_NOT_FOUND") ||
+          String.valueOf(t.getMessage).contains("does not exist")),
+      s"expected a loud missing-path failure, got: $err")
+    // the live view is untouched throughout
+    assert(WeatherLakeV2Sink.readCommitted(spark, lake).count() == 6)
+  }
+
   test("missing path option fails fast with the option named") {
     val e = intercept[IllegalArgumentException] {
       new graft.sources.WeatherLakeV2Sink()
