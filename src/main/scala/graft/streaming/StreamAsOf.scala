@@ -71,7 +71,14 @@ object StreamAsOf extends Serializable {
               (t.ts_us == buf.ts_us && t.event_id > buf.event_id))
             buf = RightSeen(t.ts_us, t.event_id)
         } else {
-          val inWindow = buf != null &&
+          // backward as-of: the buffered right must be event-time
+          // at-or-before the left (a buffered right from the key's
+          // FUTURE — possible only when a left arrives a batch behind a
+          // later right — never matches, same as the batch operator)
+          val before = buf != null &&
+            (buf.ts_us < t.ts_us ||
+              (buf.ts_us == t.ts_us && buf.event_id < t.event_id))
+          val inWindow = before &&
             (toleranceUs < 0 || t.ts_us - buf.ts_us <= toleranceUs)
           out += (if (inWindow)
             AsOfMatch(key, t.event_id, t.ts_us, buf.event_id, buf.ts_us,
@@ -100,5 +107,97 @@ object StreamAsOf extends Serializable {
       .groupByKey(_.user_id)
       .transformWithState(
         new AsOfProcessor(toleranceUs, ttl), mode, OutputMode.Append())
+  }
+
+  /** EVENT-TIME processor — the exactness variant: ticks BUFFER in a named
+    * list state until the watermark passes their timestamp, then fold in
+    * global (ts_us, event_id) order, at which point no earlier
+    * in-watermark tick can still arrive — so every left's match is FINAL
+    * and equals the batch backward-strict as-of join under ANY arrival
+    * order within the watermark (where [[AsOfProcessor]] provably emits
+    * the stale buffer for a left that out-raced its click). The honest
+    * cost is the same buffered-lateness trade `funnelEventTime` makes:
+    * state per key is O(ticks inside the watermark window), not O(1).
+    * Ticks at or below the watermark on arrival are dropped (the standard
+    * allowed-lateness contract). A per-key timer at the oldest pending
+    * timestamp drives emission when the watermark advances without new
+    * input for the key.
+    */
+  class EventTimeAsOfProcessor(toleranceUs: Long)
+      extends StatefulProcessor[Long, Tick, AsOfMatch] {
+    @transient private var pending: org.apache.spark.sql.streaming.ListState[Tick] = _
+    @transient private var lastRight: ValueState[RightSeen] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      pending = getHandle.getListState[Tick](
+        "pending", Encoders.product[Tick], TTLConfig.NONE)
+      lastRight = getHandle.getValueState[RightSeen](
+        "lastRight", Encoders.product[RightSeen], TTLConfig.NONE)
+    }
+
+    /** Fold every pending tick the watermark has passed; hold the rest. */
+    private def processRipe(key: Long, wmUs: Long): Iterator[AsOfMatch] = {
+      val all = pending.get().toSeq
+      val (ripe, hold) = all.partition(_.ts_us <= wmUs)
+      var buf = if (lastRight.exists()) lastRight.get() else null
+      val out = Vector.newBuilder[AsOfMatch]
+      for (t <- ripe.sortBy(x => (x.ts_us, x.event_id))) {
+        if (t.is_right) {
+          if (buf == null || t.ts_us > buf.ts_us ||
+              (t.ts_us == buf.ts_us && t.event_id > buf.event_id))
+            buf = RightSeen(t.ts_us, t.event_id)
+        } else {
+          val inWindow = buf != null &&
+            (toleranceUs < 0 || t.ts_us - buf.ts_us <= toleranceUs)
+          out += (if (inWindow)
+            AsOfMatch(key, t.event_id, t.ts_us, buf.event_id, buf.ts_us,
+              matched = true)
+          else
+            AsOfMatch(key, t.event_id, t.ts_us, -1L, -1L, matched = false))
+        }
+      }
+      if (buf != null) lastRight.update(buf)
+      pending.clear()
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      if (hold.nonEmpty) {
+        pending.appendList(hold.toArray)
+        // wake when the watermark passes the oldest held tick; timer
+        // timestamps must sit strictly above the current watermark
+        getHandle.registerTimer(
+          math.max(hold.map(_.ts_us).min / 1000L, wmUs / 1000L + 1))
+      }
+      out.result().iterator
+    }
+
+    override def handleInputRows(key: Long, ticks: Iterator[Tick],
+        timerValues: TimerValues): Iterator[AsOfMatch] = {
+      val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+      // drop sub-watermark arrivals; buffer the rest
+      val fresh = ticks.filter(_.ts_us > wmUs).toArray
+      if (fresh.nonEmpty) pending.appendList(fresh)
+      processRipe(key, wmUs)
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[AsOfMatch] =
+      processRipe(key, timerValues.getCurrentWatermarkInMs() * 1000L)
+  }
+
+  /** Wire the event-time processor; requires a watermark, expressed here
+    * on a derived `__ts` column exactly like `funnelEventTime`.
+    */
+  def matchesEventTime(spark: SparkSession, ticks: Dataset[Tick],
+      toleranceUs: Long = -1L,
+      watermarkDelay: String = "10 seconds"): Dataset[AsOfMatch] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    ticks
+      .withColumn("__ts", expr("timestamp_micros(ts_us)"))
+      .withWatermark("__ts", watermarkDelay)
+      .as[Tick]
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new EventTimeAsOfProcessor(toleranceUs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

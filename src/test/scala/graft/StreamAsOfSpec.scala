@@ -139,6 +139,74 @@ class StreamAsOfSpec extends SparkSpec {
       s"late right must only affect subsequent lefts, got $got")
   }
 
+  test("event-time as-of: an in-watermark late right matches the buffered left " +
+    "exactly; sub-watermark arrivals drop") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("asofEt").toString
+    val dir = s"$base/ticks"
+    // batch 1: the LEFT (purchase, 3s) arrives first — event-time AFTER
+    // the right that hasn't arrived yet
+    Seq(Tick(1L, 3000000L, 1L, is_right = false))
+      .toDS().coalesce(1).write.mode("append").parquet(dir)
+    Thread.sleep(200)
+    // batch 2: the RIGHT (click, 2s) arrives one batch late but inside
+    // the watermark (wm = 3s − 2s = 1s < 2s)
+    Seq(Tick(1L, 2000000L, 100L, is_right = true))
+      .toDS().coalesce(1).write.mode("append").parquet(dir)
+    Thread.sleep(200)
+    // batch 3: another key pushes the watermark to 98s → key 1's pending
+    // ticks finalize via its timer
+    Seq(Tick(999L, 100000000L, 500L, is_right = true))
+      .toDS().coalesce(1).write.mode("append").parquet(dir)
+    Thread.sleep(200)
+    // batch 4: a sub-watermark left (1s ≤ 98s) — dropped outright
+    Seq(Tick(1L, 1000000L, 2L, is_right = false))
+      .toDS().coalesce(1).write.mode("append").parquet(dir)
+    val got = withRocksDb {
+      val stream = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[Tick]].schema)
+        .option("maxFilesPerTrigger", "1") // one file per micro-batch
+        .parquet(dir).as[Tick]
+      val name = s"asof_et_${System.nanoTime()}"
+      val q = graft.streaming.StreamAsOf.matchesEventTime(spark, stream,
+          watermarkDelay = "2 seconds").writeStream
+        .format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000); q.stop()
+      spark.table(name).as[AsOfMatch].collect().toSeq
+    }
+    assert(got.exists(m => m.event_id == 1L && m.matched &&
+      m.right_event_id == 100L),
+      s"the late-but-in-watermark right must match the buffered left, got $got")
+    assert(!got.exists(_.event_id == 2L),
+      s"a sub-watermark arrival must drop, got $got")
+    // the processing-time variant on the SAME per-batch arrival order
+    // provably cannot: the left out-raced its right, so it emitted
+    // unmatched on arrival — and the batch-4 left (1s) must not match
+    // the 2s right from its event-time future either
+    val pt = withRocksDb {
+      val stream = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[Tick]].schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir).as[Tick]
+      val name = s"asof_pt_${System.nanoTime()}"
+      val q = graft.streaming.StreamAsOf.matches(spark, stream).writeStream
+        .format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000); q.stop()
+      spark.table(name).as[AsOfMatch].collect().toSeq
+    }
+    assert(pt.exists(m => m.event_id == 1L && !m.matched),
+      s"processing-time variant should have emitted the left unmatched, got $pt")
+    assert(pt.exists(m => m.event_id == 2L && !m.matched),
+      s"a right from the key's event-time future must never match, got $pt")
+  }
+
   test("tolerance: a stale buffered right stops matching") {
     val s = spark
     import s.implicits._
