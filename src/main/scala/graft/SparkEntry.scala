@@ -1599,10 +1599,18 @@ object SparkEntry {
         val truth = Similarity.bruteForceTopK(emb, col("vec_id") < 10, 3)
           .select(col("pid"), col("nid"))
           .localCheckpoint(true) // feeds n_truth AND every config's hit join
-        val perConfig = Seq(1, 2, 4, 8).map { p =>
-          val approx = graft.similarity.IvfIndex.learnedSearch(
-            emb, k = 8, col("vec_id") < 10, topK = 3, nProbe = p,
+        // assign + rank + verify ONCE at the maximal cutoff (the
+        // candidate sets nest); each config is a filter + its own top-3
+        val sweep = graft.similarity.IvfIndex.probeSweep(
+            emb, k = 8, col("vec_id") < 10, maxNProbe = 8,
             exportPath = graft.similarity.IvfIndex.ExportedCentroidsRecallPath)
+          .localCheckpoint(true)
+        val wTop = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("pid")).orderBy(col("cos_sim").desc, col("nid"))
+        val perConfig = Seq(1, 2, 4, 8).map { p =>
+          val approx = sweep.filter(col("probe_rank") <= p)
+            .withColumn("__rn", row_number().over(wTop))
+            .filter(col("__rn") <= 3)
             .select(col("pid"), col("nid"), lit(1).as("__hit"))
           truth.join(approx, Seq("pid", "nid"), "left")
             .agg(count(lit(1)).cast("long").as("n_truth"),

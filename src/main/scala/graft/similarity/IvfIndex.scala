@@ -123,6 +123,44 @@ object IvfIndex {
         col("__rn").cast("long").as("knn_rank"))
   }
 
+  /** nProbe SWEEP support (s14's auto-tune): the per-config searches
+    * share everything but the probe-cell cutoff — assignment, probe-cell
+    * ranking, and candidate verification are all config-invariant, and
+    * the candidate sets NEST (nProbe=1 ⊂ 2 ⊂ ... ⊂ maxNProbe). So
+    * assign, rank, and verify ONCE at the maximal cutoff and return the
+    * verified candidates with the probe-cell rank attached; a config's
+    * result is then `probe_rank <= nProbe` + its own top-k window —
+    * tuning costs one search, not |configs| searches.
+    * Output: (pid, nid, cos_sim, probe_rank).
+    */
+  def probeSweep(emb: DataFrame, k: Int, isProbe: Column, maxNProbe: Int,
+      exportPath: String = ExportedCentroidsPath,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(maxNProbe >= 1 && maxNProbe <= k,
+      s"maxNProbe=$maxNProbe out of [1,$k]")
+    val spark = emb.sparkSession
+    val ix = build(emb, k, idCol, vecCol)
+    val cent = centroids(ix).select(col("cell"), col("centroid").as("cv"))
+    cent.coalesce(1).write.mode("overwrite")
+      .parquet(ModelExport.sigPath(exportPath, emb, idCol))
+    val assigned = assignByCosine(emb, cent, idCol, vecCol)
+    val probes = emb.filter(isProbe)
+      .select(col(idCol).as("pid"), widened(vecCol).as("__pv"))
+    val wc = Window.partitionBy(col("pid"))
+      .orderBy(col("c_cos").desc, col("cell").asc)
+    val probeCells = probes.crossJoin(broadcast(cent))
+      .withColumn("c_cos", round(CosineSimilarity(spark, col("__pv"), col("cv")), 6))
+      .withColumn("__cr", row_number().over(wc))
+      .filter(col("__cr") <= maxNProbe)
+      .select(col("pid"), col("__pv"), col("cell"), col("__cr"))
+    probeCells.join(assigned, Seq("cell"))
+      .filter(col("nid") =!= col("pid"))
+      .withColumn("cos_sim",
+        round(CosineSimilarity(spark, col("__pv"), col("v")), 6))
+      .select(col("pid"), col("nid"), col("cos_sim"),
+        col("__cr").cast("long").as("probe_rank"))
+  }
+
   /** Deterministic "seeded" centroid frame: the embeddings of the `nCells`
     * lowest ids (k-means++'s seeding step without the Lloyd iterations —
     * no trained model, so ANY engine can reproduce the exact index from
