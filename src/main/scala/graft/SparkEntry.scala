@@ -1949,6 +1949,42 @@ object SparkEntry {
         rates = Map("en" -> 50), defaultPct = 80)
         .select(col("doc_id"), col("lang"), col("bucket"))),
 
+    QueryDef("t29_systematic_sample",
+      "Weighted SYSTEMATIC sampling (the SMC-resampling scheme) — 5 docs " +
+        "per source with selection probability proportional to token " +
+        "count: weights lie end-to-end on a per-source number line in " +
+        "doc_id order and each of 5 evenly-spaced midpoint ticks picks " +
+        "its containing doc. Unlike Gumbel/exponential-key weighted " +
+        "sampling the whole procedure is EXACT integer arithmetic " +
+        "(containment compares cross-multiplied BIGINTs — no log, no " +
+        "pow), so the sample is bit-identical on any engine. One " +
+        "partitioned prefix-sum window + per-source totals broadcast + a " +
+        "constant 5-row tick broadcast: linear, one shuffle on source. " +
+        "The mixing use: a fixed-size eval slice whose per-source " +
+        "composition mirrors the token mixture.",
+      Some("""WITH t AS (SELECT doc_id, source,
+        |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS w
+        |  FROM documents),
+        |f AS (SELECT * FROM t WHERE w > 0),
+        |c AS (SELECT doc_id, source, w,
+        |  CAST(SUM(w) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cum FROM f),
+        |tot AS (SELECT source, CAST(SUM(w) AS BIGINT) AS total FROM f GROUP BY source),
+        |ticks AS (SELECT unnest(generate_series(0, 4)) AS tick_idx)
+        |SELECT c.source, CAST(k.tick_idx AS BIGINT) AS tick_idx, c.doc_id,
+        |  c.w AS weight
+        |FROM c JOIN tot USING (source) CROSS JOIN ticks k
+        |WHERE (c.cum - c.w) * 10 <= (k.tick_idx*2 + 1) * tot.total
+        |  AND (k.tick_idx*2 + 1) * tot.total < c.cum * 10""".stripMargin),
+      (s, dir) => Relational.systematicSample(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            size(expr("filter(split(trim(text), '\\\\s+'), x -> x <> '')"))
+              .cast("long").as("n_tokens")),
+        strataCol = "source", weightCol = "n_tokens", idCol = "doc_id",
+        k = 5)
+        .select(col("source"), col("tick_idx"), col("doc_id"),
+          col("weight"))),
+
     QueryDef("t10_vocabulary",
       "Vocabulary extraction: global token frequency table with rank — " +
         "explode → hash-aggregate (one shuffle, map-side combine), then " +

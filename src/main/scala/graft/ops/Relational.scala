@@ -371,4 +371,43 @@ object Relational {
       .filter(bucket < col("keep_micro"))
       .select(col(idCol), col(strataCol), col("keep_micro"))
   }
+
+  /** Weighted SYSTEMATIC sampling (the SMC-resampling scheme): per
+    * stratum, lay the rows' weights end-to-end on a number line in id
+    * order and pick the row containing each of `k` evenly-spaced midpoint
+    * ticks t_j = (2j+1)·total/(2k) — every row's selection probability is
+    * ∝ its weight, heavy rows (weight > total/k) can win multiple ticks,
+    * and, unlike exponential/Gumbel-key weighted sampling, the whole
+    * procedure is EXACT integer arithmetic (containment compares
+    * cross-multiplied BIGINTs, never a log or a pow), so the selected set
+    * is bit-identical on any engine. The token-budget mixing use: sample
+    * k docs per source ∝ token count for a fixed-size eval slice whose
+    * composition mirrors the mixture.
+    *
+    * Scale shape: one partitioned prefix-sum window (id-ordered within
+    * stratum), per-stratum totals as a broadcast, ticks as a constant
+    * k-row broadcast — linear in the corpus with one shuffle on the
+    * stratum key. Output: (stratum, tick_idx, id, weight); rows with
+    * non-positive weight can never contain a tick and are dropped.
+    */
+  def systematicSample(df: DataFrame, strataCol: String, weightCol: String,
+      idCol: String, k: Int): DataFrame = {
+    require(k >= 1, "need at least one tick")
+    val w = Window.partitionBy(col(strataCol)).orderBy(col(idCol))
+    val cum = df.filter(col(weightCol) > 0)
+      .select(col(strataCol), col(idCol), col(weightCol).cast("long").as("__w"))
+      .withColumn("__cum", sum(col("__w")).over(w))
+    val totals = cum.groupBy(col(strataCol))
+      .agg(max(col("__cum")).as("__total"))
+    val ticks = df.sparkSession.range(k).select(col("id").as("tick_idx"))
+    cum.join(broadcast(totals), strataCol)
+      .crossJoin(broadcast(ticks))
+      .filter(
+        (col("__cum") - col("__w")) * (2 * k) <=
+          (col("tick_idx") * 2 + 1) * col("__total") &&
+        (col("tick_idx") * 2 + 1) * col("__total") <
+          col("__cum") * (2 * k))
+      .select(col(strataCol), col("tick_idx"), col(idCol),
+        col("__w").as("weight"))
+  }
 }

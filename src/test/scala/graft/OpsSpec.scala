@@ -122,4 +122,30 @@ class OpsSpec extends SparkSpec {
     val p2 = e2.select("id", "pos").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(p1 != p2)
   }
+
+  test("systematicSample: tick count is weight-proportional, heavy rows win " +
+    "multiple ticks, zero weights never select") {
+    val s = spark
+    import s.implicits._
+    // stratum "a": weights 1,1,8 over total 10, k=5 → midpoint ticks at
+    // 1,3,5,7,9. Tick 1 sits exactly on doc 1's upper boundary → doc 2's
+    // half-open interval [1,2) takes it; ticks 3..9 all land in doc 3's
+    // [2,10) — the weight-8 row wins 4 of 5 ticks, weight-proportional
+    val df = Seq(
+      ("a", 1L, 1L), ("a", 2L, 1L), ("a", 3L, 8L),
+      ("a", 4L, 0L),                    // zero weight: never selectable
+      ("b", 10L, 5L))                   // second stratum: all ticks on it
+      .toDF("src", "id", "w")
+    val got = Relational.systematicSample(df, "src", "w", "id", k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      ("a", 0L, 2L),
+      ("a", 1L, 3L), ("a", 2L, 3L), ("a", 3L, 3L), ("a", 4L, 3L),
+      ("b", 0L, 10L), ("b", 1L, 10L), ("b", 2L, 10L),
+      ("b", 3L, 10L), ("b", 4L, 10L)), got.toString)
+    // partitioning-independent: same sample from a repartitioned input
+    val again = Relational.systematicSample(df.repartition(7), "src", "w", "id", k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == got)
+  }
 }
