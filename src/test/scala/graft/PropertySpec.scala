@@ -220,6 +220,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: systematicSample equals the sequential tick scan") {
+    // the distributed form (window prefix-sum + broadcast joins) must
+    // select exactly the rows a sequential walk of each stratum's number
+    // line selects, for any weights (zeros included) and any k
+    val rowGen = for {
+      st <- Gen.oneOf("a", "b")
+      w <- Gen.choose(0L, 7L)
+    } yield (st, w)
+    val caseGen = for {
+      rows <- Gen.listOfN(10, rowGen)
+      k <- Gen.choose(1, 4)
+    } yield (rows, k)
+    for ((rowsRaw, k) <- cases(caseGen, 12)) {
+      val s = spark
+      import s.implicits._
+      val rows = rowsRaw.zipWithIndex.map { case ((st, w), i) => (st, i.toLong, w) }
+      val got = Relational.systematicSample(
+          rows.toDF("src", "id", "w"), "src", "w", "id", k)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val expected = rows.filter(_._3 > 0).groupBy(_._1).toSeq.flatMap {
+        case (st, rs) =>
+          val sorted = rs.sortBy(_._2)
+          val total = sorted.map(_._3).sum
+          val cums = sorted.scanLeft(0L)(_ + _._3).tail
+          for {
+            j <- 0 until k
+            ((_, id, w), cum) <- sorted.zip(cums)
+            if (cum - w) * 2 * k <= (2L * j + 1) * total &&
+              (2L * j + 1) * total < cum * 2 * k
+          } yield (st, j.toLong, id)
+      }.toSet
+      assert(got == expected, s"k=$k rows=$rows")
+    }
+  }
+
   test("property: sourceKlDivergence is non-negative and zero iff no drift") {
     // Gibbs' inequality: KL(P_s || corpus) >= 0, with equality only when
     // the source's distribution equals the blend — e.g. a single-source
