@@ -20,4 +20,9 @@ object GraftPlanBridge {
   def plannerStrategies(ext: SparkSessionExtensions, spark: SparkSession)
       : Seq[org.apache.spark.sql.execution.SparkStrategy] =
     ext.buildPlannerStrategies(spark)
+
+  /** Test-only peek at the injected optimizer rules, same reason. */
+  def optimizerRules(ext: SparkSessionExtensions, spark: SparkSession)
+      : Seq[org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]] =
+    ext.buildOptimizerRules(spark)
 }

@@ -289,10 +289,35 @@ class AsOfJoinSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
-  test("GraftExtensions injects the same strategy via SparkSessionExtensions") {
+  test("optimizer rule: pushdown and pruning hold for the forward direction too") {
+    // the rule rests on the operator's 1:1-per-left-row contract, which is
+    // direction-independent — prove it on a non-backward plan
+    val ev = Tables.events(spark, sf0001)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"), col("props"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"), col("props"))
+    val df = AsOfJoinPlan.asofJoin(purchases, clicks,
+        keys = Seq("user_id" -> "user_id"),
+        order = Seq("ts" -> "ts", "event_id" -> "event_id"),
+        direction = AsOfDirection.Forward)
+      .filter(col("event_id") > 500L)
+      .select(col("user_id"), col("ts_r"))
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("GreaterThan(event_id,5"),
+      s"left-only predicate must reach PushedFilters under Forward:\n$physical")
+    val schemas = "ReadSchema: [^\\n]*".r.findAllIn(physical).toList
+    assert(schemas.nonEmpty && schemas.forall(!_.contains("props")),
+      s"props must be pruned from every scan under Forward, got $schemas")
+    assert(df.count() > 0)
+  }
+
+  test("GraftExtensions injects the strategy AND the optimizer rule") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)
     val strategies = org.apache.spark.sql.GraftPlanBridge.plannerStrategies(ext, spark)
     assert(strategies.contains(AsOfJoinStrategy))
+    val rules = org.apache.spark.sql.GraftPlanBridge.optimizerRules(ext, spark)
+    assert(rules.contains(graft.plans.AsOfJoinOptimizations))
   }
 }

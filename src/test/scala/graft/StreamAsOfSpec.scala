@@ -218,5 +218,30 @@ class StreamAsOfSpec extends SparkSpec {
     val got = runAvailableNow(dir, toleranceUs = 5L)
       .map(m => m.event_id -> m.matched).toMap
     assert(got == Map(1L -> true, 2L -> false), s"tolerance window broken: $got")
+    // the event-time variant enforces the same window at its (watermark-
+    // delayed) emit; a watermark-driving key ripens key 1's ticks
+    val dirEt = Files.createTempDirectory("asofEtTol").toString + "/ticks"
+    Seq(Tick(1L, 10000000L, 100L, is_right = true),
+        Tick(1L, 14000000L, 1L, is_right = false), // diff 4s <= 5s → match
+        Tick(1L, 25000000L, 2L, is_right = false), // diff 15s > 5s → aged out
+        Tick(999L, 100000000L, 500L, is_right = true))
+      .toDS().coalesce(1).write.parquet(dirEt)
+    val et = withRocksDb {
+      val stream = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[Tick]].schema)
+        .parquet(dirEt).as[Tick]
+      val name = s"asof_et_tol_${System.nanoTime()}"
+      val q = graft.streaming.StreamAsOf.matchesEventTime(spark, stream,
+          toleranceUs = 5000000L, watermarkDelay = "2 seconds").writeStream
+        .format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000); q.stop()
+      spark.table(name).as[AsOfMatch].collect().toSeq
+    }
+    val etGot = et.map(m => m.event_id -> m.matched).toMap
+    assert(etGot == Map(1L -> true, 2L -> false),
+      s"event-time tolerance window broken: $etGot")
   }
 }
