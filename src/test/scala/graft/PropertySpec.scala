@@ -220,6 +220,47 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: as-of join with COMPOSITE keys and null key parts equals brute force") {
+    // two-column equi-keys with occasional nulls: null-keyed rows match
+    // nothing on either side (SQL join semantics), non-null composites
+    // compare component-wise — the merge's multi-column key projection
+    // and nulls-first consume path both get exercised
+    val rowGen = for {
+      k1 <- Gen.oneOf("a", "b")
+      k2 <- Gen.frequency(4 -> Gen.choose(0L, 1L).map(Option(_)),
+        1 -> Gen.const(Option.empty[Long]))
+      t <- Gen.choose(0L, 12L)
+    } yield (k1, k2, t)
+    val caseGen = for {
+      ls <- Gen.listOfN(12, rowGen)
+      rs <- Gen.listOfN(12, rowGen)
+      strict <- Gen.oneOf(true, false)
+    } yield (ls, rs, strict)
+    for ((lsRaw, rsRaw, strict) <- cases(caseGen, 10)) {
+      val s = spark
+      import s.implicits._
+      val ls = lsRaw.zipWithIndex.map { case ((k1, k2, t), i) => (k1, k2, t, i.toLong) }
+      val rs = rsRaw.zipWithIndex.map { case ((k1, k2, t), i) => (k1, k2, t, i.toLong) }
+      val got = graft.plans.AsOfJoinPlan.asofJoin(
+          ls.toDF("k1", "k2", "t", "id"), rs.toDF("k1", "k2", "t", "id"),
+          keys = Seq("k1" -> "k1", "k2" -> "k2"),
+          order = Seq("t" -> "t", "id" -> "id"), strict = strict)
+        .select(col("id"), col("id_r"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      val expected = ls.map { case (lk1, lk2, lt, lid) =>
+        val m =
+          if (lk2.isEmpty) None
+          else rs.filter { case (rk1, rk2, rt, rid) =>
+            rk1 == lk1 && rk2.nonEmpty && rk2 == lk2 &&
+              (rt < lt || (rt == lt && (if (strict) rid < lid else rid <= lid)))
+          }.sortBy { case (_, _, rt, rid) => (rt, rid) }.lastOption
+        lid -> m.map(_._4).getOrElse(-1L)
+      }.toMap
+      assert(got == expected, s"strict=$strict ls=$ls rs=$rs")
+    }
+  }
+
   test("property: systematicSample equals the sequential tick scan") {
     // the distributed form (window prefix-sum + broadcast joins) must
     // select exactly the rows a sequential walk of each stratum's number
