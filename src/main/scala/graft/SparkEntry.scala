@@ -3379,6 +3379,95 @@ object SparkEntry {
         Text.bm25(Tables.documents(s, dir), "doc_id", "text",
           Seq("spark", "join", "vector"))),
 
+    QueryDef("r01_hybrid_rrf",
+      "Hybrid retrieval with reciprocal-rank fusion (Cormack et al. 2009) " +
+        "— the modern lexical+semantic retrieval primitive: for each of " +
+        "3 probe docs, a BM25 leg (Text.bm25PerQuery on the probe's " +
+        "first-5-token term set, top-20 by rounded score) and a cosine " +
+        "leg (exact embedding top-20) fuse by RRF score " +
+        "1/(60+rank_bm25) + 1/(60+rank_cos), top-5 per probe. RRF is the " +
+        "fusion production uses precisely because it needs only RANKS — " +
+        "no cross-leg score calibration — and here every input rank is " +
+        "already engine-exact (decimal-summed BM25, rounded cosines), so " +
+        "even the fused DOUBLE hashes match: 1/(60+r) and the two-term " +
+        "sum are single correctly-rounded IEEE ops. Legs meet in a " +
+        "full-outer join (a doc ranked by only one leg still fuses); " +
+        "per-probe windows are probe-count x term-selectivity bounded, " +
+        "never corpus-wide.",
+      Some("""WITH t AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM t),
+        |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(CAST(dl AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avgdl FROM m),
+        |qt AS (SELECT DISTINCT doc_id AS pid, unnest(list_slice(toks, 1, 5)) AS term
+        |  FROM t WHERE doc_id < 3),
+        |tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM m)
+        |  WHERE term IN (SELECT term FROM qt)
+        |  GROUP BY doc_id, dl, term),
+        |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |c AS (SELECT q.pid, tf.doc_id,
+        |    CAST(ROUND(
+        |      ROUND(ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0), 6) *
+        |      ((tf * (1.2 + 1.0)) / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))),
+        |    6) AS DECIMAL(18,6)) AS contrib
+        |  FROM tf JOIN dfreq USING (term) JOIN qt q USING (term) CROSS JOIN stats),
+        |bm AS (SELECT pid, doc_id, CAST(SUM(contrib) AS DOUBLE) AS bm25
+        |  FROM c WHERE doc_id <> pid GROUP BY pid, doc_id),
+        |rb AS (SELECT pid, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY pid ORDER BY ROUND(bm25, 6) DESC, doc_id) AS rb
+        |  FROM bm QUALIFY rb <= 20),
+        |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |p AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id < 3),
+        |prod AS (SELECT pid, e.vec_id AS nid, unnest(pv) AS x, unnest(v) AS y
+        |  FROM p CROSS JOIN e WHERE e.vec_id <> pid),
+        |dots AS (SELECT pid, nid, SUM(x*y) AS dot, SUM(x*x) AS na2, SUM(y*y) AS nb2
+        |  FROM prod GROUP BY pid, nid),
+        |cs AS (SELECT pid, nid, ROUND(dot/(SQRT(na2)*SQRT(nb2)), 6) AS cos_sim FROM dots),
+        |rc AS (SELECT pid, nid AS doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY pid ORDER BY cos_sim DESC, nid) AS rc
+        |  FROM cs QUALIFY rc <= 20),
+        |fused AS (SELECT COALESCE(rb.pid, rc.pid) AS pid,
+        |    COALESCE(rb.doc_id, rc.doc_id) AS doc_id,
+        |    COALESCE(1.0/(60.0 + rb.rb), 0.0) + COALESCE(1.0/(60.0 + rc.rc), 0.0) AS rrf0
+        |  FROM rb FULL OUTER JOIN rc ON rb.pid = rc.pid AND rb.doc_id = rc.doc_id)
+        |SELECT pid, CAST(fr AS BIGINT) AS fused_rank, doc_id, ROUND(rrf0, 6) AS rrf
+        |FROM (SELECT pid, doc_id, rrf0,
+        |    ROW_NUMBER() OVER (PARTITION BY pid ORDER BY rrf0 DESC, doc_id) AS fr
+        |  FROM fused)
+        |WHERE fr <= 5""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val qt = docs.filter(col("doc_id") < 3)
+          .select(col("doc_id").as("pid"),
+            explode(array_distinct(expr(
+              "slice(filter(split(trim(text), '\\\\s+'), x -> x <> ''), 1, 5)")))
+              .as("term"))
+        val wb = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("pid"))
+          .orderBy(round(col("bm25"), 6).desc, col("doc_id"))
+        val rb = Text.bm25PerQuery(docs, qt)
+          .filter(col("doc_id") =!= col("pid"))
+          .withColumn("rb", row_number().over(wb))
+          .filter(col("rb") <= 20)
+          .select(col("pid"), col("doc_id"), col("rb"))
+        val rc = Similarity.bruteForceTopK(
+            Tables.embeddings(s, dir), col("vec_id") < 3, 20)
+          .select(col("pid"), col("nid").as("doc_id"), col("rank").as("rc"))
+        val wf = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("pid")).orderBy(col("rrf0").desc, col("doc_id"))
+        rb.join(rc, Seq("pid", "doc_id"), "full_outer")
+          .select(col("pid"), col("doc_id"),
+            (coalesce(lit(1.0) / (lit(60.0) + col("rb")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60.0) + col("rc")), lit(0.0))).as("rrf0"))
+          .withColumn("fused_rank", row_number().over(wf).cast("long"))
+          .filter(col("fused_rank") <= 5)
+          .select(col("pid"), col("fused_rank"), col("doc_id"),
+            round(col("rrf0"), 6).as("rrf"))
+      }),
+
     QueryDef("g01_pagerank",
       "Distributed PageRank (ops.Graph.pageRank, Page et al. 1999): 5 fixed " +
         "iterations over the symmetrized customer-supplier bipartite graph " +

@@ -215,6 +215,51 @@ object Text {
         sum(col("__contrib")).cast("double").as("bm25"))
   }
 
+  /** [[bm25]] against MANY queries at once: `queryTerms` is a
+    * (pid, term) frame — each probe's term SET — and the output scores
+    * every (probe, doc) pair sharing at least one term. Same Lucene
+    * positive-idf arithmetic with per-term contributions rounded +
+    * decimal-cast before the sum (engine-exact); df stays the GLOBAL
+    * per-term document frequency, independent of which probes ask. The
+    * corpus-sized work (tf explode + hash agg) happens once for the
+    * union of all probes' terms, restricted BEFORE the shuffle; the
+    * per-probe fan-out rides a broadcast of the small query frame, so
+    * the shuffled volume is term-selectivity-bounded exactly like the
+    * single-query form.
+    */
+  def bm25PerQuery(docs: DataFrame, queryTerms: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val meta = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), size(col("__toks")).cast("long").as("dl"),
+        col("__toks"))
+    val stats = meta.agg(
+      count(lit(1)).cast("long").as("n_docs"),
+      (sum(col("dl").cast(D6)).cast("double") / count(lit(1))).as("avgdl"))
+    val terms = queryTerms.select(col("term")).distinct()
+    val tf = meta
+      .select(col(idCol), col("dl"), explode(col("__toks")).as("term"))
+      .join(broadcast(terms), "term")
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("long").as("df"))
+    val idf = round(log(
+      (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)) + lit(1.0)), 6)
+    val tfc = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) +
+        lit(b) * (col("dl").cast("double") / col("avgdl"))))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("__contrib", round(idf * tfc, 6).cast(D6))
+      .join(broadcast(queryTerms), Seq("term"))
+      .groupBy(col("pid"), col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_terms"),
+        sum(col("__contrib")).cast("double").as("bm25"))
+  }
+
   /** Corpus unigram log-probability score — the cheap perplexity proxy used
     * to rank documents by "typicality" (fluent text scores high, gibberish
     * and boilerplate low). Two hash aggregations (term counts, then the
