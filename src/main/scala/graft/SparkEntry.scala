@@ -4592,6 +4592,41 @@ object SparkEntry {
             unix_micros(col("ts_r")).as("click_us"))
       }),
 
+    QueryDef("q81_asof_broadcast",
+      "The BROADCAST form of the native as-of join — the " +
+        "shuffle-vs-broadcast duality for the case production hits " +
+        "constantly: a huge event stream as-of-joined to a SMALL " +
+        "reference side (here the bounded user_id<100 click set; think " +
+        "SCD dimension or quotes snapshot). The right side broadcasts " +
+        "whole, each task builds a per-key ord-sorted index once and " +
+        "answers every left row by binary search, so the LEFT child " +
+        "plans with no exchange and no sort at all — at 100 TB that " +
+        "deletes the entire left-side shuffle the merge form pays. " +
+        "Explicit opt-in; identical semantics to the merge form " +
+        "(property-swept across all directions). Oracle = q76's " +
+        "correlated form restricted to the reference set.",
+      Some("""SELECT p.user_id, p.event_id, epoch_us(p.ts) AS purchase_us,
+        |  (SELECT epoch_us(max(c.ts)) FROM events c
+        |   WHERE c.user_id = p.user_id AND c.event_type = 'click'
+        |     AND c.user_id < 100
+        |     AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))) AS click_us
+        |FROM events p WHERE p.event_type = 'purchase'""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click" &&
+            col("user_id") < 100)
+          .select(col("user_id"), col("event_id"), col("ts"))
+        graft.plans.AsOfJoinPlan.asofJoin(purchases, clicks,
+            keys = Seq("user_id" -> "user_id"),
+            order = Seq("ts" -> "ts", "event_id" -> "event_id"),
+            strict = true, broadcastRight = true)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("purchase_us"),
+            unix_micros(col("ts_r")).as("click_us"))
+      }),
+
     QueryDef("s13_random_projection",
       "Johnson-Lindenstrauss ±1 random projection (Achlioptas 2003) of " +
         "the 64-dim embeddings to 16 dims — the standard pre-reduction " +

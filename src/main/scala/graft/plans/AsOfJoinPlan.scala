@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, GraftPlanBridge, SparkSession, SparkSess
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, ClusteredDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.functions.col
 
@@ -68,7 +68,8 @@ case class AsOfJoin(
     rightOrder: Seq[Expression],
     strict: Boolean,
     tolerance: Option[Long] = None,
-    direction: AsOfDirection = AsOfDirection.Backward) extends BinaryNode {
+    direction: AsOfDirection = AsOfDirection.Backward,
+    broadcastRight: Boolean = false) extends BinaryNode {
   require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
     "as-of join needs matching, non-empty equi-key lists")
   require(leftOrder.length == rightOrder.length && leftOrder.nonEmpty,
@@ -99,12 +100,19 @@ case class AsOfJoin(
     copy(left = newLeft, right = newRight)
 }
 
-/** Planner rule: one physical form, the partitioned forward-merge. */
+/** Planner rule: the partitioned forward-merge by default, the
+  * broadcast-index form on explicit opt-in (the shuffle-vs-broadcast
+  * duality every equi-join family has).
+  */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lo, ro, strict, tol, dir) =>
-      AsOfJoinExec(lk, rk, lo, ro, strict, tol, dir,
-        planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lo, ro, strict, tol, dir, bcast) =>
+      if (bcast)
+        BroadcastAsOfJoinExec(lk, rk, lo, ro, strict, tol, dir,
+          planLater(l), planLater(r)) :: Nil
+      else
+        AsOfJoinExec(lk, rk, lo, ro, strict, tol, dir,
+          planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -258,32 +266,149 @@ case class AsOfJoinExec(
                 }
               }
             }
-            // tolerance window and nearest distance both need the left
-            // head value; a null head makes distances undefined — then
-            // tolerance can't hold, and nearest degrades to backward
-            // preference
-            if (needHead) {
-              if (lOrd.isNullAt(0)) {
-                if (tolLocal.isDefined) { b = null; f = null }
-                matched = if (b != null) b else f
-              } else {
-                val lHead = headLong(lOrd)
-                tolLocal.foreach { t =>
-                  if (b != null && lHead - bHead > t) b = null
-                  if (f != null && fHead - lHead > t) f = null
-                }
-                matched = dir match {
-                  case AsOfDirection.Backward => b
-                  case AsOfDirection.Forward => f
-                  case AsOfDirection.Nearest =>
-                    if (b != null && f != null) {
-                      // ties go backward, pandas-style
-                      if (lHead - bHead <= fHead - lHead) b else f
-                    } else if (b != null) b else f
+            matched = AsOfJoinExec.choose(dir, tolLocal, headLong, lOrd,
+              b, bHead, f, fHead)
+          }
+          resultProj(joined(l, if (matched != null) matched else nullRight))
+        }
+      }
+    }
+  }
+}
+
+/** The broadcast form of the as-of join — the shuffle-vs-broadcast
+  * duality every equi-join family has, for the case production hits
+  * constantly: a HUGE event stream as-of-joined to a SMALL reference side
+  * (an SCD dimension, a quotes snapshot, a model-version table). The
+  * right side broadcasts whole; each task builds a per-key ord-SORTED
+  * index from it once per partition and every left row answers by binary
+  * search — so the left child needs NO exchange and NO sort (its
+  * partitioning and ordering pass straight through), which at 100 TB
+  * deletes the entire left-side shuffle the merge form pays. Explicit
+  * opt-in (`asofJoin(..., broadcastRight = true)`): the planner never
+  * silently swaps a 100 TB right side into executor memory.
+  *
+  * Semantics are IDENTICAL to [[AsOfJoinExec]] in all three directions
+  * (the property suite runs both forms against the same brute force):
+  * same null-key/null-ordering exclusions, same strictness, same
+  * tolerance window, same [[AsOfJoinExec.choose]] candidate pick.
+  */
+case class BroadcastAsOfJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftOrder: Seq[Expression],
+    rightOrder: Seq[Expression],
+    strict: Boolean,
+    tolerance: Option[Long],
+    direction: AsOfDirection,
+    left: SparkPlan,
+    right: SparkPlan) extends SparkPlan with BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // the whole point: nothing required of the left, the right broadcasts
+  override def requiredChildDistribution: Seq[Distribution] =
+    UnspecifiedDistribution :: BroadcastDistribution(IdentityBroadcastMode) :: Nil
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val out = output
+    val lk = leftKeys; val rk = rightKeys
+    val lo = leftOrder; val ro = rightOrder
+    val strictLocal = strict
+    val tolLocal = tolerance
+    val dir = direction
+    val headType = leftOrder.head.dataType
+    val needHead = tolLocal.isDefined || dir == AsOfDirection.Nearest
+    val bcast = right.executeBroadcast[Array[InternalRow]]()
+    left.execute().mapPartitions { lIter =>
+      if (!lIter.hasNext) Iterator.empty
+      else {
+        val lKeyProj = UnsafeProjection.create(lk, lOut)
+        val rKeyProj = UnsafeProjection.create(rk, rOut)
+        val lOrdProj = UnsafeProjection.create(lo, lOut)
+        val rOrdProj = UnsafeProjection.create(ro, rOut)
+        val ordOrd = RowOrdering.createNaturalAscendingOrdering(lo.map(_.dataType))
+        val resultProj = UnsafeProjection.create(out, out)
+        val joined = new JoinedRow
+        val nullRight = new GenericInternalRow(rOut.size)
+        val headLong: InternalRow => Long =
+          if (needHead) AsOfJoinExec.headAsLong(headType) else null
+        // per-partition index: key → ord-sorted (ord, row) entries; the
+        // same null-key / null-ordering exclusions as the merge's consume
+        // path (such rows can never match)
+        val buffers = new java.util.HashMap[UnsafeRow,
+          scala.collection.mutable.ArrayBuffer[(UnsafeRow, InternalRow)]]()
+        bcast.value.foreach { r =>
+          val k = rKeyProj(r)
+          if (!k.anyNull) {
+            val o = rOrdProj(r)
+            if (!o.anyNull) {
+              var buf = buffers.get(k)
+              if (buf == null) {
+                buf = scala.collection.mutable.ArrayBuffer
+                  .empty[(UnsafeRow, InternalRow)]
+                buffers.put(k.copy(), buf)
+              }
+              buf += ((o.copy(), r))
+            }
+          }
+        }
+        val index = new java.util.HashMap[UnsafeRow, Array[(UnsafeRow, InternalRow)]]()
+        buffers.forEach((k, buf) => index.put(k,
+          buf.sortWith((a, b) => ordOrd.compare(a._1, b._1) < 0).toArray))
+        lIter.map { l =>
+          val lKey = lKeyProj(l)
+          var matched: InternalRow = null
+          if (!lKey.anyNull) {
+            val entries = index.get(lKey)
+            if (entries != null) {
+              val lOrd = lOrdProj(l)
+              // lower/upper bound of the tuple-equal run
+              var a = 0; var z = entries.length
+              while (a < z) {
+                val m = (a + z) >>> 1
+                if (ordOrd.compare(entries(m)._1, lOrd) < 0) a = m + 1 else z = m
+              }
+              val lb = a
+              a = lb; z = entries.length
+              while (a < z) {
+                val m = (a + z) >>> 1
+                if (ordOrd.compare(entries(m)._1, lOrd) <= 0) a = m + 1 else z = m
+              }
+              val ub = a
+              val prev = if (lb > 0) entries(lb - 1) else null
+              val eqFirst = if (lb < ub) entries(lb) else null
+              val eqLast = if (lb < ub) entries(ub - 1) else null
+              val fwd = if (ub < entries.length) entries(ub) else null
+              var b: InternalRow = null; var bHead = 0L
+              if (dir != AsOfDirection.Forward) {
+                val e = if (!strictLocal && eqLast != null) eqLast else prev
+                if (e != null) {
+                  b = e._2; if (needHead) bHead = headLong(e._1)
                 }
               }
-            } else {
-              matched = if (dir == AsOfDirection.Forward) f else b
+              var f: InternalRow = null; var fHead = 0L
+              if (dir != AsOfDirection.Backward) {
+                val e =
+                  if (dir == AsOfDirection.Forward && !strictLocal &&
+                      eqFirst != null) eqFirst
+                  else fwd
+                if (e != null) {
+                  f = e._2; if (needHead) fHead = headLong(e._1)
+                }
+              }
+              matched = AsOfJoinExec.choose(dir, tolLocal, headLong, lOrd,
+                b, bHead, f, fHead)
             }
           }
           resultProj(joined(l, if (matched != null) matched else nullRight))
@@ -303,6 +428,43 @@ object AsOfJoinExec {
     case TimestampType | TimestampNTZType | LongType | IntegerType |
          ShortType | ByteType | DateType => true
     case _ => false
+  }
+
+  /** The direction/tolerance candidate pick shared by the merge and the
+    * broadcast-index execs: given the backward candidate `b` (last tuple
+    * at-or-before per strictness) and the forward candidate `f` (first
+    * tuple after, or first tuple-equal for non-strict Forward), apply the
+    * tolerance window and the direction rule. `headLong == null` means
+    * neither tolerance nor nearest needs head values. A null left head
+    * makes distances undefined — then tolerance can't hold, and nearest
+    * degrades to backward preference.
+    */
+  private[plans] def choose(
+      dir: AsOfDirection, tol: Option[Long],
+      headLong: InternalRow => Long, lOrd: InternalRow,
+      b0: InternalRow, bHead: Long, f0: InternalRow, fHead: Long): InternalRow = {
+    var b = b0; var f = f0
+    if (headLong != null) {
+      if (lOrd.isNullAt(0)) {
+        if (tol.isDefined) { b = null; f = null }
+        if (b != null) b else f
+      } else {
+        val lHead = headLong(lOrd)
+        tol.foreach { t =>
+          if (b != null && lHead - bHead > t) b = null
+          if (f != null && fHead - lHead > t) f = null
+        }
+        dir match {
+          case AsOfDirection.Backward => b
+          case AsOfDirection.Forward => f
+          case AsOfDirection.Nearest =>
+            if (b != null && f != null) {
+              // ties go backward, pandas-style
+              if (lHead - bHead <= fHead - lHead) b else f
+            } else if (b != null) b else f
+        }
+      }
+    } else if (dir == AsOfDirection.Forward) f else b
   }
 
   /** Read the head ordering value (position 0 of the ordering projection)
@@ -412,7 +574,8 @@ object AsOfJoinPlan {
       strict: Boolean = false,
       rightSuffix: String = "_r",
       tolerance: Option[Long] = None,
-      direction: AsOfDirection = AsOfDirection.Backward): DataFrame = {
+      direction: AsOfDirection = AsOfDirection.Backward,
+      broadcastRight: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     register(spark)
     val r2 = right.select(right.columns.map(c => col(c).as(c + rightSuffix)): _*)
@@ -427,7 +590,7 @@ object AsOfJoinPlan {
       keys.map { case (_, rn) => attr(rPlan, rn + rightSuffix) },
       order.map { case (ln, _) => attr(lPlan, ln) },
       order.map { case (_, rn) => attr(rPlan, rn + rightSuffix) },
-      strict, tolerance, direction)
+      strict, tolerance, direction, broadcastRight)
     GraftPlanBridge.ofRows(spark, node)
   }
 }

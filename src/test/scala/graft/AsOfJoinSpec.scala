@@ -212,6 +212,39 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("broadcast as-of: identical results with the left side planned bare") {
+    // semantics: byte-for-byte the merge form's answers
+    def results(bcast: Boolean): Set[(String, Long, Long)] =
+      AsOfJoinPlan.asofJoin(trades, quotes,
+          keys = Seq("sym" -> "sym"), order = Seq("t" -> "t"),
+          strict = false, broadcastRight = bcast)
+        .select(col("sym"), col("t"), col("px_r"))
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(results(bcast = true) == results(bcast = false))
+    // and for nearest with tolerance (exercises choose() via binary search)
+    def nearest(bcast: Boolean): Set[(String, Long, Long)] =
+      AsOfJoinPlan.asofJoin(trades, quotes,
+          keys = Seq("sym" -> "sym"), order = Seq("t" -> "t"),
+          strict = true, tolerance = Some(6L),
+          direction = AsOfDirection.Nearest, broadcastRight = bcast)
+        .select(col("sym"), col("t"), col("px_r"))
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(nearest(bcast = true) == nearest(bcast = false))
+    // plan: right broadcasts, the LEFT needs no exchange and no sort
+    val df = AsOfJoinPlan.asofJoin(trades, quotes,
+      keys = Seq("sym" -> "sym"), order = Seq("t" -> "t"),
+      broadcastRight = true)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastAsOfJoin"), plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"broadcast as-of must not shuffle either side:\n$plan")
+    assert(!plan.contains("Sort ["),
+      s"broadcast as-of must not sort the left side:\n$plan")
+  }
+
   test("asofJoin rejects mismatched key/order dataTypes at construction") {
     val s = spark
     import s.implicits._

@@ -91,6 +91,18 @@ class PlanInvariantsSpec extends SparkSpec {
       s"as-of over bucket-sorted events must not re-sort:\n$p")
   }
 
+  test("q81: broadcast as-of plans NO shuffle and NO sort on either side") {
+    // the small reference side broadcasts; the event-scale left side
+    // reads straight from its scan — the whole point of the form
+    val p = plan("q81_asof_broadcast")
+    assert(p.contains("BroadcastAsOfJoin"), "q81 lost the broadcast form")
+    assert(p.contains("BroadcastExchange"), "right side must broadcast")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"broadcast as-of must not shuffle:\n$p")
+    assert(!p.contains("Sort ["),
+      s"broadcast as-of must not sort:\n$p")
+  }
+
   test("q75: both box predicates push to the parquet scan under the " +
     "native z-order projection") {
     val f = formatted("q75_zorder_scan")

@@ -181,13 +181,18 @@ class PropertySpec extends SparkSpec {
       // unique per-side ids double as deterministic tie-breaks
       val ls = lsRaw.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
       val rs = rsRaw.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
-      val got = graft.plans.AsOfJoinPlan.asofJoin(
-          ls.toDF("k", "t", "id"), rs.toDF("k", "t", "id"),
-          keys = Seq("k" -> "k"), order = Seq("t" -> "t", "id" -> "id"),
-          strict = strict, tolerance = tol, direction = dir)
-        .select(col("id"), col("id_r"))
-        .collect().map(r => r.getLong(0) ->
-          (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      def run(bcast: Boolean): Map[Long, Long] =
+        graft.plans.AsOfJoinPlan.asofJoin(
+            ls.toDF("k", "t", "id"), rs.toDF("k", "t", "id"),
+            keys = Seq("k" -> "k"), order = Seq("t" -> "t", "id" -> "id"),
+            strict = strict, tolerance = tol, direction = dir,
+            broadcastRight = bcast)
+          .select(col("id"), col("id_r"))
+          .collect().map(r => r.getLong(0) ->
+            (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      val got = run(bcast = false)
+      // the broadcast-index form must agree with the merge form exactly
+      val gotBcast = run(bcast = true)
       // brute-force reference: candidates by full-tuple comparison, the
       // nearest pick by head distance with ties going backward
       val expected = ls.map { case (lk, lt, lid) =>
@@ -217,6 +222,8 @@ class PropertySpec extends SparkSpec {
       }.toMap
       assert(got == expected,
         s"dir=$dir strict=$strict tol=$tol ls=$ls rs=$rs")
+      assert(gotBcast == expected,
+        s"BROADCAST dir=$dir strict=$strict tol=$tol ls=$ls rs=$rs")
     }
   }
 
