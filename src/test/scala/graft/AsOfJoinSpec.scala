@@ -245,6 +245,43 @@ class AsOfJoinSpec extends SparkSpec {
       s"broadcast as-of must not sort the left side:\n$plan")
   }
 
+  test("downstream operators reuse the as-of join's partitioning AND ordering") {
+    // the exec declares outputPartitioning/outputOrdering = the left
+    // child's, so a per-key consumer after the join must not re-exchange
+    // and a (key, ts)-windowed consumer must not re-sort — the plan pays
+    // the clustering once for the whole chain
+    val ev = Tables.events(spark, sf0001)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val joinedDf = AsOfJoinPlan.asofJoin(purchases, clicks,
+      keys = Seq("user_id" -> "user_id"),
+      order = Seq("ts" -> "ts", "event_id" -> "event_id"), strict = true)
+    // consumer 1: per-user aggregate — only the join's two child
+    // exchanges may appear (none between join and aggregate). Exchanges
+    // materialize in the executed plan (EnsureRequirements), whose string
+    // rendering includes the full initial plan under AQE.
+    val agg = joinedDf.groupBy(col("user_id"))
+      .agg(count(col("ts_r")).as("n_attributed"))
+    val aggPlan = agg.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(aggPlan).size == 2,
+      s"per-user agg must reuse the join's clustering:\n$aggPlan")
+    assert(agg.count() > 0)
+    // consumer 2: a (user_id, ts, event_id)-ordered window — its frame is
+    // satisfied by the join's declared output ordering, so only the
+    // join's two child sorts may appear
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val win = joinedDf.withColumn("rn", row_number().over(w))
+    val winPlan = win.queryExecution.executedPlan.toString
+    assert("- Sort \\[".r.findAllIn(winPlan).size == 2,
+      s"window must consume the join's output ordering:\n$winPlan")
+    assert("Exchange hashpartitioning".r.findAllIn(winPlan).size == 2,
+      s"window must reuse the join's clustering:\n$winPlan")
+    assert(win.count() > 0)
+  }
+
   test("asofJoin rejects mismatched key/order dataTypes at construction") {
     val s = spark
     import s.implicits._
