@@ -133,6 +133,28 @@ object SparkEntry {
       Dedup.minhashSignatures(docs, 16).localCheckpoint(true)
     })
 
+  /** A deliberately schema-DRIFTED two-batch lake for q82: batch 1 lacks
+    * the lang column batch 2 carries — written once per (session, corpus)
+    * under a content-addressed sig partition (the ModelExport discipline,
+    * so the static DuckDB oracle finds the right corpus's batches and
+    * multi-SF runs never clobber).
+    */
+  private val evoCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def evolvedLake(s: SparkSession, dir: String): String =
+    evoCache.getOrElseUpdate(s"${System.identityHashCode(s)}#$dir", {
+      val docs = Tables.documents(s, dir)
+      val sig = graft.similarity.ModelExport.corpusSig(docs, "doc_id")
+      val p = s"/tmp/graft_evo_lake/sig=$sig"
+      docs.filter(col("doc_id") < 250)
+        .select(col("doc_id"), col("source"), col("text"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$p/b=1")
+      docs.filter(col("doc_id") >= 250)
+        .select(col("doc_id"), col("source"), col("text"), col("lang"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$p/b=2")
+      p
+    })
+
   /** One curation-pipeline run per (session, corpus dir), shared by every
     * consumer of its outputs — p01 reads chunks, p02 the lineage, p03 the
     * per-source card. Same discipline as [[dedupComponents]]: a production
@@ -4625,6 +4647,30 @@ object SparkEntry {
           .select(col("user_id"), col("event_id"),
             unix_micros(col("ts")).as("purchase_us"),
             unix_micros(col("ts_r")).as("click_us"))
+      }),
+
+    QueryDef("q82_schema_evolution",
+      "Schema-evolution read over a drifted lake — the ingest reality " +
+        "every long-lived pipeline hits: batch 1 wrote (doc_id, source, " +
+        "text), batch 2 added a lang column. Spark's mergeSchema read " +
+        "unions the footers so old rows surface the new column as NULL " +
+        "and the partition-discovered batch id rides along; DuckDB " +
+        "replays the same merge with union_by_name. The drifted batches " +
+        "are content-addressed per corpus (the ModelExport sig " +
+        "discipline) so multi-SF runs never clobber, and the write " +
+        "happens once per session. At 100 TB this is why a lake can add " +
+        "columns without rewriting history: the merge is a FOOTER " +
+        "operation, row data is never touched.",
+      Some("""SELECT doc_id, source, CAST(b AS BIGINT) AS batch, lang
+        |FROM read_parquet('/tmp/graft_evo_lake/sig=*/b=*/*.parquet',
+        |  hive_partitioning = true, union_by_name = true)
+        |WHERE sig = (SELECT 'n' || CAST(COUNT(*) AS BIGINT) || '_s' ||
+        |  CAST(SUM(doc_id) AS BIGINT) FROM documents)""".stripMargin),
+      (s, dir) => {
+        val p = evolvedLake(s, dir)
+        s.read.option("mergeSchema", "true").parquet(p)
+          .select(col("doc_id"), col("source"),
+            col("b").cast("long").as("batch"), col("lang"))
       }),
 
     QueryDef("s13_random_projection",
