@@ -155,6 +155,29 @@ object SparkEntry {
       p
     })
 
+  /** The OTHER footer-only schema evolution a long-lived lake hits
+    * (q84): batch 1 wrote `hits` as INT32, batch 2 as INT64 — a column
+    * the ingest outgrew. Same content-addressed once-per-(session,
+    * corpus) discipline as [[evolvedLake]].
+    */
+  private val widenCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def widenedLake(s: SparkSession, dir: String): String =
+    widenCache.getOrElseUpdate(s"${System.identityHashCode(s)}#$dir", {
+      val docs = Tables.documents(s, dir)
+      val sig = graft.similarity.ModelExport.corpusSig(docs, "doc_id")
+      val p = s"/tmp/graft_widen_lake/sig=$sig"
+      docs.filter(col("doc_id") < 250)
+        .select(col("doc_id"), col("source"),
+          (col("doc_id") % 1000).cast("int").as("hits"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$p/b=1")
+      docs.filter(col("doc_id") >= 250)
+        .select(col("doc_id"), col("source"),
+          (col("doc_id") * 1000L).cast("long").as("hits"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$p/b=2")
+      p
+    })
+
   /** One curation-pipeline run per (session, corpus dir), shared by every
     * consumer of its outputs — p01 reads chunks, p02 the lineage, p03 the
     * per-source card. Same discipline as [[dedupComponents]]: a production
@@ -186,7 +209,10 @@ object SparkEntry {
     */
   private val bucketedCache =
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
-  private def bucketedTables(s: SparkSession, dir: String): (String, String) =
+  private def bucketedTables(s: SparkSession, dir: String): (String, String) = {
+    // read-side posture, applied at EVERY consumer (not hidden in the
+    // write path): single-file buckets may report their sort order
+    graft.ops.Bucketing.enableSortedBucketScans(s)
     bucketedCache.getOrElseUpdate(s"${System.identityHashCode(s)}#$dir", {
       val r = Tables.orders(s, dir).agg(
         count(lit(1)).cast("long").as("n"),
@@ -202,6 +228,7 @@ object SparkEntry {
           Tables.orders(s, dir), ordT, "o_orderkey", 32)
       (liT, ordT)
     })
+  }
 
   /** Events bucketed 32 ways on user_id AND bucket-sorted by
     * (user_id, ts, event_id) — the native as-of join's full required
@@ -212,7 +239,8 @@ object SparkEntry {
     */
   private val bucketedEventsCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
-  private def bucketedEvents(s: SparkSession, dir: String): String =
+  private def bucketedEvents(s: SparkSession, dir: String): String = {
+    graft.ops.Bucketing.enableSortedBucketScans(s) // read-side posture, see above
     bucketedEventsCache.getOrElseUpdate(s"${System.identityHashCode(s)}#$dir", {
       val r = Tables.events(s, dir).agg(
         count(lit(1)).cast("long").as("n"),
@@ -224,6 +252,7 @@ object SparkEntry {
           sortCols = Seq("user_id", "ts", "event_id"))
       evT
     })
+  }
 
   // nation/region are bounded-size dims → always broadcast; orders and
   // customer scale with the fact table, so their join strategy is left to
@@ -234,6 +263,22 @@ object SparkEntry {
       .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+
+  /** ONE query text for q83, run VERBATIM on both engines: DuckDB parses
+    * its native `ASOF JOIN` syntax; Spark parses it through the injected
+    * [[graft.plans.AsOfSqlParser]] (and the injected `epoch_us` scalar),
+    * planning to the same native as-of operator the DataFrame API uses.
+    * `p.ts > c.ts` is DuckDB's backward-strict form — the q76 semantics
+    * on a single ordering column.
+    */
+  private val q83AsOfSql: String =
+    """SELECT p.user_id, p.event_id, epoch_us(p.ts) AS purchase_us,
+      |  epoch_us(c.ts) AS click_us
+      |FROM (SELECT user_id, event_id, ts FROM events
+      |      WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT user_id, ts FROM events
+      |                WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts > c.ts""".stripMargin
 
   private val defs: Seq[QueryDef] = Seq(
 
@@ -4474,10 +4519,17 @@ object SparkEntry {
           .select(col("user_id"), col("event_id"), col("ts"))
         val clicks = ev.filter(col("event_type") === "click")
           .select(col("user_id"), col("event_id"), col("ts"))
+        // broadcast = Never on q76-q80: these five pin the partitioned
+        // MERGE form — the shape a 100 TB right side forces, where the
+        // stats-based Auto pick would land anyway — so the scalable path
+        // stays oracle-checked at every SF (at test SFs Auto would
+        // broadcast the small click side instead). The Auto path is
+        // exercised by q83's SQL surface and AsOfJoinSpec's threshold
+        // sweep; the broadcast form by q81 (Force).
         graft.plans.AsOfJoinPlan.asofJoin(purchases, clicks,
             keys = Seq("user_id" -> "user_id"),
             order = Seq("ts" -> "ts", "event_id" -> "event_id"),
-            strict = true)
+            strict = true, broadcast = graft.plans.AsOfBroadcast.Never)
           .select(col("user_id"), col("event_id"),
             unix_micros(col("ts")).as("purchase_us"),
             unix_micros(col("ts_r")).as("click_us"))
@@ -4506,7 +4558,8 @@ object SparkEntry {
         graft.plans.AsOfJoinPlan.asofJoin(purchases, clicks,
             keys = Seq("user_id" -> "user_id"),
             order = Seq("ts" -> "ts", "event_id" -> "event_id"),
-            strict = true, tolerance = Some(3600L * 1000000L))
+            strict = true, tolerance = Some(3600L * 1000000L),
+            broadcast = graft.plans.AsOfBroadcast.Never) // merge pin, see q76
           .select(col("user_id"), col("event_id"),
             unix_micros(col("ts")).as("purchase_us"),
             unix_micros(col("ts_r")).as("click_us"))
@@ -4535,7 +4588,8 @@ object SparkEntry {
             keys = Seq("user_id" -> "user_id"),
             order = Seq("ts" -> "ts", "event_id" -> "event_id"),
             strict = true,
-            direction = graft.plans.AsOfDirection.Forward)
+            direction = graft.plans.AsOfDirection.Forward,
+            broadcast = graft.plans.AsOfBroadcast.Never) // merge pin, see q76
           .select(col("user_id"), col("event_id"),
             unix_micros(col("ts")).as("purchase_us"),
             unix_micros(col("ts_r")).as("click_us"))
@@ -4576,7 +4630,8 @@ object SparkEntry {
             keys = Seq("user_id" -> "user_id"),
             order = Seq("ts" -> "ts", "event_id" -> "event_id"),
             strict = true, tolerance = Some(3600L * 1000000L),
-            direction = graft.plans.AsOfDirection.Nearest)
+            direction = graft.plans.AsOfDirection.Nearest,
+            broadcast = graft.plans.AsOfBroadcast.Never) // merge pin, see q76
           .select(col("user_id"), col("event_id"),
             unix_micros(col("ts")).as("purchase_us"),
             unix_micros(col("ts_r")).as("click_us"))
@@ -4608,7 +4663,11 @@ object SparkEntry {
         graft.plans.AsOfJoinPlan.asofJoin(purchases, clicks,
             keys = Seq("user_id" -> "user_id"),
             order = Seq("ts" -> "ts", "event_id" -> "event_id"),
-            strict = true)
+            strict = true,
+            // merge pin (see q76) — and the whole point here: the bucketed
+            // layout's zero-exchange zero-sort MERGE plan must be the one
+            // exercised, not a stats-driven broadcast of the small side
+            broadcast = graft.plans.AsOfBroadcast.Never)
           .select(col("user_id"), col("event_id"),
             unix_micros(col("ts")).as("purchase_us"),
             unix_micros(col("ts_r")).as("click_us"))
@@ -4643,7 +4702,7 @@ object SparkEntry {
         graft.plans.AsOfJoinPlan.asofJoin(purchases, clicks,
             keys = Seq("user_id" -> "user_id"),
             order = Seq("ts" -> "ts", "event_id" -> "event_id"),
-            strict = true, broadcastRight = true)
+            strict = true, broadcast = graft.plans.AsOfBroadcast.Force)
           .select(col("user_id"), col("event_id"),
             unix_micros(col("ts")).as("purchase_us"),
             unix_micros(col("ts_r")).as("click_us"))
@@ -4671,6 +4730,49 @@ object SparkEntry {
         s.read.option("mergeSchema", "true").parquet(p)
           .select(col("doc_id"), col("source"),
             col("b").cast("long").as("batch"), col("lang"))
+      }),
+
+    QueryDef("q83_asof_sql",
+      "SQL surface for the native as-of join — the analyst entry point " +
+        "(the reference's README queries are ad-hoc SQL): ONE DuckDB-" +
+        "dialect ASOF LEFT JOIN text runs verbatim on both engines. " +
+        "Spark side: the injected parser rewrites the ASOF join to a " +
+        "marked plain join, the analyzer rule converts it to the AsOfJoin " +
+        "logical node once resolved, and the planner picks the physical " +
+        "form from right-side statistics (Auto — broadcast at this SF, " +
+        "the partitioned merge at 100 TB; the plan snapshot pins the " +
+        "stats-driven pick). epoch_us is the injected DuckDB-dialect " +
+        "alias of Spark's unix_micros.",
+      Some(q83AsOfSql),
+      (s, dir) => {
+        Tables.events(s, dir).createOrReplaceTempView("events")
+        s.sql(q83AsOfSql)
+      }),
+
+    QueryDef("q84_type_widening",
+      "Schema-evolution read, WIDENING case: batch 1 wrote hits as " +
+        "INT32, batch 2 as INT64. Spark's mergeSchema refuses conflicting " +
+        "primitive types (CANNOT_MERGE_SCHEMAS — it only reconciles " +
+        "nullability and decimal variants), so the honest footer-only " +
+        "path is a reader-supplied WIDENED schema: the parquet scan " +
+        "upcasts INT32 pages to LongType at decode, no byte of history " +
+        "rewritten. DuckDB replays it as union_by_name + CAST. The " +
+        "boundary this documents: int->long (and the q82 column-ADD) are " +
+        "footer-only; a column RENAME has no parquet-level mapping and " +
+        "WOULD need a rewrite (or a name-mapping table format like " +
+        "Iceberg) — the engine refuses to fake it.",
+      Some("""SELECT doc_id, source, CAST(hits AS BIGINT) AS hits,
+        |  CAST(b AS BIGINT) AS batch
+        |FROM read_parquet('/tmp/graft_widen_lake/sig=*/b=*/*.parquet',
+        |  hive_partitioning = true, union_by_name = true)
+        |WHERE sig = (SELECT 'n' || CAST(COUNT(*) AS BIGINT) || '_s' ||
+        |  CAST(SUM(doc_id) AS BIGINT) FROM documents)""".stripMargin),
+      (s, dir) => {
+        val p = widenedLake(s, dir)
+        s.read.schema("doc_id BIGINT, source STRING, hits BIGINT, b INT")
+          .parquet(p)
+          .select(col("doc_id"), col("source"), col("hits"),
+            col("b").cast("long").as("batch"))
       }),
 
     QueryDef("s13_random_projection",

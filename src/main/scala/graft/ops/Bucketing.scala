@@ -14,7 +14,8 @@ object Bucketing {
     * definition). Bucket count should match the downstream parallelism
     * target, not the current data size. `sortCols` (default: the bucket
     * column) orders rows WITHIN each bucket file; because each bucket
-    * lands as one file, the read side reports that ordering, so an
+    * lands as one file, the read side can report that ordering (readers
+    * opt in via [[enableSortedBucketScans]]), so an
     * operator requiring (bucketCol, more...) — a sort-merge join, the
     * native as-of join — plans with neither an Exchange NOR a Sort.
     */
@@ -34,13 +35,6 @@ object Bucketing {
     // bucket (numPartitions × numBuckets small files — the lake killer),
     // and multi-file buckets force a per-bucket sort on read
     val sc = if (sortCols.isEmpty) Seq(bucketCol) else sortCols
-    // Spark stopped reporting bucket sort order by default (SPARK-28632)
-    // because multi-file buckets only sort within each file; this layout
-    // guarantees ONE file per bucket (the repartition below), so opt back
-    // in — the conf only takes effect when the scan sees single-file
-    // buckets, and it's what lets downstream SMJ / as-of plans elide
-    // their Sorts as well as their Exchanges
-    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     df.repartition(numBuckets, org.apache.spark.sql.functions.col(bucketCol))
       .write
       .bucketBy(numBuckets, bucketCol)
@@ -49,11 +43,29 @@ object Bucketing {
       .saveAsTable(table)
   }
 
+  /** READ-side session posture for this layout, applied explicitly by
+    * bucketed-table consumers (never as a hidden side effect of a write):
+    * Spark stopped reporting bucket sort order by default (SPARK-28632)
+    * because multi-file buckets only sort within each file, but
+    * [[writeBucketed]] guarantees ONE file per bucket (its pre-write
+    * repartition), so opting back in is sound — the conf only takes
+    * effect when the scan actually sees single-file buckets (Spark
+    * re-checks at scan time), and it is what lets downstream SMJ /
+    * as-of plans elide their Sorts as well as their Exchanges. Calling
+    * this before EVERY bucketed read (not just after a write) also keeps
+    * the zero-sort plan independent of whether this session or an
+    * earlier one materialized the table.
+    */
+  def enableSortedBucketScans(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+
   /** Join two tables previously bucketed on the same key with the same
     * bucket count — planner elides both shuffles.
     */
   def bucketedJoin(
       spark: SparkSession, leftTable: String, rightTable: String,
-      key: String): DataFrame =
+      key: String): DataFrame = {
+    enableSortedBucketScans(spark)
     spark.table(leftTable).join(spark.table(rightTable), Seq(key))
+  }
 }

@@ -27,6 +27,31 @@ object AsOfDirection {
   case object Nearest extends AsOfDirection
 }
 
+/** Physical-form selection for the as-of join — the same three-way knob
+  * Spark's equi-joins expose through hints vs
+  * `spark.sql.autoBroadcastJoinThreshold`:
+  *
+  *  - [[AsOfBroadcast.Auto]] (default): the planner consults the right
+  *    side's size statistics and picks [[BroadcastAsOfJoinExec]] when they
+  *    fall at-or-under `spark.sql.autoBroadcastJoinThreshold`, else the
+  *    partitioned merge [[AsOfJoinExec]] — exactly how BHJ-vs-SMJ is
+  *    chosen for ordinary joins, so the same query broadcasts at dev SF
+  *    and merges at 100 TB with no code change.
+  *  - [[AsOfBroadcast.Force]]: always broadcast (the `broadcast()` hint
+  *    analog — caller asserts the right side fits in executor memory).
+  *  - [[AsOfBroadcast.Never]]: always merge (pins the partitioned form,
+  *    e.g. to guarantee a bucketed layout's zero-exchange plan is the one
+  *    being exercised regardless of current stats).
+  *
+  * See PLANS.md "broadcast vs merge" for the decision table.
+  */
+sealed abstract class AsOfBroadcast
+object AsOfBroadcast {
+  case object Auto extends AsOfBroadcast
+  case object Force extends AsOfBroadcast
+  case object Never extends AsOfBroadcast
+}
+
 /** A whole-operator extension — rung (c) of the build ladder: a custom
   * `LogicalPlan` + `SparkStrategy` + `SparkPlan` for the AS-OF JOIN, the
   * one relational operator the engine composes from built-ins (q18: union
@@ -55,9 +80,13 @@ object AsOfDirection {
   * drops the row-widening union.
   *
   * SQL-join null semantics: null-keyed rows never match (right ones are
-  * consumed unbuffered, left ones keep their group empty); right rows
-  * with a null ordering tuple never match. Nulls-first child ordering
-  * makes both guards single-pass.
+  * consumed unbuffered, left ones keep their group empty); rows with a
+  * null anywhere in their ordering tuple never match on EITHER side — a
+  * comparison against NULL is unknown in SQL, so a null-ordered left row
+  * emits unmatched in all three directions (the symmetric twin of the
+  * right-side exclusion; without it a nulls-first left tuple would
+  * spuriously take the group's first right row under Forward). Nulls-first
+  * child ordering makes every guard single-pass.
   */
 case class AsOfJoin(
     left: LogicalPlan,
@@ -69,7 +98,7 @@ case class AsOfJoin(
     strict: Boolean,
     tolerance: Option[Long] = None,
     direction: AsOfDirection = AsOfDirection.Backward,
-    broadcastRight: Boolean = false) extends BinaryNode {
+    broadcast: AsOfBroadcast = AsOfBroadcast.Auto) extends BinaryNode {
   require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
     "as-of join needs matching, non-empty equi-key lists")
   require(leftOrder.length == rightOrder.length && leftOrder.nonEmpty,
@@ -100,14 +129,27 @@ case class AsOfJoin(
     copy(left = newLeft, right = newRight)
 }
 
-/** Planner rule: the partitioned forward-merge by default, the
-  * broadcast-index form on explicit opt-in (the shuffle-vs-broadcast
-  * duality every equi-join family has).
+/** Planner rule — the shuffle-vs-broadcast duality every equi-join family
+  * has, resolved the way Spark resolves it for its own joins: under
+  * [[AsOfBroadcast.Auto]] the right child's estimated size is compared
+  * against `spark.sql.autoBroadcastJoinThreshold` (≤ 0 disables, same
+  * contract); [[AsOfBroadcast.Force]]/[[AsOfBroadcast.Never]] override the
+  * statistics in either direction. The planner never silently broadcasts a
+  * side whose stats exceed the threshold — at 100 TB Auto therefore always
+  * lands on the partitioned merge.
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoin(l, r, lk, rk, lo, ro, strict, tol, dir, bcast) =>
-      if (bcast)
+      val useBroadcast = bcast match {
+        case AsOfBroadcast.Force => true
+        case AsOfBroadcast.Never => false
+        case AsOfBroadcast.Auto =>
+          val threshold =
+            org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+          threshold > 0 && r.stats.sizeInBytes <= threshold
+      }
+      if (useBroadcast)
         BroadcastAsOfJoinExec(lk, rk, lo, ro, strict, tol, dir,
           planLater(l), planLater(r)) :: Nil
       else
@@ -206,8 +248,12 @@ case class AsOfJoinExec(
             eqFirst = null; eqLast = null; eqOrd = null
           }
           var matched: InternalRow = null
-          if (!lKey.anyNull) {
-            val lOrd = lOrdProj(l)
+          val lOrd = lOrdProj(l)
+          // null-keyed lefts never match; neither do lefts with a null
+          // anywhere in the ordering tuple (comparison-with-NULL is
+          // unknown — and they sort nulls-first, so skipping their scan
+          // leaves the merge state consistent for the group's later rows)
+          if (!lKey.anyNull && !lOrd.anyNull) {
             // tuple-equal state from an earlier (smaller) left row ages
             // into the strictly-before slot
             if (eqOrd != null && ordOrd.compare(eqOrd, lOrd) < 0) {
@@ -280,18 +326,22 @@ case class AsOfJoinExec(
   * duality every equi-join family has, for the case production hits
   * constantly: a HUGE event stream as-of-joined to a SMALL reference side
   * (an SCD dimension, a quotes snapshot, a model-version table). The
-  * right side broadcasts whole; each task builds a per-key ord-SORTED
-  * index from it once per partition and every left row answers by binary
-  * search — so the left child needs NO exchange and NO sort (its
-  * partitioning and ordering pass straight through), which at 100 TB
-  * deletes the entire left-side shuffle the merge form pays. Explicit
-  * opt-in (`asofJoin(..., broadcastRight = true)`): the planner never
-  * silently swaps a 100 TB right side into executor memory.
+  * right side broadcasts whole; the per-key ord-SORTED index built from
+  * it is memoized per (executor, broadcast, operator) — the first task to
+  * land on an executor builds it, every later task reuses it (the same
+  * sharing discipline Spark's hashed relations use) — and every left row
+  * answers by binary search. The left child needs NO exchange and NO sort
+  * (its partitioning and ordering pass straight through), which at 100 TB
+  * deletes the entire left-side shuffle the merge form pays. Chosen by
+  * the planner from right-side statistics under [[AsOfBroadcast.Auto]],
+  * or forced with [[AsOfBroadcast.Force]]: the planner never silently
+  * swaps a right side that stats say exceeds the broadcast threshold
+  * into executor memory.
   *
   * Semantics are IDENTICAL to [[AsOfJoinExec]] in all three directions
   * (the property suite runs both forms against the same brute force):
-  * same null-key/null-ordering exclusions, same strictness, same
-  * tolerance window, same [[AsOfJoinExec.choose]] candidate pick.
+  * same null-key/null-ordering exclusions on both sides, same strictness,
+  * same tolerance window, same [[AsOfJoinExec.choose]] candidate pick.
   */
 case class BroadcastAsOfJoinExec(
     leftKeys: Seq[Expression],
@@ -318,6 +368,13 @@ case class BroadcastAsOfJoinExec(
       newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
     copy(left = newLeft, right = newRight)
 
+  /** Identifies THIS operator instance's index in the executor-side cache:
+    * generated on the driver at construction and shipped inside the task
+    * closure, so two different as-of joins probing the SAME broadcast
+    * (exchange reuse) still build their own per-key/per-ordering indexes.
+    */
+  private val indexCacheKey: String = java.util.UUID.randomUUID().toString
+
   protected override def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output
@@ -330,42 +387,52 @@ case class BroadcastAsOfJoinExec(
     val headType = leftOrder.head.dataType
     val needHead = tolLocal.isDefined || dir == AsOfDirection.Nearest
     val bcast = right.executeBroadcast[Array[InternalRow]]()
+    val cacheKey = indexCacheKey
     left.execute().mapPartitions { lIter =>
       if (!lIter.hasNext) Iterator.empty
       else {
         val lKeyProj = UnsafeProjection.create(lk, lOut)
-        val rKeyProj = UnsafeProjection.create(rk, rOut)
         val lOrdProj = UnsafeProjection.create(lo, lOut)
-        val rOrdProj = UnsafeProjection.create(ro, rOut)
         val ordOrd = RowOrdering.createNaturalAscendingOrdering(lo.map(_.dataType))
         val resultProj = UnsafeProjection.create(out, out)
         val joined = new JoinedRow
         val nullRight = new GenericInternalRow(rOut.size)
         val headLong: InternalRow => Long =
           if (needHead) AsOfJoinExec.headAsLong(headType) else null
-        // per-partition index: key → ord-sorted (ord, row) entries; the
-        // same null-key / null-ordering exclusions as the merge's consume
-        // path (such rows can never match)
-        val buffers = new java.util.HashMap[UnsafeRow,
-          scala.collection.mutable.ArrayBuffer[(UnsafeRow, InternalRow)]]()
-        bcast.value.foreach { r =>
-          val k = rKeyProj(r)
-          if (!k.anyNull) {
-            val o = rOrdProj(r)
-            if (!o.anyNull) {
-              var buf = buffers.get(k)
-              if (buf == null) {
-                buf = scala.collection.mutable.ArrayBuffer
-                  .empty[(UnsafeRow, InternalRow)]
-                buffers.put(k.copy(), buf)
+        // key → ord-sorted (ord, row) entries, built ONCE per (executor,
+        // broadcast, operator) and shared by every task that lands here —
+        // not once per partition (with thousands of left tasks that would
+        // re-pay the build's sort thousands of times over). The same
+        // null-key / null-ordering exclusions as the merge's consume path
+        // (such rows can never match).
+        val index = BroadcastAsOfJoinExec.indexFor(bcast.value, cacheKey) {
+          val rKeyProj = UnsafeProjection.create(rk, rOut)
+          val rOrdProj = UnsafeProjection.create(ro, rOut)
+          val idxOrd =
+            RowOrdering.createNaturalAscendingOrdering(lo.map(_.dataType))
+          val buffers = new java.util.HashMap[UnsafeRow,
+            scala.collection.mutable.ArrayBuffer[(UnsafeRow, InternalRow)]]()
+          bcast.value.foreach { r =>
+            val k = rKeyProj(r)
+            if (!k.anyNull) {
+              val o = rOrdProj(r)
+              if (!o.anyNull) {
+                var buf = buffers.get(k)
+                if (buf == null) {
+                  buf = scala.collection.mutable.ArrayBuffer
+                    .empty[(UnsafeRow, InternalRow)]
+                  buffers.put(k.copy(), buf)
+                }
+                buf += ((o.copy(), r))
               }
-              buf += ((o.copy(), r))
             }
           }
+          val built = new java.util.HashMap[UnsafeRow,
+            Array[(UnsafeRow, InternalRow)]]()
+          buffers.forEach((k, buf) => built.put(k,
+            buf.sortWith((a, b) => idxOrd.compare(a._1, b._1) < 0).toArray))
+          built
         }
-        val index = new java.util.HashMap[UnsafeRow, Array[(UnsafeRow, InternalRow)]]()
-        buffers.forEach((k, buf) => index.put(k,
-          buf.sortWith((a, b) => ordOrd.compare(a._1, b._1) < 0).toArray))
         lIter.map { l =>
           val lKey = lKeyProj(l)
           var matched: InternalRow = null
@@ -373,6 +440,9 @@ case class BroadcastAsOfJoinExec(
             val entries = index.get(lKey)
             if (entries != null) {
               val lOrd = lOrdProj(l)
+              // the symmetric left-side null-ordering exclusion the merge
+              // form applies: a null-ordered left emits unmatched
+              if (!lOrd.anyNull) {
               // lower/upper bound of the tuple-equal run
               var a = 0; var z = entries.length
               while (a < z) {
@@ -409,12 +479,50 @@ case class BroadcastAsOfJoinExec(
               }
               matched = AsOfJoinExec.choose(dir, tolLocal, headLong, lOrd,
                 b, bHead, f, fHead)
+              }
             }
           }
           resultProj(joined(l, if (matched != null) matched else nullRight))
         }
       }
     }
+  }
+}
+
+/** Executor-side cache for [[BroadcastAsOfJoinExec]]'s per-key sorted
+  * index, mirroring how Spark shares one hashed relation per executor:
+  * entries are keyed on the broadcast VALUE (weakly — when the broadcast
+  * is destroyed or evicted the index is collectable with it) and, within
+  * one broadcast, on the operator instance's UUID (exchange reuse can feed
+  * two different as-of joins from one broadcast). The build runs under the
+  * cache lock, so concurrent first tasks on an executor wait for one build
+  * instead of racing duplicates — the same trade Spark's relation
+  * deserialization makes.
+  */
+object BroadcastAsOfJoinExec {
+  type Index = java.util.HashMap[UnsafeRow, Array[(UnsafeRow, InternalRow)]]
+  private val cache =
+    new java.util.WeakHashMap[AnyRef, java.util.HashMap[String, Index]]()
+
+  /** Observability hook (and the spec's witness that N partitions share
+    * ONE build): counts index builds in this JVM.
+    */
+  val indexBuildCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private[plans] def indexFor(broadcastValue: AnyRef, operatorKey: String)(
+      build: => Index): Index = cache.synchronized {
+    var perOp = cache.get(broadcastValue)
+    if (perOp == null) {
+      perOp = new java.util.HashMap[String, Index]()
+      cache.put(broadcastValue, perOp)
+    }
+    var idx = perOp.get(operatorKey)
+    if (idx == null) {
+      idx = build
+      indexBuildCount.incrementAndGet()
+      perOp.put(operatorKey, idx)
+    }
+    idx
   }
 }
 
@@ -565,6 +673,12 @@ object AsOfJoinPlan {
     * the (unstable-within-ties) child sort emits last (backward) / the
     * lookahead sees first (forward). Append a unique tie-break column
     * (event id) to `order` to make the matched row itself deterministic.
+    *
+    * `broadcast` picks the physical form ([[AsOfBroadcast]]): Auto
+    * (default) consults the right side's size statistics against
+    * `spark.sql.autoBroadcastJoinThreshold` exactly like Spark's own
+    * equi-joins; Force/Never override. See PLANS.md "broadcast vs merge"
+    * for the decision table.
     */
   def asofJoin(
       left: DataFrame,
@@ -575,7 +689,7 @@ object AsOfJoinPlan {
       rightSuffix: String = "_r",
       tolerance: Option[Long] = None,
       direction: AsOfDirection = AsOfDirection.Backward,
-      broadcastRight: Boolean = false): DataFrame = {
+      broadcast: AsOfBroadcast = AsOfBroadcast.Auto): DataFrame = {
     val spark = left.sparkSession
     register(spark)
     val r2 = right.select(right.columns.map(c => col(c).as(c + rightSuffix)): _*)
@@ -590,18 +704,26 @@ object AsOfJoinPlan {
       keys.map { case (_, rn) => attr(rPlan, rn + rightSuffix) },
       order.map { case (ln, _) => attr(lPlan, ln) },
       order.map { case (_, rn) => attr(rPlan, rn + rightSuffix) },
-      strict, tolerance, direction, broadcastRight)
+      strict, tolerance, direction, broadcast)
     GraftPlanBridge.ofRows(spark, node)
   }
 }
 
 /** `spark.sql.extensions=graft.plans.GraftExtensions` injection point for
-  * sessions configured at build time (clusters, notebooks); behaviourally
-  * identical to [[AsOfJoinPlan.register]].
+  * sessions configured at build time (clusters, notebooks). Superset of
+  * [[AsOfJoinPlan.register]]: the planner strategy and optimizer rule are
+  * identical, and on top of them the config-built path adds the SQL
+  * surface — the `ASOF JOIN` parser ([[AsOfSqlParser]]), its resolution
+  * rule ([[AsOfSqlResolution]]), and the `epoch_us` scalar — which only a
+  * session built with the extension can carry (Spark exposes no post-hoc
+  * parser injection, so `register` can't add these to a live session).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => AsOfJoinOptimizations)
+    ext.injectParser((_, delegate) => new AsOfSqlParser(delegate))
+    ext.injectResolutionRule(_ => AsOfSqlResolution)
+    ext.injectFunction(AsOfSqlParser.epochUsFunction)
   }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.plans.{AsOfDirection, AsOfJoinExec, AsOfJoinPlan, AsOfJoinStrategy, GraftExtensions}
+import graft.plans.{AsOfBroadcast, AsOfDirection, AsOfJoinExec, AsOfJoinPlan, AsOfJoinStrategy, GraftExtensions}
 
 /** The native backward as-of join (custom LogicalPlan + Strategy + Exec):
   * semantics pinned to the composed window formulation q18 uses, plus the
@@ -217,7 +217,8 @@ class AsOfJoinSpec extends SparkSpec {
     def results(bcast: Boolean): Set[(String, Long, Long)] =
       AsOfJoinPlan.asofJoin(trades, quotes,
           keys = Seq("sym" -> "sym"), order = Seq("t" -> "t"),
-          strict = false, broadcastRight = bcast)
+          strict = false,
+          broadcast = if (bcast) AsOfBroadcast.Force else AsOfBroadcast.Never)
         .select(col("sym"), col("t"), col("px_r"))
         .collect().map(r => (r.getString(0), r.getLong(1),
           if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
@@ -227,7 +228,8 @@ class AsOfJoinSpec extends SparkSpec {
       AsOfJoinPlan.asofJoin(trades, quotes,
           keys = Seq("sym" -> "sym"), order = Seq("t" -> "t"),
           strict = true, tolerance = Some(6L),
-          direction = AsOfDirection.Nearest, broadcastRight = bcast)
+          direction = AsOfDirection.Nearest,
+          broadcast = if (bcast) AsOfBroadcast.Force else AsOfBroadcast.Never)
         .select(col("sym"), col("t"), col("px_r"))
         .collect().map(r => (r.getString(0), r.getLong(1),
           if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
@@ -235,7 +237,7 @@ class AsOfJoinSpec extends SparkSpec {
     // plan: right broadcasts, the LEFT needs no exchange and no sort
     val df = AsOfJoinPlan.asofJoin(trades, quotes,
       keys = Seq("sym" -> "sym"), order = Seq("t" -> "t"),
-      broadcastRight = true)
+      broadcast = AsOfBroadcast.Force)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastAsOfJoin"), plan)
     assert(plan.contains("BroadcastExchange"), plan)
@@ -257,7 +259,8 @@ class AsOfJoinSpec extends SparkSpec {
       .select(col("user_id"), col("event_id"), col("ts"))
     val joinedDf = AsOfJoinPlan.asofJoin(purchases, clicks,
       keys = Seq("user_id" -> "user_id"),
-      order = Seq("ts" -> "ts", "event_id" -> "event_id"), strict = true)
+      order = Seq("ts" -> "ts", "event_id" -> "event_id"), strict = true,
+      broadcast = AsOfBroadcast.Never) // the merge form's properties are under test
     // consumer 1: per-user aggregate — only the join's two child
     // exchanges may appear (none between join and aggregate). Exchanges
     // materialize in the executed plan (EnsureRequirements), whose string
@@ -300,7 +303,8 @@ class AsOfJoinSpec extends SparkSpec {
 
   test("asofJoin plans as AsOfJoinExec: no window, no union, merge on clustered sides") {
     val df = AsOfJoinPlan.asofJoin(trades, quotes,
-      keys = Seq("sym" -> "sym"), order = Seq("t" -> "t"))
+      keys = Seq("sym" -> "sym"), order = Seq("t" -> "t"),
+      broadcast = AsOfBroadcast.Never) // pin the merge form; Auto would broadcast these tiny frames
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("AsOfJoin"), plan)
     assert(!plan.contains("Window"), "native as-of must not fall back to a window")

@@ -159,13 +159,17 @@ class PropertySpec extends SparkSpec {
 
   test("property: native as-of join equals the brute-force scan in all three directions") {
     // adversarial shape for a merge exec: few keys (long runs), duplicate
-    // timestamps (ties), keys present on only one side, and every
-    // (direction, strict, tolerance) combination — compared row-for-row
-    // against a reference computed by brute force on the driver
+    // timestamps (ties), keys present on only one side, NULL ordering
+    // values on BOTH sides (they must match nothing in any direction —
+    // the nulls-first child sort puts them at each group's head, exactly
+    // where an unguarded forward lookahead would spuriously match), and
+    // every (direction, strict, tolerance) combination — compared
+    // row-for-row against a reference computed by brute force
     import graft.plans.AsOfDirection
     val rowGen = for {
       k <- Gen.oneOf("a", "b", "c")
-      t <- Gen.choose(0L, 20L)
+      t <- Gen.frequency(8 -> Gen.choose(0L, 20L).map(Option(_)),
+        1 -> Gen.const(Option.empty[Long]))
     } yield (k, t)
     val caseGen = for {
       ls <- Gen.listOfN(14, rowGen)
@@ -186,7 +190,8 @@ class PropertySpec extends SparkSpec {
             ls.toDF("k", "t", "id"), rs.toDF("k", "t", "id"),
             keys = Seq("k" -> "k"), order = Seq("t" -> "t", "id" -> "id"),
             strict = strict, tolerance = tol, direction = dir,
-            broadcastRight = bcast)
+            broadcast = if (bcast) graft.plans.AsOfBroadcast.Force
+              else graft.plans.AsOfBroadcast.Never)
           .select(col("id"), col("id_r"))
           .collect().map(r => r.getLong(0) ->
             (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
@@ -194,29 +199,37 @@ class PropertySpec extends SparkSpec {
       // the broadcast-index form must agree with the merge form exactly
       val gotBcast = run(bcast = true)
       // brute-force reference: candidates by full-tuple comparison, the
-      // nearest pick by head distance with ties going backward
-      val expected = ls.map { case (lk, lt, lid) =>
-        def tupLt(rt: Long, rid: Long, strictCmp: Boolean): Boolean =
-          rt < lt || (rt == lt && (if (strictCmp) rid < lid else rid <= lid))
-        // backward: max tuple <= (or <) the left's, within lookBACK window
-        val b = rs.filter { case (rk, rt, rid) =>
-          rk == lk && tupLt(rt, rid, strict) && tol.forall(w => lt - rt <= w)
-        }.sortBy { case (_, rt, rid) => (rt, rid) }.lastOption
-        // forward: min tuple strictly past the non-matching set, within
-        // the lookAHEAD window; non-strict admits tuple-equal rows
-        val f = rs.filter { case (rk, rt, rid) =>
-          val after = rt > lt || (rt == lt &&
-            (if (strict) rid > lid else rid >= lid))
-          rk == lk && after && tol.forall(w => rt - lt <= w)
-        }.sortBy { case (_, rt, rid) => (rt, rid) }.headOption
-        val m = dir match {
-          case AsOfDirection.Backward => b
-          case AsOfDirection.Forward => f
-          case AsOfDirection.Nearest => (b, f) match {
-            case (Some((_, bt, _)), Some((_, ft, _))) =>
-              if (lt - bt <= ft - lt) b else f
-            case _ => b.orElse(f)
-          }
+      // nearest pick by head distance with ties going backward; a NULL
+      // ordering value disqualifies its row outright on either side
+      val expected = ls.map { case (lk, ltOpt, lid) =>
+        val m = ltOpt match {
+          case None => None // null-ordered left: unmatched, all directions
+          case Some(lt) =>
+            def tupLt(rt: Long, rid: Long, strictCmp: Boolean): Boolean =
+              rt < lt || (rt == lt && (if (strictCmp) rid < lid else rid <= lid))
+            // backward: max tuple <= (or <) the left's, within lookBACK window
+            val b = rs.filter { case (rk, rtO, rid) =>
+              rk == lk && rtO.exists(rt =>
+                tupLt(rt, rid, strict) && tol.forall(w => lt - rt <= w))
+            }.sortBy { case (_, rtO, rid) => (rtO.get, rid) }.lastOption
+            // forward: min tuple strictly past the non-matching set, within
+            // the lookAHEAD window; non-strict admits tuple-equal rows
+            val f = rs.filter { case (rk, rtO, rid) =>
+              rk == lk && rtO.exists { rt =>
+                val after = rt > lt || (rt == lt &&
+                  (if (strict) rid > lid else rid >= lid))
+                after && tol.forall(w => rt - lt <= w)
+              }
+            }.sortBy { case (_, rtO, rid) => (rtO.get, rid) }.headOption
+            dir match {
+              case AsOfDirection.Backward => b
+              case AsOfDirection.Forward => f
+              case AsOfDirection.Nearest => (b, f) match {
+                case (Some((_, bt, _)), Some((_, ft, _))) =>
+                  if (lt - bt.get <= ft.get - lt) b else f
+                case _ => b.orElse(f)
+              }
+            }
         }
         lid -> m.map(_._3).getOrElse(-1L)
       }.toMap
