@@ -393,7 +393,15 @@ object Relational {
   def systematicSample(df: DataFrame, strataCol: String, weightCol: String,
       idCol: String, k: Int): DataFrame = {
     require(k >= 1, "need at least one tick")
-    val w = Window.partitionBy(col(strataCol)).orderBy(col(idCol))
+    // ROWS frame, not the default RANGE: RANGE gives orderBy-peer rows
+    // (duplicate ids within a stratum) identical cumulative sums — i.e.
+    // overlapping containment intervals, so one tick could select several
+    // rows. ROWS assigns each row its own half-open interval regardless of
+    // duplicates; the weight tie-break makes the walk order (and thus
+    // which duplicate wins a tick) deterministic across engines.
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col(idCol), col("__w"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = df.filter(col(weightCol) > 0)
       .select(col(strataCol), col(idCol), col(weightCol).cast("long").as("__w"))
       .withColumn("__cum", sum(col("__w")).over(w))

@@ -109,31 +109,67 @@ object StreamAsOf extends Serializable {
         new AsOfProcessor(toleranceUs, ttl), mode, OutputMode.Append())
   }
 
+  /** A left event awaiting its FORWARD candidate (Forward/Nearest
+    * directions): its own ordering tuple plus the backward candidate that
+    * was live when it ripened (`has_b = false` → none). Held in a named
+    * list state until a ripe right with a later tuple arrives or the
+    * watermark proves no admissible one can.
+    */
+  final case class WaitLeft(
+      ts_us: Long, event_id: Long, b_ts: Long, b_id: Long, has_b: Boolean)
+
   /** EVENT-TIME processor — the exactness variant: ticks BUFFER in a named
     * list state until the watermark passes their timestamp, then fold in
     * global (ts_us, event_id) order, at which point no earlier
     * in-watermark tick can still arrive — so every left's match is FINAL
-    * and equals the batch backward-strict as-of join under ANY arrival
-    * order within the watermark (where [[AsOfProcessor]] provably emits
-    * the stale buffer for a left that out-raced its click). The honest
-    * cost is the same buffered-lateness trade `funnelEventTime` makes:
-    * state per key is O(ticks inside the watermark window), not O(1).
-    * Ticks at or below the watermark on arrival are dropped (the standard
+    * and equals the batch strict as-of join under ANY arrival order
+    * within the watermark (where [[AsOfProcessor]] provably emits the
+    * stale buffer for a left that out-raced its click). The honest cost
+    * is the same buffered-lateness trade `funnelEventTime` makes: state
+    * per key is O(ticks inside the watermark window), not O(1). Ticks at
+    * or below the watermark on arrival are dropped (the standard
     * allowed-lateness contract). A per-key timer at the oldest pending
-    * timestamp drives emission when the watermark advances without new
-    * input for the key.
+    * timestamp — or the earliest decision deadline below — drives
+    * emission when the watermark advances without new input for the key.
+    *
+    * All three [[AsOfDirection]]s, with the batch operator's strict
+    * semantics on the (ts_us, event_id) tuple:
+    *
+    *  - Backward: a ripe left matches the max-tuple ripe right before it
+    *    (the folded buffer) — final the moment the left ripens, because
+    *    every earlier in-watermark right has already folded.
+    *  - Forward: a ripe left WAITS; the first ripe right with a later
+    *    tuple is its final match (any not-yet-arrived right between them
+    *    would be sub-watermark on arrival, i.e. outside the contract).
+    *    With a tolerance, the watermark passing `left.ts + tolerance`
+    *    finalizes it unmatched instead; without one, a left with no
+    *    subsequent right ever waits indefinitely — the honest unbounded
+    *    tail, so give forward/nearest streams a tolerance.
+    *  - Nearest: the waiting left carries its backward candidate; a ripe
+    *    later right decides the pick immediately (ties backward, batch
+    *    rule), and the watermark passing `left.ts + min(tolerance,
+    *    backward distance)` proves every future right would lose to the
+    *    backward candidate — final without any forward arrival.
     */
-  class EventTimeAsOfProcessor(toleranceUs: Long)
+  class EventTimeAsOfProcessor(toleranceUs: Long,
+      direction: graft.plans.AsOfDirection = graft.plans.AsOfDirection.Backward)
       extends StatefulProcessor[Long, Tick, AsOfMatch] {
+    import graft.plans.AsOfDirection
     @transient private var pending: org.apache.spark.sql.streaming.ListState[Tick] = _
     @transient private var lastRight: ValueState[RightSeen] = _
+    @transient private var waiting: org.apache.spark.sql.streaming.ListState[WaitLeft] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       pending = getHandle.getListState[Tick](
         "pending", Encoders.product[Tick], TTLConfig.NONE)
       lastRight = getHandle.getValueState[RightSeen](
         "lastRight", Encoders.product[RightSeen], TTLConfig.NONE)
+      waiting = getHandle.getListState[WaitLeft](
+        "waiting", Encoders.product[WaitLeft], TTLConfig.NONE)
     }
+
+    private def inTol(dist: Long): Boolean =
+      toleranceUs < 0 || dist <= toleranceUs
 
     /** Fold every pending tick the watermark has passed; hold the rest. */
     private def processRipe(key: Long, wmUs: Long): Iterator[AsOfMatch] = {
@@ -141,31 +177,93 @@ object StreamAsOf extends Serializable {
       val (ripe, hold) = all.partition(_.ts_us <= wmUs)
       var buf = if (lastRight.exists()) lastRight.get() else null
       val out = Vector.newBuilder[AsOfMatch]
+      val waitBuf = scala.collection.mutable.ArrayBuffer.empty[WaitLeft]
+      if (direction != AsOfDirection.Backward) waitBuf ++= waiting.get()
+      def unmatched(eid: Long, ts: Long): AsOfMatch =
+        AsOfMatch(key, eid, ts, -1L, -1L, matched = false)
       for (t <- ripe.sortBy(x => (x.ts_us, x.event_id))) {
         if (t.is_right) {
+          // a ripe right is the FINAL forward candidate for every waiter
+          // with an earlier tuple (rights between them would now be
+          // sub-watermark): resolve those waiters before folding it in
+          if (direction != AsOfDirection.Backward && waitBuf.nonEmpty) {
+            val (res, keep) = waitBuf.partition(wl =>
+              wl.ts_us < t.ts_us ||
+                (wl.ts_us == t.ts_us && wl.event_id < t.event_id))
+            res.foreach { wl =>
+              val fOk = inTol(t.ts_us - wl.ts_us)
+              if (direction == AsOfDirection.Forward)
+                out += (if (fOk)
+                  AsOfMatch(key, wl.event_id, wl.ts_us, t.event_id, t.ts_us,
+                    matched = true)
+                else unmatched(wl.event_id, wl.ts_us))
+              else { // Nearest: both candidates now known — batch pick
+                val bD = wl.ts_us - wl.b_ts
+                val bOk = wl.has_b && inTol(bD)
+                if (bOk && (!fOk || bD <= t.ts_us - wl.ts_us))
+                  out += AsOfMatch(key, wl.event_id, wl.ts_us,
+                    wl.b_id, wl.b_ts, matched = true)
+                else if (fOk)
+                  out += AsOfMatch(key, wl.event_id, wl.ts_us,
+                    t.event_id, t.ts_us, matched = true)
+                else out += unmatched(wl.event_id, wl.ts_us)
+              }
+            }
+            waitBuf.clear(); waitBuf ++= keep
+          }
           if (buf == null || t.ts_us > buf.ts_us ||
               (t.ts_us == buf.ts_us && t.event_id > buf.event_id))
             buf = RightSeen(t.ts_us, t.event_id)
-        } else {
-          val inWindow = buf != null &&
-            (toleranceUs < 0 || t.ts_us - buf.ts_us <= toleranceUs)
-          out += (if (inWindow)
-            AsOfMatch(key, t.event_id, t.ts_us, buf.event_id, buf.ts_us,
-              matched = true)
-          else
-            AsOfMatch(key, t.event_id, t.ts_us, -1L, -1L, matched = false))
+        } else direction match {
+          case AsOfDirection.Backward =>
+            val inWindow = buf != null && inTol(t.ts_us - buf.ts_us)
+            out += (if (inWindow)
+              AsOfMatch(key, t.event_id, t.ts_us, buf.event_id, buf.ts_us,
+                matched = true)
+            else unmatched(t.event_id, t.ts_us))
+          case AsOfDirection.Forward =>
+            waitBuf += WaitLeft(t.ts_us, t.event_id, -1L, -1L, has_b = false)
+          case AsOfDirection.Nearest =>
+            waitBuf += (if (buf != null)
+              WaitLeft(t.ts_us, t.event_id, buf.ts_us, buf.event_id,
+                has_b = true)
+            else WaitLeft(t.ts_us, t.event_id, -1L, -1L, has_b = false))
         }
+      }
+      // watermark-deadline finalization for the waiters no ripe right
+      // resolved: any FUTURE right has ts > wm, so once wm passes a
+      // waiter's decision deadline the outcome cannot change
+      val still = scala.collection.mutable.ArrayBuffer.empty[(WaitLeft, Long)]
+      waitBuf.foreach { wl =>
+        val bD = wl.ts_us - wl.b_ts
+        val bOk = wl.has_b && inTol(bD)
+        val dist =
+          if (direction == AsOfDirection.Nearest && bOk)
+            math.min(bD, if (toleranceUs >= 0) toleranceUs else bD)
+          else if (toleranceUs >= 0) toleranceUs
+          else -1L // no bound: wait for a right indefinitely
+        val deadline = if (dist < 0) Long.MaxValue else wl.ts_us + dist
+        if (deadline != Long.MaxValue && wmUs >= deadline) {
+          out += (if (direction == AsOfDirection.Nearest && bOk)
+            AsOfMatch(key, wl.event_id, wl.ts_us, wl.b_id, wl.b_ts,
+              matched = true)
+          else unmatched(wl.event_id, wl.ts_us))
+        } else still += ((wl, deadline))
       }
       if (buf != null) lastRight.update(buf)
       pending.clear()
+      if (hold.nonEmpty) pending.appendList(hold.toArray)
+      waiting.clear()
+      if (still.nonEmpty) waiting.appendList(still.map(_._1).toArray)
       getHandle.listTimers().foreach(getHandle.deleteTimer)
-      if (hold.nonEmpty) {
-        pending.appendList(hold.toArray)
-        // wake when the watermark passes the oldest held tick; timer
-        // timestamps must sit strictly above the current watermark
+      // wake when the watermark passes the oldest held tick or the
+      // earliest waiter deadline (ceil to ms so one wake suffices); timer
+      // timestamps must sit strictly above the current watermark
+      val wakes = hold.map(_.ts_us) ++
+        still.map(_._2).filter(_ != Long.MaxValue).map(_ + 999L)
+      if (wakes.nonEmpty)
         getHandle.registerTimer(
-          math.max(hold.map(_.ts_us).min / 1000L, wmUs / 1000L + 1))
-      }
+          math.max(wakes.min / 1000L, wmUs / 1000L + 1))
       out.result().iterator
     }
 
@@ -185,10 +283,15 @@ object StreamAsOf extends Serializable {
 
   /** Wire the event-time processor; requires a watermark, expressed here
     * on a derived `__ts` column exactly like `funnelEventTime`.
+    * `direction` covers all three batch directions (strict tuple
+    * semantics); give Forward/Nearest a tolerance or lefts with no
+    * subsequent right wait indefinitely (see the processor doc).
     */
   def matchesEventTime(spark: SparkSession, ticks: Dataset[Tick],
       toleranceUs: Long = -1L,
-      watermarkDelay: String = "10 seconds"): Dataset[AsOfMatch] = {
+      watermarkDelay: String = "10 seconds",
+      direction: graft.plans.AsOfDirection = graft.plans.AsOfDirection.Backward)
+      : Dataset[AsOfMatch] = {
     import spark.implicits._
     import org.apache.spark.sql.functions.expr
     ticks
@@ -197,7 +300,7 @@ object StreamAsOf extends Serializable {
       .as[Tick]
       .groupByKey(_.user_id)
       .transformWithState(
-        new EventTimeAsOfProcessor(toleranceUs),
+        new EventTimeAsOfProcessor(toleranceUs, direction),
         TimeMode.EventTime(), OutputMode.Append())
   }
 }

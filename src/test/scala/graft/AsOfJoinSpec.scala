@@ -386,6 +386,109 @@ class AsOfJoinSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("strategy picks the physical form from right-side stats, like BHJ-vs-SMJ") {
+    def form(broadcast: AsOfBroadcast): String = {
+      val df = AsOfJoinPlan.asofJoin(trades, quotes,
+        keys = Seq("sym" -> "sym"), order = Seq("t" -> "t"),
+        broadcast = broadcast)
+      val sp = df.queryExecution.sparkPlan
+      if (sp.collectFirst { case e: graft.plans.BroadcastAsOfJoinExec => e }.isDefined)
+        "broadcast"
+      else if (sp.collectFirst { case e: AsOfJoinExec => e }.isDefined) "merge"
+      else "neither"
+    }
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // small right side under the default threshold → Auto broadcasts
+      assert(form(AsOfBroadcast.Auto) == "broadcast")
+      // threshold disabled (the 100 TB posture) → Auto merges
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(form(AsOfBroadcast.Auto) == "merge")
+      // the manual flags override the stats in BOTH directions
+      assert(form(AsOfBroadcast.Force) == "broadcast",
+        "Force must broadcast even with the threshold disabled")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+      assert(form(AsOfBroadcast.Never) == "merge",
+        "Never must merge even when stats are under the threshold")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  test("broadcast as-of builds its index once per executor, not once per partition") {
+    val s = spark
+    import s.implicits._
+    // many left partitions sharing one executor JVM (local mode): every
+    // task must reuse the first build
+    val l = (1 to 400).map(i => ("k" + (i % 3), i.toLong, i.toLong))
+      .toDF("sym", "t", "id").repartition(8)
+    val r = (1 to 30).map(i => ("k" + (i % 3), i.toLong, i * 100L))
+      .toDF("sym", "t", "px")
+    val before = graft.plans.BroadcastAsOfJoinExec.indexBuildCount.get()
+    val joined = AsOfJoinPlan.asofJoin(l, r,
+      keys = Seq("sym" -> "sym"), order = Seq("t" -> "t"),
+      broadcast = AsOfBroadcast.Force)
+    assert(joined.count() == 400)
+    val builds = graft.plans.BroadcastAsOfJoinExec.indexBuildCount.get() - before
+    assert(builds == 1L,
+      s"expected ONE index build shared by all 8 partitions, got $builds")
+  }
+
+  test("left rows with a null ordering value never match, in any direction") {
+    val s = spark
+    import s.implicits._
+    // nulls-first child ordering puts the null-ordered left at the head of
+    // its group — exactly where an unguarded forward lookahead would
+    // attach the group's first right row
+    val l = Seq(("A", Option(10L), 1L), ("A", Option.empty[Long], 2L))
+      .toDF("sym", "t", "id")
+    val r = Seq(("A", 5L, 100L), ("A", 15L, 200L)).toDF("sym", "t", "px")
+    for (dir <- Seq(AsOfDirection.Backward, AsOfDirection.Forward,
+        AsOfDirection.Nearest);
+        bc <- Seq(AsOfBroadcast.Never, AsOfBroadcast.Force)) {
+      val got = AsOfJoinPlan.asofJoin(l, r,
+          keys = Seq("sym" -> "sym"), order = Seq("t" -> "t"),
+          direction = dir, broadcast = bc)
+        .select(col("id"), col("px_r"))
+        .collect().map(x => x.getLong(0) ->
+          (if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
+      assert(got(2L) == -1L,
+        s"null-ordered left must be unmatched under $dir/$bc, got $got")
+      assert(got(1L) != -1L, s"non-null left must still match under $dir/$bc")
+    }
+  }
+
+  test("merge form stays correct under a single dominating hot key") {
+    // one bot user owns 90% of both sides — the whole group lands on one
+    // task (AQE's skew split does NOT apply to a custom node; the escape
+    // hatches are the broadcast form or a composite key, see PLANS.md) —
+    // correctness must hold regardless
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val ls = (0 until 300).map { i =>
+      val k = if (i < 270) "hot" else "k" + (i % 7)
+      (k, rnd.nextInt(50).toLong, i.toLong)
+    }
+    val rs = (0 until 300).map { i =>
+      val k = if (i < 270) "hot" else "k" + (i % 7)
+      (k, rnd.nextInt(50).toLong, (1000 + i).toLong)
+    }
+    val got = AsOfJoinPlan.asofJoin(
+        ls.toDF("k", "t", "id").repartition(8),
+        rs.toDF("k", "t", "id").repartition(8),
+        keys = Seq("k" -> "k"), order = Seq("t" -> "t", "id" -> "id"),
+        strict = true, broadcast = AsOfBroadcast.Never)
+      .select(col("id"), col("id_r"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val expected = ls.map { case (lk, lt, lid) =>
+      val m = rs.filter { case (rk, rt, rid) =>
+        rk == lk && (rt < lt || (rt == lt && rid < lid))
+      }.sortBy { case (_, rt, rid) => (rt, rid) }.lastOption
+      lid -> m.map(_._3).getOrElse(-1L)
+    }.toMap
+    assert(got == expected)
+  }
+
   test("GraftExtensions injects the strategy AND the optimizer rule") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)

@@ -284,7 +284,9 @@ class PropertySpec extends SparkSpec {
   test("property: systematicSample equals the sequential tick scan") {
     // the distributed form (window prefix-sum + broadcast joins) must
     // select exactly the rows a sequential walk of each stratum's number
-    // line selects, for any weights (zeros included) and any k
+    // line selects, for any weights (zeros included), any k, and
+    // DUPLICATE ids within a stratum (the ROWS-frame fix: peer rows must
+    // each own a disjoint slice of the line, never share one)
     val rowGen = for {
       st <- Gen.oneOf("a", "b")
       w <- Gen.choose(0L, 7L)
@@ -296,13 +298,15 @@ class PropertySpec extends SparkSpec {
     for ((rowsRaw, k) <- cases(caseGen, 12)) {
       val s = spark
       import s.implicits._
-      val rows = rowsRaw.zipWithIndex.map { case ((st, w), i) => (st, i.toLong, w) }
+      // i/2 halves the id space: adjacent generated rows share an id
+      val rows = rowsRaw.zipWithIndex.map { case ((st, w), i) =>
+        (st, (i / 2).toLong, w) }
       val got = Relational.systematicSample(
           rows.toDF("src", "id", "w"), "src", "w", "id", k)
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
       val expected = rows.filter(_._3 > 0).groupBy(_._1).toSeq.flatMap {
         case (st, rs) =>
-          val sorted = rs.sortBy(_._2)
+          val sorted = rs.sortBy(r => (r._2, r._3))
           val total = sorted.map(_._3).sum
           val cums = sorted.scanLeft(0L)(_ + _._3).tail
           for {

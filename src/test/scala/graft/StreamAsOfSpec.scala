@@ -207,6 +207,86 @@ class StreamAsOfSpec extends SparkSpec {
       s"a right from the key's event-time future must never match, got $pt")
   }
 
+  test("event-time FORWARD and NEAREST match the batch operator under " +
+    "shuffled arrival, and waiters finalize by watermark deadline") {
+    val s = spark
+    import s.implicits._
+    import graft.plans.{AsOfBroadcast, AsOfDirection, AsOfJoinPlan}
+    // key 1 fixture (seconds): rights at 6/12/30, lefts at 10/13/40
+    //   forward tol=5s: L1(10)→R(12); L2(13)→unmatched (next right 30s is
+    //     17s ahead); L3(40)→unmatched (no right after — ONLY the
+    //     watermark deadline can finalize it)
+    //   nearest tol=5s: L1 b=6s(d4) f=12s(d2)→forward; L2 b=12s(d1)
+    //     f=30s(d17,out)→backward; L3 b=30s(d10,out) f=none→unmatched
+    val ticks = Seq(
+      Tick(1L, 6000000L, 100L, is_right = true),
+      Tick(1L, 12000000L, 101L, is_right = true),
+      Tick(1L, 30000000L, 102L, is_right = true),
+      Tick(1L, 10000000L, 1L, is_right = false),
+      Tick(1L, 13000000L, 2L, is_right = false),
+      Tick(1L, 40000000L, 3L, is_right = false))
+    def batchExpected(dir: AsOfDirection): Map[Long, Long] =
+      AsOfJoinPlan.asofJoin(
+          ticks.filterNot(_.is_right).map(t => (t.user_id, t.ts_us, t.event_id))
+            .toDF("k", "t", "id"),
+          ticks.filter(_.is_right).map(t => (t.user_id, t.ts_us, t.event_id))
+            .toDF("k", "t", "id"),
+          keys = Seq("k" -> "k"), order = Seq("t" -> "t", "id" -> "id"),
+          strict = true, tolerance = Some(5000000L), direction = dir,
+          broadcast = AsOfBroadcast.Never)
+        .select(col("id"), col("id_r"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    def streamed(dir: AsOfDirection, arrival: Seq[Tick]): Map[Long, Long] = {
+      val dir0 = Files.createTempDirectory("asofEtDir").toString + "/ticks"
+      // one file per tick, written in the given (shuffled) arrival order;
+      // a 200s watermark delay keeps every shuffled arrival in-watermark
+      // until the sentinel finalizes the world. TWO sentinels: the first
+      // pushes the watermark past every deadline at its batch's END, the
+      // second provides the subsequent batch in which key 1's timer
+      // actually fires (timers are evaluated against the watermark at the
+      // start of the NEXT micro-batch; AvailableNow would otherwise stop)
+      (arrival ++ Seq(Tick(999L, 1000000000L, 500L, is_right = true),
+        Tick(999L, 1001000000L, 501L, is_right = true)))
+        .foreach { t =>
+          Seq(t).toDS().coalesce(1).write.mode("append").parquet(dir0)
+          Thread.sleep(150)
+        }
+      withRocksDb {
+        val stream = spark.readStream
+          .schema(implicitly[org.apache.spark.sql.Encoder[Tick]].schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(dir0).as[Tick]
+        val name = s"asof_et_dir_${System.nanoTime()}"
+        val q = StreamAsOf.matchesEventTime(spark, stream,
+            toleranceUs = 5000000L, watermarkDelay = "200 seconds",
+            direction = dir).writeStream
+          .format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(90000); q.stop()
+        spark.table(name).as[AsOfMatch].collect()
+          .filter(_.user_id == 1L)
+          .map(m => m.event_id -> (if (m.matched) m.right_event_id else -1L))
+          .toMap
+      }
+    }
+    // an adversarial arrival order: lefts before the rights they match,
+    // the far-future left first
+    val shuffled = Seq(ticks(5), ticks(3), ticks(0), ticks(4), ticks(1), ticks(2))
+    val fwdExpected = batchExpected(AsOfDirection.Forward)
+    assert(fwdExpected == Map(1L -> 101L, 2L -> -1L, 3L -> -1L),
+      s"fixture drifted: $fwdExpected")
+    assert(streamed(AsOfDirection.Forward, shuffled) == fwdExpected,
+      "event-time forward diverged from the batch operator")
+    val nearExpected = batchExpected(AsOfDirection.Nearest)
+    assert(nearExpected == Map(1L -> 101L, 2L -> 101L, 3L -> -1L),
+      s"fixture drifted: $nearExpected")
+    assert(streamed(AsOfDirection.Nearest, shuffled) == nearExpected,
+      "event-time nearest diverged from the batch operator")
+  }
+
   test("tolerance: a stale buffered right stops matching") {
     val s = spark
     import s.implicits._
