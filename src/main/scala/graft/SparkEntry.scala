@@ -4775,6 +4775,40 @@ object SparkEntry {
             col("b").cast("long").as("batch"))
       }),
 
+    QueryDef("q85_asof_sliced",
+      "The TIME-SLICED as-of join — the merge form's skew escape hatch " +
+        "as an operator (PLANS.md decision table, last row): both sides " +
+        "get a floor(ts/1h) slice key, rights replicate into the next " +
+        "slice, and the native merge clusters on (user_id, slice) — a " +
+        "hot user's history spreads across as many tasks as it spans " +
+        "hours instead of serializing on one. Exact for tolerance <= " +
+        "slice width: every in-window candidate lives in the same or " +
+        "previous slice, and the tolerance check at emit discards the " +
+        "rest of the replicated superset. Same oracle as q77 — the " +
+        "sliced path changes the plan's parallelism, never the result.",
+      Some("""SELECT p.user_id, p.event_id, epoch_us(p.ts) AS purchase_us,
+        |  (SELECT epoch_us(max(c.ts)) FROM events c
+        |   WHERE c.user_id = p.user_id AND c.event_type = 'click'
+        |     AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))
+        |     AND c.ts >= p.ts - INTERVAL 1 HOUR) AS click_us
+        |FROM events p WHERE p.event_type = 'purchase'""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        graft.plans.AsOfJoinPlan.asofJoinTimeSliced(purchases, clicks,
+            keys = Seq("user_id" -> "user_id"),
+            order = Seq("ts" -> "ts", "event_id" -> "event_id"),
+            toleranceUs = 3600L * 1000000L, sliceUs = 3600L * 1000000L,
+            strict = true,
+            broadcast = graft.plans.AsOfBroadcast.Never) // merge pin, see q76
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("purchase_us"),
+            unix_micros(col("ts_r")).as("click_us"))
+      }),
+
     QueryDef("s13_random_projection",
       "Johnson-Lindenstrauss ±1 random projection (Achlioptas 2003) of " +
         "the 64-dim embeddings to 16 dims — the standard pre-reduction " +

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, GraftPlanBridge, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.{Column, DataFrame, GraftPlanBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
@@ -706,6 +706,82 @@ object AsOfJoinPlan {
       order.map { case (_, rn) => attr(rPlan, rn + rightSuffix) },
       strict, tolerance, direction, broadcast)
     GraftPlanBridge.ofRows(spark, node)
+  }
+
+  /** TIME-SLICED as-of join — the skew escape hatch for the partitioned
+    * merge, now an operator instead of a paragraph (PLANS.md "broadcast
+    * vs merge", last row): the merge form clusters each equi-key's WHOLE
+    * history onto one task, so one hot key (a bot user with 10M events)
+    * serializes, and AQE's skew split does not apply to custom nodes.
+    * When the join carries a tolerance — attribution windows always do —
+    * the composite-key pattern restores parallelism EXACTLY:
+    *
+    *  1. both sides get a slice key `floor(head_ts / sliceUs)`;
+    *  2. right rows replicate into the adjacent slice(s) a candidate
+    *     could be matched from (backward: the NEXT slice; forward: the
+    *     PREVIOUS; nearest: both) — with `toleranceUs <= sliceUs`, every
+    *     in-window candidate of a left in slice s lives in slice s-1/s
+    *     (backward) etc., so the replicated group contains a superset of
+    *     the true candidates and the tolerance check at emit discards
+    *     the rest;
+    *  3. the native as-of join runs with (keys :+ slice) as the
+    *     equi-key — the hot key's history now spreads across
+    *     `span / sliceUs` independent tasks.
+    *
+    * Cost: the right side replicates 2× (3× for nearest) — bytes, not
+    * semantics — which at 100 TB is the standard salting trade: bounded
+    * amplification for unbounded parallelism. Results are row-for-row
+    * identical to `asofJoin(..., tolerance = Some(toleranceUs))`
+    * (property-swept in PropertySpec; q85 hash-checks against q77's
+    * oracle). Null ordering heads get a null slice and stay unmatched,
+    * matching the plain operator's null semantics.
+    */
+  def asofJoinTimeSliced(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[(String, String)],
+      order: Seq[(String, String)],
+      toleranceUs: Long,
+      sliceUs: Long,
+      strict: Boolean = false,
+      rightSuffix: String = "_r",
+      direction: AsOfDirection = AsOfDirection.Backward,
+      broadcast: AsOfBroadcast = AsOfBroadcast.Auto): DataFrame = {
+    require(sliceUs > 0 && toleranceUs >= 0 && toleranceUs <= sliceUs,
+      "time-sliced as-of needs 0 <= tolerance <= slice width: a candidate " +
+        "must never be more than one slice away")
+    import org.apache.spark.sql.functions.{array, col, explode, lit, pmod, unix_micros}
+    val slice = "__asof_slice"
+    // the head ordering column drives slicing, in the same long units the
+    // tolerance is expressed in (µs for timestamps, native otherwise)
+    def headLong(df: DataFrame, name: String): Column = {
+      import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+      df.schema(name).dataType match {
+        case TimestampType | TimestampNTZType => unix_micros(col(name))
+        case _ => col(name).cast("long")
+      }
+    }
+    // floor division in exact integer arithmetic (pmod is non-negative,
+    // so this floors toward -inf for negative timestamps too)
+    def sliceOf(ts: Column): Column =
+      ((ts - pmod(ts, lit(sliceUs))) / lit(sliceUs)).cast("long")
+    val lSliced = left.withColumn(slice, sliceOf(headLong(left, order.head._1)))
+    // replicate via ONE scan + explode of the shift offsets (a union of
+    // per-shift branches would re-scan the right side once per copy)
+    val shifts = direction match {
+      case AsOfDirection.Backward => Seq(0L, 1L) // visible to the NEXT slice's lefts
+      case AsOfDirection.Forward => Seq(0L, -1L)
+      case AsOfDirection.Nearest => Seq(-1L, 0L, 1L)
+    }
+    val rSliced = right
+      .withColumn("__asof_shift", explode(array(shifts.map(lit): _*)))
+      .withColumn(slice,
+        sliceOf(headLong(right, order.head._2)) + col("__asof_shift"))
+      .drop("__asof_shift")
+    asofJoin(lSliced, rSliced,
+      keys :+ (slice -> slice), order,
+      strict, rightSuffix, Some(toleranceUs), direction, broadcast)
+      .drop(slice, slice + rightSuffix)
   }
 }
 

@@ -489,6 +489,53 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("time-sliced as-of spreads a hot key across reduce tasks") {
+    // one bot user owns 95% of both sides, spanning 40 slices: the plain
+    // merge lands the whole key on ONE task; the sliced form clusters on
+    // (key, slice) and must spread it. AQE coalescing off so partition
+    // occupancy reflects the hash clustering, not post-hoc merging.
+    val s = spark
+    import s.implicits._
+    val oldAqe = s.conf.get("spark.sql.adaptive.enabled")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val ls = (0 until 800).map { i =>
+        val k = if (i < 760) "hot" else "k" + (i % 5)
+        (k, (i * 7L) % 4000L, i.toLong)
+      }
+      val rs = (0 until 800).map { i =>
+        val k = if (i < 760) "hot" else "k" + (i % 5)
+        (k, (i * 11L) % 4000L, (10000 + i).toLong)
+      }
+      def spread(df: org.apache.spark.sql.DataFrame): Double = {
+        val counts = df.groupBy(spark_partition_id().as("p")).count()
+          .collect().map(_.getLong(1))
+        counts.max.toDouble / counts.sum
+      }
+      val plain = AsOfJoinPlan.asofJoin(
+        ls.toDF("k", "t", "id"), rs.toDF("k", "t", "id"),
+        keys = Seq("k" -> "k"), order = Seq("t" -> "t", "id" -> "id"),
+        strict = true, tolerance = Some(100L),
+        broadcast = AsOfBroadcast.Never)
+      val sliced = AsOfJoinPlan.asofJoinTimeSliced(
+        ls.toDF("k", "t", "id"), rs.toDF("k", "t", "id"),
+        keys = Seq("k" -> "k"), order = Seq("t" -> "t", "id" -> "id"),
+        toleranceUs = 100L, sliceUs = 100L,
+        strict = true, broadcast = AsOfBroadcast.Never)
+      // identical answers...
+      def toMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+        df.select(col("id"), col("id_r")).collect()
+          .map(r => r.getLong(0) ->
+            (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      assert(toMap(sliced) == toMap(plain))
+      // ...but the hot key no longer serializes
+      assert(spread(plain) >= 0.9,
+        "fixture is not skewed enough to demonstrate anything")
+      assert(spread(sliced) <= 0.5,
+        "sliced as-of failed to spread the hot key across reduce tasks")
+    } finally s.conf.set("spark.sql.adaptive.enabled", oldAqe)
+  }
+
   test("GraftExtensions injects the strategy AND the optimizer rule") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)

@@ -240,6 +240,51 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: time-sliced as-of equals the plain tolerance as-of, all directions") {
+    // the skew escape hatch must be a pure plan transformation: for any
+    // tolerance <= slice width, any direction, any strictness, the
+    // composite-key + replicated-right form returns row-for-row what the
+    // plain operator returns — slice-boundary-straddling candidates
+    // (t just under a multiple of the width) are the adversarial case
+    import graft.plans.{AsOfBroadcast, AsOfDirection, AsOfJoinPlan}
+    val rowGen = for {
+      k <- Gen.oneOf("a", "b")
+      t <- Gen.choose(0L, 40L)
+    } yield (k, t)
+    val caseGen = for {
+      ls <- Gen.listOfN(12, rowGen)
+      rs <- Gen.listOfN(12, rowGen)
+      strict <- Gen.oneOf(true, false)
+      tol <- Gen.choose(0L, 6L)
+      pad <- Gen.choose(0L, 5L)
+      dir <- Gen.oneOf[AsOfDirection](AsOfDirection.Backward,
+        AsOfDirection.Forward, AsOfDirection.Nearest)
+    } yield (ls, rs, strict, tol, math.max(1L, tol) + pad, dir)
+    for ((lsRaw, rsRaw, strict, tol, slice, dir) <- cases(caseGen, 15)) {
+      val s = spark
+      import s.implicits._
+      val ls = lsRaw.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      val rs = rsRaw.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      def collect(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+        df.select(col("id"), col("id_r"))
+          .collect().map(r => r.getLong(0) ->
+            (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      val plain = collect(AsOfJoinPlan.asofJoin(
+        ls.toDF("k", "t", "id"), rs.toDF("k", "t", "id"),
+        keys = Seq("k" -> "k"), order = Seq("t" -> "t", "id" -> "id"),
+        strict = strict, tolerance = Some(tol), direction = dir,
+        broadcast = AsOfBroadcast.Never))
+      val sliced = collect(AsOfJoinPlan.asofJoinTimeSliced(
+        ls.toDF("k", "t", "id"), rs.toDF("k", "t", "id"),
+        keys = Seq("k" -> "k"), order = Seq("t" -> "t", "id" -> "id"),
+        toleranceUs = tol, sliceUs = slice,
+        strict = strict, direction = dir,
+        broadcast = AsOfBroadcast.Never))
+      assert(sliced == plain,
+        s"dir=$dir strict=$strict tol=$tol slice=$slice ls=$ls rs=$rs")
+    }
+  }
+
   test("property: as-of join with COMPOSITE keys and null key parts equals brute force") {
     // two-column equi-keys with occasional nulls: null-keyed rows match
     // nothing on either side (SQL join semantics), non-null composites
