@@ -157,6 +157,50 @@ object WeatherLakeV2Sink {
     } else spark.read.text(files: _*)
   }
 
+  /** The `k=v` partition values encoded in a committed file's directory
+    * path (`city=london/ds=2024-01-01/hour=03/part-….json` →
+    * city/ds/hour), the same values the writer routed the row by.
+    */
+  def partitionValues(file: String): Map[String, String] =
+    new Path(file).getParent.toString.split('/')
+      .filter(_.contains('='))
+      .map { seg =>
+        val i = seg.indexOf('=')
+        seg.take(i) -> seg.drop(i + 1)
+      }.toMap
+
+  /** MANIFEST-LEVEL partition pruning — the lake-format data-skipping
+    * move (Iceberg/Delta's core read-side win): the committed file list
+    * already carries every file's partition values in its path, so a
+    * partition predicate filters the LIST on the driver in O(committed
+    * files), before any object-store LIST or data IO happens. At 100 TB
+    * the difference is not just bytes scanned — a path-glob read must
+    * LIST every partition directory (the slow, rate-limited call on
+    * object stores) while this touches only the manifest; files whose
+    * directories carry no `k=v` segments are always kept (never silently
+    * pruned on absent information).
+    */
+  def committedFilesPruned(basePath: String)(
+      pred: Map[String, String] => Boolean): Seq[String] =
+    committedFiles(basePath).filter { f =>
+      val pv = partitionValues(f)
+      pv.isEmpty || pred(pv)
+    }
+
+  /** [[readCommitted]] restricted by a partition predicate via
+    * [[committedFilesPruned]] — same rows as filtering after the read,
+    * with the pruned files never opened (spec-asserted both ways).
+    */
+  def readCommittedPruned(spark: org.apache.spark.sql.SparkSession,
+      basePath: String)(
+      pred: Map[String, String] => Boolean): org.apache.spark.sql.DataFrame = {
+    val files = committedFilesPruned(basePath)(pred)
+    if (files.isEmpty) {
+      import spark.implicits._
+      spark.emptyDataset[String].toDF("value")
+    } else spark.read.text(files: _*)
+  }
+
   // -----------------------------------------------------------------
   // manifest-cursor incremental reader
   // -----------------------------------------------------------------

@@ -305,6 +305,50 @@ class WeatherLakeV2SinkSpec extends SparkSpec {
     assert(WeatherLakeV2Sink.readCommitted(spark, lake).count() == 6)
   }
 
+  test("manifest-level partition pruning: predicate filters the file list " +
+    "before any IO; un-partitioned files are never silently pruned") {
+    val Sink = graft.sources.WeatherLakeV2Sink
+    val lake = Files.createTempDirectory("lakev2p").toString
+    rawFixture.select(col("city"), col("ds"), col("hour"),
+        to_json(struct(col("latitude"), col("longitude"), col("timezone"),
+          col("hourly"), col("_ingested_at"))).as("raw_json"))
+      .write.format("graft.sources.WeatherLakeV2Sink")
+      .mode("append").save(lake)
+    val all = Sink.committedFiles(lake)
+    val cities = all.map(f => Sink.partitionValues(f)("city")).distinct
+    assert(cities.size > 1, "fixture must span multiple cities")
+    val target = cities.min
+    // the predicate prunes the LIST itself — strictly fewer files, all
+    // of the target city, before a single byte of data is opened
+    val pruned = Sink.committedFilesPruned(lake)(_.get("city").contains(target))
+    assert(pruned.nonEmpty && pruned.size < all.size)
+    assert(pruned.forall(f => Sink.partitionValues(f)("city") == target))
+    // same rows as reading the pruned file set directly
+    val prunedRows = Sink.readCommittedPruned(spark, lake)(
+        _.get("city").contains(target))
+      .collect().map(_.getString(0)).toSet
+    val expected = spark.read.textFile(pruned: _*).collect().toSet
+    assert(prunedRows.nonEmpty && prunedRows == expected)
+    // and the scan really only touched the target city's files
+    val touched = Sink.readCommittedPruned(spark, lake)(
+        _.get("city").contains(target))
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0))
+    assert(touched.nonEmpty &&
+      touched.forall(_.contains(s"city=$target/")),
+      s"pruned scan touched foreign files: ${touched.mkString(", ")}")
+    // a committed file OUTSIDE any k=v directory must survive every
+    // predicate — pruning on absent information would lose data
+    val barePath = new java.io.File(s"$lake/stray.json")
+    java.nio.file.Files.writeString(barePath.toPath, "{\"x\":1}\n")
+    java.nio.file.Files.writeString(
+      new java.io.File(s"$lake/_manifests/manifest-stray.txt").toPath,
+      barePath.getAbsolutePath + "\n")
+    val withBare = Sink.committedFilesPruned(lake)(_ => false)
+    assert(withBare.exists(_.endsWith("stray.json")),
+      "un-partitioned committed files must be kept under any predicate")
+  }
+
   test("missing path option fails fast with the option named") {
     val e = intercept[IllegalArgumentException] {
       new graft.sources.WeatherLakeV2Sink()
