@@ -4683,7 +4683,9 @@ object SparkEntry {
         "answers every left row by binary search, so the LEFT child " +
         "plans with no exchange and no sort at all — at 100 TB that " +
         "deletes the entire left-side shuffle the merge form pays. " +
-        "Explicit opt-in; identical semantics to the merge form " +
+        "Forced here (AsOfBroadcast.Force — the broadcast() hint " +
+        "analog; q83 exercises the stats-driven Auto pick); identical " +
+        "semantics to the merge form " +
         "(property-swept across all directions). Oracle = q76's " +
         "correlated form restricted to the reference set.",
       Some("""SELECT p.user_id, p.event_id, epoch_us(p.ts) AS purchase_us,
