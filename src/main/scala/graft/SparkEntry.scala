@@ -4811,6 +4811,56 @@ object SparkEntry {
             unix_micros(col("ts_r")).as("click_us"))
       }),
 
+    QueryDef("q86_sql_functions",
+      "The scalar-function leg of the analyst SQL surface (the ASOF " +
+        "JOIN of q83 is the operator leg): GraftExtensions injects every " +
+        "graft_* codegen'd expression at session build, so this query is " +
+        "PURE SQL text on the Spark side — no DataFrame helper ran, no " +
+        "temp-function registration preceded it. One pass computes three " +
+        "dedup fingerprints per doc (SimHash over token hashes, the " +
+        "first MinHash permutation over distinct-token hashes, the " +
+        "distinct 3-shingle count), each a single codegen'd loop where " +
+        "the HOF formulation pays interpreted lambda frames per " +
+        "token×bit/permutation/gram — at 100 TB fingerprinting IS the " +
+        "corpus pass, so the whole pipeline stays inside whole-stage " +
+        "codegen with zero shuffles. Oracle recomputes all three in " +
+        "DuckDB list algebra (d04/d05's pinned formulations; the " +
+        "shingle count compares distinct gram STRINGS to distinct gram " +
+        "hashes — identical unless xxhash64 collides within a doc).",
+      Some(s"""WITH t AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |h AS (SELECT doc_id, toks,
+        |  list_transform(toks, t -> $duckTokenHash) AS hs,
+        |  list_transform(list_distinct(toks), t -> $duckTokenHash) AS hsd
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(list_sum(list_transform(generate_series(0, 30), j ->
+        |    CASE WHEN len(list_filter(hs, h -> (h // (CAST(1 AS BIGINT) << j)) % 2 = 1)) * 2 > len(hs)
+        |         THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS simhash,
+        |  list_reduce(list_prepend(CAST(2147483647 AS BIGINT),
+        |    list_transform(hsd, h -> (CAST(1299721 AS BIGINT) * h + 104729) % 2147483647)),
+        |    (acc, x) -> least(acc, x)) AS minhash0,
+        |  CAST(CASE WHEN len(toks) < 3 THEN 0 ELSE len(list_distinct(
+        |    list_transform(generate_series(1, len(toks) - 2),
+        |      i -> array_to_string(toks[i:i+2], ' ')))) END AS BIGINT) AS n_shingles3
+        |FROM h""".stripMargin),
+      (s, dir) => {
+        Tables.documents(s, dir).createOrReplaceTempView("documents")
+        s.sql("""WITH t AS (SELECT doc_id,
+          |  filter(split(trim(text), '\\s+'), x -> x <> '') AS toks
+          |  FROM documents),
+          |h AS (SELECT doc_id, toks,
+          |  transform(toks, x -> graft_poly_hash(x, 31, 2147483647)) AS hs,
+          |  transform(array_distinct(toks), x -> graft_poly_hash(x, 31, 2147483647)) AS hsd
+          |  FROM t)
+          |SELECT doc_id,
+          |  graft_simhash_sig(hs, 31) AS simhash,
+          |  element_at(graft_minhash_sig(hsd, 16, 2147483647), 1) AS minhash0,
+          |  CAST(size(graft_shingle_hash64(toks, 3)) AS BIGINT) AS n_shingles3
+          |FROM h""".stripMargin)
+      }),
+
     QueryDef("s13_random_projection",
       "Johnson-Lindenstrauss ±1 random projection (Achlioptas 2003) of " +
         "the 64-dim embeddings to 16 dims — the standard pre-reduction " +

@@ -92,10 +92,12 @@ object CdcBoundaries {
 
   val FnName = "graft_cdc_boundaries"
 
+  /** The one builder both registration routes share. */
+  val builder: Seq[Expression] => Expression =
+    exprs => CdcBoundaries(exprs.head,
+      Cast(exprs(1), LongType), Cast(exprs(2), LongType))
+
   /** Idempotently register for SQL-by-name use. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName,
-      exprs => CdcBoundaries(exprs.head,
-        Cast(exprs(1), LongType), Cast(exprs(2), LongType)), "scala_udf")
+    GraftFunctions.registerIfAbsent(spark, FnName, builder)
 }

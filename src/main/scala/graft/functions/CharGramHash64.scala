@@ -95,10 +95,12 @@ object CharGramHash64 {
 
   val FnName = "graft_chargram_hash64"
 
+  /** The one builder both registration routes share. */
+  val builder: Seq[Expression] => Expression =
+    exprs => CharGramHash64(exprs.head,
+      Cast(exprs(1), LongType), Cast(exprs(2), LongType))
+
   /** Idempotently register for SQL-by-name use. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName,
-      exprs => CharGramHash64(exprs.head,
-        Cast(exprs(1), LongType), Cast(exprs(2), LongType)), "scala_udf")
+    GraftFunctions.registerIfAbsent(spark, FnName, builder)
 }

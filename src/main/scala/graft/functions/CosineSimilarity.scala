@@ -83,12 +83,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
 }
 
 object CosineSimilarity {
-  private val FnName = "graft_cosine_sim"
+  val FnName = "graft_cosine_sim"
+
+  /** The one builder both registration routes share. */
+  val builder: Seq[Expression] => Expression =
+    exprs => CosineSimilarity(exprs.head, exprs(1))
 
   /** Register (idempotently) and return a Column-level handle. */
   def apply(spark: SparkSession, a: Column, b: Column): Column = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName, exprs => CosineSimilarity(exprs.head, exprs(1)), "scala_udf")
+    GraftFunctions.registerIfAbsent(spark, FnName, builder)
     call_function(FnName, a, b)
   }
 }

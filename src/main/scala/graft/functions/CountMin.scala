@@ -76,9 +76,12 @@ object CmsEstimate {
 
   val FnName = "graft_cms_estimate"
 
+  /** The one builder both registration routes share. */
+  val builder: Seq[Expression] => Expression =
+    exprs => CmsEstimate(exprs.head, exprs(1))
+
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName, exprs => CmsEstimate(exprs.head, exprs(1)), "scala_udf")
+    GraftFunctions.registerIfAbsent(spark, FnName, builder)
 
   def apply(spark: SparkSession, sketch: Column, item: Column): Column = {
     register(spark)
@@ -153,9 +156,12 @@ case class CmsMergeAgg(
 object CmsMergeAgg {
   val FnName = "graft_cms_merge"
 
+  /** The one builder both registration routes share. */
+  val builder: Seq[Expression] => Expression =
+    exprs => CmsMergeAgg(exprs.head)
+
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName, exprs => CmsMergeAgg(exprs.head), "scala_udf")
+    GraftFunctions.registerIfAbsent(spark, FnName, builder)
 
   def apply(spark: SparkSession, sketch: Column): Column = {
     register(spark)

@@ -84,10 +84,13 @@ object GramStats {
 
   val FnName = "graft_gram_stats"
 
+  /** The one builder both registration routes share. */
+  val builder: Seq[Expression] => Expression =
+    exprs => GramStats(exprs.head, castInt(exprs(1)))
+
   /** Idempotently register for SQL-by-name use. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName, exprs => GramStats(exprs.head, castInt(exprs(1))), "scala_udf")
+    GraftFunctions.registerIfAbsent(spark, FnName, builder)
 
   private def castInt(e: Expression): Expression =
     org.apache.spark.sql.catalyst.expressions.Cast(e, IntegerType)

@@ -63,8 +63,11 @@ object IntersectCardSorted {
 
   val FnName = "graft_intersect_card_sorted"
 
+  /** The one builder both registration routes share. */
+  val builder: Seq[Expression] => Expression =
+    exprs => IntersectCardSorted(exprs.head, exprs(1))
+
   /** Idempotently register for SQL-by-name use. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName, exprs => IntersectCardSorted(exprs.head, exprs(1)), "scala_udf")
+    GraftFunctions.registerIfAbsent(spark, FnName, builder)
 }

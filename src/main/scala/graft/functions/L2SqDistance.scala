@@ -73,12 +73,15 @@ case class L2SqDistance(left: Expression, right: Expression)
 }
 
 object L2SqDistance {
-  private val FnName = "graft_l2sq"
+  val FnName = "graft_l2sq"
+
+  /** The one builder both registration routes share. */
+  val builder: Seq[Expression] => Expression =
+    exprs => L2SqDistance(exprs.head, exprs(1))
 
   /** Register (idempotently) and return a Column-level handle. */
   def apply(spark: SparkSession, a: Column, b: Column): Column = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName, exprs => L2SqDistance(exprs.head, exprs(1)), "scala_udf")
+    GraftFunctions.registerIfAbsent(spark, FnName, builder)
     call_function(FnName, a, b)
   }
 }

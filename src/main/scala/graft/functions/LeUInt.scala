@@ -65,11 +65,13 @@ object LeUInt {
 
   val FnName = "graft_le_uint"
 
+  /** The one builder both registration routes share. */
+  val builder: Seq[Expression] => Expression =
+    exprs => LeUInt(exprs.head, castInt(exprs(1)), castInt(exprs(2)))
+
   /** Idempotently register for SQL-by-name use. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName, exprs => LeUInt(exprs.head,
-        castInt(exprs(1)), castInt(exprs(2))), "scala_udf")
+    GraftFunctions.registerIfAbsent(spark, FnName, builder)
 
   private def castInt(e: Expression): Expression =
     org.apache.spark.sql.catalyst.expressions.Cast(e, IntegerType)

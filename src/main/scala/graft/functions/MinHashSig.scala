@@ -73,10 +73,14 @@ object MinHashSig {
 
   val FnName = "graft_minhash_sig"
 
+  /** The one builder both registration routes share (GraftFunctions
+    * injection and the temp fallback below).
+    */
+  val builder: Seq[Expression] => Expression =
+    exprs => MinHashSig(exprs.head,
+      Cast(exprs(1), LongType), Cast(exprs(2), LongType))
+
   /** Idempotently register for SQL-by-name use (incl. inside lambdas). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName,
-      exprs => MinHashSig(exprs.head,
-        Cast(exprs(1), LongType), Cast(exprs(2), LongType)), "scala_udf")
+    GraftFunctions.registerIfAbsent(spark, FnName, builder)
 }

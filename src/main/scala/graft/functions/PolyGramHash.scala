@@ -97,9 +97,11 @@ object PolyGramHash {
 
   val FnName = "graft_poly_gram_hash"
 
+  /** The one builder both registration routes share. */
+  val builder: Seq[Expression] => Expression =
+    exprs => PolyGramHash(exprs.head, Cast(exprs(1), LongType))
+
   /** Idempotently register for SQL-by-name use. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName,
-      exprs => PolyGramHash(exprs.head, Cast(exprs(1), LongType)), "scala_udf")
+    GraftFunctions.registerIfAbsent(spark, FnName, builder)
 }

@@ -64,12 +64,13 @@ object PolyHash {
 
   val FnName = "graft_poly_hash"
 
+  /** The one builder both registration routes share. */
+  val builder: Seq[Expression] => Expression =
+    exprs => PolyHash(exprs.head, castLong(exprs(1)), castLong(exprs(2)))
+
   /** Idempotently register for SQL-by-name use (incl. inside lambdas). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName,
-      exprs => PolyHash(exprs.head,
-        castLong(exprs(1)), castLong(exprs(2))), "scala_udf")
+    GraftFunctions.registerIfAbsent(spark, FnName, builder)
 
   private def castLong(e: Expression): Expression =
     org.apache.spark.sql.catalyst.expressions.Cast(e, LongType)

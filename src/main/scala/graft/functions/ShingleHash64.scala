@@ -77,9 +77,11 @@ object ShingleHash64 {
 
   val FnName = "graft_shingle_hash64"
 
+  /** The one builder both registration routes share. */
+  val builder: Seq[Expression] => Expression =
+    exprs => ShingleHash64(exprs.head, Cast(exprs(1), LongType))
+
   /** Idempotently register for SQL-by-name use. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName,
-      exprs => ShingleHash64(exprs.head, Cast(exprs(1), LongType)), "scala_udf")
+    GraftFunctions.registerIfAbsent(spark, FnName, builder)
 }

@@ -73,9 +73,11 @@ object SimHashSig {
 
   val FnName = "graft_simhash_sig"
 
+  /** The one builder both registration routes share. */
+  val builder: Seq[Expression] => Expression =
+    exprs => SimHashSig(exprs.head, Cast(exprs(1), LongType))
+
   /** Idempotently register for SQL-by-name use. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName,
-      exprs => SimHashSig(exprs.head, Cast(exprs(1), LongType)), "scala_udf")
+    GraftFunctions.registerIfAbsent(spark, FnName, builder)
 }

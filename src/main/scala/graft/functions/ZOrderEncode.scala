@@ -78,11 +78,13 @@ object ZOrderEncode {
 
   val FnName = "graft_zorder"
 
+  /** The one builder both registration routes share. */
+  val builder: Seq[Expression] => Expression =
+    exprs => ZOrderEncode(castLong(exprs.head), castLong(exprs(1)))
+
   /** Idempotently register for SQL-by-name use. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName, exprs => ZOrderEncode(castLong(exprs.head),
-        castLong(exprs(1))), "scala_udf")
+    GraftFunctions.registerIfAbsent(spark, FnName, builder)
 
   private def castLong(e: Expression): Expression =
     org.apache.spark.sql.catalyst.expressions.Cast(e, LongType)

@@ -801,5 +801,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectParser((_, delegate) => new AsOfSqlParser(delegate))
     ext.injectResolutionRule(_ => AsOfSqlResolution)
     ext.injectFunction(AsOfSqlParser.epochUsFunction)
+    // the scalar-function leg of the SQL surface: every graft codegen'd
+    // expression resolves by its graft_* name in ad-hoc SQL without any
+    // DataFrame helper having registered it first
+    graft.functions.GraftFunctions.all.foreach(ext.injectFunction)
   }
 }
