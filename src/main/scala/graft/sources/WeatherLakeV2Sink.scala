@@ -62,7 +62,14 @@ object WeatherLakeV2Sink {
     override def capabilities(): util.Set[TableCapability] =
       util.EnumSet.of(TableCapability.BATCH_WRITE)
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
-      val jobId = info.queryId()
+      // manifestId overrides the engine-assigned queryId as the manifest
+      // name — a DETERMINISTIC id is what turns the at-least-once retries
+      // of streaming foreachBatch into exactly-once publication (see
+      // [[exactlyOnceBatchWriter]]): the first attempt's rename wins, a
+      // retry's rename finds the destination present and its files stay
+      // unreferenced orphans.
+      val jobId = Option(info.options().get("manifestId"))
+        .getOrElse(info.queryId())
       new WriteBuilder {
         override def build(): Write = new Write {
           override def toBatch: BatchWrite = new BatchWrite {
@@ -108,10 +115,17 @@ object WeatherLakeV2Sink {
     val dest = new Path(mdir, s"manifest-$jobId.txt")
     // a silently failed rename would lose the manifest and hide every file
     // this job wrote from the gated read path — surface it as a commit
-    // failure instead (Spark then aborts the job loudly)
-    if (!fs.rename(tmp, dest) && !fs.exists(dest))
-      throw new java.io.IOException(
-        s"WeatherLakeV2Sink: failed to publish manifest $dest")
+    // failure instead (Spark then aborts the job loudly). Rename refusing
+    // an EXISTING destination is the opposite case and stays silent on
+    // purpose: with a deterministic manifestId it means another attempt of
+    // the SAME job already published — this attempt's files simply stay
+    // unreferenced (exactly-once), and its tmp manifest is cleaned up.
+    if (!fs.rename(tmp, dest)) {
+      if (!fs.exists(dest))
+        throw new java.io.IOException(
+          s"WeatherLakeV2Sink: failed to publish manifest $dest")
+      fs.delete(tmp, false)
+    }
   }
 
   /** Manifests still contributing files to the committed view: every
@@ -199,6 +213,52 @@ object WeatherLakeV2Sink {
       import spark.implicits._
       spark.emptyDataset[String].toDF("value")
     } else spark.read.text(files: _*)
+  }
+
+  // -----------------------------------------------------------------
+  // exactly-once streaming ingest
+  // -----------------------------------------------------------------
+
+  /** Whether a manifest with this id has been published. */
+  def manifestExists(basePath: String, manifestId: String): Boolean = {
+    val fs = new Path(basePath).getFileSystem(new Configuration())
+    fs.exists(new Path(new Path(basePath, ManifestDir),
+      s"manifest-$manifestId.txt"))
+  }
+
+  /** `foreachBatch` body that makes streaming ingestion into the lake
+    * EXACTLY-ONCE: Structured Streaming replays a micro-batch whose
+    * commit wasn't recorded (at-least-once delivery to any sink), so the
+    * sink must deduplicate on the engine's (streamId, batchId) identity —
+    * the same contract Delta's streaming writer keeps via its txn
+    * version. Here the batch identity IS the manifest name:
+    *
+    *  - fast path: the manifest is already published → the whole rewrite
+    *    is skipped (no data IO at all on a replayed batch);
+    *  - race path (two attempts racing past the check): both write data
+    *    files under fresh names, ONE manifest rename wins, the loser's
+    *    files stay unreferenced — invisible to [[readCommitted]] and to
+    *    every snapshot, the same orphan class as a died write job.
+    *
+    * `streamId` scopes batch ids so independent queries (or a restarted
+    * query with a NEW checkpoint) never collide; pass something stable
+    * per (checkpoint, destination), e.g. the checkpoint dir's basename.
+    *
+    * {{{
+    * df.writeStream.foreachBatch(
+    *     WeatherLakeV2Sink.exactlyOnceBatchWriter(lakePath, "ingest-a"))
+    *   .option("checkpointLocation", ckpt)
+    *   .trigger(Trigger.AvailableNow()).start()
+    * }}}
+    */
+  def exactlyOnceBatchWriter(basePath: String, streamId: String):
+      (org.apache.spark.sql.DataFrame, Long) => Unit = (batch, batchId) => {
+    val manifestId = f"$streamId-b$batchId%09d"
+    if (!manifestExists(basePath, manifestId)) {
+      batch.write.format("graft.sources.WeatherLakeV2Sink")
+        .option("manifestId", manifestId)
+        .mode("append").save(basePath)
+    }
   }
 
   // -----------------------------------------------------------------

@@ -357,4 +357,105 @@ class WeatherLakeV2SinkSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("path"))
   }
+
+  private def payloadOf(df: DataFrame): DataFrame =
+    df.select(col("city"), col("ds"), col("hour"),
+      to_json(struct(col("latitude"), col("longitude"))).as("raw_json"))
+
+  private def jsonFilesOnDisk(lake: String): Set[String] = {
+    def walk(f: File): Seq[File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new File(lake))
+      .filter(f => f.getName.endsWith(".json"))
+      .map(_.getAbsolutePath).toSet
+  }
+
+  test("exactly-once: a replayed foreachBatch body publishes its batch once") {
+    import graft.sources.WeatherLakeV2Sink
+    val lake = Files.createTempDirectory("lakev2once").toString + "/lake"
+    val writer = WeatherLakeV2Sink.exactlyOnceBatchWriter(lake, "ingest-a")
+    val batch = payloadOf(rawFixture.limit(3))
+    writer(batch, 0L)
+    val afterFirst = WeatherLakeV2Sink.readCommitted(spark, lake).count()
+    val filesAfterFirst = jsonFilesOnDisk(lake)
+    // the engine replays the batch (commit log lost the record): same
+    // (streamId, batchId) → the manifest exists → NO data IO at all
+    writer(batch, 0L)
+    assert(WeatherLakeV2Sink.readCommitted(spark, lake).count() == afterFirst)
+    assert(jsonFilesOnDisk(lake) == filesAfterFirst,
+      "fast path must skip the rewrite entirely")
+    assert(WeatherLakeV2Sink.manifestNames(lake).length == 1)
+    // a DIFFERENT batch id is new data and appends
+    writer(payloadOf(rawFixture.limit(2)), 1L)
+    assert(WeatherLakeV2Sink.readCommitted(spark, lake).count() == afterFirst + 2)
+    // a different STREAM never collides with this one's batch numbering
+    WeatherLakeV2Sink.exactlyOnceBatchWriter(lake, "ingest-b")(
+      payloadOf(rawFixture.limit(1)), 0L)
+    assert(WeatherLakeV2Sink.readCommitted(spark, lake).count() == afterFirst + 3)
+  }
+
+  test("exactly-once race path: one manifest publication wins, the loser's " +
+      "files stay invisible orphans") {
+    import graft.sources.WeatherLakeV2Sink
+    val lake = Files.createTempDirectory("lakev2race").toString + "/lake"
+    def attempt(): Unit =
+      payloadOf(rawFixture.limit(3))
+        .write.format("graft.sources.WeatherLakeV2Sink")
+        .option("manifestId", "stream-x-b000000000")
+        .mode("append").save(lake)
+    // two attempts of the SAME batch race past the existence check: both
+    // write data files, one rename wins
+    attempt()
+    val winners = WeatherLakeV2Sink.committedFiles(lake).toSet
+    attempt()
+    assert(WeatherLakeV2Sink.manifestNames(lake).length == 1)
+    assert(WeatherLakeV2Sink.committedFiles(lake).toSet == winners,
+      "the committed view must still be the first attempt's files")
+    assert(WeatherLakeV2Sink.readCommitted(spark, lake).count() == 3)
+    // the loser's files ARE on disk (append-only, no rename of data
+    // files) but unreferenced — the same orphan class as a died job, and
+    // no tmp manifest is left behind
+    assert(jsonFilesOnDisk(lake).size == winners.size * 2)
+    val mdir = new File(s"$lake/${WeatherLakeV2Sink.ManifestDir}")
+    assert(!mdir.listFiles().exists(_.getName.endsWith(".tmp")),
+      "failed publication must clean up its tmp manifest")
+  }
+
+  test("exactly-once end-to-end: a restarted AvailableNow stream appends " +
+      "only new batches") {
+    import graft.sources.WeatherLakeV2Sink
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Files.createTempDirectory("lakev2stream").toString
+    val in = s"$base/in"; val lake = s"$base/lake"; val ckpt = s"$base/ckpt"
+    new File(in).mkdirs()
+    def addInput(name: String, rows: Seq[String]): Unit = {
+      val f = new File(in, name)
+      Files.write(f.toPath, rows.mkString("\n").getBytes("UTF-8"))
+    }
+    addInput("a.csv", Seq("london,2025-10-31,03,{\"t\":1}",
+      "paris,2025-10-31,04,{\"t\":2}"))
+    def runStream(): Unit = {
+      val q = spark.readStream
+        .schema("city STRING, ds STRING, hour STRING, raw_json STRING")
+        .csv(in)
+        .writeStream
+        .foreachBatch(WeatherLakeV2Sink.exactlyOnceBatchWriter(lake, "e2e"))
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(60000), "stream must drain and stop")
+    }
+    runStream()
+    assert(WeatherLakeV2Sink.readCommitted(spark, lake).count() == 2)
+    // restart with nothing new: no batch runs, nothing duplicates
+    runStream()
+    assert(WeatherLakeV2Sink.readCommitted(spark, lake).count() == 2)
+    // new file → exactly its rows append on the next run
+    addInput("b.csv", Seq("tokyo,2025-10-31,05,{\"t\":3}"))
+    runStream()
+    assert(WeatherLakeV2Sink.readCommitted(spark, lake).count() == 3)
+    // every published manifest carries the e2e stream identity
+    assert(WeatherLakeV2Sink.manifestNames(lake)
+      .forall(_.startsWith("manifest-e2e-b")))
+  }
 }
