@@ -303,4 +303,57 @@ object StreamAsOf extends Serializable {
         new EventTimeAsOfProcessor(toleranceUs, direction),
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  /** STREAM-STATIC as-of join — enrich a live stream against a fixed
+    * reference table (the dimension-snapshot / feature-table / model-
+    * version case) with full as-of semantics: every left event picks its
+    * right row per direction/tolerance/strictness, exactly like the batch
+    * operator, because it IS the batch operator: the native
+    * [[graft.plans.AsOfJoinPlan.AsOfJoin]] node composes with Structured
+    * Streaming unchanged when the right side broadcasts —
+    * `BroadcastAsOfJoinExec` requires NOTHING of its left child (no
+    * distribution, no ordering), so the micro-batch plans scan →
+    * broadcast-as-of with no shuffle, no sort, and — unlike the
+    * stream-stream forms above — NO STATE AT ALL. A static right means
+    * each left row's match is a pure function of that row, so results are
+    * independent of micro-batch boundaries (spec-pinned under 1-row and
+    * all-rows batchings) and every direction (backward/forward/nearest)
+    * is final immediately: no watermark, no buffered-ripe discipline, no
+    * timers.
+    *
+    * The broadcast form is FORCED, not stats-picked: a streaming left has
+    * no meaningful size estimate per batch, and the merge form would
+    * re-sort the full static right inside every micro-batch for no
+    * benefit. Honest costs at scale: the static side re-broadcasts per
+    * micro-batch (Spark's stream-static contract — `cache()` the right
+    * side to at least skip its re-scan), and the per-executor sorted
+    * index rebuilds once per (executor, micro-batch); both are O(|R|)
+    * work per trigger, the standard price of stream-static broadcast
+    * enrichment, amortized by batching and irrelevant to the left-side
+    * volume the operator is sized for. For a right side too big to
+    * broadcast, the stream-stream event-time form (or a batch as-of over
+    * the lake) is the correct tool — this helper refuses nothing
+    * silently: Force on an over-threshold right still broadcasts, as
+    * with Spark's own broadcast() hint.
+    */
+  def streamStaticAsOf(
+      leftStream: org.apache.spark.sql.DataFrame,
+      rightStatic: org.apache.spark.sql.DataFrame,
+      keys: Seq[(String, String)],
+      order: Seq[(String, String)],
+      strict: Boolean = false,
+      rightSuffix: String = "_r",
+      tolerance: Option[Long] = None,
+      direction: graft.plans.AsOfDirection = graft.plans.AsOfDirection.Backward)
+      : org.apache.spark.sql.DataFrame = {
+    require(leftStream.isStreaming,
+      "streamStaticAsOf: left must be a streaming DataFrame (for batch " +
+        "inputs use AsOfJoinPlan.asofJoin)")
+    require(!rightStatic.isStreaming,
+      "streamStaticAsOf: right must be static (for stream-stream use " +
+        "matchesProcessingTime/matchesEventTime)")
+    graft.plans.AsOfJoinPlan.asofJoin(leftStream, rightStatic, keys, order,
+      strict, rightSuffix, tolerance, direction,
+      broadcast = graft.plans.AsOfBroadcast.Force)
+  }
 }
