@@ -4861,6 +4861,55 @@ object SparkEntry {
           |FROM h""".stripMargin)
       }),
 
+    QueryDef("q87_scd2_pit",
+      "SCD2 POINT-IN-TIME enrichment — the classic warehouse question " +
+        "(\"what was this user's state when they purchased?\") answered " +
+        "by the native as-of join instead of an interval join: the " +
+        "dimension is q43's change-point build (one row per state " +
+        "transition, (ts, event_id)-ordered), and a backward NON-STRICT " +
+        "as-of on the same composite tuple picks the in-effect version " +
+        "for every probe — no valid_to materialization, no " +
+        "between-predicate range join (which plans a per-key interval " +
+        "scan and duplicates on touching boundaries). At 100 TB the " +
+        "dimension's change points are orders of magnitude smaller than " +
+        "the event stream, exactly the broadcast as-of's sweet spot " +
+        "(Auto picks it from stats; the identical call scales to the " +
+        "partitioned merge when the dimension doesn't fit). Ties at the " +
+        "change instant resolve by event_id through the tuple ordering, " +
+        "deterministically on both engines.",
+      Some("""WITH e AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT user_id, ts, event_id, event_type AS state FROM e
+        |      WHERE prev IS NULL OR prev <> event_type)
+        |SELECT p.user_id, p.event_id, epoch_us(p.ts) AS purchase_us,
+        |  (SELECT c.state FROM c WHERE c.user_id = p.user_id
+        |     AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id <= p.event_id))
+        |   ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS state_at_purchase
+        |FROM events p WHERE p.event_type = 'purchase'""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val dim = ev
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+          .where(col("prev").isNull || col("prev") =!= col("event_type"))
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("state"))
+        val probes = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        graft.plans.AsOfJoinPlan.asofJoin(probes, dim,
+            keys = Seq("user_id" -> "user_id"),
+            order = Seq("ts" -> "ts", "event_id" -> "event_id"),
+            strict = false)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("purchase_us"),
+            col("state_r").as("state_at_purchase"))
+      }),
+
     QueryDef("s13_random_projection",
       "Johnson-Lindenstrauss ±1 random projection (Achlioptas 2003) of " +
         "the 64-dim embeddings to 16 dims — the standard pre-reduction " +

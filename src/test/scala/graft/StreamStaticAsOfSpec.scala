@@ -133,6 +133,34 @@ class StreamStaticAsOfSpec extends SparkSpec {
       s"stream-static as-of must be stateless:\n$plan")
   }
 
+  test("the SQL ASOF surface composes with a streaming left view") {
+    // two extension legs at once: the injected parser rewrites the ASOF
+    // LEFT JOIN over a STREAMING temp view, the analyzer rule swaps in
+    // the AsOfJoin node, and the micro-batch planner picks the broadcast
+    // form — ad-hoc SQL as-of enrichment of a live stream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[(Long, Long, Timestamp)]
+    input.toDF().toDF("user_id", "event_id", "ts")
+      .createOrReplaceTempView("ssasof_sql_left")
+    rightStatic.createOrReplaceTempView("ssasof_sql_right")
+    val joined = spark.sql(
+      """SELECT l.event_id AS event_id, r.event_id AS event_id_r
+        |FROM ssasof_sql_left l ASOF LEFT JOIN ssasof_sql_right r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin)
+    assert(joined.isStreaming, "the rewritten plan must stay streaming")
+    input.addData(leftRows: _*)
+    val q = joined.writeStream.format("memory").queryName("ssasof_sql")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(60000), "stream must drain")
+    val got = spark.table("ssasof_sql").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(got == batchExpected(AsOfDirection.Backward, false, None),
+      s"SQL-over-stream must equal the batch operator, got $got")
+  }
+
   test("guards: batch left and streaming right are refused with the " +
       "correct redirection") {
     val s = spark
