@@ -407,11 +407,20 @@ object WeatherLakeV2Sink {
   // manifest-driven small-file compaction
   // -----------------------------------------------------------------
 
-  /** Rewrite every multi-file partition directory of the committed view
-    * into ONE file, publishing the result as a single superseding
-    * manifest. The reference layout writes one object per city-hour
-    * (s3_writer.py:59-61) — at 100 TB that is the classic small-file
-    * killer, and this is the maintenance job that repairs it.
+  /** Rewrite every SMALL-FILE partition directory of the committed view
+    * into files of ~`targetBytes`, publishing the result as a single
+    * superseding manifest. The reference layout writes one object per
+    * city-hour (s3_writer.py:59-61) — at 100 TB that is the classic
+    * small-file killer, and this is the maintenance job that repairs it.
+    *
+    * Sizing discipline (the two failure modes a fixed rewrite has):
+    *  - a directory is a candidate only when it has >1 file AND its mean
+    *    file size is under `targetBytes / 2` — re-running compact over an
+    *    already-healthy directory is a no-op, not a churn loop;
+    *  - the rewriter ROLLS to a new file at `targetBytes`, so one hot
+    *    directory holding a terabyte compacts to ~8k bounded objects,
+    *    never one unreadably-large file (single-writer object uploads cap
+    *    out, and downstream scans need split points).
     *
     * Safety under concurrency, in commit order:
     *  1. the live-manifest set is snapshotted up front; jobs that commit
@@ -435,8 +444,10 @@ object WeatherLakeV2Sink {
     * and each directory's rows land in one file via `mapPartitions`.
     * Returns the number of directories compacted (0 = nothing to do).
     */
-  def compact(spark: org.apache.spark.sql.SparkSession, basePath: String): Int = {
+  def compact(spark: org.apache.spark.sql.SparkSession, basePath: String,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
     import org.apache.spark.sql.functions.{broadcast, col, element_at, input_file_name, split}
+    require(targetBytes > 0, "targetBytes must be positive")
     val fs = new Path(basePath).getFileSystem(new Configuration())
     val mdir = new Path(basePath, ManifestDir)
     val snapshot = liveManifests(basePath)
@@ -444,13 +455,25 @@ object WeatherLakeV2Sink {
       .flatMap(n => readLines(fs, new Path(mdir, n)))
       .filter(l => l.nonEmpty && !l.startsWith("#"))
       .groupBy(f => new Path(f).getParent.toString)
-    val multi = filesByDir.filter(_._2.size > 1)
+    // small-file candidates only: >1 file and mean size under half the
+    // target — a healthy directory (however many bounded files) is left
+    // alone, so repeated maintenance runs converge instead of churning.
+    // O(candidate files) driver-side metadata calls, same order as the
+    // manifest read itself.
+    val multi = filesByDir.filter { case (_, fls) =>
+      fls.size > 1 &&
+        fls.map(f => fs.getFileStatus(new Path(f)).getLen).sum.toDouble /
+          fls.size < targetBytes / 2.0
+    }
     if (multi.isEmpty) return 0
-    val keep = filesByDir.collect { case (_, fs1) if fs1.size == 1 => fs1.head }.toSeq
+    val compactedDirs = multi.keySet
+    val keep = filesByDir.collect {
+      case (d, fs1) if !compactedDirs(d) => fs1 }.flatten.toSeq
     val session = spark
     import session.implicits._
     val dirOfBase = multi.toSeq.flatMap { case (d, fls) =>
       fls.map(f => (new Path(f).getName, d)) }
+    val tgt = targetBytes
     val newFiles = session.read.text(multi.values.flatten.toSeq: _*)
       .select(element_at(split(input_file_name(), "/"), -1).as("base"), col("value"))
       .join(broadcast(dirOfBase.toDF("base", "dir")), "base")
@@ -458,19 +481,29 @@ object WeatherLakeV2Sink {
       .repartition(col("dir"))
       .mapPartitions { it =>
         val pfs = new Path(basePath).getFileSystem(new Configuration())
-        val streams = mutable.Map.empty[String, org.apache.hadoop.fs.FSDataOutputStream]
+        // per-dir open stream + bytes written since its last roll
+        val streams = mutable.Map.empty[String,
+          (org.apache.hadoop.fs.FSDataOutputStream, Long)]
         val written = mutable.ArrayBuffer.empty[String]
-        it.foreach { row =>
-          val out = streams.getOrElseUpdate(row.getString(0), {
-            val f = new Path(row.getString(0),
-              s"part-compact-${UUID.randomUUID().toString}.json")
-            written += f.toString
-            pfs.create(f, false)
-          })
-          out.write(row.getString(1).getBytes("UTF-8"))
-          out.write('\n')
+        def open(dir: String): (org.apache.hadoop.fs.FSDataOutputStream, Long) = {
+          val f = new Path(dir, s"part-compact-${UUID.randomUUID().toString}.json")
+          written += f.toString
+          (pfs.create(f, false), 0L)
         }
-        streams.values.foreach(_.close())
+        it.foreach { row =>
+          val dir = row.getString(0)
+          val bytes = row.getString(1).getBytes("UTF-8")
+          var (out, n) = streams.getOrElseUpdate(dir, open(dir))
+          if (n > 0 && n + bytes.length + 1 > tgt) { // roll at the target
+            out.close()
+            val fresh = open(dir)
+            out = fresh._1; n = fresh._2
+          }
+          out.write(bytes)
+          out.write('\n')
+          streams.update(dir, (out, n + bytes.length + 1))
+        }
+        streams.values.foreach(_._1.close())
         written.iterator
       }
       .collect().toSeq

@@ -197,6 +197,36 @@ class WeatherLakeV2SinkSpec extends SparkSpec {
     assert(WeatherLakeV2Sink.readCommitted(spark, lake).count() == 8)
   }
 
+  test("compaction rolls output at targetBytes and converges instead of churning") {
+    import graft.sources.WeatherLakeV2Sink
+    val s = spark
+    import s.implicits._
+    val lake = Files.createTempDirectory("lakev2roll").toString
+    // 12 one-row jobs into ONE partition dir → 12 tiny files (~10 B each)
+    def sink(i: Int): Unit =
+      Seq(("london", "2025-10-31", "03", s"""{"n":$i}"""))
+        .toDF("city", "ds", "hour", "raw_json")
+        .write.format("graft.sources.WeatherLakeV2Sink")
+        .mode("append").save(lake)
+    (0 until 12).foreach(sink)
+    val rowsBefore = WeatherLakeV2Sink.readCommitted(spark, lake)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(rowsBefore.size == 12)
+    // rows are ~8 bytes + newline; a 40-byte target forces rolling
+    val target = 40L
+    assert(WeatherLakeV2Sink.compact(spark, lake, targetBytes = target) == 1)
+    val after = WeatherLakeV2Sink.committedFiles(lake)
+    assert(after.size > 1, "a hot directory must compact to BOUNDED files, not one")
+    assert(after.forall(f => new File(f).length() <= target + 16),
+      "every rolled file must respect the target (+ one row of slack)")
+    assert(WeatherLakeV2Sink.readCommitted(spark, lake)
+      .collect().map(_.getString(0)).sorted.toSeq == rowsBefore)
+    // convergence: the dir is multi-file but HEALTHY now (mean size >=
+    // target/2) — a second maintenance run must be a no-op
+    assert(WeatherLakeV2Sink.compact(spark, lake, targetBytes = target) == 0,
+      "compaction must not churn an already-healthy directory")
+  }
+
   test("snapshot-pinned reads: repeatable across appends AND compaction; " +
     "vacuum is the documented horizon") {
     import graft.sources.WeatherLakeV2Sink
