@@ -320,6 +320,42 @@ object WeatherLakeV2Sink {
     (df, fresh)
   }
 
+  /** [[readNewCommits]] with manifest-level partition pruning — the
+    * incremental consumer that only cares about some partitions (one
+    * city's pipeline, a single day's repair) still CONSUMES whole
+    * manifests (the returned names advance the cursor exactly as the
+    * unpruned form, so progress semantics are untouched) but only OPENS
+    * the matching files. Pruning composes with incrementality because
+    * both operate on the manifest list: the predicate filters WHICH of a
+    * new manifest's files are read, never which manifests count as
+    * consumed. Files without `k=v` segments always survive, as in
+    * [[committedFilesPruned]].
+    */
+  def readNewCommitsPruned(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, cursorPath: String)(
+      pred: Map[String, String] => Boolean):
+      (org.apache.spark.sql.DataFrame, Seq[String]) = {
+    val (_, fresh) = {
+      // reuse the manifest-selection logic; the unpruned frame is lazy and
+      // never executed, so no data IO happens for it
+      readNewCommits(spark, basePath, cursorPath)
+    }
+    val fs = new Path(basePath).getFileSystem(new Configuration())
+    val files = fresh
+      .flatMap(n => readLines(fs, new Path(new Path(basePath, ManifestDir), n)))
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .filter { f =>
+        val pv = partitionValues(f)
+        pv.isEmpty || pred(pv)
+      }
+    val df =
+      if (files.isEmpty) {
+        import spark.implicits._
+        spark.emptyDataset[String].toDF("value")
+      } else spark.read.text(files: _*)
+    (df, fresh)
+  }
+
   /** Durably mark manifests consumed: rewrite the cursor with the union of
     * old and new names via tmp-then-rename, so a torn write can't corrupt
     * it (a lost rename surfaces as an exception, and an unadvanced cursor

@@ -197,6 +197,34 @@ class WeatherLakeV2SinkSpec extends SparkSpec {
     assert(WeatherLakeV2Sink.readCommitted(spark, lake).count() == 8)
   }
 
+  test("pruned incremental read opens only matching files yet consumes " +
+      "whole manifests") {
+    import graft.sources.WeatherLakeV2Sink
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("lakev2curprune").toString
+    val lake = s"$base/lake"; val cursor = s"$base/cursor.txt"
+    def sink(rows: (String, String, String, String)*): Unit =
+      rows.toSeq.toDF("city", "ds", "hour", "raw_json")
+        .write.format("graft.sources.WeatherLakeV2Sink")
+        .mode("append").save(lake)
+    sink(("london", "2025-10-31", "03", """{"n":1}"""),
+      ("paris", "2025-10-31", "03", """{"n":2}"""))
+    sink(("london", "2025-10-31", "04", """{"n":3}"""))
+    val (df, fresh) = WeatherLakeV2Sink.readNewCommitsPruned(
+      spark, lake, cursor)(pv => pv.get("city").contains("london"))
+    // only london rows are read... but BOTH manifests count as consumed
+    assert(df.collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("""{"n":1}""", """{"n":3}"""))
+    assert(fresh.length == 2)
+    WeatherLakeV2Sink.advanceCursor(cursor, fresh)
+    // nothing new for ANY predicate afterwards — consumption is
+    // manifest-granular, pruning never affects progress
+    val (df2, fresh2) = WeatherLakeV2Sink.readNewCommitsPruned(
+      spark, lake, cursor)(_ => true)
+    assert(df2.count() == 0 && fresh2.isEmpty)
+  }
+
   test("compaction rolls output at targetBytes and converges instead of churning") {
     import graft.sources.WeatherLakeV2Sink
     val s = spark
