@@ -1699,6 +1699,43 @@ object SparkEntry {
           .drop("meets")
       }),
 
+    QueryDef("s15_ivf_append",
+      "IVF index MAINTENANCE: new vectors (vec_id >= 400 standing in for " +
+        "the day's arrivals) join an EXISTING index by argmax-cosine " +
+        "assignment against the frozen centroid set — one broadcast of " +
+        "nCells rows, a per-arrival bounded window, ZERO corpus re-scan " +
+        "and zero retraining. This is the append path every production " +
+        "ANN index lives by (FAISS add / pgvector insert): at 100 TB the " +
+        "day's arrivals are a sliver of the corpus, and re-clustering " +
+        "for them would re-read everything; drift is handled by the " +
+        "calibration loop instead (s08 recall witness + s14 re-tune, " +
+        "retrain only when recall sags). Centroids are the seeded set " +
+        "of the INITIAL corpus (ids < 8, unchanged by the append, so " +
+        "both engines rebuild them from the table alone).",
+      Some("""WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |cent AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8),
+        |arrivals AS (SELECT vec_id, v FROM e WHERE vec_id >= 400),
+        |aprod AS (SELECT vec_id, cell, unnest(v) AS x, unnest(cv) AS y
+        |          FROM arrivals CROSS JOIN cent),
+        |adots AS (SELECT vec_id, cell, SUM(x*y) AS dot,
+        |          SUM(x*x) AS n2, SUM(y*y) AS c2
+        |          FROM aprod GROUP BY vec_id, cell),
+        |acos AS (SELECT vec_id, cell,
+        |         ROUND(dot/(SQRT(n2)*SQRT(c2)), 6) AS a_cos FROM adots)
+        |SELECT vec_id, cell FROM (
+        |  SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |    ORDER BY a_cos DESC, cell) AS rn FROM acos)
+        |WHERE rn = 1""".stripMargin),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val initial = emb.filter(col("vec_id") < 400)
+        val arrivals = emb.filter(col("vec_id") >= 400)
+        graft.similarity.IvfIndex.assignByCosine(arrivals,
+            graft.similarity.IvfIndex.seededCentroids(initial, 8))
+          .select(col("nid").as("vec_id"), col("cell"))
+      }),
+
     QueryDef("p01_curation_pipeline",
       "The COMPOSED curation pipeline end-to-end (TrainingDataPipeline): " +
         "quality filter (t05's thresholds) → exact dedup (d01's md5 " +
