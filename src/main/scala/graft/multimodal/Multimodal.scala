@@ -160,4 +160,119 @@ object Multimodal {
         col("text").cast("binary").as("bytes"))
       .as[MediaRow]
   }
+
+  // -----------------------------------------------------------------
+  // size-bounded binary shard export (WebDataset/TFRecord shape)
+  // -----------------------------------------------------------------
+
+  /** One written shard: its path and what it holds. */
+  final case class ShardInfo(path: String, records: Long, bytes: Long)
+
+  /** A record read back from a shard. */
+  final case class ShardRecord(media_id: Long, bytes: Array[Byte])
+
+  /** Per-record framing: 8-byte little-endian media_id + 4-byte
+    * little-endian payload length + payload. Self-describing enough to
+    * stream-parse, simple enough that ANY trainer-side loader (Python,
+    * C++) reads it with two struct unpacks — the same posture as
+    * WebDataset's tar framing and TFRecord's length-prefixed blocks
+    * (public formats; this one is deliberately minimal).
+    */
+  private val RecordHeaderBytes = 12
+
+  /** Pack media payloads into size-bounded binary shards — how training
+    * data actually reaches a dataloader: not a parquet of blobs but
+    * sequential shard files a reader streams without touching a query
+    * engine. Fully distributed (each task rolls its own shards at
+    * `shardBytes`, no coordination, no shuffle); a record larger than the
+    * target gets its own shard rather than being refused. Returns the
+    * shard manifest — O(shards) driver-side metadata, like the lake
+    * compaction's path list, NOT data-scaled.
+    *
+    * Record order within a shard is the task's iteration order; pair with
+    * `Relational.epochShuffle`/`curriculumOrder` upstream when the
+    * training order matters (the shard boundary never splits a record).
+    */
+  def writeShards(media: Dataset[MediaRow], outDir: String,
+      shardBytes: Long = 256L * 1024 * 1024): Seq[ShardInfo] = {
+    require(shardBytes > RecordHeaderBytes,
+      s"shardBytes must exceed the $RecordHeaderBytes-byte record header")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val fs = new org.apache.hadoop.fs.Path(outDir)
+        .getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val taskId = org.apache.spark.TaskContext.get() match {
+        case null => "local"
+        case tc => s"${tc.partitionId()}-${tc.taskAttemptId()}"
+      }
+      val written = scala.collection.mutable.ArrayBuffer.empty[ShardInfo]
+      var out: org.apache.hadoop.fs.FSDataOutputStream = null
+      var path: String = null
+      var bytes = 0L
+      var records = 0L
+      var seq = 0
+      def close(): Unit = if (out != null) {
+        out.close()
+        written += ShardInfo(path, records, bytes)
+        out = null; bytes = 0L; records = 0L
+      }
+      def open(): Unit = {
+        val p = new org.apache.hadoop.fs.Path(outDir,
+          f"shard-$taskId-$seq%05d.bin")
+        seq += 1
+        path = p.toString
+        out = fs.create(p, false)
+      }
+      it.foreach { row =>
+        val payload = row.bytes
+        val recLen = RecordHeaderBytes.toLong + payload.length
+        // roll BEFORE the record that would overflow; an oversized record
+        // (> shardBytes on its own) still lands, alone in its shard
+        if (out != null && bytes + recLen > shardBytes) close()
+        if (out == null) open()
+        val header = java.nio.ByteBuffer.allocate(RecordHeaderBytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        header.putLong(row.media_id)
+        header.putInt(payload.length)
+        out.write(header.array())
+        out.write(payload)
+        bytes += recLen
+        records += 1
+      }
+      close()
+      written.iterator
+    }.collect().toSeq
+  }
+
+  /** Read shards back as (media_id, payload) rows — the audit/repair path
+    * (the hot consumer is the trainer's own loader). One task per shard
+    * file via `binaryFile`; parse fails LOUDLY on a truncated or
+    * misframed shard rather than returning a silent prefix.
+    */
+  def readShards(spark: SparkSession, dir: String): Dataset[ShardRecord] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(s"$dir/shard-*.bin")
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, content) =>
+        val buf = java.nio.ByteBuffer.wrap(content)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val outRows = scala.collection.mutable.ArrayBuffer.empty[ShardRecord]
+        while (buf.remaining() > 0) {
+          if (buf.remaining() < RecordHeaderBytes)
+            throw new IllegalStateException(
+              s"truncated shard $path: ${buf.remaining()} trailing bytes")
+          val id = buf.getLong()
+          val len = buf.getInt()
+          if (len < 0 || len > buf.remaining())
+            throw new IllegalStateException(
+              s"misframed shard $path: record length $len with " +
+                s"${buf.remaining()} bytes left")
+          val payload = new Array[Byte](len)
+          buf.get(payload)
+          outRows += ShardRecord(id, payload)
+        }
+        outRows
+      }
+  }
 }

@@ -87,4 +87,58 @@ class MultimodalSpec extends SparkSpec {
     assert(graft.functions.LeUInt.compute(riff, 4, 2) == 0x80E8L)
     assert(graft.functions.LeUInt.compute(riff, -2, 4) == ('R'.toLong << 16) + ('I'.toLong << 24))
   }
+
+  test("shard export: rolls at shardBytes, roundtrips exactly, accounts " +
+      "every record in the manifest") {
+    import graft.multimodal.Multimodal
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    val media = (0L until 100L)
+      .map(i => Multimodal.MediaRow(i, "image",
+        Array.fill((i % 7 + 1).toInt * 10)(i.toByte)))
+    val ds = media.toDS().repartition(4)
+    val target = 256L
+    val manifest = Multimodal.writeShards(ds, dir, shardBytes = target)
+    assert(manifest.map(_.records).sum == 100L)
+    assert(manifest.size > 4, "a 256-byte target over ~5 KB must roll")
+    manifest.foreach { sh =>
+      assert(new java.io.File(sh.path).length() == sh.bytes,
+        "manifest byte count must match the file")
+      assert(sh.bytes <= target || sh.records == 1,
+        s"over-target shard ${sh.path} must hold exactly one oversized record")
+    }
+    val back = Multimodal.readShards(spark, dir).collect()
+      .map(r => r.media_id -> r.bytes.toSeq).toMap
+    assert(back == media.map(m => m.media_id -> m.bytes.toSeq).toMap,
+      "roundtrip must reproduce every payload byte-exactly")
+  }
+
+  test("shard export: an oversized record lands alone; a truncated shard " +
+      "fails loudly") {
+    import graft.multimodal.Multimodal
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("shards_big").toString
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", Array.fill(500)(1.toByte)), // > target
+      Multimodal.MediaRow(2L, "image", Array.fill(10)(2.toByte)))
+    val manifest = Multimodal.writeShards(rows.toDS().coalesce(1), dir,
+      shardBytes = 64L)
+    assert(manifest.exists(sh => sh.records == 1 && sh.bytes > 64L),
+      "the oversized record must still be written, alone in its shard")
+    assert(Multimodal.readShards(spark, dir).count() == 2)
+    // corrupt tail → the reader throws, never returns a silent prefix
+    val bad = new java.io.FileOutputStream(s"$dir/shard-bad-00000.bin")
+    bad.write(Array[Byte](1, 2, 3)); bad.close()
+    val e = intercept[Exception] {
+      Multimodal.readShards(spark, dir).count()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(_.getMessage != null) &&
+      chain(e).exists(t => t.getMessage != null &&
+        t.getMessage.contains("truncated shard")),
+      s"expected a loud truncated-shard failure, got $e")
+  }
 }
