@@ -189,9 +189,10 @@ object Multimodal {
     * shard manifest — O(shards) driver-side metadata, like the lake
     * compaction's path list, NOT data-scaled.
     *
-    * Record order within a shard is the task's iteration order; pair with
-    * `Relational.epochShuffle`/`curriculumOrder` upstream when the
-    * training order matters (the shard boundary never splits a record).
+    * Record order within a shard is the task's iteration order; order the
+    * input upstream (`Relational.epochShuffle`, or t20's curriculum
+    * phase-major ordering) when the training order matters — the shard
+    * boundary never splits a record.
     */
   def writeShards(media: Dataset[MediaRow], outDir: String,
       shardBytes: Long = 256L * 1024 * 1024): Seq[ShardInfo] = {
