@@ -4947,6 +4947,44 @@ object SparkEntry {
             col("state_r").as("state_at_purchase"))
       }),
 
+    QueryDef("q88_orc_roundtrip",
+      "Source/sink format breadth: lineitem columns roundtrip through " +
+        "ORC (Spark's second built-in columnar format) and aggregate to " +
+        "the SAME hashes as the parquet truth — doubles, strings, and " +
+        "timestamps all survive write->read bit-exactly, which is the " +
+        "property a mixed-format lake actually depends on (a table " +
+        "migrated between formats must not drift). The ORC copy is " +
+        "content-addressed per corpus dir so Verify runs at different " +
+        "SFs never clobber each other; timestamps are normalized to " +
+        "session-TZ TimestampType before the write (ORC has no NTZ " +
+        "lineage to parquet's). The oracle never reads ORC — it reads " +
+        "the original parquet, which is the point: if the roundtrip " +
+        "drifted anything, the hash compare would catch it.",
+      Some("""SELECT l_returnflag,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(MIN(epoch_us(l_shipdate)) AS BIGINT) AS min_ship_us,
+        |  CAST(MAX(epoch_us(l_shipdate)) AS BIGINT) AS max_ship_us
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_returnflag"), col("l_quantity"),
+            col("l_extendedprice"),
+            col("l_shipdate").cast("timestamp").as("l_shipdate"))
+        val sig = java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+        val path = s"/tmp/graft_orc_rt/sig=$sig"
+        li.write.mode("overwrite").orc(path)
+        s.read.orc(path)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("l_quantity").cast(D2)).cast("double").as("sum_qty"),
+            sum(col("l_extendedprice").cast(D2)).cast("double").as("sum_price"),
+            min(unix_micros(col("l_shipdate"))).as("min_ship_us"),
+            max(unix_micros(col("l_shipdate"))).as("max_ship_us"))
+      }),
+
     QueryDef("s13_random_projection",
       "Johnson-Lindenstrauss ±1 random projection (Achlioptas 2003) of " +
         "the 64-dim embeddings to 16 dims — the standard pre-reduction " +
