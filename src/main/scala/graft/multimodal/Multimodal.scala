@@ -208,21 +208,30 @@ object Multimodal {
       }
       val written = scala.collection.mutable.ArrayBuffer.empty[ShardInfo]
       var out: org.apache.hadoop.fs.FSDataOutputStream = null
+      var inProgress: org.apache.hadoop.fs.Path = null
       var path: String = null
       var bytes = 0L
       var records = 0L
       var seq = 0
+      // task-attempt commit protocol: write under a dot-prefixed
+      // in-progress name and rename on completion — a task that dies
+      // mid-shard leaves only a hidden `.inprogress` file the
+      // `shard-*.bin` readers never glob, so a retried attempt cannot
+      // surface a truncated or duplicate shard
       def close(): Unit = if (out != null) {
         out.close()
+        val dest = new org.apache.hadoop.fs.Path(path)
+        if (!fs.rename(inProgress, dest))
+          throw new java.io.IOException(s"failed to publish shard $dest")
         written += ShardInfo(path, records, bytes)
-        out = null; bytes = 0L; records = 0L
+        out = null; inProgress = null; bytes = 0L; records = 0L
       }
       def open(): Unit = {
-        val p = new org.apache.hadoop.fs.Path(outDir,
-          f"shard-$taskId-$seq%05d.bin")
+        val name = f"shard-$taskId-$seq%05d.bin"
         seq += 1
-        path = p.toString
-        out = fs.create(p, false)
+        path = new org.apache.hadoop.fs.Path(outDir, name).toString
+        inProgress = new org.apache.hadoop.fs.Path(outDir, s".inprogress-$name")
+        out = fs.create(inProgress, false)
       }
       it.foreach { row =>
         val payload = row.bytes
@@ -249,10 +258,31 @@ object Multimodal {
     * (the hot consumer is the trainer's own loader). One task per shard
     * file via `binaryFile`; parse fails LOUDLY on a truncated or
     * misframed shard rather than returning a silent prefix.
+    *
+    * The glob form reads every published shard in the directory; task
+    * retries never pollute it (dead attempts leave only `.inprogress`
+    * files the glob skips), but a speculative attempt that completed
+    * AFTER the winner could in principle publish extra shards — when the
+    * manifest returned by [[writeShards]] is at hand, prefer
+    * [[readShardManifest]], which reads exactly the committed set.
     */
-  def readShards(spark: SparkSession, dir: String): Dataset[ShardRecord] = {
+  def readShards(spark: SparkSession, dir: String): Dataset[ShardRecord] =
+    parseShards(spark,
+      spark.read.format("binaryFile").load(s"$dir/shard-*.bin"))
+
+  /** [[readShards]] over exactly the shards a [[writeShards]] call
+    * committed — immune to stray files from other runs over the same
+    * directory.
+    */
+  def readShardManifest(spark: SparkSession,
+      manifest: Seq[ShardInfo]): Dataset[ShardRecord] =
+    parseShards(spark,
+      spark.read.format("binaryFile").load(manifest.map(_.path): _*))
+
+  private def parseShards(spark: SparkSession,
+      files: DataFrame): Dataset[ShardRecord] = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(s"$dir/shard-*.bin")
+    files
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, content) =>

@@ -1,10 +1,10 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
-import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo, Expression, ExpressionInfo, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual, PredicateHelper, UnixMicros}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, EqualTo, Expression, ExpressionInfo, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual, Literal, PredicateHelper, UnixMicros}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project, SubqueryAlias, UnaryNode}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DataType, StructType}
 
@@ -47,8 +47,8 @@ class AsOfSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   private def planOf(sqlText: String, parse: String => LogicalPlan): LogicalPlan =
     AsOfSqlParser.rewrite(sqlText) match {
-      case Some((rewritten, leftOuter)) =>
-        AsOfSqlRewrite(leftOuter, parse(rewritten))
+      case Some((rewritten, leftOuter, rhsHint)) =>
+        AsOfSqlRewrite(leftOuter, rhsHint, parse(rewritten))
       case None => parse(sqlText)
     }
 
@@ -81,20 +81,45 @@ object AsOfSqlParser {
     java.util.regex.Pattern.compile("(?i)\\bASOF\\s+(LEFT\\s+(OUTER\\s+)?)?JOIN\\b")
 
   /** Rewrite the single `ASOF [LEFT] JOIN` to the plain join the delegate
-    * grammar accepts; None when the text has no ASOF JOIN at all.
+    * grammar accepts; None when the text has no ASOF JOIN at all. Also
+    * captures the right-hand relation/alias identifiers following the
+    * keyword (lower-cased) — the POSITIONAL link the resolution rule uses
+    * to make sure it converts the join the analyst wrote `ASOF` on, not
+    * some other join in the statement whose ON clause merely happens to
+    * have the as-of shape. Empty when the right side is a
+    * parenthesized subquery (no single identifier to anchor on).
     */
-  private[plans] def rewrite(sqlText: String): Option[(String, Boolean)] = {
+  private[plans] def rewrite(sqlText: String): Option[(String, Boolean, Set[String])] = {
     val m = AsOfPattern.matcher(sqlText)
     if (!m.find()) None
     else {
       val leftOuter = m.group(1) != null
+      val hint = rhsHint(sqlText, m.end())
       val sb = new StringBuffer
       m.appendReplacement(sb, if (leftOuter) "LEFT JOIN" else "INNER JOIN")
       if (m.find()) throw new IllegalArgumentException(
         "ASOF JOIN: one per statement is supported by the SQL surface — " +
           "compose additional as-of joins through AsOfJoinPlan.asofJoin")
       m.appendTail(sb)
-      Some((sb.toString, leftOuter))
+      Some((sb.toString, leftOuter, hint))
+    }
+  }
+
+  private val RhsPattern = java.util.regex.Pattern.compile(
+    "^\\s*([A-Za-z_][\\w.]*)(?:\\s+(?:(?i:AS)\\s+)?([A-Za-z_]\\w*))?")
+
+  /** The relation-name last part and optional alias directly after the
+    * ASOF JOIN keyword — either will surface as a `SubqueryAlias` over
+    * the join's right child once resolved.
+    */
+  private def rhsHint(sqlText: String, from: Int): Set[String] = {
+    val m = RhsPattern.matcher(sqlText.substring(from))
+    if (!m.find() || m.group(1) == null) Set.empty
+    else {
+      val rel = m.group(1).split('.').last.toLowerCase
+      val alias = Option(m.group(2)).map(_.toLowerCase)
+        .filterNot(Set("on", "using", "lateral"))
+      Set(rel) ++ alias
     }
   }
 
@@ -119,8 +144,8 @@ object AsOfSqlParser {
   * [[AsOfSqlResolution]] removes it on the analyzer pass that sees the
   * child resolved, so no optimizer or planner rule ever meets one.
   */
-case class AsOfSqlRewrite(leftOuter: Boolean, child: LogicalPlan)
-    extends UnaryNode {
+case class AsOfSqlRewrite(leftOuter: Boolean, rhsHint: Set[String],
+    child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): AsOfSqlRewrite =
     copy(child = newChild)
@@ -144,8 +169,8 @@ object AsOfSqlResolution extends Rule[LogicalPlan] with PredicateHelper {
     // carry the marker
     if (!plan.exists(_.isInstanceOf[AsOfSqlRewrite])) plan
     else plan.transformUp {
-      case AsOfSqlRewrite(leftOuter, child) if child.resolved =>
-        convert(leftOuter, child)
+      case AsOfSqlRewrite(leftOuter, rhsHint, child) if child.resolved =>
+        convert(leftOuter, rhsHint, child)
     }
   }
 
@@ -199,26 +224,60 @@ object AsOfSqlResolution extends Rule[LogicalPlan] with PredicateHelper {
     else None
   }
 
-  private def convert(leftOuter: Boolean, child: LogicalPlan): LogicalPlan = {
+  private def convert(leftOuter: Boolean, rhsHint: Set[String],
+      child: LogicalPlan): LogicalPlan = {
     val wantType = if (leftOuter) LeftOuter else Inner
-    val candidates = child.collect {
+    val shaped = child.collect {
       case j @ Join(l, r, t, Some(cond), _)
           if t == wantType && asOfShape(l, r, cond).isDefined => j
     }
+    // positional anchor: the parser captured the relation/alias written
+    // right after the ASOF keyword; the converted join's RIGHT subtree
+    // must carry that name. Without it, a statement whose real as-of ON
+    // clause fails shape detection while some OTHER join coincidentally
+    // has the shape (a range join: equality + one inequality) would get
+    // THAT join silently converted — the hint turns the mistake into the
+    // loud error below. An empty hint (subquery right side) keeps the
+    // shape-only behavior.
+    def aliases(p: LogicalPlan): Set[String] = p.collect {
+      case sa: SubqueryAlias => sa.alias.toLowerCase
+    }.toSet
+    val candidates =
+      if (rhsHint.isEmpty) shaped
+      else shaped.filter(j => aliases(j.right).intersect(rhsHint).nonEmpty)
     if (candidates.length != 1) throw new IllegalArgumentException(
       s"ASOF JOIN: expected exactly one ${if (leftOuter) "LEFT " else ""}join " +
         "with an as-of ON shape (>=1 equality plus exactly one inequality " +
-        s"between the two sides), found ${candidates.length}")
+        s"between the two sides)" +
+        (if (rhsHint.nonEmpty) s" whose right side is ${rhsHint.mkString("/")}"
+         else "") +
+        s", found ${candidates.length}")
     val target = candidates.head
     child.transformUp {
       case j: Join if j eq target =>
         val (eqs, (lo, ro), dir, strict) =
           asOfShape(j.left, j.right, j.condition.get).get
-        val asof = AsOfJoin(j.left, j.right,
-          eqs.map(_._1), eqs.map(_._2), Seq(lo), Seq(ro),
-          strict, tolerance = None, direction = dir,
-          broadcast = AsOfBroadcast.Auto)
-        if (leftOuter) asof else Filter(IsNotNull(ro), asof)
+        if (leftOuter) {
+          AsOfJoin(j.left, j.right,
+            eqs.map(_._1), eqs.map(_._2), Seq(lo), Seq(ro),
+            strict, tolerance = None, direction = dir,
+            broadcast = AsOfBroadcast.Auto)
+        } else {
+          // inner semantics: drop unmatched lefts. The matched-ness
+          // witness is a literal TRUE projected onto the right child —
+          // null after the join iff the row is unmatched. Filtering on
+          // IsNotNull(right ordering EXPRESSION) instead would misfire
+          // when ro is non-null-propagating (coalesce(q.ts, 0) evaluates
+          // non-null over an all-null right row).
+          val marker = Alias(Literal(true), "__asof_matched")()
+          val r2 = Project(j.right.output :+ marker, j.right)
+          val asof = AsOfJoin(j.left, r2,
+            eqs.map(_._1), eqs.map(_._2), Seq(lo), Seq(ro),
+            strict, tolerance = None, direction = dir,
+            broadcast = AsOfBroadcast.Auto)
+          Project(asof.output.filterNot(_.exprId == marker.exprId),
+            Filter(IsNotNull(marker.toAttribute), asof))
+        }
     }
   }
 }

@@ -108,7 +108,13 @@ object WeatherLakeV2Sink {
     val fs = new Path(basePath).getFileSystem(new Configuration())
     val mdir = new Path(basePath, ManifestDir)
     fs.mkdirs(mdir)
-    val tmp = new Path(mdir, s".manifest-$jobId.tmp")
+    // tmp name is per-ATTEMPT unique: with a deterministic jobId
+    // (exactly-once streaming) two racing attempts must not share a tmp
+    // path, or one attempt's create(overwrite) truncates the other's
+    // half-written file and the rename publishes partial content — only
+    // the DESTINATION name carries the deterministic identity
+    val tmp = new Path(mdir,
+      s".manifest-$jobId.${UUID.randomUUID().toString}.tmp")
     val out = fs.create(tmp, true)
     try files.foreach(f => out.write((f + "\n").getBytes("UTF-8")))
     finally out.close()
@@ -174,14 +180,23 @@ object WeatherLakeV2Sink {
   /** The `k=v` partition values encoded in a committed file's directory
     * path (`city=london/ds=2024-01-01/hour=03/part-….json` →
     * city/ds/hour), the same values the writer routed the row by.
+    * Only segments BELOW `basePath` count: a lake rooted under a path
+    * that itself contains `=` (env=prod/lake, a sig=<hash> fixture dir)
+    * must not leak phantom partition values into every file's map — that
+    * would defeat the "files without partition segments always survive
+    * pruning" guarantee.
     */
-  def partitionValues(file: String): Map[String, String] =
-    new Path(file).getParent.toString.split('/')
+  def partitionValues(basePath: String, file: String): Map[String, String] = {
+    val base = new Path(basePath).toUri.getPath.stripSuffix("/")
+    val dir = new Path(file).getParent.toUri.getPath
+    val rel = if (dir.startsWith(base)) dir.drop(base.length) else dir
+    rel.split('/')
       .filter(_.contains('='))
       .map { seg =>
         val i = seg.indexOf('=')
         seg.take(i) -> seg.drop(i + 1)
       }.toMap
+  }
 
   /** MANIFEST-LEVEL partition pruning — the lake-format data-skipping
     * move (Iceberg/Delta's core read-side win): the committed file list
@@ -197,7 +212,7 @@ object WeatherLakeV2Sink {
   def committedFilesPruned(basePath: String)(
       pred: Map[String, String] => Boolean): Seq[String] =
     committedFiles(basePath).filter { f =>
-      val pv = partitionValues(f)
+      val pv = partitionValues(basePath, f)
       pv.isEmpty || pred(pv)
     }
 
@@ -299,25 +314,36 @@ object WeatherLakeV2Sink {
     * O(new manifests) driver work — the data files themselves are read
     * distributed via `spark.read.text`.
     */
-  def readNewCommits(spark: org.apache.spark.sql.SparkSession,
-      basePath: String, cursorPath: String):
-      (org.apache.spark.sql.DataFrame, Seq[String]) = {
-    // live manifests only: a consumer that never saw the pre-compaction
-    // manifests reads each row exactly once from the compacted view; one
-    // that already consumed them sees the compaction manifest as a replay
-    // of rows it processed (at-least-once, idempotent for keyed upserts)
+  /** Manifests not yet recorded at the cursor, and their committed data
+    * files — the shared selection step of both incremental readers.
+    * Live manifests only: a consumer that never saw the pre-compaction
+    * manifests reads each row exactly once from the compacted view; one
+    * that already consumed them sees the compaction manifest as a replay
+    * of rows it processed (at-least-once, idempotent for keyed upserts).
+    */
+  private def freshCommits(basePath: String, cursorPath: String):
+      (Seq[String], Seq[String]) = {
     val fresh = liveManifests(basePath)
       .filterNot(consumedManifests(cursorPath))
     val fs = new Path(basePath).getFileSystem(new Configuration())
     val files = fresh
       .flatMap(n => readLines(fs, new Path(new Path(basePath, ManifestDir), n)))
       .filter(l => l.nonEmpty && !l.startsWith("#"))
-    val df =
-      if (files.isEmpty) {
-        import spark.implicits._
-        spark.emptyDataset[String].toDF("value")
-      } else spark.read.text(files: _*)
-    (df, fresh)
+    (fresh, files)
+  }
+
+  private def textFrame(spark: org.apache.spark.sql.SparkSession,
+      files: Seq[String]): org.apache.spark.sql.DataFrame =
+    if (files.isEmpty) {
+      import spark.implicits._
+      spark.emptyDataset[String].toDF("value")
+    } else spark.read.text(files: _*)
+
+  def readNewCommits(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, cursorPath: String):
+      (org.apache.spark.sql.DataFrame, Seq[String]) = {
+    val (fresh, files) = freshCommits(basePath, cursorPath)
+    (textFrame(spark, files), fresh)
   }
 
   /** [[readNewCommits]] with manifest-level partition pruning — the
@@ -335,25 +361,15 @@ object WeatherLakeV2Sink {
       basePath: String, cursorPath: String)(
       pred: Map[String, String] => Boolean):
       (org.apache.spark.sql.DataFrame, Seq[String]) = {
-    val (_, fresh) = {
-      // reuse the manifest-selection logic; the unpruned frame is lazy and
-      // never executed, so no data IO happens for it
-      readNewCommits(spark, basePath, cursorPath)
+    // shared manifest selection, ONE frame built — only the surviving
+    // files ever reach a FileIndex, so the pruned-out partitions cost
+    // zero object-store metadata calls (the point of pruning)
+    val (fresh, allFiles) = freshCommits(basePath, cursorPath)
+    val files = allFiles.filter { f =>
+      val pv = partitionValues(basePath, f)
+      pv.isEmpty || pred(pv)
     }
-    val fs = new Path(basePath).getFileSystem(new Configuration())
-    val files = fresh
-      .flatMap(n => readLines(fs, new Path(new Path(basePath, ManifestDir), n)))
-      .filter(l => l.nonEmpty && !l.startsWith("#"))
-      .filter { f =>
-        val pv = partitionValues(f)
-        pv.isEmpty || pred(pv)
-      }
-    val df =
-      if (files.isEmpty) {
-        import spark.implicits._
-        spark.emptyDataset[String].toDF("value")
-      } else spark.read.text(files: _*)
-    (df, fresh)
+    (textFrame(spark, files), fresh)
   }
 
   /** Durably mark manifests consumed: rewrite the cursor with the union of

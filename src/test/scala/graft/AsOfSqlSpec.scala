@@ -119,6 +119,42 @@ class AsOfSqlSpec extends SparkSpec {
     assert(e2.getMessage.contains("as-of ON shape"))
   }
 
+  test("the rhs anchor stops conversion of a DIFFERENT as-of-shaped join " +
+      "when the real ASOF ON fails shape detection") {
+    views()
+    val s = spark
+    import s.implicits._
+    Seq(("A", 1L), ("B", 2L)).toDF("sym", "v")
+      .createOrReplaceTempView("sql_dims")
+    // the ASOF join's ON has TWO inequalities (a window, not an as-of
+    // shape) while the plain dims join coincidentally HAS the as-of shape
+    // (equality + one inequality). Without the positional anchor the rule
+    // would silently convert the dims join; with it, the statement fails
+    // loudly naming the right side it could not anchor.
+    val e = intercept[IllegalArgumentException] {
+      spark.sql("""SELECT t.sym, t.t, q.px, d.v FROM sql_trades t
+        ASOF JOIN sql_quotes q
+          ON t.sym = q.sym AND t.t >= q.t AND t.t <= q.t + 100
+        JOIN sql_dims d ON t.sym = d.sym AND t.trade_id > d.v""").collect()
+    }
+    assert(e.getMessage.contains("as-of ON shape") &&
+      e.getMessage.contains("q"), e.getMessage)
+  }
+
+  test("inner ASOF drops unmatched lefts even when the right ordering " +
+      "expression is non-null-propagating") {
+    views()
+    // coalesce(q.t, 0) evaluates NON-null over the all-null right row an
+    // unmatched left carries — a filter on IsNotNull(ordering expression)
+    // would keep C; the matched-marker filter must drop it
+    val got = rows("""SELECT t.sym, t.t, q.px FROM sql_trades t
+      ASOF JOIN sql_quotes q
+        ON t.sym = q.sym AND t.t >= coalesce(q.t, 0)""")
+    assert(!got.exists(_._1 == "C"),
+      s"inner ASOF must drop the unmatched left under coalesce ordering: $got")
+    assert(got(("A", 20L, 101L)), s"matched rows must survive: $got")
+  }
+
   test("q83's exact query text runs on Spark and matches the native q76 shape") {
     // the SAME text the DuckDB oracle executes (single ordering column, so
     // restricted to ts-only ordering vs q76's (ts, event_id) tie-break —

@@ -112,6 +112,14 @@ class MultimodalSpec extends SparkSpec {
       .map(r => r.media_id -> r.bytes.toSeq).toMap
     assert(back == media.map(m => m.media_id -> m.bytes.toSeq).toMap,
       "roundtrip must reproduce every payload byte-exactly")
+    // the manifest-scoped reader sees exactly the same committed set
+    val viaManifest = Multimodal.readShardManifest(spark, manifest).collect()
+      .map(r => r.media_id -> r.bytes.toSeq).toMap
+    assert(viaManifest == back)
+    // no in-progress residue survives a successful write
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith(".inprogress-")),
+      "completed tasks must rename every in-progress shard away")
   }
 
   test("shard export: an oversized record lands alone; a truncated shard " +

@@ -373,14 +373,14 @@ class WeatherLakeV2SinkSpec extends SparkSpec {
       .write.format("graft.sources.WeatherLakeV2Sink")
       .mode("append").save(lake)
     val all = Sink.committedFiles(lake)
-    val cities = all.map(f => Sink.partitionValues(f)("city")).distinct
+    val cities = all.map(f => Sink.partitionValues(lake, f)("city")).distinct
     assert(cities.size > 1, "fixture must span multiple cities")
     val target = cities.min
     // the predicate prunes the LIST itself — strictly fewer files, all
     // of the target city, before a single byte of data is opened
     val pruned = Sink.committedFilesPruned(lake)(_.get("city").contains(target))
     assert(pruned.nonEmpty && pruned.size < all.size)
-    assert(pruned.forall(f => Sink.partitionValues(f)("city") == target))
+    assert(pruned.forall(f => Sink.partitionValues(lake, f)("city") == target))
     // same rows as reading the pruned file set directly
     val prunedRows = Sink.readCommittedPruned(spark, lake)(
         _.get("city").contains(target))
@@ -405,6 +405,41 @@ class WeatherLakeV2SinkSpec extends SparkSpec {
     val withBare = Sink.committedFilesPruned(lake)(_ => false)
     assert(withBare.exists(_.endsWith("stray.json")),
       "un-partitioned committed files must be kept under any predicate")
+  }
+
+  test("partition values are relative to the lake root: k=v in the base " +
+      "path is not a partition, and bare files survive every predicate") {
+    val Sink = graft.sources.WeatherLakeV2Sink
+    val base = Files.createTempDirectory("lakev2eqbase").toString
+    // a lake rooted under a directory that itself contains '='
+    val lake = s"$base/env=prod/lake"
+    rawFixture.limit(2).select(col("city"), col("ds"), col("hour"),
+        to_json(struct(col("latitude"))).as("raw_json"))
+      .write.format("graft.sources.WeatherLakeV2Sink")
+      .mode("append").save(lake)
+    val files = Sink.committedFiles(lake)
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val pv = Sink.partitionValues(lake, f)
+      assert(pv.keySet == Set("city", "ds", "hour"),
+        s"base-path segments must not leak into partition values: $pv")
+    }
+    // a predicate keyed on exact partition-key sets must not be poisoned
+    // by phantom env=prod entries
+    val pruned = Sink.committedFilesPruned(lake)(pv =>
+      pv.keySet == Set("city", "ds", "hour"))
+    assert(pruned.toSet == files.toSet)
+    // a bare file committed at the lake root has NO partition values and
+    // survives any predicate (never pruned on absent information)
+    val bare = new org.apache.hadoop.fs.Path(s"$lake/bare-file.json")
+    val fs = bare.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val out = fs.create(bare, false); out.write("{}\n".getBytes("UTF-8")); out.close()
+    java.nio.file.Files.write(
+      new File(s"$lake/${Sink.ManifestDir}/manifest-barejob.txt").toPath,
+      (bare.toString + "\n").getBytes("UTF-8"))
+    val prunedAll = Sink.committedFilesPruned(lake)(_ => false)
+    assert(prunedAll == Seq(bare.toString),
+      "the bare file must be the only survivor of an all-false predicate")
   }
 
   test("missing path option fails fast with the option named") {
