@@ -2110,6 +2110,22 @@ object SparkEntry {
         .select(col("source"), col("tick_idx"), col("doc_id"),
           col("weight"))),
 
+    QueryDef("t30_bpe_train",
+      "BPE merge TRAINING (Sennrich 2016) — t26 ENCODES with a given " +
+        "merge table; this LEARNS one from the corpus: 8 rounds of " +
+        "count-adjacent-pairs → argmax → fuse-everywhere over the word-" +
+        "FREQUENCY substrate (vocabulary-sized, orders smaller than the " +
+        "corpus — the one corpus pass is the initial word count). Each " +
+        "round is an explode + hash agg + a 1-row driver pick (the d20/" +
+        "s14 bounded-metadata discipline) + a boundary-guarded string " +
+        "replace, localCheckpointed so the plan stays flat across " +
+        "rounds. Oracle-exact because leftmost-non-overlapping replace " +
+        "agrees between engines and ties break on the pair string; the " +
+        "DuckDB oracle unrolls the same 8 rounds as generated CTEs.",
+      Some(bpeTrainOracle(8)),
+      (s, dir) => graft.text.Text.bpeTrain(
+        Tables.documents(s, dir), rounds = 8)),
+
     QueryDef("t10_vocabulary",
       "Vocabulary extraction: global token frequency table with rank — " +
         "explode → hash-aggregate (one shuffle, map-side combine), then " +
@@ -4975,7 +4991,8 @@ object SparkEntry {
         "timestamps all survive write->read bit-exactly, which is the " +
         "property a mixed-format lake actually depends on (a table " +
         "migrated between formats must not drift). The ORC copy is " +
-        "content-addressed per corpus dir so Verify runs at different " +
+        "materialized once per (session, corpus dir) under a " +
+        "dir-addressed path so Verify runs at different " +
         "SFs never clobber each other; timestamps are normalized to " +
         "session-TZ TimestampType before the write (ORC has no NTZ " +
         "lineage to parquet's). The oracle never reads ORC — it reads " +
@@ -5343,6 +5360,41 @@ object SparkEntry {
     * argmax assignment with lowest-cell ties, same nProbe cell ranking per
     * probe, same top-k.
     */
+  /** t30's oracle: the SAME `rounds` BPE iterations as Text.bpeTrain,
+    * unrolled into generated CTE triples (p_r pair counts, m_r argmax,
+    * w_r fused words). Both engines pick by (cnt DESC, pair ASC) and fuse
+    * via leftmost-non-overlapping boundary-guarded replace, so the
+    * learned table matches hash-exactly.
+    */
+  private def bpeTrainOracle(rounds: Int): String = {
+    val init =
+      """w0 AS MATERIALIZED (
+        |  SELECT array_to_string(list_transform(generate_series(1, length(w)),
+        |           i -> substr(w, i, 1)), ' ') AS sym,
+        |         CAST(COUNT(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |          x -> x <> '')) AS w FROM documents)
+        |  GROUP BY 1)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s"""p$r AS MATERIALIZED (SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+         |  SELECT freq, unnest(CASE WHEN len(l) < 2 THEN CAST([] AS VARCHAR[])
+         |    ELSE list_transform(generate_series(1, len(l)-1),
+         |           i -> l[i] || ' ' || l[i+1]) END) AS pair
+         |  FROM (SELECT freq, regexp_split_to_array(sym, ' ') AS l FROM w${r - 1}))
+         |  GROUP BY 1),
+         |m$r AS MATERIALIZED (SELECT CAST($r AS BIGINT) AS rank, pair,
+         |         replace(pair, ' ', '') AS merged, cnt
+         |       FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
+         |w$r AS MATERIALIZED (SELECT trim(replace(' ' || sym || ' ',
+         |         ' ' || (SELECT pair FROM m$r) || ' ',
+         |         ' ' || (SELECT merged FROM m$r) || ' ')) AS sym, freq
+         |       FROM w${r - 1})""".stripMargin
+    }
+    s"WITH $init,\n${steps.mkString(",\n")}\n" +
+      (1 to rounds).map(r => s"SELECT rank, pair, merged, cnt FROM m$r")
+        .mkString("\nUNION ALL\n")
+  }
+
   private def seededIvfOracle(nCells: Int, nProbe: Int, k: Int): String =
     ivfOracle(s"SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < $nCells",
       nProbe, k)

@@ -44,11 +44,10 @@ object GraftFunctions {
   private def reg(name: String, clazz: Class[_], arity: Int, usage: String)(
       build: Seq[Expression] => Expression): Registration = (
     FunctionIdentifier(name),
-    // 2-arg ExpressionInfo (same as the epoch_us registration): the wider
-    // constructors validate their group/source vocabularies, which buys
-    // nothing here — usage lives in the scaladoc and the `usage` param
-    // keeps the call sites self-describing
-    new ExpressionInfo(clazz.getCanonicalName, name),
+    // 5-arg ExpressionInfo: carries the usage string into
+    // `DESCRIBE FUNCTION` without the 11-arg form's group/source
+    // vocabulary validation (which buys nothing here)
+    new ExpressionInfo(clazz.getCanonicalName, null, name, usage, ""),
     (exprs: Seq[Expression]) => {
       if (exprs.length != arity) throw new IllegalArgumentException(
         s"$name expects $arity argument(s), got ${exprs.length}")

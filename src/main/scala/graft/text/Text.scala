@@ -732,4 +732,71 @@ object Text {
       .agg(round(sum(col("contrib")).cast("double"), 6).as("kl"))
       .select(col(srcCol), col("n_s").as("n_tokens"), col("kl"))
   }
+
+  /** TRAIN a BPE merge table from the corpus (Sennrich et al. 2016 —
+    * [[graft.functions.BpeEncode]] is the ENCODE side consuming such a
+    * table): `rounds` iterations of count-all-adjacent-pairs → pick the
+    * most frequent → fuse it everywhere. Returns one row per learned
+    * merge: (rank, pair "a b", merged "ab", cnt).
+    *
+    * Distribution shape, per round:
+    *  - the corpus collapses ONCE up front to the word-frequency table
+    *    (the standard BPE training substrate) — a vocabulary-sized frame,
+    *    orders of magnitude smaller than the corpus at any scale;
+    *  - pair counting is one explode + hash agg over that frame;
+    *  - the argmax is a 1-row driver pick, the same bounded-metadata
+    *    collect discipline as d20/s14's tuner picks (one scalar per
+    *    round, never data-scaled);
+    *  - the merge applies as a single boundary-guarded string replace
+    *    (' a b ' → ' ab ', leftmost non-overlapping in BOTH engines —
+    *    Java's String.replace and DuckDB's replace agree, which is what
+    *    makes the whole loop oracle-exact), followed by a localCheckpoint
+    *    so the per-round plan stays flat instead of growing by one
+    *    explode+join per iteration.
+    */
+  def bpeTrain(docs: DataFrame, rounds: Int,
+      textCol: String = "text"): DataFrame = {
+    require(rounds >= 1, "need at least one merge round")
+    val spark = docs.sparkSession
+    // word-frequency substrate; symbols = chars joined by spaces
+    var words = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(concat_ws(" ",
+        transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1)))).as("sym"),
+        col("freq"))
+      .localCheckpoint()
+    val learned = Seq.newBuilder[(Int, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val syms = split(col("sym"), " ")
+      val pairs = words
+        .select(col("freq"),
+          when(size(syms) < 2, array().cast("array<string>"))
+            .otherwise(transform(sequence(lit(1), size(syms) - 1),
+              i => concat_ws(" ", element_at(syms, i), element_at(syms, i + 1))))
+            .as("ps"))
+        .select(explode(col("ps")).as("pair"), col("freq"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+      val top = pairs.orderBy(col("cnt").desc, col("pair").asc).limit(1)
+        .collect()
+      if (top.nonEmpty) {
+        val pair = top(0).getString(0)
+        val cnt = top(0).getLong(1)
+        val merged = pair.replace(" ", "")
+        learned += ((r, pair, merged, cnt))
+        // boundary-guarded fuse; Column-typed literals, no SQL-string
+        // escaping of corpus-derived symbols
+        words = words
+          .withColumn("sym", trim(replace(
+            concat(lit(" "), col("sym"), lit(" ")),
+            lit(s" $pair "), lit(s" $merged "))))
+          .localCheckpoint()
+      }
+    }
+    import spark.implicits._
+    learned.result().toDF("rank", "pair", "merged", "cnt")
+      .select(col("rank").cast("long").as("rank"), col("pair"),
+        col("merged"), col("cnt"))
+  }
 }

@@ -63,6 +63,19 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(est == 15L, s"cms merge+estimate through SQL, got $est")
   }
 
+  test("the injected surface is discoverable: SHOW/DESCRIBE FUNCTION") {
+    val s2 = spark.newSession()
+    val shown = s2.sql("SHOW FUNCTIONS LIKE 'graft_*'")
+      .collect().map(_.getString(0)).toSet
+    val expected = graft.functions.GraftFunctions.all
+      .map(_._1.funcName).toSet
+    assert(expected.subsetOf(shown),
+      s"missing from SHOW FUNCTIONS: ${expected -- shown}")
+    val desc = s2.sql("DESCRIBE FUNCTION graft_minhash_sig")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(desc.contains("minhash"), desc)
+  }
+
   test("injected builders reject wrong arity with a clear message") {
     val s2 = spark.newSession()
     val e = intercept[Exception] {
