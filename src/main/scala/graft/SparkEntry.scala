@@ -2119,9 +2119,13 @@ object SparkEntry {
         "round is an explode + hash agg + a 1-row driver pick (the d20/" +
         "s14 bounded-metadata discipline) + a boundary-guarded string " +
         "replace, localCheckpointed so the plan stays flat across " +
-        "rounds. Oracle-exact because leftmost-non-overlapping replace " +
-        "agrees between engines and ties break on the pair string; the " +
-        "DuckDB oracle unrolls the same 8 rounds as generated CTEs.",
+        "rounds. The double-space symbol encoding makes the consuming " +
+        "replace CANONICAL (runs like 'aaaa' merge pairwise in one pass, " +
+        "matching the reference lookaround regex — Text.bpeTrain " +
+        "scaladoc). Oracle-exact because leftmost-non-overlapping " +
+        "replace agrees between engines and ties break on the pair " +
+        "string; the DuckDB oracle unrolls the same 8 rounds as " +
+        "generated CTEs.",
       Some(bpeTrainOracle(8)),
       (s, dir) => graft.text.Text.bpeTrain(
         Tables.documents(s, dir), rounds = 8)),
@@ -5367,10 +5371,13 @@ object SparkEntry {
     * learned table matches hash-exactly.
     */
   private def bpeTrainOracle(rounds: Int): String = {
+    // DOUBLE-space symbol joins, matching Text.bpeTrain's canonical-fuse
+    // invariant (each symbol owns its boundary spaces, so the consuming
+    // replace merges every disjoint occurrence of a run in one pass)
     val init =
       """w0 AS MATERIALIZED (
         |  SELECT array_to_string(list_transform(generate_series(1, length(w)),
-        |           i -> substr(w, i, 1)), ' ') AS sym,
+        |           i -> substr(w, i, 1)), '  ') AS sym,
         |         CAST(COUNT(*) AS BIGINT) AS freq
         |  FROM (SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
         |          x -> x <> '')) AS w FROM documents)
@@ -5380,13 +5387,13 @@ object SparkEntry {
          |  SELECT freq, unnest(CASE WHEN len(l) < 2 THEN CAST([] AS VARCHAR[])
          |    ELSE list_transform(generate_series(1, len(l)-1),
          |           i -> l[i] || ' ' || l[i+1]) END) AS pair
-         |  FROM (SELECT freq, regexp_split_to_array(sym, ' ') AS l FROM w${r - 1}))
+         |  FROM (SELECT freq, regexp_split_to_array(sym, '  ') AS l FROM w${r - 1}))
          |  GROUP BY 1),
          |m$r AS MATERIALIZED (SELECT CAST($r AS BIGINT) AS rank, pair,
          |         replace(pair, ' ', '') AS merged, cnt
          |       FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
          |w$r AS MATERIALIZED (SELECT trim(replace(' ' || sym || ' ',
-         |         ' ' || (SELECT pair FROM m$r) || ' ',
+         |         ' ' || (SELECT replace(pair, ' ', '  ') FROM m$r) || ' ',
          |         ' ' || (SELECT merged FROM m$r) || ' ')) AS sym, freq
          |       FROM w${r - 1})""".stripMargin
     }

@@ -180,6 +180,10 @@ object Multimodal {
     */
   private val RecordHeaderBytes = 12
 
+  /** A task-staged shard awaiting the driver's publish rename. */
+  private final case class StagedShard(
+      staged: String, path: String, records: Long, bytes: Long)
+
   /** Pack media payloads into size-bounded binary shards — how training
     * data actually reaches a dataloader: not a parquet of blobs but
     * sequential shard files a reader streams without touching a query
@@ -188,6 +192,16 @@ object Multimodal {
     * target gets its own shard rather than being refused. Returns the
     * shard manifest — O(shards) driver-side metadata, like the lake
     * compaction's path list, NOT data-scaled.
+    *
+    * Two-phase commit, because Spark tasks are at-least-once: every task
+    * STAGES its shards under hidden `.inprogress-` names (the `shard-*`
+    * glob never sees them), and only after the job succeeds does the
+    * DRIVER rename the winning attempts' files to their published names —
+    * the same stage-then-publish shape as a FileCommitProtocol. A task
+    * that dies after rolling N shards, or a speculative attempt that
+    * loses, leaves only hidden staged files; nothing partial or duplicate
+    * can ever reach [[readShards]]' glob. The rename pass is O(shards)
+    * driver metadata, matching the manifest collect.
     *
     * Record order within a shard is the task's iteration order; order the
     * input upstream (`Relational.epochShuffle`, or t20's curriculum
@@ -199,31 +213,23 @@ object Multimodal {
     require(shardBytes > RecordHeaderBytes,
       s"shardBytes must exceed the $RecordHeaderBytes-byte record header")
     import media.sparkSession.implicits._
-    media.mapPartitions { it =>
+    val staged = media.mapPartitions { it =>
       val fs = new org.apache.hadoop.fs.Path(outDir)
         .getFileSystem(new org.apache.hadoop.conf.Configuration())
       val taskId = org.apache.spark.TaskContext.get() match {
         case null => "local"
         case tc => s"${tc.partitionId()}-${tc.taskAttemptId()}"
       }
-      val written = scala.collection.mutable.ArrayBuffer.empty[ShardInfo]
+      val written = scala.collection.mutable.ArrayBuffer.empty[StagedShard]
       var out: org.apache.hadoop.fs.FSDataOutputStream = null
       var inProgress: org.apache.hadoop.fs.Path = null
       var path: String = null
       var bytes = 0L
       var records = 0L
       var seq = 0
-      // task-attempt commit protocol: write under a dot-prefixed
-      // in-progress name and rename on completion — a task that dies
-      // mid-shard leaves only a hidden `.inprogress` file the
-      // `shard-*.bin` readers never glob, so a retried attempt cannot
-      // surface a truncated or duplicate shard
       def close(): Unit = if (out != null) {
         out.close()
-        val dest = new org.apache.hadoop.fs.Path(path)
-        if (!fs.rename(inProgress, dest))
-          throw new java.io.IOException(s"failed to publish shard $dest")
-        written += ShardInfo(path, records, bytes)
+        written += StagedShard(inProgress.toString, path, records, bytes)
         out = null; inProgress = null; bytes = 0L; records = 0L
       }
       def open(): Unit = {
@@ -252,6 +258,16 @@ object Multimodal {
       close()
       written.iterator
     }.collect().toSeq
+    // publish phase: the job succeeded, so `staged` holds exactly the
+    // winning attempts' shards — rename them into glob visibility
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    staged.map { sh =>
+      val dest = new org.apache.hadoop.fs.Path(sh.path)
+      if (!fs.rename(new org.apache.hadoop.fs.Path(sh.staged), dest))
+        throw new java.io.IOException(s"failed to publish shard $dest")
+      ShardInfo(sh.path, sh.records, sh.bytes)
+    }
   }
 
   /** Read shards back as (media_id, payload) rows — the audit/repair path
@@ -259,12 +275,12 @@ object Multimodal {
     * file via `binaryFile`; parse fails LOUDLY on a truncated or
     * misframed shard rather than returning a silent prefix.
     *
-    * The glob form reads every published shard in the directory; task
-    * retries never pollute it (dead attempts leave only `.inprogress`
-    * files the glob skips), but a speculative attempt that completed
-    * AFTER the winner could in principle publish extra shards — when the
-    * manifest returned by [[writeShards]] is at hand, prefer
-    * [[readShardManifest]], which reads exactly the committed set.
+    * The glob form reads every published shard in the directory — safe
+    * against task retries AND speculation, because publication happens
+    * only in [[writeShards]]' driver-side rename pass over the winning
+    * attempts' staged files. [[readShardManifest]] additionally scopes
+    * the read to ONE write call's manifest when several runs share a
+    * directory.
     */
   def readShards(spark: SparkSession, dir: String): Dataset[ShardRecord] =
     parseShards(spark,

@@ -501,28 +501,35 @@ case class BroadcastAsOfJoinExec(
   */
 object BroadcastAsOfJoinExec {
   type Index = java.util.HashMap[UnsafeRow, Array[(UnsafeRow, InternalRow)]]
-  private val cache =
-    new java.util.WeakHashMap[AnyRef, java.util.HashMap[String, Index]]()
+  private val cache = new java.util.WeakHashMap[AnyRef,
+    java.util.concurrent.ConcurrentHashMap[String, Index]]()
 
   /** Observability hook (and the spec's witness that N partitions share
     * ONE build): counts index builds in this JVM.
     */
   val indexBuildCount = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Two-level locking so one join's index build never convoys another's:
+    * the global lock guards only the cheap weak-map lookup, while the
+    * build itself runs under `computeIfAbsent`'s per-key bin lock —
+    * concurrent queries over DIFFERENT broadcasts (or different operators
+    * on one broadcast) build in parallel, and tasks needing the SAME
+    * index still see exactly one build.
+    */
   private[plans] def indexFor(broadcastValue: AnyRef, operatorKey: String)(
-      build: => Index): Index = cache.synchronized {
-    var perOp = cache.get(broadcastValue)
-    if (perOp == null) {
-      perOp = new java.util.HashMap[String, Index]()
-      cache.put(broadcastValue, perOp)
+      build: => Index): Index = {
+    val perOp = cache.synchronized {
+      var m = cache.get(broadcastValue)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, Index]()
+        cache.put(broadcastValue, m)
+      }
+      m
     }
-    var idx = perOp.get(operatorKey)
-    if (idx == null) {
-      idx = build
+    perOp.computeIfAbsent(operatorKey, _ => {
       indexBuildCount.incrementAndGet()
-      perOp.put(operatorKey, idx)
-    }
-    idx
+      build
+    })
   }
 }
 
@@ -761,18 +768,23 @@ object AsOfJoinPlan {
         case _ => col(name).cast("long")
       }
     }
-    // floor division in exact integer arithmetic (pmod is non-negative,
-    // so this floors toward -inf for negative timestamps too)
-    def sliceOf(ts: Column): Column =
-      ((ts - pmod(ts, lit(sliceUs))) / lit(sliceUs)).cast("long")
+    // the slice KEY is the slice's start instant (ts - ts mod width) —
+    // exact LONG arithmetic end to end, no division at all. A quotient
+    // formulation with `/` would round heads above 2^53 (nanosecond
+    // epochs: Spark's `/` on longs is double division) and perturb slice
+    // boundaries, silently dropping boundary-adjacent candidates vs the
+    // plain tolerance as-of. pmod is non-negative, so the start floors
+    // toward -inf for negative timestamps too; adjacency shifts move by
+    // whole widths.
+    def sliceOf(ts: Column): Column = ts - pmod(ts, lit(sliceUs))
     val lSliced = left.withColumn(slice, sliceOf(headLong(left, order.head._1)))
     // replicate via ONE scan + explode of the shift offsets (a union of
     // per-shift branches would re-scan the right side once per copy)
-    val shifts = direction match {
+    val shifts = (direction match {
       case AsOfDirection.Backward => Seq(0L, 1L) // visible to the NEXT slice's lefts
       case AsOfDirection.Forward => Seq(0L, -1L)
       case AsOfDirection.Nearest => Seq(-1L, 0L, 1L)
-    }
+    }).map(_ * sliceUs)
     val rSliced = right
       .withColumn("__asof_shift", explode(array(shifts.map(lit): _*)))
       .withColumn(slice,

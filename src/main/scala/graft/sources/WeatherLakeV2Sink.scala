@@ -169,13 +169,8 @@ object WeatherLakeV2Sink {
     * caller's schema (Weather.RawWeatherSchema for the weather lake).
     */
   def readCommitted(spark: org.apache.spark.sql.SparkSession,
-      basePath: String): org.apache.spark.sql.DataFrame = {
-    val files = committedFiles(basePath)
-    if (files.isEmpty) {
-      import spark.implicits._
-      spark.emptyDataset[String].toDF("value")
-    } else spark.read.text(files: _*)
-  }
+      basePath: String): org.apache.spark.sql.DataFrame =
+    textFrame(spark, committedFiles(basePath))
 
   /** The `k=v` partition values encoded in a committed file's directory
     * path (`city=london/ds=2024-01-01/hour=03/part-….json` →
@@ -209,12 +204,18 @@ object WeatherLakeV2Sink {
     * directories carry no `k=v` segments are always kept (never silently
     * pruned on absent information).
     */
+  /** The one pruning keep-rule: files without partition segments always
+    * survive (never pruned on absent information).
+    */
+  private def survivesPruning(basePath: String,
+      pred: Map[String, String] => Boolean)(f: String): Boolean = {
+    val pv = partitionValues(basePath, f)
+    pv.isEmpty || pred(pv)
+  }
+
   def committedFilesPruned(basePath: String)(
       pred: Map[String, String] => Boolean): Seq[String] =
-    committedFiles(basePath).filter { f =>
-      val pv = partitionValues(basePath, f)
-      pv.isEmpty || pred(pv)
-    }
+    committedFiles(basePath).filter(survivesPruning(basePath, pred))
 
   /** [[readCommitted]] restricted by a partition predicate via
     * [[committedFilesPruned]] — same rows as filtering after the read,
@@ -222,13 +223,8 @@ object WeatherLakeV2Sink {
     */
   def readCommittedPruned(spark: org.apache.spark.sql.SparkSession,
       basePath: String)(
-      pred: Map[String, String] => Boolean): org.apache.spark.sql.DataFrame = {
-    val files = committedFilesPruned(basePath)(pred)
-    if (files.isEmpty) {
-      import spark.implicits._
-      spark.emptyDataset[String].toDF("value")
-    } else spark.read.text(files: _*)
-  }
+      pred: Map[String, String] => Boolean): org.apache.spark.sql.DataFrame =
+    textFrame(spark, committedFilesPruned(basePath)(pred))
 
   // -----------------------------------------------------------------
   // exactly-once streaming ingest
@@ -365,10 +361,7 @@ object WeatherLakeV2Sink {
     // files ever reach a FileIndex, so the pruned-out partitions cost
     // zero object-store metadata calls (the point of pruning)
     val (fresh, allFiles) = freshCommits(basePath, cursorPath)
-    val files = allFiles.filter { f =>
-      val pv = partitionValues(basePath, f)
-      pv.isEmpty || pred(pv)
-    }
+    val files = allFiles.filter(survivesPruning(basePath, pred))
     (textFrame(spark, files), fresh)
   }
 

@@ -747,29 +747,38 @@ object Text {
     *  - the argmax is a 1-row driver pick, the same bounded-metadata
     *    collect discipline as d20/s14's tuner picks (one scalar per
     *    round, never data-scaled);
-    *  - the merge applies as a single boundary-guarded string replace
-    *    (' a b ' → ' ab ', leftmost non-overlapping in BOTH engines —
-    *    Java's String.replace and DuckDB's replace agree, which is what
-    *    makes the whole loop oracle-exact), followed by a localCheckpoint
-    *    so the per-round plan stays flat instead of growing by one
-    *    explode+join per iteration.
+    *  - the merge applies as a single boundary-guarded string replace,
+    *    leftmost non-overlapping in BOTH engines (Java's String.replace
+    *    and DuckDB's replace agree), followed by a localCheckpoint so the
+    *    per-round plan stays flat instead of growing by one explode+join
+    *    per iteration.
+    *
+    * Symbols join with a DOUBLE space, which is what makes the plain
+    * consuming replace equal Sennrich's non-consuming lookaround sub:
+    * each symbol owns one boundary space on each side, neighbors never
+    * share one, so replacing ' a  b ' with ' ab ' consumes only the
+    * pair's own boundaries and the next disjoint occurrence in a run
+    * still matches — 'a a a a' merges to 'aa aa' in ONE pass, exactly
+    * the reference behavior (single-space joins would consume the shared
+    * boundary and merge runs only alternately).
     */
   def bpeTrain(docs: DataFrame, rounds: Int,
       textCol: String = "text"): DataFrame = {
     require(rounds >= 1, "need at least one merge round")
     val spark = docs.sparkSession
-    // word-frequency substrate; symbols = chars joined by spaces
+    // word-frequency substrate; symbols joined by DOUBLE spaces (see
+    // scaladoc — the canonical-fuse invariant)
     var words = docs
       .select(explode(tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .select(concat_ws(" ",
+      .select(concat_ws("  ",
         transform(sequence(lit(1), length(col("w"))),
           i => col("w").substr(i, lit(1)))).as("sym"),
         col("freq"))
       .localCheckpoint()
     val learned = Seq.newBuilder[(Int, String, String, Long)]
     for (r <- 1 to rounds) {
-      val syms = split(col("sym"), " ")
+      val syms = split(col("sym"), "  ")
       val pairs = words
         .select(col("freq"),
           when(size(syms) < 2, array().cast("array<string>"))
@@ -783,14 +792,16 @@ object Text {
       if (top.nonEmpty) {
         val pair = top(0).getString(0)
         val cnt = top(0).getLong(1)
-        val merged = pair.replace(" ", "")
+        val Array(a, b) = pair.split(' ')
+        val merged = a + b
         learned += ((r, pair, merged, cnt))
-        // boundary-guarded fuse; Column-typed literals, no SQL-string
-        // escaping of corpus-derived symbols
+        // boundary-guarded canonical fuse (double-space invariant);
+        // Column-typed literals, no SQL-string escaping of corpus-derived
+        // symbols
         words = words
           .withColumn("sym", trim(replace(
             concat(lit(" "), col("sym"), lit(" ")),
-            lit(s" $pair "), lit(s" $merged "))))
+            lit(s" $a  $b "), lit(s" $merged "))))
           .localCheckpoint()
       }
     }

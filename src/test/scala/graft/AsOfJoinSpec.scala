@@ -28,8 +28,25 @@ class AsOfJoinSpec extends SparkSpec {
     ).toDF("sym", "t", "px")
   }
 
+
+  /** The SEMANTIC tests below pin the MERGE exec's tie/boundary/tolerance
+    * behavior explicitly (broadcast = Never): under the Auto default the
+    * tiny fixtures always satisfy the broadcast threshold, which would
+    * silently re-point every targeted case at BroadcastAsOfJoinExec. The
+    * broadcast form's parity is pinned separately (the dedicated
+    * broadcast tests + the PropertySpec sweep across both forms).
+    */
+  private def mergeAsof(l: org.apache.spark.sql.DataFrame,
+      r: org.apache.spark.sql.DataFrame,
+      keys: Seq[(String, String)], order: Seq[(String, String)],
+      strict: Boolean = false, tolerance: Option[Long] = None,
+      direction: AsOfDirection = AsOfDirection.Backward): org.apache.spark.sql.DataFrame =
+    AsOfJoinPlan.asofJoin(l, r, keys, order, strict = strict,
+      tolerance = tolerance, direction = direction,
+      broadcast = AsOfBroadcast.Never)
+
   test("asofJoin backward non-strict: last quote at-or-before each trade") {
-    val got = AsOfJoinPlan.asofJoin(trades, quotes,
+    val got = mergeAsof(trades, quotes,
         keys = Seq("sym" -> "sym"), order = Seq("t" -> "t"), strict = false)
       .select(col("sym"), col("t"), col("px_r"))
       .collect().map(r => (r.getString(0), r.getLong(1),
@@ -43,7 +60,7 @@ class AsOfJoinSpec extends SparkSpec {
   }
 
   test("asofJoin strict: an equal-time right row no longer matches") {
-    val got = AsOfJoinPlan.asofJoin(trades, quotes,
+    val got = mergeAsof(trades, quotes,
         keys = Seq("sym" -> "sym"), order = Seq("t" -> "t"), strict = true)
       .select(col("sym"), col("t"), col("px_r"))
       .collect().map(r => (r.getString(0), r.getLong(1),
@@ -59,7 +76,7 @@ class AsOfJoinSpec extends SparkSpec {
     val r = Seq((Option("A"), Option(5L), 7L), (Option("A"), Option.empty[Long], 8L),
         (Option.empty[String], Option(1L), 9L))
       .toDF("k", "t", "v")
-    val got = AsOfJoinPlan.asofJoin(l, r,
+    val got = mergeAsof(l, r,
         keys = Seq("k" -> "k"), order = Seq("t" -> "t"))
       .select(col("id"), col("v_r"))
       .collect().map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
@@ -84,7 +101,7 @@ class AsOfJoinSpec extends SparkSpec {
       .select(col("user_id"), col("event_id"), col("ts"))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id"), col("ts"))
-    val got = AsOfJoinPlan.asofJoin(purchases, clicks,
+    val got = mergeAsof(purchases, clicks,
         keys = Seq("user_id" -> "user_id"),
         order = Seq("ts" -> "ts", "event_id" -> "event_id"), strict = true)
       .select(col("event_id"), unix_micros(col("ts_r")).as("click_us"))
@@ -95,7 +112,7 @@ class AsOfJoinSpec extends SparkSpec {
 
   test("asofJoin tolerance: buffered matches age out of the window") {
     // quotes at t=5,10,25 for A; tolerance 6 units of t
-    val got = AsOfJoinPlan.asofJoin(trades, quotes,
+    val got = mergeAsof(trades, quotes,
         keys = Seq("sym" -> "sym"), order = Seq("t" -> "t"),
         strict = false, tolerance = Some(6L))
       .select(col("sym"), col("t"), col("px_r"))
@@ -108,7 +125,7 @@ class AsOfJoinSpec extends SparkSpec {
       ("B", 15L, -1L),
       ("C", 5L, -1L)))
     // boundary: diff == tolerance still matches (c.ts >= p.ts - tol)
-    val boundary = AsOfJoinPlan.asofJoin(trades, quotes,
+    val boundary = mergeAsof(trades, quotes,
         keys = Seq("sym" -> "sym"), order = Seq("t" -> "t"),
         strict = false, tolerance = Some(10L))
       .select(col("sym"), col("t"), col("px_r"))
@@ -120,13 +137,13 @@ class AsOfJoinSpec extends SparkSpec {
     import s.implicits._
     val dbl = Seq(("A", 1.5, 1L)).toDF("sym", "t", "id")
     intercept[IllegalArgumentException] {
-      AsOfJoinPlan.asofJoin(dbl, dbl, keys = Seq("sym" -> "sym"),
+      mergeAsof(dbl, dbl, keys = Seq("sym" -> "sym"),
         order = Seq("t" -> "t"), tolerance = Some(1L))
     }
   }
 
   test("asofJoin forward: first quote at-or-after each trade") {
-    val got = AsOfJoinPlan.asofJoin(trades, quotes,
+    val got = mergeAsof(trades, quotes,
         keys = Seq("sym" -> "sym"), order = Seq("t" -> "t"),
         strict = false, direction = AsOfDirection.Forward)
       .select(col("sym"), col("t"), col("px_r"))
@@ -139,7 +156,7 @@ class AsOfJoinSpec extends SparkSpec {
       ("B", 15L, 103L), // B's only quote is in the future
       ("C", 5L, -1L)))
     // strict: the t=10 trade skips the equal-time quote
-    val strict = AsOfJoinPlan.asofJoin(trades, quotes,
+    val strict = mergeAsof(trades, quotes,
         keys = Seq("sym" -> "sym"), order = Seq("t" -> "t"),
         strict = true, direction = AsOfDirection.Forward)
       .select(col("sym"), col("t"), col("px_r"))
@@ -147,7 +164,7 @@ class AsOfJoinSpec extends SparkSpec {
         if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
     assert(strict(("A", 10L, 102L)), "strict forward must skip the equal-time quote")
     // tolerance bounds the lookAHEAD window
-    val tol = AsOfJoinPlan.asofJoin(trades, quotes,
+    val tol = mergeAsof(trades, quotes,
         keys = Seq("sym" -> "sym"), order = Seq("t" -> "t"),
         strict = false, tolerance = Some(6L),
         direction = AsOfDirection.Forward)
@@ -163,7 +180,7 @@ class AsOfJoinSpec extends SparkSpec {
   }
 
   test("asofJoin nearest: closer of the two candidates, ties go backward") {
-    val got = AsOfJoinPlan.asofJoin(trades, quotes,
+    val got = mergeAsof(trades, quotes,
         keys = Seq("sym" -> "sym"), order = Seq("t" -> "t"),
         strict = false, direction = AsOfDirection.Nearest)
       .select(col("sym"), col("t"), col("px_r"))
@@ -180,13 +197,13 @@ class AsOfJoinSpec extends SparkSpec {
     import s.implicits._
     val l = Seq(("A", 10L, 1L)).toDF("sym", "t", "id")
     val r = Seq(("A", 5L, 100L), ("A", 15L, 200L)).toDF("sym", "t", "px")
-    val tie = AsOfJoinPlan.asofJoin(l, r,
+    val tie = mergeAsof(l, r,
         keys = Seq("sym" -> "sym"), order = Seq("t" -> "t"),
         direction = AsOfDirection.Nearest)
       .select(col("px_r")).collect().map(_.getLong(0)).toSeq
     assert(tie == Seq(100L), "equidistant nearest must prefer the backward row")
     // strict nearest excludes the equal-time quote from BOTH sides
-    val strict = AsOfJoinPlan.asofJoin(trades, quotes,
+    val strict = mergeAsof(trades, quotes,
         keys = Seq("sym" -> "sym"), order = Seq("t" -> "t"),
         strict = true, direction = AsOfDirection.Nearest)
       .select(col("sym"), col("t"), col("px_r"))
@@ -195,7 +212,7 @@ class AsOfJoinSpec extends SparkSpec {
     assert(strict(("A", 10L, 100L)), // t=5 (d=5) beats t=25 (d=15)
       s"strict nearest must take the t=5 quote, got $strict")
     // tolerance prunes candidates on both sides before the distance pick
-    val tol = AsOfJoinPlan.asofJoin(trades, quotes,
+    val tol = mergeAsof(trades, quotes,
         keys = Seq("sym" -> "sym"), order = Seq("t" -> "t"),
         strict = false, tolerance = Some(6L),
         direction = AsOfDirection.Nearest)
@@ -207,7 +224,7 @@ class AsOfJoinSpec extends SparkSpec {
     // nearest needs an integral/timestamp head ordering column
     val dbl = Seq(("A", 1.5, 1L)).toDF("sym", "t", "id")
     intercept[IllegalArgumentException] {
-      AsOfJoinPlan.asofJoin(dbl, dbl, keys = Seq("sym" -> "sym"),
+      mergeAsof(dbl, dbl, keys = Seq("sym" -> "sym"),
         order = Seq("t" -> "t"), direction = AsOfDirection.Nearest)
     }
   }

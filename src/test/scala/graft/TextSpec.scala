@@ -469,4 +469,21 @@ class TextSpec extends SparkSpec {
     assert(math.abs(got("s1")._2 - math.log(7.0 / 6.0)) < 1e-6)
     assert(math.abs(got("s3")._2 - math.log(7.0)) < 1e-6)
   }
+
+  test("bpeTrain fuses symbol runs canonically (Sennrich), not alternately") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "aaaa aaaa")).toDF("doc_id", "text")
+    val merges = graft.text.Text.bpeTrain(docs, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toList
+    // round 1: 'a a a a' has 3 adjacent (a,a) pairs × word freq 2 = 6;
+    // the CANONICAL fuse merges BOTH disjoint pairs in one pass →
+    // 'aa aa', so round 2's best pair is (aa, aa) with count 2. A
+    // boundary-consuming (alternating) fuse would leave 'aa a a' and
+    // learn (a, a) or (aa, a) instead.
+    assert(merges == List(
+      (1L, "a a", "aa", 6L),
+      (2L, "aa aa", "aaaa", 2L)), s"got $merges")
+  }
 }
