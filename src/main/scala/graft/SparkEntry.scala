@@ -162,6 +162,20 @@ object SparkEntry {
     */
   private val widenCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
+  /** The learned BPE merge table, trained ONCE per (session, corpus dir)
+    * and shared by t30 (which reports it) and t31 (which applies it) —
+    * the rows are the 8-round pick sequence (rank, pair, merged, cnt).
+    */
+  private val bpeMergeCache = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[(Long, String, String, Long)]]
+  private def learnedBpeMerges(s: SparkSession, dir: String):
+      Seq[(Long, String, String, Long)] =
+    bpeMergeCache.getOrElseUpdate(s"${System.identityHashCode(s)}#$dir",
+      graft.text.Text.bpeTrain(Tables.documents(s, dir), rounds = 8)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq)
+
   /** ORC copy of the lineitem roundtrip columns, materialized ONCE per
     * (session, corpus dir) — same fixture discipline as [[widenedLake]]:
     * the query under measure is the roundtrip READ + aggregate, not the
@@ -2127,8 +2141,27 @@ object SparkEntry {
         "string; the DuckDB oracle unrolls the same 8 rounds as " +
         "generated CTEs.",
       Some(bpeTrainOracle(8)),
-      (s, dir) => graft.text.Text.bpeTrain(
-        Tables.documents(s, dir), rounds = 8)),
+      (s, dir) => {
+        import s.implicits._
+        learnedBpeMerges(s, dir).toDF("rank", "pair", "merged", "cnt")
+      }),
+
+    QueryDef("t31_bpe_segment",
+      "The trained tokenizer APPLIED — train→encode as one reproducible " +
+        "loop: every distinct word runs t30's learned merges in rank " +
+        "order (the same canonical double-space fuse training used) and " +
+        "comes out as its piece sequence + piece count. Unlike training " +
+        "there is nothing to pick per round, so all 8 merges chain in " +
+        "ONE lazy vocabulary-sized plan: a corpus pass for the word " +
+        "count, then zero shuffles. The oracle reads the encoded " +
+        "vocabulary straight off the shared trained CTE chain's final " +
+        "round — one SQL text derives train AND apply, which IS the " +
+        "reproducibility contract a tokenizer needs (the merges ship " +
+        "with the model; re-segmentation must be bit-identical).",
+      Some(bpeApplyOracle(8)),
+      (s, dir) => graft.text.Text.bpeApply(
+        Tables.documents(s, dir),
+        learnedBpeMerges(s, dir).map(m => (m._2, m._3)))),
 
     QueryDef("t10_vocabulary",
       "Vocabulary extraction: global token frequency table with rank — " +
@@ -5374,14 +5407,25 @@ object SparkEntry {
     // DOUBLE-space symbol joins, matching Text.bpeTrain's canonical-fuse
     // invariant (each symbol owns its boundary spaces, so the consuming
     // replace merges every disjoint occurrence of a run in one pass)
+    s"WITH ${bpeChainCtes(rounds)}\n" +
+      (1 to rounds).map(r => s"SELECT rank, pair, merged, cnt FROM m$r")
+        .mkString("\nUNION ALL\n")
+  }
+
+  /** The shared CTE chain both BPE oracles build on — the word `w` rides
+    * through every round so t31's encode view can read the final symbol
+    * sequences off w_rounds.
+    */
+  private def bpeChainCtes(rounds: Int): String = {
     val init =
       """w0 AS MATERIALIZED (
-        |  SELECT array_to_string(list_transform(generate_series(1, length(w)),
+        |  SELECT w,
+        |         array_to_string(list_transform(generate_series(1, length(w)),
         |           i -> substr(w, i, 1)), '  ') AS sym,
         |         CAST(COUNT(*) AS BIGINT) AS freq
         |  FROM (SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
         |          x -> x <> '')) AS w FROM documents)
-        |  GROUP BY 1)""".stripMargin
+        |  GROUP BY 1, 2)""".stripMargin
     val steps = (1 to rounds).map { r =>
       s"""p$r AS MATERIALIZED (SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
          |  SELECT freq, unnest(CASE WHEN len(l) < 2 THEN CAST([] AS VARCHAR[])
@@ -5392,15 +5436,24 @@ object SparkEntry {
          |m$r AS MATERIALIZED (SELECT CAST($r AS BIGINT) AS rank, pair,
          |         replace(pair, ' ', '') AS merged, cnt
          |       FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
-         |w$r AS MATERIALIZED (SELECT trim(replace(' ' || sym || ' ',
+         |w$r AS MATERIALIZED (SELECT w, trim(replace(' ' || sym || ' ',
          |         ' ' || (SELECT replace(pair, ' ', '  ') FROM m$r) || ' ',
          |         ' ' || (SELECT merged FROM m$r) || ' ')) AS sym, freq
          |       FROM w${r - 1})""".stripMargin
     }
-    s"WITH $init,\n${steps.mkString(",\n")}\n" +
-      (1 to rounds).map(r => s"SELECT rank, pair, merged, cnt FROM m$r")
-        .mkString("\nUNION ALL\n")
+    s"$init,\n${steps.mkString(",\n")}"
   }
+
+  /** t31's oracle: the same trained chain, read out as the encoded
+    * vocabulary (word → piece count + piece sequence after all merges).
+    */
+  private def bpeApplyOracle(rounds: Int): String =
+    s"""WITH ${bpeChainCtes(rounds)}
+       |SELECT w AS word,
+       |  CAST(len(regexp_split_to_array(sym, '  ')) AS BIGINT) AS n_pieces,
+       |  replace(sym, '  ', ' ') AS encoded,
+       |  freq AS n_occurrences
+       |FROM w$rounds""".stripMargin
 
   private def seededIvfOracle(nCells: Int, nProbe: Int, k: Int): String =
     ivfOracle(s"SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < $nCells",

@@ -810,4 +810,36 @@ object Text {
       .select(col("rank").cast("long").as("rank"), col("pair"),
         col("merged"), col("cnt"))
   }
+
+  /** ENCODE with a learned merge table — [[bpeTrain]]'s inverse
+    * direction, at the vocabulary level: every distinct word runs the
+    * merge sequence in rank order (each merge one canonical
+    * double-space-boundary replace, same operation training used, so
+    * train→apply is exactly reproducible) and comes out as its piece
+    * sequence. One corpus pass for the word count; the merge
+    * applications are `merges.length` chained per-row string ops on the
+    * vocabulary-sized frame — no shuffle beyond the initial word count,
+    * no per-round actions (unlike training there is nothing to pick, so
+    * the whole sequence is ONE lazy plan).
+    */
+  def bpeApply(docs: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text"): DataFrame = {
+    var words = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n_occurrences"))
+      .select(col("w"),
+        concat_ws("  ", transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1)))).as("sym"),
+        col("n_occurrences"))
+    merges.foreach { case (pair, merged) =>
+      val Array(a, b) = pair.split(' ')
+      words = words.withColumn("sym", trim(replace(
+        concat(lit(" "), col("sym"), lit(" ")),
+        lit(s" $a  $b "), lit(s" $merged "))))
+    }
+    words.select(col("w").as("word"),
+      size(split(col("sym"), "  ")).cast("long").as("n_pieces"),
+      replace(col("sym"), lit("  "), lit(" ")).as("encoded"),
+      col("n_occurrences"))
+  }
 }
