@@ -486,4 +486,34 @@ class TextSpec extends SparkSpec {
       (1L, "a a", "aa", 6L),
       (2L, "aa aa", "aaaa", 2L)), s"got $merges")
   }
+
+  test("property: BPE segmentation is lossless and piece counts shrink " +
+      "monotonically with more merges") {
+    val s = spark
+    import s.implicits._
+    // adversarial vocabulary: runs, alternations, singletons, punctuation
+    val docs = Seq(
+      "aaaa abab banana mississippi x",
+      "aaaa banana coool ... ..",
+      "abab abab mississippi aaaa").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val merges = graft.text.Text.bpeTrain(docs, rounds = 6)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    var prevTotal = Long.MaxValue
+    for (k <- 0 to merges.length) {
+      val seg = graft.text.Text.bpeApply(docs, merges.take(k))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+      seg.foreach { case (word, nPieces, encoded) =>
+        val pieces = encoded.split(' ')
+        assert(pieces.mkString("") == word,
+          s"lossless: pieces of '$word' must concatenate back, got '$encoded'")
+        assert(pieces.length == nPieces, s"count mismatch for '$word'")
+      }
+      val total = seg.map(_._2).sum
+      assert(total <= prevTotal,
+        s"piece totals must shrink monotonically: $prevTotal -> $total at k=$k")
+      prevTotal = total
+    }
+  }
 }
