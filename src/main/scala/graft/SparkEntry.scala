@@ -162,9 +162,13 @@ object SparkEntry {
     */
   private val widenCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
-  /** The learned BPE merge table, trained ONCE per (session, corpus dir)
-    * and shared by t30 (which reports it) and t31 (which applies it) —
-    * the rows are the 8-round pick sequence (rank, pair, merged, cnt).
+  /** The learned BPE merge table t31 applies, trained ONCE per (session,
+    * corpus dir). t30 deliberately does NOT read this cache — it calls
+    * bpeTrain directly so its bench entry keeps measuring the training
+    * loop itself on every pass (a cached t30 would time an 8-row local
+    * frame and hide training regressions). The rows are sorted by rank:
+    * application order IS the semantic contract, never an accident of
+    * collect() ordering.
     */
   private val bpeMergeCache = scala.collection.concurrent.TrieMap
     .empty[String, Seq[(Long, String, String, Long)]]
@@ -174,7 +178,7 @@ object SparkEntry {
       graft.text.Text.bpeTrain(Tables.documents(s, dir), rounds = 8)
         .collect()
         .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
-        .toSeq)
+        .toSeq.sortBy(_._1))
 
   /** ORC copy of the lineitem roundtrip columns, materialized ONCE per
     * (session, corpus dir) — same fixture discipline as [[widenedLake]]:
@@ -2141,10 +2145,10 @@ object SparkEntry {
         "string; the DuckDB oracle unrolls the same 8 rounds as " +
         "generated CTEs.",
       Some(bpeTrainOracle(8)),
-      (s, dir) => {
-        import s.implicits._
-        learnedBpeMerges(s, dir).toDF("rank", "pair", "merged", "cnt")
-      }),
+      // trains directly (no cache) so the bench keeps timing the training
+      // loop; t31 shares one cached table per (session, corpus) instead
+      (s, dir) => graft.text.Text.bpeTrain(
+        Tables.documents(s, dir), rounds = 8)),
 
     QueryDef("t31_bpe_segment",
       "The trained tokenizer APPLIED — train→encode as one reproducible " +
@@ -5414,7 +5418,13 @@ object SparkEntry {
 
   /** The shared CTE chain both BPE oracles build on — the word `w` rides
     * through every round so t31's encode view can read the final symbol
-    * sequences off w_rounds.
+    * sequences off w_rounds. The fuse wraps in `coalesce(..., sym)`: a
+    * corpus whose vocabulary exhausts before `rounds` merges leaves a
+    * later m_r EMPTY, its scalar subqueries NULL, and a bare replace
+    * would NULL-poison every sym from that round on — the train oracle
+    * would shrug (empty m_r adds no UNION row, matching Spark's skip)
+    * but the apply oracle reads w_rounds directly and must see the
+    * untouched sym instead.
     */
   private def bpeChainCtes(rounds: Int): String = {
     val init =
@@ -5436,9 +5446,9 @@ object SparkEntry {
          |m$r AS MATERIALIZED (SELECT CAST($r AS BIGINT) AS rank, pair,
          |         replace(pair, ' ', '') AS merged, cnt
          |       FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
-         |w$r AS MATERIALIZED (SELECT w, trim(replace(' ' || sym || ' ',
+         |w$r AS MATERIALIZED (SELECT w, coalesce(trim(replace(' ' || sym || ' ',
          |         ' ' || (SELECT replace(pair, ' ', '  ') FROM m$r) || ' ',
-         |         ' ' || (SELECT merged FROM m$r) || ' ')) AS sym, freq
+         |         ' ' || (SELECT merged FROM m$r) || ' ')), sym) AS sym, freq
          |       FROM w${r - 1})""".stripMargin
     }
     s"$init,\n${steps.mkString(",\n")}"

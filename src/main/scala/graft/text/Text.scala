@@ -762,19 +762,37 @@ object Text {
     * the reference behavior (single-space joins would consume the shared
     * boundary and merge runs only alternately).
     */
+  /** The word-frequency BPE substrate: one row per distinct word with its
+    * occurrence count and its DOUBLE-space-joined character symbols (the
+    * canonical-fuse invariant both train and apply depend on).
+    */
+  private def wordSymbolFrame(docs: DataFrame, textCol: String,
+      countName: String): DataFrame =
+    docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as(countName))
+      .select(col("w"),
+        concat_ws("  ", transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1)))).as("sym"),
+        col(countName))
+
+  /** THE canonical fuse — the one expression every BPE path shares:
+    * boundary-guarded, leftmost non-overlapping, exact on runs because
+    * each symbol owns its own boundary spaces (double-space joins).
+    * Column-typed literals, so corpus-derived symbols need no SQL-string
+    * escaping.
+    */
+  private def canonicalFuse(sym: Column, a: String, b: String,
+      merged: String): Column =
+    trim(replace(concat(lit(" "), sym, lit(" ")),
+      lit(s" $a  $b "), lit(s" $merged ")))
+
   def bpeTrain(docs: DataFrame, rounds: Int,
       textCol: String = "text"): DataFrame = {
     require(rounds >= 1, "need at least one merge round")
     val spark = docs.sparkSession
-    // word-frequency substrate; symbols joined by DOUBLE spaces (see
-    // scaladoc — the canonical-fuse invariant)
-    var words = docs
-      .select(explode(tokens(col(textCol))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .select(concat_ws("  ",
-        transform(sequence(lit(1), length(col("w"))),
-          i => col("w").substr(i, lit(1)))).as("sym"),
-        col("freq"))
+    var words = wordSymbolFrame(docs, textCol, "freq")
+      .select(col("sym"), col("freq"))
       .localCheckpoint()
     val learned = Seq.newBuilder[(Int, String, String, Long)]
     for (r <- 1 to rounds) {
@@ -795,13 +813,8 @@ object Text {
         val Array(a, b) = pair.split(' ')
         val merged = a + b
         learned += ((r, pair, merged, cnt))
-        // boundary-guarded canonical fuse (double-space invariant);
-        // Column-typed literals, no SQL-string escaping of corpus-derived
-        // symbols
         words = words
-          .withColumn("sym", trim(replace(
-            concat(lit(" "), col("sym"), lit(" ")),
-            lit(s" $a  $b "), lit(s" $merged "))))
+          .withColumn("sym", canonicalFuse(col("sym"), a, b, merged))
           .localCheckpoint()
       }
     }
@@ -813,29 +826,31 @@ object Text {
 
   /** ENCODE with a learned merge table — [[bpeTrain]]'s inverse
     * direction, at the vocabulary level: every distinct word runs the
-    * merge sequence in rank order (each merge one canonical
-    * double-space-boundary replace, same operation training used, so
-    * train→apply is exactly reproducible) and comes out as its piece
+    * merge sequence in RANK ORDER (each merge one [[canonicalFuse]], the
+    * same operation training used, so train→apply reproduces exactly the
+    * segmentation training ended on) and comes out as its piece
     * sequence. One corpus pass for the word count; the merge
     * applications are `merges.length` chained per-row string ops on the
     * vocabulary-sized frame — no shuffle beyond the initial word count,
     * no per-round actions (unlike training there is nothing to pick, so
     * the whole sequence is ONE lazy plan).
+    *
+    * Semantics note vs [[graft.functions.BpeEncode]]: this is the
+    * rank-SEQUENTIAL single pass (merge 1 everywhere, then merge 2, …) —
+    * by construction identical to what training produced, which is the
+    * t31 reproducibility contract. BpeEncode implements the
+    * lowest-rank-FIRST priority loop most runtime tokenizers use; the
+    * two can differ on the rare word where a later merge recreates an
+    * earlier pair (the priority loop would revisit it, the sequential
+    * pass is already past it). Both are standard; a deployment picks one
+    * and ships it with the merge table.
     */
   def bpeApply(docs: DataFrame, merges: Seq[(String, String)],
       textCol: String = "text"): DataFrame = {
-    var words = docs
-      .select(explode(tokens(col(textCol))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("n_occurrences"))
-      .select(col("w"),
-        concat_ws("  ", transform(sequence(lit(1), length(col("w"))),
-          i => col("w").substr(i, lit(1)))).as("sym"),
-        col("n_occurrences"))
+    var words = wordSymbolFrame(docs, textCol, "n_occurrences")
     merges.foreach { case (pair, merged) =>
       val Array(a, b) = pair.split(' ')
-      words = words.withColumn("sym", trim(replace(
-        concat(lit(" "), col("sym"), lit(" ")),
-        lit(s" $a  $b "), lit(s" $merged "))))
+      words = words.withColumn("sym", canonicalFuse(col("sym"), a, b, merged))
     }
     words.select(col("w").as("word"),
       size(split(col("sym"), "  ")).cast("long").as("n_pieces"),
