@@ -50,6 +50,14 @@ object StreamAsOf extends Serializable {
   /** Per-key processor: one named value state ("lastRight"). `toleranceUs`
     * < 0 disables the window; `ttl` bounds idle keys' state lifetime
     * (requires processing-time mode).
+    *
+    * BACKWARD ONLY, by design: forward/nearest need a left to wait for a
+    * right that hasn't arrived, and "has everything relevant arrived?" is
+    * an event-time question — processing time offers no watermark to make
+    * a forward match final, so emitting one here would mean either
+    * unbounded left buffering or revisable output. The event-time
+    * processor below owns those directions with the watermark-final
+    * discipline; batch covers all three exactly.
     */
   class AsOfProcessor(toleranceUs: Long, ttl: TTLConfig)
       extends StatefulProcessor[Long, Tick, AsOfMatch] {
