@@ -213,6 +213,11 @@ object Multimodal {
     require(shardBytes > RecordHeaderBytes,
       s"shardBytes must exceed the $RecordHeaderBytes-byte record header")
     import media.sparkSession.implicits._
+    // per-JOB token in every shard name: (partitionId, taskAttemptId)
+    // restarts at 0 in a new Spark application, so two runs sharing a
+    // directory (the readShardManifest use case) would otherwise collide
+    // on a published name and fail the publish rename
+    val jobToken = java.util.UUID.randomUUID().toString.take(8)
     val staged = media.mapPartitions { it =>
       val fs = new org.apache.hadoop.fs.Path(outDir)
         .getFileSystem(new org.apache.hadoop.conf.Configuration())
@@ -233,7 +238,7 @@ object Multimodal {
         out = null; inProgress = null; bytes = 0L; records = 0L
       }
       def open(): Unit = {
-        val name = f"shard-$taskId-$seq%05d.bin"
+        val name = f"shard-$jobToken-$taskId-$seq%05d.bin"
         seq += 1
         path = new org.apache.hadoop.fs.Path(outDir, name).toString
         inProgress = new org.apache.hadoop.fs.Path(outDir, s".inprogress-$name")

@@ -759,6 +759,14 @@ object AsOfJoinPlan {
         "must never be more than one slice away")
     import org.apache.spark.sql.functions.{array, col, explode, lit, pmod, unix_micros}
     val slice = "__asof_slice"
+    // the internal slice/shift columns are added with withColumn, which
+    // silently REPLACES a same-named user column — refuse up front rather
+    // than drop user data on the way out
+    Seq(slice, "__asof_shift").foreach { n =>
+      require(!left.columns.contains(n) && !right.columns.contains(n),
+        s"asofJoinTimeSliced: reserved internal column name '$n' already " +
+          "exists on an input — rename it before the join")
+    }
     // the head ordering column drives slicing, in the same long units the
     // tolerance is expressed in (µs for timestamps, native otherwise)
     def headLong(df: DataFrame, name: String): Column = {

@@ -38,17 +38,23 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * [[AsOfJoinStrategy]] like any other as-of join. Type coercion has
   * already run by then, so mixed-type keys arrive pre-cast.
   *
-  * Scope (documented, enforced): one ASOF JOIN per statement. More would
-  * need position tracking through the delegate parse; the reference's
-  * analyst queries (README.md:294-313, docs/dashboard.md:59-74) are
-  * single-join lookups.
+  * Multiple ASOF joins per statement compose: each occurrence is matched
+  * to its join independently through its right-hand relation/alias anchor
+  * (scoped resolution), so an SCD2 lookup chained with a quote
+  * attribution runs as ONE statement. Occurrences whose right side is a
+  * parenthesized subquery carry no anchor and resolve only when exactly
+  * one unclaimed as-of-shaped join of their type remains — genuinely
+  * ambiguous statements fail loudly, never guess. The textual rewrite
+  * skips string literals, quoted identifiers, and comments: a literal
+  * containing the phrase "ASOF JOIN" is never corrupted and never counts
+  * as an occurrence.
   */
 class AsOfSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   private def planOf(sqlText: String, parse: String => LogicalPlan): LogicalPlan =
     AsOfSqlParser.rewrite(sqlText) match {
-      case Some((rewritten, leftOuter, rhsHint)) =>
-        AsOfSqlRewrite(leftOuter, rhsHint, parse(rewritten))
+      case Some((rewritten, marks)) =>
+        AsOfSqlRewrite(marks, parse(rewritten))
       case None => parse(sqlText)
     }
 
@@ -74,34 +80,90 @@ class AsOfSqlParser(delegate: ParserInterface) extends ParserInterface {
 
 object AsOfSqlParser {
   // word-bounded so column/alias names merely CONTAINING "asof" never
-  // trigger; string literals containing the exact phrase "ASOF JOIN" are
-  // the accepted false-positive (same trade every textual SQL rewriter
-  // makes) and fail loudly at conversion, never silently
+  // trigger; matches inside string literals, quoted identifiers, or
+  // comments are excluded by the maskedSpans scan below — a literal
+  // containing the phrase "ASOF JOIN" is copied through untouched and
+  // never counts as an occurrence
   private val AsOfPattern =
     java.util.regex.Pattern.compile("(?i)\\bASOF\\s+(LEFT\\s+(OUTER\\s+)?)?JOIN\\b")
 
-  /** Rewrite the single `ASOF [LEFT] JOIN` to the plain join the delegate
-    * grammar accepts; None when the text has no ASOF JOIN at all. Also
-    * captures the right-hand relation/alias identifiers following the
-    * keyword (lower-cased) — the POSITIONAL link the resolution rule uses
-    * to make sure it converts the join the analyst wrote `ASOF` on, not
-    * some other join in the statement whose ON clause merely happens to
-    * have the as-of shape. Empty when the right side is a
-    * parenthesized subquery (no single identifier to anchor on).
+  /** One `ASOF [LEFT] JOIN` occurrence in a statement: its outer-ness and
+    * the right-hand relation/alias identifiers following the keyword
+    * (lower-cased) — the POSITIONAL anchor the resolution rule uses to
+    * match the occurrence to the join the analyst wrote `ASOF` on.
+    * Empty hint when the right side is a parenthesized subquery (no
+    * single identifier to anchor on).
     */
-  private[plans] def rewrite(sqlText: String): Option[(String, Boolean, Set[String])] = {
+  final case class AsOfMark(leftOuter: Boolean, rhsHint: Set[String])
+
+  /** `true` at index `i` iff `sql(i)` sits inside a span the textual
+    * rewrite must never touch: a string literal (`'…'` or `"…"`, with
+    * doubled-quote and backslash escapes — Spark's default dialect reads
+    * double quotes as strings), a backtick-quoted identifier, a `--` line
+    * comment, or a (nested) bracketed comment. Single linear scan.
+    */
+  private[plans] def maskedSpans(sql: String): Array[Boolean] = {
+    val masked = new Array[Boolean](sql.length)
+    var i = 0
+    def quoted(q: Char, backslashEscapes: Boolean): Unit = {
+      masked(i) = true; i += 1
+      var open = true
+      while (i < sql.length && open) {
+        masked(i) = true
+        if (backslashEscapes && sql(i) == '\\' && i + 1 < sql.length) {
+          masked(i + 1) = true; i += 2
+        } else if (sql(i) == q) {
+          if (i + 1 < sql.length && sql(i + 1) == q) { // doubled = escaped
+            masked(i + 1) = true; i += 2
+          } else { open = false; i += 1 }
+        } else i += 1
+      }
+    }
+    while (i < sql.length) sql(i) match {
+      case '\'' | '"' => quoted(sql(i), backslashEscapes = true)
+      case '`' => quoted('`', backslashEscapes = false)
+      case '-' if i + 1 < sql.length && sql(i + 1) == '-' =>
+        while (i < sql.length && sql(i) != '\n') { masked(i) = true; i += 1 }
+      case '/' if i + 1 < sql.length && sql(i + 1) == '*' =>
+        var depth = 1
+        masked(i) = true; masked(i + 1) = true; i += 2
+        while (i < sql.length && depth > 0) {
+          if (sql(i) == '/' && i + 1 < sql.length && sql(i + 1) == '*') {
+            masked(i) = true; masked(i + 1) = true; depth += 1; i += 2
+          } else if (sql(i) == '*' && i + 1 < sql.length && sql(i + 1) == '/') {
+            masked(i) = true; masked(i + 1) = true; depth -= 1; i += 2
+          } else { masked(i) = true; i += 1 }
+        }
+      case _ => i += 1
+    }
+    masked
+  }
+
+  /** Rewrite every unmasked `ASOF [LEFT] JOIN` to the plain join the
+    * delegate grammar accepts, collecting one [[AsOfMark]] per occurrence
+    * in textual order; None when the text has no unmasked ASOF JOIN at
+    * all (literal-only occurrences are left byte-identical).
+    */
+  private[plans] def rewrite(sqlText: String): Option[(String, Seq[AsOfMark])] = {
     val m = AsOfPattern.matcher(sqlText)
-    if (!m.find()) None
+    lazy val masked = maskedSpans(sqlText)
+    val sb = new StringBuffer
+    val marks = Seq.newBuilder[AsOfMark]
+    var n = 0
+    while (m.find()) {
+      if (!masked(m.start())) {
+        val leftOuter = m.group(1) != null
+        marks += AsOfMark(leftOuter, rhsHint(sqlText, m.end()))
+        m.appendReplacement(sb, if (leftOuter) "LEFT JOIN" else "INNER JOIN")
+        n += 1
+      }
+      // a masked match gets no appendReplacement: the following append
+      // copies it through verbatim
+    }
+    if (n == 0) None
     else {
-      val leftOuter = m.group(1) != null
-      val hint = rhsHint(sqlText, m.end())
-      val sb = new StringBuffer
-      m.appendReplacement(sb, if (leftOuter) "LEFT JOIN" else "INNER JOIN")
-      if (m.find()) throw new IllegalArgumentException(
-        "ASOF JOIN: one per statement is supported by the SQL surface — " +
-          "compose additional as-of joins through AsOfJoinPlan.asofJoin")
       m.appendTail(sb)
-      Some((sb.toString, leftOuter, hint))
+      Some((sb.toString, marks.result()))
     }
   }
 
@@ -139,12 +201,13 @@ object AsOfSqlParser {
     })
 }
 
-/** Post-parse marker: "this tree contained one ASOF JOIN, rewritten to a
-  * plain join of `joinType`". Exists only between parse and resolution —
-  * [[AsOfSqlResolution]] removes it on the analyzer pass that sees the
-  * child resolved, so no optimizer or planner rule ever meets one.
+/** Post-parse marker: "this tree contained these ASOF JOIN occurrences,
+  * each rewritten to a plain join". Exists only between parse and
+  * resolution — [[AsOfSqlResolution]] removes it on the analyzer pass
+  * that sees the child resolved, so no optimizer or planner rule ever
+  * meets one.
   */
-case class AsOfSqlRewrite(leftOuter: Boolean, rhsHint: Set[String],
+case class AsOfSqlRewrite(marks: Seq[AsOfSqlParser.AsOfMark],
     child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): AsOfSqlRewrite =
@@ -152,14 +215,18 @@ case class AsOfSqlRewrite(leftOuter: Boolean, rhsHint: Set[String],
 }
 
 /** Analyzer-side half of the SQL surface: once the marked subtree is
-  * resolved (attributes bound, types coerced), find the UNIQUE join whose
-  * ON condition has the as-of shape — ≥1 cross-side equality plus exactly
-  * one cross-side inequality — and replace it with the [[AsOfJoin]]
-  * logical node. Inner ASOF appends the `IsNotNull(right ordering)`
-  * filter that drops unmatched lefts (matched rows always carry a
-  * non-null right ordering value, unmatched rows never do — the operator
-  * excludes null-ordered rights by contract), turning the operator's
-  * native left-outer contract into DuckDB's inner semantics.
+  * resolved (attributes bound, types coerced), match each recorded ASOF
+  * occurrence to the join whose ON condition has the as-of shape — ≥1
+  * cross-side equality plus exactly one cross-side inequality — and whose
+  * right subtree carries the occurrence's anchor alias, then replace that
+  * join with the [[AsOfJoin]] logical node. Anchored occurrences resolve
+  * first (each must match exactly one join); anchor-less occurrences
+  * (subquery right sides) take the sole remaining candidate of their join
+  * type or fail loudly. Inner ASOF appends a matched-marker filter that
+  * drops unmatched lefts (matched rows always carry the marker's TRUE,
+  * unmatched rows carry null — safe even when the right ordering
+  * expression is non-null-propagating), turning the operator's native
+  * left-outer contract into DuckDB's inner semantics.
   */
 object AsOfSqlResolution extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -169,8 +236,8 @@ object AsOfSqlResolution extends Rule[LogicalPlan] with PredicateHelper {
     // carry the marker
     if (!plan.exists(_.isInstanceOf[AsOfSqlRewrite])) plan
     else plan.transformUp {
-      case AsOfSqlRewrite(leftOuter, rhsHint, child) if child.resolved =>
-        convert(leftOuter, rhsHint, child)
+      case AsOfSqlRewrite(marks, child) if child.resolved =>
+        convert(marks, child)
     }
   }
 
@@ -224,60 +291,75 @@ object AsOfSqlResolution extends Rule[LogicalPlan] with PredicateHelper {
     else None
   }
 
-  private def convert(leftOuter: Boolean, rhsHint: Set[String],
+  private def convert(marks: Seq[AsOfSqlParser.AsOfMark],
       child: LogicalPlan): LogicalPlan = {
-    val wantType = if (leftOuter) LeftOuter else Inner
-    val shaped = child.collect {
-      case j @ Join(l, r, t, Some(cond), _)
-          if t == wantType && asOfShape(l, r, cond).isDefined => j
-    }
     // positional anchor: the parser captured the relation/alias written
-    // right after the ASOF keyword; the converted join's RIGHT subtree
+    // right after each ASOF keyword; a converted join's RIGHT subtree
     // must carry that name. Without it, a statement whose real as-of ON
     // clause fails shape detection while some OTHER join coincidentally
     // has the shape (a range join: equality + one inequality) would get
-    // THAT join silently converted — the hint turns the mistake into the
-    // loud error below. An empty hint (subquery right side) keeps the
-    // shape-only behavior.
+    // THAT join silently converted — the anchor turns the mistake into
+    // the loud error below. Anchored marks resolve FIRST so an
+    // anchor-less mark (subquery right side) sees only the leftovers —
+    // it converts the sole remaining candidate of its type, or refuses
+    // the genuinely ambiguous statement.
     def aliases(p: LogicalPlan): Set[String] = p.collect {
       case sa: SubqueryAlias => sa.alias.toLowerCase
     }.toSet
-    val candidates =
-      if (rhsHint.isEmpty) shaped
-      else shaped.filter(j => aliases(j.right).intersect(rhsHint).nonEmpty)
-    if (candidates.length != 1) throw new IllegalArgumentException(
-      s"ASOF JOIN: expected exactly one ${if (leftOuter) "LEFT " else ""}join " +
-        "with an as-of ON shape (>=1 equality plus exactly one inequality " +
-        s"between the two sides)" +
-        (if (rhsHint.nonEmpty) s" whose right side is ${rhsHint.mkString("/")}"
-         else "") +
-        s", found ${candidates.length}")
-    val target = candidates.head
-    child.transformUp {
-      case j: Join if j eq target =>
-        val (eqs, (lo, ro), dir, strict) =
-          asOfShape(j.left, j.right, j.condition.get).get
-        if (leftOuter) {
-          AsOfJoin(j.left, j.right,
-            eqs.map(_._1), eqs.map(_._2), Seq(lo), Seq(ro),
-            strict, tolerance = None, direction = dir,
-            broadcast = AsOfBroadcast.Auto)
-        } else {
-          // inner semantics: drop unmatched lefts. The matched-ness
-          // witness is a literal TRUE projected onto the right child —
-          // null after the join iff the row is unmatched. Filtering on
-          // IsNotNull(right ordering EXPRESSION) instead would misfire
-          // when ro is non-null-propagating (coalesce(q.ts, 0) evaluates
-          // non-null over an all-null right row).
-          val marker = Alias(Literal(true), "__asof_matched")()
-          val r2 = Project(j.right.output :+ marker, j.right)
-          val asof = AsOfJoin(j.left, r2,
-            eqs.map(_._1), eqs.map(_._2), Seq(lo), Seq(ro),
-            strict, tolerance = None, direction = dir,
-            broadcast = AsOfBroadcast.Auto)
-          Project(asof.output.filterNot(_.exprId == marker.exprId),
-            Filter(IsNotNull(marker.toAttribute), asof))
-        }
+    val ordered = marks.filter(_.rhsHint.nonEmpty) ++
+      marks.filter(_.rhsHint.isEmpty)
+    // one mark converted per pass: conversion rebuilds ancestor nodes, so
+    // node identity is only stable within a pass — each iteration
+    // re-collects candidates over the current tree (converted joins are
+    // AsOfJoin nodes by then and can never match twice)
+    ordered.foldLeft(child) { (plan, mark) =>
+      val wantType = if (mark.leftOuter) LeftOuter else Inner
+      val shaped = plan.collect {
+        case j @ Join(l, r, t, Some(cond), _)
+            if t == wantType && asOfShape(l, r, cond).isDefined => j
+      }
+      val candidates =
+        if (mark.rhsHint.isEmpty) shaped
+        else shaped.filter(j => aliases(j.right).intersect(mark.rhsHint).nonEmpty)
+      if (candidates.length != 1) throw new IllegalArgumentException(
+        s"ASOF JOIN: expected exactly one " +
+          s"${if (mark.leftOuter) "LEFT " else ""}join " +
+          "with an as-of ON shape (>=1 equality plus exactly one inequality " +
+          s"between the two sides)" +
+          (if (mark.rhsHint.nonEmpty)
+            s" whose right side is ${mark.rhsHint.mkString("/")}"
+           else "") +
+          s", found ${candidates.length}")
+      val target = candidates.head
+      plan.transformUp {
+        case j: Join if j eq target => convertOne(j, mark.leftOuter)
+      }
+    }
+  }
+
+  private def convertOne(j: Join, leftOuter: Boolean): LogicalPlan = {
+    val (eqs, (lo, ro), dir, strict) =
+      asOfShape(j.left, j.right, j.condition.get).get
+    if (leftOuter) {
+      AsOfJoin(j.left, j.right,
+        eqs.map(_._1), eqs.map(_._2), Seq(lo), Seq(ro),
+        strict, tolerance = None, direction = dir,
+        broadcast = AsOfBroadcast.Auto)
+    } else {
+      // inner semantics: drop unmatched lefts. The matched-ness
+      // witness is a literal TRUE projected onto the right child —
+      // null after the join iff the row is unmatched. Filtering on
+      // IsNotNull(right ordering EXPRESSION) instead would misfire
+      // when ro is non-null-propagating (coalesce(q.ts, 0) evaluates
+      // non-null over an all-null right row).
+      val marker = Alias(Literal(true), "__asof_matched")()
+      val r2 = Project(j.right.output :+ marker, j.right)
+      val asof = AsOfJoin(j.left, r2,
+        eqs.map(_._1), eqs.map(_._2), Seq(lo), Seq(ro),
+        strict, tolerance = None, direction = dir,
+        broadcast = AsOfBroadcast.Auto)
+      Project(asof.output.filterNot(_.exprId == marker.exprId),
+        Filter(IsNotNull(marker.toAttribute), asof))
     }
   }
 }

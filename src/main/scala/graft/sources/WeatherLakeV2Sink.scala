@@ -184,7 +184,16 @@ object WeatherLakeV2Sink {
   def partitionValues(basePath: String, file: String): Map[String, String] = {
     val base = new Path(basePath).toUri.getPath.stripSuffix("/")
     val dir = new Path(file).getParent.toUri.getPath
-    val rel = if (dir.startsWith(base)) dir.drop(base.length) else dir
+    // TRUE descendants only: a bare startsWith would mis-relativize a
+    // sibling sharing the base as a string prefix (/tmp/lake vs
+    // /tmp/lake2/city=x → phantom "city=x"). A file outside the root
+    // carries no trustworthy partition values at all — empty map, so it
+    // always survives pruning (the keep-rule above), never gets pruned on
+    // misparsed path segments.
+    val rel =
+      if (dir == base) ""
+      else if (dir.startsWith(base + "/")) dir.drop(base.length + 1)
+      else return Map.empty
     rel.split('/')
       .filter(_.contains('='))
       .map { seg =>

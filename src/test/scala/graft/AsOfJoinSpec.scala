@@ -553,6 +553,27 @@ class AsOfJoinSpec extends SparkSpec {
     } finally s.conf.set("spark.sql.adaptive.enabled", oldAqe)
   }
 
+  test("time-sliced as-of refuses inputs that carry its reserved " +
+      "internal column names instead of silently replacing them") {
+    val s = spark
+    import s.implicits._
+    val l = Seq(("a", 1L, 9L)).toDF("k", "t", "__asof_slice")
+    val r = Seq(("a", 1L, 9L)).toDF("k", "t", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoinPlan.asofJoinTimeSliced(l, r,
+        keys = Seq("k" -> "k"), order = Seq("t" -> "t"),
+        toleranceUs = 10L, sliceUs = 10L)
+    }
+    assert(e.getMessage.contains("__asof_slice"), e.getMessage)
+    val r2 = Seq(("a", 1L, 9L)).toDF("k", "t", "__asof_shift")
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoinPlan.asofJoinTimeSliced(Seq(("a", 1L)).toDF("k", "t"), r2,
+        keys = Seq("k" -> "k"), order = Seq("t" -> "t"),
+        toleranceUs = 10L, sliceUs = 10L)
+    }
+    assert(e2.getMessage.contains("__asof_shift"), e2.getMessage)
+  }
+
   test("GraftExtensions injects the strategy AND the optimizer rule") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)

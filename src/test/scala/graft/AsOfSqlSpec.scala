@@ -104,19 +104,95 @@ class AsOfSqlSpec extends SparkSpec {
 
   test("unsupported shapes fail loudly, not silently as a plain join") {
     views()
-    // two ASOF joins in one statement
-    val e1 = intercept[IllegalArgumentException] {
-      spark.sql("""SELECT * FROM sql_trades t
-        ASOF JOIN sql_quotes q ON t.sym = q.sym AND t.t >= q.t
-        ASOF JOIN sql_quotes q2 ON t.sym = q2.sym AND t.t >= q2.t""")
-    }
-    assert(e1.getMessage.contains("one per statement"))
     // no inequality in the ON clause: not an as-of shape
     val e2 = intercept[IllegalArgumentException] {
       spark.sql("""SELECT * FROM sql_trades t
         ASOF JOIN sql_quotes q ON t.sym = q.sym""").collect()
     }
     assert(e2.getMessage.contains("as-of ON shape"))
+  }
+
+  test("two ASOF joins in one statement resolve independently by anchor") {
+    views()
+    val s = spark
+    import s.implicits._
+    Seq(("A", 8L, 7L), ("A", 28L, 8L), ("B", 1L, 9L))
+      .toDF("sym", "t", "ref_id").createOrReplaceTempView("sql_refs")
+    val got = spark.sql("""SELECT t.sym, t.t, q.px, r.ref_id
+      FROM sql_trades t
+      ASOF LEFT JOIN sql_quotes q ON t.sym = q.sym AND t.t >= q.t
+      ASOF LEFT JOIN sql_refs r ON t.sym = r.sym AND t.t >= r.t""")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    // DataFrame twin: two chained backward non-strict as-ofs
+    val first = AsOfJoinPlan.asofJoin(
+      s.table("sql_trades"), s.table("sql_quotes"),
+      keys = Seq("sym" -> "sym"), order = Seq("t" -> "t"), strict = false)
+    val expected = AsOfJoinPlan.asofJoin(
+        first.select(col("sym"), col("t"), col("px_r")),
+        s.table("sql_refs"),
+        keys = Seq("sym" -> "sym"), order = Seq("t" -> "t"),
+        strict = false, rightSuffix = "_r2")
+      .select(col("sym"), col("t"), col("px_r"), col("ref_id_r2"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(got == expected)
+    assert(got(("A", 10L, 101L, 7L)) && got(("C", 5L, -1L, -1L)), got.toString)
+    // both joins planned to the native operator
+    val plan = spark.sql("""SELECT t.sym, t.t, q.px, r.ref_id
+      FROM sql_trades t
+      ASOF LEFT JOIN sql_quotes q ON t.sym = q.sym AND t.t >= q.t
+      ASOF LEFT JOIN sql_refs r ON t.sym = r.sym AND t.t >= r.t""")
+      .queryExecution.optimizedPlan
+    val nAsOf = plan.collect { case a: graft.plans.AsOfJoin => a }.size
+    assert(nAsOf == 2, s"expected 2 native as-of nodes, got $nAsOf:\n$plan")
+  }
+
+  test("two anchor-less ASOF joins are genuinely ambiguous and refuse") {
+    views()
+    // both right sides are subqueries: no alias anchor — with two shaped
+    // inner joins of the same type the rule must refuse, never guess
+    val e = intercept[IllegalArgumentException] {
+      spark.sql("""SELECT * FROM sql_trades t
+        ASOF JOIN (SELECT sym AS qs, t AS qt FROM sql_quotes)
+          ON t.sym = qs AND t.t >= qt
+        ASOF JOIN (SELECT sym AS q2s, t AS q2t FROM sql_quotes)
+          ON t.sym = q2s AND t.t >= q2t""")
+        .collect()
+    }
+    assert(e.getMessage.contains("ASOF JOIN"), e.getMessage)
+  }
+
+  test("string literals and comments containing 'ASOF JOIN' are never " +
+      "rewritten, counted, or corrupted") {
+    views()
+    // literal-only occurrence: the statement has NO real as-of join and a
+    // range-shaped join — nothing may be converted, the literal's value
+    // must survive byte-identical
+    val r1 = spark.sql("""SELECT t.sym, 'use ASOF JOIN here' AS hint, q.px
+      FROM sql_trades t JOIN sql_quotes q
+        ON t.sym = q.sym AND t.t >= q.t""")
+    assert(r1.queryExecution.optimizedPlan.collect {
+      case a: graft.plans.AsOfJoin => a }.isEmpty,
+      "a literal mention must not convert the coincidental range join")
+    assert(r1.select("hint").head().getString(0) == "use ASOF JOIN here")
+    // literal + real ASOF in one statement: the real one converts, the
+    // literal survives
+    val r2 = spark.sql("""SELECT t.sym, t.t, 'ASOF JOIN docs' AS note, q.px
+      FROM sql_trades t
+      ASOF LEFT JOIN sql_quotes q ON t.sym = q.sym AND t.t >= q.t""")
+    assert(r2.queryExecution.optimizedPlan.collect {
+      case a: graft.plans.AsOfJoin => a }.size == 1)
+    assert(r2.select("note").head().getString(0) == "ASOF JOIN docs")
+    // comment occurrences (line + bracketed) are invisible to the rewrite
+    val r3 = spark.sql("""SELECT t.sym, t.t, q.px -- ASOF JOIN in a comment
+      FROM sql_trades t /* and ASOF JOIN in a block comment */
+      ASOF LEFT JOIN sql_quotes q ON t.sym = q.sym AND t.t >= q.t""")
+    assert(r3.queryExecution.optimizedPlan.collect {
+      case a: graft.plans.AsOfJoin => a }.size == 1)
+    assert(r3.count() == 5)
   }
 
   test("the rhs anchor stops conversion of a DIFFERENT as-of-shaped join " +

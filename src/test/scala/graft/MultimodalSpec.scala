@@ -122,6 +122,31 @@ class MultimodalSpec extends SparkSpec {
       "completed tasks must rename every in-progress shard away")
   }
 
+  test("shard export: runs sharing a directory never collide on a " +
+      "published name; each manifest scopes to its own run") {
+    import graft.multimodal.Multimodal
+    val s = spark
+    import s.implicits._
+    // (partitionId, taskAttemptId) restart at 0 in a new application, so
+    // names must carry a per-job token; two same-shaped writes into one
+    // directory are the in-process proxy for that cross-application case
+    val dir = java.nio.file.Files.createTempDirectory("shards_two").toString
+    def rows(tag: Long) = (0L until 10L)
+      .map(i => Multimodal.MediaRow(tag * 100 + i, "image",
+        Array.fill(20)((tag + i).toByte))).toDS().coalesce(1)
+    val m1 = Multimodal.writeShards(rows(1), dir, shardBytes = 1024L)
+    val m2 = Multimodal.writeShards(rows(2), dir, shardBytes = 1024L)
+    assert(m1.map(_.path).toSet.intersect(m2.map(_.path).toSet).isEmpty,
+      "two runs over one directory must publish disjoint shard names")
+    // each manifest reads back exactly its own run's records
+    assert(Multimodal.readShardManifest(spark, m1).collect()
+      .map(_.media_id).toSet == (100L until 110L).toSet)
+    assert(Multimodal.readShardManifest(spark, m2).collect()
+      .map(_.media_id).toSet == (200L until 210L).toSet)
+    // the glob reader sees the union
+    assert(Multimodal.readShards(spark, dir).count() == 20L)
+  }
+
   test("shard export: an oversized record lands alone; a truncated shard " +
       "fails loudly") {
     import graft.multimodal.Multimodal

@@ -442,6 +442,26 @@ class WeatherLakeV2SinkSpec extends SparkSpec {
       "the bare file must be the only survivor of an all-false predicate")
   }
 
+  test("a sibling path sharing the base as a string prefix never " +
+      "mis-relativizes into phantom partition values") {
+    val Sink = graft.sources.WeatherLakeV2Sink
+    // /tmp/…/lake vs /tmp/…/lake2: a bare startsWith would strip the
+    // shorter base and misparse '2/city=x'; the true-descendant guard
+    // must treat the sibling as outside the root entirely (empty map →
+    // always survives pruning, never pruned on misparsed segments)
+    val base = Files.createTempDirectory("lakev2sib").toString
+    val lake = s"$base/lake"
+    val sibling = s"$base/lake2/city=x/part-0.json"
+    assert(Sink.partitionValues(lake, sibling).isEmpty,
+      "a non-descendant file must carry no partition values")
+    // and a path with an '=' straddling the boundary cannot invent keys
+    val straddle = s"$base/lake=archive/ds=9/part-0.json"
+    assert(Sink.partitionValues(lake, straddle).isEmpty)
+    // true descendants still parse exactly their below-base segments
+    assert(Sink.partitionValues(lake, s"$lake/city=a/ds=1/f.json") ==
+      Map("city" -> "a", "ds" -> "1"))
+  }
+
   test("missing path option fails fast with the option named") {
     val e = intercept[IllegalArgumentException] {
       new graft.sources.WeatherLakeV2Sink()
