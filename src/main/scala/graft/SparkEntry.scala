@@ -217,6 +217,34 @@ object SparkEntry {
       p
     })
 
+  /** A committed V2 manifest lake holding the documents corpus as JSON
+    * payloads — the substrate q89 MERGEs into and q91 time-travels over.
+    * Base ingest uses a DETERMINISTIC manifest id ("base"), so a second
+    * session over the same corpus short-circuits instead of
+    * double-writing (the exactly-once discipline); the lake path is
+    * content-addressed per corpus (the ModelExport sig discipline) so
+    * multi-SF runs never collide. Row payload: {"doc_id": k, "val": k} —
+    * val is what the merge updates.
+    */
+  private val mergeLakeCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def mergeBaseLake(s: SparkSession, dir: String): String =
+    mergeLakeCache.getOrElseUpdate(s"${System.identityHashCode(s)}#$dir", {
+      val docs = Tables.documents(s, dir)
+      val sig = graft.similarity.ModelExport.corpusSig(docs, "doc_id")
+      val p = s"/tmp/graft_merge_lake/sig=$sig"
+      if (!graft.sources.WeatherLakeV2Sink.manifestExists(p, "base")) {
+        docs.select(
+            col("source").as("city"), lit("2024-01-01").as("ds"),
+            format_string("%02d", col("doc_id") % 24).as("hour"),
+            to_json(struct(col("doc_id"),
+              col("doc_id").cast("long").as("val"))).as("raw_json"))
+          .write.format("graft.sources.WeatherLakeV2Sink")
+          .option("manifestId", "base").mode("append").save(p)
+      }
+      p
+    })
+
   /** One curation-pipeline run per (session, corpus dir), shared by every
     * consumer of its outputs — p01 reads chunks, p02 the lineage, p03 the
     * per-source card. Same discipline as [[dedupComponents]]: a production
@@ -5231,7 +5259,75 @@ object SparkEntry {
         |    AS DECIMAL(38,12))) AS DOUBLE), 6) AS kl
         |FROM cst JOIN ns USING(source) JOIN ct USING(tok) CROSS JOIN n
         |GROUP BY source, n_s""".stripMargin),
-      (s, dir) => Text.sourceKlDivergence(Tables.documents(s, dir)))
+      (s, dir) => Text.sourceKlDivergence(Tables.documents(s, dir))),
+
+    QueryDef("q89_lake_merge",
+      "Copy-on-write MERGE INTO the manifest lake — the one reference " +
+        "semantic previously only emulated: Postgres ON CONFLICT DO " +
+        "UPDATE (load_to_postgres.py:90-102) as a NATIVE lake operation. " +
+        "A delta batch (updates for doc_id%7==0, 25 brand-new keys) " +
+        "merges into the committed base: candidate files partition-prune " +
+        "on the driver, ONE distributed pass semi-joins candidate lines " +
+        "to batch keys to find the files actually touched, survivors " +
+        "anti-join + batch rewrite into rolled files, and ONE manifest " +
+        "published by atomic rename supersedes the old view — readers " +
+        "see old-or-new, never a mix; untouched files are re-listed, " +
+        "never rewritten. Idempotent, so every bench pass measures a " +
+        "real merge. The oracle replays the upsert relationally " +
+        "(LEFT JOIN + COALESCE + UNION of inserts) — the functional " +
+        "dedupUpsert truth.",
+      Some("""WITH upd AS (SELECT doc_id, CAST(doc_id * 2 AS BIGINT) AS val
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |merged AS (
+        |  SELECT b.doc_id, COALESCE(u.val, CAST(b.doc_id AS BIGINT)) AS val
+        |  FROM documents b LEFT JOIN upd u ON b.doc_id = u.doc_id
+        |  UNION ALL
+        |  SELECT CAST(doc_id + 10000 AS BIGINT) AS doc_id,
+        |    CAST(doc_id + 10000 AS BIGINT) AS val
+        |  FROM documents WHERE doc_id < 25)
+        |SELECT doc_id, val FROM merged""".stripMargin),
+      (s, dir) => {
+        val p = mergeBaseLake(s, dir)
+        val docs = Tables.documents(s, dir)
+        val updates = docs.filter(col("doc_id") % 7 === 0).select(
+          col("source").as("city"), lit("2024-01-01").as("ds"),
+          format_string("%02d", col("doc_id") % 24).as("hour"),
+          to_json(struct(col("doc_id"),
+            (col("doc_id") * 2).cast("long").as("val"))).as("raw_json"))
+        val inserts = docs.filter(col("doc_id") < 25).select(
+          lit("fresh").as("city"), lit("2024-02-01").as("ds"),
+          lit("00").as("hour"),
+          to_json(struct((col("doc_id") + 10000).as("doc_id"),
+            (col("doc_id") + 10000).cast("long").as("val"))).as("raw_json"))
+        graft.sources.WeatherLakeV2Sink.mergeCommitted(s, p,
+          updates.unionByName(inserts),
+          f => get_json_object(f("raw_json"), "$.doc_id"))
+        graft.sources.WeatherLakeV2Sink.readCommitted(s, p)
+          .select(
+            get_json_object(col("value"), "$.doc_id").cast("long").as("doc_id"),
+            get_json_object(col("value"), "$.val").cast("long").as("val"))
+      }),
+
+    QueryDef("q91_time_travel",
+      "Snapshot time travel over the manifest lake: the q89 merges " +
+        "supersede the base manifest in the CURRENT view, but a reader " +
+        "pinned to the base snapshot (the ordered manifest history is " +
+        "the version axis — here the deterministic base commit) still " +
+        "reads exactly the pre-merge table, because supersedes " +
+        "directives are honored only WITHIN the pinned set and " +
+        "superseded data files survive until vacuum (the documented " +
+        "durability horizon, spec-pinned). The oracle replays the " +
+        "pre-delta state — base rows only, no updates, no inserts. " +
+        "O(snapshot manifests) driver metadata + a distributed read of " +
+        "exactly the pinned files.",
+      Some("SELECT doc_id, CAST(doc_id AS BIGINT) AS val FROM documents"),
+      (s, dir) => {
+        val p = mergeBaseLake(s, dir)
+        graft.sources.WeatherLakeV2Sink.readAsOf(s, p, Seq("manifest-base.txt"))
+          .select(
+            get_json_object(col("value"), "$.doc_id").cast("long").as("doc_id"),
+            get_json_object(col("value"), "$.val").cast("long").as("val"))
+      })
   )
 
   /** DuckDB rendering of [[Text.bpeTokenize]]: the same merge ranking as a

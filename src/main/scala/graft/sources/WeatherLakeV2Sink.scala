@@ -458,6 +458,257 @@ object WeatherLakeV2Sink {
   }
 
   // -----------------------------------------------------------------
+  // maintenance mutual exclusion (merge / compact)
+  // -----------------------------------------------------------------
+
+  /** Maintenance operations (copy-on-write [[mergeCommitted]] and
+    * [[compact]]) snapshot the live-manifest set and later publish ONE
+    * manifest superseding it — two running concurrently would each
+    * re-list the snapshot's surviving files and double-count every row
+    * both touch. They therefore serialize on an exclusive lock taken by
+    * atomic rename (create a unique tmp, rename to the lock name; the
+    * loser's rename finds the destination present and fails LOUDLY with
+    * ConcurrentModificationException — never a silent wait). Plain
+    * appends and the exactly-once streaming writer never supersede
+    * anything and take no lock; vacuum only touches already-superseded
+    * manifests and needs none either.
+    *
+    * Crash recovery: the lock file carries its holder op and creation
+    * time; a lock older than `staleLockMs` is presumed abandoned by a
+    * died job and is broken (deleted and re-acquired) — the same
+    * time-based lease every object-store lock service offers. Real
+    * multi-writer deployments put this file on a filesystem with atomic
+    * rename (HDFS, ABFS) or swap in a lock service; the protocol is
+    * unchanged.
+    */
+  private def withMaintenanceLock[T](basePath: String, op: String,
+      staleLockMs: Long = 10L * 60 * 1000)(body: => T): T = {
+    val fs = new Path(basePath).getFileSystem(new Configuration())
+    val mdir = new Path(basePath, ManifestDir)
+    fs.mkdirs(mdir)
+    val lock = new Path(mdir, ".maintenance.lock")
+    def tryAcquire(): Boolean = {
+      val tmp = new Path(mdir, s".lock-${UUID.randomUUID().toString}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(s"$op ${System.currentTimeMillis()}\n".getBytes("UTF-8"))
+      finally out.close()
+      val won = fs.rename(tmp, lock) && !fs.exists(tmp)
+      if (!won) fs.delete(tmp, false)
+      won
+    }
+    var acquired = tryAcquire()
+    if (!acquired && fs.exists(lock) &&
+        fs.getFileStatus(lock).getModificationTime <
+          System.currentTimeMillis() - staleLockMs) {
+      fs.delete(lock, false) // break the abandoned lease, then race fairly
+      acquired = tryAcquire()
+    }
+    if (!acquired) {
+      val holder =
+        try readLines(fs, lock).headOption.getOrElse("?")
+        catch { case _: Exception => "?" }
+      throw new java.util.ConcurrentModificationException(
+        s"WeatherLakeV2Sink: maintenance lock at $lock is held ($holder); " +
+          "merge/compact serialize — retry after the holder publishes")
+    }
+    try body finally fs.delete(lock, false)
+  }
+
+  /** The scan row's source file as a scheme-stripped absolute path,
+    * comparable to `new Path(manifestLine).toUri.getPath` — the join key
+    * that ties a read line back to its manifest entry unambiguously
+    * (basenames are NOT assumed unique across directories).
+    */
+  private def filePathCol: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{input_file_name, regexp_replace}
+    regexp_replace(input_file_name(), "^[a-z]+:/+", "/")
+  }
+
+  /** Distributed rolling writer shared by [[compact]] and
+    * [[mergeCommitted]]: routes (dir, value) rows so each directory's
+    * lines land in `part-<op>-<uuid>` files rolled at `targetBytes`,
+    * returning the written paths. Files are INVISIBLE until a manifest
+    * lists them — a died job leaves only manifest-less orphans.
+    */
+  private def writeRolled(rows: org.apache.spark.sql.DataFrame, op: String,
+      basePath: String, targetBytes: Long): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    rows
+      .repartition(col("dir"))
+      .mapPartitions { it =>
+        val pfs = new Path(basePath).getFileSystem(new Configuration())
+        // per-dir open stream + bytes written since its last roll
+        val streams = mutable.Map.empty[String,
+          (org.apache.hadoop.fs.FSDataOutputStream, Long)]
+        val written = mutable.ArrayBuffer.empty[String]
+        def open(dir: String): (org.apache.hadoop.fs.FSDataOutputStream, Long) = {
+          val f = new Path(dir, s"part-$op-${UUID.randomUUID().toString}.json")
+          written += f.toString
+          (pfs.create(f, false), 0L)
+        }
+        it.foreach { row =>
+          val dir = row.getString(0)
+          val bytes = row.getString(1).getBytes("UTF-8")
+          var (out, n) = streams.getOrElseUpdate(dir, open(dir))
+          if (n > 0 && n + bytes.length + 1 > targetBytes) { // roll at the target
+            out.close()
+            val fresh = open(dir)
+            out = fresh._1; n = fresh._2
+          }
+          out.write(bytes)
+          out.write('\n')
+          streams.update(dir, (out, n + bytes.length + 1))
+        }
+        streams.values.foreach(_._1.close())
+        written.iterator
+      }(org.apache.spark.sql.Encoders.STRING)
+      .collect().toSeq
+  }
+
+  // -----------------------------------------------------------------
+  // copy-on-write MERGE (row-level upsert into the committed lake)
+  // -----------------------------------------------------------------
+
+  /** Result of a [[mergeCommitted]]: how many committed files were
+    * rewritten and how many replacement files were published.
+    */
+  final case class MergeStats(touchedFiles: Int, newFiles: Int)
+
+  /** Copy-on-write MERGE of `batch` into the committed lake — the native
+    * form of the one reference semantic previously only emulated: Postgres
+    * `ON CONFLICT (city,timestamp) DO UPDATE` (load_to_postgres.py:90-102,
+    * create_staging.sql:10). Rows of `batch` REPLACE committed rows that
+    * share their merge key; keys seen for the first time append. `batch`
+    * carries the sink [[Schema]] (city, ds, hour, raw_json) and must be
+    * key-unique — collapse in-batch duplicates first
+    * (`Weather.dedupUpsert`), exactly as the reference dedups staging
+    * before its upsert.
+    *
+    * Partition-immutability contract (what makes step 1's pruning sound,
+    * the same contract Delta's partition-pruned MERGE keeps): a batch row
+    * must carry the SAME (city, ds, hour) as the committed row it
+    * replaces. The reference's key is (city, timestamp) and ds/hour
+    * derive from the timestamp, so this holds by construction there; a
+    * key whose partition columns changed is treated as NEW (the old
+    * partition's copy is not searched for). Files without partition
+    * values in their path can never be ruled out and are always
+    * candidates.
+    *
+    * `key(frame)` maps any frame with the Schema columns to the merge-key
+    * Column — evaluated identically over the batch and over committed
+    * lines re-framed to the Schema (partition values recovered from each
+    * file's directory path; a committed file outside any `k=v` directory
+    * surfaces nulls there, so key on `raw_json` fields to merge those).
+    *
+    * Plan shape, sized for 100 TB:
+    *  1. partition-prune candidates on the driver: only committed files
+    *     whose (city, ds, hour) appears among the batch's distinct
+    *     partition tuples can hold a conflicting key — O(committed files)
+    *     driver metadata against a broadcast-sized tuple set, no IO;
+    *  2. ONE distributed pass finds the files actually touched: candidate
+    *     lines semi-joined to batch keys (broadcast when small), distinct
+    *     `input_file_name` — the only data read before the rewrite, and
+    *     only of candidate files;
+    *  3. rewrite = surviving lines of touched files (anti-join on key)
+    *     unioned with the batch, rolled to `targetBytes` files per
+    *     directory ([[writeRolled]] — distributed, no driver data);
+    *  4. publish ONE manifest by atomic rename, superseding the whole
+    *     snapshotted live set and re-listing untouched files verbatim —
+    *     a concurrent reader resolves the old committed view or the new
+    *     one, never a mix; concurrent APPENDS land after the snapshot
+    *     and stay live untouched. Superseded data files await [[vacuum]].
+    *
+    * Serializes against other merges and [[compact]] via the maintenance
+    * lock (see [[withMaintenanceLock]]); fails loudly when one is
+    * running. Idempotent: re-merging the same batch rewrites the same
+    * keys to the same values.
+    */
+  def mergeCommitted(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, batch: org.apache.spark.sql.DataFrame,
+      key: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Column,
+      targetBytes: Long = 128L * 1024 * 1024): MergeStats =
+    withMaintenanceLock(basePath, "merge") {
+      import org.apache.spark.sql.functions.{broadcast, col, lit}
+      require(targetBytes > 0, "targetBytes must be positive")
+      val snapshotNames = liveManifests(basePath)
+      val committed = committedFiles(basePath)
+      // 1. driver-side partition pruning of the candidate set: bounded by
+      // the batch's distinct partition tuples (same class as the
+      // mergeUpsertParquet touched-ds collect), never by batch rows
+      val batchParts = batch
+        .select(col("city"), col("ds"), col("hour")).distinct()
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+        .toSet
+      val candidates = committed.filter { f =>
+        val pv = partitionValues(basePath, f)
+        // a file without full partition values can't be ruled out
+        (pv.get("city"), pv.get("ds"), pv.get("hour")) match {
+          case (Some(c), Some(d), Some(h)) => batchParts((c, d, h))
+          case _ => true
+        }
+      }
+      // per-file metadata rides a BROADCAST equi-join on the FULL
+      // scheme-stripped path (NOT the basename: a task-scoped writer may
+      // create same-named files in every directory it routes to, and a
+      // basename join would fan each line out to all of them): directory
+      // (for survivor routing) and partition values (recovered on the
+      // DRIVER via the base-relative partitionValues, so the careful
+      // true-descendant logic isn't re-implemented in columns)
+      val dirOf = candidates.map { f =>
+        val pv = partitionValues(basePath, f)
+        (new Path(f).toUri.getPath, f, new Path(f).getParent.toString,
+          pv.get("city").orNull, pv.get("ds").orNull, pv.get("hour").orNull)
+      }
+      val session = spark
+      import session.implicits._
+      // committed candidate lines, re-framed to the write Schema so `key`
+      // evaluates identically on both sides
+      def framed(lines: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        lines
+          .select(filePathCol.as("path"), col("value"))
+          .join(broadcast(
+            dirOf.toDF("path", "file", "dir", "city", "ds", "hour")), "path")
+          .select(col("file"), col("dir"), col("value"),
+            col("city"), col("ds"), col("hour"),
+            col("value").as("raw_json"))
+      val batchKeys = batch.select(key(batch).as("__key")).distinct()
+      val touched: Seq[String] =
+        if (candidates.isEmpty) Seq.empty
+        else {
+          val cand = framed(textFrame(session, candidates))
+          cand.withColumn("__key", key(cand))
+            .join(batchKeys, "__key", "left_semi")
+            .select(col("file"))
+            .distinct().collect()
+            .map(_.getString(0)).toSeq
+        }
+      val untouched = committed.filterNot(touched.toSet)
+      // 3. survivors of touched files + the batch, routed to directories
+      val batchRouted = batch.select(
+        org.apache.spark.sql.functions.concat_ws("/", lit(basePath),
+          org.apache.spark.sql.functions.concat(lit("city="), col("city")),
+          org.apache.spark.sql.functions.concat(lit("ds="), col("ds")),
+          org.apache.spark.sql.functions.concat(lit("hour="), col("hour")))
+          .as("dir"),
+        col("raw_json").as("value"))
+      val rewrite =
+        if (touched.isEmpty) batchRouted
+        else {
+          val tf = framed(textFrame(session, touched))
+          val survivors = tf
+            .withColumn("__key", key(tf))
+            .join(batchKeys, "__key", "left_anti")
+            .select(col("dir"), col("value"))
+          survivors.unionByName(batchRouted)
+        }
+      val newFiles = writeRolled(rewrite, "merge", basePath, targetBytes)
+      // 4. one superseding manifest: old view or new view, never a mix
+      writeManifest(basePath, s"merge-${UUID.randomUUID().toString}",
+        snapshotNames.map(n => s"$SupersedesPrefix$n") ++ untouched ++ newFiles)
+      MergeStats(touched.size, newFiles.size)
+    }
+
+  // -----------------------------------------------------------------
   // manifest-driven small-file compaction
   // -----------------------------------------------------------------
 
@@ -499,8 +750,9 @@ object WeatherLakeV2Sink {
     * Returns the number of directories compacted (0 = nothing to do).
     */
   def compact(spark: org.apache.spark.sql.SparkSession, basePath: String,
-      targetBytes: Long = 128L * 1024 * 1024): Int = {
-    import org.apache.spark.sql.functions.{broadcast, col, element_at, input_file_name, split}
+      targetBytes: Long = 128L * 1024 * 1024): Int = withMaintenanceLock(
+      basePath, "compact") {
+    import org.apache.spark.sql.functions.{broadcast, col}
     require(targetBytes > 0, "targetBytes must be positive")
     val fs = new Path(basePath).getFileSystem(new Configuration())
     val mdir = new Path(basePath, ManifestDir)
@@ -519,51 +771,27 @@ object WeatherLakeV2Sink {
         fls.map(f => fs.getFileStatus(new Path(f)).getLen).sum.toDouble /
           fls.size < targetBytes / 2.0
     }
-    if (multi.isEmpty) return 0
-    val compactedDirs = multi.keySet
-    val keep = filesByDir.collect {
-      case (d, fs1) if !compactedDirs(d) => fs1 }.flatten.toSeq
-    val session = spark
-    import session.implicits._
-    val dirOfBase = multi.toSeq.flatMap { case (d, fls) =>
-      fls.map(f => (new Path(f).getName, d)) }
-    val tgt = targetBytes
-    val newFiles = session.read.text(multi.values.flatten.toSeq: _*)
-      .select(element_at(split(input_file_name(), "/"), -1).as("base"), col("value"))
-      .join(broadcast(dirOfBase.toDF("base", "dir")), "base")
-      .select(col("dir"), col("value"))
-      .repartition(col("dir"))
-      .mapPartitions { it =>
-        val pfs = new Path(basePath).getFileSystem(new Configuration())
-        // per-dir open stream + bytes written since its last roll
-        val streams = mutable.Map.empty[String,
-          (org.apache.hadoop.fs.FSDataOutputStream, Long)]
-        val written = mutable.ArrayBuffer.empty[String]
-        def open(dir: String): (org.apache.hadoop.fs.FSDataOutputStream, Long) = {
-          val f = new Path(dir, s"part-compact-${UUID.randomUUID().toString}.json")
-          written += f.toString
-          (pfs.create(f, false), 0L)
-        }
-        it.foreach { row =>
-          val dir = row.getString(0)
-          val bytes = row.getString(1).getBytes("UTF-8")
-          var (out, n) = streams.getOrElseUpdate(dir, open(dir))
-          if (n > 0 && n + bytes.length + 1 > tgt) { // roll at the target
-            out.close()
-            val fresh = open(dir)
-            out = fresh._1; n = fresh._2
-          }
-          out.write(bytes)
-          out.write('\n')
-          streams.update(dir, (out, n + bytes.length + 1))
-        }
-        streams.values.foreach(_._1.close())
-        written.iterator
-      }
-      .collect().toSeq
-    writeManifest(basePath, s"compact-${UUID.randomUUID().toString}",
-      snapshot.map(n => s"$SupersedesPrefix$n") ++ keep ++ newFiles)
-    multi.size
+    if (multi.isEmpty) 0
+    else {
+      val compactedDirs = multi.keySet
+      val keep = filesByDir.collect {
+        case (d, fs1) if !compactedDirs(d) => fs1 }.flatten.toSeq
+      val session = spark
+      import session.implicits._
+      // full-path join, same reason as mergeCommitted: basenames are not
+      // unique across directories (a task routes same-named files into
+      // every directory it touches)
+      val dirOfPath = multi.toSeq.flatMap { case (d, fls) =>
+        fls.map(f => (new Path(f).toUri.getPath, d)) }
+      val rows = session.read.text(multi.values.flatten.toSeq: _*)
+        .select(filePathCol.as("path"), col("value"))
+        .join(broadcast(dirOfPath.toDF("path", "dir")), "path")
+        .select(col("dir"), col("value"))
+      val newFiles = writeRolled(rows, "compact", basePath, targetBytes)
+      writeManifest(basePath, s"compact-${UUID.randomUUID().toString}",
+        snapshot.map(n => s"$SupersedesPrefix$n") ++ keep ++ newFiles)
+      multi.size
+    }
   }
 
   /** Reclaim space after [[compact]]: delete data files referenced ONLY
@@ -578,6 +806,17 @@ object WeatherLakeV2Sink {
     * once every non-live file it references is gone from disk — deleting
     * it earlier would orphan the age-guarded survivors (no manifest left
     * to find them by, so no later vacuum could ever reclaim them).
+    *
+    * `minAgeMs` ALSO guards the manifest itself: a superseded manifest's
+    * NAME is the exactly-once replay token of [[exactlyOnceBatchWriter]].
+    * Deleting it is softened one generation deep by the superseding
+    * manifest's `#supersedes` directive, which TOMBSTONES the name — a
+    * replay that republishes it stays invisible (spec-pinned) and its
+    * orphan files are reclaimed by the next vacuum. The tombstone dies
+    * only when the superseding manifest is itself superseded and
+    * vacuumed; run vacuum with `minAgeMs` above the maximum replay
+    * window (Delta's vacuum-retention vs streaming contract) so that
+    * two-generation window can never race a replay.
     */
   def vacuum(basePath: String, minAgeMs: Long = 0L): Int = {
     val fs = new Path(basePath).getFileSystem(new Configuration())
@@ -597,7 +836,12 @@ object WeatherLakeV2Sink {
         present.partition(p => fs.getFileStatus(p).getModificationTime < cutoff)
       old.foreach(fs.delete(_, false))
       removed += old.size
-      if (young.isEmpty) fs.delete(new Path(mdir, n), false)
+      // manifest deletion honors the age guard too: its NAME is the
+      // exactly-once replay token (see above)
+      val mPath = new Path(mdir, n)
+      if (young.isEmpty &&
+          fs.getFileStatus(mPath).getModificationTime < cutoff)
+        fs.delete(mPath, false)
     }
     removed
   }
@@ -620,13 +864,15 @@ object WeatherLakeV2Sink {
     private val fs = new Path(basePath).getFileSystem(new Configuration())
     private val streams = mutable.Map.empty[String, org.apache.hadoop.fs.FSDataOutputStream]
     private val written = mutable.ArrayBuffer.empty[String]
-    private val fileUuid = UUID.randomUUID().toString
 
     override def write(row: InternalRow): Unit = {
       val dir = s"city=${row.getString(0)}/ds=${row.getString(1)}/hour=${row.getString(2)}"
       val out = streams.getOrElseUpdate(dir, {
+        // uuid per FILE (not per task): a task writing many directories
+        // must not reuse one basename across them — maintenance joins and
+        // human debugging both want globally unique names
         val f = new Path(basePath,
-          s"$dir/part-$partitionId-$taskId-$fileUuid.json")
+          s"$dir/part-$partitionId-$taskId-${UUID.randomUUID().toString}.json")
         written += f.toString
         fs.create(f, false)
       })

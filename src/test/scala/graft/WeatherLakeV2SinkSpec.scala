@@ -462,6 +462,222 @@ class WeatherLakeV2SinkSpec extends SparkSpec {
       Map("city" -> "a", "ds" -> "1"))
   }
 
+  test("mergeCommitted: copy-on-write upsert matches the functional " +
+      "truth, rewrites only touched files, and old snapshots survive") {
+    import graft.sources.WeatherLakeV2Sink
+    val lake = Files.createTempDirectory("lakev2merge").toString
+    val s = spark
+    import s.implicits._
+    def payload(rows: Seq[(String, Long, Long)]): DataFrame =
+      rows.toDF("city", "k", "v").select(col("city"),
+        lit("2024-01-01").as("ds"), lit("00").as("hour"),
+        to_json(struct(col("k"), col("v"))).as("raw_json"))
+    // base: two partitions (cities), keys 1..4
+    payload(Seq(("a", 1L, 10L), ("a", 2L, 20L), ("b", 3L, 30L), ("b", 4L, 40L)))
+      .write.format("graft.sources.WeatherLakeV2Sink")
+      .mode("append").save(lake)
+    val preMerge = WeatherLakeV2Sink.snapshot(lake)
+    val filesBefore = WeatherLakeV2Sink.committedFiles(lake)
+    // delta: update key 2 (city a), insert key 9 (city c)
+    val delta = payload(Seq(("a", 2L, 999L))) unionByName
+      payload(Seq(("c", 9L, 90L)))
+    val stats = WeatherLakeV2Sink.mergeCommitted(spark, lake, delta,
+      f => get_json_object(f("raw_json"), "$.k"))
+    def kv(df: DataFrame): Map[Long, Long] = df.select(
+        get_json_object(col("value"), "$.k").cast("long"),
+        get_json_object(col("value"), "$.v").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // functional dedupUpsert truth: delta wins on key overlap, new keys append
+    assert(kv(WeatherLakeV2Sink.readCommitted(spark, lake)) ==
+      Map(1L -> 10L, 2L -> 999L, 3L -> 30L, 4L -> 40L, 9L -> 90L))
+    // only city=a's file held key 2; city=b's file must be re-listed
+    // verbatim, never rewritten
+    assert(stats.touchedFiles == 1, stats.toString)
+    val filesAfter = WeatherLakeV2Sink.committedFiles(lake)
+    val bFiles = filesBefore.filter(_.contains("city=b/"))
+    assert(bFiles.nonEmpty && bFiles.forall(filesAfter.contains),
+      "untouched files must survive under their original paths")
+    val replaced = filesBefore.toSet -- filesAfter.toSet
+    assert(replaced.size == 1 && replaced.head.contains("city=a/"),
+      s"exactly the one file holding key 2 must be replaced: $replaced")
+    // a reader pinned before the merge still sees the old table
+    // (old-or-new, never a mix; superseded data files await vacuum)
+    assert(kv(WeatherLakeV2Sink.readAsOf(spark, lake, preMerge)) ==
+      Map(1L -> 10L, 2L -> 20L, 3L -> 30L, 4L -> 40L))
+    // idempotent: re-merging the same delta changes nothing
+    WeatherLakeV2Sink.mergeCommitted(spark, lake, delta,
+      f => get_json_object(f("raw_json"), "$.k"))
+    assert(kv(WeatherLakeV2Sink.readCommitted(spark, lake)) ==
+      Map(1L -> 10L, 2L -> 999L, 3L -> 30L, 4L -> 40L, 9L -> 90L))
+  }
+
+  test("maintenance joins key on the full path: same-named files in " +
+      "different directories never cross-contaminate (regression)") {
+    import graft.sources.WeatherLakeV2Sink
+    val lake = Files.createTempDirectory("lakev2dupname").toString
+    // two directories, SAME basename (what the pre-fix per-task uuid
+    // writer produced): a basename-keyed join would fan each line into
+    // both directories and double every row
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    def put(rel: String, lines: Seq[String]): String = {
+      val p = new org.apache.hadoop.fs.Path(lake, rel)
+      val out = fs.create(p, false)
+      try lines.foreach(l => out.write((l + "\n").getBytes("UTF-8")))
+      finally out.close()
+      p.toString
+    }
+    val fls = Seq(
+      put("city=a/ds=1/hour=0/part-x.json", Seq("""{"k":1}""", """{"k":2}""")),
+      put("city=a/ds=1/hour=0/part-y.json", Seq("""{"k":3}""")),
+      put("city=b/ds=1/hour=0/part-x.json", Seq("""{"k":4}""", """{"k":5}""")),
+      put("city=b/ds=1/hour=0/part-y.json", Seq("""{"k":6}""")))
+    val mdir = new File(s"$lake/${WeatherLakeV2Sink.ManifestDir}")
+    mdir.mkdirs()
+    java.nio.file.Files.writeString(
+      new File(mdir, "manifest-j0.txt").toPath, fls.mkString("", "\n", "\n"))
+    assert(WeatherLakeV2Sink.readCommitted(spark, lake).count() == 6)
+    // compact rewrites both small-file dirs; rows must be preserved 1:1
+    assert(WeatherLakeV2Sink.compact(spark, lake, targetBytes = 1024) == 2)
+    val after = WeatherLakeV2Sink.readCommitted(spark, lake)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(after == (1 to 6).map(i => s"""{"k":$i}"""),
+      s"compaction must not duplicate rows across same-named files: $after")
+    // and a merge over the same layout touches only the file holding the
+    // key, in the right directory
+    val s = spark
+    import s.implicits._
+    val delta = Seq(("b", "1", "0", """{"k":4,"u":1}"""))
+      .toDF("city", "ds", "hour", "raw_json")
+    val stats = WeatherLakeV2Sink.mergeCommitted(spark, lake, delta,
+      f => get_json_object(f("raw_json"), "$.k"))
+    assert(stats.touchedFiles == 1)
+    val merged = WeatherLakeV2Sink.readCommitted(spark, lake)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(merged.count(_.contains("\"u\":1")) == 1 && merged.size == 6,
+      s"merge must replace exactly key 4's row: $merged")
+  }
+
+  test("merge and compact serialize on the maintenance lock: a held lock " +
+      "fails loudly, an abandoned one is broken after the lease") {
+    import graft.sources.WeatherLakeV2Sink
+    val lake = Files.createTempDirectory("lakev2lock").toString
+    val s = spark
+    import s.implicits._
+    Seq(("a", "2024-01-01", "00", "{\"k\":1}"))
+      .toDF("city", "ds", "hour", "raw_json")
+      .write.format("graft.sources.WeatherLakeV2Sink")
+      .mode("append").save(lake)
+    // simulate a running maintenance job holding the lock
+    val lockFile = new File(s"$lake/${WeatherLakeV2Sink.ManifestDir}/.maintenance.lock")
+    java.nio.file.Files.writeString(lockFile.toPath, "compact 123\n")
+    val delta = Seq(("a", "2024-01-01", "00", "{\"k\":1,\"v\":2}"))
+      .toDF("city", "ds", "hour", "raw_json")
+    intercept[java.util.ConcurrentModificationException] {
+      WeatherLakeV2Sink.mergeCommitted(spark, lake, delta,
+        f => get_json_object(f("raw_json"), "$.k"))
+    }
+    intercept[java.util.ConcurrentModificationException] {
+      WeatherLakeV2Sink.compact(spark, lake)
+    }
+    // an abandoned lock (holder died) is broken once past the lease age
+    assert(lockFile.setLastModified(System.currentTimeMillis() - 3600L * 1000))
+    val stats = WeatherLakeV2Sink.mergeCommitted(spark, lake, delta,
+      f => get_json_object(f("raw_json"), "$.k"))
+    assert(stats.touchedFiles == 1)
+    assert(!lockFile.exists(), "the lock must be released after the merge")
+  }
+
+  test("exactly-once replay short-circuits on the superseded manifest " +
+      "after a compaction; vacuum's age guard is the replay horizon") {
+    import graft.sources.WeatherLakeV2Sink
+    val lake = Files.createTempDirectory("lakev2replay").toString
+    val s = spark
+    import s.implicits._
+    def batch(n: Int): DataFrame = (0 until n)
+      .map(i => ("a", "2024-01-01", "00", s"""{"k":$i}"""))
+      .toDF("city", "ds", "hour", "raw_json")
+    val writer = WeatherLakeV2Sink.exactlyOnceBatchWriter(lake, "st")
+    writer(batch(3), 0L)
+    writer(batch(3), 0L) // immediate replay: dedup on the manifest name
+    assert(WeatherLakeV2Sink.readCommitted(spark, lake).count() == 3)
+    // a second batch makes the partition multi-file, then compaction
+    // supersedes BOTH batch manifests
+    writer(batch(2), 1L)
+    assert(WeatherLakeV2Sink.compact(spark, lake) == 1)
+    assert(WeatherLakeV2Sink.readCommitted(spark, lake).count() == 5)
+    // replay of batch 0 during/after the compact: its manifest is
+    // superseded but PRESENT, so the replay still short-circuits —
+    // no duplicate rows, no new manifest
+    val manifestsBefore = WeatherLakeV2Sink.manifestNames(lake)
+    writer(batch(3), 0L)
+    assert(WeatherLakeV2Sink.readCommitted(spark, lake).count() == 5)
+    assert(WeatherLakeV2Sink.manifestNames(lake) == manifestsBefore)
+    // vacuum with a minAge above the replay window KEEPS the token…
+    WeatherLakeV2Sink.vacuum(lake, minAgeMs = 3600L * 1000)
+    assert(WeatherLakeV2Sink.manifestExists(lake, "st-b000000000"))
+    writer(batch(3), 0L)
+    assert(WeatherLakeV2Sink.readCommitted(spark, lake).count() == 5)
+    // …and even past an age-0 vacuum (token manifest deleted), a replay's
+    // re-published manifest is dead on arrival: the live compaction
+    // manifest's #supersedes directive tombstones the NAME, so the
+    // replayed rows stay invisible — no double count. (The tombstone is
+    // one generation deep: it dies only when the compaction manifest is
+    // itself superseded AND vacuumed, which is what the age guard is for.)
+    WeatherLakeV2Sink.vacuum(lake, minAgeMs = 0L)
+    assert(!WeatherLakeV2Sink.manifestExists(lake, "st-b000000000"))
+    writer(batch(3), 0L)
+    assert(WeatherLakeV2Sink.manifestExists(lake, "st-b000000000"),
+      "the replay re-publishes its manifest name")
+    assert(WeatherLakeV2Sink.readCommitted(spark, lake).count() == 5,
+      "the superseding directive must tombstone the replayed manifest")
+    // the replay's orphaned data files are reclaimable by the NEXT vacuum
+    // (its manifest is superseded, so they are non-live)
+    assert(WeatherLakeV2Sink.vacuum(lake, minAgeMs = 0L) > 0)
+    assert(WeatherLakeV2Sink.readCommitted(spark, lake).count() == 5)
+  }
+
+  test("an append committed AFTER a maintenance snapshot stays live " +
+      "through the superseding publish (old-or-new, appends never lost)") {
+    import graft.sources.WeatherLakeV2Sink
+    val lake = Files.createTempDirectory("lakev2race").toString
+    val s = spark
+    import s.implicits._
+    def sink(tag: String): Unit =
+      Seq(("a", "2024-01-01", "00", s"""{"t":"$tag"}"""))
+        .toDF("city", "ds", "hour", "raw_json")
+        .write.format("graft.sources.WeatherLakeV2Sink")
+        .mode("append").save(lake)
+    sink("base1"); sink("base2")
+    // the maintenance job snapshots the live set…
+    val snapshot = WeatherLakeV2Sink.liveManifests(lake)
+    // …a concurrent append commits between snapshot and publish…
+    sink("late")
+    // …and the publish supersedes ONLY the snapshot (exactly what
+    // compact/merge do): the late append's manifest is untouched
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val keep = WeatherLakeV2Sink.committedFiles(lake)
+      .filter { f =>
+        val src = scala.io.Source.fromFile(f); val txt = try src.mkString finally src.close()
+        !txt.contains("late")
+      }
+    val replacement = new org.apache.hadoop.fs.Path(lake, "rewritten.json")
+    val out = fs.create(replacement, false)
+    out.write("{\"t\":\"base1+base2\"}\n".getBytes("UTF-8")); out.close()
+    require(keep.size == 2)
+    // publish the superseding manifest via the same API path
+    val mdir = s"$lake/${WeatherLakeV2Sink.ManifestDir}"
+    java.nio.file.Files.writeString(
+      new File(s"$mdir/manifest-maint.txt").toPath,
+      snapshot.map(n => s"${WeatherLakeV2Sink.SupersedesPrefix}$n")
+        .mkString("", "\n", "\n") + replacement.toString + "\n")
+    val tags = WeatherLakeV2Sink.readCommitted(spark, lake)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(tags == Seq("{\"t\":\"base1+base2\"}", "{\"t\":\"late\"}"),
+      s"late append must remain visible next to the replacement: $tags")
+  }
+
   test("missing path option fails fast with the option named") {
     val e = intercept[IllegalArgumentException] {
       new graft.sources.WeatherLakeV2Sink()
