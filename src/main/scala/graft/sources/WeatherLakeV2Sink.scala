@@ -70,11 +70,16 @@ object WeatherLakeV2Sink {
       // unreferenced orphans.
       val jobId = Option(info.options().get("manifestId"))
         .getOrElse(info.queryId())
+      // statsFields: comma-separated raw_json field names whose per-file
+      // min/max are collected into the manifest entries (data skipping)
+      val statsFields = Option(info.options().get("statsFields"))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq.empty)
       new WriteBuilder {
         override def build(): Write = new Write {
           override def toBatch: BatchWrite = new BatchWrite {
             override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory =
-              new LakeWriterFactory(path)
+              new LakeWriterFactory(path, statsFields)
             // Files land under their final names during the task (no
             // directory rename — object-store-friendly, like the
             // reference). Job commit publishes a MANIFEST listing every
@@ -102,6 +107,70 @@ object WeatherLakeV2Sink {
     * files to the committed view.
     */
   val SupersedesPrefix = "#supersedes "
+
+  /** A manifest data line is `path` or `path<TAB>statsJson` — the stats
+    * payload is per-file column min/max collected at write time (opt in
+    * via the `statsFields` write option), the Delta/Iceberg
+    * data-skipping move: a data predicate prunes the FILE LIST on the
+    * driver before any IO. Older manifests without stats parse
+    * unchanged; files without stats always survive pruning (never pruned
+    * on absent information, the same keep-rule as partition pruning).
+    * Jackson escapes control characters inside JSON strings, so the tab
+    * separator is unambiguous.
+    */
+  private[sources] def entryPath(line: String): String =
+    line.indexOf('\t') match {
+      case -1 => line
+      case i => line.take(i)
+    }
+
+  /** Per-file, per-field min/max. `numeric` picks the comparison domain:
+    * every observed value parsed as a double (compare numerically) vs
+    * lexical (ISO timestamps and other ordered strings compare
+    * correctly lexically). Values absent/null in some rows don't widen
+    * the range — sound for range predicates, which null rows never
+    * satisfy.
+    */
+  final case class FieldStats(min: String, max: String, numeric: Boolean) {
+    /** Could a value in [lo, hi] (inclusive, either side open when None)
+      * exist in this file? The pruning test: keep the file iff true.
+      */
+    def overlaps(lo: Option[String], hi: Option[String]): Boolean = {
+      def le(a: String, b: String): Boolean =
+        if (numeric) a.toDouble <= b.toDouble else a <= b
+      lo.forall(l => le(l, max)) && hi.forall(h => le(min, h))
+    }
+  }
+
+  private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private[sources] def statsToJson(stats: Map[String, FieldStats]): String = {
+    val root = jsonMapper.createObjectNode()
+    stats.toSeq.sortBy(_._1).foreach { case (f, st) =>
+      val n = root.putObject(f)
+      n.put("min", st.min); n.put("max", st.max); n.put("numeric", st.numeric)
+    }
+    jsonMapper.writeValueAsString(root)
+  }
+
+  /** Stats of a manifest line; empty for plain-path lines and unparsable
+    * payloads (fail-open: no stats → never pruned).
+    */
+  def lineStats(line: String): Map[String, FieldStats] = {
+    val i = line.indexOf('\t')
+    if (i < 0) Map.empty
+    else try {
+      val node = jsonMapper.readTree(line.drop(i + 1))
+      val out = Map.newBuilder[String, FieldStats]
+      node.properties().forEach { e =>
+        val v = e.getValue
+        if (v.hasNonNull("min") && v.hasNonNull("max"))
+          out += e.getKey -> FieldStats(v.get("min").asText(),
+            v.get("max").asText(), v.path("numeric").asBoolean(false))
+      }
+      out.result()
+    } catch { case _: Exception => Map.empty }
+  }
 
   private[sources] def writeManifest(basePath: String, jobId: String,
       files: Seq[String]): Unit = {
@@ -151,18 +220,25 @@ object WeatherLakeV2Sink {
     names.filterNot(superseded)
   }
 
-  /** Every file recorded by a COMPLETED job's live manifest — the
-    * read-side filter that drops orphan files left by jobs that died
-    * after some task commits but before job commit, and files whose
-    * manifest a compaction superseded.
+  /** The live manifests' data ENTRY LINES (path, or path + tab + stats) —
+    * what maintenance re-lists verbatim so untouched files keep their
+    * stats through a compact/merge.
     */
-  def committedFiles(basePath: String): Seq[String] = {
+  def committedEntryLines(basePath: String): Seq[String] = {
     val fs = new Path(basePath).getFileSystem(new Configuration())
     val mdir = new Path(basePath, ManifestDir)
     liveManifests(basePath)
       .flatMap(n => readLines(fs, new Path(mdir, n)))
       .filter(l => l.nonEmpty && !l.startsWith("#"))
   }
+
+  /** Every file recorded by a COMPLETED job's live manifest — the
+    * read-side filter that drops orphan files left by jobs that died
+    * after some task commits but before job commit, and files whose
+    * manifest a compaction superseded.
+    */
+  def committedFiles(basePath: String): Seq[String] =
+    committedEntryLines(basePath).map(entryPath)
 
   /** The manifest-gated read path: only lines from files a completed job
     * committed. Returns (value: raw JSON line) rows; parse with the
@@ -234,6 +310,33 @@ object WeatherLakeV2Sink {
       basePath: String)(
       pred: Map[String, String] => Boolean): org.apache.spark.sql.DataFrame =
     textFrame(spark, committedFilesPruned(basePath)(pred))
+
+  /** DATA skipping on the per-file stats collected at write time (the
+    * `statsFields` option): a data predicate — typically a range test via
+    * [[FieldStats.overlaps]] — filters the committed file list on the
+    * driver in O(committed files), before any LIST or data IO, the
+    * second leg of the Delta/Iceberg skipping story (partition pruning is
+    * the first). Keep-rules, both fail-open: a file with NO stats always
+    * survives, and so does a file whose stats lack the predicate's field
+    * — the predicate sees only what was measured and must never prune on
+    * absent information (enforce by probing `stats.get(field)` and
+    * returning true on None).
+    */
+  def committedFilesPrunedByStats(basePath: String)(
+      pred: Map[String, FieldStats] => Boolean): Seq[String] =
+    committedEntryLines(basePath).filter { l =>
+      val st = lineStats(l)
+      st.isEmpty || pred(st)
+    }.map(entryPath)
+
+  /** [[readCommitted]] restricted by a stats predicate — same rows as
+    * filtering after the read for range predicates over the measured
+    * fields, with skipped files never opened.
+    */
+  def readCommittedStatsPruned(spark: org.apache.spark.sql.SparkSession,
+      basePath: String)(
+      pred: Map[String, FieldStats] => Boolean): org.apache.spark.sql.DataFrame =
+    textFrame(spark, committedFilesPrunedByStats(basePath)(pred))
 
   // -----------------------------------------------------------------
   // exactly-once streaming ingest
@@ -334,6 +437,7 @@ object WeatherLakeV2Sink {
     val files = fresh
       .flatMap(n => readLines(fs, new Path(new Path(basePath, ManifestDir), n)))
       .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map(entryPath)
     (fresh, files)
   }
 
@@ -451,6 +555,7 @@ object WeatherLakeV2Sink {
     val files = present.filterNot(p => superseded(p._1))
       .flatMap(_._2)
       .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map(entryPath)
     if (files.isEmpty) {
       import spark.implicits._
       spark.emptyDataset[String].toDF("value")
@@ -631,7 +736,8 @@ object WeatherLakeV2Sink {
       import org.apache.spark.sql.functions.{broadcast, col, lit}
       require(targetBytes > 0, "targetBytes must be positive")
       val snapshotNames = liveManifests(basePath)
-      val committed = committedFiles(basePath)
+      val committedLines = committedEntryLines(basePath)
+      val committed = committedLines.map(entryPath)
       // 1. driver-side partition pruning of the candidate set: bounded by
       // the batch's distinct partition tuples (same class as the
       // mergeUpsertParquet touched-ds collect), never by batch rows
@@ -682,7 +788,9 @@ object WeatherLakeV2Sink {
             .distinct().collect()
             .map(_.getString(0)).toSeq
         }
-      val untouched = committed.filterNot(touched.toSet)
+      // untouched files re-list their ORIGINAL entry lines, stats intact
+      val touchedSet = touched.toSet
+      val untouched = committedLines.filterNot(l => touchedSet(entryPath(l)))
       // 3. survivors of touched files + the batch, routed to directories
       val batchRouted = batch.select(
         org.apache.spark.sql.functions.concat_ws("/", lit(basePath),
@@ -757,24 +865,27 @@ object WeatherLakeV2Sink {
     val fs = new Path(basePath).getFileSystem(new Configuration())
     val mdir = new Path(basePath, ManifestDir)
     val snapshot = liveManifests(basePath)
-    val filesByDir = snapshot
+    // entry LINES grouped by directory: untouched directories re-list
+    // their original lines verbatim, so per-file stats survive compaction
+    val entriesByDir = snapshot
       .flatMap(n => readLines(fs, new Path(mdir, n)))
       .filter(l => l.nonEmpty && !l.startsWith("#"))
-      .groupBy(f => new Path(f).getParent.toString)
+      .groupBy(l => new Path(entryPath(l)).getParent.toString)
     // small-file candidates only: >1 file and mean size under half the
     // target — a healthy directory (however many bounded files) is left
     // alone, so repeated maintenance runs converge instead of churning.
     // O(candidate files) driver-side metadata calls, same order as the
     // manifest read itself.
-    val multi = filesByDir.filter { case (_, fls) =>
-      fls.size > 1 &&
-        fls.map(f => fs.getFileStatus(new Path(f)).getLen).sum.toDouble /
-          fls.size < targetBytes / 2.0
-    }
+    val multi = entriesByDir.view.mapValues(_.map(entryPath)).filter {
+      case (_, fls) =>
+        fls.size > 1 &&
+          fls.map(f => fs.getFileStatus(new Path(f)).getLen).sum.toDouble /
+            fls.size < targetBytes / 2.0
+    }.toMap
     if (multi.isEmpty) 0
     else {
       val compactedDirs = multi.keySet
-      val keep = filesByDir.collect {
+      val keep = entriesByDir.collect {
         case (d, fs1) if !compactedDirs(d) => fs1 }.flatten.toSeq
       val session = spark
       import session.implicits._
@@ -829,6 +940,7 @@ object WeatherLakeV2Sink {
     superseded.foreach { n =>
       val present = readLines(fs, new Path(mdir, n))
         .filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map(entryPath)
         .filterNot(liveFiles)
         .map(new Path(_))
         .filter(fs.exists)
@@ -848,22 +960,104 @@ object WeatherLakeV2Sink {
 
   final case class FilesWritten(paths: Seq[String]) extends WriterCommitMessage
 
-  class LakeWriterFactory(path: String) extends DataWriterFactory {
+  class LakeWriterFactory(path: String, statsFields: Seq[String] = Seq.empty)
+      extends DataWriterFactory {
     override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-      new LakeDataWriter(path, partitionId, taskId)
+      new LakeDataWriter(path, partitionId, taskId, statsFields)
+  }
+
+  /** Per-file accumulator for one stats field: tracks lexical AND numeric
+    * min/max; at flush the field is numeric iff every observed value
+    * parsed as a double. Absent/null values don't widen the range (sound
+    * for range predicates — null never satisfies one).
+    */
+  private class FieldAcc {
+    var seen = false
+    var allNum = true
+    var lexMin: String = _; var lexMax: String = _
+    var numMin = 0.0; var numMax = 0.0
+    def add(v: String): Unit = {
+      if (!seen) { lexMin = v; lexMax = v } else {
+        if (v < lexMin) lexMin = v
+        if (v > lexMax) lexMax = v
+      }
+      if (allNum) v.toDoubleOption match {
+        case Some(d) =>
+          if (!seen) { numMin = d; numMax = d } else {
+            if (d < numMin) numMin = d
+            if (d > numMax) numMax = d
+          }
+        case None => allNum = false
+      }
+      seen = true
+    }
+    def stats: Option[FieldStats] =
+      if (!seen) None
+      else if (allNum) Some(FieldStats(numMin.toString, numMax.toString, numeric = true))
+      else Some(FieldStats(lexMin, lexMax, numeric = false))
+  }
+
+  /** Minimal top-level scalar extraction from a JSON object line — the
+    * stats collector's hot loop, deliberately allocation-light (no tree
+    * parse per row). Returns the UNQUOTED string for string values, the
+    * raw token for numbers/booleans, None for absent/null/structured
+    * values. Nested objects may shadow a key textually; for the flat
+    * payloads this sink carries (the reference's flattened weather rows)
+    * top-level fields are found exactly.
+    */
+  private[sources] def extractJsonField(json: String, field: String): Option[String] = {
+    val needle = "\"" + field + "\""
+    var from = 0
+    while (true) {
+      val i = json.indexOf(needle, from)
+      if (i < 0) return None
+      var j = i + needle.length
+      while (j < json.length && (json(j) == ' ' || json(j) == '\t')) j += 1
+      if (j < json.length && json(j) == ':') {
+        j += 1
+        while (j < json.length && (json(j) == ' ' || json(j) == '\t')) j += 1
+        if (j >= json.length) return None
+        if (json(j) == '"') {
+          val sb = new StringBuilder
+          j += 1
+          while (j < json.length && json(j) != '"') {
+            if (json(j) == '\\' && j + 1 < json.length) {
+              sb.append(json(j + 1) match {
+                case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+                case c => c
+              })
+              j += 2
+            } else { sb.append(json(j)); j += 1 }
+          }
+          return Some(sb.toString)
+        } else if (json(j) == '{' || json(j) == '[') return None
+        else {
+          val end0 = json.indexWhere(c => c == ',' || c == '}' || c == ' ', j)
+          val end = if (end0 < 0) json.length else end0
+          val tok = json.substring(j, end).trim
+          return if (tok == "null" || tok.isEmpty) None else Some(tok)
+        }
+      } else from = i + needle.length // matched inside a value; keep looking
+    }
+    None
   }
 
   /** Routes each row's JSON line into its `city=/ds=/hour=` directory,
     * keeping one open stream per partition directory seen (bounded by the
-    * distinct key combinations in this task's rows). Production threads
+    * distinct key combinations in this task's rows), and — when
+    * `statsFields` is set — a per-file min/max accumulator per field,
+    * flushed into the manifest entry at commit. Production threads
     * the real Hadoop conf through the factory; the default conf resolves
     * local and default-FS paths, which is what this sandbox exercises.
     */
-  class LakeDataWriter(basePath: String, partitionId: Int, taskId: Long)
+  class LakeDataWriter(basePath: String, partitionId: Int, taskId: Long,
+      statsFields: Seq[String] = Seq.empty)
       extends DataWriter[InternalRow] {
     private val fs = new Path(basePath).getFileSystem(new Configuration())
     private val streams = mutable.Map.empty[String, org.apache.hadoop.fs.FSDataOutputStream]
     private val written = mutable.ArrayBuffer.empty[String]
+    private val fileOfDir = mutable.Map.empty[String, String]
+    private val accs = mutable.Map.empty[String, Array[FieldAcc]]
 
     override def write(row: InternalRow): Unit = {
       val dir = s"city=${row.getString(0)}/ds=${row.getString(1)}/hour=${row.getString(2)}"
@@ -874,15 +1068,32 @@ object WeatherLakeV2Sink {
         val f = new Path(basePath,
           s"$dir/part-$partitionId-$taskId-${UUID.randomUUID().toString}.json")
         written += f.toString
+        fileOfDir(dir) = f.toString
+        accs(f.toString) = Array.fill(statsFields.length)(new FieldAcc)
         fs.create(f, false)
       })
-      out.write(row.getString(3).getBytes("UTF-8"))
+      val json = row.getString(3)
+      if (statsFields.nonEmpty) {
+        val acc = accs(fileOfDir(dir)) // dir → file is 1:1 in this writer
+        var k = 0
+        while (k < statsFields.length) {
+          extractJsonField(json, statsFields(k)).foreach(acc(k).add)
+          k += 1
+        }
+      }
+      out.write(json.getBytes("UTF-8"))
       out.write('\n')
     }
 
     override def commit(): WriterCommitMessage = {
       streams.values.foreach(_.close())
-      FilesWritten(written.toSeq)
+      val lines = written.toSeq.map { p =>
+        val st = accs.get(p).map(a =>
+          statsFields.zip(a).flatMap { case (f, acc) =>
+            acc.stats.map(f -> _) }.toMap).getOrElse(Map.empty)
+        if (st.isEmpty) p else s"$p\t${statsToJson(st)}"
+      }
+      FilesWritten(lines)
     }
 
     override def abort(): Unit = {

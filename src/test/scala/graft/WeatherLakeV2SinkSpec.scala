@@ -511,6 +511,78 @@ class WeatherLakeV2SinkSpec extends SparkSpec {
       Map(1L -> 10L, 2L -> 999L, 3L -> 30L, 4L -> 40L, 9L -> 90L))
   }
 
+  test("per-file stats in the manifest: a range predicate shrinks the " +
+      "touched-file list with row parity; stats survive maintenance") {
+    import graft.sources.WeatherLakeV2Sink
+    import graft.sources.WeatherLakeV2Sink.FieldStats
+    val lake = Files.createTempDirectory("lakev2stats").toString
+    val s = spark
+    import s.implicits._
+    def sink(rows: Seq[(String, String, Long)]): Unit =
+      rows.toDF("city", "ts", "v").select(col("city"),
+          lit("2024-01-01").as("ds"), lit("00").as("hour"),
+          to_json(struct(col("ts"), col("v"))).as("raw_json"))
+        .coalesce(1)
+        .write.format("graft.sources.WeatherLakeV2Sink")
+        .option("statsFields", "ts,v")
+        .mode("append").save(lake)
+    // two batches into the SAME partition, disjoint ts/v ranges — exactly
+    // where partition pruning is blind and stats skipping is not
+    sink(Seq(("a", "2024-01-01T00:00:00", 1L), ("a", "2024-01-02T00:00:00", 9L)))
+    sink(Seq(("a", "2024-03-01T00:00:00", 100L), ("a", "2024-03-02T00:00:00", 110L)))
+    // and a single-file partition compaction will never touch
+    sink(Seq(("solo", "2024-06-01T00:00:00", 7L)))
+    val all = WeatherLakeV2Sink.committedFiles(lake)
+    assert(all.size == 3)
+    // lexical range on the ISO ts: only the March file can match
+    def tsFrom(lo: String)(st: Map[String, FieldStats]): Boolean =
+      st.get("ts").forall(_.overlaps(Some(lo), None))
+    val march = WeatherLakeV2Sink.committedFilesPrunedByStats(lake)(tsFrom("2024-02-01"))
+    assert(march.size == 2 && march.exists(_.contains("city=solo")),
+      s"expected the March + solo files only: $march")
+    // row parity with the unpruned read under the same predicate
+    val prunedRows = WeatherLakeV2Sink.readCommittedStatsPruned(spark, lake)(
+        tsFrom("2024-02-01"))
+      .select(get_json_object(col("value"), "$.ts").as("ts"))
+      .filter(col("ts") >= "2024-02-01").collect().map(_.getString(0)).sorted
+    val fullRows = WeatherLakeV2Sink.readCommitted(spark, lake)
+      .select(get_json_object(col("value"), "$.ts").as("ts"))
+      .filter(col("ts") >= "2024-02-01").collect().map(_.getString(0)).sorted
+    assert(prunedRows.sameElements(fullRows) && prunedRows.length == 3)
+    // numeric range on v: only the first file holds v <= 50
+    val low = WeatherLakeV2Sink.committedFilesPrunedByStats(lake)(
+      _.get("v").forall(_.overlaps(None, Some("50"))))
+    assert(low.size == 2, s"v<=50 must keep the Jan + solo files: $low")
+    assert(low.forall(f => !march.take(1).contains(f)) || low.size == 2)
+    // a committed file with NO stats survives every stats predicate
+    val bare = new File(s"$lake/nostats.json")
+    java.nio.file.Files.writeString(bare.toPath, "{\"ts\":\"1999-01-01\"}\n")
+    java.nio.file.Files.writeString(
+      new File(s"$lake/${WeatherLakeV2Sink.ManifestDir}/manifest-ns.txt").toPath,
+      bare.getAbsolutePath + "\n")
+    assert(WeatherLakeV2Sink.committedFilesPrunedByStats(lake)(_ => false)
+      .exists(_.endsWith("nostats.json")),
+      "stats-less files must never be pruned")
+    // maintenance: compact rewrites the multi-file dir (its replacement
+    // carries no stats — honest absence), but the untouched solo file
+    // keeps its stats line verbatim
+    assert(WeatherLakeV2Sink.compact(spark, lake, targetBytes = 4096) == 1)
+    val soloStats = WeatherLakeV2Sink.committedEntryLines(lake)
+      .filter(_.contains("city=solo"))
+    assert(soloStats.size == 1 && WeatherLakeV2Sink.lineStats(soloStats.head)
+        .get("v").exists(_.overlaps(Some("7"), Some("7"))),
+      s"solo file must keep its stats through compaction: $soloStats")
+    // merge: touching only city=a leaves solo's stats intact too
+    val delta = Seq(("a", "2024-01-01", "00", """{"ts":"2024-01-01T00:00:00","v":2}"""))
+      .toDF("city", "ds", "hour", "raw_json")
+    WeatherLakeV2Sink.mergeCommitted(spark, lake, delta,
+      f => get_json_object(f("raw_json"), "$.ts"))
+    val soloAfter = WeatherLakeV2Sink.committedEntryLines(lake)
+      .filter(_.contains("city=solo"))
+    assert(soloAfter == soloStats,
+      "merge must re-list untouched entries verbatim, stats intact")
+  }
+
   test("maintenance joins key on the full path: same-named files in " +
       "different directories never cross-contaminate (regression)") {
     import graft.sources.WeatherLakeV2Sink
