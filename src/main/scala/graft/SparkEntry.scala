@@ -347,6 +347,24 @@ object SparkEntry {
       |                WHERE event_type = 'click') c
       |  ON p.user_id = c.user_id AND p.ts > c.ts""".stripMargin
 
+  /** TWO chained ASOF joins in ONE statement (q92), run verbatim on both
+    * engines: each occurrence anchors to its join through the subquery
+    * alias written after it (c, then v), so the analyzer converts both
+    * independently — the scoped resolution that replaced the old
+    * one-ASOF-per-statement limit.
+    */
+  private val q92AsOfSql: String =
+    """SELECT p.user_id, p.event_id, epoch_us(p.ts) AS purchase_us,
+      |  epoch_us(c.ts) AS click_us, epoch_us(v.ts) AS view_us
+      |FROM (SELECT user_id, event_id, ts FROM events
+      |      WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT user_id, ts FROM events
+      |                WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts > c.ts
+      |ASOF LEFT JOIN (SELECT user_id, ts FROM events
+      |                WHERE event_type = 'view') v
+      |  ON p.user_id = v.user_id AND p.ts > v.ts""".stripMargin
+
   private val defs: Seq[QueryDef] = Seq(
 
     QueryDef("q01_pricing_summary",
@@ -5306,6 +5324,24 @@ object SparkEntry {
           .select(
             get_json_object(col("value"), "$.doc_id").cast("long").as("doc_id"),
             get_json_object(col("value"), "$.val").cast("long").as("val"))
+      }),
+
+    QueryDef("q92_asof_sql_multi",
+      "TWO ASOF joins in ONE SQL statement (the scoped resolution that " +
+        "lifted the one-per-statement limit): purchases take their last " +
+        "preceding click AND their last preceding view in a single " +
+        "DuckDB-dialect text run verbatim on both engines. Each ASOF " +
+        "occurrence anchors to its join by the alias written after it " +
+        "(c, then v) — a coincidentally as-of-shaped range join " +
+        "elsewhere in the statement can never be converted by mistake, " +
+        "and genuinely ambiguous statements still fail loudly " +
+        "(spec-pinned). Both joins plan to the native operator with the " +
+        "stats-driven physical pick; at 100 TB they pipeline as two " +
+        "merge passes sharing the user_id clustering.",
+      Some(q92AsOfSql),
+      (s, dir) => {
+        Tables.events(s, dir).createOrReplaceTempView("events")
+        s.sql(q92AsOfSql)
       }),
 
     QueryDef("q91_time_travel",

@@ -153,7 +153,7 @@ object AsOfSqlParser {
     while (m.find()) {
       if (!masked(m.start())) {
         val leftOuter = m.group(1) != null
-        marks += AsOfMark(leftOuter, rhsHint(sqlText, m.end()))
+        marks += AsOfMark(leftOuter, rhsHint(sqlText, m.end(), masked))
         m.appendReplacement(sb, if (leftOuter) "LEFT JOIN" else "INNER JOIN")
         n += 1
       }
@@ -170,20 +170,53 @@ object AsOfSqlParser {
   private val RhsPattern = java.util.regex.Pattern.compile(
     "^\\s*([A-Za-z_][\\w.]*)(?:\\s+(?:(?i:AS)\\s+)?([A-Za-z_]\\w*))?")
 
-  /** The relation-name last part and optional alias directly after the
-    * ASOF JOIN keyword — either will surface as a `SubqueryAlias` over
-    * the join's right child once resolved.
+  private val AliasPattern = java.util.regex.Pattern.compile(
+    "^\\s*(?:(?i:AS)\\s+)?([A-Za-z_]\\w*)")
+
+  private val NonAnchors = Set("on", "using", "lateral")
+
+  /** The anchor identifiers directly after the ASOF JOIN keyword — the
+    * relation name's last part and/or its alias for a named relation, or
+    * the ALIAS of a parenthesized subquery (found by walking to the
+    * matching close paren, skipping masked spans, so literals containing
+    * parens can't derail the walk). Any of them will surface as a
+    * `SubqueryAlias` over the join's right child once resolved. Empty
+    * only for an UNALIASED subquery — no identifier exists to anchor on.
     */
-  private def rhsHint(sqlText: String, from: Int): Set[String] = {
-    val m = RhsPattern.matcher(sqlText.substring(from))
-    if (!m.find() || m.group(1) == null) Set.empty
-    else {
-      val rel = m.group(1).split('.').last.toLowerCase
-      val alias = Option(m.group(2)).map(_.toLowerCase)
-        .filterNot(Set("on", "using", "lateral"))
-      Set(rel) ++ alias
+  private def rhsHint(sqlText: String, from: Int,
+      masked: Array[Boolean]): Set[String] = {
+    var i = from
+    while (i < sqlText.length && sqlTextWs(sqlText(i))) i += 1
+    if (i < sqlText.length && sqlText(i) == '(') {
+      var depth = 0
+      var end = -1
+      while (i < sqlText.length && end < 0) {
+        if (!masked(i)) {
+          if (sqlText(i) == '(') depth += 1
+          else if (sqlText(i) == ')') { depth -= 1; if (depth == 0) end = i + 1 }
+        }
+        i += 1
+      }
+      if (end < 0) Set.empty
+      else {
+        val m = AliasPattern.matcher(sqlText.substring(end))
+        if (!m.find() || m.group(1) == null) Set.empty
+        else Set(m.group(1).toLowerCase).diff(NonAnchors)
+      }
+    } else {
+      val m = RhsPattern.matcher(sqlText.substring(from))
+      if (!m.find() || m.group(1) == null) Set.empty
+      else {
+        val rel = m.group(1).split('.').last.toLowerCase
+        val alias = Option(m.group(2)).map(_.toLowerCase)
+          .filterNot(NonAnchors)
+        Set(rel) ++ alias
+      }
     }
   }
+
+  private def sqlTextWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r'
 
   /** `epoch_us(ts)`: DuckDB's microsecond-epoch scalar, registered so
     * oracle-dialect query text runs unchanged on Spark (it is exactly
