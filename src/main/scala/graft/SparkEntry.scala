@@ -201,6 +201,29 @@ object SparkEntry {
       p
     })
 
+  /** The RENAME leg of the schema-evolution triad (q90): batch 1 wrote
+    * the metric as `score`, batch 2 renamed it to `quality_score`. Same
+    * content-addressed once-per-(session, corpus) discipline as
+    * [[evolvedLake]]/[[widenedLake]].
+    */
+  private val renameCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def renamedLake(s: SparkSession, dir: String): String =
+    renameCache.getOrElseUpdate(s"${System.identityHashCode(s)}#$dir", {
+      val docs = Tables.documents(s, dir)
+      val sig = graft.similarity.ModelExport.corpusSig(docs, "doc_id")
+      val p = s"/tmp/graft_rename_lake/sig=$sig"
+      docs.filter(col("doc_id") < 250)
+        .select(col("doc_id"), col("source"),
+          (col("doc_id") / 4.0).as("score"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$p/b=1")
+      docs.filter(col("doc_id") >= 250)
+        .select(col("doc_id"), col("source"),
+          (col("doc_id") / 4.0).as("quality_score"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$p/b=2")
+      p
+    })
+
   private def widenedLake(s: SparkSession, dir: String): String =
     widenCache.getOrElseUpdate(s"${System.identityHashCode(s)}#$dir", {
       val docs = Tables.documents(s, dir)
@@ -5324,6 +5347,39 @@ object SparkEntry {
           .select(
             get_json_object(col("value"), "$.doc_id").cast("long").as("doc_id"),
             get_json_object(col("value"), "$.val").cast("long").as("val"))
+      }),
+
+    QueryDef("q90_name_mapping",
+      "Schema-evolution read, RENAME case — the leg q84 documents as " +
+        "impossible for mergeSchema (parquet footers carry only physical " +
+        "names): batch 1 wrote the metric as score, batch 2 as " +
+        "quality_score. A NAME MAPPING (batch-level physical->logical " +
+        "renames, Iceberg's schema.name-mapping.default move) is applied " +
+        "at scan projection — footer-only, zero bytes of history " +
+        "rewritten, column pruning still pushes down to the ORIGINAL " +
+        "physical name — and the batches union under the logical schema. " +
+        "A mapping naming an absent physical column fails loudly " +
+        "(spec-pinned), never silently resurfaces the stale name. DuckDB " +
+        "replays the mapping as per-batch aliased selects.",
+      Some("""SELECT doc_id, source, batch, quality_score FROM (
+        |  SELECT doc_id, source, sig, CAST(1 AS BIGINT) AS batch,
+        |    score AS quality_score
+        |  FROM read_parquet('/tmp/graft_rename_lake/sig=*/b=1/*.parquet',
+        |    hive_partitioning = true)
+        |  UNION ALL
+        |  SELECT doc_id, source, sig, CAST(2 AS BIGINT) AS batch,
+        |    quality_score
+        |  FROM read_parquet('/tmp/graft_rename_lake/sig=*/b=2/*.parquet',
+        |    hive_partitioning = true))
+        |WHERE sig = (SELECT 'n' || CAST(COUNT(*) AS BIGINT) || '_s' ||
+        |  CAST(SUM(doc_id) AS BIGINT) FROM documents)""".stripMargin),
+      (s, dir) => {
+        val p = renamedLake(s, dir)
+        graft.sources.NameMapping.readParquetBatches(s, Seq(
+            (s"$p/b=1", Map("score" -> "quality_score"), 1L),
+            (s"$p/b=2", Map.empty[String, String], 2L)))
+          .select(col("doc_id"), col("source"), col("batch"),
+            col("quality_score"))
       }),
 
     QueryDef("q92_asof_sql_multi",
