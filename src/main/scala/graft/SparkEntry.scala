@@ -1844,6 +1844,44 @@ object SparkEntry {
           .select(col("nid").as("vec_id"), col("cell"))
       }),
 
+    QueryDef("s16_ivf_drift",
+      "The DRIFT MONITOR that tells s15's frozen-centroid append when " +
+        "freezing stops being safe: per-cohort histogram of each " +
+        "vector's winning assignment cosine (training corpus vs " +
+        "arrivals) over 20 bins spanning [-1,1]. Healthy appends sit on " +
+        "the training distribution; drifted arrivals pile into low bins " +
+        "— vectors the frozen cells no longer represent — and the " +
+        "mean-gap retrain flag trips (spec-pinned: negated arrivals " +
+        "flag, in-distribution appends don't). Costs exactly what the " +
+        "append costs: one nCells-row broadcast + one hash-agg per " +
+        "cohort, zero corpus re-scan, zero retraining — the " +
+        "FAISS/Milvus quantization-error watch as a query.",
+      Some("""WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |cent AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8),
+        |prod AS (SELECT vec_id, cell, unnest(v) AS x, unnest(cv) AS y
+        |         FROM e CROSS JOIN cent),
+        |dots AS (SELECT vec_id, cell, SUM(x*y) AS dot,
+        |         SUM(x*x) AS n2, SUM(y*y) AS c2 FROM prod GROUP BY 1, 2),
+        |acos AS (SELECT vec_id, cell,
+        |         ROUND(dot/(SQRT(n2)*SQRT(c2)), 6) AS a_cos FROM dots),
+        |win AS (SELECT vec_id, a_cos FROM (
+        |  SELECT vec_id, a_cos, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |    ORDER BY a_cos DESC, cell) AS rn FROM acos) WHERE rn = 1)
+        |SELECT CASE WHEN vec_id < 400 THEN 'train' ELSE 'arrive' END AS cohort,
+        |  CAST(LEAST(19, FLOOR((a_cos + 1) / 2 * 20)) AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_vectors
+        |FROM win GROUP BY 1, 2""".stripMargin),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val initial = emb.filter(col("vec_id") < 400)
+        val arrivals = emb.filter(col("vec_id") >= 400)
+        graft.similarity.IvfIndex.assignmentDriftHistogram(
+          initial, arrivals,
+          graft.similarity.IvfIndex.seededCentroids(initial, 8),
+          buckets = 20)
+      }),
+
     QueryDef("p01_curation_pipeline",
       "The COMPOSED curation pipeline end-to-end (TrainingDataPipeline): " +
         "quality filter (t05's thresholds) → exact dedup (d01's md5 " +

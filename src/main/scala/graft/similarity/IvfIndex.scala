@@ -92,6 +92,74 @@ object IvfIndex {
       .select(col("nid"), col("cell"), col("v"))
   }
 
+  /** [[assignByCosine]] KEEPING the winning cosine — the statistic the
+    * drift monitor bins. Returns (nid, cell, a_cos).
+    */
+  def assignmentCosines(emb: DataFrame, cent: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    val e = emb.select(col(idCol).as("nid"), widened(vecCol).as("v"))
+    val w = Window.partitionBy(col("nid"))
+      .orderBy(col("a_cos").desc, col("cell").asc)
+    e.crossJoin(broadcast(cent))
+      .withColumn("a_cos", round(CosineSimilarity(spark, col("v"), col("cv")), 6))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("nid"), col("cell"), col("a_cos"))
+  }
+
+  /** DRIFT MONITOR for the frozen-centroid append path ([[s15]]'s twin,
+    * the statistic that says when freezing stops being safe): histogram
+    * of each vector's WINNING assignment cosine, training cohort vs
+    * arrival cohort, over `buckets` equal-width bins spanning [-1, 1].
+    * A healthy append keeps the arrival distribution on top of the
+    * training one; drifted arrivals pile into the low-cosine bins —
+    * vectors the frozen cells no longer represent. One broadcast of the
+    * centroid set + one hash-agg per cohort: O((n_train + n_arrivals) ·
+    * nCells · dim) and NO corpus re-scan beyond the cohorts, so the
+    * monitor costs what the append itself costs. (FAISS/Milvus
+    * deployments watch exactly this quantization error to schedule
+    * re-clustering; public practice.)
+    *
+    * Output: (cohort 'train'|'arrive', bucket 0..buckets-1, n_vectors).
+    * Bucket math on the 6-decimal-rounded cosine: floor((a_cos+1)/2·B)
+    * clamped to B-1 — bit-identical in any engine given the same doubles.
+    */
+  def assignmentDriftHistogram(initial: DataFrame, arrivals: DataFrame,
+      cent: DataFrame, buckets: Int = 20, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(buckets >= 2, s"need at least 2 buckets, got $buckets")
+    def hist(df: DataFrame, label: String): DataFrame =
+      assignmentCosines(df, cent, idCol, vecCol)
+        .select(lit(label).as("cohort"),
+          least(lit(buckets - 1).cast("long"),
+            floor((col("a_cos") + 1) / 2 * buckets)).as("bucket"))
+        .groupBy(col("cohort"), col("bucket"))
+        .agg(count(lit(1)).cast("long").as("n_vectors"))
+    hist(initial, "train").unionByName(hist(arrivals, "arrive"))
+  }
+
+  /** The RETRAIN FLAG the histogram feeds: arrivals' mean assignment
+    * cosine more than `tolerance` below the training mean. Means sum in
+    * DECIMAL(38,12) so the flag is order- and partitioning-independent.
+    * Returns (trainMean, arrivalMean, retrain) — two 1-row aggregates,
+    * bounded driver data.
+    */
+  def assignmentDriftFlag(initial: DataFrame, arrivals: DataFrame,
+      cent: DataFrame, tolerance: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): (Double, Double, Boolean) = {
+    require(tolerance >= 0, s"tolerance must be >= 0, got $tolerance")
+    def mean(df: DataFrame): Double =
+      assignmentCosines(df, cent, idCol, vecCol)
+        .agg(round(
+          sum(col("a_cos").cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+            .cast("double") / count(lit(1)), 6).as("m"))
+        .head().getDouble(0)
+    val t = mean(initial)
+    val a = mean(arrivals)
+    (t, a, a < t - tolerance)
+  }
+
   /** IVF search over an arbitrary centroid frame `cent` (cell, cv) with
     * 1 ≤ nProbe ≤ nCells: assign the corpus by argmax cosine, rank cells
     * per probe by centroid cosine, scan only the top `nProbe` cells'

@@ -51,6 +51,58 @@ class IvfIndexSpec extends SparkSpec {
     assert(a1.map(_._1).size == a1.size) // one cell per vector
   }
 
+  test("drift monitor: in-distribution appends keep the flag down; a " +
+      "shifted arrival distribution trips it, and the histogram shows why") {
+    val initial = emb.filter(col("vec_id") < 400)
+    val cent = IvfIndex.seededCentroids(initial, 8)
+    // in-distribution arrivals: the held-out tail of the same corpus
+    val healthy = emb.filter(col("vec_id") >= 400)
+    val (t1, a1, flag1) =
+      IvfIndex.assignmentDriftFlag(initial, healthy, cent, tolerance = 0.1)
+    assert(!flag1, s"in-distribution append must not flag (train=$t1, arrive=$a1)")
+    // drifted arrivals: vectors ORTHOGONAL to the whole centroid span —
+    // semantically new content no frozen cell represents (every
+    // assignment cosine ~0, so the winning one is too). Built by
+    // Gram-Schmidt: orthonormalize the centroids, then strip their
+    // projections from a unit axis vector.
+    val centArr = cent.collect()
+      .map(_.getSeq[Double](1).toArray)
+    val dim = centArr.head.length
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def minus(a: Array[Double], b: Array[Double], s: Double): Array[Double] =
+      a.zip(b).map { case (x, y) => x - s * y }
+    val basis = centArr.foldLeft(Vector.empty[Array[Double]]) { (bs, c) =>
+      val r = bs.foldLeft(c)((v, b) => minus(v, b, dot(v, b)))
+      val n = math.sqrt(dot(r, r))
+      if (n > 1e-9) bs :+ r.map(_ / n) else bs
+    }
+    val ortho = (0 until dim).iterator.map { i =>
+      val e = Array.tabulate(dim)(j => if (j == i) 1.0 else 0.0)
+      basis.foldLeft(e)((v, b) => minus(v, b, dot(v, b)))
+    }.find(v => math.sqrt(dot(v, v)) > 1e-6).get
+    val drifted = healthy.select(col("vec_id"),
+      typedLit(ortho.toSeq).as("embedding"))
+    val (t2, a2, flag2) =
+      IvfIndex.assignmentDriftFlag(initial, drifted, cent, tolerance = 0.1)
+    assert(flag2,
+      s"out-of-span arrivals must trip the flag (train=$t2, arrive=$a2)")
+    assert(a2 < a1, "drifted mean must sit below the healthy mean")
+    // the histogram accounts every vector once per cohort and localizes
+    // the drifted mass in strictly lower buckets on average
+    val h = IvfIndex.assignmentDriftHistogram(initial, drifted, cent, buckets = 20)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byCohort = h.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(byCohort("train") == initial.count())
+    assert(byCohort("arrive") == healthy.count())
+    def meanBucket(c: String): Double = {
+      val rows = h.filter(_._1 == c)
+      rows.map(r => r._2 * r._3).sum.toDouble / rows.map(_._3).sum
+    }
+    assert(meanBucket("arrive") < meanBucket("train"),
+      "drifted arrivals must occupy lower cosine buckets")
+  }
+
   test("every corpus vector is assigned to exactly one cell") {
     val ix = IvfIndex.build(emb, k = 8)
     assert(ix.assigned.count() == emb.count())
