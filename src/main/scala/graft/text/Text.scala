@@ -761,6 +761,25 @@ object Text {
     * still matches — 'a a a a' merges to 'aa aa' in ONE pass, exactly
     * the reference behavior (single-space joins would consume the shared
     * boundary and merge runs only alternately).
+    *
+    * OPERATING ENVELOPE: each round costs 2 Spark jobs (the
+    * localCheckpoint and the 1-row argmax), so the sequential trainer is
+    * sized for rounds ≲ 100 — ample for the taught-vocabulary regimes
+    * here, but a 10k-merge production vocabulary would mean 20k jobs of
+    * pure scheduler latency over a vocabulary-sized frame. For that
+    * regime set `pairsPerRound > 1`: each round picks the top
+    * NON-INTERACTING pairs (no shared symbol — a merge can only change
+    * the counts of pairs touching its own symbols, so disjoint picks see
+    * exactly the counts sequential training would have seen) and fuses
+    * them all before the next recount, cutting jobs by up to that
+    * factor. An interacting candidate is DEFERRED to the next round's
+    * recount, never applied on stale counts; the batch emits in (cnt
+    * desc, pair asc) order so ranks stay deterministic. Equality with
+    * sequential training when picks don't interact is property-tested;
+    * when a fused pair's new symbol would out-rank the stale runner-up,
+    * batched and sequential tables may legitimately differ (the standard
+    * trade every batched BPE trainer makes — tokenizers.BpeTrainer's
+    * max_merges-per-step behaves the same way).
     */
   /** The word-frequency BPE substrate: one row per distinct word with its
     * occurrence count and its DOUBLE-space-joined character symbols (the
@@ -788,14 +807,16 @@ object Text {
       lit(s" $a  $b "), lit(s" $merged ")))
 
   def bpeTrain(docs: DataFrame, rounds: Int,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", pairsPerRound: Int = 1): DataFrame = {
     require(rounds >= 1, "need at least one merge round")
+    require(pairsPerRound >= 1, "pairsPerRound must be >= 1")
     val spark = docs.sparkSession
     var words = wordSymbolFrame(docs, textCol, "freq")
       .select(col("sym"), col("freq"))
       .localCheckpoint()
     val learned = Seq.newBuilder[(Int, String, String, Long)]
-    for (r <- 1 to rounds) {
+    var rank = 0
+    for (_ <- 1 to rounds) {
       val syms = split(col("sym"), "  ")
       val pairs = words
         .select(col("freq"),
@@ -805,17 +826,36 @@ object Text {
             .as("ps"))
         .select(explode(col("ps")).as("pair"), col("freq"))
         .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
-      val top = pairs.orderBy(col("cnt").desc, col("pair").asc).limit(1)
+      // over-fetch so the non-interaction filter below still fills the
+      // batch when ranked neighbors share symbols; vocabulary-bounded,
+      // never data-scaled
+      val top = pairs.orderBy(col("cnt").desc, col("pair").asc)
+        .limit(math.max(1, pairsPerRound * 8))
         .collect()
       if (top.nonEmpty) {
-        val pair = top(0).getString(0)
-        val cnt = top(0).getLong(1)
-        val Array(a, b) = pair.split(' ')
-        val merged = a + b
-        learned += ((r, pair, merged, cnt))
-        words = words
-          .withColumn("sym", canonicalFuse(col("sym"), a, b, merged))
-          .localCheckpoint()
+        // greedy non-interacting batch in rank order: a pair is taken
+        // only when neither of its symbols was touched by an earlier
+        // pick this round — disjoint merges see exactly the counts the
+        // sequential trainer would recount (see envelope note above)
+        val used = scala.collection.mutable.Set.empty[String]
+        val picked = top.iterator.map { r0 =>
+          (r0.getString(0), r0.getLong(1))
+        }.filter { case (pair, _) =>
+          val Array(a, b) = pair.split(' ')
+          if (used(a) || used(b)) false
+          else { used += a; used += b; used += (a + b); true }
+        }.take(pairsPerRound).toSeq
+        picked.foreach { case (pair, cnt) =>
+          val Array(a, b) = pair.split(' ')
+          val merged = a + b
+          rank += 1
+          learned += ((rank, pair, merged, cnt))
+          words = words.withColumn("sym", canonicalFuse(col("sym"), a, b, merged))
+        }
+        // ONE checkpoint per ROUND (not per merge): the fuses chain as
+        // string replaces inside a single plan, which is the whole point
+        // of batching
+        if (picked.nonEmpty) words = words.localCheckpoint()
       }
     }
     import spark.implicits._

@@ -487,6 +487,36 @@ class TextSpec extends SparkSpec {
       (2L, "aa aa", "aaaa", 2L)), s"got $merges")
   }
 
+  test("batched BPE training equals sequential when the round's picks " +
+      "don't interact, and defers interacting picks to a recount") {
+    val s = spark
+    import s.implicits._
+    // top pairs by count: (p,q)×6, (r,s)×4, (u,v)×3, (q,r)... — the top
+    // picks are symbol-disjoint BY CONSTRUCTION, so a 2-per-round batch
+    // must reproduce the sequential table exactly
+    val disjoint = Seq(
+      "pq pq pq rs rs uv", "pq pq pq rs rs uv", "uv").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    def table(df: org.apache.spark.sql.DataFrame, rounds: Int, k: Int) =
+      graft.text.Text.bpeTrain(df, rounds, pairsPerRound = k)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toList
+    val seq4 = table(disjoint, rounds = 4, k = 1)
+    val bat4 = table(disjoint, rounds = 2, k = 2)
+    assert(bat4 == seq4,
+      s"disjoint picks must reproduce sequential training:\n$seq4\nvs\n$bat4")
+    // interacting top pairs: 'aaaa' makes (a,a) rank 1 and every other
+    // candidate touch 'a' or the new 'aa' — the batch must DEFER them
+    // (emit only the clean pick) rather than fuse on stale counts
+    val runs = Seq((0L, "aaaa aaaa aaaa")).toDF("doc_id", "text")
+    val batRuns = table(runs, rounds = 1, k = 3)
+    assert(batRuns == List((1L, "a a", "aa", 9L)),
+      s"interacting candidates must defer to the next recount: $batRuns")
+    // ...and the deferred pair surfaces next round with RECOUNTED counts,
+    // matching sequential training end to end
+    assert(table(runs, rounds = 2, k = 3) == table(runs, rounds = 2, k = 1))
+  }
+
   test("property: BPE segmentation is lossless and piece counts shrink " +
       "monotonically with more merges") {
     val s = spark
