@@ -125,6 +125,14 @@ class PlanInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("q92: BOTH SQL ASOF occurrences plan to the native operator") {
+    val p = plan("q92_asof_sql_multi")
+    val n = "(?i)asofjoin".r.findAllIn(p).size
+    assert(n >= 2, s"expected two native as-of nodes in the plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "the chained ASOF statement must not fall back to a generic join")
+  }
+
   test("q36: IN subqueries decorrelate to semi-joins") {
     val p = plan("q36_nested_in_subqueries")
     assert(p.contains("LeftSemi"), "predicate subquery not rewritten to semi-join")
