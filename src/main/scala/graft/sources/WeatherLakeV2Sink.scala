@@ -478,6 +478,32 @@ object WeatherLakeV2Sink {
     (textFrame(spark, files), fresh)
   }
 
+  /** [[readNewCommitsPruned]] with BOTH pruning legs: the partition
+    * predicate over path values and the stats predicate over per-file
+    * min/max ([[committedFilesPrunedByStats]]'s keep-rules — both fail
+    * open). Progress semantics unchanged: whole manifests are consumed,
+    * the predicates only choose which of a fresh manifest's files are
+    * OPENED.
+    */
+  def readNewCommitsPrunedBy(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, cursorPath: String)(
+      partitionPred: Map[String, String] => Boolean)(
+      statsPred: Map[String, FieldStats] => Boolean):
+      (org.apache.spark.sql.DataFrame, Seq[String]) = {
+    val fresh = liveManifests(basePath)
+      .filterNot(consumedManifests(cursorPath))
+    val fs = new Path(basePath).getFileSystem(new Configuration())
+    val lines = fresh
+      .flatMap(n => readLines(fs, new Path(new Path(basePath, ManifestDir), n)))
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+    val files = lines.filter { l =>
+      val st = lineStats(l)
+      (st.isEmpty || statsPred(st)) &&
+        survivesPruning(basePath, partitionPred)(entryPath(l))
+    }.map(entryPath)
+    (textFrame(spark, files), fresh)
+  }
+
   /** Durably mark manifests consumed: rewrite the cursor with the union of
     * old and new names via tmp-then-rename, so a torn write can't corrupt
     * it (a lost rename surfaces as an exception, and an unadvanced cursor
@@ -514,6 +540,33 @@ object WeatherLakeV2Sink {
     * Delta/Iceberg version pin.
     */
   def snapshot(basePath: String): Seq[String] = manifestNames(basePath)
+
+  /** The manifest history in COMMIT order — (modification time, name)
+    * ascending, name as the tiebreak. O(manifests) driver metadata; the
+    * version axis [[snapshotAt]] indexes.
+    */
+  def manifestHistory(basePath: String): Seq[String] = {
+    val fs = new Path(basePath).getFileSystem(new Configuration())
+    val mdir = new Path(basePath, ManifestDir)
+    manifestNames(basePath)
+      .map(n => (fs.getFileStatus(new Path(mdir, n)).getModificationTime, n))
+      .sortBy(identity)
+      .map(_._2)
+  }
+
+  /** The snapshot AS OF version `n` (0-based index into
+    * [[manifestHistory]]): the first n+1 manifests in commit order —
+    * `readAsOf(spark, base, snapshotAt(base, n))` is "read the table at
+    * version n", the Delta `VERSION AS OF` form of the pin that
+    * [[snapshot]] captures by observation. Fails loudly on an
+    * out-of-range version rather than returning a partial table.
+    */
+  def snapshotAt(basePath: String, n: Int): Seq[String] = {
+    val h = manifestHistory(basePath)
+    require(n >= 0 && n < h.size,
+      s"snapshotAt: version $n out of range [0, ${h.size - 1}]")
+    h.take(n + 1)
+  }
 
   /** Read the lake AS OF a captured snapshot: only the snapshot's
     * manifests contribute, and `#supersedes` directives are honored only

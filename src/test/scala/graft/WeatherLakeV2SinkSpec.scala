@@ -462,6 +462,66 @@ class WeatherLakeV2SinkSpec extends SparkSpec {
       Map("city" -> "a", "ds" -> "1"))
   }
 
+  test("snapshotAt reads the table at version N of the commit history " +
+      "and refuses out-of-range versions") {
+    import graft.sources.WeatherLakeV2Sink
+    val lake = Files.createTempDirectory("lakev2ver").toString
+    val s = spark
+    import s.implicits._
+    def sink(tag: String): Unit = {
+      Seq(("a", "2024-01-01", "00", s"""{"t":"$tag"}"""))
+        .toDF("city", "ds", "hour", "raw_json")
+        .write.format("graft.sources.WeatherLakeV2Sink")
+        .mode("append").save(lake)
+      Thread.sleep(5) // distinct mtimes: commit order must be observable
+    }
+    sink("v0"); sink("v1"); sink("v2")
+    def tagsAt(n: Int): Set[String] =
+      WeatherLakeV2Sink.readAsOf(spark, lake,
+          WeatherLakeV2Sink.snapshotAt(lake, n))
+        .collect().map(_.getString(0)).toSet
+    assert(tagsAt(0) == Set("""{"t":"v0"}"""))
+    assert(tagsAt(1) == Set("""{"t":"v0"}""", """{"t":"v1"}"""))
+    assert(tagsAt(2) ==
+      Set("""{"t":"v0"}""", """{"t":"v1"}""", """{"t":"v2"}"""))
+    intercept[IllegalArgumentException] {
+      WeatherLakeV2Sink.snapshotAt(lake, 3)
+    }
+    intercept[IllegalArgumentException] {
+      WeatherLakeV2Sink.snapshotAt(lake, -1)
+    }
+  }
+
+  test("incremental reads compose with BOTH pruning legs (partition + " +
+      "stats) without changing progress semantics") {
+    import graft.sources.WeatherLakeV2Sink
+    val lake = Files.createTempDirectory("lakev2incst").toString
+    val cursor = s"$lake/../${new File(lake).getName}.cursor"
+    val s = spark
+    import s.implicits._
+    def sink(city: String, v: Long): Unit =
+      Seq((city, "2024-01-01", "00", s"""{"v":$v}"""))
+        .toDF("city", "ds", "hour", "raw_json")
+        .coalesce(1)
+        .write.format("graft.sources.WeatherLakeV2Sink")
+        .option("statsFields", "v")
+        .mode("append").save(lake)
+    sink("a", 5); sink("a", 500); sink("b", 7)
+    // consume with: partition = city a only, stats = v <= 100 only
+    val (df, fresh) = WeatherLakeV2Sink.readNewCommitsPrunedBy(
+        spark, lake, cursor)(
+        _.get("city").forall(_ == "a"))(
+        _.get("v").forall(_.overlaps(None, Some("100"))))
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("""{"v":5}"""),
+      "only the low-v city=a file may be opened")
+    // ALL fresh manifests are consumed regardless of pruning
+    assert(fresh.size == 3)
+    WeatherLakeV2Sink.advanceCursor(cursor, fresh)
+    val (df2, fresh2) = WeatherLakeV2Sink.readNewCommitsPrunedBy(
+        spark, lake, cursor)(_ => true)(_ => true)
+    assert(fresh2.isEmpty && df2.isEmpty)
+  }
+
   test("mergeCommitted: copy-on-write upsert matches the functional " +
       "truth, rewrites only touched files, and old snapshots survive") {
     import graft.sources.WeatherLakeV2Sink
