@@ -1011,6 +1011,48 @@ object WeatherLakeV2Sink {
     removed
   }
 
+  /** Reclaim TRUE orphans — data files referenced by NO manifest at all:
+    * the attempts that died between task commit and job commit, the
+    * exactly-once race losers, and failed rolling-writer tasks. [[vacuum]]
+    * cannot reach these (it walks superseded manifests' file lists; an
+    * orphan is in no list), so this is the complementary sweep: list the
+    * lake tree, subtract every manifest-referenced path (live AND
+    * superseded — superseded files are vacuum's job, with its own
+    * age/tombstone discipline), delete unreferenced data files older than
+    * `minAgeMs`. The age guard is MANDATORY here: a write job's files are
+    * unreferenced until its job-commit rename, so sweeping younger than
+    * the longest plausible job runtime would destroy in-flight work.
+    * Hidden files (dot-prefixed: in-progress tmp, cursors) are never
+    * touched. O(tree listing) driver metadata — run it with maintenance,
+    * not per query.
+    */
+  def sweepOrphans(basePath: String, minAgeMs: Long): Int = {
+    require(minAgeMs > 0,
+      "sweepOrphans needs a positive age guard: unreferenced-but-young " +
+        "files may belong to an in-flight write job")
+    val fs = new Path(basePath).getFileSystem(new Configuration())
+    val mdir = new Path(basePath, ManifestDir)
+    val referenced = manifestNames(basePath)
+      .flatMap(n => readLines(fs, new Path(mdir, n)))
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map(l => new Path(entryPath(l)).toUri.getPath)
+      .toSet
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    def walk(dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(dir).toSeq.flatMap { st =>
+        if (st.getPath.getName.startsWith(".")) Seq.empty
+        else if (st.isDirectory) {
+          if (st.getPath.getName == ManifestDir) Seq.empty else walk(st.getPath)
+        } else Seq(st)
+      }
+    val victims = walk(new Path(basePath)).filter { st =>
+      !referenced(st.getPath.toUri.getPath) &&
+        st.getModificationTime < cutoff
+    }
+    victims.foreach(st => fs.delete(st.getPath, false))
+    victims.size
+  }
+
   final case class FilesWritten(paths: Seq[String]) extends WriterCommitMessage
 
   class LakeWriterFactory(path: String, statsFields: Seq[String] = Seq.empty)

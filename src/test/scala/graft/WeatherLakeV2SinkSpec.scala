@@ -462,6 +462,36 @@ class WeatherLakeV2SinkSpec extends SparkSpec {
       Map("city" -> "a", "ds" -> "1"))
   }
 
+  test("sweepOrphans reclaims manifest-less files only, respects the age " +
+      "guard, and never touches referenced or hidden files") {
+    import graft.sources.WeatherLakeV2Sink
+    val lake = Files.createTempDirectory("lakev2orph").toString
+    val s = spark
+    import s.implicits._
+    Seq(("a", "2024-01-01", "00", """{"k":1}"""))
+      .toDF("city", "ds", "hour", "raw_json")
+      .write.format("graft.sources.WeatherLakeV2Sink")
+      .mode("append").save(lake)
+    // an orphan: a data file no manifest references (died attempt / race
+    // loser), plus a hidden in-progress file
+    val orphan = new File(s"$lake/city=a/ds=2024-01-01/hour=00/part-lost.json")
+    java.nio.file.Files.writeString(orphan.toPath, "{\"k\":9}\n")
+    val hidden = new File(s"$lake/city=a/.inprogress-x.json")
+    java.nio.file.Files.writeString(hidden.toPath, "{}\n")
+    // too young: the age guard protects possible in-flight work
+    assert(WeatherLakeV2Sink.sweepOrphans(lake, minAgeMs = 3600L * 1000) == 0)
+    assert(orphan.exists())
+    // old enough: the orphan goes, the referenced file and hidden file stay
+    assert(orphan.setLastModified(System.currentTimeMillis() - 7200L * 1000))
+    assert(WeatherLakeV2Sink.sweepOrphans(lake, minAgeMs = 3600L * 1000) == 1)
+    assert(!orphan.exists() && hidden.exists())
+    assert(WeatherLakeV2Sink.readCommitted(spark, lake).count() == 1)
+    // a zero/negative guard refuses loudly
+    intercept[IllegalArgumentException] {
+      WeatherLakeV2Sink.sweepOrphans(lake, minAgeMs = 0)
+    }
+  }
+
   test("snapshotAt reads the table at version N of the commit history " +
       "and refuses out-of-range versions") {
     import graft.sources.WeatherLakeV2Sink
