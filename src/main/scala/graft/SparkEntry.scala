@@ -255,7 +255,10 @@ object SparkEntry {
     mergeLakeCache.getOrElseUpdate(s"${System.identityHashCode(s)}#$dir", {
       val docs = Tables.documents(s, dir)
       val sig = graft.similarity.ModelExport.corpusSig(docs, "doc_id")
-      val p = s"/tmp/graft_merge_lake/sig=$sig"
+      // _v2: the delta's insert-key scheme changed (negative keys, see
+      // q89) — a lake a prior build merged +10000 keys into must not be
+      // reused under the new expectation
+      val p = s"/tmp/graft_merge_lake_v2/sig=$sig"
       if (!graft.sources.WeatherLakeV2Sink.manifestExists(p, "base")) {
         docs.select(
             col("source").as("city"), lit("2024-01-01").as("ds"),
@@ -5361,8 +5364,8 @@ object SparkEntry {
         |  SELECT b.doc_id, COALESCE(u.val, CAST(b.doc_id AS BIGINT)) AS val
         |  FROM documents b LEFT JOIN upd u ON b.doc_id = u.doc_id
         |  UNION ALL
-        |  SELECT CAST(doc_id + 10000 AS BIGINT) AS doc_id,
-        |    CAST(doc_id + 10000 AS BIGINT) AS val
+        |  SELECT CAST(-1 - doc_id AS BIGINT) AS doc_id,
+        |    CAST(-1 - doc_id AS BIGINT) AS val
         |  FROM documents WHERE doc_id < 25)
         |SELECT doc_id, val FROM merged""".stripMargin),
       (s, dir) => {
@@ -5373,11 +5376,14 @@ object SparkEntry {
           format_string("%02d", col("doc_id") % 24).as("hour"),
           to_json(struct(col("doc_id"),
             (col("doc_id") * 2).cast("long").as("val"))).as("raw_json"))
+        // brand-new keys are NEGATIVE (-1-doc_id): collision-proof
+        // against any non-negative corpus id at any scale, keeping the
+        // batch key-unique per mergeCommitted's contract
         val inserts = docs.filter(col("doc_id") < 25).select(
           lit("fresh").as("city"), lit("2024-02-01").as("ds"),
           lit("00").as("hour"),
-          to_json(struct((col("doc_id") + 10000).as("doc_id"),
-            (col("doc_id") + 10000).cast("long").as("val"))).as("raw_json"))
+          to_json(struct((lit(-1) - col("doc_id")).as("doc_id"),
+            (lit(-1) - col("doc_id")).cast("long").as("val"))).as("raw_json"))
         graft.sources.WeatherLakeV2Sink.mergeCommitted(s, p,
           updates.unionByName(inserts),
           f => get_json_object(f("raw_json"), "$.doc_id"))

@@ -339,6 +339,15 @@ object AsOfSqlResolution extends Rule[LogicalPlan] with PredicateHelper {
     def aliases(p: LogicalPlan): Set[String] = p.collect {
       case sa: SubqueryAlias => sa.alias.toLowerCase
     }.toSet
+    // the OUTERMOST SubqueryAlias is the binding one: for `quotes q` the
+    // user alias q wraps the relation's own alias, and matching on it
+    // first is what lets the same table appear under two ASOF joins with
+    // distinct aliases (q, q2) — the subtree-wide set would put the
+    // relation name in both and falsely report ambiguity
+    def outerAlias(p: LogicalPlan): Set[String] = p match {
+      case sa: SubqueryAlias => Set(sa.alias.toLowerCase)
+      case _ => Set.empty
+    }
     val ordered = marks.filter(_.rhsHint.nonEmpty) ++
       marks.filter(_.rhsHint.isEmpty)
     // one mark converted per pass: conversion rebuilds ancestor nodes, so
@@ -353,7 +362,13 @@ object AsOfSqlResolution extends Rule[LogicalPlan] with PredicateHelper {
       }
       val candidates =
         if (mark.rhsHint.isEmpty) shaped
-        else shaped.filter(j => aliases(j.right).intersect(mark.rhsHint).nonEmpty)
+        else {
+          val byOuter = shaped.filter(j =>
+            outerAlias(j.right).intersect(mark.rhsHint).nonEmpty)
+          if (byOuter.nonEmpty) byOuter
+          else shaped.filter(j =>
+            aliases(j.right).intersect(mark.rhsHint).nonEmpty)
+        }
       if (candidates.length != 1) throw new IllegalArgumentException(
         s"ASOF JOIN: expected exactly one " +
           s"${if (mark.leftOuter) "LEFT " else ""}join " +

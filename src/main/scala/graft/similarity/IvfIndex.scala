@@ -80,7 +80,18 @@ object IvfIndex {
     * broadcast of O(nCells·dim) + one window shuffle keyed by vector id.
     */
   def assignByCosine(emb: DataFrame, cent: DataFrame,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    winningAssignment(emb, cent, idCol, vecCol)
+      .select(col("nid"), col("cell"), col("v"))
+
+  /** THE argmax-cosine assignment both public faces share — one
+    * formulation of the rounding, tie-break, and widening rules, so the
+    * index assignment ([[assignByCosine]]) and the drift monitor
+    * ([[assignmentCosines]]) can never silently disagree about which
+    * cell wins. Returns (nid, cell, v, a_cos).
+    */
+  private def winningAssignment(emb: DataFrame, cent: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
     val spark = emb.sparkSession
     val e = emb.select(col(idCol).as("nid"), widened(vecCol).as("v"))
     val w = Window.partitionBy(col("nid"))
@@ -89,24 +100,16 @@ object IvfIndex {
       .withColumn("a_cos", round(CosineSimilarity(spark, col("v"), col("cv")), 6))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .select(col("nid"), col("cell"), col("v"))
+      .select(col("nid"), col("cell"), col("v"), col("a_cos"))
   }
 
   /** [[assignByCosine]] KEEPING the winning cosine — the statistic the
     * drift monitor bins. Returns (nid, cell, a_cos).
     */
   def assignmentCosines(emb: DataFrame, cent: DataFrame,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val spark = emb.sparkSession
-    val e = emb.select(col(idCol).as("nid"), widened(vecCol).as("v"))
-    val w = Window.partitionBy(col("nid"))
-      .orderBy(col("a_cos").desc, col("cell").asc)
-    e.crossJoin(broadcast(cent))
-      .withColumn("a_cos", round(CosineSimilarity(spark, col("v"), col("cv")), 6))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    winningAssignment(emb, cent, idCol, vecCol)
       .select(col("nid"), col("cell"), col("a_cos"))
-  }
 
   /** DRIFT MONITOR for the frozen-centroid append path ([[s15]]'s twin,
     * the statistic that says when freezing stops being safe): histogram

@@ -33,8 +33,19 @@ object NameMapping {
     */
   def readParquetMapped(spark: SparkSession, dir: String,
       mapping: Map[String, String]): DataFrame = {
+    // renames must be INDEPENDENT (no mapping key appears among its
+    // values): a chain like a->b, b->c applied from an unordered Map
+    // would succeed or collide depending on hash iteration order —
+    // refuse the shape instead of being order-lucky. (Iceberg name
+    // mappings are independent by construction: each maps a physical
+    // name to the CURRENT logical name, never through intermediates.)
+    val chained = mapping.keySet.intersect(mapping.values.toSet)
+    require(chained.isEmpty,
+      s"NameMapping: mapping is not independent — ${chained.mkString(", ")} " +
+        "appear as both physical and logical names; map each physical " +
+        "name directly to its current logical name")
     val df = spark.read.parquet(dir)
-    mapping.foldLeft(df) { case (d, (oldName, newName)) =>
+    mapping.toSeq.sortBy(_._1).foldLeft(df) { case (d, (oldName, newName)) =>
       require(d.columns.contains(oldName),
         s"NameMapping: physical column '$oldName' not present in $dir " +
           s"(have: ${d.columns.mkString(", ")})")

@@ -429,16 +429,19 @@ object WeatherLakeV2Sink {
     * that already consumed them sees the compaction manifest as a replay
     * of rows it processed (at-least-once, idempotent for keyed upserts).
     */
+  /** Returns (fresh manifest names, their data ENTRY LINES) — the one
+    * copy of the cursor/manifest-consumption logic all three incremental
+    * readers share; derive paths with [[entryPath]].
+    */
   private def freshCommits(basePath: String, cursorPath: String):
       (Seq[String], Seq[String]) = {
     val fresh = liveManifests(basePath)
       .filterNot(consumedManifests(cursorPath))
     val fs = new Path(basePath).getFileSystem(new Configuration())
-    val files = fresh
+    val lines = fresh
       .flatMap(n => readLines(fs, new Path(new Path(basePath, ManifestDir), n)))
       .filter(l => l.nonEmpty && !l.startsWith("#"))
-      .map(entryPath)
-    (fresh, files)
+    (fresh, lines)
   }
 
   private def textFrame(spark: org.apache.spark.sql.SparkSession,
@@ -451,8 +454,8 @@ object WeatherLakeV2Sink {
   def readNewCommits(spark: org.apache.spark.sql.SparkSession,
       basePath: String, cursorPath: String):
       (org.apache.spark.sql.DataFrame, Seq[String]) = {
-    val (fresh, files) = freshCommits(basePath, cursorPath)
-    (textFrame(spark, files), fresh)
+    val (fresh, lines) = freshCommits(basePath, cursorPath)
+    (textFrame(spark, lines.map(entryPath)), fresh)
   }
 
   /** [[readNewCommits]] with manifest-level partition pruning — the
@@ -473,8 +476,8 @@ object WeatherLakeV2Sink {
     // shared manifest selection, ONE frame built — only the surviving
     // files ever reach a FileIndex, so the pruned-out partitions cost
     // zero object-store metadata calls (the point of pruning)
-    val (fresh, allFiles) = freshCommits(basePath, cursorPath)
-    val files = allFiles.filter(survivesPruning(basePath, pred))
+    val (fresh, lines) = freshCommits(basePath, cursorPath)
+    val files = lines.map(entryPath).filter(survivesPruning(basePath, pred))
     (textFrame(spark, files), fresh)
   }
 
@@ -490,12 +493,7 @@ object WeatherLakeV2Sink {
       partitionPred: Map[String, String] => Boolean)(
       statsPred: Map[String, FieldStats] => Boolean):
       (org.apache.spark.sql.DataFrame, Seq[String]) = {
-    val fresh = liveManifests(basePath)
-      .filterNot(consumedManifests(cursorPath))
-    val fs = new Path(basePath).getFileSystem(new Configuration())
-    val lines = fresh
-      .flatMap(n => readLines(fs, new Path(new Path(basePath, ManifestDir), n)))
-      .filter(l => l.nonEmpty && !l.startsWith("#"))
+    val (fresh, lines) = freshCommits(basePath, cursorPath)
     val files = lines.filter { l =>
       val st = lineStats(l)
       (st.isEmpty || statsPred(st)) &&
@@ -634,10 +632,17 @@ object WeatherLakeV2Sink {
     * Crash recovery: the lock file carries its holder op and creation
     * time; a lock older than `staleLockMs` is presumed abandoned by a
     * died job and is broken (deleted and re-acquired) — the same
-    * time-based lease every object-store lock service offers. Real
-    * multi-writer deployments put this file on a filesystem with atomic
-    * rename (HDFS, ABFS) or swap in a lock service; the protocol is
-    * unchanged.
+    * time-based lease every object-store lock service offers.
+    *
+    * Acquisition is `create(overwrite = false)`, NOT rename-to-dest:
+    * Hadoop leaves rename-onto-an-existing-destination semantics to the
+    * filesystem, and the stock RawLocalFileSystem silently OVERWRITES
+    * (POSIX renameTo) — a rename-based lock would let a second
+    * maintenance op steal a held lock without noticing. Exclusive create
+    * throws when the path exists on every Hadoop filesystem (atomic on
+    * HDFS/ABFS at the namenode; a narrow check-then-create window on the
+    * raw local FS); object stores without atomic create-if-absent need a
+    * real lock service, as every lakehouse documents.
     */
   private def withMaintenanceLock[T](basePath: String, op: String,
       staleLockMs: Long = 10L * 60 * 1000)(body: => T): T = {
@@ -645,15 +650,13 @@ object WeatherLakeV2Sink {
     val mdir = new Path(basePath, ManifestDir)
     fs.mkdirs(mdir)
     val lock = new Path(mdir, ".maintenance.lock")
-    def tryAcquire(): Boolean = {
-      val tmp = new Path(mdir, s".lock-${UUID.randomUUID().toString}.tmp")
-      val out = fs.create(tmp, true)
-      try out.write(s"$op ${System.currentTimeMillis()}\n".getBytes("UTF-8"))
-      finally out.close()
-      val won = fs.rename(tmp, lock) && !fs.exists(tmp)
-      if (!won) fs.delete(tmp, false)
-      won
-    }
+    def tryAcquire(): Boolean =
+      try {
+        val out = fs.create(lock, false) // throws if the lock exists
+        try out.write(s"$op ${System.currentTimeMillis()}\n".getBytes("UTF-8"))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
     var acquired = tryAcquire()
     if (!acquired && fs.exists(lock) &&
         fs.getFileStatus(lock).getModificationTime <
@@ -672,15 +675,26 @@ object WeatherLakeV2Sink {
     try body finally fs.delete(lock, false)
   }
 
-  /** The scan row's source file as a scheme-stripped absolute path,
-    * comparable to `new Path(manifestLine).toUri.getPath` — the join key
-    * that ties a read line back to its manifest entry unambiguously
-    * (basenames are NOT assumed unique across directories).
+  /** The scan row's source file as a scheme-stripped path, comparable to
+    * [[manifestJoinKey]] — the join key that ties a read line back to its
+    * manifest entry unambiguously (basenames are NOT assumed unique
+    * across directories). `input_file_name()` reports the URI form, i.e.
+    * URL-ENCODED (`city=New%20York`), so the manifest side must key on
+    * the RAW (encoded) URI path too — a decoded `toUri.getPath` key
+    * would never match a path containing any URL-encodable character and
+    * the inner join would silently drop those directories' rows.
     */
   private def filePathCol: org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{input_file_name, regexp_replace}
     regexp_replace(input_file_name(), "^[a-z]+:/+", "/")
   }
+
+  /** The manifest-entry twin of [[filePathCol]]: the file's raw
+    * (URL-encoded) URI path, exactly what `input_file_name()` reports
+    * minus the scheme.
+    */
+  private def manifestJoinKey(file: String): String =
+    new Path(file).toUri.getRawPath
 
   /** Distributed rolling writer shared by [[compact]] and
     * [[mergeCommitted]]: routes (dir, value) rows so each directory's
@@ -815,7 +829,7 @@ object WeatherLakeV2Sink {
       // true-descendant logic isn't re-implemented in columns)
       val dirOf = candidates.map { f =>
         val pv = partitionValues(basePath, f)
-        (new Path(f).toUri.getPath, f, new Path(f).getParent.toString,
+        (manifestJoinKey(f), f, new Path(f).getParent.toString,
           pv.get("city").orNull, pv.get("ds").orNull, pv.get("hour").orNull)
       }
       val session = spark
@@ -946,7 +960,7 @@ object WeatherLakeV2Sink {
       // unique across directories (a task routes same-named files into
       // every directory it touches)
       val dirOfPath = multi.toSeq.flatMap { case (d, fls) =>
-        fls.map(f => (new Path(f).toUri.getPath, d)) }
+        fls.map(f => (manifestJoinKey(f), d)) }
       val rows = session.read.text(multi.values.flatten.toSeq: _*)
         .select(filePathCol.as("path"), col("value"))
         .join(broadcast(dirOfPath.toDF("path", "dir")), "path")
@@ -1117,11 +1131,27 @@ object WeatherLakeV2Sink {
           j += 1
           while (j < json.length && json(j) != '"') {
             if (json(j) == '\\' && j + 1 < json.length) {
-              sb.append(json(j + 1) match {
-                case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
-                case c => c
-              })
-              j += 2
+              // full JSON escape set — a mangled \uXXXX (appending the
+              // letter 'u' literally) would corrupt min/max and make
+              // stats pruning silently drop files with matching rows
+              json(j + 1) match {
+                case 'n' => sb.append('\n'); j += 2
+                case 't' => sb.append('\t'); j += 2
+                case 'r' => sb.append('\r'); j += 2
+                case 'b' => sb.append('\b'); j += 2
+                case 'f' => sb.append('\f'); j += 2
+                case 'u' if j + 5 < json.length =>
+                  try {
+                    sb.append(Integer.parseInt(json.substring(j + 2, j + 6), 16).toChar)
+                    j += 6
+                  } catch { case _: NumberFormatException =>
+                    // malformed escape: give up on stats for this value
+                    // rather than record a corrupted one
+                    return None
+                  }
+                case 'u' => return None // truncated \uXXXX
+                case c => sb.append(c); j += 2 // \" \\ \/
+              }
             } else { sb.append(json(j)); j += 1 }
           }
           return Some(sb.toString)

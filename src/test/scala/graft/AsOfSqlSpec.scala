@@ -150,6 +150,27 @@ class AsOfSqlSpec extends SparkSpec {
     assert(nAsOf == 2, s"expected 2 native as-of nodes, got $nAsOf:\n$plan")
   }
 
+  test("two ASOF joins over the SAME relation resolve by their distinct " +
+      "user aliases (outermost alias binds, relation name is fallback)") {
+    views()
+    val got = spark.sql("""SELECT t.sym, t.t, q.px, q2.px AS px2
+      FROM sql_trades t
+      ASOF LEFT JOIN sql_quotes q ON t.sym = q.sym AND t.t >= q.t
+      ASOF LEFT JOIN sql_quotes q2 ON t.sym = q2.sym AND t.t > q2.t""")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    // q: backward non-strict; q2: backward STRICT — at t=10 they differ
+    assert(got(("A", 10L, 101L, 100L)), got.toString)
+    assert(got(("C", 5L, -1L, -1L)))
+    val n = spark.sql("""SELECT t.sym FROM sql_trades t
+      ASOF LEFT JOIN sql_quotes q ON t.sym = q.sym AND t.t >= q.t
+      ASOF LEFT JOIN sql_quotes q2 ON t.sym = q2.sym AND t.t > q2.t""")
+      .queryExecution.optimizedPlan
+      .collect { case a: graft.plans.AsOfJoin => a }.size
+    assert(n == 2, s"both same-relation ASOFs must convert, got $n")
+  }
+
   test("two anchor-less ASOF joins are genuinely ambiguous and refuse") {
     views()
     // both right sides are subqueries: no alias anchor — with two shaped

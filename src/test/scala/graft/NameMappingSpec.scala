@@ -58,6 +58,16 @@ class NameMappingSpec extends SparkSpec {
     assert(e2.getMessage.contains("collide"), e2.getMessage)
   }
 
+  test("a chained (non-independent) mapping refuses loudly instead of " +
+      "depending on Map iteration order") {
+    val dir = lake()
+    val e = intercept[IllegalArgumentException] {
+      NameMapping.readParquetMapped(spark, s"$dir/b=1",
+        Map("id" -> "score2", "score" -> "id"))
+    }
+    assert(e.getMessage.contains("independent"), e.getMessage)
+  }
+
   test("a column only NEW batches carry surfaces as null for mapped old " +
       "batches (rename composes with column-add)") {
     val s = spark

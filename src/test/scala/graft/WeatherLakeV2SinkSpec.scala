@@ -720,6 +720,63 @@ class WeatherLakeV2SinkSpec extends SparkSpec {
       s"merge must replace exactly key 4's row: $merged")
   }
 
+  test("URL-encodable partition values survive maintenance: the scan-to-" +
+      "manifest join keys on the ENCODED path input_file_name reports") {
+    import graft.sources.WeatherLakeV2Sink
+    val lake = Files.createTempDirectory("lakev2enc").toString
+    val s = spark
+    import s.implicits._
+    def sink(v: Long): Unit =
+      Seq(("new york", "2024-01-01", "00", s"""{"k":$v}"""))
+        .toDF("city", "ds", "hour", "raw_json")
+        .coalesce(1)
+        .write.format("graft.sources.WeatherLakeV2Sink")
+        .mode("append").save(lake)
+    sink(1); sink(2) // two small files in city=new york/ (space → %20)
+    assert(WeatherLakeV2Sink.readCommitted(spark, lake).count() == 2)
+    // a decoded-path join would match NOTHING here and compact would
+    // publish a superseding manifest with the city's rows silently gone
+    assert(WeatherLakeV2Sink.compact(spark, lake, targetBytes = 1024) == 1)
+    val after = WeatherLakeV2Sink.readCommitted(spark, lake)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(after == Seq("""{"k":1}""", """{"k":2}"""),
+      s"compaction must preserve rows under encodable paths: $after")
+    // and merge must FIND the conflicting key in the encoded directory
+    val delta = Seq(("new york", "2024-01-01", "00", """{"k":2,"u":1}"""))
+      .toDF("city", "ds", "hour", "raw_json")
+    val stats = WeatherLakeV2Sink.mergeCommitted(spark, lake, delta,
+      f => get_json_object(f("raw_json"), "$.k"))
+    assert(stats.touchedFiles == 1,
+      "merge must detect the touched file under the encoded path")
+    val merged = WeatherLakeV2Sink.readCommitted(spark, lake)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(merged == Seq("""{"k":1}""", """{"k":2,"u":1}"""), merged.toString)
+  }
+
+  test("stats collection unescapes JSON string values correctly " +
+      "(tab, unicode escapes) — corrupted min/max would misprune") {
+    import graft.sources.WeatherLakeV2Sink
+    val lake = Files.createTempDirectory("lakev2esc").toString
+    val s = spark
+    import s.implicits._
+    // to_json escapes the tab as \t and the bell as \u0007; the stats
+    // accumulator must record the REAL characters
+    Seq(("a", "2024-01-01", "00", "a\tb"), ("a", "2024-01-01", "00", "\u0007z"))
+      .toDF("city", "ds", "hour", "sval")
+      .select(col("city"), col("ds"), col("hour"),
+        to_json(struct(col("sval").as("sv"))).as("raw_json"))
+      .coalesce(1)
+      .write.format("graft.sources.WeatherLakeV2Sink")
+      .option("statsFields", "sv")
+      .mode("append").save(lake)
+    val lines = WeatherLakeV2Sink.committedEntryLines(lake)
+    assert(lines.size == 1)
+    val st = WeatherLakeV2Sink.lineStats(lines.head)("sv")
+    assert(st.min == "\u0007z" && st.max == "a\tb",
+      s"escapes must decode to the real characters: min=${st.min.toList} " +
+        s"max=${st.max.toList}")
+  }
+
   test("merge and compact serialize on the maintenance lock: a held lock " +
       "fails loudly, an abandoned one is broken after the lease") {
     import graft.sources.WeatherLakeV2Sink
