@@ -1,0 +1,116 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The lake as a streaming SOURCE (WeatherLakeV2StreamSource): manifests
+  * are the unit of progress, restarts resume from the checkpoint,
+  * compaction replays for already-caught-up streams (at-least-once) and
+  * reads-once for fresh streams.
+  */
+class WeatherLakeV2StreamSourceSpec extends SparkSpec {
+
+  private def sink(lake: String, tag: String, n: Int): Unit = {
+    val s = spark
+    import s.implicits._
+    (0 until n).map(i => ("a", "2024-01-01", "00", s"""{"t":"$tag$i"}"""))
+      .toDF("city", "ds", "hour", "raw_json")
+      .coalesce(1)
+      .write.format("graft.sources.WeatherLakeV2Sink")
+      .mode("append").save(lake)
+  }
+
+  // memory sink refuses checkpoint recovery; foreachBatch is the
+  // checkpoint-recoverable sink, collecting into a per-run buffer
+  private val collected =
+    scala.collection.concurrent.TrieMap.empty[String, Vector[String]]
+
+  private def drain(lake: String, ckpt: String, table: String): Unit = {
+    collected(table) = Vector.empty
+    val q = spark.readStream
+      .format("graft.sources.WeatherLakeV2StreamSource")
+      .load(lake)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val vals = batch.collect().map(_.getString(0)).toVector
+        collected.updateWith(table)(prev => Some(prev.getOrElse(Vector.empty) ++ vals))
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  private def rows(table: String): Seq[String] =
+    collected.getOrElse(table, Vector.empty).sorted
+
+  test("streams committed manifests, resumes from the checkpoint, and " +
+      "never sees half a write job") {
+    val base = Files.createTempDirectory("lakestream").toString
+    val lake = s"$base/lake"; val ckpt = s"$base/ckpt"
+    sink(lake, "x", 3)
+    drain(lake, ckpt, "lake_stream_t1")
+    assert(rows("lake_stream_t1") ==
+      Seq("""{"t":"x0"}""", """{"t":"x1"}""", """{"t":"x2"}"""))
+    // an orphan file with no manifest must be invisible to the stream
+    java.nio.file.Files.writeString(
+      new java.io.File(s"$lake/city=a/ds=2024-01-01/hour=00/orphan.json").toPath,
+      "{\"t\":\"orphan\"}\n")
+    // restart with the same checkpoint: only NEW manifests arrive
+    sink(lake, "y", 2)
+    drain(lake, ckpt, "lake_stream_t2")
+    assert(rows("lake_stream_t2") == Seq("""{"t":"y0"}""", """{"t":"y1"}"""),
+      "a resumed stream must deliver exactly the new commits")
+    // nothing new → an AvailableNow run delivers nothing
+    drain(lake, ckpt, "lake_stream_t3")
+    assert(rows("lake_stream_t3").isEmpty)
+  }
+
+  test("compaction replays for a caught-up stream (at-least-once) and " +
+      "reads once for a fresh stream") {
+    import graft.sources.WeatherLakeV2Sink
+    val base = Files.createTempDirectory("lakestreamc").toString
+    val lake = s"$base/lake"
+    sink(lake, "a", 2); sink(lake, "b", 2) // same dir → compaction candidate
+    val ckpt1 = s"$base/ckpt1"
+    drain(lake, ckpt1, "lake_streamc_t1")
+    assert(rows("lake_streamc_t1").size == 4)
+    assert(WeatherLakeV2Sink.compact(spark, lake) == 1)
+    // caught-up stream: the compaction manifest is NEW and live → its
+    // rows replay (the cursor reader's documented at-least-once contract
+    // for keyed consumers)
+    drain(lake, ckpt1, "lake_streamc_t2")
+    assert(rows("lake_streamc_t2").size == 4,
+      "a caught-up stream replays the compacted rows exactly once")
+    // fresh stream over the compacted lake: superseded manifests never
+    // enter an offset → each row exactly once
+    drain(lake, s"$base/ckpt2", "lake_streamc_t3")
+    assert(rows("lake_streamc_t3").size == 4)
+  }
+
+  test("missing path option fails fast; vacuum outpacing the reader " +
+      "fails loudly at planning") {
+    intercept[IllegalArgumentException] {
+      new graft.sources.WeatherLakeV2StreamSource()
+        .getTable(graft.sources.WeatherLakeV2StreamSource.Schema,
+          Array.empty, new java.util.HashMap[String, String]())
+    }
+    // planInputPartitions over a manifest that vanished mid-plan
+    val base = Files.createTempDirectory("lakestreamv").toString
+    val lake = s"$base/lake"
+    sink(lake, "z", 1)
+    val stream = new graft.sources.WeatherLakeV2StreamSource.LakeMicroBatchStream(lake)
+    val start = stream.initialOffset()
+    val end = stream.latestOffset()
+    val mdir = new java.io.File(s"$lake/${graft.sources.WeatherLakeV2Sink.ManifestDir}")
+    mdir.listFiles().filter(_.getName.startsWith("manifest-")).foreach(_.delete())
+    val e = intercept[IllegalStateException] {
+      stream.planInputPartitions(start, end)
+    }
+    assert(e.getMessage.contains("vacuum outpaced"), e.getMessage)
+  }
+}
