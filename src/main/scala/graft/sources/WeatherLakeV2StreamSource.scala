@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -90,18 +90,71 @@ object WeatherLakeV2StreamSource {
       new ScanBuilder with Scan {
         override def build(): Scan = this
         override def readSchema(): StructType = Schema
-        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new LakeMicroBatchStream(path)
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+          val cap = Option(options.get("maxManifestsPerTrigger")).map { v =>
+            val n = try v.toInt catch { case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"maxManifestsPerTrigger must be a positive integer, got '$v'")
+            }
+            require(n > 0,
+              s"maxManifestsPerTrigger must be a positive integer, got $n")
+            n
+          }
+          new LakeMicroBatchStream(path, cap)
+        }
       }
   }
 
-  class LakeMicroBatchStream(path: String) extends MicroBatchStream {
+  /** Micro-batch stream over the lake's manifest history.
+    *
+    * Admission control: `maxManifestsPerTrigger` caps how many NEW
+    * manifests each micro-batch admits (the Delta `maxFilesPerTrigger`
+    * move) — without it a stream started over a year-old lake would plan
+    * the entire backlog as one giant batch. The cap is surfaced through
+    * [[getDefaultReadLimit]] so the engine's admission path sees it.
+    *
+    * `Trigger.AvailableNow` is supported natively: the live manifest set
+    * is SNAPSHOTTED at [[prepareForTriggerAvailableNow]], the stream
+    * drains to exactly that set (in cap-sized batches when a cap is set)
+    * and terminates — commits landing after query start wait for the next
+    * run, matching the trigger's contract instead of the engine's
+    * single-batch fallback, which both ignores the cap and can miss a
+    * batch published between planning and execution.
+    */
+  class LakeMicroBatchStream(path: String,
+      maxManifestsPerTrigger: Option[Int] = None)
+      extends MicroBatchStream with SupportsTriggerAvailableNow {
     override def initialOffset(): Offset = LakeOffset(Set.empty)
+
+    // fixed at query start under AvailableNow: the drain target
+    @volatile private var availableNowTarget: Option[Set[String]] = None
+
+    override def prepareForTriggerAvailableNow(): Unit =
+      availableNowTarget = Some(WeatherLakeV2Sink.liveManifests(path).toSet)
+
+    override def getDefaultReadLimit: ReadLimit =
+      maxManifestsPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
 
     // the current LIVE set: superseded manifests never enter an offset,
     // so a fresh stream over a compacted lake reads each row once
     override def latestOffset(): Offset =
       LakeOffset(WeatherLakeV2Sink.liveManifests(path).toSet)
+
+    override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+      val consumed = start.asInstanceOf[LakeOffset].consumed
+      val target = availableNowTarget
+        .getOrElse(WeatherLakeV2Sink.liveManifests(path).toSet)
+      // sorted so a capped drain admits manifests in a stable order —
+      // batch boundaries are then reproducible across restarts
+      val fresh = (target -- consumed).toSeq.sorted
+      val admitted = limit match {
+        case f: ReadMaxFiles => fresh.take(f.maxFiles())
+        case _: ReadAllAvailable => fresh
+        case other => throw new UnsupportedOperationException(
+          s"WeatherLakeV2StreamSource: unsupported read limit $other")
+      }
+      LakeOffset(consumed ++ admitted)
+    }
 
     override def deserializeOffset(json: String): Offset = offsetFromJson(json)
 

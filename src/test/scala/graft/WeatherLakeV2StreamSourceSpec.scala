@@ -92,6 +92,72 @@ class WeatherLakeV2StreamSourceSpec extends SparkSpec {
     assert(rows("lake_streamc_t3").size == 4)
   }
 
+  test("maxManifestsPerTrigger drains an AvailableNow run in capped " +
+      "batches and still delivers every row") {
+    val base = Files.createTempDirectory("lakestreamcap").toString
+    val lake = s"$base/lake"
+    (0 until 3).foreach(i => sink(lake, s"c$i-", 2)) // 3 manifests, 6 rows
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    collected("lake_stream_cap") = Vector.empty
+    val q = spark.readStream
+      .format("graft.sources.WeatherLakeV2StreamSource")
+      .option("maxManifestsPerTrigger", "1")
+      .load(lake)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val vals = batch.collect().map(_.getString(0)).toVector
+        if (vals.nonEmpty) batches.incrementAndGet()
+        collected.updateWith("lake_stream_cap")(prev =>
+          Some(prev.getOrElse(Vector.empty) ++ vals))
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(rows("lake_stream_cap").size == 6,
+      "a capped drain must still deliver every committed row")
+    assert(batches.get() == 3,
+      s"3 manifests at cap 1 must drain in 3 batches, saw ${batches.get()}")
+  }
+
+  test("AvailableNow snapshots the live set at query start: commits " +
+      "landing after prepare wait for the next run") {
+    val base = Files.createTempDirectory("lakestreamsnap").toString
+    val lake = s"$base/lake"
+    sink(lake, "pre", 1)
+    val stream = new graft.sources.WeatherLakeV2StreamSource.LakeMicroBatchStream(lake)
+    stream.prepareForTriggerAvailableNow()
+    sink(lake, "post", 1) // lands after the snapshot
+    val end = stream.latestOffset(stream.initialOffset(),
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+    val parts = stream.planInputPartitions(stream.initialOffset(), end)
+    assert(parts.length == 1,
+      "the drain target must be the set snapshotted at prepare, " +
+        s"not the current live set: ${parts.mkString(",")}")
+  }
+
+  test("non-positive or non-numeric maxManifestsPerTrigger fails fast") {
+    val base = Files.createTempDirectory("lakestreambad").toString
+    val lake = s"$base/lake"
+    sink(lake, "v", 1)
+    Seq("0", "-2", "many").foreach { bad =>
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        val q = spark.readStream
+          .format("graft.sources.WeatherLakeV2StreamSource")
+          .option("maxManifestsPerTrigger", bad)
+          .load(lake)
+          .writeStream.format("noop")
+          .option("checkpointLocation", s"$base/ckpt-$bad")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      assert(e.getCause.getMessage.contains("maxManifestsPerTrigger"),
+        s"'$bad' must be rejected with the option named: ${e.getCause}")
+    }
+  }
+
   test("missing path option fails fast; vacuum outpacing the reader " +
       "fails loudly at planning") {
     intercept[IllegalArgumentException] {
