@@ -271,6 +271,30 @@ object SparkEntry {
       p
     })
 
+  /** q93's own committed lake (same base ingest as [[mergeBaseLake]] but a
+    * SEPARATE path): q89/q91 pin expectations on the merge lake's current
+    * view and base snapshot, so the delete query must never mutate it.
+    * Content-addressed per corpus + exactly-once "base" manifest, as above.
+    */
+  private val deleteLakeCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def deleteBaseLake(s: SparkSession, dir: String): String =
+    deleteLakeCache.getOrElseUpdate(s"${System.identityHashCode(s)}#$dir", {
+      val docs = Tables.documents(s, dir)
+      val sig = graft.similarity.ModelExport.corpusSig(docs, "doc_id")
+      val p = s"/tmp/graft_delete_lake/sig=$sig"
+      if (!graft.sources.WeatherLakeV2Sink.manifestExists(p, "base")) {
+        docs.select(
+            col("source").as("city"), lit("2024-01-01").as("ds"),
+            format_string("%02d", col("doc_id") % 24).as("hour"),
+            to_json(struct(col("doc_id"),
+              col("doc_id").cast("long").as("val"))).as("raw_json"))
+          .write.format("graft.sources.WeatherLakeV2Sink")
+          .option("manifestId", "base").mode("append").save(p)
+      }
+      p
+    })
+
   /** One curation-pipeline run per (session, corpus dir), shared by every
     * consumer of its outputs — p01 reads chunks, p02 the lineage, p03 the
     * per-source card. Same discipline as [[dedupComponents]]: a production
@@ -5460,6 +5484,40 @@ object SparkEntry {
       (s, dir) => {
         val p = mergeBaseLake(s, dir)
         graft.sources.WeatherLakeV2Sink.readAsOf(s, p, Seq("manifest-base.txt"))
+          .select(
+            get_json_object(col("value"), "$.doc_id").cast("long").as("doc_id"),
+            get_json_object(col("value"), "$.val").cast("long").as("val"))
+      }),
+
+    QueryDef("q93_lake_delete",
+      "Copy-on-write DELETE from the manifest lake (GDPR-erasure / " +
+        "bad-batch retraction — the third row-level table operation " +
+        "next to append and q89's MERGE): every pass first re-arms by " +
+        "merging the doomed keys back (pass 1 rewrites them in place, " +
+        "later passes re-insert them), then deletes doc_id%5==3 — so " +
+        "the bench always measures a REAL delete, and the final state " +
+        "is constant. Candidates prune on the driver, ONE distributed " +
+        "pass counts definite matches per file (predicate NULL keeps " +
+        "the row, spec-pinned), survivors rewrite into rolled files, " +
+        "untouched files re-list their entry lines verbatim (stats " +
+        "intact), and ONE superseding manifest flips the view " +
+        "atomically — readers see old-or-new, never a mix. The oracle " +
+        "replays the erasure relationally (anti-filter on the key).",
+      Some("""SELECT doc_id, CAST(doc_id AS BIGINT) AS val
+        |FROM documents WHERE doc_id % 5 <> 3""".stripMargin),
+      (s, dir) => {
+        val p = deleteBaseLake(s, dir)
+        val docs = Tables.documents(s, dir)
+        val doomed = docs.filter(col("doc_id") % 5 === 3).select(
+          col("source").as("city"), lit("2024-01-01").as("ds"),
+          format_string("%02d", col("doc_id") % 24).as("hour"),
+          to_json(struct(col("doc_id"),
+            col("doc_id").cast("long").as("val"))).as("raw_json"))
+        graft.sources.WeatherLakeV2Sink.mergeCommitted(s, p, doomed,
+          f => get_json_object(f("raw_json"), "$.doc_id"))
+        graft.sources.WeatherLakeV2Sink.deleteCommitted(s, p,
+          f => get_json_object(f("raw_json"), "$.doc_id").cast("long") % 5 === 3)
+        graft.sources.WeatherLakeV2Sink.readCommitted(s, p)
           .select(
             get_json_object(col("value"), "$.doc_id").cast("long").as("doc_id"),
             get_json_object(col("value"), "$.val").cast("long").as("val"))

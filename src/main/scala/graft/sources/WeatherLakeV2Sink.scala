@@ -737,6 +737,37 @@ object WeatherLakeV2Sink {
       .collect().toSeq
   }
 
+  /** Committed files re-framed to the write [[Schema]], shared by the
+    * copy-on-write row-level operations ([[mergeCommitted]],
+    * [[deleteCommitted]]): each line rides with its source `file`, its
+    * directory `dir` (survivor routing), its partition values recovered
+    * on the DRIVER via [[partitionValues]] (so the careful
+    * true-descendant logic isn't re-implemented in columns), and the
+    * line itself as `raw_json`. Per-file metadata rides a BROADCAST
+    * equi-join on the FULL scheme-stripped path (NOT the basename: a
+    * task-scoped writer may create same-named files in every directory
+    * it routes to, and a basename join would fan each line out to all
+    * of them).
+    */
+  private def framedLines(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, files: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val session = spark
+    import session.implicits._
+    val dirOf = files.map { f =>
+      val pv = partitionValues(basePath, f)
+      (manifestJoinKey(f), f, new Path(f).getParent.toString,
+        pv.get("city").orNull, pv.get("ds").orNull, pv.get("hour").orNull)
+    }
+    textFrame(session, files)
+      .select(filePathCol.as("path"), col("value"))
+      .join(broadcast(
+        dirOf.toDF("path", "file", "dir", "city", "ds", "hour")), "path")
+      .select(col("file"), col("dir"), col("value"),
+        col("city"), col("ds"), col("hour"),
+        col("value").as("raw_json"))
+  }
+
   // -----------------------------------------------------------------
   // copy-on-write MERGE (row-level upsert into the committed lake)
   // -----------------------------------------------------------------
@@ -800,7 +831,7 @@ object WeatherLakeV2Sink {
       key: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Column,
       targetBytes: Long = 128L * 1024 * 1024): MergeStats =
     withMaintenanceLock(basePath, "merge") {
-      import org.apache.spark.sql.functions.{broadcast, col, lit}
+      import org.apache.spark.sql.functions.{col, lit}
       require(targetBytes > 0, "targetBytes must be positive")
       val snapshotNames = liveManifests(basePath)
       val committedLines = committedEntryLines(basePath)
@@ -820,35 +851,13 @@ object WeatherLakeV2Sink {
           case _ => true
         }
       }
-      // per-file metadata rides a BROADCAST equi-join on the FULL
-      // scheme-stripped path (NOT the basename: a task-scoped writer may
-      // create same-named files in every directory it routes to, and a
-      // basename join would fan each line out to all of them): directory
-      // (for survivor routing) and partition values (recovered on the
-      // DRIVER via the base-relative partitionValues, so the careful
-      // true-descendant logic isn't re-implemented in columns)
-      val dirOf = candidates.map { f =>
-        val pv = partitionValues(basePath, f)
-        (manifestJoinKey(f), f, new Path(f).getParent.toString,
-          pv.get("city").orNull, pv.get("ds").orNull, pv.get("hour").orNull)
-      }
-      val session = spark
-      import session.implicits._
-      // committed candidate lines, re-framed to the write Schema so `key`
-      // evaluates identically on both sides
-      def framed(lines: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-        lines
-          .select(filePathCol.as("path"), col("value"))
-          .join(broadcast(
-            dirOf.toDF("path", "file", "dir", "city", "ds", "hour")), "path")
-          .select(col("file"), col("dir"), col("value"),
-            col("city"), col("ds"), col("hour"),
-            col("value").as("raw_json"))
       val batchKeys = batch.select(key(batch).as("__key")).distinct()
+      // committed candidate lines, re-framed to the write Schema
+      // ([[framedLines]]) so `key` evaluates identically on both sides
       val touched: Seq[String] =
         if (candidates.isEmpty) Seq.empty
         else {
-          val cand = framed(textFrame(session, candidates))
+          val cand = framedLines(spark, basePath, candidates)
           cand.withColumn("__key", key(cand))
             .join(batchKeys, "__key", "left_semi")
             .select(col("file"))
@@ -869,7 +878,7 @@ object WeatherLakeV2Sink {
       val rewrite =
         if (touched.isEmpty) batchRouted
         else {
-          val tf = framed(textFrame(session, touched))
+          val tf = framedLines(spark, basePath, touched)
           val survivors = tf
             .withColumn("__key", key(tf))
             .join(batchKeys, "__key", "left_anti")
@@ -881,6 +890,105 @@ object WeatherLakeV2Sink {
       writeManifest(basePath, s"merge-${UUID.randomUUID().toString}",
         snapshotNames.map(n => s"$SupersedesPrefix$n") ++ untouched ++ newFiles)
       MergeStats(touched.size, newFiles.size)
+    }
+
+  // -----------------------------------------------------------------
+  // copy-on-write DELETE (row-level delete from the committed lake)
+  // -----------------------------------------------------------------
+
+  /** Result of a [[deleteCommitted]]: committed files rewritten,
+    * replacement files published, and rows removed.
+    */
+  final case class DeleteStats(touchedFiles: Int, newFiles: Int,
+      deletedRows: Long)
+
+  /** Copy-on-write DELETE of every committed row where `predicate` is
+    * TRUE — the third row-level table operation next to append and
+    * [[mergeCommitted]], and the one a data platform cannot ship
+    * without (right-to-be-forgotten/GDPR erasure, bad-batch retraction,
+    * retention enforcement). SQL DELETE null semantics: a row where the
+    * predicate evaluates to NULL is KEPT — only definite matches are
+    * removed (enforced with `coalesce(pred, false)` on both the count
+    * and the survivor side, spec-pinned).
+    *
+    * `predicate(frame)` maps a frame with the [[Schema]] columns (city,
+    * ds, hour recovered from each file's directory path — a file outside
+    * any `k=v` directory surfaces nulls there — plus `raw_json`) to a
+    * boolean Column, exactly [[mergeCommitted]]'s `key` contract.
+    *
+    * `prune` is the driver-side candidate filter, handed each committed
+    * file's partition values AND its per-file [[FieldStats]] (both
+    * possibly empty): return false only for files that can be RULED OUT.
+    * A partition delete (drop one city/day) or a range delete over a
+    * stats-tracked field then never reads unrelated files — the same
+    * skipping legs the read path has, applied to maintenance. The
+    * contract is fail-open like all pruning here: when in doubt, keep
+    * the candidate; the distributed pass below decides the truth.
+    *
+    * Plan shape, sized for 100 TB:
+    *  1. prune candidates on the driver — O(committed files) metadata;
+    *  2. ONE distributed pass over candidate lines counts definite
+    *     matches per file: files with any match are `touched`, the rest
+    *     re-list their ORIGINAL manifest entry lines verbatim (per-file
+    *     stats survive, exactly as merge/compact re-list);
+    *  3. survivors of touched files (predicate not true) are rewritten
+    *     into rolled files ([[writeRolled]] — distributed, no driver
+    *     data); a file whose every row matched simply vanishes;
+    *  4. ONE manifest published by atomic rename supersedes the whole
+    *     snapshotted live set — concurrent readers resolve the old view
+    *     or the new one, never a mix; superseded files await [[vacuum]].
+    *
+    * A delete matching NOTHING publishes NO manifest (no churn: the
+    * table version history only grows when the table changes).
+    * Serializes against merge/compact via the maintenance lock; plain
+    * appends and streaming stay lock-free. Idempotent: re-deleting the
+    * same predicate is a metadata-only no-op.
+    */
+  def deleteCommitted(spark: org.apache.spark.sql.SparkSession,
+      basePath: String,
+      predicate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Column,
+      prune: (Map[String, String], Map[String, FieldStats]) => Boolean =
+        (_, _) => true,
+      targetBytes: Long = 128L * 1024 * 1024): DeleteStats =
+    withMaintenanceLock(basePath, "delete") {
+      import org.apache.spark.sql.functions.{coalesce, col, count, lit, not}
+      require(targetBytes > 0, "targetBytes must be positive")
+      val snapshotNames = liveManifests(basePath)
+      val committedLines = committedEntryLines(basePath)
+      // 1. driver-side candidate pruning over the entry LINES (each line
+      // carries the file path and, when measured, its stats payload)
+      val candidates = committedLines.collect {
+        case l if prune(partitionValues(basePath, entryPath(l)), lineStats(l)) =>
+          entryPath(l)
+      }
+      if (candidates.isEmpty) DeleteStats(0, 0, 0L)
+      else {
+        def hit(df: org.apache.spark.sql.DataFrame) =
+          coalesce(predicate(df), lit(false))
+        // 2. one pass: definite matches per candidate file — bounded
+        // driver metadata (O(touched files)), the only data read before
+        // the rewrite, and only of candidate files
+        val cand = framedLines(spark, basePath, candidates)
+        val perFile = cand.filter(hit(cand))
+          .groupBy(col("file")).agg(count(lit(1)).as("n"))
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        val touched = perFile.map(_._1).toSeq
+        val deletedRows = perFile.map(_._2).sum
+        if (touched.isEmpty) DeleteStats(0, 0, 0L)
+        else {
+          val touchedSet = touched.toSet
+          val untouched = committedLines.filterNot(l => touchedSet(entryPath(l)))
+          // 3. survivors: predicate NOT TRUE (null keeps the row)
+          val tf = framedLines(spark, basePath, touched)
+          val survivors = tf.filter(not(hit(tf)))
+            .select(col("dir"), col("value"))
+          val newFiles = writeRolled(survivors, "delete", basePath, targetBytes)
+          // 4. one superseding manifest: old view or new view, never a mix
+          writeManifest(basePath, s"delete-${UUID.randomUUID().toString}",
+            snapshotNames.map(n => s"$SupersedesPrefix$n") ++ untouched ++ newFiles)
+          DeleteStats(touched.size, newFiles.size, deletedRows)
+        }
+      }
     }
 
   // -----------------------------------------------------------------

@@ -601,6 +601,116 @@ class WeatherLakeV2SinkSpec extends SparkSpec {
       Map(1L -> 10L, 2L -> 999L, 3L -> 30L, 4L -> 40L, 9L -> 90L))
   }
 
+  test("deleteCommitted: copy-on-write delete removes exactly the " +
+      "matching rows, keeps null-predicate rows, prunes candidates, " +
+      "and a no-op publishes no manifest") {
+    import graft.sources.WeatherLakeV2Sink
+    val lake = Files.createTempDirectory("lakev2del").toString
+    val s = spark
+    import s.implicits._
+    def payload(rows: Seq[(String, Long, Long)]): DataFrame =
+      rows.toDF("city", "k", "v").select(col("city"),
+        lit("2024-01-01").as("ds"), lit("00").as("hour"),
+        to_json(struct(col("k"), col("v"))).as("raw_json"))
+    // three partitions; city=c's row is missing the v field entirely,
+    // so a predicate on v evaluates to NULL there
+    payload(Seq(("a", 1L, 10L), ("a", 2L, 20L), ("b", 3L, 30L)))
+      .write.format("graft.sources.WeatherLakeV2Sink")
+      .mode("append").save(lake)
+    Seq(("c", "2024-01-01", "00", """{"k":9}"""))
+      .toDF("city", "ds", "hour", "raw_json")
+      .write.format("graft.sources.WeatherLakeV2Sink")
+      .mode("append").save(lake)
+    val preDelete = WeatherLakeV2Sink.snapshot(lake)
+    val filesBefore = WeatherLakeV2Sink.committedFiles(lake)
+    def kv(df: DataFrame): Map[Long, Option[Long]] = df.select(
+        get_json_object(col("value"), "$.k").cast("long"),
+        get_json_object(col("value"), "$.v").cast("long"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // delete v >= 20: hits k=2 (city a) and k=3 (city b); k=9 has no v
+    // (predicate NULL) and MUST be kept — SQL DELETE null semantics
+    val vPred = (f: DataFrame) =>
+      get_json_object(f("raw_json"), "$.v").cast("long") >= 20
+    val stats = WeatherLakeV2Sink.deleteCommitted(spark, lake, vPred)
+    assert(stats.touchedFiles == 2 && stats.deletedRows == 2L, stats.toString)
+    assert(kv(WeatherLakeV2Sink.readCommitted(spark, lake)) ==
+      Map(1L -> Some(10L), 9L -> None))
+    // city=b's file lost its only row: it simply vanishes (no empty
+    // rewrite); city=c was untouched and keeps its original path
+    val filesAfter = WeatherLakeV2Sink.committedFiles(lake)
+    assert(!filesAfter.exists(_.contains("city=b/")),
+      s"a fully-deleted file must drop out of the view: $filesAfter")
+    assert(filesBefore.filter(_.contains("city=c/")) ==
+      filesAfter.filter(_.contains("city=c/")),
+      "untouched files must survive under their original paths")
+    // a reader pinned before the delete still sees every row
+    assert(kv(WeatherLakeV2Sink.readAsOf(spark, lake, preDelete)).keySet ==
+      Set(1L, 2L, 3L, 9L))
+    // idempotent: re-deleting matches nothing AND publishes no manifest
+    val manifestsBefore = WeatherLakeV2Sink.manifestNames(lake).size
+    val again = WeatherLakeV2Sink.deleteCommitted(spark, lake, vPred)
+    assert(again == WeatherLakeV2Sink.DeleteStats(0, 0, 0L))
+    assert(WeatherLakeV2Sink.manifestNames(lake).size == manifestsBefore,
+      "a no-op delete must not grow the manifest history")
+    // driver-side candidate pruning: a partition prune that rules out
+    // every remaining file reads nothing and changes nothing
+    val pruned = WeatherLakeV2Sink.deleteCommitted(spark, lake,
+      _ => lit(true), prune = (pv, _) => pv.get("city").contains("zzz"))
+    assert(pruned == WeatherLakeV2Sink.DeleteStats(0, 0, 0L))
+    // and a stats prune: tag city=a's survivor with stats via merge? —
+    // simpler: prune on partition values keeps ONLY city=c, whose row
+    // never matches vPred, so the view is unchanged but the candidate
+    // walk was restricted (deleting with an always-true predicate
+    // restricted to city=c removes exactly k=9)
+    val scoped = WeatherLakeV2Sink.deleteCommitted(spark, lake,
+      _ => lit(true), prune = (pv, _) => pv.get("city").forall(_ == "c"))
+    assert(scoped.touchedFiles == 1 && scoped.deletedRows == 1L)
+    assert(kv(WeatherLakeV2Sink.readCommitted(spark, lake)) ==
+      Map(1L -> Some(10L)))
+  }
+
+  test("deleteCommitted re-lists untouched entry lines verbatim (stats " +
+      "survive) and serializes on the maintenance lock") {
+    import graft.sources.WeatherLakeV2Sink
+    val lake = Files.createTempDirectory("lakev2delstats").toString
+    val s = spark
+    import s.implicits._
+    def sink(rows: Seq[(String, Long)]): Unit =
+      rows.toDF("city", "v").select(col("city"),
+          lit("2024-01-01").as("ds"), lit("00").as("hour"),
+          to_json(struct(col("v"))).as("raw_json"))
+        .coalesce(1)
+        .write.format("graft.sources.WeatherLakeV2Sink")
+        .option("statsFields", "v")
+        .mode("append").save(lake)
+    sink(Seq(("a", 1L), ("a", 2L)))
+    sink(Seq(("b", 100L)))
+    val bLine = WeatherLakeV2Sink.committedEntryLines(lake)
+      .filter(_.contains("city=b"))
+    assert(bLine.size == 1 && bLine.head.contains("\t"),
+      s"fixture must carry a stats payload: $bLine")
+    // stats-driven candidate pruning: v<=50 rules city=b out on the
+    // DRIVER — its entry line survives verbatim, stats intact
+    val st = WeatherLakeV2Sink.deleteCommitted(spark, lake,
+      f => get_json_object(f("raw_json"), "$.v").cast("long") <= 50,
+      prune = (_, stats) => stats.get("v").forall(_.overlaps(None, Some("50"))))
+    assert(st.touchedFiles == 1 && st.deletedRows == 2L, st.toString)
+    assert(WeatherLakeV2Sink.committedEntryLines(lake)
+        .filter(_.contains("city=b")) == bLine,
+      "untouched entries must be re-listed verbatim, stats intact")
+    // the maintenance lock serializes delete against merge/compact
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val lock = new org.apache.hadoop.fs.Path(
+      s"$lake/${WeatherLakeV2Sink.ManifestDir}/.maintenance.lock")
+    val out = fs.create(lock, false)
+    out.write("test 99999999999999\n".getBytes("UTF-8")); out.close()
+    try intercept[java.util.ConcurrentModificationException] {
+      WeatherLakeV2Sink.deleteCommitted(spark, lake, _ => lit(true))
+    } finally fs.delete(lock, false)
+  }
+
   test("per-file stats in the manifest: a range predicate shrinks the " +
       "touched-file list with row parity; stats survive maintenance") {
     import graft.sources.WeatherLakeV2Sink
