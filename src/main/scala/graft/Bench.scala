@@ -114,8 +114,6 @@ object Bench {
     def shortId(name: String): String = name.takeWhile(_ != '_')
     require(results.map(n => shortId(n._1)).distinct.size == results.size,
       "short query ids must stay unique — rename the colliding query")
-    val qs = results.map { case (k, v, _) => "\"" + shortId(k) + "\":" + fmtQ(v) }
-      .mkString("{", ",", "}")
     val failed = results.collect { case (k, v, _) if v < 0 => "\"" + shortId(k) + "\"" }
       .mkString("[", ",", "]")
     val noisyJson = noisy.map(n => "\"" + shortId(n) + "\"")
@@ -125,11 +123,32 @@ object Bench {
       val flag = if (noisy.contains(k)) " NOISY(min/median disagree >3x)" else ""
       s"[bench] $k min=${mn}s median=${md}s$flag"
     }.mkString("\n"))
-    val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"noisy":$noisyJson,"sf":"${new java.io.File(sfDir).getName}"}"""
+    // The catalog outgrew a complete per-query map (176 ids x ~10 chars
+    // plus the envelope brushes the cap), so the map self-trims: when the
+    // full line exceeds the budget, entries whose min ran UNDER the
+    // smallest sufficient ladder threshold are omitted — they RAN and
+    // PASSED (failures always stay listed, and failed sentinels always
+    // stay in the map) and their full-precision timings remain on stderr;
+    // "omitted_below"/"omitted" record the applied threshold and count. A
+    // regression lifting a tiny query above the threshold re-surfaces it
+    // in the map by construction, so round-over-round comparison never
+    // loses a query that matters at the judge's 1.5x bar.
+    def lineFor(threshold: Double): String = {
+      val kept = results.filter { case (_, v, _) => v < 0 || v >= threshold }
+      val qs = kept.map { case (k, v, _) => "\"" + shortId(k) + "\":" + fmtQ(v) }
+        .mkString("{", ",", "}")
+      val extra =
+        if (threshold == 0.0) ""
+        else s""","omitted_below":$threshold,"omitted":${results.size - kept.size}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"noisy":$noisyJson$extra,"sf":"${new java.io.File(sfDir).getName}"}"""
+    }
+    val ladder = Seq(0.0, 0.05, 0.1, 0.15, 0.2, 0.3, 0.5, 1.0)
+    val line = ladder.iterator.map(lineFor).find(_.length <= 1800)
+      .getOrElse(lineFor(ladder.last))
     require(line.length <= 1900,
-      s"bench JSON line is ${line.length} chars — won't survive the driver's " +
-        "2000-char output tail; shrink the key scheme")
+      s"bench JSON line is ${line.length} chars even at the coarsest " +
+        "omission threshold — won't survive the driver's 2000-char " +
+        "output tail; shrink the key scheme")
     // BENCH_r07 lost its total: sbt interleaves stdout ([info]) and stderr
     // ([error]) nondeterministically, and in the driver's run the stdout
     // JSON line flushed BEFORE the stderr per-query dump, landing outside
