@@ -295,6 +295,37 @@ object SparkEntry {
       p
     })
 
+  /** q94's lake: the documents corpus committed as FOUR interleaved
+    * batches (doc_id % 4) per partition directory, each with write-time
+    * `val` stats — every file's [min,max] spans nearly the whole domain,
+    * so the skipping layer prunes NOTHING until the clustered compaction
+    * in the query body repairs the layout. Exactly-once per batch
+    * (manifestId base0..base3), content-addressed per corpus.
+    */
+  private val optimizeLakeCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def optimizeBaseLake(s: SparkSession, dir: String): String =
+    optimizeLakeCache.getOrElseUpdate(s"${System.identityHashCode(s)}#$dir", {
+      val docs = Tables.documents(s, dir)
+      val sig = graft.similarity.ModelExport.corpusSig(docs, "doc_id")
+      val p = s"/tmp/graft_optimize_lake/sig=$sig"
+      (0 until 4).foreach { i =>
+        if (!graft.sources.WeatherLakeV2Sink.manifestExists(p, s"base$i")) {
+          docs.filter(col("doc_id") % 4 === i).select(
+              col("source").as("city"), lit("2024-01-01").as("ds"),
+              lit("00").as("hour"),
+              to_json(struct(col("doc_id"),
+                col("doc_id").cast("long").as("val"))).as("raw_json"))
+            .coalesce(1)
+            .write.format("graft.sources.WeatherLakeV2Sink")
+            .option("manifestId", s"base$i")
+            .option("statsFields", "val")
+            .mode("append").save(p)
+        }
+      }
+      p
+    })
+
   /** One curation-pipeline run per (session, corpus dir), shared by every
     * consumer of its outputs — p01 reads chunks, p02 the lineage, p03 the
     * per-source card. Same discipline as [[dedupComponents]]: a production
@@ -5521,6 +5552,40 @@ object SparkEntry {
           .select(
             get_json_object(col("value"), "$.doc_id").cast("long").as("doc_id"),
             get_json_object(col("value"), "$.val").cast("long").as("val"))
+      }),
+
+    QueryDef("q94_lake_optimize",
+      "OPTIMIZE ZORDER on the manifest lake: the fixture commits each " +
+        "partition's rows as four INTERLEAVED batches (every file spans " +
+        "the whole val domain — write-time stats can prune nothing), " +
+        "then the query RECLUSTERS each directory sorted by val with " +
+        "refreshed per-file stats (rolling a sorted stream gives every " +
+        "output file a tight, near-disjoint range) and answers a range " +
+        "scan through the stats-pruned read path + residual filter. " +
+        "Each bench pass re-runs a real recluster (rolled files stay " +
+        "multi-file candidates by construction). At 100 TB this is the " +
+        "layout-maintenance job that turns a full-scan range query " +
+        "into an O(matching files) one — the Delta OPTIMIZE ZORDER " +
+        "move, spec-pinned to actually shrink the touched-file list. " +
+        "The oracle replays the range scan relationally.",
+      Some("""SELECT doc_id, CAST(doc_id AS BIGINT) AS val
+        |FROM documents WHERE doc_id BETWEEN 100 AND 199""".stripMargin),
+      (s, dir) => {
+        val p = optimizeBaseLake(s, dir)
+        // targetBytes sized to the corpus (20 dirs x ~650 B) so every
+        // directory rolls into 2-3 range-disjoint files — which keeps
+        // each dir a multi-file candidate, so EVERY bench pass re-runs
+        // a real recluster instead of a metadata no-op
+        graft.sources.WeatherLakeV2Sink.compact(s, p, targetBytes = 300,
+          clusterExpr = Some(df =>
+            get_json_object(df("value"), "$.val").cast("long")),
+          statsFields = Seq("val"))
+        graft.sources.WeatherLakeV2Sink.readCommittedStatsPruned(s, p)(
+            _.get("val").forall(_.overlaps(Some("100"), Some("199"))))
+          .select(
+            get_json_object(col("value"), "$.doc_id").cast("long").as("doc_id"),
+            get_json_object(col("value"), "$.val").cast("long").as("val"))
+          .filter(col("val").between(100, 199))
       })
   )
 

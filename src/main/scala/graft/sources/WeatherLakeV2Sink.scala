@@ -696,43 +696,79 @@ object WeatherLakeV2Sink {
   private def manifestJoinKey(file: String): String =
     new Path(file).toUri.getRawPath
 
-  /** Distributed rolling writer shared by [[compact]] and
-    * [[mergeCommitted]]: routes (dir, value) rows so each directory's
-    * lines land in `part-<op>-<uuid>` files rolled at `targetBytes`,
-    * returning the written paths. Files are INVISIBLE until a manifest
-    * lists them — a died job leaves only manifest-less orphans.
+  /** Distributed rolling writer shared by [[compact]],
+    * [[mergeCommitted]] and [[deleteCommitted]]: routes (dir, value)
+    * rows so each directory's lines land in `part-<op>-<uuid>` files
+    * rolled at `targetBytes`, returning the MANIFEST ENTRY LINES for
+    * the written files. Files are INVISIBLE until a manifest lists
+    * them — a died job leaves only manifest-less orphans.
+    *
+    * `sortWithin` clusters each directory's rows before writing (the
+    * OPTIMIZE ZORDER move: rolling a sorted stream at `targetBytes`
+    * gives every output file a TIGHT, near-disjoint value range, which
+    * is what makes the per-file stats below prunable). `statsFields`
+    * re-collects per-file min/max for the named raw_json fields into
+    * the returned entry lines — maintenance then REFRESHES skipping
+    * stats instead of erasing them on every rewrite.
     */
   private def writeRolled(rows: org.apache.spark.sql.DataFrame, op: String,
-      basePath: String, targetBytes: Long): Seq[String] = {
+      basePath: String, targetBytes: Long,
+      sortWithin: Seq[org.apache.spark.sql.Column] = Nil,
+      statsFields: Seq[String] = Nil): Seq[String] = {
     import org.apache.spark.sql.functions.col
-    rows
-      .repartition(col("dir"))
+    val routed = rows.repartition(col("dir"))
+    val arranged =
+      if (sortWithin.isEmpty) routed
+      else routed.sortWithinPartitions(col("dir") +: sortWithin: _*)
+    arranged
+      .select(col("dir"), col("value"))
       .mapPartitions { it =>
         val pfs = new Path(basePath).getFileSystem(new Configuration())
         // per-dir open stream + bytes written since its last roll
         val streams = mutable.Map.empty[String,
           (org.apache.hadoop.fs.FSDataOutputStream, Long)]
-        val written = mutable.ArrayBuffer.empty[String]
+        val entries = mutable.ArrayBuffer.empty[String]
+        val accs = mutable.Map.empty[String, Array[FieldAcc]]
+        val fileOfDir = mutable.Map.empty[String, String]
+        def entryLine(path: String): String = {
+          val st = accs.get(path).map(a =>
+            statsFields.zip(a).flatMap { case (f, acc) =>
+              acc.stats.map(f -> _) }.toMap).getOrElse(Map.empty)
+          if (st.isEmpty) path else s"$path\t${statsToJson(st)}"
+        }
         def open(dir: String): (org.apache.hadoop.fs.FSDataOutputStream, Long) = {
           val f = new Path(dir, s"part-$op-${UUID.randomUUID().toString}.json")
-          written += f.toString
+          fileOfDir(dir) = f.toString
+          if (statsFields.nonEmpty)
+            accs(f.toString) = Array.fill(statsFields.length)(new FieldAcc)
           (pfs.create(f, false), 0L)
         }
         it.foreach { row =>
           val dir = row.getString(0)
-          val bytes = row.getString(1).getBytes("UTF-8")
+          val json = row.getString(1)
+          val bytes = json.getBytes("UTF-8")
           var (out, n) = streams.getOrElseUpdate(dir, open(dir))
           if (n > 0 && n + bytes.length + 1 > targetBytes) { // roll at the target
             out.close()
+            entries += entryLine(fileOfDir(dir)) // flush the rolled file's entry
             val fresh = open(dir)
             out = fresh._1; n = fresh._2
+          }
+          if (statsFields.nonEmpty) {
+            val acc = accs(fileOfDir(dir))
+            var k = 0
+            while (k < statsFields.length) {
+              extractJsonField(json, statsFields(k)).foreach(acc(k).add)
+              k += 1
+            }
           }
           out.write(bytes)
           out.write('\n')
           streams.update(dir, (out, n + bytes.length + 1))
         }
         streams.values.foreach(_._1.close())
-        written.iterator
+        fileOfDir.values.foreach(entries += entryLine(_)) // still-open files
+        entries.iterator
       }(org.apache.spark.sql.Encoders.STRING)
       .collect().toSeq
   }
@@ -824,12 +860,16 @@ object WeatherLakeV2Sink {
     * Serializes against other merges and [[compact]] via the maintenance
     * lock (see [[withMaintenanceLock]]); fails loudly when one is
     * running. Idempotent: re-merging the same batch rewrites the same
-    * keys to the same values.
+    * keys to the same values. `statsFields` re-collects per-file min/max
+    * for the named raw_json fields on the REWRITTEN files (untouched
+    * files keep their original entry lines either way), so merging never
+    * erodes the stats-skipping layer.
     */
   def mergeCommitted(spark: org.apache.spark.sql.SparkSession,
       basePath: String, batch: org.apache.spark.sql.DataFrame,
       key: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Column,
-      targetBytes: Long = 128L * 1024 * 1024): MergeStats =
+      targetBytes: Long = 128L * 1024 * 1024,
+      statsFields: Seq[String] = Nil): MergeStats =
     withMaintenanceLock(basePath, "merge") {
       import org.apache.spark.sql.functions.{col, lit}
       require(targetBytes > 0, "targetBytes must be positive")
@@ -885,7 +925,8 @@ object WeatherLakeV2Sink {
             .select(col("dir"), col("value"))
           survivors.unionByName(batchRouted)
         }
-      val newFiles = writeRolled(rewrite, "merge", basePath, targetBytes)
+      val newFiles = writeRolled(rewrite, "merge", basePath, targetBytes,
+        statsFields = statsFields)
       // 4. one superseding manifest: old view or new view, never a mix
       writeManifest(basePath, s"merge-${UUID.randomUUID().toString}",
         snapshotNames.map(n => s"$SupersedesPrefix$n") ++ untouched ++ newFiles)
@@ -942,14 +983,16 @@ object WeatherLakeV2Sink {
     * table version history only grows when the table changes).
     * Serializes against merge/compact via the maintenance lock; plain
     * appends and streaming stay lock-free. Idempotent: re-deleting the
-    * same predicate is a metadata-only no-op.
+    * same predicate is a metadata-only no-op. `statsFields` re-collects
+    * per-file min/max on the survivor rewrites, as in [[mergeCommitted]].
     */
   def deleteCommitted(spark: org.apache.spark.sql.SparkSession,
       basePath: String,
       predicate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Column,
       prune: (Map[String, String], Map[String, FieldStats]) => Boolean =
         (_, _) => true,
-      targetBytes: Long = 128L * 1024 * 1024): DeleteStats =
+      targetBytes: Long = 128L * 1024 * 1024,
+      statsFields: Seq[String] = Nil): DeleteStats =
     withMaintenanceLock(basePath, "delete") {
       import org.apache.spark.sql.functions.{coalesce, col, count, lit, not}
       require(targetBytes > 0, "targetBytes must be positive")
@@ -982,7 +1025,8 @@ object WeatherLakeV2Sink {
           val tf = framedLines(spark, basePath, touched)
           val survivors = tf.filter(not(hit(tf)))
             .select(col("dir"), col("value"))
-          val newFiles = writeRolled(survivors, "delete", basePath, targetBytes)
+          val newFiles = writeRolled(survivors, "delete", basePath,
+            targetBytes, statsFields = statsFields)
           // 4. one superseding manifest: old view or new view, never a mix
           writeManifest(basePath, s"delete-${UUID.randomUUID().toString}",
             snapshotNames.map(n => s"$SupersedesPrefix$n") ++ untouched ++ newFiles)
@@ -1031,9 +1075,31 @@ object WeatherLakeV2Sink {
     * uuid-unique, so the mapping rides a broadcast equi-join — no UDF),
     * and each directory's rows land in one file via `mapPartitions`.
     * Returns the number of directories compacted (0 = nothing to do).
+    *
+    * OPTIMIZE ZORDER (`clusterExpr` + `statsFields`): when `clusterExpr`
+    * is set, each rewritten directory's rows are SORTED by the
+    * expression (over the `(dir, value)` frame — compose
+    * `graft_zorder`/`get_json_object` for multi-field Morton
+    * clustering) before the rolled write, so every output file covers a
+    * tight, near-disjoint value range; with `statsFields` those ranges
+    * are measured into fresh manifest entries and
+    * [[committedFilesPrunedByStats]] then skips most files for a range
+    * predicate — the Delta OPTIMIZE ZORDER move. Clustered candidacy
+    * differs from the small-file rule: any multi-file directory
+    * qualifies (reclustering is the point), and so does a single file
+    * larger than `targetBytes` (rolling SPLITS it into range-disjoint
+    * chunks). Reclustering is an explicit maintenance action, not a
+    * convergent repair — re-running re-sorts (same content, fresh
+    * files); schedule it like Delta OPTIMIZE, not like the small-file
+    * loop. `statsFields` without `clusterExpr` keeps the convergent
+    * small-file candidacy and simply refreshes stats on what it
+    * rewrites.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, basePath: String,
-      targetBytes: Long = 128L * 1024 * 1024): Int = withMaintenanceLock(
+      targetBytes: Long = 128L * 1024 * 1024,
+      clusterExpr: Option[org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.Column] = None,
+      statsFields: Seq[String] = Nil): Int = withMaintenanceLock(
       basePath, "compact") {
     import org.apache.spark.sql.functions.{broadcast, col}
     require(targetBytes > 0, "targetBytes must be positive")
@@ -1049,13 +1115,16 @@ object WeatherLakeV2Sink {
     // small-file candidates only: >1 file and mean size under half the
     // target — a healthy directory (however many bounded files) is left
     // alone, so repeated maintenance runs converge instead of churning.
+    // Clustered runs widen candidacy (see the ZORDER paragraph above).
     // O(candidate files) driver-side metadata calls, same order as the
     // manifest read itself.
     val multi = entriesByDir.view.mapValues(_.map(entryPath)).filter {
       case (_, fls) =>
-        fls.size > 1 &&
-          fls.map(f => fs.getFileStatus(new Path(f)).getLen).sum.toDouble /
-            fls.size < targetBytes / 2.0
+        val sizes = fls.map(f => fs.getFileStatus(new Path(f)).getLen)
+        if (clusterExpr.isDefined)
+          fls.size > 1 || sizes.sum > targetBytes
+        else
+          fls.size > 1 && sizes.sum.toDouble / fls.size < targetBytes / 2.0
     }.toMap
     if (multi.isEmpty) 0
     else {
@@ -1073,7 +1142,9 @@ object WeatherLakeV2Sink {
         .select(filePathCol.as("path"), col("value"))
         .join(broadcast(dirOfPath.toDF("path", "dir")), "path")
         .select(col("dir"), col("value"))
-      val newFiles = writeRolled(rows, "compact", basePath, targetBytes)
+      val newFiles = writeRolled(rows, "compact", basePath, targetBytes,
+        sortWithin = clusterExpr.map(e => e(rows)).toSeq,
+        statsFields = statsFields)
       writeManifest(basePath, s"compact-${UUID.randomUUID().toString}",
         snapshot.map(n => s"$SupersedesPrefix$n") ++ keep ++ newFiles)
       multi.size

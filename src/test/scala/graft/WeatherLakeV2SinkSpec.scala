@@ -783,6 +783,66 @@ class WeatherLakeV2SinkSpec extends SparkSpec {
       "merge must re-list untouched entries verbatim, stats intact")
   }
 
+  test("clustered compaction (OPTIMIZE ZORDER): reclustering + refreshed " +
+      "stats turn a useless skipping layer into a sharp one, row parity") {
+    import graft.sources.WeatherLakeV2Sink
+    import graft.sources.WeatherLakeV2Sink.FieldStats
+    val lake = Files.createTempDirectory("lakev2zorder").toString
+    val s = spark
+    import s.implicits._
+    // 4 batches into ONE partition, values INTERLEAVED mod 4 — every
+    // file's [min,max] spans nearly the whole domain, so write-time
+    // stats can prune nothing: the layout Delta's OPTIMIZE ZORDER exists
+    // to repair
+    (0 until 4).foreach { i =>
+      (0 until 64 by 4).map(j => ("a", (j + i).toLong))
+        .toDF("city", "v").select(col("city"),
+          lit("2024-01-01").as("ds"), lit("00").as("hour"),
+          to_json(struct(col("v"))).as("raw_json"))
+        .coalesce(1)
+        .write.format("graft.sources.WeatherLakeV2Sink")
+        .option("statsFields", "v")
+        .mode("append").save(lake)
+    }
+    def lowFiles: Seq[String] = WeatherLakeV2Sink.committedFilesPrunedByStats(
+      lake)(_.get("v").forall(_.overlaps(None, Some("9"))))
+    assert(WeatherLakeV2Sink.committedFiles(lake).size == 4)
+    assert(lowFiles.size == 4,
+      s"interleaved layout must defeat skipping entirely: $lowFiles")
+    // recluster: sort by v, re-measure stats, roll into ~4 tight files
+    val n = WeatherLakeV2Sink.compact(spark, lake, targetBytes = 170,
+      clusterExpr = Some(df =>
+        get_json_object(df("value"), "$.v").cast("long")),
+      statsFields = Seq("v"))
+    assert(n == 1, s"the one multi-file dir must be reclustered, got $n")
+    val after = WeatherLakeV2Sink.committedFiles(lake)
+    assert(after.size >= 3, s"rolling must split the sorted stream: $after")
+    // fresh stats are tight: the v<=9 predicate now touches ONE file
+    assert(lowFiles.size == 1,
+      s"clustered stats must prune the out-of-range files: $lowFiles")
+    // row parity under the predicate, pruned vs full
+    def vals(df: DataFrame): Seq[Long] = df
+      .select(get_json_object(col("value"), "$.v").cast("long"))
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val pruned = vals(WeatherLakeV2Sink.readCommittedStatsPruned(spark, lake)(
+      _.get("v").forall(_.overlaps(None, Some("9"))))
+      .filter(get_json_object(col("value"), "$.v").cast("long") <= 9))
+    assert(pruned == (0L to 9L) &&
+      vals(WeatherLakeV2Sink.readCommitted(spark, lake)) == (0L to 63L))
+    // merge with statsFields keeps the rewritten file's skipping stats
+    // fresh instead of erasing them
+    val delta = Seq(("a", "2024-01-01", "00", """{"v":5}"""))
+      .toDF("city", "ds", "hour", "raw_json")
+    WeatherLakeV2Sink.mergeCommitted(spark, lake, delta,
+      f => get_json_object(f("raw_json"), "$.v"),
+      statsFields = Seq("v"))
+    val entries = WeatherLakeV2Sink.committedEntryLines(lake)
+    assert(entries.forall(_.contains("\t")),
+      s"every live entry must carry refreshed stats: $entries")
+    assert(lowFiles.size < WeatherLakeV2Sink.committedFiles(lake).size,
+      "skipping must stay sharp after a stats-refreshing merge")
+  }
+
   test("maintenance joins key on the full path: same-named files in " +
       "different directories never cross-contaminate (regression)") {
     import graft.sources.WeatherLakeV2Sink
