@@ -271,6 +271,27 @@ object SparkEntry {
       p
     })
 
+  /** The delta q89 MERGEs into [[mergeBaseLake]] and q95 diffs through
+    * the change feed: updates for doc_id%7==0 (val doubled) and 25
+    * brand-new NEGATIVE keys (-1-doc_id — collision-proof against any
+    * non-negative corpus id at any scale, keeping the batch key-unique
+    * per mergeCommitted's contract).
+    */
+  private def docsMergeDelta(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val updates = docs.filter(col("doc_id") % 7 === 0).select(
+      col("source").as("city"), lit("2024-01-01").as("ds"),
+      format_string("%02d", col("doc_id") % 24).as("hour"),
+      to_json(struct(col("doc_id"),
+        (col("doc_id") * 2).cast("long").as("val"))).as("raw_json"))
+    val inserts = docs.filter(col("doc_id") < 25).select(
+      lit("fresh").as("city"), lit("2024-02-01").as("ds"),
+      lit("00").as("hour"),
+      to_json(struct((lit(-1) - col("doc_id")).as("doc_id"),
+        (lit(-1) - col("doc_id")).cast("long").as("val"))).as("raw_json"))
+    updates.unionByName(inserts)
+  }
+
   /** q93's own committed lake (same base ingest as [[mergeBaseLake]] but a
     * SEPARATE path): q89/q91 pin expectations on the merge lake's current
     * view and base snapshot, so the delete query must never mutate it.
@@ -322,6 +343,29 @@ object SparkEntry {
             .option("statsFields", "val")
             .mode("append").save(p)
         }
+      }
+      p
+    })
+
+  /** q96's own committed lake (base ingest as [[mergeBaseLake]], separate
+    * path — q89/q91/q95 pin expectations on the merge lake and q93 on the
+    * delete lake, so the update query must never mutate those).
+    */
+  private val updateLakeCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def updateBaseLake(s: SparkSession, dir: String): String =
+    updateLakeCache.getOrElseUpdate(s"${System.identityHashCode(s)}#$dir", {
+      val docs = Tables.documents(s, dir)
+      val sig = graft.similarity.ModelExport.corpusSig(docs, "doc_id")
+      val p = s"/tmp/graft_update_lake/sig=$sig"
+      if (!graft.sources.WeatherLakeV2Sink.manifestExists(p, "base")) {
+        docs.select(
+            col("source").as("city"), lit("2024-01-01").as("ds"),
+            format_string("%02d", col("doc_id") % 24).as("hour"),
+            to_json(struct(col("doc_id"),
+              col("doc_id").cast("long").as("val"))).as("raw_json"))
+          .write.format("graft.sources.WeatherLakeV2Sink")
+          .option("manifestId", "base").mode("append").save(p)
       }
       p
     })
@@ -5425,22 +5469,8 @@ object SparkEntry {
         |SELECT doc_id, val FROM merged""".stripMargin),
       (s, dir) => {
         val p = mergeBaseLake(s, dir)
-        val docs = Tables.documents(s, dir)
-        val updates = docs.filter(col("doc_id") % 7 === 0).select(
-          col("source").as("city"), lit("2024-01-01").as("ds"),
-          format_string("%02d", col("doc_id") % 24).as("hour"),
-          to_json(struct(col("doc_id"),
-            (col("doc_id") * 2).cast("long").as("val"))).as("raw_json"))
-        // brand-new keys are NEGATIVE (-1-doc_id): collision-proof
-        // against any non-negative corpus id at any scale, keeping the
-        // batch key-unique per mergeCommitted's contract
-        val inserts = docs.filter(col("doc_id") < 25).select(
-          lit("fresh").as("city"), lit("2024-02-01").as("ds"),
-          lit("00").as("hour"),
-          to_json(struct((lit(-1) - col("doc_id")).as("doc_id"),
-            (lit(-1) - col("doc_id")).cast("long").as("val"))).as("raw_json"))
         graft.sources.WeatherLakeV2Sink.mergeCommitted(s, p,
-          updates.unionByName(inserts),
+          docsMergeDelta(s, dir),
           f => get_json_object(f("raw_json"), "$.doc_id"))
         graft.sources.WeatherLakeV2Sink.readCommitted(s, p)
           .select(
@@ -5586,6 +5616,81 @@ object SparkEntry {
             get_json_object(col("value"), "$.doc_id").cast("long").as("doc_id"),
             get_json_object(col("value"), "$.val").cast("long").as("val"))
           .filter(col("val").between(100, 199))
+      }),
+
+    QueryDef("q95_lake_changes",
+      "CHANGE DATA FEED between two lake snapshots (Delta CDF / Iceberg " +
+        "changelog scan, derived from the copy-on-write commit structure " +
+        "— no written change files): the diff between the pinned base " +
+        "snapshot and the current view after q89's merge. Only the " +
+        "file-set DIFFERENCE is read (common files are untouched by " +
+        "construction — O(changed files), never O(table)); one " +
+        "full-outer equi-join on the merge key classifies rows into " +
+        "insert / delete / update_preimage+postimage via a single " +
+        "codegen'd explode. Copy-on-write survivor rewrites (identical " +
+        "line under a new path) emit NOTHING — including doc_id 0, " +
+        "whose doubled val equals its old val: the no-false-changes " +
+        "property, pinned by the oracle excluding it. The oracle " +
+        "replays the feed relationally from the same delta definition.",
+      Some("""SELECT 'update_preimage' AS change, doc_id,
+        |  CAST(doc_id AS BIGINT) AS val
+        |FROM documents WHERE doc_id % 7 = 0 AND doc_id <> 0
+        |UNION ALL
+        |SELECT 'update_postimage' AS change, doc_id,
+        |  CAST(doc_id * 2 AS BIGINT) AS val
+        |FROM documents WHERE doc_id % 7 = 0 AND doc_id <> 0
+        |UNION ALL
+        |SELECT 'insert' AS change, CAST(-1 - doc_id AS BIGINT) AS doc_id,
+        |  CAST(-1 - doc_id AS BIGINT) AS val
+        |FROM documents WHERE doc_id < 25""".stripMargin),
+      (s, dir) => {
+        val p = mergeBaseLake(s, dir)
+        // fixture guard, not the measured op: ensure at least one merge
+        // exists even when q95 runs before q89 (fresh container,
+        // targeted verify); once any merge manifest is live the CDF scan
+        // below is the whole query
+        if (!graft.sources.WeatherLakeV2Sink.liveManifests(p)
+            .exists(_.startsWith("manifest-merge-")))
+          graft.sources.WeatherLakeV2Sink.mergeCommitted(s, p,
+            docsMergeDelta(s, dir),
+            f => get_json_object(f("raw_json"), "$.doc_id"))
+        graft.sources.WeatherLakeV2Sink.changesBetween(s, p,
+            from = Seq("manifest-base.txt"),
+            to = graft.sources.WeatherLakeV2Sink.liveManifests(p),
+            key = f => get_json_object(f("raw_json"), "$.doc_id"))
+          .select(col("change"),
+            get_json_object(col("value"), "$.doc_id").cast("long").as("doc_id"),
+            get_json_object(col("value"), "$.val").cast("long").as("val"))
+      }),
+
+    QueryDef("q96_lake_update",
+      "Copy-on-write UPDATE (SET val = doc_id*10 WHERE doc_id%9==4) — " +
+        "the DML verb for values that are a FUNCTION of the stored row " +
+        "(backfills, redactions, unit fixes), completing the triple " +
+        "with q89's MERGE and q93's DELETE. The transform derives from " +
+        "the key, so every pass re-runs a REAL copy-on-write update " +
+        "(the predicate stays true) while the final state stays " +
+        "constant: ONE distributed pass counts definite matches per " +
+        "candidate file (NULL predicate keeps the row), touched files " +
+        "rewrite with unchanged rows verbatim and matching rows " +
+        "transformed, ONE superseding manifest flips the view. The " +
+        "oracle replays the transform relationally.",
+      Some("""SELECT doc_id, CAST(CASE WHEN doc_id % 9 = 4
+        |  THEN doc_id * 10 ELSE doc_id END AS BIGINT) AS val
+        |FROM documents""".stripMargin),
+      (s, dir) => {
+        val p = updateBaseLake(s, dir)
+        graft.sources.WeatherLakeV2Sink.updateCommitted(s, p,
+          predicate = f =>
+            get_json_object(f("raw_json"), "$.doc_id").cast("long") % 9 === 4,
+          transform = f => to_json(struct(
+            get_json_object(f("raw_json"), "$.doc_id").cast("long").as("doc_id"),
+            (get_json_object(f("raw_json"), "$.doc_id").cast("long") * 10)
+              .as("val"))))
+        graft.sources.WeatherLakeV2Sink.readCommitted(s, p)
+          .select(
+            get_json_object(col("value"), "$.doc_id").cast("long").as("doc_id"),
+            get_json_object(col("value"), "$.val").cast("long").as("val"))
       })
   )
 

@@ -580,6 +580,21 @@ object WeatherLakeV2Sink {
     */
   def readAsOf(spark: org.apache.spark.sql.SparkSession, basePath: String,
       snap: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val files = filesAsOf(basePath, snap)
+    if (files.isEmpty) {
+      import spark.implicits._
+      spark.emptyDataset[String].toDF("value")
+    } else spark.read.text(files: _*)
+  }
+
+  /** The data files a captured snapshot resolves to — [[readAsOf]]'s
+    * resolution step, reusable wherever two snapshots are compared
+    * ([[changesBetween]]). Supersedes directives are honored only WITHIN
+    * the snapshot; a snapshot manifest that vacuum reclaimed WITHOUT a
+    * superseding replacement inside the set is unrecoverable data and
+    * fails loudly, never a silently partial file list.
+    */
+  def filesAsOf(basePath: String, snap: Seq[String]): Seq[String] = {
     val fs = new Path(basePath).getFileSystem(new Configuration())
     val mdir = new Path(basePath, ManifestDir)
     def linesIfPresent(n: String): Option[Seq[String]] = {
@@ -603,14 +618,71 @@ object WeatherLakeV2Sink {
         "WeatherLakeV2Sink.readAsOf: snapshot predates the vacuum horizon; " +
           s"manifests reclaimed without a superseding replacement: " +
           lost.toSeq.sorted.mkString(", "))
-    val files = present.filterNot(p => superseded(p._1))
+    present.filterNot(p => superseded(p._1))
       .flatMap(_._2)
       .filter(l => l.nonEmpty && !l.startsWith("#"))
       .map(entryPath)
-    if (files.isEmpty) {
-      import spark.implicits._
-      spark.emptyDataset[String].toDF("value")
-    } else spark.read.text(files: _*)
+  }
+
+  /** CHANGE DATA FEED between two captured snapshots (the Delta CDF /
+    * Iceberg changelog-scan move, derived from the copy-on-write commit
+    * structure instead of written change files): rows are compared only
+    * inside the file-set DIFFERENCE — files common to both snapshots are
+    * untouched by construction and never read, so the cost is O(changed
+    * files), not O(table).
+    *
+    * `key` is the row identity ([[mergeCommitted]]'s key contract —
+    * unique per snapshot; duplicate keys would fan the join out). A key
+    * only in `to` emits `insert`; only in `from` emits `delete`; in both
+    * with a DIFFERENT line emits `update_preimage` + `update_postimage`;
+    * in both with an identical line is a copy-on-write survivor rewrite,
+    * NOT a change, and emits nothing (the file-diff CDF's one subtlety:
+    * rewriting a touched file re-lists its untouched rows under a new
+    * path).
+    *
+    * Returns (change, value): change ∈ insert / delete /
+    * update_preimage / update_postimage; value is the raw committed
+    * line. The change classification is one full-outer equi-join on the
+    * key over only the differing files, then a single codegen'd
+    * explode — no second pass, no driver data.
+    */
+  def changesBetween(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, from: Seq[String], to: Seq[String],
+      key: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Column):
+      org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{array, col, explode, lit, struct, when}
+    val fromFiles = filesAsOf(basePath, from).toSet
+    val toFiles = filesAsOf(basePath, to).toSet
+    val removed = (fromFiles -- toFiles).toSeq.sorted
+    val added = (toFiles -- fromFiles).toSeq.sorted
+    def keyed(files: Seq[String], valueAs: String): org.apache.spark.sql.DataFrame = {
+      val f = framedLines(spark, basePath, files)
+      f.select(key(f).as("__key"), col("value").as(valueAs))
+    }
+    val session = spark
+    import session.implicits._
+    def tagged(files: Seq[String], change: String): org.apache.spark.sql.DataFrame =
+      framedLines(session, basePath, files)
+        .select(lit(change).as("change"), col("value"))
+    if (removed.isEmpty && added.isEmpty)
+      session.emptyDataset[(String, String)].toDF("change", "value")
+    else if (removed.isEmpty) tagged(added, "insert")
+    else if (added.isEmpty) tagged(removed, "delete")
+    else {
+      val changes = keyed(removed, "__old")
+        .join(keyed(added, "__new"), Seq("__key"), "full_outer")
+        .select(explode(
+          when(col("__old").isNull,
+            array(struct(lit("insert").as("change"), col("__new").as("value"))))
+          .when(col("__new").isNull,
+            array(struct(lit("delete").as("change"), col("__old").as("value"))))
+          .when(col("__old") =!= col("__new"),
+            array(
+              struct(lit("update_preimage").as("change"), col("__old").as("value")),
+              struct(lit("update_postimage").as("change"), col("__new").as("value"))))
+          .otherwise(array())).as("c")) // identical line: survivor rewrite
+      changes.select(col("c.change").as("change"), col("c.value").as("value"))
+    }
   }
 
   // -----------------------------------------------------------------
@@ -1031,6 +1103,87 @@ object WeatherLakeV2Sink {
           writeManifest(basePath, s"delete-${UUID.randomUUID().toString}",
             snapshotNames.map(n => s"$SupersedesPrefix$n") ++ untouched ++ newFiles)
           DeleteStats(touched.size, newFiles.size, deletedRows)
+        }
+      }
+    }
+
+  // -----------------------------------------------------------------
+  // copy-on-write UPDATE (row-level transform of the committed lake)
+  // -----------------------------------------------------------------
+
+  /** Result of an [[updateCommitted]]: committed files rewritten,
+    * replacement files published, and rows transformed.
+    */
+  final case class UpdateStats(touchedFiles: Int, newFiles: Int,
+      updatedRows: Long)
+
+  /** Copy-on-write UPDATE: every committed row where `predicate` is TRUE
+    * is replaced by `transform` of itself — `UPDATE t SET … WHERE …`,
+    * completing the DML triple next to [[mergeCommitted]] (keyed upsert)
+    * and [[deleteCommitted]]. Use MERGE when the new values arrive as a
+    * batch; use UPDATE when they are a FUNCTION of the stored row
+    * (backfill a derived field, redact a column, fix a unit error).
+    *
+    * `predicate` and `prune` follow [[deleteCommitted]]'s contracts
+    * exactly (SQL NULL semantics — a NULL predicate keeps the row
+    * unchanged; `prune` is fail-open driver-side candidate skipping over
+    * partition values + per-file stats). `transform(frame)` maps the
+    * [[Schema]]-framed row to the REPLACEMENT raw line (a Column; build
+    * it from `raw_json` with JSON functions). The transform must keep
+    * the row in its partition directory (same immutability contract as
+    * merge — the rewrite routes survivors and updates by the file's own
+    * directory, so a transform that changes city/ds/hour would lie about
+    * its location). `statsFields` refreshes per-file min/max on the
+    * rewritten files.
+    *
+    * Same plan shape and guarantees as delete: ONE distributed pass
+    * counts definite matches per candidate file; touched files rewrite
+    * (unchanged rows verbatim, matching rows transformed) through the
+    * rolled writer; untouched files re-list their original entry lines;
+    * ONE superseding manifest, no-op publishes nothing, lock-serialized.
+    * NOT generally idempotent — re-running applies the transform again
+    * wherever the predicate still holds (document per use; a transform
+    * that leaves the predicate false, like a redaction, IS idempotent).
+    */
+  def updateCommitted(spark: org.apache.spark.sql.SparkSession,
+      basePath: String,
+      predicate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Column,
+      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Column,
+      prune: (Map[String, String], Map[String, FieldStats]) => Boolean =
+        (_, _) => true,
+      targetBytes: Long = 128L * 1024 * 1024,
+      statsFields: Seq[String] = Nil): UpdateStats =
+    withMaintenanceLock(basePath, "update") {
+      import org.apache.spark.sql.functions.{coalesce, col, count, lit, when}
+      require(targetBytes > 0, "targetBytes must be positive")
+      val snapshotNames = liveManifests(basePath)
+      val committedLines = committedEntryLines(basePath)
+      val candidates = committedLines.collect {
+        case l if prune(partitionValues(basePath, entryPath(l)), lineStats(l)) =>
+          entryPath(l)
+      }
+      if (candidates.isEmpty) UpdateStats(0, 0, 0L)
+      else {
+        def hit(df: org.apache.spark.sql.DataFrame) =
+          coalesce(predicate(df), lit(false))
+        val cand = framedLines(spark, basePath, candidates)
+        val perFile = cand.filter(hit(cand))
+          .groupBy(col("file")).agg(count(lit(1)).as("n"))
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        val touched = perFile.map(_._1).toSeq
+        val updatedRows = perFile.map(_._2).sum
+        if (touched.isEmpty) UpdateStats(0, 0, 0L)
+        else {
+          val touchedSet = touched.toSet
+          val untouched = committedLines.filterNot(l => touchedSet(entryPath(l)))
+          val tf = framedLines(spark, basePath, touched)
+          val rewrite = tf.select(col("dir"),
+            when(hit(tf), transform(tf)).otherwise(col("value")).as("value"))
+          val newFiles = writeRolled(rewrite, "update", basePath,
+            targetBytes, statsFields = statsFields)
+          writeManifest(basePath, s"update-${UUID.randomUUID().toString}",
+            snapshotNames.map(n => s"$SupersedesPrefix$n") ++ untouched ++ newFiles)
+          UpdateStats(touched.size, newFiles.size, updatedRows)
         }
       }
     }

@@ -7,21 +7,26 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-/** STREAMING read face of the manifest lake — the lake as a Structured
-  * Streaming source (the Delta-streaming-source shape), completing the
-  * connector triangle: [[WeatherLakeV2Sink]] writes it, `readCommitted`
-  * batch-reads it, and this streams it.
+/** READ face of the manifest lake — the lake as a Structured Streaming
+  * source (the Delta-streaming-source shape) AND as a DSv2 batch table,
+  * completing the connector triangle: [[WeatherLakeV2Sink]] writes it,
+  * this reads it (batch = the manifest-gated committed view, exactly
+  * `readCommitted`'s rows through the connector path — so SQL
+  * `CREATE TEMPORARY VIEW … USING` works too), and streams it.
   *
   * {{{
   * spark.readStream.format("graft.sources.WeatherLakeV2StreamSource")
   *   .load(lakePath)                       // value: raw JSON line
   *   .writeStream...trigger(Trigger.AvailableNow())...
+  *
+  * spark.read.format("graft.sources.WeatherLakeV2StreamSource")
+  *   .load(lakePath)                       // batch: committed view
   * }}}
   *
   * The unit of streaming progress is the COMMITTED MANIFEST, exactly like
@@ -85,11 +90,23 @@ object WeatherLakeV2StreamSource {
     override def name(): String = s"weather_lake_stream($path)"
     override def schema(): StructType = Schema
     override def capabilities(): util.Set[TableCapability] =
-      util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+      util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
+        TableCapability.BATCH_READ)
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
       new ScanBuilder with Scan {
         override def build(): Scan = this
         override def readSchema(): StructType = Schema
+        // batch face: the manifest-gated committed view resolved at
+        // PLANNING time (one task per committed file) — a job that dies
+        // mid-commit stays invisible here exactly as in readCommitted
+        override def toBatch: Batch = new Batch {
+          private val files =
+            WeatherLakeV2Sink.committedFiles(path).sorted.toArray
+          override def planInputPartitions(): Array[InputPartition] =
+            files.map(LakeFilePartition(_): InputPartition)
+          override def createReaderFactory(): PartitionReaderFactory =
+            new LakeFileReaderFactory
+        }
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
           val cap = Option(options.get("maxManifestsPerTrigger")).map { v =>
             val n = try v.toInt catch { case _: NumberFormatException =>

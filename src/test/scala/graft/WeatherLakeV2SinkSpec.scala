@@ -783,6 +783,110 @@ class WeatherLakeV2SinkSpec extends SparkSpec {
       "merge must re-list untouched entries verbatim, stats intact")
   }
 
+  test("updateCommitted: copy-on-write transform hits exactly the " +
+      "matching rows; null predicates and untouched files stay intact") {
+    import graft.sources.WeatherLakeV2Sink
+    val lake = Files.createTempDirectory("lakev2upd").toString
+    val s = spark
+    import s.implicits._
+    def payload(rows: Seq[(String, Long, Long)]): DataFrame =
+      rows.toDF("city", "k", "v").select(col("city"),
+        lit("2024-01-01").as("ds"), lit("00").as("hour"),
+        to_json(struct(col("k"), col("v"))).as("raw_json"))
+    payload(Seq(("a", 1L, 10L), ("a", 2L, 20L), ("b", 3L, 30L)))
+      .write.format("graft.sources.WeatherLakeV2Sink")
+      .mode("append").save(lake)
+    // k=9 has no v: the v-predicate is NULL there and must leave it alone
+    Seq(("c", "2024-01-01", "00", """{"k":9}"""))
+      .toDF("city", "ds", "hour", "raw_json")
+      .write.format("graft.sources.WeatherLakeV2Sink")
+      .mode("append").save(lake)
+    val preUpdate = WeatherLakeV2Sink.snapshot(lake)
+    def kv(df: DataFrame): Map[Long, Option[Long]] = df.select(
+        get_json_object(col("value"), "$.k").cast("long"),
+        get_json_object(col("value"), "$.v").cast("long"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // redact v where v >= 20 (set to 0) — idempotent by construction
+    val pred = (f: DataFrame) =>
+      get_json_object(f("raw_json"), "$.v").cast("long") >= 20
+    val redact = (f: DataFrame) => to_json(struct(
+      get_json_object(f("raw_json"), "$.k").cast("long").as("k"),
+      lit(0L).as("v")))
+    val st = WeatherLakeV2Sink.updateCommitted(spark, lake, pred, redact)
+    assert(st.touchedFiles == 2 && st.updatedRows == 2L, st.toString)
+    assert(kv(WeatherLakeV2Sink.readCommitted(spark, lake)) ==
+      Map(1L -> Some(10L), 2L -> Some(0L), 3L -> Some(0L), 9L -> None))
+    // k=1 survives unchanged (verbatim if it shared k=2's file, untouched
+    // otherwise); k=9's file is untouched and keeps its original path
+    assert(WeatherLakeV2Sink.committedFiles(lake).exists(_.contains("city=c/")))
+    // pinned pre-update snapshot still reads the old values
+    assert(kv(WeatherLakeV2Sink.readAsOf(spark, lake, preUpdate))(2L) ==
+      Some(20L))
+    // idempotent redaction: second run matches nothing, publishes nothing
+    val manifests = WeatherLakeV2Sink.manifestNames(lake).size
+    assert(WeatherLakeV2Sink.updateCommitted(spark, lake, pred, redact) ==
+      WeatherLakeV2Sink.UpdateStats(0, 0, 0L))
+    assert(WeatherLakeV2Sink.manifestNames(lake).size == manifests)
+  }
+
+  test("changesBetween: the change feed classifies insert/delete/update " +
+      "from the file-set diff; survivor rewrites emit nothing") {
+    import graft.sources.WeatherLakeV2Sink
+    val lake = Files.createTempDirectory("lakev2cdf").toString
+    val s = spark
+    import s.implicits._
+    def payload(rows: Seq[(String, Long, Long)]): DataFrame =
+      rows.toDF("city", "k", "v").select(col("city"),
+        lit("2024-01-01").as("ds"), lit("00").as("hour"),
+        to_json(struct(col("k"), col("v"))).as("raw_json"))
+    // base: one file holding k1+k2 (coalesce(1), same partition), one
+    // file holding k3+k4 in another city
+    payload(Seq(("a", 1L, 10L), ("a", 2L, 20L))).coalesce(1)
+      .write.format("graft.sources.WeatherLakeV2Sink").mode("append").save(lake)
+    payload(Seq(("b", 3L, 30L), ("b", 4L, 40L))).coalesce(1)
+      .write.format("graft.sources.WeatherLakeV2Sink").mode("append").save(lake)
+    val base = WeatherLakeV2Sink.snapshot(lake)
+    val keyFn = (f: DataFrame) => get_json_object(f("raw_json"), "$.k")
+    // merge: update k2, insert k9; delete k3
+    WeatherLakeV2Sink.mergeCommitted(spark, lake,
+      payload(Seq(("a", 2L, 999L), ("c", 9L, 90L))), keyFn)
+    WeatherLakeV2Sink.deleteCommitted(spark, lake,
+      f => get_json_object(f("raw_json"), "$.k").cast("long") === 3)
+    val feed = WeatherLakeV2Sink.changesBetween(spark, lake,
+        from = base, to = WeatherLakeV2Sink.liveManifests(lake),
+        key = keyFn)
+      .select(col("change"),
+        get_json_object(col("value"), "$.k").cast("long").as("k"),
+        get_json_object(col("value"), "$.v").cast("long").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // k1 survived a rewrite of its file (identical line, new path) and
+    // k4 survived the delete rewrite — NEITHER is a change
+    assert(feed == Set(
+      ("update_preimage", 2L, 20L), ("update_postimage", 2L, 999L),
+      ("insert", 9L, 90L), ("delete", 3L, 30L)), feed.toString)
+    // identical snapshots diff to an empty feed
+    val live = WeatherLakeV2Sink.liveManifests(lake)
+    assert(WeatherLakeV2Sink.changesBetween(spark, lake, live, live, keyFn)
+      .isEmpty)
+    // one-sided diffs (pure append since base) classify without a join
+    val appendOnly = Files.createTempDirectory("lakev2cdf2").toString
+    payload(Seq(("a", 1L, 10L)))
+      .write.format("graft.sources.WeatherLakeV2Sink").mode("append").save(appendOnly)
+    val s0 = WeatherLakeV2Sink.snapshot(appendOnly)
+    payload(Seq(("a", 2L, 20L)))
+      .write.format("graft.sources.WeatherLakeV2Sink").mode("append").save(appendOnly)
+    val ins = WeatherLakeV2Sink.changesBetween(spark, appendOnly,
+      s0, WeatherLakeV2Sink.liveManifests(appendOnly), keyFn)
+    assert(ins.select("change").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("insert"))
+    // and the reverse direction reads as pure deletes
+    val del = WeatherLakeV2Sink.changesBetween(spark, appendOnly,
+      WeatherLakeV2Sink.liveManifests(appendOnly), s0, keyFn)
+    assert(del.select("change").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("delete"))
+  }
+
   test("clustered compaction (OPTIMIZE ZORDER): reclustering + refreshed " +
       "stats turn a useless skipping layer into a sharp one, row parity") {
     import graft.sources.WeatherLakeV2Sink

@@ -92,6 +92,33 @@ class WeatherLakeV2StreamSourceSpec extends SparkSpec {
     assert(rows("lake_streamc_t3").size == 4)
   }
 
+  test("batch read face: spark.read over the same format returns the " +
+      "committed view (readCommitted parity), and SQL works over a " +
+      "CREATE TEMPORARY VIEW ... USING") {
+    val base = Files.createTempDirectory("lakebatchread").toString
+    val lake = s"$base/lake"
+    sink(lake, "b", 3)
+    // an orphan file with no manifest must stay invisible to the batch
+    // face exactly as to readCommitted
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$lake/city=a/ds=2024-01-01/hour=00/orphan.json"),
+      "{\"t\":\"orphan\"}\n")
+    val viaConnector = spark.read
+      .format("graft.sources.WeatherLakeV2StreamSource")
+      .load(lake).collect().map(_.getString(0)).sorted
+    val viaFunction = graft.sources.WeatherLakeV2Sink
+      .readCommitted(spark, lake).collect().map(_.getString(0)).sorted
+    assert(viaConnector.sameElements(viaFunction) && viaConnector.length == 3,
+      s"connector batch read must equal readCommitted: ${viaConnector.toSeq}")
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW lake_batch_view
+      USING graft.sources.WeatherLakeV2StreamSource
+      OPTIONS (path '$lake')""")
+    val viaSql = spark.sql(
+      "SELECT get_json_object(value, '$.t') AS t FROM lake_batch_view ORDER BY t")
+      .collect().map(_.getString(0)).toSeq
+    assert(viaSql == Seq("b0", "b1", "b2"), viaSql.toString)
+  }
+
   test("maxManifestsPerTrigger drains an AvailableNow run in capped " +
       "batches and still delivers every row") {
     val base = Files.createTempDirectory("lakestreamcap").toString
