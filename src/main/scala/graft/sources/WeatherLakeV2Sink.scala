@@ -220,17 +220,29 @@ object WeatherLakeV2Sink {
     names.filterNot(superseded)
   }
 
+  /** The data ENTRY LINES (path, or path + tab + stats) of a given
+    * manifest set. Maintenance ops resolve their lines from THEIR OWN
+    * snapshot through this — never via a second [[liveManifests]] pass,
+    * which would race a concurrent append: the append's lines would be
+    * re-listed in the superseding manifest while its manifest stayed
+    * live (not in the snapshot, so not superseded), double-counting
+    * every row it wrote.
+    */
+  private def entryLinesOf(basePath: String,
+      manifests: Seq[String]): Seq[String] = {
+    val fs = new Path(basePath).getFileSystem(new Configuration())
+    val mdir = new Path(basePath, ManifestDir)
+    manifests
+      .flatMap(n => readLines(fs, new Path(mdir, n)))
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+  }
+
   /** The live manifests' data ENTRY LINES (path, or path + tab + stats) —
     * what maintenance re-lists verbatim so untouched files keep their
     * stats through a compact/merge.
     */
-  def committedEntryLines(basePath: String): Seq[String] = {
-    val fs = new Path(basePath).getFileSystem(new Configuration())
-    val mdir = new Path(basePath, ManifestDir)
-    liveManifests(basePath)
-      .flatMap(n => readLines(fs, new Path(mdir, n)))
-      .filter(l => l.nonEmpty && !l.startsWith("#"))
-  }
+  def committedEntryLines(basePath: String): Seq[String] =
+    entryLinesOf(basePath, liveManifests(basePath))
 
   /** Every file recorded by a COMPLETED job's live manifest — the
     * read-side filter that drops orphan files left by jobs that died
@@ -946,7 +958,9 @@ object WeatherLakeV2Sink {
       import org.apache.spark.sql.functions.{col, lit}
       require(targetBytes > 0, "targetBytes must be positive")
       val snapshotNames = liveManifests(basePath)
-      val committedLines = committedEntryLines(basePath)
+      // lines resolved from THE SNAPSHOT (see entryLinesOf: a second
+      // live pass would double-count a racing append)
+      val committedLines = entryLinesOf(basePath, snapshotNames)
       val committed = committedLines.map(entryPath)
       // 1. driver-side partition pruning of the candidate set: bounded by
       // the batch's distinct partition tuples (same class as the
@@ -1069,7 +1083,9 @@ object WeatherLakeV2Sink {
       import org.apache.spark.sql.functions.{coalesce, col, count, lit, not}
       require(targetBytes > 0, "targetBytes must be positive")
       val snapshotNames = liveManifests(basePath)
-      val committedLines = committedEntryLines(basePath)
+      // lines resolved from THE SNAPSHOT (see entryLinesOf: a second
+      // live pass would double-count a racing append)
+      val committedLines = entryLinesOf(basePath, snapshotNames)
       // 1. driver-side candidate pruning over the entry LINES (each line
       // carries the file path and, when measured, its stats payload)
       val candidates = committedLines.collect {
@@ -1104,6 +1120,58 @@ object WeatherLakeV2Sink {
             snapshotNames.map(n => s"$SupersedesPrefix$n") ++ untouched ++ newFiles)
           DeleteStats(touched.size, newFiles.size, deletedRows)
         }
+      }
+    }
+
+  // -----------------------------------------------------------------
+  // manifest checkpointing (metadata-only history rollup)
+  // -----------------------------------------------------------------
+
+  /** Collapse the live manifest SET into ONE manifest — the Delta
+    * checkpoint move, and the missing piece that keeps the metadata
+    * layer itself O(1) at scale: every read-side operation
+    * ([[liveManifests]] and everything above it) opens EVERY published
+    * manifest, so a lake taking a commit a minute holds half a million
+    * manifests after a year and pays an O(n) LIST+read per operation.
+    * Checkpointing publishes a single manifest that re-lists every live
+    * entry line VERBATIM (zero data IO, stats intact — this is
+    * compaction of the METADATA, not the data) and supersedes the whole
+    * snapshotted live set; once [[vacuum]] reclaims the superseded
+    * manifests, the history is one file.
+    *
+    * Interactions, all inherited from the superseding-manifest protocol:
+    *  - concurrent readers resolve the old live set or the checkpoint,
+    *    never a mix (one atomic rename);
+    *  - appends committing after the snapshot stay live untouched;
+    *  - a caught-up [[WeatherLakeV2StreamSource]] stream sees the
+    *    checkpoint as a NEW manifest and replays rows it already
+    *    consumed — the same at-least-once contract as compaction
+    *    (spec-pinned there); fresh streams read once;
+    *  - superseded streaming manifests remain exactly-once replay
+    *    tokens under vacuum's age guard + the one-generation tombstone.
+    *
+    * Returns the number of manifests collapsed; a live set of 0 or 1
+    * manifests is already checkpointed and publishes NOTHING.
+    * Lock-serialized against merge/delete/update/compact — it snapshots
+    * and supersedes the live set like they do.
+    */
+  def checkpointManifests(basePath: String): Int =
+    withMaintenanceLock(basePath, "checkpoint") {
+      val snapshot = liveManifests(basePath)
+      if (snapshot.size <= 1) 0
+      else {
+        // resolve entry lines from the SNAPSHOT, never from a second
+        // liveManifests() pass: an append committing between the two
+        // reads would otherwise have its lines checkpointed while its
+        // manifest stays live — every row double-counted
+        val fs = new Path(basePath).getFileSystem(new Configuration())
+        val mdir = new Path(basePath, ManifestDir)
+        val lines = snapshot
+          .flatMap(n => readLines(fs, new Path(mdir, n)))
+          .filter(l => l.nonEmpty && !l.startsWith("#"))
+        writeManifest(basePath, s"checkpoint-${UUID.randomUUID().toString}",
+          snapshot.map(n => s"$SupersedesPrefix$n") ++ lines)
+        snapshot.size
       }
     }
 
@@ -1157,7 +1225,9 @@ object WeatherLakeV2Sink {
       import org.apache.spark.sql.functions.{coalesce, col, count, lit, when}
       require(targetBytes > 0, "targetBytes must be positive")
       val snapshotNames = liveManifests(basePath)
-      val committedLines = committedEntryLines(basePath)
+      // lines resolved from THE SNAPSHOT (see entryLinesOf: a second
+      // live pass would double-count a racing append)
+      val committedLines = entryLinesOf(basePath, snapshotNames)
       val candidates = committedLines.collect {
         case l if prune(partitionValues(basePath, entryPath(l)), lineStats(l)) =>
           entryPath(l)

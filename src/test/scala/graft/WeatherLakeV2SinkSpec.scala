@@ -783,6 +783,45 @@ class WeatherLakeV2SinkSpec extends SparkSpec {
       "merge must re-list untouched entries verbatim, stats intact")
   }
 
+  test("checkpointManifests: metadata-only rollup — same rows, stats " +
+      "verbatim, history collapses to one file after vacuum") {
+    import graft.sources.WeatherLakeV2Sink
+    val lake = Files.createTempDirectory("lakev2ckpt").toString
+    val s = spark
+    import s.implicits._
+    def sink(tag: String, v: Long): Unit =
+      Seq((tag, v)).toDF("city", "v").select(col("city"),
+          lit("2024-01-01").as("ds"), lit("00").as("hour"),
+          to_json(struct(col("v"))).as("raw_json"))
+        .coalesce(1)
+        .write.format("graft.sources.WeatherLakeV2Sink")
+        .option("statsFields", "v")
+        .mode("append").save(lake)
+    (1 to 5).foreach(i => sink(s"c$i", i.toLong * 10))
+    assert(WeatherLakeV2Sink.liveManifests(lake).size == 5)
+    val entriesBefore = WeatherLakeV2Sink.committedEntryLines(lake).sorted
+    val dataFiles = WeatherLakeV2Sink.committedFiles(lake).toSet
+    // the rollup: zero data IO — every data file survives under its path
+    assert(WeatherLakeV2Sink.checkpointManifests(lake) == 5)
+    assert(WeatherLakeV2Sink.liveManifests(lake).size == 1)
+    assert(WeatherLakeV2Sink.committedEntryLines(lake).sorted == entriesBefore,
+      "entry lines (incl. stats) must be re-listed verbatim")
+    assert(WeatherLakeV2Sink.committedFiles(lake).toSet == dataFiles)
+    // already-checkpointed lakes publish nothing
+    val manifests = WeatherLakeV2Sink.manifestNames(lake).size
+    assert(WeatherLakeV2Sink.checkpointManifests(lake) == 0)
+    assert(WeatherLakeV2Sink.manifestNames(lake).size == manifests)
+    // vacuum reclaims the superseded manifests but NO data files (all
+    // live) — the metadata history is now one file
+    WeatherLakeV2Sink.vacuum(lake)
+    assert(WeatherLakeV2Sink.manifestNames(lake).size == 1)
+    assert(WeatherLakeV2Sink.committedFiles(lake).toSet == dataFiles)
+    // appends after the checkpoint stack on top as usual
+    sink("c9", 90L)
+    assert(WeatherLakeV2Sink.liveManifests(lake).size == 2)
+    assert(WeatherLakeV2Sink.committedFiles(lake).size == 6)
+  }
+
   test("updateCommitted: copy-on-write transform hits exactly the " +
       "matching rows; null predicates and untouched files stay intact") {
     import graft.sources.WeatherLakeV2Sink
