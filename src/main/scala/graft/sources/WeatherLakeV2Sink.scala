@@ -10,6 +10,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -60,7 +61,8 @@ object WeatherLakeV2Sink {
     override def name(): String = s"weather_lake($path)"
     override def schema(): StructType = Schema
     override def capabilities(): util.Set[TableCapability] =
-      util.EnumSet.of(TableCapability.BATCH_WRITE)
+      util.EnumSet.of(TableCapability.BATCH_WRITE,
+        TableCapability.STREAMING_WRITE)
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
       // manifestId overrides the engine-assigned queryId as the manifest
       // name — a DETERMINISTIC id is what turns the at-least-once retries
@@ -93,9 +95,44 @@ object WeatherLakeV2Sink {
             }
             override def abort(messages: Array[WriterCommitMessage]): Unit = ()
           }
+
+          /** NATIVE streaming sink face — `writeStream.format(...)` with
+            * no foreachBatch shim: each epoch publishes ONE manifest
+            * named `<queryId>-<epochId>`. Both components are
+            * checkpoint-stable (the engine passes the streaming query's
+            * persistent id, and epochId is the checkpointed batch id),
+            * so a restart that replays a committed epoch re-publishes
+            * the SAME name, [[writeManifest]]'s rename finds the
+            * destination present and short-circuits, and the replay's
+            * data files stay unreferenced orphans ([[sweepOrphans]]'
+            * diet) — exactly-once publication, the same discipline
+            * [[exactlyOnceBatchWriter]] builds by hand, now inside the
+            * connector. `manifestId`, when given, overrides the query id
+            * as the name PREFIX (epoch still appended — a fixed full
+            * name would collapse all epochs into one token).
+            */
+          override def toStreaming: StreamingWrite = new StreamingWrite {
+            override def createStreamingWriterFactory(
+                pi: PhysicalWriteInfo): StreamingDataWriterFactory =
+              new LakeStreamingWriterFactory(path, statsFields)
+            override def commit(epochId: Long,
+                messages: Array[WriterCommitMessage]): Unit = {
+              val files = messages.collect { case FilesWritten(ps) => ps }.flatten
+              writeManifest(path, s"$jobId-$epochId", files)
+            }
+            override def abort(epochId: Long,
+                messages: Array[WriterCommitMessage]): Unit = ()
+          }
         }
       }
     }
+  }
+
+  class LakeStreamingWriterFactory(path: String, statsFields: Seq[String])
+      extends StreamingDataWriterFactory {
+    override def createWriter(partitionId: Int, taskId: Long,
+        epochId: Long): DataWriter[InternalRow] =
+      new LakeDataWriter(path, partitionId, taskId, statsFields)
   }
 
   /** Directory of per-job manifests under the lake root. */

@@ -783,6 +783,54 @@ class WeatherLakeV2SinkSpec extends SparkSpec {
       "merge must re-list untouched entries verbatim, stats intact")
   }
 
+  test("native streaming sink: one manifest per epoch, exactly-once " +
+      "under duplicate epoch delivery, restarts continue cleanly") {
+    import graft.sources.WeatherLakeV2Sink
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val base = Files.createTempDirectory("lakev2streamsink").toString
+    val lake = s"$base/lake"
+    val input = MemoryStream[(String, String, String, String)]
+    def run(ckpt: String): Unit = {
+      val q = input.toDF().toDF("city", "ds", "hour", "raw_json")
+        .writeStream.format("graft.sources.WeatherLakeV2Sink")
+        .option("checkpointLocation", ckpt)
+        .option("manifestId", "fixedq")
+        .trigger(Trigger.AvailableNow())
+        .start(lake)
+      q.awaitTermination()
+    }
+    def ks: Seq[Long] = WeatherLakeV2Sink.readCommitted(spark, lake)
+      .select(get_json_object(col("value"), "$.k").cast("long"))
+      .collect().map(_.getLong(0)).toSeq.sorted
+    input.addData(("a", "2024-01-01", "00", """{"k":1}"""),
+      ("a", "2024-01-01", "00", """{"k":2}"""))
+    run(s"$base/ckpt1")
+    assert(WeatherLakeV2Sink.manifestExists(lake, "fixedq-0"),
+      "epoch 0 must publish under <id>-<epoch>")
+    assert(ks == Seq(1L, 2L))
+    // the SAME epoch re-delivered (a fresh checkpoint replays the memory
+    // stream from offset 0): the replay's manifest name collides with
+    // the committed one, publication short-circuits, rows do NOT double
+    run(s"$base/ckpt2")
+    assert(ks == Seq(1L, 2L),
+      "a replayed epoch must short-circuit on the existing manifest")
+    // ...and its data files are the documented orphan class
+    Thread.sleep(10)
+    assert(WeatherLakeV2Sink.sweepOrphans(lake, minAgeMs = 1) >= 1,
+      "the replay's unreferenced files must be sweepable")
+    assert(ks == Seq(1L, 2L))
+    // a restart with NEW data continues on the original checkpoint:
+    // epoch 1, fresh manifest, rows append exactly once
+    input.addData(("b", "2024-01-01", "01", """{"k":3}"""))
+    run(s"$base/ckpt1")
+    assert(WeatherLakeV2Sink.manifestExists(lake, "fixedq-1"))
+    assert(ks == Seq(1L, 2L, 3L))
+  }
+
   test("checkpointManifests: metadata-only rollup — same rows, stats " +
       "verbatim, history collapses to one file after vacuum") {
     import graft.sources.WeatherLakeV2Sink
