@@ -92,6 +92,55 @@ class WeatherLakeV2StreamSourceSpec extends SparkSpec {
     assert(rows("lake_streamc_t3").size == 4)
   }
 
+  test("lake-to-lake streaming pipeline (bronze -> silver): incremental " +
+      "flow on one checkpoint, exactly-once across a full pipeline replay") {
+    import graft.sources.WeatherLakeV2Sink
+    val base = Files.createTempDirectory("lakemedallion").toString
+    val bronze = s"$base/bronze"; val silver = s"$base/silver"
+    sink(bronze, "m", 3) // {"t":"m0".."m2"}
+    // the pipeline: stream the bronze committed view, drop one row
+    // (curation), re-key for the silver layout, publish with per-epoch
+    // manifests — source offsets AND sink manifests both checkpoint-stable
+    def run(ckpt: String): Unit = {
+      val q = spark.readStream
+        .format("graft.sources.WeatherLakeV2StreamSource")
+        .load(bronze)
+        .filter(get_json_object(col("value"), "$.t") =!= "m1")
+        .select(lit("s").as("city"), lit("2024-01-01").as("ds"),
+          lit("00").as("hour"), col("value").as("raw_json"))
+        .writeStream
+        .format("graft.sources.WeatherLakeV2Sink")
+        .option("checkpointLocation", ckpt)
+        .option("manifestId", "b2s")
+        .trigger(Trigger.AvailableNow())
+        .start(silver)
+      q.awaitTermination()
+    }
+    def silverRows: Seq[String] = WeatherLakeV2Sink
+      .readCommitted(spark, silver)
+      .select(get_json_object(col("value"), "$.t"))
+      .collect().map(_.getString(0)).toSeq.sorted
+    run(s"$base/ckpt")
+    assert(silverRows == Seq("m0", "m2"))
+    assert(WeatherLakeV2Sink.manifestExists(silver, "b2s-0"))
+    // incremental: new bronze commit flows through the SAME checkpoint
+    // as epoch 1 — silver never re-ingests what it already published
+    sink(bronze, "n", 1)
+    run(s"$base/ckpt")
+    assert(silverRows == Seq("m0", "m2", "n0"))
+    assert(WeatherLakeV2Sink.manifestExists(silver, "b2s-1"))
+    // full pipeline REPLAY (lost checkpoint, same manifestId): the fresh
+    // run re-reads all of bronze as epoch 0, but silver's b2s-0 manifest
+    // already exists — publication short-circuits end-to-end, rows do
+    // not double, and the replay's files are sweepable orphans
+    run(s"$base/ckpt-replay")
+    assert(silverRows == Seq("m0", "m2", "n0"),
+      "a replayed pipeline must not double-publish silver rows")
+    Thread.sleep(10)
+    assert(WeatherLakeV2Sink.sweepOrphans(silver, minAgeMs = 1) >= 1)
+    assert(silverRows == Seq("m0", "m2", "n0"))
+  }
+
   test("batch read face: spark.read over the same format returns the " +
       "committed view (readCommitted parity), and SQL works over a " +
       "CREATE TEMPORARY VIEW ... USING") {
