@@ -98,10 +98,33 @@ object WeatherLakeV2StreamSource {
         override def readSchema(): StructType = Schema
         // batch face: the manifest-gated committed view resolved at
         // PLANNING time (one task per committed file) — a job that dies
-        // mid-commit stays invisible here exactly as in readCommitted
+        // mid-commit stays invisible here exactly as in readCommitted.
+        // TIME TRAVEL is a read option, so plain SQL reaches it through
+        // CREATE TEMPORARY VIEW ... USING ... OPTIONS:
+        //   snapshotVersion 'N'          — version N of the commit
+        //                                  history (snapshotAt)
+        //   asOfManifests 'a.txt,b.txt'  — an explicitly captured
+        //                                  manifest set (filesAsOf)
+        // Both honor supersedes within the pinned set and fail loudly
+        // past the vacuum horizon, exactly like readAsOf.
         override def toBatch: Batch = new Batch {
-          private val files =
-            WeatherLakeV2Sink.committedFiles(path).sorted.toArray
+          private val files = {
+            val asOf = Option(options.get("asOfManifests"))
+              .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+              .map(ns => WeatherLakeV2Sink.filesAsOf(path, ns))
+            val atVersion = Option(options.get("snapshotVersion")).map { v =>
+              val n = v.toIntOption.getOrElse(
+                throw new IllegalArgumentException(
+                  s"snapshotVersion must be an integer, got '$v'"))
+              WeatherLakeV2Sink.filesAsOf(path,
+                WeatherLakeV2Sink.snapshotAt(path, n))
+            }
+            require(asOf.isEmpty || atVersion.isEmpty,
+              "asOfManifests and snapshotVersion are mutually exclusive")
+            asOf.orElse(atVersion)
+              .getOrElse(WeatherLakeV2Sink.committedFiles(path))
+              .sorted.toArray
+          }
           override def planInputPartitions(): Array[InputPartition] =
             files.map(LakeFilePartition(_): InputPartition)
           override def createReaderFactory(): PartitionReaderFactory =

@@ -168,6 +168,44 @@ class WeatherLakeV2StreamSourceSpec extends SparkSpec {
     assert(viaSql == Seq("b0", "b1", "b2"), viaSql.toString)
   }
 
+  test("time travel through the batch face: snapshotVersion and " +
+      "asOfManifests read options put table history behind plain SQL") {
+    import graft.sources.WeatherLakeV2Sink
+    val base = Files.createTempDirectory("laketimetravel").toString
+    val lake = s"$base/lake"
+    sink(lake, "v0-", 1)        // version 0
+    val v0 = WeatherLakeV2Sink.snapshot(lake)
+    sink(lake, "v1-", 1)        // version 1
+    def ts(df: org.apache.spark.sql.DataFrame): Seq[String] = df
+      .select(get_json_object(col("value"), "$.t"))
+      .collect().map(_.getString(0)).toSeq.sorted
+    // current view has both commits
+    assert(ts(spark.read.format("graft.sources.WeatherLakeV2StreamSource")
+      .load(lake)) == Seq("v0-0", "v1-0"))
+    // pinned to version 0 of the history
+    assert(ts(spark.read.format("graft.sources.WeatherLakeV2StreamSource")
+      .option("snapshotVersion", "0").load(lake)) == Seq("v0-0"))
+    // pinned to an explicitly captured manifest set
+    assert(ts(spark.read.format("graft.sources.WeatherLakeV2StreamSource")
+      .option("asOfManifests", v0.mkString(",")).load(lake)) == Seq("v0-0"))
+    // time travel in PLAIN SQL via a view with options
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW lake_v0
+      USING graft.sources.WeatherLakeV2StreamSource
+      OPTIONS (path '$lake', snapshotVersion '0')""")
+    assert(spark.sql("SELECT count(*) FROM lake_v0").head().getLong(0) == 1L)
+    // bad inputs fail loudly
+    intercept[Exception] {
+      spark.read.format("graft.sources.WeatherLakeV2StreamSource")
+        .option("snapshotVersion", "99").load(lake).collect()
+    }
+    intercept[Exception] {
+      spark.read.format("graft.sources.WeatherLakeV2StreamSource")
+        .option("snapshotVersion", "0")
+        .option("asOfManifests", v0.mkString(","))
+        .load(lake).collect()
+    }
+  }
+
   test("maxManifestsPerTrigger drains an AvailableNow run in capped " +
       "batches and still delivers every row") {
     val base = Files.createTempDirectory("lakestreamcap").toString
