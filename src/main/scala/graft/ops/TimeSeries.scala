@@ -72,8 +72,8 @@ object TimeSeries {
         col(s"b.$startCol") < col(s"a.$endCol") &&
         col("a.__cell") === greatest(col("a.__c0"), col("b.__c0")))
     joined.select(
-      spans.columns.map(c => col(s"a.$c").as(s"a_$c")) ++
-        spans.columns.map(c => col(s"b.$c").as(s"b_$c")): _*)
+      (spans.columns.map(c => col(s"a.$c").as(s"a_$c")) ++
+        spans.columns.map(c => col(s"b.$c").as(s"b_$c"))).toIndexedSeq: _*)
   }
 
   def gapFillLinear(obs: DataFrame, key: String, dayCol: String, valCol: String): DataFrame = {

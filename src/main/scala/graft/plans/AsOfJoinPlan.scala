@@ -699,7 +699,8 @@ object AsOfJoinPlan {
       broadcast: AsOfBroadcast = AsOfBroadcast.Auto): DataFrame = {
     val spark = left.sparkSession
     register(spark)
-    val r2 = right.select(right.columns.map(c => col(c).as(c + rightSuffix)): _*)
+    val r2 = right.select(
+      right.columns.map(c => col(c).as(c + rightSuffix)).toIndexedSeq: _*)
     val lPlan = left.queryExecution.analyzed
     val rPlan = r2.queryExecution.analyzed
     def attr(plan: LogicalPlan, name: String): Expression =

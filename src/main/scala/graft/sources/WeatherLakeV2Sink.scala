@@ -90,7 +90,8 @@ object WeatherLakeV2Sink {
             // [[committedFiles]] never see files from a job that died
             // between task commits and job commit.
             override def commit(messages: Array[WriterCommitMessage]): Unit = {
-              val files = messages.collect { case FilesWritten(ps) => ps }.flatten
+              val files = messages.collect { case FilesWritten(ps) => ps }
+                .flatten.toIndexedSeq
               writeManifest(path, jobId, files)
             }
             override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -117,7 +118,8 @@ object WeatherLakeV2Sink {
               new LakeStreamingWriterFactory(path, statsFields)
             override def commit(epochId: Long,
                 messages: Array[WriterCommitMessage]): Unit = {
-              val files = messages.collect { case FilesWritten(ps) => ps }.flatten
+              val files = messages.collect { case FilesWritten(ps) => ps }
+                .flatten.toIndexedSeq
               writeManifest(path, s"$jobId-$epochId", files)
             }
             override def abort(epochId: Long,
