@@ -553,6 +553,45 @@ object WeatherLakeV2Sink {
     (textFrame(spark, files), fresh)
   }
 
+  /** Incremental CHANGE feed over the manifest cursor — [[readNewCommits]]
+    * for consumers that maintain ROW-LEVEL state (an incremental
+    * materialized view, a downstream index): where the commit reader
+    * REPLAYS whole re-listed file sets after a maintenance commit
+    * (at-least-once, upsert-keyed consumers required), this returns the
+    * exact NET row deltas between the consumer's integrated view (the
+    * consumed manifests, resolved as a snapshot) and the view after the
+    * fresh commits — [[changesBetween]] classification: insert / delete /
+    * update_preimage / update_postimage, copy-on-write survivor rewrites
+    * emitting nothing. Several commits landing since the last advance
+    * collapse to their net effect, which is exactly what a view
+    * maintainer wants to apply.
+    *
+    * A fresh cursor (nothing consumed) classifies the whole table as
+    * inserts — the bootstrap is the same code path as the steady state.
+    * Progress semantics are [[readNewCommits]]'s: process the frame,
+    * then [[advanceCursor]] with the returned names; an unadvanced
+    * cursor re-derives the same delta (never skips). Vacuuming data
+    * files a consumer hasn't integrated fails loudly at read, the same
+    * horizon as every snapshot read here.
+    */
+  def readNewChanges(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, cursorPath: String,
+      key: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Column):
+      (org.apache.spark.sql.DataFrame, Seq[String]) = {
+    val consumed = consumedManifests(cursorPath).toSeq.sorted
+    // fresh = EVERY manifest since the cursor, including ones already
+    // superseded at read time (two maintenance commits in one window:
+    // the later supersedes the earlier). The intermediates carry the
+    // supersedes CHAIN that tombstones the consumer's old manifests
+    // inside the `to` resolution — consuming only the live set would
+    // leave the old manifests un-tombstoned in-set and double-count
+    // every untouched row (spec-pinned). Consuming superseded names is
+    // harmless and keeps the NEXT diff's `from` chain exact.
+    val fresh = manifestNames(basePath).filterNot(consumed.toSet)
+    val to = (consumed ++ fresh).distinct
+    (changesBetween(spark, basePath, from = consumed, to = to, key), fresh)
+  }
+
   /** Durably mark manifests consumed: rewrite the cursor with the union of
     * old and new names via tmp-then-rename, so a torn write can't corrupt
     * it (a lost rename surfaces as an exception, and an unadvanced cursor

@@ -917,6 +917,57 @@ class WeatherLakeV2SinkSpec extends SparkSpec {
     assert(WeatherLakeV2Sink.manifestNames(lake).size == manifests)
   }
 
+  test("readNewChanges: net row deltas since the cursor — no survivor " +
+      "replay, maintenance commits net to zero") {
+    import graft.sources.WeatherLakeV2Sink
+    val base = Files.createTempDirectory("lakev2cdfinc").toString
+    val lake = s"$base/lake"; val cursor = s"$base/cursor"
+    val s = spark
+    import s.implicits._
+    def payload(rows: Seq[(String, Long, Long)]): DataFrame =
+      rows.toDF("city", "k", "v").select(col("city"),
+        lit("2024-01-01").as("ds"), lit("00").as("hour"),
+        to_json(struct(col("k"), col("v"))).as("raw_json"))
+    val keyFn = (f: DataFrame) => get_json_object(f("raw_json"), "$.k")
+    def feed(): (Set[(String, Long)], Seq[String]) = {
+      val (df, fresh) = WeatherLakeV2Sink.readNewChanges(spark, lake, cursor, keyFn)
+      (df.select(col("change"),
+          get_json_object(col("value"), "$.k").cast("long"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet, fresh)
+    }
+    payload(Seq(("a", 1L, 10L), ("a", 2L, 20L))).coalesce(1)
+      .write.format("graft.sources.WeatherLakeV2Sink").mode("append").save(lake)
+    payload(Seq(("b", 3L, 30L))).coalesce(1)
+      .write.format("graft.sources.WeatherLakeV2Sink").mode("append").save(lake)
+    // bootstrap: a fresh cursor classifies the whole table as inserts
+    val (c0, f0) = feed()
+    assert(c0 == Set(("insert", 1L), ("insert", 2L), ("insert", 3L)))
+    WeatherLakeV2Sink.advanceCursor(cursor, f0)
+    // steady state: nothing new
+    assert(feed() == (Set.empty, Seq.empty))
+    // merge (update k2, insert k9) THEN delete (k3) before the next
+    // read: the feed nets both commits; k1 shared k2's file and was
+    // rewritten, but a survivor rewrite is NOT a change — the contrast
+    // with readNewCommits, which would replay it
+    WeatherLakeV2Sink.mergeCommitted(spark, lake,
+      payload(Seq(("a", 2L, 999L), ("c", 9L, 90L))), keyFn)
+    WeatherLakeV2Sink.deleteCommitted(spark, lake,
+      f => get_json_object(f("raw_json"), "$.k").cast("long") === 3)
+    val (c2, f2) = feed()
+    assert(c2 == Set(("update_preimage", 2L), ("update_postimage", 2L),
+      ("insert", 9L), ("delete", 3L)), c2.toString)
+    WeatherLakeV2Sink.advanceCursor(cursor, f2)
+    // an append plus a compaction: the layout change nets to ZERO row
+    // changes — only the genuinely new row surfaces
+    payload(Seq(("a", 4L, 40L))).coalesce(1)
+      .write.format("graft.sources.WeatherLakeV2Sink").mode("append").save(lake)
+    assert(WeatherLakeV2Sink.compact(spark, lake) >= 1)
+    val (c3, f3) = feed()
+    assert(c3 == Set(("insert", 4L)),
+      s"a compaction must net to zero row changes: $c3")
+    assert(f3.size >= 2, "both the append and the compact manifest consume")
+  }
+
   test("changesBetween: the change feed classifies insert/delete/update " +
       "from the file-set diff; survivor rewrites emit nothing") {
     import graft.sources.WeatherLakeV2Sink
