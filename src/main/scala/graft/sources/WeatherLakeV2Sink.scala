@@ -568,11 +568,15 @@ object WeatherLakeV2Sink {
     *
     * A fresh cursor (nothing consumed) classifies the whole table as
     * inserts — the bootstrap is the same code path as the steady state.
-    * Progress semantics are [[readNewCommits]]'s: process the frame,
-    * then [[advanceCursor]] with the returned names; an unadvanced
-    * cursor re-derives the same delta (never skips). Vacuuming data
-    * files a consumer hasn't integrated fails loudly at read, the same
-    * horizon as every snapshot read here.
+    * Progress: process the frame, then [[replaceCursor]] with the
+    * returned view-set; an unreplaced cursor re-derives the same delta
+    * (never skips). The returned set is the LIVE RESOLUTION of the new
+    * view — not the raw consumed names — so the cursor stays O(live
+    * manifests) and never references the superseded intermediates that
+    * [[vacuum]] is free to reclaim between feeds: a caught-up consumer
+    * survives routine vacuum, and a loud [[filesAsOf]] failure means
+    * vacuum genuinely outpaced the consumer's lag (the documented
+    * horizon — size vacuum's age guard above the feed interval).
     */
   def readNewChanges(spark: org.apache.spark.sql.SparkSession,
       basePath: String, cursorPath: String,
@@ -585,36 +589,58 @@ object WeatherLakeV2Sink {
     // supersedes CHAIN that tombstones the consumer's old manifests
     // inside the `to` resolution — consuming only the live set would
     // leave the old manifests un-tombstoned in-set and double-count
-    // every untouched row (spec-pinned). Consuming superseded names is
-    // harmless and keeps the NEXT diff's `from` chain exact.
+    // every untouched row (spec-pinned).
     val fresh = manifestNames(basePath).filterNot(consumed.toSet)
     val to = (consumed ++ fresh).distinct
-    (changesBetween(spark, basePath, from = consumed, to = to, key), fresh)
+    (changesBetween(spark, basePath, from = consumed, to = to, key),
+      liveWithin(basePath, to))
+  }
+
+  /** The manifests of `set` that still contribute files after in-set
+    * supersedes resolution — the NAMES twin of [[filesAsOf]]'s file
+    * resolution (same present/missing/tombstone rules, same loud
+    * vacuum-horizon failure).
+    */
+  private def liveWithin(basePath: String, set: Seq[String]): Seq[String] = {
+    val fs = new Path(basePath).getFileSystem(new Configuration())
+    val mdir = new Path(basePath, ManifestDir)
+    val present = set.distinct.filter(n => fs.exists(new Path(mdir, n)))
+    val superseded = present.flatMap(n =>
+      readLines(fs, new Path(mdir, n))
+        .filter(_.startsWith(SupersedesPrefix))
+        .map(_.stripPrefix(SupersedesPrefix).trim)).toSet
+    present.filterNot(superseded).sorted
   }
 
   /** Durably mark manifests consumed: rewrite the cursor with the union of
-    * old and new names via tmp-then-rename, so a torn write can't corrupt
-    * it (a lost rename surfaces as an exception, and an unadvanced cursor
-    * only replays — never skips — data).
+    * old and new names ([[replaceCursor]] mechanics). The commit readers'
+    * progress primitive.
     */
-  def advanceCursor(cursorPath: String, manifests: Seq[String]): Unit = {
-    if (manifests.nonEmpty) {
-      val p = new Path(cursorPath)
-      val fs = p.getFileSystem(new Configuration())
-      val all = (consumedManifests(cursorPath) ++ manifests).toSeq.sorted
-      val tmp = new Path(p.getParent, s".${p.getName}.tmp")
-      val out = fs.create(tmp, true)
-      try all.foreach(n => out.write((n + "\n").getBytes("UTF-8")))
-      finally out.close()
-      // Hadoop rename refuses an existing destination: drop the old cursor
-      // first. A crash inside this window loses only PROGRESS, not data —
-      // the next read replays every manifest (at-least-once), it never
-      // skips one.
-      if (fs.exists(p)) fs.delete(p, false)
-      if (!fs.rename(tmp, p))
-        throw new java.io.IOException(
-          s"WeatherLakeV2Sink: failed to advance manifest cursor $p")
-    }
+  def advanceCursor(cursorPath: String, manifests: Seq[String]): Unit =
+    if (manifests.nonEmpty)
+      replaceCursor(cursorPath,
+        (consumedManifests(cursorPath) ++ manifests).toSeq.sorted)
+
+  /** Durably REPLACE the cursor's manifest set via tmp-then-rename, so a
+    * torn write can't corrupt it (a lost rename surfaces as an exception,
+    * and an unreplaced cursor only replays — never skips — data). The
+    * change-feed's progress primitive: [[readNewChanges]] returns the new
+    * view-set, which REPLACES the old one rather than accumulating, so
+    * the cursor stays O(live manifests) and never pins vacuumable names.
+    */
+  def replaceCursor(cursorPath: String, manifests: Seq[String]): Unit = {
+    val p = new Path(cursorPath)
+    val fs = p.getFileSystem(new Configuration())
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try manifests.sorted.foreach(n => out.write((n + "\n").getBytes("UTF-8")))
+    finally out.close()
+    // Hadoop rename refuses an existing destination: drop the old cursor
+    // first. A crash inside this window loses only PROGRESS, not data.
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(
+        s"WeatherLakeV2Sink: failed to advance manifest cursor $p")
   }
 
   // -----------------------------------------------------------------

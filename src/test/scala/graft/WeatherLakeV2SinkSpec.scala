@@ -942,9 +942,9 @@ class WeatherLakeV2SinkSpec extends SparkSpec {
     // bootstrap: a fresh cursor classifies the whole table as inserts
     val (c0, f0) = feed()
     assert(c0 == Set(("insert", 1L), ("insert", 2L), ("insert", 3L)))
-    WeatherLakeV2Sink.advanceCursor(cursor, f0)
-    // steady state: nothing new
-    assert(feed() == (Set.empty, Seq.empty))
+    WeatherLakeV2Sink.replaceCursor(cursor, f0)
+    // steady state: nothing new, and the view-set is stable
+    assert(feed() == (Set.empty, f0))
     // merge (update k2, insert k9) THEN delete (k3) before the next
     // read: the feed nets both commits; k1 shared k2's file and was
     // rewritten, but a survivor rewrite is NOT a change — the contrast
@@ -956,7 +956,15 @@ class WeatherLakeV2SinkSpec extends SparkSpec {
     val (c2, f2) = feed()
     assert(c2 == Set(("update_preimage", 2L), ("update_postimage", 2L),
       ("insert", 9L), ("delete", 3L)), c2.toString)
-    WeatherLakeV2Sink.advanceCursor(cursor, f2)
+    // the returned cursor state is the LIVE resolution, not the raw
+    // history — it never pins the vacuumable intermediates
+    assert(f2 == WeatherLakeV2Sink.liveManifests(lake).sorted)
+    WeatherLakeV2Sink.replaceCursor(cursor, f2)
+    // a caught-up consumer SURVIVES routine vacuum: the superseded
+    // intermediates (appends, the merge) are reclaimed, the feed
+    // still resolves
+    WeatherLakeV2Sink.vacuum(lake)
+    assert(feed() == (Set.empty, f2))
     // an append plus a compaction: the layout change nets to ZERO row
     // changes — only the genuinely new row surfaces
     payload(Seq(("a", 4L, 40L))).coalesce(1)
@@ -965,7 +973,8 @@ class WeatherLakeV2SinkSpec extends SparkSpec {
     val (c3, f3) = feed()
     assert(c3 == Set(("insert", 4L)),
       s"a compaction must net to zero row changes: $c3")
-    assert(f3.size >= 2, "both the append and the compact manifest consume")
+    WeatherLakeV2Sink.replaceCursor(cursor, f3)
+    assert(feed() == (Set.empty, f3))
   }
 
   test("changesBetween: the change feed classifies insert/delete/update " +
