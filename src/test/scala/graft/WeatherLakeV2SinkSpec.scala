@@ -1094,6 +1094,71 @@ class WeatherLakeV2SinkSpec extends SparkSpec {
       "skipping must stay sharp after a stats-refreshing merge")
   }
 
+  test("two-field Morton clustering: compact(clusterExpr = graft_zorder) " +
+      "tightens BOTH fields' per-file ranges for two-axis skipping") {
+    import graft.sources.WeatherLakeV2Sink
+    import graft.sources.WeatherLakeV2Sink.FieldStats
+    val lake = Files.createTempDirectory("lakev2zorder2").toString
+    val s = spark
+    import s.implicits._
+    // a 16x16 (x, y) grid scattered across 4 interleaved batches: every
+    // file spans both full domains, so neither an x- nor a y-range
+    // predicate can skip anything
+    val grid = for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y)
+    // scatter so every batch file spans BOTH full domains (a plain
+    // index%4 correlates with y and accidentally tightens it)
+    grid.groupBy { case (x, y) => (3 * x + 5 * y) % 4 }.values.foreach { chunk =>
+      chunk.toSeq.toDF("x", "y").select(lit("a").as("city"),
+          lit("2024-01-01").as("ds"), lit("00").as("hour"),
+          to_json(struct(col("x"), col("y"))).as("raw_json"))
+        .coalesce(1)
+        .write.format("graft.sources.WeatherLakeV2Sink")
+        .option("statsFields", "x,y")
+        .mode("append").save(lake)
+    }
+    def kept(field: String, hi: String): Int =
+      WeatherLakeV2Sink.committedFilesPrunedByStats(lake)(
+        (st: Map[String, FieldStats]) =>
+          st.get(field).forall(_.overlaps(None, Some(hi)))).size
+    val total = WeatherLakeV2Sink.committedFiles(lake).size
+    assert(total == 4 && kept("x", "3") == 4 && kept("y", "3") == 4,
+      "the interleaved layout must defeat skipping on both axes")
+    // recluster by the Morton interleave of (x, y): rolling the z-order
+    // sorted stream gives files that are tight on BOTH axes at once —
+    // the property a single-field sort cannot provide
+    val n = WeatherLakeV2Sink.compact(spark, lake, targetBytes = 256,
+      clusterExpr = Some(df => graft.functions.ZOrderEncode(s,
+        get_json_object(df("value"), "$.x").cast("long"),
+        get_json_object(df("value"), "$.y").cast("long"))),
+      statsFields = Seq("x", "y"))
+    assert(n == 1)
+    val after = WeatherLakeV2Sink.committedFiles(lake).size
+    assert(after >= 4, s"rolling must split the z-ordered stream: $after")
+    // z-order's trade: EACH axis skips some files (a single-field sort
+    // perfects one axis and leaves the other at 100%), and the corner
+    // CONJUNCTION (x<=1 AND y<=1) touches a strict minority — the
+    // two-axis selectivity that justifies Morton over linear clustering
+    assert(kept("x", "3") < after,
+      s"x-range skipping must engage: ${kept("x", "3")} of $after")
+    assert(kept("y", "3") < after,
+      s"y-range skipping must engage: ${kept("y", "3")} of $after")
+    val keptCorner = WeatherLakeV2Sink.committedFilesPrunedByStats(lake)(st =>
+      st.get("x").forall(_.overlaps(None, Some("3"))) &&
+        st.get("y").forall(_.overlaps(None, Some("3")))).size
+    assert(keptCorner * 2 < after,
+      s"the corner query must touch a strict minority: $keptCorner of $after")
+    // row parity under the corner predicate
+    val corner = WeatherLakeV2Sink.readCommittedStatsPruned(spark, lake)(st =>
+        st.get("x").forall(_.overlaps(None, Some("3"))) &&
+          st.get("y").forall(_.overlaps(None, Some("3"))))
+      .select(get_json_object(col("value"), "$.x").cast("long").as("x"),
+        get_json_object(col("value"), "$.y").cast("long").as("y"))
+      .filter(col("x") <= 3 && col("y") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(corner ==
+      (for (x <- 0L to 3L; y <- 0L to 3L) yield (x, y)).toSet)
+  }
+
   test("maintenance joins key on the full path: same-named files in " +
       "different directories never cross-contaminate (regression)") {
     import graft.sources.WeatherLakeV2Sink
