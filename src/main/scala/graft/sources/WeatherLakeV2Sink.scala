@@ -147,6 +147,21 @@ object WeatherLakeV2Sink {
     */
   val SupersedesPrefix = "#supersedes "
 
+  /** Directive line pointing at a CHANGE-LOG file of this commit (written
+    * by merge/delete/update under the `changeLog = true` option): each
+    * change file holds `<change>\t<raw line>` rows classifying the
+    * commit's row-level effect. Directives are invisible to every DATA
+    * reader (the `#` rule above) and atomic with the commit — the
+    * manifest rename publishes data and changes together, which is what
+    * lets a CDF stream trust them (the Delta change-file design).
+    */
+  val ChangesPrefix = "#changes "
+
+  /** The change-log file paths a manifest's lines reference. */
+  def changePaths(lines: Seq[String]): Seq[String] =
+    lines.filter(_.startsWith(ChangesPrefix))
+      .map(_.stripPrefix(ChangesPrefix).trim)
+
   /** A manifest data line is `path` or `path<TAB>statsJson` — the stats
     * payload is per-file column min/max collected at write time (opt in
     * via the `statsFields` write option), the Delta/Iceberg
@@ -961,6 +976,24 @@ object WeatherLakeV2Sink {
       .collect().toSeq
   }
 
+  /** Write a commit's classified change rows — a (change, value) frame —
+    * as rolled files under `_changes/` and return their manifest
+    * DIRECTIVE lines ([[ChangesPrefix]]). The directives publish in the
+    * SAME manifest rename as the commit's data, so a CDF reader can
+    * never see one without the other. Line format `<change>\t<value>`:
+    * Jackson escapes control characters inside JSON strings, so the
+    * first tab is unambiguous (the same argument as stats entries).
+    */
+  private def writeChangeLog(rows: org.apache.spark.sql.DataFrame,
+      op: String, basePath: String, targetBytes: Long): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val routed = rows.select(
+      lit(new Path(basePath, "_changes").toString).as("dir"),
+      concat(col("change"), lit("\t"), col("value")).as("value"))
+    writeRolled(routed, s"changes-$op", basePath, targetBytes)
+      .map(l => s"$ChangesPrefix${entryPath(l)}")
+  }
+
   /** Committed files re-framed to the write [[Schema]], shared by the
     * copy-on-write row-level operations ([[mergeCommitted]],
     * [[deleteCommitted]]): each line rides with its source `file`, its
@@ -1057,7 +1090,8 @@ object WeatherLakeV2Sink {
       basePath: String, batch: org.apache.spark.sql.DataFrame,
       key: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Column,
       targetBytes: Long = 128L * 1024 * 1024,
-      statsFields: Seq[String] = Nil): MergeStats =
+      statsFields: Seq[String] = Nil,
+      changeLog: Boolean = false): MergeStats =
     withMaintenanceLock(basePath, "merge") {
       import org.apache.spark.sql.functions.{col, lit}
       require(targetBytes > 0, "targetBytes must be positive")
@@ -1117,9 +1151,42 @@ object WeatherLakeV2Sink {
         }
       val newFiles = writeRolled(rewrite, "merge", basePath, targetBytes,
         statsFields = statsFields)
+      val changeLines =
+        if (!changeLog) Seq.empty
+        else {
+          import org.apache.spark.sql.functions.{array, explode, lit, struct, when}
+          // classification mirrors changesBetween: a batch key with no
+          // committed row is an insert; a differing line is a pre+post
+          // pair; a batch row identical to the committed one is NOT a
+          // change (the q89 doc_id-0 rule)
+          val changes =
+            if (touched.isEmpty)
+              batch.select(lit("insert").as("change"),
+                col("raw_json").as("value"))
+            else {
+              val tf2 = framedLines(spark, basePath, touched)
+              val oldKeyed = tf2.withColumn("__key", key(tf2))
+                .select(col("__key"), col("value").as("__old"))
+              val newKeyed = batch.select(key(batch).as("__key"),
+                col("raw_json").as("__new"))
+              oldKeyed.join(newKeyed, Seq("__key"), "right_outer")
+                .select(explode(
+                  when(col("__old").isNull, array(
+                    struct(lit("insert").as("change"), col("__new").as("value"))))
+                  .when(!(col("__old") <=> col("__new")), array(
+                    struct(lit("update_preimage").as("change"),
+                      col("__old").as("value")),
+                    struct(lit("update_postimage").as("change"),
+                      col("__new").as("value"))))
+                  .otherwise(array())).as("c"))
+                .select(col("c.change").as("change"), col("c.value").as("value"))
+            }
+          writeChangeLog(changes, "merge", basePath, targetBytes)
+        }
       // 4. one superseding manifest: old view or new view, never a mix
       writeManifest(basePath, s"merge-${UUID.randomUUID().toString}",
-        snapshotNames.map(n => s"$SupersedesPrefix$n") ++ untouched ++ newFiles)
+        snapshotNames.map(n => s"$SupersedesPrefix$n") ++ untouched ++
+          newFiles ++ changeLines)
       MergeStats(touched.size, newFiles.size)
     }
 
@@ -1182,7 +1249,8 @@ object WeatherLakeV2Sink {
       prune: (Map[String, String], Map[String, FieldStats]) => Boolean =
         (_, _) => true,
       targetBytes: Long = 128L * 1024 * 1024,
-      statsFields: Seq[String] = Nil): DeleteStats =
+      statsFields: Seq[String] = Nil,
+      changeLog: Boolean = false): DeleteStats =
     withMaintenanceLock(basePath, "delete") {
       import org.apache.spark.sql.functions.{coalesce, col, count, lit, not}
       require(targetBytes > 0, "targetBytes must be positive")
@@ -1219,9 +1287,16 @@ object WeatherLakeV2Sink {
             .select(col("dir"), col("value"))
           val newFiles = writeRolled(survivors, "delete", basePath,
             targetBytes, statsFields = statsFields)
+          val changeLines =
+            if (!changeLog) Seq.empty
+            else writeChangeLog(tf.filter(hit(tf)).select(
+                org.apache.spark.sql.functions.lit("delete").as("change"),
+                col("value")),
+              "delete", basePath, targetBytes)
           // 4. one superseding manifest: old view or new view, never a mix
           writeManifest(basePath, s"delete-${UUID.randomUUID().toString}",
-            snapshotNames.map(n => s"$SupersedesPrefix$n") ++ untouched ++ newFiles)
+            snapshotNames.map(n => s"$SupersedesPrefix$n") ++ untouched ++
+              newFiles ++ changeLines)
           DeleteStats(touched.size, newFiles.size, deletedRows)
         }
       }
@@ -1324,7 +1399,8 @@ object WeatherLakeV2Sink {
       prune: (Map[String, String], Map[String, FieldStats]) => Boolean =
         (_, _) => true,
       targetBytes: Long = 128L * 1024 * 1024,
-      statsFields: Seq[String] = Nil): UpdateStats =
+      statsFields: Seq[String] = Nil,
+      changeLog: Boolean = false): UpdateStats =
     withMaintenanceLock(basePath, "update") {
       import org.apache.spark.sql.functions.{coalesce, col, count, lit, when}
       require(targetBytes > 0, "targetBytes must be positive")
@@ -1355,8 +1431,25 @@ object WeatherLakeV2Sink {
             when(hit(tf), transform(tf)).otherwise(col("value")).as("value"))
           val newFiles = writeRolled(rewrite, "update", basePath,
             targetBytes, statsFields = statsFields)
+          val changeLines =
+            if (!changeLog) Seq.empty
+            else {
+              import org.apache.spark.sql.functions.{lit, not => fnot}
+              // no-op transforms (new line == old line) are NOT changes,
+              // the same suppression rule as changesBetween
+              val tWith = tf.withColumn("__new", transform(tf))
+              val changed = tWith.filter(hit(tWith) &&
+                fnot(col("__new") <=> col("value")))
+              writeChangeLog(
+                changed.select(lit("update_preimage").as("change"), col("value"))
+                  .unionByName(changed.select(
+                    lit("update_postimage").as("change"),
+                    col("__new").as("value"))),
+                "update", basePath, targetBytes)
+            }
           writeManifest(basePath, s"update-${UUID.randomUUID().toString}",
-            snapshotNames.map(n => s"$SupersedesPrefix$n") ++ untouched ++ newFiles)
+            snapshotNames.map(n => s"$SupersedesPrefix$n") ++ untouched ++
+              newFiles ++ changeLines)
           UpdateStats(touched.size, newFiles.size, updatedRows)
         }
       }
@@ -1509,12 +1602,18 @@ object WeatherLakeV2Sink {
     val liveFiles = committedFiles(basePath).toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
     val superseded = manifestNames(basePath).filterNot(live.toSet)
+    // live manifests' CHANGE-LOG files are protected like live data (a
+    // CDF stream that hasn't consumed the manifest still needs them);
+    // superseded manifests' change files are reclaimable with their data
+    val liveChanges = live.flatMap(n =>
+      changePaths(readLines(fs, new Path(mdir, n)))).toSet
     var removed = 0
     superseded.foreach { n =>
-      val present = readLines(fs, new Path(mdir, n))
+      val lines = readLines(fs, new Path(mdir, n))
+      val present = (lines
         .filter(l => l.nonEmpty && !l.startsWith("#"))
-        .map(entryPath)
-        .filterNot(liveFiles)
+        .map(entryPath) ++ changePaths(lines))
+        .filterNot(f => liveFiles(f) || liveChanges(f))
         .map(new Path(_))
         .filter(fs.exists)
       val (old, young) =
@@ -1554,8 +1653,13 @@ object WeatherLakeV2Sink {
     val mdir = new Path(basePath, ManifestDir)
     val referenced = manifestNames(basePath)
       .flatMap(n => readLines(fs, new Path(mdir, n)))
-      .filter(l => l.nonEmpty && !l.startsWith("#"))
-      .map(l => new Path(entryPath(l)).toUri.getPath)
+      .flatMap(l =>
+        // data entry lines AND #changes directives both pin their files
+        // (a live manifest's change log is not an orphan)
+        if (l.startsWith(ChangesPrefix)) changePaths(Seq(l))
+        else if (l.nonEmpty && !l.startsWith("#")) Seq(entryPath(l))
+        else Seq.empty)
+      .map(l => new Path(l).toUri.getPath)
       .toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
     def walk(dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =

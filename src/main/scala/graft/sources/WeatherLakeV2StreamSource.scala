@@ -51,7 +51,9 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class WeatherLakeV2StreamSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    WeatherLakeV2StreamSource.Schema
+    if (options.getBoolean("readChangeFeed", false))
+      WeatherLakeV2StreamSource.CdcSchema
+    else WeatherLakeV2StreamSource.Schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
@@ -59,7 +61,9 @@ class WeatherLakeV2StreamSource extends TableProvider {
     if (path == null || path.trim.isEmpty) throw new IllegalArgumentException(
       "WeatherLakeV2StreamSource: required option 'path' is missing " +
         "(use .load(<path>))")
-    new WeatherLakeV2StreamSource.LakeStreamTable(path)
+    new WeatherLakeV2StreamSource.LakeStreamTable(path,
+      cdc = java.lang.Boolean.parseBoolean(
+        Option(properties.get("readChangeFeed")).getOrElse("false")))
   }
 }
 
@@ -67,6 +71,20 @@ object WeatherLakeV2StreamSource {
   /** One raw lake line per row, like `readCommitted`. */
   val Schema: StructType =
     StructType(Seq(StructField("value", StringType, nullable = false)))
+
+  /** The `readChangeFeed` row shape: insert / delete / update_preimage /
+    * update_postimage plus the raw line (matching `changesBetween`), and
+    * the originating commit's identity — `commit` (manifest name) and
+    * `commit_ts` (its publish mtime, millis). One micro-batch may carry
+    * SEVERAL commits' deltas; a consumer applying per-key state orders
+    * by (commit_ts, commit), the Delta `_commit_version` role.
+    */
+  val CdcSchema: StructType = StructType(Seq(
+    StructField("change", StringType, nullable = false),
+    StructField("value", StringType, nullable = false),
+    StructField("commit", StringType, nullable = false),
+    StructField("commit_ts", org.apache.spark.sql.types.LongType,
+      nullable = false)))
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -86,16 +104,17 @@ object WeatherLakeV2StreamSource {
     LakeOffset(names.result())
   }
 
-  class LakeStreamTable(path: String) extends Table with SupportsRead {
+  class LakeStreamTable(path: String, cdc: Boolean = false)
+      extends Table with SupportsRead {
     override def name(): String = s"weather_lake_stream($path)"
-    override def schema(): StructType = Schema
+    override def schema(): StructType = if (cdc) CdcSchema else Schema
     override def capabilities(): util.Set[TableCapability] =
       util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
         TableCapability.BATCH_READ)
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
       new ScanBuilder with Scan {
         override def build(): Scan = this
-        override def readSchema(): StructType = Schema
+        override def readSchema(): StructType = if (cdc) CdcSchema else Schema
         // batch face: the manifest-gated committed view resolved at
         // PLANNING time (one task per committed file) — a job that dies
         // mid-commit stays invisible here exactly as in readCommitted.
@@ -108,6 +127,9 @@ object WeatherLakeV2StreamSource {
         // Both honor supersedes within the pinned set and fail loudly
         // past the vacuum horizon, exactly like readAsOf.
         override def toBatch: Batch = new Batch {
+          if (cdc) throw new IllegalArgumentException(
+            "readChangeFeed is a STREAMING read option; batch CDF is " +
+              "changesBetween (two snapshots) or readNewChanges (a cursor)")
           private val files = {
             val asOf = Option(options.get("asOfManifests"))
               .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
@@ -140,7 +162,7 @@ object WeatherLakeV2StreamSource {
               s"maxManifestsPerTrigger must be a positive integer, got $n")
             n
           }
-          new LakeMicroBatchStream(path, cap)
+          new LakeMicroBatchStream(path, cap, cdc)
         }
       }
   }
@@ -162,31 +184,45 @@ object WeatherLakeV2StreamSource {
     * batch published between planning and execution.
     */
   class LakeMicroBatchStream(path: String,
-      maxManifestsPerTrigger: Option[Int] = None)
+      maxManifestsPerTrigger: Option[Int] = None,
+      cdc: Boolean = false)
       extends MicroBatchStream with SupportsTriggerAvailableNow {
     override def initialOffset(): Offset = LakeOffset(Set.empty)
 
     // fixed at query start under AvailableNow: the drain target
     @volatile private var availableNowTarget: Option[Set[String]] = None
 
+    /** The stream's progress axis. Plain reads follow the LIVE set
+      * (superseded manifests never enter an offset, so a fresh stream
+      * over a compacted lake reads each row once). The CHANGE FEED
+      * follows EVERY manifest — the commit log: an append superseded by
+      * a compaction before the stream saw it must still deliver its
+      * inserts (the compact commit itself contributes nothing), exactly
+      * Delta's version-ordered CDC axis. Its data files survive until
+      * vacuum; size vacuum's age guard above the stream lag.
+      */
+    private def targetSet: Set[String] =
+      if (cdc) WeatherLakeV2Sink.manifestNames(path).toSet
+      else WeatherLakeV2Sink.liveManifests(path).toSet
+
     override def prepareForTriggerAvailableNow(): Unit =
-      availableNowTarget = Some(WeatherLakeV2Sink.liveManifests(path).toSet)
+      availableNowTarget = Some(targetSet)
 
     override def getDefaultReadLimit: ReadLimit =
       maxManifestsPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
 
-    // the current LIVE set: superseded manifests never enter an offset,
-    // so a fresh stream over a compacted lake reads each row once
-    override def latestOffset(): Offset =
-      LakeOffset(WeatherLakeV2Sink.liveManifests(path).toSet)
+    override def latestOffset(): Offset = LakeOffset(targetSet)
 
     override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
       val consumed = start.asInstanceOf[LakeOffset].consumed
-      val target = availableNowTarget
-        .getOrElse(WeatherLakeV2Sink.liveManifests(path).toSet)
-      // sorted so a capped drain admits manifests in a stable order —
-      // batch boundaries are then reproducible across restarts
-      val fresh = (target -- consumed).toSeq.sorted
+      val target = availableNowTarget.getOrElse(targetSet)
+      // stable admission order so a capped drain's batch boundaries
+      // reproduce across restarts: by name for plain reads; the change
+      // feed admits in COMMIT order (publish mtime, name tiebreak) so
+      // deltas never apply ahead of earlier commits they depend on
+      val fresh =
+        if (cdc) commitOrdered((target -- consumed).toSeq).map(_._1)
+        else (target -- consumed).toSeq.sorted
       val admitted = limit match {
         case f: ReadMaxFiles => fresh.take(f.maxFiles())
         case _: ReadAllAvailable => fresh
@@ -194,6 +230,18 @@ object WeatherLakeV2StreamSource {
           s"WeatherLakeV2StreamSource: unsupported read limit $other")
       }
       LakeOffset(consumed ++ admitted)
+    }
+
+    /** (name, publish mtime) in commit order; a name vacuum reclaimed
+      * mid-plan fails loudly below, not here.
+      */
+    private def commitOrdered(names: Seq[String]): Seq[(String, Long)] = {
+      val fs = new Path(path).getFileSystem(new Configuration())
+      val mdir = new Path(path, WeatherLakeV2Sink.ManifestDir)
+      names.map { n =>
+        val p = new Path(mdir, n)
+        (n, if (fs.exists(p)) fs.getFileStatus(p).getModificationTime else 0L)
+      }.sortBy { case (n, ts) => (ts, n) }
     }
 
     override def deserializeOffset(json: String): Offset = offsetFromJson(json)
@@ -204,6 +252,10 @@ object WeatherLakeV2StreamSource {
       val fs = new Path(path).getFileSystem(new Configuration())
       val mdir = new Path(path, WeatherLakeV2Sink.ManifestDir)
       fresh.toSeq.sorted.flatMap { n =>
+        val commitTs = {
+          val p = new Path(mdir, n)
+          if (fs.exists(p)) fs.getFileStatus(p).getModificationTime else 0L
+        }
         val p = new Path(mdir, n)
         // a manifest in the batch window that vacuum reclaimed mid-plan
         // would silently lose data — surface it loudly instead
@@ -214,19 +266,86 @@ object WeatherLakeV2StreamSource {
         val lines =
           try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
           finally in.close()
-        lines.filter(l => l.nonEmpty && !l.startsWith("#"))
-          .map(l => LakeFilePartition(WeatherLakeV2Sink.entryPath(l)))
+        val dataFiles = lines.filter(l => l.nonEmpty && !l.startsWith("#"))
+          .map(WeatherLakeV2Sink.entryPath)
+        if (!cdc) dataFiles.map(LakeFilePartition(_): InputPartition)
+        else {
+          // CHANGE-FEED routing, by the manifest's role in the format:
+          //  - layout-only maintenance (compact/checkpoint re-list the
+          //    same rows under new paths) contributes NO changes;
+          //  - row-level maintenance ships its classified change log
+          //    (#changes directives, atomic with the commit) — without
+          //    one the delta is unrecoverable from the manifest alone,
+          //    so fail loudly rather than replay re-listed survivors as
+          //    phantom inserts;
+          //  - anything else is an append: its data files ARE the
+          //    inserts.
+          val changes = WeatherLakeV2Sink.changePaths(lines)
+          val layoutOnly = n.startsWith("manifest-compact-") ||
+            n.startsWith("manifest-checkpoint-")
+          val rowLevel = n.startsWith("manifest-merge-") ||
+            n.startsWith("manifest-delete-") || n.startsWith("manifest-update-")
+          if (layoutOnly) Seq.empty
+          else if (changes.nonEmpty)
+            changes.map(LakeCdcFilePartition(_, insertData = false,
+              commit = n, commitTs = commitTs): InputPartition)
+          else if (rowLevel) throw new IllegalStateException(
+            s"WeatherLakeV2StreamSource: $n is a row-level maintenance " +
+              "commit without a change log — run the operation with " +
+              "changeLog = true, or consume readNewChanges instead")
+          else dataFiles.map(
+            LakeCdcFilePartition(_, insertData = true,
+              commit = n, commitTs = commitTs): InputPartition)
+        }
       }.toArray
     }
 
     override def createReaderFactory(): PartitionReaderFactory =
-      new LakeFileReaderFactory
+      if (cdc) new LakeCdcFileReaderFactory else new LakeFileReaderFactory
 
     override def commit(end: Offset): Unit = ()
     override def stop(): Unit = ()
   }
 
   final case class LakeFilePartition(file: String) extends InputPartition
+
+  /** A change-feed task: one file, emitted as (change, value, commit,
+    * commit_ts) rows. `insertData = true` reads a plain DATA file of an
+    * append commit (every line is an insert); false reads a `_changes/`
+    * log file (lines are `<change>\t<raw line>`).
+    */
+  final case class LakeCdcFilePartition(file: String, insertData: Boolean,
+      commit: String, commitTs: Long) extends InputPartition
+
+  class LakeCdcFileReaderFactory extends PartitionReaderFactory {
+    override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+      val p = partition.asInstanceOf[LakeCdcFilePartition]
+      new PartitionReader[InternalRow] {
+        private val fs = new Path(p.file).getFileSystem(new Configuration())
+        private val reader = new java.io.BufferedReader(
+          new java.io.InputStreamReader(fs.open(new Path(p.file)), "UTF-8"))
+        private val commit = UTF8String.fromString(p.commit)
+        private var line: String = _
+        override def next(): Boolean = {
+          line = reader.readLine()
+          line != null
+        }
+        override def get(): InternalRow =
+          if (p.insertData)
+            InternalRow(UTF8String.fromString("insert"),
+              UTF8String.fromString(line), commit, p.commitTs)
+          else {
+            val i = line.indexOf('\t')
+            if (i < 0) throw new IllegalStateException(
+              s"WeatherLakeV2StreamSource: malformed change-log line in " +
+                s"${p.file}: '$line'")
+            InternalRow(UTF8String.fromString(line.take(i)),
+              UTF8String.fromString(line.drop(i + 1)), commit, p.commitTs)
+          }
+        override def close(): Unit = reader.close()
+      }
+    }
+  }
 
   class LakeFileReaderFactory extends PartitionReaderFactory {
     override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {

@@ -917,6 +917,76 @@ class WeatherLakeV2SinkSpec extends SparkSpec {
     assert(WeatherLakeV2Sink.manifestNames(lake).size == manifests)
   }
 
+  test("changeLog = true: row-level ops publish classified change logs " +
+      "atomically; GC protects live logs and reclaims superseded ones") {
+    import graft.sources.WeatherLakeV2Sink
+    val lake = Files.createTempDirectory("lakev2chlog").toString
+    val s = spark
+    import s.implicits._
+    def payload(rows: Seq[(String, Long, Long)]): DataFrame =
+      rows.toDF("city", "k", "v").select(col("city"),
+        lit("2024-01-01").as("ds"), lit("00").as("hour"),
+        to_json(struct(col("k"), col("v"))).as("raw_json"))
+    val keyFn = (f: DataFrame) => get_json_object(f("raw_json"), "$.k")
+    payload(Seq(("a", 1L, 10L), ("a", 2L, 20L), ("b", 3L, 30L)))
+      .write.format("graft.sources.WeatherLakeV2Sink").mode("append").save(lake)
+    def changesOf(manifestPrefix: String): Set[(String, Long, Long)] = {
+      val fs = new org.apache.hadoop.fs.Path(lake)
+        .getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val mdir = s"$lake/${WeatherLakeV2Sink.ManifestDir}"
+      val names = new java.io.File(mdir).list().toSeq
+        .filter(_.startsWith(manifestPrefix))
+      assert(names.size == 1, s"$manifestPrefix: $names")
+      val lines = scala.io.Source.fromFile(s"$mdir/${names.head}").getLines().toSeq
+      val files = WeatherLakeV2Sink.changePaths(lines)
+      assert(files.nonEmpty, s"$manifestPrefix must carry #changes: $lines")
+      // parse without a Spark round-trip: split + a small regex
+      spark.read.text(files: _*).collect().map(_.getString(0)).map { l =>
+        val i = l.indexOf('\t')
+        val json = l.drop(i + 1)
+        def fld(f: String): Long =
+          raw""""$f":(-?\d+)""".r.findFirstMatchIn(json).map(_.group(1).toLong)
+            .getOrElse(Long.MinValue)
+        (l.take(i), fld("k"), fld("v"))
+      }.toSet
+    }
+    // merge with a change log: update k2 (differing), re-assert k1 with
+    // the IDENTICAL value (suppressed), insert k9
+    WeatherLakeV2Sink.mergeCommitted(spark, lake,
+      payload(Seq(("a", 1L, 10L), ("a", 2L, 999L), ("c", 9L, 90L))), keyFn,
+      changeLog = true)
+    assert(changesOf("manifest-merge-") == Set(
+      ("update_preimage", 2L, 20L), ("update_postimage", 2L, 999L),
+      ("insert", 9L, 90L)))
+    // update with a change log: k%3==0 -> v=k*100; k9 matches and
+    // changes, k3 matches and changes; suppressions covered above
+    WeatherLakeV2Sink.updateCommitted(spark, lake,
+      predicate = f => get_json_object(f("raw_json"), "$.k").cast("long") % 3 === 0,
+      transform = f => to_json(struct(
+        get_json_object(f("raw_json"), "$.k").cast("long").as("k"),
+        (get_json_object(f("raw_json"), "$.k").cast("long") * 100).as("v"))),
+      changeLog = true)
+    assert(changesOf("manifest-update-") == Set(
+      ("update_preimage", 3L, 30L), ("update_postimage", 3L, 300L),
+      ("update_preimage", 9L, 90L), ("update_postimage", 9L, 900L)))
+    // delete with a change log
+    WeatherLakeV2Sink.deleteCommitted(spark, lake,
+      f => get_json_object(f("raw_json"), "$.k").cast("long") === 1,
+      changeLog = true)
+    assert(changesOf("manifest-delete-") == Set(("delete", 1L, 10L)))
+    // GC: live change logs are neither orphans nor vacuum victims...
+    Thread.sleep(10)
+    WeatherLakeV2Sink.sweepOrphans(lake, minAgeMs = 1)
+    WeatherLakeV2Sink.vacuum(lake)
+    assert(changesOf("manifest-delete-") == Set(("delete", 1L, 10L)),
+      "the LIVE commit's change log must survive GC")
+    // ...but a superseded commit's change log is reclaimed with its data
+    val mergeLogs = new java.io.File(s"$lake/_changes").list()
+      .count(_.startsWith("part-changes-merge-"))
+    assert(mergeLogs == 0,
+      "superseded change logs must be vacuumed with their commit")
+  }
+
   test("readNewChanges: net row deltas since the cursor — no survivor " +
       "replay, maintenance commits net to zero") {
     import graft.sources.WeatherLakeV2Sink

@@ -92,6 +92,82 @@ class WeatherLakeV2StreamSourceSpec extends SparkSpec {
     assert(rows("lake_streamc_t3").size == 4)
   }
 
+  test("readChangeFeed: the lake streams row-level deltas — appends as " +
+      "inserts, logged maintenance as classified changes, layout-only " +
+      "commits as nothing; un-logged maintenance fails loudly") {
+    import graft.sources.WeatherLakeV2Sink
+    val base = Files.createTempDirectory("lakecdcstream").toString
+    val lake = s"$base/lake"; val ckpt = s"$base/ckpt"
+    val s = spark
+    import s.implicits._
+    def payload(rows: Seq[(String, Long, Long)]): DataFrame =
+      rows.toDF("city", "k", "v").select(col("city"),
+        lit("2024-01-01").as("ds"), lit("00").as("hour"),
+        to_json(struct(col("k"), col("v"))).as("raw_json"))
+    val keyFn = (f: DataFrame) => get_json_object(f("raw_json"), "$.k")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    def drain(): Set[(String, Long, Long)] = {
+      val before = buf.size
+      val q = spark.readStream
+        .format("graft.sources.WeatherLakeV2StreamSource")
+        .option("readChangeFeed", "true")
+        .load(lake)
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.select(col("change"),
+              get_json_object(col("value"), "$.k").cast("long"),
+              get_json_object(col("value"), "$.v").cast("long"))
+            .collect().foreach(r => buf.synchronized {
+              buf += ((r.getString(0), r.getLong(1), r.getLong(2))) })
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      buf.synchronized(buf.drop(before).toSet)
+    }
+    payload(Seq(("a", 1L, 10L), ("a", 2L, 20L)))
+      .write.format("graft.sources.WeatherLakeV2Sink").mode("append").save(lake)
+    assert(drain() == Set(("insert", 1L, 10L), ("insert", 2L, 20L)))
+    // logged merge: classified changes flow, survivor rewrites don't
+    WeatherLakeV2Sink.mergeCommitted(spark, lake,
+      payload(Seq(("a", 2L, 999L), ("c", 9L, 90L))), keyFn, changeLog = true)
+    assert(drain() == Set(("update_preimage", 2L, 20L),
+      ("update_postimage", 2L, 999L), ("insert", 9L, 90L)))
+    // a compaction is layout-only: the stream sees NOTHING
+    payload(Seq(("a", 4L, 40L)))
+      .write.format("graft.sources.WeatherLakeV2Sink").mode("append").save(lake)
+    assert(WeatherLakeV2Sink.compact(spark, lake) >= 1)
+    assert(drain() == Set(("insert", 4L, 40L)),
+      "compaction must contribute no change rows")
+    // logged delete flows
+    WeatherLakeV2Sink.deleteCommitted(spark, lake,
+      f => get_json_object(f("raw_json"), "$.k").cast("long") === 1,
+      changeLog = true)
+    assert(drain() == Set(("delete", 1L, 10L)))
+    // an UN-logged row-level commit cannot be streamed — loud failure,
+    // not phantom re-inserts of re-listed survivors
+    WeatherLakeV2Sink.updateCommitted(spark, lake,
+      predicate = f => get_json_object(f("raw_json"), "$.k").cast("long") === 2,
+      transform = f => to_json(struct(
+        get_json_object(f("raw_json"), "$.k").cast("long").as("k"),
+        lit(0L).as("v"))))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+    assert(chain(e).exists(_.getMessage != null) &&
+      chain(e).exists(t => Option(t.getMessage).exists(
+        _.contains("without a change log"))), e.toString)
+    // and the batch face refuses the streaming-only option
+    intercept[Exception] {
+      spark.read.format("graft.sources.WeatherLakeV2StreamSource")
+        .option("readChangeFeed", "true").load(lake).collect()
+    }
+  }
+
   test("lake-to-lake streaming pipeline (bronze -> silver): incremental " +
       "flow on one checkpoint, exactly-once across a full pipeline replay") {
     import graft.sources.WeatherLakeV2Sink
