@@ -14,7 +14,8 @@ import graft.sources.WeatherLakeV2Sink
   * model, and a SHADOW consumer that sees only the incremental change
   * feed (readNewChanges + replaceCursor) must reconstruct the same
   * state. The layout-only ops (compact/checkpoint) must be invisible to
-  * both. This is the oracle the single-scenario specs can't give:
+  * both. Row-level ops run with changeLog = true, so the change-log
+  * write path and its GC interplay ride every random sequence too. This is the oracle the single-scenario specs can't give:
   * arbitrary interleavings, including the ones nobody thought to write.
   */
 class WeatherLakeModelSpec extends SparkSpec {
@@ -78,12 +79,13 @@ class WeatherLakeModelSpec extends SparkSpec {
               .map(k => (k, rng.between(0L, 1000L)))
             val rows = existing ++ freshRows(1)
             WeatherLakeV2Sink.mergeCommitted(spark, lake,
-              payload(rows), keyFn)
+              payload(rows), keyFn, changeLog = true)
             model ++= rows
           case 2 => // delete a residue class
             val r = rng.nextInt(4)
             WeatherLakeV2Sink.deleteCommitted(spark, lake,
-              f => get_json_object(f("raw_json"), "$.k").cast("long") % 4 === r)
+              f => get_json_object(f("raw_json"), "$.k").cast("long") % 4 === r,
+              changeLog = true)
             model = model.filter { case (k, _) => k % 4 != r }
           case 3 => // update a residue class to a key-derived value
             val r = rng.nextInt(3)
@@ -93,7 +95,8 @@ class WeatherLakeModelSpec extends SparkSpec {
               transform = f => to_json(struct(
                 get_json_object(f("raw_json"), "$.k").cast("long").as("k"),
                 (get_json_object(f("raw_json"), "$.k").cast("long") * 7 + r)
-                  .as("v"))))
+                  .as("v"))),
+              changeLog = true)
             model = model.map { case (k, v) =>
               k -> (if (k % 3 == r) k * 7 + r else v) }
           case 4 => WeatherLakeV2Sink.compact(spark, lake, targetBytes = 256)
