@@ -162,7 +162,14 @@ object WeatherLakeV2StreamSource {
               s"maxManifestsPerTrigger must be a positive integer, got $n")
             n
           }
-          new LakeMicroBatchStream(path, cap, cdc)
+          val startLatest = Option(options.get("startingAt"))
+            .getOrElse("earliest") match {
+              case "earliest" => false
+              case "latest" => true
+              case other => throw new IllegalArgumentException(
+                s"startingAt must be 'earliest' or 'latest', got '$other'")
+            }
+          new LakeMicroBatchStream(path, cap, cdc, startLatest)
         }
       }
   }
@@ -185,9 +192,17 @@ object WeatherLakeV2StreamSource {
     */
   class LakeMicroBatchStream(path: String,
       maxManifestsPerTrigger: Option[Int] = None,
-      cdc: Boolean = false)
+      cdc: Boolean = false,
+      startLatest: Boolean = false)
       extends MicroBatchStream with SupportsTriggerAvailableNow {
-    override def initialOffset(): Offset = LakeOffset(Set.empty)
+    /** `startingAt = latest` marks everything already committed as
+      * consumed at FIRST start (the Delta `startingVersion = latest`
+      * move — a change-feed consumer usually wants future commits, not
+      * a genesis replay). The engine checkpoints this offset, so
+      * restarts resume from it rather than re-evaluating "latest".
+      */
+    override def initialOffset(): Offset =
+      LakeOffset(if (startLatest) targetSet else Set.empty)
 
     // fixed at query start under AvailableNow: the drain target
     @volatile private var availableNowTarget: Option[Set[String]] = None

@@ -168,6 +168,54 @@ class WeatherLakeV2StreamSourceSpec extends SparkSpec {
     }
   }
 
+  test("startingAt = latest: history is skipped at first start, only " +
+      "future commits flow; invalid values fail fast") {
+    import graft.sources.WeatherLakeV2Sink
+    val base = Files.createTempDirectory("lakestartlatest").toString
+    val lake = s"$base/lake"; val ckpt = s"$base/ckpt"
+    val s = spark
+    import s.implicits._
+    sink(lake, "old", 2) // history that must NOT replay
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    def drain(): Set[(String, Long)] = {
+      val before = buf.size
+      val q = spark.readStream
+        .format("graft.sources.WeatherLakeV2StreamSource")
+        .option("readChangeFeed", "true")
+        .option("startingAt", "latest")
+        .load(lake)
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.select(col("change"),
+              get_json_object(col("value"), "$.k").cast("long"))
+            .collect().foreach(r => buf.synchronized {
+              buf += ((r.getString(0), if (r.isNullAt(1)) -1L else r.getLong(1))) })
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      buf.synchronized(buf.drop(before).toSet)
+    }
+    assert(drain() == Set.empty, "pre-start history must not replay")
+    // a post-start commit flows (delete with a change log)
+    Seq(("a", "2024-01-01", "00", """{"k":7,"v":70}"""))
+      .toDF("city", "ds", "hour", "raw_json")
+      .write.format("graft.sources.WeatherLakeV2Sink").mode("append").save(lake)
+    WeatherLakeV2Sink.deleteCommitted(spark, lake,
+      f => get_json_object(f("raw_json"), "$.k").cast("long") === 7,
+      changeLog = true)
+    assert(drain() == Set(("insert", 7L), ("delete", 7L)))
+    intercept[Exception] {
+      spark.readStream.format("graft.sources.WeatherLakeV2StreamSource")
+        .option("startingAt", "yesterday").load(lake)
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$base/ckpt-bad")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+  }
+
   test("lake-to-lake streaming pipeline (bronze -> silver): incremental " +
       "flow on one checkpoint, exactly-once across a full pipeline replay") {
     import graft.sources.WeatherLakeV2Sink
