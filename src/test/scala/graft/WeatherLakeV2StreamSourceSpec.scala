@@ -168,6 +168,37 @@ class WeatherLakeV2StreamSourceSpec extends SparkSpec {
     }
   }
 
+  test("capped change-feed drain: maxManifestsPerTrigger admits commits " +
+      "in COMMIT order and still delivers every delta") {
+    val base = Files.createTempDirectory("lakecdccap").toString
+    val lake = s"$base/lake"
+    (0 until 3).foreach { i =>
+      sink(lake, s"o$i-", 1)
+      Thread.sleep(5) // distinct publish mtimes -> deterministic order
+    }
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Vector[String]]
+    val q = spark.readStream
+      .format("graft.sources.WeatherLakeV2StreamSource")
+      .option("readChangeFeed", "true")
+      .option("maxManifestsPerTrigger", "1")
+      .load(lake)
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val vals = b.select(get_json_object(col("value"), "$.t"))
+          .collect().map(_.getString(0)).toVector
+        if (vals.nonEmpty) batches.synchronized { batches += vals.sorted }
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(batches.toList == List(
+      Vector("o0-0"), Vector("o1-0"), Vector("o2-0")),
+      s"capped CDC drain must admit one commit per batch in commit " +
+        s"order: $batches")
+  }
+
   test("startingAt = latest: history is skipped at first start, only " +
       "future commits flow; invalid values fail fast") {
     import graft.sources.WeatherLakeV2Sink
