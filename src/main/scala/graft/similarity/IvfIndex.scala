@@ -152,14 +152,22 @@ object IvfIndex {
       cent: DataFrame, tolerance: Double, idCol: String = "vec_id",
       vecCol: String = "embedding"): (Double, Double, Boolean) = {
     require(tolerance >= 0, s"tolerance must be >= 0, got $tolerance")
-    def mean(df: DataFrame): Double =
-      assignmentCosines(df, cent, idCol, vecCol)
+    def mean(df: DataFrame, cohort: String): Double = {
+      val row = assignmentCosines(df, cent, idCol, vecCol)
         .agg(round(
           sum(col("a_cos").cast(org.apache.spark.sql.types.DecimalType(38, 12)))
             .cast("double") / count(lit(1)), 6).as("m"))
-        .head().getDouble(0)
-    val t = mean(initial)
-    val a = mean(arrivals)
+        .head()
+      // an empty cohort sums to NULL — a meaningless mean, so refuse it
+      // descriptively rather than let getDouble NPE opaquely
+      if (row.isNullAt(0)) throw new IllegalArgumentException(
+        s"assignmentDriftFlag: the '$cohort' cohort is empty — a drift " +
+          "mean over zero vectors is undefined; pass both a non-empty " +
+          "training sample and a non-empty arrival batch")
+      row.getDouble(0)
+    }
+    val t = mean(initial, "train")
+    val a = mean(arrivals, "arrive")
     (t, a, a < t - tolerance)
   }
 

@@ -71,6 +71,18 @@ object WeatherLakeV2Sink {
       // retry's rename finds the destination present and its files stay
       // unreferenced orphans.
       val jobId = Option(info.options().get("manifestId"))
+        .map { id =>
+          // maintenance-op prefixes are format-level conventions (the
+          // pre-directive CDC fallback still routes by them): an append
+          // named like one would be misclassified by older readers, so
+          // reserve them loudly rather than publish a masquerading commit
+          ReservedIdPrefixes.find(id.startsWith).foreach { p =>
+            throw new IllegalArgumentException(
+              s"WeatherLakeV2Sink: manifestId '$id' uses the reserved " +
+                s"maintenance prefix '$p' (see FORMAT.md); pick another id")
+          }
+          id
+        }
         .getOrElse(info.queryId())
       // statsFields: comma-separated raw_json field names whose per-file
       // min/max are collected into the manifest entries (data skipping)
@@ -140,6 +152,15 @@ object WeatherLakeV2Sink {
   /** Directory of per-job manifests under the lake root. */
   val ManifestDir = "_manifests"
 
+  /** Manifest-id prefixes reserved for maintenance commits — a
+    * user-supplied append manifestId may not use them (loud rejection in
+    * the write builder): the `#op` directive is the authoritative
+    * routing key, but pre-directive readers fall back to the name
+    * prefix, and a masquerading append would be misrouted there.
+    */
+  val ReservedIdPrefixes: Seq[String] =
+    Seq("merge-", "delete-", "update-", "compact-", "checkpoint-")
+
   /** Directive line marking another manifest as replaced by this one.
     * Lines starting with `#` are directives, never file paths; a manifest
     * named in any live manifest's supersedes directive contributes no
@@ -157,10 +178,54 @@ object WeatherLakeV2Sink {
     */
   val ChangesPrefix = "#changes "
 
-  /** The change-log file paths a manifest's lines reference. */
+  /** The change-log file paths a manifest's lines reference. A change
+    * directive's payload is an ENTRY LINE (`path` or `path<TAB>stats`,
+    * exactly like data lines), so per-change-file stats survive for the
+    * CDC scan's pruning leg; this accessor strips to the path.
+    */
   def changePaths(lines: Seq[String]): Seq[String] =
+    changeEntryLines(lines).map(entryPath)
+
+  /** The change directives' full payload lines (path + optional stats). */
+  def changeEntryLines(lines: Seq[String]): Seq[String] =
     lines.filter(_.startsWith(ChangesPrefix))
       .map(_.stripPrefix(ChangesPrefix).trim)
+
+  /** Directive recording the manifest FORMAT VERSION (see FORMAT.md).
+    * Readers fail loudly on a major version above [[FormatVersion]]
+    * rather than misparsing a future layout; manifests without the
+    * directive are implicit version 1 (pre-versioning writers).
+    */
+  val FormatPrefix = "#format "
+  val FormatVersion = 1
+
+  /** Directive recording the OPERATION that published the manifest
+    * (`append`, `merge`, `delete`, `update`, `compact`, `checkpoint`) —
+    * the change-feed's routing key. Name prefixes remain as a HUMAN
+    * convention and a fallback for pre-directive manifests, but the
+    * directive is authoritative: a user-supplied append manifestId can
+    * no longer masquerade as (or hide) a maintenance commit.
+    */
+  val OpPrefix = "#op "
+
+  /** The declared operation of a manifest's lines, if any. */
+  def manifestOp(lines: Seq[String]): Option[String] =
+    lines.find(_.startsWith(OpPrefix)).map(_.stripPrefix(OpPrefix).trim)
+
+  /** Loud forward-compatibility gate: a manifest declaring a format
+    * version above what this reader understands must fail, never be
+    * silently misread as data/directive lines it can't interpret.
+    */
+  private[sources] def checkFormatVersion(name: String, lines: Seq[String]): Unit =
+    lines.find(_.startsWith(FormatPrefix))
+      .map(_.stripPrefix(FormatPrefix).trim)
+      .foreach { v =>
+        val n = v.toIntOption.getOrElse(Int.MaxValue)
+        if (n > FormatVersion) throw new IllegalStateException(
+          s"WeatherLakeV2Sink: manifest $name declares format version $v; " +
+            s"this reader understands up to $FormatVersion — upgrade the " +
+            "reader before touching this lake (see FORMAT.md)")
+      }
 
   /** A manifest data line is `path` or `path<TAB>statsJson` — the stats
     * payload is per-file column min/max collected at write time (opt in
@@ -227,7 +292,7 @@ object WeatherLakeV2Sink {
   }
 
   private[sources] def writeManifest(basePath: String, jobId: String,
-      files: Seq[String]): Unit = {
+      files: Seq[String], op: Option[String] = None): Unit = {
     val fs = new Path(basePath).getFileSystem(new Configuration())
     val mdir = new Path(basePath, ManifestDir)
     fs.mkdirs(mdir)
@@ -239,8 +304,11 @@ object WeatherLakeV2Sink {
     val tmp = new Path(mdir,
       s".manifest-$jobId.${UUID.randomUUID().toString}.tmp")
     val out = fs.create(tmp, true)
-    try files.foreach(f => out.write((f + "\n").getBytes("UTF-8")))
-    finally out.close()
+    try {
+      out.write(s"$FormatPrefix$FormatVersion\n".getBytes("UTF-8"))
+      op.foreach(o => out.write(s"$OpPrefix$o\n".getBytes("UTF-8")))
+      files.foreach(f => out.write((f + "\n").getBytes("UTF-8")))
+    } finally out.close()
     val dest = new Path(mdir, s"manifest-$jobId.txt")
     // a silently failed rename would lose the manifest and hide every file
     // this job wrote from the gated read path — surface it as a commit
@@ -267,10 +335,12 @@ object WeatherLakeV2Sink {
     val fs = new Path(basePath).getFileSystem(new Configuration())
     val mdir = new Path(basePath, ManifestDir)
     val names = manifestNames(basePath)
-    val superseded = names.flatMap(n =>
-      readLines(fs, new Path(mdir, n))
-        .filter(_.startsWith(SupersedesPrefix))
-        .map(_.stripPrefix(SupersedesPrefix).trim)).toSet
+    val superseded = names.flatMap { n =>
+      val lines = readLines(fs, new Path(mdir, n))
+      checkFormatVersion(n, lines)
+      lines.filter(_.startsWith(SupersedesPrefix))
+        .map(_.stripPrefix(SupersedesPrefix).trim)
+    }.toSet
     names.filterNot(superseded)
   }
 
@@ -730,7 +800,11 @@ object WeatherLakeV2Sink {
     val mdir = new Path(basePath, ManifestDir)
     def linesIfPresent(n: String): Option[Seq[String]] = {
       val p = new Path(mdir, n)
-      if (fs.exists(p)) Some(readLines(fs, p)) else None
+      if (fs.exists(p)) {
+        val ls = readLines(fs, p)
+        checkFormatVersion(n, ls)
+        Some(ls)
+      } else None
     }
     val present = snap.distinct.flatMap(n => linesIfPresent(n).map(n -> _))
     val superseded = present.flatMap(_._2
@@ -817,86 +891,205 @@ object WeatherLakeV2Sink {
   }
 
   // -----------------------------------------------------------------
-  // maintenance mutual exclusion (merge / compact)
+  // optimistic concurrency: conflict-check-at-publish
   // -----------------------------------------------------------------
 
-  /** Maintenance operations (copy-on-write [[mergeCommitted]] and
-    * [[compact]]) snapshot the live-manifest set and later publish ONE
-    * manifest superseding it — two running concurrently would each
-    * re-list the snapshot's surviving files and double-count every row
-    * both touch. They therefore serialize on an exclusive lock taken by
-    * atomic rename (create a unique tmp, rename to the lock name; the
-    * loser's rename finds the destination present and fails LOUDLY with
-    * ConcurrentModificationException — never a silent wait). Plain
-    * appends and the exactly-once streaming writer never supersede
-    * anything and take no lock; vacuum only touches already-superseded
-    * manifests and needs none either.
+  /** Maintenance operations ([[mergeCommitted]], [[deleteCommitted]],
+    * [[updateCommitted]], [[compact]], [[checkpointManifests]]) commit
+    * OPTIMISTICALLY, the Delta/Iceberg discipline: snapshot the live set
+    * up front, do ALL the expensive distributed work lock-free, then
+    * validate-and-publish inside a short metadata-only critical section
+    * ([[publishCommit]]). Two operations over DISJOINT data both commit;
+    * conflicting ones produce exactly one winner and a LOUD
+    * ConcurrentModificationException loser (never silent corruption,
+    * never a silent wait). Plain appends and the exactly-once streaming
+    * writer never supersede anything and never conflict; vacuum touches
+    * only already-superseded manifests and needs no validation either.
     *
-    * Crash recovery: the lock file carries its holder op and creation
-    * time; a lock older than `staleLockMs` is presumed abandoned by a
-    * died job and is broken (deleted and re-acquired) — the same
-    * time-based lease every object-store lock service offers.
+    * The publish lock below guards ONLY the validate+rename window
+    * (milliseconds of driver metadata), not the copy-on-write rewrite —
+    * a merge running for an hour holds nothing, so the stale-lease
+    * problem of a long-held exclusive lock cannot arise. The lock file
+    * carries a UNIQUE TOKEN; ownership is re-verified immediately before
+    * the manifest rename, and a stale lock is broken only when its
+    * content still matches what the breaker observed (a racing breaker
+    * that already re-acquired writes a different token, so its fresh
+    * lock is never deleted out from under it).
     *
     * Acquisition is `create(overwrite = false)`, NOT rename-to-dest:
     * Hadoop leaves rename-onto-an-existing-destination semantics to the
     * filesystem, and the stock RawLocalFileSystem silently OVERWRITES
     * (POSIX renameTo) — a rename-based lock would let a second
-    * maintenance op steal a held lock without noticing. Exclusive create
+    * publisher steal a held lock without noticing. Exclusive create
     * throws when the path exists on every Hadoop filesystem (atomic on
     * HDFS/ABFS at the namenode; a narrow check-then-create window on the
     * raw local FS); object stores without atomic create-if-absent need a
     * real lock service, as every lakehouse documents.
     */
-  private def withMaintenanceLock[T](basePath: String, op: String,
-      staleLockMs: Long = 10L * 60 * 1000)(body: => T): T = {
+  private def withPublishLock[T](basePath: String, op: String,
+      staleLockMs: Long = 60L * 1000)(body: (() => Unit) => T): T = {
     val fs = new Path(basePath).getFileSystem(new Configuration())
     val mdir = new Path(basePath, ManifestDir)
     fs.mkdirs(mdir)
     val lock = new Path(mdir, ".maintenance.lock")
+    val token = s"$op ${UUID.randomUUID().toString} ${System.currentTimeMillis()}"
+    def currentContent(): Option[String] =
+      try readLines(fs, lock).headOption catch { case _: Exception => None }
     def tryAcquire(): Boolean =
       try {
         val out = fs.create(lock, false) // throws if the lock exists
-        try out.write(s"$op ${System.currentTimeMillis()}\n".getBytes("UTF-8"))
+        try out.write((token + "\n").getBytes("UTF-8"))
         finally out.close()
         true
       } catch { case _: java.io.IOException => false }
     var acquired = tryAcquire()
-    if (!acquired && fs.exists(lock) &&
-        fs.getFileStatus(lock).getModificationTime <
-          System.currentTimeMillis() - staleLockMs) {
-      fs.delete(lock, false) // break the abandoned lease, then race fairly
-      acquired = tryAcquire()
+    if (!acquired && fs.exists(lock)) {
+      val observed = currentContent()
+      val stale =
+        try fs.getFileStatus(lock).getModificationTime <
+          System.currentTimeMillis() - staleLockMs
+        catch { case _: java.io.FileNotFoundException => false }
+      if (stale && currentContent() == observed) {
+        // content-checked break: a racing breaker that re-acquired wrote
+        // a fresh token, so this delete can only remove the ABANDONED
+        // lock we observed, never a newly-taken one
+        fs.delete(lock, false)
+        acquired = tryAcquire()
+      }
     }
     if (!acquired) {
-      val holder =
-        try readLines(fs, lock).headOption.getOrElse("?")
-        catch { case _: Exception => "?" }
+      val holder = currentContent().getOrElse("?")
       throw new java.util.ConcurrentModificationException(
-        s"WeatherLakeV2Sink: maintenance lock at $lock is held ($holder); " +
-          "merge/compact serialize — retry after the holder publishes")
+        s"WeatherLakeV2Sink: publish lock at $lock is held ($holder); " +
+          "commits validate+publish one at a time — retry after the " +
+          "holder's rename")
     }
-    try body finally fs.delete(lock, false)
+    // ownership re-verify, handed to the body to call immediately before
+    // the manifest rename: if a breaker stole the lease mid-section (the
+    // narrow raw-local-FS window), abort BEFORE publishing rather than
+    // double-publish
+    val verifyHeld: () => Unit = () =>
+      if (!currentContent().contains(token))
+        throw new java.util.ConcurrentModificationException(
+          s"WeatherLakeV2Sink: publish lock for '$op' was lost (lease " +
+            "broken by another publisher) — aborting before the manifest " +
+            "rename; no partial state was published")
+    try body(verifyHeld)
+    finally if (currentContent().contains(token)) fs.delete(lock, false)
   }
 
-  /** The scan row's source file as a scheme-stripped path, comparable to
-    * [[manifestJoinKey]] — the join key that ties a read line back to its
-    * manifest entry unambiguously (basenames are NOT assumed unique
-    * across directories). `input_file_name()` reports the URI form, i.e.
-    * URL-ENCODED (`city=New%20York`), so the manifest side must key on
-    * the RAW (encoded) URI path too — a decoded `toUri.getPath` key
-    * would never match a path containing any URL-encodable character and
-    * the inner join would silently drop those directories' rows.
+  /** The data ENTRY LINES of each manifest, keyed by name — the
+    * per-manifest granularity partial superseding needs: an operation
+    * supersedes ONLY the manifests whose files it rewrites and re-lists
+    * only THEIR untouched lines, leaving every other live manifest
+    * untouched (which is what lets disjoint commits coexist).
+    */
+  private def entryLinesByManifest(basePath: String,
+      manifests: Seq[String]): Seq[(String, Seq[String])] = {
+    val fs = new Path(basePath).getFileSystem(new Configuration())
+    val mdir = new Path(basePath, ManifestDir)
+    manifests.map { n =>
+      n -> readLines(fs, new Path(mdir, n))
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
+    }
+  }
+
+  /** Validate-and-publish, the whole optimistic-concurrency critical
+    * section. Inside the (short) publish lock:
+    *
+    *  1. every manifest in `supersedes` must STILL be live — a
+    *     concurrent commit that already superseded one rewrote (some of)
+    *     the same files, and publishing on top would resurrect
+    *     re-listed copies of rows the winner already moved
+    *     (double-count). Loud conflict, caller retries on a fresh
+    *     snapshot.
+    *  2. when `readDomain` is given (the row-level ops), every manifest
+    *     that appeared SINCE the snapshot is scanned (driver metadata,
+    *     O(new manifests)): an entry line inside the operation's read
+    *     domain means a concurrent commit added rows this operation's
+    *     decisions never saw — a merge could duplicate a key a racing
+    *     append just inserted (write skew), so it conflicts loudly
+    *     (Delta's ConcurrentAppendException). New lines OUTSIDE the
+    *     domain — the disjoint-partition case — pass.
+    *  3. ownership re-verified, then ONE manifest renamed into place
+    *     carrying the supersedes directives, the `#op` routing
+    *     directive, and the surviving lines.
+    */
+  private def publishCommit(basePath: String, op: String,
+      snapshot: Seq[String], supersedes: Seq[String], lines: Seq[String],
+      readDomain: Option[String => Boolean] = None): Unit =
+    withPublishLock(basePath, op) { verifyHeld =>
+      val live = liveManifests(basePath)
+      val liveSet = live.toSet
+      val gone = supersedes.filterNot(liveSet)
+      if (gone.nonEmpty) throw new java.util.ConcurrentModificationException(
+        s"WeatherLakeV2Sink: concurrent commit conflict publishing '$op' — " +
+          s"manifests ${gone.sorted.mkString(", ")} were superseded by " +
+          "another commit after this operation's snapshot; its rewrite is " +
+          "stale. Retry on a fresh snapshot.")
+      readDomain.foreach { dom =>
+        val snapSet = snapshot.toSet
+        val fresh = live.filterNot(snapSet).sorted
+        val conflicting = entryLinesByManifest(basePath, fresh).collect {
+          case (n, ls) if ls.exists(dom) => n
+        }
+        if (conflicting.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"WeatherLakeV2Sink: concurrent commit conflict publishing " +
+              s"'$op' — manifests ${conflicting.mkString(", ")} committed " +
+              "rows inside this operation's read domain after its " +
+              "snapshot (it may have missed keys/rows it needed to see). " +
+              "Retry on a fresh snapshot.")
+      }
+      verifyHeld()
+      writeManifest(basePath, s"$op-${UUID.randomUUID().toString}",
+        supersedes.map(n => s"$SupersedesPrefix$n") ++ lines, op = Some(op))
+    }
+
+  /** Test seam over [[publishCommit]] — lets specs interleave snapshots
+    * and publishes by hand to pin the conflict rules.
+    */
+  private[graft] def publishForTest(basePath: String, op: String,
+      snapshot: Seq[String], supersedes: Seq[String], lines: Seq[String],
+      readDomain: Option[String => Boolean] = None): Unit =
+    publishCommit(basePath, op, snapshot, supersedes, lines, readDomain)
+
+  /** Strips `scheme:` AND `//authority` from a URI string, leaving the
+    * raw path — `hdfs://nn:8020/p` → `/p`, `file:/tmp/x` → `/tmp/x`,
+    * `file:///tmp/x` → `/tmp/x`, a bare `/tmp/x` unchanged. The ONE
+    * normalization both sides of the read-line ↔ manifest-entry join
+    * apply: an earlier form stripped only the scheme and collapsed the
+    * slashes (`hdfs://nn:8020/p` → `/nn:8020/p`), which could never
+    * match the manifest side's `toUri.getRawPath` (`/p`) — on any
+    * filesystem URI with an authority the inner join matched zero rows
+    * and silently turned merge into a blind append (spec-pinned against
+    * [[manifestJoinKey]] on authority-bearing URIs now).
+    */
+  private[graft] val SchemeAuthorityPattern = "^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?"
+
+  private[graft] def stripSchemeAuthority(uri: String): String =
+    uri.replaceFirst(SchemeAuthorityPattern, "")
+
+  /** The scan row's source file as a scheme-and-authority-stripped path,
+    * comparable to [[manifestJoinKey]] — the join key that ties a read
+    * line back to its manifest entry unambiguously (basenames are NOT
+    * assumed unique across directories). `input_file_name()` reports the
+    * URI form, i.e. URL-ENCODED (`city=New%20York`), so the manifest
+    * side must key on the RAW (encoded) URI path too — a decoded
+    * `toUri.getPath` key would never match a path containing any
+    * URL-encodable character and the inner join would silently drop
+    * those directories' rows.
     */
   private def filePathCol: org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{input_file_name, regexp_replace}
-    regexp_replace(input_file_name(), "^[a-z]+:/+", "/")
+    regexp_replace(input_file_name(), SchemeAuthorityPattern, "")
   }
 
   /** The manifest-entry twin of [[filePathCol]]: the file's raw
     * (URL-encoded) URI path, exactly what `input_file_name()` reports
-    * minus the scheme.
+    * minus scheme and authority.
     */
-  private def manifestJoinKey(file: String): String =
+  private[graft] def manifestJoinKey(file: String): String =
     new Path(file).toUri.getRawPath
 
   /** Distributed rolling writer shared by [[compact]],
@@ -985,13 +1178,19 @@ object WeatherLakeV2Sink {
     * first tab is unambiguous (the same argument as stats entries).
     */
   private def writeChangeLog(rows: org.apache.spark.sql.DataFrame,
-      op: String, basePath: String, targetBytes: Long): Seq[String] = {
+      op: String, basePath: String, targetBytes: Long,
+      statsFields: Seq[String] = Nil): Seq[String] = {
     import org.apache.spark.sql.functions.{col, concat, lit}
     val routed = rows.select(
       lit(new Path(basePath, "_changes").toString).as("dir"),
       concat(col("change"), lit("\t"), col("value")).as("value"))
-    writeRolled(routed, s"changes-$op", basePath, targetBytes)
-      .map(l => s"$ChangesPrefix${entryPath(l)}")
+    // the directive payload keeps the FULL entry line (path + stats when
+    // measured — extractJsonField finds the payload's top-level fields
+    // through the change-kind prefix), so the CDC scan can stats-prune
+    // change files exactly like data files
+    writeRolled(routed, s"changes-$op", basePath, targetBytes,
+      statsFields = statsFields)
+      .map(l => s"$ChangesPrefix$l")
   }
 
   /** Committed files re-framed to the write [[Schema]], shared by the
@@ -1072,15 +1271,18 @@ object WeatherLakeV2Sink {
     *  3. rewrite = surviving lines of touched files (anti-join on key)
     *     unioned with the batch, rolled to `targetBytes` files per
     *     directory ([[writeRolled]] — distributed, no driver data);
-    *  4. publish ONE manifest by atomic rename, superseding the whole
-    *     snapshotted live set and re-listing untouched files verbatim —
+    *  4. validate-and-publish ONE manifest by atomic rename
+    *     ([[publishCommit]]), superseding ONLY the manifests owning a
+    *     touched file and re-listing their untouched entries verbatim —
     *     a concurrent reader resolves the old committed view or the new
     *     one, never a mix; concurrent APPENDS land after the snapshot
     *     and stay live untouched. Superseded data files await [[vacuum]].
     *
-    * Serializes against other merges and [[compact]] via the maintenance
-    * lock (see [[withMaintenanceLock]]); fails loudly when one is
-    * running. Idempotent: re-merging the same batch rewrites the same
+    * Concurrency is OPTIMISTIC: the rewrite runs lock-free, and the
+    * publish step conflicts loudly when a concurrent commit superseded a
+    * touched manifest or committed new rows inside this merge's
+    * partition read domain — disjoint-partition merges both commit (the
+    * Delta discipline). Idempotent: re-merging the same batch rewrites the same
     * keys to the same values. `statsFields` re-collects per-file min/max
     * for the named raw_json fields on the REWRITTEN files (untouched
     * files keep their original entry lines either way), so merging never
@@ -1091,14 +1293,15 @@ object WeatherLakeV2Sink {
       key: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Column,
       targetBytes: Long = 128L * 1024 * 1024,
       statsFields: Seq[String] = Nil,
-      changeLog: Boolean = false): MergeStats =
-    withMaintenanceLock(basePath, "merge") {
+      changeLog: Boolean = false): MergeStats = {
       import org.apache.spark.sql.functions.{col, lit}
       require(targetBytes > 0, "targetBytes must be positive")
       val snapshotNames = liveManifests(basePath)
-      // lines resolved from THE SNAPSHOT (see entryLinesOf: a second
-      // live pass would double-count a racing append)
-      val committedLines = entryLinesOf(basePath, snapshotNames)
+      // lines resolved from THE SNAPSHOT, per manifest (partial
+      // superseding needs to know which manifest owns each touched file;
+      // a second live pass would double-count a racing append)
+      val byManifest = entryLinesByManifest(basePath, snapshotNames)
+      val committedLines = byManifest.flatMap(_._2)
       val committed = committedLines.map(entryPath)
       // 1. driver-side partition pruning of the candidate set: bounded by
       // the batch's distinct partition tuples (same class as the
@@ -1107,14 +1310,20 @@ object WeatherLakeV2Sink {
         .select(col("city"), col("ds"), col("hour")).distinct()
         .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
         .toSet
-      val candidates = committed.filter { f =>
-        val pv = partitionValues(basePath, f)
-        // a file without full partition values can't be ruled out
+      // the merge's READ DOMAIN, reused twice: driver-side candidate
+      // pruning here, and publish-time conflict detection against
+      // manifests that commit AFTER the snapshot (a concurrent append
+      // inside the domain may hold a batch key this merge decided to
+      // INSERT — committing would duplicate it). A file without full
+      // partition values can't be ruled out, in or out of band.
+      def inReadDomain(line: String): Boolean = {
+        val pv = partitionValues(basePath, entryPath(line))
         (pv.get("city"), pv.get("ds"), pv.get("hour")) match {
           case (Some(c), Some(d), Some(h)) => batchParts((c, d, h))
           case _ => true
         }
       }
+      val candidates = committed.filter(f => inReadDomain(f))
       val batchKeys = batch.select(key(batch).as("__key")).distinct()
       // committed candidate lines, re-framed to the write Schema
       // ([[framedLines]]) so `key` evaluates identically on both sides
@@ -1128,9 +1337,20 @@ object WeatherLakeV2Sink {
             .distinct().collect()
             .map(_.getString(0)).toSeq
         }
-      // untouched files re-list their ORIGINAL entry lines, stats intact
+      // PARTIAL superseding: only the manifests owning a touched file are
+      // superseded, and only THEIR untouched lines are re-listed (stats
+      // intact) — every other live manifest stays live untouched, so a
+      // concurrent commit over disjoint manifests coexists instead of
+      // conflicting
       val touchedSet = touched.toSet
-      val untouched = committedLines.filterNot(l => touchedSet(entryPath(l)))
+      val touchedManifests = byManifest.collect {
+        case (n, ls) if ls.exists(l => touchedSet(entryPath(l))) => n
+      }
+      val touchedManifestSet = touchedManifests.toSet
+      val untouched = byManifest
+        .filter { case (n, _) => touchedManifestSet(n) }
+        .flatMap(_._2)
+        .filterNot(l => touchedSet(entryPath(l)))
       // 3. survivors of touched files + the batch, routed to directories
       val batchRouted = batch.select(
         org.apache.spark.sql.functions.concat_ws("/", lit(basePath),
@@ -1181,12 +1401,16 @@ object WeatherLakeV2Sink {
                   .otherwise(array())).as("c"))
                 .select(col("c.change").as("change"), col("c.value").as("value"))
             }
-          writeChangeLog(changes, "merge", basePath, targetBytes)
+          writeChangeLog(changes, "merge", basePath, targetBytes,
+            statsFields)
         }
-      // 4. one superseding manifest: old view or new view, never a mix
-      writeManifest(basePath, s"merge-${UUID.randomUUID().toString}",
-        snapshotNames.map(n => s"$SupersedesPrefix$n") ++ untouched ++
-          newFiles ++ changeLines)
+      // 4. validate-and-publish ONE manifest: old view or new view, never
+      // a mix; conflicts with concurrent commits are loud, disjoint ones
+      // coexist (see publishCommit)
+      publishCommit(basePath, "merge", snapshot = snapshotNames,
+        supersedes = touchedManifests,
+        lines = untouched ++ newFiles ++ changeLines,
+        readDomain = Some(inReadDomain))
       MergeStats(touched.size, newFiles.size)
     }
 
@@ -1232,16 +1456,19 @@ object WeatherLakeV2Sink {
     *  3. survivors of touched files (predicate not true) are rewritten
     *     into rolled files ([[writeRolled]] — distributed, no driver
     *     data); a file whose every row matched simply vanishes;
-    *  4. ONE manifest published by atomic rename supersedes the whole
-    *     snapshotted live set — concurrent readers resolve the old view
-    *     or the new one, never a mix; superseded files await [[vacuum]].
+    *  4. ONE manifest validated-and-published by atomic rename
+    *     ([[publishCommit]]) supersedes only the touched manifests —
+    *     concurrent readers resolve the old view or the new one, never a
+    *     mix; superseded files await [[vacuum]].
     *
     * A delete matching NOTHING publishes NO manifest (no churn: the
     * table version history only grows when the table changes).
-    * Serializes against merge/compact via the maintenance lock; plain
-    * appends and streaming stay lock-free. Idempotent: re-deleting the
-    * same predicate is a metadata-only no-op. `statsFields` re-collects
-    * per-file min/max on the survivor rewrites, as in [[mergeCommitted]].
+    * Concurrency is optimistic, as in [[mergeCommitted]]: disjoint
+    * concurrent commits coexist, a conflicting one loses loudly at
+    * publish; plain appends and streaming never conflict. Idempotent:
+    * re-deleting the same predicate is a metadata-only no-op.
+    * `statsFields` re-collects per-file min/max on the survivor
+    * rewrites, as in [[mergeCommitted]].
     */
   def deleteCommitted(spark: org.apache.spark.sql.SparkSession,
       basePath: String,
@@ -1250,19 +1477,24 @@ object WeatherLakeV2Sink {
         (_, _) => true,
       targetBytes: Long = 128L * 1024 * 1024,
       statsFields: Seq[String] = Nil,
-      changeLog: Boolean = false): DeleteStats =
-    withMaintenanceLock(basePath, "delete") {
+      changeLog: Boolean = false): DeleteStats = {
       import org.apache.spark.sql.functions.{coalesce, col, count, lit, not}
       require(targetBytes > 0, "targetBytes must be positive")
       val snapshotNames = liveManifests(basePath)
-      // lines resolved from THE SNAPSHOT (see entryLinesOf: a second
-      // live pass would double-count a racing append)
-      val committedLines = entryLinesOf(basePath, snapshotNames)
+      // lines resolved from THE SNAPSHOT, per manifest (partial
+      // superseding; a second live pass would double-count a racing
+      // append)
+      val byManifest = entryLinesByManifest(basePath, snapshotNames)
+      val committedLines = byManifest.flatMap(_._2)
       // 1. driver-side candidate pruning over the entry LINES (each line
-      // carries the file path and, when measured, its stats payload)
+      // carries the file path and, when measured, its stats payload).
+      // The same fail-open test is the publish-time read domain: a
+      // concurrent commit whose new lines survive it may hold rows this
+      // delete should have removed — loud conflict, not a silent miss.
+      def inReadDomain(l: String): Boolean =
+        prune(partitionValues(basePath, entryPath(l)), lineStats(l))
       val candidates = committedLines.collect {
-        case l if prune(partitionValues(basePath, entryPath(l)), lineStats(l)) =>
-          entryPath(l)
+        case l if inReadDomain(l) => entryPath(l)
       }
       if (candidates.isEmpty) DeleteStats(0, 0, 0L)
       else {
@@ -1280,7 +1512,14 @@ object WeatherLakeV2Sink {
         if (touched.isEmpty) DeleteStats(0, 0, 0L)
         else {
           val touchedSet = touched.toSet
-          val untouched = committedLines.filterNot(l => touchedSet(entryPath(l)))
+          val touchedManifests = byManifest.collect {
+            case (n, ls) if ls.exists(l => touchedSet(entryPath(l))) => n
+          }
+          val touchedManifestSet = touchedManifests.toSet
+          val untouched = byManifest
+            .filter { case (n, _) => touchedManifestSet(n) }
+            .flatMap(_._2)
+            .filterNot(l => touchedSet(entryPath(l)))
           // 3. survivors: predicate NOT TRUE (null keeps the row)
           val tf = framedLines(spark, basePath, touched)
           val survivors = tf.filter(not(hit(tf)))
@@ -1292,11 +1531,14 @@ object WeatherLakeV2Sink {
             else writeChangeLog(tf.filter(hit(tf)).select(
                 org.apache.spark.sql.functions.lit("delete").as("change"),
                 col("value")),
-              "delete", basePath, targetBytes)
-          // 4. one superseding manifest: old view or new view, never a mix
-          writeManifest(basePath, s"delete-${UUID.randomUUID().toString}",
-            snapshotNames.map(n => s"$SupersedesPrefix$n") ++ untouched ++
-              newFiles ++ changeLines)
+              "delete", basePath, targetBytes, statsFields)
+          // 4. validate-and-publish: only the touched manifests are
+          // superseded; disjoint concurrent commits coexist, conflicting
+          // ones lose loudly (publishCommit)
+          publishCommit(basePath, "delete", snapshot = snapshotNames,
+            supersedes = touchedManifests,
+            lines = untouched ++ newFiles ++ changeLines,
+            readDomain = Some(inReadDomain))
           DeleteStats(touched.size, newFiles.size, deletedRows)
         }
       }
@@ -1334,22 +1576,25 @@ object WeatherLakeV2Sink {
     * Lock-serialized against merge/delete/update/compact — it snapshots
     * and supersedes the live set like they do.
     */
-  def checkpointManifests(basePath: String): Int =
-    withMaintenanceLock(basePath, "checkpoint") {
+  def checkpointManifests(basePath: String): Int = {
       val snapshot = liveManifests(basePath)
       if (snapshot.size <= 1) 0
       else {
         // resolve entry lines from the SNAPSHOT, never from a second
         // liveManifests() pass: an append committing between the two
         // reads would otherwise have its lines checkpointed while its
-        // manifest stays live — every row double-counted
-        val fs = new Path(basePath).getFileSystem(new Configuration())
-        val mdir = new Path(basePath, ManifestDir)
-        val lines = snapshot
-          .flatMap(n => readLines(fs, new Path(mdir, n)))
-          .filter(l => l.nonEmpty && !l.startsWith("#"))
-        writeManifest(basePath, s"checkpoint-${UUID.randomUUID().toString}",
-          snapshot.map(n => s"$SupersedesPrefix$n") ++ lines)
+        // manifest stays live — every row double-counted. Change-log
+        // directives are NOT carried forward: a checkpoint supersedes
+        // the commits, and a CDC stream that hasn't drained them reads
+        // the superseded manifests directly until vacuum's age guard —
+        // the documented CDC/vacuum horizon.
+        val lines = entryLinesByManifest(basePath, snapshot).flatMap(_._2)
+        // the whole-set rollup: supersedes everything it snapshotted;
+        // appends landing after the snapshot stay live untouched, and a
+        // concurrent commit that superseded a snapshot member first
+        // makes this publish lose loudly (its re-listing is stale)
+        publishCommit(basePath, "checkpoint", snapshot = snapshot,
+          supersedes = snapshot, lines = lines)
         snapshot.size
       }
     }
@@ -1400,17 +1645,19 @@ object WeatherLakeV2Sink {
         (_, _) => true,
       targetBytes: Long = 128L * 1024 * 1024,
       statsFields: Seq[String] = Nil,
-      changeLog: Boolean = false): UpdateStats =
-    withMaintenanceLock(basePath, "update") {
+      changeLog: Boolean = false): UpdateStats = {
       import org.apache.spark.sql.functions.{coalesce, col, count, lit, when}
       require(targetBytes > 0, "targetBytes must be positive")
       val snapshotNames = liveManifests(basePath)
-      // lines resolved from THE SNAPSHOT (see entryLinesOf: a second
-      // live pass would double-count a racing append)
-      val committedLines = entryLinesOf(basePath, snapshotNames)
+      // lines resolved from THE SNAPSHOT, per manifest (partial
+      // superseding; a second live pass would double-count a racing
+      // append)
+      val byManifest = entryLinesByManifest(basePath, snapshotNames)
+      val committedLines = byManifest.flatMap(_._2)
+      def inReadDomain(l: String): Boolean =
+        prune(partitionValues(basePath, entryPath(l)), lineStats(l))
       val candidates = committedLines.collect {
-        case l if prune(partitionValues(basePath, entryPath(l)), lineStats(l)) =>
-          entryPath(l)
+        case l if inReadDomain(l) => entryPath(l)
       }
       if (candidates.isEmpty) UpdateStats(0, 0, 0L)
       else {
@@ -1425,7 +1672,14 @@ object WeatherLakeV2Sink {
         if (touched.isEmpty) UpdateStats(0, 0, 0L)
         else {
           val touchedSet = touched.toSet
-          val untouched = committedLines.filterNot(l => touchedSet(entryPath(l)))
+          val touchedManifests = byManifest.collect {
+            case (n, ls) if ls.exists(l => touchedSet(entryPath(l))) => n
+          }
+          val touchedManifestSet = touchedManifests.toSet
+          val untouched = byManifest
+            .filter { case (n, _) => touchedManifestSet(n) }
+            .flatMap(_._2)
+            .filterNot(l => touchedSet(entryPath(l)))
           val tf = framedLines(spark, basePath, touched)
           val rewrite = tf.select(col("dir"),
             when(hit(tf), transform(tf)).otherwise(col("value")).as("value"))
@@ -1445,11 +1699,12 @@ object WeatherLakeV2Sink {
                   .unionByName(changed.select(
                     lit("update_postimage").as("change"),
                     col("__new").as("value"))),
-                "update", basePath, targetBytes)
+                "update", basePath, targetBytes, statsFields)
             }
-          writeManifest(basePath, s"update-${UUID.randomUUID().toString}",
-            snapshotNames.map(n => s"$SupersedesPrefix$n") ++ untouched ++
-              newFiles ++ changeLines)
+          publishCommit(basePath, "update", snapshot = snapshotNames,
+            supersedes = touchedManifests,
+            lines = untouched ++ newFiles ++ changeLines,
+            readDomain = Some(inReadDomain))
           UpdateStats(touched.size, newFiles.size, updatedRows)
         }
       }
@@ -1519,18 +1774,15 @@ object WeatherLakeV2Sink {
       targetBytes: Long = 128L * 1024 * 1024,
       clusterExpr: Option[org.apache.spark.sql.DataFrame =>
         org.apache.spark.sql.Column] = None,
-      statsFields: Seq[String] = Nil): Int = withMaintenanceLock(
-      basePath, "compact") {
+      statsFields: Seq[String] = Nil): Int = {
     import org.apache.spark.sql.functions.{broadcast, col}
     require(targetBytes > 0, "targetBytes must be positive")
     val fs = new Path(basePath).getFileSystem(new Configuration())
-    val mdir = new Path(basePath, ManifestDir)
     val snapshot = liveManifests(basePath)
+    val byManifest = entryLinesByManifest(basePath, snapshot)
     // entry LINES grouped by directory: untouched directories re-list
     // their original lines verbatim, so per-file stats survive compaction
-    val entriesByDir = snapshot
-      .flatMap(n => readLines(fs, new Path(mdir, n)))
-      .filter(l => l.nonEmpty && !l.startsWith("#"))
+    val entriesByDir = byManifest.flatMap(_._2)
       .groupBy(l => new Path(entryPath(l)).getParent.toString)
     // small-file candidates only: >1 file and mean size under half the
     // target — a healthy directory (however many bounded files) is left
@@ -1549,8 +1801,20 @@ object WeatherLakeV2Sink {
     if (multi.isEmpty) 0
     else {
       val compactedDirs = multi.keySet
-      val keep = entriesByDir.collect {
-        case (d, fs1) if !compactedDirs(d) => fs1 }.flatten.toSeq
+      def inCompactedDir(l: String): Boolean =
+        compactedDirs(new Path(entryPath(l)).getParent.toString)
+      // partial superseding: only manifests contributing a file to a
+      // compacted directory are superseded; their entries OUTSIDE those
+      // directories are re-listed verbatim, every other live manifest
+      // stays live — a concurrent disjoint commit coexists
+      val touchedManifests = byManifest.collect {
+        case (n, ls) if ls.exists(inCompactedDir) => n
+      }
+      val touchedManifestSet = touchedManifests.toSet
+      val keep = byManifest
+        .filter { case (n, _) => touchedManifestSet(n) }
+        .flatMap(_._2)
+        .filterNot(inCompactedDir)
       val session = spark
       import session.implicits._
       // full-path join, same reason as mergeCommitted: basenames are not
@@ -1565,8 +1829,12 @@ object WeatherLakeV2Sink {
       val newFiles = writeRolled(rows, "compact", basePath, targetBytes,
         sortWithin = clusterExpr.map(e => e(rows)).toSeq,
         statsFields = statsFields)
-      writeManifest(basePath, s"compact-${UUID.randomUUID().toString}",
-        snapshot.map(n => s"$SupersedesPrefix$n") ++ keep ++ newFiles)
+      // no readDomain: compaction rewrites LAYOUT only — rows committed
+      // after the snapshot live in manifests this commit never touches,
+      // so a concurrent append can't invalidate it; the supersedes check
+      // alone catches a racing rewrite of the same manifests
+      publishCommit(basePath, "compact", snapshot = snapshot,
+        supersedes = touchedManifests, lines = keep ++ newFiles)
       multi.size
     }
   }

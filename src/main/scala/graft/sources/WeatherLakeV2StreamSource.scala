@@ -104,7 +104,7 @@ object WeatherLakeV2StreamSource {
     LakeOffset(names.result())
   }
 
-  class LakeStreamTable(path: String, cdc: Boolean = false)
+  class LakeStreamTable(val path: String, val cdc: Boolean = false)
       extends Table with SupportsRead {
     override def name(): String = s"weather_lake_stream($path)"
     override def schema(): StructType = if (cdc) CdcSchema else Schema
@@ -126,10 +126,58 @@ object WeatherLakeV2StreamSource {
         //                                  manifest set (filesAsOf)
         // Both honor supersedes within the pinned set and fail loudly
         // past the vacuum horizon, exactly like readAsOf.
-        override def toBatch: Batch = new Batch {
-          if (cdc) throw new IllegalArgumentException(
-            "readChangeFeed is a STREAMING read option; batch CDF is " +
-              "changesBetween (two snapshots) or readNewChanges (a cursor)")
+        // batch CHANGE-FEED face — the `table_changes(tbl, start, end)`
+        // role, reachable from plain SQL via CREATE TEMPORARY VIEW ...
+        // OPTIONS (readChangeFeed 'true', startingVersion 'N'
+        // [, endingVersion 'M']): per-commit classified changes of the
+        // INCLUSIVE version range over the commit history (the same
+        // axis as snapshotVersion), routed exactly like the streaming
+        // feed — appends as inserts, row-level commits via their change
+        // logs (loud without one), layout-only commits contributing
+        // nothing. Only the range's commits are opened: O(changed
+        // commits) IO, never O(table). Incoherent ranges fail loudly.
+        private def cdcBatch(options: CaseInsensitiveStringMap): Batch = new Batch {
+          private val partitions: Array[InputPartition] = {
+            def version(name: String): Option[Int] =
+              Option(options.get(name)).map { v =>
+                v.toIntOption.getOrElse(throw new IllegalArgumentException(
+                  s"$name must be an integer, got '$v'"))
+              }
+            val history = WeatherLakeV2Sink.manifestHistory(path)
+            val start = version("startingVersion").getOrElse(
+              throw new IllegalArgumentException(
+                "batch readChangeFeed requires startingVersion (the " +
+                  "table_changes range start); streaming reads may omit it"))
+            val end = version("endingVersion").getOrElse(history.size - 1)
+            if (start < 0 || end >= history.size || start > end)
+              throw new IllegalArgumentException(
+                s"batch readChangeFeed: incoherent version range " +
+                  s"[$start, $end] over a history of ${history.size} " +
+                  s"commits (valid versions: 0..${history.size - 1}, " +
+                  "start <= end)")
+            val fs = new Path(path).getFileSystem(new Configuration())
+            val mdir = new Path(path, WeatherLakeV2Sink.ManifestDir)
+            history.slice(start, end + 1).flatMap { n =>
+              val p = new Path(mdir, n)
+              val commitTs = fs.getFileStatus(p).getModificationTime
+              val in = fs.open(p)
+              val lines =
+                try scala.io.Source.fromInputStream(in, "UTF-8")
+                  .getLines().toList
+                finally in.close()
+              WeatherLakeV2Sink.checkFormatVersion(n, lines)
+              val dataFiles = lines
+                .filter(l => l.nonEmpty && !l.startsWith("#"))
+                .map(WeatherLakeV2Sink.entryPath)
+              cdcPartitions(n, commitTs, lines, dataFiles)
+            }.toArray
+          }
+          override def planInputPartitions(): Array[InputPartition] = partitions
+          override def createReaderFactory(): PartitionReaderFactory =
+            new LakeCdcFileReaderFactory
+        }
+
+        override def toBatch: Batch = if (cdc) cdcBatch(options) else new Batch {
           private val files = {
             val asOf = Option(options.get("asOfManifests"))
               .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
@@ -200,9 +248,42 @@ object WeatherLakeV2StreamSource {
       * move — a change-feed consumer usually wants future commits, not
       * a genesis replay). The engine checkpoints this offset, so
       * restarts resume from it rather than re-evaluating "latest".
+      *
+      * A fresh EARLIEST change-feed bootstrap additionally requires the
+      * COMPLETE commit chain: every manifest named in a `#supersedes`
+      * directive must still be present, because the feed reconstructs
+      * state from the original commits — a layout-only checkpoint or
+      * compact manifest re-lists rows but contributes no changes, so if
+      * vacuum already reclaimed the commits it superseded, a fresh
+      * stream would silently deliver NOTHING (or a partial history) for
+      * a non-empty table. Fail loudly instead (Delta's
+      * CDF-start-before-retention error): start at `latest`, or
+      * bootstrap from a snapshot read plus `startingAt = latest`.
       */
-    override def initialOffset(): Offset =
+    override def initialOffset(): Offset = {
+      if (cdc && !startLatest) {
+        val present = WeatherLakeV2Sink.manifestNames(path).toSet
+        val fs = new Path(path).getFileSystem(new Configuration())
+        val mdir = new Path(path, WeatherLakeV2Sink.ManifestDir)
+        val supersededNames = present.toSeq.flatMap { n =>
+          val in = fs.open(new Path(mdir, n))
+          val lines =
+            try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+            finally in.close()
+          lines.filter(_.startsWith(WeatherLakeV2Sink.SupersedesPrefix))
+            .map(_.stripPrefix(WeatherLakeV2Sink.SupersedesPrefix).trim)
+        }
+        val missing = supersededNames.filterNot(present).distinct.sorted
+        if (missing.nonEmpty) throw new IllegalStateException(
+          "WeatherLakeV2StreamSource: readChangeFeed from 'earliest' " +
+            "predates the vacuum horizon — superseded commits " +
+            s"${missing.mkString(", ")} were reclaimed, so the feed " +
+            "cannot reconstruct the table's history. Start with " +
+            "startingAt = 'latest' (bootstrapping state from a snapshot " +
+            "read) instead.")
+      }
       LakeOffset(if (startLatest) targetSet else Set.empty)
+    }
 
     // fixed at query start under AvailableNow: the drain target
     @volatile private var availableNowTarget: Option[Set[String]] = None
@@ -281,37 +362,11 @@ object WeatherLakeV2StreamSource {
         val lines =
           try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
           finally in.close()
+        WeatherLakeV2Sink.checkFormatVersion(n, lines)
         val dataFiles = lines.filter(l => l.nonEmpty && !l.startsWith("#"))
           .map(WeatherLakeV2Sink.entryPath)
         if (!cdc) dataFiles.map(LakeFilePartition(_): InputPartition)
-        else {
-          // CHANGE-FEED routing, by the manifest's role in the format:
-          //  - layout-only maintenance (compact/checkpoint re-list the
-          //    same rows under new paths) contributes NO changes;
-          //  - row-level maintenance ships its classified change log
-          //    (#changes directives, atomic with the commit) — without
-          //    one the delta is unrecoverable from the manifest alone,
-          //    so fail loudly rather than replay re-listed survivors as
-          //    phantom inserts;
-          //  - anything else is an append: its data files ARE the
-          //    inserts.
-          val changes = WeatherLakeV2Sink.changePaths(lines)
-          val layoutOnly = n.startsWith("manifest-compact-") ||
-            n.startsWith("manifest-checkpoint-")
-          val rowLevel = n.startsWith("manifest-merge-") ||
-            n.startsWith("manifest-delete-") || n.startsWith("manifest-update-")
-          if (layoutOnly) Seq.empty
-          else if (changes.nonEmpty)
-            changes.map(LakeCdcFilePartition(_, insertData = false,
-              commit = n, commitTs = commitTs): InputPartition)
-          else if (rowLevel) throw new IllegalStateException(
-            s"WeatherLakeV2StreamSource: $n is a row-level maintenance " +
-              "commit without a change log — run the operation with " +
-              "changeLog = true, or consume readNewChanges instead")
-          else dataFiles.map(
-            LakeCdcFilePartition(_, insertData = true,
-              commit = n, commitTs = commitTs): InputPartition)
-        }
+        else cdcPartitions(n, commitTs, lines, dataFiles)
       }.toArray
     }
 
@@ -320,6 +375,44 @@ object WeatherLakeV2StreamSource {
 
     override def commit(end: Offset): Unit = ()
     override def stop(): Unit = ()
+  }
+
+  /** CHANGE-FEED routing of one commit, by the manifest's declared
+    * operation (the `#op` directive — authoritative; the name prefix is
+    * only the fallback for pre-directive manifests, so a user append
+    * whose manifestId merely LOOKS like `compact-x` can no longer
+    * silently contribute nothing, nor a `merge-x` one make the stream
+    * throw). Shared by the streaming change feed and the batch
+    * `table_changes`-style version-range face:
+    *  - layout-only maintenance (compact/checkpoint re-list the same
+    *    rows under new paths) contributes NO changes;
+    *  - row-level maintenance ships its classified change log
+    *    (#changes directives, atomic with the commit) — without one the
+    *    delta is unrecoverable from the manifest alone, so fail loudly
+    *    rather than replay re-listed survivors as phantom inserts;
+    *  - anything else is an append: its data files ARE the inserts.
+    */
+  private[sources] def cdcPartitions(n: String, commitTs: Long,
+      lines: Seq[String], dataFiles: Seq[String]): Seq[InputPartition] = {
+    val changes = WeatherLakeV2Sink.changePaths(lines)
+    val op = WeatherLakeV2Sink.manifestOp(lines).getOrElse {
+      // legacy manifests (no #op): fall back to the name convention
+      Seq("compact", "checkpoint", "merge", "delete", "update")
+        .find(o => n.startsWith(s"manifest-$o-")).getOrElse("append")
+    }
+    val layoutOnly = op == "compact" || op == "checkpoint"
+    val rowLevel = op == "merge" || op == "delete" || op == "update"
+    if (layoutOnly) Seq.empty
+    else if (changes.nonEmpty)
+      changes.map(LakeCdcFilePartition(_, insertData = false,
+        commit = n, commitTs = commitTs): InputPartition)
+    else if (rowLevel) throw new IllegalStateException(
+      s"WeatherLakeV2StreamSource: $n is a row-level maintenance " +
+        "commit without a change log — run the operation with " +
+        "changeLog = true, or consume readNewChanges instead")
+    else dataFiles.map(
+      LakeCdcFilePartition(_, insertData = true,
+        commit = n, commitTs = commitTs): InputPartition)
   }
 
   final case class LakeFilePartition(file: String) extends InputPartition

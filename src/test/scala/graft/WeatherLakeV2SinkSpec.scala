@@ -3,6 +3,8 @@ package graft
 import java.io.File
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.weather.Weather
@@ -1309,6 +1311,89 @@ class WeatherLakeV2SinkSpec extends SparkSpec {
     assert(merged == Seq("""{"k":1}""", """{"k":2,"u":1}"""), merged.toString)
   }
 
+  test("scan↔manifest join keys agree on AUTHORITY-bearing URIs: both " +
+      "sides strip scheme+authority to the raw path (a scheme-only " +
+      "strip would turn hdfs://nn:8020/p into /nn:8020/p and the " +
+      "maintenance join would silently match zero rows)") {
+    import graft.sources.WeatherLakeV2Sink
+    // (manifest entry string: literal characters, as the writer records
+    //  them; input_file_name() report: URL-encoded URI; the shared key)
+    val cases = Seq(
+      ("hdfs://nn:8020/warehouse/lake/city=a/part-1.json",
+        "hdfs://nn:8020/warehouse/lake/city=a/part-1.json",
+        "/warehouse/lake/city=a/part-1.json"),
+      ("s3a://bucket/lake/city=new york/part-2.json",
+        "s3a://bucket/lake/city=new%20york/part-2.json",
+        "/lake/city=new%20york/part-2.json"),
+      ("file:///tmp/lake/part-3.json", "file:///tmp/lake/part-3.json",
+        "/tmp/lake/part-3.json"),
+      ("file:/tmp/lake/part-4.json", "file:/tmp/lake/part-4.json",
+        "/tmp/lake/part-4.json"),
+      ("/tmp/lake/part-5.json", "file:/tmp/lake/part-5.json",
+        "/tmp/lake/part-5.json"))
+    cases.foreach { case (entry, reported, want) =>
+      // the column side (what input_file_name feeds) …
+      assert(WeatherLakeV2Sink.stripSchemeAuthority(reported) == want,
+        s"stripSchemeAuthority($reported)")
+      // … and the manifest-entry side must produce the SAME key
+      assert(WeatherLakeV2Sink.manifestJoinKey(entry) == want,
+        s"manifestJoinKey($entry)")
+    }
+  }
+
+  test("reserved maintenance manifestId prefixes are rejected loudly on " +
+      "append (a masquerading id would derail pre-directive CDC routing)") {
+    val lake = Files.createTempDirectory("lakev2resv").toString
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a", "2024-01-01", "00", "{\"k\":1}"))
+      .toDF("city", "ds", "hour", "raw_json")
+    Seq("compact-x", "merge-x", "delete-1", "update-2", "checkpoint-z")
+      .foreach { id =>
+        val e = intercept[Exception] {
+          df.write.format("graft.sources.WeatherLakeV2Sink")
+            .option("manifestId", id).mode("append").save(lake)
+        }
+        def chain(t: Throwable): Seq[Throwable] =
+          Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+        assert(chain(e).exists(t => Option(t.getMessage).exists(
+          _.contains("reserved"))), s"$id: $e")
+      }
+    // non-reserved ids that merely CONTAIN a reserved word still work
+    df.write.format("graft.sources.WeatherLakeV2Sink")
+      .option("manifestId", "nightly-merge-feed").mode("append").save(lake)
+    assert(graft.sources.WeatherLakeV2Sink.readCommitted(spark, lake)
+      .count() == 1)
+  }
+
+  test("manifest format versioning: new manifests carry '#format 1'; a " +
+      "manifest declaring a FUTURE version fails every reader loudly") {
+    import graft.sources.WeatherLakeV2Sink
+    val lake = Files.createTempDirectory("lakev2fmt").toString
+    val s = spark
+    import s.implicits._
+    Seq(("a", "2024-01-01", "00", "{\"k\":1}"))
+      .toDF("city", "ds", "hour", "raw_json")
+      .write.format("graft.sources.WeatherLakeV2Sink").mode("append").save(lake)
+    val mdir = java.nio.file.Path.of(lake, WeatherLakeV2Sink.ManifestDir)
+    val manifest = java.nio.file.Files.list(mdir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("manifest-")).toSeq.head
+    val lines = java.nio.file.Files.readAllLines(
+      mdir.resolve(manifest)).asScala.toSeq
+    assert(lines.head == s"${WeatherLakeV2Sink.FormatPrefix}${WeatherLakeV2Sink.FormatVersion}",
+      lines.toString)
+    // directives stay invisible to data readers
+    assert(WeatherLakeV2Sink.readCommitted(spark, lake).count() == 1)
+    // a future-format manifest (written by a newer writer) poisons the
+    // lake for THIS reader — loudly, never silently misparsed
+    java.nio.file.Files.write(mdir.resolve("manifest-future.txt"),
+      "#format 2\nsome-unintelligible-v2-layout\n".getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] {
+      WeatherLakeV2Sink.readCommitted(spark, lake).count()
+    }
+    assert(e.getMessage.contains("format version 2"), e.getMessage)
+  }
+
   test("stats collection unescapes JSON string values correctly " +
       "(tab, unicode escapes) — corrupted min/max would misprune") {
     import graft.sources.WeatherLakeV2Sink
@@ -1333,8 +1418,9 @@ class WeatherLakeV2SinkSpec extends SparkSpec {
         s"max=${st.max.toList}")
   }
 
-  test("merge and compact serialize on the maintenance lock: a held lock " +
-      "fails loudly, an abandoned one is broken after the lease") {
+  test("publish lock: a held lock makes a commit lose LOUDLY at publish " +
+      "(the rewrite runs lock-free), a no-op never conflicts, and an " +
+      "abandoned lock is broken only past the lease age") {
     import graft.sources.WeatherLakeV2Sink
     val lake = Files.createTempDirectory("lakev2lock").toString
     val s = spark
@@ -1343,24 +1429,127 @@ class WeatherLakeV2SinkSpec extends SparkSpec {
       .toDF("city", "ds", "hour", "raw_json")
       .write.format("graft.sources.WeatherLakeV2Sink")
       .mode("append").save(lake)
-    // simulate a running maintenance job holding the lock
+    // simulate another publisher holding the (short) publish lock
     val lockFile = new File(s"$lake/${WeatherLakeV2Sink.ManifestDir}/.maintenance.lock")
-    java.nio.file.Files.writeString(lockFile.toPath, "compact 123\n")
+    java.nio.file.Files.writeString(lockFile.toPath, "compact held-elsewhere\n")
     val delta = Seq(("a", "2024-01-01", "00", "{\"k\":1,\"v\":2}"))
       .toDF("city", "ds", "hour", "raw_json")
     intercept[java.util.ConcurrentModificationException] {
       WeatherLakeV2Sink.mergeCommitted(spark, lake, delta,
         f => get_json_object(f("raw_json"), "$.k"))
     }
-    intercept[java.util.ConcurrentModificationException] {
-      WeatherLakeV2Sink.compact(spark, lake)
-    }
-    // an abandoned lock (holder died) is broken once past the lease age
+    // optimistic discipline: an operation with NOTHING to publish never
+    // reaches the lock at all — a no-op compact (single healthy file)
+    // returns 0 instead of conflicting with the held lock
+    assert(WeatherLakeV2Sink.compact(spark, lake) == 0)
+    // the loser's rewrite files stayed unreferenced orphans: the view is
+    // unchanged
+    assert(WeatherLakeV2Sink.readCommitted(spark, lake).count() == 1)
+    // an abandoned lock (holder died) is broken once past the lease age;
+    // content is re-checked before the delete (a racing breaker's fresh
+    // token is never deleted out from under it)
     assert(lockFile.setLastModified(System.currentTimeMillis() - 3600L * 1000))
     val stats = WeatherLakeV2Sink.mergeCommitted(spark, lake, delta,
       f => get_json_object(f("raw_json"), "$.k"))
     assert(stats.touchedFiles == 1)
     assert(!lockFile.exists(), "the lock must be released after the merge")
+  }
+
+  test("optimistic concurrency: two merges over DISJOINT partitions both " +
+      "commit; an overlapping one loses loudly at publish") {
+    import graft.sources.WeatherLakeV2Sink
+    val lake = Files.createTempDirectory("lakev2occ").toString
+    val s = spark
+    import s.implicits._
+    def rows(city: String, ks: Seq[Int]): DataFrame =
+      ks.map(k => (city, "2024-01-01", "00", s"""{"k":"$city$k","v":$k}"""))
+        .toDF("city", "ds", "hour", "raw_json")
+    rows("a", Seq(1, 2)).write.format("graft.sources.WeatherLakeV2Sink")
+      .option("manifestId", "base-a").mode("append").save(lake)
+    rows("b", Seq(1, 2)).write.format("graft.sources.WeatherLakeV2Sink")
+      .option("manifestId", "base-b").mode("append").save(lake)
+    val key = (f: DataFrame) => get_json_object(f("raw_json"), "$.k")
+    // interleave two merges by hand: both snapshot the same live set,
+    // then publish one after the other — the DISJOINT pair (city=a vs
+    // city=b: separate manifests, separate partition read domains) must
+    // BOTH commit. mergeCommitted computes its snapshot internally, so
+    // the interleaving is real: merge B's snapshot predates merge A's
+    // publish? No — sequential calls here each re-snapshot; the
+    // interleaved-snapshot case is exercised below via the conflict
+    // check's own primitives. Sequential disjoint merges trivially both
+    // commit; the REAL claim is overlap detection, pinned next.
+    val sa = WeatherLakeV2Sink.mergeCommitted(spark, lake, rows("a", Seq(2, 3)), key)
+    val sb = WeatherLakeV2Sink.mergeCommitted(spark, lake, rows("b", Seq(2, 3)), key)
+    assert(sa.touchedFiles == 1 && sb.touchedFiles == 1)
+    val view = WeatherLakeV2Sink.readCommitted(spark, lake)
+      .select(get_json_object(col("value"), "$.k")).as[String].collect().toSet
+    assert(view == Set("a1", "a2", "a3", "b1", "b2", "b3"))
+    // TRUE interleaving: two threads race merges into the SAME partition
+    // (overlapping read domains). Exactly one must win; the loser dies
+    // with ConcurrentModificationException; the final view is one
+    // winner's outcome applied to the pre-race state — never a blend.
+    val before = WeatherLakeV2Sink.readCommitted(spark, lake).count()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val results = Await.result(Future.sequence(Seq("x", "y").map { tag =>
+      Future {
+        try Right(WeatherLakeV2Sink.mergeCommitted(spark, lake,
+          rows("a", Seq(7, 8)).withColumn("raw_json",
+            regexp_replace(col("raw_json"), "\"v\":", s""""tag":"$tag","v":""")),
+          key))
+        catch { case e: java.util.ConcurrentModificationException => Left(e) }
+      }
+    }), 5.minutes).toList
+    val (losers, winners) = (results.collect { case Left(e) => e },
+      results.collect { case Right(r) => r })
+    // both may win only if they serialized (one finished before the
+    // other snapshotted) — then the second's merge REPLACED the first's
+    // keys (idempotent upsert), still consistent. But a loser, when one
+    // exists, must be the loud kind, and the view must hold exactly one
+    // tag for the raced keys either way.
+    assert(winners.nonEmpty, "at least one racing merge must commit")
+    val raced = WeatherLakeV2Sink.readCommitted(spark, lake)
+      .select(col("value"))
+      .filter(get_json_object(col("value"), "$.k").isin("a7", "a8"))
+      .as[String].collect()
+    assert(raced.length == 2, s"exactly one copy per raced key: ${raced.toSeq}")
+    val tags = raced.map(v => v.substring(v.indexOf("tag"), v.indexOf("tag") + 8)).toSet
+    assert(tags.size == 1, s"the raced keys must carry ONE winner's tag, got $tags")
+    assert(WeatherLakeV2Sink.readCommitted(spark, lake).count() == before + 2)
+  }
+
+  test("optimistic concurrency: a commit whose touched manifest was " +
+      "superseded mid-flight loses loudly (stale rewrite never publishes)") {
+    import graft.sources.WeatherLakeV2Sink
+    val lake = Files.createTempDirectory("lakev2stale").toString
+    val s = spark
+    import s.implicits._
+    def rows(ks: Seq[Int]): DataFrame =
+      ks.map(k => ("a", "2024-01-01", "00", s"""{"k":$k,"v":$k}"""))
+        .toDF("city", "ds", "hour", "raw_json")
+    rows(Seq(1, 2, 3)).write.format("graft.sources.WeatherLakeV2Sink")
+      .option("manifestId", "base").mode("append").save(lake)
+    val key = (f: DataFrame) => get_json_object(f("raw_json"), "$.k")
+    // capture the pre-merge live set, run a merge (supersedes base),
+    // then hand-publish a commit claiming to supersede base AGAIN — the
+    // conflict check must refuse it
+    WeatherLakeV2Sink.mergeCommitted(spark, lake, rows(Seq(2)), key)
+    intercept[java.util.ConcurrentModificationException] {
+      WeatherLakeV2Sink.publishForTest(lake, "delete",
+        snapshot = Seq("manifest-base.txt"),
+        supersedes = Seq("manifest-base.txt"), lines = Seq.empty)
+    }
+    // and a row-level commit publishing against a snapshot that misses a
+    // NEW in-domain manifest conflicts too (write skew guard)
+    val snapBeforeAppend = WeatherLakeV2Sink.liveManifests(lake)
+    rows(Seq(9)).write.format("graft.sources.WeatherLakeV2Sink")
+      .option("manifestId", "late").mode("append").save(lake)
+    intercept[java.util.ConcurrentModificationException] {
+      WeatherLakeV2Sink.publishForTest(lake, "merge",
+        snapshot = snapBeforeAppend, supersedes = Seq.empty,
+        lines = Seq.empty, readDomain = Some(_ => true))
+    }
   }
 
   test("exactly-once replay short-circuits on the superseded manifest " +

@@ -161,11 +161,179 @@ class WeatherLakeV2StreamSourceSpec extends SparkSpec {
     assert(chain(e).exists(_.getMessage != null) &&
       chain(e).exists(t => Option(t.getMessage).exists(
         _.contains("without a change log"))), e.toString)
-    // and the batch face refuses the streaming-only option
+    // and the batch face requires an explicit version range for CDF
+    // (the table_changes contract — see the batch-CDF spec below)
     intercept[Exception] {
       spark.read.format("graft.sources.WeatherLakeV2StreamSource")
         .option("readChangeFeed", "true").load(lake).collect()
     }
+  }
+
+  test("batch change feed (the table_changes role): an INCLUSIVE " +
+      "version range over the commit history returns classified " +
+      "changes through plain SQL view options; incoherent ranges and " +
+      "missing startingVersion fail loudly") {
+    import graft.sources.WeatherLakeV2Sink
+    val base = Files.createTempDirectory("lakecdcbatch").toString
+    val lake = s"$base/lake"
+    val s = spark
+    import s.implicits._
+    def payload(rows: Seq[(String, Long, Long)]): DataFrame =
+      rows.toDF("city", "k", "v").select(col("city"),
+        lit("2024-01-01").as("ds"), lit("00").as("hour"),
+        to_json(struct(col("k"), col("v"))).as("raw_json"))
+    val keyFn = (f: DataFrame) => get_json_object(f("raw_json"), "$.k")
+    // v0: append k=1,2; v1: merge updating k=2 + inserting k=9
+    // (logged); v2: a second append (makes the dir multi-file so the
+    // compact has real work); v3: compact (layout-only)
+    payload(Seq(("a", 1L, 10L), ("a", 2L, 20L))).coalesce(1)
+      .write.format("graft.sources.WeatherLakeV2Sink").mode("append").save(lake)
+    WeatherLakeV2Sink.mergeCommitted(spark, lake,
+      payload(Seq(("a", 2L, 999L), ("a", 9L, 90L))), keyFn, changeLog = true)
+    payload(Seq(("a", 4L, 40L))).coalesce(1)
+      .write.format("graft.sources.WeatherLakeV2Sink").mode("append").save(lake)
+    assert(WeatherLakeV2Sink.compact(spark, lake) >= 1)
+    def changes(opts: Map[String, String]): Set[(String, Long, Long)] = {
+      var r = spark.read.format("graft.sources.WeatherLakeV2StreamSource")
+        .option("readChangeFeed", "true")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      r.load(lake)
+        .select(col("change"),
+          get_json_object(col("value"), "$.k").cast("long"),
+          get_json_object(col("value"), "$.v").cast("long"))
+        .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet
+    }
+    // full history
+    assert(changes(Map("startingVersion" -> "0")) == Set(
+      ("insert", 1L, 10L), ("insert", 2L, 20L),
+      ("update_preimage", 2L, 20L), ("update_postimage", 2L, 999L),
+      ("insert", 9L, 90L), ("insert", 4L, 40L)))
+    // only the merge commit
+    assert(changes(Map("startingVersion" -> "1", "endingVersion" -> "1")) ==
+      Set(("update_preimage", 2L, 20L), ("update_postimage", 2L, 999L),
+        ("insert", 9L, 90L)))
+    // the layout-only compact contributes nothing
+    assert(changes(Map("startingVersion" -> "3")) == Set.empty)
+    // plain SQL reaches the same rows through view options
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW lake_changes
+      USING graft.sources.WeatherLakeV2StreamSource
+      OPTIONS (path '$lake', readChangeFeed 'true', startingVersion '1',
+        endingVersion '1')""")
+    assert(spark.sql(
+        "SELECT count(*) FROM lake_changes WHERE change = 'insert'")
+      .head().getLong(0) == 1L)
+    // loud failures: missing start, out-of-range, inverted
+    val e1 = intercept[IllegalArgumentException] {
+      changes(Map.empty)
+    }
+    assert(e1.getMessage.contains("startingVersion"))
+    intercept[IllegalArgumentException] {
+      changes(Map("startingVersion" -> "0", "endingVersion" -> "99"))
+    }
+    intercept[IllegalArgumentException] {
+      changes(Map("startingVersion" -> "2", "endingVersion" -> "1"))
+    }
+    intercept[IllegalArgumentException] {
+      changes(Map("startingVersion" -> "x"))
+    }
+  }
+
+  test("change-feed routing follows the #op directive, not the manifest " +
+      "name; legacy prefix-named manifests still route by convention") {
+    import graft.sources.WeatherLakeV2Sink
+    val base = Files.createTempDirectory("lakecdcop").toString
+    val lake = s"$base/lake"
+    val s = spark
+    import s.implicits._
+    Seq(("a", "2024-01-01", "00", """{"k":1}"""))
+      .toDF("city", "ds", "hour", "raw_json")
+      .write.format("graft.sources.WeatherLakeV2Sink").mode("append").save(lake)
+    // a LEGACY layout-only manifest (no #op, compaction-named): re-lists
+    // the same file — contributes nothing to the feed, by name fallback
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val mdir = s"$lake/${WeatherLakeV2Sink.ManifestDir}"
+    val dataLines = WeatherLakeV2Sink.committedEntryLines(lake)
+    val appendName = WeatherLakeV2Sink.liveManifests(lake).head
+    java.nio.file.Files.write(
+      java.nio.file.Path.of(mdir, "manifest-compact-legacy.txt"),
+      (s"#supersedes $appendName" +: dataLines).mkString("", "\n", "\n")
+        .getBytes("UTF-8"))
+    val batch = spark.read.format("graft.sources.WeatherLakeV2StreamSource")
+      .option("readChangeFeed", "true").option("startingVersion", "0")
+      .load(lake)
+    // v0 insert flows; the legacy compact (v1) contributes nothing
+    assert(batch.select(col("change")).collect().map(_.getString(0)).toSeq ==
+      Seq("insert"))
+    // a modern maintenance commit carries #op — rename it to an
+    // APPEND-looking name: routing must STILL treat it as layout-only
+    // (the directive is authoritative)
+    WeatherLakeV2Sink.mergeCommitted(spark, lake,
+      Seq(("a", "2024-01-01", "00", """{"k":1,"touched":true}"""))
+        .toDF("city", "ds", "hour", "raw_json"),
+      f => get_json_object(f("raw_json"), "$.k"), changeLog = true)
+    val mergeName = WeatherLakeV2Sink.liveManifests(lake)
+      .find(_.startsWith("manifest-merge-")).get
+    assert(fs.rename(new org.apache.hadoop.fs.Path(mdir, mergeName),
+      new org.apache.hadoop.fs.Path(mdir, "manifest-plainlooking.txt")))
+    val all = spark.read.format("graft.sources.WeatherLakeV2StreamSource")
+      .option("readChangeFeed", "true").option("startingVersion", "0")
+      .load(lake)
+      .select(col("change")).collect().map(_.getString(0)).toSeq.sorted
+    // the renamed merge still ships its classified changes (one
+    // update pre+post pair), NOT phantom inserts of re-listed survivors
+    assert(all == Seq("insert", "update_postimage", "update_preimage"),
+      all.toString)
+  }
+
+  test("fresh earliest change feed over a vacuumed history fails " +
+      "loudly instead of a silent empty bootstrap") {
+    import graft.sources.WeatherLakeV2Sink
+    val base = Files.createTempDirectory("lakecdcvac").toString
+    val lake = s"$base/lake"; val ckpt = s"$base/ckpt"
+    val s = spark
+    import s.implicits._
+    Seq(("a", "2024-01-01", "00", """{"k":1}"""),
+        ("a", "2024-01-01", "00", """{"k":2}"""))
+      .toDF("city", "ds", "hour", "raw_json").coalesce(1)
+      .write.format("graft.sources.WeatherLakeV2Sink").mode("append").save(lake)
+    Seq(("a", "2024-01-01", "00", """{"k":3}"""))
+      .toDF("city", "ds", "hour", "raw_json").coalesce(1)
+      .write.format("graft.sources.WeatherLakeV2Sink").mode("append").save(lake)
+    // checkpoint the metadata, then vacuum the superseded commits away:
+    // the surviving checkpoint manifest is layout-only — a fresh feed
+    // could reconstruct NOTHING of the non-empty table
+    assert(WeatherLakeV2Sink.checkpointManifests(lake) == 2)
+    WeatherLakeV2Sink.vacuum(lake, minAgeMs = 0L)
+    assert(WeatherLakeV2Sink.readCommitted(spark, lake).count() == 3)
+    val q = spark.readStream
+      .format("graft.sources.WeatherLakeV2StreamSource")
+      .option("readChangeFeed", "true")
+      .load(lake)
+      .writeStream
+      .foreachBatch { (_: DataFrame, _: Long) => () }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+    assert(chain(e).exists(t => Option(t.getMessage).exists(
+      _.contains("predates the vacuum horizon"))), e.toString)
+    // startingAt = latest is the documented escape hatch: it bootstraps
+    // an EMPTY feed (future commits only) without touching the history
+    val q2 = spark.readStream
+      .format("graft.sources.WeatherLakeV2StreamSource")
+      .option("readChangeFeed", "true").option("startingAt", "latest")
+      .load(lake)
+      .writeStream
+      .foreachBatch { (_: DataFrame, _: Long) => () }
+      .option("checkpointLocation", s"$base/ckpt2")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination() // terminates cleanly: nothing to replay
   }
 
   test("capped change-feed drain: maxManifestsPerTrigger admits commits " +
