@@ -370,6 +370,30 @@ object SparkEntry {
       p
     })
 
+  /** The SQL-DML queries' own committed lakes (one per verb — q97's
+    * MERGE INTO, q98's DELETE FROM, q99's UPDATE must never disturb the
+    * Scala-API fixtures q89–q96 pin expectations on). Same base ingest,
+    * content-addressed per corpus, exactly-once "base" manifest.
+    */
+  private val sqlLakeCaches =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def sqlDmlBaseLake(s: SparkSession, dir: String, kind: String): String =
+    sqlLakeCaches.getOrElseUpdate(s"$kind#${System.identityHashCode(s)}#$dir", {
+      val docs = Tables.documents(s, dir)
+      val sig = graft.similarity.ModelExport.corpusSig(docs, "doc_id")
+      val p = s"/tmp/graft_${kind}_sql_lake/sig=$sig"
+      if (!graft.sources.WeatherLakeV2Sink.manifestExists(p, "base")) {
+        docs.select(
+            col("source").as("city"), lit("2024-01-01").as("ds"),
+            format_string("%02d", col("doc_id") % 24).as("hour"),
+            to_json(struct(col("doc_id"),
+              col("doc_id").cast("long").as("val"))).as("raw_json"))
+          .write.format("graft.sources.WeatherLakeV2Sink")
+          .option("manifestId", "base").mode("append").save(p)
+      }
+      p
+    })
+
   /** One curation-pipeline run per (session, corpus dir), shared by every
     * consumer of its outputs — p01 reads chunks, p02 the lineage, p03 the
     * per-source card. Same discipline as [[dedupComponents]]: a production
@@ -5691,6 +5715,105 @@ object SparkEntry {
           .select(
             get_json_object(col("value"), "$.doc_id").cast("long").as("doc_id"),
             get_json_object(col("value"), "$.val").cast("long").as("val"))
+      }),
+
+    QueryDef("q97_lake_merge_sql",
+      "MERGE INTO as ONE SQL STATEMENT — the reference's upsert idiom " +
+        "verbatim (its load IS SQL text: INSERT ... ON CONFLICT DO " +
+        "UPDATE, load_to_postgres.py:90-102): the injected LakeDmlParser " +
+        "lets Spark's grammar produce the catalyst MergeIntoTable, then " +
+        "swaps it for a command dispatching to the native copy-on-write " +
+        "mergeCommitted — same optimistic-concurrency, " +
+        "partial-superseding, candidate-pruned plan as q89, now reachable " +
+        "by a SQL-first user through a CREATE TEMPORARY VIEW lake view. " +
+        "Unsupported MERGE shapes fail loudly (spec-pinned). The oracle " +
+        "replays the upsert relationally, exactly q89's truth.",
+      Some("""WITH upd AS (SELECT doc_id, CAST(doc_id * 2 AS BIGINT) AS val
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |merged AS (
+        |  SELECT b.doc_id, COALESCE(u.val, CAST(b.doc_id AS BIGINT)) AS val
+        |  FROM documents b LEFT JOIN upd u ON b.doc_id = u.doc_id
+        |  UNION ALL
+        |  SELECT CAST(-1 - doc_id AS BIGINT) AS doc_id,
+        |    CAST(-1 - doc_id AS BIGINT) AS val
+        |  FROM documents WHERE doc_id < 25)
+        |SELECT doc_id, val FROM merged""".stripMargin),
+      (s, dir) => {
+        val p = sqlDmlBaseLake(s, dir, "merge")
+        s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW lake_merge_sql
+          USING graft.sources.WeatherLakeV2StreamSource
+          OPTIONS (path '$p')""")
+        docsMergeDelta(s, dir).createOrReplaceTempView("lake_merge_sql_delta")
+        s.sql("""MERGE INTO lake_merge_sql t USING lake_merge_sql_delta s
+          ON get_json_object(t.value, '$.doc_id') =
+             get_json_object(s.raw_json, '$.doc_id')
+          WHEN MATCHED THEN UPDATE SET value = s.raw_json
+          WHEN NOT MATCHED THEN
+            INSERT (city, ds, hour, value) VALUES (s.city, s.ds, s.hour, s.raw_json)""")
+        s.sql("""SELECT CAST(get_json_object(value, '$.doc_id') AS BIGINT) AS doc_id,
+          CAST(get_json_object(value, '$.val') AS BIGINT) AS val
+          FROM lake_merge_sql""")
+      }),
+
+    QueryDef("q98_lake_delete_sql",
+      "DELETE FROM as one SQL statement over the lake view (the GDPR " +
+        "erasure a SQL-first user writes): parsed by Spark's own grammar, " +
+        "dispatched by the LakeDmlParser command to the native " +
+        "copy-on-write deleteCommitted with the WHERE expression bound " +
+        "onto the maintenance frame — NULL predicate keeps the row, " +
+        "candidates prune, untouched manifests stay live (partial " +
+        "superseding). Every pass re-arms by merging the doomed keys " +
+        "back (q93's discipline), so the bench always measures a real " +
+        "delete while the final state stays constant. The oracle " +
+        "replays the erasure relationally.",
+      Some("""SELECT doc_id, CAST(doc_id AS BIGINT) AS val
+        |FROM documents WHERE doc_id % 5 <> 3""".stripMargin),
+      (s, dir) => {
+        val p = sqlDmlBaseLake(s, dir, "delete")
+        val docs = Tables.documents(s, dir)
+        val doomed = docs.filter(col("doc_id") % 5 === 3).select(
+          col("source").as("city"), lit("2024-01-01").as("ds"),
+          format_string("%02d", col("doc_id") % 24).as("hour"),
+          to_json(struct(col("doc_id"),
+            col("doc_id").cast("long").as("val"))).as("raw_json"))
+        graft.sources.WeatherLakeV2Sink.mergeCommitted(s, p, doomed,
+          f => get_json_object(f("raw_json"), "$.doc_id"))
+        s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW lake_delete_sql
+          USING graft.sources.WeatherLakeV2StreamSource
+          OPTIONS (path '$p')""")
+        s.sql("""DELETE FROM lake_delete_sql
+          WHERE CAST(get_json_object(value, '$.doc_id') AS BIGINT) % 5 = 3""")
+        s.sql("""SELECT CAST(get_json_object(value, '$.doc_id') AS BIGINT) AS doc_id,
+          CAST(get_json_object(value, '$.val') AS BIGINT) AS val
+          FROM lake_delete_sql""")
+      }),
+
+    QueryDef("q99_lake_update_sql",
+      "UPDATE ... SET ... WHERE as one SQL statement over the lake view " +
+        "(backfills and unit fixes as a SQL-first user writes them): " +
+        "Spark's grammar parses, the LakeDmlParser command dispatches to " +
+        "the native copy-on-write updateCommitted with the SET expression " +
+        "as the row transform — q96's semantics (transform derives from " +
+        "the key, so every pass re-runs a real update with a constant " +
+        "final state) through pure SQL text. Only the payload column is " +
+        "assignable (the lake row IS one JSON line) — other shapes fail " +
+        "loudly. The oracle replays the transform relationally.",
+      Some("""SELECT doc_id, CAST(CASE WHEN doc_id % 9 = 4
+        |  THEN doc_id * 10 ELSE doc_id END AS BIGINT) AS val
+        |FROM documents""".stripMargin),
+      (s, dir) => {
+        val p = sqlDmlBaseLake(s, dir, "update")
+        s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW lake_update_sql
+          USING graft.sources.WeatherLakeV2StreamSource
+          OPTIONS (path '$p')""")
+        s.sql("""UPDATE lake_update_sql
+          SET value = to_json(named_struct(
+            'doc_id', CAST(get_json_object(value, '$.doc_id') AS BIGINT),
+            'val', CAST(get_json_object(value, '$.doc_id') AS BIGINT) * 10))
+          WHERE CAST(get_json_object(value, '$.doc_id') AS BIGINT) % 9 = 4""")
+        s.sql("""SELECT CAST(get_json_object(value, '$.doc_id') AS BIGINT) AS doc_id,
+          CAST(get_json_object(value, '$.val') AS BIGINT) AS val
+          FROM lake_update_sql""")
       })
   )
 

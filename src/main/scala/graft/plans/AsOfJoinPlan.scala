@@ -820,6 +820,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => AsOfJoinOptimizations)
     ext.injectParser((_, delegate) => new AsOfSqlParser(delegate))
+    // DML statements (MERGE INTO / DELETE FROM / UPDATE) over lake views
+    // dispatch to the native copy-on-write operations; parser order is
+    // immaterial — each wrapper passes non-matching statements through
+    ext.injectParser((_, delegate) => new LakeDmlParser(delegate))
     ext.injectResolutionRule(_ => AsOfSqlResolution)
     ext.injectFunction(AsOfSqlParser.epochUsFunction)
     // the scalar-function leg of the SQL surface: every graft codegen'd

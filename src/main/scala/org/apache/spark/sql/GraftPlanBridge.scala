@@ -14,6 +14,17 @@ object GraftPlanBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     ClassicDataset.ofRows(spark.asInstanceOf[ClassicSparkSession], plan)
 
+  /** Column ⇄ catalyst Expression, the Spark-4 bridge (`ExpressionUtils`
+    * is `private[sql]` since the Column/ColumnNode split): what lets a
+    * parser-level DML rewrite bind statement expressions onto a
+    * DataFrame's columns.
+    */
+  def columnOf(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  def expressionOf(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
   /** Test-only peek: the strategies a [[SparkSessionExtensions]] instance
     * would inject (`buildPlannerStrategies` is `private[sql]`).
     */

@@ -1,0 +1,187 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SQL DML over the manifest lake (LakeDmlParser): MERGE INTO / DELETE
+  * FROM / UPDATE statements dispatch to the native copy-on-write ops;
+  * unsupported shapes and non-lake targets fail loudly.
+  */
+class LakeDmlSqlSpec extends SparkSpec {
+
+  private def freshLake(rows: Seq[(String, Long, Long)]): String = {
+    val lake = Files.createTempDirectory("lakedml").toString
+    val s = spark
+    import s.implicits._
+    rows.toDF("city", "k", "v").select(col("city"),
+        lit("2024-01-01").as("ds"), lit("00").as("hour"),
+        to_json(struct(col("k"), col("v"))).as("raw_json"))
+      .coalesce(1)
+      .write.format("graft.sources.WeatherLakeV2Sink")
+      .mode("append").save(lake)
+    lake
+  }
+
+  private def view(lake: String, name: String, extra: String = ""): Unit =
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW $name
+      USING graft.sources.WeatherLakeV2StreamSource
+      OPTIONS (path '$lake'$extra)""")
+
+  private def state(name: String): Map[Long, Long] =
+    spark.sql(s"""SELECT CAST(get_json_object(value, '$$.k') AS BIGINT) AS k,
+        CAST(get_json_object(value, '$$.v') AS BIGINT) AS v FROM $name""")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("DELETE FROM removes matching rows copy-on-write and returns the " +
+      "operation stats; NULL predicates keep rows") {
+    val lake = freshLake(Seq(("a", 1L, 10L), ("a", 2L, 20L), ("b", 3L, 30L)))
+    view(lake, "dml_del")
+    val stats = spark.sql(
+      "DELETE FROM dml_del WHERE CAST(get_json_object(value, '$.k') AS BIGINT) = 2")
+    assert(stats.columns.toSeq == Seq("touched_files", "new_files", "deleted_rows"))
+    assert(stats.collect().head.getLong(2) == 1L)
+    assert(state("dml_del") == Map(1L -> 10L, 3L -> 30L))
+    // a predicate NULL on some rows (absent field) keeps them — SQL
+    // DELETE null semantics ride through the binding
+    spark.sql(
+      "DELETE FROM dml_del WHERE CAST(get_json_object(value, '$.absent') AS BIGINT) > 0")
+    assert(state("dml_del") == Map(1L -> 10L, 3L -> 30L))
+  }
+
+  test("UPDATE SET value = <expr> WHERE <pred> transforms matching rows " +
+      "in place; only the payload column is assignable") {
+    val lake = freshLake(Seq(("a", 1L, 10L), ("a", 2L, 20L)))
+    view(lake, "dml_upd")
+    val stats = spark.sql("""UPDATE dml_upd
+      SET value = to_json(named_struct(
+        'k', CAST(get_json_object(value, '$.k') AS BIGINT),
+        'v', CAST(get_json_object(value, '$.v') AS BIGINT) * 100))
+      WHERE CAST(get_json_object(value, '$.k') AS BIGINT) = 1""")
+    assert(stats.collect().head.getLong(2) == 1L)
+    assert(state("dml_upd") == Map(1L -> 1000L, 2L -> 20L))
+    // assigning anything but the payload column is a loud error
+    val e = intercept[IllegalArgumentException] {
+      spark.sql("UPDATE dml_upd SET city = 'x'")
+    }
+    assert(e.getMessage.contains("payload column"), e.getMessage)
+  }
+
+  test("MERGE INTO upserts a source batch through one SQL statement " +
+      "(the reference's ON CONFLICT DO UPDATE idiom)") {
+    val lake = freshLake(Seq(("a", 1L, 10L), ("a", 2L, 20L)))
+    view(lake, "dml_merge")
+    val s = spark
+    import s.implicits._
+    Seq(("a", 2L, 999L), ("c", 9L, 90L)).toDF("city", "k", "v")
+      .select(col("city"), lit("2024-01-01").as("ds"), lit("00").as("hour"),
+        to_json(struct(col("k"), col("v"))).as("raw_json"))
+      .createOrReplaceTempView("dml_merge_src")
+    val stats = spark.sql("""MERGE INTO dml_merge t USING dml_merge_src s
+      ON get_json_object(t.value, '$.k') = get_json_object(s.raw_json, '$.k')
+      WHEN MATCHED THEN UPDATE SET value = s.raw_json
+      WHEN NOT MATCHED THEN
+        INSERT (city, ds, hour, value) VALUES (s.city, s.ds, s.hour, s.raw_json)""")
+    assert(stats.columns.toSeq == Seq("touched_files", "new_files"))
+    assert(stats.collect().head.getInt(0) == 1)
+    assert(state("dml_merge") == Map(1L -> 10L, 2L -> 999L, 9L -> 90L))
+    // idempotent: re-merging the same source converges
+    spark.sql("""MERGE INTO dml_merge t USING dml_merge_src s
+      ON get_json_object(t.value, '$.k') = get_json_object(s.raw_json, '$.k')
+      WHEN MATCHED THEN UPDATE SET value = s.raw_json
+      WHEN NOT MATCHED THEN
+        INSERT (city, ds, hour, value) VALUES (s.city, s.ds, s.hour, s.raw_json)""")
+    assert(state("dml_merge") == Map(1L -> 10L, 2L -> 999L, 9L -> 90L))
+  }
+
+  test("view options (changeLog, statsFields) parameterize the SQL DML " +
+      "operation — a SQL DELETE can feed the change-data stream") {
+    import graft.sources.WeatherLakeV2Sink
+    val lake = freshLake(Seq(("a", 1L, 10L), ("a", 2L, 20L)))
+    view(lake, "dml_opt", ", changeLog 'true', statsFields 'v'")
+    spark.sql(
+      "DELETE FROM dml_opt WHERE CAST(get_json_object(value, '$.k') AS BIGINT) = 1")
+    // the delete commit carries a change log (the #changes directive)
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val mdir = new org.apache.hadoop.fs.Path(lake, WeatherLakeV2Sink.ManifestDir)
+    val deleteManifest = WeatherLakeV2Sink.liveManifests(lake)
+      .find(_.startsWith("manifest-delete-"))
+    assert(deleteManifest.isDefined, WeatherLakeV2Sink.liveManifests(lake))
+    val lines = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(mdir, deleteManifest.get))
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    }
+    assert(WeatherLakeV2Sink.changePaths(lines).nonEmpty,
+      "changeLog 'true' on the view must carry into the operation")
+    // and statsFields refreshed per-file stats on the survivor rewrite
+    assert(WeatherLakeV2Sink.committedEntryLines(lake).exists(_.contains("\t")),
+      "statsFields 'v' on the view must measure the rewritten files")
+  }
+
+  test("unsupported shapes and non-lake targets fail LOUDLY") {
+    val lake = freshLake(Seq(("a", 1L, 10L), ("a", 2L, 20L)))
+    view(lake, "dml_loud")
+    val s = spark
+    import s.implicits._
+    // a non-lake target
+    Seq((1, "x")).toDF("id", "v").createOrReplaceTempView("plain_view")
+    val e1 = intercept[IllegalArgumentException] {
+      spark.sql("DELETE FROM plain_view WHERE id = 1")
+    }
+    assert(e1.getMessage.contains("not a lake view"), e1.getMessage)
+    // a column outside the frame
+    val e2 = intercept[IllegalArgumentException] {
+      spark.sql("DELETE FROM dml_loud WHERE nosuch = 1")
+    }
+    assert(e2.getMessage.contains("may reference only"), e2.getMessage)
+    // subqueries
+    val e3 = intercept[IllegalArgumentException] {
+      spark.sql("DELETE FROM dml_loud WHERE value IN (SELECT v FROM plain_view)")
+    }
+    assert(e3.getMessage.contains("subquer"), e3.getMessage)
+    // time travel is immutable
+    view(lake, "dml_tt", ", snapshotVersion '0'")
+    val e4 = intercept[IllegalArgumentException] {
+      spark.sql("DELETE FROM dml_tt WHERE value IS NOT NULL")
+    }
+    assert(e4.getMessage.contains("time-travel"), e4.getMessage)
+    // the change feed is not a DML target
+    view(lake, "dml_cdf", ", readChangeFeed 'true', startingVersion '0'")
+    val e5 = intercept[IllegalArgumentException] {
+      spark.sql("DELETE FROM dml_cdf WHERE value IS NOT NULL")
+    }
+    assert(e5.getMessage.contains("change-feed"), e5.getMessage)
+    // MERGE: mismatched ON sides (source keyed by a non-payload column)
+    Seq(("a", "2024-01-01", "00", """{"k":1,"v":1}""", 1L))
+      .toDF("city", "ds", "hour", "raw_json", "k")
+      .createOrReplaceTempView("dml_badsrc")
+    val e6 = intercept[IllegalArgumentException] {
+      spark.sql("""MERGE INTO dml_loud t USING dml_badsrc s
+        ON get_json_object(t.value, '$.k') = s.k
+        WHEN MATCHED THEN UPDATE SET value = s.raw_json
+        WHEN NOT MATCHED THEN
+          INSERT (city, ds, hour, value) VALUES (s.city, s.ds, s.hour, s.raw_json)""")
+    }
+    assert(e6.getMessage.contains("same function"), e6.getMessage)
+    // MERGE: NOT MATCHED BY SOURCE is not an upsert
+    val e7 = intercept[IllegalArgumentException] {
+      spark.sql("""MERGE INTO dml_loud t USING dml_badsrc s
+        ON get_json_object(t.value, '$.k') = get_json_object(s.raw_json, '$.k')
+        WHEN MATCHED THEN UPDATE SET value = s.raw_json
+        WHEN NOT MATCHED THEN
+          INSERT (city, ds, hour, value) VALUES (s.city, s.ds, s.hour, s.raw_json)
+        WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    }
+    assert(e7.getMessage.contains("NOT MATCHED BY SOURCE"), e7.getMessage)
+    // MERGE: matched action must be the full-row replacement
+    val e8 = intercept[IllegalArgumentException] {
+      spark.sql("""MERGE INTO dml_loud t USING dml_badsrc s
+        ON get_json_object(t.value, '$.k') = get_json_object(s.raw_json, '$.k')
+        WHEN MATCHED THEN DELETE""")
+    }
+    assert(e8.getMessage.contains("WHEN MATCHED THEN UPDATE"), e8.getMessage)
+  }
+}
