@@ -259,6 +259,19 @@ object SparkEntry {
       // q89) — a lake a prior build merged +10000 keys into must not be
       // reused under the new expectation
       val p = s"/tmp/graft_merge_lake_v2/sig=$sig"
+      // FIXTURE INVARIANT, enforced rather than remembered: q91 pins the
+      // base snapshot and q95 diffs from it, so this shared lake must
+      // NEVER be vacuumed or checkpointed (either would reclaim
+      // manifest-base.txt once the merges supersede it). A lake that has
+      // history but lost its base manifest is corrupted for those
+      // queries — fail loudly here, at the fixture, not as a mysterious
+      // readAsOf error three queries later.
+      val existing = graft.sources.WeatherLakeV2Sink.manifestNames(p)
+      require(existing.isEmpty || existing.contains("manifest-base.txt"),
+        s"fixture invariant violated: $p has ${existing.size} manifests but " +
+          "manifest-base.txt is gone — something vacuumed/checkpointed the " +
+          "shared merge lake (q91/q95 pin its base snapshot). Delete the " +
+          "lake directory and re-run to rebuild it.")
       if (!graft.sources.WeatherLakeV2Sink.manifestExists(p, "base")) {
         docs.select(
             col("source").as("city"), lit("2024-01-01").as("ds"),

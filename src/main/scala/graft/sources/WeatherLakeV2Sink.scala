@@ -520,6 +520,78 @@ object WeatherLakeV2Sink {
     }
   }
 
+  /** `APPLY CHANGES INTO` — the consuming half of the change-data feed
+    * (the DLT/Delta medallion move): a `foreachBatch` body that merges a
+    * `readChangeFeed` STREAM from a bronze lake into a downstream silver
+    * lake, keyed last-write-wins with delete handling, exactly-once per
+    * epoch.
+    *
+    * {{{
+    * spark.readStream.format("graft.sources.WeatherLakeV2StreamSource")
+    *   .option("readChangeFeed", "true").load(bronze)
+    *   .writeStream.foreachBatch(
+    *     WeatherLakeV2Sink.applyChangesWriter(silver, "bronze-to-silver",
+    *       key = f => get_json_object(f("raw_json"), "$.k"),
+    *       route = v => (get_json_object(v, "$.city"), lit("2024-01-01"),
+    *         lit("00"))))
+    *   .option("checkpointLocation", ckpt).start()
+    * }}}
+    *
+    * Per epoch: preimages drop, the LAST change per key in commit order
+    * (commit_ts, commit — the same axis the stream admits by) wins, and
+    * the net inserts/updates/deletes apply as ONE [[mergeCommitted]]
+    * commit with `deleteMatched` marking the delete rows — O(epoch
+    * changes) work, one silver manifest, no driver-side key lists.
+    * `route` derives the silver partition (city, ds, hour) from the
+    * payload column — for delete rows it sees the preimage, which lands
+    * the delete in the stored copy's own partition (the
+    * partition-immutability contract).
+    *
+    * Exactly-once: a hidden per-epoch marker under the silver manifest
+    * dir short-circuits replayed epochs; and even a replay that races
+    * past the marker (crash between merge and marker) is harmless —
+    * re-merging the same net changes is idempotent, and the identical-
+    * line suppression means silver's OWN change log emits nothing on the
+    * replay, so downstream consumers never see a duplicate epoch.
+    */
+  def applyChangesWriter(silverPath: String, streamId: String,
+      key: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Column,
+      route: org.apache.spark.sql.Column => (org.apache.spark.sql.Column,
+        org.apache.spark.sql.Column, org.apache.spark.sql.Column),
+      targetBytes: Long = 128L * 1024 * 1024,
+      statsFields: Seq[String] = Nil,
+      changeLog: Boolean = false):
+      (org.apache.spark.sql.DataFrame, Long) => Unit = (epoch, epochId) => {
+    import org.apache.spark.sql.functions.{col, row_number}
+    val fs = new Path(silverPath).getFileSystem(new Configuration())
+    val marker = new Path(new Path(silverPath, ManifestDir),
+      f".apply-$streamId-b$epochId%09d")
+    if (!fs.exists(marker)) {
+      val tagged = epoch.filter(col("change") =!= "update_preimage")
+        .withColumn("raw_json", col("value"))
+      val keyed = tagged.withColumn("__k", key(tagged))
+      val last = keyed.withColumn("__rn",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("__k"))
+            .orderBy(col("commit_ts").desc, col("commit").desc)))
+        .filter(col("__rn") === 1)
+      val (cityC, dsC, hourC) = route(col("value"))
+      val batch = last.select(cityC.as("city"), dsC.as("ds"),
+        hourC.as("hour"), col("value").as("raw_json"),
+        (col("change") === "delete").as("__delete"))
+      // an all-preimage (or empty) epoch publishes nothing — the marker
+      // alone records progress, no empty manifest churn
+      if (!batch.isEmpty)
+        mergeCommitted(epoch.sparkSession, silverPath, batch, key,
+          targetBytes = targetBytes, statsFields = statsFields,
+          changeLog = changeLog,
+          deleteMatched = Some(df => df("__delete")))
+      fs.mkdirs(marker.getParent)
+      val out = fs.create(marker, true)
+      try out.write("applied\n".getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   // -----------------------------------------------------------------
   // manifest-cursor incremental reader
   // -----------------------------------------------------------------
@@ -1288,12 +1360,24 @@ object WeatherLakeV2Sink {
     * files keep their original entry lines either way), so merging never
     * erodes the stats-skipping layer.
     */
+  /** `deleteMatched` (evaluated over the BATCH frame) marks rows whose
+    * key must be REMOVED instead of upserted — the MERGE delete action
+    * (`WHEN MATCHED AND src.op = 'D' THEN DELETE`), which is what lets a
+    * change-feed consumer apply an epoch's net inserts+updates+deletes
+    * as ONE commit ([[applyChangesWriter]]). Delete rows participate in
+    * touch detection (their keys find their files) and in the survivor
+    * anti-join (the old copy goes away), but are excluded from the
+    * rewrite union (nothing comes back); a delete row whose key does not
+    * exist is a no-op. Distributed throughout — no driver-side key list.
+    */
   def mergeCommitted(spark: org.apache.spark.sql.SparkSession,
       basePath: String, batch: org.apache.spark.sql.DataFrame,
       key: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Column,
       targetBytes: Long = 128L * 1024 * 1024,
       statsFields: Seq[String] = Nil,
-      changeLog: Boolean = false): MergeStats = {
+      changeLog: Boolean = false,
+      deleteMatched: Option[org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.Column] = None): MergeStats = {
       import org.apache.spark.sql.functions.{col, lit}
       require(targetBytes > 0, "targetBytes must be positive")
       val snapshotNames = liveManifests(basePath)
@@ -1351,8 +1435,13 @@ object WeatherLakeV2Sink {
         .filter { case (n, _) => touchedManifestSet(n) }
         .flatMap(_._2)
         .filterNot(l => touchedSet(entryPath(l)))
-      // 3. survivors of touched files + the batch, routed to directories
-      val batchRouted = batch.select(
+      // 3. survivors of touched files + the batch's UPSERT rows (delete
+      // rows removed their committed copy via the anti-join above and
+      // bring nothing back), routed to directories
+      def isDelete(df: org.apache.spark.sql.DataFrame) =
+        deleteMatched.map(d => org.apache.spark.sql.functions.coalesce(
+          d(df), lit(false))).getOrElse(lit(false))
+      val batchRouted = batch.filter(!isDelete(batch)).select(
         org.apache.spark.sql.functions.concat_ws("/", lit(basePath),
           org.apache.spark.sql.functions.concat(lit("city="), col("city")),
           org.apache.spark.sql.functions.concat(lit("ds="), col("ds")),
@@ -1381,17 +1470,22 @@ object WeatherLakeV2Sink {
           // change (the q89 doc_id-0 rule)
           val changes =
             if (touched.isEmpty)
-              batch.select(lit("insert").as("change"),
+              // no committed key matched: upsert rows are inserts, delete
+              // rows were no-ops
+              batch.filter(!isDelete(batch)).select(lit("insert").as("change"),
                 col("raw_json").as("value"))
             else {
               val tf2 = framedLines(spark, basePath, touched)
               val oldKeyed = tf2.withColumn("__key", key(tf2))
                 .select(col("__key"), col("value").as("__old"))
               val newKeyed = batch.select(key(batch).as("__key"),
-                col("raw_json").as("__new"))
+                col("raw_json").as("__new"), isDelete(batch).as("__del"))
               oldKeyed.join(newKeyed, Seq("__key"), "right_outer")
                 .select(explode(
-                  when(col("__old").isNull, array(
+                  when(col("__del") && col("__old").isNotNull, array(
+                    struct(lit("delete").as("change"), col("__old").as("value"))))
+                  .when(col("__del"), array()) // delete of an absent key
+                  .when(col("__old").isNull, array(
                     struct(lit("insert").as("change"), col("__new").as("value"))))
                   .when(!(col("__old") <=> col("__new")), array(
                     struct(lit("update_preimage").as("change"),

@@ -88,6 +88,62 @@ object WeatherLakeV2StreamSource {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
+  /** Driver-side scan pruning for the streaming and CDC read paths —
+    * the same two fail-open skipping legs the batch face has
+    * (`committedFilesPruned` / `committedFilesPrunedByStats`), expressed
+    * as read OPTIONS so selective stream consumers (one city's pipeline,
+    * a range-bounded CDC apply) never open files that cannot match:
+    *
+    *  - `prunePartition 'city=a,ds=2024-01-01'` — keep only files whose
+    *    path-encoded partition values match every listed pair; files
+    *    without partition values always survive;
+    *  - `pruneField 'v'` + `pruneMin`/`pruneMax` — keep only files whose
+    *    per-file stats for the field overlap [min, max]; files without
+    *    stats (or without that field measured) always survive. Change-log
+    *    files carry stats too (the `#changes` payload is a full entry
+    *    line), so the CDC scan prunes them identically.
+    *
+    * Pruning only SKIPS what cannot match — progress semantics are
+    * untouched (whole manifests are still consumed; the options choose
+    * which of a commit's files are OPENED), and row parity holds: the
+    * pruned stream equals the unpruned stream filtered by the same
+    * predicate (spec-pinned).
+    */
+  final case class ScanPrune(partition: Map[String, String],
+      field: Option[String], min: Option[String], max: Option[String]) {
+    def keepLine(basePath: String, line: String): Boolean = {
+      val p = WeatherLakeV2Sink.entryPath(line)
+      val pv = WeatherLakeV2Sink.partitionValues(basePath, p)
+      val pvOk = pv.isEmpty ||
+        partition.forall { case (k, v) => pv.get(k).forall(_ == v) }
+      val st = WeatherLakeV2Sink.lineStats(line)
+      val stOk = field.forall(f => st.get(f).forall(_.overlaps(min, max)))
+      pvOk && stOk
+    }
+    def isNoop: Boolean = partition.isEmpty && field.isEmpty
+  }
+
+  private[sources] def parsePrune(options: CaseInsensitiveStringMap): ScanPrune = {
+    val partition = Option(options.get("prunePartition"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).map { kv =>
+        val i = kv.indexOf('=')
+        if (i <= 0) throw new IllegalArgumentException(
+          s"prunePartition expects 'k=v[,k=v...]', got '$kv'")
+        kv.take(i) -> kv.drop(i + 1)
+      }.toMap)
+      .getOrElse(Map.empty[String, String])
+    val field = Option(options.get("pruneField"))
+    val min = Option(options.get("pruneMin"))
+    val max = Option(options.get("pruneMax"))
+    if (field.isEmpty && (min.nonEmpty || max.nonEmpty))
+      throw new IllegalArgumentException(
+        "pruneMin/pruneMax need pruneField to name the stats field")
+    if (field.nonEmpty && min.isEmpty && max.isEmpty)
+      throw new IllegalArgumentException(
+        "pruneField needs pruneMin and/or pruneMax to bound the range")
+    ScanPrune(partition, field, min, max)
+  }
+
   /** The set of manifest names this stream has consumed. */
   final case class LakeOffset(consumed: Set[String]) extends Offset {
     override def json(): String = {
@@ -157,6 +213,9 @@ object WeatherLakeV2StreamSource {
                   "start <= end)")
             val fs = new Path(path).getFileSystem(new Configuration())
             val mdir = new Path(path, WeatherLakeV2Sink.ManifestDir)
+            val prune = parsePrune(options)
+            val keep: String => Boolean =
+              if (prune.isNoop) _ => true else prune.keepLine(path, _)
             history.slice(start, end + 1).flatMap { n =>
               val p = new Path(mdir, n)
               val commitTs = fs.getFileStatus(p).getModificationTime
@@ -166,10 +225,7 @@ object WeatherLakeV2StreamSource {
                   .getLines().toList
                 finally in.close()
               WeatherLakeV2Sink.checkFormatVersion(n, lines)
-              val dataFiles = lines
-                .filter(l => l.nonEmpty && !l.startsWith("#"))
-                .map(WeatherLakeV2Sink.entryPath)
-              cdcPartitions(n, commitTs, lines, dataFiles)
+              cdcPartitions(n, commitTs, lines, keep)
             }.toArray
           }
           override def planInputPartitions(): Array[InputPartition] = partitions
@@ -217,7 +273,8 @@ object WeatherLakeV2StreamSource {
               case other => throw new IllegalArgumentException(
                 s"startingAt must be 'earliest' or 'latest', got '$other'")
             }
-          new LakeMicroBatchStream(path, cap, cdc, startLatest)
+          new LakeMicroBatchStream(path, cap, cdc, startLatest,
+            parsePrune(options))
         }
       }
   }
@@ -241,7 +298,8 @@ object WeatherLakeV2StreamSource {
   class LakeMicroBatchStream(path: String,
       maxManifestsPerTrigger: Option[Int] = None,
       cdc: Boolean = false,
-      startLatest: Boolean = false)
+      startLatest: Boolean = false,
+      prune: ScanPrune = ScanPrune(Map.empty, None, None, None))
       extends MicroBatchStream with SupportsTriggerAvailableNow {
     /** `startingAt = latest` marks everything already committed as
       * consumed at FIRST start (the Delta `startingVersion = latest`
@@ -363,10 +421,13 @@ object WeatherLakeV2StreamSource {
           try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
           finally in.close()
         WeatherLakeV2Sink.checkFormatVersion(n, lines)
-        val dataFiles = lines.filter(l => l.nonEmpty && !l.startsWith("#"))
-          .map(WeatherLakeV2Sink.entryPath)
-        if (!cdc) dataFiles.map(LakeFilePartition(_): InputPartition)
-        else cdcPartitions(n, commitTs, lines, dataFiles)
+        val keep: String => Boolean =
+          if (prune.isNoop) _ => true else prune.keepLine(path, _)
+        if (!cdc) lines.filter(l => l.nonEmpty && !l.startsWith("#"))
+          .filter(keep)
+          .map(l => LakeFilePartition(
+            WeatherLakeV2Sink.entryPath(l)): InputPartition)
+        else cdcPartitions(n, commitTs, lines, keep)
       }.toArray
     }
 
@@ -393,8 +454,9 @@ object WeatherLakeV2StreamSource {
     *  - anything else is an append: its data files ARE the inserts.
     */
   private[sources] def cdcPartitions(n: String, commitTs: Long,
-      lines: Seq[String], dataFiles: Seq[String]): Seq[InputPartition] = {
-    val changes = WeatherLakeV2Sink.changePaths(lines)
+      lines: Seq[String],
+      keep: String => Boolean = _ => true): Seq[InputPartition] = {
+    val changeLines = WeatherLakeV2Sink.changeEntryLines(lines)
     val op = WeatherLakeV2Sink.manifestOp(lines).getOrElse {
       // legacy manifests (no #op): fall back to the name convention
       Seq("compact", "checkpoint", "merge", "delete", "update")
@@ -403,16 +465,19 @@ object WeatherLakeV2StreamSource {
     val layoutOnly = op == "compact" || op == "checkpoint"
     val rowLevel = op == "merge" || op == "delete" || op == "update"
     if (layoutOnly) Seq.empty
-    else if (changes.nonEmpty)
-      changes.map(LakeCdcFilePartition(_, insertData = false,
-        commit = n, commitTs = commitTs): InputPartition)
+    else if (changeLines.nonEmpty)
+      // the change-log presence check precedes pruning: a fully-pruned
+      // logged commit contributes nothing, it does not become "un-logged"
+      changeLines.filter(keep).map(l =>
+        LakeCdcFilePartition(WeatherLakeV2Sink.entryPath(l),
+          insertData = false, commit = n, commitTs = commitTs): InputPartition)
     else if (rowLevel) throw new IllegalStateException(
       s"WeatherLakeV2StreamSource: $n is a row-level maintenance " +
         "commit without a change log — run the operation with " +
         "changeLog = true, or consume readNewChanges instead")
-    else dataFiles.map(
-      LakeCdcFilePartition(_, insertData = true,
-        commit = n, commitTs = commitTs): InputPartition)
+    else lines.filter(l => l.nonEmpty && !l.startsWith("#")).filter(keep)
+      .map(l => LakeCdcFilePartition(WeatherLakeV2Sink.entryPath(l),
+        insertData = true, commit = n, commitTs = commitTs): InputPartition)
   }
 
   final case class LakeFilePartition(file: String) extends InputPartition

@@ -286,6 +286,85 @@ class WeatherLakeV2StreamSourceSpec extends SparkSpec {
       all.toString)
   }
 
+  test("scan pruning options (prunePartition, pruneField+range) skip " +
+      "files on the driver for streaming AND batch-CDF reads, with row " +
+      "parity against the unpruned scan; malformed options fail loudly") {
+    import graft.sources.WeatherLakeV2Sink
+    val base = Files.createTempDirectory("lakeprune").toString
+    val lake = s"$base/lake"
+    val s = spark
+    import s.implicits._
+    def sink(city: String, vs: Seq[Long]): Unit =
+      vs.map(v => (city, v)).toDF("city", "v").select(col("city"),
+          lit("2024-01-01").as("ds"), lit("00").as("hour"),
+          to_json(struct(col("city"), col("v"))).as("raw_json"))
+        .coalesce(1)
+        .write.format("graft.sources.WeatherLakeV2Sink")
+        .option("statsFields", "v")
+        .mode("append").save(lake)
+    sink("a", Seq(1L, 2L, 3L))
+    sink("b", Seq(100L, 101L))
+    def drainWith(opts: Map[String, String], tag: String): Seq[String] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      var r = spark.readStream.format("graft.sources.WeatherLakeV2StreamSource")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      val q = r.load(lake).writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.collect().foreach(x => buf.synchronized { buf += x.getString(0) })
+          ()
+        }
+        .option("checkpointLocation", s"$base/ckpt-$tag")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      buf.synchronized(buf.toSeq.sorted)
+    }
+    val all = drainWith(Map.empty, "all")
+    assert(all.size == 5)
+    // partition pruning: only city=a's file is opened — and parity holds
+    // (the pruned stream equals the unpruned one filtered the same way)
+    val aOnly = drainWith(Map("prunePartition" -> "city=a"), "pa")
+    assert(aOnly == all.filter(_.contains("\"city\":\"a\"")), aOnly)
+    assert(aOnly.size == 3)
+    // stats pruning: only the file whose v-range overlaps [50, inf)
+    val big = drainWith(Map("pruneField" -> "v", "pruneMin" -> "50"), "pv")
+    assert(big.size == 2 && big.forall(_.contains("10")), big)
+    // batch CDF prunes the same way — a logged delete's change file
+    // carries stats, so a disjoint range skips it at file level
+    WeatherLakeV2Sink.deleteCommitted(spark, lake,
+      f => get_json_object(f("raw_json"), "$.v").cast("long") === 100L,
+      changeLog = true, statsFields = Seq("v"))
+    def cdf(opts: Map[String, String]): Seq[(String, String)] = {
+      var r = spark.read.format("graft.sources.WeatherLakeV2StreamSource")
+        .option("readChangeFeed", "true").option("startingVersion", "0")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      r.load(lake).select(col("change"), col("value"))
+        .collect().map(x => (x.getString(0), x.getString(1))).toSeq.sorted
+    }
+    val full = cdf(Map.empty)
+    assert(full.count(_._1 == "delete") == 1, full)
+    // range overlapping the deleted value keeps the change file …
+    assert(cdf(Map("pruneField" -> "v", "pruneMin" -> "99"))
+      .count(_._1 == "delete") == 1)
+    // … a disjoint range skips it (and the city=b insert file too);
+    // city=a's insert file [1..3] survives
+    val low = cdf(Map("pruneField" -> "v", "pruneMax" -> "50"))
+    assert(low.count(_._1 == "delete") == 0, low)
+    assert(low.count(_._1 == "insert") == 3, low)
+    // malformed options are loud (surface through the stream thread)
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+    Seq(Map("pruneMin" -> "5") -> "pruneField",
+        Map("pruneField" -> "v") -> "pruneMin",
+        Map("prunePartition" -> "nonsense") -> "k=v").foreach {
+      case (opts, needle) =>
+        val e = intercept[Exception] {
+          drainWith(opts, s"bad-${opts.keys.mkString}")
+        }
+        assert(chain(e).exists(t => Option(t.getMessage).exists(
+          _.contains(needle))), s"$opts: $e")
+    }
+  }
+
   test("fresh earliest change feed over a vacuumed history fails " +
       "loudly instead of a silent empty bootstrap") {
     import graft.sources.WeatherLakeV2Sink
