@@ -390,6 +390,47 @@ object SparkEntry {
     */
   private val sqlLakeCaches =
     scala.collection.concurrent.TrieMap.empty[String, String]
+  /** q100/q101's fixture: a [[graft.sources.LakeCatalog]]-MANAGED table
+    * seeded with the documents corpus — the identifier face (no temp
+    * view, no path in the query text). The table name is
+    * content-addressed per corpus so multi-SF runs coexist in one
+    * warehouse; seeding goes through the catalog write path
+    * (`writeTo(...).append()`, by-name resolution) with the
+    * deterministic exactly-once "base" manifest id the other lake
+    * fixtures use. Only MERGE commits ever land here (q101 pins
+    * VERSION AS OF 0 to the base commit), so the mergeBaseLake fixture
+    * invariant is enforced the same loud way.
+    */
+  private val catalogTableCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def catalogDocsTable(s: SparkSession, dir: String): String =
+    catalogTableCache.getOrElseUpdate(s"${System.identityHashCode(s)}#$dir", {
+      s.conf.set("spark.sql.catalog.graftlake", "graft.sources.LakeCatalog")
+      s.conf.set("spark.sql.catalog.graftlake.warehouse",
+        "/tmp/graft_catalog_wh")
+      val docs = Tables.documents(s, dir)
+      val sig = graft.similarity.ModelExport.corpusSig(docs, "doc_id")
+      val t = s"docs_$sig"
+      val p = s"/tmp/graft_catalog_wh/$t"
+      val existing = graft.sources.WeatherLakeV2Sink.manifestNames(p)
+      require(existing.isEmpty || existing.contains("manifest-base.txt"),
+        s"fixture invariant violated: $p has ${existing.size} manifests but " +
+          "manifest-base.txt is gone — something vacuumed/checkpointed the " +
+          "catalog fixture table (q101 pins VERSION AS OF 0). Delete the " +
+          "table directory and re-run to rebuild it.")
+      s.sql(s"""CREATE TABLE IF NOT EXISTS graftlake.$t
+        (city STRING, ds STRING, hour STRING, value STRING) USING lake""")
+      if (!graft.sources.WeatherLakeV2Sink.manifestExists(p, "base")) {
+        docs.select(
+            col("source").as("city"), lit("2024-01-01").as("ds"),
+            format_string("%02d", col("doc_id") % 24).as("hour"),
+            to_json(struct(col("doc_id"),
+              col("doc_id").cast("long").as("val"))).as("value"))
+          .writeTo(s"graftlake.$t").option("manifestId", "base").append()
+      }
+      t
+    })
+
   private def sqlDmlBaseLake(s: SparkSession, dir: String, kind: String): String =
     sqlLakeCaches.getOrElseUpdate(s"$kind#${System.identityHashCode(s)}#$dir", {
       val docs = Tables.documents(s, dir)
@@ -5827,6 +5868,59 @@ object SparkEntry {
         s.sql("""SELECT CAST(get_json_object(value, '$.doc_id') AS BIGINT) AS doc_id,
           CAST(get_json_object(value, '$.val') AS BIGINT) AS val
           FROM lake_update_sql""")
+      }),
+
+    QueryDef("q100_lake_catalog_merge",
+      "The DSv2 TABLE CATALOG face (LakeCatalog): the lake addressed by " +
+        "IDENTIFIER — no temp view, no path in the query text, the " +
+        "Delta/Iceberg catalog shape. The fixture table is created with " +
+        "CREATE TABLE graftlake.<t> and seeded through the catalog's own " +
+        "write path; the query body is q97's MERGE INTO re-pointed at the " +
+        "catalog identifier (LakeDmlSql resolves the catalog table and " +
+        "reads targetBytes/statsFields/changeLog from TABLE PROPERTIES), " +
+        "and the read back is a plain SELECT from the identifier — one " +
+        "task per committed file, partition columns recovered from paths, " +
+        "partition-equality filters pruning the file list driver-side. " +
+        "The oracle replays the upsert relationally, exactly q97's truth.",
+      Some("""WITH upd AS (SELECT doc_id, CAST(doc_id * 2 AS BIGINT) AS val
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |merged AS (
+        |  SELECT b.doc_id, COALESCE(u.val, CAST(b.doc_id AS BIGINT)) AS val
+        |  FROM documents b LEFT JOIN upd u ON b.doc_id = u.doc_id
+        |  UNION ALL
+        |  SELECT CAST(-1 - doc_id AS BIGINT) AS doc_id,
+        |    CAST(-1 - doc_id AS BIGINT) AS val
+        |  FROM documents WHERE doc_id < 25)
+        |SELECT doc_id, val FROM merged""".stripMargin),
+      (s, dir) => {
+        val t = catalogDocsTable(s, dir)
+        docsMergeDelta(s, dir).createOrReplaceTempView("lake_catalog_delta")
+        s.sql(s"""MERGE INTO graftlake.$t t USING lake_catalog_delta s
+          ON get_json_object(t.value, '$$.doc_id') =
+             get_json_object(s.raw_json, '$$.doc_id')
+          WHEN MATCHED THEN UPDATE SET value = s.raw_json
+          WHEN NOT MATCHED THEN
+            INSERT (city, ds, hour, value) VALUES (s.city, s.ds, s.hour, s.raw_json)""")
+        s.sql(s"""SELECT CAST(get_json_object(value, '$$.doc_id') AS BIGINT) AS doc_id,
+          CAST(get_json_object(value, '$$.val') AS BIGINT) AS val
+          FROM graftlake.$t""")
+      }),
+
+    QueryDef("q101_lake_version_as_of",
+      "Time travel through the ENGINE'S OWN SQL clause — `VERSION AS OF " +
+        "0` on a catalog identifier routes through TableCatalog" +
+        ".loadTable(ident, version) to snapshotAt's pinned manifest set " +
+        "(q91's durability semantics, now with zero connector-specific " +
+        "syntax: the clause Delta/Iceberg users already write). Version 0 " +
+        "is the fixture's base commit, so the result is the pre-merge " +
+        "corpus no matter how many q100 merges have landed since — the " +
+        "oracle is the plain documents table.",
+      Some("SELECT doc_id, CAST(doc_id AS BIGINT) AS val FROM documents"),
+      (s, dir) => {
+        val t = catalogDocsTable(s, dir)
+        s.sql(s"""SELECT CAST(get_json_object(value, '$$.doc_id') AS BIGINT) AS doc_id,
+          CAST(get_json_object(value, '$$.val') AS BIGINT) AS val
+          FROM graftlake.$t VERSION AS OF 0""")
       })
   )
 

@@ -113,26 +113,34 @@ object LakeDmlSql {
     }.getOrElse(fail(s"'$name' is not a lake view — DML runs only " +
       "against CREATE TEMPORARY VIEW ... USING " +
       "graft.sources.WeatherLakeV2StreamSource"))
-    val tbl = v2.table match {
-      case t: WeatherLakeV2StreamSource.LakeStreamTable => t
+    v2.table match {
+      case t: WeatherLakeV2StreamSource.LakeStreamTable =>
+        if (t.cdc)
+          fail(s"'$name' is a change-feed view (readChangeFeed) — DML " +
+            "targets the TABLE, not its change feed")
+        val opts = v2.options
+        if (opts.containsKey("snapshotVersion") || opts.containsKey("asOfManifests"))
+          fail(s"'$name' is a time-travel view — history is immutable; " +
+            "point the DML at the current-view lake view instead")
+        LakeTarget(t.path,
+          targetBytes = Option(opts.get("targetBytes")).map(_.toLong)
+            .getOrElse(128L * 1024 * 1024),
+          statsFields = Option(opts.get("statsFields"))
+            .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+            .getOrElse(Seq.empty),
+          changeLog = java.lang.Boolean.parseBoolean(
+            Option(opts.get("changeLog")).getOrElse("false")))
+      // a LakeCatalog table (`lake.t`): same dispatch, parameterized by
+      // TABLE PROPERTIES instead of view options
+      case t: graft.sources.LakeCatalog.LakeCatalogTable =>
+        if (t.pinned.isDefined)
+          fail(s"'$name' is a time-travel read (VERSION/TIMESTAMP AS OF) " +
+            "— history is immutable; point the DML at the table itself")
+        LakeTarget(t.path, targetBytes = t.targetBytes,
+          statsFields = t.statsFields, changeLog = t.changeLog)
       case other => fail(s"'$name' resolves to ${other.name()}, not a " +
         "lake table — DML runs only against the manifest lake")
     }
-    if (tbl.cdc)
-      fail(s"'$name' is a change-feed view (readChangeFeed) — DML " +
-        "targets the TABLE, not its change feed")
-    val opts = v2.options
-    if (opts.containsKey("snapshotVersion") || opts.containsKey("asOfManifests"))
-      fail(s"'$name' is a time-travel view — history is immutable; " +
-        "point the DML at the current-view lake view instead")
-    LakeTarget(tbl.path,
-      targetBytes = Option(opts.get("targetBytes")).map(_.toLong)
-        .getOrElse(128L * 1024 * 1024),
-      statsFields = Option(opts.get("statsFields"))
-        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-        .getOrElse(Seq.empty),
-      changeLog = java.lang.Boolean.parseBoolean(
-        Option(opts.get("changeLog")).getOrElse("false")))
   }
 
   /** The columns a DELETE/UPDATE expression may reach, all present on

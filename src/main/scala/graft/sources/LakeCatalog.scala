@@ -1,0 +1,699 @@
+package graft.sources
+
+import java.util
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, TableInfo}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, LocalScan, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
+import org.apache.spark.sql.sources.{EqualTo, Filter}
+import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A DSv2 TABLE CATALOG over the manifest lake — the identifier face that
+  * removes the last piece of plumbing between a SQL-first user and the
+  * lake (the reference's users address tables by NAME in Postgres,
+  * load_to_postgres.py:90; ours so far needed a `CREATE TEMPORARY VIEW …
+  * USING … OPTIONS (path …)` per table). With
+  *
+  * {{{
+  * spark.conf.set("spark.sql.catalog.lake", classOf[LakeCatalog].getName)
+  * spark.conf.set("spark.sql.catalog.lake.warehouse", "/data/lakes")
+  * }}}
+  *
+  * the full lifecycle is plain SQL, the Delta/Iceberg catalog shape:
+  *
+  *  - `CREATE TABLE lake.t (city STRING, ds STRING, hour STRING,
+  *    value STRING) USING lake TBLPROPERTIES (statsFields 'val')` — the
+  *    lake's row shape is FIXED (three Hive-style partition keys + one
+  *    raw payload line); any other column list fails loudly;
+  *  - `INSERT INTO lake.t SELECT …` — the existing DSv2 batch writer
+  *    (one manifest per statement, exactly-once discipline), with
+  *    `statsFields` defaulting from table properties so every insert
+  *    feeds the data-skipping layer;
+  *  - `SELECT … FROM lake.t` — one task per committed file; partition
+  *    columns are recovered from the file path, equality predicates on
+  *    them prune the FILE LIST on the driver before any data IO
+  *    (manifest-level partition pruning), and column pruning reaches the
+  *    reader;
+  *  - `SELECT … FROM lake.t VERSION AS OF 3` / `TIMESTAMP AS OF …` —
+  *    time travel through the engine's own syntax (`loadTable(ident,
+  *    version)`), pinned to `snapshotAt`'s durability semantics;
+  *  - `MERGE INTO lake.t` / `DELETE FROM lake.t` / `UPDATE lake.t` —
+  *    [[graft.plans.LakeDmlParser]] resolves catalog tables exactly like
+  *    lake views, reading `targetBytes`/`statsFields`/`changeLog` from
+  *    table properties;
+  *  - `CALL lake.system.vacuum('t', min_age_ms => 0)` and friends
+  *    (compact / checkpoint / sweep_orphans / history) — maintenance as
+  *    SQL procedures via Spark 4's ProcedureCatalog, the Iceberg `CALL`
+  *    face; `history` is DESCRIBE HISTORY (version, manifest, op,
+  *    commit_ts, live);
+  *  - `readStream.table("lake.t")` — the manifest-set micro-batch source
+  *    (admission control and AvailableNow included) emitting the table's
+  *    four columns.
+  *
+  * A table is a directory under the warehouse carrying a
+  * `_lake_table.json` marker (format-versioned, holds the properties);
+  * `CREATE TABLE … LOCATION '<path>'` adopts an EXISTING lake directory
+  * as an external table, so pre-catalog lakes migrate with one
+  * statement. Catalog metadata operations are all O(1) driver-side file
+  * ops — the scale story is the manifest layer's, unchanged.
+  */
+class LakeCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
+  import LakeCatalog._
+
+  private var catalogName: String = _
+  private[sources] var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).map(_.stripSuffix("/"))
+      .filter(_.nonEmpty)
+      .getOrElse(throw new IllegalArgumentException(
+        s"LakeCatalog '$name' requires a warehouse directory: set " +
+          s"spark.sql.catalog.$name.warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  private def checkPart(part: String): String = {
+    require(part.nonEmpty && !part.contains("/") && part != ".." && part != ".",
+      s"LakeCatalog: illegal identifier part '$part'")
+    part
+  }
+
+  private[sources] def defaultDir(ident: Identifier): String =
+    (warehouse +: ident.namespace.map(checkPart) :+ checkPart(ident.name))
+      .mkString("/")
+
+  private def fs = new Path(warehouse).getFileSystem(new Configuration())
+
+  /** Registration vs location: the REGISTRATION directory is always
+    * `warehouse/<namespace>/<name>` and holds the marker (its presence IS
+    * table existence); the LOCATION is the data directory the marker
+    * points at. For a managed table they coincide; `CREATE … LOCATION`
+    * (external) and RENAME (see below) make them differ. The split is
+    * forced by the manifest format: entry lines carry ABSOLUTE file
+    * paths, so a lake's data directory can never physically move —
+    * everything that looks like moving a table moves its registration.
+    */
+  private def markerOf(dir: String) = new Path(dir, MarkerFile)
+
+  private def regDirOf(ident: Identifier): Option[String] = {
+    val d = defaultDir(ident)
+    if (fs.exists(markerOf(d))) Some(d) else None
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    regDirOf(ident).isDefined
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = new Path((warehouse +: namespace.map(checkPart)).mkString("/"))
+    if (!fs.exists(dir)) return Array.empty
+    fs.listStatus(dir).filter(_.isDirectory)
+      .filter(st => fs.exists(new Path(st.getPath, MarkerFile)))
+      .map(st => Identifier.of(namespace, st.getPath.getName))
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = regDirOf(ident).getOrElse(throw new NoSuchTableException(ident))
+    val props = readMarker(fs.getConf, dir)
+    val location = props.getOrDefault(TableCatalog.PROP_LOCATION, dir)
+    new LakeCatalogTable(fullName(ident), location, props)
+  }
+
+  /** `VERSION AS OF n` — the engine routes the SQL clause here. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = regDirOf(ident).getOrElse(throw new NoSuchTableException(ident))
+    val props = readMarker(fs.getConf, dir)
+    val location = props.getOrDefault(TableCatalog.PROP_LOCATION, dir)
+    val v = version.toIntOption.getOrElse(throw new IllegalArgumentException(
+      s"LakeCatalog: VERSION AS OF expects an integer commit version, " +
+        s"got '$version'"))
+    new LakeCatalogTable(fullName(ident), location, props,
+      pinned = Some(WeatherLakeV2Sink.snapshotAt(location, v)))
+  }
+
+  /** `TIMESTAMP AS OF t` (micros since epoch): the greatest commit
+    * published at-or-before t, resolved on the commit history's publish
+    * mtimes — loud when the table had no commit yet at t.
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val dir = regDirOf(ident).getOrElse(throw new NoSuchTableException(ident))
+    val props = readMarker(fs.getConf, dir)
+    val location = props.getOrDefault(TableCatalog.PROP_LOCATION, dir)
+    val tsMs = timestampMicros / 1000L
+    val lfs = new Path(location).getFileSystem(new Configuration())
+    val mdir = new Path(location, WeatherLakeV2Sink.ManifestDir)
+    val history = WeatherLakeV2Sink.manifestHistory(location)
+    val version = history.zipWithIndex
+      .filter { case (n, _) =>
+        lfs.getFileStatus(new Path(mdir, n)).getModificationTime <= tsMs }
+      .map(_._2).lastOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"LakeCatalog: no commit of '${fullName(ident)}' exists at or " +
+          s"before timestamp ${timestampMicros}us (earliest is " +
+          s"${history.headOption.getOrElse("<none>")})"))
+    new LakeCatalogTable(fullName(ident), location, props,
+      pinned = Some(WeatherLakeV2Sink.snapshotAt(location, version)))
+  }
+
+  override def createTable(ident: Identifier, info: TableInfo): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    validateSchema(info.schema())
+    validatePartitioning(info.partitions())
+    val regDir = defaultDir(ident)
+    val location = Option(info.properties().get(TableCatalog.PROP_LOCATION))
+      .map(_.stripSuffix("/")).getOrElse(regDir)
+    val props = new util.HashMap[String, String](info.properties())
+    props.put(TableCatalog.PROP_LOCATION, location)
+    // the marker always lives in the REGISTRATION dir — an external
+    // table's data directory stays exactly as the V2 sink wrote it
+    // (adoption never mutates the adopted lake)
+    writeMarker(fs.getConf, regDir, props)
+    new LakeCatalogTable(fullName(ident), location, props)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = regDirOf(ident).getOrElse(throw new NoSuchTableException(ident))
+    val props = readMarker(fs.getConf, dir)
+    changes.foreach {
+      case s: TableChange.SetProperty =>
+        require(s.property() != TableCatalog.PROP_LOCATION,
+          "LakeCatalog: the location of a lake table is immutable")
+        props.put(s.property(), s.value())
+      case r: TableChange.RemoveProperty => props.remove(r.property())
+      case other => throw new UnsupportedOperationException(
+        s"LakeCatalog: unsupported ALTER TABLE change " +
+          s"${other.getClass.getSimpleName} — the lake schema is fixed " +
+          "(city, ds, hour, value); only table properties are mutable")
+    }
+    writeMarker(fs.getConf, dir, props, overwrite = true)
+    loadTable(ident)
+  }
+
+  /** DROP TABLE deletes the REGISTRATION directory. For a managed table
+    * (registration == location) that is the data; for an external table
+    * (CREATE … LOCATION) or a renamed one, the data directory stays
+    * untouched — the Hive external-table contract, and what keeps
+    * `DROP TABLE` on an adopted pre-catalog lake from destroying it.
+    */
+  override def dropTable(ident: Identifier): Boolean =
+    regDirOf(ident) match {
+      case None => false
+      case Some(dir) => fs.delete(new Path(dir), true); true
+    }
+
+  /** RENAME moves the REGISTRATION, never the data: manifest entry lines
+    * carry absolute file paths, so physically moving a lake directory
+    * would corrupt every committed manifest. The new name's marker points
+    * at the old location (for a previously managed table, its original
+    * directory — which from now on behaves as external: a later DROP
+    * removes the registration and leaves the data to be re-adopted or
+    * deleted explicitly).
+    */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val oldDir = regDirOf(oldIdent)
+      .getOrElse(throw new NoSuchTableException(oldIdent))
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    val props = readMarker(fs.getConf, oldDir)
+    val location = props.getOrDefault(TableCatalog.PROP_LOCATION, oldDir)
+    props.put(TableCatalog.PROP_LOCATION, location)
+    writeMarker(fs.getConf, defaultDir(newIdent), props)
+    fs.delete(markerOf(oldDir), false)
+  }
+
+  // ---- SupportsNamespaces: namespaces are plain warehouse subdirectories
+
+  private def nsPath(namespace: Array[String]): Path =
+    new Path((warehouse +: namespace.map(checkPart)).mkString("/"))
+
+  override def listNamespaces(): Array[Array[String]] =
+    if (!fs.exists(new Path(warehouse))) Array.empty
+    else fs.listStatus(new Path(warehouse)).filter(_.isDirectory)
+      .filterNot(st => fs.exists(new Path(st.getPath, MarkerFile)))
+      .map(st => Array(st.getPath.getName))
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(name() +: namespace.toSeq)
+    else fs.listStatus(nsPath(namespace)).filter(_.isDirectory)
+      .filterNot(st => fs.exists(new Path(st.getPath, MarkerFile)))
+      .map(st => namespace :+ st.getPath.getName)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || fs.exists(nsPath(namespace))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
+    if (namespaceExists(namespace)) new util.HashMap[String, String]()
+    else throw new NoSuchNamespaceException(name() +: namespace.toSeq)
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit =
+    fs.mkdirs(nsPath(namespace))
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "LakeCatalog: namespaces carry no metadata to alter")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace) || namespace.isEmpty) return false
+    if (!cascade && listTables(namespace).nonEmpty)
+      throw new IllegalStateException(
+        s"LakeCatalog: namespace ${namespace.mkString(".")} is not empty")
+    fs.delete(nsPath(namespace), true)
+  }
+
+  private def fullName(ident: Identifier): String =
+    (catalogName +: ident.namespace :+ ident.name).mkString(".")
+
+  // ---- ProcedureCatalog: maintenance as CALL statements (Iceberg's face)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array(ProcedureNamespace)))
+      ProcedureNames.map(Identifier.of(Array(ProcedureNamespace), _)).toArray
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    if (!ident.namespace().sameElements(Array(ProcedureNamespace)) ||
+        !ProcedureNames.contains(ident.name()))
+      throw new IllegalArgumentException(
+        s"LakeCatalog: unknown procedure ${fullName(ident)} — available: " +
+          ProcedureNames.map(n => s"$catalogName.$ProcedureNamespace.$n")
+            .mkString(", "))
+    new LakeProcedure(this, ident.name())
+  }
+
+  /** Resolve a procedure's `table` argument ('t' or 'ns.t', within this
+    * catalog) to the lake path.
+    */
+  private[sources] def resolveTableArg(tableName: String): String = {
+    val parts = tableName.split('.')
+    val ident = Identifier.of(parts.dropRight(1), parts.last)
+    val dir = regDirOf(ident).getOrElse(throw new NoSuchTableException(ident))
+    readMarker(fs.getConf, dir).getOrDefault(TableCatalog.PROP_LOCATION, dir)
+  }
+}
+
+object LakeCatalog {
+  /** Existence marker + property store of a catalog table. Versioned like
+    * the manifest format (FORMAT.md): a future layout change must fail
+    * loudly in old readers, never misparse.
+    */
+  val MarkerFile = "_lake_table.json"
+  val MarkerFormatVersion = 1
+
+  val ProcedureNamespace = "system"
+  val ProcedureNames: Seq[String] =
+    Seq("vacuum", "sweep_orphans", "checkpoint", "compact", "history")
+
+  /** The one row shape a lake table has: three path-encoded partition
+    * keys plus the raw payload line. `value` (read face) and `raw_json`
+    * (write face) are accepted as the payload column's name.
+    */
+  val TableSchema: StructType = StructType(Seq(
+    StructField("city", StringType, nullable = true),
+    StructField("ds", StringType, nullable = true),
+    StructField("hour", StringType, nullable = true),
+    StructField("value", StringType, nullable = false)))
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private[sources] def validateSchema(schema: StructType): Unit = {
+    val names = schema.fields.map(_.name.toLowerCase).toSeq
+    val ok = names == Seq("city", "ds", "hour", "value") ||
+      names == Seq("city", "ds", "hour", "raw_json")
+    require(ok && schema.fields.forall(_.dataType == StringType),
+      "LakeCatalog: a lake table's schema is fixed — (city STRING, ds " +
+        "STRING, hour STRING, value STRING); got (" +
+        schema.fields.map(f => s"${f.name} ${f.dataType.simpleString}")
+          .mkString(", ") + ")")
+  }
+
+  private[sources] def validatePartitioning(partitions: Array[Transform]): Unit = {
+    if (partitions.isEmpty) return
+    val names = partitions.map(_.toString.toLowerCase).toSeq
+    require(names == Seq("identity(city)", "identity(ds)", "identity(hour)") ||
+        names == Seq("city", "ds", "hour"),
+      "LakeCatalog: a lake table is partitioned by (city, ds, hour) — " +
+        s"omit PARTITIONED BY or state exactly that; got ${names.mkString(", ")}")
+  }
+
+  private[sources] def readMarker(conf: Configuration,
+      dir: String): util.HashMap[String, String] = {
+    val fs = new Path(dir).getFileSystem(conf)
+    val in = fs.open(new Path(dir, MarkerFile))
+    val node =
+      try mapper.readTree(in)
+      finally in.close()
+    val fmt = node.path("format").asInt(-1)
+    if (fmt != MarkerFormatVersion) throw new IllegalStateException(
+      s"LakeCatalog: $dir/$MarkerFile declares format $fmt; this reader " +
+        s"understands only $MarkerFormatVersion — upgrade the library " +
+        "rather than risk misreading the table metadata")
+    val props = new util.HashMap[String, String]()
+    val p = node.path("properties")
+    p.fieldNames().forEachRemaining(k => props.put(k, p.path(k).asText()))
+    props
+  }
+
+  private[sources] def writeMarker(conf: Configuration, dir: String,
+      props: util.Map[String, String], overwrite: Boolean = false): Unit = {
+    val fs = new Path(dir).getFileSystem(conf)
+    if (!fs.exists(new Path(dir))) fs.mkdirs(new Path(dir))
+    val root = mapper.createObjectNode()
+    root.put("format", MarkerFormatVersion)
+    val p = root.putObject("properties")
+    props.forEach((k, v) => p.put(k, v))
+    // write-temp-then-rename, the manifest discipline: the marker appears
+    // atomically, and a concurrent CREATE TABLE of the same name loses
+    // (rename onto an existing destination fails) instead of clobbering
+    val tmp = new Path(dir, s"$MarkerFile.tmp-${util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write(mapper.writeValueAsBytes(root)) finally out.close()
+    val dest = new Path(dir, MarkerFile)
+    if (overwrite && fs.exists(dest)) fs.delete(dest, false)
+    if (!fs.rename(tmp, dest)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"LakeCatalog: concurrent table creation at $dir — marker exists")
+    }
+  }
+
+  /** A catalog-resolved lake table: the read face recovers the partition
+    * columns from each file's path (so the table has a REAL four-column
+    * schema, not the view face's single `value` line), the write face is
+    * [[WeatherLakeV2Sink]]'s manifest-committing writer with
+    * `statsFields`/`manifestId` defaulting from table properties.
+    * `pinned` carries a time-travel manifest set: reads resolve through
+    * it, writes and streaming reads refuse loudly (history is immutable).
+    */
+  class LakeCatalogTable(ident: String, val path: String,
+      props: util.Map[String, String],
+      val pinned: Option[Seq[String]] = None)
+      extends Table with SupportsRead with SupportsWrite {
+    override def name(): String = ident
+    override def schema(): StructType = TableSchema
+    override def partitioning(): Array[Transform] = Array(
+      Expressions.identity("city"), Expressions.identity("ds"),
+      Expressions.identity("hour"))
+    override def properties(): util.Map[String, String] = props
+
+    override def capabilities(): util.Set[TableCapability] =
+      if (pinned.isDefined)
+        util.EnumSet.of(TableCapability.BATCH_READ)
+      else util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE,
+        TableCapability.STREAMING_WRITE)
+
+    /** Table properties that parameterize the lake DML/maintenance ops
+      * (read by [[graft.plans.LakeDmlSql.resolveTarget]]).
+      */
+    def targetBytes: Long = Option(props.get("targetBytes")).map(_.toLong)
+      .getOrElse(128L * 1024 * 1024)
+    def statsFields: Seq[String] = Option(props.get("statsFields"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    def changeLog: Boolean = java.lang.Boolean.parseBoolean(
+      Option(props.get("changeLog")).getOrElse("false"))
+
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      new LakeTableScanBuilder(path, pinned, options)
+
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+      // table properties are the write's DEFAULTS (SQL INSERT has no
+      // per-statement options); explicit write options still win
+      val merged = new util.HashMap[String, String]()
+      Option(props.get("statsFields")).foreach(merged.put("statsFields", _))
+      info.options().entrySet().forEach(e =>
+        merged.put(e.getKey, e.getValue))
+      val wrapped = new LogicalWriteInfo {
+        override def queryId(): String = info.queryId()
+        override def schema(): StructType = info.schema()
+        override def options(): CaseInsensitiveStringMap =
+          new CaseInsensitiveStringMap(merged)
+      }
+      new WeatherLakeV2Sink.LakeTable(path).newWriteBuilder(wrapped)
+    }
+  }
+
+  /** Scan with the two standard pushdowns. Column pruning reaches the
+    * reader (a projected read materializes only the requested columns);
+    * partition-equality filters prune the committed FILE LIST driver-side
+    * (manifest-level partition pruning — no LIST, no data IO for pruned
+    * partitions). Filters are also all RETURNED as residuals: pruning
+    * only skips files that cannot match, Spark re-applies the predicate
+    * to the survivors, so a file without path-encoded partition values
+    * is kept and filtered row-wise — never silently dropped.
+    */
+  class LakeTableScanBuilder(path: String, pinned: Option[Seq[String]],
+      options: CaseInsensitiveStringMap)
+      extends ScanBuilder with SupportsPushDownRequiredColumns
+      with SupportsPushDownFilters {
+    private var required: StructType = TableSchema
+    private var partEq: Map[String, String] = Map.empty
+    private var pushed: Array[Filter] = Array.empty
+
+    override def pruneColumns(requiredSchema: StructType): Unit =
+      required = requiredSchema
+
+    override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+      val partCols = Set("city", "ds", "hour")
+      pushed = filters.filter {
+        case EqualTo(a, _: String) => partCols(a.toLowerCase)
+        case _ => false
+      }
+      partEq = pushed.collect {
+        case EqualTo(a, v: String) => a.toLowerCase -> v
+      }.toMap
+      filters // all residual: pruning skips, Spark still verifies
+    }
+
+    override def pushedFilters(): Array[Filter] = pushed
+
+    override def build(): Scan =
+      new LakeTableScan(path, pinned, required, partEq, options)
+  }
+
+  class LakeTableScan(path: String, pinned: Option[Seq[String]],
+      required: StructType, partEq: Map[String, String],
+      options: CaseInsensitiveStringMap) extends Scan with Batch {
+    override def readSchema(): StructType = required
+    override def description(): String =
+      s"lake_table_scan($path" +
+        (if (partEq.nonEmpty) s", prune=$partEq" else "") +
+        pinned.map(p => s", pinned=${p.size} manifests").getOrElse("") + ")"
+
+    override def toBatch: Batch = this
+
+    private def keep(f: String): Boolean = {
+      val pv = WeatherLakeV2Sink.partitionValues(path, f)
+      pv.isEmpty || partEq.forall { case (k, v) => pv.get(k).forall(_ == v) }
+    }
+
+    override def planInputPartitions(): Array[InputPartition] = {
+      val files = pinned.map(WeatherLakeV2Sink.filesAsOf(path, _))
+        .getOrElse(WeatherLakeV2Sink.committedFiles(path))
+      files.filter(keep).sorted
+        .map(WeatherLakeV2StreamSource.LakeFilePartition(_): InputPartition)
+        .toArray
+    }
+
+    override def createReaderFactory(): PartitionReaderFactory =
+      new LakeTableReaderFactory(path, required)
+
+    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+      require(pinned.isEmpty,
+        "LakeCatalog: cannot STREAM from a time-travel (VERSION/TIMESTAMP " +
+          "AS OF) table — history is a snapshot, not a feed")
+      val cap = Option(options.get("maxManifestsPerTrigger")).map { v =>
+        val n = v.toIntOption.filter(_ > 0).getOrElse(
+          throw new IllegalArgumentException(
+            s"maxManifestsPerTrigger must be a positive integer, got '$v'"))
+        n
+      }
+      val startLatest = Option(options.get("startingAt"))
+        .getOrElse("earliest") match {
+          case "earliest" => false
+          case "latest" => true
+          case other => throw new IllegalArgumentException(
+            s"startingAt must be 'earliest' or 'latest', got '$other'")
+        }
+      val prune = WeatherLakeV2StreamSource.parsePrune(options)
+      val schema = required
+      val p = path
+      new WeatherLakeV2StreamSource.LakeMicroBatchStream(p, cap,
+          cdc = false, startLatest = startLatest, prune = prune) {
+        override def createReaderFactory(): PartitionReaderFactory =
+          new LakeTableReaderFactory(p, schema)
+      }
+    }
+  }
+
+  /** Emits the REQUESTED columns per line of one committed file: the
+    * partition columns are constants recovered from the file path once
+    * per task, the payload column is the line — a pruned-to-count scan
+    * materializes nothing per row.
+    */
+  class LakeTableReaderFactory(basePath: String, schema: StructType)
+      extends PartitionReaderFactory {
+    override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+      val file = partition match {
+        case WeatherLakeV2StreamSource.LakeFilePartition(f) => f
+        case other => throw new IllegalStateException(
+          s"LakeTableReaderFactory: unexpected partition $other")
+      }
+      new PartitionReader[InternalRow] {
+        private val pv = WeatherLakeV2Sink.partitionValues(basePath, file)
+        // one slot per output column: partition constants precomputed,
+        // -1 marks the payload slot filled per line
+        private val payloadIdx = schema.fields.indexWhere { f =>
+          val n = f.name.toLowerCase; n == "value" || n == "raw_json"
+        }
+        private val consts: Array[AnyRef] = schema.fields.map { f =>
+          pv.get(f.name.toLowerCase)
+            .map(v => UTF8String.fromString(v): AnyRef).orNull
+        }.toArray
+        private val fs = new Path(file).getFileSystem(new Configuration())
+        private val reader = new java.io.BufferedReader(
+          new java.io.InputStreamReader(fs.open(new Path(file)), "UTF-8"))
+        private var line: String = _
+        override def next(): Boolean = {
+          line = reader.readLine()
+          line != null
+        }
+        override def get(): InternalRow = {
+          val vals = new Array[Any](schema.length)
+          var i = 0
+          while (i < vals.length) {
+            vals(i) = if (i == payloadIdx) UTF8String.fromString(line)
+              else consts(i)
+            i += 1
+          }
+          InternalRow.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+        }
+        override def close(): Unit = reader.close()
+      }
+    }
+  }
+
+  /** One maintenance verb behind Spark 4's `CALL` statement. Results come
+    * back as rows through a [[LocalScan]] (the engine's
+    * InvokeProcedures rule turns it into a local relation), so
+    * `CALL lake.system.history('t')` composes like any query.
+    */
+  class LakeProcedure(catalog: LakeCatalog, procName: String)
+      extends UnboundProcedure {
+    override def name(): String = procName
+    override def description(): String = procName match {
+      case "vacuum" => "reclaim superseded manifests and their files"
+      case "sweep_orphans" => "reclaim manifest-less data files"
+      case "checkpoint" => "collapse the live manifest set into one"
+      case "compact" => "rewrite small/clustered files (OPTIMIZE)"
+      case "history" => "the commit history (DESCRIBE HISTORY)"
+    }
+
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = procName
+      override def description(): String = LakeProcedure.this.description()
+      override def isDeterministic: Boolean = false
+
+      private def p(n: String, dt: org.apache.spark.sql.types.DataType) =
+        ProcedureParameter.in(n, dt).build()
+      private def pd(n: String, dt: org.apache.spark.sql.types.DataType,
+          default: String) =
+        ProcedureParameter.in(n, dt).defaultValue(default).build()
+
+      override def parameters(): Array[ProcedureParameter] = procName match {
+        case "vacuum" =>
+          Array(p("table", StringType), pd("min_age_ms", LongType, "0"))
+        case "sweep_orphans" =>
+          Array(p("table", StringType), p("min_age_ms", LongType))
+        case "checkpoint" => Array(p("table", StringType))
+        case "compact" => Array(p("table", StringType),
+          pd("target_bytes", LongType, (128L * 1024 * 1024).toString),
+          pd("cluster_expr", StringType, "NULL"),
+          pd("stats_fields", StringType, "NULL"))
+        case "history" => Array(p("table", StringType))
+      }
+
+      private def resultSchema: StructType = procName match {
+        case "vacuum" | "sweep_orphans" =>
+          StructType(Seq(StructField("reclaimed", IntegerType, nullable = false)))
+        case "checkpoint" =>
+          StructType(Seq(StructField("collapsed", IntegerType, nullable = false)))
+        case "compact" =>
+          StructType(Seq(StructField("compacted_dirs", IntegerType, nullable = false)))
+        case "history" => StructType(Seq(
+          StructField("version", IntegerType, nullable = false),
+          StructField("manifest", StringType, nullable = false),
+          StructField("op", StringType, nullable = false),
+          StructField("commit_ts", LongType, nullable = false),
+          StructField("live", BooleanType, nullable = false)))
+      }
+
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val path = catalog.resolveTableArg(table)
+        val spark = SparkSession.active
+        val resultRows: Array[InternalRow] = procName match {
+          case "vacuum" =>
+            Array(InternalRow(WeatherLakeV2Sink.vacuum(path,
+              minAgeMs = input.getLong(1))))
+          case "sweep_orphans" =>
+            Array(InternalRow(WeatherLakeV2Sink.sweepOrphans(path,
+              minAgeMs = input.getLong(1))))
+          case "checkpoint" =>
+            Array(InternalRow(WeatherLakeV2Sink.checkpointManifests(path)))
+          case "compact" =>
+            val clusterExpr = if (input.isNullAt(2)) None
+              else Some(input.getUTF8String(2).toString)
+            val statsFields = if (input.isNullAt(3)) Seq.empty[String]
+              else input.getUTF8String(3).toString
+                .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            Array(InternalRow(WeatherLakeV2Sink.compact(spark, path,
+              targetBytes = input.getLong(1),
+              clusterExpr = clusterExpr.map(text =>
+                (_: org.apache.spark.sql.DataFrame) =>
+                  org.apache.spark.sql.functions.expr(text)),
+              statsFields = statsFields)))
+          case "history" =>
+            val fs = new Path(path).getFileSystem(new Configuration())
+            val mdir = new Path(path, WeatherLakeV2Sink.ManifestDir)
+            val live = WeatherLakeV2Sink.liveManifests(path).toSet
+            WeatherLakeV2Sink.manifestHistory(path).zipWithIndex.map {
+              case (n, i) =>
+                val mp = new Path(mdir, n)
+                val in = fs.open(mp)
+                val lines =
+                  try scala.io.Source.fromInputStream(in, "UTF-8")
+                    .getLines().toList
+                  finally in.close()
+                val op = WeatherLakeV2Sink.manifestOp(lines).getOrElse("append")
+                InternalRow(i, UTF8String.fromString(n),
+                  UTF8String.fromString(op),
+                  fs.getFileStatus(mp).getModificationTime, live(n))
+            }.toArray
+        }
+        val schema = resultSchema
+        val scan: Scan = new LocalScan {
+          override def rows(): Array[InternalRow] = resultRows
+          override def readSchema(): StructType = schema
+          override def description(): String = s"lake_$procName($table)"
+        }
+        util.Collections.singletonList(scan).iterator()
+      }
+    }
+  }
+}

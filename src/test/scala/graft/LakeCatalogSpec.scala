@@ -1,0 +1,282 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.{LakeCatalog, WeatherLakeV2Sink}
+
+/** The DSv2 TableCatalog face of the manifest lake: identifier-addressed
+  * tables (CREATE/INSERT/SELECT/DML), time travel via the engine's
+  * VERSION/TIMESTAMP AS OF, maintenance via CALL procedures, and the
+  * catalog metadata lifecycle (drop/rename/external adoption).
+  */
+class LakeCatalogSpec extends SparkSpec {
+
+  private lazy val warehouse: String = {
+    val w = Files.createTempDirectory("lakecat_wh").toString
+    spark.conf.set("spark.sql.catalog.lakecat",
+      classOf[LakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lakecat.warehouse", w)
+    w
+  }
+
+  private def createTable(name: String, tblProps: String = ""): Unit = {
+    warehouse
+    spark.sql(s"""CREATE TABLE lakecat.$name
+      (city STRING, ds STRING, hour STRING, value STRING)
+      USING lake $tblProps""")
+  }
+
+  private def insert(name: String, rows: (String, Long, Long)*): Unit =
+    spark.sql(s"INSERT INTO lakecat.$name VALUES " + rows.map {
+      case (c, k, v) =>
+        s"""('$c', '2024-01-01', '00', '{"k": $k, "v": $v}')"""
+    }.mkString(", "))
+
+  private def state(name: String): Map[Long, Long] =
+    spark.sql(s"""SELECT CAST(get_json_object(value, '$$.k') AS BIGINT) AS k,
+        CAST(get_json_object(value, '$$.v') AS BIGINT) AS v
+        FROM lakecat.$name""")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("CREATE TABLE + INSERT INTO + SELECT roundtrip; partition columns " +
+      "are recovered from the file paths; SHOW TABLES lists it") {
+    createTable("t1")
+    insert("t1", ("a", 1L, 10L), ("b", 2L, 20L))
+    val rows = spark.sql(
+      "SELECT city, ds, hour, value FROM lakecat.t1 ORDER BY city").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("a", "b"))
+    assert(rows.forall(r => r.getString(1) == "2024-01-01" &&
+      r.getString(2) == "00"))
+    assert(state("t1") == Map(1L -> 10L, 2L -> 20L))
+    val listed = spark.sql("SHOW TABLES IN lakecat")
+      .collect().map(_.getString(1)).toSet
+    assert(listed.contains("t1"))
+  }
+
+  test("a non-lake schema refuses loudly at CREATE TABLE") {
+    warehouse
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE lakecat.bad (x INT, y STRING) USING lake")
+    }
+    assert(e.getMessage.contains("schema is fixed"))
+  }
+
+  test("partition-equality filters prune the planned FILE LIST; every " +
+      "filter stays residual so survivors are still row-filtered") {
+    createTable("t2")
+    insert("t2", ("a", 1L, 10L))
+    insert("t2", ("b", 2L, 20L))
+    insert("t2", ("b", 3L, 30L))
+    // unit-level: the scan builder plans fewer partitions under the
+    // pushed equality (2 files under city=b, 1 under city=a)
+    val path = s"$warehouse/t2"
+    val builder = new LakeCatalog.LakeTableScanBuilder(path, None,
+      CaseInsensitiveStringMap.empty())
+    val all = builder.build().toBatch.planInputPartitions().length
+    val pruned = new LakeCatalog.LakeTableScanBuilder(path, None,
+      CaseInsensitiveStringMap.empty()) {
+        pushFilters(Array(org.apache.spark.sql.sources.EqualTo("city", "b")))
+      }.build().toBatch.planInputPartitions().length
+    assert(all == 3 && pruned == 2)
+    // end-to-end row parity through SQL
+    assert(spark.sql(
+      "SELECT count(*) FROM lakecat.t2 WHERE city = 'b'").head.getLong(0) == 2)
+  }
+
+  test("VERSION AS OF / TIMESTAMP AS OF time-travel through the engine's " +
+      "own clause; DML on a pinned read refuses") {
+    createTable("t3")
+    insert("t3", ("a", 1L, 10L))
+    Thread.sleep(1100) // distinct manifest mtimes for the timestamp probe
+    val betweenMs = System.currentTimeMillis()
+    insert("t3", ("a", 2L, 20L))
+    assert(spark.sql("SELECT count(*) FROM lakecat.t3 VERSION AS OF 0")
+      .head.getLong(0) == 1)
+    assert(spark.sql("SELECT count(*) FROM lakecat.t3 VERSION AS OF 1")
+      .head.getLong(0) == 2)
+    val ts = java.time.Instant.ofEpochMilli(betweenMs)
+      .atZone(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    assert(spark.sql(
+      s"SELECT count(*) FROM lakecat.t3 TIMESTAMP AS OF '$ts'")
+      .head.getLong(0) == 1)
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM lakecat.t3 TIMESTAMP AS OF '1999-01-01 00:00:00'")
+        .collect()
+    }
+    assert(e.getMessage.contains("no commit"))
+  }
+
+  test("statsFields table property feeds the data-skipping layer on " +
+      "every INSERT (manifest entries carry per-file min/max)") {
+    createTable("t4", "TBLPROPERTIES ('statsFields' = 'k')")
+    insert("t4", ("a", 5L, 50L))
+    val lines = WeatherLakeV2Sink.committedEntryLines(s"$warehouse/t4")
+    assert(lines.nonEmpty && lines.forall(l =>
+      WeatherLakeV2Sink.lineStats(l).contains("k")))
+  }
+
+  test("MERGE INTO / DELETE FROM / UPDATE dispatch against catalog " +
+      "identifiers, parameterized by table properties") {
+    createTable("t5", "TBLPROPERTIES ('statsFields' = 'k')")
+    insert("t5", ("a", 1L, 10L), ("a", 2L, 20L), ("b", 3L, 30L))
+    val s = spark
+    import s.implicits._
+    Seq(("a", "2024-01-01", "00", """{"k": 2, "v": 200}"""),
+        ("c", "2024-01-02", "01", """{"k": 9, "v": 90}"""))
+      .toDF("city", "ds", "hour", "raw_json")
+      .createOrReplaceTempView("t5_delta")
+    spark.sql("""MERGE INTO lakecat.t5 t USING t5_delta s
+      ON get_json_object(t.value, '$.k') = get_json_object(s.raw_json, '$.k')
+      WHEN MATCHED THEN UPDATE SET value = s.raw_json
+      WHEN NOT MATCHED THEN
+        INSERT (city, ds, hour, value) VALUES (s.city, s.ds, s.hour, s.raw_json)""")
+    assert(state("t5") == Map(1L -> 10L, 2L -> 200L, 3L -> 30L, 9L -> 90L))
+    spark.sql("DELETE FROM lakecat.t5 " +
+      "WHERE CAST(get_json_object(value, '$.k') AS BIGINT) = 1")
+    spark.sql("""UPDATE lakecat.t5 SET value = to_json(named_struct(
+        'k', CAST(get_json_object(value, '$.k') AS BIGINT),
+        'v', CAST(get_json_object(value, '$.v') AS BIGINT) + 1))
+      WHERE CAST(get_json_object(value, '$.k') AS BIGINT) = 3""")
+    assert(state("t5") == Map(2L -> 200L, 3L -> 31L, 9L -> 90L))
+  }
+
+  test("CALL lakecat.system.history is DESCRIBE HISTORY: version-ordered " +
+      "commits with their #op and liveness") {
+    createTable("t6")
+    insert("t6", ("a", 1L, 10L))
+    spark.sql("DELETE FROM lakecat.t6 " +
+      "WHERE CAST(get_json_object(value, '$.k') AS BIGINT) = 99")
+    insert("t6", ("a", 2L, 20L))
+    val h = spark.sql("CALL lakecat.system.history('t6')").collect()
+    assert(h.map(_.getInt(0)).toSeq == h.indices.toSeq)
+    assert(h.map(_.getString(2)).toSet.subsetOf(Set("append", "delete")))
+    assert(h.forall(_.getBoolean(4))) // no-op delete publishes nothing
+    assert(h.length == 2)
+  }
+
+  test("CALL compact / checkpoint / vacuum / sweep_orphans run the " +
+      "maintenance ops and return their counts") {
+    createTable("t7")
+    insert("t7", ("a", 1L, 10L))
+    insert("t7", ("a", 2L, 20L)) // two small files in one directory
+    val compacted = spark.sql(
+      "CALL lakecat.system.compact('t7')").head.getInt(0)
+    assert(compacted == 1)
+    insert("t7", ("a", 3L, 30L)) // a second live manifest to collapse
+    val collapsed = spark.sql(
+      "CALL lakecat.system.checkpoint('t7')").head.getInt(0)
+    assert(collapsed == 2)
+    val reclaimed = spark.sql(
+      "CALL lakecat.system.vacuum('t7', min_age_ms => 0)").head.getInt(0)
+    assert(reclaimed >= 1)
+    // the op's own mandatory positive age guard rides through the CALL
+    intercept[Exception](spark.sql("CALL lakecat.system.sweep_orphans('t7', 0)"))
+    val swept = spark.sql(
+      "CALL lakecat.system.sweep_orphans('t7', 3600000)").head.getInt(0)
+    assert(swept == 0)
+    assert(state("t7") == Map(1L -> 10L, 2L -> 20L, 3L -> 30L))
+  }
+
+  test("CALL compact with cluster_expr ZORDER-sorts the rewrite and " +
+      "re-measures stats") {
+    createTable("t8", "TBLPROPERTIES ('statsFields' = 'k')")
+    insert("t8", ("a", 1L, 10L), ("a", 4L, 40L))
+    insert("t8", ("a", 2L, 20L), ("a", 3L, 30L))
+    val n = spark.sql("""CALL lakecat.system.compact('t8',
+      cluster_expr => "CAST(get_json_object(value, '$.k') AS BIGINT)",
+      stats_fields => 'k')""").head.getInt(0)
+    assert(n == 1)
+    assert(state("t8") == Map(1L -> 10L, 2L -> 20L, 3L -> 30L, 4L -> 40L))
+    val lines = WeatherLakeV2Sink.committedEntryLines(s"$warehouse/t8")
+    assert(lines.forall(l => WeatherLakeV2Sink.lineStats(l).contains("k")))
+  }
+
+  test("an unknown procedure refuses with the available list") {
+    warehouse
+    val e = intercept[Exception] {
+      spark.sql("CALL lakecat.system.frobnicate('t1')")
+    }
+    assert(e.getMessage.contains("unknown procedure") ||
+      e.getMessage.contains("frobnicate"))
+  }
+
+  test("DROP TABLE deletes a managed table's data but only un-registers " +
+      "an external one; LOCATION adopts a pre-catalog lake") {
+    warehouse
+    // a pre-catalog lake written through the plain V2 sink
+    val external = Files.createTempDirectory("lakecat_ext").toString
+    val s = spark
+    import s.implicits._
+    Seq(("x", 1L)).toDF("city", "k").select(col("city"),
+        lit("2024-01-01").as("ds"), lit("00").as("hour"),
+        to_json(struct(col("k"))).as("raw_json"))
+      .write.format("graft.sources.WeatherLakeV2Sink").mode("append")
+      .save(external)
+    spark.sql(s"""CREATE TABLE lakecat.adopted
+      (city STRING, ds STRING, hour STRING, value STRING)
+      USING lake LOCATION '$external'""")
+    assert(spark.sql("SELECT count(*) FROM lakecat.adopted").head.getLong(0) == 1)
+    spark.sql("DROP TABLE lakecat.adopted")
+    // data survives an external drop; the registration does not
+    assert(WeatherLakeV2Sink.committedFiles(external).nonEmpty)
+    assert(intercept[Exception](
+      spark.sql("SELECT * FROM lakecat.adopted").collect()) != null)
+    // managed: the directory goes with the table
+    createTable("doomed")
+    insert("doomed", ("a", 1L, 1L))
+    spark.sql("DROP TABLE lakecat.doomed")
+    assert(!new java.io.File(s"$warehouse/doomed").exists())
+  }
+
+  test("ALTER TABLE SET TBLPROPERTIES mutates properties; schema changes " +
+      "refuse; RENAME re-points the registration (data never moves — " +
+      "manifest paths are absolute)") {
+    createTable("t9")
+    spark.sql("ALTER TABLE lakecat.t9 SET TBLPROPERTIES ('statsFields' = 'k')")
+    insert("t9", ("a", 7L, 70L))
+    assert(WeatherLakeV2Sink.committedEntryLines(s"$warehouse/t9")
+      .forall(l => WeatherLakeV2Sink.lineStats(l).contains("k")))
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE lakecat.t9 ADD COLUMN extra STRING")
+    }
+    assert(e.getMessage.contains("schema is fixed"))
+    spark.sql("ALTER TABLE lakecat.t9 RENAME TO t9_renamed")
+    assert(state("t9_renamed") == Map(7L -> 70L))
+    // old name is gone; the data directory stays where the manifests
+    // point (absolute paths) and keeps serving the new registration
+    intercept[Exception](spark.sql("SELECT * FROM lakecat.t9").collect())
+    assert(new java.io.File(s"$warehouse/t9").exists())
+    assert(WeatherLakeV2Sink.committedFiles(s"$warehouse/t9").nonEmpty)
+  }
+
+  test("readStream.table streams the four-column shape from the " +
+      "manifest-set micro-batch source") {
+    createTable("t10")
+    insert("t10", ("a", 1L, 10L))
+    val out = Files.createTempDirectory("lakecat_strm_out").toString
+    val cp = Files.createTempDirectory("lakecat_strm_cp").toString
+    val q = spark.readStream.table("lakecat.t10")
+      .writeStream.format("parquet")
+      .option("checkpointLocation", cp)
+      .option("path", out)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.read.parquet(out)
+    assert(got.columns.toSeq == Seq("city", "ds", "hour", "value"))
+    assert(got.count() == 1 && got.head.getString(0) == "a")
+  }
+
+  test("a second CREATE TABLE of the same name refuses; IF NOT EXISTS " +
+      "is silent") {
+    createTable("t11")
+    intercept[Exception](createTable("t11"))
+    spark.sql("""CREATE TABLE IF NOT EXISTS lakecat.t11
+      (city STRING, ds STRING, hour STRING, value STRING) USING lake""")
+  }
+}
