@@ -41,8 +41,8 @@ object Explain {
     // content-addressed materializations (bucketed tables, exported models)
     // embed a corpus signature — row count + key sum — that varies by SF
     .replaceAll("_bkt_n\\d+_s\\d+", "_bkt_<sig>")
-    // the catalog fixture table's name is content-addressed the same way
-    .replaceAll("docs_n\\d+_s\\d+", "docs_<sig>")
+    // the catalog fixture tables' names are content-addressed the same way
+    .replaceAll("(docs[a-z_]*)_n\\d+_s\\d+", "$1_<sig>")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

@@ -403,14 +403,16 @@ object SparkEntry {
     */
   private val catalogTableCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
-  private def catalogDocsTable(s: SparkSession, dir: String): String =
-    catalogTableCache.getOrElseUpdate(s"${System.identityHashCode(s)}#$dir", {
+  private def catalogDocsTable(s: SparkSession, dir: String,
+      kind: String = "docs"): String =
+    catalogTableCache.getOrElseUpdate(
+      s"$kind#${System.identityHashCode(s)}#$dir", {
       s.conf.set("spark.sql.catalog.graftlake", "graft.sources.LakeCatalog")
       s.conf.set("spark.sql.catalog.graftlake.warehouse",
         "/tmp/graft_catalog_wh")
       val docs = Tables.documents(s, dir)
       val sig = graft.similarity.ModelExport.corpusSig(docs, "doc_id")
-      val t = s"docs_$sig"
+      val t = s"${kind}_$sig"
       val p = s"/tmp/graft_catalog_wh/$t"
       val existing = graft.sources.WeatherLakeV2Sink.manifestNames(p)
       require(existing.isEmpty || existing.contains("manifest-base.txt"),
@@ -5921,6 +5923,35 @@ object SparkEntry {
         s.sql(s"""SELECT CAST(get_json_object(value, '$$.doc_id') AS BIGINT) AS doc_id,
           CAST(get_json_object(value, '$$.val') AS BIGINT) AS val
           FROM graftlake.$t VERSION AS OF 0""")
+      }),
+
+    QueryDef("q102_lake_overwrite_sql",
+      "INSERT OVERWRITE as one SQL statement on a catalog table — the " +
+        "full-refresh verb (rebuild a mart, replace a snapshot export): " +
+        "ONE manifest supersedes the writer's plan-time snapshot and " +
+        "lists the new batch (logically a checkpoint whose re-listed " +
+        "lines are new data), validated at publish like every " +
+        "superseding commit — a racing append survives (it is not in " +
+        "the snapshot), a concurrent rewrite loses loudly. Old files " +
+        "stay readable through pinned snapshots until vacuum; the " +
+        "change feed refuses the unrepresentable delta. Every bench " +
+        "pass re-runs a REAL overwrite (fresh files, fresh superseding " +
+        "manifest) with a constant final state; the oracle replays the " +
+        "refresh relationally.",
+      Some("""SELECT doc_id, CAST(doc_id * 3 AS BIGINT) AS val
+        |FROM documents WHERE doc_id % 3 = 0""".stripMargin),
+      (s, dir) => {
+        val t = catalogDocsTable(s, dir, kind = "docs_ow")
+        Tables.documents(s, dir).createOrReplaceTempView("lake_ow_src")
+        s.sql(s"""INSERT OVERWRITE graftlake.$t
+          SELECT source AS city, '2024-01-01' AS ds,
+            lpad(CAST(doc_id % 24 AS STRING), 2, '0') AS hour,
+            to_json(named_struct('doc_id', doc_id,
+              'val', CAST(doc_id * 3 AS BIGINT))) AS value
+          FROM lake_ow_src WHERE doc_id % 3 = 0""")
+        s.sql(s"""SELECT CAST(get_json_object(value, '$$.doc_id') AS BIGINT) AS doc_id,
+          CAST(get_json_object(value, '$$.val') AS BIGINT) AS val
+          FROM graftlake.$t""")
       })
   )
 

@@ -62,7 +62,7 @@ object WeatherLakeV2Sink {
     override def schema(): StructType = Schema
     override def capabilities(): util.Set[TableCapability] =
       util.EnumSet.of(TableCapability.BATCH_WRITE,
-        TableCapability.STREAMING_WRITE)
+        TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
       // manifestId overrides the engine-assigned queryId as the manifest
       // name — a DETERMINISTIC id is what turns the at-least-once retries
@@ -89,8 +89,22 @@ object WeatherLakeV2Sink {
       val statsFields = Option(info.options().get("statsFields"))
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Seq.empty)
-      new WriteBuilder {
+      new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
+        // INSERT OVERWRITE / SaveMode.Overwrite: the commit's manifest
+        // SUPERSEDES the whole snapshot taken at plan time — logically a
+        // checkpoint whose re-listed lines are the NEW data. Snapshot
+        // isolation, validated at publish like every superseding commit:
+        // an append racing in AFTER the snapshot stays live (it is not in
+        // the superseded set), a concurrent rewrite of a snapshot
+        // manifest makes this overwrite lose loudly. Old files stay on
+        // disk for time travel until vacuum, exactly like compaction.
+        private var truncateFirst = false
+        override def truncate(): WriteBuilder = { truncateFirst = true; this }
         override def build(): Write = new Write {
+          // taken at BUILD time so the distributed write races nothing:
+          // publish re-validates this exact set
+          private val overwriteSnapshot: Seq[String] =
+            if (truncateFirst) liveManifests(path) else Seq.empty
           override def toBatch: BatchWrite = new BatchWrite {
             override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory =
               new LakeWriterFactory(path, statsFields)
@@ -104,7 +118,10 @@ object WeatherLakeV2Sink {
             override def commit(messages: Array[WriterCommitMessage]): Unit = {
               val files = messages.collect { case FilesWritten(ps) => ps }
                 .flatten.toIndexedSeq
-              writeManifest(path, jobId, files)
+              if (truncateFirst)
+                publishCommit(path, "overwrite", snapshot = overwriteSnapshot,
+                  supersedes = overwriteSnapshot, lines = files)
+              else writeManifest(path, jobId, files)
             }
             override def abort(messages: Array[WriterCommitMessage]): Unit = ()
           }
@@ -125,6 +142,10 @@ object WeatherLakeV2Sink {
             * name would collapse all epochs into one token).
             */
           override def toStreaming: StreamingWrite = new StreamingWrite {
+            require(!truncateFirst,
+              "WeatherLakeV2Sink: streaming writes append per epoch — " +
+                "outputMode('complete')/truncate has no lake semantics; " +
+                "use batch INSERT OVERWRITE")
             override def createStreamingWriterFactory(
                 pi: PhysicalWriteInfo): StreamingDataWriterFactory =
               new LakeStreamingWriterFactory(path, statsFields)
@@ -159,7 +180,8 @@ object WeatherLakeV2Sink {
     * prefix, and a masquerading append would be misrouted there.
     */
   val ReservedIdPrefixes: Seq[String] =
-    Seq("merge-", "delete-", "update-", "compact-", "checkpoint-")
+    Seq("merge-", "delete-", "update-", "compact-", "checkpoint-",
+      "overwrite-")
 
   /** Directive line marking another manifest as replaced by this one.
     * Lines starting with `#` are directives, never file paths; a manifest

@@ -459,7 +459,7 @@ object WeatherLakeV2StreamSource {
     val changeLines = WeatherLakeV2Sink.changeEntryLines(lines)
     val op = WeatherLakeV2Sink.manifestOp(lines).getOrElse {
       // legacy manifests (no #op): fall back to the name convention
-      Seq("compact", "checkpoint", "merge", "delete", "update")
+      Seq("compact", "checkpoint", "merge", "delete", "update", "overwrite")
         .find(o => n.startsWith(s"manifest-$o-")).getOrElse("append")
     }
     val layoutOnly = op == "compact" || op == "checkpoint"
@@ -475,6 +475,12 @@ object WeatherLakeV2StreamSource {
       s"WeatherLakeV2StreamSource: $n is a row-level maintenance " +
         "commit without a change log — run the operation with " +
         "changeLog = true, or consume readNewChanges instead")
+    else if (op == "overwrite") throw new IllegalStateException(
+      s"WeatherLakeV2StreamSource: $n replaced the table wholesale " +
+        "(INSERT OVERWRITE) and carries no row-level change log — its " +
+        "delta is not representable in the feed. Restart the feed with " +
+        "startingAt = 'latest' (bootstrapping state from a snapshot " +
+        "read), or diff snapshots with changesBetween.")
     else lines.filter(l => l.nonEmpty && !l.startsWith("#")).filter(keep)
       .map(l => LakeCdcFilePartition(WeatherLakeV2Sink.entryPath(l),
         insertData = true, commit = n, commitTs = commitTs): InputPartition)

@@ -272,6 +272,23 @@ class LakeCatalogSpec extends SparkSpec {
     assert(got.count() == 1 && got.head.getString(0) == "a")
   }
 
+  test("INSERT OVERWRITE replaces the committed view in one superseding " +
+      "commit; the pre-overwrite version still time-travels") {
+    createTable("t12")
+    insert("t12", ("a", 1L, 10L), ("b", 2L, 20L))
+    spark.sql("""INSERT OVERWRITE lakecat.t12
+      VALUES ('c', '2024-02-01', '01', '{"k": 9, "v": 90}')""")
+    assert(state("t12") == Map(9L -> 90L))
+    val live = WeatherLakeV2Sink.liveManifests(s"$warehouse/t12")
+    assert(live.size == 1 && live.head.startsWith("manifest-overwrite-"))
+    assert(spark.sql("SELECT count(*) FROM lakecat.t12 VERSION AS OF 0")
+      .head.getLong(0) == 2)
+    // history procedure shows the overwrite op
+    val ops = spark.sql("CALL lakecat.system.history('t12')")
+      .collect().map(_.getString(2)).toSeq
+    assert(ops == Seq("append", "overwrite"))
+  }
+
   test("a second CREATE TABLE of the same name refuses; IF NOT EXISTS " +
       "is silent") {
     createTable("t11")

@@ -1348,7 +1348,8 @@ class WeatherLakeV2SinkSpec extends SparkSpec {
     import s.implicits._
     val df = Seq(("a", "2024-01-01", "00", "{\"k\":1}"))
       .toDF("city", "ds", "hour", "raw_json")
-    Seq("compact-x", "merge-x", "delete-1", "update-2", "checkpoint-z")
+    Seq("compact-x", "merge-x", "delete-1", "update-2", "checkpoint-z",
+        "overwrite-w")
       .foreach { id =>
         val e = intercept[Exception] {
           df.write.format("graft.sources.WeatherLakeV2Sink")
@@ -1815,5 +1816,62 @@ class WeatherLakeV2SinkSpec extends SparkSpec {
     // every published manifest carries the e2e stream identity
     assert(WeatherLakeV2Sink.manifestNames(lake)
       .forall(_.startsWith("manifest-e2e-b")))
+  }
+
+  test("SaveMode.Overwrite supersedes the whole snapshot in ONE commit: " +
+      "the committed view flips to the new batch, the old snapshot still " +
+      "time-travels, vacuum reclaims it, and the CDC feed refuses the " +
+      "unrepresentable delta loudly") {
+    import graft.sources.WeatherLakeV2Sink
+    val lake = Files.createTempDirectory("lakev2ow").toString
+    val s = spark
+    import s.implicits._
+    def batch(ks: Seq[Int]): DataFrame = ks
+      .map(k => ("a", "2024-01-01", "00", s"""{"k":$k}"""))
+      .toDF("city", "ds", "hour", "raw_json")
+    batch(Seq(1, 2)).write.format("graft.sources.WeatherLakeV2Sink")
+      .option("manifestId", "base1").mode("append").save(lake)
+    batch(Seq(3)).write.format("graft.sources.WeatherLakeV2Sink")
+      .option("manifestId", "base2").mode("append").save(lake)
+    val preOverwrite = WeatherLakeV2Sink.snapshot(lake)
+    batch(Seq(7, 8)).write.format("graft.sources.WeatherLakeV2Sink")
+      .mode("overwrite").save(lake)
+    // one commit: the overwrite manifest supersedes both appends
+    val live = WeatherLakeV2Sink.liveManifests(lake)
+    assert(live.size == 1 && live.head.startsWith("manifest-overwrite-"))
+    assert(WeatherLakeV2Sink.readCommitted(spark, lake)
+      .collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("""{"k":7}""", """{"k":8}"""))
+    // history is intact until vacuum: the pre-overwrite snapshot reads
+    assert(WeatherLakeV2Sink.readAsOf(spark, lake, preOverwrite)
+      .count() == 3)
+    // a fresh CDC feed hits the overwrite commit and refuses loudly —
+    // its delta (3 deletes + 2 inserts) is not in the manifest
+    val e = intercept[Exception] {
+      val q = spark.readStream
+        .format("graft.sources.WeatherLakeV2StreamSource")
+        .option("readChangeFeed", "true").load(lake)
+        .writeStream.format("memory").queryName("ow_cdc")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      throw new IllegalStateException(
+        s"stream should have failed: ${q.exception}")
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+    val all = chain(e) ++ Option(e.getMessage).toSeq.map(m =>
+      new RuntimeException(m))
+    assert(all.exists(t => Option(t.getMessage).exists(
+      _.contains("INSERT OVERWRITE"))), s"got: $e")
+    // vacuum reclaims the superseded appends and their files
+    assert(WeatherLakeV2Sink.vacuum(lake) >= 2)
+    assert(WeatherLakeV2Sink.readCommitted(spark, lake).count() == 2)
+    // a second overwrite of an already-overwritten lake works (snapshot
+    // is now just the overwrite manifest)
+    batch(Seq(9)).write.format("graft.sources.WeatherLakeV2Sink")
+      .mode("overwrite").save(lake)
+    assert(WeatherLakeV2Sink.readCommitted(spark, lake)
+      .collect().map(_.getString(0)).toSeq == Seq("""{"k":9}"""))
   }
 }
