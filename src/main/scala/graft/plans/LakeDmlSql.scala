@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression, SubqueryExpression}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.functions.{lit, struct}
@@ -49,7 +49,15 @@ import graft.sources.{WeatherLakeV2Sink, WeatherLakeV2StreamSource}
   *    operation's two sides see different keys); `WHEN MATCHED THEN
   *    UPDATE SET value = s.raw_json` (or `SET *`), `WHEN NOT MATCHED
   *    THEN INSERT (city, ds, hour, value) VALUES (…)` (or `INSERT *`),
-  *    no action conditions, no `NOT MATCHED BY SOURCE`.
+  *    no `NOT MATCHED BY SOURCE`. Matched-side DELETE is supported in
+  *    two shapes: a PURE `WHEN MATCHED THEN DELETE` (erase the batch's
+  *    keys; no INSERT action allowed — its marker would have to be
+  *    per-row matchedness), and the Delta CDC idiom `WHEN MATCHED AND
+  *    <cond> THEN DELETE` (condition over SOURCE columns) before the
+  *    unconditional UPDATE, whose INSERT action must carry the negated
+  *    guard `AND NOT(<cond>)` — an unguarded INSERT would, per SQL
+  *    semantics, insert an unmatched delete-marked row, which the lake
+  *    merge no-ops; the mismatch is refused, never silent.
   *
   * The commands return the operation's stats as rows (`touched_files`,
   * `new_files`, and the row count for delete/update), so `spark.sql`
@@ -176,7 +184,7 @@ object LakeDmlSql {
     * `raw_json` — the normal form under which the ON clause's two sides
     * must agree (see the key contract in the class doc).
     */
-  private def normalizePayloadExpr(e: Expression): Expression = e.transformUp {
+  private[plans] def normalizePayloadExpr(e: Expression): Expression = e.transformUp {
     case a: UnresolvedAttribute =>
       val last = a.nameParts.last.toLowerCase
       UnresolvedAttribute(Seq(if (last == "value") "raw_json" else last))
@@ -334,33 +342,109 @@ case class LakeMergeCommand(stmt: MergeIntoTable) extends LeafRunnableCommand {
           GraftPlanBridge.expressionOf(sourceDF(col))
       })
 
-    // WHEN MATCHED: full-row replacement by the source payload
+    // WHEN MATCHED: full-row replacement by the source payload, a pure
+    // DELETE (erase the matched keys), or the Delta CDC idiom —
+    // `WHEN MATCHED AND <cond> THEN DELETE` before an unconditional
+    // UPDATE, with the condition over SOURCE columns (it marks batch
+    // rows; the lake merge evaluates it on the batch frame).
     def isPayloadRef(e: Expression): Boolean = e match {
       case a: UnresolvedAttribute =>
         val l = a.nameParts.last.toLowerCase
         l == "raw_json" || l == "value"
       case _ => false
     }
-    stmt.matchedActions match {
+    def checkReplaceUpdate(k: Expression, v: Expression): Unit = {
+      val kn = k match {
+        case a: UnresolvedAttribute => a.nameParts.last.toLowerCase
+        case other => other.sql
+      }
+      if ((kn != "value" && kn != "raw_json") || !isPayloadRef(v))
+        fail("supports WHEN MATCHED THEN UPDATE SET value = s.raw_json " +
+          "(full-row replacement — the lake row IS one JSON line); got " +
+          s"SET $kn = ${v.sql}")
+    }
+    val deleteCond: Option[Expression] = stmt.matchedActions match {
       case Seq(UpdateAction(None, Seq(Assignment(k, v)), _)) =>
-        val kn = k match {
-          case a: UnresolvedAttribute => a.nameParts.last.toLowerCase
-          case other => other.sql
-        }
-        if ((kn != "value" && kn != "raw_json") || !isPayloadRef(v))
-          fail("supports WHEN MATCHED THEN UPDATE SET value = s.raw_json " +
-            "(full-row replacement — the lake row IS one JSON line); got " +
-            s"SET $kn = ${v.sql}")
-      case Seq(_: UpdateStarAction) => // SET * = replace by source payload
-      case Seq(UpdateAction(Some(c), _, _)) =>
-        fail(s"does not support a WHEN MATCHED AND <condition>: ${c.sql}")
+        checkReplaceUpdate(k, v); None
+      case Seq(UpdateStarAction(None)) => None // SET * = replace by source
+      case Seq(DeleteAction(None)) =>
+        // pure delete-matched: every batch row erases its key. An INSERT
+        // action alongside it would need per-row MATCHEDNESS as the
+        // delete marker, which the keyed merge does not expose — refuse
+        // rather than silently skip the inserts.
+        if (stmt.notMatchedActions.nonEmpty)
+          fail("WHEN MATCHED THEN DELETE cannot be combined with WHEN NOT " +
+            "MATCHED THEN INSERT (the delete marker would have to be " +
+            "per-row matchedness); drop the INSERT action, or mark delete " +
+            "rows explicitly with WHEN MATCHED AND <cond> THEN DELETE")
+        Some(org.apache.spark.sql.catalyst.expressions.Literal(true))
+      case Seq(DeleteAction(Some(c)), UpdateAction(None, Seq(Assignment(k, v)), _)) =>
+        checkReplaceUpdate(k, v); Some(c)
+      case Seq(DeleteAction(Some(c)), UpdateStarAction(None)) => Some(c)
+      case Seq(UpdateAction(None, _, _) | UpdateStarAction(None),
+          DeleteAction(Some(c))) =>
+        fail("the unconditional UPDATE precedes the conditional DELETE, so " +
+          s"the DELETE can never apply (first matching action wins); " +
+          s"write WHEN MATCHED AND ${c.sql} THEN DELETE first")
+      case Seq(UpdateAction(Some(c), _, _), _*) =>
+        fail(s"does not support a WHEN MATCHED AND <condition> THEN " +
+          s"UPDATE: ${c.sql}")
       case other =>
-        fail("needs exactly one WHEN MATCHED THEN UPDATE action, got: " +
+        fail("needs WHEN MATCHED THEN UPDATE (full-row), WHEN MATCHED " +
+          "THEN DELETE, or WHEN MATCHED AND <cond> THEN DELETE before an " +
+          "unconditional UPDATE; got: " +
           s"${other.map(_.getClass.getSimpleName).mkString(", ")}")
     }
+    val pureDelete = deleteCond.exists {
+      case org.apache.spark.sql.catalyst.expressions.Literal(true, _) => true
+      case _ => false
+    }
+
+    // With a CONDITIONAL delete, SQL semantics insert an unmatched row
+    // even when it is delete-marked — the lake merge no-ops it instead,
+    // so an unconditional INSERT would silently diverge. Require the
+    // Delta idiom's own guard: WHEN NOT MATCHED AND NOT(<delete cond>)
+    // THEN INSERT (e.g. delete `s.op = 'd'`, insert `s.op != 'd'`).
+    def normSql(e: Expression): String =
+      LakeDmlSql.normalizePayloadExpr(e).sql
+    def checkInsertGuard(cond: Option[Expression]): Unit =
+      deleteCond.filterNot(_ => pureDelete).foreach { dc =>
+        val not = org.apache.spark.sql.catalyst.expressions.Not(dc)
+        val ok = cond.exists { ic =>
+          normSql(ic) == normSql(not) ||
+            normSql(org.apache.spark.sql.catalyst.expressions.Not(ic)) ==
+              normSql(dc)
+        }
+        if (!ok) fail("with WHEN MATCHED AND <cond> THEN DELETE, the " +
+          "INSERT action must carry the negated guard — WHEN NOT MATCHED " +
+          s"AND NOT(${dc.sql}) THEN INSERT — because an unguarded INSERT " +
+          "would (per SQL semantics) insert an unmatched delete-marked " +
+          "row, which the lake merge no-ops; got " +
+          cond.map(c => s"AND ${c.sql}").getOrElse("no condition"))
+      }
 
     // WHEN NOT MATCHED: the inserted row, as expressions over the source
     val (cityE, dsE, hourE, valueE) = stmt.notMatchedActions match {
+      case _ if pureDelete => // refused above unless empty; row unused
+        (UnresolvedAttribute(Seq("city")), UnresolvedAttribute(Seq("ds")),
+          UnresolvedAttribute(Seq("hour")), UnresolvedAttribute(Seq("raw_json")))
+      case Seq(InsertAction(cond, assigns)) if deleteCond.isDefined =>
+        checkInsertGuard(cond)
+        val byName = assigns.map { case Assignment(k, v) =>
+          val kn = k match {
+            case a: UnresolvedAttribute => a.nameParts.last.toLowerCase
+            case other => other.sql
+          }
+          kn -> v
+        }.toMap
+        def get(n: String): Expression = byName.getOrElse(n,
+          if (n == "value") byName.getOrElse("raw_json",
+            fail(s"INSERT must set '$n'")) else fail(s"INSERT must set '$n'"))
+        (get("city"), get("ds"), get("hour"), get("value"))
+      case Seq(InsertStarAction(cond)) if deleteCond.isDefined =>
+        checkInsertGuard(cond)
+        (UnresolvedAttribute(Seq("city")), UnresolvedAttribute(Seq("ds")),
+          UnresolvedAttribute(Seq("hour")), UnresolvedAttribute(Seq("raw_json")))
       case Seq(InsertAction(None, assigns)) =>
         val byName = assigns.map { case Assignment(k, v) =>
           val kn = k match {
@@ -386,11 +470,19 @@ case class LakeMergeCommand(stmt: MergeIntoTable) extends LeafRunnableCommand {
       fail("INSERT must set value to the source payload (s.raw_json) — " +
         s"full-row upsert, got ${valueE.sql}")
 
-    val batch = sourceDF.select(
+    // the delete marker (when present) is evaluated over the SOURCE and
+    // carried as a batch column, so the merge's distributed passes see
+    // it without re-binding source expressions on the maintenance frames
+    val baseCols = Seq(
       bindSource(cityE, "INSERT city").as("city"),
       bindSource(dsE, "INSERT ds").as("ds"),
       bindSource(hourE, "INSERT hour").as("hour"),
       sourceCol("raw_json").as("raw_json"))
+    val batch = deleteCond match {
+      case None => sourceDF.select(baseCols: _*)
+      case Some(dc) => sourceDF.select(baseCols :+
+        bindSource(dc, "MATCHED DELETE condition").as("__delete"): _*)
+    }
 
     val key = (df: DataFrame) => {
       val bound = keyExprs.map(e => LakeDmlSql.bind(e, df, "MERGE ON"))
@@ -398,7 +490,8 @@ case class LakeMergeCommand(stmt: MergeIntoTable) extends LeafRunnableCommand {
     }
     val st = WeatherLakeV2Sink.mergeCommitted(spark, t.path, batch, key,
       targetBytes = t.targetBytes, statsFields = t.statsFields,
-      changeLog = t.changeLog)
+      changeLog = t.changeLog,
+      deleteMatched = deleteCond.map(_ => (df: DataFrame) => df("__delete")))
     Seq(Row(st.touchedFiles, st.newFiles))
   }
 }

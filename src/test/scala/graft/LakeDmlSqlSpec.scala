@@ -176,12 +176,84 @@ class LakeDmlSqlSpec extends SparkSpec {
         WHEN NOT MATCHED BY SOURCE THEN DELETE""")
     }
     assert(e7.getMessage.contains("NOT MATCHED BY SOURCE"), e7.getMessage)
-    // MERGE: matched action must be the full-row replacement
+    // MERGE: a conditional UPDATE is not the full-row replacement
     val e8 = intercept[IllegalArgumentException] {
       spark.sql("""MERGE INTO dml_loud t USING dml_badsrc s
         ON get_json_object(t.value, '$.k') = get_json_object(s.raw_json, '$.k')
-        WHEN MATCHED THEN DELETE""")
+        WHEN MATCHED AND s.k > 0 THEN UPDATE SET value = s.raw_json""")
     }
-    assert(e8.getMessage.contains("WHEN MATCHED THEN UPDATE"), e8.getMessage)
+    assert(e8.getMessage.contains("WHEN MATCHED AND"), e8.getMessage)
+  }
+
+  test("MERGE matched-side DELETE: pure erasure, and the Delta CDC idiom " +
+      "(conditional DELETE + unconditional UPDATE + guarded INSERT); " +
+      "divergent shapes refuse loudly") {
+    val s = spark
+    import s.implicits._
+    def src(name: String, rows: Seq[(Long, Long, String)]): Unit =
+      rows.toDF("k", "v", "op")
+        .select(lit("a").as("city"), lit("2024-01-01").as("ds"),
+          lit("00").as("hour"),
+          to_json(struct(col("k"), col("v"))).as("raw_json"), col("op"))
+        .createOrReplaceTempView(name)
+
+    // pure delete: matched keys erased, unmatched delete rows no-op
+    val lake1 = freshLake(Seq(("a", 1L, 10L), ("a", 2L, 20L), ("b", 3L, 30L)))
+    view(lake1, "dml_mdel")
+    src("dml_mdel_src", Seq((2L, 0L, "d"), (7L, 0L, "d")))
+    val stats = spark.sql("""MERGE INTO dml_mdel t USING dml_mdel_src s
+      ON get_json_object(t.value, '$.k') = get_json_object(s.raw_json, '$.k')
+      WHEN MATCHED THEN DELETE""")
+    assert(stats.columns.toSeq == Seq("touched_files", "new_files"))
+    assert(state("dml_mdel") == Map(1L -> 10L, 3L -> 30L))
+
+    // the CDC idiom: op='d' deletes, others upsert; unmatched 'd' no-ops
+    val lake2 = freshLake(Seq(("a", 1L, 10L), ("a", 2L, 20L)))
+    view(lake2, "dml_cdc")
+    src("dml_cdc_src",
+      Seq((1L, 0L, "d"), (2L, 222L, "u"), (9L, 90L, "u"), (7L, 0L, "d")))
+    spark.sql("""MERGE INTO dml_cdc t USING dml_cdc_src s
+      ON get_json_object(t.value, '$.k') = get_json_object(s.raw_json, '$.k')
+      WHEN MATCHED AND s.op = 'd' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET value = s.raw_json
+      WHEN NOT MATCHED AND s.op != 'd' THEN
+        INSERT (city, ds, hour, value) VALUES (s.city, s.ds, s.hour, s.raw_json)""")
+    assert(state("dml_cdc") == Map(2L -> 222L, 9L -> 90L))
+
+    // unguarded INSERT with a conditional DELETE would silently diverge
+    // from SQL semantics on unmatched delete-marked rows — refused
+    val e1 = intercept[IllegalArgumentException] {
+      spark.sql("""MERGE INTO dml_cdc t USING dml_cdc_src s
+        ON get_json_object(t.value, '$.k') = get_json_object(s.raw_json, '$.k')
+        WHEN MATCHED AND s.op = 'd' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET value = s.raw_json
+        WHEN NOT MATCHED THEN
+          INSERT (city, ds, hour, value) VALUES (s.city, s.ds, s.hour, s.raw_json)""")
+    }
+    assert(e1.getMessage.contains("negated guard"), e1.getMessage)
+
+    // pure DELETE + INSERT needs per-row matchedness as the marker
+    val e2 = intercept[IllegalArgumentException] {
+      spark.sql("""MERGE INTO dml_cdc t USING dml_cdc_src s
+        ON get_json_object(t.value, '$.k') = get_json_object(s.raw_json, '$.k')
+        WHEN MATCHED THEN DELETE
+        WHEN NOT MATCHED THEN
+          INSERT (city, ds, hour, value) VALUES (s.city, s.ds, s.hour, s.raw_json)""")
+    }
+    assert(e2.getMessage.contains("matchedness"), e2.getMessage)
+
+    // dead conditional DELETE after the unconditional UPDATE: Spark's own
+    // grammar refuses it at parse (only the LAST matched clause may omit
+    // its condition), so the shape never reaches the dispatch — the
+    // command's own ordering check is defense in depth
+    val e3 = intercept[Exception] {
+      spark.sql("""MERGE INTO dml_cdc t USING dml_cdc_src s
+        ON get_json_object(t.value, '$.k') = get_json_object(s.raw_json, '$.k')
+        WHEN MATCHED THEN UPDATE SET value = s.raw_json
+        WHEN MATCHED AND s.op = 'd' THEN DELETE
+        WHEN NOT MATCHED AND s.op != 'd' THEN
+          INSERT (city, ds, hour, value) VALUES (s.city, s.ds, s.hour, s.raw_json)""")
+    }
+    assert(e3.getMessage.toUpperCase.contains("MATCHED"), e3.getMessage)
   }
 }

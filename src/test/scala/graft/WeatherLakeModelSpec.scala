@@ -8,8 +8,8 @@ import org.apache.spark.sql.functions._
 import graft.sources.WeatherLakeV2Sink
 
 /** Model-based property test of the lake's table semantics: random
-  * sequences of the SIX table operations (append, merge, delete, update,
-  * compact, checkpoint) run against both the real lake and a trivial
+  * sequences of the SEVEN table operations (append, merge, delete,
+  * update, compact, checkpoint, overwrite) run against both the real lake and a trivial
   * in-memory Map — after EVERY op the committed view must equal the
   * model, and a SHADOW consumer that sees only the incremental change
   * feed (readNewChanges + replaceCursor) must reconstruct the same
@@ -67,7 +67,7 @@ class WeatherLakeModelSpec extends SparkSpec {
           nextKey += 1; (nextKey, rng.between(0L, 1000L))
         }
       for (i <- 1 to 8) {
-        val op = rng.nextInt(6)
+        val op = rng.nextInt(7)
         op match {
           case 0 => // append brand-new keys
             val rows = freshRows(1 + rng.nextInt(3))
@@ -101,6 +101,13 @@ class WeatherLakeModelSpec extends SparkSpec {
               k -> (if (k % 3 == r) k * 7 + r else v) }
           case 4 => WeatherLakeV2Sink.compact(spark, lake, targetBytes = 256)
           case 5 => WeatherLakeV2Sink.checkpointManifests(lake)
+          case 6 => // overwrite: full refresh to a brand-new key set;
+            // the incremental feed must net it to deletes of every old
+            // key + inserts of the new (snapshot diff is op-agnostic)
+            val rows = freshRows(1 + rng.nextInt(3))
+            payload(rows).write.format("graft.sources.WeatherLakeV2Sink")
+              .mode("overwrite").save(lake)
+            model = rows.toMap
         }
         assert(lakeState == model, s"trial $trial op#$i (kind $op) diverged")
         applyFeed()
