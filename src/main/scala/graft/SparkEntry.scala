@@ -5952,6 +5952,35 @@ object SparkEntry {
         s.sql(s"""SELECT CAST(get_json_object(value, '$$.doc_id') AS BIGINT) AS doc_id,
           CAST(get_json_object(value, '$$.val') AS BIGINT) AS val
           FROM graftlake.$t""")
+      }),
+
+    QueryDef("q103_lake_replace_partition",
+      "Partition-scoped overwrite — `INSERT OVERWRITE … PARTITION " +
+        "(city = 'src3')`, Delta's replaceWhere: merge's partial-" +
+        "supersede skeleton applied to a whole partition. Only manifests " +
+        "owning a file in the replaced region are superseded (their " +
+        "outside lines re-listed verbatim, stats intact), appends into " +
+        "OTHER partitions coexist, an append racing INTO the region " +
+        "conflicts loudly (the region doubles as the publish-time read " +
+        "domain), and a batch row outside the declared region refuses " +
+        "before publish. Every pass re-replaces the same partition " +
+        "(fresh files, fresh superseding manifest) with a constant final " +
+        "state; the oracle replays the regional refresh relationally.",
+      Some("""SELECT doc_id, CAST(CASE WHEN source = 'src3'
+        |  THEN doc_id * 5 ELSE doc_id END AS BIGINT) AS val
+        |FROM documents""".stripMargin),
+      (s, dir) => {
+        val t = catalogDocsTable(s, dir, kind = "docs_rw")
+        Tables.documents(s, dir).createOrReplaceTempView("lake_rw_src")
+        s.sql(s"""INSERT OVERWRITE graftlake.$t PARTITION (city = 'src3')
+          SELECT '2024-01-01' AS ds,
+            lpad(CAST(doc_id % 24 AS STRING), 2, '0') AS hour,
+            to_json(named_struct('doc_id', doc_id,
+              'val', CAST(doc_id * 5 AS BIGINT))) AS value
+          FROM lake_rw_src WHERE source = 'src3'""")
+        s.sql(s"""SELECT CAST(get_json_object(value, '$$.doc_id') AS BIGINT) AS doc_id,
+          CAST(get_json_object(value, '$$.val') AS BIGINT) AS val
+          FROM graftlake.$t""")
       })
   )
 

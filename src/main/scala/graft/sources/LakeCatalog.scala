@@ -415,7 +415,8 @@ object LakeCatalog {
         util.EnumSet.of(TableCapability.BATCH_READ)
       else util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE,
-        TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
+        TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE,
+        TableCapability.OVERWRITE_BY_FILTER, TableCapability.OVERWRITE_DYNAMIC)
 
     /** Table properties that parameterize the lake DML/maintenance ops
       * (read by [[graft.plans.LakeDmlSql.resolveTarget]]).

@@ -62,7 +62,8 @@ object WeatherLakeV2Sink {
     override def schema(): StructType = Schema
     override def capabilities(): util.Set[TableCapability] =
       util.EnumSet.of(TableCapability.BATCH_WRITE,
-        TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
+        TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE,
+        TableCapability.OVERWRITE_BY_FILTER, TableCapability.OVERWRITE_DYNAMIC)
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
       // manifestId overrides the engine-assigned queryId as the manifest
       // name — a DETERMINISTIC id is what turns the at-least-once retries
@@ -89,22 +90,60 @@ object WeatherLakeV2Sink {
       val statsFields = Option(info.options().get("statsFields"))
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Seq.empty)
-      new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
-        // INSERT OVERWRITE / SaveMode.Overwrite: the commit's manifest
-        // SUPERSEDES the whole snapshot taken at plan time — logically a
-        // checkpoint whose re-listed lines are the NEW data. Snapshot
-        // isolation, validated at publish like every superseding commit:
-        // an append racing in AFTER the snapshot stays live (it is not in
-        // the superseded set), a concurrent rewrite of a snapshot
-        // manifest makes this overwrite lose loudly. Old files stay on
-        // disk for time travel until vacuum, exactly like compaction.
+      new WriteBuilder
+          with org.apache.spark.sql.connector.write.SupportsTruncate
+          with org.apache.spark.sql.connector.write.SupportsOverwrite
+          with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
+        // The OVERWRITE family, all publishing ONE superseding manifest
+        // validated at publish like every superseding commit:
+        //  - truncate (INSERT OVERWRITE / SaveMode.Overwrite): supersede
+        //    the whole plan-time snapshot — a checkpoint whose re-listed
+        //    lines are the NEW data;
+        //  - overwrite(filters) (replaceWhere / INSERT OVERWRITE …
+        //    PARTITION (k = v)): partition-equality filters choose the
+        //    replaced region — manifests owning a matching file are
+        //    superseded, their non-matching lines re-listed verbatim, so
+        //    commits over disjoint partitions coexist; the filter domain
+        //    is ALSO the publish-time read domain, so an append racing
+        //    INTO the replaced partitions conflicts loudly (Delta's
+        //    replaceWhere + ConcurrentAppend semantics) while appends
+        //    elsewhere survive;
+        //  - dynamic partition overwrite: the replaced region is the set
+        //    of partition tuples the batch actually WROTE (known from
+        //    the task commit messages — no extra pass).
+        // Old files stay on disk for time travel until vacuum, exactly
+        // like compaction.
         private var truncateFirst = false
+        private var overwriteEq: Option[Map[String, String]] = None
+        private var dynamicOverwrite = false
         override def truncate(): WriteBuilder = { truncateFirst = true; this }
+        override def overwrite(
+            filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder = {
+          import org.apache.spark.sql.sources.{AlwaysTrue, EqualNullSafe, EqualTo}
+          val partCols = Schema.fieldNames.take(3).toSet
+          if (filters.forall(_.isInstanceOf[AlwaysTrue])) truncateFirst = true
+          else overwriteEq = Some(filters.map {
+            case EqualTo(a, v) if partCols(a.toLowerCase) =>
+              a.toLowerCase -> String.valueOf(v)
+            case EqualNullSafe(a, v) if partCols(a.toLowerCase) && v != null =>
+              a.toLowerCase -> String.valueOf(v)
+            case other => throw new IllegalArgumentException(
+              "WeatherLakeV2Sink: overwrite supports only partition-" +
+                s"equality conditions on city/ds/hour, got $other — use " +
+                "mergeCommitted/deleteCommitted for row-level replacement")
+          }.toMap)
+          this
+        }
+        override def overwriteDynamicPartitions(): WriteBuilder = {
+          dynamicOverwrite = true; this
+        }
         override def build(): Write = new Write {
           // taken at BUILD time so the distributed write races nothing:
           // publish re-validates this exact set
+          private val overwriting =
+            truncateFirst || overwriteEq.isDefined || dynamicOverwrite
           private val overwriteSnapshot: Seq[String] =
-            if (truncateFirst) liveManifests(path) else Seq.empty
+            if (overwriting) liveManifests(path) else Seq.empty
           override def toBatch: BatchWrite = new BatchWrite {
             override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory =
               new LakeWriterFactory(path, statsFields)
@@ -121,6 +160,9 @@ object WeatherLakeV2Sink {
               if (truncateFirst)
                 publishCommit(path, "overwrite", snapshot = overwriteSnapshot,
                   supersedes = overwriteSnapshot, lines = files)
+              else if (overwriteEq.isDefined || dynamicOverwrite)
+                commitPartitionOverwrite(path, overwriteSnapshot, files,
+                  overwriteEq, dynamicOverwrite)
               else writeManifest(path, jobId, files)
             }
             override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -142,10 +184,10 @@ object WeatherLakeV2Sink {
             * name would collapse all epochs into one token).
             */
           override def toStreaming: StreamingWrite = new StreamingWrite {
-            require(!truncateFirst,
+            require(!overwriting,
               "WeatherLakeV2Sink: streaming writes append per epoch — " +
-                "outputMode('complete')/truncate has no lake semantics; " +
-                "use batch INSERT OVERWRITE")
+                "outputMode('complete')/truncate/overwrite has no lake " +
+                "semantics; use batch INSERT OVERWRITE")
             override def createStreamingWriterFactory(
                 pi: PhysicalWriteInfo): StreamingDataWriterFactory =
               new LakeStreamingWriterFactory(path, statsFields)
@@ -1147,6 +1189,72 @@ object WeatherLakeV2Sink {
       snapshot: Seq[String], supersedes: Seq[String], lines: Seq[String],
       readDomain: Option[String => Boolean] = None): Unit =
     publishCommit(basePath, op, snapshot, supersedes, lines, readDomain)
+
+  /** Partition-scoped overwrite (Delta's replaceWhere / dynamic partition
+    * overwrite) — merge's partial-supersede skeleton applied to whole
+    * partitions: manifests owning a file inside the replaced region are
+    * superseded with their outside lines re-listed verbatim (stats
+    * intact), every other live manifest stays live, ONE manifest flips
+    * the view. The region is ALSO the publish-time read domain, so an
+    * append racing INTO a replaced partition conflicts loudly while
+    * appends elsewhere coexist. `eq` = the declared partition-equality
+    * region (every written file must fall inside it — loud otherwise,
+    * the statement's files stay unpublished sweepable orphans); `eq`
+    * empty = dynamic mode, the region is the batch's own written
+    * partition tuples. A committed file the region cannot be DECIDED for
+    * (missing the filtered keys in its path) fails loudly in eq mode —
+    * replacing it would be a guess, keeping it would leak stale rows;
+    * in dynamic mode a partition-less file is genuinely outside every
+    * written tuple and is kept.
+    */
+  private def commitPartitionOverwrite(basePath: String,
+      snapshot: Seq[String], newLines: Seq[String],
+      eq: Option[Map[String, String]], dynamic: Boolean): Unit = {
+    def pvOf(line: String): Map[String, String] =
+      partitionValues(basePath, entryPath(line))
+    val writtenParts = newLines.map(pvOf).toSet
+    eq.foreach { m =>
+      val outside = newLines.filterNot(l =>
+        m.forall { case (k, v) => pvOf(l).get(k).contains(v) })
+      if (outside.nonEmpty) throw new IllegalArgumentException(
+        "WeatherLakeV2Sink: overwrite of PARTITION (" +
+          m.map { case (k, v) => s"$k = '$v'" }.mkString(", ") +
+          ") but the batch wrote files OUTSIDE that region: " +
+          outside.map(entryPath).take(3).mkString(", ") +
+          " — the statement would replace one region and write another")
+    }
+    def inDomain(line: String): Boolean = eq match {
+      case Some(m) =>
+        val pv = pvOf(line)
+        m.forall { case (k, v) =>
+          pv.get(k) match {
+            case Some(x) => x == v
+            case None => throw new IllegalStateException(
+              s"WeatherLakeV2Sink: committed file ${entryPath(line)} " +
+                s"carries no '$k=' path segment — membership in the " +
+                "overwritten region cannot be decided (replacing it would " +
+                "be a guess, keeping it would leak stale rows); compact " +
+                "the foreign file into the partition layout first")
+          }
+        }
+      case None => writtenParts.contains(pvOf(line))
+    }
+    val byManifest = entryLinesByManifest(basePath, snapshot)
+    val touchedManifests = byManifest.collect {
+      case (n, ls) if ls.exists(inDomain) => n
+    }
+    // dynamic overwrite of nothing (empty batch) replaces nothing: a
+    // no-op publishes NOTHING, like a no-op delete
+    if (newLines.isEmpty && touchedManifests.isEmpty) return
+    val touchedSet = touchedManifests.toSet
+    val keep = byManifest
+      .filter { case (n, _) => touchedSet(n) }
+      .flatMap(_._2)
+      .filterNot(inDomain)
+    publishCommit(basePath, "overwrite", snapshot = snapshot,
+      supersedes = touchedManifests, lines = keep ++ newLines,
+      readDomain = Some(inDomain))
+  }
 
   /** Strips `scheme:` AND `//authority` from a URI string, leaving the
     * raw path — `hdfs://nn:8020/p` → `/p`, `file:/tmp/x` → `/tmp/x`,

@@ -289,6 +289,42 @@ class LakeCatalogSpec extends SparkSpec {
     assert(ops == Seq("append", "overwrite"))
   }
 
+  test("partition-scoped overwrite: INSERT OVERWRITE ... PARTITION " +
+      "replaces only the named region, dynamic mode replaces the written " +
+      "partitions, and writing outside a replaceWhere region refuses") {
+    createTable("t13")
+    insert("t13", ("a", 1L, 10L), ("b", 2L, 20L))
+    // static partition overwrite: city=a replaced, city=b re-listed
+    spark.sql("""INSERT OVERWRITE lakecat.t13 PARTITION (city = 'a')
+      SELECT '2024-01-01', '00', '{"k": 5, "v": 50}'""")
+    assert(state("t13") == Map(5L -> 50L, 2L -> 20L))
+    // dynamic: only the partitions the batch writes are replaced
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try spark.sql("""INSERT OVERWRITE lakecat.t13
+      SELECT 'b', '2024-01-01', '00', '{"k": 7, "v": 70}'""")
+    finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    assert(state("t13") == Map(5L -> 50L, 7L -> 70L))
+    // replaceWhere validation: the batch must stay inside the region
+    val s = spark
+    import s.implicits._
+    val foreign = Seq(("b", "2024-01-01", "00", """{"k": 9, "v": 90}"""))
+      .toDF("city", "ds", "hour", "value")
+    val e = intercept[Exception] {
+      foreign.writeTo("lakecat.t13").overwrite(col("city") === "a")
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+    assert(chain(e).exists(t => Option(t.getMessage).exists(
+      _.contains("OUTSIDE"))), s"got: $e")
+    assert(state("t13") == Map(5L -> 50L, 7L -> 70L))
+    // history shows the overwrite commits, and version 0 still reads
+    val ops = spark.sql("CALL lakecat.system.history('t13')")
+      .collect().map(_.getString(2)).toSeq
+    assert(ops == Seq("append", "overwrite", "overwrite"))
+    assert(spark.sql("SELECT count(*) FROM lakecat.t13 VERSION AS OF 0")
+      .head.getLong(0) == 2)
+  }
+
   test("a second CREATE TABLE of the same name refuses; IF NOT EXISTS " +
       "is silent") {
     createTable("t11")
