@@ -316,7 +316,8 @@ object LakeCatalog {
 
   val ProcedureNamespace = "system"
   val ProcedureNames: Seq[String] =
-    Seq("vacuum", "sweep_orphans", "checkpoint", "compact", "history")
+    Seq("vacuum", "sweep_orphans", "checkpoint", "compact", "history",
+      "measure_stats")
 
   /** The one row shape a lake table has: three path-encoded partition
     * keys plus the raw payload line. `value` (read face) and `raw_json`
@@ -603,6 +604,8 @@ object LakeCatalog {
       case "checkpoint" => "collapse the live manifest set into one"
       case "compact" => "rewrite small/clustered files (OPTIMIZE)"
       case "history" => "the commit history (DESCRIBE HISTORY)"
+      case "measure_stats" =>
+        "backfill per-file min/max stats without rewriting data (ANALYZE)"
     }
 
     override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
@@ -627,6 +630,8 @@ object LakeCatalog {
           pd("cluster_expr", StringType, "NULL"),
           pd("stats_fields", StringType, "NULL"))
         case "history" => Array(p("table", StringType))
+        case "measure_stats" =>
+          Array(p("table", StringType), p("fields", StringType))
       }
 
       private def resultSchema: StructType = procName match {
@@ -642,6 +647,9 @@ object LakeCatalog {
           StructField("op", StringType, nullable = false),
           StructField("commit_ts", LongType, nullable = false),
           StructField("live", BooleanType, nullable = false)))
+        case "measure_stats" =>
+          StructType(Seq(StructField("measured_files", IntegerType,
+            nullable = false)))
       }
 
       override def call(input: InternalRow): util.Iterator[Scan] = {
@@ -669,6 +677,11 @@ object LakeCatalog {
                 (_: org.apache.spark.sql.DataFrame) =>
                   org.apache.spark.sql.functions.expr(text)),
               statsFields = statsFields)))
+          case "measure_stats" =>
+            val fields = input.getUTF8String(1).toString
+              .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            Array(InternalRow(
+              WeatherLakeV2Sink.measureStats(spark, path, fields)))
           case "history" =>
             val fs = new Path(path).getFileSystem(new Configuration())
             val mdir = new Path(path, WeatherLakeV2Sink.ManifestDir)

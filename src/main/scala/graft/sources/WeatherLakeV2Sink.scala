@@ -223,7 +223,7 @@ object WeatherLakeV2Sink {
     */
   val ReservedIdPrefixes: Seq[String] =
     Seq("merge-", "delete-", "update-", "compact-", "checkpoint-",
-      "overwrite-")
+      "overwrite-", "measure-")
 
   /** Directive line marking another manifest as replaced by this one.
     * Lines starting with `#` are directives, never file paths; a manifest
@@ -2061,6 +2061,66 @@ object WeatherLakeV2Sink {
         supersedes = touchedManifests, lines = keep ++ newFiles)
       multi.size
     }
+  }
+
+  /** Backfill per-file min/max stats onto the CURRENT committed view
+    * without rewriting a single data file — the retrofit that gives
+    * pre-`statsFields` data (or a new query pattern's field) a sharp
+    * skipping layer. Delta's ANALYZE/`delta.dataSkippingStatsColumns`
+    * role: stats live in the MANIFEST entry lines, so re-measuring is a
+    * metadata commit, not a data rewrite.
+    *
+    * One task per committed file runs the exact accumulator the writer
+    * uses ([[FieldAcc]] over [[extractJsonField]] — identical numeric/
+    * lexicographic semantics, so a backfilled file prunes exactly like a
+    * write-time-measured one), the driver collects O(files x fields)
+    * stats (bounded metadata, the same class as the manifest read
+    * itself), and ONE layout-only superseding manifest re-lists every
+    * entry line with the merged stats — existing stats for OTHER fields
+    * survive, requested fields are recomputed. The commit is validated
+    * at publish like checkpoint: a racing append stays live untouched, a
+    * racing rewrite of a snapshot manifest makes this commit lose
+    * loudly. The change feed ignores it (layout-only `#op measure`).
+    * Returns the number of files measured.
+    */
+  def measureStats(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, fields: Seq[String]): Int = {
+    require(fields.nonEmpty,
+      "measureStats needs at least one raw_json field name to measure")
+    val snapshot = liveManifests(basePath)
+    val byManifest = entryLinesByManifest(basePath, snapshot)
+    val lines = byManifest.flatMap(_._2)
+    if (lines.isEmpty) return 0
+    val files = lines.map(entryPath)
+    val fieldsB = fields.toIndexedSeq
+    val computed: Map[String, Map[String, FieldStats]] =
+      spark.sparkContext.parallelize(files, files.size).map { f =>
+        val fs = new Path(f).getFileSystem(new Configuration())
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(fs.open(new Path(f)), "UTF-8"))
+        val accs = Array.fill(fieldsB.length)(new FieldAcc)
+        try {
+          var line = in.readLine()
+          while (line != null) {
+            var k = 0
+            while (k < fieldsB.length) {
+              extractJsonField(line, fieldsB(k)).foreach(accs(k).add)
+              k += 1
+            }
+            line = in.readLine()
+          }
+        } finally in.close()
+        f -> fieldsB.zip(accs).flatMap { case (fd, a) =>
+          a.stats.map(fd -> _) }.toMap
+      }.collect().toMap
+    val newLines = lines.map { l =>
+      val p = entryPath(l)
+      val merged = lineStats(l) ++ computed.getOrElse(p, Map.empty)
+      if (merged.isEmpty) p else s"$p\t${statsToJson(merged)}"
+    }
+    publishCommit(basePath, "measure", snapshot = snapshot,
+      supersedes = snapshot, lines = newLines)
+    files.size
   }
 
   /** Reclaim space after [[compact]]: delete data files referenced ONLY

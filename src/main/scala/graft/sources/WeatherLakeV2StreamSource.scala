@@ -459,10 +459,11 @@ object WeatherLakeV2StreamSource {
     val changeLines = WeatherLakeV2Sink.changeEntryLines(lines)
     val op = WeatherLakeV2Sink.manifestOp(lines).getOrElse {
       // legacy manifests (no #op): fall back to the name convention
-      Seq("compact", "checkpoint", "merge", "delete", "update", "overwrite")
+      Seq("compact", "checkpoint", "measure", "merge", "delete", "update",
+          "overwrite")
         .find(o => n.startsWith(s"manifest-$o-")).getOrElse("append")
     }
-    val layoutOnly = op == "compact" || op == "checkpoint"
+    val layoutOnly = op == "compact" || op == "checkpoint" || op == "measure"
     val rowLevel = op == "merge" || op == "delete" || op == "update"
     if (layoutOnly) Seq.empty
     else if (changeLines.nonEmpty)

@@ -325,6 +325,26 @@ class LakeCatalogSpec extends SparkSpec {
       .head.getLong(0) == 2)
   }
 
+  test("CALL measure_stats backfills the skipping layer through the " +
+      "catalog; CTAS creates and seeds a table in one statement") {
+    createTable("t14") // no statsFields property — pre-stats data
+    insert("t14", ("a", 1L, 10L))
+    val n = spark.sql(
+      "CALL lakecat.system.measure_stats('t14', 'k')").head.getInt(0)
+    assert(n == 1)
+    assert(WeatherLakeV2Sink.committedEntryLines(s"$warehouse/t14")
+      .forall(l => WeatherLakeV2Sink.lineStats(l).contains("k")))
+    assert(state("t14") == Map(1L -> 10L))
+    // CTAS: the query schema must be the lake shape
+    spark.sql("""CREATE TABLE lakecat.t15 USING lake AS
+      SELECT city, ds, hour, value FROM lakecat.t14""")
+    assert(state("t15") == Map(1L -> 10L))
+    val bad = intercept[Exception] {
+      spark.sql("CREATE TABLE lakecat.t16 USING lake AS SELECT 1 AS x")
+    }
+    assert(bad.getMessage.contains("schema is fixed"), bad.getMessage)
+  }
+
   test("a second CREATE TABLE of the same name refuses; IF NOT EXISTS " +
       "is silent") {
     createTable("t11")

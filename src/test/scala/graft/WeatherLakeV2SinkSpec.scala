@@ -1818,6 +1818,53 @@ class WeatherLakeV2SinkSpec extends SparkSpec {
       .forall(_.startsWith("manifest-e2e-b")))
   }
 
+  test("measureStats backfills per-file min/max WITHOUT rewriting data: " +
+      "the skipping layer turns sharp, file paths are unchanged, other " +
+      "fields' stats survive, and the feed ignores the layout-only commit") {
+    import graft.sources.WeatherLakeV2Sink
+    val lake = Files.createTempDirectory("lakev2meas").toString
+    val s = spark
+    import s.implicits._
+    // two files in distinct val ranges, written WITHOUT statsFields —
+    // the pre-stats-era lake
+    Seq(("a", "2024-01-01", "00", """{"k":1,"val":5}"""),
+        ("a", "2024-01-01", "00", """{"k":2,"val":9}"""))
+      .toDF("city", "ds", "hour", "raw_json").coalesce(1)
+      .write.format("graft.sources.WeatherLakeV2Sink")
+      .option("manifestId", "lo").mode("append").save(lake)
+    Seq(("a", "2024-01-01", "01", """{"k":3,"val":105}"""))
+      .toDF("city", "ds", "hour", "raw_json").coalesce(1)
+      .write.format("graft.sources.WeatherLakeV2Sink")
+      .option("manifestId", "hi").mode("append").save(lake)
+    val before = WeatherLakeV2Sink.committedFiles(lake).sorted
+    def above100(st: Map[String, WeatherLakeV2Sink.FieldStats]): Boolean =
+      st.get("val").forall(_.overlaps(Some("100"), None))
+    // un-measured: stats pruning keeps everything (fail-open)
+    assert(WeatherLakeV2Sink.committedFilesPrunedByStats(lake)(above100)
+      .size == 2)
+    val n = WeatherLakeV2Sink.measureStats(spark, lake, Seq("val"))
+    assert(n == 2)
+    // same files (no data rewrite), sharp pruning now
+    assert(WeatherLakeV2Sink.committedFiles(lake).sorted == before)
+    assert(WeatherLakeV2Sink.committedFilesPrunedByStats(lake)(above100)
+      .size == 1)
+    assert(WeatherLakeV2Sink.readCommittedStatsPruned(spark, lake)(above100)
+      .count() == 1)
+    // re-measuring another field MERGES (val stats survive)
+    WeatherLakeV2Sink.measureStats(spark, lake, Seq("k"))
+    assert(WeatherLakeV2Sink.committedFilesPrunedByStats(lake)(above100)
+      .size == 1)
+    assert(WeatherLakeV2Sink.committedFilesPrunedByStats(lake)(st =>
+      st.get("k").forall(_.overlaps(Some("3"), None))).size == 1)
+    // layout-only: a fresh CDC feed sees only the original inserts
+    val out = spark.read
+      .format("graft.sources.WeatherLakeV2StreamSource")
+      .option("readChangeFeed", "true").option("startingVersion", "0")
+      .load(lake)
+    assert(out.groupBy("change").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap == Map("insert" -> 3L))
+  }
+
   test("SaveMode.Overwrite supersedes the whole snapshot in ONE commit: " +
       "the committed view flips to the new batch, the old snapshot still " +
       "time-travels, vacuum reclaims it, and the CDC feed refuses the " +
