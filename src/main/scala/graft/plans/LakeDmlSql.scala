@@ -57,7 +57,15 @@ import graft.sources.{WeatherLakeV2Sink, WeatherLakeV2StreamSource}
   *    unconditional UPDATE, whose INSERT action must carry the negated
   *    guard `AND NOT(<cond>)` — an unguarded INSERT would, per SQL
   *    semantics, insert an unmatched delete-marked row, which the lake
-  *    merge no-ops; the mismatch is refused, never silent.
+  *    merge no-ops; the mismatch is refused, never silent. A DELETE
+  *    condition that evaluates NULL on any source row is refused too
+  *    (three-valued semantics the two-valued marker cannot express).
+  *    The source's (city, ds, hour) must be the STORED row's partition
+  *    tuple for keys it targets — `mergeCommitted` prunes candidate
+  *    files by the batch's partition tuples, so a mis-partitioned
+  *    source row cannot see (update, delete, or deduplicate against)
+  *    the stored copy; the key should determine the partition, as in
+  *    every lake fixture.
   *
   * The commands return the operation's stats as rows (`touched_files`,
   * `new_files`, and the row count for delete/update), so `spark.sql`
@@ -480,8 +488,20 @@ case class LakeMergeCommand(stmt: MergeIntoTable) extends LeafRunnableCommand {
       sourceCol("raw_json").as("raw_json"))
     val batch = deleteCond match {
       case None => sourceDF.select(baseCols: _*)
-      case Some(dc) => sourceDF.select(baseCols :+
-        bindSource(dc, "MATCHED DELETE condition").as("__delete"): _*)
+      case Some(dc) =>
+        val marker = bindSource(dc, "MATCHED DELETE condition")
+        // a NULL condition is where the lake dispatch and SQL semantics
+        // would part ways (SQL drops an unmatched NULL-guard row from
+        // the INSERT; the keyed merge's two-valued marker would insert
+        // it) — refuse the undecided row instead of diverging silently
+        if (!pureDelete &&
+            sourceDF.filter(marker.isNull).limit(1).count() > 0)
+          fail("the MATCHED DELETE condition evaluated to NULL for at " +
+            s"least one source row (${dc.sql}); per SQL three-valued " +
+            "semantics such a row is neither deleted nor inserted, which " +
+            "the keyed merge cannot express — make the condition total, " +
+            "e.g. coalesce(<cond>, false)")
+        sourceDF.select(baseCols :+ marker.as("__delete"): _*)
     }
 
     val key = (df: DataFrame) => {

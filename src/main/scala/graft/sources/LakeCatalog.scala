@@ -151,20 +151,15 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
     val dir = regDirOf(ident).getOrElse(throw new NoSuchTableException(ident))
     val props = readMarker(fs.getConf, dir)
     val location = props.getOrDefault(TableCatalog.PROP_LOCATION, dir)
-    val tsMs = timestampMicros / 1000L
-    val lfs = new Path(location).getFileSystem(new Configuration())
-    val mdir = new Path(location, WeatherLakeV2Sink.ManifestDir)
-    val history = WeatherLakeV2Sink.manifestHistory(location)
-    val version = history.zipWithIndex
-      .filter { case (n, _) =>
-        lfs.getFileStatus(new Path(mdir, n)).getModificationTime <= tsMs }
-      .map(_._2).lastOption
-      .getOrElse(throw new IllegalArgumentException(
-        s"LakeCatalog: no commit of '${fullName(ident)}' exists at or " +
-          s"before timestamp ${timestampMicros}us (earliest is " +
-          s"${history.headOption.getOrElse("<none>")})"))
+    val snap =
+      try WeatherLakeV2Sink.snapshotAtTimestamp(location, timestampMicros / 1000L)
+      catch { case e: IllegalArgumentException =>
+        throw new IllegalArgumentException(
+          s"LakeCatalog: no commit of '${fullName(ident)}' exists at or " +
+            s"before timestamp ${timestampMicros}us: ${e.getMessage}")
+      }
     new LakeCatalogTable(fullName(ident), location, props,
-      pinned = Some(WeatherLakeV2Sink.snapshotAt(location, version)))
+      pinned = Some(snap))
   }
 
   override def createTable(ident: Identifier, info: TableInfo): Table = {
@@ -191,7 +186,10 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
         require(s.property() != TableCatalog.PROP_LOCATION,
           "LakeCatalog: the location of a lake table is immutable")
         props.put(s.property(), s.value())
-      case r: TableChange.RemoveProperty => props.remove(r.property())
+      case r: TableChange.RemoveProperty =>
+        require(r.property() != TableCatalog.PROP_LOCATION,
+          "LakeCatalog: the location of a lake table is immutable")
+        props.remove(r.property())
       case other => throw new UnsupportedOperationException(
         s"LakeCatalog: unsupported ALTER TABLE change " +
           s"${other.getClass.getSimpleName} — the lake schema is fixed " +
@@ -237,10 +235,21 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
   private def nsPath(namespace: Array[String]): Path =
     new Path((warehouse +: namespace.map(checkPart)).mkString("/"))
 
+  /** A directory is a NAMESPACE only if it is neither a registered table
+    * (marker) nor a lake DATA directory (`_manifests/` — e.g. the
+    * original directory of a renamed managed table, still owned by its
+    * re-pointed registration): classifying a data dir as a namespace
+    * would list its partition directories as phantom tables and expose
+    * it to DROP NAMESPACE CASCADE.
+    */
+  private def isNamespaceDir(p: Path): Boolean =
+    !fs.exists(new Path(p, MarkerFile)) &&
+      !fs.exists(new Path(p, WeatherLakeV2Sink.ManifestDir))
+
   override def listNamespaces(): Array[Array[String]] =
     if (!fs.exists(new Path(warehouse))) Array.empty
     else fs.listStatus(new Path(warehouse)).filter(_.isDirectory)
-      .filterNot(st => fs.exists(new Path(st.getPath, MarkerFile)))
+      .filter(st => isNamespaceDir(st.getPath))
       .map(st => Array(st.getPath.getName))
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
@@ -248,7 +257,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
     else if (!namespaceExists(namespace))
       throw new NoSuchNamespaceException(name() +: namespace.toSeq)
     else fs.listStatus(nsPath(namespace)).filter(_.isDirectory)
-      .filterNot(st => fs.exists(new Path(st.getPath, MarkerFile)))
+      .filter(st => isNamespaceDir(st.getPath))
       .map(st => namespace :+ st.getPath.getName)
 
   override def namespaceExists(namespace: Array[String]): Boolean =
@@ -269,7 +278,15 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
     if (!namespaceExists(namespace) || namespace.isEmpty) return false
-    if (!cascade && listTables(namespace).nonEmpty)
+    if (!isNamespaceDir(nsPath(namespace)))
+      throw new IllegalStateException(
+        s"LakeCatalog: ${namespace.mkString(".")} is not a namespace — it " +
+          "holds table data; DROP the table (or delete the directory " +
+          "explicitly) instead")
+    // NOT-empty means ANY child — a nested namespace's tables live below
+    // direct children, so checking only direct marker dirs would let a
+    // non-cascade drop recursively destroy warehouse/<ns>/<sub>/<table>
+    if (!cascade && fs.listStatus(nsPath(namespace)).nonEmpty)
       throw new IllegalStateException(
         s"LakeCatalog: namespace ${namespace.mkString(".")} is not empty")
     fs.delete(nsPath(namespace), true)
@@ -519,19 +536,7 @@ object LakeCatalog {
       require(pinned.isEmpty,
         "LakeCatalog: cannot STREAM from a time-travel (VERSION/TIMESTAMP " +
           "AS OF) table — history is a snapshot, not a feed")
-      val cap = Option(options.get("maxManifestsPerTrigger")).map { v =>
-        val n = v.toIntOption.filter(_ > 0).getOrElse(
-          throw new IllegalArgumentException(
-            s"maxManifestsPerTrigger must be a positive integer, got '$v'"))
-        n
-      }
-      val startLatest = Option(options.get("startingAt"))
-        .getOrElse("earliest") match {
-          case "earliest" => false
-          case "latest" => true
-          case other => throw new IllegalArgumentException(
-            s"startingAt must be 'earliest' or 'latest', got '$other'")
-        }
+      val (cap, startLatest) = WeatherLakeV2StreamSource.parseStreamOptions(options)
       val prune = WeatherLakeV2StreamSource.parsePrune(options)
       val schema = required
       val p = path

@@ -903,6 +903,25 @@ object WeatherLakeV2Sink {
     h.take(n + 1)
   }
 
+  /** The snapshot AS OF a wall-clock instant (`TIMESTAMP AS OF`): every
+    * commit whose publish mtime is at-or-before `tsMs`, in commit order —
+    * ONE stat pass over the manifest set (the time axis IS the mtime
+    * axis [[manifestHistory]] sorts by). Loud when the table had no
+    * commit yet at that instant, rather than an empty table.
+    */
+  def snapshotAtTimestamp(basePath: String, tsMs: Long): Seq[String] = {
+    val fs = new Path(basePath).getFileSystem(new Configuration())
+    val mdir = new Path(basePath, ManifestDir)
+    val timed = manifestNames(basePath)
+      .map(n => (fs.getFileStatus(new Path(mdir, n)).getModificationTime, n))
+      .sortBy(identity)
+    val snap = timed.takeWhile(_._1 <= tsMs).map(_._2)
+    require(snap.nonEmpty,
+      s"snapshotAtTimestamp: no commit exists at or before ${tsMs}ms " +
+        s"(earliest is ${timed.headOption.map(_._2).getOrElse("<none>")})")
+    snap
+  }
+
   /** Read the lake AS OF a captured snapshot: only the snapshot's
     * manifests contribute, and `#supersedes` directives are honored only
     * WITHIN the snapshot — a compaction published after the capture
@@ -1251,9 +1270,16 @@ object WeatherLakeV2Sink {
       .filter { case (n, _) => touchedSet(n) }
       .flatMap(_._2)
       .filterNot(inDomain)
+    // the publish-time conflict check evaluates the domain over RACING
+    // manifests' lines, which this op never vetted: one that cannot be
+    // decided (no partition segments) counts as CONFLICTING — a
+    // retryable ConcurrentModificationException naming the racing
+    // commit, not the snapshot-side cannot-decide error above
+    val conflictDomain: String => Boolean = l =>
+      try inDomain(l) catch { case _: IllegalStateException => true }
     publishCommit(basePath, "overwrite", snapshot = snapshot,
       supersedes = touchedManifests, lines = keep ++ newLines,
-      readDomain = Some(inDomain))
+      readDomain = Some(conflictDomain))
   }
 
   /** Strips `scheme:` AND `//authority` from a URI string, leaving the
@@ -2347,6 +2373,19 @@ object WeatherLakeV2Sink {
     private val accs = mutable.Map.empty[String, Array[FieldAcc]]
 
     override def write(row: InternalRow): Unit = {
+      // the catalog face's read schema is nullable (partition values are
+      // path-recovered), so the engine's write-side null check may not
+      // fire — without this guard a NULL key would interpolate into the
+      // path as the literal string "null" and silently become a real
+      // partition value
+      var c = 0
+      while (c < 4) {
+        if (row.isNullAt(c)) throw new IllegalArgumentException(
+          "WeatherLakeV2Sink: NULL in write column " +
+            s"'${Schema.fieldNames(c)}' — the lake row is three non-null " +
+            "partition keys plus one non-null payload line")
+        c += 1
+      }
       val dir = s"city=${row.getString(0)}/ds=${row.getString(1)}/hour=${row.getString(2)}"
       val out = streams.getOrElseUpdate(dir, {
         // uuid per FILE (not per task): a task writing many directories

@@ -33,13 +33,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * the batch cursor reader (`readNewCommits`): an offset is the set of
   * manifest names already consumed, a micro-batch is the data files of
   * live manifests not yet in the offset, and a reader therefore never
-  * sees half a write job. Compaction semantics follow the cursor
-  * reader's documented contract: a compaction manifest is a NEW live
-  * manifest, so a stream that consumed the pre-compaction manifests
-  * replays the compacted rows (at-least-once, idempotent for keyed
-  * upsert consumers — spec-pinned); a stream starting fresh reads each
-  * row exactly once from the compacted view, because superseded
-  * manifests are excluded from every batch.
+  * sees half a write job. Layout-only maintenance (compact / checkpoint
+  * / measure) re-lists rows the stream may already hold: when EVERY
+  * manifest the commit superseded is in the stream's consumed set, the
+  * re-list is exactly the delivered rows and contributes NOTHING
+  * (exactly-once across maintenance for caught-up streams —
+  * spec-pinned); a partially-caught-up stream receives the full re-list
+  * (at-least-once, idempotent for keyed upsert consumers — the
+  * fallback); a stream starting fresh reads each row exactly once from
+  * the maintained view, because superseded manifests are excluded from
+  * every batch.
   *
   * Set-valued offsets rather than an index into the history: vacuum
   * DELETES old manifests, so positional offsets would shift under a
@@ -121,6 +124,27 @@ object WeatherLakeV2StreamSource {
       pvOk && stOk
     }
     def isNoop: Boolean = partition.isEmpty && field.isEmpty
+  }
+
+  /** The streaming read options shared by the view face and the catalog
+    * face: (maxManifestsPerTrigger, startingAt=latest). One parser so
+    * the two faces cannot drift in accepted inputs or error text.
+    */
+  private[sources] def parseStreamOptions(
+      options: CaseInsensitiveStringMap): (Option[Int], Boolean) = {
+    val cap = Option(options.get("maxManifestsPerTrigger")).map { v =>
+      v.toIntOption.filter(_ > 0).getOrElse(
+        throw new IllegalArgumentException(
+          s"maxManifestsPerTrigger must be a positive integer, got '$v'"))
+    }
+    val startLatest = Option(options.get("startingAt"))
+      .getOrElse("earliest") match {
+        case "earliest" => false
+        case "latest" => true
+        case other => throw new IllegalArgumentException(
+          s"startingAt must be 'earliest' or 'latest', got '$other'")
+      }
+    (cap, startLatest)
   }
 
   private[sources] def parsePrune(options: CaseInsensitiveStringMap): ScanPrune = {
@@ -257,22 +281,7 @@ object WeatherLakeV2StreamSource {
             new LakeFileReaderFactory
         }
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
-          val cap = Option(options.get("maxManifestsPerTrigger")).map { v =>
-            val n = try v.toInt catch { case _: NumberFormatException =>
-              throw new IllegalArgumentException(
-                s"maxManifestsPerTrigger must be a positive integer, got '$v'")
-            }
-            require(n > 0,
-              s"maxManifestsPerTrigger must be a positive integer, got $n")
-            n
-          }
-          val startLatest = Option(options.get("startingAt"))
-            .getOrElse("earliest") match {
-              case "earliest" => false
-              case "latest" => true
-              case other => throw new IllegalArgumentException(
-                s"startingAt must be 'earliest' or 'latest', got '$other'")
-            }
+          val (cap, startLatest) = parseStreamOptions(options)
           new LakeMicroBatchStream(path, cap, cdc, startLatest,
             parsePrune(options))
         }
@@ -423,10 +432,29 @@ object WeatherLakeV2StreamSource {
         WeatherLakeV2Sink.checkFormatVersion(n, lines)
         val keep: String => Boolean =
           if (prune.isNoop) _ => true else prune.keepLine(path, _)
-        if (!cdc) lines.filter(l => l.nonEmpty && !l.startsWith("#"))
-          .filter(keep)
-          .map(l => LakeFilePartition(
-            WeatherLakeV2Sink.entryPath(l)): InputPartition)
+        if (!cdc) {
+          // a LAYOUT-ONLY commit (compact/checkpoint/measure) re-lists
+          // rows the stream may already have delivered. When every
+          // manifest it superseded is in this stream's consumed set, the
+          // re-listed rows are EXACTLY the already-delivered ones —
+          // contribute nothing (exactly-once across maintenance for
+          // caught-up streams). A partially-caught-up stream still
+          // receives the full re-list (at-least-once, keyed consumers
+          // idempotent — the old contract as the fallback), and a fresh
+          // stream reads the re-list as its one copy of the data.
+          val op = opOf(n, lines)
+          val layoutOnly =
+            op == "compact" || op == "checkpoint" || op == "measure"
+          val superseded = lines
+            .filter(_.startsWith(WeatherLakeV2Sink.SupersedesPrefix))
+            .map(_.stripPrefix(WeatherLakeV2Sink.SupersedesPrefix).trim)
+          if (layoutOnly && superseded.nonEmpty &&
+              superseded.forall(consumed)) Seq.empty
+          else lines.filter(l => l.nonEmpty && !l.startsWith("#"))
+            .filter(keep)
+            .map(l => LakeFilePartition(
+              WeatherLakeV2Sink.entryPath(l)): InputPartition)
+        }
         else cdcPartitions(n, commitTs, lines, keep)
       }.toArray
     }
@@ -453,16 +481,21 @@ object WeatherLakeV2StreamSource {
     *    rather than replay re-listed survivors as phantom inserts;
     *  - anything else is an append: its data files ARE the inserts.
     */
-  private[sources] def cdcPartitions(n: String, commitTs: Long,
-      lines: Seq[String],
-      keep: String => Boolean = _ => true): Seq[InputPartition] = {
-    val changeLines = WeatherLakeV2Sink.changeEntryLines(lines)
-    val op = WeatherLakeV2Sink.manifestOp(lines).getOrElse {
-      // legacy manifests (no #op): fall back to the name convention
+  /** A manifest's operation: the `#op` directive (authoritative), the
+    * name-prefix convention for pre-directive manifests, else append.
+    */
+  private[sources] def opOf(n: String, lines: Seq[String]): String =
+    WeatherLakeV2Sink.manifestOp(lines).getOrElse {
       Seq("compact", "checkpoint", "measure", "merge", "delete", "update",
           "overwrite")
         .find(o => n.startsWith(s"manifest-$o-")).getOrElse("append")
     }
+
+  private[sources] def cdcPartitions(n: String, commitTs: Long,
+      lines: Seq[String],
+      keep: String => Boolean = _ => true): Seq[InputPartition] = {
+    val changeLines = WeatherLakeV2Sink.changeEntryLines(lines)
+    val op = opOf(n, lines)
     val layoutOnly = op == "compact" || op == "checkpoint" || op == "measure"
     val rowLevel = op == "merge" || op == "delete" || op == "update"
     if (layoutOnly) Seq.empty

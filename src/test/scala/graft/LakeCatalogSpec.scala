@@ -345,6 +345,54 @@ class LakeCatalogSpec extends SparkSpec {
     assert(bad.getMessage.contains("schema is fixed"), bad.getMessage)
   }
 
+  test("guard rails: nested-namespace DROP refuses without CASCADE, a " +
+      "data directory is never a namespace, NULL partition values refuse " +
+      "at write, and the location property is immutable both ways") {
+    warehouse
+    // nested namespace holds a table invisible to a direct-child scan —
+    // a non-cascade drop must refuse, not recursively destroy it
+    spark.sql("CREATE NAMESPACE lakecat.outer.inner")
+    spark.sql("""CREATE TABLE lakecat.outer.inner.nested
+      (city STRING, ds STRING, hour STRING, value STRING) USING lake""")
+    spark.sql("""INSERT INTO lakecat.outer.inner.nested
+      VALUES ('a', '2024-01-01', '00', '{"k":1}')""")
+    val e1 = intercept[Exception](spark.sql("DROP NAMESPACE lakecat.outer"))
+    assert(e1.getMessage.contains("not empty"), e1.getMessage)
+    assert(spark.sql("SELECT count(*) FROM lakecat.outer.inner.nested")
+      .head.getLong(0) == 1)
+    // a renamed managed table's original DATA directory must not surface
+    // as a namespace (nor be droppable as one)
+    createTable("t17")
+    insert("t17", ("a", 1L, 10L))
+    spark.sql("ALTER TABLE lakecat.t17 RENAME TO t17_new")
+    val namespaces = spark.sql("SHOW NAMESPACES IN lakecat")
+      .collect().map(_.getString(0)).toSet
+    assert(!namespaces.contains("t17"), namespaces.toString)
+    val e2 = intercept[Exception](spark.sql("DROP NAMESPACE lakecat.t17"))
+    assert(e2.getMessage.contains("holds table data"), e2.getMessage)
+    assert(state("t17_new") == Map(1L -> 10L))
+    // NULL partition values refuse at the writer instead of becoming the
+    // literal string "null" in the path
+    val e3 = intercept[Exception] {
+      spark.sql("""INSERT INTO lakecat.t17_new
+        VALUES (NULL, '2024-01-01', '00', '{"k":9}')""")
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+    assert(chain(e3).exists(t => Option(t.getMessage).exists(
+      _.contains("NULL in write column"))), s"got: $e3")
+    // location is immutable via REMOVE as well as SET
+    val cat = spark.sessionState.catalogManager.catalog("lakecat")
+      .asInstanceOf[LakeCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array.empty[String], "t17_new")
+    val e4 = intercept[Exception] {
+      cat.alterTable(ident, org.apache.spark.sql.connector.catalog
+        .TableChange.removeProperty("location"))
+    }
+    assert(e4.getMessage.contains("immutable"), e4.getMessage)
+  }
+
   test("a second CREATE TABLE of the same name refuses; IF NOT EXISTS " +
       "is silent") {
     createTable("t11")

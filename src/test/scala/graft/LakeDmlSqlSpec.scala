@@ -232,6 +232,21 @@ class LakeDmlSqlSpec extends SparkSpec {
     }
     assert(e1.getMessage.contains("negated guard"), e1.getMessage)
 
+    // a DELETE condition that is NULL on some row would make the keyed
+    // dispatch diverge from SQL three-valued semantics — refused
+    src("dml_cdc_null",
+      Seq((2L, 0L, null.asInstanceOf[String]), (9L, 91L, "u")))
+    val e0 = intercept[IllegalArgumentException] {
+      spark.sql("""MERGE INTO dml_cdc t USING dml_cdc_null s
+        ON get_json_object(t.value, '$.k') = get_json_object(s.raw_json, '$.k')
+        WHEN MATCHED AND s.op = 'd' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET value = s.raw_json
+        WHEN NOT MATCHED AND s.op != 'd' THEN
+          INSERT (city, ds, hour, value) VALUES (s.city, s.ds, s.hour, s.raw_json)""")
+    }
+    assert(e0.getMessage.contains("NULL"), e0.getMessage)
+    assert(state("dml_cdc") == Map(2L -> 222L, 9L -> 90L)) // unchanged
+
     // pure DELETE + INSERT needs per-row matchedness as the marker
     val e2 = intercept[IllegalArgumentException] {
       spark.sql("""MERGE INTO dml_cdc t USING dml_cdc_src s

@@ -8,8 +8,9 @@ import org.apache.spark.sql.streaming.Trigger
 
 /** The lake as a streaming SOURCE (WeatherLakeV2StreamSource): manifests
   * are the unit of progress, restarts resume from the checkpoint,
-  * compaction replays for already-caught-up streams (at-least-once) and
-  * reads-once for fresh streams.
+  * layout-only maintenance contributes nothing to caught-up streams
+  * (replays at-least-once for partially-caught-up ones) and reads-once
+  * for fresh streams.
   */
 class WeatherLakeV2StreamSourceSpec extends SparkSpec {
 
@@ -70,8 +71,9 @@ class WeatherLakeV2StreamSourceSpec extends SparkSpec {
     assert(rows("lake_stream_t3").isEmpty)
   }
 
-  test("compaction replays for a caught-up stream (at-least-once) and " +
-      "reads once for a fresh stream") {
+  test("layout-only commits contribute NOTHING to a caught-up stream " +
+      "(exactly-once across compact/checkpoint/measure), replay for a " +
+      "partially-caught-up one, and read once for a fresh stream") {
     import graft.sources.WeatherLakeV2Sink
     val base = Files.createTempDirectory("lakestreamc").toString
     val lake = s"$base/lake"
@@ -80,16 +82,37 @@ class WeatherLakeV2StreamSourceSpec extends SparkSpec {
     drain(lake, ckpt1, "lake_streamc_t1")
     assert(rows("lake_streamc_t1").size == 4)
     assert(WeatherLakeV2Sink.compact(spark, lake) == 1)
-    // caught-up stream: the compaction manifest is NEW and live → its
-    // rows replay (the cursor reader's documented at-least-once contract
-    // for keyed consumers)
+    // caught-up stream: every manifest the compaction superseded is in
+    // the consumed set, so the re-listed rows are exactly the delivered
+    // ones — the commit is consumed but contributes no rows
     drain(lake, ckpt1, "lake_streamc_t2")
-    assert(rows("lake_streamc_t2").size == 4,
-      "a caught-up stream replays the compacted rows exactly once")
-    // fresh stream over the compacted lake: superseded manifests never
-    // enter an offset → each row exactly once
+    assert(rows("lake_streamc_t2").isEmpty,
+      "a caught-up stream must not replay a layout-only re-list")
+    // same for a stats backfill and a metadata checkpoint
+    sink(lake, "c", 1)
+    drain(lake, ckpt1, "lake_streamc_t2b")
+    assert(rows("lake_streamc_t2b").size == 1)
+    WeatherLakeV2Sink.measureStats(spark, lake, Seq("t"))
+    WeatherLakeV2Sink.checkpointManifests(lake)
+    drain(lake, ckpt1, "lake_streamc_t2c")
+    assert(rows("lake_streamc_t2c").isEmpty,
+      "measure/checkpoint re-lists must not replay for a caught-up stream")
+    // fresh stream over the maintained lake: superseded manifests never
+    // enter an offset; the surviving re-list IS its one copy of the data
     drain(lake, s"$base/ckpt2", "lake_streamc_t3")
-    assert(rows("lake_streamc_t3").size == 4)
+    assert(rows("lake_streamc_t3").size == 5)
+    // PARTIALLY caught-up: a stream that consumed only the first append
+    // gets the full re-list (at-least-once — the keyed-consumer fallback)
+    val lake2 = s"$base/lake2"
+    sink(lake2, "a", 2)
+    val ckpt3 = s"$base/ckpt3"
+    drain(lake2, ckpt3, "lake_streamc_t4")
+    assert(rows("lake_streamc_t4").size == 2)
+    sink(lake2, "b", 2)
+    assert(WeatherLakeV2Sink.compact(spark, lake2) == 1)
+    drain(lake2, ckpt3, "lake_streamc_t5")
+    assert(rows("lake_streamc_t5").size == 4,
+      "a partially-caught-up stream receives the full re-list")
   }
 
   test("readChangeFeed: the lake streams row-level deltas — appends as " +
