@@ -3,7 +3,8 @@ package graft.plans
 import org.apache.spark.sql.{Column, DataFrame, GraftPlanBridge, Row, SparkSession}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, Expression, Literal, SubqueryExpression}
+import org.apache.spark.sql.types.StringType
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -187,6 +188,40 @@ object LakeDmlSql {
     })
   }
 
+  /** Partition-equality conjuncts (`city/ds/hour = '<literal>'`) of a
+    * DELETE/UPDATE WHERE clause, extracted for the maintenance op's
+    * fail-open candidate prune: without them the operation's read domain
+    * is the WHOLE table, so every concurrent commit anywhere conflicts
+    * at publish and every committed file is framed and scanned — the
+    * Scala API callers pass the prune by hand, the SQL face derives it
+    * from the statement. Only top-level conjuncts count (a disjunction
+    * can reach outside any single partition); the full predicate is
+    * still applied row-wise, so the prune only SKIPS files that cannot
+    * match.
+    */
+  def partitionEqs(cond: Expression): Map[String, String] = {
+    val partCols = Set("city", "ds", "hour")
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    conjuncts(cond).collect {
+      case EqualTo(a: UnresolvedAttribute, Literal(v, StringType))
+          if partCols(a.nameParts.last.toLowerCase) && v != null =>
+        a.nameParts.last.toLowerCase -> v.toString
+      case EqualTo(Literal(v, StringType), a: UnresolvedAttribute)
+          if partCols(a.nameParts.last.toLowerCase) && v != null =>
+        a.nameParts.last.toLowerCase -> v.toString
+    }.toMap
+  }
+
+  /** The fail-open prune for [[partitionEqs]]' result: files without the
+    * key's path segment always survive.
+    */
+  def pruneFor(eqs: Map[String, String]): (Map[String, String],
+      Map[String, graft.sources.WeatherLakeV2Sink.FieldStats]) => Boolean =
+    (pv, _) => eqs.forall { case (k, v) => pv.get(k).forall(_ == v) }
+
   /** Strip qualifiers and rename the payload reference of either side
     * (`value` on the target, `raw_json` on the source) to the neutral
     * `raw_json` — the normal form under which the ON clause's two sides
@@ -253,6 +288,7 @@ case class LakeDeleteCommand(stmt: DeleteFromTable) extends LeafRunnableCommand 
     val t = LakeDmlSql.resolveTarget(spark, stmt.table)
     val st = WeatherLakeV2Sink.deleteCommitted(spark, t.path,
       predicate = df => LakeDmlSql.bind(stmt.condition, df, "DELETE WHERE"),
+      prune = LakeDmlSql.pruneFor(LakeDmlSql.partitionEqs(stmt.condition)),
       targetBytes = t.targetBytes, statsFields = t.statsFields,
       changeLog = t.changeLog)
     Seq(Row(st.touchedFiles, st.newFiles, st.deletedRows))
@@ -289,6 +325,8 @@ case class LakeUpdateCommand(stmt: UpdateTable) extends LeafRunnableCommand {
       predicate = df => stmt.condition
         .map(LakeDmlSql.bind(_, df, "UPDATE WHERE")).getOrElse(lit(true)),
       transform = df => LakeDmlSql.bind(assign.value, df, "UPDATE SET"),
+      prune = LakeDmlSql.pruneFor(stmt.condition
+        .map(LakeDmlSql.partitionEqs).getOrElse(Map.empty)),
       targetBytes = t.targetBytes, statsFields = t.statsFields,
       changeLog = t.changeLog)
     Seq(Row(st.touchedFiles, st.newFiles, st.updatedRows))

@@ -255,6 +255,19 @@ object WeatherLakeV2Sink {
     lines.filter(_.startsWith(ChangesPrefix))
       .map(_.stripPrefix(ChangesPrefix).trim)
 
+  /** Directive stamped when a row-level commit RAN with `changeLog =
+    * true` but its net change set is EMPTY (an idempotent batch replay,
+    * an identity transform): the commit is logged-and-empty, not
+    * un-logged. Without it the CDC feed's loud un-logged-commit failure
+    * would permanently brick every change-feed consumer on a harmless
+    * no-change commit — exactly the replay [[applyChangesWriter]]'s
+    * crash-between-merge-and-marker recovery produces.
+    */
+  val ChangeLogEmptyDirective = "#changelog empty"
+
+  def hasEmptyChangeLog(lines: Seq[String]): Boolean =
+    lines.exists(_.trim == ChangeLogEmptyDirective)
+
   /** Directive recording the manifest FORMAT VERSION (see FORMAT.md).
     * Readers fail loudly on a major version above [[FormatVersion]]
     * rather than misparsing a future layout; manifests without the
@@ -1174,7 +1187,18 @@ object WeatherLakeV2Sink {
       snapshot: Seq[String], supersedes: Seq[String], lines: Seq[String],
       readDomain: Option[String => Boolean] = None): Unit =
     withPublishLock(basePath, op) { verifyHeld =>
-      val live = liveManifests(basePath)
+      // ONE read of the manifest set inside the lease (the lock window is
+      // time-bounded; a second liveManifests pass would double the
+      // critical-section IO at commit-log scale)
+      val fs = new Path(basePath).getFileSystem(new Configuration())
+      val mdir = new Path(basePath, ManifestDir)
+      val linesByName = manifestNames(basePath)
+        .map(n => n -> readLines(fs, new Path(mdir, n))).toMap
+      linesByName.foreach { case (n, ls) => checkFormatVersion(n, ls) }
+      val supersededSet = linesByName.values.flatten
+        .filter(_.startsWith(SupersedesPrefix))
+        .map(_.stripPrefix(SupersedesPrefix).trim).toSet
+      val live = linesByName.keys.toSeq.filterNot(supersededSet)
       val liveSet = live.toSet
       val gone = supersedes.filterNot(liveSet)
       if (gone.nonEmpty) throw new java.util.ConcurrentModificationException(
@@ -1185,8 +1209,20 @@ object WeatherLakeV2Sink {
       readDomain.foreach { dom =>
         val snapSet = snapshot.toSet
         val fresh = live.filterNot(snapSet).sorted
-        val conflicting = entryLinesByManifest(basePath, fresh).collect {
-          case (n, ls) if ls.exists(dom) => n
+        // the read domain asks whether NEW ROWS appeared inside the
+        // operation's view of the data. A layout-only commit (compact/
+        // checkpoint/measure) re-lists rows that existed at the snapshot
+        // under new paths/stats — counting its lines would abort
+        // genuinely disjoint commits whenever routine maintenance races
+        // them. (A racing rewrite of one of OUR manifests is still
+        // caught by the supersedes check above.)
+        val conflicting = fresh.filter { n =>
+          val ls = linesByName(n)
+          val fop = WeatherLakeV2StreamSource.opOf(n, ls)
+          val layoutOnly =
+            fop == "compact" || fop == "checkpoint" || fop == "measure"
+          !layoutOnly && ls.exists(l =>
+            l.nonEmpty && !l.startsWith("#") && dom(l))
         }
         if (conflicting.nonEmpty)
           throw new java.util.ConcurrentModificationException(
@@ -1416,9 +1452,13 @@ object WeatherLakeV2Sink {
     // measured — extractJsonField finds the payload's top-level fields
     // through the change-kind prefix), so the CDC scan can stats-prune
     // change files exactly like data files
-    writeRolled(routed, s"changes-$op", basePath, targetBytes,
-      statsFields = statsFields)
+    val directives = writeRolled(routed, s"changes-$op", basePath,
+      targetBytes, statsFields = statsFields)
       .map(l => s"$ChangesPrefix$l")
+    // zero net changes still mark the commit as LOGGED (see
+    // [[ChangeLogEmptyDirective]]) — an #op merge/update manifest with
+    // neither directive reads as un-logged and bricks the change feed
+    if (directives.isEmpty) Seq(ChangeLogEmptyDirective) else directives
   }
 
   /** Committed files re-framed to the write [[Schema]], shared by the
@@ -1823,8 +1863,9 @@ object WeatherLakeV2Sink {
     *
     * Returns the number of manifests collapsed; a live set of 0 or 1
     * manifests is already checkpointed and publishes NOTHING.
-    * Lock-serialized against merge/delete/update/compact — it snapshots
-    * and supersedes the live set like they do.
+    * Optimistic like merge/delete/update/compact — it snapshots and
+    * supersedes the live set, validated at publish (a concurrent commit
+    * that superseded a snapshot manifest makes it lose loudly).
     */
   def checkpointManifests(basePath: String): Int = {
       val snapshot = liveManifests(basePath)
@@ -1882,7 +1923,8 @@ object WeatherLakeV2Sink {
     * counts definite matches per candidate file; touched files rewrite
     * (unchanged rows verbatim, matching rows transformed) through the
     * rolled writer; untouched files re-list their original entry lines;
-    * ONE superseding manifest, no-op publishes nothing, lock-serialized.
+    * ONE superseding manifest, no-op publishes nothing, optimistic
+    * (validate-at-publish).
     * NOT generally idempotent — re-running applies the transform again
     * wherever the predicate still holds (document per use; a transform
     * that leaves the predicate false, like a redaction, IS idempotent).

@@ -224,6 +224,33 @@ object WeatherLakeV2StreamSource {
                   s"$name must be an integer, got '$v'"))
               }
             val history = WeatherLakeV2Sink.manifestHistory(path)
+            // the version axis is POSITIONAL over present manifests: once
+            // vacuum reclaims a superseded commit, version numbers shift
+            // and the reclaimed commit's changes are unrecoverable — a
+            // range over such a history would silently misattribute or
+            // drop changes. Same loud contract as the streaming feed's
+            // earliest bootstrap.
+            locally {
+              val fsv = new Path(path).getFileSystem(new Configuration())
+              val mdirv = new Path(path, WeatherLakeV2Sink.ManifestDir)
+              val present = history.toSet
+              val missing = history.flatMap { n =>
+                val in = fsv.open(new Path(mdirv, n))
+                val ls =
+                  try scala.io.Source.fromInputStream(in, "UTF-8")
+                    .getLines().toList
+                  finally in.close()
+                ls.filter(_.startsWith(WeatherLakeV2Sink.SupersedesPrefix))
+                  .map(_.stripPrefix(WeatherLakeV2Sink.SupersedesPrefix).trim)
+              }.filterNot(present).distinct.sorted
+              if (missing.nonEmpty) throw new IllegalStateException(
+                "batch readChangeFeed: the commit history was vacuumed " +
+                  s"(superseded commits ${missing.mkString(", ")} were " +
+                  "reclaimed), so positional versions no longer denote " +
+                  "the original commits and the reclaimed changes are " +
+                  "unrecoverable. Read the live snapshot, or stream the " +
+                  "feed with startingAt = 'latest'.")
+            }
             val start = version("startingVersion").getOrElse(
               throw new IllegalArgumentException(
                 "batch readChangeFeed requires startingVersion (the " +
@@ -505,6 +532,10 @@ object WeatherLakeV2StreamSource {
       changeLines.filter(keep).map(l =>
         LakeCdcFilePartition(WeatherLakeV2Sink.entryPath(l),
           insertData = false, commit = n, commitTs = commitTs): InputPartition)
+    else if (rowLevel && WeatherLakeV2Sink.hasEmptyChangeLog(lines))
+      // logged-and-empty (idempotent replay, identity transform): the
+      // commit contributes nothing — it is NOT un-logged
+      Seq.empty
     else if (rowLevel) throw new IllegalStateException(
       s"WeatherLakeV2StreamSource: $n is a row-level maintenance " +
         "commit without a change log — run the operation with " +

@@ -1818,6 +1818,71 @@ class WeatherLakeV2SinkSpec extends SparkSpec {
       .forall(_.startsWith("manifest-e2e-b")))
   }
 
+  test("a changeLog commit with ZERO net changes stamps '#changelog " +
+      "empty' — logged-and-empty, not un-logged: the change feed keeps " +
+      "working instead of bricking on an idempotent replay") {
+    import graft.sources.WeatherLakeV2Sink
+    val base = Files.createTempDirectory("lakev2emptychg").toString
+    val lake = s"$base/lake"
+    val s = spark
+    import s.implicits._
+    val row = Seq(("a", "2024-01-01", "00", """{"k":1,"v":1}"""))
+      .toDF("city", "ds", "hour", "raw_json")
+    row.write.format("graft.sources.WeatherLakeV2Sink")
+      .option("manifestId", "base").mode("append").save(lake)
+    // identical batch: identical-line suppression nets ZERO changes
+    WeatherLakeV2Sink.mergeCommitted(spark, lake, row,
+      f => get_json_object(f("raw_json"), "$.k"), changeLog = true)
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val mergeManifest = WeatherLakeV2Sink.manifestNames(lake)
+      .find(_.startsWith("manifest-merge-")).get
+    val lines = scala.io.Source.fromInputStream(fs.open(
+      new org.apache.hadoop.fs.Path(s"$lake/_manifests/$mergeManifest")),
+      "UTF-8").getLines().toList
+    assert(WeatherLakeV2Sink.hasEmptyChangeLog(lines), lines.mkString("|"))
+    // the batch change feed routes it as contributing nothing — no
+    // un-logged-commit failure
+    val changes = spark.read
+      .format("graft.sources.WeatherLakeV2StreamSource")
+      .option("readChangeFeed", "true").option("startingVersion", "0")
+      .load(lake)
+    assert(changes.groupBy("change").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap == Map("insert" -> 1L))
+  }
+
+  test("a racing LAYOUT-ONLY commit does not conflict a row-level " +
+      "publish: re-listed rows are not new rows (a racing append still " +
+      "conflicts)") {
+    import graft.sources.WeatherLakeV2Sink
+    val lake = Files.createTempDirectory("lakev2layoutrace").toString
+    val s = spark
+    import s.implicits._
+    def append(city: String, k: Long, id: String): Unit =
+      Seq((city, "2024-01-01", "00", s"""{"k":$k}"""))
+        .toDF("city", "ds", "hour", "raw_json")
+        .write.format("graft.sources.WeatherLakeV2Sink")
+        .option("manifestId", id).mode("append").save(lake)
+    append("p", 1L, "m1"); append("q", 2L, "m2")
+    val snapshot = WeatherLakeV2Sink.liveManifests(lake)
+    def inP(line: String): Boolean =
+      WeatherLakeV2Sink.partitionValues(lake,
+        line.split('\t').head).get("city").contains("p")
+    // RACE 1: a checkpoint collapses the live set — its re-list covers
+    // partition p, but adds no rows; an insert-only commit (supersedes
+    // nothing) over p must still publish
+    assert(WeatherLakeV2Sink.checkpointManifests(lake) == 2)
+    WeatherLakeV2Sink.publishForTest(lake, "merge", snapshot = snapshot,
+      supersedes = Seq.empty, lines = Seq.empty, readDomain = Some(inP))
+    // RACE 2: an APPEND into p after the snapshot is a real conflict
+    val snapshot2 = WeatherLakeV2Sink.liveManifests(lake)
+    append("p", 9L, "m3")
+    intercept[java.util.ConcurrentModificationException] {
+      WeatherLakeV2Sink.publishForTest(lake, "merge", snapshot = snapshot2,
+        supersedes = Seq.empty, lines = Seq.empty, readDomain = Some(inP))
+    }
+  }
+
   test("measureStats backfills per-file min/max WITHOUT rewriting data: " +
       "the skipping layer turns sharp, file paths are unchanged, other " +
       "fields' stats survive, and the feed ignores the layout-only commit") {
