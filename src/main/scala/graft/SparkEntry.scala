@@ -5981,6 +5981,87 @@ object SparkEntry {
         s.sql(s"""SELECT CAST(get_json_object(value, '$$.doc_id') AS BIGINT) AS doc_id,
           CAST(get_json_object(value, '$$.val') AS BIGINT) AS val
           FROM graftlake.$t""")
+      }),
+
+    QueryDef("q104_lake_merge_cdc",
+      "A whole CDC batch applied in ONE MERGE statement — the Delta " +
+        "idiom: `WHEN MATCHED AND s.op = 'd' THEN DELETE` before the " +
+        "unconditional full-row UPDATE, with the INSERT action carrying " +
+        "the negated guard (`AND s.op != 'd'` — an unguarded INSERT " +
+        "would diverge from SQL semantics on unmatched delete rows and " +
+        "is refused). The delete condition binds over the SOURCE and " +
+        "rides the batch as a marker into mergeCommitted's deleteMatched " +
+        "— distributed, no driver key lists; the batch carries deletes " +
+        "(doc_id%11==5, incl. one key that never existed — a no-op), " +
+        "updates (doc_id%7==0 outside the delete class, val doubled) and " +
+        "fresh negative-key inserts in one statement. Every pass " +
+        "re-arms by merging the doomed keys back first, so the bench " +
+        "always measures a real delete+update+insert; the oracle " +
+        "replays the batch relationally.",
+      Some("""WITH upd AS (SELECT doc_id, CAST(doc_id * 2 AS BIGINT) AS val
+        |  FROM documents WHERE doc_id % 7 = 0 AND doc_id % 11 <> 5),
+        |kept AS (SELECT d.doc_id, COALESCE(u.val, CAST(d.doc_id AS BIGINT)) AS val
+        |  FROM documents d LEFT JOIN upd u USING (doc_id)
+        |  WHERE d.doc_id % 11 <> 5),
+        |ins AS (SELECT CAST(-2000 - doc_id AS BIGINT) AS doc_id,
+        |    CAST(-2000 - doc_id AS BIGINT) AS val
+        |  FROM documents WHERE doc_id < 20)
+        |SELECT doc_id, val FROM kept
+        |UNION ALL SELECT doc_id, val FROM ins""".stripMargin),
+      (s, dir) => {
+        val p = sqlDmlBaseLake(s, dir, "cdcmerge")
+        val docs = Tables.documents(s, dir)
+        // re-arm: restore the keys this pass will delete (q98's discipline)
+        val doomed = docs.filter(col("doc_id") % 11 === 5).select(
+          col("source").as("city"), lit("2024-01-01").as("ds"),
+          format_string("%02d", col("doc_id") % 24).as("hour"),
+          to_json(struct(col("doc_id"),
+            col("doc_id").cast("long").as("val"))).as("raw_json"))
+        graft.sources.WeatherLakeV2Sink.mergeCommitted(s, p, doomed,
+          f => get_json_object(f("raw_json"), "$.doc_id"))
+        val deletes = docs.filter(col("doc_id") % 11 === 5).select(
+          col("source").as("city"), lit("2024-01-01").as("ds"),
+          format_string("%02d", col("doc_id") % 24).as("hour"),
+          to_json(struct(col("doc_id"),
+            col("doc_id").cast("long").as("val"))).as("raw_json"),
+          lit("d").as("op"))
+        val ghostDelete = docs.filter(col("doc_id") === 0).select(
+          lit("ghost").as("city"), lit("2024-01-01").as("ds"),
+          lit("00").as("hour"),
+          to_json(struct(lit(-999999L).as("doc_id"),
+            lit(-999999L).as("val"))).as("raw_json"),
+          lit("d").as("op"))
+        val updates = docs
+          .filter(col("doc_id") % 7 === 0 && col("doc_id") % 11 =!= 5)
+          .select(
+            col("source").as("city"), lit("2024-01-01").as("ds"),
+            format_string("%02d", col("doc_id") % 24).as("hour"),
+            to_json(struct(col("doc_id"),
+              (col("doc_id") * 2).cast("long").as("val"))).as("raw_json"),
+            lit("u").as("op"))
+        val inserts = docs.filter(col("doc_id") < 20).select(
+          lit("fresh").as("city"), lit("2024-02-01").as("ds"),
+          lit("00").as("hour"),
+          to_json(struct((lit(-2000) - col("doc_id")).as("doc_id"),
+            (lit(-2000) - col("doc_id")).cast("long").as("val")))
+            .as("raw_json"),
+          lit("u").as("op"))
+        deletes.unionByName(ghostDelete).unionByName(updates)
+          .unionByName(inserts)
+          .createOrReplaceTempView("lake_cdc_merge_src")
+        s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW lake_cdc_merge
+          USING graft.sources.WeatherLakeV2StreamSource
+          OPTIONS (path '$p')""")
+        s.sql("""MERGE INTO lake_cdc_merge t USING lake_cdc_merge_src s
+          ON get_json_object(t.value, '$.doc_id') =
+             get_json_object(s.raw_json, '$.doc_id')
+          WHEN MATCHED AND s.op = 'd' THEN DELETE
+          WHEN MATCHED THEN UPDATE SET value = s.raw_json
+          WHEN NOT MATCHED AND s.op != 'd' THEN
+            INSERT (city, ds, hour, value) VALUES (s.city, s.ds, s.hour, s.raw_json)""")
+        s.sql("""SELECT CAST(get_json_object(value, '$.doc_id') AS BIGINT) AS doc_id,
+          CAST(get_json_object(value, '$.val') AS BIGINT) AS val
+          FROM lake_cdc_merge""")
       })
   )
 
