@@ -334,7 +334,7 @@ object LakeCatalog {
   val ProcedureNamespace = "system"
   val ProcedureNames: Seq[String] =
     Seq("vacuum", "sweep_orphans", "checkpoint", "compact", "history",
-      "measure_stats")
+      "measure_stats", "detail")
 
   /** The one row shape a lake table has: three path-encoded partition
     * keys plus the raw payload line. `value` (read face) and `raw_json`
@@ -611,6 +611,7 @@ object LakeCatalog {
       case "history" => "the commit history (DESCRIBE HISTORY)"
       case "measure_stats" =>
         "backfill per-file min/max stats without rewriting data (ANALYZE)"
+      case "detail" => "table health in one row (DESCRIBE DETAIL)"
     }
 
     override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
@@ -637,6 +638,7 @@ object LakeCatalog {
         case "history" => Array(p("table", StringType))
         case "measure_stats" =>
           Array(p("table", StringType), p("fields", StringType))
+        case "detail" => Array(p("table", StringType))
       }
 
       private def resultSchema: StructType = procName match {
@@ -655,6 +657,14 @@ object LakeCatalog {
         case "measure_stats" =>
           StructType(Seq(StructField("measured_files", IntegerType,
             nullable = false)))
+        case "detail" => StructType(Seq(
+          StructField("location", StringType, nullable = false),
+          StructField("num_files", IntegerType, nullable = false),
+          StructField("size_bytes", LongType, nullable = false),
+          StructField("num_partitions", IntegerType, nullable = false),
+          StructField("live_manifests", IntegerType, nullable = false),
+          StructField("total_manifests", IntegerType, nullable = false),
+          StructField("stats_covered_files", IntegerType, nullable = false)))
       }
 
       override def call(input: InternalRow): util.Iterator[Scan] = {
@@ -687,6 +697,22 @@ object LakeCatalog {
               .split(",").map(_.trim).filter(_.nonEmpty).toSeq
             Array(InternalRow(
               WeatherLakeV2Sink.measureStats(spark, path, fields)))
+          case "detail" =>
+            // one row of table health — all O(committed files) driver
+            // metadata (the same class as the manifest read itself)
+            val lines = WeatherLakeV2Sink.committedEntryLines(path)
+            val fs = new Path(path).getFileSystem(new Configuration())
+            val files = lines.map(WeatherLakeV2Sink.entryPath)
+            val bytes = files.map(f =>
+              fs.getFileStatus(new Path(f)).getLen).sum
+            val partitions = files.map(f =>
+              WeatherLakeV2Sink.partitionValues(path, f)).distinct.size
+            val withStats = lines.count(l =>
+              WeatherLakeV2Sink.lineStats(l).nonEmpty)
+            Array(InternalRow(UTF8String.fromString(path), files.size,
+              bytes, partitions,
+              WeatherLakeV2Sink.liveManifests(path).size,
+              WeatherLakeV2Sink.manifestNames(path).size, withStats))
           case "history" =>
             val fs = new Path(path).getFileSystem(new Configuration())
             val mdir = new Path(path, WeatherLakeV2Sink.ManifestDir)

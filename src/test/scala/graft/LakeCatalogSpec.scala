@@ -393,6 +393,19 @@ class LakeCatalogSpec extends SparkSpec {
     assert(e4.getMessage.contains("immutable"), e4.getMessage)
   }
 
+  test("CALL detail reports table health in one row") {
+    createTable("t18", "TBLPROPERTIES ('statsFields' = 'k')")
+    insert("t18", ("a", 1L, 10L))
+    insert("t18", ("b", 2L, 20L))
+    val d = spark.sql("CALL lakecat.system.detail('t18')").head
+    assert(d.getString(0) == s"$warehouse/t18")
+    assert(d.getInt(1) == 2)       // num_files
+    assert(d.getLong(2) > 0)       // size_bytes
+    assert(d.getInt(3) == 2)       // num_partitions (city=a, city=b)
+    assert(d.getInt(4) == 2 && d.getInt(5) == 2) // live == total (no GC yet)
+    assert(d.getInt(6) == 2)       // statsFields covered every file
+  }
+
   test("a second CREATE TABLE of the same name refuses; IF NOT EXISTS " +
       "is silent") {
     createTable("t11")
