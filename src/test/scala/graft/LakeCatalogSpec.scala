@@ -406,6 +406,59 @@ class LakeCatalogSpec extends SparkSpec {
     assert(d.getInt(6) == 2)       // statsFields covered every file
   }
 
+  test("full medallion lifecycle through the CATALOG face: bronze DML " +
+      "feeds a capped CDC stream into silver, and CALL maintenance " +
+      "keeps both healthy without disturbing the caught-up feed") {
+    createTable("bronze", "TBLPROPERTIES ('changeLog' = 'true')")
+    createTable("silver")
+    insert("bronze", ("a", 1L, 10L), ("b", 2L, 20L))
+    insert("bronze", ("a", 3L, 30L))
+    // CDC apply: the change feed of the CATALOG-created bronze lake
+    // drains into silver exactly-once (the APPLY CHANGES INTO consumer)
+    val cp = Files.createTempDirectory("lakecat_medallion_cp").toString
+    def drain(): Unit = {
+      val q = spark.readStream
+        .format("graft.sources.WeatherLakeV2StreamSource")
+        .option("readChangeFeed", "true")
+        .option("maxManifestsPerTrigger", "1") // capped, multi-batch drain
+        .load(s"$warehouse/bronze")
+        .writeStream
+        .foreachBatch(WeatherLakeV2Sink.applyChangesWriter(
+          s"$warehouse/silver", "catalog-medallion",
+          key = f => get_json_object(f("raw_json"), "$.k"),
+          route = v => (lit("s"), lit("2024-01-01"), lit("00"))))
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    drain()
+    assert(state("silver") == Map(1L -> 10L, 2L -> 20L, 3L -> 30L))
+    // bronze DML (delete + merge via identifiers) flows through the feed
+    spark.sql("DELETE FROM lakecat.bronze " +
+      "WHERE CAST(get_json_object(value, '$.k') AS BIGINT) = 2")
+    val s = spark
+    import s.implicits._
+    Seq(("a", "2024-01-01", "00", """{"k": 1, "v": 100}"""))
+      .toDF("city", "ds", "hour", "raw_json")
+      .createOrReplaceTempView("bronze_delta")
+    spark.sql("""MERGE INTO lakecat.bronze t USING bronze_delta s
+      ON get_json_object(t.value, '$.k') = get_json_object(s.raw_json, '$.k')
+      WHEN MATCHED THEN UPDATE SET value = s.raw_json
+      WHEN NOT MATCHED THEN
+        INSERT (city, ds, hour, value) VALUES (s.city, s.ds, s.hour, s.raw_json)""")
+    drain()
+    assert(state("silver") == Map(1L -> 100L, 3L -> 30L))
+    // CALL maintenance on both tables; the caught-up feed survives it
+    spark.sql("CALL lakecat.system.checkpoint('bronze')")
+    spark.sql("CALL lakecat.system.vacuum('bronze', min_age_ms => 0)")
+    spark.sql("CALL lakecat.system.checkpoint('silver')")
+    drain() // nothing new, nothing replayed
+    assert(state("silver") == Map(1L -> 100L, 3L -> 30L))
+    assert(spark.sql("CALL lakecat.system.detail('silver')")
+      .head.getInt(1) > 0)
+  }
+
   test("a second CREATE TABLE of the same name refuses; IF NOT EXISTS " +
       "is silent") {
     createTable("t11")
