@@ -531,15 +531,24 @@ case class LakeMergeCommand(stmt: MergeIntoTable) extends LeafRunnableCommand {
         // a NULL condition is where the lake dispatch and SQL semantics
         // would part ways (SQL drops an unmatched NULL-guard row from
         // the INSERT; the keyed merge's two-valued marker would insert
-        // it) — refuse the undecided row instead of diverging silently
-        if (!pureDelete &&
-            sourceDF.filter(marker.isNull).limit(1).count() > 0)
-          fail("the MATCHED DELETE condition evaluated to NULL for at " +
-            s"least one source row (${dc.sql}); per SQL three-valued " +
-            "semantics such a row is neither deleted nor inserted, which " +
-            "the keyed merge cannot express — make the condition total, " +
-            "e.g. coalesce(<cond>, false)")
-        sourceDF.select(baseCols :+ marker.as("__delete"): _*)
+        // it) — refuse the undecided row instead of diverging silently.
+        // The totality check rides the marker column ITSELF
+        // (raise_error inside the merge's own jobs) rather than a
+        // separate probe pass: a pre-scan would re-execute the whole
+        // source plan, and a non-deterministic source could pass the
+        // probe yet still yield NULL in the actual merge — the in-pass
+        // guard fails on the row that matters, in the job that reads it.
+        val guarded =
+          if (pureDelete) marker
+          else org.apache.spark.sql.functions.when(marker.isNotNull, marker)
+            .otherwise(org.apache.spark.sql.functions.raise_error(
+              org.apache.spark.sql.functions.lit(
+                "lake DML: the MATCHED DELETE condition evaluated to NULL " +
+                  s"for a source row (${dc.sql}); per SQL three-valued " +
+                  "semantics such a row is neither deleted nor inserted, " +
+                  "which the keyed merge cannot express — make the " +
+                  "condition total, e.g. coalesce(<cond>, false)")))
+        sourceDF.select(baseCols :+ guarded.as("__delete"): _*)
     }
 
     val key = (df: DataFrame) => {

@@ -51,7 +51,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *    [[graft.plans.LakeDmlParser]] resolves catalog tables exactly like
   *    lake views, reading `targetBytes`/`statsFields`/`changeLog` from
   *    table properties;
-  *  - `CALL lake.system.vacuum('t', min_age_ms => 0)` and friends
+  *  - `CALL lake.system.vacuum('t')` (retention-floored; reclaiming
+  *    younger than 7 days needs `min_age_ms => …, force => true`) and friends
   *    (compact / checkpoint / sweep_orphans / history) — maintenance as
   *    SQL procedures via Spark 4's ProcedureCatalog, the Iceberg `CALL`
   *    face; `history` is DESCRIBE HISTORY (version, manifest, op,
@@ -289,6 +290,30 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
     if (!cascade && fs.listStatus(nsPath(namespace)).nonEmpty)
       throw new IllegalStateException(
         s"LakeCatalog: namespace ${namespace.mkString(".")} is not empty")
+    if (cascade) {
+      // a lake DATA directory without a marker is owned by a registration
+      // ELSEWHERE (RENAME moves only the registration — the original
+      // directory of a renamed managed table stays put): cascading over
+      // it would delete live data out from under the still-registered
+      // table. Walk the subtree and refuse on any such orphan-marker dir.
+      def findForeignData(p: Path): Option[Path] = {
+        val hasMarker = fs.exists(new Path(p, MarkerFile))
+        val hasData = fs.exists(new Path(p, WeatherLakeV2Sink.ManifestDir))
+        if (hasData && !hasMarker) Some(p)
+        else if (hasMarker || hasData) None // a registered table owns it
+        else fs.listStatus(p).filter(_.isDirectory)
+          .iterator.flatMap(st => findForeignData(st.getPath))
+          .nextOption()
+      }
+      findForeignData(nsPath(namespace)).foreach { d =>
+        throw new IllegalStateException(
+          s"LakeCatalog: DROP NAMESPACE ${namespace.mkString(".")} CASCADE " +
+            s"refused — $d holds lake data (_manifests) without a marker " +
+            "in this namespace, i.e. data owned by a registration " +
+            "elsewhere (a renamed table's original directory). DROP that " +
+            "table first or delete the directory explicitly")
+      }
+    }
     fs.delete(nsPath(namespace), true)
   }
 
@@ -401,8 +426,27 @@ object LakeCatalog {
     val out = fs.create(tmp, false)
     try out.write(mapper.writeValueAsBytes(root)) finally out.close()
     val dest = new Path(dir, MarkerFile)
-    if (overwrite && fs.exists(dest)) fs.delete(dest, false)
-    if (!fs.rename(tmp, dest)) {
+    if (overwrite) {
+      // ALTER path: the marker must never be absent mid-update (its
+      // presence IS table existence — a delete-then-rename window would
+      // make concurrent loadTable/tableExists see the table vanish, and
+      // a crash inside it would leave the table unregistered). An
+      // OVERWRITING atomic rename replaces the content in one step.
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          dest.toUri, conf)
+        fc.rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      } catch {
+        case e: UnsupportedOperationException =>
+          // a store without overwrite-rename gets the documented window
+          // rather than a silent no-op; surface which store and why
+          fs.delete(tmp, false)
+          throw new IllegalStateException(
+            s"LakeCatalog: the filesystem of $dest does not support " +
+              "atomic overwrite-rename; ALTER TABLE needs it to update " +
+              "the marker without an existence gap", e)
+      }
+    } else if (!fs.rename(tmp, dest)) {
       fs.delete(tmp, false)
       throw new IllegalStateException(
         s"LakeCatalog: concurrent table creation at $dir — marker exists")
@@ -627,7 +671,10 @@ object LakeCatalog {
 
       override def parameters(): Array[ProcedureParameter] = procName match {
         case "vacuum" =>
-          Array(p("table", StringType), pd("min_age_ms", LongType, "0"))
+          Array(p("table", StringType),
+            pd("min_age_ms", LongType,
+              WeatherLakeV2Sink.VacuumRetentionFloorMs.toString),
+            pd("force", BooleanType, "false"))
         case "sweep_orphans" =>
           Array(p("table", StringType), p("min_age_ms", LongType))
         case "checkpoint" => Array(p("table", StringType))
@@ -674,7 +721,7 @@ object LakeCatalog {
         val resultRows: Array[InternalRow] = procName match {
           case "vacuum" =>
             Array(InternalRow(WeatherLakeV2Sink.vacuum(path,
-              minAgeMs = input.getLong(1))))
+              minAgeMs = input.getLong(1), force = input.getBoolean(2))))
           case "sweep_orphans" =>
             Array(InternalRow(WeatherLakeV2Sink.sweepOrphans(path,
               minAgeMs = input.getLong(1))))

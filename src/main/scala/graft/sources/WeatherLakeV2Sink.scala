@@ -265,6 +265,11 @@ object WeatherLakeV2Sink {
     */
   val ChangeLogEmptyDirective = "#changelog empty"
 
+  /** [[vacuum]]'s default retention and the floor below which it refuses
+    * without `force` — Delta's 7-day `retentionDurationCheck` analogue.
+    */
+  val VacuumRetentionFloorMs: Long = 7L * 24 * 60 * 60 * 1000
+
   def hasEmptyChangeLog(lines: Seq[String]): Boolean =
     lines.exists(_.trim == ChangeLogEmptyDirective)
 
@@ -1211,17 +1216,28 @@ object WeatherLakeV2Sink {
         val fresh = live.filterNot(snapSet).sorted
         // the read domain asks whether NEW ROWS appeared inside the
         // operation's view of the data. A layout-only commit (compact/
-        // checkpoint/measure) re-lists rows that existed at the snapshot
-        // under new paths/stats — counting its lines would abort
-        // genuinely disjoint commits whenever routine maintenance races
-        // them. (A racing rewrite of one of OUR manifests is still
-        // caught by the supersedes check above.)
+        // checkpoint/measure) re-lists rows under new paths/stats —
+        // counting its lines would abort genuinely disjoint commits
+        // whenever routine maintenance races them. But the exemption is
+        // sound ONLY when everything it superseded was already in THIS
+        // operation's snapshot: a layout commit that superseded a
+        // manifest we never saw (e.g. a compaction that swallowed a
+        // racing append) re-lists that append's rows, and exempting it
+        // would publish write skew — a merge could duplicate a key the
+        // hidden append just inserted. Such a commit's lines are
+        // scanned against the domain like any other fresh commit.
+        // (A racing rewrite of one of OUR manifests is still caught by
+        // the supersedes check above.)
         val conflicting = fresh.filter { n =>
           val ls = linesByName(n)
           val fop = WeatherLakeV2StreamSource.opOf(n, ls)
           val layoutOnly =
             fop == "compact" || fop == "checkpoint" || fop == "measure"
-          !layoutOnly && ls.exists(l =>
+          val provablyPreSnapshot = layoutOnly && ls
+            .filter(_.startsWith(SupersedesPrefix))
+            .map(_.stripPrefix(SupersedesPrefix).trim)
+            .forall(snapSet)
+          !provablyPreSnapshot && ls.exists(l =>
             l.nonEmpty && !l.startsWith("#") && dom(l))
         }
         if (conflicting.nonEmpty)
@@ -2215,7 +2231,21 @@ object WeatherLakeV2Sink {
     * window (Delta's vacuum-retention vs streaming contract) so that
     * two-generation window can never race a replay.
     */
-  def vacuum(basePath: String, minAgeMs: Long = 0L): Int = {
+  def vacuum(basePath: String, minAgeMs: Long = VacuumRetentionFloorMs,
+      force: Boolean = false): Int = {
+    // Safety rail (Delta's retentionDurationCheck analogue): a
+    // copy-pasted `min_age_ms => 0` maintenance call silently destroys
+    // the horizon of every lagging reader — a pinned snapshot mid-scan,
+    // a CDF consumer that hasn't drained, an exactly-once replay inside
+    // its window. Reclaiming younger than the floor requires saying so.
+    if (minAgeMs < VacuumRetentionFloorMs && !force)
+      throw new IllegalArgumentException(
+        s"vacuum: minAgeMs=$minAgeMs is below the retention floor " +
+          s"(${VacuumRetentionFloorMs}ms = 7 days). Short retention " +
+          "deletes files that pinned snapshots, change-feed consumers, " +
+          "and streaming replays may still need. Pass force = true " +
+          "(SQL: CALL lake.system.vacuum(t, min_age_ms => ..., force => " +
+          "true)) only when no reader can be behind this table's head.")
     val fs = new Path(basePath).getFileSystem(new Configuration())
     val mdir = new Path(basePath, ManifestDir)
     val live = liveManifests(basePath)

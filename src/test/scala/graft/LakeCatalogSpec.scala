@@ -172,7 +172,7 @@ class LakeCatalogSpec extends SparkSpec {
       "CALL lakecat.system.checkpoint('t7')").head.getInt(0)
     assert(collapsed == 2)
     val reclaimed = spark.sql(
-      "CALL lakecat.system.vacuum('t7', min_age_ms => 0)").head.getInt(0)
+      "CALL lakecat.system.vacuum('t7', min_age_ms => 0, force => true)").head.getInt(0)
     assert(reclaimed >= 1)
     // the op's own mandatory positive age guard rides through the CALL
     intercept[Exception](spark.sql("CALL lakecat.system.sweep_orphans('t7', 0)"))
@@ -393,6 +393,34 @@ class LakeCatalogSpec extends SparkSpec {
     assert(e4.getMessage.contains("immutable"), e4.getMessage)
   }
 
+  test("DROP NAMESPACE CASCADE refuses when the subtree holds a renamed " +
+      "table's original data directory — the still-live registration " +
+      "elsewhere would be left pointing at deleted data") {
+    warehouse
+    spark.sql("CREATE NAMESPACE lakecat.ns18")
+    spark.sql("""CREATE TABLE lakecat.ns18.src
+      (city STRING, ds STRING, hour STRING, value STRING) USING lake""")
+    spark.sql("""INSERT INTO lakecat.ns18.src
+      VALUES ('a', '2024-01-01', '00', '{"k":1,"v":10}')""")
+    // registration moves out of the namespace; the DATA stays at
+    // warehouse/ns18/src (manifest entry lines carry absolute paths)
+    spark.sql("CREATE NAMESPACE lakecat.kept18")
+    spark.sql("ALTER TABLE lakecat.ns18.src RENAME TO kept18.t18")
+    val e = intercept[Exception](
+      spark.sql("DROP NAMESPACE lakecat.ns18 CASCADE"))
+    assert(e.getMessage.contains("registration"), e.getMessage)
+    assert(state("kept18.t18") == Map(1L -> 10L)) // data survived the refusal
+    // a namespace whose tables are all its OWN still cascades away
+    spark.sql("CREATE NAMESPACE lakecat.ns19")
+    spark.sql("""CREATE TABLE lakecat.ns19.own
+      (city STRING, ds STRING, hour STRING, value STRING) USING lake""")
+    spark.sql("""INSERT INTO lakecat.ns19.own
+      VALUES ('a', '2024-01-01', '00', '{"k":2,"v":20}')""")
+    spark.sql("DROP NAMESPACE lakecat.ns19 CASCADE")
+    assert(!spark.sql("SHOW NAMESPACES IN lakecat")
+      .collect().map(_.getString(0)).contains("ns19"))
+  }
+
   test("CALL detail reports table health in one row") {
     createTable("t18", "TBLPROPERTIES ('statsFields' = 'k')")
     insert("t18", ("a", 1L, 10L))
@@ -451,7 +479,7 @@ class LakeCatalogSpec extends SparkSpec {
     assert(state("silver") == Map(1L -> 100L, 3L -> 30L))
     // CALL maintenance on both tables; the caught-up feed survives it
     spark.sql("CALL lakecat.system.checkpoint('bronze')")
-    spark.sql("CALL lakecat.system.vacuum('bronze', min_age_ms => 0)")
+    spark.sql("CALL lakecat.system.vacuum('bronze', min_age_ms => 0, force => true)")
     spark.sql("CALL lakecat.system.checkpoint('silver')")
     drain() // nothing new, nothing replayed
     assert(state("silver") == Map(1L -> 100L, 3L -> 30L))

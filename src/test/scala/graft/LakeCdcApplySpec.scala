@@ -101,7 +101,7 @@ class LakeCdcApplySpec extends SparkSpec {
       if (i == 5) {
         // mid-stream vacuum: the consumer is caught up, so reclaiming
         // bronze's superseded history must not disturb the pipeline
-        WeatherLakeV2Sink.vacuum(bronze)
+        WeatherLakeV2Sink.vacuum(bronze, minAgeMs = 0L, force = true)
         val more = freshRows(2)
         payload(more).write.format("graft.sources.WeatherLakeV2Sink")
           .mode("append").save(bronze)

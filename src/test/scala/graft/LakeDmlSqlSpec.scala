@@ -233,10 +233,13 @@ class LakeDmlSqlSpec extends SparkSpec {
     assert(e1.getMessage.contains("negated guard"), e1.getMessage)
 
     // a DELETE condition that is NULL on some row would make the keyed
-    // dispatch diverge from SQL three-valued semantics — refused
+    // dispatch diverge from SQL three-valued semantics — refused. The
+    // guard rides the marker column inside the merge's own jobs
+    // (raise_error), not a separate probe pass, so it surfaces as a
+    // runtime failure on the offending row and nothing publishes.
     src("dml_cdc_null",
       Seq((2L, 0L, null.asInstanceOf[String]), (9L, 91L, "u")))
-    val e0 = intercept[IllegalArgumentException] {
+    val e0 = intercept[Exception] {
       spark.sql("""MERGE INTO dml_cdc t USING dml_cdc_null s
         ON get_json_object(t.value, '$.k') = get_json_object(s.raw_json, '$.k')
         WHEN MATCHED AND s.op = 'd' THEN DELETE
@@ -244,7 +247,10 @@ class LakeDmlSqlSpec extends SparkSpec {
         WHEN NOT MATCHED AND s.op != 'd' THEN
           INSERT (city, ds, hour, value) VALUES (s.city, s.ds, s.hour, s.raw_json)""")
     }
-    assert(e0.getMessage.contains("NULL"), e0.getMessage)
+    val chain0 = Iterator.iterate(e0: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(chain0.contains("NULL"), chain0)
     assert(state("dml_cdc") == Map(2L -> 222L, 9L -> 90L)) // unchanged
 
     // pure DELETE + INSERT needs per-row matchedness as the marker

@@ -54,7 +54,7 @@ class LakeMetadataScaleSpec extends SparkSpec {
       // readers in the spec; production sizes the age guard to reader/
       // stream lag, see vacuum's doc)
       assert(WeatherLakeV2Sink.checkpointManifests(lake) >= cadence)
-      WeatherLakeV2Sink.vacuum(lake, minAgeMs = 0L)
+      WeatherLakeV2Sink.vacuum(lake, minAgeMs = 0L, force = true)
       val live = WeatherLakeV2Sink.liveManifests(lake)
       assert(live.size == 1,
         s"after checkpoint+vacuum the history must be ONE manifest, " +

@@ -116,7 +116,7 @@ class WeatherLakeModelSpec extends SparkSpec {
       }
       // end of trial: routine vacuum must change nothing for a caught-up
       // consumer, and both oracles still agree
-      WeatherLakeV2Sink.vacuum(lake)
+      WeatherLakeV2Sink.vacuum(lake, minAgeMs = 0L, force = true)
       assert(lakeState == model)
       applyFeed()
       assert(shadow == model)

@@ -192,7 +192,7 @@ class WeatherLakeV2SinkSpec extends SparkSpec {
 
     // vacuum reclaims the superseded files (readers drained) and keeps
     // every live one; the committed view is unaffected
-    val removed = WeatherLakeV2Sink.vacuum(lake)
+    val removed = WeatherLakeV2Sink.vacuum(lake, minAgeMs = 0L, force = true)
     assert(removed == before.size,
       s"expected ${before.size} superseded files reclaimed, got $removed")
     assert(WeatherLakeV2Sink.committedFiles(lake).forall(f => new File(f).isFile))
@@ -305,7 +305,7 @@ class WeatherLakeV2SinkSpec extends SparkSpec {
     // are gone WITHOUT a replacement inside its captured set, so the read
     // fails loudly instead of returning a silently partial table — the
     // explicit durability horizon every lake format documents
-    assert(WeatherLakeV2Sink.vacuum(lake) > 0)
+    assert(WeatherLakeV2Sink.vacuum(lake, minAgeMs = 0L, force = true) > 0)
     assert(rows(WeatherLakeV2Sink.readAsOf(spark, lake, snap3)) == v2)
     val err = intercept[IllegalStateException] {
       WeatherLakeV2Sink.readAsOf(spark, lake, snap1)
@@ -330,7 +330,7 @@ class WeatherLakeV2SinkSpec extends SparkSpec {
 
     // age-guarded vacuum (readers may still be draining): nothing
     // reclaimed, the pre-compaction list stays fully readable
-    assert(WeatherLakeV2Sink.vacuum(lake, minAgeMs = 3600000L) == 0)
+    assert(WeatherLakeV2Sink.vacuum(lake, minAgeMs = 3600000L, force = true) == 0)
     assert(spark.read.text(preList: _*).count() == 6,
       "age-guarded vacuum must leave the old snapshot fully scannable")
     // the age guard must NOT orphan the survivors: their superseded
@@ -338,7 +338,7 @@ class WeatherLakeV2SinkSpec extends SparkSpec {
     // unguarded vacuum can still find and delete them
     val unreferencedYoung = new File(s"$lake/_inflight_orphan.json")
     Files.write(unreferencedYoung.toPath, "{}\n".getBytes)
-    val removed = WeatherLakeV2Sink.vacuum(lake)
+    val removed = WeatherLakeV2Sink.vacuum(lake, minAgeMs = 0L, force = true)
     assert(removed == preList.size,
       s"expected the ${preList.size} superseded files reclaimed on the " +
         s"second (unguarded) pass, got $removed — age-guarded vacuum " +
@@ -863,7 +863,7 @@ class WeatherLakeV2SinkSpec extends SparkSpec {
     assert(WeatherLakeV2Sink.manifestNames(lake).size == manifests)
     // vacuum reclaims the superseded manifests but NO data files (all
     // live) — the metadata history is now one file
-    WeatherLakeV2Sink.vacuum(lake)
+    WeatherLakeV2Sink.vacuum(lake, minAgeMs = 0L, force = true)
     assert(WeatherLakeV2Sink.manifestNames(lake).size == 1)
     assert(WeatherLakeV2Sink.committedFiles(lake).toSet == dataFiles)
     // appends after the checkpoint stack on top as usual
@@ -979,7 +979,7 @@ class WeatherLakeV2SinkSpec extends SparkSpec {
     // GC: live change logs are neither orphans nor vacuum victims...
     Thread.sleep(10)
     WeatherLakeV2Sink.sweepOrphans(lake, minAgeMs = 1)
-    WeatherLakeV2Sink.vacuum(lake)
+    WeatherLakeV2Sink.vacuum(lake, minAgeMs = 0L, force = true)
     assert(changesOf("manifest-delete-") == Set(("delete", 1L, 10L)),
       "the LIVE commit's change log must survive GC")
     // ...but a superseded commit's change log is reclaimed with its data
@@ -1035,7 +1035,7 @@ class WeatherLakeV2SinkSpec extends SparkSpec {
     // a caught-up consumer SURVIVES routine vacuum: the superseded
     // intermediates (appends, the merge) are reclaimed, the feed
     // still resolves
-    WeatherLakeV2Sink.vacuum(lake)
+    WeatherLakeV2Sink.vacuum(lake, minAgeMs = 0L, force = true)
     assert(feed() == (Set.empty, f2))
     // an append plus a compaction: the layout change nets to ZERO row
     // changes — only the genuinely new row surfaces
@@ -1579,7 +1579,7 @@ class WeatherLakeV2SinkSpec extends SparkSpec {
     assert(WeatherLakeV2Sink.readCommitted(spark, lake).count() == 5)
     assert(WeatherLakeV2Sink.manifestNames(lake) == manifestsBefore)
     // vacuum with a minAge above the replay window KEEPS the token…
-    WeatherLakeV2Sink.vacuum(lake, minAgeMs = 3600L * 1000)
+    WeatherLakeV2Sink.vacuum(lake, minAgeMs = 3600L * 1000, force = true)
     assert(WeatherLakeV2Sink.manifestExists(lake, "st-b000000000"))
     writer(batch(3), 0L)
     assert(WeatherLakeV2Sink.readCommitted(spark, lake).count() == 5)
@@ -1589,7 +1589,7 @@ class WeatherLakeV2SinkSpec extends SparkSpec {
     // replayed rows stay invisible — no double count. (The tombstone is
     // one generation deep: it dies only when the compaction manifest is
     // itself superseded AND vacuumed, which is what the age guard is for.)
-    WeatherLakeV2Sink.vacuum(lake, minAgeMs = 0L)
+    WeatherLakeV2Sink.vacuum(lake, minAgeMs = 0L, force = true)
     assert(!WeatherLakeV2Sink.manifestExists(lake, "st-b000000000"))
     writer(batch(3), 0L)
     assert(WeatherLakeV2Sink.manifestExists(lake, "st-b000000000"),
@@ -1598,7 +1598,7 @@ class WeatherLakeV2SinkSpec extends SparkSpec {
       "the superseding directive must tombstone the replayed manifest")
     // the replay's orphaned data files are reclaimable by the NEXT vacuum
     // (its manifest is superseded, so they are non-live)
-    assert(WeatherLakeV2Sink.vacuum(lake, minAgeMs = 0L) > 0)
+    assert(WeatherLakeV2Sink.vacuum(lake, minAgeMs = 0L, force = true) > 0)
     assert(WeatherLakeV2Sink.readCommitted(spark, lake).count() == 5)
   }
 
@@ -1694,7 +1694,7 @@ class WeatherLakeV2SinkSpec extends SparkSpec {
       Map(1L -> 10L, 2L -> 20L, 3L -> 30L))
     // 6. vacuum reclaims the superseded generation; current view intact,
     //    the old snapshot is now loudly unreadable (documented horizon)
-    assert(WeatherLakeV2Sink.vacuum(lake, minAgeMs = 0L) > 0)
+    assert(WeatherLakeV2Sink.vacuum(lake, minAgeMs = 0L, force = true) > 0)
     assert(kv(WeatherLakeV2Sink.readCommitted(spark, lake)) == truth)
     intercept[IllegalStateException] {
       WeatherLakeV2Sink.readAsOf(spark, lake, v0).collect()
@@ -1883,6 +1883,66 @@ class WeatherLakeV2SinkSpec extends SparkSpec {
     }
   }
 
+  test("a layout-only commit that SWALLOWED a racing append still " +
+      "conflicts a row-level publish: the exemption holds only when " +
+      "everything it superseded was in the operation's snapshot") {
+    import graft.sources.WeatherLakeV2Sink
+    val lake = Files.createTempDirectory("lakev2layoutskew").toString
+    val s = spark
+    import s.implicits._
+    def append(city: String, k: Long, id: String): Unit =
+      Seq((city, "2024-01-01", "00", s"""{"k":$k}"""))
+        .toDF("city", "ds", "hour", "raw_json")
+        .write.format("graft.sources.WeatherLakeV2Sink")
+        .option("manifestId", id).mode("append").save(lake)
+    append("p", 1L, "m1")
+    val snapshot = WeatherLakeV2Sink.liveManifests(lake)
+    def inP(line: String): Boolean =
+      WeatherLakeV2Sink.partitionValues(lake,
+        line.split('\t').head).get("city").contains("p")
+    // the write-skew window the exemption must NOT cover: an append into
+    // p lands after the snapshot, and a checkpoint swallows it before
+    // the merge publishes — the append's manifest is no longer live, so
+    // the plain fresh-append rule can't see it, and the checkpoint
+    // re-lists its rows. Exempting that checkpoint would publish a merge
+    // that never saw those rows (e.g. duplicate a key it decided to
+    // INSERT).
+    append("p", 9L, "racer")
+    assert(WeatherLakeV2Sink.checkpointManifests(lake) == 2)
+    intercept[java.util.ConcurrentModificationException] {
+      WeatherLakeV2Sink.publishForTest(lake, "merge", snapshot = snapshot,
+        supersedes = Seq.empty, lines = Seq.empty, readDomain = Some(inP))
+    }
+  }
+
+  test("vacuum refuses below the retention floor without force — the " +
+      "copy-pasted min_age_ms => 0 can no longer destroy a lagging " +
+      "consumer's horizon silently") {
+    import graft.sources.WeatherLakeV2Sink
+    val lake = Files.createTempDirectory("lakev2vacfloor").toString
+    val s = spark
+    import s.implicits._
+    Seq(("a", "2024-01-01", "00", """{"k":1}"""))
+      .toDF("city", "ds", "hour", "raw_json")
+      .write.format("graft.sources.WeatherLakeV2Sink")
+      .option("manifestId", "m1").mode("append").save(lake)
+    // supersede m1's file so there is something reclaimable
+    Seq(("a", "2024-01-01", "00", """{"k":2}"""))
+      .toDF("city", "ds", "hour", "raw_json")
+      .write.format("graft.sources.WeatherLakeV2Sink")
+      .mode("overwrite").save(lake)
+    val e = intercept[IllegalArgumentException] {
+      WeatherLakeV2Sink.vacuum(lake, minAgeMs = 0L)
+    }
+    assert(e.getMessage.contains("retention floor"), e.getMessage)
+    // nothing was reclaimed by the refused call
+    assert(WeatherLakeV2Sink.manifestNames(lake).size == 2)
+    // the default call runs (everything is younger than the floor → 0)
+    assert(WeatherLakeV2Sink.vacuum(lake) == 0)
+    // the explicit override still reclaims the superseded file
+    assert(WeatherLakeV2Sink.vacuum(lake, minAgeMs = 0L, force = true) >= 1)
+  }
+
   test("measureStats backfills per-file min/max WITHOUT rewriting data: " +
       "the skipping layer turns sharp, file paths are unchanged, other " +
       "fields' stats survive, and the feed ignores the layout-only commit") {
@@ -1977,7 +2037,7 @@ class WeatherLakeV2SinkSpec extends SparkSpec {
     assert(all.exists(t => Option(t.getMessage).exists(
       _.contains("INSERT OVERWRITE"))), s"got: $e")
     // vacuum reclaims the superseded appends and their files
-    assert(WeatherLakeV2Sink.vacuum(lake) >= 2)
+    assert(WeatherLakeV2Sink.vacuum(lake, minAgeMs = 0L, force = true) >= 2)
     assert(WeatherLakeV2Sink.readCommitted(spark, lake).count() == 2)
     // a second overwrite of an already-overwritten lake works (snapshot
     // is now just the overwrite manifest)

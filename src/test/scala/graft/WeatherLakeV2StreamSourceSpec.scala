@@ -406,7 +406,7 @@ class WeatherLakeV2StreamSourceSpec extends SparkSpec {
     // the surviving checkpoint manifest is layout-only — a fresh feed
     // could reconstruct NOTHING of the non-empty table
     assert(WeatherLakeV2Sink.checkpointManifests(lake) == 2)
-    WeatherLakeV2Sink.vacuum(lake, minAgeMs = 0L)
+    WeatherLakeV2Sink.vacuum(lake, minAgeMs = 0L, force = true)
     assert(WeatherLakeV2Sink.readCommitted(spark, lake).count() == 3)
     val q = spark.readStream
       .format("graft.sources.WeatherLakeV2StreamSource")
