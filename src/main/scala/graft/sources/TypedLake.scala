@@ -1,0 +1,725 @@
+package graft.sources
+
+import java.util.UUID
+
+import scala.collection.mutable
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, SafeProjection, UnsafeProjection}
+import org.apache.spark.sql.execution.datasources.parquet.{ParquetOutputWriter, ParquetWriteSupport}
+import org.apache.spark.sql.functions.{col, input_file_name, lit, regexp_replace}
+import org.apache.spark.sql.types._
+
+/** TYPED, Parquet-backed lake tables — the general form of the manifest
+  * lake. The classic (v1) lake fixes the row shape to three path-encoded
+  * partition keys plus one raw JSON line, which re-parses every payload
+  * field per query (`get_json_object`) and prunes no payload columns; the
+  * reference's staging relation, by contrast, is a TYPED table
+  * (create_staging.sql:3-11). A typed lake table keeps the SAME manifest
+  * layer — atomic rename commits, `#supersedes` partial superseding,
+  * optimistic validate-at-publish, vacuum/checkpoint/time travel all
+  * unchanged, because that layer deals in file paths and entry lines,
+  * never in row bytes — and swaps the payload: data files are Parquet
+  * with an arbitrary user schema, stamped `#format 2` + `#payload
+  * parquet` so a v1 reader fails loudly instead of scanning Parquet
+  * binaries as text lines (FORMAT.md §Versioning).
+  *
+  * Spark-first by construction:
+  *  - READS delegate to the engine's own Parquet DSv2 machinery
+  *    ([[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable]]
+  *    over the committed file list): vectorized columnar decode, column
+  *    pruning and filter pushdown to the Parquet scan, footer/row-group
+  *    stats skipping, partition columns recovered from `k=v` directories
+  *    — nothing reimplemented;
+  *  - WRITES are a DSv2 `DataWriter[InternalRow]` around the engine's
+  *    [[ParquetOutputWriter]], routing each row to its partition
+  *    directory and accumulating per-file min/max for `statsFields`
+  *    FROM THE TYPED COLUMN VALUES into the manifest entry lines — the
+  *    same stats format the driver-side skipping layer already prunes
+  *    on, now without a JSON scan;
+  *  - row-level DML (merge/delete/update) keeps the classic ops' exact
+  *    plan shape — driver-side candidate pruning over partition values +
+  *    entry-line stats, ONE distributed pass to find touched files,
+  *    survivors rewritten distributed, ONE partially-superseding manifest
+  *    validated at publish — with the data legs on Parquet frames.
+  *
+  * Scale posture (100 TB): identical to the classic lake — everything
+  * driver-side is O(committed files) or O(touched files) metadata, every
+  * data pass is distributed and pruned before IO. The typed payload only
+  * IMPROVES the data legs: columnar decode + predicate pushdown replace
+  * whole-line JSON parsing.
+  */
+object TypedLake {
+  import WeatherLakeV2Sink.{FieldAcc, FieldStats, entryPath, lineStats, manifestJoinKey, partitionValues, statsToJson}
+
+  val Payload = "parquet"
+
+  /** Partition-column types with a canonical, unambiguous path rendering.
+    * Floats/decimals/timestamps are refused (their string forms are
+    * ambiguous or timezone-dependent — the same reason Delta discourages
+    * them as partition columns).
+    */
+  private def partitionable(dt: DataType): Boolean = dt match {
+    case StringType | IntegerType | LongType | ShortType | ByteType |
+         DateType | BooleanType => true
+    case _ => false
+  }
+
+  /** Validate a typed table's (schema, partition columns) at CREATE:
+    * partition columns must be a SUFFIX of the declared schema (data
+    * columns first — the Hive/Spark file-table convention, which keeps
+    * the stored order identical to the scan's dataSchema-then-partitions
+    * order) with path-renderable types.
+    */
+  def validateTyped(schema: StructType, partCols: Seq[String]): Unit = {
+    require(schema.nonEmpty, "TypedLake: a table needs at least one column")
+    val names = schema.fieldNames.toSeq
+    require(names.map(_.toLowerCase).distinct.size == names.size,
+      s"TypedLake: duplicate column names in (${names.mkString(", ")})")
+    require(names.takeRight(partCols.size) == partCols,
+      s"TypedLake: partition columns (${partCols.mkString(", ")}) must be " +
+        s"the LAST columns of the schema, in order — got (${names.mkString(", ")}). " +
+        "Data columns first keeps the declared order identical to the " +
+        "scan's data-then-partition order")
+    require(partCols.size < schema.size,
+      "TypedLake: a table cannot consist of partition columns only")
+    partCols.foreach { p =>
+      val dt = schema(p).dataType
+      require(partitionable(dt),
+        s"TypedLake: partition column '$p' has type ${dt.simpleString} — " +
+          "partition columns must be string/integral/date/boolean (their " +
+          "values are path segments and need one canonical rendering)")
+    }
+  }
+
+  /** The non-partition columns — what the Parquet data files store
+    * (partition values live in the directory path, the Spark/Hive
+    * convention, so the scan recovers them without reading a byte).
+    */
+  def dataSchema(schema: StructType, partCols: Seq[String]): StructType =
+    StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
+
+  /** The Hadoop conf a Parquet write task needs: the engine's
+    * [[ParquetWriteSupport]] reads these keys in `init` (normally set by
+    * ParquetFileFormat.prepareWrite from the session conf — here pinned
+    * to the modern defaults so executor tasks need no session).
+    */
+  private[sources] def parquetTaskConf(data: StructType): Configuration = {
+    val conf = new Configuration()
+    conf.set("parquet.write.support.class", classOf[ParquetWriteSupport].getName)
+    ParquetWriteSupport.setSchema(data, conf)
+    conf.set("spark.sql.parquet.writeLegacyFormat", "false")
+    conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    conf.set("spark.sql.parquet.fieldId.write.enabled", "false")
+    conf.set("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+    conf.set("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
+    conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    conf.set("spark.sql.parquet.variant.annotateLogicalType.enabled", "false")
+    conf.set("parquet.compression", "snappy")
+    conf
+  }
+
+  private def taskAttemptContext(conf: Configuration):
+      org.apache.hadoop.mapreduce.TaskAttemptContext = {
+    import org.apache.hadoop.mapreduce.{JobID, TaskAttemptID, TaskID, TaskType}
+    new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(conf,
+      new TaskAttemptID(new TaskID(new JobID("graft-typed", 0),
+        TaskType.MAP, 0), 0))
+  }
+
+  /** Executor-side rolling Parquet writer for ONE task: routes each
+    * [[InternalRow]] (full table schema) into its partition directory,
+    * writes the DATA columns through the engine's [[ParquetOutputWriter]],
+    * rolls at `maxRecordsPerFile` (0 = never), and accumulates per-file
+    * min/max for `statsFields` from the typed values (rendered through
+    * `CAST(col AS STRING)`, the same comparison domain [[FieldStats]]
+    * prunes in). `closeAll()` returns the MANIFEST ENTRY LINES — files
+    * are invisible until a manifest lists them, exactly the classic
+    * discipline.
+    */
+  private[sources] final class TypedTaskWriter(basePath: String, op: String,
+      schema: StructType, partCols: Seq[String], statsFields: Seq[String],
+      maxRecordsPerFile: Long) {
+    private val partIdx = partCols.map(schema.fieldIndex).toArray
+    private val dataFields = schema.fields.zipWithIndex
+      .filterNot { case (_, i) => partIdx.contains(i) }
+    private val data = StructType(dataFields.map(_._1))
+    private val dataProj = UnsafeProjection.create(dataFields.map {
+      case (f, i) => BoundReference(i, f.dataType, f.nullable) }.toSeq)
+    // one canonical rendering per partition value: CAST(col AS STRING)
+    // (dates → yyyy-MM-dd), escaped with the engine's own path escaping
+    // so read-side partition recovery (InMemoryFileIndex unescape)
+    // round-trips exactly
+    private val partProj = SafeProjection.create(partIdx.toSeq.map { i =>
+      Cast(BoundReference(i, schema(i).dataType, schema(i).nullable),
+        StringType, Some("UTC"))
+    })
+    private val statsIdx = statsFields.map(schema.fieldIndex).toArray
+    private val statsProj = SafeProjection.create(statsIdx.toSeq.map { i =>
+      Cast(BoundReference(i, schema(i).dataType, schema(i).nullable),
+        StringType, Some("UTC"))
+    })
+    private val conf = parquetTaskConf(data)
+    private val ctx = taskAttemptContext(conf)
+
+    private final class OpenFile(val path: String) {
+      val writer = new ParquetOutputWriter(path, ctx)
+      var rows = 0L
+      val accs: Array[FieldAcc] = Array.fill(statsIdx.length)(new FieldAcc)
+      def entryLine(): String = {
+        val st = statsFields.zip(accs)
+          .flatMap { case (f, a) => a.stats.map(f -> _) }.toMap
+        if (st.isEmpty) path else s"$path\t${statsToJson(st)}"
+      }
+    }
+    private val open = mutable.Map.empty[String, OpenFile]
+    private val entries = mutable.ArrayBuffer.empty[String]
+
+    private def dirOf(row: InternalRow): String = {
+      var k = 0
+      while (k < partIdx.length) {
+        if (row.isNullAt(partIdx(k))) throw new IllegalArgumentException(
+          s"TypedLake: NULL in partition column '${partCols(k)}' — " +
+            "partition values are path segments and cannot be null")
+        k += 1
+      }
+      if (partIdx.isEmpty) basePath
+      else {
+        val rendered = partProj(row)
+        val sb = new StringBuilder(basePath)
+        var i = 0
+        while (i < partIdx.length) {
+          sb.append('/').append(partCols(i)).append('=')
+            .append(ExternalCatalogUtils.escapePathName(
+              rendered.getUTF8String(i).toString))
+          i += 1
+        }
+        sb.toString
+      }
+    }
+
+    def write(row: InternalRow): Unit = {
+      val dir = dirOf(row)
+      var f = open.getOrElseUpdate(dir, newFile(dir))
+      if (maxRecordsPerFile > 0 && f.rows >= maxRecordsPerFile) {
+        f.writer.close()
+        entries += f.entryLine()
+        f = newFile(dir)
+        open.update(dir, f)
+      }
+      if (statsIdx.nonEmpty) {
+        val rendered = statsProj(row)
+        var k = 0
+        while (k < statsIdx.length) {
+          if (!row.isNullAt(statsIdx(k)))
+            f.accs(k).add(rendered.getUTF8String(k).toString)
+          k += 1
+        }
+      }
+      f.writer.write(dataProj(row))
+      f.rows += 1
+    }
+
+    private def newFile(dir: String): OpenFile = {
+      val fs = new Path(dir).getFileSystem(conf)
+      fs.mkdirs(new Path(dir))
+      new OpenFile(new Path(dir,
+        s"part-$op-${UUID.randomUUID().toString}.parquet").toString)
+    }
+
+    /** Close every open file and return all entry lines written by this
+      * task (path, or path + TAB + stats JSON).
+      */
+    def closeAll(): Seq[String] = {
+      open.values.foreach { f => f.writer.close(); entries += f.entryLine() }
+      open.clear()
+      entries.toSeq
+    }
+
+    /** Abort: close and delete everything this task wrote (nothing was
+      * published — the files would only ever be unreferenced orphans, but
+      * a failed task can clean its own mess immediately).
+      */
+    def abortAll(): Unit = {
+      open.values.foreach { f =>
+        try f.writer.close() catch { case _: Exception => () }
+        val p = new Path(f.path)
+        try p.getFileSystem(conf).delete(p, false)
+        catch { case _: Exception => () }
+      }
+      open.clear()
+    }
+  }
+
+  /** Distributed rewrite used by the typed DML ops: write `df` (full
+    * table schema, any column order) as partition-routed Parquet files
+    * and return their manifest ENTRY LINES. Rows are shuffled by the
+    * partition columns first so each directory's rows land in few tasks
+    * (same move as the classic writeRolled's repartition-by-dir).
+    */
+  private[sources] def writeTypedFrame(df: DataFrame, basePath: String,
+      op: String, schema: StructType, partCols: Seq[String],
+      statsFields: Seq[String], maxRecordsPerFile: Long): Seq[String] = {
+    val aligned = df.select(schema.fieldNames.map(col).toSeq: _*)
+    val routed =
+      if (partCols.isEmpty) aligned
+      else aligned.repartition(partCols.map(col): _*)
+    val base = basePath
+    val sch = schema
+    val pc = partCols
+    val sf = statsFields
+    val mrpf = maxRecordsPerFile
+    routed.queryExecution.toRdd.mapPartitions { it =>
+      val w = new TypedTaskWriter(base, op, sch, pc, sf, mrpf)
+      try {
+        it.foreach(w.write)
+        w.closeAll().iterator
+      } catch { case e: Throwable => w.abortAll(); throw e }
+    }.collect().toSeq // bounded: entry lines, O(written files) metadata
+  }
+
+  /** The committed view (or any explicit file list) as a typed frame via
+    * the engine's own Parquet source: `basePath` anchors `k=v` partition
+    * recovery, the user schema pins partition-column TYPES, and the
+    * result columns follow the DECLARED order (data-then-partition comes
+    * back from the source; the select restores the table's order — a
+    * no-op for schemas that follow [[validateTyped]]'s suffix rule).
+    */
+  def readTyped(spark: SparkSession, basePath: String, schema: StructType,
+      files: Seq[String]): DataFrame =
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else spark.read.option("basePath", basePath).schema(schema)
+      .parquet(files: _*)
+      .select(schema.fieldNames.map(col).toSeq: _*)
+
+  def readCommittedTyped(spark: SparkSession, basePath: String,
+      schema: StructType): DataFrame = {
+    WeatherLakeV2Sink.requirePayload(basePath, Payload, "readCommittedTyped")
+    readTyped(spark, basePath, schema,
+      WeatherLakeV2Sink.committedFiles(basePath))
+  }
+
+  /** Append `df` as one manifest commit (the typed twin of the classic
+    * batch append): files are invisible until the manifest renames in; a
+    * deterministic `manifestId` gives exactly-once replay short-circuit.
+    */
+  def appendTyped(spark: SparkSession, basePath: String, df: DataFrame,
+      schema: StructType, partCols: Seq[String],
+      statsFields: Seq[String] = Nil, manifestId: Option[String] = None,
+      maxRecordsPerFile: Long = 0L): Unit = {
+    val id = manifestId.getOrElse(UUID.randomUUID().toString)
+    WeatherLakeV2Sink.ReservedIdPrefixes.find(id.startsWith).foreach { p =>
+      throw new IllegalArgumentException(
+        s"TypedLake: manifestId '$id' uses the reserved maintenance " +
+          s"prefix '$p' (see FORMAT.md); pick another id")
+    }
+    if (manifestId.exists(WeatherLakeV2Sink.manifestExists(basePath, _)))
+      return // exactly-once replay: already published
+    val entries = writeTypedFrame(df, basePath, "b", schema, partCols,
+      statsFields, maxRecordsPerFile)
+    WeatherLakeV2Sink.writeManifest(basePath, id, entries,
+      payload = Some(Payload))
+  }
+
+  /** The scan row's source file joined back to manifest entries — the
+    * typed twin of the classic filePathCol/manifestJoinKey pair (full
+    * scheme-stripped raw-URI path; basenames are NOT unique across
+    * directories).
+    */
+  private def filePathCol: Column =
+    regexp_replace(input_file_name(),
+      WeatherLakeV2Sink.SchemeAuthorityPattern, "")
+
+  /** Candidate files of a typed op as a frame carrying `__file` (the
+    * manifest-joinable path). Reads only `files`, typed.
+    */
+  private def framedTyped(spark: SparkSession, basePath: String,
+      schema: StructType, files: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val session = spark
+    import session.implicits._
+    val keyed = files.map(f => (manifestJoinKey(f), f))
+    readTyped(spark, basePath, schema, files)
+      .withColumn("__path", filePathCol)
+      .join(broadcast(keyed.toDF("__path", "__file")), "__path")
+      .drop("__path")
+  }
+
+  // -----------------------------------------------------------------
+  // copy-on-write DELETE (typed)
+  // -----------------------------------------------------------------
+
+  /** Typed copy-on-write DELETE — [[WeatherLakeV2Sink.deleteCommitted]]'s
+    * exact plan shape (driver-side fail-open candidate prune over
+    * partition values + entry-line stats; ONE distributed pass counting
+    * definite matches per file; survivors rewritten distributed;
+    * ONE partially-superseding manifest validated at publish) with the
+    * data legs on typed Parquet frames. `predicate` binds over the full
+    * table schema; SQL NULL semantics (NULL keeps the row).
+    */
+  def deleteTyped(spark: SparkSession, basePath: String,
+      schema: StructType, partCols: Seq[String],
+      predicate: DataFrame => Column,
+      prune: (Map[String, String], Map[String, FieldStats]) => Boolean =
+        (_, _) => true,
+      statsFields: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 0L): WeatherLakeV2Sink.DeleteStats = {
+    import org.apache.spark.sql.functions.{coalesce, count, not}
+    WeatherLakeV2Sink.requirePayload(basePath, Payload, "deleteTyped")
+    val snapshot = WeatherLakeV2Sink.liveManifests(basePath)
+    val byManifest = WeatherLakeV2Sink.entryLinesByManifest(basePath, snapshot)
+    val committedLines = byManifest.flatMap(_._2)
+    def inReadDomain(l: String): Boolean =
+      prune(partitionValues(basePath, entryPath(l)), lineStats(l))
+    val candidates = committedLines.collect {
+      case l if inReadDomain(l) => entryPath(l)
+    }
+    if (candidates.isEmpty) return WeatherLakeV2Sink.DeleteStats(0, 0, 0L)
+    def hit(df: DataFrame) = coalesce(predicate(df), lit(false))
+    val cand = framedTyped(spark, basePath, schema, candidates)
+    val perFile = cand.filter(hit(cand))
+      .groupBy(col("__file")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val touched = perFile.map(_._1).toSeq
+    val deletedRows = perFile.map(_._2).sum
+    if (touched.isEmpty) return WeatherLakeV2Sink.DeleteStats(0, 0, 0L)
+    val touchedSet = touched.toSet
+    val touchedManifests = byManifest.collect {
+      case (n, ls) if ls.exists(l => touchedSet(entryPath(l))) => n
+    }
+    val touchedManifestSet = touchedManifests.toSet
+    val untouched = byManifest
+      .filter { case (n, _) => touchedManifestSet(n) }
+      .flatMap(_._2)
+      .filterNot(l => touchedSet(entryPath(l)))
+    val tf = framedTyped(spark, basePath, schema, touched)
+    val survivors = tf.filter(not(hit(tf)))
+    val newFiles = writeTypedFrame(survivors, basePath, "delete", schema,
+      partCols, statsFields, maxRecordsPerFile)
+    WeatherLakeV2Sink.publishCommit(basePath, "delete", snapshot = snapshot,
+      supersedes = touchedManifests, lines = untouched ++ newFiles,
+      readDomain = Some(inReadDomain), payload = Some(Payload))
+    WeatherLakeV2Sink.DeleteStats(touched.size, newFiles.size, deletedRows)
+  }
+
+  // -----------------------------------------------------------------
+  // copy-on-write UPDATE (typed)
+  // -----------------------------------------------------------------
+
+  /** Typed copy-on-write UPDATE: rows where `predicate` is TRUE get the
+    * `assignments` applied (each maps the framed row to the column's new
+    * value; unassigned columns keep their value). Assigning a PARTITION
+    * column is supported — the rewrite routes every row by its (possibly
+    * new) partition values, so updated rows MOVE directories, which the
+    * classic single-payload update could not express.
+    */
+  def updateTyped(spark: SparkSession, basePath: String,
+      schema: StructType, partCols: Seq[String],
+      predicate: DataFrame => Column,
+      assignments: Seq[(String, DataFrame => Column)],
+      prune: (Map[String, String], Map[String, FieldStats]) => Boolean =
+        (_, _) => true,
+      statsFields: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 0L): WeatherLakeV2Sink.UpdateStats = {
+    import org.apache.spark.sql.functions.{coalesce, count, when}
+    WeatherLakeV2Sink.requirePayload(basePath, Payload, "updateTyped")
+    val names = schema.fieldNames.toSeq
+    assignments.foreach { case (n, _) =>
+      require(names.contains(n),
+        s"TypedLake: UPDATE assigns unknown column '$n' (schema: " +
+          s"${names.mkString(", ")})")
+    }
+    val snapshot = WeatherLakeV2Sink.liveManifests(basePath)
+    val byManifest = WeatherLakeV2Sink.entryLinesByManifest(basePath, snapshot)
+    val committedLines = byManifest.flatMap(_._2)
+    def inReadDomain(l: String): Boolean =
+      prune(partitionValues(basePath, entryPath(l)), lineStats(l))
+    val candidates = committedLines.collect {
+      case l if inReadDomain(l) => entryPath(l)
+    }
+    if (candidates.isEmpty) return WeatherLakeV2Sink.UpdateStats(0, 0, 0L)
+    def hit(df: DataFrame) = coalesce(predicate(df), lit(false))
+    val cand = framedTyped(spark, basePath, schema, candidates)
+    val perFile = cand.filter(hit(cand))
+      .groupBy(col("__file")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val touched = perFile.map(_._1).toSeq
+    val updatedRows = perFile.map(_._2).sum
+    if (touched.isEmpty) return WeatherLakeV2Sink.UpdateStats(0, 0, 0L)
+    val touchedSet = touched.toSet
+    val touchedManifests = byManifest.collect {
+      case (n, ls) if ls.exists(l => touchedSet(entryPath(l))) => n
+    }
+    val touchedManifestSet = touchedManifests.toSet
+    val untouched = byManifest
+      .filter { case (n, _) => touchedManifestSet(n) }
+      .flatMap(_._2)
+      .filterNot(l => touchedSet(entryPath(l)))
+    val tf = framedTyped(spark, basePath, schema, touched)
+    val assigned = assignments.toMap
+    val rewrite = tf.select(names.map { n =>
+      assigned.get(n) match {
+        case Some(a) => when(hit(tf), a(tf)).otherwise(tf(n)).as(n)
+        case None => tf(n)
+      }
+    }: _*)
+    val newFiles = writeTypedFrame(rewrite, basePath, "update", schema,
+      partCols, statsFields, maxRecordsPerFile)
+    WeatherLakeV2Sink.publishCommit(basePath, "update", snapshot = snapshot,
+      supersedes = touchedManifests, lines = untouched ++ newFiles,
+      readDomain = Some(inReadDomain), payload = Some(Payload))
+    WeatherLakeV2Sink.UpdateStats(touched.size, newFiles.size, updatedRows)
+  }
+
+  // -----------------------------------------------------------------
+  // copy-on-write MERGE (typed)
+  // -----------------------------------------------------------------
+
+  /** What a typed MERGE does per action class; every condition/assignment
+    * binds over the JOINED frame, where target columns appear under their
+    * own names and source columns under [[srcCol]]'s `__s_`-prefixed
+    * names (key columns are the coalesced join keys).
+    *
+    *  - `matchedDelete` — `WHEN MATCHED [AND cond] THEN DELETE`;
+    *  - `matchedUpdate` — `WHEN MATCHED [AND cond] THEN UPDATE SET …`;
+    *    `None` assignments = `UPDATE SET *` (replace every data column
+    *    with the source's);
+    *  - `insert` — `WHEN NOT MATCHED [AND cond] THEN INSERT …`; `None`
+    *    assignments = `INSERT *`;
+    *  - `notMatchedBySourceDelete` — `WHEN NOT MATCHED BY SOURCE [AND
+    *    cond] THEN DELETE`, the full-sync clause: target rows with no
+    *    source match are deleted where the condition holds (condition
+    *    over TARGET columns only — there is no source row to reference).
+    *
+    * Action order is SQL's: for a matched row, delete-then-update in the
+    * order given; conditions are evaluated with SQL three-valued logic
+    * (NULL = action does not apply, the next one is tried).
+    */
+  final case class TypedMergeActions(
+      matchedDelete: Option[DataFrame => Column] = None,
+      matchedUpdate: Option[Option[Seq[(String, DataFrame => Column)]]] = None,
+      matchedUpdateCond: Option[DataFrame => Column] = None,
+      insert: Option[Option[Seq[(String, DataFrame => Column)]]] = None,
+      insertCond: Option[DataFrame => Column] = None,
+      notMatchedBySourceDelete: Option[Option[DataFrame => Column]] = None)
+
+  /** Source-column name on the joined merge frame. */
+  def srcCol(name: String): String = s"__s_$name"
+
+  /** Typed copy-on-write MERGE. `keyCols` are the ON-equality columns
+    * (same name both sides — the standard upsert key); `batch` must carry
+    * every table column (for INSERT *) under the table's names and be
+    * key-unique.
+    *
+    * Read domain and candidate pruning: when every partition column is a
+    * key column and no NOT-MATCHED-BY-SOURCE action exists, candidates
+    * prune to the batch's distinct partition tuples (the classic merge's
+    * partition-immutability contract); otherwise the domain is the whole
+    * table — full-sync semantics genuinely read everything, and a key
+    * that does not determine the partition cannot rule any file out.
+    */
+  def mergeTyped(spark: SparkSession, basePath: String,
+      schema: StructType, partCols: Seq[String],
+      batch: DataFrame, keyCols: Seq[String],
+      actions: TypedMergeActions = TypedMergeActions(
+        matchedUpdate = Some(None), insert = Some(None)),
+      statsFields: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 0L): WeatherLakeV2Sink.MergeStats = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, when}
+    WeatherLakeV2Sink.requirePayload(basePath, Payload, "mergeTyped")
+    val names = schema.fieldNames.toSeq
+    require(keyCols.nonEmpty && keyCols.forall(names.contains),
+      s"TypedLake: merge key columns (${keyCols.mkString(", ")}) must be " +
+        s"table columns (${names.mkString(", ")})")
+    val dataCols = names.filterNot(keyCols.contains)
+    val fullSync = actions.notMatchedBySourceDelete.isDefined
+
+    val snapshot = WeatherLakeV2Sink.liveManifests(basePath)
+    val byManifest = WeatherLakeV2Sink.entryLinesByManifest(basePath, snapshot)
+    val committedLines = byManifest.flatMap(_._2)
+    val committed = committedLines.map(entryPath)
+
+    // ---- read domain / candidate pruning (driver, O(files) metadata)
+    val partitionPrunable =
+      partCols.nonEmpty && partCols.forall(keyCols.contains) && !fullSync
+    val batchParts: Set[Seq[String]] =
+      if (!partitionPrunable) Set.empty
+      else batch.select(partCols.map(c =>
+          col(c).cast(StringType)).toSeq: _*)
+        .distinct().collect()
+        .map(r => partCols.indices.map(i => r.getString(i)).toSeq).toSet
+    def inReadDomain(line: String): Boolean =
+      if (!partitionPrunable) true
+      else {
+        val pv = partitionValues(basePath, entryPath(line))
+        val tuple = partCols.map(pv.get)
+        if (tuple.exists(_.isEmpty)) true // can't rule out, fail open
+        else batchParts(tuple.map(_.get))
+      }
+    val candidates = committed.filter(inReadDomain)
+
+    // ---- one distributed pass: which candidate files are touched
+    val batchKeys = batch.select(keyCols.map(col).toSeq: _*).distinct()
+    val touched: Seq[String] =
+      if (candidates.isEmpty) Seq.empty
+      else if (fullSync) candidates // full-sync rewrites its whole domain
+      else {
+        val cand = framedTyped(spark, basePath, schema, candidates)
+        cand.join(broadcast(batchKeys), keyCols, "left_semi")
+          .select(col("__file")).distinct()
+          .collect().map(_.getString(0)).toSeq
+      }
+    val touchedSet = touched.toSet
+    val touchedManifests = byManifest.collect {
+      case (n, ls) if ls.exists(l => touchedSet(entryPath(l))) => n
+    }
+    val touchedManifestSet = touchedManifests.toSet
+    val untouched = byManifest
+      .filter { case (n, _) => touchedManifestSet(n) }
+      .flatMap(_._2)
+      .filterNot(l => touchedSet(entryPath(l)))
+
+    // ---- relational rewrite: target rows of touched files ⟗ batch
+    val tgt = framedTyped(spark, basePath, schema, touched)
+      .withColumn("__t", lit(true))
+    // EVERY non-key batch column rides prefixed — extra source columns
+    // (CDC op markers etc.) are legal condition inputs in SQL MERGE
+    val src = batch
+      .select(keyCols.map(col) ++
+        batch.columns.toSeq.filterNot(keyCols.contains)
+          .map(n => col(n).as(srcCol(n))) :+
+        lit(true).as("__s"): _*)
+    val joined = tgt.join(src, keyCols, "full_outer")
+    def cond(c: Option[DataFrame => Column]): Column =
+      c.map(f => coalesce(f(joined), lit(false))).getOrElse(lit(true))
+    val matched = joined("__t").isNotNull && joined("__s").isNotNull
+    val sourceOnly = joined("__t").isNull
+    val targetOnly = joined("__s").isNull
+
+    // per-column value of the output row, action semantics in ONE
+    // codegen'd when-chain per column (no per-action passes)
+    val matchedDel = actions.matchedDelete.map(c =>
+      matched && coalesce(c(joined), lit(false)))
+    val updCond = cond(actions.matchedUpdateCond)
+    val insCond = cond(actions.insertCond)
+    val nmbsDel = actions.notMatchedBySourceDelete.map(c =>
+      targetOnly && cond(Some(c.getOrElse(_ => lit(true)))))
+
+    def updatedValue(n: String): Column = actions.matchedUpdate match {
+      case None => joined(n) // no update action: keep the target value
+      case Some(None) => // UPDATE SET *: replace data cols by source
+        if (keyCols.contains(n)) joined(n) else joined(srcCol(n))
+      case Some(Some(assigns)) =>
+        assigns.toMap.get(n).map(_(joined)).getOrElse(joined(n))
+    }
+    def insertedValue(n: String): Column = actions.insert match {
+      case None => lit(null) // row dropped below; placeholder
+      case Some(None) =>
+        if (keyCols.contains(n)) joined(n) else joined(srcCol(n))
+      case Some(Some(assigns)) =>
+        assigns.toMap.get(n).map(_(joined)).getOrElse(
+          if (keyCols.contains(n)) joined(n) else joined(srcCol(n)))
+    }
+
+    val keepRow =
+      when(matched,
+        matchedDel.map(d => !when(d, lit(true)).otherwise(lit(false)))
+          .getOrElse(lit(true)))
+      .when(sourceOnly, lit(actions.insert.isDefined) && insCond)
+      .otherwise( // target only
+        nmbsDel.map(d => !when(d, lit(true)).otherwise(lit(false)))
+          .getOrElse(lit(true)))
+    val outCols = names.map { n =>
+      when(matched,
+        when(matchedDel.getOrElse(lit(false)), joined(n)) // dropped anyway
+          .when(updCond, updatedValue(n))
+          .otherwise(joined(n)))
+      .when(sourceOnly, insertedValue(n))
+      .otherwise(joined(n))
+      .as(n)
+    }
+    val rewrite = joined.filter(keepRow).select(outCols: _*)
+    val newFiles = writeTypedFrame(rewrite, basePath, "merge", schema,
+      partCols, statsFields, maxRecordsPerFile)
+    WeatherLakeV2Sink.publishCommit(basePath, "merge", snapshot = snapshot,
+      supersedes = touchedManifests, lines = untouched ++ newFiles,
+      readDomain = Some(inReadDomain), payload = Some(Payload))
+    WeatherLakeV2Sink.MergeStats(touched.size, newFiles.size)
+  }
+
+  // -----------------------------------------------------------------
+  // maintenance (typed)
+  // -----------------------------------------------------------------
+
+  /** Typed small-file compaction — the classic [[WeatherLakeV2Sink
+    * .compact]] candidacy rule (directories with >1 file under half the
+    * byte target; `clusterExpr` widens candidacy and sorts-within for
+    * the OPTIMIZE ZORDER move) with the rewrite on typed frames. Rolls
+    * at `maxRecordsPerFile` when positive.
+    */
+  def compactTyped(spark: SparkSession, basePath: String,
+      schema: StructType, partCols: Seq[String],
+      targetBytes: Long = 128L * 1024 * 1024,
+      clusterExpr: Option[DataFrame => Column] = None,
+      statsFields: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 0L): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    WeatherLakeV2Sink.requirePayload(basePath, Payload, "compactTyped")
+    val fs = new Path(basePath).getFileSystem(new Configuration())
+    val snapshot = WeatherLakeV2Sink.liveManifests(basePath)
+    val byManifest = WeatherLakeV2Sink.entryLinesByManifest(basePath, snapshot)
+    val entriesByDir = byManifest.flatMap(_._2)
+      .groupBy(l => new Path(entryPath(l)).getParent.toString)
+    val multi = entriesByDir.view.mapValues(_.map(entryPath)).filter {
+      case (_, fls) =>
+        val sizes = fls.map(f => fs.getFileStatus(new Path(f)).getLen)
+        if (clusterExpr.isDefined) fls.size > 1 || sizes.sum > targetBytes
+        else fls.size > 1 && sizes.sum.toDouble / fls.size < targetBytes / 2.0
+    }.toMap
+    if (multi.isEmpty) return 0
+    val compactedDirs = multi.keySet
+    def inCompactedDir(l: String): Boolean =
+      compactedDirs(new Path(entryPath(l)).getParent.toString)
+    val touchedManifests = byManifest.collect {
+      case (n, ls) if ls.exists(inCompactedDir) => n
+    }
+    val touchedManifestSet = touchedManifests.toSet
+    val keep = byManifest
+      .filter { case (n, _) => touchedManifestSet(n) }
+      .flatMap(_._2)
+      .filterNot(inCompactedDir)
+    val rows = readTyped(spark, basePath, schema,
+      multi.values.flatten.toSeq)
+    val arranged = clusterExpr match {
+      case Some(e) if partCols.nonEmpty =>
+        rows.repartition(partCols.map(col): _*)
+          .sortWithinPartitions(partCols.map(col) :+ e(rows): _*)
+      case Some(e) => rows.repartition(1).sortWithinPartitions(e(rows))
+      case None => rows
+    }
+    // writeTypedFrame re-shuffles only when clusterExpr is absent (its
+    // own repartition); for clustered runs write the arranged frame
+    // directly so the sort survives into the rolled files
+    val newFiles =
+      if (clusterExpr.isDefined) {
+        val base = basePath; val sch = schema; val pc = partCols
+        val sf = statsFields; val mrpf = maxRecordsPerFile
+        arranged.select(schema.fieldNames.map(col).toSeq: _*)
+          .queryExecution.toRdd.mapPartitions { it =>
+            val w = new TypedTaskWriter(base, "compact", sch, pc, sf, mrpf)
+            try { it.foreach(w.write); w.closeAll().iterator }
+            catch { case e: Throwable => w.abortAll(); throw e }
+          }.collect().toSeq
+      } else writeTypedFrame(rows, basePath, "compact", schema, partCols,
+        statsFields, maxRecordsPerFile)
+    WeatherLakeV2Sink.publishCommit(basePath, "compact", snapshot = snapshot,
+      supersedes = touchedManifests, lines = keep ++ newFiles,
+      payload = Some(Payload))
+    multi.size
+  }
+}

@@ -281,6 +281,57 @@ object WeatherLakeV2Sink {
   val FormatPrefix = "#format "
   val FormatVersion = 1
 
+  /** The highest manifest format version this READER understands. Version
+    * 2 adds the `#payload <format>` directive (FORMAT.md §Versioning):
+    * data files are no longer necessarily JSON text lines, which CHANGES
+    * read semantics — a v1 reader must fail loudly on a v2 manifest
+    * rather than scan Parquet binaries as text. Classic JSON-line lakes
+    * keep writing version 1 (no gratuitous break for old readers).
+    */
+  val MaxReaderFormatVersion = 2
+
+  /** Directive naming the PAYLOAD format of this manifest's data files
+    * (`#payload parquet`). Absent = JSON text lines (the v1 payload). A
+    * table's manifests are payload-uniform by construction: typed writes
+    * stamp the directive on every commit, classic writes never do, and
+    * [[writeManifest]] refuses a mixed publish.
+    */
+  val PayloadPrefix = "#payload "
+
+  /** The declared payload format of a manifest's lines, if any. */
+  def manifestPayload(lines: Seq[String]): Option[String] =
+    lines.find(_.startsWith(PayloadPrefix))
+      .map(_.stripPrefix(PayloadPrefix).trim)
+
+  /** The table's payload format — "json" (v1 text lines, the default) or
+    * "parquet" (typed tables). O(1): payload is uniform across a table's
+    * manifests (enforced at publish), so ONE manifest answers for all.
+    */
+  def payloadFormat(basePath: String): String = {
+    val names = manifestNames(basePath)
+    if (names.isEmpty) "json"
+    else {
+      val fs = new Path(basePath).getFileSystem(new Configuration())
+      val lines = readLines(fs, new Path(new Path(basePath, ManifestDir), names.head))
+      checkFormatVersion(names.head, lines)
+      manifestPayload(lines).getOrElse("json")
+    }
+  }
+
+  /** Loud payload gate for format-specific data paths: the JSON-line
+    * functions must never scan Parquet bytes as text (and vice versa) —
+    * a misrouted read is garbage, not an error, so the route is checked.
+    */
+  private[sources] def requirePayload(basePath: String, expected: String,
+      who: String): Unit = {
+    val actual = payloadFormat(basePath)
+    if (actual != expected) throw new IllegalStateException(
+      s"WeatherLakeV2Sink: $who reads '$expected' payloads but the lake " +
+        s"at $basePath holds '$actual' data files — use the " +
+        (if (actual == "parquet") "TypedLake/catalog read path"
+         else "JSON-line read path") + " for this table (see FORMAT.md)")
+  }
+
   /** Directive recording the OPERATION that published the manifest
     * (`append`, `merge`, `delete`, `update`, `compact`, `checkpoint`) —
     * the change-feed's routing key. Name prefixes remain as a HUMAN
@@ -303,10 +354,10 @@ object WeatherLakeV2Sink {
       .map(_.stripPrefix(FormatPrefix).trim)
       .foreach { v =>
         val n = v.toIntOption.getOrElse(Int.MaxValue)
-        if (n > FormatVersion) throw new IllegalStateException(
+        if (n > MaxReaderFormatVersion) throw new IllegalStateException(
           s"WeatherLakeV2Sink: manifest $name declares format version $v; " +
-            s"this reader understands up to $FormatVersion — upgrade the " +
-            "reader before touching this lake (see FORMAT.md)")
+            s"this reader understands up to $MaxReaderFormatVersion — " +
+            "upgrade the reader before touching this lake (see FORMAT.md)")
       }
 
   /** A manifest data line is `path` or `path<TAB>statsJson` — the stats
@@ -374,8 +425,23 @@ object WeatherLakeV2Sink {
   }
 
   private[sources] def writeManifest(basePath: String, jobId: String,
-      files: Seq[String], op: Option[String] = None): Unit = {
+      files: Seq[String], op: Option[String] = None,
+      payload: Option[String] = None): Unit = {
     val fs = new Path(basePath).getFileSystem(new Configuration())
+    // payload-uniformity gate (O(1): one existing manifest answers for
+    // the table, see [[payloadFormat]]) — a classic JSON-line append into
+    // a typed Parquet lake (or the reverse) would poison every reader's
+    // route, so the mixed publish is refused before the rename
+    val existing = manifestNames(basePath)
+    if (existing.nonEmpty) {
+      val declared = payload.getOrElse("json")
+      val actual = payloadFormat(basePath)
+      if (declared != actual) throw new IllegalStateException(
+        s"WeatherLakeV2Sink: refusing to publish a '$declared'-payload " +
+          s"manifest into the lake at $basePath whose commits hold " +
+          s"'$actual' data files — a table's payload format is fixed at " +
+          "creation (FORMAT.md §Versioning)")
+    }
     val mdir = new Path(basePath, ManifestDir)
     fs.mkdirs(mdir)
     // tmp name is per-ATTEMPT unique: with a deterministic jobId
@@ -387,7 +453,12 @@ object WeatherLakeV2Sink {
       s".manifest-$jobId.${UUID.randomUUID().toString}.tmp")
     val out = fs.create(tmp, true)
     try {
-      out.write(s"$FormatPrefix$FormatVersion\n".getBytes("UTF-8"))
+      // a non-default payload is a SEMANTIC change (data files are not
+      // text lines), so such manifests stamp version 2 — v1 readers fail
+      // loudly instead of misparsing (FORMAT.md §Versioning)
+      val version = if (payload.isDefined) 2 else FormatVersion
+      out.write(s"$FormatPrefix$version\n".getBytes("UTF-8"))
+      payload.foreach(p => out.write(s"$PayloadPrefix$p\n".getBytes("UTF-8")))
       op.foreach(o => out.write(s"$OpPrefix$o\n".getBytes("UTF-8")))
       files.foreach(f => out.write((f + "\n").getBytes("UTF-8")))
     } finally out.close()
@@ -463,8 +534,10 @@ object WeatherLakeV2Sink {
     * caller's schema (Weather.RawWeatherSchema for the weather lake).
     */
   def readCommitted(spark: org.apache.spark.sql.SparkSession,
-      basePath: String): org.apache.spark.sql.DataFrame =
+      basePath: String): org.apache.spark.sql.DataFrame = {
+    requirePayload(basePath, "json", "readCommitted")
     textFrame(spark, committedFiles(basePath))
+  }
 
   /** The `k=v` partition values encoded in a committed file's directory
     * path (`city=london/ds=2024-01-01/hour=03/part-….json` →
@@ -526,8 +599,10 @@ object WeatherLakeV2Sink {
     */
   def readCommittedPruned(spark: org.apache.spark.sql.SparkSession,
       basePath: String)(
-      pred: Map[String, String] => Boolean): org.apache.spark.sql.DataFrame =
+      pred: Map[String, String] => Boolean): org.apache.spark.sql.DataFrame = {
+    requirePayload(basePath, "json", "readCommittedPruned")
     textFrame(spark, committedFilesPruned(basePath)(pred))
+  }
 
   /** DATA skipping on the per-file stats collected at write time (the
     * `statsFields` option): a data predicate — typically a range test via
@@ -553,8 +628,10 @@ object WeatherLakeV2Sink {
     */
   def readCommittedStatsPruned(spark: org.apache.spark.sql.SparkSession,
       basePath: String)(
-      pred: Map[String, FieldStats] => Boolean): org.apache.spark.sql.DataFrame =
+      pred: Map[String, FieldStats] => Boolean): org.apache.spark.sql.DataFrame = {
+    requirePayload(basePath, "json", "readCommittedStatsPruned")
     textFrame(spark, committedFilesPrunedByStats(basePath)(pred))
+  }
 
   // -----------------------------------------------------------------
   // exactly-once streaming ingest
@@ -725,6 +802,8 @@ object WeatherLakeV2Sink {
     */
   private def freshCommits(basePath: String, cursorPath: String):
       (Seq[String], Seq[String]) = {
+    // one guard covers all three incremental JSON-line readers
+    requirePayload(basePath, "json", "the incremental commit reader")
     val fresh = liveManifests(basePath)
       .filterNot(consumedManifests(cursorPath))
     val fs = new Path(basePath).getFileSystem(new Configuration())
@@ -954,6 +1033,7 @@ object WeatherLakeV2Sink {
     */
   def readAsOf(spark: org.apache.spark.sql.SparkSession, basePath: String,
       snap: Seq[String]): org.apache.spark.sql.DataFrame = {
+    requirePayload(basePath, "json", "readAsOf")
     val files = filesAsOf(basePath, snap)
     if (files.isEmpty) {
       import spark.implicits._
@@ -1157,7 +1237,7 @@ object WeatherLakeV2Sink {
     * only THEIR untouched lines, leaving every other live manifest
     * untouched (which is what lets disjoint commits coexist).
     */
-  private def entryLinesByManifest(basePath: String,
+  private[sources] def entryLinesByManifest(basePath: String,
       manifests: Seq[String]): Seq[(String, Seq[String])] = {
     val fs = new Path(basePath).getFileSystem(new Configuration())
     val mdir = new Path(basePath, ManifestDir)
@@ -1188,9 +1268,10 @@ object WeatherLakeV2Sink {
     *     carrying the supersedes directives, the `#op` routing
     *     directive, and the surviving lines.
     */
-  private def publishCommit(basePath: String, op: String,
+  private[sources] def publishCommit(basePath: String, op: String,
       snapshot: Seq[String], supersedes: Seq[String], lines: Seq[String],
-      readDomain: Option[String => Boolean] = None): Unit =
+      readDomain: Option[String => Boolean] = None,
+      payload: Option[String] = None): Unit =
     withPublishLock(basePath, op) { verifyHeld =>
       // ONE read of the manifest set inside the lease (the lock window is
       // time-bounded; a second liveManifests pass would double the
@@ -1250,7 +1331,8 @@ object WeatherLakeV2Sink {
       }
       verifyHeld()
       writeManifest(basePath, s"$op-${UUID.randomUUID().toString}",
-        supersedes.map(n => s"$SupersedesPrefix$n") ++ lines, op = Some(op))
+        supersedes.map(n => s"$SupersedesPrefix$n") ++ lines, op = Some(op),
+        payload = payload)
     }
 
   /** Test seam over [[publishCommit]] — lets specs interleave snapshots
@@ -1278,9 +1360,10 @@ object WeatherLakeV2Sink {
     * in dynamic mode a partition-less file is genuinely outside every
     * written tuple and is kept.
     */
-  private def commitPartitionOverwrite(basePath: String,
+  private[sources] def commitPartitionOverwrite(basePath: String,
       snapshot: Seq[String], newLines: Seq[String],
-      eq: Option[Map[String, String]], dynamic: Boolean): Unit = {
+      eq: Option[Map[String, String]], dynamic: Boolean,
+      payload: Option[String] = None): Unit = {
     def pvOf(line: String): Map[String, String] =
       partitionValues(basePath, entryPath(line))
     val writtenParts = newLines.map(pvOf).toSet
@@ -1331,7 +1414,7 @@ object WeatherLakeV2Sink {
       try inDomain(l) catch { case _: IllegalStateException => true }
     publishCommit(basePath, "overwrite", snapshot = snapshot,
       supersedes = touchedManifests, lines = keep ++ newLines,
-      readDomain = Some(conflictDomain))
+      readDomain = Some(conflictDomain), payload = payload)
   }
 
   /** Strips `scheme:` AND `//authority` from a URI string, leaving the
@@ -1492,6 +1575,9 @@ object WeatherLakeV2Sink {
   private def framedLines(spark: org.apache.spark.sql.SparkSession,
       basePath: String, files: Seq[String]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
+    // one guard covers every line-oriented row-level op (merge/delete/
+    // update route here before any data IO)
+    requirePayload(basePath, "json", "the JSON-line row-level operation")
     val session = spark
     import session.implicits._
     val dirOf = files.map { f =>
@@ -1899,9 +1985,16 @@ object WeatherLakeV2Sink {
         // the whole-set rollup: supersedes everything it snapshotted;
         // appends landing after the snapshot stay live untouched, and a
         // concurrent commit that superseded a snapshot member first
-        // makes this publish lose loudly (its re-listing is stale)
+        // makes this publish lose loudly (its re-listing is stale).
+        // Payload-format-agnostic (it re-lists lines, never reads data),
+        // but the rollup manifest must CARRY the table's payload
+        // declaration — dropping it would demote a typed table to v1.
+        val payload = payloadFormat(basePath) match {
+          case "json" => None
+          case p => Some(p)
+        }
         publishCommit(basePath, "checkpoint", snapshot = snapshot,
-          supersedes = snapshot, lines = lines)
+          supersedes = snapshot, lines = lines, payload = payload)
         snapshot.size
       }
     }
@@ -2085,6 +2178,7 @@ object WeatherLakeV2Sink {
       statsFields: Seq[String] = Nil): Int = {
     import org.apache.spark.sql.functions.{broadcast, col}
     require(targetBytes > 0, "targetBytes must be positive")
+    requirePayload(basePath, "json", "compact")
     val fs = new Path(basePath).getFileSystem(new Configuration())
     val snapshot = liveManifests(basePath)
     val byManifest = entryLinesByManifest(basePath, snapshot)
@@ -2171,6 +2265,7 @@ object WeatherLakeV2Sink {
       basePath: String, fields: Seq[String]): Int = {
     require(fields.nonEmpty,
       "measureStats needs at least one raw_json field name to measure")
+    requirePayload(basePath, "json", "measureStats")
     val snapshot = liveManifests(basePath)
     val byManifest = entryLinesByManifest(basePath, snapshot)
     val lines = byManifest.flatMap(_._2)
@@ -2340,7 +2435,7 @@ object WeatherLakeV2Sink {
     * parsed as a double. Absent/null values don't widen the range (sound
     * for range predicates — null never satisfies one).
     */
-  private class FieldAcc {
+  private[sources] class FieldAcc {
     var seen = false
     var allNum = true
     var lexMin: String = _; var lexMax: String = _

@@ -193,6 +193,10 @@ object WeatherLakeV2StreamSource {
         TableCapability.BATCH_READ)
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
       new ScanBuilder with Scan {
+        // the view face reads JSON text lines; a typed (Parquet-payload)
+        // lake must be read through its catalog table, never as text
+        WeatherLakeV2Sink.requirePayload(path, "json",
+          "the lake view (WeatherLakeV2StreamSource)")
         override def build(): Scan = this
         override def readSchema(): StructType = if (cdc) CdcSchema else Schema
         // batch face: the manifest-gated committed view resolved at
