@@ -43,6 +43,7 @@ object Explain {
     .replaceAll("_bkt_n\\d+_s\\d+", "_bkt_<sig>")
     // the catalog fixture tables' names are content-addressed the same way
     .replaceAll("(docs[a-z_]*)_n\\d+_s\\d+", "$1_<sig>")
+    .replaceAll("(typed_[a-z_]*)_n\\d+_s\\d+", "$1_<sig>")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

@@ -100,10 +100,13 @@ class LakeDmlParser(delegate: ParserInterface) extends ParserInterface {
 
 object LakeDmlSql {
   /** A resolved DML target: the lake path plus the view options that
-    * parameterize the maintenance op.
+    * parameterize the maintenance op. `typed` carries a typed (Parquet-
+    * payload) catalog table's (schema, partition columns, roll size) —
+    * the commands dispatch to the typed ops when set.
     */
   final case class LakeTarget(path: String, targetBytes: Long,
-      statsFields: Seq[String], changeLog: Boolean)
+      statsFields: Seq[String], changeLog: Boolean,
+      typed: Option[(StructType, Seq[String], Long)] = None)
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"lake DML: $msg")
@@ -155,6 +158,15 @@ object LakeDmlSql {
             "— history is immutable; point the DML at the table itself")
         LakeTarget(t.path, targetBytes = t.targetBytes,
           statsFields = t.statsFields, changeLog = t.changeLog)
+      // a TYPED catalog table: the commands dispatch to the typed
+      // (Parquet-payload) copy-on-write ops with full column semantics
+      case t: graft.sources.LakeCatalog.TypedLakeCatalogTable =>
+        if (t.pinned.isDefined)
+          fail(s"'$name' is a time-travel read (VERSION/TIMESTAMP AS OF) " +
+            "— history is immutable; point the DML at the table itself")
+        LakeTarget(t.path, targetBytes = 0L,
+          statsFields = t.statsFields, changeLog = false,
+          typed = Some((t.tableSchema, t.partCols, t.maxRecordsPerFile)))
       case other => fail(s"'$name' resolves to ${other.name()}, not a " +
         "lake table — DML runs only against the manifest lake")
     }
@@ -222,6 +234,149 @@ object LakeDmlSql {
       Map[String, graft.sources.WeatherLakeV2Sink.FieldStats]) => Boolean =
     (pv, _) => eqs.forall { case (k, v) => pv.get(k).forall(_ == v) }
 
+  // -----------------------------------------------------------------
+  // typed-table binding (arbitrary schemas)
+  // -----------------------------------------------------------------
+
+  /** Bind a statement expression onto a TYPED maintenance frame: every
+    * attribute's last name part must be a table column. Same loud
+    * no-subquery contract as [[bind]].
+    */
+  def bindTyped(e: Expression, df: DataFrame, columns: Seq[String],
+      what: String): Column = {
+    if (e.exists(_.isInstanceOf[SubqueryExpression]))
+      fail(s"$what may not contain subqueries — materialize the subquery " +
+        "into a source view and MERGE it instead")
+    val lower = columns.map(_.toLowerCase)
+    GraftPlanBridge.columnOf(e.transformUp {
+      case a: UnresolvedAttribute =>
+        val n = a.nameParts.last
+        val i = lower.indexOf(n.toLowerCase)
+        if (i < 0) fail(s"$what may reference only table columns " +
+          s"(${columns.mkString(", ")}), got '${a.name}'")
+        GraftPlanBridge.expressionOf(df(columns(i)))
+    })
+  }
+
+  /** A literal's canonical PATH rendering (how the typed writer encodes
+    * the partition value into the directory name): CAST(lit AS STRING) —
+    * dates render yyyy-MM-dd, integers bare. Null/unrenderable → None
+    * (no prune conjunct; fail open).
+    */
+  private def literalPathValue(l: Literal): Option[String] =
+    if (l.value == null) None
+    else Option(org.apache.spark.sql.catalyst.expressions.Cast(
+      l, StringType, Some("UTC")).eval(null)).map(_.toString)
+
+  /** Partition-equality conjuncts of a typed WHERE clause against the
+    * table's own partition columns — [[partitionEqs]] generalized beyond
+    * string literals (the typed writer path-encodes via CAST TO STRING,
+    * so the prune renders the literal identically).
+    */
+  def typedPartitionEqs(cond: Expression, partCols: Seq[String]):
+      Map[String, String] = {
+    val pcs = partCols.map(_.toLowerCase).toSet
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    conjuncts(cond).flatMap {
+      case EqualTo(a: UnresolvedAttribute, l: Literal)
+          if pcs(a.nameParts.last.toLowerCase) =>
+        literalPathValue(l).map(a.nameParts.last.toLowerCase -> _)
+      case EqualTo(l: Literal, a: UnresolvedAttribute)
+          if pcs(a.nameParts.last.toLowerCase) =>
+        literalPathValue(l).map(a.nameParts.last.toLowerCase -> _)
+      case _ => None
+    }.toMap
+  }
+
+  /** The typed MERGE key: ON is a conjunction of plain column equalities
+    * where both sides name the SAME column (one target-qualified, one
+    * source-qualified) — the standard upsert key shape. Expression keys
+    * (functions of columns) are the classic payload-keyed merge's domain;
+    * here columns are real, so key ON them.
+    */
+  def typedMergeKeyCols(cond: Expression, targetNames: Set[String],
+      sourceNames: Set[String], tableCols: Seq[String]): Seq[String] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def side(a: UnresolvedAttribute): Option[String] =
+      a.nameParts.dropRight(1).lastOption.map(_.toLowerCase) match {
+        case Some(q) if targetNames(q) => Some("t")
+        case Some(q) if sourceNames(q) => Some("s")
+        case _ => None
+      }
+    conjuncts(cond).map {
+      case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
+          if a.nameParts.last.equalsIgnoreCase(b.nameParts.last) =>
+        val n = a.nameParts.last
+        val col = tableCols.find(_.equalsIgnoreCase(n)).getOrElse(
+          fail(s"MERGE ON references '$n', not a table column " +
+            s"(${tableCols.mkString(", ")})"))
+        val sides = Set(side(a), side(b)).flatten
+        if (sides == Set("t", "s") || sides.size <= 1) col
+        else fail(s"MERGE ON conjunct must equate the target and source " +
+          s"'$n' columns, got ${EqualTo(a, b).sql}")
+      case other =>
+        fail("a typed-table MERGE keys ON plain column equalities " +
+          s"(t.col = s.col, conjunctions allowed), got: ${other.sql}")
+    }.distinct
+  }
+
+  /** Bind a typed-MERGE expression onto the JOINED frame. Resolution:
+    * target-qualified → the table column; source-qualified → the
+    * prefixed source column ([[graft.sources.TypedLake.srcCol]]) except
+    * key columns (coalesced by the USING join, valid for both sides);
+    * unqualified → the key column, else whichever single side has it —
+    * ambiguous names must be qualified.
+    */
+  def bindMergeExpr(e: Expression, joined: DataFrame,
+      targetNames: Set[String], sourceNames: Set[String],
+      tableCols: Seq[String], sourceCols: Seq[String], keyCols: Seq[String],
+      what: String, allowTarget: Boolean = true,
+      allowSource: Boolean = true): Column = {
+    if (e.exists(_.isInstanceOf[SubqueryExpression]))
+      fail(s"$what may not contain subqueries")
+    def tCol(n: String): Option[String] = tableCols.find(_.equalsIgnoreCase(n))
+    def sCol(n: String): Option[String] = sourceCols.find(_.equalsIgnoreCase(n))
+    def keyed(n: String): Option[String] = keyCols.find(_.equalsIgnoreCase(n))
+    GraftPlanBridge.columnOf(e.transformUp {
+      case a: UnresolvedAttribute =>
+        val n = a.nameParts.last
+        val qual = a.nameParts.dropRight(1).lastOption.map(_.toLowerCase)
+        val resolved: Column = qual match {
+          case Some(q) if targetNames(q) =>
+            if (!allowTarget) fail(s"$what may not reference target " +
+              s"columns, got '${a.name}'")
+            keyed(n).map(joined(_)).orElse(tCol(n).map(joined(_)))
+              .getOrElse(fail(s"$what: '$n' is not a table column " +
+                s"(${tableCols.mkString(", ")})"))
+          case Some(q) if sourceNames(q) =>
+            if (!allowSource) fail(s"$what may not reference source " +
+              s"columns, got '${a.name}'")
+            keyed(n).map(joined(_)).orElse(sCol(n)
+                .map(c => joined(graft.sources.TypedLake.srcCol(c))))
+              .getOrElse(fail(s"$what: '$n' is not a source column " +
+                s"(${sourceCols.mkString(", ")})"))
+          case _ =>
+            val t = if (allowTarget) tCol(n) else None
+            val s = if (allowSource) sCol(n) else None
+            keyed(n).map(joined(_)).getOrElse((t, s) match {
+              case (Some(tc), None) => joined(tc)
+              case (None, Some(sc)) =>
+                joined(graft.sources.TypedLake.srcCol(sc))
+              case (Some(_), Some(_)) => fail(s"$what: '$n' is ambiguous " +
+                "(both sides have it) — qualify with the target/source alias")
+              case (None, None) => fail(s"$what: unknown column '${a.name}'")
+            })
+        }
+        GraftPlanBridge.expressionOf(resolved)
+    })
+  }
+
   /** Strip qualifiers and rename the payload reference of either side
     * (`value` on the target, `raw_json` on the source) to the neutral
     * `raw_json` — the normal form under which the ON clause's two sides
@@ -286,11 +441,21 @@ case class LakeDeleteCommand(stmt: DeleteFromTable) extends LeafRunnableCommand 
 
   override def run(spark: SparkSession): Seq[Row] = {
     val t = LakeDmlSql.resolveTarget(spark, stmt.table)
-    val st = WeatherLakeV2Sink.deleteCommitted(spark, t.path,
-      predicate = df => LakeDmlSql.bind(stmt.condition, df, "DELETE WHERE"),
-      prune = LakeDmlSql.pruneFor(LakeDmlSql.partitionEqs(stmt.condition)),
-      targetBytes = t.targetBytes, statsFields = t.statsFields,
-      changeLog = t.changeLog)
+    val st = t.typed match {
+      case Some((schema, partCols, mrpf)) =>
+        graft.sources.TypedLake.deleteTyped(spark, t.path, schema, partCols,
+          predicate = df => LakeDmlSql.bindTyped(stmt.condition, df,
+            schema.fieldNames.toSeq, "DELETE WHERE"),
+          prune = LakeDmlSql.pruneFor(
+            LakeDmlSql.typedPartitionEqs(stmt.condition, partCols)),
+          statsFields = t.statsFields, maxRecordsPerFile = mrpf)
+      case None =>
+        WeatherLakeV2Sink.deleteCommitted(spark, t.path,
+          predicate = df => LakeDmlSql.bind(stmt.condition, df, "DELETE WHERE"),
+          prune = LakeDmlSql.pruneFor(LakeDmlSql.partitionEqs(stmt.condition)),
+          targetBytes = t.targetBytes, statsFields = t.statsFields,
+          changeLog = t.changeLog)
+    }
     Seq(Row(st.touchedFiles, st.newFiles, st.deletedRows))
   }
 }
@@ -307,6 +472,33 @@ case class LakeUpdateCommand(stmt: UpdateTable) extends LeafRunnableCommand {
 
   override def run(spark: SparkSession): Seq[Row] = {
     val t = LakeDmlSql.resolveTarget(spark, stmt.table)
+    // TYPED tables get real multi-column SET semantics (any columns,
+    // including partition columns — updated rows move directories)
+    t.typed.foreach { case (schema, partCols, mrpf) =>
+      val cols = schema.fieldNames.toSeq
+      val assigns = stmt.assignments.map { case Assignment(k, v) =>
+        val kn = k match {
+          case a: UnresolvedAttribute => a.nameParts.last
+          case other => other.sql
+        }
+        val target = cols.find(_.equalsIgnoreCase(kn)).getOrElse(
+          throw new IllegalArgumentException(
+            s"lake DML: UPDATE assigns unknown column '$kn' (table " +
+              s"columns: ${cols.mkString(", ")})"))
+        target -> ((df: DataFrame) =>
+          LakeDmlSql.bindTyped(v, df, cols, s"UPDATE SET $target"))
+      }
+      val st = graft.sources.TypedLake.updateTyped(spark, t.path, schema,
+        partCols,
+        predicate = df => stmt.condition
+          .map(LakeDmlSql.bindTyped(_, df, cols, "UPDATE WHERE"))
+          .getOrElse(lit(true)),
+        assignments = assigns,
+        prune = LakeDmlSql.pruneFor(stmt.condition
+          .map(LakeDmlSql.typedPartitionEqs(_, partCols)).getOrElse(Map.empty)),
+        statsFields = t.statsFields, maxRecordsPerFile = mrpf)
+      return Seq(Row(st.touchedFiles, st.newFiles, st.updatedRows))
+    }
     val assign = stmt.assignments match {
       case Seq(a) => a
       case as => throw new IllegalArgumentException(
@@ -351,10 +543,7 @@ case class LakeMergeCommand(stmt: MergeIntoTable) extends LeafRunnableCommand {
     val t = LakeDmlSql.resolveTarget(spark, stmt.targetTable)
     if (stmt.withSchemaEvolution)
       fail("WITH SCHEMA EVOLUTION is meaningless here — the lake schema " +
-        "is fixed (city, ds, hour, value)")
-    if (stmt.notMatchedBySourceActions.nonEmpty)
-      fail("does not support WHEN NOT MATCHED BY SOURCE — the lake MERGE " +
-        "is an upsert; express deletions as DELETE FROM")
+        "is fixed at CREATE")
 
     // names anchoring each ON side: the target/source aliases and
     // relation names as written
@@ -366,6 +555,19 @@ case class LakeMergeCommand(stmt: MergeIntoTable) extends LeafRunnableCommand {
     }
     val targetNames = namesOf(stmt.targetTable)
     val sourceNames = namesOf(stmt.sourceTable)
+
+    // TYPED tables: real SQL MERGE semantics over arbitrary columns —
+    // conditional matched UPDATE/DELETE, guarded INSERT (no negated-guard
+    // contract needed: the relational rewrite implements three-valued
+    // action dispatch directly), and WHEN NOT MATCHED BY SOURCE DELETE
+    t.typed.foreach { case (schema, partCols, mrpf) =>
+      return runTyped(spark, t, schema, partCols, mrpf,
+        targetNames, sourceNames)
+    }
+    if (stmt.notMatchedBySourceActions.nonEmpty)
+      fail("does not support WHEN NOT MATCHED BY SOURCE on a classic " +
+        "(city, ds, hour, value) lake — full-sync semantics need the " +
+        "typed table face; express deletions as DELETE FROM")
     val keyExprs = LakeDmlSql.mergeKeyExprs(stmt.mergeCondition,
       targetNames, sourceNames)
 
@@ -559,6 +761,145 @@ case class LakeMergeCommand(stmt: MergeIntoTable) extends LeafRunnableCommand {
       targetBytes = t.targetBytes, statsFields = t.statsFields,
       changeLog = t.changeLog,
       deleteMatched = deleteCond.map(_ => (df: DataFrame) => df("__delete")))
+    Seq(Row(st.touchedFiles, st.newFiles))
+  }
+
+  /** The TYPED dispatch: map the parsed MERGE actions onto
+    * [[graft.sources.TypedLake.TypedMergeActions]] and run the relational
+    * copy-on-write merge. Supported action shapes (loud otherwise):
+    * matched = optional `[AND cond] DELETE` followed by optional
+    * `[AND cond] UPDATE SET star-or-assignments` (first-match-wins order
+    * — an update BEFORE a conditional delete would shadow it, refused);
+    * not-matched = one optional `[AND cond] INSERT` (star or full
+    * column list);
+    * not-matched-by-source = one optional `[AND cond] DELETE` (condition
+    * over TARGET columns — there is no source row).
+    */
+  private def runTyped(spark: SparkSession, t: LakeDmlSql.LakeTarget,
+      schema: StructType, partCols: Seq[String], mrpf: Long,
+      targetNames: Set[String], sourceNames: Set[String]): Seq[Row] = {
+    import graft.sources.TypedLake
+    val tableCols = schema.fieldNames.toSeq
+    val sourceDF = GraftPlanBridge.ofRows(spark, stmt.sourceTable)
+    val sourceCols = sourceDF.columns.toSeq
+    val keyCols = LakeDmlSql.typedMergeKeyCols(stmt.mergeCondition,
+      targetNames, sourceNames, tableCols)
+    keyCols.foreach { k =>
+      if (!sourceCols.exists(_.equalsIgnoreCase(k)))
+        fail(s"the source must provide key column '$k'; source columns: " +
+          sourceCols.mkString(", "))
+    }
+
+    def bindBoth(e: Expression, what: String): DataFrame => Column =
+      df => LakeDmlSql.bindMergeExpr(e, df, targetNames, sourceNames,
+        tableCols, sourceCols, keyCols, what)
+    def bindSrc(e: Expression, what: String): DataFrame => Column =
+      df => LakeDmlSql.bindMergeExpr(e, df, targetNames, sourceNames,
+        tableCols, sourceCols, keyCols, what, allowTarget = false)
+    def bindTgt(e: Expression, what: String): DataFrame => Column =
+      df => LakeDmlSql.bindMergeExpr(e, df, targetNames, sourceNames,
+        tableCols, sourceCols, keyCols, what, allowSource = false)
+
+    def assignKey(k: Expression): String = {
+      val kn = k match {
+        case a: UnresolvedAttribute => a.nameParts.last
+        case other => other.sql
+      }
+      tableCols.find(_.equalsIgnoreCase(kn)).getOrElse(
+        fail(s"assignment to unknown column '$kn' (table columns: " +
+          s"${tableCols.mkString(", ")})"))
+    }
+    def requireSourceCarries(cols: Seq[String], why: String): Unit =
+      cols.filterNot(c => sourceCols.exists(_.equalsIgnoreCase(c))) match {
+        case Seq() => ()
+        case missing => fail(s"$why needs the source to carry " +
+          s"(${missing.mkString(", ")}); source columns: " +
+          sourceCols.mkString(", "))
+      }
+
+    // ---- matched actions: [DELETE [AND c]] then [UPDATE [AND c]]
+    var matchedDelete: Option[DataFrame => Column] = None
+    var matchedUpdate: Option[Option[Seq[(String, DataFrame => Column)]]] = None
+    var matchedUpdateCond: Option[DataFrame => Column] = None
+    stmt.matchedActions.foreach {
+      case DeleteAction(c) =>
+        if (matchedDelete.isDefined) fail("at most one WHEN MATCHED DELETE")
+        if (matchedUpdate.isDefined)
+          fail("the UPDATE action precedes the DELETE, so the DELETE can " +
+            "never apply to rows the UPDATE matched first (first matching " +
+            "action wins); write the DELETE clause first")
+        matchedDelete = Some(c.map(bindBoth(_, "MATCHED DELETE condition"))
+          .getOrElse((_: DataFrame) => lit(true)))
+      case UpdateStarAction(c) =>
+        if (matchedUpdate.isDefined) fail("at most one WHEN MATCHED UPDATE")
+        requireSourceCarries(tableCols.filterNot(keyCols.contains),
+          "UPDATE SET *")
+        matchedUpdate = Some(None)
+        matchedUpdateCond = c.map(bindBoth(_, "MATCHED UPDATE condition"))
+      case UpdateAction(c, assigns, _) =>
+        if (matchedUpdate.isDefined) fail("at most one WHEN MATCHED UPDATE")
+        matchedUpdate = Some(Some(assigns.map { case Assignment(k, v) =>
+          assignKey(k) -> bindBoth(v, "UPDATE SET value")
+        }))
+        matchedUpdateCond = c.map(bindBoth(_, "MATCHED UPDATE condition"))
+      case other =>
+        fail(s"unsupported WHEN MATCHED action ${other.getClass.getSimpleName}")
+    }
+
+    // ---- not-matched: one optional INSERT
+    var insert: Option[Option[Seq[(String, DataFrame => Column)]]] = None
+    var insertCond: Option[DataFrame => Column] = None
+    stmt.notMatchedActions match {
+      case Seq() => ()
+      case Seq(InsertStarAction(c)) =>
+        requireSourceCarries(tableCols, "INSERT *")
+        insert = Some(None)
+        insertCond = c.map(bindSrc(_, "NOT MATCHED condition"))
+      case Seq(InsertAction(c, assigns)) =>
+        val byCol = assigns.map { case Assignment(k, v) =>
+          assignKey(k) -> bindSrc(v, "INSERT value")
+        }
+        val assignedCols = byCol.map(_._1).toSet
+        tableCols.filterNot(assignedCols).foreach { missing =>
+          fail(s"INSERT must assign every table column; missing '$missing' " +
+            "(unassigned columns have no SQL-standard default here — " +
+            "assign NULL explicitly if that is the intent)")
+        }
+        insert = Some(Some(byCol))
+        insertCond = c.map(bindSrc(_, "NOT MATCHED condition"))
+      case other => fail("needs at most one WHEN NOT MATCHED THEN INSERT " +
+        s"action, got ${other.size}")
+    }
+
+    // ---- not-matched-by-source: one optional DELETE (full-sync)
+    var nmbsDelete: Option[Option[DataFrame => Column]] = None
+    stmt.notMatchedBySourceActions match {
+      case Seq() => ()
+      case Seq(DeleteAction(c)) =>
+        nmbsDelete = Some(c.map(bindTgt(_,
+          "NOT MATCHED BY SOURCE condition")))
+      case Seq(UpdateAction(_, _, _)) | Seq(UpdateStarAction(_)) =>
+        fail("WHEN NOT MATCHED BY SOURCE supports only DELETE (the " +
+          "full-sync clause); UPDATE of unmatched survivors is not " +
+          "implemented — run a separate UPDATE statement")
+      case other => fail("needs at most one WHEN NOT MATCHED BY SOURCE " +
+        s"action, got ${other.size}")
+    }
+
+    if (matchedDelete.isEmpty && matchedUpdate.isEmpty && insert.isEmpty &&
+        nmbsDelete.isEmpty)
+      fail("needs at least one action clause")
+
+    val st = TypedLake.mergeTyped(spark, t.path, schema, partCols,
+      batch = sourceDF, keyCols = keyCols,
+      actions = TypedLake.TypedMergeActions(
+        matchedDelete = matchedDelete,
+        matchedUpdate = matchedUpdate,
+        matchedUpdateCond = matchedUpdateCond,
+        insert = insert,
+        insertCond = insertCond,
+        notMatchedBySourceDelete = nmbsDelete),
+      statsFields = t.statsFields, maxRecordsPerFile = mrpf)
     Seq(Row(st.touchedFiles, st.newFiles))
   }
 }

@@ -14,7 +14,7 @@ import org.apache.spark.sql.connector.read.{Batch, InputPartition, LocalScan, Pa
 import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources.{EqualTo, Filter}
-import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -125,11 +125,27 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
       .map(st => Identifier.of(namespace, st.getPath.getName))
   }
 
+  /** Route a loaded marker to the classic or typed table face. */
+  private def tableOf(ident: Identifier, location: String,
+      props: util.HashMap[String, String],
+      pinned: Option[Seq[String]]): Table =
+    Option(props.get(SchemaProp)) match {
+      case Some(json) =>
+        val schema = DataType.fromJson(json).asInstanceOf[StructType]
+        val partCols = Option(props.get(PartitionColsProp))
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Seq.empty)
+        new TypedLakeCatalogTable(fullName(ident), location, schema,
+          partCols, props, pinned)
+      case None =>
+        new LakeCatalogTable(fullName(ident), location, props, pinned)
+    }
+
   override def loadTable(ident: Identifier): Table = {
     val dir = regDirOf(ident).getOrElse(throw new NoSuchTableException(ident))
     val props = readMarker(fs.getConf, dir)
     val location = props.getOrDefault(TableCatalog.PROP_LOCATION, dir)
-    new LakeCatalogTable(fullName(ident), location, props)
+    tableOf(ident, location, props, pinned = None)
   }
 
   /** `VERSION AS OF n` — the engine routes the SQL clause here. */
@@ -140,7 +156,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
     val v = version.toIntOption.getOrElse(throw new IllegalArgumentException(
       s"LakeCatalog: VERSION AS OF expects an integer commit version, " +
         s"got '$version'"))
-    new LakeCatalogTable(fullName(ident), location, props,
+    tableOf(ident, location, props,
       pinned = Some(WeatherLakeV2Sink.snapshotAt(location, v)))
   }
 
@@ -159,42 +175,63 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
           s"LakeCatalog: no commit of '${fullName(ident)}' exists at or " +
             s"before timestamp ${timestampMicros}us: ${e.getMessage}")
       }
-    new LakeCatalogTable(fullName(ident), location, props,
-      pinned = Some(snap))
+    tableOf(ident, location, props, pinned = Some(snap))
   }
 
   override def createTable(ident: Identifier, info: TableInfo): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    validateSchema(info.schema())
-    validatePartitioning(info.partitions())
+    val classic = isClassicSchema(info.schema())
     val regDir = defaultDir(ident)
     val location = Option(info.properties().get(TableCatalog.PROP_LOCATION))
       .map(_.stripSuffix("/")).getOrElse(regDir)
     val props = new util.HashMap[String, String](info.properties())
     props.put(TableCatalog.PROP_LOCATION, location)
-    // the marker always lives in the REGISTRATION dir — an external
-    // table's data directory stays exactly as the V2 sink wrote it
-    // (adoption never mutates the adopted lake)
-    writeMarker(fs.getConf, regDir, props)
-    new LakeCatalogTable(fullName(ident), location, props)
+    if (classic) {
+      validatePartitioning(info.partitions())
+      // the marker always lives in the REGISTRATION dir — an external
+      // table's data directory stays exactly as the V2 sink wrote it
+      // (adoption never mutates the adopted lake)
+      writeMarker(fs.getConf, regDir, props)
+      new LakeCatalogTable(fullName(ident), location, props)
+    } else {
+      // TYPED table: arbitrary user schema, Parquet payload, partition
+      // columns = the declared identity transforms
+      val partCols = identityPartCols(info.partitions())
+      TypedLake.validateTyped(info.schema(), partCols)
+      require(!java.lang.Boolean.parseBoolean(
+          Option(props.get("changeLog")).getOrElse("false")),
+        "LakeCatalog: changeLog is not supported on typed lake tables " +
+          "yet — drop the property or use a classic (city,ds,hour,value) " +
+          "table for CDC consumers")
+      props.put(SchemaProp, info.schema().json)
+      props.put(PartitionColsProp, partCols.mkString(","))
+      writeMarker(fs.getConf, regDir, props,
+        formatVersion = TypedMarkerFormatVersion)
+      new TypedLakeCatalogTable(fullName(ident), location, info.schema(),
+        partCols, props)
+    }
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = regDirOf(ident).getOrElse(throw new NoSuchTableException(ident))
     val props = readMarker(fs.getConf, dir)
+    val reserved = Set(TableCatalog.PROP_LOCATION, SchemaProp,
+      PartitionColsProp)
     changes.foreach {
       case s: TableChange.SetProperty =>
-        require(s.property() != TableCatalog.PROP_LOCATION,
-          "LakeCatalog: the location of a lake table is immutable")
+        require(!reserved(s.property()),
+          s"LakeCatalog: property '${s.property()}' is immutable " +
+            "(location/schema/partitioning never change under ALTER)")
         props.put(s.property(), s.value())
       case r: TableChange.RemoveProperty =>
-        require(r.property() != TableCatalog.PROP_LOCATION,
-          "LakeCatalog: the location of a lake table is immutable")
+        require(!reserved(r.property()),
+          s"LakeCatalog: property '${r.property()}' is immutable " +
+            "(location/schema/partitioning never change under ALTER)")
         props.remove(r.property())
       case other => throw new UnsupportedOperationException(
         s"LakeCatalog: unsupported ALTER TABLE change " +
           s"${other.getClass.getSimpleName} — the lake schema is fixed " +
-          "(city, ds, hour, value); only table properties are mutable")
+          "at CREATE; only table properties are mutable")
     }
     writeMarker(fs.getConf, dir, props, overwrite = true)
     loadTable(ident)
@@ -356,6 +393,19 @@ object LakeCatalog {
   val MarkerFile = "_lake_table.json"
   val MarkerFormatVersion = 1
 
+  /** Typed (Parquet-payload) tables stamp marker format 2: their markers
+    * carry `schemaJson`/`partitionColumns` properties an old reader would
+    * silently ignore, reading the table as the fixed classic shape and
+    * then scanning Parquet bytes as text — the same
+    * loud-failure-over-misparse rule as manifest `#format 2`.
+    */
+  val TypedMarkerFormatVersion = 2
+  val MaxMarkerFormatVersion = 2
+
+  /** Marker properties of a typed table (never user-set directly). */
+  val SchemaProp = "schemaJson"
+  val PartitionColsProp = "partitionColumns"
+
   val ProcedureNamespace = "system"
   val ProcedureNames: Seq[String] =
     Seq("vacuum", "sweep_orphans", "checkpoint", "compact", "history",
@@ -373,15 +423,15 @@ object LakeCatalog {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  private[sources] def validateSchema(schema: StructType): Unit = {
+  /** Whether a declared schema is the CLASSIC fixed JSON-line shape
+    * (three path-encoded string partition keys plus the raw payload
+    * line). Anything else creates a TYPED Parquet-payload table.
+    */
+  private[sources] def isClassicSchema(schema: StructType): Boolean = {
     val names = schema.fields.map(_.name.toLowerCase).toSeq
-    val ok = names == Seq("city", "ds", "hour", "value") ||
-      names == Seq("city", "ds", "hour", "raw_json")
-    require(ok && schema.fields.forall(_.dataType == StringType),
-      "LakeCatalog: a lake table's schema is fixed — (city STRING, ds " +
-        "STRING, hour STRING, value STRING); got (" +
-        schema.fields.map(f => s"${f.name} ${f.dataType.simpleString}")
-          .mkString(", ") + ")")
+    (names == Seq("city", "ds", "hour", "value") ||
+      names == Seq("city", "ds", "hour", "raw_json")) &&
+      schema.fields.forall(_.dataType == StringType)
   }
 
   private[sources] def validatePartitioning(partitions: Array[Transform]): Unit = {
@@ -389,9 +439,23 @@ object LakeCatalog {
     val names = partitions.map(_.toString.toLowerCase).toSeq
     require(names == Seq("identity(city)", "identity(ds)", "identity(hour)") ||
         names == Seq("city", "ds", "hour"),
-      "LakeCatalog: a lake table is partitioned by (city, ds, hour) — " +
-        s"omit PARTITIONED BY or state exactly that; got ${names.mkString(", ")}")
+      "LakeCatalog: a classic lake table is partitioned by (city, ds, " +
+        s"hour) — omit PARTITIONED BY or state exactly that; got " +
+        names.mkString(", "))
   }
+
+  /** Identity partition-column names of a typed CREATE (bucket/days/etc.
+    * transforms have no path-directory form here — loud).
+    */
+  private[sources] def identityPartCols(partitions: Array[Transform]): Seq[String] =
+    partitions.toSeq.map { t =>
+      val s = t.toString
+      if (s.startsWith("identity(")) s.stripPrefix("identity(").stripSuffix(")")
+      else if (!s.contains("(")) s
+      else throw new IllegalArgumentException(
+        s"LakeCatalog: typed lake tables support only identity partition " +
+          s"transforms (PARTITIONED BY (col, ...)), got $s")
+    }
 
   private[sources] def readMarker(conf: Configuration,
       dir: String): util.HashMap[String, String] = {
@@ -401,10 +465,12 @@ object LakeCatalog {
       try mapper.readTree(in)
       finally in.close()
     val fmt = node.path("format").asInt(-1)
-    if (fmt != MarkerFormatVersion) throw new IllegalStateException(
-      s"LakeCatalog: $dir/$MarkerFile declares format $fmt; this reader " +
-        s"understands only $MarkerFormatVersion — upgrade the library " +
-        "rather than risk misreading the table metadata")
+    if (fmt < MarkerFormatVersion || fmt > MaxMarkerFormatVersion)
+      throw new IllegalStateException(
+        s"LakeCatalog: $dir/$MarkerFile declares format $fmt; this reader " +
+          s"understands $MarkerFormatVersion..$MaxMarkerFormatVersion — " +
+          "upgrade the library rather than risk misreading the table " +
+          "metadata")
     val props = new util.HashMap[String, String]()
     val p = node.path("properties")
     p.fieldNames().forEachRemaining(k => props.put(k, p.path(k).asText()))
@@ -412,11 +478,16 @@ object LakeCatalog {
   }
 
   private[sources] def writeMarker(conf: Configuration, dir: String,
-      props: util.Map[String, String], overwrite: Boolean = false): Unit = {
+      props: util.Map[String, String], overwrite: Boolean = false,
+      formatVersion: Int = 0): Unit = {
     val fs = new Path(dir).getFileSystem(conf)
     if (!fs.exists(new Path(dir))) fs.mkdirs(new Path(dir))
     val root = mapper.createObjectNode()
-    root.put("format", MarkerFormatVersion)
+    // version 0 = derive: typed markers (schemaJson present) are v2
+    val v = if (formatVersion > 0) formatVersion
+      else if (props.containsKey(SchemaProp)) TypedMarkerFormatVersion
+      else MarkerFormatVersion
+    root.put("format", v)
     val p = root.putObject("properties")
     props.forEach((k, v) => p.put(k, v))
     // write-temp-then-rename, the manifest discipline: the marker appears
@@ -511,6 +582,175 @@ object LakeCatalog {
     }
   }
 
+  /** A TYPED (Parquet-payload) catalog table. The READ face delegates to
+    * the engine's own Parquet DSv2 table
+    * ([[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable]])
+    * constructed over the manifest-committed file list — vectorized
+    * decode, column pruning and filter pushdown to the Parquet scan,
+    * partition columns recovered from `k=v` directories with types pinned
+    * by the stored schema, aggregate pushdown (COUNT/MIN/MAX from
+    * footers) — nothing reimplemented; the manifest layer only decides
+    * WHICH files exist. The WRITE face is the typed task writer
+    * committing ONE manifest per statement (same exactly-once and
+    * overwrite discipline as the classic table). Time travel pins the
+    * manifest set exactly like the classic face. Streaming is not
+    * advertised yet (the micro-batch reader is line-oriented).
+    *
+    * Snapshot semantics: the file list resolves ONCE per scan build, so a
+    * query reads one committed view; the file-listing cost is O(committed
+    * files) driver metadata — the same class as the manifest read itself.
+    */
+  class TypedLakeCatalogTable(ident: String, val path: String,
+      val tableSchema: StructType, val partCols: Seq[String],
+      props: util.Map[String, String],
+      val pinned: Option[Seq[String]] = None)
+      extends Table with SupportsRead with SupportsWrite {
+    override def name(): String = ident
+    override def schema(): StructType = tableSchema
+    override def partitioning(): Array[Transform] =
+      partCols.map(Expressions.identity).toArray
+    override def properties(): util.Map[String, String] = props
+
+    override def capabilities(): util.Set[TableCapability] =
+      if (pinned.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)
+      else util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+        TableCapability.OVERWRITE_BY_FILTER, TableCapability.OVERWRITE_DYNAMIC)
+
+    def statsFields: Seq[String] = Option(props.get("statsFields"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    def maxRecordsPerFile: Long = Option(props.get("maxRecordsPerFile"))
+      .map(_.toLong).getOrElse(0L)
+
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+      val spark = SparkSession.active
+      val files = pinned.map(WeatherLakeV2Sink.filesAsOf(path, _))
+        .getOrElse(WeatherLakeV2Sink.committedFiles(path))
+      if (files.isEmpty) {
+        // zero committed files: nothing to infer partitions from — an
+        // empty LocalScan with the declared schema keeps SELECTs over a
+        // fresh table analyzable
+        val s = tableSchema
+        new ScanBuilder with Scan with LocalScan {
+          override def build(): Scan = this
+          override def readSchema(): StructType = s
+          override def rows(): Array[InternalRow] = Array.empty
+          override def description(): String = s"lake_typed_empty($path)"
+        }
+      } else {
+        val merged = new util.HashMap[String, String]()
+        merged.put("basePath", path)
+        options.entrySet().forEach(e => merged.put(e.getKey, e.getValue))
+        org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
+          ident, spark, new CaseInsensitiveStringMap(merged),
+          files.sorted.toIndexedSeq, Some(tableSchema),
+          classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
+          .newScanBuilder(new CaseInsensitiveStringMap(merged))
+      }
+    }
+
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+      val jobId = Option(info.options().get("manifestId"))
+        .map { id =>
+          WeatherLakeV2Sink.ReservedIdPrefixes.find(id.startsWith).foreach { p =>
+            throw new IllegalArgumentException(
+              s"LakeCatalog: manifestId '$id' uses the reserved " +
+                s"maintenance prefix '$p' (see FORMAT.md); pick another id")
+          }
+          id
+        }
+        .getOrElse(info.queryId())
+      val sf = Option(info.options().get("statsFields"))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(statsFields)
+      val mrpf = Option(info.options().get("maxRecordsPerFile"))
+        .map(_.toLong).getOrElse(maxRecordsPerFile)
+      val tbl = this
+      new WriteBuilder
+          with org.apache.spark.sql.connector.write.SupportsTruncate
+          with org.apache.spark.sql.connector.write.SupportsOverwrite
+          with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
+        private var truncateFirst = false
+        private var overwriteEq: Option[Map[String, String]] = None
+        private var dynamicOverwrite = false
+        override def truncate(): WriteBuilder = { truncateFirst = true; this }
+        override def overwrite(
+            filters: Array[Filter]): WriteBuilder = {
+          import org.apache.spark.sql.sources.{AlwaysTrue, EqualNullSafe}
+          val pcs = partCols.map(_.toLowerCase).toSet
+          if (filters.forall(_.isInstanceOf[AlwaysTrue])) truncateFirst = true
+          else overwriteEq = Some(filters.map {
+            case EqualTo(a, v) if pcs(a.toLowerCase) =>
+              a.toLowerCase -> String.valueOf(v)
+            case EqualNullSafe(a, v) if pcs(a.toLowerCase) && v != null =>
+              a.toLowerCase -> String.valueOf(v)
+            case other => throw new IllegalArgumentException(
+              "LakeCatalog: typed overwrite supports only partition-" +
+                s"equality conditions on (${partCols.mkString(", ")}), " +
+                s"got $other")
+          }.toMap)
+          this
+        }
+        override def overwriteDynamicPartitions(): WriteBuilder = {
+          dynamicOverwrite = true; this
+        }
+        override def build(): org.apache.spark.sql.connector.write.Write =
+          new org.apache.spark.sql.connector.write.Write {
+            private val overwriting =
+              truncateFirst || overwriteEq.isDefined || dynamicOverwrite
+            private val overwriteSnapshot: Seq[String] =
+              if (overwriting) WeatherLakeV2Sink.liveManifests(path)
+              else Seq.empty
+            override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+              new org.apache.spark.sql.connector.write.BatchWrite {
+                override def createBatchWriterFactory(
+                    pi: org.apache.spark.sql.connector.write.PhysicalWriteInfo):
+                    org.apache.spark.sql.connector.write.DataWriterFactory =
+                  new TypedLakeWriterFactory(path, tbl.tableSchema,
+                    tbl.partCols, sf, mrpf)
+                override def commit(
+                    messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+                  val entries = messages.collect {
+                    case WeatherLakeV2Sink.FilesWritten(ls) => ls
+                  }.flatten.toIndexedSeq
+                  if (truncateFirst)
+                    WeatherLakeV2Sink.publishCommit(path, "overwrite",
+                      snapshot = overwriteSnapshot,
+                      supersedes = overwriteSnapshot, lines = entries,
+                      payload = Some(TypedLake.Payload))
+                  else if (overwriteEq.isDefined || dynamicOverwrite)
+                    WeatherLakeV2Sink.commitPartitionOverwrite(path,
+                      overwriteSnapshot, entries, overwriteEq,
+                      dynamicOverwrite, payload = Some(TypedLake.Payload))
+                  else WeatherLakeV2Sink.writeManifest(path, jobId, entries,
+                    payload = Some(TypedLake.Payload))
+                }
+                override def abort(
+                    messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = ()
+              }
+          }
+      }
+    }
+  }
+
+  class TypedLakeWriterFactory(path: String, schema: StructType,
+      partCols: Seq[String], statsFields: Seq[String],
+      maxRecordsPerFile: Long)
+      extends org.apache.spark.sql.connector.write.DataWriterFactory {
+    override def createWriter(partitionId: Int, taskId: Long):
+        org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+      new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+        private val w = new TypedLake.TypedTaskWriter(path, "b", schema,
+          partCols, statsFields, maxRecordsPerFile)
+        override def write(row: InternalRow): Unit = w.write(row)
+        override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage =
+          WeatherLakeV2Sink.FilesWritten(w.closeAll())
+        override def abort(): Unit = w.abortAll()
+        override def close(): Unit = ()
+      }
+  }
+
   /** Scan with the two standard pushdowns. Column pruning reaches the
     * reader (a projected read materializes only the requested columns);
     * partition-equality filters prune the committed FILE LIST driver-side
@@ -524,6 +764,10 @@ object LakeCatalog {
       options: CaseInsensitiveStringMap)
       extends ScanBuilder with SupportsPushDownRequiredColumns
       with SupportsPushDownFilters {
+    // a classic-marker registration pointed (via LOCATION adoption) at a
+    // typed lake would scan Parquet bytes as text — loud, not garbage
+    WeatherLakeV2Sink.requirePayload(path, "json",
+      "the classic lake catalog table")
     private var required: StructType = TableSchema
     private var partEq: Map[String, String] = Map.empty
     private var pushed: Array[Filter] = Array.empty

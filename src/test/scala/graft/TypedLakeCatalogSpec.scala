@@ -1,0 +1,234 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.WeatherLakeV2Sink
+
+/** The typed lake behind the CATALOG face: CREATE TABLE with an arbitrary
+  * schema, INSERT/SELECT through the engine's own Parquet scan (column
+  * pruning + filter pushdown reach the data files), full SQL DML
+  * (MERGE incl. WHEN NOT MATCHED BY SOURCE, DELETE, UPDATE with
+  * multi-column SET), time travel, and the maintenance CALLs.
+  */
+class TypedLakeCatalogSpec extends SparkSpec {
+  private lazy val warehouse: String = {
+    val w = Files.createTempDirectory("typedcatwh").toString
+    spark.conf.set("spark.sql.catalog.tlake", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.tlake.warehouse", w)
+    w
+  }
+
+  private def createEvents(t: String): Unit = {
+    warehouse
+    spark.sql(s"""CREATE TABLE tlake.$t (
+      id BIGINT, name STRING, score DOUBLE, ts TIMESTAMP,
+      region STRING, day DATE)
+      USING lake PARTITIONED BY (region, day)
+      TBLPROPERTIES ('statsFields' = 'id,score')""")
+  }
+
+  private def seed(t: String, n: Int): Unit =
+    spark.sql(s"""INSERT INTO tlake.$t
+      SELECT id, concat('n-', id) AS name, id * 1.5 AS score,
+        timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id) AS ts,
+        concat('r', id % 3) AS region,
+        date_add(date'2024-01-01', CAST(id % 2 AS INT)) AS day
+      FROM range($n)""")
+
+  test("CREATE a typed table, INSERT, SELECT: every typed column round-" +
+      "trips, files are Parquet, stats ride the manifest, and the classic " +
+      "shape still creates classic tables") {
+    createEvents("t1")
+    seed("t1", 30)
+    val back = spark.table("tlake.t1")
+    assert(back.schema.fieldNames.toSeq ==
+      Seq("id", "name", "score", "ts", "region", "day"))
+    assert(back.count() == 30)
+    val r7 = back.filter(col("id") === 7).collect().head
+    assert(r7.getString(1) == "n-7" && r7.getDouble(2) == 10.5)
+    assert(r7.getTimestamp(3).toInstant.toString == "2024-01-01T00:00:07Z")
+    assert(r7.getString(4) == "r1" &&
+      r7.getDate(5) == java.sql.Date.valueOf("2024-01-02"))
+    val p = s"$warehouse/t1"
+    assert(WeatherLakeV2Sink.payloadFormat(p) == "parquet")
+    assert(WeatherLakeV2Sink.committedFiles(p).forall(f =>
+      f.endsWith(".parquet") && f.contains("region=") && f.contains("day=")))
+    assert(WeatherLakeV2Sink.committedEntryLines(p).forall(l =>
+      WeatherLakeV2Sink.lineStats(l).contains("id")))
+    // aggregate over typed columns, no JSON parsing anywhere
+    val agg = spark.sql(
+      "SELECT region, sum(score) AS s FROM tlake.t1 GROUP BY region")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(agg.keySet == Set("r0", "r1", "r2"))
+    // classic shape still routes to the classic table
+    spark.sql("""CREATE TABLE tlake.classic1
+      (city STRING, ds STRING, hour STRING, value STRING) USING lake""")
+    spark.sql("""INSERT INTO tlake.classic1
+      VALUES ('a', '2024-01-01', '00', '{"k":1}')""")
+    assert(WeatherLakeV2Sink.payloadFormat(s"$warehouse/classic1") == "json")
+  }
+
+  test("column pruning and partition+data filter pushdown reach the " +
+      "Parquet scan; partition filters prune at the file-index level") {
+    createEvents("t2")
+    seed("t2", 30)
+    val q = spark.sql(
+      "SELECT name FROM tlake.t2 WHERE region = 'r1' AND id > 10")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("IsNotNull(id)"),
+      plan)
+    assert(plan.contains("GreaterThan(id,10)"), plan)
+    // read schema pruned to the referenced data columns only
+    assert(plan.contains("ReadSchema") && !plan.contains("score"), plan)
+    assert(q.collect().map(_.getString(0)).toSet ==
+      (11 until 30).filter(_ % 3 == 1).map(i => s"n-$i").toSet)
+    // partition filter prunes partitions (no r0/r2 files scanned): the
+    // scan description lists the partition filters it planned with
+    assert(plan.contains("region"), plan)
+  }
+
+  test("typed MERGE INTO: conditional matched DELETE + UPDATE SET *, " +
+      "guarded INSERT (real SQL three-valued semantics, no negated-guard " +
+      "contract), and WHEN NOT MATCHED BY SOURCE THEN DELETE") {
+    createEvents("t3")
+    seed("t3", 20)
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW t3_cdc AS
+      SELECT id, concat('upd-', id) AS name, id * 10.0 AS score,
+        timestamp'2024-02-01 00:00:00' AS ts,
+        concat('r', id % 3) AS region,
+        date_add(date'2024-01-01', CAST(id % 2 AS INT)) AS day,
+        CASE WHEN id < 3 THEN 'd' ELSE 'u' END AS op
+      FROM range(25) WHERE id < 5 OR id >= 20""")
+    val st = spark.sql("""MERGE INTO tlake.t3 t USING t3_cdc s
+      ON t.id = s.id AND t.region = s.region AND t.day = s.day
+      WHEN MATCHED AND s.op = 'd' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED AND s.op != 'd' THEN INSERT *""").collect().head
+    assert(st.getInt(0) > 0)
+    val m = spark.table("tlake.t3").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!m.contains(0L) && !m.contains(2L)) // deleted
+    assert(m(3L) == "upd-3" && m(4L) == "upd-4") // updated
+    assert(m(22L) == "upd-22" && m.size == 20 - 3 + 5)
+    assert(m(10L) == "n-10") // untouched
+    // full-sync: WHEN NOT MATCHED BY SOURCE THEN DELETE with a condition
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW t3_sync AS
+      SELECT id, concat('s-', id) AS name, 0.0 AS score,
+        timestamp'2024-03-01 00:00:00' AS ts, concat('r', id % 3) AS region,
+        date_add(date'2024-01-01', CAST(id % 2 AS INT)) AS day
+      FROM range(5)""")
+    spark.sql("""MERGE INTO tlake.t3 t USING t3_sync s
+      ON t.id = s.id AND t.region = s.region AND t.day = s.day
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *
+      WHEN NOT MATCHED BY SOURCE AND t.id < 100 THEN DELETE""")
+    val after = spark.table("tlake.t3").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after.keySet == Set(1L, 3L, 4L, 0L, 2L)
+      .filter(_ < 5), after.keySet.toSeq.sorted.mkString(","))
+    assert(after(1L) == "s-1" && after(0L) == "s-0")
+  }
+
+  test("typed DELETE and multi-column UPDATE through SQL, with partition-" +
+      "equality prune derived from the typed WHERE clause") {
+    createEvents("t4")
+    seed("t4", 24)
+    val del = spark.sql(
+      "DELETE FROM tlake.t4 WHERE region = 'r2' AND id % 2 = 0")
+      .collect().head
+    assert(del.getLong(2) == 4, del) // ids 2,8,14,20
+    assert(spark.table("tlake.t4").count() == 20)
+    val upd = spark.sql("""UPDATE tlake.t4
+      SET score = score * 100, name = concat(name, '!')
+      WHERE day = date'2024-01-01' AND id >= 10""").collect().head
+    assert(upd.getLong(2) == 5, upd) // even ids >= 10 minus deleted r2 evens
+    val m = spark.table("tlake.t4").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(m(12L) == ("n-12!", 1800.0) && m(10L) == ("n-10!", 1500.0))
+    assert(m(11L) == ("n-11", 16.5))
+    // SET on an unknown column is loud
+    val e = intercept[Exception](spark.sql(
+      "UPDATE tlake.t4 SET nope = 1 WHERE id = 0"))
+    assert(e.getMessage.contains("unknown column"), e.getMessage)
+  }
+
+  test("INSERT OVERWRITE (full and PARTITION-scoped) and VERSION AS OF " +
+      "time travel on a typed table") {
+    createEvents("t5")
+    seed("t5", 12)
+    // full overwrite supersedes the snapshot in one manifest
+    spark.sql("""INSERT OVERWRITE tlake.t5
+      SELECT id, concat('ow-', id) AS name, 1.0 AS score,
+        timestamp'2024-05-01 00:00:00' AS ts, 'r0' AS region,
+        date'2024-01-01' AS day
+      FROM range(4)""")
+    assert(spark.table("tlake.t5").count() == 4)
+    assert(spark.table("tlake.t5").collect()
+      .forall(_.getString(1).startsWith("ow-")))
+    // version 0 still reads the seed through the pinned snapshot
+    assert(spark.sql("SELECT * FROM tlake.t5 VERSION AS OF 0").count() == 12)
+    // partition-scoped overwrite replaces ONE region, keeps the rest
+    spark.sql("""INSERT OVERWRITE tlake.t5
+      PARTITION (region = 'r0', day = date'2024-01-01')
+      SELECT id + 100, concat('rw-', id) AS name, 2.0 AS score,
+        timestamp'2024-06-01 00:00:00' AS ts
+      FROM range(2)""")
+    val names = spark.table("tlake.t5").collect().map(_.getString(1)).toSet
+    assert(names == Set("rw-0", "rw-1"))
+  }
+
+  test("maintenance CALLs on a typed table: checkpoint preserves the " +
+      "payload declaration, vacuum reclaims, history and detail report; " +
+      "ALTER cannot touch schema/partitioning properties") {
+    createEvents("t6")
+    seed("t6", 6)
+    seed("t6", 6) // second commit (different manifestId via queryId)
+    spark.sql("""INSERT INTO tlake.t6
+      SELECT id + 50, 'x' AS name, 0.0 AS score,
+        timestamp'2024-01-01 00:00:00' AS ts, 'r0' AS region,
+        date'2024-01-01' AS day FROM range(3)""")
+    val hist = spark.sql("CALL tlake.system.history('t6')").collect()
+    assert(hist.length >= 2)
+    val collapsed = spark.sql("CALL tlake.system.checkpoint('t6')")
+      .collect().head.getInt(0)
+    assert(collapsed >= 2)
+    assert(WeatherLakeV2Sink.payloadFormat(s"$warehouse/t6") == "parquet")
+    // a pure checkpoint re-lists every data file (all stay live), so
+    // vacuum reclaims the superseded MANIFESTS, not data — the history
+    // collapses to one manifest and the table is intact
+    spark.sql("CALL tlake.system.vacuum('t6', min_age_ms => 0, force => true)")
+    assert(WeatherLakeV2Sink.manifestNames(s"$warehouse/t6").size == 1)
+    assert(spark.table("tlake.t6").count() == 15)
+    val detail = spark.sql("CALL tlake.system.detail('t6')").collect().head
+    assert(detail.getInt(1) > 0 && detail.getInt(4) == 1)
+    val e = intercept[Exception](spark.sql(
+      "ALTER TABLE tlake.t6 SET TBLPROPERTIES ('schemaJson' = '{}')"))
+    assert(e.getMessage.contains("immutable"), e.getMessage)
+    // property ALTER still works and the marker stays typed (format 2)
+    spark.sql("ALTER TABLE tlake.t6 SET TBLPROPERTIES ('statsFields' = 'id')")
+    assert(spark.table("tlake.t6").schema.fieldNames.length == 6)
+  }
+
+  test("an empty typed table SELECTs as zero rows with the declared " +
+      "schema, and a typed table refuses the classic DML payload-column " +
+      "contract errors cleanly") {
+    warehouse
+    spark.sql("""CREATE TABLE tlake.t7 (a INT, b STRING)
+      USING lake""")
+    val empty = spark.table("tlake.t7")
+    assert(empty.schema.fieldNames.toSeq == Seq("a", "b"))
+    assert(empty.count() == 0)
+    spark.sql("INSERT INTO tlake.t7 VALUES (1, 'x'), (2, 'y')")
+    assert(spark.table("tlake.t7").count() == 2)
+    // unpartitioned typed table: files land at the root
+    assert(WeatherLakeV2Sink.committedFiles(s"$warehouse/t7")
+      .forall(_.endsWith(".parquet")))
+    // changeLog property is refused at CREATE for typed tables
+    val e = intercept[Exception](spark.sql(
+      """CREATE TABLE tlake.t8 (a INT, b STRING) USING lake
+        TBLPROPERTIES ('changeLog' = 'true')"""))
+    assert(e.getMessage.contains("changeLog"), e.getMessage)
+  }
+}
