@@ -6219,6 +6219,41 @@ object SparkEntry {
           WHEN NOT MATCHED THEN INSERT *
           WHEN NOT MATCHED BY SOURCE THEN DELETE""")
         s.sql(s"SELECT doc_id, val FROM graftlake.$t")
+      }),
+
+    QueryDef("q109_typed_ctas",
+      "Atomic CTAS/RTAS via StagedTableCatalog (the round-11 verdict's " +
+        "#2): CREATE OR REPLACE TABLE … AS SELECT runs as ONE statement — " +
+        "the name is claimed by a staged marker (invisible to every " +
+        "existence check), the SELECT's files are fully written and " +
+        "committed BEFORE the marker un-stages in one atomic overwrite-" +
+        "rename, so no reader ever observes the created-but-empty state " +
+        "of CREATE-then-INSERT; a failed query aborts to byte-identical " +
+        "prior state (spec-pinned, LakeCtasSpec). On re-run the statement " +
+        "is an RTAS: the buffered write publishes one overwrite manifest " +
+        "superseding the stage-time snapshot, then the marker swaps. The " +
+        "oracle replays the derivation (a per-source top-3 by doc_id).",
+      Some("""SELECT doc_id, CAST(doc_id * 7 AS BIGINT) AS val
+        |FROM (SELECT doc_id,
+        |        row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |      FROM documents)
+        |WHERE rn <= 3""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val sig = graft.similarity.ModelExport.corpusSig(docs, "doc_id")
+        s.conf.set("spark.sql.catalog.graftlake", "graft.sources.LakeCatalog")
+        s.conf.set("spark.sql.catalog.graftlake.warehouse",
+          "/tmp/graft_catalog_wh")
+        docs.createOrReplaceTempView("typed_ctas_src")
+        val t = s"typed_ctas_$sig"
+        s.sql(s"""CREATE OR REPLACE TABLE graftlake.$t
+          USING lake PARTITIONED BY (source) AS
+          SELECT doc_id, CAST(doc_id * 7 AS BIGINT) AS val, source
+          FROM (SELECT doc_id, source,
+                  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+                FROM typed_ctas_src)
+          WHERE rn <= 3""")
+        s.sql(s"SELECT doc_id, val FROM graftlake.$t")
       })
   )
 

@@ -7,7 +7,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, TableInfo}
+import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, NamespaceChange, ProcedureCatalog, StagedTable, StagingTableCatalog, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, TableInfo}
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, LocalScan, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
@@ -69,7 +69,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * ops — the scale story is the manifest layer's, unchanged.
   */
 class LakeCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog with StagingTableCatalog {
   import LakeCatalog._
 
   private var catalogName: String = _
@@ -109,9 +109,15 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
     */
   private def markerOf(dir: String) = new Path(dir, MarkerFile)
 
+  /** A STAGED marker (in-flight CTAS/RTAS) is not a table: existence is
+    * the un-staged marker. The staged claim still reserves the name — a
+    * concurrent CREATE of it fails on the marker rename, exactly the
+    * manifest discipline.
+    */
   private def regDirOf(ident: Identifier): Option[String] = {
     val d = defaultDir(ident)
-    if (fs.exists(markerOf(d))) Some(d) else None
+    if (fs.exists(markerOf(d)) && !markerStaged(fs.getConf, d)) Some(d)
+    else None
   }
 
   override def tableExists(ident: Identifier): Boolean =
@@ -121,7 +127,8 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
     val dir = new Path((warehouse +: namespace.map(checkPart)).mkString("/"))
     if (!fs.exists(dir)) return Array.empty
     fs.listStatus(dir).filter(_.isDirectory)
-      .filter(st => fs.exists(new Path(st.getPath, MarkerFile)))
+      .filter(st => fs.exists(new Path(st.getPath, MarkerFile)) &&
+        !markerStaged(fs.getConf, st.getPath.toString))
       .map(st => Identifier.of(namespace, st.getPath.getName))
   }
 
@@ -179,37 +186,27 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def createTable(ident: Identifier, info: TableInfo): Table = {
-    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    val classic = isClassicSchema(info.schema())
     val regDir = defaultDir(ident)
-    val location = Option(info.properties().get(TableCatalog.PROP_LOCATION))
-      .map(_.stripSuffix("/")).getOrElse(regDir)
-    val props = new util.HashMap[String, String](info.properties())
-    props.put(TableCatalog.PROP_LOCATION, location)
-    if (classic) {
-      validatePartitioning(info.partitions())
-      // the marker always lives in the REGISTRATION dir — an external
-      // table's data directory stays exactly as the V2 sink wrote it
-      // (adoption never mutates the adopted lake)
-      writeMarker(fs.getConf, regDir, props)
-      new LakeCatalogTable(fullName(ident), location, props)
-    } else {
-      // TYPED table: arbitrary user schema, Parquet payload, partition
-      // columns = the declared identity transforms
-      val partCols = identityPartCols(info.partitions())
-      TypedLake.validateTyped(info.schema(), partCols)
-      require(!java.lang.Boolean.parseBoolean(
-          Option(props.get("changeLog")).getOrElse("false")),
-        "LakeCatalog: changeLog is not supported on typed lake tables " +
-          "yet — drop the property or use a classic (city,ds,hour,value) " +
-          "table for CDC consumers")
-      props.put(SchemaProp, info.schema().json)
-      props.put(PartitionColsProp, partCols.mkString(","))
-      writeMarker(fs.getConf, regDir, props,
-        formatVersion = TypedMarkerFormatVersion)
-      new TypedLakeCatalogTable(fullName(ident), location, info.schema(),
-        partCols, props)
-    }
+    reclaimCrashedStage(regDir)
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    // a MANAGED create over a directory that already holds lake data
+    // (a renamed table's original directory — still owned by its
+    // re-pointed registration) would silently ADOPT another table's live
+    // files; external adoption must be explicit (CREATE … LOCATION)
+    if (!info.properties().containsKey(TableCatalog.PROP_LOCATION) &&
+        fs.exists(new Path(regDir, WeatherLakeV2Sink.ManifestDir)))
+      throw new IllegalStateException(
+        s"LakeCatalog: $regDir already holds lake data (_manifests) " +
+          "owned by no registration here — adopting it implicitly would " +
+          "capture another table's files; use CREATE TABLE … LOCATION " +
+          s"'$regDir' to adopt it explicitly, or delete the directory")
+    val (props, table) =
+      prepareTable(ident, info.schema(), info.partitions(), info.properties())
+    // the marker always lives in the REGISTRATION dir — an external
+    // table's data directory stays exactly as the V2 sink wrote it
+    // (adoption never mutates the adopted lake)
+    writeMarker(fs.getConf, regDir, props)
+    table
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
@@ -374,6 +371,111 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
     new LakeProcedure(this, ident.name())
   }
 
+  // ---- StagingTableCatalog: atomic CTAS / RTAS -----------------------
+
+  /** Atomic `CREATE TABLE … AS SELECT`. The name is CLAIMED up front by a
+    * marker carrying `staged: true` (create-only rename — a concurrent
+    * CREATE/CTAS of the same name loses instantly), which existence
+    * checks treat as NO table; the SELECT's write publishes its manifest
+    * into the claimed directory (data invisible: no un-staged marker);
+    * `commitStagedChanges` rewrites the marker WITHOUT the flag through
+    * the atomic overwrite-rename — the table appears in one step with its
+    * data already committed, and a reader can never observe the created-
+    * but-empty intermediate state of a two-statement CREATE+INSERT.
+    * Abort (query failure) deletes the claimed directory. A crash leaves
+    * a staged marker: invisible to readers, reclaimed by the next
+    * CREATE/CTAS of the name.
+    */
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    val regDir = defaultDir(ident)
+    reclaimCrashedStage(regDir)
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val (props, table) = prepareTable(ident, schema, partitions, properties)
+    // claim the name NOW: create-only rename, one winner
+    writeMarker(fs.getConf, regDir, props, staged = true)
+    new StagedLakeTable(table, fs.getConf, regDir, props,
+      replaceMode = false)
+  }
+
+  /** Atomic `REPLACE TABLE … AS SELECT`: the SELECT's write runs as a
+    * truncating overwrite (ONE manifest superseding the plan-time
+    * snapshot — a concurrent commit makes it lose loudly at publish), and
+    * `commitStagedChanges` swaps the marker to the new schema/properties
+    * atomically. The payload KIND may not change (classic JSON ↔ typed
+    * Parquet): superseded history keeps its old payload and every reader
+    * routes by one table-level format — migrate across kinds with a new
+    * table + INSERT. Pre-replace versions remain pinned-readable but are
+    * read through the replace-time schema (the documented overwrite/CDF
+    * horizon class).
+    */
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    val dir = regDirOf(ident).getOrElse(throw new NoSuchTableException(ident))
+    val old = readMarker(fs.getConf, dir)
+    val oldTyped = old.containsKey(SchemaProp)
+    val newTyped = !isClassicSchema(schema)
+    if (oldTyped != newTyped) throw new IllegalArgumentException(
+      s"LakeCatalog: REPLACE cannot change the payload kind of " +
+        s"'${fullName(ident)}' (" +
+        s"${if (oldTyped) "typed Parquet" else "classic JSON-line"} → " +
+        s"${if (newTyped) "typed Parquet" else "classic JSON-line"}) — " +
+        "superseded history keeps its payload and readers route by one " +
+        "table-level format; create a new table and INSERT instead")
+    val location = old.getOrDefault(TableCatalog.PROP_LOCATION, dir)
+    val merged = new util.HashMap[String, String](properties)
+    merged.put(TableCatalog.PROP_LOCATION, location)
+    val (props, table) = prepareTable(ident, schema, partitions, merged)
+    new StagedLakeTable(table, fs.getConf, dir, props,
+      replaceMode = true)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable =
+    if (tableExists(ident)) stageReplace(ident, schema, partitions, properties)
+    else stageCreate(ident, schema, partitions, properties)
+
+  /** A staged marker with no live publisher is a crashed CTAS: invisible
+    * to every reader, safe to reclaim (the flag is OUR claim, never user
+    * data).
+    */
+  private def reclaimCrashedStage(regDir: String): Unit =
+    if (fs.exists(markerOf(regDir)) && markerStaged(fs.getConf, regDir))
+      fs.delete(new Path(regDir), true)
+
+  /** The shared CREATE-shape validation of [[createTable]]/[[stageCreate]]:
+    * classic vs typed routing, property preparation, and the table face
+    * (not yet registered).
+    */
+  private def prepareTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]):
+      (util.HashMap[String, String], Table) = {
+    val regDir = defaultDir(ident)
+    val location = Option(properties.get(TableCatalog.PROP_LOCATION))
+      .map(_.stripSuffix("/")).getOrElse(regDir)
+    val props = new util.HashMap[String, String](properties)
+    props.put(TableCatalog.PROP_LOCATION, location)
+    if (isClassicSchema(schema)) {
+      validatePartitioning(partitions)
+      (props, new LakeCatalogTable(fullName(ident), location, props))
+    } else {
+      val partCols = identityPartCols(partitions)
+      TypedLake.validateTyped(schema, partCols)
+      require(!java.lang.Boolean.parseBoolean(
+          Option(props.get("changeLog")).getOrElse("false")),
+        "LakeCatalog: changeLog is not supported on typed lake tables " +
+          "yet — drop the property or use a classic (city,ds,hour,value) " +
+          "table for CDC consumers")
+      props.put(SchemaProp, schema.json)
+      props.put(PartitionColsProp, partCols.mkString(","))
+      (props, new TypedLakeCatalogTable(fullName(ident), location, schema,
+        partCols, props))
+    }
+  }
+
   /** Resolve a procedure's `table` argument ('t' or 'ns.t', within this
     * catalog) to the lake path.
     */
@@ -477,9 +579,21 @@ object LakeCatalog {
     props
   }
 
-  private[sources] def writeMarker(conf: Configuration, dir: String,
+  /** Whether the marker at `dir` is a STAGED claim (in-flight CTAS) —
+    * reserved name, not an existing table.
+    */
+  private[graft] def markerStaged(conf: Configuration, dir: String): Boolean = {
+    val fs = new Path(dir).getFileSystem(conf)
+    val in = fs.open(new Path(dir, MarkerFile))
+    val node =
+      try mapper.readTree(in)
+      finally in.close()
+    node.path("staged").asBoolean(false)
+  }
+
+  private[graft] def writeMarker(conf: Configuration, dir: String,
       props: util.Map[String, String], overwrite: Boolean = false,
-      formatVersion: Int = 0): Unit = {
+      formatVersion: Int = 0, staged: Boolean = false): Unit = {
     val fs = new Path(dir).getFileSystem(conf)
     if (!fs.exists(new Path(dir))) fs.mkdirs(new Path(dir))
     val root = mapper.createObjectNode()
@@ -488,6 +602,7 @@ object LakeCatalog {
       else if (props.containsKey(SchemaProp)) TypedMarkerFormatVersion
       else MarkerFormatVersion
     root.put("format", v)
+    if (staged) root.put("staged", true)
     val p = root.putObject("properties")
     props.forEach((k, v) => p.put(k, v))
     // write-temp-then-rename, the manifest discipline: the marker appears
@@ -732,6 +847,104 @@ object LakeCatalog {
           }
       }
     }
+  }
+
+  /** The staged face of an in-flight CTAS/RTAS (see
+    * [[LakeCatalog.stageCreate]]/[[LakeCatalog.stageReplace]]).
+    *
+    * CREATE mode: the inner table's ordinary write publishes its manifest
+    * into the claimed (staged-marker) directory — invisible until
+    * `commitStagedChanges` un-stages the marker in one atomic
+    * overwrite-rename. Abort deletes the claimed directory.
+    *
+    * REPLACE mode: the write's task-committed entry lines are BUFFERED
+    * (no manifest at job commit); `commitStagedChanges` publishes ONE
+    * overwrite manifest superseding the stage-time snapshot (validated —
+    * a concurrent commit makes the replace lose loudly) and then swaps
+    * the marker, so an aborted RTAS leaves the table byte-identical
+    * (the write's files stay unreferenced orphans).
+    */
+  class StagedLakeTable(inner: Table, conf: Configuration, regDir: String,
+      props: util.HashMap[String, String], replaceMode: Boolean)
+      extends StagedTable with SupportsWrite {
+    private val path: String =
+      props.getOrDefault(TableCatalog.PROP_LOCATION, regDir)
+    private val replaceSnapshot: Seq[String] =
+      if (replaceMode) WeatherLakeV2Sink.liveManifests(path) else Seq.empty
+    @volatile private var buffered: Option[Seq[String]] = None
+    private def payload: Option[String] = inner match {
+      case _: TypedLakeCatalogTable => Some(TypedLake.Payload)
+      case _ => None
+    }
+
+    override def name(): String = inner.name()
+    override def schema(): StructType = inner.schema()
+    override def partitioning(): Array[Transform] = inner.partitioning()
+    override def properties(): util.Map[String, String] = inner.properties()
+    override def capabilities(): util.Set[TableCapability] =
+      inner.capabilities()
+
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+      if (!replaceMode) inner.asInstanceOf[SupportsWrite].newWriteBuilder(info)
+      else new WriteBuilder
+          with org.apache.spark.sql.connector.write.SupportsTruncate
+          with org.apache.spark.sql.connector.write.SupportsOverwrite {
+        // RTAS plans its write as truncate/overwrite-true of the staged
+        // table; the REPLACE semantics (supersede the stage-time
+        // snapshot) are published by commitStagedChanges, so the builder
+        // only needs to ACCEPT the verb — anything narrower than the
+        // whole table is not an RTAS plan
+        override def truncate(): WriteBuilder = this
+        override def overwrite(filters: Array[Filter]): WriteBuilder = {
+          import org.apache.spark.sql.sources.AlwaysTrue
+          require(filters.forall(_.isInstanceOf[AlwaysTrue]),
+            "LakeCatalog: a staged REPLACE writes the whole table")
+          this
+        }
+        override def build(): org.apache.spark.sql.connector.write.Write =
+          new org.apache.spark.sql.connector.write.Write {
+            private val innerBatch = inner.asInstanceOf[SupportsWrite]
+              .newWriteBuilder(info).build().toBatch
+            override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+              new org.apache.spark.sql.connector.write.BatchWrite {
+                override def createBatchWriterFactory(
+                    pi: org.apache.spark.sql.connector.write.PhysicalWriteInfo):
+                    org.apache.spark.sql.connector.write.DataWriterFactory =
+                  innerBatch.createBatchWriterFactory(pi)
+                override def commit(
+                    messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
+                  buffered = Some(messages.collect {
+                    case WeatherLakeV2Sink.FilesWritten(ls) => ls
+                  }.flatten.toIndexedSeq)
+                override def abort(
+                    messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = ()
+              }
+          }
+      }
+
+    override def commitStagedChanges(): Unit = {
+      if (replaceMode) {
+        val entries = buffered.getOrElse(throw new IllegalStateException(
+          "LakeCatalog: REPLACE … AS SELECT committed with no write — " +
+            "the staged query never ran"))
+        WeatherLakeV2Sink.publishCommit(path, "overwrite",
+          snapshot = replaceSnapshot, supersedes = replaceSnapshot,
+          lines = entries, payload = payload)
+      }
+      writeMarker(conf, regDir, props, overwrite = replaceMode ||
+        fs(regDir).exists(new Path(regDir, MarkerFile)))
+    }
+
+    override def abortStagedChanges(): Unit =
+      if (!replaceMode) {
+        // the claim is OURS (staged flag): reclaim the directory
+        val f = fs(regDir)
+        if (f.exists(new Path(regDir, MarkerFile)) &&
+            markerStaged(conf, regDir))
+          f.delete(new Path(regDir), true)
+      } // replace: nothing published — the table is untouched
+
+    private def fs(dir: String) = new Path(dir).getFileSystem(conf)
   }
 
   class TypedLakeWriterFactory(path: String, schema: StructType,
