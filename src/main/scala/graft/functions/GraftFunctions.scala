@@ -42,6 +42,14 @@ object GraftFunctions {
         name, builder, "scala_udf")
 
   private def reg(name: String, clazz: Class[_], arity: Int, usage: String)(
+      build: Seq[Expression] => Expression): Registration =
+    regRange(name, clazz, arity, arity, usage)(build)
+
+  /** A registration accepting an ARITY RANGE (graft_zorder's 2-4 key
+    * columns); the builder dispatches on the actual count.
+    */
+  private def regRange(name: String, clazz: Class[_], minArity: Int,
+      maxArity: Int, usage: String)(
       build: Seq[Expression] => Expression): Registration = (
     FunctionIdentifier(name),
     // 5-arg ExpressionInfo: carries the usage string into
@@ -49,8 +57,11 @@ object GraftFunctions {
     // vocabulary validation (which buys nothing here)
     new ExpressionInfo(clazz.getCanonicalName, null, name, usage, ""),
     (exprs: Seq[Expression]) => {
-      if (exprs.length != arity) throw new IllegalArgumentException(
-        s"$name expects $arity argument(s), got ${exprs.length}")
+      if (exprs.length < minArity || exprs.length > maxArity)
+        throw new IllegalArgumentException(
+          s"$name expects " + (if (minArity == maxArity) s"$minArity"
+            else s"$minArity to $maxArity") +
+            s" argument(s), got ${exprs.length}")
       build(exprs)
     })
 
@@ -98,8 +109,8 @@ object GraftFunctions {
     reg(IntersectCardSorted.FnName, classOf[IntersectCardSorted], 2,
       "_FUNC_(a, b) - intersection cardinality of two sorted arrays")(
       IntersectCardSorted.builder),
-    reg(ZOrderEncode.FnName, classOf[ZOrderEncode], 2,
-      "_FUNC_(a, b) - bit-interleaved Z-order key of two ints")(
+    regRange(ZOrderEncode.FnName, classOf[ZOrderEncode], 2, 4,
+      "_FUNC_(a, b[, c[, d]]) - bit-interleaved Z-order key of 2-4 ints")(
       ZOrderEncode.builder),
     reg(LeUInt.FnName, classOf[LeUInt], 3,
       "_FUNC_(bin, offset, len) - little-endian unsigned int from bytes")(

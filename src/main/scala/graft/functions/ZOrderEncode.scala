@@ -57,6 +57,66 @@ case class ZOrderEncode(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** The k=3 interleave (round-robin bit placement `i*3 + j`, [[ZOrderEncode]]'s
+  * generalization): `OPTIMIZE ZORDER BY (a, b, c)` clusters all three
+  * dimensions — bit i of each key lands adjacent, so the sorted-rolled
+  * files get a tight bounding box in EVERY dimension.
+  */
+case class ZOrderEncode3(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "zorder_encode3"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType == LongType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName(bigint, bigint, bigint) got (" +
+        children.map(_.dataType.simpleString).mkString(", ") + ")")
+
+  override def nullSafeEval(x: Any, y: Any, z: Any): Any =
+    ZOrderEncode.compute3(x.asInstanceOf[Long], y.asInstanceOf[Long],
+      z.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y, z) =>
+      s"${ev.value} = graft.functions.ZOrderEncode.compute3($x, $y, $z);")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+/** The k=4 interleave (15 bits per key — 60 interleaved bits keep the
+  * z-value inside a non-negative BIGINT).
+  */
+case class ZOrderEncode4(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "zorder_encode4"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType == LongType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName(bigint x4) got (" +
+        children.map(_.dataType.simpleString).mkString(", ") + ")")
+
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    ZOrderEncode.compute4(a.asInstanceOf[Long], b.asInstanceOf[Long],
+      c.asInstanceOf[Long], d.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c, d) =>
+      s"${ev.value} = graft.functions.ZOrderEncode.compute4($a, $b, $c, $d);")
+
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression, d: Expression): Expression =
+    copy(first = a, second = b, third = c, fourth = d)
+}
+
 object ZOrderEncode {
   /** Bits interleaved per key: 16 each → 32-bit z-values, enough for keys
     * pre-bucketed to 65k ranks per dimension (at 100 TB you rank/bucket
@@ -64,6 +124,11 @@ object ZOrderEncode {
     * file count stop improving skipping).
     */
   val Bits = 16
+
+  /** Bits per key at k dimensions: 16 up to k=3 (48 interleaved bits),
+    * 15 at k=4 (60 bits) — the z-value stays a non-negative BIGINT.
+    */
+  def bitsFor(k: Int): Int = if (k <= 3) Bits else 15
 
   def compute(x: Long, y: Long): Long = {
     var z = 0L
@@ -76,11 +141,48 @@ object ZOrderEncode {
     z
   }
 
+  def compute3(x: Long, y: Long, z: Long): Long = {
+    var out = 0L
+    var i = 0
+    while (i < Bits) {
+      out |= ((x >> i) & 1L) << (3 * i)
+      out |= ((y >> i) & 1L) << (3 * i + 1)
+      out |= ((z >> i) & 1L) << (3 * i + 2)
+      i += 1
+    }
+    out
+  }
+
+  def compute4(a: Long, b: Long, c: Long, d: Long): Long = {
+    var out = 0L
+    var i = 0
+    while (i < 15) {
+      out |= ((a >> i) & 1L) << (4 * i)
+      out |= ((b >> i) & 1L) << (4 * i + 1)
+      out |= ((c >> i) & 1L) << (4 * i + 2)
+      out |= ((d >> i) & 1L) << (4 * i + 3)
+      i += 1
+    }
+    out
+  }
+
   val FnName = "graft_zorder"
 
-  /** The one builder both registration routes share. */
-  val builder: Seq[Expression] => Expression =
-    exprs => ZOrderEncode(castLong(exprs.head), castLong(exprs(1)))
+  /** The one builder both registration routes share: 2–4 key columns,
+    * round-robin bit interleave (k=2 is bit-identical to the original
+    * two-field form — committed plans and oracle SQL are unchanged).
+    */
+  val builder: Seq[Expression] => Expression = exprs => exprs.size match {
+    case 2 => ZOrderEncode(castLong(exprs.head), castLong(exprs(1)))
+    case 3 => ZOrderEncode3(castLong(exprs.head), castLong(exprs(1)),
+      castLong(exprs(2)))
+    case 4 => ZOrderEncode4(castLong(exprs.head), castLong(exprs(1)),
+      castLong(exprs(2)), castLong(exprs(3)))
+    case n => throw new IllegalArgumentException(
+      s"$FnName takes 2 to 4 key columns, got $n — beyond 4 dimensions " +
+        "the interleave stops clustering anything (3-4 bits per key per " +
+        "byte); pick the query-critical dimensions")
+  }
 
   /** Idempotently register for SQL-by-name use. */
   def register(spark: SparkSession): Unit =
@@ -94,13 +196,25 @@ object ZOrderEncode {
     call_function(FnName, x, y)
   }
 
+  def apply(spark: SparkSession, cols: Seq[Column]): Column = {
+    register(spark)
+    call_function(FnName, cols: _*)
+  }
+
   /** ANSI-SQL rendering of the same interleave — the 32 shift/mask terms
     * unrolled and OR-chained, bit-identical to [[compute]] (DuckDB `&`,
     * `|`, `<<`, `>>` are BIGINT ops).
     */
-  def sql(x: String, y: String): String =
-    (0 until Bits).flatMap { i =>
-      Seq(s"((($x >> $i) & 1) << ${2 * i})",
-        s"((($y >> $i) & 1) << ${2 * i + 1})")
+  def sql(x: String, y: String): String = sqlK(Seq(x, y))
+
+  /** k-field ANSI rendering, bit-identical to the compute* twins. */
+  def sqlK(cols: Seq[String]): String = {
+    val k = cols.size
+    val bits = bitsFor(k)
+    (0 until bits).flatMap { i =>
+      cols.zipWithIndex.map { case (c, j) =>
+        s"((($c >> $i) & 1) << ${k * i + j})"
+      }
     }.mkString("(", " | ", ")")
+  }
 }

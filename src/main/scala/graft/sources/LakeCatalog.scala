@@ -479,11 +479,20 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
   /** Resolve a procedure's `table` argument ('t' or 'ns.t', within this
     * catalog) to the lake path.
     */
-  private[sources] def resolveTableArg(tableName: String): String = {
+  private[sources] def resolveTableArg(tableName: String): String =
+    resolveTableProps(tableName)._1
+
+  /** (location, marker properties) of a procedure's table argument — the
+    * properties carry the typed schema when present, so maintenance verbs
+    * can route to the right payload's implementation.
+    */
+  private[sources] def resolveTableProps(tableName: String):
+      (String, util.HashMap[String, String]) = {
     val parts = tableName.split('.')
     val ident = Identifier.of(parts.dropRight(1), parts.last)
     val dir = regDirOf(ident).getOrElse(throw new NoSuchTableException(ident))
-    readMarker(fs.getConf, dir).getOrDefault(TableCatalog.PROP_LOCATION, dir)
+    val props = readMarker(fs.getConf, dir)
+    (props.getOrDefault(TableCatalog.PROP_LOCATION, dir), props)
   }
 }
 
@@ -981,6 +990,21 @@ object LakeCatalog {
     // typed lake would scan Parquet bytes as text — loud, not garbage
     WeatherLakeV2Sink.requirePayload(path, "json",
       "the classic lake catalog table")
+    // the CDC feed has a DIFFERENT schema (change/commit columns) than
+    // the table the identifier names, and DSv2 pins a table() read to
+    // the table's own schema — silently emitting plain rows for a
+    // readChangeFeed request would be a wrong answer, so it is refused
+    // (batch AND streaming) with the working alternative in the message
+    if (java.lang.Boolean.parseBoolean(
+        Option(options.get("readChangeFeed")).getOrElse("false")))
+      throw new IllegalArgumentException(
+        "LakeCatalog: readChangeFeed is not available through table(...) " +
+          "reads — the change feed's schema (change, value, commit " +
+          "columns) differs from the table's; use the view face instead: " +
+          "CREATE TEMPORARY VIEW c USING " +
+          "graft.sources.WeatherLakeV2StreamSource OPTIONS (path " +
+          "'<location>', readChangeFeed 'true', startingVersion/" +
+          "startingAt ...)")
     private var required: StructType = TableSchema
     private var partEq: Map[String, String] = Map.empty
     private var pushed: Array[Filter] = Array.empty
@@ -1173,7 +1197,15 @@ object LakeCatalog {
 
       override def call(input: InternalRow): util.Iterator[Scan] = {
         val table = input.getUTF8String(0).toString
-        val path = catalog.resolveTableArg(table)
+        val (path, tprops) = catalog.resolveTableProps(table)
+        // typed tables route data-touching verbs to the Parquet twins
+        val typed: Option[(StructType, Seq[String])] =
+          Option(tprops.get(SchemaProp)).map { json =>
+            (DataType.fromJson(json).asInstanceOf[StructType],
+              Option(tprops.get(PartitionColsProp))
+                .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+                .getOrElse(Seq.empty))
+          }
         val spark = SparkSession.active
         val resultRows: Array[InternalRow] = procName match {
           case "vacuum" =>
@@ -1190,17 +1222,28 @@ object LakeCatalog {
             val statsFields = if (input.isNullAt(3)) Seq.empty[String]
               else input.getUTF8String(3).toString
                 .split(",").map(_.trim).filter(_.nonEmpty).toSeq
-            Array(InternalRow(WeatherLakeV2Sink.compact(spark, path,
-              targetBytes = input.getLong(1),
-              clusterExpr = clusterExpr.map(text =>
-                (_: org.apache.spark.sql.DataFrame) =>
-                  org.apache.spark.sql.functions.expr(text)),
-              statsFields = statsFields)))
+            val fn = clusterExpr.map(text =>
+              (_: org.apache.spark.sql.DataFrame) =>
+                org.apache.spark.sql.functions.expr(text))
+            Array(InternalRow(typed match {
+              case Some((schema, partCols)) =>
+                TypedLake.compactTyped(spark, path, schema, partCols,
+                  targetBytes = input.getLong(1), clusterExpr = fn,
+                  statsFields = statsFields)
+              case None =>
+                WeatherLakeV2Sink.compact(spark, path,
+                  targetBytes = input.getLong(1), clusterExpr = fn,
+                  statsFields = statsFields)
+            }))
           case "measure_stats" =>
             val fields = input.getUTF8String(1).toString
               .split(",").map(_.trim).filter(_.nonEmpty).toSeq
-            Array(InternalRow(
-              WeatherLakeV2Sink.measureStats(spark, path, fields)))
+            Array(InternalRow(typed match {
+              case Some((schema, _)) =>
+                TypedLake.measureStatsTyped(spark, path, schema, fields)
+              case None =>
+                WeatherLakeV2Sink.measureStats(spark, path, fields)
+            }))
           case "detail" =>
             // one row of table health — all O(committed files) driver
             // metadata (the same class as the manifest read itself)

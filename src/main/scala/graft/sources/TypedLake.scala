@@ -656,6 +656,57 @@ object TypedLake {
   // maintenance (typed)
   // -----------------------------------------------------------------
 
+  /** Typed stats backfill — [[WeatherLakeV2Sink.measureStats]]'s role
+    * (ANALYZE: stats live in manifest entry lines, so re-measuring is a
+    * metadata-only commit) with the measurement as ONE distributed
+    * aggregation over the typed columns: per-file min/max via
+    * `groupBy(input_file_name)`, numeric comparison domain decided by the
+    * column TYPE (not per-value parsing — the typed schema already knows).
+    */
+  def measureStatsTyped(spark: SparkSession, basePath: String,
+      schema: StructType, fields: Seq[String]): Int = {
+    import org.apache.spark.sql.functions.{max, min}
+    require(fields.nonEmpty,
+      "measureStatsTyped needs at least one column name to measure")
+    WeatherLakeV2Sink.requirePayload(basePath, Payload, "measureStatsTyped")
+    val names = schema.fieldNames.toSeq
+    fields.foreach { f =>
+      require(names.contains(f),
+        s"TypedLake: measure of unknown column '$f' (schema: " +
+          s"${names.mkString(", ")})")
+    }
+    val snapshot = WeatherLakeV2Sink.liveManifests(basePath)
+    val byManifest = WeatherLakeV2Sink.entryLinesByManifest(basePath, snapshot)
+    val lines = byManifest.flatMap(_._2)
+    if (lines.isEmpty) return 0
+    val files = lines.map(entryPath)
+    val numericOf = fields.map(f =>
+      f -> schema(f).dataType.isInstanceOf[NumericType]).toMap
+    val aggs = fields.flatMap(f => Seq(
+      min(col(f)).cast(StringType).as(s"__min_$f"),
+      max(col(f)).cast(StringType).as(s"__max_$f")))
+    val perFile = framedTyped(spark, basePath, schema, files)
+      .groupBy(col("__file")).agg(aggs.head, aggs.tail: _*)
+      .collect().map { r =>
+        val stats = fields.zipWithIndex.flatMap { case (f, i) =>
+          val mn = r.getString(1 + 2 * i)
+          val mx = r.getString(2 + 2 * i)
+          if (mn == null || mx == null) None
+          else Some(f -> FieldStats(mn, mx, numericOf(f)))
+        }.toMap
+        r.getString(0) -> stats
+      }.toMap // O(files x fields) driver metadata, the manifest-read class
+    val newLines = lines.map { l =>
+      val p = entryPath(l)
+      val merged = lineStats(l) ++ perFile.getOrElse(manifestJoinKey(p),
+        perFile.getOrElse(p, Map.empty))
+      if (merged.isEmpty) p else s"$p\t${statsToJson(merged)}"
+    }
+    WeatherLakeV2Sink.publishCommit(basePath, "measure", snapshot = snapshot,
+      supersedes = snapshot, lines = newLines, payload = Some(Payload))
+    files.size
+  }
+
   /** Typed small-file compaction — the classic [[WeatherLakeV2Sink
     * .compact]] candidacy rule (directories with >1 file under half the
     * byte target; `clusterExpr` widens candidacy and sorts-within for

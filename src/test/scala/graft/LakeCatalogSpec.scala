@@ -56,12 +56,19 @@ class LakeCatalogSpec extends SparkSpec {
     assert(listed.contains("t1"))
   }
 
-  test("a non-lake schema refuses loudly at CREATE TABLE") {
+  test("a non-classic schema creates a TYPED (Parquet-payload) table — " +
+      "the classic fixed-shape path is unchanged, and the typed-table " +
+      "shape rules still refuse loudly") {
     warehouse
-    val e = intercept[Exception] {
-      spark.sql("CREATE TABLE lakecat.bad (x INT, y STRING) USING lake")
-    }
-    assert(e.getMessage.contains("schema is fixed"))
+    // round 12 on: arbitrary schemas are the TYPED table face
+    spark.sql("CREATE TABLE lakecat.typed_ok (x INT, y STRING) USING lake")
+    assert(spark.table("lakecat.typed_ok").schema.fieldNames.toSeq ==
+      Seq("x", "y"))
+    // typed shape rules are still loud: partition cols must be a suffix
+    val e = intercept[Exception](spark.sql(
+      """CREATE TABLE lakecat.bad (x INT, y STRING) USING lake
+        PARTITIONED BY (x)"""))
+    assert(e.getMessage.contains("LAST columns"), e.getMessage)
   }
 
   test("partition-equality filters prune the planned FILE LIST; every " +
@@ -254,6 +261,75 @@ class LakeCatalogSpec extends SparkSpec {
     assert(WeatherLakeV2Sink.committedFiles(s"$warehouse/t9").nonEmpty)
   }
 
+  test("readStream.table honors the stream options through the " +
+      "CaseInsensitiveStringMap plumbing: startingAt='latest' skips the " +
+      "backlog, maxManifestsPerTrigger caps admission, and scan-prune " +
+      "options reach the file selection — the view-face contract, " +
+      "identifier-addressed") {
+    createTable("t20")
+    insert("t20", ("a", 1L, 10L)) // backlog commit, skipped by latest
+    val out = Files.createTempDirectory("lakecat_opt_out").toString
+    val cp = Files.createTempDirectory("lakecat_opt_cp").toString
+    def drain(): Unit = {
+      val q = spark.readStream
+        .option("startingAt", "latest")
+        .option("maxManifestsPerTrigger", "1")
+        .option("prunePartition", "city=a") // scan-prune: only city=a opens
+        .table("lakecat.t20")
+        .writeStream.format("parquet")
+        .option("checkpointLocation", cp)
+        .option("path", out)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+    drain() // latest: the backlog commit is NOT replayed
+    assert(spark.read.schema("city STRING, ds STRING, hour STRING, " +
+      "value STRING").parquet(out).count() == 0)
+    insert("t20", ("a", 2L, 20L))
+    insert("t20", ("b", 3L, 30L)) // pruned out by pruneCity=a
+    drain()
+    val got = spark.read.parquet(out)
+    assert(got.count() == 1 && got.head.getString(0) == "a")
+    // a malformed option is loud, not ignored
+    val bad = intercept[Exception] {
+      spark.readStream.option("maxManifestsPerTrigger", "zero")
+        .table("lakecat.t20").writeStream.format("noop")
+        .option("checkpointLocation",
+          Files.createTempDirectory("lakecat_bad_cp").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination(60000)
+    }
+    val chain = Iterator.iterate(bad: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(chain.contains("maxManifestsPerTrigger"), chain)
+  }
+
+  test("readChangeFeed through table() reads is refused LOUDLY (batch " +
+      "and streaming) — the feed's schema differs from the table's; the " +
+      "message names the view-face alternative") {
+    createTable("t21", "TBLPROPERTIES ('changeLog' = 'true')")
+    insert("t21", ("a", 1L, 10L))
+    val eb = intercept[Exception] {
+      spark.read.option("readChangeFeed", "true")
+        .option("startingVersion", "0").table("lakecat.t21").collect()
+    }
+    assert(eb.getMessage.contains("view face"), eb.getMessage)
+    val es = intercept[Exception] {
+      spark.readStream.option("readChangeFeed", "true")
+        .table("lakecat.t21").writeStream.format("noop")
+        .option("checkpointLocation",
+          Files.createTempDirectory("lakecat_cdc_cp").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination(60000)
+    }
+    val chain = Iterator.iterate(es: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(chain.contains("view face"), chain)
+  }
+
   test("readStream.table streams the four-column shape from the " +
       "manifest-set micro-batch source") {
     createTable("t10")
@@ -335,14 +411,16 @@ class LakeCatalogSpec extends SparkSpec {
     assert(WeatherLakeV2Sink.committedEntryLines(s"$warehouse/t14")
       .forall(l => WeatherLakeV2Sink.lineStats(l).contains("k")))
     assert(state("t14") == Map(1L -> 10L))
-    // CTAS: the query schema must be the lake shape
+    // CTAS with the classic shape lands on the classic JSON-line face
+    // (atomic via the staged marker, LakeCtasSpec pins the protocol)
     spark.sql("""CREATE TABLE lakecat.t15 USING lake AS
       SELECT city, ds, hour, value FROM lakecat.t14""")
     assert(state("t15") == Map(1L -> 10L))
-    val bad = intercept[Exception] {
-      spark.sql("CREATE TABLE lakecat.t16 USING lake AS SELECT 1 AS x")
-    }
-    assert(bad.getMessage.contains("schema is fixed"), bad.getMessage)
+    assert(WeatherLakeV2Sink.payloadFormat(s"$warehouse/t15") == "json")
+    // a non-classic CTAS shape is a TYPED table
+    spark.sql("CREATE TABLE lakecat.t16 USING lake AS SELECT 1 AS x")
+    assert(WeatherLakeV2Sink.payloadFormat(s"$warehouse/t16") == "parquet")
+    assert(spark.table("lakecat.t16").count() == 1)
   }
 
   test("guard rails: nested-namespace DROP refuses without CASCADE, a " +

@@ -211,6 +211,34 @@ class TypedLakeCatalogSpec extends SparkSpec {
     assert(spark.table("tlake.t6").schema.fieldNames.length == 6)
   }
 
+  test("CALL compact and measure_stats route to the typed (Parquet) " +
+      "twins: ZORDER-clustered compaction over three key fields rewrites " +
+      "small files, and the stats backfill measures typed column values " +
+      "with type-decided numeric comparison") {
+    createEvents("t8")
+    seed("t8", 10); seed("t8", 10); seed("t8", 10) // small files pile up
+    val before = WeatherLakeV2Sink.committedFiles(s"$warehouse/t8").size
+    val dirs = spark.sql("""CALL tlake.system.compact('t8',
+      cluster_expr => 'graft_zorder(id, CAST(score AS BIGINT), unix_micros(ts))',
+      stats_fields => 'id')""").collect().head.getInt(0)
+    assert(dirs > 0)
+    assert(WeatherLakeV2Sink.committedFiles(s"$warehouse/t8").size < before)
+    assert(spark.table("tlake.t8").count() == 30)
+    // backfill stats for a column the writes never measured
+    val measured = spark.sql(
+      "CALL tlake.system.measure_stats('t8', 'name,score')")
+      .collect().head.getInt(0)
+    assert(measured > 0)
+    val stats = WeatherLakeV2Sink.committedEntryLines(s"$warehouse/t8")
+      .map(WeatherLakeV2Sink.lineStats)
+    assert(stats.forall(st => st.contains("name") && st.contains("score")))
+    assert(stats.forall(_.apply("score").numeric)) // type-decided
+    assert(stats.forall(!_.apply("name").numeric))
+    // the skipping layer stays queryable and correct after both verbs
+    assert(spark.sql("SELECT sum(id) FROM tlake.t8").head.getLong(0) ==
+      3 * (0 until 10).sum)
+  }
+
   test("an empty typed table SELECTs as zero rows with the declared " +
       "schema, and a typed table refuses the classic DML payload-column " +
       "contract errors cleanly") {
@@ -227,7 +255,7 @@ class TypedLakeCatalogSpec extends SparkSpec {
       .forall(_.endsWith(".parquet")))
     // changeLog property is refused at CREATE for typed tables
     val e = intercept[Exception](spark.sql(
-      """CREATE TABLE tlake.t8 (a INT, b STRING) USING lake
+      """CREATE TABLE tlake.t7cl (a INT, b STRING) USING lake
         TBLPROPERTIES ('changeLog' = 'true')"""))
     assert(e.getMessage.contains("changeLog"), e.getMessage)
   }

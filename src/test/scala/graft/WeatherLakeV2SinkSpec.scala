@@ -1386,13 +1386,14 @@ class WeatherLakeV2SinkSpec extends SparkSpec {
     // directives stay invisible to data readers
     assert(WeatherLakeV2Sink.readCommitted(spark, lake).count() == 1)
     // a future-format manifest (written by a newer writer) poisons the
-    // lake for THIS reader — loudly, never silently misparsed
+    // lake for THIS reader — loudly, never silently misparsed (this
+    // reader understands versions 1-2; 2 = the typed Parquet payload)
     java.nio.file.Files.write(mdir.resolve("manifest-future.txt"),
-      "#format 2\nsome-unintelligible-v2-layout\n".getBytes("UTF-8"))
+      "#format 3\nsome-unintelligible-v3-layout\n".getBytes("UTF-8"))
     val e = intercept[IllegalStateException] {
       WeatherLakeV2Sink.readCommitted(spark, lake).count()
     }
-    assert(e.getMessage.contains("format version 2"), e.getMessage)
+    assert(e.getMessage.contains("format version 3"), e.getMessage)
   }
 
   test("stats collection unescapes JSON string values correctly " +
