@@ -214,6 +214,20 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
     val props = readMarker(fs.getConf, dir)
     val reserved = Set(TableCatalog.PROP_LOCATION, SchemaProp,
       PartitionColsProp)
+    // typed tables support METADATA-ONLY column evolution: the Parquet
+    // reader null-fills a column absent from old files (ADD) and simply
+    // does not project a column the schema no longer names (DROP), so
+    // neither verb rewrites a byte of data — the Delta/Iceberg
+    // schema-evolution contract. RENAME is refused: old files keep the
+    // old name and a rename would need name-mapping IDs to read them.
+    def typedSchema: Option[(StructType, Seq[String])] =
+      Option(props.get(SchemaProp)).map { json =>
+        (DataType.fromJson(json).asInstanceOf[StructType],
+          Option(props.get(PartitionColsProp))
+            .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+            .getOrElse(Seq.empty))
+      }
+    def putSchema(s: StructType): Unit = props.put(SchemaProp, s.json)
     changes.foreach {
       case s: TableChange.SetProperty =>
         require(!reserved(s.property()),
@@ -225,10 +239,60 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
           s"LakeCatalog: property '${r.property()}' is immutable " +
             "(location/schema/partitioning never change under ALTER)")
         props.remove(r.property())
+      case a: TableChange.AddColumn =>
+        val (schema, partCols) = typedSchema.getOrElse(
+          throw new UnsupportedOperationException(
+            "LakeCatalog: ADD COLUMN applies to typed tables only — the " +
+              "classic lake row is fixed (city, ds, hour, value)"))
+        require(a.fieldNames().length == 1,
+          "LakeCatalog: ADD COLUMN supports top-level columns only")
+        val name = a.fieldNames().head
+        require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+          s"LakeCatalog: column '$name' already exists")
+        require(a.isNullable,
+          s"LakeCatalog: ADD COLUMN '$name' must be nullable — rows in " +
+            "already-committed files have no value for it (reads " +
+            "null-fill), so a NOT NULL contract would be a lie")
+        require(a.position() == null,
+          "LakeCatalog: ADD COLUMN FIRST/AFTER is not supported — new " +
+            "columns append after the existing data columns (before the " +
+            "partition suffix)")
+        // new data columns go BEFORE the partition suffix (the typed
+        // shape rule: partition columns stay last)
+        val dataFields = schema.fields.dropRight(partCols.size)
+        val partFields = schema.fields.takeRight(partCols.size)
+        putSchema(StructType((dataFields :+
+          StructField(name, a.dataType(), nullable = true)) ++ partFields))
+      case d: TableChange.DeleteColumn =>
+        val (schema, partCols) = typedSchema.getOrElse(
+          throw new UnsupportedOperationException(
+            "LakeCatalog: DROP COLUMN applies to typed tables only"))
+        require(d.fieldNames().length == 1,
+          "LakeCatalog: DROP COLUMN supports top-level columns only")
+        val name = d.fieldNames().head
+        val resolved = schema.fieldNames.find(_.equalsIgnoreCase(name))
+        if (resolved.isEmpty && d.ifExists()) {
+          // SQL's DROP COLUMN IF EXISTS: absent column is a no-op
+        } else {
+        val field = resolved.getOrElse(throw new IllegalArgumentException(
+            s"LakeCatalog: no column '$name' to drop"))
+        require(!partCols.exists(_.equalsIgnoreCase(name)),
+          s"LakeCatalog: '$name' is a partition column — the directory " +
+            "layout depends on it; dropping it would orphan every path")
+        require(schema.size - partCols.size > 1,
+          "LakeCatalog: cannot drop the last data column")
+        require(!Option(props.get("statsFields")).exists(
+            _.split(",").map(_.trim).exists(_.equalsIgnoreCase(name))),
+          s"LakeCatalog: '$name' is in statsFields — remove it from the " +
+            "property first, or later writes would measure a dropped column")
+        putSchema(StructType(schema.fields.filterNot(_.name == field)))
+        }
       case other => throw new UnsupportedOperationException(
         s"LakeCatalog: unsupported ALTER TABLE change " +
-          s"${other.getClass.getSimpleName} — the lake schema is fixed " +
-          "at CREATE; only table properties are mutable")
+          s"${other.getClass.getSimpleName} — columns can be ADDed and " +
+          "DROPped on typed tables (metadata-only); RENAME/retype need " +
+          "name-mapping IDs old files don't carry, and the classic lake " +
+          "shape is fixed at CREATE")
     }
     writeMarker(fs.getConf, dir, props, overwrite = true)
     loadTable(ident)
@@ -738,7 +802,8 @@ object LakeCatalog {
     override def capabilities(): util.Set[TableCapability] =
       if (pinned.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)
       else util.EnumSet.of(TableCapability.BATCH_READ,
-        TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+        TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+        TableCapability.TRUNCATE,
         TableCapability.OVERWRITE_BY_FILTER, TableCapability.OVERWRITE_DYNAMIC)
 
     def statsFields: Seq[String] = Option(props.get("statsFields"))
@@ -853,9 +918,57 @@ object LakeCatalog {
                 override def abort(
                     messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = ()
               }
+
+            /** Native streaming sink face — per-epoch manifests named
+              * `<queryId>-<epochId>` (both checkpoint-stable), so a
+              * restart replaying a committed epoch re-publishes the SAME
+              * name and the rename short-circuits: exactly-once
+              * publication, the classic table's discipline on the typed
+              * payload.
+              */
+            override def toStreaming:
+                org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+              new org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+                require(!overwriting,
+                  "LakeCatalog: streaming writes append per epoch — " +
+                    "outputMode('complete')/truncate/overwrite has no " +
+                    "lake semantics; use batch INSERT OVERWRITE")
+                override def createStreamingWriterFactory(
+                    pi: org.apache.spark.sql.connector.write.PhysicalWriteInfo):
+                    org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+                  new TypedLakeStreamingWriterFactory(path, tbl.tableSchema,
+                    tbl.partCols, sf, mrpf)
+                override def commit(epochId: Long,
+                    messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+                  val entries = messages.collect {
+                    case WeatherLakeV2Sink.FilesWritten(ls) => ls
+                  }.flatten.toIndexedSeq
+                  WeatherLakeV2Sink.writeManifest(path, s"$jobId-$epochId",
+                    entries, payload = Some(TypedLake.Payload))
+                }
+                override def abort(epochId: Long,
+                    messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = ()
+              }
           }
       }
     }
+  }
+
+  class TypedLakeStreamingWriterFactory(path: String, schema: StructType,
+      partCols: Seq[String], statsFields: Seq[String],
+      maxRecordsPerFile: Long)
+      extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+    override def createWriter(partitionId: Int, taskId: Long, epochId: Long):
+        org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+      new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+        private val w = new TypedLake.TypedTaskWriter(path, "b", schema,
+          partCols, statsFields, maxRecordsPerFile)
+        override def write(row: InternalRow): Unit = w.write(row)
+        override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage =
+          WeatherLakeV2Sink.FilesWritten(w.closeAll())
+        override def abort(): Unit = w.abortAll()
+        override def close(): Unit = ()
+      }
   }
 
   /** The staged face of an in-flight CTAS/RTAS (see

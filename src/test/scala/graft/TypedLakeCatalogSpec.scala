@@ -239,6 +239,79 @@ class TypedLakeCatalogSpec extends SparkSpec {
       3 * (0 until 10).sum)
   }
 
+  test("writeStream.toTable on a typed table: per-epoch manifests, " +
+      "exactly-once named, typed Parquet files with stats") {
+    warehouse
+    spark.sql("""CREATE TABLE tlake.strm (id BIGINT, v DOUBLE, region STRING)
+      USING lake PARTITIONED BY (region)
+      TBLPROPERTIES ('statsFields' = 'id')""")
+    val src = Files.createTempDirectory("tstrm_src").toString
+    val cp = Files.createTempDirectory("tstrm_cp").toString
+    val s = spark
+    import s.implicits._
+    (0 until 8).map(i => (i.toLong, i * 0.5, s"r${i % 2}"))
+      .toDF("id", "v", "region").write.mode("overwrite").parquet(src)
+    val q = spark.readStream.schema("id BIGINT, v DOUBLE, region STRING")
+      .parquet(src)
+      .writeStream
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("tlake.strm")
+    q.awaitTermination(60000)
+    assert(spark.table("tlake.strm").count() == 8)
+    val p = s"$warehouse/strm"
+    assert(WeatherLakeV2Sink.payloadFormat(p) == "parquet")
+    assert(WeatherLakeV2Sink.committedEntryLines(p).forall(l =>
+      WeatherLakeV2Sink.lineStats(l).contains("id")))
+    // epoch manifests carry the checkpoint-stable -<epochId> suffix
+    assert(WeatherLakeV2Sink.manifestNames(p).exists(_.contains("-0.txt")))
+  }
+
+  test("typed ALTER TABLE ADD/DROP COLUMN is metadata-only: old files " +
+      "null-fill an added column, a dropped column stops being read " +
+      "without touching a byte of data, and the guard rails are loud") {
+    warehouse
+    spark.sql("""CREATE TABLE tlake.evo (id BIGINT, v DOUBLE, region STRING)
+      USING lake PARTITIONED BY (region)""")
+    spark.sql("""INSERT INTO tlake.evo
+      SELECT id, id * 1.0 AS v, concat('r', id % 2) AS region FROM range(4)""")
+    val filesBefore = WeatherLakeV2Sink.committedFiles(s"$warehouse/evo")
+    spark.sql("ALTER TABLE tlake.evo ADD COLUMN note STRING")
+    // the new column lands BEFORE the partition suffix; old rows null
+    assert(spark.table("tlake.evo").schema.fieldNames.toSeq ==
+      Seq("id", "v", "note", "region"))
+    assert(spark.table("tlake.evo").filter(col("note").isNull).count() == 4)
+    // no data was rewritten
+    assert(WeatherLakeV2Sink.committedFiles(s"$warehouse/evo") == filesBefore)
+    // new writes carry the column; old and new rows coexist
+    spark.sql("""INSERT INTO tlake.evo VALUES
+      (100, 9.0, 'hello', 'r0')""")
+    val m = spark.table("tlake.evo").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(m(100L).contains("hello") && m(1L).isEmpty)
+    // DROP: the v column disappears from reads, files untouched
+    spark.sql("ALTER TABLE tlake.evo DROP COLUMN v")
+    assert(spark.table("tlake.evo").schema.fieldNames.toSeq ==
+      Seq("id", "note", "region"))
+    assert(spark.table("tlake.evo").count() == 5)
+    // rails: NOT NULL add, partition drop, rename, positioned add
+    val e1 = intercept[Exception](spark.sql(
+      "ALTER TABLE tlake.evo ADD COLUMN bad STRING NOT NULL"))
+    assert(e1.getMessage.contains("nullable"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      "ALTER TABLE tlake.evo DROP COLUMN region"))
+    assert(e2.getMessage.contains("partition column"), e2.getMessage)
+    val e3 = intercept[Exception](spark.sql(
+      "ALTER TABLE tlake.evo RENAME COLUMN note TO note2"))
+    assert(e3.getMessage.contains("name-mapping"), e3.getMessage)
+    val e4 = intercept[Exception](spark.sql(
+      "ALTER TABLE tlake.evo ADD COLUMN early STRING FIRST"))
+    assert(e4.getMessage.contains("FIRST/AFTER"), e4.getMessage)
+    // IF EXISTS drop of an absent column is a no-op
+    spark.sql("ALTER TABLE tlake.evo DROP COLUMN IF EXISTS ghost")
+    assert(spark.table("tlake.evo").count() == 5)
+  }
+
   test("an empty typed table SELECTs as zero rows with the declared " +
       "schema, and a typed table refuses the classic DML payload-column " +
       "contract errors cleanly") {
