@@ -6254,6 +6254,52 @@ object SparkEntry {
                 FROM typed_ctas_src)
           WHERE rn <= 3""")
         s.sql(s"SELECT doc_id, val FROM graftlake.$t")
+      }),
+
+    QueryDef("q110_lake_merge_full_sync_sql",
+      "WHEN NOT MATCHED BY SOURCE THEN DELETE on the CLASSIC JSON-line " +
+        "lake — full-sync semantics on the payload-keyed merge: one MERGE " +
+        "statement synchronizes the table TO the source (matched rows " +
+        "replace, unmatched source rows insert, survivor rows absent " +
+        "from the batch delete where the target-bound condition holds). " +
+        "With the clause present the read domain is honestly the WHOLE " +
+        "table (candidate pruning off, any concurrent commit conflicts " +
+        "at publish) and touch detection is one pass that ORs key-match " +
+        "with the delete condition. Every pass re-arms by appending junk " +
+        "rows the sync must erase, so the bench always measures a real " +
+        "full-sync; the final state is the canonical corpus (the oracle).",
+      Some("""SELECT doc_id, CAST(doc_id AS BIGINT) AS val
+        |FROM documents""".stripMargin),
+      (s, dir) => {
+        val p = sqlDmlBaseLake(s, dir, "fullsync")
+        val docs = Tables.documents(s, dir)
+        // re-arm: junk rows the full-sync must sweep out
+        docs.filter(col("doc_id") < 30).select(
+            lit("junk").as("city"), lit("2024-03-01").as("ds"),
+            lit("00").as("hour"),
+            to_json(struct((col("doc_id") + 1000000L).as("doc_id"),
+              lit(-1L).as("val"))).as("raw_json"))
+          .write.format("graft.sources.WeatherLakeV2Sink")
+          .mode("append").save(p)
+        docs.select(
+            col("source").as("city"), lit("2024-01-01").as("ds"),
+            format_string("%02d", col("doc_id") % 24).as("hour"),
+            to_json(struct(col("doc_id"),
+              col("doc_id").cast("long").as("val"))).as("raw_json"))
+          .createOrReplaceTempView("lake_fullsync_src")
+        s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW lake_fullsync
+          USING graft.sources.WeatherLakeV2StreamSource
+          OPTIONS (path '$p')""")
+        s.sql("""MERGE INTO lake_fullsync t USING lake_fullsync_src s
+          ON get_json_object(t.value, '$.doc_id') =
+             get_json_object(s.raw_json, '$.doc_id')
+          WHEN MATCHED THEN UPDATE SET value = s.raw_json
+          WHEN NOT MATCHED THEN
+            INSERT (city, ds, hour, value) VALUES (s.city, s.ds, s.hour, s.raw_json)
+          WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+        s.sql("""SELECT CAST(get_json_object(value, '$.doc_id') AS BIGINT) AS doc_id,
+          CAST(get_json_object(value, '$.val') AS BIGINT) AS val
+          FROM lake_fullsync""")
       })
   )
 

@@ -564,10 +564,22 @@ case class LakeMergeCommand(stmt: MergeIntoTable) extends LeafRunnableCommand {
       return runTyped(spark, t, schema, partCols, mrpf,
         targetNames, sourceNames)
     }
-    if (stmt.notMatchedBySourceActions.nonEmpty)
-      fail("does not support WHEN NOT MATCHED BY SOURCE on a classic " +
-        "(city, ds, hour, value) lake — full-sync semantics need the " +
-        "typed table face; express deletions as DELETE FROM")
+    // WHEN NOT MATCHED BY SOURCE THEN DELETE — the full-sync clause on
+    // the classic lake: committed rows whose key is absent from the
+    // batch are deleted where the condition (over TARGET columns) holds
+    val nmbsDelete: Option[DataFrame => Column] =
+      stmt.notMatchedBySourceActions match {
+        case Seq() => None
+        case Seq(DeleteAction(c)) => Some((df: DataFrame) =>
+          c.map(LakeDmlSql.bind(_, df, "NOT MATCHED BY SOURCE condition"))
+            .getOrElse(lit(true)))
+        case Seq(UpdateAction(_, _, _)) | Seq(UpdateStarAction(_)) =>
+          fail("WHEN NOT MATCHED BY SOURCE supports only DELETE (the " +
+            "full-sync clause); UPDATE of unmatched survivors is not " +
+            "implemented — run a separate UPDATE statement")
+        case other => fail("needs at most one WHEN NOT MATCHED BY SOURCE " +
+          s"action, got ${other.size}")
+      }
     val keyExprs = LakeDmlSql.mergeKeyExprs(stmt.mergeCondition,
       targetNames, sourceNames)
 
@@ -760,7 +772,8 @@ case class LakeMergeCommand(stmt: MergeIntoTable) extends LeafRunnableCommand {
     val st = WeatherLakeV2Sink.mergeCommitted(spark, t.path, batch, key,
       targetBytes = t.targetBytes, statsFields = t.statsFields,
       changeLog = t.changeLog,
-      deleteMatched = deleteCond.map(_ => (df: DataFrame) => df("__delete")))
+      deleteMatched = deleteCond.map(_ => (df: DataFrame) => df("__delete")),
+      deleteNotMatchedBySource = nmbsDelete)
     Seq(Row(st.touchedFiles, st.newFiles))
   }
 

@@ -1668,6 +1668,16 @@ object WeatherLakeV2Sink {
     * rewrite union (nothing comes back); a delete row whose key does not
     * exist is a no-op. Distributed throughout — no driver-side key list.
     */
+  /** `deleteNotMatchedBySource` (evaluated over the TARGET frame — there
+    * is no source row to reference) marks COMMITTED rows whose key is
+    * absent from the batch for removal — `WHEN NOT MATCHED BY SOURCE
+    * THEN DELETE [AND cond]`, the full-sync clause: one merge
+    * synchronizes the table TO the batch. With it set the read domain is
+    * honestly the WHOLE table (full-sync semantics read everything, so
+    * candidate pruning is off and any concurrent commit conflicts at
+    * publish), and touched files are those holding a batch key OR a
+    * condition-matching survivor.
+    */
   def mergeCommitted(spark: org.apache.spark.sql.SparkSession,
       basePath: String, batch: org.apache.spark.sql.DataFrame,
       key: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Column,
@@ -1675,8 +1685,10 @@ object WeatherLakeV2Sink {
       statsFields: Seq[String] = Nil,
       changeLog: Boolean = false,
       deleteMatched: Option[org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.Column] = None,
+      deleteNotMatchedBySource: Option[org.apache.spark.sql.DataFrame =>
         org.apache.spark.sql.Column] = None): MergeStats = {
-      import org.apache.spark.sql.functions.{col, lit}
+      import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit}
       require(targetBytes > 0, "targetBytes must be positive")
       val snapshotNames = liveManifests(basePath)
       // lines resolved from THE SNAPSHOT, per manifest (partial
@@ -1698,13 +1710,14 @@ object WeatherLakeV2Sink {
       // inside the domain may hold a batch key this merge decided to
       // INSERT — committing would duplicate it). A file without full
       // partition values can't be ruled out, in or out of band.
-      def inReadDomain(line: String): Boolean = {
-        val pv = partitionValues(basePath, entryPath(line))
-        (pv.get("city"), pv.get("ds"), pv.get("hour")) match {
-          case (Some(c), Some(d), Some(h)) => batchParts((c, d, h))
-          case _ => true
+      def inReadDomain(line: String): Boolean =
+        deleteNotMatchedBySource.isDefined || {
+          val pv = partitionValues(basePath, entryPath(line))
+          (pv.get("city"), pv.get("ds"), pv.get("hour")) match {
+            case (Some(c), Some(d), Some(h)) => batchParts((c, d, h))
+            case _ => true
+          }
         }
-      }
       val candidates = committed.filter(f => inReadDomain(f))
       val batchKeys = batch.select(key(batch).as("__key")).distinct()
       // committed candidate lines, re-framed to the write Schema
@@ -1713,11 +1726,24 @@ object WeatherLakeV2Sink {
         if (candidates.isEmpty) Seq.empty
         else {
           val cand = framedLines(spark, basePath, candidates)
-          cand.withColumn("__key", key(cand))
-            .join(batchKeys, "__key", "left_semi")
-            .select(col("file"))
-            .distinct().collect()
-            .map(_.getString(0)).toSeq
+          val keyed = cand.withColumn("__key", key(cand))
+          deleteNotMatchedBySource match {
+            case None =>
+              keyed.join(batchKeys, "__key", "left_semi")
+                .select(col("file"))
+                .distinct().collect()
+                .map(_.getString(0)).toSeq
+            case Some(nmbs) =>
+              // a file is touched when it holds a batch key OR a
+              // survivor the full-sync condition deletes — one pass
+              keyed.join(broadcast(batchKeys.withColumn("__in", lit(true))),
+                  Seq("__key"), "left")
+                .filter(col("__in").isNotNull ||
+                  coalesce(nmbs(keyed), lit(false)))
+                .select(col("file"))
+                .distinct().collect()
+                .map(_.getString(0)).toSeq
+          }
         }
       // PARTIAL superseding: only the manifests owning a touched file are
       // superseded, and only THEIR untouched lines are re-listed (stats
@@ -1750,9 +1776,15 @@ object WeatherLakeV2Sink {
         if (touched.isEmpty) batchRouted
         else {
           val tf = framedLines(spark, basePath, touched)
-          val survivors = tf
+          val notMatched = tf
             .withColumn("__key", key(tf))
             .join(batchKeys, "__key", "left_anti")
+          // full-sync: rows absent from the batch are DELETED where the
+          // condition holds (SQL three-valued: NULL keeps the row)
+          val survivors = deleteNotMatchedBySource
+            .map(nmbs => notMatched.filter(
+              !coalesce(nmbs(notMatched), lit(false))))
+            .getOrElse(notMatched)
             .select(col("dir"), col("value"))
           survivors.unionByName(batchRouted)
         }
@@ -1778,7 +1810,8 @@ object WeatherLakeV2Sink {
                 .select(col("__key"), col("value").as("__old"))
               val newKeyed = batch.select(key(batch).as("__key"),
                 col("raw_json").as("__new"), isDelete(batch).as("__del"))
-              oldKeyed.join(newKeyed, Seq("__key"), "right_outer")
+              val batchChanges = oldKeyed
+                .join(newKeyed, Seq("__key"), "right_outer")
                 .select(explode(
                   when(col("__del") && col("__old").isNotNull, array(
                     struct(lit("delete").as("change"), col("__old").as("value"))))
@@ -1792,6 +1825,18 @@ object WeatherLakeV2Sink {
                       col("__new").as("value"))))
                   .otherwise(array())).as("c"))
                 .select(col("c.change").as("change"), col("c.value").as("value"))
+              // full-sync deletions are target-only rows — invisible to
+              // the right_outer above, recorded separately
+              deleteNotMatchedBySource match {
+                case None => batchChanges
+                case Some(nmbs) =>
+                  val tf3 = framedLines(spark, basePath, touched)
+                  val gone = tf3.withColumn("__key", key(tf3))
+                    .join(batchKeys, "__key", "left_anti")
+                  batchChanges.unionByName(
+                    gone.filter(coalesce(nmbs(gone), lit(false)))
+                      .select(lit("delete").as("change"), col("value")))
+              }
             }
           writeChangeLog(changes, "merge", basePath, targetBytes,
             statsFields)

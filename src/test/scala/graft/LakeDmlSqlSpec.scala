@@ -166,14 +166,15 @@ class LakeDmlSqlSpec extends SparkSpec {
           INSERT (city, ds, hour, value) VALUES (s.city, s.ds, s.hour, s.raw_json)""")
     }
     assert(e6.getMessage.contains("same function"), e6.getMessage)
-    // MERGE: NOT MATCHED BY SOURCE is not an upsert
+    // MERGE: NOT MATCHED BY SOURCE supports DELETE only (full-sync);
+    // an UPDATE of unmatched survivors is refused with the workaround
     val e7 = intercept[IllegalArgumentException] {
       spark.sql("""MERGE INTO dml_loud t USING dml_badsrc s
         ON get_json_object(t.value, '$.k') = get_json_object(s.raw_json, '$.k')
         WHEN MATCHED THEN UPDATE SET value = s.raw_json
         WHEN NOT MATCHED THEN
           INSERT (city, ds, hour, value) VALUES (s.city, s.ds, s.hour, s.raw_json)
-        WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET value = t.value""")
     }
     assert(e7.getMessage.contains("NOT MATCHED BY SOURCE"), e7.getMessage)
     // MERGE: a conditional UPDATE is not the full-row replacement
@@ -252,6 +253,44 @@ class LakeDmlSqlSpec extends SparkSpec {
       .mkString(" | ")
     assert(chain0.contains("NULL"), chain0)
     assert(state("dml_cdc") == Map(2L -> 222L, 9L -> 90L)) // unchanged
+
+    // WHEN NOT MATCHED BY SOURCE THEN DELETE (full-sync): survivors
+    // absent from the batch go away where the target-bound condition
+    // holds; a conditional clause spares the rest
+    src("dml_cdc_sync", Seq((2L, 222L, "u"), (9L, 90L, "u")))
+    spark.sql("""MERGE INTO dml_cdc t USING dml_cdc_sync s
+      ON get_json_object(t.value, '$.k') = get_json_object(s.raw_json, '$.k')
+      WHEN MATCHED THEN UPDATE SET value = s.raw_json
+      WHEN NOT MATCHED THEN
+        INSERT (city, ds, hour, value) VALUES (s.city, s.ds, s.hour, s.raw_json)
+      WHEN NOT MATCHED BY SOURCE
+        AND CAST(get_json_object(t.value, '$.k') AS BIGINT) > 1000
+      THEN DELETE""")
+    // nothing above k=1000 existed; state unchanged by the guard
+    assert(state("dml_cdc") == Map(2L -> 222L, 9L -> 90L))
+    // seed an extra row, then unconditional full-sync removes it
+    src("dml_cdc_extra", Seq((777L, 7L, "u")))
+    spark.sql("""MERGE INTO dml_cdc t USING dml_cdc_extra s
+      ON get_json_object(t.value, '$.k') = get_json_object(s.raw_json, '$.k')
+      WHEN MATCHED THEN UPDATE SET value = s.raw_json
+      WHEN NOT MATCHED THEN
+        INSERT (city, ds, hour, value) VALUES (s.city, s.ds, s.hour, s.raw_json)""")
+    assert(state("dml_cdc") == Map(2L -> 222L, 9L -> 90L, 777L -> 7L))
+    spark.sql("""MERGE INTO dml_cdc t USING dml_cdc_sync s
+      ON get_json_object(t.value, '$.k') = get_json_object(s.raw_json, '$.k')
+      WHEN MATCHED THEN UPDATE SET value = s.raw_json
+      WHEN NOT MATCHED THEN
+        INSERT (city, ds, hour, value) VALUES (s.city, s.ds, s.hour, s.raw_json)
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    assert(state("dml_cdc") == Map(2L -> 222L, 9L -> 90L))
+    // NMBS UPDATE stays refused with the workaround named
+    val e9 = intercept[IllegalArgumentException] {
+      spark.sql("""MERGE INTO dml_cdc t USING dml_cdc_sync s
+        ON get_json_object(t.value, '$.k') = get_json_object(s.raw_json, '$.k')
+        WHEN MATCHED THEN UPDATE SET value = s.raw_json
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET value = t.value""")
+    }
+    assert(e9.getMessage.contains("separate UPDATE"), e9.getMessage)
 
     // pure DELETE + INSERT needs per-row matchedness as the marker
     val e2 = intercept[IllegalArgumentException] {
