@@ -530,9 +530,10 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
       TypedLake.validateTyped(schema, partCols)
       require(!java.lang.Boolean.parseBoolean(
           Option(props.get("changeLog")).getOrElse("false")),
-        "LakeCatalog: changeLog is not supported on typed lake tables " +
-          "yet — drop the property or use a classic (city,ds,hour,value) " +
-          "table for CDC consumers")
+        "LakeCatalog: typed tables derive their change feed from the " +
+          "copy-on-write snapshots (TypedLake.changesBetweenTyped / " +
+          "readNewChangesTyped) — no written change files, so the " +
+          "changeLog property has nothing to enable; drop it")
       props.put(SchemaProp, schema.json)
       props.put(PartitionColsProp, partCols.mkString(","))
       (props, new TypedLakeCatalogTable(fullName(ident), location, schema,

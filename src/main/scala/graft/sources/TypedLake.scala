@@ -653,6 +653,95 @@ object TypedLake {
   }
 
   // -----------------------------------------------------------------
+  // change-data feed (typed, snapshot-diff)
+  // -----------------------------------------------------------------
+
+  /** CHANGE DATA FEED between two captured snapshots of a typed table —
+    * [[WeatherLakeV2Sink.changesBetween]]'s semantics on typed frames,
+    * derived from the copy-on-write commit structure (no written change
+    * files needed): rows are compared only inside the file-set
+    * DIFFERENCE, so the cost is O(changed files), never O(table).
+    * `keyCols` is the row identity (unique per snapshot). Returns the
+    * table columns plus `_change` ∈ insert / delete / update_preimage /
+    * update_postimage; a copy-on-write survivor rewrite (same key, all
+    * columns equal) emits nothing.
+    */
+  def changesBetweenTyped(spark: SparkSession, basePath: String,
+      schema: StructType, keyCols: Seq[String],
+      from: Seq[String], to: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{array, explode, struct, when}
+    val names = schema.fieldNames.toSeq
+    require(keyCols.nonEmpty && keyCols.forall(names.contains),
+      s"TypedLake: CDF key columns (${keyCols.mkString(", ")}) must be " +
+        s"table columns (${names.mkString(", ")})")
+    val dataCols = names.filterNot(keyCols.contains)
+    val fromFiles = WeatherLakeV2Sink.filesAsOf(basePath, from).toSet
+    val toFiles = WeatherLakeV2Sink.filesAsOf(basePath, to).toSet
+    val removed = (fromFiles -- toFiles).toSeq.sorted
+    val added = (toFiles -- fromFiles).toSeq.sorted
+    def tagged(files: Seq[String], change: String): DataFrame =
+      readTyped(spark, basePath, schema, files)
+        .select(lit(change).as("_change") +: names.map(col): _*)
+    if (removed.isEmpty && added.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(StructField("_change", StringType, nullable = false) +:
+          schema.fields))
+    else if (removed.isEmpty) tagged(added, "insert")
+    else if (added.isEmpty) tagged(removed, "delete")
+    else {
+      def side(files: Seq[String], tag: String): DataFrame =
+        readTyped(spark, basePath, schema, files).select(
+          keyCols.map(col) :+
+            struct(names.map(col): _*).as(s"__row_$tag"): _*)
+      val joined = side(removed, "old")
+        .join(side(added, "new"), keyCols, "full_outer")
+      val old = col("__row_old"); val neu = col("__row_new")
+      // all-column equality decides "changed" — dataCols compared
+      // null-safely; key-only rows (no data columns) never differ
+      val same = dataCols.map(c => old(c) <=> neu(c))
+        .foldLeft(lit(true))(_ && _)
+      joined.select(explode(
+          when(old.isNull,
+            array(struct(lit("insert").as("change"), neu.as("row"))))
+          .when(neu.isNull,
+            array(struct(lit("delete").as("change"), old.as("row"))))
+          .when(!same, array(
+            struct(lit("update_preimage").as("change"), old.as("row")),
+            struct(lit("update_postimage").as("change"), neu.as("row"))))
+          .otherwise(array())).as("c"))
+        .select(col("c.change").as("_change") +:
+          names.map(n => col(s"c.row.$n").as(n)): _*)
+    }
+  }
+
+  /** Incremental typed CHANGE feed over a manifest cursor —
+    * [[WeatherLakeV2Sink.readNewChanges]]' contract on typed frames: the
+    * exact NET row deltas between the consumer's integrated view and the
+    * view after the fresh commits (several commits collapse to their net
+    * effect; layout-only rewrites emit nothing). Returns (changes frame,
+    * the live resolution of the new view-set) — process, then
+    * [[WeatherLakeV2Sink.replaceCursor]] with the returned set; an
+    * unreplaced cursor re-derives the same delta (never skips), and a
+    * caught-up consumer survives routine vacuum.
+    */
+  def readNewChangesTyped(spark: SparkSession, basePath: String,
+      schema: StructType, keyCols: Seq[String], cursorPath: String):
+      (DataFrame, Seq[String]) = {
+    WeatherLakeV2Sink.requirePayload(basePath, Payload, "readNewChangesTyped")
+    val consumed = WeatherLakeV2Sink.consumedManifests(cursorPath).toSeq.sorted
+    // every manifest since the cursor, including already-superseded
+    // intermediates: they carry the supersedes CHAIN that tombstones the
+    // consumer's old manifests inside the `to` resolution (the classic
+    // reader's double-count rule, spec-pinned there)
+    val fresh = WeatherLakeV2Sink.manifestNames(basePath)
+      .filterNot(consumed.toSet)
+    val to = (consumed ++ fresh).distinct
+    (changesBetweenTyped(spark, basePath, schema, keyCols,
+      from = consumed, to = to),
+      WeatherLakeV2Sink.liveWithinForTyped(basePath, to))
+  }
+
+  // -----------------------------------------------------------------
   // maintenance (typed)
   // -----------------------------------------------------------------
 

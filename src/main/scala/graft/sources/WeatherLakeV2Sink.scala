@@ -919,6 +919,10 @@ object WeatherLakeV2Sink {
     * resolution (same present/missing/tombstone rules, same loud
     * vacuum-horizon failure).
     */
+  /** [[liveWithin]] for the typed feed (same resolution rules). */
+  private[sources] def liveWithinForTyped(basePath: String,
+      set: Seq[String]): Seq[String] = liveWithin(basePath, set)
+
   private def liveWithin(basePath: String, set: Seq[String]): Seq[String] = {
     val fs = new Path(basePath).getFileSystem(new Configuration())
     val mdir = new Path(basePath, ManifestDir)
