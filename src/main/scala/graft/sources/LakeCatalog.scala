@@ -815,8 +815,20 @@ object LakeCatalog {
 
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
       val spark = SparkSession.active
-      val files = pinned.map(WeatherLakeV2Sink.filesAsOf(path, _))
-        .getOrElse(WeatherLakeV2Sink.committedFiles(path))
+      // live scans carry the manifest ENTRY LINES so the builder can
+      // prune the file LIST on per-file stats before any footer IO;
+      // pinned (time-travel) scans resolve files only — fail-open, no
+      // stats pruning (history reads are not the hot path)
+      val (files, statsOf) = pinned match {
+        case Some(snap) =>
+          (WeatherLakeV2Sink.filesAsOf(path, snap),
+            Map.empty[String, Map[String, WeatherLakeV2Sink.FieldStats]])
+        case None =>
+          val lines = WeatherLakeV2Sink.committedEntryLines(path)
+          (lines.map(l => l.split('\t').head),
+            lines.map(l => l.split('\t').head ->
+              WeatherLakeV2Sink.lineStats(l)).toMap)
+      }
       if (files.isEmpty) {
         // zero committed files: nothing to infer partitions from — an
         // empty LocalScan with the declared schema keeps SELECTs over a
@@ -832,11 +844,8 @@ object LakeCatalog {
         val merged = new util.HashMap[String, String]()
         merged.put("basePath", path)
         options.entrySet().forEach(e => merged.put(e.getKey, e.getValue))
-        org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
-          ident, spark, new CaseInsensitiveStringMap(merged),
-          files.sorted.toIndexedSeq, Some(tableSchema),
-          classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
-          .newScanBuilder(new CaseInsensitiveStringMap(merged))
+        new StatsPrunedParquetScanBuilder(ident, spark, path, tableSchema,
+          files.sorted, statsOf, new CaseInsensitiveStringMap(merged))
       }
     }
 
@@ -952,6 +961,140 @@ object LakeCatalog {
               }
           }
       }
+    }
+  }
+
+  /** The typed scan builder: MANIFEST-STATS file pruning in front of the
+    * engine's own ParquetScanBuilder. The engine's Parquet path skips
+    * row groups on footer statistics — but the footer must be OPENED,
+    * and at 100 TB on an object store, one GET per file to decide "no
+    * rows here" is the cost the manifest's per-file min/max exists to
+    * avoid. This builder intercepts the pushed catalyst filters, prunes
+    * the committed FILE LIST driver-side against the entry-line stats
+    * (range/equality conjuncts on measured columns; fail-open — a file
+    * without stats or an unmeasured field always survives; strict
+    * bounds widen to inclusive), and only then constructs the delegate
+    * over the surviving files. Every pushdown face the delegate has is
+    * forwarded (columns, catalyst filters, aggregates, variant
+    * extractions), so nothing the engine could do is lost — the filters
+    * still reach the Parquet scan for row-group skipping within the
+    * survivors.
+    *
+    * Call-order note: the engine pushes filters before building; if a
+    * caller ever builds first (no filters), the delegate covers ALL
+    * files — pruning is an optimization, never a correctness gate.
+    */
+  class StatsPrunedParquetScanBuilder(ident: String,
+      spark: SparkSession, path: String, tableSchema: StructType,
+      files: Seq[String],
+      statsOf: Map[String, Map[String, WeatherLakeV2Sink.FieldStats]],
+      options: CaseInsensitiveStringMap)
+      extends ScanBuilder
+      with SupportsPushDownRequiredColumns
+      with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+      with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+      with org.apache.spark.sql.connector.read.SupportsPushDownVariantExtractions {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Cast => CCast, EqualTo => CEq, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal => CLit}
+
+    private var inner: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder = _
+    private def mkInner(fs: Seq[String]) =
+      org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
+        ident, spark, options, fs.toIndexedSeq, Some(tableSchema),
+        classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
+        .newScanBuilder(options)
+    private def ensure() = {
+      if (inner == null) inner = mkInner(files)
+      inner
+    }
+
+    /** One canonical string rendering of a literal — the SAME
+      * `CAST(x AS STRING)` the typed writer used to collect the stats,
+      * so comparisons live in one domain.
+      */
+    private def render(l: CLit): Option[String] =
+      if (l.value == null) None
+      else Option(CCast(l, StringType, Some("UTC")).eval(null)).map(_.toString)
+
+    /** (field, lo, hi) bounds of one pushed conjunct, when it is a
+      * simple comparison between a top-level column and a literal.
+      * Strict bounds widen to inclusive (sound for pruning).
+      */
+    private def boundsOf(e: Expression): Option[(String, Option[String], Option[String])] =
+      e match {
+        case CEq(a: AttributeReference, l: CLit) =>
+          render(l).map(v => (a.name, Some(v), Some(v)))
+        case CEq(l: CLit, a: AttributeReference) =>
+          render(l).map(v => (a.name, Some(v), Some(v)))
+        case GreaterThan(a: AttributeReference, l: CLit) =>
+          render(l).map(v => (a.name, Some(v), None))
+        case GreaterThanOrEqual(a: AttributeReference, l: CLit) =>
+          render(l).map(v => (a.name, Some(v), None))
+        case LessThan(a: AttributeReference, l: CLit) =>
+          render(l).map(v => (a.name, None, Some(v)))
+        case LessThanOrEqual(a: AttributeReference, l: CLit) =>
+          render(l).map(v => (a.name, None, Some(v)))
+        case GreaterThan(l: CLit, a: AttributeReference) =>
+          render(l).map(v => (a.name, None, Some(v)))
+        case GreaterThanOrEqual(l: CLit, a: AttributeReference) =>
+          render(l).map(v => (a.name, None, Some(v)))
+        case LessThan(l: CLit, a: AttributeReference) =>
+          render(l).map(v => (a.name, Some(v), None))
+        case LessThanOrEqual(l: CLit, a: AttributeReference) =>
+          render(l).map(v => (a.name, Some(v), None))
+        case _ => None
+      }
+
+    override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+      if (inner == null && statsOf.nonEmpty) {
+        val bounds = filters.flatMap(boundsOf)
+        // lexical (non-numeric) stats compare in Java-string order while
+        // the engine filters in UTF8-binary order; the two agree on
+        // ASCII but can diverge on surrogate-pair code points — so
+        // string pruning applies only when every compared value is
+        // ASCII (else fail open, the keep-rule of all pruning here)
+        def ascii(s: String): Boolean = s.forall(_ < 128)
+        val pruned =
+          if (bounds.isEmpty) files
+          else files.filter { f =>
+            val st = statsOf.getOrElse(f, Map.empty)
+            bounds.forall { case (field, lo, hi) =>
+              st.get(field).forall { fs =>
+                if (!fs.numeric && !(ascii(fs.min) && ascii(fs.max) &&
+                    lo.forall(ascii) && hi.forall(ascii))) true
+                else fs.overlaps(lo, hi)
+              }
+            }
+          }
+        inner = mkInner(if (pruned.isEmpty) files.take(1) else pruned)
+        // (an all-pruned list keeps one file: the delegate needs a
+        // non-empty index to plan; the file's rows are filtered out
+        // row-wise anyway — correctness never rides the prune)
+      }
+      ensure().pushFilters(filters)
+    }
+    override def pushedFilters(): Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+      ensure().pushedFilters
+    override def pruneColumns(requiredSchema: StructType): Unit =
+      ensure().pruneColumns(requiredSchema)
+    override def pushAggregation(
+        agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+      ensure().pushAggregation(agg)
+    override def supportCompletePushDown(
+        agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+      ensure().supportCompletePushDown(agg)
+    override def pushVariantExtractions(
+        extractions: Array[org.apache.spark.sql.connector.read.VariantExtraction]): Array[Boolean] =
+      ensure().pushVariantExtractions(extractions)
+    override def build(): Scan = ensure().build()
+
+    /** Test seam: the file list the delegate was (or would be) built
+      * over — what a plan-level spec asserts stats pruning against.
+      */
+    private[graft] def plannedFiles(pushed: Seq[Expression]): Seq[String] = {
+      pushFilters(pushed)
+      // the delegate's scan plans its partitions from the pruned list
+      build().asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
+        .fileIndex.inputFiles.toSeq
     }
   }
 

@@ -4,7 +4,9 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 
-import graft.sources.WeatherLakeV2Sink
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.{LakeCatalog, WeatherLakeV2Sink}
 
 /** The typed lake behind the CATALOG face: CREATE TABLE with an arbitrary
   * schema, INSERT/SELECT through the engine's own Parquet scan (column
@@ -310,6 +312,62 @@ class TypedLakeCatalogSpec extends SparkSpec {
     // IF EXISTS drop of an absent column is a no-op
     spark.sql("ALTER TABLE tlake.evo DROP COLUMN IF EXISTS ghost")
     assert(spark.table("tlake.evo").count() == 5)
+  }
+
+  test("MANIFEST-STATS file pruning on typed scans: a range predicate " +
+      "over a measured column prunes the file LIST before any footer IO " +
+      "(fail-open on unmeasured files), and answers stay correct") {
+    warehouse
+    spark.sql("""CREATE TABLE tlake.sp (id BIGINT, v DOUBLE, tag STRING)
+      USING lake TBLPROPERTIES ('statsFields' = 'id,tag')""")
+    // four disjoint-id commits, one task each → four files with tight
+    // id ranges (range(start, end, step, numPartitions))
+    (0 until 4).foreach { k =>
+      spark.sql(s"""INSERT INTO tlake.sp
+        SELECT id + ${k * 100}, id * 1.0, concat('t', $k)
+        FROM range(0, 10, 1, 1)""")
+    }
+    val p = s"$warehouse/sp"
+    val all = WeatherLakeV2Sink.committedFiles(p)
+    assert(all.size == 4)
+    // build the scan the engine would: push the catalyst filter, count
+    // planned files through the test seam
+    def splitConj(e: org.apache.spark.sql.catalyst.expressions.Expression):
+        Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        splitConj(l) ++ splitConj(r)
+      case other => Seq(other)
+    }
+    def planned(cond: String): Seq[String] = {
+      // the RESOLVED conjuncts the engine would push, extracted from the
+      // optimized plan of the same filter
+      val df = spark.table("tlake.sp").filter(cond)
+      val filters = df.queryExecution.optimizedPlan.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          splitConj(f.condition)
+      }.getOrElse(Seq.empty)
+      val lines = WeatherLakeV2Sink.committedEntryLines(p)
+      val statsOf = lines.map(l => l.split('\t').head ->
+        WeatherLakeV2Sink.lineStats(l)).toMap
+      new LakeCatalog.StatsPrunedParquetScanBuilder("tlake.sp", spark, p,
+        spark.table("tlake.sp").schema, all.sorted, statsOf,
+        new CaseInsensitiveStringMap(
+          java.util.Map.of("basePath", p)))
+        .plannedFiles(filters)
+    }
+    // id >= 300 lives in ONE file; id BETWEEN 100 AND 150 in one;
+    // equality on the lexical tag column prunes to one
+    assert(planned("id >= 300").size == 1)
+    assert(planned("id >= 100 and id <= 150").size == 1)
+    assert(planned("tag = 't2'").size == 1)
+    // an unmeasured column never prunes (fail-open)
+    assert(planned("v > 1000.0").size == 4)
+    // and the full query through SQL still answers correctly
+    assert(spark.sql("SELECT count(*) FROM tlake.sp WHERE id >= 300")
+      .head.getLong(0) == 10)
+    assert(spark.sql(
+      "SELECT sum(id) FROM tlake.sp WHERE id >= 100 AND id <= 109")
+      .head.getLong(0) == (100L to 109L).sum)
   }
 
   test("an empty typed table SELECTs as zero rows with the declared " +
