@@ -291,6 +291,69 @@ object LakeDmlSql {
     }.toMap
   }
 
+  /** Range/equality bounds of a typed WHERE clause per column — the
+    * STATS leg of the typed DML candidate prune (the partition leg is
+    * [[typedPartitionEqs]]): a conjunct like `id >= 100` rules out every
+    * file whose per-file `id` stats cannot overlap [100, ∞). Strict
+    * bounds widen to inclusive (always sound); rendering is the typed
+    * writer's own CAST-to-string, so numeric stats compare numerically
+    * and lexical stats lexically — restricted to ASCII values (Java vs
+    * UTF8-binary order can diverge beyond ASCII; fail open there).
+    */
+  def typedStatsBounds(cond: Expression):
+      Seq[(String, Option[String], Option[String])] = {
+    import org.apache.spark.sql.catalyst.expressions.{GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def lastName(a: UnresolvedAttribute): String = a.nameParts.last.toLowerCase
+    conjuncts(cond).flatMap {
+      case EqualTo(a: UnresolvedAttribute, l: Literal) =>
+        literalPathValue(l).map(v => (lastName(a), Some(v), Some(v)))
+      case EqualTo(l: Literal, a: UnresolvedAttribute) =>
+        literalPathValue(l).map(v => (lastName(a), Some(v), Some(v)))
+      case GreaterThan(a: UnresolvedAttribute, l: Literal) =>
+        literalPathValue(l).map(v => (lastName(a), Some(v), None))
+      case GreaterThanOrEqual(a: UnresolvedAttribute, l: Literal) =>
+        literalPathValue(l).map(v => (lastName(a), Some(v), None))
+      case LessThan(a: UnresolvedAttribute, l: Literal) =>
+        literalPathValue(l).map(v => (lastName(a), None, Some(v)))
+      case LessThanOrEqual(a: UnresolvedAttribute, l: Literal) =>
+        literalPathValue(l).map(v => (lastName(a), None, Some(v)))
+      case GreaterThan(l: Literal, a: UnresolvedAttribute) =>
+        literalPathValue(l).map(v => (lastName(a), None, Some(v)))
+      case GreaterThanOrEqual(l: Literal, a: UnresolvedAttribute) =>
+        literalPathValue(l).map(v => (lastName(a), None, Some(v)))
+      case LessThan(l: Literal, a: UnresolvedAttribute) =>
+        literalPathValue(l).map(v => (lastName(a), Some(v), None))
+      case LessThanOrEqual(l: Literal, a: UnresolvedAttribute) =>
+        literalPathValue(l).map(v => (lastName(a), Some(v), None))
+      case _ => None
+    }
+  }
+
+  /** The combined fail-open typed prune: partition equality over path
+    * values AND stats-bound overlap over per-file min/max (case-
+    * insensitive field match — stats were written under the declared
+    * column name).
+    */
+  def typedPruneFor(eqs: Map[String, String],
+      bounds: Seq[(String, Option[String], Option[String])]):
+      (Map[String, String],
+        Map[String, graft.sources.WeatherLakeV2Sink.FieldStats]) => Boolean = {
+    def ascii(s: String): Boolean = s.forall(_ < 128)
+    (pv, stats) =>
+      eqs.forall { case (k, v) => pv.get(k).forall(_ == v) } &&
+        bounds.forall { case (field, lo, hi) =>
+          stats.find(_._1.equalsIgnoreCase(field)).map(_._2).forall { fs =>
+            if (!fs.numeric && !(ascii(fs.min) && ascii(fs.max) &&
+                lo.forall(ascii) && hi.forall(ascii))) true
+            else fs.overlaps(lo, hi)
+          }
+        }
+  }
+
   /** The typed MERGE key: ON is a conjunction of plain column equalities
     * where both sides name the SAME column (one target-qualified, one
     * source-qualified) — the standard upsert key shape. Expression keys
@@ -446,8 +509,9 @@ case class LakeDeleteCommand(stmt: DeleteFromTable) extends LeafRunnableCommand 
         graft.sources.TypedLake.deleteTyped(spark, t.path, schema, partCols,
           predicate = df => LakeDmlSql.bindTyped(stmt.condition, df,
             schema.fieldNames.toSeq, "DELETE WHERE"),
-          prune = LakeDmlSql.pruneFor(
-            LakeDmlSql.typedPartitionEqs(stmt.condition, partCols)),
+          prune = LakeDmlSql.typedPruneFor(
+            LakeDmlSql.typedPartitionEqs(stmt.condition, partCols),
+            LakeDmlSql.typedStatsBounds(stmt.condition)),
           statsFields = t.statsFields, maxRecordsPerFile = mrpf)
       case None =>
         WeatherLakeV2Sink.deleteCommitted(spark, t.path,
@@ -494,8 +558,10 @@ case class LakeUpdateCommand(stmt: UpdateTable) extends LeafRunnableCommand {
           .map(LakeDmlSql.bindTyped(_, df, cols, "UPDATE WHERE"))
           .getOrElse(lit(true)),
         assignments = assigns,
-        prune = LakeDmlSql.pruneFor(stmt.condition
-          .map(LakeDmlSql.typedPartitionEqs(_, partCols)).getOrElse(Map.empty)),
+        prune = LakeDmlSql.typedPruneFor(
+          stmt.condition.map(LakeDmlSql.typedPartitionEqs(_, partCols))
+            .getOrElse(Map.empty),
+          stmt.condition.map(LakeDmlSql.typedStatsBounds).getOrElse(Seq.empty)),
         statsFields = t.statsFields, maxRecordsPerFile = mrpf)
       return Seq(Row(st.touchedFiles, st.newFiles, st.updatedRows))
     }

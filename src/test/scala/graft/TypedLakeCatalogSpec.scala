@@ -368,6 +368,34 @@ class TypedLakeCatalogSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT sum(id) FROM tlake.sp WHERE id >= 100 AND id <= 109")
       .head.getLong(0) == (100L to 109L).sum)
+    // the DML candidate prune uses the SAME stats bounds: a range DELETE
+    // touches only the file whose stats overlap (1 of 4), and the prune
+    // logic itself is pinned on synthetic stats
+    val del = spark.sql(
+      "DELETE FROM tlake.sp WHERE id >= 300 AND id <= 305").collect().head
+    assert(del.getInt(0) == 1 && del.getLong(2) == 6, del)
+    assert(spark.table("tlake.sp").count() == 34)
+    import graft.plans.LakeDmlSql
+    import graft.sources.WeatherLakeV2Sink.FieldStats
+    val cond = spark.sessionState.sqlParser.parseExpression(
+      "id >= 100 AND id < 200 AND tag = 't1'")
+    val prune = LakeDmlSql.typedPruneFor(Map.empty,
+      LakeDmlSql.typedStatsBounds(cond))
+    val inRange = Map("id" -> FieldStats("100", "150", numeric = true),
+      "tag" -> FieldStats("t1", "t1", numeric = false))
+    // min 201, not 200: the strict `id < 200` bound widens to <= 200
+    // (sound fail-open), so a file whose min is exactly 200 survives
+    val outRange = Map("id" -> FieldStats("201", "300", numeric = true),
+      "tag" -> FieldStats("t1", "t1", numeric = false))
+    val wrongTag = Map("id" -> FieldStats("100", "150", numeric = true),
+      "tag" -> FieldStats("t2", "t9", numeric = false))
+    assert(prune(Map.empty, inRange))
+    assert(!prune(Map.empty, outRange))
+    assert(!prune(Map.empty, wrongTag))
+    assert(prune(Map.empty, Map.empty)) // no stats → fail open
+    // non-ASCII lexical stats never prune (order-divergence guard)
+    assert(prune(Map.empty, Map("tag" ->
+      FieldStats("𐀀", "𐀁", numeric = false))))
   }
 
   test("an empty typed table SELECTs as zero rows with the declared " +
