@@ -32,12 +32,27 @@ import graft.sources.{WeatherLakeV2Sink, WeatherLakeV2StreamSource}
   * optimistic-concurrency, partial-superseding, stats-refreshing path,
   * with the statement's expressions bound onto the maintenance frames.
   *
-  * Supported surface (everything else fails LOUDLY with the contract in
-  * the message — never a silent misinterpretation):
+  * Two dispatch targets (resolved per statement):
+  *
+  *  - a TYPED catalog table ([[graft.sources.LakeCatalog
+  *    .TypedLakeCatalogTable]]) gets REAL SQL column semantics — MERGE
+  *    with plain-column keys, conditional matched DELETE/UPDATE (SET
+  *    star or assignments), guarded INSERT under genuine three-valued
+  *    action dispatch, `WHEN NOT MATCHED BY SOURCE THEN DELETE`
+  *    (full-sync), DELETE/UPDATE over any columns (partition columns
+  *    included — updated rows move directories), with candidate pruning
+  *    derived from the WHERE on BOTH manifest legs (partition equality +
+  *    per-file stats bounds);
+  *  - a CLASSIC JSON-line lake view or catalog table keeps the
+  *    payload-keyed contract below.
+  *
+  * Supported CLASSIC surface (everything else fails LOUDLY with the
+  * contract in the message — never a silent misinterpretation):
   *
   *  - the target must be a temp view over
   *    `graft.sources.WeatherLakeV2StreamSource` (`CREATE TEMPORARY VIEW
-  *    … USING … OPTIONS (path …)`), not a CDF or time-travel view;
+  *    … USING … OPTIONS (path …)`) or a classic catalog table, not a
+  *    CDF or time-travel view;
   *    `targetBytes` / `statsFields` / `changeLog` view options carry
   *    through to the operation;
   *  - DELETE / UPDATE predicates and UPDATE's single `SET value = …`

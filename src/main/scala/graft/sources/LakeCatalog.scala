@@ -33,8 +33,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   *  - `CREATE TABLE lake.t (city STRING, ds STRING, hour STRING,
   *    value STRING) USING lake TBLPROPERTIES (statsFields 'val')` — the
-  *    lake's row shape is FIXED (three Hive-style partition keys + one
-  *    raw payload line); any other column list fails loudly;
+  *    CLASSIC JSON-line table (three Hive-style partition keys + one raw
+  *    payload line). ANY OTHER schema creates a TYPED table (round 12):
+  *    Parquet data files under the same manifest layer, user-chosen
+  *    identity partition columns (declared LAST), full SQL DML with real
+  *    column semantics, atomic CTAS/RTAS ([[StagingTableCatalog]]),
+  *    metadata-only ADD/DROP COLUMN, per-epoch streaming writes, and
+  *    manifest-stats FILE pruning in front of the engine's Parquet scan
+  *    ([[LakeCatalog.StatsPrunedParquetScanBuilder]]);
   *  - `INSERT INTO lake.t SELECT …` — the existing DSv2 batch writer
   *    (one manifest per statement, exactly-once discipline), with
   *    `statsFields` defaulting from table properties so every insert
