@@ -6300,6 +6300,94 @@ object SparkEntry {
         s.sql("""SELECT CAST(get_json_object(value, '$.doc_id') AS BIGINT) AS doc_id,
           CAST(get_json_object(value, '$.val') AS BIGINT) AS val
           FROM lake_fullsync""")
+      }),
+
+    QueryDef("q111_typed_optimize",
+      "OPTIMIZE ZORDER on a TYPED table through CALL lake.system.compact " +
+        "— the typed twin of q94 with the k-FIELD curve: the fixture " +
+        "lands the corpus as four interleaved commits per partition (per-" +
+        "file doc_id ranges span nearly the whole domain, the skipping " +
+        "layer prunes nothing), the query body re-clusters every pass by " +
+        "graft_zorder(doc_id, val) via the typed Parquet compactor " +
+        "(sorted rolled write, typed stats re-measured from column " +
+        "values), and the read back is a range SELECT whose bounds reach " +
+        "BOTH skipping layers — the manifest entry-line stats prune the " +
+        "FILE LIST driver-side (StatsPrunedParquetScanBuilder) before " +
+        "the engine's Parquet scan row-group-skips the survivors. The " +
+        "oracle replays the range scan relationally.",
+      Some("""SELECT doc_id, CAST(doc_id AS BIGINT) AS val FROM documents
+        |WHERE doc_id >= 100 AND doc_id < 200""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val sig = graft.similarity.ModelExport.corpusSig(docs, "doc_id")
+        s.conf.set("spark.sql.catalog.graftlake", "graft.sources.LakeCatalog")
+        s.conf.set("spark.sql.catalog.graftlake.warehouse",
+          "/tmp/graft_catalog_wh")
+        val t = s"typed_opt_$sig"
+        val p = s"/tmp/graft_catalog_wh/$t"
+        s.sql(s"""CREATE TABLE IF NOT EXISTS graftlake.$t
+          (doc_id BIGINT, val BIGINT, source STRING) USING lake
+          PARTITIONED BY (source) TBLPROPERTIES ('statsFields' = 'doc_id')""")
+        // four interleaved exactly-once seeds: every file's doc_id range
+        // spans ~the whole domain until the clustered compaction
+        (0 until 4).foreach { i =>
+          if (!graft.sources.WeatherLakeV2Sink.manifestExists(p, s"base$i")) {
+            docs.filter(col("doc_id") % 4 === i)
+              .select(col("doc_id").cast("long").as("doc_id"),
+                col("doc_id").cast("long").as("val"), col("source"))
+              .coalesce(1)
+              .writeTo(s"graftlake.$t").option("manifestId", s"base$i")
+              .append()
+          }
+        }
+        s.sql(s"""CALL graftlake.system.compact('$t',
+          cluster_expr => 'graft_zorder(doc_id, val)',
+          stats_fields => 'doc_id')""")
+        s.sql(s"""SELECT doc_id, val FROM graftlake.$t
+          WHERE doc_id >= 100 AND doc_id < 200""")
+      }),
+
+    QueryDef("q112_typed_evolution",
+      "Metadata-only schema evolution on a typed table: ALTER TABLE ADD " +
+        "COLUMN rewrites NO data (old files null-fill on read), and a " +
+        "typed MERGE then populates the new column for a key class — " +
+        "the add-a-field migration every production table eventually " +
+        "runs, as two statements with zero rewrite of history. The ALTER " +
+        "is applied once (guarded by the catalog's own schema report); " +
+        "the MERGE re-runs idempotently per pass. The oracle replays the " +
+        "final three-column state relationally (nulls where the " +
+        "backfill never reached).",
+      Some("""SELECT doc_id, CAST(doc_id AS BIGINT) AS val,
+        |  CASE WHEN doc_id % 4 = 0 THEN concat('n-', doc_id) END AS note
+        |FROM documents""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val sig = graft.similarity.ModelExport.corpusSig(docs, "doc_id")
+        s.conf.set("spark.sql.catalog.graftlake", "graft.sources.LakeCatalog")
+        s.conf.set("spark.sql.catalog.graftlake.warehouse",
+          "/tmp/graft_catalog_wh")
+        val t = s"typed_evo_$sig"
+        val p = s"/tmp/graft_catalog_wh/$t"
+        s.sql(s"""CREATE TABLE IF NOT EXISTS graftlake.$t
+          (doc_id BIGINT, val BIGINT, source STRING) USING lake
+          PARTITIONED BY (source)""")
+        if (!graft.sources.WeatherLakeV2Sink.manifestExists(p, "base")) {
+          docs.select(col("doc_id").cast("long").as("doc_id"),
+              col("doc_id").cast("long").as("val"), col("source"))
+            .writeTo(s"graftlake.$t").option("manifestId", "base").append()
+        }
+        if (!s.table(s"graftlake.$t").columns.contains("note"))
+          s.sql(s"ALTER TABLE graftlake.$t ADD COLUMN note STRING")
+        docs.filter(col("doc_id") % 4 === 0)
+          .select(col("doc_id").cast("long").as("doc_id"),
+            col("doc_id").cast("long").as("val"), col("source"),
+            concat(lit("n-"), col("doc_id")).as("note"))
+          .createOrReplaceTempView("typed_evo_backfill")
+        s.sql(s"""MERGE INTO graftlake.$t t USING typed_evo_backfill s
+          ON t.doc_id = s.doc_id AND t.source = s.source
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""")
+        s.sql(s"SELECT doc_id, val, note FROM graftlake.$t")
       })
   )
 
