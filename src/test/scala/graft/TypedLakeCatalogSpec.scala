@@ -181,6 +181,33 @@ class TypedLakeCatalogSpec extends SparkSpec {
     assert(names == Set("rw-0", "rw-1"))
   }
 
+  test("typed DYNAMIC partition overwrite replaces exactly the written " +
+      "partitions (the batch's own tuples), keeps the rest, and an " +
+      "append racing into a replaced partition would conflict (read " +
+      "domain = the written region)") {
+    createEvents("t5d")
+    seed("t5d", 12)
+    val s = spark
+    import s.implicits._
+    // rows land only in (r0, 2024-01-01): dynamic overwrite must replace
+    // exactly that partition and keep every other one
+    val batch = Seq((500L, "dyn", 1.0,
+        java.sql.Timestamp.valueOf("2024-07-01 00:00:00"), "r0",
+        java.sql.Date.valueOf("2024-01-01")))
+      .toDF("id", "name", "score", "ts", "region", "day")
+    batch.writeTo("tlake.t5d").overwritePartitions()
+    val m = spark.table("tlake.t5d").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(500L) == "dyn")
+    // seeds in (r0, 2024-01-01) are gone; everything else survives
+    val gone = (0 until 12).filter(i => i % 3 == 0 && i % 2 == 0)
+    assert(gone.forall(i => !m.contains(i.toLong)), m.keySet.toSeq.sorted)
+    assert(m.size == 12 - gone.size + 1)
+    // the overwrite commit is one superseding manifest
+    assert(WeatherLakeV2Sink.manifestHistory(s"$warehouse/t5d")
+      .exists(_.startsWith("manifest-overwrite-")))
+  }
+
   test("maintenance CALLs on a typed table: checkpoint preserves the " +
       "payload declaration, vacuum reclaims, history and detail report; " +
       "ALTER cannot touch schema/partitioning properties") {
