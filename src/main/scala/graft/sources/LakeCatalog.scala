@@ -927,7 +927,9 @@ object LakeCatalog {
                   else if (overwriteEq.isDefined || dynamicOverwrite)
                     WeatherLakeV2Sink.commitPartitionOverwrite(path,
                       overwriteSnapshot, entries, overwriteEq,
-                      dynamicOverwrite, payload = Some(TypedLake.Payload))
+                      dynamicOverwrite, payload = Some(TypedLake.Payload),
+                      decodeValue = org.apache.spark.sql.catalyst.catalog
+                        .ExternalCatalogUtils.unescapePathName)
                   else WeatherLakeV2Sink.writeManifest(path, jobId, entries,
                     payload = Some(TypedLake.Payload))
                 }

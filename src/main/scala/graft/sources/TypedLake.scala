@@ -326,6 +326,20 @@ object TypedLake {
       payload = Some(Payload))
   }
 
+  /** A typed file's partition values as the LOGICAL (unescaped) values —
+    * the typed writer path-escapes (`a b` → `a%20b`), so every typed
+    * prune/domain comparison against batch or statement values must
+    * unescape first; comparing the raw path segment would silently rule
+    * out a file whose value needs escaping (and a merge that cannot see
+    * its file duplicates the key). Classic lakes write values RAW and
+    * keep using [[WeatherLakeV2Sink.partitionValues]] directly.
+    */
+  private[sources] def partitionValuesTyped(basePath: String,
+      file: String): Map[String, String] =
+    partitionValues(basePath, file).map { case (k, v) =>
+      k -> ExternalCatalogUtils.unescapePathName(v)
+    }
+
   /** The scan row's source file joined back to manifest entries — the
     * typed twin of the classic filePathCol/manifestJoinKey pair (full
     * scheme-stripped raw-URI path; basenames are NOT unique across
@@ -375,7 +389,7 @@ object TypedLake {
     val byManifest = WeatherLakeV2Sink.entryLinesByManifest(basePath, snapshot)
     val committedLines = byManifest.flatMap(_._2)
     def inReadDomain(l: String): Boolean =
-      prune(partitionValues(basePath, entryPath(l)), lineStats(l))
+      prune(partitionValuesTyped(basePath, entryPath(l)), lineStats(l))
     val candidates = committedLines.collect {
       case l if inReadDomain(l) => entryPath(l)
     }
@@ -438,7 +452,7 @@ object TypedLake {
     val byManifest = WeatherLakeV2Sink.entryLinesByManifest(basePath, snapshot)
     val committedLines = byManifest.flatMap(_._2)
     def inReadDomain(l: String): Boolean =
-      prune(partitionValues(basePath, entryPath(l)), lineStats(l))
+      prune(partitionValuesTyped(basePath, entryPath(l)), lineStats(l))
     val candidates = committedLines.collect {
       case l if inReadDomain(l) => entryPath(l)
     }
@@ -556,7 +570,7 @@ object TypedLake {
     def inReadDomain(line: String): Boolean =
       if (!partitionPrunable) true
       else {
-        val pv = partitionValues(basePath, entryPath(line))
+        val pv = partitionValuesTyped(basePath, entryPath(line))
         val tuple = partCols.map(pv.get)
         if (tuple.exists(_.isEmpty)) true // can't rule out, fail open
         else batchParts(tuple.map(_.get))

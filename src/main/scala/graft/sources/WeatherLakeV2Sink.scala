@@ -1367,9 +1367,14 @@ object WeatherLakeV2Sink {
   private[sources] def commitPartitionOverwrite(basePath: String,
       snapshot: Seq[String], newLines: Seq[String],
       eq: Option[Map[String, String]], dynamic: Boolean,
-      payload: Option[String] = None): Unit = {
+      payload: Option[String] = None,
+      decodeValue: String => String = identity): Unit = {
+    // `decodeValue` maps a path segment back to the LOGICAL partition
+    // value — the typed writer Hive-escapes ('%'→'%25'), so its caller
+    // passes unescapePathName; classic values are written raw (identity)
     def pvOf(line: String): Map[String, String] =
       partitionValues(basePath, entryPath(line))
+        .map { case (k, v) => k -> decodeValue(v) }
     val writtenParts = newLines.map(pvOf).toSet
     eq.foreach { m =>
       val outside = newLines.filterNot(l =>

@@ -245,6 +245,47 @@ class TypedLakeSpec extends SparkSpec {
     assert(TypedLake.readCommittedTyped(spark, lake, sch).count() == 8)
   }
 
+  test("ESCAPED partition values round-trip through the whole typed DML " +
+      "surface: a merge/delete/overwrite into a partition whose value " +
+      "needs path escaping (space, percent) still finds its files — the " +
+      "candidate prune compares UNESCAPED values") {
+    val lake = tmp("typedlakeesc")
+    val sch = StructType(schema.fields.filterNot(_.name == "day"))
+    val pc = Seq("region")
+    val s = spark
+    import s.implicits._
+    def mk(rows: (Long, Double, String)*): DataFrame =
+      rows.map { case (k, v, r) => (k, s"name-$k", v, r) }
+        .toDF("id", "name", "score", "region")
+    TypedLake.appendTyped(spark, lake,
+      mk((1L, 10.0, "north east"), (2L, 20.0, "100% west")), sch, pc)
+    // the directories are escaped on disk (Hive escaping: '%' escapes,
+    // spaces stay raw)…
+    assert(WeatherLakeV2Sink.committedFiles(lake)
+      .exists(_.contains("region=100%25 west")))
+    // …and the read face unescapes them
+    def scores: Map[Long, (Double, String)] =
+      TypedLake.readCommittedTyped(spark, lake, sch)
+        .collect().map(r => r.getLong(0) -> ((r.getDouble(2), r.getString(3))))
+        .toMap
+    assert(scores(1L) == ((10.0, "north east")))
+    // MERGE keyed on (id, region) must UPDATE the stored row, not
+    // duplicate it (the prune must not rule out the escaped directory)
+    TypedLake.mergeTyped(spark, lake, sch, pc,
+      mk((1L, 100.0, "north east"), (3L, 30.0, "100% west")),
+      keyCols = Seq("id", "region"))
+    val m = scores
+    assert(m(1L) == ((100.0, "north east")), m)
+    assert(m(3L) == ((30.0, "100% west")))
+    assert(TypedLake.readCommittedTyped(spark, lake, sch).count() == 3)
+    // DELETE with a partition-equality prune on the escaped value
+    val st = TypedLake.deleteTyped(spark, lake, sch, pc,
+      predicate = df => df("region") === "100% west" && df("id") === 2L,
+      prune = (pv, _) => pv.get("region").forall(_ == "100% west"))
+    assert(st.deletedRows == 1, st)
+    assert(scores.keySet == Set(1L, 3L))
+  }
+
   test("typed compact collapses small files per directory and ZORDER-" +
       "style clustered rewrite keeps content; stats refresh on rewrite") {
     val lake = tmp("typedlakecompact")
