@@ -273,35 +273,70 @@ object LakeDmlSql {
     })
   }
 
-  /** A literal's canonical PATH rendering (how the typed writer encodes
-    * the partition value into the directory name): CAST(lit AS STRING) —
-    * dates render yyyy-MM-dd, integers bare. Null/unrenderable → None
-    * (no prune conjunct; fail open).
+  /** A literal's canonical rendering IN THE DOMAIN OF a declared column:
+    * the literal is first cast to the column's own type — verified
+    * LOSSLESS by casting back and comparing — and only then rendered
+    * through the typed writer's own CAST-to-STRING. Without the
+    * round-trip check the prune would compare a literal rendered in ITS
+    * OWN type against stats/path values rendered in the COLUMN's type,
+    * and Spark's runtime coercion (string column vs numeric literal →
+    * both to double; int column vs double literal) would let the prune
+    * rule out files the runtime predicate matches (stats min=max='0150'
+    * vs `c > 100` pruned lexically, yet CAST('0150' AS DOUBLE) = 150
+    * passes; path 'k=150' vs literal 150.0 rendered '150.0'). Any
+    * mismatch, null, lossy cast, or cast failure → None: no prune
+    * conjunct, fail open — correctness never rides the prune.
     */
-  private def literalPathValue(l: Literal): Option[String] =
-    if (l.value == null) None
-    else Option(org.apache.spark.sql.catalyst.expressions.Cast(
-      l, StringType, Some("UTC")).eval(null)).map(_.toString)
+  private def literalAsColumn(l: Literal, colType: DataType): Option[String] = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    if (l.value == null) return None
+    val inColDomain: Option[Literal] =
+      if (l.dataType == colType) Some(l)
+      else if (!Cast.canCast(l.dataType, colType)) None
+      else try {
+        Option(Cast(l, colType, Some("UTC")).eval(null)).flatMap { v =>
+          val back = Cast(Literal(v, colType), l.dataType, Some("UTC"))
+            .eval(null)
+          if (back == l.value) Some(Literal(v, colType)) else None
+        }
+      } catch { case _: Exception => None }
+    inColDomain.flatMap(cl =>
+      Option(Cast(cl, StringType, Some("UTC")).eval(null)).map(_.toString))
+  }
 
   /** Partition-equality conjuncts of a typed WHERE clause against the
     * table's own partition columns — [[partitionEqs]] generalized beyond
-    * string literals (the typed writer path-encodes via CAST TO STRING,
-    * so the prune renders the literal identically).
+    * string literals. The literal renders through [[literalAsColumn]]
+    * (cast losslessly into the COLUMN's type first, then the typed
+    * writer's own CAST-to-STRING), so the comparison lives in the same
+    * domain the directory names were written in; an implicit-coercion
+    * mismatch emits no conjunct (fail open) instead of a wrong prune.
     */
-  def typedPartitionEqs(cond: Expression, partCols: Seq[String]):
-      Map[String, String] = {
+  def typedPartitionEqs(cond: Expression, partCols: Seq[String],
+      schema: StructType): Map[String, String] = {
+    val byName = schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
     val pcs = partCols.map(_.toLowerCase).toSet
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
     }
+    def eq(a: UnresolvedAttribute, l: Literal): Option[(String, String)] = {
+      val n = a.nameParts.last.toLowerCase
+      if (!pcs(n)) None
+      else byName.get(n).flatMap {
+        // a STRING partition column stores its values RAW (not
+        // canonicalized), so a cross-type literal — even one that casts
+        // losslessly — can coerce-match stored values the rendered
+        // literal does not equal ('100.0' vs literal 100 → '100'): only
+        // a same-type literal prunes there. Non-string partition columns
+        // render canonically at write, so a lossless cast is safe.
+        case StringType if l.dataType != StringType => None
+        case dt => literalAsColumn(l, dt)
+      }.map(n -> _)
+    }
     conjuncts(cond).flatMap {
-      case EqualTo(a: UnresolvedAttribute, l: Literal)
-          if pcs(a.nameParts.last.toLowerCase) =>
-        literalPathValue(l).map(a.nameParts.last.toLowerCase -> _)
-      case EqualTo(l: Literal, a: UnresolvedAttribute)
-          if pcs(a.nameParts.last.toLowerCase) =>
-        literalPathValue(l).map(a.nameParts.last.toLowerCase -> _)
+      case EqualTo(a: UnresolvedAttribute, l: Literal) => eq(a, l)
+      case EqualTo(l: Literal, a: UnresolvedAttribute) => eq(a, l)
       case _ => None
     }.toMap
   }
@@ -310,40 +345,90 @@ object LakeDmlSql {
     * STATS leg of the typed DML candidate prune (the partition leg is
     * [[typedPartitionEqs]]): a conjunct like `id >= 100` rules out every
     * file whose per-file `id` stats cannot overlap [100, ∞). Strict
-    * bounds widen to inclusive (always sound); rendering is the typed
-    * writer's own CAST-to-string, so numeric stats compare numerically
-    * and lexical stats lexically — restricted to ASCII values (Java vs
+    * bounds widen to inclusive (always sound); the literal renders
+    * through [[literalAsColumn]] — cast losslessly into the DECLARED
+    * column type, else no bound (fail open) — so the bound lives in the
+    * same comparison domain as the writer-collected stats, and a
+    * runtime-coerced comparison (string column vs numeric literal and
+    * the reverse) never produces a wrong prune or a parse error.
+    * Lexical stats additionally apply only to ASCII values (Java vs
     * UTF8-binary order can diverge beyond ASCII; fail open there).
     */
-  def typedStatsBounds(cond: Expression):
-      Seq[(String, Option[String], Option[String])] = {
+  /** One typed stats bound: the column, the inclusive lo/hi (None =
+    * open), and the comparison DOMAIN the runtime will use for this
+    * conjunct (true = numeric, false = lexical) — a file's stats apply
+    * only when their own domain flag matches; a mismatch fails open.
+    */
+  type StatsBound = (String, Option[String], Option[String], Boolean)
+
+  /** The runtime comparison domain + rendered bound value of `col <op>
+    * lit` for a column of `colType`, or None (no bound, fail open):
+    *  - numeric column: the literal must cast LOSSLESSLY into the column
+    *    type; domain numeric;
+    *  - string column vs string literal: domain lexical (runtime binary
+    *    comparison);
+    *  - string column vs numeric literal: the runtime coerces BOTH sides
+    *    to double, so the domain is numeric — sound only against
+    *    numeric-domain stats (all file values parsed), which the domain
+    *    match enforces;
+    *  - date/timestamp/boolean column: lossless cast, lexical domain
+    *    (their canonical CAST-to-STRING renderings order lexically).
+    */
+  private def domainBound(colType: DataType, l: Literal):
+      Option[(String, Boolean)] = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.{BooleanType, DateType, NumericType, TimestampType}
+    colType match {
+      case _: NumericType => literalAsColumn(l, colType).map((_, true))
+      case StringType => l.dataType match {
+        case _: NumericType =>
+          if (l.value == null) None
+          else Option(Cast(l, StringType, Some("UTC")).eval(null))
+            .map(v => (v.toString, true))
+        case StringType => literalAsColumn(l, colType).map((_, false))
+        case _ => None
+      }
+      case DateType | TimestampType | BooleanType =>
+        literalAsColumn(l, colType).map((_, false))
+      case _ => None
+    }
+  }
+
+  def typedStatsBounds(cond: Expression, schema: StructType): Seq[StatsBound] = {
     import org.apache.spark.sql.catalyst.expressions.{GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+    val byName = schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
     }
+    def bound(a: UnresolvedAttribute, l: Literal,
+        mk: (String, Boolean) => StatsBound): Option[StatsBound] = {
+      val n = a.nameParts.last.toLowerCase
+      byName.get(n).flatMap(domainBound(_, l))
+        .map { case (v, num) => mk(v, num) }
+    }
     def lastName(a: UnresolvedAttribute): String = a.nameParts.last.toLowerCase
     conjuncts(cond).flatMap {
       case EqualTo(a: UnresolvedAttribute, l: Literal) =>
-        literalPathValue(l).map(v => (lastName(a), Some(v), Some(v)))
+        bound(a, l, (v, n) => (lastName(a), Some(v), Some(v), n))
       case EqualTo(l: Literal, a: UnresolvedAttribute) =>
-        literalPathValue(l).map(v => (lastName(a), Some(v), Some(v)))
+        bound(a, l, (v, n) => (lastName(a), Some(v), Some(v), n))
       case GreaterThan(a: UnresolvedAttribute, l: Literal) =>
-        literalPathValue(l).map(v => (lastName(a), Some(v), None))
+        bound(a, l, (v, n) => (lastName(a), Some(v), None, n))
       case GreaterThanOrEqual(a: UnresolvedAttribute, l: Literal) =>
-        literalPathValue(l).map(v => (lastName(a), Some(v), None))
+        bound(a, l, (v, n) => (lastName(a), Some(v), None, n))
       case LessThan(a: UnresolvedAttribute, l: Literal) =>
-        literalPathValue(l).map(v => (lastName(a), None, Some(v)))
+        bound(a, l, (v, n) => (lastName(a), None, Some(v), n))
       case LessThanOrEqual(a: UnresolvedAttribute, l: Literal) =>
-        literalPathValue(l).map(v => (lastName(a), None, Some(v)))
+        bound(a, l, (v, n) => (lastName(a), None, Some(v), n))
       case GreaterThan(l: Literal, a: UnresolvedAttribute) =>
-        literalPathValue(l).map(v => (lastName(a), None, Some(v)))
+        bound(a, l, (v, n) => (lastName(a), None, Some(v), n))
       case GreaterThanOrEqual(l: Literal, a: UnresolvedAttribute) =>
-        literalPathValue(l).map(v => (lastName(a), None, Some(v)))
+        bound(a, l, (v, n) => (lastName(a), None, Some(v), n))
       case LessThan(l: Literal, a: UnresolvedAttribute) =>
-        literalPathValue(l).map(v => (lastName(a), Some(v), None))
+        bound(a, l, (v, n) => (lastName(a), Some(v), None, n))
       case LessThanOrEqual(l: Literal, a: UnresolvedAttribute) =>
-        literalPathValue(l).map(v => (lastName(a), Some(v), None))
+        bound(a, l, (v, n) => (lastName(a), Some(v), None, n))
       case _ => None
     }
   }
@@ -351,18 +436,21 @@ object LakeDmlSql {
   /** The combined fail-open typed prune: partition equality over path
     * values AND stats-bound overlap over per-file min/max (case-
     * insensitive field match — stats were written under the declared
-    * column name).
+    * column name). A bound applies only to stats in the SAME comparison
+    * domain (numeric vs lexical) the runtime will use for its conjunct;
+    * any mismatch — older stats measured under a different domain rule,
+    * classic parse-inferred stats on re-used fields — fails open.
     */
-  def typedPruneFor(eqs: Map[String, String],
-      bounds: Seq[(String, Option[String], Option[String])]):
+  def typedPruneFor(eqs: Map[String, String], bounds: Seq[StatsBound]):
       (Map[String, String],
         Map[String, graft.sources.WeatherLakeV2Sink.FieldStats]) => Boolean = {
     def ascii(s: String): Boolean = s.forall(_ < 128)
     (pv, stats) =>
       eqs.forall { case (k, v) => pv.get(k).forall(_ == v) } &&
-        bounds.forall { case (field, lo, hi) =>
+        bounds.forall { case (field, lo, hi, numericDomain) =>
           stats.find(_._1.equalsIgnoreCase(field)).map(_._2).forall { fs =>
-            if (!fs.numeric && !(ascii(fs.min) && ascii(fs.max) &&
+            if (fs.numeric != numericDomain) true // domain mismatch
+            else if (!fs.numeric && !(ascii(fs.min) && ascii(fs.max) &&
                 lo.forall(ascii) && hi.forall(ascii))) true
             else fs.overlaps(lo, hi)
           }
@@ -525,8 +613,8 @@ case class LakeDeleteCommand(stmt: DeleteFromTable) extends LeafRunnableCommand 
           predicate = df => LakeDmlSql.bindTyped(stmt.condition, df,
             schema.fieldNames.toSeq, "DELETE WHERE"),
           prune = LakeDmlSql.typedPruneFor(
-            LakeDmlSql.typedPartitionEqs(stmt.condition, partCols),
-            LakeDmlSql.typedStatsBounds(stmt.condition)),
+            LakeDmlSql.typedPartitionEqs(stmt.condition, partCols, schema),
+            LakeDmlSql.typedStatsBounds(stmt.condition, schema)),
           statsFields = t.statsFields, maxRecordsPerFile = mrpf)
       case None =>
         WeatherLakeV2Sink.deleteCommitted(spark, t.path,
@@ -574,9 +662,10 @@ case class LakeUpdateCommand(stmt: UpdateTable) extends LeafRunnableCommand {
           .getOrElse(lit(true)),
         assignments = assigns,
         prune = LakeDmlSql.typedPruneFor(
-          stmt.condition.map(LakeDmlSql.typedPartitionEqs(_, partCols))
+          stmt.condition.map(LakeDmlSql.typedPartitionEqs(_, partCols, schema))
             .getOrElse(Map.empty),
-          stmt.condition.map(LakeDmlSql.typedStatsBounds).getOrElse(Seq.empty)),
+          stmt.condition.map(LakeDmlSql.typedStatsBounds(_, schema))
+            .getOrElse(Seq.empty)),
         statsFields = t.statsFields, maxRecordsPerFile = mrpf)
       return Seq(Row(st.touchedFiles, st.newFiles, st.updatedRows))
     }

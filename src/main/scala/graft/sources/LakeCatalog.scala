@@ -81,6 +81,8 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
   private var catalogName: String = _
   private[sources] var warehouse: String = _
 
+  private var stageReclaimMs: Long = StageReclaimDefaultMs
+
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     warehouse = Option(options.get("warehouse")).map(_.stripSuffix("/"))
@@ -88,6 +90,8 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
       .getOrElse(throw new IllegalArgumentException(
         s"LakeCatalog '$name' requires a warehouse directory: set " +
           s"spark.sql.catalog.$name.warehouse"))
+    stageReclaimMs = Option(options.get("stageReclaimMs")).map(_.toLong)
+      .getOrElse(StageReclaimDefaultMs)
   }
 
   override def name(): String = catalogName
@@ -463,10 +467,15 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
     reclaimCrashedStage(regDir)
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val (props, table) = prepareTable(ident, schema, partitions, properties)
-    // claim the name NOW: create-only rename, one winner
-    writeMarker(fs.getConf, regDir, props, staged = true)
+    // claim the name NOW: create-only rename, one winner. The claim
+    // carries a per-stage UUID so commit/abort can verify the marker is
+    // still THIS stage's — a concurrent CREATE/CTAS that somehow replaced
+    // the claim must fail loudly, never be silently clobbered.
+    val stageId = util.UUID.randomUUID().toString
+    writeMarker(fs.getConf, regDir, props, staged = true,
+      stageId = Some(stageId))
     new StagedLakeTable(table, fs.getConf, regDir, props,
-      replaceMode = false)
+      replaceMode = false, stageId = Some(stageId))
   }
 
   /** Atomic `REPLACE TABLE … AS SELECT`: the SELECT's write runs as a
@@ -509,12 +518,22 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
     else stageCreate(ident, schema, partitions, properties)
 
   /** A staged marker with no live publisher is a crashed CTAS: invisible
-    * to every reader, safe to reclaim (the flag is OUR claim, never user
-    * data).
+    * to every reader, reclaimable (the flag is OUR claim, never user
+    * data) — but ONLY once it is old enough that no live CTAS can still
+    * own it (`stageReclaimMs`, catalog option, default 24h). Reclaiming
+    * any staged marker unconditionally would let a concurrent CREATE/CTAS
+    * of the same name destroy an IN-FLIGHT stage's claim and data
+    * mid-write; with the age gate, a young claim makes the newcomer lose
+    * loudly on the create-only marker rename (the documented one-winner
+    * rule), and only genuinely dead claims are swept.
     */
-  private def reclaimCrashedStage(regDir: String): Unit =
-    if (fs.exists(markerOf(regDir)) && markerStaged(fs.getConf, regDir))
+  private def reclaimCrashedStage(regDir: String): Unit = {
+    val marker = markerOf(regDir)
+    if (fs.exists(marker) && markerStaged(fs.getConf, regDir) &&
+        fs.getFileStatus(marker).getModificationTime <
+          System.currentTimeMillis() - stageReclaimMs)
       fs.delete(new Path(regDir), true)
+  }
 
   /** The shared CREATE-shape validation of [[createTable]]/[[stageCreate]]:
     * classic vs typed routing, property preparation, and the table face
@@ -587,6 +606,13 @@ object LakeCatalog {
   /** Marker properties of a typed table (never user-set directly). */
   val SchemaProp = "schemaJson"
   val PartitionColsProp = "partitionColumns"
+
+  /** Default age before a STAGED marker (in-flight CTAS claim) may be
+    * reclaimed by a later CREATE/CTAS of the same name — long enough that
+    * no live stage can still own it (a CTAS write can legitimately run
+    * for hours at scale). Catalog option `stageReclaimMs` overrides.
+    */
+  val StageReclaimDefaultMs: Long = 24L * 60 * 60 * 1000
 
   val ProcedureNamespace = "system"
   val ProcedureNames: Seq[String] =
@@ -671,9 +697,23 @@ object LakeCatalog {
     node.path("staged").asBoolean(false)
   }
 
+  /** The per-stage UUID a staged marker carries (None for un-staged
+    * markers and pre-stageId claims) — the ownership token
+    * [[StagedLakeTable.commitStagedChanges]] verifies before un-staging.
+    */
+  private[graft] def markerStageId(conf: Configuration, dir: String): Option[String] = {
+    val fs = new Path(dir).getFileSystem(conf)
+    val in = fs.open(new Path(dir, MarkerFile))
+    val node =
+      try mapper.readTree(in)
+      finally in.close()
+    Option(node.path("stageId").asText(null)).filter(_.nonEmpty)
+  }
+
   private[graft] def writeMarker(conf: Configuration, dir: String,
       props: util.Map[String, String], overwrite: Boolean = false,
-      formatVersion: Int = 0, staged: Boolean = false): Unit = {
+      formatVersion: Int = 0, staged: Boolean = false,
+      stageId: Option[String] = None): Unit = {
     val fs = new Path(dir).getFileSystem(conf)
     if (!fs.exists(new Path(dir))) fs.mkdirs(new Path(dir))
     val root = mapper.createObjectNode()
@@ -683,6 +723,7 @@ object LakeCatalog {
       else MarkerFormatVersion
     root.put("format", v)
     if (staged) root.put("staged", true)
+    stageId.foreach(root.put("stageId", _))
     val p = root.putObject("properties")
     props.forEach((k, v) => p.put(k, v))
     // write-temp-then-rename, the manifest discipline: the marker appears
@@ -1023,34 +1064,43 @@ object LakeCatalog {
       if (l.value == null) None
       else Option(CCast(l, StringType, Some("UTC")).eval(null)).map(_.toString)
 
-    /** (field, lo, hi) bounds of one pushed conjunct, when it is a
-      * simple comparison between a top-level column and a literal.
-      * Strict bounds widen to inclusive (sound for pruning).
+    /** (field, lo, hi, numericDomain) bounds of one pushed conjunct, when
+      * it is a simple comparison between a top-level column and a
+      * literal. Strict bounds widen to inclusive (sound for pruning).
+      * The conjunct's comparison DOMAIN follows the resolved column type
+      * (these are engine-pushed, type-coerced expressions — a cross-type
+      * comparison arrives wrapped in Cast and matches no pattern here, so
+      * it fails open); pruning applies a bound only to stats flagged with
+      * the SAME domain, never a numeric bound to lexical endpoints or the
+      * reverse.
       */
-    private def boundsOf(e: Expression): Option[(String, Option[String], Option[String])] =
+    private def boundsOf(e: Expression): Option[(String, Option[String], Option[String], Boolean)] = {
+      def num(a: AttributeReference): Boolean =
+        a.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
       e match {
         case CEq(a: AttributeReference, l: CLit) =>
-          render(l).map(v => (a.name, Some(v), Some(v)))
+          render(l).map(v => (a.name, Some(v), Some(v), num(a)))
         case CEq(l: CLit, a: AttributeReference) =>
-          render(l).map(v => (a.name, Some(v), Some(v)))
+          render(l).map(v => (a.name, Some(v), Some(v), num(a)))
         case GreaterThan(a: AttributeReference, l: CLit) =>
-          render(l).map(v => (a.name, Some(v), None))
+          render(l).map(v => (a.name, Some(v), None, num(a)))
         case GreaterThanOrEqual(a: AttributeReference, l: CLit) =>
-          render(l).map(v => (a.name, Some(v), None))
+          render(l).map(v => (a.name, Some(v), None, num(a)))
         case LessThan(a: AttributeReference, l: CLit) =>
-          render(l).map(v => (a.name, None, Some(v)))
+          render(l).map(v => (a.name, None, Some(v), num(a)))
         case LessThanOrEqual(a: AttributeReference, l: CLit) =>
-          render(l).map(v => (a.name, None, Some(v)))
+          render(l).map(v => (a.name, None, Some(v), num(a)))
         case GreaterThan(l: CLit, a: AttributeReference) =>
-          render(l).map(v => (a.name, None, Some(v)))
+          render(l).map(v => (a.name, None, Some(v), num(a)))
         case GreaterThanOrEqual(l: CLit, a: AttributeReference) =>
-          render(l).map(v => (a.name, None, Some(v)))
+          render(l).map(v => (a.name, None, Some(v), num(a)))
         case LessThan(l: CLit, a: AttributeReference) =>
-          render(l).map(v => (a.name, Some(v), None))
+          render(l).map(v => (a.name, Some(v), None, num(a)))
         case LessThanOrEqual(l: CLit, a: AttributeReference) =>
-          render(l).map(v => (a.name, Some(v), None))
+          render(l).map(v => (a.name, Some(v), None, num(a)))
         case _ => None
       }
+    }
 
     override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
       if (inner == null && statsOf.nonEmpty) {
@@ -1065,9 +1115,10 @@ object LakeCatalog {
           if (bounds.isEmpty) files
           else files.filter { f =>
             val st = statsOf.getOrElse(f, Map.empty)
-            bounds.forall { case (field, lo, hi) =>
+            bounds.forall { case (field, lo, hi, numericDomain) =>
               st.get(field).forall { fs =>
-                if (!fs.numeric && !(ascii(fs.min) && ascii(fs.max) &&
+                if (fs.numeric != numericDomain) true // domain mismatch
+                else if (!fs.numeric && !(ascii(fs.min) && ascii(fs.max) &&
                     lo.forall(ascii) && hi.forall(ascii))) true
                 else fs.overlaps(lo, hi)
               }
@@ -1139,7 +1190,8 @@ object LakeCatalog {
     * (the write's files stay unreferenced orphans).
     */
   class StagedLakeTable(inner: Table, conf: Configuration, regDir: String,
-      props: util.HashMap[String, String], replaceMode: Boolean)
+      props: util.HashMap[String, String], replaceMode: Boolean,
+      stageId: Option[String] = None)
       extends StagedTable with SupportsWrite {
     private val path: String =
       props.getOrDefault(TableCatalog.PROP_LOCATION, regDir)
@@ -1196,6 +1248,19 @@ object LakeCatalog {
           }
       }
 
+    /** Whether the staged marker at `regDir` is still THIS stage's claim
+      * (staged flag + matching per-stage UUID). A missing/replaced/
+      * un-staged marker means a concurrent operation interfered with the
+      * claim — commit must fail LOUDLY (un-staging would clobber the
+      * interloper's table), abort must not delete what isn't ours.
+      */
+    private def claimIsOurs: Boolean = {
+      val f = fs(regDir)
+      f.exists(new Path(regDir, MarkerFile)) &&
+        markerStaged(conf, regDir) &&
+        stageId.exists(markerStageId(conf, regDir).contains)
+    }
+
     override def commitStagedChanges(): Unit = {
       if (replaceMode) {
         val entries = buffered.getOrElse(throw new IllegalStateException(
@@ -1204,18 +1269,25 @@ object LakeCatalog {
         WeatherLakeV2Sink.publishCommit(path, "overwrite",
           snapshot = replaceSnapshot, supersedes = replaceSnapshot,
           lines = entries, payload = payload)
+        writeMarker(conf, regDir, props, overwrite = true)
+      } else {
+        // CREATE mode: verify the claim is still ours before un-staging —
+        // a concurrent CREATE/CTAS that reclaimed or replaced the marker
+        // must surface as a loud loss, never a silent marker clobber
+        if (!claimIsOurs) throw new IllegalStateException(
+          s"LakeCatalog: CTAS commit of $regDir lost its staged claim — " +
+            "a concurrent CREATE/CTAS (or a stage reclaim) replaced the " +
+            "marker after this stage claimed the name; this statement's " +
+            "data was never published. Retry under a fresh name or after " +
+            "the winner finishes.")
+        writeMarker(conf, regDir, props, overwrite = true)
       }
-      writeMarker(conf, regDir, props, overwrite = replaceMode ||
-        fs(regDir).exists(new Path(regDir, MarkerFile)))
     }
 
     override def abortStagedChanges(): Unit =
       if (!replaceMode) {
-        // the claim is OURS (staged flag): reclaim the directory
-        val f = fs(regDir)
-        if (f.exists(new Path(regDir, MarkerFile)) &&
-            markerStaged(conf, regDir))
-          f.delete(new Path(regDir), true)
+        // reclaim the directory only when the claim is still OURS
+        if (claimIsOurs) fs(regDir).delete(new Path(regDir), true)
       } // replace: nothing published — the table is untouched
 
     private def fs(dir: String) = new Path(dir).getFileSystem(conf)

@@ -169,7 +169,13 @@ object TypedLake {
     private final class OpenFile(val path: String) {
       val writer = new ParquetOutputWriter(path, ctx)
       var rows = 0L
-      val accs: Array[FieldAcc] = Array.fill(statsIdx.length)(new FieldAcc)
+      // the stats comparison domain is pinned by the DECLARED column type
+      // (numeric columns → numeric min/max, everything else → lexical),
+      // matching measureStatsTyped — a string column of numeric-looking
+      // values must still carry LEXICAL endpoints, because its runtime
+      // comparisons are lexical
+      val accs: Array[FieldAcc] = statsIdx.map(i => new FieldAcc(
+        forceDomain = Some(schema(i).dataType.isInstanceOf[NumericType])))
       def entryLine(): String = {
         val st = statsFields.zip(accs)
           .flatMap { case (f, a) => a.stats.map(f -> _) }.toMap
@@ -544,7 +550,7 @@ object TypedLake {
         matchedUpdate = Some(None), insert = Some(None)),
       statsFields: Seq[String] = Nil,
       maxRecordsPerFile: Long = 0L): WeatherLakeV2Sink.MergeStats = {
-    import org.apache.spark.sql.functions.{broadcast, coalesce, when}
+    import org.apache.spark.sql.functions.{coalesce, when}
     WeatherLakeV2Sink.requirePayload(basePath, Payload, "mergeTyped")
     val names = schema.fieldNames.toSeq
     require(keyCols.nonEmpty && keyCols.forall(names.contains),
@@ -583,8 +589,11 @@ object TypedLake {
       if (candidates.isEmpty) Seq.empty
       else if (fullSync) candidates // full-sync rewrites its whole domain
       else {
+        // no broadcast hint: the merge source can be arbitrarily large
+        // (CDC backfills), and a forced broadcast of its whole key set
+        // would OOM the driver — AQE elects broadcast when small
         val cand = framedTyped(spark, basePath, schema, candidates)
-        cand.join(broadcast(batchKeys), keyCols, "left_semi")
+        cand.join(batchKeys, keyCols, "left_semi")
           .select(col("__file")).distinct()
           .collect().map(_.getString(0)).toSeq
       }
@@ -849,6 +858,28 @@ object TypedLake {
       .filterNot(inCompactedDir)
     val rows = readTyped(spark, basePath, schema,
       multi.values.flatten.toSeq)
+    // honor targetBytes in the OUTPUT too, not only in candidacy: the
+    // typed task writer rolls on maxRecordsPerFile alone, so without a
+    // cap a clustered compaction would write ONE unbounded file per
+    // partition per task — inert file-list pruning (one file spans the
+    // whole key range) and an over-target file at scale. When the caller
+    // set no explicit cap, derive one from the candidates' own
+    // bytes-per-row (same format + compression in and out, so the
+    // estimate tracks): cap = targetBytes / (inputBytes / inputRows).
+    // The count is one metadata-cheap pass over candidate footers.
+    val effectiveMrpf: Long =
+      if (maxRecordsPerFile > 0) maxRecordsPerFile
+      else {
+        val inputBytes = multi.values.flatten
+          .map(f => fs.getFileStatus(new Path(f)).getLen).sum
+        if (inputBytes <= targetBytes) 0L // can't exceed the target anyway
+        else {
+          val inputRows = rows.count()
+          if (inputRows <= 0) 0L
+          else math.max(1L,
+            (targetBytes.toDouble / (inputBytes.toDouble / inputRows)).toLong)
+        }
+      }
     val arranged = clusterExpr match {
       case Some(e) if partCols.nonEmpty =>
         rows.repartition(partCols.map(col): _*)
@@ -862,7 +893,7 @@ object TypedLake {
     val newFiles =
       if (clusterExpr.isDefined) {
         val base = basePath; val sch = schema; val pc = partCols
-        val sf = statsFields; val mrpf = maxRecordsPerFile
+        val sf = statsFields; val mrpf = effectiveMrpf
         arranged.select(schema.fieldNames.map(col).toSeq: _*)
           .queryExecution.toRdd.mapPartitions { it =>
             val w = new TypedTaskWriter(base, "compact", sch, pc, sf, mrpf)
@@ -870,7 +901,7 @@ object TypedLake {
             catch { case e: Throwable => w.abortAll(); throw e }
           }.collect().toSeq
       } else writeTypedFrame(rows, basePath, "compact", schema, partCols,
-        statsFields, maxRecordsPerFile)
+        statsFields, effectiveMrpf)
     WeatherLakeV2Sink.publishCommit(basePath, "compact", snapshot = snapshot,
       supersedes = touchedManifests, lines = keep ++ newFiles,
       payload = Some(Payload))

@@ -387,11 +387,17 @@ object WeatherLakeV2Sink {
     /** Could a value in [lo, hi] (inclusive, either side open when None)
       * exist in this file? The pruning test: keep the file iff true.
       */
-    def overlaps(lo: Option[String], hi: Option[String]): Boolean = {
-      def le(a: String, b: String): Boolean =
-        if (numeric) a.toDouble <= b.toDouble else a <= b
-      lo.forall(l => le(l, max)) && hi.forall(h => le(min, h))
-    }
+    def overlaps(lo: Option[String], hi: Option[String]): Boolean =
+      try {
+        def le(a: String, b: String): Boolean =
+          if (numeric) a.toDouble <= b.toDouble else a <= b
+        lo.forall(l => le(l, max)) && hi.forall(h => le(min, h))
+      } catch {
+        // an unparsable numeric bound (e.g. a string literal compared to
+        // a numeric-stats column) cannot rule the file out — fail OPEN,
+        // the keep-rule of all pruning here, never throw out of a prune
+        case _: NumberFormatException => true
+      }
   }
 
   private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -1744,8 +1750,11 @@ object WeatherLakeV2Sink {
                 .map(_.getString(0)).toSeq
             case Some(nmbs) =>
               // a file is touched when it holds a batch key OR a
-              // survivor the full-sync condition deletes — one pass
-              keyed.join(broadcast(batchKeys.withColumn("__in", lit(true))),
+              // survivor the full-sync condition deletes — one pass.
+              // No broadcast hint: a full-sync source can be table-sized,
+              // and a forced broadcast of its whole key set would OOM the
+              // driver — AQE elects broadcast when it is actually small
+              keyed.join(batchKeys.withColumn("__in", lit(true)),
                   Seq("__key"), "left")
                 .filter(col("__in").isNotNull ||
                   coalesce(nmbs(keyed), lit(false)))
@@ -2489,9 +2498,17 @@ object WeatherLakeV2Sink {
     * parsed as a double. Absent/null values don't widen the range (sound
     * for range predicates — null never satisfies one).
     */
-  private[sources] class FieldAcc {
+  /** `forceDomain` pins the comparison domain by the DECLARED column type
+    * (typed tables): Some(true) = numeric stats (falls back to lexical if
+    * a value defensively fails to parse), Some(false) = lexical stats even
+    * when every value happens to parse as a number — a STRING column
+    * compares lexically at runtime, so numeric-ordered min/max endpoints
+    * would be unsound for its pruning. None = infer by parsing (classic
+    * JSON-field stats, where the stored value has no declared type).
+    */
+  private[sources] class FieldAcc(forceDomain: Option[Boolean] = None) {
     var seen = false
-    var allNum = true
+    var allNum = forceDomain.getOrElse(true)
     var lexMin: String = _; var lexMax: String = _
     var numMin = 0.0; var numMax = 0.0
     def add(v: String): Unit = {

@@ -52,14 +52,56 @@ class LakeCtasSpec extends SparkSpec {
     val conf = new org.apache.hadoop.conf.Configuration()
     val props = new java.util.HashMap[String, String]()
     props.put("location", s"$warehouse/t3")
-    LakeCatalog.writeMarker(conf, s"$warehouse/t3", props, staged = true)
+    LakeCatalog.writeMarker(conf, s"$warehouse/t3", props, staged = true,
+      stageId = Some("dead-stage"))
     // invisible to existence checks and listings
     assert(!spark.catalog.tableExists("ctas.t3"))
     assert(!spark.sql("SHOW TABLES IN ctas").collect()
       .map(_.getString(1)).contains("t3"))
-    // the next CREATE of the name reclaims the dead claim and succeeds
+    // a YOUNG staged claim still reserves the name: the next CREATE of it
+    // loses loudly on the create-only marker rename rather than
+    // destroying a possibly-live stage's claim mid-write
+    val eYoung = intercept[Exception](spark.sql(
+      "CREATE TABLE ctas.t3 USING lake AS SELECT 7 AS x"))
+    assert(eYoung.getMessage.contains("concurrent table creation"),
+      eYoung.getMessage)
+    // once the claim is older than the reclaim window it is a dead stage:
+    // the next CREATE of the name reclaims it and succeeds
+    val fs = new org.apache.hadoop.fs.Path(warehouse).getFileSystem(conf)
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$warehouse/t3", LakeCatalog.MarkerFile)
+    val old = System.currentTimeMillis() -
+      LakeCatalog.StageReclaimDefaultMs - 60000L
+    fs.setTimes(marker, old, old)
     spark.sql("CREATE TABLE ctas.t3 USING lake AS SELECT 7 AS x")
     assert(spark.table("ctas.t3").collect().map(_.getInt(0)).toSeq == Seq(7))
+  }
+
+  test("a stage whose claim was replaced underneath it fails LOUDLY at " +
+      "commit instead of clobbering the winner's marker") {
+    warehouse
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array.empty[String], "t8")
+    val cat = spark.sessionState.catalogManager.catalog("ctas")
+      .asInstanceOf[LakeCatalog]
+    val staged = cat.stageCreate(ident,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("x",
+          org.apache.spark.sql.types.IntegerType))),
+      Array.empty, new java.util.HashMap[String, String]())
+    // an interloper replaces the claim (what an unconditional reclaim +
+    // re-stage used to produce)
+    val props = new java.util.HashMap[String, String]()
+    props.put("location", s"$warehouse/t8")
+    LakeCatalog.writeMarker(conf, s"$warehouse/t8", props, overwrite = true,
+      staged = true, stageId = Some("interloper"))
+    val e = intercept[IllegalStateException](staged.commitStagedChanges())
+    assert(e.getMessage.contains("lost its staged claim"), e.getMessage)
+    // abort must NOT delete the interloper's claim either
+    staged.abortStagedChanges()
+    assert(LakeCatalog.markerStageId(conf, s"$warehouse/t8")
+      .contains("interloper"))
   }
 
   test("RTAS: REPLACE TABLE AS SELECT swaps data and schema in one " +

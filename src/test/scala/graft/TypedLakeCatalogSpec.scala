@@ -404,10 +404,11 @@ class TypedLakeCatalogSpec extends SparkSpec {
     assert(spark.table("tlake.sp").count() == 34)
     import graft.plans.LakeDmlSql
     import graft.sources.WeatherLakeV2Sink.FieldStats
+    val spSchema = spark.table("tlake.sp").schema
     val cond = spark.sessionState.sqlParser.parseExpression(
       "id >= 100 AND id < 200 AND tag = 't1'")
     val prune = LakeDmlSql.typedPruneFor(Map.empty,
-      LakeDmlSql.typedStatsBounds(cond))
+      LakeDmlSql.typedStatsBounds(cond, spSchema))
     val inRange = Map("id" -> FieldStats("100", "150", numeric = true),
       "tag" -> FieldStats("t1", "t1", numeric = false))
     // min 201, not 200: the strict `id < 200` bound widens to <= 200
@@ -423,6 +424,50 @@ class TypedLakeCatalogSpec extends SparkSpec {
     // non-ASCII lexical stats never prune (order-divergence guard)
     assert(prune(Map.empty, Map("tag" ->
       FieldStats("𐀀", "𐀁", numeric = false))))
+    // IMPLICIT-COERCION guards (fail open, never a wrong prune): a
+    // numeric literal against the STRING column carries the NUMERIC
+    // domain (the runtime coerces both sides to double), so it never
+    // applies to the string column's lexical stats — min=max='0150' vs
+    // tag > 100 used to prune lexically yet CAST('0150' AS DOUBLE) > 100
+    val coerced = spark.sessionState.sqlParser.parseExpression("tag > 100")
+    val coercedBounds = LakeDmlSql.typedStatsBounds(coerced, spSchema)
+    assert(coercedBounds == Seq(("tag", Some("100"), None, true)))
+    assert(LakeDmlSql.typedPruneFor(Map.empty, coercedBounds)(Map.empty,
+      Map("tag" -> FieldStats("0150", "0150", numeric = false))))
+    // a non-numeric string literal against the NUMERIC column emits no
+    // bound either (and stats overlap itself no longer throws on an
+    // unparsable numeric bound — fail open)
+    val junk = spark.sessionState.sqlParser.parseExpression("id = 'abc'")
+    assert(LakeDmlSql.typedStatsBounds(junk, spSchema).isEmpty)
+    assert(FieldStats("100", "200", numeric = true)
+      .overlaps(Some("abc"), Some("abc")))
+    // a LOSSLESSLY-castable literal still emits its bound, rendered in
+    // the column's own domain: id = '150' → bound "150"; id = 150.0 →
+    // "150" (not "150.0"); id = 150.5 is lossy → no bound
+    val s150 = spark.sessionState.sqlParser.parseExpression("id = '150'")
+    assert(LakeDmlSql.typedStatsBounds(s150, spSchema) ==
+      Seq(("id", Some("150"), Some("150"), true)))
+    val d150 = spark.sessionState.sqlParser.parseExpression("id = 150.0")
+    assert(LakeDmlSql.typedStatsBounds(d150, spSchema) ==
+      Seq(("id", Some("150"), Some("150"), true)))
+    // a STRING column whose values all parse as numbers carries LEXICAL
+    // stats under the typed writer, and a lexical bound never applies to
+    // numeric-domain stats: tag > '150' against numeric stats fails open
+    // (file values {9} are lexically > '150' though numerically below)
+    val lex = spark.sessionState.sqlParser.parseExpression("tag > '150'")
+    val lexBounds = LakeDmlSql.typedStatsBounds(lex, spSchema)
+    assert(lexBounds == Seq(("tag", Some("150"), None, false)))
+    assert(LakeDmlSql.typedPruneFor(Map.empty, lexBounds)(Map.empty,
+      Map("tag" -> FieldStats("9.0", "9.0", numeric = true))))
+    val lossy = spark.sessionState.sqlParser.parseExpression("id = 150.5")
+    assert(LakeDmlSql.typedStatsBounds(lossy, spSchema).isEmpty)
+    // same gate on the partition leg: a wrong-domain literal never
+    // produces a partition-equality prune conjunct
+    val pCond = spark.sessionState.sqlParser.parseExpression("tag = 100")
+    assert(LakeDmlSql.typedPartitionEqs(pCond, Seq("tag"), spSchema).isEmpty)
+    val pOk = spark.sessionState.sqlParser.parseExpression("tag = 't1'")
+    assert(LakeDmlSql.typedPartitionEqs(pOk, Seq("tag"), spSchema) ==
+      Map("tag" -> "t1"))
   }
 
   test("an empty typed table SELECTs as zero rows with the declared " +

@@ -314,4 +314,48 @@ class TypedLakeSpec extends SparkSpec {
     assert(WeatherLakeV2Sink.committedEntryLines(lake)
       .forall(l => WeatherLakeV2Sink.lineStats(l).contains("id")))
   }
+
+  test("typed compact honors target_bytes in the OUTPUT: a clustered " +
+      "rewrite rolls files at the byte target (records-per-file cap " +
+      "derived from the candidates' own bytes-per-row) instead of one " +
+      "unbounded file per partition") {
+    val lake = tmp("typedlakeroll")
+    val sch = StructType(schema.fields.filterNot(_.name == "day"))
+    val pc = Seq("region")
+    val s = spark
+    import s.implicits._
+    // 2 small files in ONE region dir, ~2000 rows total
+    (0 until 2).foreach { k =>
+      val df = (0 until 2000).filter(_ % 2 == k)
+        .map(i => (i.toLong, s"name-$i-padpadpadpad", i * 1.0, "r0"))
+        .toDF("id", "name", "score", "region")
+      TypedLake.appendTyped(spark, lake, df, sch, pc)
+    }
+    val inputBytes = {
+      val fs = new org.apache.hadoop.fs.Path(lake)
+        .getFileSystem(new org.apache.hadoop.conf.Configuration())
+      WeatherLakeV2Sink.committedFiles(lake)
+        .map(f => fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen)
+        .sum
+    }
+    // a byte target of ~1/4 the input must produce SEVERAL rolled files
+    val dirs = TypedLake.compactTyped(spark, lake, sch, pc,
+      targetBytes = inputBytes / 4,
+      clusterExpr = Some(df => df("id")), statsFields = Seq("id"))
+    assert(dirs == 1)
+    val after = WeatherLakeV2Sink.committedFiles(lake)
+    assert(after.size >= 3, s"expected rolled output, got ${after.size} files")
+    // content intact, and the per-file stats now cover DISJOINT id
+    // ranges (the dual-skipping claim: clustering + rolling together
+    // make the file list prunable)
+    assert(TypedLake.readCommittedTyped(spark, lake, sch).count() == 2000)
+    val ranges = WeatherLakeV2Sink.committedEntryLines(lake)
+      .flatMap(l => WeatherLakeV2Sink.lineStats(l).get("id"))
+      .map(fs => (fs.min.toDouble, fs.max.toDouble)).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi <= lo2,
+        s"overlapping post-ZORDER ranges: $ranges")
+      case _ => ()
+    }
+  }
 }
