@@ -1369,7 +1369,8 @@ object LakeCatalog {
 
   class LakeTableScan(path: String, pinned: Option[Seq[String]],
       required: StructType, partEq: Map[String, String],
-      options: CaseInsensitiveStringMap) extends Scan with Batch {
+      options: CaseInsensitiveStringMap) extends Scan with Batch
+      with org.apache.spark.sql.connector.read.SupportsReportStatistics {
     override def readSchema(): StructType = required
     override def description(): String =
       s"lake_table_scan($path" +
@@ -1383,12 +1384,43 @@ object LakeCatalog {
       pv.isEmpty || partEq.forall { case (k, v) => pv.get(k).forall(_ == v) }
     }
 
-    override def planInputPartitions(): Array[InputPartition] = {
+    private def plannedFiles: Seq[String] = {
       val files = pinned.map(WeatherLakeV2Sink.filesAsOf(path, _))
         .getOrElse(WeatherLakeV2Sink.committedFiles(path))
       files.filter(keep).sorted
+    }
+
+    override def planInputPartitions(): Array[InputPartition] =
+      plannedFiles
         .map(WeatherLakeV2StreamSource.LakeFilePartition(_): InputPartition)
         .toArray
+
+    /** Report the scan's size to the optimizer so a small lake table gets
+      * AUTOMATIC broadcast election in joins (the typed face inherits
+      * this from the engine's FileScan; the classic line scan must say it
+      * itself — without it the relation defaults to "huge" and a 25-row
+      * dim table shuffle-joins). Size = total bytes of the PRUNED
+      * committed file list, gathered with one listStatus per directory
+      * (O(dirs) driver RPCs, the manifest-read class), computed once per
+      * scan. Row count is left unknown — lines are unparsed until read.
+      */
+    override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+      val fs = new Path(path).getFileSystem(new Configuration())
+      val wanted = plannedFiles.map(f => new Path(f).toUri.getPath).toSet
+      val bytes = plannedFiles.map(f => new Path(f).getParent).distinct
+        .flatMap { dir =>
+          try fs.listStatus(dir).toSeq catch {
+            case _: java.io.FileNotFoundException => Seq.empty
+          }
+        }
+        .filter(st => wanted(st.getPath.toUri.getPath))
+        .map(_.getLen).sum
+      new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes(): java.util.OptionalLong =
+          java.util.OptionalLong.of(bytes)
+        override def numRows(): java.util.OptionalLong =
+          java.util.OptionalLong.empty()
+      }
     }
 
     override def createReaderFactory(): PartitionReaderFactory =

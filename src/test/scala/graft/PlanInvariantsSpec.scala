@@ -164,6 +164,48 @@ class PlanInvariantsSpec extends SparkSpec {
       "q41 NOT IN not rewritten to anti-join")
   }
 
+  test("lake scans report statistics: a SMALL catalog table (classic AND " +
+      "typed) joined to a big frame elects BroadcastHashJoin WITHOUT a " +
+      "hint") {
+    val w = java.nio.file.Files.createTempDirectory("statswh").toString
+    spark.conf.set("spark.sql.catalog.statlake", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.statlake.warehouse", w)
+    // typed dim: 25 rows of parquet — FileScan-inherited stats
+    spark.sql("""CREATE TABLE statlake.dim_t (k BIGINT, name STRING)
+      USING lake""")
+    spark.sql("""INSERT INTO statlake.dim_t
+      SELECT id AS k, concat('n-', id) AS name FROM range(25)""")
+    // classic dim: 25 JSON lines — LakeTableScan's own estimateStatistics
+    spark.sql("""CREATE TABLE statlake.dim_c
+      (city STRING, ds STRING, hour STRING, value STRING) USING lake""")
+    spark.sql("""INSERT INTO statlake.dim_c
+      SELECT concat('c', id % 5), '2024-01-01', '00',
+        concat('line-', id) FROM range(25)""")
+    val big = spark.range(500000).selectExpr("id % 25 AS k",
+      "concat('c', id % 5) AS city", "id AS v")
+    val pt = big.join(spark.table("statlake.dim_t"), "k")
+      .groupBy("name").count()
+      .queryExecution.executedPlan.toString
+    assert(pt.contains("BroadcastHashJoin"),
+      s"typed lake dim not auto-broadcast:\n$pt")
+    val pc = big.join(spark.table("statlake.dim_c"), "city")
+      .groupBy("ds").count()
+      .queryExecution.executedPlan.toString
+    assert(pc.contains("BroadcastHashJoin"),
+      s"classic lake dim not auto-broadcast:\n$pc")
+    // and the reported size is the real on-disk footprint, not a default
+    val scan = spark.table("statlake.dim_c").queryExecution.executedPlan
+      .collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan
+      }.get
+    val sz = scan.asInstanceOf[
+        org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics().sizeInBytes()
+    assert(sz.isPresent && sz.getAsLong > 0 && sz.getAsLong < 1024 * 1024,
+      s"classic scan size estimate off: $sz")
+  }
+
   test("sweep: no CartesianProduct, and plans/ snapshots are FRESH") {
     // iterative queries (d06) run their loop during plan construction at
     // sf0.001 — acceptable here; this sweep is the whole point of the gate.
