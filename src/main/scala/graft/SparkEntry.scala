@@ -6447,6 +6447,47 @@ object SparkEntry {
           .groupBy(col("n_name"))
           .agg(sum(revenue).cast("double").as("revenue"),
             count(lit(1)).cast("long").as("n_items"))
+      }),
+
+    QueryDef("q114_convert_to_lake",
+      "CONVERT TO LAKE (in-place adoption, the round-12 verdict's #3 — " +
+        "Iceberg snapshot/migrate, Delta CONVERT TO DELTA): a PLAIN " +
+        "partitioned Parquet directory written by anyone becomes a lake " +
+        "table with ZERO data rewrite — CALL lake.system.convert lists " +
+        "the files once (O(files) driver metadata), publishes ONE " +
+        "`#payload parquet` manifest over them, registers the catalog " +
+        "marker pointing at the directory (external semantics: DROP never " +
+        "deletes adopted data), and backfills per-file stats so the " +
+        "skipping layer starts populated. The first thing a real user " +
+        "with existing data runs. After adoption the FULL typed surface " +
+        "works on the adopted files; this query proves it by running an " +
+        "UPDATE through SQL DML and reading the final state back through " +
+        "the catalog scan. The oracle replays adoption+update " +
+        "relationally over the raw documents table.",
+      Some("""SELECT doc_id, CAST(CASE WHEN doc_id % 7 = 2
+        |  THEN doc_id * 5 ELSE doc_id END AS BIGINT) AS val
+        |FROM documents""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val sig = graft.similarity.ModelExport.corpusSig(docs, "doc_id")
+        s.conf.set("spark.sql.catalog.graftlake", "graft.sources.LakeCatalog")
+        s.conf.set("spark.sql.catalog.graftlake.warehouse",
+          "/tmp/graft_catalog_wh")
+        val t = s"typed_conv_$sig"
+        val plain = s"/tmp/graft_convert_plain/sig=$sig"
+        val fs = new org.apache.hadoop.fs.Path(plain)
+          .getFileSystem(new org.apache.hadoop.conf.Configuration())
+        if (!fs.exists(new org.apache.hadoop.fs.Path(plain)))
+          docs.select(col("doc_id").cast("long").as("doc_id"),
+              col("doc_id").cast("long").as("val"), col("source"))
+            .write.partitionBy("source").parquet(plain)
+        if (!s.catalog.tableExists(s"graftlake.$t"))
+          s.sql(s"""CALL graftlake.system.convert('$t', path => '$plain',
+            schema_ddl => 'doc_id BIGINT, val BIGINT, source STRING',
+            partition_cols => 'source', stats_fields => 'doc_id')""")
+        s.sql(s"""UPDATE graftlake.$t SET val = doc_id * 5
+          WHERE doc_id % 7 = 2""")
+        s.sql(s"SELECT doc_id, val FROM graftlake.$t")
       })
   )
 

@@ -617,7 +617,7 @@ object LakeCatalog {
   val ProcedureNamespace = "system"
   val ProcedureNames: Seq[String] =
     Seq("vacuum", "sweep_orphans", "checkpoint", "compact", "history",
-      "measure_stats", "detail")
+      "measure_stats", "detail", "convert")
 
   /** The one row shape a lake table has: three path-encoded partition
     * keys plus the raw payload line. `value` (read face) and `raw_json`
@@ -1506,6 +1506,8 @@ object LakeCatalog {
       case "measure_stats" =>
         "backfill per-file min/max stats without rewriting data (ANALYZE)"
       case "detail" => "table health in one row (DESCRIBE DETAIL)"
+      case "convert" =>
+        "adopt a plain Parquet directory into the lake IN PLACE (no rewrite)"
     }
 
     override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
@@ -1536,6 +1538,10 @@ object LakeCatalog {
         case "measure_stats" =>
           Array(p("table", StringType), p("fields", StringType))
         case "detail" => Array(p("table", StringType))
+        case "convert" => Array(p("table", StringType),
+          p("path", StringType), p("schema_ddl", StringType),
+          pd("partition_cols", StringType, "NULL"),
+          pd("stats_fields", StringType, "NULL"))
       }
 
       private def resultSchema: StructType = procName match {
@@ -1562,9 +1568,121 @@ object LakeCatalog {
           StructField("live_manifests", IntegerType, nullable = false),
           StructField("total_manifests", IntegerType, nullable = false),
           StructField("stats_covered_files", IntegerType, nullable = false)))
+        case "convert" => StructType(Seq(
+          StructField("adopted_files", IntegerType, nullable = false),
+          StructField("measured_files", IntegerType, nullable = false)))
+      }
+
+      /** CONVERT TO LAKE: adopt an EXISTING plain Parquet directory into
+        * the manifest layer IN PLACE — the Iceberg `snapshot`/`migrate` /
+        * Delta `CONVERT TO DELTA` move, and the first thing a user with
+        * pre-existing data runs. No data is rewritten: the directory is
+        * listed once (O(files) driver metadata), ONE `#payload parquet`
+        * manifest publishes the file list, the catalog marker registers
+        * the name pointing at the directory (external-table semantics —
+        * DROP never deletes the adopted data). After adoption every typed
+        * face works: scans (vectorized, pruned), DML, maintenance,
+        * time travel from this first commit onward. Guards: the name must
+        * be free, the directory must not already be a lake (_manifests or
+        * marker), every adopted file must be `.parquet` and — when
+        * partition columns are declared — carry every `k=v` path segment;
+        * one footer is opened to check the declared DATA columns actually
+        * exist there (a wrong schema would otherwise null-fill silently).
+        * `stats_fields` runs the measure pass after adoption so the
+        * skipping layer starts populated.
+        */
+      private def convertToLake(input: InternalRow): Array[InternalRow] = {
+        val table = input.getUTF8String(0).toString
+        val dir = input.getUTF8String(1).toString.stripSuffix("/")
+        val schema = StructType.fromDDL(input.getUTF8String(2).toString)
+        val partCols = (if (input.isNullAt(3)) ""
+          else input.getUTF8String(3).toString)
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val statsFields = (if (input.isNullAt(4)) ""
+          else input.getUTF8String(4).toString)
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        TypedLake.validateTyped(schema, partCols)
+        val parts = table.split('.')
+        val ident = Identifier.of(parts.dropRight(1), parts.last)
+        if (catalog.tableExists(ident))
+          throw new TableAlreadyExistsException(ident)
+        val regDir = catalog.defaultDir(ident)
+        val fs = new Path(dir).getFileSystem(new Configuration())
+        if (!fs.exists(new Path(dir)))
+          throw new IllegalArgumentException(
+            s"LakeCatalog convert: $dir does not exist")
+        if (fs.exists(new Path(dir, WeatherLakeV2Sink.ManifestDir)) ||
+            fs.exists(new Path(dir, MarkerFile)) ||
+            fs.exists(new Path(regDir, MarkerFile)))
+          throw new IllegalStateException(
+            s"LakeCatalog convert: $dir (or the registration at $regDir) " +
+              "is already a lake — convert adopts PLAIN directories only; " +
+              "use CREATE TABLE … LOCATION to re-register an existing lake")
+        def walk(p: Path): Seq[Path] =
+          fs.listStatus(p).toSeq.flatMap { st =>
+            if (st.getPath.getName.startsWith(".") ||
+                st.getPath.getName.startsWith("_")) Seq.empty
+            else if (st.isDirectory) walk(st.getPath)
+            else Seq(st.getPath)
+          }
+        val files = walk(new Path(dir)).map(_.toUri.getPath).sorted
+        if (files.isEmpty) throw new IllegalArgumentException(
+          s"LakeCatalog convert: $dir holds no data files")
+        files.filterNot(_.endsWith(".parquet")) match {
+          case Seq() => ()
+          case bad => throw new IllegalArgumentException(
+            s"LakeCatalog convert: non-Parquet files under $dir (" +
+              bad.take(3).mkString(", ") + ") — the typed lake payload " +
+              "is Parquet; move or delete them first")
+        }
+        if (partCols.nonEmpty) files.foreach { f =>
+          val pv = WeatherLakeV2Sink.partitionValues(dir, f)
+          val missing = partCols.filterNot(pv.contains)
+          if (missing.nonEmpty) throw new IllegalArgumentException(
+            s"LakeCatalog convert: $f carries no '${missing.head}=' path " +
+              "segment — declared partition columns must be laid out " +
+              "Hive-style (k=v directories) in the adopted directory")
+        }
+        // one footer: the declared DATA columns must exist in the files
+        // (a misdeclared schema would otherwise read as silent nulls)
+        val spark = SparkSession.active
+        val footer = spark.read.parquet(files.head).schema
+        val footerNames = footer.fieldNames.map(_.toLowerCase).toSet
+        TypedLake.dataSchema(schema, partCols).fieldNames
+          .filterNot(n => footerNames(n.toLowerCase)) match {
+          case Array() => ()
+          case missing => throw new IllegalArgumentException(
+            s"LakeCatalog convert: declared data column(s) " +
+              s"${missing.mkString(", ")} absent from ${files.head} " +
+              s"(footer columns: ${footer.fieldNames.mkString(", ")}) — " +
+              "fix schema_ddl; adopting would null-fill them silently")
+        }
+        WeatherLakeV2Sink.writeManifest(dir, "convert", files,
+          payload = Some(TypedLake.Payload))
+        val props = new util.HashMap[String, String]()
+        props.put(TableCatalog.PROP_LOCATION, dir)
+        props.put(SchemaProp, schema.json)
+        props.put(PartitionColsProp, partCols.mkString(","))
+        if (statsFields.nonEmpty)
+          props.put("statsFields", statsFields.mkString(","))
+        writeMarker(fs.getConf, regDir, props)
+        val measured =
+          if (statsFields.isEmpty) 0
+          else TypedLake.measureStatsTyped(spark, dir, schema, statsFields)
+        Array(InternalRow(files.size, measured))
       }
 
       override def call(input: InternalRow): util.Iterator[Scan] = {
+        if (procName == "convert") {
+          val converted = convertToLake(input)
+          val schema = resultSchema
+          val scan: Scan = new LocalScan {
+            override def rows(): Array[InternalRow] = converted
+            override def readSchema(): StructType = schema
+            override def description(): String = "lake_convert"
+          }
+          return util.Collections.singletonList(scan).iterator()
+        }
         val table = input.getUTF8String(0).toString
         val (path, tprops) = catalog.resolveTableProps(table)
         // typed tables route data-touching verbs to the Parquet twins

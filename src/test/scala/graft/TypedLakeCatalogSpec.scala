@@ -470,6 +470,72 @@ class TypedLakeCatalogSpec extends SparkSpec {
       Map("tag" -> "t1"))
   }
 
+  test("CALL convert adopts a plain Parquet directory IN PLACE: no data " +
+      "rewrite, read parity with the plain read, DML and stats work on " +
+      "the adopted table, and the guards are loud") {
+    warehouse
+    // a pre-lake world: plain partitioned Parquet written by anyone
+    val plain = Files.createTempDirectory("plainpq").toString + "/events"
+    spark.range(100).selectExpr("id", "concat('n-', id) AS name",
+        "concat('r', id % 2) AS region")
+      .write.partitionBy("region").parquet(plain)
+    val before = spark.read.parquet(plain)
+      .select("id", "name", "region").orderBy("id")
+      .collect().toSeq
+    val fsConf = new org.apache.hadoop.conf.Configuration()
+    val fs = new org.apache.hadoop.fs.Path(plain).getFileSystem(fsConf)
+    def dataFiles: Set[String] = {
+      def walk(p: org.apache.hadoop.fs.Path): Seq[String] =
+        fs.listStatus(p).toSeq.flatMap { st =>
+          if (st.getPath.getName.startsWith("_") ||
+              st.getPath.getName.startsWith(".")) Seq.empty
+          else if (st.isDirectory) walk(st.getPath)
+          else Seq(st.getPath.toUri.getPath)
+        }
+      walk(new org.apache.hadoop.fs.Path(plain)).toSet
+    }
+    val filesBefore = dataFiles
+    val res = spark.sql(s"""CALL tlake.system.convert('adopted',
+      path => '$plain',
+      schema_ddl => 'id BIGINT, name STRING, region STRING',
+      partition_cols => 'region', stats_fields => 'id')""").collect().head
+    assert(res.getInt(0) == filesBefore.size, res)
+    assert(res.getInt(1) == filesBefore.size, res) // all measured
+    // IN PLACE: the very same data files, now manifest-listed
+    assert(dataFiles == filesBefore)
+    assert(WeatherLakeV2Sink.payloadFormat(plain) == "parquet")
+    // read parity through the catalog
+    val after = spark.table("tlake.adopted")
+      .select("id", "name", "region").orderBy("id").collect().toSeq
+    assert(after == before)
+    // stats populated → the skipping layer works from day one
+    assert(WeatherLakeV2Sink.committedEntryLines(plain)
+      .forall(l => WeatherLakeV2Sink.lineStats(l).contains("id")))
+    // DML works on the adopted table
+    spark.sql("DELETE FROM tlake.adopted WHERE id >= 90")
+    assert(spark.table("tlake.adopted").count() == 90)
+    spark.sql("UPDATE tlake.adopted SET name = 'renamed' WHERE id = 0")
+    assert(spark.table("tlake.adopted")
+      .filter(col("name") === "renamed").count() == 1)
+    // DROP leaves the adopted data in place (external-table semantics)
+    spark.sql("DROP TABLE tlake.adopted")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(plain)))
+    assert(spark.read.parquet(plain).count() > 0)
+    // guards: re-converting an existing lake refuses; a wrong schema
+    // (column absent from the footers) refuses instead of null-filling
+    val e1 = intercept[Exception](spark.sql(
+      s"""CALL tlake.system.convert('again', path => '$plain',
+        schema_ddl => 'id BIGINT, name STRING, region STRING',
+        partition_cols => 'region')"""))
+    assert(e1.getMessage.contains("already a lake"), e1.getMessage)
+    val plain2 = Files.createTempDirectory("plainpq2").toString + "/d2"
+    spark.range(5).selectExpr("id").write.parquet(plain2)
+    val e2 = intercept[Exception](spark.sql(
+      s"""CALL tlake.system.convert('wrongschema', path => '$plain2',
+        schema_ddl => 'id BIGINT, nosuch STRING')"""))
+    assert(e2.getMessage.contains("absent from"), e2.getMessage)
+  }
+
   test("an empty typed table SELECTs as zero rows with the declared " +
       "schema, and a typed table refuses the classic DML payload-column " +
       "contract errors cleanly") {
