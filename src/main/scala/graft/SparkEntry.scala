@@ -6488,6 +6488,74 @@ object SparkEntry {
         s.sql(s"""UPDATE graftlake.$t SET val = doc_id * 5
           WHERE doc_id % 7 = 2""")
         s.sql(s"SELECT doc_id, val FROM graftlake.$t")
+      }),
+
+    QueryDef("q115_mor_delete",
+      "MERGE-ON-READ deletion vectors (the round-12 verdict's top_next — " +
+        "Delta DVs / Iceberg v2 delete files): with dmlMode='mor', a " +
+        "DELETE publishes O(deleted rows) of DELETE FILES plus one " +
+        "directive-only manifest — ZERO data files rewritten, ZERO " +
+        "manifests superseded (spec-pinned, TypedLakeMorSpec) — and " +
+        "every read subtracts the delete rows with a file-scoped " +
+        "null-safe anti-join injected at analysis (MorScanResolution; a " +
+        "small delete set broadcasts under AQE). At 100 TB with hourly " +
+        "CDC upserts this replaces the dominant cost of copy-on-write: " +
+        "a 1-row delete no longer rewrites every touched file. Each pass " +
+        "re-arms by merging the doomed keys back (their re-inserted rows " +
+        "land in NEW files, which old delete rows cannot kill — the " +
+        "file-scoped targeting contract), then mor-deletes them again; " +
+        "the final state is constant and the oracle replays it.",
+      Some("""SELECT doc_id, CAST(doc_id AS BIGINT) AS val
+        |FROM documents WHERE doc_id % 5 <> 3""".stripMargin),
+      (s, dir) => {
+        val t = typedDocsTable(s, dir, "mor")
+        s.sql(s"ALTER TABLE graftlake.$t SET TBLPROPERTIES " +
+          s"('dmlMode' = 'mor')")
+        val docs = Tables.documents(s, dir)
+        // re-arm: restore the keys this pass mor-deletes
+        docs.filter(col("doc_id") % 5 === 3).select(
+            col("doc_id").cast("long").as("doc_id"),
+            col("doc_id").cast("long").as("val"), col("source"))
+          .createOrReplaceTempView("mor_del_rearm")
+        s.sql(s"""MERGE INTO graftlake.$t t USING mor_del_rearm s
+          ON t.doc_id = s.doc_id AND t.source = s.source
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""")
+        s.sql(s"DELETE FROM graftlake.$t WHERE doc_id % 5 = 3")
+        s.sql(s"SELECT doc_id, val FROM graftlake.$t")
+      }),
+
+    QueryDef("q116_mor_reconcile",
+      "CALL lake.system.reconcile — the merge-on-read lifecycle's close: " +
+        "fold every live delete row back into clean data files (exactly " +
+        "the files with applicable delete rows are rewritten with " +
+        "deletions applied; their manifests plus every directive-" +
+        "carrying manifest are superseded in ONE view-preserving " +
+        "commit), after which the table is pure copy-on-write again and " +
+        "vacuum reclaims the delete files. The Delta PURGE / Iceberg " +
+        "rewrite-position-deletes move. Each pass re-arms (merge the " +
+        "doomed keys back), mor-deletes, reconciles, and reads the " +
+        "constant final state back; the read after reconcile goes " +
+        "through the ordinary vectorized scan path — no anti-join left.",
+      Some("""SELECT doc_id, CAST(doc_id AS BIGINT) AS val
+        |FROM documents WHERE doc_id % 11 <> 7""".stripMargin),
+      (s, dir) => {
+        val t = typedDocsTable(s, dir, "morrec")
+        s.sql(s"ALTER TABLE graftlake.$t SET TBLPROPERTIES " +
+          s"('dmlMode' = 'mor')")
+        val docs = Tables.documents(s, dir)
+        docs.filter(col("doc_id") % 11 === 7).select(
+            col("doc_id").cast("long").as("doc_id"),
+            col("doc_id").cast("long").as("val"), col("source"))
+          .createOrReplaceTempView("mor_rec_rearm")
+        s.sql(s"""MERGE INTO graftlake.$t t USING mor_rec_rearm s
+          ON t.doc_id = s.doc_id AND t.source = s.source
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""")
+        s.sql(s"DELETE FROM graftlake.$t WHERE doc_id % 11 = 7")
+        s.sql(s"CALL graftlake.system.reconcile('$t', " +
+          s"stats_fields => 'doc_id')")
+        s.sql(s"SELECT doc_id, val FROM graftlake.$t")
       })
   )
 

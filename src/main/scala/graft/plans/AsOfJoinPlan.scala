@@ -825,6 +825,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // immaterial — each wrapper passes non-matching statements through
     ext.injectParser((_, delegate) => new LakeDmlParser(delegate))
     ext.injectResolutionRule(_ => AsOfSqlResolution)
+    // merge-on-read: typed-lake relations with live delete files resolve
+    // to (scan LEFT ANTI JOIN delete rows) — deleted rows never reach SQL
+    ext.injectResolutionRule(_ => MorScanResolution)
     ext.injectFunction(AsOfSqlParser.epochUsFunction)
     // the scalar-function leg of the SQL surface: every graft codegen'd
     // expression resolves by its graft_* name in ad-hoc SQL without any

@@ -117,11 +117,15 @@ object LakeDmlSql {
   /** A resolved DML target: the lake path plus the view options that
     * parameterize the maintenance op. `typed` carries a typed (Parquet-
     * payload) catalog table's (schema, partition columns, roll size) —
-    * the commands dispatch to the typed ops when set.
+    * the commands dispatch to the typed ops when set. `morDml` (the
+    * `dmlMode = 'mor'` table property) routes row-level deletes to the
+    * merge-on-read path: O(deleted rows) delete files instead of
+    * rewriting every touched data file.
     */
   final case class LakeTarget(path: String, targetBytes: Long,
       statsFields: Seq[String], changeLog: Boolean,
-      typed: Option[(StructType, Seq[String], Long)] = None)
+      typed: Option[(StructType, Seq[String], Long)] = None,
+      morDml: Boolean = false)
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"lake DML: $msg")
@@ -176,12 +180,16 @@ object LakeDmlSql {
       // a TYPED catalog table: the commands dispatch to the typed
       // (Parquet-payload) copy-on-write ops with full column semantics
       case t: graft.sources.LakeCatalog.TypedLakeCatalogTable =>
-        if (t.pinned.isDefined)
+        // a MOR-resolved relation is the CURRENT table pinned at analysis
+        // for data/delete consistency, not a user time-travel read — the
+        // DML ops take their own fresh snapshot either way
+        if (t.pinned.isDefined && !t.morResolved)
           fail(s"'$name' is a time-travel read (VERSION/TIMESTAMP AS OF) " +
             "— history is immutable; point the DML at the table itself")
         LakeTarget(t.path, targetBytes = 0L,
           statsFields = t.statsFields, changeLog = false,
-          typed = Some((t.tableSchema, t.partCols, t.maxRecordsPerFile)))
+          typed = Some((t.tableSchema, t.partCols, t.maxRecordsPerFile)),
+          morDml = t.morDml)
       case other => fail(s"'$name' resolves to ${other.name()}, not a " +
         "lake table — DML runs only against the manifest lake")
     }
@@ -608,6 +616,16 @@ case class LakeDeleteCommand(stmt: DeleteFromTable) extends LeafRunnableCommand 
   override def run(spark: SparkSession): Seq[Row] = {
     val t = LakeDmlSql.resolveTarget(spark, stmt.table)
     val st = t.typed match {
+      case Some((schema, partCols, mrpf)) if t.morDml =>
+        // dmlMode = 'mor': publish delete files, rewrite nothing
+        graft.sources.TypedLake.deleteTypedMor(spark, t.path, schema,
+          partCols,
+          predicate = df => LakeDmlSql.bindTyped(stmt.condition, df,
+            schema.fieldNames.toSeq, "DELETE WHERE"),
+          prune = LakeDmlSql.typedPruneFor(
+            LakeDmlSql.typedPartitionEqs(stmt.condition, partCols, schema),
+            LakeDmlSql.typedStatsBounds(stmt.condition, schema)),
+          maxRecordsPerFile = mrpf)
       case Some((schema, partCols, mrpf)) =>
         graft.sources.TypedLake.deleteTyped(spark, t.path, schema, partCols,
           predicate = df => LakeDmlSql.bindTyped(stmt.condition, df,

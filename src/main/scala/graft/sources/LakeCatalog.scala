@@ -617,7 +617,7 @@ object LakeCatalog {
   val ProcedureNamespace = "system"
   val ProcedureNames: Seq[String] =
     Seq("vacuum", "sweep_orphans", "checkpoint", "compact", "history",
-      "measure_stats", "detail", "convert")
+      "measure_stats", "detail", "convert", "reconcile")
 
   /** The one row shape a lake table has: three path-encoded partition
     * keys plus the raw payload line. `value` (read face) and `raw_json`
@@ -839,7 +839,8 @@ object LakeCatalog {
   class TypedLakeCatalogTable(ident: String, val path: String,
       val tableSchema: StructType, val partCols: Seq[String],
       props: util.Map[String, String],
-      val pinned: Option[Seq[String]] = None)
+      val pinned: Option[Seq[String]] = None,
+      val morResolved: Boolean = false)
       extends Table with SupportsRead with SupportsWrite {
     override def name(): String = ident
     override def schema(): StructType = tableSchema
@@ -859,6 +860,34 @@ object LakeCatalog {
       .getOrElse(Seq.empty)
     def maxRecordsPerFile: Long = Option(props.get("maxRecordsPerFile"))
       .map(_.toLong).getOrElse(0L)
+
+    /** Whether row-level deletes run MERGE-ON-READ (`dmlMode = 'mor'`
+      * table property): DELETE publishes delete files instead of
+      * rewriting touched data files. Reads are mor-aware regardless —
+      * a table switched back to copy-on-write still honors its live
+      * delete files until `CALL lake.system.reconcile` folds them in.
+      */
+    def morDml: Boolean =
+      Option(props.get("dmlMode")).map(_.trim.toLowerCase) match {
+        case None | Some("cow") | Some("copy-on-write") => false
+        case Some("mor") | Some("merge-on-read") => true
+        case Some(other) => throw new IllegalArgumentException(
+          s"LakeCatalog: unknown dmlMode '$other' — use 'cow' " +
+            "(copy-on-write, default) or 'mor' (merge-on-read)")
+      }
+
+    /** The analysis-time merge-on-read context of this table instance:
+      * None when no delete rows are live (the overwhelmingly common
+      * case — one cached manifest read answers it), else the pinned
+      * (snapshot, delete files) pair [[graft.plans.MorScanResolution]]
+      * rewrites reads through. Lazy + cached per table instance so the
+      * analyzer's fixpoint passes pay the filesystem once.
+      */
+    lazy val morContext: Option[(Seq[String], Seq[String])] = {
+      val snap = pinned.getOrElse(WeatherLakeV2Sink.liveManifests(path))
+      val dels = WeatherLakeV2Sink.morDeleteFilesAsOf(path, snap)
+      if (dels.isEmpty) None else Some((snap, dels))
+    }
 
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
       val spark = SparkSession.active
@@ -1508,6 +1537,8 @@ object LakeCatalog {
       case "detail" => "table health in one row (DESCRIBE DETAIL)"
       case "convert" =>
         "adopt a plain Parquet directory into the lake IN PLACE (no rewrite)"
+      case "reconcile" =>
+        "fold merge-on-read delete files back into clean data files"
     }
 
     override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
@@ -1542,6 +1573,8 @@ object LakeCatalog {
           p("path", StringType), p("schema_ddl", StringType),
           pd("partition_cols", StringType, "NULL"),
           pd("stats_fields", StringType, "NULL"))
+        case "reconcile" => Array(p("table", StringType),
+          pd("stats_fields", StringType, "NULL"))
       }
 
       private def resultSchema: StructType = procName match {
@@ -1571,6 +1604,8 @@ object LakeCatalog {
         case "convert" => StructType(Seq(
           StructField("adopted_files", IntegerType, nullable = false),
           StructField("measured_files", IntegerType, nullable = false)))
+        case "reconcile" => StructType(Seq(
+          StructField("reconciled_files", IntegerType, nullable = false)))
       }
 
       /** CONVERT TO LAKE: adopt an EXISTING plain Parquet directory into
@@ -1722,6 +1757,16 @@ object LakeCatalog {
                   targetBytes = input.getLong(1), clusterExpr = fn,
                   statsFields = statsFields)
             }))
+          case "reconcile" =>
+            val (schema, partCols) = typed.getOrElse(
+              throw new UnsupportedOperationException(
+                "LakeCatalog: reconcile applies to typed tables only -- " +
+                  "the classic JSON-line lake has no merge-on-read mode"))
+            val sf = if (input.isNullAt(1)) Seq.empty[String]
+              else input.getUTF8String(1).toString
+                .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            Array(InternalRow(TypedLake.reconcileMor(spark, path, schema,
+              partCols, statsFields = sf)))
           case "measure_stats" =>
             val fields = input.getUTF8String(1).toString
               .split(",").map(_.trim).filter(_.nonEmpty).toSeq

@@ -306,8 +306,17 @@ object TypedLake {
   def readCommittedTyped(spark: SparkSession, basePath: String,
       schema: StructType): DataFrame = {
     WeatherLakeV2Sink.requirePayload(basePath, Payload, "readCommittedTyped")
-    readTyped(spark, basePath, schema,
-      WeatherLakeV2Sink.committedFiles(basePath))
+    // ONE snapshot for files AND delete rows: resolving them separately
+    // could mix a racing commit's data with the old delete set
+    val snapshot = WeatherLakeV2Sink.liveManifests(basePath)
+    val files = WeatherLakeV2Sink.filesAsOf(basePath, snapshot)
+    val deletes = morDeleteFilesOf(basePath, snapshot)
+    if (deletes.isEmpty) readTyped(spark, basePath, schema, files)
+    else if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else applyMorDeletes(spark, schema,
+        framedTyped(spark, basePath, schema, files), deletes)
+      .select(schema.fieldNames.toSeq.map(col): _*)
   }
 
   /** Append `df` as one manifest commit (the typed twin of the classic
@@ -371,6 +380,186 @@ object TypedLake {
   }
 
   // -----------------------------------------------------------------
+  // merge-on-read deletion vectors (typed)
+  // -----------------------------------------------------------------
+
+  /** Where mor-delete files live under a table root. Underscore-prefixed
+    * so plain directory listings (sweepOrphans' data walk, partition
+    * discovery, `convert`'s adoption walk) skip it structurally.
+    */
+  val MorDeleteDir = "_mor_deletes"
+
+  /** The delete-row column naming the ONE data file the deletion applies
+    * to (the manifest entry path — file-scoped targeting, see
+    * [[WeatherLakeV2Sink.MorDeletePrefix]]).
+    */
+  val MorTargetCol = "__target_file"
+
+  /** A delete file's schema: the target-file column plus EVERY table
+    * column (partition values materialized as plain columns — delete
+    * files are unpartitioned).
+    */
+  def morDeleteSchema(schema: StructType): StructType =
+    StructType(StructField(MorTargetCol, StringType, nullable = false) +:
+      schema.fields)
+
+  /** The live delete rows of `deleteFiles`, columns renamed `__d_<name>`
+    * so they join against a framed data read without ambiguity.
+    */
+  private def readMorDeletesRenamed(spark: SparkSession, schema: StructType,
+      deleteFiles: Seq[String]): DataFrame =
+    spark.read.schema(morDeleteSchema(schema)).parquet(deleteFiles: _*)
+      .select(col(MorTargetCol) +:
+        schema.fieldNames.toSeq.map(n => col(n).as(s"__d_$n")): _*)
+
+  /** Subtract delete rows from a FRAMED read (table columns + `__file`):
+    * a row dies iff some delete row targets its file AND equals it on
+    * every column (null-safe). For a deterministic delete predicate this
+    * is exactly `NOT(pred)` semantics — any row equal to a deleted row
+    * matched the same predicate — while file-scoped targeting keeps
+    * later re-insertions (new files) alive. The anti-join's delete side
+    * is O(deleted rows); AQE elects a broadcast when it is small, which
+    * is the whole point of merge-on-read.
+    */
+  private[graft] def applyMorDeletes(spark: SparkSession,
+      schema: StructType, framed: DataFrame,
+      deleteFiles: Seq[String]): DataFrame =
+    if (deleteFiles.isEmpty) framed
+    else {
+      val del = readMorDeletesRenamed(spark, schema, deleteFiles)
+      val cond = schema.fieldNames.toSeq
+        .map(n => framed(n) <=> del(s"__d_$n"))
+        .foldLeft(framed("__file") === del(MorTargetCol))(_ && _)
+      framed.join(del, cond, "left_anti")
+    }
+
+  /** The live mor-delete file paths of a snapshot's manifests. */
+  private def morDeleteFilesOf(basePath: String,
+      manifests: Seq[String]): Seq[String] =
+    WeatherLakeV2Sink.morDirectivesOf(basePath, manifests)
+      .map(l => entryPath(
+        l.stripPrefix(WeatherLakeV2Sink.MorDeletePrefix).trim))
+
+  /** MERGE-ON-READ DELETE — the rewrite-amplification answer (Delta
+    * deletion vectors / Iceberg v2 equality-delete files): a small
+    * DELETE publishes O(deleted rows) bytes of DELETE FILES plus one
+    * directive-only manifest, rewrites NO data file and supersedes NO
+    * manifest. Scans (the catalog face via [[graft.plans
+    * .MorScanResolution]], every function-face read, and all typed DML
+    * ops' own reads) subtract the delete rows with a file-scoped
+    * null-safe anti-join; `CALL lake.system.reconcile` (or any
+    * compaction of the affected directories) folds them back into clean
+    * files. At CDC rates this is THE difference between O(deleted) and
+    * O(touched-files) write amplification per statement.
+    *
+    * Semantics equal [[deleteTyped]] exactly (same predicate binding,
+    * same SQL NULL row-keeping, same fail-open candidate prune, same
+    * publish-time read-domain conflict); the matching pass reads the
+    * MOR-RESOLVED view, so re-deleting already-deleted rows is a no-op
+    * and reported counts stay true. A delete matching nothing publishes
+    * nothing. Time travel is exact: directives resolve within the
+    * pinned snapshot ([[WeatherLakeV2Sink.morDeleteFilesAsOf]]).
+    */
+  def deleteTypedMor(spark: SparkSession, basePath: String,
+      schema: StructType, partCols: Seq[String],
+      predicate: DataFrame => Column,
+      prune: (Map[String, String], Map[String, FieldStats]) => Boolean =
+        (_, _) => true,
+      maxRecordsPerFile: Long = 0L): WeatherLakeV2Sink.DeleteStats = {
+    import org.apache.spark.sql.functions.coalesce
+    WeatherLakeV2Sink.requirePayload(basePath, Payload, "deleteTypedMor")
+    val snapshot = WeatherLakeV2Sink.liveManifests(basePath)
+    val byManifest = WeatherLakeV2Sink.entryLinesByManifest(basePath, snapshot)
+    val committedLines = byManifest.flatMap(_._2)
+    def inReadDomain(l: String): Boolean =
+      prune(partitionValuesTyped(basePath, entryPath(l)), lineStats(l))
+    val candidates = committedLines.collect {
+      case l if inReadDomain(l) => entryPath(l)
+    }
+    if (candidates.isEmpty) return WeatherLakeV2Sink.DeleteStats(0, 0, 0L)
+    val liveDeletes = morDeleteFilesOf(basePath, snapshot)
+    def hit(df: DataFrame) = coalesce(predicate(df), lit(false))
+    val cand = applyMorDeletes(spark, schema,
+      framedTyped(spark, basePath, schema, candidates), liveDeletes)
+    val matches = cand.filter(hit(cand))
+    val perFile = matches.groupBy(col("__file"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    if (perFile.isEmpty) return WeatherLakeV2Sink.DeleteStats(0, 0, 0L)
+    val deletedRows = perFile.map(_._2).sum
+    val delFrame = matches.select(col("__file").as(MorTargetCol) +:
+      schema.fieldNames.toSeq.map(col): _*)
+    // deletes are small by design — collapse tiny ones to one file so a
+    // high-rate CDC stream doesn't shed confetti (reconcile/compaction
+    // bounds the population either way)
+    val routed = if (deletedRows <= 1000000L) delFrame.coalesce(1)
+      else delFrame
+    val newDeleteFiles = writeTypedFrame(routed, s"$basePath/$MorDeleteDir",
+      "mordelete", morDeleteSchema(schema), Seq.empty, Nil,
+      maxRecordsPerFile)
+    WeatherLakeV2Sink.publishCommit(basePath, "mordelete",
+      snapshot = snapshot, supersedes = Seq.empty,
+      lines = newDeleteFiles.map(l =>
+        s"${WeatherLakeV2Sink.MorDeletePrefix}$l"),
+      readDomain = Some(inReadDomain), payload = Some(Payload))
+    WeatherLakeV2Sink.DeleteStats(perFile.length, newDeleteFiles.size,
+      deletedRows)
+  }
+
+  /** RECONCILE: fold every live delete row back into clean data files —
+    * rewrite exactly the data files that have applicable delete rows
+    * (deletions applied), supersede their manifests plus EVERY live
+    * directive-carrying manifest, publish ONE view-preserving commit.
+    * After reconcile + vacuum the table is pure copy-on-write again.
+    * Returns the number of data files rewritten; a table with no live
+    * delete rows publishes nothing. Dangling delete rows (target no
+    * longer committed) are consumed without a rewrite.
+    */
+  def reconcileMor(spark: SparkSession, basePath: String,
+      schema: StructType, partCols: Seq[String],
+      statsFields: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 0L): Int = {
+    WeatherLakeV2Sink.requirePayload(basePath, Payload, "reconcileMor")
+    val snapshot = WeatherLakeV2Sink.liveManifests(basePath)
+    val byManifest = WeatherLakeV2Sink.entryLinesByManifest(basePath, snapshot)
+    val liveDeletes = morDeleteFilesOf(basePath, snapshot)
+    if (liveDeletes.isEmpty) return 0
+    val committedSet = byManifest.flatMap(_._2).map(entryPath).toSet
+    // targets still committed = the files to rewrite (bounded driver
+    // metadata: distinct targets ≤ touched files)
+    val targets = readMorDeletesRenamed(spark, schema, liveDeletes)
+      .select(col(MorTargetCol)).distinct()
+      .collect().map(_.getString(0)).filter(committedSet).toSeq.sorted
+    val morManifests = snapshot.filter(n =>
+      WeatherLakeV2Sink.morDirectivesOf(basePath, Seq(n)).nonEmpty)
+    val targetSet = targets.toSet
+    val touchedManifests = byManifest.collect {
+      case (n, ls) if ls.exists(l => targetSet(entryPath(l))) => n
+    }
+    val supersede = (touchedManifests ++ morManifests).distinct
+    val touchedManifestSet = touchedManifests.toSet
+    val untouched = byManifest
+      .filter { case (n, _) => touchedManifestSet(n) }
+      .flatMap(_._2)
+      .filterNot(l => targetSet(entryPath(l)))
+    val newFiles =
+      if (targets.isEmpty) Seq.empty
+      else {
+        val resolved = applyMorDeletes(spark, schema,
+          framedTyped(spark, basePath, schema, targets), liveDeletes)
+          .select(schema.fieldNames.toSeq.map(col): _*)
+        writeTypedFrame(resolved, basePath, "reconcile", schema, partCols,
+          statsFields, maxRecordsPerFile)
+      }
+    // every live directive is consumed (all applicable targets rewritten,
+    // the rest dangling), so NOTHING is carried over — that is the point
+    WeatherLakeV2Sink.publishCommit(basePath, "reconcile",
+      snapshot = snapshot, supersedes = supersede,
+      lines = untouched ++ newFiles, payload = Some(Payload))
+    targets.size
+  }
+
+  // -----------------------------------------------------------------
   // copy-on-write DELETE (typed)
   // -----------------------------------------------------------------
 
@@ -400,8 +589,13 @@ object TypedLake {
       case l if inReadDomain(l) => entryPath(l)
     }
     if (candidates.isEmpty) return WeatherLakeV2Sink.DeleteStats(0, 0, 0L)
+    // every data read resolves through the snapshot's live delete rows
+    // (merge-on-read): already-deleted rows neither count nor survive
+    val liveDeletes = morDeleteFilesOf(basePath, snapshot)
+    def resolved(files: Seq[String]): DataFrame = applyMorDeletes(spark,
+      schema, framedTyped(spark, basePath, schema, files), liveDeletes)
     def hit(df: DataFrame) = coalesce(predicate(df), lit(false))
-    val cand = framedTyped(spark, basePath, schema, candidates)
+    val cand = resolved(candidates)
     val perFile = cand.filter(hit(cand))
       .groupBy(col("__file")).agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
@@ -417,12 +611,17 @@ object TypedLake {
       .filter { case (n, _) => touchedManifestSet(n) }
       .flatMap(_._2)
       .filterNot(l => touchedSet(entryPath(l)))
-    val tf = framedTyped(spark, basePath, schema, touched)
+    val tf = resolved(touched)
     val survivors = tf.filter(not(hit(tf)))
     val newFiles = writeTypedFrame(survivors, basePath, "delete", schema,
       partCols, statsFields, maxRecordsPerFile)
     WeatherLakeV2Sink.publishCommit(basePath, "delete", snapshot = snapshot,
-      supersedes = touchedManifests, lines = untouched ++ newFiles,
+      supersedes = touchedManifests,
+      // a superseded MIXED manifest's mor directives stay part of the
+      // view (their untouched targets still need them); touched-target
+      // directives dangle harmlessly
+      lines = untouched ++ newFiles ++
+        WeatherLakeV2Sink.morDirectivesOf(basePath, touchedManifests),
       readDomain = Some(inReadDomain), payload = Some(Payload))
     WeatherLakeV2Sink.DeleteStats(touched.size, newFiles.size, deletedRows)
   }
@@ -463,8 +662,11 @@ object TypedLake {
       case l if inReadDomain(l) => entryPath(l)
     }
     if (candidates.isEmpty) return WeatherLakeV2Sink.UpdateStats(0, 0, 0L)
+    val liveDeletes = morDeleteFilesOf(basePath, snapshot)
+    def resolved(files: Seq[String]): DataFrame = applyMorDeletes(spark,
+      schema, framedTyped(spark, basePath, schema, files), liveDeletes)
     def hit(df: DataFrame) = coalesce(predicate(df), lit(false))
-    val cand = framedTyped(spark, basePath, schema, candidates)
+    val cand = resolved(candidates)
     val perFile = cand.filter(hit(cand))
       .groupBy(col("__file")).agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
@@ -480,7 +682,7 @@ object TypedLake {
       .filter { case (n, _) => touchedManifestSet(n) }
       .flatMap(_._2)
       .filterNot(l => touchedSet(entryPath(l)))
-    val tf = framedTyped(spark, basePath, schema, touched)
+    val tf = resolved(touched)
     val assigned = assignments.toMap
     val rewrite = tf.select(names.map { n =>
       assigned.get(n) match {
@@ -491,7 +693,9 @@ object TypedLake {
     val newFiles = writeTypedFrame(rewrite, basePath, "update", schema,
       partCols, statsFields, maxRecordsPerFile)
     WeatherLakeV2Sink.publishCommit(basePath, "update", snapshot = snapshot,
-      supersedes = touchedManifests, lines = untouched ++ newFiles,
+      supersedes = touchedManifests,
+      lines = untouched ++ newFiles ++
+        WeatherLakeV2Sink.morDirectivesOf(basePath, touchedManifests),
       readDomain = Some(inReadDomain), payload = Some(Payload))
     WeatherLakeV2Sink.UpdateStats(touched.size, newFiles.size, updatedRows)
   }
@@ -584,6 +788,9 @@ object TypedLake {
     val candidates = committed.filter(inReadDomain)
 
     // ---- one distributed pass: which candidate files are touched
+    val liveDeletes = morDeleteFilesOf(basePath, snapshot)
+    def resolved(files: Seq[String]): DataFrame = applyMorDeletes(spark,
+      schema, framedTyped(spark, basePath, schema, files), liveDeletes)
     val batchKeys = batch.select(keyCols.map(col).toSeq: _*).distinct()
     val touched: Seq[String] =
       if (candidates.isEmpty) Seq.empty
@@ -592,7 +799,7 @@ object TypedLake {
         // no broadcast hint: the merge source can be arbitrarily large
         // (CDC backfills), and a forced broadcast of its whole key set
         // would OOM the driver — AQE elects broadcast when small
-        val cand = framedTyped(spark, basePath, schema, candidates)
+        val cand = resolved(candidates)
         cand.join(batchKeys, keyCols, "left_semi")
           .select(col("__file")).distinct()
           .collect().map(_.getString(0)).toSeq
@@ -608,7 +815,9 @@ object TypedLake {
       .filterNot(l => touchedSet(entryPath(l)))
 
     // ---- relational rewrite: target rows of touched files ⟗ batch
-    val tgt = framedTyped(spark, basePath, schema, touched)
+    // (MOR-resolved: a delete-vectored row must not present as matched —
+    // its key has to INSERT, not update a ghost)
+    val tgt = resolved(touched).drop("__file")
       .withColumn("__t", lit(true))
     // EVERY non-key batch column rides prefixed — extra source columns
     // (CDC op markers etc.) are legal condition inputs in SQL MERGE
@@ -670,7 +879,9 @@ object TypedLake {
     val newFiles = writeTypedFrame(rewrite, basePath, "merge", schema,
       partCols, statsFields, maxRecordsPerFile)
     WeatherLakeV2Sink.publishCommit(basePath, "merge", snapshot = snapshot,
-      supersedes = touchedManifests, lines = untouched ++ newFiles,
+      supersedes = touchedManifests,
+      lines = untouched ++ newFiles ++
+        WeatherLakeV2Sink.morDirectivesOf(basePath, touchedManifests),
       readDomain = Some(inReadDomain), payload = Some(Payload))
     WeatherLakeV2Sink.MergeStats(touched.size, newFiles.size)
   }
@@ -700,24 +911,54 @@ object TypedLake {
     val dataCols = names.filterNot(keyCols.contains)
     val fromFiles = WeatherLakeV2Sink.filesAsOf(basePath, from).toSet
     val toFiles = WeatherLakeV2Sink.filesAsOf(basePath, to).toSet
+    val fromDeletes = WeatherLakeV2Sink.morDeleteFilesAsOf(basePath, from)
+    val toDeletes = WeatherLakeV2Sink.morDeleteFilesAsOf(basePath, to)
     val removed = (fromFiles -- toFiles).toSeq.sorted
     val added = (toFiles -- fromFiles).toSeq.sorted
-    def tagged(files: Seq[String], change: String): DataFrame =
-      readTyped(spark, basePath, schema, files)
-        .select(lit(change).as("_change") +: names.map(col): _*)
-    if (removed.isEmpty && added.isEmpty)
+    // MERGE-ON-READ widening: a mor delete changes NO file set — its
+    // effect lives in the delete-file DIFFERENCE. Files present on BOTH
+    // sides whose applicable delete rows changed are re-read on both
+    // sides (each side resolved through ITS OWN delete set) and
+    // key-diffed like rewritten files; cost stays O(changed files +
+    // delete bytes), never O(table).
+    val deleteDiff = ((fromDeletes.toSet -- toDeletes.toSet) ++
+      (toDeletes.toSet -- fromDeletes.toSet)).toSeq.sorted
+    val changedTargets: Seq[String] =
+      if (deleteDiff.isEmpty) Seq.empty
+      else readMorDeletesRenamed(spark, schema, deleteDiff)
+        .select(col(MorTargetCol)).distinct()
+        .collect().map(_.getString(0))
+        .filter(t => fromFiles(t) && toFiles(t)).toSeq.sorted
+    def resolvedSide(files: Seq[String], deletes: Seq[String]): DataFrame = {
+      val base =
+        if (files.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+        else if (deletes.isEmpty) readTyped(spark, basePath, schema, files)
+        else applyMorDeletes(spark, schema,
+            framedTyped(spark, basePath, schema, files), deletes)
+          .select(names.map(col): _*)
+      base
+    }
+    def tagged(df: DataFrame, change: String): DataFrame =
+      df.select(lit(change).as("_change") +: names.map(col): _*)
+    val oldOnlyEmpty = removed.isEmpty && changedTargets.isEmpty
+    val newOnlyEmpty = added.isEmpty && changedTargets.isEmpty
+    if (oldOnlyEmpty && newOnlyEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         StructType(StructField("_change", StringType, nullable = false) +:
           schema.fields))
-    else if (removed.isEmpty) tagged(added, "insert")
-    else if (added.isEmpty) tagged(removed, "delete")
+    else if (oldOnlyEmpty)
+      tagged(resolvedSide(added, toDeletes), "insert")
+    else if (newOnlyEmpty)
+      tagged(resolvedSide(removed, fromDeletes), "delete")
     else {
-      def side(files: Seq[String], tag: String): DataFrame =
-        readTyped(spark, basePath, schema, files).select(
+      def side(files: Seq[String], deletes: Seq[String], tag: String): DataFrame =
+        resolvedSide(files, deletes).select(
           keyCols.map(col) :+
             struct(names.map(col): _*).as(s"__row_$tag"): _*)
-      val joined = side(removed, "old")
-        .join(side(added, "new"), keyCols, "full_outer")
+      val joined = side(removed ++ changedTargets, fromDeletes, "old")
+        .join(side(added ++ changedTargets, toDeletes, "new"),
+          keyCols, "full_outer")
       val old = col("__row_old"); val neu = col("__row_new")
       // all-column equality decides "changed" — dataCols compared
       // null-safely; key-only rows (no data columns) never differ
@@ -814,8 +1055,13 @@ object TypedLake {
         perFile.getOrElse(p, Map.empty))
       if (merged.isEmpty) p else s"$p\t${statsToJson(merged)}"
     }
+    // stats are measured from FILE bytes, mor-unresolved — sound (a
+    // superset's min/max bounds the resolved rows); the directives
+    // themselves MUST ride the rollup or deleted rows would resurrect
     WeatherLakeV2Sink.publishCommit(basePath, "measure", snapshot = snapshot,
-      supersedes = snapshot, lines = newLines, payload = Some(Payload))
+      supersedes = snapshot,
+      lines = newLines ++ WeatherLakeV2Sink.morDirectivesOf(basePath, snapshot),
+      payload = Some(Payload))
     files.size
   }
 
@@ -856,8 +1102,17 @@ object TypedLake {
       .filter { case (n, _) => touchedManifestSet(n) }
       .flatMap(_._2)
       .filterNot(inCompactedDir)
-    val rows = readTyped(spark, basePath, schema,
-      multi.values.flatten.toSeq)
+    // compaction reads MOR-RESOLVED rows (deletions applied), so
+    // compacting a directory doubles as its reconcile; the affected
+    // delete rows dangle afterwards and vacuum/reconcile clears them
+    val liveDeletes = morDeleteFilesOf(basePath, snapshot)
+    val rows = {
+      val files = multi.values.flatten.toSeq
+      if (liveDeletes.isEmpty) readTyped(spark, basePath, schema, files)
+      else applyMorDeletes(spark, schema,
+          framedTyped(spark, basePath, schema, files), liveDeletes)
+        .select(schema.fieldNames.toSeq.map(col): _*)
+    }
     // honor targetBytes in the OUTPUT too, not only in candidacy: the
     // typed task writer rolls on maxRecordsPerFile alone, so without a
     // cap a clustered compaction would write ONE unbounded file per
@@ -903,7 +1158,9 @@ object TypedLake {
       } else writeTypedFrame(rows, basePath, "compact", schema, partCols,
         statsFields, effectiveMrpf)
     WeatherLakeV2Sink.publishCommit(basePath, "compact", snapshot = snapshot,
-      supersedes = touchedManifests, lines = keep ++ newFiles,
+      supersedes = touchedManifests,
+      lines = keep ++ newFiles ++
+        WeatherLakeV2Sink.morDirectivesOf(basePath, touchedManifests),
       payload = Some(Payload))
     multi.size
   }

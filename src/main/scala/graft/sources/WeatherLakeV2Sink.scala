@@ -223,7 +223,7 @@ object WeatherLakeV2Sink {
     */
   val ReservedIdPrefixes: Seq[String] =
     Seq("merge-", "delete-", "update-", "compact-", "checkpoint-",
-      "overwrite-", "measure-")
+      "overwrite-", "measure-", "mordelete-", "reconcile-")
 
   /** Directive line marking another manifest as replaced by this one.
     * Lines starting with `#` are directives, never file paths; a manifest
@@ -254,6 +254,61 @@ object WeatherLakeV2Sink {
   def changeEntryLines(lines: Seq[String]): Seq[String] =
     lines.filter(_.startsWith(ChangesPrefix))
       .map(_.stripPrefix(ChangesPrefix).trim)
+
+  /** Directive pointing at a MERGE-ON-READ DELETE FILE of this commit
+    * (typed tables only; FORMAT.md §Merge-on-read): the payload is an
+    * ENTRY LINE (path, optionally + TAB + stats) of a Parquet file under
+    * `_mor_deletes/` whose rows are EXACT deleted rows — every table
+    * column (partition values materialized) plus `__target_file`, the
+    * manifest-join key of the ONE data file each deletion applies to.
+    * Scans subtract them with a null-safe anti-join on (target file +
+    * all columns); a delete row whose target file is no longer committed
+    * is dangling and matches nothing (harmless, vacuumed with its
+    * manifest). File-scoped targeting is what makes the design sound
+    * under re-insertion (a later append writes NEW files, so old delete
+    * rows can never kill re-inserted equal rows) and under maintenance
+    * (compact/checkpoint re-list data paths verbatim, so targets stay
+    * valid). Like `#changes`, the directive is invisible to data readers
+    * (the `#` rule) and atomic with its commit.
+    */
+  val MorDeletePrefix = "#mordelete "
+
+  /** The mor-delete directives' full payload lines of a manifest. */
+  def morDeleteEntryLines(lines: Seq[String]): Seq[String] =
+    lines.filter(_.startsWith(MorDeletePrefix))
+      .map(_.stripPrefix(MorDeletePrefix).trim)
+
+  /** The mor-delete FILE paths a manifest's lines reference. */
+  def morDeletePaths(lines: Seq[String]): Seq[String] =
+    morDeleteEntryLines(lines).map(entryPath)
+
+  /** The live mor-delete directive LINES (with their `#mordelete `
+    * prefix, re-publishable verbatim) of the named manifests — what every
+    * partial-supersede operation must CARRY OVER when it supersedes a
+    * manifest: dropping a directive would resurrect its deleted rows.
+    */
+  private[sources] def morDirectivesOf(basePath: String,
+      manifests: Seq[String]): Seq[String] = {
+    val fs = new Path(basePath).getFileSystem(new Configuration())
+    val mdir = new Path(basePath, ManifestDir)
+    manifests.flatMap(n => readLines(fs, new Path(mdir, n))
+      .filter(_.startsWith(MorDeletePrefix)))
+  }
+
+  /** The live mor-delete file paths of the CURRENT committed view. */
+  def committedMorDeleteFiles(basePath: String): Seq[String] =
+    morDirectivesOf(basePath, liveManifests(basePath))
+      .map(l => entryPath(l.stripPrefix(MorDeletePrefix).trim))
+
+  /** The mor-delete file paths a captured snapshot resolves to — the
+    * directive twin of [[filesAsOf]] (same within-set supersede
+    * resolution and loud vacuum-horizon failure), so time-travel reads
+    * subtract exactly the deletions that were live AT the snapshot.
+    */
+  def morDeleteFilesAsOf(basePath: String, snap: Seq[String]): Seq[String] =
+    survivingLinesAsOf(basePath, snap)
+      .filter(_.startsWith(MorDeletePrefix))
+      .map(l => entryPath(l.stripPrefix(MorDeletePrefix).trim))
 
   /** Directive stamped when a row-level commit RAN with `changeLog =
     * true` but its net change set is EMPTY (an idempotent batch replay,
@@ -1058,7 +1113,18 @@ object WeatherLakeV2Sink {
     * superseding replacement inside the set is unrecoverable data and
     * fails loudly, never a silently partial file list.
     */
-  def filesAsOf(basePath: String, snap: Seq[String]): Seq[String] = {
+  def filesAsOf(basePath: String, snap: Seq[String]): Seq[String] =
+    survivingLinesAsOf(basePath, snap)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map(entryPath)
+
+  /** ALL lines (data entries AND directives) of the manifests that
+    * survive within-set supersede resolution of a captured snapshot --
+    * the shared resolution step of [[filesAsOf]] and
+    * [[morDeleteFilesAsOf]].
+    */
+  private def survivingLinesAsOf(basePath: String,
+      snap: Seq[String]): Seq[String] = {
     val fs = new Path(basePath).getFileSystem(new Configuration())
     val mdir = new Path(basePath, ManifestDir)
     def linesIfPresent(n: String): Option[Seq[String]] = {
@@ -1086,10 +1152,7 @@ object WeatherLakeV2Sink {
         "WeatherLakeV2Sink.readAsOf: snapshot predates the vacuum horizon; " +
           s"manifests reclaimed without a superseding replacement: " +
           lost.toSeq.sorted.mkString(", "))
-    present.filterNot(p => superseded(p._1))
-      .flatMap(_._2)
-      .filter(l => l.nonEmpty && !l.startsWith("#"))
-      .map(entryPath)
+    present.filterNot(p => superseded(p._1)).flatMap(_._2)
   }
 
   /** CHANGE DATA FEED between two captured snapshots (the Delta CDF /
@@ -1322,14 +1385,26 @@ object WeatherLakeV2Sink {
         val conflicting = fresh.filter { n =>
           val ls = linesByName(n)
           val fop = WeatherLakeV2StreamSource.opOf(n, ls)
+          // reconcile is view-preserving by construction (it re-lists
+          // rows with deletions that were already committed applied) —
+          // the same layout-only class as compact/checkpoint/measure
           val layoutOnly =
-            fop == "compact" || fop == "checkpoint" || fop == "measure"
+            fop == "compact" || fop == "checkpoint" || fop == "measure" ||
+              fop == "reconcile"
           val provablyPreSnapshot = layoutOnly && ls
             .filter(_.startsWith(SupersedesPrefix))
             .map(_.stripPrefix(SupersedesPrefix).trim)
             .forall(snapSet)
+          // a fresh #mordelete directive is ROW-LEVEL DELETION this
+          // operation never saw — it changes the committed view without
+          // adding any data line, so it conflicts with every
+          // domain-carrying op (conservative: delete rows carry no
+          // partition path to prune against; mor deletes are small and
+          // cheap to retry). Carried-over directives inside layout-only
+          // commits are exempted with their commit.
           !provablyPreSnapshot && ls.exists(l =>
-            l.nonEmpty && !l.startsWith("#") && dom(l))
+            (l.nonEmpty && !l.startsWith("#") && dom(l)) ||
+              l.startsWith(MorDeletePrefix))
         }
         if (conflicting.nonEmpty)
           throw new java.util.ConcurrentModificationException(
@@ -1428,7 +1503,11 @@ object WeatherLakeV2Sink {
     val conflictDomain: String => Boolean = l =>
       try inDomain(l) catch { case _: IllegalStateException => true }
     publishCommit(basePath, "overwrite", snapshot = snapshot,
-      supersedes = touchedManifests, lines = keep ++ newLines,
+      supersedes = touchedManifests,
+      // a superseded manifest's MOR-DELETE directives must ride along:
+      // deletions of out-of-region files it owned remain part of the
+      // view (in-region targets are replaced and dangle harmlessly)
+      lines = keep ++ newLines ++ morDirectivesOf(basePath, touchedManifests),
       readDomain = Some(conflictDomain), payload = payload)
   }
 
@@ -2044,7 +2123,13 @@ object WeatherLakeV2Sink {
         // the commits, and a CDC stream that hasn't drained them reads
         // the superseded manifests directly until vacuum's age guard —
         // the documented CDC/vacuum horizon.
-        val lines = entryLinesByManifest(basePath, snapshot).flatMap(_._2)
+        // MOR-DELETE directives are carried forward VERBATIM — unlike
+        // change logs (a feed artifact), live delete rows are part of the
+        // committed view itself; dropping a directive at checkpoint would
+        // resurrect its deleted rows. Data paths are re-listed unchanged,
+        // so every carried directive's target stays valid.
+        val lines = entryLinesByManifest(basePath, snapshot).flatMap(_._2) ++
+          morDirectivesOf(basePath, snapshot)
         // the whole-set rollup: supersedes everything it snapshotted;
         // appends landing after the snapshot stay live untouched, and a
         // concurrent commit that superseded a snapshot member first
@@ -2410,17 +2495,21 @@ object WeatherLakeV2Sink {
     val liveFiles = committedFiles(basePath).toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
     val superseded = manifestNames(basePath).filterNot(live.toSet)
-    // live manifests' CHANGE-LOG files are protected like live data (a
-    // CDF stream that hasn't consumed the manifest still needs them);
-    // superseded manifests' change files are reclaimable with their data
-    val liveChanges = live.flatMap(n =>
-      changePaths(readLines(fs, new Path(mdir, n)))).toSet
+    // live manifests' CHANGE-LOG and MOR-DELETE files are protected like
+    // live data (a CDF stream that hasn't consumed the manifest still
+    // needs its change files; live delete rows are part of the committed
+    // VIEW); superseded manifests' auxiliary files are reclaimable with
+    // their data
+    val liveChanges = live.flatMap { n =>
+      val ls = readLines(fs, new Path(mdir, n))
+      changePaths(ls) ++ morDeletePaths(ls)
+    }.toSet
     var removed = 0
     superseded.foreach { n =>
       val lines = readLines(fs, new Path(mdir, n))
       val present = (lines
         .filter(l => l.nonEmpty && !l.startsWith("#"))
-        .map(entryPath) ++ changePaths(lines))
+        .map(entryPath) ++ changePaths(lines) ++ morDeletePaths(lines))
         .filterNot(f => liveFiles(f) || liveChanges(f))
         .map(new Path(_))
         .filter(fs.exists)
@@ -2462,9 +2551,11 @@ object WeatherLakeV2Sink {
     val referenced = manifestNames(basePath)
       .flatMap(n => readLines(fs, new Path(mdir, n)))
       .flatMap(l =>
-        // data entry lines AND #changes directives both pin their files
-        // (a live manifest's change log is not an orphan)
+        // data entry lines, #changes and #mordelete directives all pin
+        // their files (a live manifest's change log / delete file is not
+        // an orphan)
         if (l.startsWith(ChangesPrefix)) changePaths(Seq(l))
+        else if (l.startsWith(MorDeletePrefix)) morDeletePaths(Seq(l))
         else if (l.nonEmpty && !l.startsWith("#")) Seq(entryPath(l))
         else Seq.empty)
       .map(l => new Path(l).toUri.getPath)

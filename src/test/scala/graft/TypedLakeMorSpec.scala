@@ -1,0 +1,222 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.{TypedLake, WeatherLakeV2Sink}
+
+/** MERGE-ON-READ deletion vectors: a small DELETE publishes O(deleted)
+  * delete-file bytes and rewrites NO data file; every read face (function,
+  * SQL catalog, time travel, CDF, DML's own reads) subtracts the delete
+  * rows; reconcile folds them back into clean files; maintenance carries
+  * the directives so deleted rows can never resurrect.
+  */
+class TypedLakeMorSpec extends SparkSpec {
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString + "/lake"
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType),
+    StructField("region", StringType)))
+  private val pc = Seq("region")
+
+  private def seed(lake: String, n: Int = 40, id: String = "base"): Unit = {
+    val s = spark
+    import s.implicits._
+    TypedLake.appendTyped(spark, lake,
+      (0 until n).map(i => (i.toLong, s"n-$i", s"r${i % 2}"))
+        .toDF("id", "name", "region"),
+      schema, pc, statsFields = Seq("id"), manifestId = Some(id))
+  }
+
+  private def ids(lake: String): Set[Long] =
+    TypedLake.readCommittedTyped(spark, lake, schema)
+      .select("id").collect().map(_.getLong(0)).toSet
+
+  test("a mor delete publishes O(deleted) delete files, rewrites ZERO " +
+      "data files, supersedes NOTHING — and reads subtract exactly the " +
+      "copy-on-write answer") {
+    val lake = tmp("morbasic")
+    seed(lake)
+    val filesBefore = WeatherLakeV2Sink.committedFiles(lake).toSet
+    val manifestsBefore = WeatherLakeV2Sink.liveManifests(lake).toSet
+    val st = TypedLake.deleteTypedMor(spark, lake, schema, pc,
+      predicate = df => df("id") % 10 === 3)
+    assert(st.deletedRows == 4, st)
+    assert(st.newFiles == 1, st) // small delete → one coalesced file
+    // THE merge-on-read contract: identical data files, nothing superseded
+    assert(WeatherLakeV2Sink.committedFiles(lake).toSet == filesBefore)
+    assert(WeatherLakeV2Sink.liveManifests(lake).toSet
+      .intersect(manifestsBefore) == manifestsBefore)
+    assert(WeatherLakeV2Sink.committedMorDeleteFiles(lake).size == 1)
+    // read parity with what a copy-on-write delete would answer
+    assert(ids(lake) == (0L until 40L).filterNot(_ % 10 == 3).toSet)
+    // the delete file materializes O(deleted rows), not O(table): its
+    // row count IS the deleted-row count (at fixture scale parquet's
+    // fixed footer overhead dwarfs row bytes, so rows are the honest pin)
+    val delRows = spark.read
+      .schema(TypedLake.morDeleteSchema(schema))
+      .parquet(WeatherLakeV2Sink.committedMorDeleteFiles(lake): _*)
+      .count()
+    assert(delRows == 4, s"delete file rows: $delRows")
+    // a second mor delete reads the RESOLVED view: re-deleting the same
+    // predicate is a no-op (publishes nothing)
+    val manifests = WeatherLakeV2Sink.manifestNames(lake).size
+    val st2 = TypedLake.deleteTypedMor(spark, lake, schema, pc,
+      predicate = df => df("id") % 10 === 3)
+    assert(st2.deletedRows == 0, st2)
+    assert(WeatherLakeV2Sink.manifestNames(lake).size == manifests)
+    // stacking a second, different delete composes
+    TypedLake.deleteTypedMor(spark, lake, schema, pc,
+      predicate = df => df("id") === 0L)
+    assert(ids(lake) == (1L until 40L).filterNot(_ % 10 == 3).toSet)
+  }
+
+  test("file-scoped targeting: re-inserting a row EQUAL to a deleted one " +
+      "survives (new file, old delete rows cannot kill it)") {
+    val lake = tmp("morreinsert")
+    seed(lake, n = 10)
+    TypedLake.deleteTypedMor(spark, lake, schema, pc,
+      predicate = df => df("id") === 5L)
+    assert(!ids(lake).contains(5L))
+    // append the IDENTICAL row again — lands in a NEW file
+    val s = spark
+    import s.implicits._
+    TypedLake.appendTyped(spark, lake,
+      Seq((5L, "n-5", "r1")).toDF("id", "name", "region"), schema, pc)
+    assert(ids(lake).contains(5L),
+      "old delete rows must not kill re-inserted equal rows")
+  }
+
+  test("the SQL catalog face is mor-correct end-to-end: dmlMode='mor' " +
+      "DELETE through SQL, SELECT/aggregates/time travel subtract, and " +
+      "CoW DML + merge on a delete-vectored table stay correct") {
+    val w = Files.createTempDirectory("morwh").toString
+    spark.conf.set("spark.sql.catalog.morlake", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.morlake.warehouse", w)
+    spark.sql("""CREATE TABLE morlake.t (id BIGINT, name STRING,
+      region STRING) USING lake PARTITIONED BY (region)
+      TBLPROPERTIES ('statsFields' = 'id', 'dmlMode' = 'mor')""")
+    spark.sql("""INSERT INTO morlake.t
+      SELECT id, concat('n-', id), concat('r', id % 2) FROM range(40)""")
+    val p = s"$w/t"
+    val filesBefore = WeatherLakeV2Sink.committedFiles(p).toSet
+    val res = spark.sql(
+      "DELETE FROM morlake.t WHERE id % 10 = 3").collect().head
+    assert(res.getLong(2) == 4, res)
+    // no data file rewritten — the SQL DELETE took the mor path
+    assert(WeatherLakeV2Sink.committedFiles(p).toSet == filesBefore)
+    assert(WeatherLakeV2Sink.committedMorDeleteFiles(p).nonEmpty)
+    // SELECT subtracts (MorScanResolution): rows, aggregates, filters
+    assert(spark.table("morlake.t").count() == 36)
+    assert(spark.sql("SELECT count(*) FROM morlake.t WHERE id % 10 = 3")
+      .head.getLong(0) == 0)
+    assert(spark.sql("SELECT CAST(sum(id) AS BIGINT) FROM morlake.t")
+      .head.getLong(0) == (0L until 40L).filterNot(_ % 10 == 3).sum)
+    // time travel: version 0 (pre-delete) still shows everything; the
+    // current version subtracts
+    assert(spark.sql("SELECT count(*) FROM morlake.t VERSION AS OF 0")
+      .head.getLong(0) == 40)
+    // a typed MERGE on the delete-vectored table: a deleted key is NOT
+    // MATCHED (must insert, not update a ghost)
+    spark.range(1).selectExpr("CAST(3 AS BIGINT) AS id",
+        "'fresh' AS name", "'r1' AS region")
+      .createOrReplaceTempView("mor_merge_src")
+    spark.sql("""MERGE INTO morlake.t t USING mor_merge_src s
+      ON t.id = s.id AND t.region = s.region
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    val row3 = spark.table("morlake.t").filter(col("id") === 3).collect()
+    assert(row3.length == 1 && row3.head.getString(1) == "fresh", row3.toSeq)
+    // CoW UPDATE on the mor table reads resolved and keeps directives
+    spark.sql("UPDATE morlake.t SET name = 'u' WHERE id = 8")
+    assert(spark.table("morlake.t").count() == 37) // 36 + inserted id=3
+    assert(spark.table("morlake.t")
+      .filter(col("id") === 13).count() == 0, "deleted row resurrected")
+  }
+
+  test("reconcile folds delete rows into clean files (view unchanged, " +
+      "directives consumed), and vacuum then reclaims the delete files") {
+    val lake = tmp("morreconcile")
+    seed(lake)
+    TypedLake.deleteTypedMor(spark, lake, schema, pc,
+      predicate = df => df("id") < 10L)
+    val before = ids(lake)
+    assert(before == (10L until 40L).toSet)
+    val delFiles = WeatherLakeV2Sink.committedMorDeleteFiles(lake)
+    assert(delFiles.nonEmpty)
+    val rewritten = TypedLake.reconcileMor(spark, lake, schema, pc,
+      statsFields = Seq("id"))
+    assert(rewritten > 0)
+    assert(ids(lake) == before, "reconcile must preserve the view")
+    assert(WeatherLakeV2Sink.committedMorDeleteFiles(lake).isEmpty,
+      "directives must be consumed")
+    // reconcile twice is a no-op
+    assert(TypedLake.reconcileMor(spark, lake, schema, pc) == 0)
+    // vacuum (forced past the retention floor) reclaims the superseded
+    // delete files from disk
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    WeatherLakeV2Sink.vacuum(lake, minAgeMs = 0L, force = true)
+    delFiles.foreach { f =>
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(f)),
+        s"delete file not reclaimed: $f")
+    }
+  }
+
+  test("maintenance can never resurrect deleted rows: checkpoint and " +
+      "measure_stats carry the directives; compaction applies deletions " +
+      "while compacting; CDF emits the mor deletions") {
+    val lake = tmp("mormaint")
+    // several small appends so compact has candidates
+    (0 until 3).foreach(k => seed(lake, n = 30, id = s"base$k"))
+    // (appendTyped with the same content thrice = 90 rows, ids repeat —
+    // use distinct predicate semantics: delete ALL copies of id < 5)
+    val preSnap = WeatherLakeV2Sink.snapshot(lake)
+    TypedLake.deleteTypedMor(spark, lake, schema, pc,
+      predicate = df => df("id") < 5L)
+    val postSnap = WeatherLakeV2Sink.snapshot(lake)
+    val expect = (0 until 3).flatMap(_ => 5 until 30).map(_.toLong)
+    def allIds: Seq[Long] = TypedLake.readCommittedTyped(spark, lake, schema)
+      .select("id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(allIds == expect.sorted)
+    // CDF between the two snapshots: exactly the 15 deleted rows (3
+    // copies each of ids 0..4), all tagged delete
+    val cdf = TypedLake.changesBetweenTyped(spark, lake, schema,
+      keyCols = Seq("id", "name", "region"), from = preSnap, to = postSnap)
+      .collect()
+    assert(cdf.length == 15, cdf.length)
+    assert(cdf.forall(_.getString(0) == "delete"))
+    // checkpoint collapses manifests but carries the directives
+    assert(WeatherLakeV2Sink.checkpointManifests(lake) > 0)
+    assert(allIds == expect.sorted, "checkpoint resurrected deleted rows")
+    assert(WeatherLakeV2Sink.committedMorDeleteFiles(lake).nonEmpty)
+    // measure_stats re-lists every line and must keep the directives too
+    TypedLake.measureStatsTyped(spark, lake, schema, Seq("id"))
+    assert(allIds == expect.sorted, "measure resurrected deleted rows")
+    // compaction reads resolved rows — its rewrite has deletions applied
+    TypedLake.compactTyped(spark, lake, schema, pc)
+    assert(allIds == expect.sorted, "compact resurrected deleted rows")
+  }
+
+  test("a mor delete racing a domain-carrying commit conflicts loudly " +
+      "(publishCommit sees the fresh #mordelete directive)") {
+    val lake = tmp("morconflict")
+    seed(lake)
+    val snapshot = WeatherLakeV2Sink.liveManifests(lake)
+    // a mor delete lands AFTER the snapshot
+    TypedLake.deleteTypedMor(spark, lake, schema, pc,
+      predicate = df => df("id") === 1L)
+    // a stale domain-carrying publish must now conflict: its decisions
+    // never saw the deletion
+    val e = intercept[java.util.ConcurrentModificationException] {
+      WeatherLakeV2Sink.publishForTest(lake, "merge", snapshot = snapshot,
+        supersedes = snapshot, lines = Seq.empty,
+        readDomain = Some(_ => false)) // domain rules everything out —
+        // the directive still conflicts (row-level deletes are unprunable)
+    }
+    assert(e.getMessage.contains("read domain"), e.getMessage)
+  }
+}
