@@ -1091,16 +1091,22 @@ case class LakeMergeCommand(stmt: MergeIntoTable) extends LeafRunnableCommand {
         nmbsDelete.isEmpty)
       fail("needs at least one action clause")
 
-    val st = TypedLake.mergeTyped(spark, t.path, schema, partCols,
-      batch = sourceDF, keyCols = keyCols,
-      actions = TypedLake.TypedMergeActions(
-        matchedDelete = matchedDelete,
-        matchedUpdate = matchedUpdate,
-        matchedUpdateCond = matchedUpdateCond,
-        insert = insert,
-        insertCond = insertCond,
-        notMatchedBySourceDelete = nmbsDelete),
-      statsFields = t.statsFields, maxRecordsPerFile = mrpf)
+    val mergeActions = TypedLake.TypedMergeActions(
+      matchedDelete = matchedDelete,
+      matchedUpdate = matchedUpdate,
+      matchedUpdateCond = matchedUpdateCond,
+      insert = insert,
+      insertCond = insertCond,
+      notMatchedBySourceDelete = nmbsDelete)
+    // dmlMode = 'mor': old images become delete rows, new images append —
+    // no touched-file rewrite (see TypedLake.mergeTypedMor)
+    val st =
+      if (t.morDml) TypedLake.mergeTypedMor(spark, t.path, schema, partCols,
+        batch = sourceDF, keyCols = keyCols, actions = mergeActions,
+        maxRecordsPerFile = mrpf)
+      else TypedLake.mergeTyped(spark, t.path, schema, partCols,
+        batch = sourceDF, keyCols = keyCols, actions = mergeActions,
+        statsFields = t.statsFields, maxRecordsPerFile = mrpf)
     Seq(Row(st.touchedFiles, st.newFiles))
   }
 }

@@ -506,6 +506,153 @@ object TypedLake {
       deletedRows)
   }
 
+  /** MERGE-ON-READ MERGE — the CDC-rate upsert without rewrite
+    * amplification (the reference's whole loader contract is an hourly
+    * ON-CONFLICT upsert, load_to_postgres.py:90-102 + etl_openmeteo
+    * .py:14; at 100 TB a copy-on-write merge rewrites every touched file
+    * per hour). Same action surface and dispatch semantics as
+    * [[mergeTyped]], different commit shape: matched UPDATEs emit a
+    * DELETE ROW for the old image plus an APPENDED new image (skipped
+    * entirely when every column is unchanged — no churn on idempotent
+    * re-merges), matched/full-sync DELETEs emit delete rows only,
+    * INSERTs append — ONE manifest carries the appended files' entry
+    * lines AND the `#mordelete` directives, supersedes NOTHING. Rows the
+    * merge does not touch never move; reconcile/compaction folds the
+    * delete rows back later.
+    */
+  def mergeTypedMor(spark: SparkSession, basePath: String,
+      schema: StructType, partCols: Seq[String],
+      batch: DataFrame, keyCols: Seq[String],
+      actions: TypedMergeActions = TypedMergeActions(
+        matchedUpdate = Some(None), insert = Some(None)),
+      maxRecordsPerFile: Long = 0L): WeatherLakeV2Sink.MergeStats = {
+    import org.apache.spark.sql.functions.{coalesce, when}
+    WeatherLakeV2Sink.requirePayload(basePath, Payload, "mergeTypedMor")
+    val names = schema.fieldNames.toSeq
+    require(keyCols.nonEmpty && keyCols.forall(names.contains),
+      s"TypedLake: merge key columns (${keyCols.mkString(", ")}) must be " +
+        s"table columns (${names.mkString(", ")})")
+    val fullSync = actions.notMatchedBySourceDelete.isDefined
+
+    val snapshot = WeatherLakeV2Sink.liveManifests(basePath)
+    val byManifest = WeatherLakeV2Sink.entryLinesByManifest(basePath, snapshot)
+    val committedLines = byManifest.flatMap(_._2)
+    val committed = committedLines.map(entryPath)
+
+    // ---- read domain / candidate pruning: exactly mergeTyped's rules
+    val partitionPrunable =
+      partCols.nonEmpty && partCols.forall(keyCols.contains) && !fullSync
+    val batchParts: Set[Seq[String]] =
+      if (!partitionPrunable) Set.empty
+      else batch.select(partCols.map(c =>
+          col(c).cast(StringType)).toSeq: _*)
+        .distinct().collect()
+        .map(r => partCols.indices.map(i => r.getString(i)).toSeq).toSet
+    def inReadDomain(line: String): Boolean =
+      if (!partitionPrunable) true
+      else {
+        val pv = partitionValuesTyped(basePath, entryPath(line))
+        val tuple = partCols.map(pv.get)
+        if (tuple.exists(_.isEmpty)) true
+        else batchParts(tuple.map(_.get))
+      }
+    val candidates = committed.filter(inReadDomain)
+
+    val liveDeletes = morDeleteFilesOf(basePath, snapshot)
+    def resolved(files: Seq[String]): DataFrame = applyMorDeletes(spark,
+      schema, framedTyped(spark, basePath, schema, files), liveDeletes)
+    val batchKeys = batch.select(keyCols.map(col).toSeq: _*).distinct()
+    val touched: Seq[String] =
+      if (candidates.isEmpty) Seq.empty
+      else if (fullSync) candidates
+      else {
+        val cand = resolved(candidates)
+        cand.join(batchKeys, keyCols, "left_semi")
+          .select(col("__file")).distinct()
+          .collect().map(_.getString(0)).toSeq
+      }
+
+    // ---- relational classification over ONE joined frame (tgt keeps
+    // __file — every old image knows the data file its delete row targets)
+    val tgt = resolved(touched).withColumn("__t", lit(true))
+    val src = batch
+      .select(keyCols.map(col) ++
+        batch.columns.toSeq.filterNot(keyCols.contains)
+          .map(n => col(n).as(srcCol(n))) :+
+        lit(true).as("__s"): _*)
+    val joined = tgt.join(src, keyCols, "full_outer")
+    def cond(c: Option[DataFrame => Column]): Column =
+      c.map(f => coalesce(f(joined), lit(false))).getOrElse(lit(true))
+    val matched = joined("__t").isNotNull && joined("__s").isNotNull
+    val sourceOnly = joined("__t").isNull
+    val targetOnly = joined("__s").isNull
+
+    val matchedDel = actions.matchedDelete.map(c =>
+      coalesce(c(joined), lit(false))).getOrElse(lit(false))
+    val updCond = cond(actions.matchedUpdateCond)
+    val insCond = cond(actions.insertCond)
+    val nmbsDel = actions.notMatchedBySourceDelete.map(c =>
+      cond(Some(c.getOrElse(_ => lit(true))))).getOrElse(lit(false))
+
+    def updatedValue(n: String): Column = actions.matchedUpdate match {
+      case None => joined(n)
+      case Some(None) =>
+        if (keyCols.contains(n)) joined(n) else joined(srcCol(n))
+      case Some(Some(assigns)) =>
+        assigns.toMap.get(n).map(_(joined)).getOrElse(joined(n))
+    }
+    def insertedValue(n: String): Column = actions.insert match {
+      case None => lit(null)
+      case Some(None) =>
+        if (keyCols.contains(n)) joined(n) else joined(srcCol(n))
+      case Some(Some(assigns)) =>
+        assigns.toMap.get(n).map(_(joined)).getOrElse(
+          if (keyCols.contains(n)) joined(n) else joined(srcCol(n)))
+    }
+    // an UPDATE whose every column is unchanged neither deletes nor
+    // appends (idempotent re-merges publish no churn; SQL-visible state
+    // is identical, and CDF classifies by value either way)
+    val updChanged = names.map(n => updatedValue(n) <=> joined(n))
+      .reduce(_ && _).unary_!
+    val updates = matched && !matchedDel && updCond &&
+      lit(actions.matchedUpdate.isDefined) && updChanged
+
+    val deleteMark =
+      (matched && (matchedDel || updates)) || (targetOnly && nmbsDel)
+    val appendMark = updates ||
+      (sourceOnly && lit(actions.insert.isDefined) && insCond)
+
+    val deleteRows = joined.filter(deleteMark)
+      .select(joined("__file").as(MorTargetCol) +:
+        names.map(n => joined(n).as(n)): _*)
+    val appendRows = joined.filter(appendMark)
+      .select(names.map(n =>
+        when(matched, updatedValue(n)).otherwise(insertedValue(n)).as(n)): _*)
+
+    val perFile = deleteRows.groupBy(col(MorTargetCol))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val deletedRows = perFile.map(_._2).sum
+    val routedDeletes = if (deletedRows <= 1000000L) deleteRows.coalesce(1)
+      else deleteRows
+    val newDeleteFiles =
+      if (perFile.isEmpty) Seq.empty[String]
+      else writeTypedFrame(routedDeletes, s"$basePath/$MorDeleteDir",
+        "mordelete", morDeleteSchema(schema), Seq.empty, Nil,
+        maxRecordsPerFile)
+    val newDataFiles = writeTypedFrame(appendRows, basePath, "mormerge",
+      schema, partCols, Nil, maxRecordsPerFile)
+    if (newDeleteFiles.isEmpty && newDataFiles.isEmpty)
+      return WeatherLakeV2Sink.MergeStats(0, 0) // true no-op: no commit
+    WeatherLakeV2Sink.publishCommit(basePath, "mormerge",
+      snapshot = snapshot, supersedes = Seq.empty,
+      lines = newDataFiles ++ newDeleteFiles.map(l =>
+        s"${WeatherLakeV2Sink.MorDeletePrefix}$l"),
+      readDomain = Some(inReadDomain), payload = Some(Payload))
+    WeatherLakeV2Sink.MergeStats(perFile.length,
+      newDataFiles.size + newDeleteFiles.size)
+  }
+
   /** RECONCILE: fold every live delete row back into clean data files —
     * rewrite exactly the data files that have applicable delete rows
     * (deletions applied), supersede their manifests plus EVERY live
@@ -537,9 +684,12 @@ object TypedLake {
       case (n, ls) if ls.exists(l => targetSet(entryPath(l))) => n
     }
     val supersede = (touchedManifests ++ morManifests).distinct
-    val touchedManifestSet = touchedManifests.toSet
+    // EVERY superseded manifest's untargeted DATA lines are re-listed —
+    // a mor-merge manifest is MIXED (appended files + directives): it is
+    // superseded for its directives, but its data files live on
+    val supersedeSet = supersede.toSet
     val untouched = byManifest
-      .filter { case (n, _) => touchedManifestSet(n) }
+      .filter { case (n, _) => supersedeSet(n) }
       .flatMap(_._2)
       .filterNot(l => targetSet(entryPath(l)))
     val newFiles =

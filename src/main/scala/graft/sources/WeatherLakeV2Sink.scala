@@ -223,7 +223,7 @@ object WeatherLakeV2Sink {
     */
   val ReservedIdPrefixes: Seq[String] =
     Seq("merge-", "delete-", "update-", "compact-", "checkpoint-",
-      "overwrite-", "measure-", "mordelete-", "reconcile-")
+      "overwrite-", "measure-", "mordelete-", "mormerge-", "reconcile-")
 
   /** Directive line marking another manifest as replaced by this one.
     * Lines starting with `#` are directives, never file paths; a manifest

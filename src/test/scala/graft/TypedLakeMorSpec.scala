@@ -201,6 +201,59 @@ class TypedLakeMorSpec extends SparkSpec {
     assert(allIds == expect.sorted, "compact resurrected deleted rows")
   }
 
+  test("mor MERGE: matched updates become delete-row + appended new " +
+      "image, inserts append, touched files are NEVER rewritten, and an " +
+      "all-unchanged re-merge publishes NOTHING") {
+    val w = Files.createTempDirectory("mormergewh").toString
+    spark.conf.set("spark.sql.catalog.mmlake", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.mmlake.warehouse", w)
+    spark.sql("""CREATE TABLE mmlake.t (id BIGINT, v BIGINT, region STRING)
+      USING lake PARTITIONED BY (region)
+      TBLPROPERTIES ('dmlMode' = 'mor')""")
+    spark.sql("""INSERT INTO mmlake.t
+      SELECT id, id AS v, concat('r', id % 2) FROM range(20)""")
+    val p = s"$w/t"
+    val filesBefore = WeatherLakeV2Sink.committedFiles(p).toSet
+    // CDC batch: update ids 0..4 (v*10), insert ids 100..102
+    spark.sql("""SELECT id, id * 10 AS v, concat('r', id % 2) AS region
+      FROM range(5)
+      UNION ALL
+      SELECT id + 100, id + 100, concat('r', id % 2) FROM range(3)""")
+      .createOrReplaceTempView("mm_src")
+    val r1 = spark.sql("""MERGE INTO mmlake.t t USING mm_src s
+      ON t.id = s.id AND t.region = s.region
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""").collect().head
+    // original data files are all still committed — nothing was rewritten
+    assert(WeatherLakeV2Sink.committedFiles(p).toSet
+      .intersect(filesBefore) == filesBefore,
+      "mor merge must not rewrite committed files")
+    assert(WeatherLakeV2Sink.committedMorDeleteFiles(p).nonEmpty)
+    // state: updates applied, inserts present, untouched rows intact
+    val got = spark.table("mmlake.t").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 23, got.size)
+    (0L until 5L).foreach(i => assert(got(i) == i * 10, s"id=$i"))
+    (5L until 20L).foreach(i => assert(got(i) == i, s"id=$i"))
+    (100L until 103L).foreach(i => assert(got(i) == i, s"id=$i"))
+    // re-merging the SAME batch is a true no-op: every update lands
+    // unchanged, every insert is now matched-unchanged — no new commit
+    val manifests = WeatherLakeV2Sink.manifestNames(p).size
+    val r2 = spark.sql("""MERGE INTO mmlake.t t USING mm_src s
+      ON t.id = s.id AND t.region = s.region
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""").collect().head
+    assert(r2.getInt(0) == 0 && r2.getInt(1) == 0, r2)
+    assert(WeatherLakeV2Sink.manifestNames(p).size == manifests,
+      "idempotent mor re-merge must publish nothing")
+    // reconcile folds it all back; state unchanged; vacuum-ready
+    spark.sql("CALL mmlake.system.reconcile('t')")
+    assert(WeatherLakeV2Sink.committedMorDeleteFiles(p).isEmpty)
+    val after = spark.table("mmlake.t").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after == got)
+  }
+
   test("a mor delete racing a domain-carrying commit conflicts loudly " +
       "(publishCommit sees the fresh #mordelete directive)") {
     val lake = tmp("morconflict")
