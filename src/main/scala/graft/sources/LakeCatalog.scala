@@ -851,6 +851,7 @@ object LakeCatalog {
     override def capabilities(): util.Set[TableCapability] =
       if (pinned.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)
       else util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.MICRO_BATCH_READ,
         TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
         TableCapability.TRUNCATE,
         TableCapability.OVERWRITE_BY_FILTER, TableCapability.OVERWRITE_DYNAMIC)
@@ -908,20 +909,34 @@ object LakeCatalog {
       if (files.isEmpty) {
         // zero committed files: nothing to infer partitions from — an
         // empty LocalScan with the declared schema keeps SELECTs over a
-        // fresh table analyzable
+        // fresh table analyzable. Streaming from the empty table is legal
+        // too (a fresh pipeline often starts its readStream before the
+        // first write lands): the micro-batch stream plans per-batch
+        // delegates over whatever files later commits bring.
         val s = tableSchema
+        val tablePath = path
+        val opts = {
+          val m = new util.HashMap[String, String]()
+          m.put("basePath", path)
+          options.entrySet().forEach(e => m.put(e.getKey, e.getValue))
+          new CaseInsensitiveStringMap(m)
+        }
         new ScanBuilder with Scan with LocalScan {
           override def build(): Scan = this
           override def readSchema(): StructType = s
           override def rows(): Array[InternalRow] = Array.empty
           override def description(): String = s"lake_typed_empty($path)"
+          override def toMicroBatchStream(
+              checkpointLocation: String): MicroBatchStream =
+            new TypedLakeMicroBatchStream(tablePath, s, None, opts)
         }
       } else {
         val merged = new util.HashMap[String, String]()
         merged.put("basePath", path)
         options.entrySet().forEach(e => merged.put(e.getKey, e.getValue))
         new StatsPrunedParquetScanBuilder(ident, spark, path, tableSchema,
-          files.sorted, statsOf, new CaseInsensitiveStringMap(merged))
+          files.sorted, statsOf, new CaseInsensitiveStringMap(merged),
+          pinnedTable = pinned.isDefined)
       }
     }
 
@@ -1066,7 +1081,8 @@ object LakeCatalog {
       spark: SparkSession, path: String, tableSchema: StructType,
       files: Seq[String],
       statsOf: Map[String, Map[String, WeatherLakeV2Sink.FieldStats]],
-      options: CaseInsensitiveStringMap)
+      options: CaseInsensitiveStringMap,
+      pinnedTable: Boolean = false)
       extends ScanBuilder
       with SupportsPushDownRequiredColumns
       with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -1162,8 +1178,13 @@ object LakeCatalog {
     }
     override def pushedFilters(): Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
       ensure().pushedFilters
-    override def pruneColumns(requiredSchema: StructType): Unit =
+    // remembered so the STREAMING face's per-batch delegates plan with
+    // the same projection the engine pushed into this builder
+    private var prunedTo: Option[StructType] = None
+    override def pruneColumns(requiredSchema: StructType): Unit = {
+      prunedTo = Some(requiredSchema)
       ensure().pruneColumns(requiredSchema)
+    }
     override def pushAggregation(
         agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
       ensure().pushAggregation(agg)
@@ -1173,7 +1194,8 @@ object LakeCatalog {
     override def pushVariantExtractions(
         extractions: Array[org.apache.spark.sql.connector.read.VariantExtraction]): Array[Boolean] =
       ensure().pushVariantExtractions(extractions)
-    override def build(): Scan = ensure().build()
+    override def build(): Scan = new TypedLakeStreamableScan(
+      ensure().build(), path, tableSchema, prunedTo, options, pinnedTable)
 
     /** Test seam: the file list the delegate was (or would be) built
       * over — what a plan-level spec asserts stats pruning against.
@@ -1181,8 +1203,136 @@ object LakeCatalog {
     private[graft] def plannedFiles(pushed: Seq[Expression]): Seq[String] = {
       pushFilters(pushed)
       // the delegate's scan plans its partitions from the pruned list
-      build().asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
+      ensure().build()
+        .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
         .fileIndex.inputFiles.toSeq
+    }
+  }
+
+  /** The typed scan the builder hands the engine: every BATCH face
+    * forwards to the engine's own ParquetScan untouched (vectorized
+    * decode, pruning, statistics, metadata, columnar mode), and on top
+    * the scan is STREAMABLE — `readStream.table("lake.t")` plans
+    * micro-batches over the manifest history ([[TypedLakeMicroBatchStream]]),
+    * giving typed tables the classic source's full streaming contract
+    * (manifest-set offsets, maxManifestsPerTrigger admission,
+    * AvailableNow drain, layout-only exactly-once for caught-up streams,
+    * loud vacuum-horizon failures) on the Parquet payload.
+    */
+  class TypedLakeStreamableScan(inner: Scan, path: String,
+      tableSchema: StructType, prunedTo: Option[StructType],
+      options: CaseInsensitiveStringMap, pinnedTable: Boolean)
+      extends Scan
+      with org.apache.spark.sql.connector.read.SupportsReportStatistics
+      with org.apache.spark.sql.internal.connector.SupportsMetadata {
+    override def readSchema(): StructType = inner.readSchema()
+    override def description(): String = inner.description()
+    override def toBatch: Batch = inner.toBatch
+    override def columnarSupportMode(): Scan.ColumnarSupportMode =
+      inner.columnarSupportMode()
+    override def supportedCustomMetrics():
+        Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+      inner.supportedCustomMetrics()
+    override def reportDriverMetrics():
+        Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+      inner.reportDriverMetrics()
+    override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+      inner.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+        .estimateStatistics()
+    override def getMetaData(): scala.collection.immutable.Map[String, String] =
+      inner match {
+        case m: org.apache.spark.sql.internal.connector.SupportsMetadata =>
+          m.getMetaData()
+        case _ => scala.collection.immutable.Map.empty
+      }
+    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+      require(!pinnedTable,
+        "LakeCatalog: cannot STREAM from a time-travel (VERSION/TIMESTAMP " +
+          "AS OF) table — history is a snapshot, not a feed")
+      new TypedLakeMicroBatchStream(path, tableSchema, prunedTo, options)
+    }
+  }
+
+  /** Micro-batch stream over a TYPED table's manifest history: offsets,
+    * admission control (`maxManifestsPerTrigger`), `startingAt`,
+    * AvailableNow, layout-only exemptions and loud vacuum-horizon errors
+    * all inherit from the classic [[WeatherLakeV2StreamSource
+    * .LakeMicroBatchStream]]; only the DATA leg differs — each batch's
+    * files are planned by the engine's own Parquet machinery (a fresh
+    * delegate per batch: vectorized decode, `k=v` partition recovery
+    * against `basePath`, the projection the engine pushed at scan build),
+    * and the reader factory is the delegate's, stashed per planned batch.
+    *
+    * Merge-on-read interplay is refused LOUDLY, not silently wrong: an
+    * append-only stream cannot express deletions, so a table with live
+    * delete files refuses at stream start, and a `#mordelete` directive
+    * entering a later window fails that batch — run
+    * `CALL lake.system.reconcile` first (deletions fold into rewrites the
+    * stream replays at-least-once, the same contract as compaction).
+    */
+  class TypedLakeMicroBatchStream(path: String, tableSchema: StructType,
+      prunedTo: Option[StructType], options: CaseInsensitiveStringMap)
+      extends WeatherLakeV2StreamSource.LakeMicroBatchStream(path,
+        WeatherLakeV2StreamSource.parseStreamOptions(options)._1,
+        cdc = false,
+        startLatest = WeatherLakeV2StreamSource.parseStreamOptions(options)._2,
+        prune = WeatherLakeV2StreamSource.parsePrune(options)) {
+    locally {
+      val live = WeatherLakeV2Sink.committedMorDeleteFiles(path)
+      if (live.nonEmpty) throw new IllegalStateException(
+        s"LakeCatalog: cannot stream from $path — the table has " +
+          s"${live.size} live merge-on-read delete file(s), and an " +
+          "append-only stream cannot express deletions; run CALL " +
+          "lake.system.reconcile('<table>') first")
+    }
+
+    @volatile private var currentFactory: PartitionReaderFactory = _
+
+    private def delegateBatch(files: Seq[String]): Batch = {
+      val b = org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
+        s"lake_typed_stream($path)", SparkSession.active, options,
+        files.toIndexedSeq, Some(tableSchema),
+        classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
+        .newScanBuilder(options)
+      prunedTo.foreach(b.pruneColumns)
+      b.build().toBatch
+    }
+
+    override def planInputPartitions(start: org.apache.spark.sql.connector.read.streaming.Offset,
+        end: org.apache.spark.sql.connector.read.streaming.Offset): Array[InputPartition] = {
+      // refuse a window carrying row-level deletions (see class doc)
+      val consumed = start.asInstanceOf[WeatherLakeV2StreamSource.LakeOffset].consumed
+      val fresh = end.asInstanceOf[WeatherLakeV2StreamSource.LakeOffset]
+        .consumed -- consumed
+      if (fresh.nonEmpty &&
+          WeatherLakeV2Sink.morDirectivesOf(path, fresh.toSeq.sorted).nonEmpty)
+        throw new IllegalStateException(
+          s"LakeCatalog: the stream over $path reached a commit carrying " +
+            "merge-on-read delete files — an append-only stream cannot " +
+            "express deletions; run CALL lake.system.reconcile('<table>') " +
+            "and restart the stream")
+      val fileParts = super.planInputPartitions(start, end)
+      val batchFiles = fileParts.map(
+        _.asInstanceOf[WeatherLakeV2StreamSource.LakeFilePartition].file)
+        .distinct.sorted.toSeq
+      if (batchFiles.isEmpty) {
+        currentFactory = null
+        Array.empty
+      } else {
+        val b = delegateBatch(batchFiles)
+        currentFactory = b.createReaderFactory()
+        b.planInputPartitions()
+      }
+    }
+
+    override def createReaderFactory(): PartitionReaderFactory = {
+      val f = currentFactory
+      if (f != null) f
+      else new PartitionReaderFactory {
+        override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+          throw new IllegalStateException(
+            "TypedLakeMicroBatchStream: reader requested for an empty batch")
+      }
     }
   }
 
