@@ -108,7 +108,8 @@ object TypedLake {
     * ParquetFileFormat.prepareWrite from the session conf — here pinned
     * to the modern defaults so executor tasks need no session).
     */
-  private[sources] def parquetTaskConf(data: StructType): Configuration = {
+  private[sources] def parquetTaskConf(data: StructType,
+      bloomFor: Seq[String] = Nil): Configuration = {
     val conf = new Configuration()
     conf.set("parquet.write.support.class", classOf[ParquetWriteSupport].getName)
     ParquetWriteSupport.setSchema(data, conf)
@@ -120,6 +121,15 @@ object TypedLake {
     conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
     conf.set("spark.sql.parquet.variant.annotateLogicalType.enabled", "false")
     conf.set("parquet.compression", "snappy")
+    // BLOOM FILTERS for the stats-tracked columns: min/max prunes point
+    // lookups on a high-cardinality key only when the layout is sorted
+    // (post-ZORDER); the bloom filter prunes row groups regardless of
+    // layout — `WHERE doc_id = <k>` on an unsorted table skips every
+    // row group the key cannot be in, at a few bits per distinct value.
+    // The engine's parquet READER consults them automatically
+    // (parquet.filter.bloom.enabled defaults true) for pushed equality
+    // predicates — no read-side change needed.
+    bloomFor.foreach(c => conf.set(s"parquet.bloom.filter.enabled#$c", "true"))
     conf
   }
 
@@ -163,7 +173,11 @@ object TypedLake {
       Cast(BoundReference(i, schema(i).dataType, schema(i).nullable),
         StringType, Some("UTC"))
     })
-    private val conf = parquetTaskConf(data)
+    // stats-tracked DATA columns also get parquet bloom filters
+    // (partition columns live in the path, not in the file)
+    private val conf = parquetTaskConf(data,
+      bloomFor = statsFields.filter(f =>
+        data.fieldNames.exists(_.equalsIgnoreCase(f))))
     private val ctx = taskAttemptContext(conf)
 
     private final class OpenFile(val path: String) {

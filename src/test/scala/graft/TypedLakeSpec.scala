@@ -315,6 +315,44 @@ class TypedLakeSpec extends SparkSpec {
       .forall(l => WeatherLakeV2Sink.lineStats(l).contains("id")))
   }
 
+  test("statsFields columns carry parquet BLOOM FILTERS: the footer " +
+      "holds one for the tracked data column and none for untracked " +
+      "columns, and a point lookup still answers exactly") {
+    val lake = tmp("typedlakebloom")
+    val sch = StructType(schema.fields.filterNot(_.name == "day"))
+    val pc = Seq("region")
+    val s = spark
+    import s.implicits._
+    TypedLake.appendTyped(spark, lake,
+      (0 until 500).map(i => (i.toLong, s"name-$i", i * 1.0, "r0"))
+        .toDF("id", "name", "score", "region"),
+      sch, pc, statsFields = Seq("id"))
+    val file = WeatherLakeV2Sink.committedFiles(lake).head
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file), conf))
+    try {
+      import scala.jdk.CollectionConverters._
+      val block = reader.getFooter.getBlocks.get(0)
+      val bfReader = reader.getBloomFilterDataReader(block)
+      def bloomOf(colName: String) = block.getColumns.asScala
+        .find(_.getPath.toDotString == colName)
+        .map(bfReader.readBloomFilter)
+      assert(bloomOf("id").exists(_ != null),
+        "stats-tracked column must carry a bloom filter")
+      assert(bloomOf("name").forall(_ == null),
+        "untracked column must not pay for a bloom filter")
+    } finally reader.close()
+    // the point-lookup path still answers exactly (reader consults the
+    // filter automatically for pushed equality predicates)
+    val hit = TypedLake.readCommittedTyped(spark, lake, sch)
+      .filter(col("id") === 123L).collect()
+    assert(hit.length == 1 && hit.head.getString(1) == "name-123")
+    assert(TypedLake.readCommittedTyped(spark, lake, sch)
+      .filter(col("id") === 100000L).isEmpty)
+  }
+
   test("typed compact honors target_bytes in the OUTPUT: a clustered " +
       "rewrite rolls files at the byte target (records-per-file cap " +
       "derived from the candidates' own bytes-per-row) instead of one " +
