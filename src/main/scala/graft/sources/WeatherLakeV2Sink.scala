@@ -379,6 +379,11 @@ object WeatherLakeV2Sink {
     */
   private[sources] def requirePayload(basePath: String, expected: String,
       who: String): Unit = {
+    // an EMPTY lake (no manifests yet) has no committed payload to
+    // misread — any route may be its first writer (the first MERGE into
+    // a fresh typed table is legitimate; the gate exists to stop a
+    // mis-routed read of COMMITTED bytes, not first contact)
+    if (manifestNames(basePath).isEmpty) return
     val actual = payloadFormat(basePath)
     if (actual != expected) throw new IllegalStateException(
       s"WeatherLakeV2Sink: $who reads '$expected' payloads but the lake " +

@@ -1,0 +1,143 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.{TypedLake, WeatherLakeV2Sink}
+
+/** Model-based property test of the TYPED lake incl. MERGE-ON-READ:
+  * random sequences of TEN table operations — append, copy-on-write
+  * merge/delete/update, MOR merge/delete, compact, checkpoint, measure,
+  * reconcile — against both the real table and a trivial in-memory Map.
+  * After EVERY op the mor-resolved committed view must equal the model,
+  * and a SHADOW consumer fed only the typed incremental change feed
+  * (readNewChangesTyped + replaceCursor) must reconstruct the same state
+  * — which exercises every interaction the single-scenario specs can't:
+  * delete rows surviving checkpoints/measures, CoW rewrites racing live
+  * directives, reconcile folding mid-sequence, CDF diffs spanning mixed
+  * mor/cow commits.
+  */
+class TypedLakeModelSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType), StructField("v", LongType),
+    StructField("city", StringType)))
+  private val pc = Seq("city")
+
+  test("random typed op sequences incl. merge-on-read: resolved view == " +
+      "model after every op; the typed change feed alone reconstructs it") {
+    val s = spark
+    import s.implicits._
+    for (trial <- 1 to 2) {
+      val rng = new scala.util.Random(20260816 + trial)
+      val base = Files.createTempDirectory(s"typedmodel$trial").toString
+      val lake = s"$base/lake"; val cursor = s"$base/cursor"
+      var model = Map.empty[Long, Long]
+      var shadow = Map.empty[Long, Long]
+      var nextKey = 0L
+      def payload(rows: Seq[(Long, Long)]): DataFrame =
+        rows.toDF("k", "v").select(col("k"), col("v"),
+          concat(lit("c"), col("k") % 3).as("city"))
+      def lakeState: Map[Long, Long] = {
+        val rows = TypedLake.readCommittedTyped(spark, lake, schema)
+          .select("k", "v").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+        assert(rows.size == rows.map(_._1).distinct.size,
+          s"duplicate keys in the resolved view: $rows")
+        rows.toMap
+      }
+      def applyFeed(): Unit = {
+        val (df, view) = TypedLake.readNewChangesTyped(spark, lake, schema,
+          keyCols = Seq("k"), cursorPath = cursor)
+        df.select(col("_change"), col("k"), col("v"))
+          .collect().foreach { r =>
+            (r.getString(0), r.getLong(1), r.getLong(2)) match {
+              case ("insert" | "update_postimage", k, v) => shadow += k -> v
+              case ("delete", k, _) => shadow -= k
+              case ("update_preimage", _, _) => ()
+              case other => fail(s"unknown change row $other")
+            }
+          }
+        WeatherLakeV2Sink.replaceCursor(cursor, view)
+      }
+      def freshRows(n: Int): Seq[(Long, Long)] =
+        (0 until n).map { _ =>
+          nextKey += 1; (nextKey, rng.between(0L, 1000L))
+        }
+      // seed so every op has something to chew on
+      locally {
+        val rows = freshRows(4)
+        TypedLake.appendTyped(spark, lake, payload(rows), schema, pc,
+          statsFields = Seq("k"))
+        model ++= rows
+      }
+      for (i <- 1 to 10) {
+        val op = rng.nextInt(10)
+        op match {
+          case 0 => // append brand-new keys
+            val rows = freshRows(1 + rng.nextInt(3))
+            TypedLake.appendTyped(spark, lake, payload(rows), schema, pc,
+              statsFields = Seq("k"))
+            model ++= rows
+          case 1 => // copy-on-write merge upsert
+            val existing = rng.shuffle(model.keys.toSeq).take(rng.nextInt(3))
+              .map(k => (k, rng.between(0L, 1000L)))
+            val rows = existing ++ freshRows(1)
+            TypedLake.mergeTyped(spark, lake, schema, pc,
+              payload(rows), keyCols = Seq("k", "city"))
+            model ++= rows
+          case 2 => // MERGE-ON-READ merge upsert
+            val existing = rng.shuffle(model.keys.toSeq).take(rng.nextInt(3))
+              .map(k => (k, rng.between(0L, 1000L)))
+            val rows = existing ++ freshRows(1)
+            TypedLake.mergeTypedMor(spark, lake, schema, pc,
+              payload(rows), keyCols = Seq("k", "city"))
+            model ++= rows
+          case 3 => // copy-on-write delete of a residue class
+            val r = rng.nextInt(4)
+            TypedLake.deleteTyped(spark, lake, schema, pc,
+              predicate = df => df("k") % 4 === r)
+            model = model.filter { case (k, _) => k % 4 != r }
+          case 4 => // MERGE-ON-READ delete of a residue class
+            val r = rng.nextInt(4)
+            TypedLake.deleteTypedMor(spark, lake, schema, pc,
+              predicate = df => df("k") % 4 === r)
+            model = model.filter { case (k, _) => k % 4 != r }
+          case 5 => // copy-on-write update to a key-derived value
+            val r = rng.nextInt(3)
+            TypedLake.updateTyped(spark, lake, schema, pc,
+              predicate = df => df("k") % 3 === r,
+              assignments = Seq("v" -> (df => df("k") * 7 + r)))
+            model = model.map { case (k, v) =>
+              k -> (if (k % 3 == r) k * 7 + r else v) }
+          case 6 => TypedLake.compactTyped(spark, lake, schema, pc,
+            targetBytes = 4096)
+          case 7 => WeatherLakeV2Sink.checkpointManifests(lake)
+          case 8 => TypedLake.reconcileMor(spark, lake, schema, pc)
+          case 9 => TypedLake.measureStatsTyped(spark, lake, schema, Seq("k"))
+        }
+        assert(lakeState == model, s"trial $trial op#$i (kind $op) diverged")
+        applyFeed()
+        assert(shadow == model,
+          s"trial $trial op#$i (kind $op): feed-reconstructed state diverged")
+      }
+      // end of trial: reconcile + vacuum must change nothing for either
+      // oracle (delete files fold away, the view is stable). The feed
+      // drains the reconcile commit BEFORE the forced vacuum — the
+      // documented horizon contract: vacuum's age guard must exceed
+      // consumer lag, and a zero-age forced vacuum ahead of the drain
+      // would legitimately (loudly) strand the cursor.
+      TypedLake.reconcileMor(spark, lake, schema, pc)
+      applyFeed() // a view-preserving commit nets to zero changes
+      assert(shadow == model)
+      WeatherLakeV2Sink.vacuum(lake, minAgeMs = 0L, force = true)
+      assert(lakeState == model)
+      applyFeed()
+      assert(shadow == model)
+      assert(WeatherLakeV2Sink.committedMorDeleteFiles(lake).isEmpty)
+    }
+  }
+}

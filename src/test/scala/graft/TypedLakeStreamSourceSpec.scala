@@ -122,6 +122,62 @@ class TypedLakeStreamSourceSpec extends SparkSpec {
       (0L until 10L).filterNot(_ == 3))
   }
 
+  test("typed medallion on readStream: bronze appends drain through the " +
+      "stream into a MOR-merged silver across restarts — upserts without " +
+      "a single silver data-file rewrite, reconciled at the end") {
+    warehouse
+    spark.sql("""CREATE TABLE tslake.mb (k BIGINT, v BIGINT, region STRING)
+      USING lake PARTITIONED BY (region)""")
+    spark.sql("""CREATE TABLE tslake.ms (k BIGINT, v BIGINT, region STRING)
+      USING lake PARTITIONED BY (region)
+      TBLPROPERTIES ('dmlMode' = 'mor')""")
+    val ck = checkpoint()
+    def drain(): Unit = {
+      val q = spark.readStream
+        .option("maxManifestsPerTrigger", "1") // one commit per batch →
+        // each batch is key-unique (a single upsert payload)
+        .table("tslake.mb")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            batch.createOrReplaceTempView("mb_batch")
+            batch.sparkSession.sql(
+              """MERGE INTO tslake.ms t USING mb_batch s
+                ON t.k = s.k AND t.region = s.region
+                WHEN MATCHED THEN UPDATE SET *
+                WHEN NOT MATCHED THEN INSERT *""")
+            ()
+          }
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+    }
+    def silverState: Map[Long, Long] = spark.table("tslake.ms")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val silverPath = s"$warehouse/ms"
+
+    spark.sql("INSERT INTO tslake.mb VALUES (1, 10, 'r1'), (2, 20, 'r0')")
+    drain()
+    assert(silverState == Map(1L -> 10L, 2L -> 20L))
+    val silverFiles = WeatherLakeV2Sink.committedFiles(silverPath).toSet
+    // restart with the same checkpoint: only the new commit drains, and
+    // the silver upsert is merge-on-read — every pre-existing silver
+    // data file is STILL committed untouched
+    spark.sql("INSERT INTO tslake.mb VALUES (1, 11, 'r1'), (3, 30, 'r1')")
+    drain()
+    assert(silverState == Map(1L -> 11L, 2L -> 20L, 3L -> 30L))
+    assert(WeatherLakeV2Sink.committedFiles(silverPath).toSet
+      .intersect(silverFiles) == silverFiles,
+      "mor-merged silver must never rewrite committed files")
+    assert(WeatherLakeV2Sink.committedMorDeleteFiles(silverPath).nonEmpty)
+    // reconcile the silver: same state, clean copy-on-write table again
+    spark.sql("CALL tslake.system.reconcile('ms')")
+    assert(silverState == Map(1L -> 11L, 2L -> 20L, 3L -> 30L))
+    assert(WeatherLakeV2Sink.committedMorDeleteFiles(silverPath).isEmpty)
+  }
+
   test("a caught-up stream sees NOTHING from a checkpoint/compaction " +
       "(layout-only exactly-once), and a fresh stream over the compacted " +
       "table reads each row once — the classic source's contract on the " +
