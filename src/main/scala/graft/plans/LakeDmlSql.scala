@@ -1103,7 +1103,7 @@ case class LakeMergeCommand(stmt: MergeIntoTable) extends LeafRunnableCommand {
     val st =
       if (t.morDml) TypedLake.mergeTypedMor(spark, t.path, schema, partCols,
         batch = sourceDF, keyCols = keyCols, actions = mergeActions,
-        maxRecordsPerFile = mrpf)
+        statsFields = t.statsFields, maxRecordsPerFile = mrpf)
       else TypedLake.mergeTyped(spark, t.path, schema, partCols,
         batch = sourceDF, keyCols = keyCols, actions = mergeActions,
         statsFields = t.statsFields, maxRecordsPerFile = mrpf)

@@ -1563,7 +1563,10 @@ object LakeCatalog {
       pv.isEmpty || partEq.forall { case (k, v) => pv.get(k).forall(_ == v) }
     }
 
-    private def plannedFiles: Seq[String] = {
+    // ONE resolution per scan (scans are built per query execution):
+    // estimateStatistics and planInputPartitions both consume it, so a
+    // plan costs one manifest read, not three
+    private lazy val plannedFiles: Seq[String] = {
       val files = pinned.map(WeatherLakeV2Sink.filesAsOf(path, _))
         .getOrElse(WeatherLakeV2Sink.committedFiles(path))
       files.filter(keep).sorted

@@ -454,6 +454,26 @@ object TypedLake {
       .map(l => entryPath(
         l.stripPrefix(WeatherLakeV2Sink.MorDeletePrefix).trim))
 
+  /** Deletes at or under this row count collapse to ONE delete file —
+    * high-rate CDC must not shed per-task confetti (reconcile/compaction
+    * bounds the population either way).
+    */
+  private val MorDeleteCoalesceRows = 1000000L
+
+  /** Write a frame of delete rows ([[morDeleteSchema]] shape) under
+    * `_mor_deletes/` and return the entry lines to publish as
+    * `#mordelete` directives — the one write path of both mor DELETE and
+    * mor MERGE.
+    */
+  private def writeMorDeleteFiles(deleteRows: DataFrame, deletedRows: Long,
+      basePath: String, schema: StructType,
+      maxRecordsPerFile: Long): Seq[String] = {
+    val routed = if (deletedRows <= MorDeleteCoalesceRows)
+      deleteRows.coalesce(1) else deleteRows
+    writeTypedFrame(routed, s"$basePath/$MorDeleteDir", "mordelete",
+      morDeleteSchema(schema), Seq.empty, Nil, maxRecordsPerFile)
+  }
+
   /** MERGE-ON-READ DELETE — the rewrite-amplification answer (Delta
     * deletion vectors / Iceberg v2 equality-delete files): a small
     * DELETE publishes O(deleted rows) bytes of DELETE FILES plus one
@@ -503,19 +523,18 @@ object TypedLake {
     val deletedRows = perFile.map(_._2).sum
     val delFrame = matches.select(col("__file").as(MorTargetCol) +:
       schema.fieldNames.toSeq.map(col): _*)
-    // deletes are small by design — collapse tiny ones to one file so a
-    // high-rate CDC stream doesn't shed confetti (reconcile/compaction
-    // bounds the population either way)
-    val routed = if (deletedRows <= 1000000L) delFrame.coalesce(1)
-      else delFrame
-    val newDeleteFiles = writeTypedFrame(routed, s"$basePath/$MorDeleteDir",
-      "mordelete", morDeleteSchema(schema), Seq.empty, Nil,
-      maxRecordsPerFile)
+    val newDeleteFiles = writeMorDeleteFiles(delFrame, deletedRows,
+      basePath, schema, maxRecordsPerFile)
+    // fileIdentityDependent: the delete rows target data-file PATHS, so
+    // a racing compaction/reconcile (which rewrites in-domain rows under
+    // new paths) must conflict — only identity-preserving maintenance
+    // (checkpoint/measure) is exempt
     WeatherLakeV2Sink.publishCommit(basePath, "mordelete",
       snapshot = snapshot, supersedes = Seq.empty,
       lines = newDeleteFiles.map(l =>
         s"${WeatherLakeV2Sink.MorDeletePrefix}$l"),
-      readDomain = Some(inReadDomain), payload = Some(Payload))
+      readDomain = Some(inReadDomain), payload = Some(Payload),
+      fileIdentityDependent = true)
     WeatherLakeV2Sink.DeleteStats(perFile.length, newDeleteFiles.size,
       deletedRows)
   }
@@ -539,6 +558,7 @@ object TypedLake {
       batch: DataFrame, keyCols: Seq[String],
       actions: TypedMergeActions = TypedMergeActions(
         matchedUpdate = Some(None), insert = Some(None)),
+      statsFields: Seq[String] = Nil,
       maxRecordsPerFile: Long = 0L): WeatherLakeV2Sink.MergeStats = {
     import org.apache.spark.sql.functions.{coalesce, when}
     WeatherLakeV2Sink.requirePayload(basePath, Payload, "mergeTypedMor")
@@ -647,22 +667,23 @@ object TypedLake {
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val deletedRows = perFile.map(_._2).sum
-    val routedDeletes = if (deletedRows <= 1000000L) deleteRows.coalesce(1)
-      else deleteRows
     val newDeleteFiles =
       if (perFile.isEmpty) Seq.empty[String]
-      else writeTypedFrame(routedDeletes, s"$basePath/$MorDeleteDir",
-        "mordelete", morDeleteSchema(schema), Seq.empty, Nil,
+      else writeMorDeleteFiles(deleteRows, deletedRows, basePath, schema,
         maxRecordsPerFile)
+    // appended data files carry the table's write-time stats like every
+    // other append — mor-merged data must not quietly fall out of the
+    // skipping/bloom layer until a compaction
     val newDataFiles = writeTypedFrame(appendRows, basePath, "mormerge",
-      schema, partCols, Nil, maxRecordsPerFile)
+      schema, partCols, statsFields, maxRecordsPerFile)
     if (newDeleteFiles.isEmpty && newDataFiles.isEmpty)
       return WeatherLakeV2Sink.MergeStats(0, 0) // true no-op: no commit
     WeatherLakeV2Sink.publishCommit(basePath, "mormerge",
       snapshot = snapshot, supersedes = Seq.empty,
       lines = newDataFiles ++ newDeleteFiles.map(l =>
         s"${WeatherLakeV2Sink.MorDeletePrefix}$l"),
-      readDomain = Some(inReadDomain), payload = Some(Payload))
+      readDomain = Some(inReadDomain), payload = Some(Payload),
+      fileIdentityDependent = true) // see deleteTypedMor's publish note
     WeatherLakeV2Sink.MergeStats(perFile.length,
       newDataFiles.size + newDeleteFiles.size)
   }
@@ -716,10 +737,15 @@ object TypedLake {
           statsFields, maxRecordsPerFile)
       }
     // every live directive is consumed (all applicable targets rewritten,
-    // the rest dangling), so NOTHING is carried over — that is the point
+    // the rest dangling), so NOTHING is carried over — that is the point.
+    // The empty read domain still arms the directive-conflict scan: a mor
+    // delete/merge that published since this reconcile's snapshot holds
+    // delete rows this rewrite never applied (and whose targets it may
+    // have just replaced) — loud conflict, never a silent resurrection.
     WeatherLakeV2Sink.publishCommit(basePath, "reconcile",
       snapshot = snapshot, supersedes = supersede,
-      lines = untouched ++ newFiles, payload = Some(Payload))
+      lines = untouched ++ newFiles,
+      readDomain = Some(_ => false), payload = Some(Payload))
     targets.size
   }
 
@@ -1209,6 +1235,11 @@ object TypedLake {
           val mn = r.getString(1 + 2 * i)
           val mx = r.getString(2 + 2 * i)
           if (mn == null || mx == null) None
+          // NaN poisons a numeric range (the engine orders NaN greatest
+          // and NaN = NaN holds, so no finite endpoint witnesses NaN
+          // rows): emit no stats for the field — fail open (FieldAcc
+          // applies the same rule at write time)
+          else if (numericOf(f) && (mn == "NaN" || mx == "NaN")) None
           else Some(f -> FieldStats(mn, mx, numericOf(f)))
         }.toMap
         r.getString(0) -> stats
@@ -1285,7 +1316,11 @@ object TypedLake {
     // set no explicit cap, derive one from the candidates' own
     // bytes-per-row (same format + compression in and out, so the
     // estimate tracks): cap = targetBytes / (inputBytes / inputRows).
-    // The count is one metadata-cheap pass over candidate footers.
+    // Row counts come from the candidates' PARQUET FOOTERS — driver
+    // metadata in the same class as the size stat, never a data pass
+    // (a full count() would double compaction's dominant IO). Footer
+    // counts ignore mor-resolved deletions, which only makes the cap
+    // conservative (slightly larger files cannot result).
     val effectiveMrpf: Long =
       if (maxRecordsPerFile > 0) maxRecordsPerFile
       else {
@@ -1293,7 +1328,13 @@ object TypedLake {
           .map(f => fs.getFileStatus(new Path(f)).getLen).sum
         if (inputBytes <= targetBytes) 0L // can't exceed the target anyway
         else {
-          val inputRows = rows.count()
+          val conf = new Configuration()
+          val inputRows = multi.values.flatten.map { f =>
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                new Path(f), conf))
+            try r.getRecordCount finally r.close()
+          }.sum
           if (inputRows <= 0) 0L
           else math.max(1L,
             (targetBytes.toDouble / (inputBytes.toDouble / inputRows)).toLong)
@@ -1321,11 +1362,15 @@ object TypedLake {
           }.collect().toSeq
       } else writeTypedFrame(rows, basePath, "compact", schema, partCols,
         statsFields, effectiveMrpf)
+    // the empty read domain arms the directive-conflict scan: a mor
+    // delete/merge publishing since this compaction's snapshot targets
+    // data-file paths this rewrite may have just replaced — loud
+    // conflict instead of silently resurrecting its deletions
     WeatherLakeV2Sink.publishCommit(basePath, "compact", snapshot = snapshot,
       supersedes = touchedManifests,
       lines = keep ++ newFiles ++
         WeatherLakeV2Sink.morDirectivesOf(basePath, touchedManifests),
-      payload = Some(Payload))
+      readDomain = Some(_ => false), payload = Some(Payload))
     multi.size
   }
 }

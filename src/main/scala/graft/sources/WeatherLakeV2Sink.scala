@@ -1349,7 +1349,8 @@ object WeatherLakeV2Sink {
   private[sources] def publishCommit(basePath: String, op: String,
       snapshot: Seq[String], supersedes: Seq[String], lines: Seq[String],
       readDomain: Option[String => Boolean] = None,
-      payload: Option[String] = None): Unit =
+      payload: Option[String] = None,
+      fileIdentityDependent: Boolean = false): Unit =
     withPublishLock(basePath, op) { verifyHeld =>
       // ONE read of the manifest set inside the lease (the lock window is
       // time-bounded; a second liveManifests pass would double the
@@ -1396,20 +1397,35 @@ object WeatherLakeV2Sink {
           val layoutOnly =
             fop == "compact" || fop == "checkpoint" || fop == "measure" ||
               fop == "reconcile"
-          val provablyPreSnapshot = layoutOnly && ls
+          // a publisher whose artifact depends on FILE IDENTITY (mor
+          // delete/merge: their delete rows target specific data-file
+          // paths) can exempt only IDENTITY-PRESERVING maintenance —
+          // checkpoint/measure re-list paths verbatim, but a compaction
+          // or reconcile rewrites in-domain rows under NEW paths, which
+          // would leave the publisher's file-scoped targets dangling
+          // (silently resurrecting its deletions). View-level publishers
+          // (the copy-on-write ops) keep the wider layout-only exemption.
+          val identityPreserving = fop == "checkpoint" || fop == "measure"
+          val exemptable =
+            if (fileIdentityDependent) identityPreserving else layoutOnly
+          val provablyPreSnapshot = exemptable && ls
             .filter(_.startsWith(SupersedesPrefix))
             .map(_.stripPrefix(SupersedesPrefix).trim)
             .forall(snapSet)
-          // a fresh #mordelete directive is ROW-LEVEL DELETION this
-          // operation never saw — it changes the committed view without
-          // adding any data line, so it conflicts with every
-          // domain-carrying op (conservative: delete rows carry no
-          // partition path to prune against; mor deletes are small and
-          // cheap to retry). Carried-over directives inside layout-only
-          // commits are exempted with their commit.
+          // a fresh #mordelete directive CREATED by a mor commit is
+          // ROW-LEVEL DELETION this operation never saw — it changes the
+          // committed view without adding any data line, so it conflicts
+          // with every domain-carrying op (conservative: delete rows
+          // carry no partition path to prune against; mor deletes are
+          // small and cheap to retry). Directives merely CARRIED OVER by
+          // a superseding commit are old news: either the superseded
+          // mixed manifest was in this op's snapshot (its directives
+          // were already visible) or that manifest is itself fresh here
+          // and conflicts directly as the creator.
+          val createsDirectives = fop == "mordelete" || fop == "mormerge"
           !provablyPreSnapshot && ls.exists(l =>
             (l.nonEmpty && !l.startsWith("#") && dom(l)) ||
-              l.startsWith(MorDeletePrefix))
+              (createsDirectives && l.startsWith(MorDeletePrefix)))
         }
         if (conflicting.nonEmpty)
           throw new java.util.ConcurrentModificationException(
@@ -1430,8 +1446,11 @@ object WeatherLakeV2Sink {
     */
   private[graft] def publishForTest(basePath: String, op: String,
       snapshot: Seq[String], supersedes: Seq[String], lines: Seq[String],
-      readDomain: Option[String => Boolean] = None): Unit =
-    publishCommit(basePath, op, snapshot, supersedes, lines, readDomain)
+      readDomain: Option[String => Boolean] = None,
+      payload: Option[String] = None,
+      fileIdentityDependent: Boolean = false): Unit =
+    publishCommit(basePath, op, snapshot, supersedes, lines, readDomain,
+      payload = payload, fileIdentityDependent = fileIdentityDependent)
 
   /** Partition-scoped overwrite (Delta's replaceWhere / dynamic partition
     * overwrite) — merge's partial-supersede skeleton applied to whole
@@ -2605,6 +2624,7 @@ object WeatherLakeV2Sink {
   private[sources] class FieldAcc(forceDomain: Option[Boolean] = None) {
     var seen = false
     var allNum = forceDomain.getOrElse(true)
+    var poisoned = false
     var lexMin: String = _; var lexMax: String = _
     var numMin = 0.0; var numMax = 0.0
     def add(v: String): Unit = {
@@ -2613,6 +2633,16 @@ object WeatherLakeV2Sink {
         if (v > lexMax) lexMax = v
       }
       if (allNum) v.toDoubleOption match {
+        case Some(d) if d.isNaN =>
+          // NaN poisons a numeric range BOTH ways: it never updates
+          // min/max (every NaN comparison is false, so a NaN-first file
+          // would freeze the range at NaN), yet in the ENGINE's ordering
+          // NaN is greater than everything and NaN = NaN holds — a
+          // predicate like `x >= 100` or `x = double('NaN')` matches NaN
+          // rows that no finite min/max can witness. No sound endpoint
+          // exists: emit NO stats for this field (fail open, the
+          // keep-rule of all pruning here).
+          poisoned = true
         case Some(d) =>
           if (!seen) { numMin = d; numMax = d } else {
             if (d < numMin) numMin = d
@@ -2623,7 +2653,7 @@ object WeatherLakeV2Sink {
       seen = true
     }
     def stats: Option[FieldStats] =
-      if (!seen) None
+      if (!seen || (allNum && poisoned)) None
       else if (allNum) Some(FieldStats(numMin.toString, numMax.toString, numeric = true))
       else Some(FieldStats(lexMin, lexMax, numeric = false))
   }

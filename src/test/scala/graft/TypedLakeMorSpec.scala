@@ -254,6 +254,68 @@ class TypedLakeMorSpec extends SparkSpec {
     assert(after == got)
   }
 
+  test("FILE-IDENTITY conflict rules: a path-rewriting commit (compact/" +
+      "reconcile) and a mor publish serialize LOUDLY in both directions; " +
+      "identity-preserving maintenance (checkpoint) does not conflict a " +
+      "mor publish; carried-over directives never spuriously conflict " +
+      "disjoint DML") {
+    val lake = tmp("moridentity")
+    seed(lake)
+    // direction 1: a compaction whose snapshot predates a fresh mor
+    // delete must conflict — committing would rewrite the delete's
+    // target paths and silently resurrect its rows
+    val s1 = WeatherLakeV2Sink.liveManifests(lake)
+    val lines1 = WeatherLakeV2Sink.committedFiles(lake)
+    TypedLake.deleteTypedMor(spark, lake, schema, pc,
+      predicate = df => df("id") === 7L)
+    val e1 = intercept[java.util.ConcurrentModificationException] {
+      WeatherLakeV2Sink.publishForTest(lake, "compact", snapshot = s1,
+        supersedes = s1, lines = lines1, readDomain = Some(_ => false),
+        payload = Some(TypedLake.Payload))
+    }
+    assert(e1.getMessage.contains("read domain"), e1.getMessage)
+    // direction 2: a mor publish whose snapshot predates a fresh
+    // reconcile (which rewrote its would-be targets) must conflict
+    val s2 = WeatherLakeV2Sink.liveManifests(lake)
+    assert(TypedLake.reconcileMor(spark, lake, schema, pc) > 0)
+    val e2 = intercept[java.util.ConcurrentModificationException] {
+      WeatherLakeV2Sink.publishForTest(lake, "mordelete", snapshot = s2,
+        supersedes = Seq.empty,
+        lines = Seq(s"${WeatherLakeV2Sink.MorDeletePrefix}/tmp/fake.parquet"),
+        readDomain = Some(_ => true), payload = Some(TypedLake.Payload),
+        fileIdentityDependent = true)
+    }
+    assert(e2.getMessage.contains("read domain"), e2.getMessage)
+    // identity-preserving maintenance is exempt: a checkpoint re-lists
+    // paths VERBATIM, so a mor publish across it stays valid
+    seed(lake, n = 5, id = "extra") // live set > 1 so checkpoint rolls up
+    val s3 = WeatherLakeV2Sink.liveManifests(lake)
+    assert(WeatherLakeV2Sink.checkpointManifests(lake) > 0)
+    WeatherLakeV2Sink.publishForTest(lake, "mordelete", snapshot = s3,
+      supersedes = Seq.empty, lines = Seq.empty,
+      readDomain = Some(_ => true), payload = Some(TypedLake.Payload),
+      fileIdentityDependent = true)
+    // carried-over directives are old news: a CoW delete superseding a
+    // MIXED mor-merge manifest re-publishes its directives, and a
+    // disjoint-domain op racing it must NOT conflict on them
+    val s = spark
+    import s.implicits._
+    TypedLake.mergeTypedMor(spark, lake, schema, pc,
+      Seq((500L, "m", "r0")).toDF("id", "name", "region"),
+      keyCols = Seq("id", "region")) // mixed manifest: data + (no deletes)
+    TypedLake.deleteTypedMor(spark, lake, schema, pc,
+      predicate = df => df("id") === 500L) // now a live directive exists
+    val stale = WeatherLakeV2Sink.liveManifests(lake)
+    // CoW delete touches r0 files → supersedes + carries directives
+    TypedLake.deleteTyped(spark, lake, schema, pc,
+      predicate = df => df("id") === 2L)
+    // the fresh 'delete' manifest carries directives but CREATED none —
+    // a disjoint op (domain = nothing) publishes fine
+    WeatherLakeV2Sink.publishForTest(lake, "merge", snapshot = stale,
+      supersedes = Seq.empty, lines = Seq.empty,
+      readDomain = Some(_ => false), payload = Some(TypedLake.Payload))
+  }
+
   test("a mor delete racing a domain-carrying commit conflicts loudly " +
       "(publishCommit sees the fresh #mordelete directive)") {
     val lake = tmp("morconflict")
