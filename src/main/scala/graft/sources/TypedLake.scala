@@ -447,12 +447,52 @@ object TypedLake {
       framed.join(del, cond, "left_anti")
     }
 
+  /** The live mor-delete directive PAYLOAD lines (path + optional
+    * target-range stats) of a snapshot's manifests.
+    */
+  private def morDeleteLinesOf(basePath: String,
+      manifests: Seq[String]): Seq[String] =
+    WeatherLakeV2Sink.morDirectivesOf(basePath, manifests)
+      .map(_.stripPrefix(WeatherLakeV2Sink.MorDeletePrefix).trim)
+
   /** The live mor-delete file paths of a snapshot's manifests. */
   private def morDeleteFilesOf(basePath: String,
       manifests: Seq[String]): Seq[String] =
-    WeatherLakeV2Sink.morDirectivesOf(basePath, manifests)
-      .map(l => entryPath(
-        l.stripPrefix(WeatherLakeV2Sink.MorDeletePrefix).trim))
+    morDeleteLinesOf(basePath, manifests).map(entryPath)
+
+  /** Prune a delete-file ENTRY-LINE list to the files that can target
+    * any of `dataFiles` — the delete-side skipping leg: delete files
+    * carry min/max stats over [[MorTargetCol]] (written like any
+    * statsFields), and a reader of a PRUNED data-file subset (a
+    * partition-scoped DML candidate set, a CDF changed-file side) need
+    * not open delete files whose whole target range lies outside it.
+    * Fail-open like every prune here: no stats, non-ASCII values →
+    * kept. Driver-side O(delete files × log data files).
+    */
+  private[graft] def pruneMorDeleteLines(deleteLines: Seq[String],
+      dataFiles: Seq[String]): Seq[String] = {
+    if (deleteLines.isEmpty) return Seq.empty
+    val sorted = dataFiles.sorted.toIndexedSeq
+    def ascii(s: String): Boolean = s.forall(_ < 128)
+    val filesAscii = sorted.forall(ascii)
+    def anyFileIn(lo: String, hi: String): Boolean = {
+      // first path >= lo, then check it is <= hi
+      var l = 0; var r = sorted.size
+      while (l < r) {
+        val m = (l + r) >>> 1
+        if (sorted(m) < lo) l = m + 1 else r = m
+      }
+      l < sorted.size && sorted(l) <= hi
+    }
+    deleteLines.filter { line =>
+      lineStats(line).get(MorTargetCol) match {
+        case Some(fs) if !fs.numeric && filesAscii && ascii(fs.min) &&
+            ascii(fs.max) =>
+          anyFileIn(fs.min, fs.max)
+        case _ => true // fail open
+      }
+    }.map(entryPath)
+  }
 
   /** Deletes at or under this row count collapse to ONE delete file —
     * high-rate CDC must not shed per-task confetti (reconcile/compaction
@@ -470,8 +510,11 @@ object TypedLake {
       maxRecordsPerFile: Long): Seq[String] = {
     val routed = if (deletedRows <= MorDeleteCoalesceRows)
       deleteRows.coalesce(1) else deleteRows
+    // each delete file's entry line carries min/max over its TARGET
+    // paths — the delete-side skipping leg ([[pruneMorDeleteLines]])
     writeTypedFrame(routed, s"$basePath/$MorDeleteDir", "mordelete",
-      morDeleteSchema(schema), Seq.empty, Nil, maxRecordsPerFile)
+      morDeleteSchema(schema), Seq.empty, Seq(MorTargetCol),
+      maxRecordsPerFile)
   }
 
   /** MERGE-ON-READ DELETE — the rewrite-amplification answer (Delta
@@ -511,10 +554,11 @@ object TypedLake {
       case l if inReadDomain(l) => entryPath(l)
     }
     if (candidates.isEmpty) return WeatherLakeV2Sink.DeleteStats(0, 0, 0L)
-    val liveDeletes = morDeleteFilesOf(basePath, snapshot)
+    val liveDeleteLines = morDeleteLinesOf(basePath, snapshot)
     def hit(df: DataFrame) = coalesce(predicate(df), lit(false))
     val cand = applyMorDeletes(spark, schema,
-      framedTyped(spark, basePath, schema, candidates), liveDeletes)
+      framedTyped(spark, basePath, schema, candidates),
+      pruneMorDeleteLines(liveDeleteLines, candidates))
     val matches = cand.filter(hit(cand))
     val perFile = matches.groupBy(col("__file"))
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
@@ -592,9 +636,10 @@ object TypedLake {
       }
     val candidates = committed.filter(inReadDomain)
 
-    val liveDeletes = morDeleteFilesOf(basePath, snapshot)
+    val liveDeleteLines = morDeleteLinesOf(basePath, snapshot)
     def resolved(files: Seq[String]): DataFrame = applyMorDeletes(spark,
-      schema, framedTyped(spark, basePath, schema, files), liveDeletes)
+      schema, framedTyped(spark, basePath, schema, files),
+      pruneMorDeleteLines(liveDeleteLines, files))
     val batchKeys = batch.select(keyCols.map(col).toSeq: _*).distinct()
     val touched: Seq[String] =
       if (candidates.isEmpty) Seq.empty
@@ -781,9 +826,10 @@ object TypedLake {
     if (candidates.isEmpty) return WeatherLakeV2Sink.DeleteStats(0, 0, 0L)
     // every data read resolves through the snapshot's live delete rows
     // (merge-on-read): already-deleted rows neither count nor survive
-    val liveDeletes = morDeleteFilesOf(basePath, snapshot)
+    val liveDeleteLines = morDeleteLinesOf(basePath, snapshot)
     def resolved(files: Seq[String]): DataFrame = applyMorDeletes(spark,
-      schema, framedTyped(spark, basePath, schema, files), liveDeletes)
+      schema, framedTyped(spark, basePath, schema, files),
+      pruneMorDeleteLines(liveDeleteLines, files))
     def hit(df: DataFrame) = coalesce(predicate(df), lit(false))
     val cand = resolved(candidates)
     val perFile = cand.filter(hit(cand))
@@ -852,9 +898,10 @@ object TypedLake {
       case l if inReadDomain(l) => entryPath(l)
     }
     if (candidates.isEmpty) return WeatherLakeV2Sink.UpdateStats(0, 0, 0L)
-    val liveDeletes = morDeleteFilesOf(basePath, snapshot)
+    val liveDeleteLines = morDeleteLinesOf(basePath, snapshot)
     def resolved(files: Seq[String]): DataFrame = applyMorDeletes(spark,
-      schema, framedTyped(spark, basePath, schema, files), liveDeletes)
+      schema, framedTyped(spark, basePath, schema, files),
+      pruneMorDeleteLines(liveDeleteLines, files))
     def hit(df: DataFrame) = coalesce(predicate(df), lit(false))
     val cand = resolved(candidates)
     val perFile = cand.filter(hit(cand))
@@ -978,9 +1025,10 @@ object TypedLake {
     val candidates = committed.filter(inReadDomain)
 
     // ---- one distributed pass: which candidate files are touched
-    val liveDeletes = morDeleteFilesOf(basePath, snapshot)
+    val liveDeleteLines = morDeleteLinesOf(basePath, snapshot)
     def resolved(files: Seq[String]): DataFrame = applyMorDeletes(spark,
-      schema, framedTyped(spark, basePath, schema, files), liveDeletes)
+      schema, framedTyped(spark, basePath, schema, files),
+      pruneMorDeleteLines(liveDeleteLines, files))
     val batchKeys = batch.select(keyCols.map(col).toSeq: _*).distinct()
     val touched: Seq[String] =
       if (candidates.isEmpty) Seq.empty
@@ -1101,8 +1149,10 @@ object TypedLake {
     val dataCols = names.filterNot(keyCols.contains)
     val fromFiles = WeatherLakeV2Sink.filesAsOf(basePath, from).toSet
     val toFiles = WeatherLakeV2Sink.filesAsOf(basePath, to).toSet
-    val fromDeletes = WeatherLakeV2Sink.morDeleteFilesAsOf(basePath, from)
-    val toDeletes = WeatherLakeV2Sink.morDeleteFilesAsOf(basePath, to)
+    val fromDeleteLines = WeatherLakeV2Sink.morDeleteLinesAsOf(basePath, from)
+    val toDeleteLines = WeatherLakeV2Sink.morDeleteLinesAsOf(basePath, to)
+    val fromDeletes = fromDeleteLines.map(entryPath)
+    val toDeletes = toDeleteLines.map(entryPath)
     val removed = (fromFiles -- toFiles).toSeq.sorted
     val added = (toFiles -- fromFiles).toSeq.sorted
     // MERGE-ON-READ widening: a mor delete changes NO file set — its
@@ -1119,15 +1169,14 @@ object TypedLake {
         .select(col(MorTargetCol)).distinct()
         .collect().map(_.getString(0))
         .filter(t => fromFiles(t) && toFiles(t)).toSeq.sorted
-    def resolvedSide(files: Seq[String], deletes: Seq[String]): DataFrame = {
-      val base =
-        if (files.isEmpty)
-          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-        else if (deletes.isEmpty) readTyped(spark, basePath, schema, files)
-        else applyMorDeletes(spark, schema,
-            framedTyped(spark, basePath, schema, files), deletes)
-          .select(names.map(col): _*)
-      base
+    def resolvedSide(files: Seq[String], deleteLines: Seq[String]): DataFrame = {
+      val deletes = pruneMorDeleteLines(deleteLines, files)
+      if (files.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else if (deletes.isEmpty) readTyped(spark, basePath, schema, files)
+      else applyMorDeletes(spark, schema,
+          framedTyped(spark, basePath, schema, files), deletes)
+        .select(names.map(col): _*)
     }
     def tagged(df: DataFrame, change: String): DataFrame =
       df.select(lit(change).as("_change") +: names.map(col): _*)
@@ -1138,16 +1187,16 @@ object TypedLake {
         StructType(StructField("_change", StringType, nullable = false) +:
           schema.fields))
     else if (oldOnlyEmpty)
-      tagged(resolvedSide(added, toDeletes), "insert")
+      tagged(resolvedSide(added, toDeleteLines), "insert")
     else if (newOnlyEmpty)
-      tagged(resolvedSide(removed, fromDeletes), "delete")
+      tagged(resolvedSide(removed, fromDeleteLines), "delete")
     else {
-      def side(files: Seq[String], deletes: Seq[String], tag: String): DataFrame =
-        resolvedSide(files, deletes).select(
+      def side(files: Seq[String], deleteLines: Seq[String], tag: String): DataFrame =
+        resolvedSide(files, deleteLines).select(
           keyCols.map(col) :+
             struct(names.map(col): _*).as(s"__row_$tag"): _*)
-      val joined = side(removed ++ changedTargets, fromDeletes, "old")
-        .join(side(added ++ changedTargets, toDeletes, "new"),
+      val joined = side(removed ++ changedTargets, fromDeleteLines, "old")
+        .join(side(added ++ changedTargets, toDeleteLines, "new"),
           keyCols, "full_outer")
       val old = col("__row_old"); val neu = col("__row_new")
       // all-column equality decides "changed" — dataCols compared
@@ -1300,12 +1349,13 @@ object TypedLake {
     // compaction reads MOR-RESOLVED rows (deletions applied), so
     // compacting a directory doubles as its reconcile; the affected
     // delete rows dangle afterwards and vacuum/reconcile clears them
-    val liveDeletes = morDeleteFilesOf(basePath, snapshot)
+    val liveDeleteLines = morDeleteLinesOf(basePath, snapshot)
     val rows = {
       val files = multi.values.flatten.toSeq
-      if (liveDeletes.isEmpty) readTyped(spark, basePath, schema, files)
+      val deletes = pruneMorDeleteLines(liveDeleteLines, files)
+      if (deletes.isEmpty) readTyped(spark, basePath, schema, files)
       else applyMorDeletes(spark, schema,
-          framedTyped(spark, basePath, schema, files), liveDeletes)
+          framedTyped(spark, basePath, schema, files), deletes)
         .select(schema.fieldNames.toSeq.map(col): _*)
     }
     // honor targetBytes in the OUTPUT too, not only in candidacy: the

@@ -306,9 +306,16 @@ object WeatherLakeV2Sink {
     * subtract exactly the deletions that were live AT the snapshot.
     */
   def morDeleteFilesAsOf(basePath: String, snap: Seq[String]): Seq[String] =
+    morDeleteLinesAsOf(basePath, snap).map(entryPath)
+
+  /** [[morDeleteFilesAsOf]] keeping the full directive PAYLOAD lines
+    * (path + target-range stats) — what the delete-side skipping leg
+    * prunes on.
+    */
+  def morDeleteLinesAsOf(basePath: String, snap: Seq[String]): Seq[String] =
     survivingLinesAsOf(basePath, snap)
       .filter(_.startsWith(MorDeletePrefix))
-      .map(l => entryPath(l.stripPrefix(MorDeletePrefix).trim))
+      .map(_.stripPrefix(MorDeletePrefix).trim)
 
   /** Directive stamped when a row-level commit RAN with `changeLog =
     * true` but its net change set is EMPTY (an idempotent batch replay,

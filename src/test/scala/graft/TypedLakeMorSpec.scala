@@ -254,6 +254,39 @@ class TypedLakeMorSpec extends SparkSpec {
     assert(after == got)
   }
 
+  test("delete-side skipping: delete-file entry lines carry target-range " +
+      "stats, and a read over a pruned data-file subset opens only the " +
+      "delete files that can target it (fail-open without stats)") {
+    val lake = tmp("morprune")
+    seed(lake) // r0/r1 partitions
+    // two mor deletes: even ids live in r0, odd in r1 — each delete's
+    // targets stay within one partition's files
+    TypedLake.deleteTypedMor(spark, lake, schema, pc,
+      predicate = df => df("id") === 4L) // r0 file(s) only
+    TypedLake.deleteTypedMor(spark, lake, schema, pc,
+      predicate = df => df("id") === 5L) // r1 file(s) only
+    val lines = WeatherLakeV2Sink.morDeleteLinesAsOf(lake,
+      WeatherLakeV2Sink.liveManifests(lake))
+    assert(lines.size == 2)
+    // every delete entry line carries __target_file stats
+    assert(lines.forall(l =>
+      WeatherLakeV2Sink.lineStats(l).contains(TypedLake.MorTargetCol)),
+      lines.mkString("\n"))
+    val r0Files = WeatherLakeV2Sink.committedFiles(lake)
+      .filter(_.contains("region=r0"))
+    val r1Files = WeatherLakeV2Sink.committedFiles(lake)
+      .filter(_.contains("region=r1"))
+    val forR0 = TypedLake.pruneMorDeleteLines(lines, r0Files)
+    val forR1 = TypedLake.pruneMorDeleteLines(lines, r1Files)
+    assert(forR0.size == 1 && forR1.size == 1, s"r0=$forR0 r1=$forR1")
+    assert(forR0 != forR1)
+    // a stats-less directive line always survives (fail open)
+    val bare = Seq("/tmp/nostats.parquet")
+    assert(TypedLake.pruneMorDeleteLines(bare, r0Files) == bare)
+    // and the resolved reads stay exact either way
+    assert(ids(lake) == (0L until 40L).filterNot(i => i == 4 || i == 5).toSet)
+  }
+
   test("FILE-IDENTITY conflict rules: a path-rewriting commit (compact/" +
       "reconcile) and a mor publish serialize LOUDLY in both directions; " +
       "identity-preserving maintenance (checkpoint) does not conflict a " +
