@@ -673,18 +673,24 @@ case class LakeUpdateCommand(stmt: UpdateTable) extends LeafRunnableCommand {
         target -> ((df: DataFrame) =>
           LakeDmlSql.bindTyped(v, df, cols, s"UPDATE SET $target"))
       }
-      val st = graft.sources.TypedLake.updateTyped(spark, t.path, schema,
-        partCols,
-        predicate = df => stmt.condition
-          .map(LakeDmlSql.bindTyped(_, df, cols, "UPDATE WHERE"))
-          .getOrElse(lit(true)),
-        assignments = assigns,
-        prune = LakeDmlSql.typedPruneFor(
-          stmt.condition.map(LakeDmlSql.typedPartitionEqs(_, partCols, schema))
-            .getOrElse(Map.empty),
-          stmt.condition.map(LakeDmlSql.typedStatsBounds(_, schema))
-            .getOrElse(Seq.empty)),
-        statsFields = t.statsFields, maxRecordsPerFile = mrpf)
+      val pred = (df: DataFrame) => stmt.condition
+        .map(LakeDmlSql.bindTyped(_, df, cols, "UPDATE WHERE"))
+        .getOrElse(lit(true))
+      val prune = LakeDmlSql.typedPruneFor(
+        stmt.condition.map(LakeDmlSql.typedPartitionEqs(_, partCols, schema))
+          .getOrElse(Map.empty),
+        stmt.condition.map(LakeDmlSql.typedStatsBounds(_, schema))
+          .getOrElse(Seq.empty))
+      // dmlMode = 'mor': delete-row old images + appended new images,
+      // no touched-file rewrite
+      val st =
+        if (t.morDml) graft.sources.TypedLake.updateTypedMor(spark, t.path,
+          schema, partCols, predicate = pred, assignments = assigns,
+          prune = prune, statsFields = t.statsFields,
+          maxRecordsPerFile = mrpf)
+        else graft.sources.TypedLake.updateTyped(spark, t.path, schema,
+          partCols, predicate = pred, assignments = assigns, prune = prune,
+          statsFields = t.statsFields, maxRecordsPerFile = mrpf)
       return Seq(Row(st.touchedFiles, st.newFiles, st.updatedRows))
     }
     val assign = stmt.assignments match {

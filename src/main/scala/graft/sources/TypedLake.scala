@@ -733,6 +733,74 @@ object TypedLake {
       newDataFiles.size + newDeleteFiles.size)
   }
 
+  /** MERGE-ON-READ UPDATE — the third mor DML verb: rows where
+    * `predicate` is TRUE and at least one assignment actually CHANGES a
+    * value emit a delete row (old image) plus an appended new image; no
+    * data file is rewritten, nothing is superseded. Identical-value
+    * updates publish nothing (idempotent re-runs are free). Semantics
+    * otherwise equal [[updateTyped]] (same binding, SQL NULL row-keeping,
+    * fail-open prune, partition-column assignments move rows across
+    * directories via the appended image's routing).
+    */
+  def updateTypedMor(spark: SparkSession, basePath: String,
+      schema: StructType, partCols: Seq[String],
+      predicate: DataFrame => Column,
+      assignments: Seq[(String, DataFrame => Column)],
+      prune: (Map[String, String], Map[String, FieldStats]) => Boolean =
+        (_, _) => true,
+      statsFields: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 0L): WeatherLakeV2Sink.UpdateStats = {
+    import org.apache.spark.sql.functions.coalesce
+    WeatherLakeV2Sink.requirePayload(basePath, Payload, "updateTypedMor")
+    val names = schema.fieldNames.toSeq
+    assignments.foreach { case (n, _) =>
+      require(names.contains(n),
+        s"TypedLake: UPDATE assigns unknown column '$n' (schema: " +
+          s"${names.mkString(", ")})")
+    }
+    val snapshot = WeatherLakeV2Sink.liveManifests(basePath)
+    val byManifest = WeatherLakeV2Sink.entryLinesByManifest(basePath, snapshot)
+    val committedLines = byManifest.flatMap(_._2)
+    def inReadDomain(l: String): Boolean =
+      prune(partitionValuesTyped(basePath, entryPath(l)), lineStats(l))
+    val candidates = committedLines.collect {
+      case l if inReadDomain(l) => entryPath(l)
+    }
+    if (candidates.isEmpty) return WeatherLakeV2Sink.UpdateStats(0, 0, 0L)
+    val liveDeleteLines = morDeleteLinesOf(basePath, snapshot)
+    val cand = applyMorDeletes(spark, schema,
+      framedTyped(spark, basePath, schema, candidates),
+      pruneMorDeleteLines(liveDeleteLines, candidates))
+    val assigned = assignments.toMap
+    def newVal(df: DataFrame)(n: String): Column =
+      assigned.get(n).map(_(df)).getOrElse(df(n))
+    def hit(df: DataFrame) = coalesce(predicate(df), lit(false))
+    val changed = names.map(n => newVal(cand)(n) <=> cand(n))
+      .reduce(_ && _).unary_!
+    val matches = cand.filter(hit(cand) && changed)
+    val perFile = matches.groupBy(col("__file"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    if (perFile.isEmpty) return WeatherLakeV2Sink.UpdateStats(0, 0, 0L)
+    val updatedRows = perFile.map(_._2).sum
+    val deleteRows = matches.select(col("__file").as(MorTargetCol) +:
+      names.map(col): _*)
+    val appendRows = matches.select(names.map(n =>
+      newVal(matches)(n).as(n)): _*)
+    val newDeleteFiles = writeMorDeleteFiles(deleteRows, updatedRows,
+      basePath, schema, maxRecordsPerFile)
+    val newDataFiles = writeTypedFrame(appendRows, basePath, "morupdate",
+      schema, partCols, statsFields, maxRecordsPerFile)
+    WeatherLakeV2Sink.publishCommit(basePath, "morupdate",
+      snapshot = snapshot, supersedes = Seq.empty,
+      lines = newDataFiles ++ newDeleteFiles.map(l =>
+        s"${WeatherLakeV2Sink.MorDeletePrefix}$l"),
+      readDomain = Some(inReadDomain), payload = Some(Payload),
+      fileIdentityDependent = true)
+    WeatherLakeV2Sink.UpdateStats(perFile.length,
+      newDataFiles.size + newDeleteFiles.size, updatedRows)
+  }
+
   /** RECONCILE: fold every live delete row back into clean data files —
     * rewrite exactly the data files that have applicable delete rows
     * (deletions applied), supersede their manifests plus EVERY live

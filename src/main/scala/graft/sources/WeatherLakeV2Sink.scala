@@ -223,7 +223,8 @@ object WeatherLakeV2Sink {
     */
   val ReservedIdPrefixes: Seq[String] =
     Seq("merge-", "delete-", "update-", "compact-", "checkpoint-",
-      "overwrite-", "measure-", "mordelete-", "mormerge-", "reconcile-")
+      "overwrite-", "measure-", "mordelete-", "mormerge-", "morupdate-",
+      "reconcile-")
 
   /** Directive line marking another manifest as replaced by this one.
     * Lines starting with `#` are directives, never file paths; a manifest
@@ -1429,7 +1430,8 @@ object WeatherLakeV2Sink {
           // mixed manifest was in this op's snapshot (its directives
           // were already visible) or that manifest is itself fresh here
           // and conflicts directly as the creator.
-          val createsDirectives = fop == "mordelete" || fop == "mormerge"
+          val createsDirectives = fop == "mordelete" || fop == "mormerge" ||
+            fop == "morupdate"
           !provablyPreSnapshot && ls.exists(l =>
             (l.nonEmpty && !l.startsWith("#") && dom(l)) ||
               (createsDirectives && l.startsWith(MorDeletePrefix)))

@@ -74,8 +74,8 @@ class TypedLakeModelSpec extends SparkSpec {
           statsFields = Seq("k"))
         model ++= rows
       }
-      for (i <- 1 to 10) {
-        val op = rng.nextInt(10)
+      for (i <- 1 to 11) {
+        val op = rng.nextInt(11)
         op match {
           case 0 => // append brand-new keys
             val rows = freshRows(1 + rng.nextInt(3))
@@ -118,6 +118,13 @@ class TypedLakeModelSpec extends SparkSpec {
           case 7 => WeatherLakeV2Sink.checkpointManifests(lake)
           case 8 => TypedLake.reconcileMor(spark, lake, schema, pc)
           case 9 => TypedLake.measureStatsTyped(spark, lake, schema, Seq("k"))
+          case 10 => // MERGE-ON-READ update to a key-derived value
+            val r = rng.nextInt(3)
+            TypedLake.updateTypedMor(spark, lake, schema, pc,
+              predicate = df => df("k") % 3 === r,
+              assignments = Seq("v" -> (df => df("k") * 9 + r)))
+            model = model.map { case (k, v) =>
+              k -> (if (k % 3 == r) k * 9 + r else v) }
         }
         assert(lakeState == model, s"trial $trial op#$i (kind $op) diverged")
         applyFeed()

@@ -130,11 +130,24 @@ class TypedLakeMorSpec extends SparkSpec {
       WHEN NOT MATCHED THEN INSERT *""")
     val row3 = spark.table("morlake.t").filter(col("id") === 3).collect()
     assert(row3.length == 1 && row3.head.getString(1) == "fresh", row3.toSeq)
-    // CoW UPDATE on the mor table reads resolved and keeps directives
+    // UPDATE on the mor table is merge-on-read too: old image becomes a
+    // delete row, the new image appends, NOTHING is rewritten
+    val filesBeforeUpd = WeatherLakeV2Sink.committedFiles(p).toSet
     spark.sql("UPDATE morlake.t SET name = 'u' WHERE id = 8")
+    assert(WeatherLakeV2Sink.committedFiles(p).toSet
+      .intersect(filesBeforeUpd) == filesBeforeUpd,
+      "mor UPDATE must not rewrite committed files")
     assert(spark.table("morlake.t").count() == 37) // 36 + inserted id=3
+    assert(spark.table("morlake.t").filter(col("id") === 8)
+      .head.getString(1) == "u")
     assert(spark.table("morlake.t")
       .filter(col("id") === 13).count() == 0, "deleted row resurrected")
+    // an identical-value re-update publishes NOTHING (idempotent)
+    val manifests = WeatherLakeV2Sink.manifestNames(p).size
+    val upd2 = spark.sql(
+      "UPDATE morlake.t SET name = 'u' WHERE id = 8").collect().head
+    assert(upd2.getLong(2) == 0, upd2)
+    assert(WeatherLakeV2Sink.manifestNames(p).size == manifests)
   }
 
   test("reconcile folds delete rows into clean files (view unchanged, " +
