@@ -1753,7 +1753,8 @@ object LakeCatalog {
           StructField("num_partitions", IntegerType, nullable = false),
           StructField("live_manifests", IntegerType, nullable = false),
           StructField("total_manifests", IntegerType, nullable = false),
-          StructField("stats_covered_files", IntegerType, nullable = false)))
+          StructField("stats_covered_files", IntegerType, nullable = false),
+          StructField("live_delete_files", IntegerType, nullable = false)))
         case "convert" => StructType(Seq(
           StructField("adopted_files", IntegerType, nullable = false),
           StructField("measured_files", IntegerType, nullable = false)))
@@ -1941,10 +1942,13 @@ object LakeCatalog {
               WeatherLakeV2Sink.partitionValues(path, f)).distinct.size
             val withStats = lines.count(l =>
               WeatherLakeV2Sink.lineStats(l).nonEmpty)
+            // live_delete_files > 0 = merge-on-read debt: reads pay an
+            // anti-join until CALL reconcile folds it back
             Array(InternalRow(UTF8String.fromString(path), files.size,
               bytes, partitions,
               WeatherLakeV2Sink.liveManifests(path).size,
-              WeatherLakeV2Sink.manifestNames(path).size, withStats))
+              WeatherLakeV2Sink.manifestNames(path).size, withStats,
+              WeatherLakeV2Sink.committedMorDeleteFiles(path).size))
           case "history" =>
             val fs = new Path(path).getFileSystem(new Configuration())
             val mdir = new Path(path, WeatherLakeV2Sink.ManifestDir)

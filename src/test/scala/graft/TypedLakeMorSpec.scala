@@ -259,9 +259,14 @@ class TypedLakeMorSpec extends SparkSpec {
     assert(r2.getInt(0) == 0 && r2.getInt(1) == 0, r2)
     assert(WeatherLakeV2Sink.manifestNames(p).size == manifests,
       "idempotent mor re-merge must publish nothing")
+    // DESCRIBE DETAIL surfaces the merge-on-read debt
+    assert(spark.sql("CALL mmlake.system.detail('t')")
+      .head.getInt(7) > 0, "detail must report live delete files")
     // reconcile folds it all back; state unchanged; vacuum-ready
     spark.sql("CALL mmlake.system.reconcile('t')")
     assert(WeatherLakeV2Sink.committedMorDeleteFiles(p).isEmpty)
+    assert(spark.sql("CALL mmlake.system.detail('t')")
+      .head.getInt(7) == 0)
     val after = spark.table("mmlake.t").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(after == got)
