@@ -6556,6 +6556,86 @@ object SparkEntry {
         s.sql(s"CALL graftlake.system.reconcile('$t', " +
           s"stats_fields => 'doc_id')")
         s.sql(s"SELECT doc_id, val FROM graftlake.$t")
+      }),
+
+    QueryDef("q117_mor_update",
+      "MERGE-ON-READ UPDATE — the third mor DML verb through SQL: rows " +
+        "whose values actually CHANGE emit a delete row (old image) plus " +
+        "an appended new image in ONE mixed manifest; nothing is " +
+        "rewritten or superseded, and an identical-value re-UPDATE " +
+        "publishes NOTHING (spec-pinned) — so this query costs one real " +
+        "mor update on the first pass and pure no-op passes after: the " +
+        "steady state of an idempotent maintenance UPDATE at CDC rates. " +
+        "The read back subtracts the old images through the analysis-" +
+        "time anti-join; the oracle replays the final state.",
+      Some("""SELECT doc_id, CAST(CASE WHEN doc_id % 6 = 1
+        |  THEN doc_id * 3 ELSE doc_id END AS BIGINT) AS val
+        |FROM documents""".stripMargin),
+      (s, dir) => {
+        val t = typedDocsTable(s, dir, "morupd")
+        s.sql(s"ALTER TABLE graftlake.$t SET TBLPROPERTIES " +
+          s"('dmlMode' = 'mor')")
+        s.sql(s"""UPDATE graftlake.$t SET val = doc_id * 3
+          WHERE doc_id % 6 = 1""")
+        s.sql(s"SELECT doc_id, val FROM graftlake.$t")
+      }),
+
+    QueryDef("q118_mor_cdc_merge",
+      "The CDC-rate upsert that motivated merge-on-read (the reference's " +
+        "whole loader contract is an hourly ON-CONFLICT upsert, " +
+        "load_to_postgres.py:90-102 + etl_openmeteo.py:14): one MERGE " +
+        "applies updates, deletes and inserts with dmlMode='mor' — " +
+        "matched updates become delete-row + appended new image, matched " +
+        "deletes become delete rows, inserts append, ONE mixed manifest, " +
+        "ZERO touched-file rewrites (the q104 classic-CDC shape without " +
+        "its rewrite amplification). Each pass re-arms by merging the " +
+        "doomed keys back, then replays the CDC batch: the updates and " +
+        "inserts are matched-unchanged no-ops (publish nothing for " +
+        "them), the deletes do real per-pass work. The oracle replays " +
+        "the net state relationally.",
+      Some("""SELECT doc_id, val FROM (
+        |  SELECT doc_id, CAST(CASE WHEN doc_id % 9 = 2
+        |    THEN doc_id * 4 ELSE doc_id END AS BIGINT) AS val
+        |  FROM documents WHERE doc_id % 15 <> 4
+        |  UNION ALL
+        |  SELECT CAST(-1 - doc_id AS BIGINT), CAST(-1 - doc_id AS BIGINT)
+        |  FROM documents WHERE doc_id < 20)""".stripMargin),
+      (s, dir) => {
+        val t = typedDocsTable(s, dir, "morcdc")
+        s.sql(s"ALTER TABLE graftlake.$t SET TBLPROPERTIES " +
+          s"('dmlMode' = 'mor')")
+        val docs = Tables.documents(s, dir)
+        // re-arm: restore the keys the CDC batch deletes
+        docs.filter(col("doc_id") % 15 === 4).select(
+            col("doc_id").cast("long").as("doc_id"),
+            col("doc_id").cast("long").as("val"), col("source"))
+          .createOrReplaceTempView("mor_cdc_rearm")
+        s.sql(s"""MERGE INTO graftlake.$t t USING mor_cdc_rearm s
+          ON t.doc_id = s.doc_id AND t.source = s.source
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""")
+        // the CDC batch: updates (op 'u'), deletes (op 'd'), inserts
+        docs.filter(col("doc_id") % 9 === 2 && col("doc_id") % 15 =!= 4)
+          .select(col("doc_id").cast("long").as("doc_id"),
+            (col("doc_id") * 4).cast("long").as("val"), col("source"),
+            lit("u").as("op"))
+          .unionByName(docs.filter(col("doc_id") % 15 === 4).select(
+            col("doc_id").cast("long").as("doc_id"),
+            col("doc_id").cast("long").as("val"), col("source"),
+            lit("d").as("op")))
+          .unionByName(docs.filter(col("doc_id") < 20).select(
+            (lit(-1L) - col("doc_id")).as("doc_id"),
+            (lit(-1L) - col("doc_id")).as("val"),
+            lit("fresh").as("source"), lit("u").as("op")))
+          .createOrReplaceTempView("mor_cdc_batch")
+        s.sql(s"""MERGE INTO graftlake.$t t USING mor_cdc_batch s
+          ON t.doc_id = s.doc_id AND t.source = s.source
+          WHEN MATCHED AND s.op = 'd' THEN DELETE
+          WHEN MATCHED THEN UPDATE SET doc_id = s.doc_id, val = s.val,
+            source = s.source
+          WHEN NOT MATCHED AND s.op != 'd' THEN
+            INSERT (doc_id, val, source) VALUES (s.doc_id, s.val, s.source)""")
+        s.sql(s"SELECT doc_id, val FROM graftlake.$t")
       })
   )
 
