@@ -1286,8 +1286,6 @@ object LakeCatalog {
           "lake.system.reconcile('<table>') first")
     }
 
-    @volatile private var currentFactory: PartitionReaderFactory = _
-
     private def delegateBatch(files: Seq[String]): Batch = {
       val b = org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
         s"lake_typed_stream($path)", SparkSession.active, options,
@@ -1315,25 +1313,57 @@ object LakeCatalog {
       val batchFiles = fileParts.map(
         _.asInstanceOf[WeatherLakeV2StreamSource.LakeFilePartition].file)
         .distinct.sorted.toSeq
-      if (batchFiles.isEmpty) {
-        currentFactory = null
-        Array.empty
-      } else {
+      if (batchFiles.isEmpty) Array.empty
+      else {
+        // each planned partition CARRIES its batch's reader factory —
+        // plan-then-read pairing is structural, never a shared mutable
+        // field that out-of-order planning or a retry could mispair
+        // (wrong files/projection) without an error
         val b = delegateBatch(batchFiles)
-        currentFactory = b.createReaderFactory()
-        b.planInputPartitions()
+        val factory = b.createReaderFactory()
+        b.planInputPartitions().map(p =>
+          TypedBatchPartition(p, factory): InputPartition)
       }
     }
 
-    override def createReaderFactory(): PartitionReaderFactory = {
-      val f = currentFactory
-      if (f != null) f
-      else new PartitionReaderFactory {
-        override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-          throw new IllegalStateException(
-            "TypedLakeMicroBatchStream: reader requested for an empty batch")
-      }
+    override def createReaderFactory(): PartitionReaderFactory =
+      TypedBatchReaderFactory
+  }
+
+  /** A typed-stream input partition bound to the reader factory of the
+    * batch that planned it (see [[TypedLakeMicroBatchStream
+    * .planInputPartitions]]).
+    */
+  private[sources] final case class TypedBatchPartition(
+      inner: InputPartition, factory: PartitionReaderFactory)
+      extends InputPartition {
+    override def preferredLocations(): Array[String] =
+      inner.preferredLocations()
+  }
+
+  /** Stateless dispatcher: every partition knows its own factory. */
+  private[sources] object TypedBatchReaderFactory
+      extends PartitionReaderFactory {
+    override def createReader(partition: InputPartition):
+        PartitionReader[InternalRow] = partition match {
+      case TypedBatchPartition(inner, factory) => factory.createReader(inner)
+      case other => throw new IllegalStateException(
+        s"TypedLakeMicroBatchStream: unexpected partition $other")
     }
+    override def createColumnarReader(partition: InputPartition):
+        PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+      partition match {
+      case TypedBatchPartition(inner, factory) =>
+        factory.createColumnarReader(inner)
+      case other => throw new IllegalStateException(
+        s"TypedLakeMicroBatchStream: unexpected partition $other")
+    }
+    override def supportColumnarReads(partition: InputPartition): Boolean =
+      partition match {
+        case TypedBatchPartition(inner, factory) =>
+          factory.supportColumnarReads(inner)
+        case _ => false
+      }
   }
 
   class TypedLakeStreamingWriterFactory(path: String, schema: StructType,

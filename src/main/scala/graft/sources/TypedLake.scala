@@ -80,6 +80,18 @@ object TypedLake {
     val names = schema.fieldNames.toSeq
     require(names.map(_.toLowerCase).distinct.size == names.size,
       s"TypedLake: duplicate column names in (${names.mkString(", ")})")
+    // "__" is the internal namespace of every DML/mor frame column
+    // (__file/__path/__pos/__t/__s, __target_file/__row_pos in delete
+    // files, __s_<col>/__d_<col> join renames): a user column there
+    // would collide with the delete-file schema or a join rename and
+    // corrupt the subtraction silently — refuse at CREATE/convert
+    names.find(_.startsWith("__")).foreach { n =>
+      throw new IllegalArgumentException(
+        s"TypedLake: column name '$n' uses the reserved '__' prefix — " +
+          "double-underscore names are internal to the DML/merge-on-read " +
+          "machinery (__file, __target_file, __row_pos, __s_*, __d_*); " +
+          "rename the column")
+    }
     require(names.takeRight(partCols.size) == partCols,
       s"TypedLake: partition columns (${partCols.mkString(", ")}) must be " +
         s"the LAST columns of the schema, in order — got (${names.mkString(", ")}). " +
@@ -174,10 +186,13 @@ object TypedLake {
         StringType, Some("UTC"))
     })
     // stats-tracked DATA columns also get parquet bloom filters
-    // (partition columns live in the path, not in the file)
+    // (partition columns live in the path, not in the file). The conf
+    // key must carry the data field's EXACT name — a statsField spelled
+    // in different case (tolerated everywhere else) would otherwise
+    // silently write no bloom filter
     private val conf = parquetTaskConf(data,
-      bloomFor = statsFields.filter(f =>
-        data.fieldNames.exists(_.equalsIgnoreCase(f))))
+      bloomFor = statsFields.flatMap(f =>
+        data.fieldNames.find(_.equalsIgnoreCase(f))))
     private val ctx = taskAttemptContext(conf)
 
     private final class OpenFile(val path: String) {
