@@ -466,6 +466,44 @@ object SparkEntry {
       t
     })
 
+  /** q119's fixture: the WIDE typed documents table — the real `text`
+    * column rides every row, so a full-old-image equality delete would
+    * cost ~row bytes per deleted row; position deletes pin the
+    * O(bytes-per-ordinal) contract on exactly the shape that motivates
+    * them. Created with dmlMode='mor' (position flavor is the default).
+    */
+  private def typedWideDocsTable(s: SparkSession, dir: String,
+      kind: String): String =
+    typedTableCache.getOrElseUpdate(
+      s"wide_$kind#${System.identityHashCode(s)}#$dir", {
+      s.conf.set("spark.sql.catalog.graftlake", "graft.sources.LakeCatalog")
+      s.conf.set("spark.sql.catalog.graftlake.warehouse",
+        "/tmp/graft_catalog_wh")
+      val docs = Tables.documents(s, dir)
+      // the plain corpusSig hashes doc_id only, and the documents table
+      // shares ids 0..499 across scale factors while TEXT differs — a
+      // text-bearing fixture must fold the text into the address or two
+      // SFs would collide on one table
+      val sigRow = docs.agg(
+        count(lit(1)).cast("long"),
+        sum(col("doc_id").cast("long")).cast("long"),
+        sum(length(col("text")).cast("long")).cast("long")).head
+      val sig =
+        s"n${sigRow.getLong(0)}_s${sigRow.getLong(1)}_t${sigRow.getLong(2)}"
+      val t = s"typed_wide_${kind}_$sig"
+      val p = s"/tmp/graft_catalog_wh/$t"
+      s.sql(s"""CREATE TABLE IF NOT EXISTS graftlake.$t
+        (doc_id BIGINT, text STRING, source STRING) USING lake
+        PARTITIONED BY (source) TBLPROPERTIES ('statsFields' = 'doc_id',
+        'dmlMode' = 'mor')""")
+      if (!graft.sources.WeatherLakeV2Sink.manifestExists(p, "base")) {
+        docs.select(col("doc_id").cast("long").as("doc_id"),
+            col("text"), col("source"))
+          .writeTo(s"graftlake.$t").option("manifestId", "base").append()
+      }
+      t
+    })
+
   /** q113's fixture: the NATION table as a TYPED lake catalog dim
     * (n_nationkey BIGINT, n_name STRING), unpartitioned — small enough
     * that the scan-reported statistics must elect an automatic broadcast
@@ -6636,6 +6674,54 @@ object SparkEntry {
           WHEN NOT MATCHED AND s.op != 'd' THEN
             INSERT (doc_id, val, source) VALUES (s.doc_id, s.val, s.source)""")
         s.sql(s"SELECT doc_id, val FROM graftlake.$t")
+      }),
+
+    QueryDef("q119_mor_position_delete",
+      "POSITION-based merge-on-read deletes (the round-13 verdict's " +
+        "top_next — Iceberg v2 position-delete files / Delta deletion " +
+        "vectors): a mor DELETE records (target file, row ordinal) via " +
+        "the engine's _metadata.row_index — O(16 bytes) per deleted row " +
+        "REGARDLESS of table width, where the equality form carried the " +
+        "FULL old image (on this WIDE table the text column dominates " +
+        "row bytes, so an equality delete file costs nearly the bytes " +
+        "it kills; the byte ratio is spec-pinned in TypedLakeMorPosSpec). " +
+        "The subtraction is an equi-anti-join on two narrow columns, so " +
+        "column pruning survives on the probe side and the broadcast " +
+        "side stays O(16 B x deleted rows). Flavor is asserted in-pass: " +
+        "every live delete file carries the morpos marker and zero data " +
+        "files are rewritten. Re-arm per pass; the oracle replays the " +
+        "final state.",
+      Some("""SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS text_len FROM (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents)
+        |WHERE doc_id % 7 <> 2""".stripMargin),
+      (s, dir) => {
+        val t = typedWideDocsTable(s, dir, "morpos")
+        val docs = Tables.documents(s, dir)
+        // re-arm: restore the keys this pass position-deletes
+        docs.filter(col("doc_id") % 7 === 2).select(
+            col("doc_id").cast("long").as("doc_id"),
+            col("text"), col("source"))
+          .createOrReplaceTempView("morpos_rearm")
+        s.sql(s"""MERGE INTO graftlake.$t t USING morpos_rearm s
+          ON t.doc_id = s.doc_id AND t.source = s.source
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""")
+        val p = s"/tmp/graft_catalog_wh/$t"
+        val filesBefore =
+          graft.sources.WeatherLakeV2Sink.committedFiles(p).toSet
+        s.sql(s"DELETE FROM graftlake.$t WHERE doc_id % 7 = 2")
+        // the position-flavor pin: every live delete file is (target,
+        // ordinal) — wide old images never ride a delete file — and the
+        // DELETE rewrote NOTHING
+        val live =
+          graft.sources.WeatherLakeV2Sink.committedMorDeleteFiles(p)
+        require(live.nonEmpty &&
+          live.forall(graft.sources.TypedLake.isPosDelete),
+          s"expected position-flavor delete files, got $live")
+        require(graft.sources.WeatherLakeV2Sink.committedFiles(p).toSet
+          == filesBefore, "mor DELETE must rewrite no data file")
+        s.sql(s"SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS text_len " +
+          s"FROM graftlake.$t")
       })
   )
 

@@ -125,7 +125,8 @@ object LakeDmlSql {
   final case class LakeTarget(path: String, targetBytes: Long,
       statsFields: Seq[String], changeLog: Boolean,
       typed: Option[(StructType, Seq[String], Long)] = None,
-      morDml: Boolean = false)
+      morDml: Boolean = false,
+      morPositionDeletes: Boolean = true)
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"lake DML: $msg")
@@ -147,17 +148,29 @@ object LakeDmlSql {
       catch { case e: Exception =>
         fail(s"cannot resolve DML target '$name': ${e.getMessage}")
       }
-    val v2 = df.queryExecution.analyzed.collectFirst {
-      case r: DataSourceV2Relation => r
-    }.getOrElse(fail(s"'$name' is not a lake view — DML runs only " +
+    val analyzed = df.queryExecution.analyzed
+    // a table with live POSITION delete files analyzes to a v1-leg mor
+    // rewrite with NO DataSourceV2Relation — the rewriting rule tags the
+    // outer Project with the lake table it replaced (MorScanResolution)
+    val tableImpl: org.apache.spark.sql.connector.catalog.Table =
+      analyzed.collectFirst {
+        case r: DataSourceV2Relation => r.table
+      }.orElse(analyzed.collectFirst {
+        case p if p.getTagValue(MorScanResolution.MorTable).isDefined =>
+          p.getTagValue(MorScanResolution.MorTable).get
+      }).getOrElse(fail(s"'$name' is not a lake view — DML runs only " +
       "against CREATE TEMPORARY VIEW ... USING " +
       "graft.sources.WeatherLakeV2StreamSource"))
-    v2.table match {
+    val v2opts = analyzed.collectFirst {
+      case r: DataSourceV2Relation => r.options
+    }.getOrElse(new org.apache.spark.sql.util
+      .CaseInsensitiveStringMap(new java.util.HashMap[String, String]()))
+    tableImpl match {
       case t: WeatherLakeV2StreamSource.LakeStreamTable =>
         if (t.cdc)
           fail(s"'$name' is a change-feed view (readChangeFeed) — DML " +
             "targets the TABLE, not its change feed")
-        val opts = v2.options
+        val opts = v2opts
         if (opts.containsKey("snapshotVersion") || opts.containsKey("asOfManifests"))
           fail(s"'$name' is a time-travel view — history is immutable; " +
             "point the DML at the current-view lake view instead")
@@ -189,7 +202,7 @@ object LakeDmlSql {
         LakeTarget(t.path, targetBytes = 0L,
           statsFields = t.statsFields, changeLog = false,
           typed = Some((t.tableSchema, t.partCols, t.maxRecordsPerFile)),
-          morDml = t.morDml)
+          morDml = t.morDml, morPositionDeletes = t.morPositionDeletes)
       case other => fail(s"'$name' resolves to ${other.name()}, not a " +
         "lake table — DML runs only against the manifest lake")
     }
@@ -625,7 +638,8 @@ case class LakeDeleteCommand(stmt: DeleteFromTable) extends LeafRunnableCommand 
           prune = LakeDmlSql.typedPruneFor(
             LakeDmlSql.typedPartitionEqs(stmt.condition, partCols, schema),
             LakeDmlSql.typedStatsBounds(stmt.condition, schema)),
-          maxRecordsPerFile = mrpf)
+          maxRecordsPerFile = mrpf,
+          positionDeletes = t.morPositionDeletes)
       case Some((schema, partCols, mrpf)) =>
         graft.sources.TypedLake.deleteTyped(spark, t.path, schema, partCols,
           predicate = df => LakeDmlSql.bindTyped(stmt.condition, df,
@@ -687,7 +701,8 @@ case class LakeUpdateCommand(stmt: UpdateTable) extends LeafRunnableCommand {
         if (t.morDml) graft.sources.TypedLake.updateTypedMor(spark, t.path,
           schema, partCols, predicate = pred, assignments = assigns,
           prune = prune, statsFields = t.statsFields,
-          maxRecordsPerFile = mrpf)
+          maxRecordsPerFile = mrpf,
+          positionDeletes = t.morPositionDeletes)
         else graft.sources.TypedLake.updateTyped(spark, t.path, schema,
           partCols, predicate = pred, assignments = assigns, prune = prune,
           statsFields = t.statsFields, maxRecordsPerFile = mrpf)
@@ -1109,7 +1124,8 @@ case class LakeMergeCommand(stmt: MergeIntoTable) extends LeafRunnableCommand {
     val st =
       if (t.morDml) TypedLake.mergeTypedMor(spark, t.path, schema, partCols,
         batch = sourceDF, keyCols = keyCols, actions = mergeActions,
-        statsFields = t.statsFields, maxRecordsPerFile = mrpf)
+        statsFields = t.statsFields, maxRecordsPerFile = mrpf,
+        positionDeletes = t.morPositionDeletes)
       else TypedLake.mergeTyped(spark, t.path, schema, partCols,
         batch = sourceDF, keyCols = keyCols, actions = mergeActions,
         statsFields = t.statsFields, maxRecordsPerFile = mrpf)

@@ -877,6 +877,21 @@ object LakeCatalog {
             "(copy-on-write, default) or 'mor' (merge-on-read)")
       }
 
+    /** Which delete-file FLAVOR mor DML writes (`morDeletes` table
+      * property): POSITION deletes — (target file, row ordinal), O(16
+      * bytes)/row regardless of table width — by default; 'equality'
+      * keeps the full-old-image form as an explicit fallback. Reads
+      * subtract BOTH regardless (a table may hold a mix).
+      */
+    def morPositionDeletes: Boolean =
+      Option(props.get("morDeletes")).map(_.trim.toLowerCase) match {
+        case None | Some("position") => true
+        case Some("equality") => false
+        case Some(other) => throw new IllegalArgumentException(
+          s"LakeCatalog: unknown morDeletes form '$other' — use " +
+            "'position' (default) or 'equality'")
+      }
+
     /** The analysis-time merge-on-read context of this table instance:
       * None when no delete rows are live (the overwhelmingly common
       * case — one cached manifest read answers it), else the pinned

@@ -339,12 +339,11 @@ object TypedLake {
     // could mix a racing commit's data with the old delete set
     val snapshot = WeatherLakeV2Sink.liveManifests(basePath)
     val files = WeatherLakeV2Sink.filesAsOf(basePath, snapshot)
-    val deletes = morDeleteFilesOf(basePath, snapshot)
-    if (deletes.isEmpty) readTyped(spark, basePath, schema, files)
+    val deleteLines = morDeleteLinesOf(basePath, snapshot)
+    if (deleteLines.isEmpty) readTyped(spark, basePath, schema, files)
     else if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else applyMorDeletes(spark, schema,
-        framedTyped(spark, basePath, schema, files), deletes)
+    else resolvedFramed(spark, basePath, schema, files, deleteLines)
       .select(schema.fieldNames.toSeq.map(col): _*)
   }
 
@@ -394,16 +393,27 @@ object TypedLake {
       WeatherLakeV2Sink.SchemeAuthorityPattern, "")
 
   /** Candidate files of a typed op as a frame carrying `__file` (the
-    * manifest-joinable path). Reads only `files`, typed.
+    * manifest-joinable path) and — when `withPos` — `__pos`, the row's
+    * ordinal within its data file (the engine's `_metadata.row_index`,
+    * stable under pushed filters and row-group skipping: it is the
+    * PHYSICAL position, which is what makes position-delete targeting
+    * sound). Reads only `files`, typed.
     */
   private def framedTyped(spark: SparkSession, basePath: String,
-      schema: StructType, files: Seq[String]): DataFrame = {
+      schema: StructType, files: Seq[String],
+      withPos: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
     val session = spark
     import session.implicits._
     val keyed = files.map(f => (manifestJoinKey(f), f))
-    readTyped(spark, basePath, schema, files)
-      .withColumn("__path", filePathCol)
+    val base = spark.read.option("basePath", basePath).schema(schema)
+      .parquet(files: _*)
+    // ONE select over the raw relation: `_metadata` is a metadata column
+    // and must be projected before any other Project hides it
+    val cols = (if (withPos)
+        Seq(col("_metadata.row_index").as(PosFrameCol)) else Seq.empty) ++
+      Seq(filePathCol.as("__path")) ++ schema.fieldNames.toSeq.map(col)
+    base.select(cols: _*)
       .join(broadcast(keyed.toDF("__path", "__file")), "__path")
       .drop("__path")
   }
@@ -432,6 +442,37 @@ object TypedLake {
     StructType(StructField(MorTargetCol, StringType, nullable = false) +:
       schema.fields)
 
+  /** The POSITION-delete row-ordinal column: the deleted row's physical
+    * index within its target file (the engine's `_metadata.row_index`).
+    */
+  val MorPosCol = "__row_pos"
+
+  /** The framed-read ordinal column position deletes join against. */
+  private[sources] val PosFrameCol = "__pos"
+
+  /** A POSITION delete file's schema — (target file, row ordinal), the
+    * Iceberg v2 position-delete / Delta deletion-vector shape: O(~16
+    * bytes) per deleted row REGARDLESS of table width, where an equality
+    * delete carries the full old image (on a wide `documents.text` row,
+    * nearly the bytes it kills). Position deletes are the default mor
+    * form; equality deletes remain the fallback (`morDeletes =
+    * 'equality'`) and every reader subtracts BOTH — a table may hold a
+    * mix across its history.
+    */
+  val MorPosSchema: StructType = StructType(Seq(
+    StructField(MorTargetCol, StringType, nullable = false),
+    StructField(MorPosCol, LongType, nullable = false)))
+
+  /** Delete-file FLAVOR is structural: the typed task writer stamps its
+    * op token into every file name (`part-<op>-<uuid>.parquet`), and
+    * position-delete files are written with op `morpos` — so one
+    * `#mordelete` directive kind covers both flavors and every
+    * carry-over / vacuum / conflict rule in the manifest layer applies
+    * unchanged (FORMAT.md §Merge-on-read).
+    */
+  private[graft] def isPosDelete(path: String): Boolean =
+    new Path(path).getName.startsWith("part-morpos-")
+
   /** The live delete rows of `deleteFiles`, columns renamed `__d_<name>`
     * so they join against a framed data read without ambiguity.
     */
@@ -441,26 +482,69 @@ object TypedLake {
       .select(col(MorTargetCol) +:
         schema.fieldNames.toSeq.map(n => col(n).as(s"__d_$n")): _*)
 
-  /** Subtract delete rows from a FRAMED read (table columns + `__file`):
-    * a row dies iff some delete row targets its file AND equals it on
-    * every column (null-safe). For a deterministic delete predicate this
-    * is exactly `NOT(pred)` semantics — any row equal to a deleted row
-    * matched the same predicate — while file-scoped targeting keeps
-    * later re-insertions (new files) alive. The anti-join's delete side
-    * is O(deleted rows); AQE elects a broadcast when it is small, which
-    * is the whole point of merge-on-read.
+  /** Subtract delete rows from a FRAMED read (table columns + `__file`,
+    * plus `__pos` when any POSITION delete file is present).
+    *
+    * Position leg: a row dies iff some position-delete row names its
+    * (file, ordinal) — an equi-anti-join on two narrow columns, so the
+    * probe side needs NO table columns beyond the query's own
+    * projection (column pruning survives) and the broadcast side is
+    * O(16 bytes × deleted rows) regardless of row width.
+    *
+    * Equality leg (fallback / legacy files): a row dies iff some delete
+    * row targets its file AND equals it on every column (null-safe).
+    * For a deterministic delete predicate this is exactly `NOT(pred)`
+    * semantics — any row equal to a deleted row matched the same
+    * predicate — while file-scoped targeting keeps later re-insertions
+    * (new files) alive.
+    *
+    * Both legs' delete sides are O(deleted rows); AQE elects a
+    * broadcast when small, which is the whole point of merge-on-read.
     */
   private[graft] def applyMorDeletes(spark: SparkSession,
       schema: StructType, framed: DataFrame,
-      deleteFiles: Seq[String]): DataFrame =
-    if (deleteFiles.isEmpty) framed
+      deleteFiles: Seq[String]): DataFrame = {
+    val (posFiles, eqFiles) = deleteFiles.partition(isPosDelete)
+    val afterPos =
+      if (posFiles.isEmpty) framed
+      else {
+        require(framed.columns.contains(PosFrameCol),
+          "TypedLake: position-delete subtraction needs the framed " +
+            s"read's $PosFrameCol ordinal column (framedTyped withPos)")
+        val pd = spark.read.schema(MorPosSchema).parquet(posFiles: _*)
+          .select(col(MorTargetCol).as("__d_target"),
+            col(MorPosCol).as("__d_pos"))
+        framed.join(pd,
+          framed("__file") === pd("__d_target") &&
+            framed(PosFrameCol) === pd("__d_pos"), "left_anti")
+      }
+    if (eqFiles.isEmpty) afterPos
     else {
-      val del = readMorDeletesRenamed(spark, schema, deleteFiles)
+      val del = readMorDeletesRenamed(spark, schema, eqFiles)
       val cond = schema.fieldNames.toSeq
-        .map(n => framed(n) <=> del(s"__d_$n"))
-        .foldLeft(framed("__file") === del(MorTargetCol))(_ && _)
-      framed.join(del, cond, "left_anti")
+        .map(n => afterPos(n) <=> del(s"__d_$n"))
+        .foldLeft(afterPos("__file") === del(MorTargetCol))(_ && _)
+      afterPos.join(del, cond, "left_anti")
     }
+  }
+
+  /** The DISTINCT target data files named by a delete-file list (both
+    * flavors). Bounded driver metadata: distinct targets ≤ touched
+    * files, the manifest-read class.
+    */
+  private def morDeleteTargets(spark: SparkSession, schema: StructType,
+      deleteFiles: Seq[String]): Array[String] = {
+    val (posFiles, eqFiles) = deleteFiles.partition(isPosDelete)
+    val sides = Seq(
+      if (posFiles.isEmpty) None
+      else Some(spark.read.schema(MorPosSchema).parquet(posFiles: _*)
+        .select(col(MorTargetCol))),
+      if (eqFiles.isEmpty) None
+      else Some(readMorDeletesRenamed(spark, schema, eqFiles)
+        .select(col(MorTargetCol)))).flatten
+    sides.reduce(_.unionByName(_)).distinct()
+      .collect().map(_.getString(0))
+  }
 
   /** The live mor-delete directive PAYLOAD lines (path + optional
     * target-range stats) of a snapshot's manifests.
@@ -509,6 +593,20 @@ object TypedLake {
     }.map(entryPath)
   }
 
+  /** Resolve `files` through the PRUNED live delete set: one framed
+    * read — ordinals included exactly when a position-delete file
+    * survives the prune, or when the caller itself needs them (a mor op
+    * about to WRITE position deletes) — minus both delete flavors.
+    */
+  private def resolvedFramed(spark: SparkSession, basePath: String,
+      schema: StructType, files: Seq[String], deleteLines: Seq[String],
+      needPos: Boolean = false): DataFrame = {
+    val deletes = pruneMorDeleteLines(deleteLines, files)
+    val withPos = needPos || deletes.exists(isPosDelete)
+    applyMorDeletes(spark, schema,
+      framedTyped(spark, basePath, schema, files, withPos), deletes)
+  }
+
   /** Deletes at or under this row count collapse to ONE delete file —
     * high-rate CDC must not shed per-task confetti (reconcile/compaction
     * bounds the population either way).
@@ -530,6 +628,21 @@ object TypedLake {
     writeTypedFrame(routed, s"$basePath/$MorDeleteDir", "mordelete",
       morDeleteSchema(schema), Seq.empty, Seq(MorTargetCol),
       maxRecordsPerFile)
+  }
+
+  /** Write a frame of POSITION delete rows ([[MorPosSchema]] shape)
+    * under `_mor_deletes/` — the op token `morpos` in the file name IS
+    * the flavor marker ([[isPosDelete]]); entry lines carry the same
+    * target-range stats, published under the same `#mordelete`
+    * directive.
+    */
+  private def writeMorPosDeleteFiles(deleteRows: DataFrame,
+      deletedRows: Long, basePath: String,
+      maxRecordsPerFile: Long): Seq[String] = {
+    val routed = if (deletedRows <= MorDeleteCoalesceRows)
+      deleteRows.coalesce(1) else deleteRows
+    writeTypedFrame(routed, s"$basePath/$MorDeleteDir", "morpos",
+      MorPosSchema, Seq.empty, Seq(MorTargetCol), maxRecordsPerFile)
   }
 
   /** MERGE-ON-READ DELETE — the rewrite-amplification answer (Delta
@@ -557,7 +670,8 @@ object TypedLake {
       predicate: DataFrame => Column,
       prune: (Map[String, String], Map[String, FieldStats]) => Boolean =
         (_, _) => true,
-      maxRecordsPerFile: Long = 0L): WeatherLakeV2Sink.DeleteStats = {
+      maxRecordsPerFile: Long = 0L,
+      positionDeletes: Boolean = true): WeatherLakeV2Sink.DeleteStats = {
     import org.apache.spark.sql.functions.coalesce
     WeatherLakeV2Sink.requirePayload(basePath, Payload, "deleteTypedMor")
     val snapshot = WeatherLakeV2Sink.liveManifests(basePath)
@@ -571,19 +685,23 @@ object TypedLake {
     if (candidates.isEmpty) return WeatherLakeV2Sink.DeleteStats(0, 0, 0L)
     val liveDeleteLines = morDeleteLinesOf(basePath, snapshot)
     def hit(df: DataFrame) = coalesce(predicate(df), lit(false))
-    val cand = applyMorDeletes(spark, schema,
-      framedTyped(spark, basePath, schema, candidates),
-      pruneMorDeleteLines(liveDeleteLines, candidates))
+    val cand = resolvedFramed(spark, basePath, schema, candidates,
+      liveDeleteLines, needPos = positionDeletes)
     val matches = cand.filter(hit(cand))
     val perFile = matches.groupBy(col("__file"))
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
     if (perFile.isEmpty) return WeatherLakeV2Sink.DeleteStats(0, 0, 0L)
     val deletedRows = perFile.map(_._2).sum
-    val delFrame = matches.select(col("__file").as(MorTargetCol) +:
-      schema.fieldNames.toSeq.map(col): _*)
-    val newDeleteFiles = writeMorDeleteFiles(delFrame, deletedRows,
-      basePath, schema, maxRecordsPerFile)
+    val newDeleteFiles =
+      if (positionDeletes)
+        writeMorPosDeleteFiles(matches.select(
+          col("__file").as(MorTargetCol), col(PosFrameCol).as(MorPosCol)),
+          deletedRows, basePath, maxRecordsPerFile)
+      else writeMorDeleteFiles(matches.select(
+        col("__file").as(MorTargetCol) +:
+          schema.fieldNames.toSeq.map(col): _*),
+        deletedRows, basePath, schema, maxRecordsPerFile)
     // fileIdentityDependent: the delete rows target data-file PATHS, so
     // a racing compaction/reconcile (which rewrites in-domain rows under
     // new paths) must conflict — only identity-preserving maintenance
@@ -618,7 +736,8 @@ object TypedLake {
       actions: TypedMergeActions = TypedMergeActions(
         matchedUpdate = Some(None), insert = Some(None)),
       statsFields: Seq[String] = Nil,
-      maxRecordsPerFile: Long = 0L): WeatherLakeV2Sink.MergeStats = {
+      maxRecordsPerFile: Long = 0L,
+      positionDeletes: Boolean = true): WeatherLakeV2Sink.MergeStats = {
     import org.apache.spark.sql.functions.{coalesce, when}
     WeatherLakeV2Sink.requirePayload(basePath, Payload, "mergeTypedMor")
     val names = schema.fieldNames.toSeq
@@ -652,23 +771,25 @@ object TypedLake {
     val candidates = committed.filter(inReadDomain)
 
     val liveDeleteLines = morDeleteLinesOf(basePath, snapshot)
-    def resolved(files: Seq[String]): DataFrame = applyMorDeletes(spark,
-      schema, framedTyped(spark, basePath, schema, files),
-      pruneMorDeleteLines(liveDeleteLines, files))
+    def resolved(files: Seq[String], needPos: Boolean): DataFrame =
+      resolvedFramed(spark, basePath, schema, files, liveDeleteLines,
+        needPos = needPos)
     val batchKeys = batch.select(keyCols.map(col).toSeq: _*).distinct()
     val touched: Seq[String] =
       if (candidates.isEmpty) Seq.empty
       else if (fullSync) candidates
       else {
-        val cand = resolved(candidates)
+        val cand = resolved(candidates, needPos = false)
         cand.join(batchKeys, keyCols, "left_semi")
           .select(col("__file")).distinct()
           .collect().map(_.getString(0)).toSeq
       }
 
     // ---- relational classification over ONE joined frame (tgt keeps
-    // __file — every old image knows the data file its delete row targets)
-    val tgt = resolved(touched).withColumn("__t", lit(true))
+    // __file — and, for position deletes, __pos — so every old image
+    // knows the (file, ordinal) its delete row targets)
+    val tgt = resolved(touched, needPos = positionDeletes)
+      .withColumn("__t", lit(true))
     val src = batch
       .select(keyCols.map(col) ++
         batch.columns.toSeq.filterNot(keyCols.contains)
@@ -716,9 +837,13 @@ object TypedLake {
     val appendMark = updates ||
       (sourceOnly && lit(actions.insert.isDefined) && insCond)
 
-    val deleteRows = joined.filter(deleteMark)
-      .select(joined("__file").as(MorTargetCol) +:
-        names.map(n => joined(n).as(n)): _*)
+    val deleteRows =
+      if (positionDeletes) joined.filter(deleteMark)
+        .select(joined("__file").as(MorTargetCol),
+          joined(PosFrameCol).as(MorPosCol))
+      else joined.filter(deleteMark)
+        .select(joined("__file").as(MorTargetCol) +:
+          names.map(n => joined(n).as(n)): _*)
     val appendRows = joined.filter(appendMark)
       .select(names.map(n =>
         when(matched, updatedValue(n)).otherwise(insertedValue(n)).as(n)): _*)
@@ -729,6 +854,8 @@ object TypedLake {
     val deletedRows = perFile.map(_._2).sum
     val newDeleteFiles =
       if (perFile.isEmpty) Seq.empty[String]
+      else if (positionDeletes) writeMorPosDeleteFiles(deleteRows,
+        deletedRows, basePath, maxRecordsPerFile)
       else writeMorDeleteFiles(deleteRows, deletedRows, basePath, schema,
         maxRecordsPerFile)
     // appended data files carry the table's write-time stats like every
@@ -764,7 +891,8 @@ object TypedLake {
       prune: (Map[String, String], Map[String, FieldStats]) => Boolean =
         (_, _) => true,
       statsFields: Seq[String] = Nil,
-      maxRecordsPerFile: Long = 0L): WeatherLakeV2Sink.UpdateStats = {
+      maxRecordsPerFile: Long = 0L,
+      positionDeletes: Boolean = true): WeatherLakeV2Sink.UpdateStats = {
     import org.apache.spark.sql.functions.coalesce
     WeatherLakeV2Sink.requirePayload(basePath, Payload, "updateTypedMor")
     val names = schema.fieldNames.toSeq
@@ -783,9 +911,8 @@ object TypedLake {
     }
     if (candidates.isEmpty) return WeatherLakeV2Sink.UpdateStats(0, 0, 0L)
     val liveDeleteLines = morDeleteLinesOf(basePath, snapshot)
-    val cand = applyMorDeletes(spark, schema,
-      framedTyped(spark, basePath, schema, candidates),
-      pruneMorDeleteLines(liveDeleteLines, candidates))
+    val cand = resolvedFramed(spark, basePath, schema, candidates,
+      liveDeleteLines, needPos = positionDeletes)
     val assigned = assignments.toMap
     def newVal(df: DataFrame)(n: String): Column =
       assigned.get(n).map(_(df)).getOrElse(df(n))
@@ -798,12 +925,15 @@ object TypedLake {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     if (perFile.isEmpty) return WeatherLakeV2Sink.UpdateStats(0, 0, 0L)
     val updatedRows = perFile.map(_._2).sum
-    val deleteRows = matches.select(col("__file").as(MorTargetCol) +:
-      names.map(col): _*)
     val appendRows = matches.select(names.map(n =>
       newVal(matches)(n).as(n)): _*)
-    val newDeleteFiles = writeMorDeleteFiles(deleteRows, updatedRows,
-      basePath, schema, maxRecordsPerFile)
+    val newDeleteFiles =
+      if (positionDeletes) writeMorPosDeleteFiles(matches.select(
+        col("__file").as(MorTargetCol), col(PosFrameCol).as(MorPosCol)),
+        updatedRows, basePath, maxRecordsPerFile)
+      else writeMorDeleteFiles(matches.select(
+        col("__file").as(MorTargetCol) +: names.map(col): _*),
+        updatedRows, basePath, schema, maxRecordsPerFile)
     val newDataFiles = writeTypedFrame(appendRows, basePath, "morupdate",
       schema, partCols, statsFields, maxRecordsPerFile)
     WeatherLakeV2Sink.publishCommit(basePath, "morupdate",
@@ -836,10 +966,9 @@ object TypedLake {
     if (liveDeletes.isEmpty) return 0
     val committedSet = byManifest.flatMap(_._2).map(entryPath).toSet
     // targets still committed = the files to rewrite (bounded driver
-    // metadata: distinct targets ≤ touched files)
-    val targets = readMorDeletesRenamed(spark, schema, liveDeletes)
-      .select(col(MorTargetCol)).distinct()
-      .collect().map(_.getString(0)).filter(committedSet).toSeq.sorted
+    // metadata: distinct targets ≤ touched files) — both flavors
+    val targets = morDeleteTargets(spark, schema, liveDeletes)
+      .filter(committedSet).toSeq.sorted
     val morManifests = snapshot.filter(n =>
       WeatherLakeV2Sink.morDirectivesOf(basePath, Seq(n)).nonEmpty)
     val targetSet = targets.toSet
@@ -859,7 +988,8 @@ object TypedLake {
       if (targets.isEmpty) Seq.empty
       else {
         val resolved = applyMorDeletes(spark, schema,
-          framedTyped(spark, basePath, schema, targets), liveDeletes)
+          framedTyped(spark, basePath, schema, targets,
+            withPos = liveDeletes.exists(isPosDelete)), liveDeletes)
           .select(schema.fieldNames.toSeq.map(col): _*)
         writeTypedFrame(resolved, basePath, "reconcile", schema, partCols,
           statsFields, maxRecordsPerFile)
@@ -910,9 +1040,8 @@ object TypedLake {
     // every data read resolves through the snapshot's live delete rows
     // (merge-on-read): already-deleted rows neither count nor survive
     val liveDeleteLines = morDeleteLinesOf(basePath, snapshot)
-    def resolved(files: Seq[String]): DataFrame = applyMorDeletes(spark,
-      schema, framedTyped(spark, basePath, schema, files),
-      pruneMorDeleteLines(liveDeleteLines, files))
+    def resolved(files: Seq[String]): DataFrame =
+      resolvedFramed(spark, basePath, schema, files, liveDeleteLines)
     def hit(df: DataFrame) = coalesce(predicate(df), lit(false))
     val cand = resolved(candidates)
     val perFile = cand.filter(hit(cand))
@@ -982,9 +1111,8 @@ object TypedLake {
     }
     if (candidates.isEmpty) return WeatherLakeV2Sink.UpdateStats(0, 0, 0L)
     val liveDeleteLines = morDeleteLinesOf(basePath, snapshot)
-    def resolved(files: Seq[String]): DataFrame = applyMorDeletes(spark,
-      schema, framedTyped(spark, basePath, schema, files),
-      pruneMorDeleteLines(liveDeleteLines, files))
+    def resolved(files: Seq[String]): DataFrame =
+      resolvedFramed(spark, basePath, schema, files, liveDeleteLines)
     def hit(df: DataFrame) = coalesce(predicate(df), lit(false))
     val cand = resolved(candidates)
     val perFile = cand.filter(hit(cand))
@@ -1109,9 +1237,8 @@ object TypedLake {
 
     // ---- one distributed pass: which candidate files are touched
     val liveDeleteLines = morDeleteLinesOf(basePath, snapshot)
-    def resolved(files: Seq[String]): DataFrame = applyMorDeletes(spark,
-      schema, framedTyped(spark, basePath, schema, files),
-      pruneMorDeleteLines(liveDeleteLines, files))
+    def resolved(files: Seq[String]): DataFrame =
+      resolvedFramed(spark, basePath, schema, files, liveDeleteLines)
     val batchKeys = batch.select(keyCols.map(col).toSeq: _*).distinct()
     val touched: Seq[String] =
       if (candidates.isEmpty) Seq.empty
@@ -1248,9 +1375,7 @@ object TypedLake {
       (toDeletes.toSet -- fromDeletes.toSet)).toSeq.sorted
     val changedTargets: Seq[String] =
       if (deleteDiff.isEmpty) Seq.empty
-      else readMorDeletesRenamed(spark, schema, deleteDiff)
-        .select(col(MorTargetCol)).distinct()
-        .collect().map(_.getString(0))
+      else morDeleteTargets(spark, schema, deleteDiff)
         .filter(t => fromFiles(t) && toFiles(t)).toSeq.sorted
     def resolvedSide(files: Seq[String], deleteLines: Seq[String]): DataFrame = {
       val deletes = pruneMorDeleteLines(deleteLines, files)
@@ -1258,7 +1383,8 @@ object TypedLake {
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       else if (deletes.isEmpty) readTyped(spark, basePath, schema, files)
       else applyMorDeletes(spark, schema,
-          framedTyped(spark, basePath, schema, files), deletes)
+          framedTyped(spark, basePath, schema, files,
+            withPos = deletes.exists(isPosDelete)), deletes)
         .select(names.map(col): _*)
     }
     def tagged(df: DataFrame, change: String): DataFrame =
@@ -1438,7 +1564,8 @@ object TypedLake {
       val deletes = pruneMorDeleteLines(liveDeleteLines, files)
       if (deletes.isEmpty) readTyped(spark, basePath, schema, files)
       else applyMorDeletes(spark, schema,
-          framedTyped(spark, basePath, schema, files), deletes)
+          framedTyped(spark, basePath, schema, files,
+            withPos = deletes.exists(isPosDelete)), deletes)
         .select(schema.fieldNames.toSeq.map(col): _*)
     }
     // honor targetBytes in the OUTPUT too, not only in candidacy: the
