@@ -6722,6 +6722,49 @@ object SparkEntry {
           == filesBefore, "mor DELETE must rewrite no data file")
         s.sql(s"SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS text_len " +
           s"FROM graftlake.$t")
+      }),
+
+    QueryDef("q120_compact_deletes",
+      "CALL lake.system.compact_deletes — Iceberg's rewrite_position_" +
+        "delete_files: at CDC rates every mor commit sheds one small " +
+        "delete file; this consolidates all live delete files into at " +
+        "most one per flavor (dangling rows dropped) in ONE directive-" +
+        "only commit that re-lists every data line VERBATIM — zero data " +
+        "rewrites, view unchanged, CDF silent, data-file identity " +
+        "preserved (concurrent mor publishers tolerate it like " +
+        "checkpoint/measure). Each pass re-arms, sheds TWO delete files " +
+        "via separate DELETEs, then compacts them; the in-pass pins " +
+        "assert before>after and an unchanged committed file set. The " +
+        "oracle replays the constant final state.",
+      Some("""SELECT doc_id, CAST(doc_id AS BIGINT) AS val
+        |FROM documents WHERE doc_id % 13 <> 5 AND doc_id % 13 <> 6"""
+        .stripMargin),
+      (s, dir) => {
+        val t = typedDocsTable(s, dir, "cdel")
+        s.sql(s"ALTER TABLE graftlake.$t SET TBLPROPERTIES " +
+          s"('dmlMode' = 'mor')")
+        val docs = Tables.documents(s, dir)
+        // re-arm: restore the keys this pass deletes
+        docs.filter(col("doc_id") % 13 === 5 || col("doc_id") % 13 === 6)
+          .select(col("doc_id").cast("long").as("doc_id"),
+            col("doc_id").cast("long").as("val"), col("source"))
+          .createOrReplaceTempView("cdel_rearm")
+        s.sql(s"""MERGE INTO graftlake.$t t USING cdel_rearm s
+          ON t.doc_id = s.doc_id AND t.source = s.source
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""")
+        s.sql(s"DELETE FROM graftlake.$t WHERE doc_id % 13 = 5")
+        s.sql(s"DELETE FROM graftlake.$t WHERE doc_id % 13 = 6")
+        val p = s"/tmp/graft_catalog_wh/$t"
+        val filesBefore =
+          graft.sources.WeatherLakeV2Sink.committedFiles(p).toSet
+        val r = s.sql(
+          s"CALL graftlake.system.compact_deletes('$t')").head
+        require(r.getInt(0) > r.getInt(1) && r.getInt(1) >= 1,
+          s"expected consolidation, got (${r.getInt(0)}, ${r.getInt(1)})")
+        require(graft.sources.WeatherLakeV2Sink.committedFiles(p).toSet
+          == filesBefore, "compact_deletes must rewrite no data file")
+        s.sql(s"SELECT doc_id, val FROM graftlake.$t")
       })
   )
 

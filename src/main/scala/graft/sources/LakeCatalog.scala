@@ -617,7 +617,8 @@ object LakeCatalog {
   val ProcedureNamespace = "system"
   val ProcedureNames: Seq[String] =
     Seq("vacuum", "sweep_orphans", "checkpoint", "compact", "history",
-      "measure_stats", "detail", "convert", "reconcile")
+      "measure_stats", "detail", "convert", "reconcile",
+      "compact_deletes")
 
   /** The one row shape a lake table has: three path-encoded partition
     * keys plus the raw payload line. `value` (read face) and `raw_json`
@@ -1737,6 +1738,9 @@ object LakeCatalog {
         "adopt a plain Parquet directory into the lake IN PLACE (no rewrite)"
       case "reconcile" =>
         "fold merge-on-read delete files back into clean data files"
+      case "compact_deletes" =>
+        "consolidate merge-on-read delete files (directives only, no " +
+          "data rewrite)"
     }
 
     override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
@@ -1773,6 +1777,7 @@ object LakeCatalog {
           pd("stats_fields", StringType, "NULL"))
         case "reconcile" => Array(p("table", StringType),
           pd("stats_fields", StringType, "NULL"))
+        case "compact_deletes" => Array(p("table", StringType))
       }
 
       private def resultSchema: StructType = procName match {
@@ -1805,6 +1810,9 @@ object LakeCatalog {
           StructField("measured_files", IntegerType, nullable = false)))
         case "reconcile" => StructType(Seq(
           StructField("reconciled_files", IntegerType, nullable = false)))
+        case "compact_deletes" => StructType(Seq(
+          StructField("delete_files_before", IntegerType, nullable = false),
+          StructField("delete_files_after", IntegerType, nullable = false)))
       }
 
       /** CONVERT TO LAKE: adopt an EXISTING plain Parquet directory into
@@ -1966,6 +1974,15 @@ object LakeCatalog {
                 .split(",").map(_.trim).filter(_.nonEmpty).toSeq
             Array(InternalRow(TypedLake.reconcileMor(spark, path, schema,
               partCols, statsFields = sf)))
+          case "compact_deletes" =>
+            val (schema, _) = typed.getOrElse(
+              throw new UnsupportedOperationException(
+                "LakeCatalog: compact_deletes applies to typed tables " +
+                  "only -- the classic JSON-line lake has no " +
+                  "merge-on-read mode"))
+            val (before, after) =
+              TypedLake.compactMorDeletes(spark, path, schema)
+            Array(InternalRow(before, after))
           case "measure_stats" =>
             val fields = input.getUTF8String(1).toString
               .split(",").map(_.trim).filter(_.nonEmpty).toSeq

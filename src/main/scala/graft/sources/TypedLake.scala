@@ -1007,6 +1007,73 @@ object TypedLake {
     targets.size
   }
 
+  /** COMPACT DELETE FILES — rewrite DIRECTIVES, not data (Iceberg's
+    * `rewrite_position_delete_files`): merge every live delete file into
+    * at most one consolidated file per flavor (rolled at
+    * `maxRecordsPerFile` when positive), dropping dangling rows whose
+    * target data file is no longer committed, and publish ONE manifest
+    * superseding every directive-carrying manifest with its DATA lines
+    * re-listed verbatim. ZERO data files are rewritten, the committed
+    * VIEW is unchanged (the CDF across the commit is empty — both sides
+    * resolve the re-read targets identically), and data-file identity is
+    * preserved — concurrent mor publishers tolerate it exactly like
+    * checkpoint/measure ([[WeatherLakeV2Sink.publishCommit]]'s
+    * `compactdel` classification). At hourly CDC rates this bounds the
+    * `_mor_deletes/` population (one small file per commit otherwise)
+    * without paying reconcile's data rewrite; vacuum then reclaims the
+    * superseded delete files.
+    *
+    * Returns (live delete files before, after). A table with ≤ 1 live
+    * delete file publishes nothing.
+    */
+  def compactMorDeletes(spark: SparkSession, basePath: String,
+      schema: StructType, maxRecordsPerFile: Long = 0L): (Int, Int) = {
+    import org.apache.spark.sql.functions.broadcast
+    WeatherLakeV2Sink.requirePayload(basePath, Payload, "compactMorDeletes")
+    val snapshot = WeatherLakeV2Sink.liveManifests(basePath)
+    val byManifest = WeatherLakeV2Sink.entryLinesByManifest(basePath, snapshot)
+    val liveDeleteFiles = morDeleteFilesOf(basePath, snapshot)
+    if (liveDeleteFiles.size <= 1)
+      return (liveDeleteFiles.size, liveDeleteFiles.size)
+    val session = spark
+    import session.implicits._
+    // targets resolve against THIS snapshot's committed set; a data file
+    // cannot leave it without a commit that either conflicts here
+    // (supersede-liveness) or has already applied the deletions
+    val committedDf = byManifest.flatMap(_._2).map(entryPath)
+      .toDF("__live_file")
+    def consolidated(files: Seq[String], sch: StructType,
+        op: String): Seq[String] =
+      if (files.isEmpty) Seq.empty
+      else {
+        val rows = spark.read.schema(sch).parquet(files: _*)
+          .join(broadcast(committedDf),
+            col(MorTargetCol) === col("__live_file"), "left_semi")
+        // O(deleted rows) — the artifact being compacted is small by
+        // construction; the count sizes the coalesce like every mor write
+        val n = rows.count()
+        if (n == 0L) Seq.empty
+        else writeTypedFrame(
+          if (n <= MorDeleteCoalesceRows) rows.coalesce(1) else rows,
+          s"$basePath/$MorDeleteDir", op, sch, Seq.empty,
+          Seq(MorTargetCol), maxRecordsPerFile)
+      }
+    val (posFiles, eqFiles) = liveDeleteFiles.partition(isPosDelete)
+    val newLines = consolidated(posFiles, MorPosSchema, "morpos") ++
+      consolidated(eqFiles, morDeleteSchema(schema), "mordelete")
+    val directiveManifests = snapshot.filter(n =>
+      WeatherLakeV2Sink.morDirectivesOf(basePath, Seq(n)).nonEmpty)
+    val dSet = directiveManifests.toSet
+    val carried = byManifest
+      .filter { case (n, _) => dSet(n) }.flatMap(_._2)
+    WeatherLakeV2Sink.publishCommit(basePath, "compactdel",
+      snapshot = snapshot, supersedes = directiveManifests,
+      lines = carried ++ newLines.map(l =>
+        s"${WeatherLakeV2Sink.MorDeletePrefix}$l"),
+      payload = Some(Payload))
+    (liveDeleteFiles.size, newLines.size)
+  }
+
   // -----------------------------------------------------------------
   // copy-on-write DELETE (typed)
   // -----------------------------------------------------------------

@@ -224,7 +224,7 @@ object WeatherLakeV2Sink {
   val ReservedIdPrefixes: Seq[String] =
     Seq("merge-", "delete-", "update-", "compact-", "checkpoint-",
       "overwrite-", "measure-", "mordelete-", "mormerge-", "morupdate-",
-      "reconcile-")
+      "reconcile-", "compactdel-")
 
   /** Directive line marking another manifest as replaced by this one.
     * Lines starting with `#` are directives, never file paths; a manifest
@@ -1404,7 +1404,7 @@ object WeatherLakeV2Sink {
           // the same layout-only class as compact/checkpoint/measure
           val layoutOnly =
             fop == "compact" || fop == "checkpoint" || fop == "measure" ||
-              fop == "reconcile"
+              fop == "reconcile" || fop == "compactdel"
           // a publisher whose artifact depends on FILE IDENTITY (mor
           // delete/merge: their delete rows target specific data-file
           // paths) can exempt only IDENTITY-PRESERVING maintenance —
@@ -1413,7 +1413,10 @@ object WeatherLakeV2Sink {
           // would leave the publisher's file-scoped targets dangling
           // (silently resurrecting its deletions). View-level publishers
           // (the copy-on-write ops) keep the wider layout-only exemption.
-          val identityPreserving = fop == "checkpoint" || fop == "measure"
+          // compactdel rewrites DIRECTIVES only: every data path is
+          // re-listed verbatim, so file-scoped delete targets stay valid
+          val identityPreserving = fop == "checkpoint" || fop == "measure" ||
+            fop == "compactdel"
           val exemptable =
             if (fileIdentityDependent) identityPreserving else layoutOnly
           val provablyPreSnapshot = exemptable && ls

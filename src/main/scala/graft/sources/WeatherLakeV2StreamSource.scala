@@ -475,7 +475,8 @@ object WeatherLakeV2StreamSource {
           // stream reads the re-list as its one copy of the data.
           val op = opOf(n, lines)
           val layoutOnly =
-            op == "compact" || op == "checkpoint" || op == "measure"
+            op == "compact" || op == "checkpoint" || op == "measure" ||
+              op == "compactdel"
           val superseded = lines
             .filter(_.startsWith(WeatherLakeV2Sink.SupersedesPrefix))
             .map(_.stripPrefix(WeatherLakeV2Sink.SupersedesPrefix).trim)
@@ -527,7 +528,8 @@ object WeatherLakeV2StreamSource {
       keep: String => Boolean = _ => true): Seq[InputPartition] = {
     val changeLines = WeatherLakeV2Sink.changeEntryLines(lines)
     val op = opOf(n, lines)
-    val layoutOnly = op == "compact" || op == "checkpoint" || op == "measure"
+    val layoutOnly = op == "compact" || op == "checkpoint" ||
+      op == "measure" || op == "compactdel"
     val rowLevel = op == "merge" || op == "delete" || op == "update"
     if (layoutOnly) Seq.empty
     else if (changeLines.nonEmpty)
