@@ -639,7 +639,8 @@ case class LakeDeleteCommand(stmt: DeleteFromTable) extends LeafRunnableCommand 
             LakeDmlSql.typedPartitionEqs(stmt.condition, partCols, schema),
             LakeDmlSql.typedStatsBounds(stmt.condition, schema)),
           maxRecordsPerFile = mrpf,
-          positionDeletes = t.morPositionDeletes)
+          positionDeletes = t.morPositionDeletes,
+          statsFields = t.statsFields)
       case Some((schema, partCols, mrpf)) =>
         graft.sources.TypedLake.deleteTyped(spark, t.path, schema, partCols,
           predicate = df => LakeDmlSql.bindTyped(stmt.condition, df,

@@ -593,6 +593,24 @@ object TypedLake {
     }.map(entryPath)
   }
 
+  /** The delete FILES a resolution of `files` must subtract: the live
+    * delete lines pruned by target range ([[pruneMorDeleteLines]]) and —
+    * when the caller's read re-applies a predicate to every surviving
+    * row — by the predicate's own stats domain (`lineKeep`, fail-open).
+    * The second leg is SOUND only for reads whose output is filtered by
+    * the same predicate the keep-function approximates (a skipped
+    * file's unsubtracted ghost rows then never match); rewriting reads
+    * (CoW survivors, reconcile, compaction) must keep the default.
+    * Equality delete files carry data-column stats for exactly this
+    * ([[writeMorDeleteFiles]]); position files have none and always
+    * survive `lineKeep` — their broadcast is O(16 B/row) anyway.
+    */
+  private[graft] def applicableDeleteLines(deleteLines: Seq[String],
+      files: Seq[String],
+      lineKeep: String => Boolean = _ => true): Seq[String] =
+    pruneMorDeleteLines(deleteLines.filter(l =>
+      lineStats(l).isEmpty || lineKeep(l)), files)
+
   /** Resolve `files` through the PRUNED live delete set: one framed
     * read — ordinals included exactly when a position-delete file
     * survives the prune, or when the caller itself needs them (a mor op
@@ -600,8 +618,9 @@ object TypedLake {
     */
   private def resolvedFramed(spark: SparkSession, basePath: String,
       schema: StructType, files: Seq[String], deleteLines: Seq[String],
-      needPos: Boolean = false): DataFrame = {
-    val deletes = pruneMorDeleteLines(deleteLines, files)
+      needPos: Boolean = false,
+      lineKeep: String => Boolean = _ => true): DataFrame = {
+    val deletes = applicableDeleteLines(deleteLines, files, lineKeep)
     val withPos = needPos || deletes.exists(isPosDelete)
     applyMorDeletes(spark, schema,
       framedTyped(spark, basePath, schema, files, withPos), deletes)
@@ -620,13 +639,18 @@ object TypedLake {
     */
   private def writeMorDeleteFiles(deleteRows: DataFrame, deletedRows: Long,
       basePath: String, schema: StructType,
-      maxRecordsPerFile: Long): Seq[String] = {
+      maxRecordsPerFile: Long, statsFields: Seq[String] = Nil): Seq[String] = {
     val routed = if (deletedRows <= MorDeleteCoalesceRows)
       deleteRows.coalesce(1) else deleteRows
     // each delete file's entry line carries min/max over its TARGET
-    // paths — the delete-side skipping leg ([[pruneMorDeleteLines]])
+    // paths — the delete-side skipping leg ([[pruneMorDeleteLines]]) —
+    // plus the table's stats columns over the OLD IMAGES, so a
+    // predicate-filtered read can skip whole delete files whose deleted
+    // rows provably cannot match ([[applicableDeleteLines]])
     writeTypedFrame(routed, s"$basePath/$MorDeleteDir", "mordelete",
-      morDeleteSchema(schema), Seq.empty, Seq(MorTargetCol),
+      morDeleteSchema(schema), Seq.empty,
+      MorTargetCol +: statsFields.filter(f =>
+        schema.fieldNames.exists(_.equalsIgnoreCase(f))),
       maxRecordsPerFile)
   }
 
@@ -671,7 +695,8 @@ object TypedLake {
       prune: (Map[String, String], Map[String, FieldStats]) => Boolean =
         (_, _) => true,
       maxRecordsPerFile: Long = 0L,
-      positionDeletes: Boolean = true): WeatherLakeV2Sink.DeleteStats = {
+      positionDeletes: Boolean = true,
+      statsFields: Seq[String] = Nil): WeatherLakeV2Sink.DeleteStats = {
     import org.apache.spark.sql.functions.coalesce
     WeatherLakeV2Sink.requirePayload(basePath, Payload, "deleteTypedMor")
     val snapshot = WeatherLakeV2Sink.liveManifests(basePath)
@@ -685,8 +710,12 @@ object TypedLake {
     if (candidates.isEmpty) return WeatherLakeV2Sink.DeleteStats(0, 0, 0L)
     val liveDeleteLines = morDeleteLinesOf(basePath, snapshot)
     def hit(df: DataFrame) = coalesce(predicate(df), lit(false))
+    // the predicate's own stats domain also prunes DELETE files: a
+    // delete file whose old images provably cannot match `hit` need not
+    // be opened or broadcast — sound here because unsubtracted ghost
+    // rows never match `hit` either, and a mor delete rewrites nothing
     val cand = resolvedFramed(spark, basePath, schema, candidates,
-      liveDeleteLines, needPos = positionDeletes)
+      liveDeleteLines, needPos = positionDeletes, lineKeep = inReadDomain)
     val matches = cand.filter(hit(cand))
     val perFile = matches.groupBy(col("__file"))
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
@@ -701,7 +730,7 @@ object TypedLake {
       else writeMorDeleteFiles(matches.select(
         col("__file").as(MorTargetCol) +:
           schema.fieldNames.toSeq.map(col): _*),
-        deletedRows, basePath, schema, maxRecordsPerFile)
+        deletedRows, basePath, schema, maxRecordsPerFile, statsFields)
     // fileIdentityDependent: the delete rows target data-file PATHS, so
     // a racing compaction/reconcile (which rewrites in-domain rows under
     // new paths) must conflict — only identity-preserving maintenance
@@ -857,7 +886,7 @@ object TypedLake {
       else if (positionDeletes) writeMorPosDeleteFiles(deleteRows,
         deletedRows, basePath, maxRecordsPerFile)
       else writeMorDeleteFiles(deleteRows, deletedRows, basePath, schema,
-        maxRecordsPerFile)
+        maxRecordsPerFile, statsFields)
     // appended data files carry the table's write-time stats like every
     // other append — mor-merged data must not quietly fall out of the
     // skipping/bloom layer until a compaction
@@ -911,8 +940,9 @@ object TypedLake {
     }
     if (candidates.isEmpty) return WeatherLakeV2Sink.UpdateStats(0, 0, 0L)
     val liveDeleteLines = morDeleteLinesOf(basePath, snapshot)
+    // see deleteTypedMor: the predicate domain prunes delete files too
     val cand = resolvedFramed(spark, basePath, schema, candidates,
-      liveDeleteLines, needPos = positionDeletes)
+      liveDeleteLines, needPos = positionDeletes, lineKeep = inReadDomain)
     val assigned = assignments.toMap
     def newVal(df: DataFrame)(n: String): Column =
       assigned.get(n).map(_(df)).getOrElse(df(n))
@@ -933,7 +963,7 @@ object TypedLake {
         updatedRows, basePath, maxRecordsPerFile)
       else writeMorDeleteFiles(matches.select(
         col("__file").as(MorTargetCol) +: names.map(col): _*),
-        updatedRows, basePath, schema, maxRecordsPerFile)
+        updatedRows, basePath, schema, maxRecordsPerFile, statsFields)
     val newDataFiles = writeTypedFrame(appendRows, basePath, "morupdate",
       schema, partCols, statsFields, maxRecordsPerFile)
     WeatherLakeV2Sink.publishCommit(basePath, "morupdate",

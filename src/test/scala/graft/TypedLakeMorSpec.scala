@@ -305,6 +305,54 @@ class TypedLakeMorSpec extends SparkSpec {
     assert(ids(lake) == (0L until 40L).filterNot(i => i == 4 || i == 5).toSet)
   }
 
+  test("delete-side PREDICATE pruning: equality delete files carry the " +
+      "table's stats columns over their OLD IMAGES, a predicate-scoped " +
+      "DML opens only the delete files whose deleted rows could match, " +
+      "and skipped ghosts stay exact in the final view") {
+    val lake = tmp("morpredprune")
+    seed(lake) // ids 0..39
+    // two EQUALITY mor deletes with id stats on the delete files
+    TypedLake.deleteTypedMor(spark, lake, schema, pc,
+      predicate = df => df("id") < 3L, positionDeletes = false,
+      statsFields = Seq("id"))
+    TypedLake.deleteTypedMor(spark, lake, schema, pc,
+      predicate = df => df("id") >= 37L, positionDeletes = false,
+      statsFields = Seq("id"))
+    val lines = WeatherLakeV2Sink.morDeleteLinesAsOf(lake,
+      WeatherLakeV2Sink.liveManifests(lake))
+    assert(lines.size == 2)
+    // the delete entry lines carry id min/max over the OLD images
+    val idStats = lines.map(l => WeatherLakeV2Sink.lineStats(l).get("id"))
+    assert(idStats.forall(_.isDefined), lines.mkString("\n"))
+    // a predicate bounded to id <= 10 keeps only the low-range file
+    val allFiles = WeatherLakeV2Sink.committedFiles(lake)
+    def keepLe10(l: String): Boolean =
+      WeatherLakeV2Sink.lineStats(l).get("id")
+        .forall(_.overlaps(None, Some("10")))
+    val kept = TypedLake.applicableDeleteLines(lines, allFiles, keepLe10)
+    assert(kept.size == 1, s"kept $kept")
+    // position files carry no data stats and always survive the
+    // predicate leg (fail-open)
+    TypedLake.deleteTypedMor(spark, lake, schema, pc,
+      predicate = df => df("id") === 20L) // position flavor
+    val lines3 = WeatherLakeV2Sink.morDeleteLinesAsOf(lake,
+      WeatherLakeV2Sink.liveManifests(lake))
+    val kept3 = TypedLake.applicableDeleteLines(lines3, allFiles, keepLe10)
+    assert(kept3.size == 2, s"kept $kept3") // low-range eq + the pos file
+    // end-to-end: a scoped UPDATE whose domain excludes the high-range
+    // delete file (its ghosts never match the predicate) stays exact
+    val st = TypedLake.updateTypedMor(spark, lake, schema, pc,
+      predicate = df => df("id") === 10L,
+      assignments = Seq("name" -> (df => lit("hit"))))
+    assert(st.updatedRows == 1, st)
+    val rows = TypedLake.readCommittedTyped(spark, lake, schema)
+      .select("id", "name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.keySet ==
+      (3L until 37L).toSet - 20L, rows.keySet.toSeq.sorted)
+    assert(rows(10L) == "hit")
+  }
+
   test("FILE-IDENTITY conflict rules: a path-rewriting commit (compact/" +
       "reconcile) and a mor publish serialize LOUDLY in both directions; " +
       "identity-preserving maintenance (checkpoint) does not conflict a " +
