@@ -1298,8 +1298,11 @@ object LakeCatalog {
       if (live.nonEmpty) throw new IllegalStateException(
         s"LakeCatalog: cannot stream from $path — the table has " +
           s"${live.size} live merge-on-read delete file(s), and an " +
-          "append-only stream cannot express deletions; run CALL " +
-          "lake.system.reconcile('<table>') first")
+          "append-only stream cannot express deletions; consume the " +
+          "CHANGE feed instead (readStream.format(\"graft.sources." +
+          "TypedLakeChangeFeed\") emits insert/update/delete rows over " +
+          "live delete files), or run CALL lake.system.reconcile(" +
+          "'<table>') first")
     }
 
     private def delegateBatch(files: Seq[String]): Batch = {
@@ -1323,8 +1326,9 @@ object LakeCatalog {
         throw new IllegalStateException(
           s"LakeCatalog: the stream over $path reached a commit carrying " +
             "merge-on-read delete files — an append-only stream cannot " +
-            "express deletions; run CALL lake.system.reconcile('<table>') " +
-            "and restart the stream")
+            "express deletions; switch to the CHANGE feed (readStream" +
+            ".format(\"graft.sources.TypedLakeChangeFeed\")), or run " +
+            "CALL lake.system.reconcile('<table>') and restart the stream")
       val fileParts = super.planInputPartitions(start, end)
       val batchFiles = fileParts.map(
         _.asInstanceOf[WeatherLakeV2StreamSource.LakeFilePartition].file)

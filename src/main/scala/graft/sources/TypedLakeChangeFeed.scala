@@ -1,0 +1,166 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.SerializedOffset
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** STREAMING CHANGE FEED over a TYPED lake table — the face that lets a
+  * merge-on-read table feed a streaming consumer WITHOUT constant
+  * reconciles. The append-only typed stream (`readStream.table`)
+  * rightly refuses live delete files — an append stream cannot express
+  * deletions — but a CDC-rate mor table exists precisely to take
+  * row-level deletions every commit, so its streaming face must emit
+  * CHANGES, not appends:
+  *
+  * {{{
+  * spark.readStream
+  *   .format("graft.sources.TypedLakeChangeFeed")
+  *   .schema(<table schema>)               // the TABLE's columns
+  *   .option("path", <table location>)
+  *   .option("keyCols", "id")              // row identity
+  *   .load()                               // _change + table columns
+  * }}}
+  *
+  * Each micro-batch is [[TypedLake.changesBetweenTyped]] between the
+  * consumed manifest set and the admitted one — the exact NET row
+  * deltas (insert / delete / update_preimage / update_postimage), each
+  * side MOR-RESOLVED through its own delete files, several commits
+  * collapsing to their net effect, layout-only commits (compact /
+  * checkpoint / measure / compactdel) contributing nothing by
+  * construction (no file-set or delete-set difference survives the
+  * diff). A fresh stream's first batch is the current resolved state as
+  * inserts — the Delta `readChangeFeed` + `startingVersion=latest-ish`
+  * genesis this engine's batch cursor feed
+  * ([[TypedLake.readNewChangesTyped]]) already pins.
+  *
+  * Offsets are manifest-name SETS (the classic stream's offset form):
+  * deterministic replay after restart re-derives the SAME delta from
+  * the manifest history — and a vacuum that reclaimed part of that
+  * history fails the replay LOUDLY ([[WeatherLakeV2Sink.filesAsOf]]'s
+  * vacuum-horizon error), never silently skips. `maxManifestsPerTrigger`
+  * bounds admission per batch.
+  *
+  * Scale posture: offsets and admission are O(manifests) driver
+  * metadata; every data leg is the CDF diff itself — O(changed files +
+  * delete bytes), never O(table).
+  */
+class TypedLakeChangeFeed extends StreamSourceProvider
+    with DataSourceRegister {
+  import TypedLakeChangeFeed._
+
+  override def shortName(): String = "lake-typed-cdf"
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), changeSchema(tableSchemaOf(schema)))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "TypedLakeChangeFeed: the 'path' option (table location) is required"))
+    val keyCols = parameters.get("keycols").orElse(parameters.get("keyCols"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(throw new IllegalArgumentException(
+        "TypedLakeChangeFeed: the 'keyCols' option (row identity) is " +
+          "required — the feed nets deltas per key"))
+    val maxPerTrigger = parameters.get("maxmanifestspertrigger")
+      .orElse(parameters.get("maxManifestsPerTrigger")).map(_.toInt)
+      .getOrElse(Int.MaxValue)
+    require(maxPerTrigger > 0,
+      "TypedLakeChangeFeed: maxManifestsPerTrigger must be positive")
+    new TypedLakeCdfSource(sqlContext.sparkSession, path,
+      tableSchemaOf(schema), keyCols, maxPerTrigger)
+  }
+}
+
+object TypedLakeChangeFeed {
+  private def tableSchemaOf(schema: Option[StructType]): StructType =
+    schema.getOrElse(throw new IllegalArgumentException(
+      "TypedLakeChangeFeed: pass the TABLE schema via .schema(...) — the " +
+        "feed emits it plus the _change column"))
+
+  /** The feed's row shape: `_change` + the table columns (exactly
+    * [[TypedLake.changesBetweenTyped]]'s output).
+    */
+  def changeSchema(tableSchema: StructType): StructType =
+    StructType(StructField("_change", StringType, nullable = false) +:
+      tableSchema.fields)
+
+  /** The consumed manifest set as a v1 streaming offset (JSON array —
+    * the classic stream's offset form on the v1 `Source` face).
+    */
+  final case class CdfOffset(consumed: Seq[String]) extends V1Offset {
+    override def json(): String = {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val arr = mapper.createArrayNode()
+      consumed.sorted.foreach(arr.add)
+      mapper.writeValueAsString(arr)
+    }
+  }
+
+  private[sources] def offsetManifests(
+      o: org.apache.spark.sql.connector.read.streaming.Offset): Seq[String] =
+    o match {
+      case CdfOffset(consumed) => consumed
+      case SerializedOffset(json) => parseJson(json)
+      case other => parseJson(other.json())
+    }
+
+  private def parseJson(json: String): Seq[String] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(json)
+    val names = Seq.newBuilder[String]
+    node.forEach(n => names += n.asText())
+    names.result()
+  }
+
+  /** The v1 [[Source]]: offsets admit manifests in commit order; each
+    * batch IS the snapshot-diff change feed between its offsets.
+    */
+  final class TypedLakeCdfSource(spark: SparkSession, path: String,
+      tableSchema: StructType, keyCols: Seq[String], maxPerTrigger: Int)
+      extends Source {
+    WeatherLakeV2Sink.requirePayload(path, TypedLake.Payload,
+      "the typed change feed")
+
+    override def schema: StructType = changeSchema(tableSchema)
+
+    // the engine drives start offsets from its own log; this mirror only
+    // paces ADMISSION (how much history the next getOffset exposes)
+    @volatile private var planned: Set[String] = Set.empty
+
+    override def getOffset: Option[V1Offset] = {
+      // commit order pins WHICH manifests an admission-bounded batch
+      // takes; the offset itself is order-free (a set)
+      val history = WeatherLakeV2Sink.manifestHistory(path)
+      val fresh = history.filterNot(planned)
+      if (fresh.isEmpty && planned.nonEmpty)
+        Some(CdfOffset(planned.toSeq.sorted))
+      else if (fresh.isEmpty) None
+      else {
+        val admitted = planned ++ fresh.take(maxPerTrigger)
+        planned = admitted
+        Some(CdfOffset(admitted.toSeq.sorted))
+      }
+    }
+
+    override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+      val from = start.map(offsetManifests).getOrElse(Seq.empty)
+      val to = offsetManifests(end)
+      // restart: the engine replays from ITS log — adopt the replayed
+      // frontier so admission continues from there, never re-plans it
+      planned = planned ++ to
+      // a v1 Source's batch must present as a STREAMING frame
+      org.apache.spark.sql.GraftPlanBridge.asStreamingFrame(
+        TypedLake.changesBetweenTyped(spark, path, tableSchema, keyCols,
+          from = from, to = to))
+    }
+
+    override def commit(end: V1Offset): Unit = ()
+    override def stop(): Unit = ()
+  }
+}
