@@ -6765,6 +6765,42 @@ object SparkEntry {
         require(graft.sources.WeatherLakeV2Sink.committedFiles(p).toSet
           == filesBefore, "compact_deletes must rewrite no data file")
         s.sql(s"SELECT doc_id, val FROM graftlake.$t")
+      }),
+
+    QueryDef("q121_rename_name_mapping",
+      "ALTER TABLE ... RENAME COLUMN via NAME MAPPING — the metadata-" +
+        "only rename that completes the schema-evolution triad (ADD " +
+        "q112 / WIDEN q84 / RENAME): the old spelling rides as column " +
+        "metadata (the Iceberg name-mapping design carried inside the " +
+        "schema), files written BEFORE the rename keep the old physical " +
+        "name and are never rewritten — reads widen the scan schema " +
+        "with the historical spellings and COALESCE them back, so at " +
+        "100 TB a rename costs one marker write, not a petabyte " +
+        "rewrite. This query renames val->quality on pass 1 (later " +
+        "passes see it done), appends a post-rename batch exactly once, " +
+        "and aggregates across BOTH physical generations under the new " +
+        "name; old-generation per-file stats fail open by design.",
+      Some("""SELECT doc_id, quality FROM (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |         CAST(doc_id AS BIGINT) AS quality FROM documents
+        |  UNION ALL
+        |  SELECT CAST(-1 - doc_id AS BIGINT), CAST(doc_id * 7 AS BIGINT)
+        |  FROM documents WHERE doc_id < 25)""".stripMargin),
+      (s, dir) => {
+        val t = typedDocsTable(s, dir, "ren")
+        if (s.table(s"graftlake.$t").columns.contains("val"))
+          s.sql(s"ALTER TABLE graftlake.$t RENAME COLUMN val TO quality")
+        require(s.table(s"graftlake.$t").columns.toSeq ==
+          Seq("doc_id", "quality", "source"), "rename must be visible")
+        val docs = Tables.documents(s, dir)
+        // post-rename generation: new physical name, exactly-once
+        docs.filter(col("doc_id") < 25).select(
+            (lit(-1L) - col("doc_id")).as("doc_id"),
+            (col("doc_id") * 7).cast("long").as("quality"),
+            lit("renamed").as("source"))
+          .writeTo(s"graftlake.$t").option("manifestId", "post-rename")
+          .append()
+        s.sql(s"SELECT doc_id, quality FROM graftlake.$t")
       })
   )
 

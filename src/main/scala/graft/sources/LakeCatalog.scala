@@ -297,12 +297,68 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
             "property first, or later writes would measure a dropped column")
         putSchema(StructType(schema.fields.filterNot(_.name == field)))
         }
+      case r: TableChange.RenameColumn =>
+        // RENAME via NAME MAPPING (the Iceberg move, carried as column
+        // metadata — TypedLake.HistoricalNamesKey): metadata-only, zero
+        // file rewrites. Old files keep the old physical name; every
+        // read widens its scan schema with the historical spellings and
+        // coalesces them back. Pre-rename per-file stats/bloom filters
+        // stop matching the new name and fail OPEN until compaction
+        // migrates the files; statsFields auto-follows the rename so
+        // new writes measure under the new name.
+        val (schema, partCols) = typedSchema.getOrElse(
+          throw new UnsupportedOperationException(
+            "LakeCatalog: RENAME COLUMN applies to typed tables only"))
+        require(r.fieldNames().length == 1,
+          "LakeCatalog: RENAME COLUMN supports top-level columns only")
+        val from = r.fieldNames().head
+        val to = r.newName()
+        val field = schema.fields.find(_.name.equalsIgnoreCase(from))
+          .getOrElse(throw new IllegalArgumentException(
+            s"LakeCatalog: no column '$from' to rename"))
+        require(!partCols.exists(_.equalsIgnoreCase(from)),
+          s"LakeCatalog: '$from' is a partition column — its values are " +
+            "path segments under the old spelling; partition columns " +
+            "cannot be renamed")
+        require(!schema.fieldNames.exists(_.equalsIgnoreCase(to)),
+          s"LakeCatalog: column '$to' already exists")
+        require(!to.startsWith("__"),
+          s"LakeCatalog: '$to' uses the reserved '__' prefix")
+        val priorHist =
+          if (field.metadata.contains(TypedLake.HistoricalNamesKey))
+            field.metadata.getStringArray(TypedLake.HistoricalNamesKey)
+              .toSeq
+          else Seq.empty
+        val clash = (schema.fields.filterNot(_.name == field.name)
+          .flatMap(f =>
+            if (f.metadata.contains(TypedLake.HistoricalNamesKey))
+              f.metadata.getStringArray(TypedLake.HistoricalNamesKey)
+            else Array.empty[String]) ++ priorHist)
+          .exists(_.equalsIgnoreCase(to))
+        require(!clash,
+          s"LakeCatalog: '$to' is a historical name of some column — " +
+            "re-using it would make old files ambiguous")
+        val md = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(field.metadata)
+          .putStringArray(TypedLake.HistoricalNamesKey,
+            (priorHist :+ field.name).toArray)
+          .build()
+        putSchema(StructType(schema.fields.map { f =>
+          if (f.name == field.name) f.copy(name = to, metadata = md) else f
+        }))
+        // stats follow the logical column: new writes measure under the
+        // new name (old entry-line stats fail open against it)
+        Option(props.get("statsFields")).foreach { sf =>
+          val renamed = sf.split(",").map(_.trim).filter(_.nonEmpty)
+            .map(f => if (f.equalsIgnoreCase(from)) to else f)
+          props.put("statsFields", renamed.mkString(","))
+        }
       case other => throw new UnsupportedOperationException(
         s"LakeCatalog: unsupported ALTER TABLE change " +
-          s"${other.getClass.getSimpleName} — columns can be ADDed and " +
-          "DROPped on typed tables (metadata-only); RENAME/retype need " +
-          "name-mapping IDs old files don't carry, and the classic lake " +
-          "shape is fixed at CREATE")
+          s"${other.getClass.getSimpleName} — columns can be ADDed, " +
+          "DROPped and RENAMEd on typed tables (metadata-only); retype " +
+          "is not supported, and the classic lake shape is fixed at " +
+          "CREATE")
     }
     writeMarker(fs.getConf, dir, props, overwrite = true)
     loadTable(ident)

@@ -92,6 +92,24 @@ object TypedLake {
           "machinery (__file, __target_file, __row_pos, __s_*, __d_*); " +
           "rename the column")
     }
+    // name-mapping invariants (RENAME metadata): historical names must
+    // not collide with any live column or each other — the widened scan
+    // schema would be ambiguous
+    val hist = historicalNames(schema)
+    val allHist = hist.values.flatten.toSeq
+    require(allHist.map(_.toLowerCase).distinct.size == allHist.size,
+      s"TypedLake: duplicate historical names (${allHist.mkString(", ")})")
+    allHist.find(h => names.exists(_.equalsIgnoreCase(h))).foreach { h =>
+      throw new IllegalArgumentException(
+        s"TypedLake: historical name '$h' collides with a live column — " +
+          "the widened scan schema would be ambiguous")
+    }
+    hist.keys.find(partCols.contains).foreach { p =>
+      throw new IllegalArgumentException(
+        s"TypedLake: partition column '$p' carries rename history — " +
+          "partition columns cannot be renamed (their values are path " +
+          "segments under the old spelling)")
+    }
     require(names.takeRight(partCols.size) == partCols,
       s"TypedLake: partition columns (${partCols.mkString(", ")}) must be " +
         s"the LAST columns of the schema, in order — got (${names.mkString(", ")}). " +
@@ -317,20 +335,82 @@ object TypedLake {
     }.collect().toSeq // bounded: entry lines, O(written files) metadata
   }
 
+  // -----------------------------------------------------------------
+  // column RENAME via name mapping (schema-metadata-carried)
+  // -----------------------------------------------------------------
+
+  /** Column-metadata key listing a column's HISTORICAL physical names —
+    * the Iceberg name-mapping move (`schema.name-mapping.default`)
+    * carried INSIDE the schema, so every read path that already threads
+    * the [[StructType]] becomes rename-aware with no signature change.
+    * `ALTER TABLE … RENAME COLUMN a TO b` is a metadata-only commit: the
+    * field becomes `b` with `a` appended here; files written before the
+    * rename keep physical `a` and are never rewritten — the read widens
+    * its scan schema with the historical names and COALESCEs each
+    * logical column over (current, historical…) (exactly one is non-null
+    * per file, types are identical — rename never retypes).
+    *
+    * At 100 TB this is the difference between a marker rewrite and a
+    * petabyte rewrite. The trade documented with it: per-file stats and
+    * parquet bloom filters written under the OLD name stop matching the
+    * new one, so skipping over pre-rename files fails OPEN (kept) until
+    * compaction naturally migrates them.
+    */
+  val HistoricalNamesKey = "graft.historicalNames"
+
+  /** logical column name → its historical physical names (empty map =
+    * no rename ever happened; the fast path everywhere).
+    */
+  def historicalNames(schema: StructType): Map[String, Seq[String]] =
+    schema.fields.flatMap { f =>
+      if (f.metadata.contains(HistoricalNamesKey)) {
+        val hist = f.metadata.getStringArray(HistoricalNamesKey).toSeq
+        if (hist.nonEmpty) Some(f.name -> hist) else None
+      } else None
+    }.toMap
+
+  /** The scan schema a mapped read needs: the declared fields plus one
+    * nullable twin per historical name (same type — the parquet reader
+    * null-fills whichever spelling a file lacks).
+    */
+  private[sources] def widenedSchema(schema: StructType): StructType = {
+    val hist = historicalNames(schema)
+    if (hist.isEmpty) schema
+    else StructType(schema.fields ++ hist.toSeq.sortBy(_._1).flatMap {
+      case (logical, names) =>
+        val dt = schema(logical).dataType
+        names.map(n => StructField(n, dt, nullable = true))
+    })
+  }
+
+  /** The projection that folds historical spellings back into each
+    * logical column: `coalesce(current, hist…)` when mapped, the plain
+    * column otherwise.
+    */
+  private[sources] def mappedCol(schema: StructType)(name: String): Column = {
+    val hist = historicalNames(schema).getOrElse(name, Seq.empty)
+    if (hist.isEmpty) col(name)
+    else org.apache.spark.sql.functions
+      .coalesce((name +: hist).map(col): _*).as(name)
+  }
+
   /** The committed view (or any explicit file list) as a typed frame via
     * the engine's own Parquet source: `basePath` anchors `k=v` partition
     * recovery, the user schema pins partition-column TYPES, and the
     * result columns follow the DECLARED order (data-then-partition comes
     * back from the source; the select restores the table's order — a
     * no-op for schemas that follow [[validateTyped]]'s suffix rule).
+    * Renamed columns resolve through the name mapping
+    * ([[HistoricalNamesKey]]): pre-rename files stay readable in place.
     */
   def readTyped(spark: SparkSession, basePath: String, schema: StructType,
       files: Seq[String]): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else spark.read.option("basePath", basePath).schema(schema)
+    else spark.read.option("basePath", basePath)
+      .schema(widenedSchema(schema))
       .parquet(files: _*)
-      .select(schema.fieldNames.map(col).toSeq: _*)
+      .select(schema.fieldNames.map(mappedCol(schema)).toSeq: _*)
 
   def readCommittedTyped(spark: SparkSession, basePath: String,
       schema: StructType): DataFrame = {
@@ -399,20 +479,23 @@ object TypedLake {
     * PHYSICAL position, which is what makes position-delete targeting
     * sound). Reads only `files`, typed.
     */
-  private def framedTyped(spark: SparkSession, basePath: String,
+  private[graft] def framedTyped(spark: SparkSession, basePath: String,
       schema: StructType, files: Seq[String],
       withPos: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
     val session = spark
     import session.implicits._
     val keyed = files.map(f => (manifestJoinKey(f), f))
-    val base = spark.read.option("basePath", basePath).schema(schema)
+    val base = spark.read.option("basePath", basePath)
+      .schema(widenedSchema(schema))
       .parquet(files: _*)
     // ONE select over the raw relation: `_metadata` is a metadata column
-    // and must be projected before any other Project hides it
+    // and must be projected before any other Project hides it; renamed
+    // columns fold their historical spellings here too
     val cols = (if (withPos)
         Seq(col("_metadata.row_index").as(PosFrameCol)) else Seq.empty) ++
-      Seq(filePathCol.as("__path")) ++ schema.fieldNames.toSeq.map(col)
+      Seq(filePathCol.as("__path")) ++
+      schema.fieldNames.toSeq.map(mappedCol(schema))
     base.select(cols: _*)
       .join(broadcast(keyed.toDF("__path", "__file")), "__path")
       .drop("__path")
@@ -475,12 +558,18 @@ object TypedLake {
 
   /** The live delete rows of `deleteFiles`, columns renamed `__d_<name>`
     * so they join against a framed data read without ambiguity.
+    * Pre-rename equality delete files carry old-image columns under the
+    * HISTORICAL spelling — the same widen-and-coalesce as every data
+    * read, or the null-safe equality would silently miss (and
+    * resurrect) their deletions.
     */
   private def readMorDeletesRenamed(spark: SparkSession, schema: StructType,
       deleteFiles: Seq[String]): DataFrame =
-    spark.read.schema(morDeleteSchema(schema)).parquet(deleteFiles: _*)
+    spark.read.schema(morDeleteSchema(widenedSchema(schema)))
+      .parquet(deleteFiles: _*)
       .select(col(MorTargetCol) +:
-        schema.fieldNames.toSeq.map(n => col(n).as(s"__d_$n")): _*)
+        schema.fieldNames.toSeq.map(n =>
+          mappedCol(schema)(n).as(s"__d_$n")): _*)
 
   /** Subtract delete rows from a FRAMED read (table columns + `__file`,
     * plus `__pos` when any POSITION delete file is present).

@@ -330,9 +330,12 @@ class TypedLakeCatalogSpec extends SparkSpec {
     val e2 = intercept[Exception](spark.sql(
       "ALTER TABLE tlake.evo DROP COLUMN region"))
     assert(e2.getMessage.contains("partition column"), e2.getMessage)
-    val e3 = intercept[Exception](spark.sql(
-      "ALTER TABLE tlake.evo RENAME COLUMN note TO note2"))
-    assert(e3.getMessage.contains("name-mapping"), e3.getMessage)
+    // RENAME is now supported via name mapping (TypedLakeRenameSpec
+    // pins the full contract) — here just the metadata-only flip
+    spark.sql("ALTER TABLE tlake.evo RENAME COLUMN note TO note2")
+    assert(spark.table("tlake.evo").schema.fieldNames.toSeq ==
+      Seq("id", "note2", "region"))
+    assert(spark.table("tlake.evo").count() == 5)
     val e4 = intercept[Exception](spark.sql(
       "ALTER TABLE tlake.evo ADD COLUMN early STRING FIRST"))
     assert(e4.getMessage.contains("FIRST/AFTER"), e4.getMessage)
