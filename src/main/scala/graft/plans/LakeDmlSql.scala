@@ -199,6 +199,13 @@ object LakeDmlSql {
         if (t.pinned.isDefined && !t.morResolved)
           fail(s"'$name' is a time-travel read (VERSION/TIMESTAMP AS OF) " +
             "— history is immutable; point the DML at the table itself")
+        if (t.bucketSpec.isDefined)
+          fail(s"'$name' is a HASH-BUCKETED table (bucket ids ride data " +
+            "file names for the zero-exchange join layout) — row-level " +
+            "DML would rewrite files without their bucket markers and " +
+            "silently demote every future join to a shuffle; bucketed " +
+            "tables are append/overwrite-only in this engine (use " +
+            "INSERT/INSERT OVERWRITE, or rebuild via CTAS)")
         LakeTarget(t.path, targetBytes = 0L,
           statsFields = t.statsFields, changeLog = false,
           typed = Some((t.tableSchema, t.partCols, t.maxRecordsPerFile)),

@@ -75,7 +75,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * ops — the scale story is the manifest layer's, unchanged.
   */
 class LakeCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog with StagingTableCatalog {
+    with ProcedureCatalog with StagingTableCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
   import LakeCatalog._
 
   private var catalogName: String = _
@@ -484,6 +485,24 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
   private def fullName(ident: Identifier): String =
     (catalogName +: ident.namespace :+ ident.name).mkString(".")
 
+  // ---- FunctionCatalog: the V2 `bucket` function — what lets Spark
+  // recognize two bucketed lake scans as CO-PARTITIONED (its
+  // storage-partitioned-join machinery resolves each side's bucket
+  // transform through the table's catalog and compares canonical
+  // function identity + bucket count)
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty ||
+        namespace.sameElements(Array(ProcedureNamespace)))
+      Array(Identifier.of(namespace, "bucket"))
+    else Array.empty
+
+  override def loadFunction(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name().equalsIgnoreCase("bucket")) BucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(catalogName, ident.name())
+
   // ---- ProcedureCatalog: maintenance as CALL statements (Iceberg's face)
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
@@ -607,7 +626,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
       validatePartitioning(partitions)
       (props, new LakeCatalogTable(fullName(ident), location, props))
     } else {
-      val partCols = identityPartCols(partitions)
+      val (partCols, bucketSpec) = parsePartitioning(partitions, schema)
       TypedLake.validateTyped(schema, partCols)
       require(!java.lang.Boolean.parseBoolean(
           Option(props.get("changeLog")).getOrElse("false")),
@@ -617,6 +636,10 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
           "changeLog property has nothing to enable; drop it")
       props.put(SchemaProp, schema.json)
       props.put(PartitionColsProp, partCols.mkString(","))
+      bucketSpec.foreach { case (c, n) =>
+        props.put(BucketColProp, c)
+        props.put(BucketCountProp, n.toString)
+      }
       (props, new TypedLakeCatalogTable(fullName(ident), location, schema,
         partCols, props))
     }
@@ -709,6 +732,14 @@ object LakeCatalog {
         names.mkString(", "))
   }
 
+  /** Marker properties of a HASH-BUCKETED table (PARTITIONED BY
+    * (bucket(n, col))): the bucket column and count. Bucketing is the
+    * zero-exchange fact-fact join layout — see
+    * [[TypedLakeStreamableScan]]'s storage-partitioned-join face.
+    */
+  val BucketColProp = "bucketColumn"
+  val BucketCountProp = "bucketCount"
+
   /** Identity partition-column names of a typed CREATE (bucket/days/etc.
     * transforms have no path-directory form here — loud).
     */
@@ -721,6 +752,72 @@ object LakeCatalog {
         s"LakeCatalog: typed lake tables support only identity partition " +
           s"transforms (PARTITIONED BY (col, ...)), got $s")
     }
+
+  /** Typed partitioning: identity columns, OR exactly one
+    * `bucket(n, col)` transform (hash bucketing — the co-located-join
+    * layout). Mixing the two is refused: a bucketed table is flat on
+    * disk (bucket ids live in file names, not path segments).
+    */
+  private[sources] def parsePartitioning(partitions: Array[Transform],
+      schema: StructType): (Seq[String], Option[(String, Int)]) = {
+    val buckets = partitions.filter(_.name() == "bucket")
+    if (buckets.isEmpty) (identityPartCols(partitions), None)
+    else {
+      require(partitions.length == 1,
+        "LakeCatalog: bucket(n, col) must be the ONLY transform — " +
+          "bucketed lake tables are flat on disk (bucket ids ride file " +
+          "names), so identity partitions cannot combine with bucketing")
+      val t = buckets.head
+      val args = t.arguments()
+      val n = args.collectFirst {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          l.value().toString.toInt
+      }.getOrElse(throw new IllegalArgumentException(
+        s"LakeCatalog: cannot read bucket count from $t"))
+      val colName = args.collectFirst {
+        case r: org.apache.spark.sql.connector.expressions.NamedReference =>
+          r.fieldNames().mkString(".")
+      }.getOrElse(throw new IllegalArgumentException(
+        s"LakeCatalog: cannot read bucket column from $t"))
+      require(n > 0 && n <= 65536,
+        s"LakeCatalog: bucket count $n out of range (1..65536)")
+      val resolved = schema.fieldNames.find(_.equalsIgnoreCase(colName))
+        .getOrElse(throw new IllegalArgumentException(
+          s"LakeCatalog: bucket column '$colName' is not a table column"))
+      (Seq.empty, Some((resolved, n)))
+    }
+  }
+
+  /** The catalog's V2 `bucket(numBuckets, col)` function — delegates to
+    * [[TypedLake.bucketId]], the SAME hash the writer routes by, so the
+    * reported scan partitioning is truthful by construction.
+    */
+  private[graft] object BucketFunction
+      extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+    override def name(): String = "bucket"
+    override def description(): String =
+      "bucket(numBuckets, col): Murmur3 hash bucket id (lake bucketing)"
+    override def bind(inputType: StructType):
+        org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+      require(inputType.size == 2,
+        s"bucket(numBuckets, col) takes 2 arguments, got $inputType")
+      val dt = inputType.fields(1).dataType
+      new org.apache.spark.sql.connector.catalog.functions
+          .ScalarFunction[Integer] {
+        override def inputTypes(): Array[DataType] =
+          Array(IntegerType, dt)
+        override def resultType(): DataType = IntegerType
+        override def name(): String = "bucket"
+        override def canonicalName(): String = "graft.lake.bucket"
+        override def isResultNullable: Boolean = false
+        override def produceResult(input: InternalRow): Integer = {
+          val n = input.getInt(0)
+          val v = if (input.isNullAt(1)) null else input.get(1, dt)
+          Integer.valueOf(TypedLake.bucketId(v, dt, n))
+        }
+      }
+    }
+  }
 
   private[sources] def readMarker(conf: Configuration,
       dir: String): util.HashMap[String, String] = {
@@ -902,8 +999,17 @@ object LakeCatalog {
     override def name(): String = ident
     override def schema(): StructType = tableSchema
     override def partitioning(): Array[Transform] =
-      partCols.map(Expressions.identity).toArray
+      bucketSpec.map { case (c, n) =>
+        Array(Expressions.bucket(n, c): Transform)
+      }.getOrElse(partCols.map(Expressions.identity).toArray)
     override def properties(): util.Map[String, String] = props
+
+    /** Hash-bucket layout (bucket column, count) of a bucketed table —
+      * see [[LakeCatalog.BucketColProp]].
+      */
+    def bucketSpec: Option[(String, Int)] =
+      Option(props.get(BucketColProp)).map(c =>
+        (c, props.get(BucketCountProp).toInt))
 
     override def capabilities(): util.Set[TableCapability] =
       if (pinned.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)
@@ -1008,7 +1114,7 @@ object LakeCatalog {
         options.entrySet().forEach(e => merged.put(e.getKey, e.getValue))
         new StatsPrunedParquetScanBuilder(ident, spark, path, tableSchema,
           files.sorted, statsOf, new CaseInsensitiveStringMap(merged),
-          pinnedTable = pinned.isDefined)
+          pinnedTable = pinned.isDefined, bucketSpec = bucketSpec)
       }
     }
 
@@ -1058,19 +1164,40 @@ object LakeCatalog {
           dynamicOverwrite = true; this
         }
         override def build(): org.apache.spark.sql.connector.write.Write =
-          new org.apache.spark.sql.connector.write.Write {
+          new org.apache.spark.sql.connector.write.Write
+              with org.apache.spark.sql.connector.write
+                .RequiresDistributionAndOrdering {
             private val overwriting =
               truncateFirst || overwriteEq.isDefined || dynamicOverwrite
             private val overwriteSnapshot: Seq[String] =
               if (overwriting) WeatherLakeV2Sink.liveManifests(path)
               else Seq.empty
+            // bucketed tables CLUSTER the write by the bucket transform
+            // (resolved through this catalog's own V2 bucket function)
+            // with one task per bucket — each bucket lands in ONE file
+            // per write instead of one per (task, bucket)
+            override def requiredDistribution():
+                org.apache.spark.sql.connector.distributions.Distribution =
+              tbl.bucketSpec match {
+                case Some((c, n)) =>
+                  org.apache.spark.sql.connector.distributions.Distributions
+                    .clustered(Array(Expressions.bucket(n, c)))
+                case None =>
+                  org.apache.spark.sql.connector.distributions.Distributions
+                    .unspecified()
+              }
+            override def requiredNumPartitions(): Int =
+              tbl.bucketSpec.map(_._2).getOrElse(0)
+            override def requiredOrdering():
+                Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+              Array.empty
             override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
               new org.apache.spark.sql.connector.write.BatchWrite {
                 override def createBatchWriterFactory(
                     pi: org.apache.spark.sql.connector.write.PhysicalWriteInfo):
                     org.apache.spark.sql.connector.write.DataWriterFactory =
                   new TypedLakeWriterFactory(path, tbl.tableSchema,
-                    tbl.partCols, sf, mrpf)
+                    tbl.partCols, sf, mrpf, tbl.bucketSpec)
                 override def commit(
                     messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
                   val entries = messages.collect {
@@ -1112,7 +1239,7 @@ object LakeCatalog {
                     pi: org.apache.spark.sql.connector.write.PhysicalWriteInfo):
                     org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
                   new TypedLakeStreamingWriterFactory(path, tbl.tableSchema,
-                    tbl.partCols, sf, mrpf)
+                    tbl.partCols, sf, mrpf, tbl.bucketSpec)
                 override def commit(epochId: Long,
                     messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
                   val entries = messages.collect {
@@ -1154,7 +1281,8 @@ object LakeCatalog {
       files: Seq[String],
       statsOf: Map[String, Map[String, WeatherLakeV2Sink.FieldStats]],
       options: CaseInsensitiveStringMap,
-      pinnedTable: Boolean = false)
+      pinnedTable: Boolean = false,
+      bucketSpec: Option[(String, Int)] = None)
       extends ScanBuilder
       with SupportsPushDownRequiredColumns
       with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -1267,7 +1395,8 @@ object LakeCatalog {
         extractions: Array[org.apache.spark.sql.connector.read.VariantExtraction]): Array[Boolean] =
       ensure().pushVariantExtractions(extractions)
     override def build(): Scan = new TypedLakeStreamableScan(
-      ensure().build(), path, tableSchema, prunedTo, options, pinnedTable)
+      ensure().build(), path, tableSchema, prunedTo, options, pinnedTable,
+      bucketSpec)
 
     /** Test seam: the file list the delegate was (or would be) built
       * over — what a plan-level spec asserts stats pruning against.
@@ -1293,13 +1422,77 @@ object LakeCatalog {
     */
   class TypedLakeStreamableScan(inner: Scan, path: String,
       tableSchema: StructType, prunedTo: Option[StructType],
-      options: CaseInsensitiveStringMap, pinnedTable: Boolean)
+      options: CaseInsensitiveStringMap, pinnedTable: Boolean,
+      bucketSpec: Option[(String, Int)] = None)
       extends Scan
       with org.apache.spark.sql.connector.read.SupportsReportStatistics
+      with org.apache.spark.sql.connector.read.SupportsReportPartitioning
       with org.apache.spark.sql.internal.connector.SupportsMetadata {
     override def readSchema(): StructType = inner.readSchema()
     override def description(): String = inner.description()
-    override def toBatch: Batch = inner.toBatch
+
+    /** The delegate's planned files grouped per bucket id (file-name
+      * marker, [[TypedLake.bucketOfFile]]) — None when the table is not
+      * bucketed OR any planned file lacks the marker (fail-safe: report
+      * unknown partitioning and let the join shuffle, never mis-group).
+      */
+    private lazy val bucketGroups: Option[Seq[(Int,
+        Seq[org.apache.spark.sql.execution.datasources.PartitionedFile])]] =
+      bucketSpec.flatMap { case (_, _) =>
+        val parts = inner.toBatch.planInputPartitions().toSeq
+        val fileParts = parts.collect {
+          case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+            fp
+        }
+        if (fileParts.size != parts.size) None // non-file delegate
+        else {
+          val tagged = fileParts.flatMap(_.files).map(f =>
+            TypedLake.bucketOfFile(f.urlEncodedPath) -> f)
+          if (tagged.exists(_._1.isEmpty)) None
+          else Some(tagged.groupBy(_._1.get).toSeq
+            .map { case (b, fs) => b -> fs.map(_._2) }
+            .sortBy(_._1))
+        }
+      }
+
+    /** STORAGE-PARTITIONED JOIN face: a bucketed table's scan reports
+      * KeyGroupedPartitioning over its bucket transform, one input
+      * partition per (non-empty) bucket carrying its key — with
+      * `spark.sql.sources.v2.bucketing.enabled`, two lake tables
+      * bucketed the same way join with ZERO exchange on either side
+      * (and a following aggregate on the same key stays exchange-free
+      * too). The transform resolves through [[LakeCatalog]]'s own V2
+      * `bucket` function, whose hash IS the writer's routing hash —
+      * the reported co-partitioning is truthful by construction.
+      */
+    override def outputPartitioning():
+        org.apache.spark.sql.connector.read.partitioning.Partitioning =
+      (bucketSpec, bucketGroups) match {
+        case (Some((c, n)), Some(groups)) =>
+          new org.apache.spark.sql.connector.read.partitioning
+            .KeyGroupedPartitioning(
+              Array(Expressions.bucket(n, c)), groups.size)
+        case _ =>
+          new org.apache.spark.sql.connector.read.partitioning
+            .UnknownPartitioning(0)
+      }
+
+    override def toBatch: Batch = bucketGroups match {
+      case None => inner.toBatch
+      case Some(groups) =>
+        val delegate = inner.toBatch
+        new Batch {
+          override def planInputPartitions(): Array[InputPartition] =
+            groups.zipWithIndex.map { case ((b, fs), i) =>
+              BucketFilesPartition(
+                org.apache.spark.sql.execution.datasources
+                  .FilePartition(i, fs.toArray),
+                InternalRow(b)): InputPartition
+            }.toArray
+          override def createReaderFactory(): PartitionReaderFactory =
+            new BucketReaderFactory(delegate.createReaderFactory())
+        }
+    }
     override def columnarSupportMode(): Scan.ColumnarSupportMode =
       inner.columnarSupportMode()
     override def supportedCustomMetrics():
@@ -1417,6 +1610,36 @@ object LakeCatalog {
       inner.preferredLocations()
   }
 
+  /** One bucket's files as an input partition CARRYING ITS KEY — what
+    * the engine's storage-partitioned-join machinery groups and aligns
+    * across the two sides of a co-bucketed join.
+    */
+  private[sources] final case class BucketFilesPartition(
+      inner: org.apache.spark.sql.execution.datasources.FilePartition,
+      key: InternalRow)
+      extends InputPartition
+      with org.apache.spark.sql.connector.read.HasPartitionKey {
+    override def partitionKey(): InternalRow = key
+    override def preferredLocations(): Array[String] =
+      inner.preferredLocations()
+  }
+
+  /** Unwraps [[BucketFilesPartition]] for the delegate parquet reader. */
+  private[sources] final class BucketReaderFactory(
+      delegate: PartitionReaderFactory) extends PartitionReaderFactory {
+    private def unwrap(p: InputPartition): InputPartition = p match {
+      case BucketFilesPartition(inner, _) => inner
+      case other => other
+    }
+    override def createReader(p: InputPartition):
+        PartitionReader[InternalRow] = delegate.createReader(unwrap(p))
+    override def createColumnarReader(p: InputPartition):
+        PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+      delegate.createColumnarReader(unwrap(p))
+    override def supportColumnarReads(p: InputPartition): Boolean =
+      delegate.supportColumnarReads(unwrap(p))
+  }
+
   /** Stateless dispatcher: every partition knows its own factory. */
   private[sources] object TypedBatchReaderFactory
       extends PartitionReaderFactory {
@@ -1444,13 +1667,14 @@ object LakeCatalog {
 
   class TypedLakeStreamingWriterFactory(path: String, schema: StructType,
       partCols: Seq[String], statsFields: Seq[String],
-      maxRecordsPerFile: Long)
+      maxRecordsPerFile: Long,
+      bucketSpec: Option[(String, Int)] = None)
       extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
     override def createWriter(partitionId: Int, taskId: Long, epochId: Long):
         org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
       new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
         private val w = new TypedLake.TypedTaskWriter(path, "b", schema,
-          partCols, statsFields, maxRecordsPerFile)
+          partCols, statsFields, maxRecordsPerFile, bucketSpec)
         override def write(row: InternalRow): Unit = w.write(row)
         override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage =
           WeatherLakeV2Sink.FilesWritten(w.closeAll())
@@ -1580,13 +1804,14 @@ object LakeCatalog {
 
   class TypedLakeWriterFactory(path: String, schema: StructType,
       partCols: Seq[String], statsFields: Seq[String],
-      maxRecordsPerFile: Long)
+      maxRecordsPerFile: Long,
+      bucketSpec: Option[(String, Int)] = None)
       extends org.apache.spark.sql.connector.write.DataWriterFactory {
     override def createWriter(partitionId: Int, taskId: Long):
         org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
       new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
         private val w = new TypedLake.TypedTaskWriter(path, "b", schema,
-          partCols, statsFields, maxRecordsPerFile)
+          partCols, statsFields, maxRecordsPerFile, bucketSpec)
         override def write(row: InternalRow): Unit = w.write(row)
         override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage =
           WeatherLakeV2Sink.FilesWritten(w.closeAll())
@@ -2016,6 +2241,12 @@ object LakeCatalog {
                 org.apache.spark.sql.functions.expr(text))
             Array(InternalRow(typed match {
               case Some((schema, partCols)) =>
+                if (tprops.containsKey(BucketColProp))
+                  throw new UnsupportedOperationException(
+                    "LakeCatalog: compact would rewrite a bucketed " +
+                      "table's files without their bucket markers, " +
+                      "demoting future joins to shuffles — rebuild via " +
+                      "INSERT OVERWRITE/CTAS instead")
                 TypedLake.compactTyped(spark, path, schema, partCols,
                   targetBytes = input.getLong(1), clusterExpr = fn,
                   statsFields = statsFields)

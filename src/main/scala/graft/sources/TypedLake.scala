@@ -58,6 +58,46 @@ object TypedLake {
 
   val Payload = "parquet"
 
+  // -----------------------------------------------------------------
+  // hash bucketing (storage-partitioned joins)
+  // -----------------------------------------------------------------
+
+  /** The bucket id of one column value — Murmur3 (the engine's own hash
+    * family) mod n, over the INTERNAL value representation. ONE
+    * definition shared by the writer's file routing, the catalog's V2
+    * `bucket` function ([[LakeCatalog]] implements FunctionCatalog), and
+    * therefore both sides of every storage-partitioned join: rows with
+    * equal keys land in equal buckets on every bucketed lake table, so
+    * a bucket-co-partitioned join needs NO exchange.
+    */
+  def bucketId(value: Any, dt: DataType, numBuckets: Int): Int = {
+    require(numBuckets > 0, "bucketId: numBuckets must be positive")
+    if (value == null) 0
+    else {
+      val h = org.apache.spark.sql.catalyst.expressions
+        .Murmur3HashFunction.hash(value, dt, 42L)
+      (((h % numBuckets) + numBuckets) % numBuckets).toInt
+    }
+  }
+
+  /** Bucket file-name marker: bucketed data files are
+    * `part-b<id>-<op>-<uuid>.parquet` — the bucket id is STRUCTURAL
+    * (same move as the delete-file flavor marker), so the scan groups
+    * files per bucket with no extra metadata and a file that lacks the
+    * marker makes the scan fall back to unknown partitioning (correct,
+    * just shuffles) instead of mis-grouping.
+    */
+  private[graft] def bucketOfFile(path: String): Option[Int] = {
+    val name = new Path(path).getName
+    if (!name.startsWith("part-b")) None
+    else {
+      val rest = name.stripPrefix("part-b").takeWhile(_.isDigit)
+      if (rest.isEmpty) None
+      else if (name.startsWith(s"part-b$rest-")) Some(rest.toInt)
+      else None
+    }
+  }
+
   /** Partition-column types with a canonical, unambiguous path rendering.
     * Floats/decimals/timestamps are refused (their string forms are
     * ambiguous or timezone-dependent — the same reason Delta discourages
@@ -183,7 +223,15 @@ object TypedLake {
     */
   private[sources] final class TypedTaskWriter(basePath: String, op: String,
       schema: StructType, partCols: Seq[String], statsFields: Seq[String],
-      maxRecordsPerFile: Long) {
+      maxRecordsPerFile: Long,
+      bucketSpec: Option[(String, Int)] = None) {
+    // (column index, type, bucket count) of a hash-bucketed table —
+    // every row routes to the file of its bucket ([[bucketId]])
+    private val bucket: Option[(Int, DataType, Int)] = bucketSpec.map {
+      case (c, n) =>
+        val i = schema.fieldIndex(c)
+        (i, schema(i).dataType, n)
+    }
     private val partIdx = partCols.map(schema.fieldIndex).toArray
     private val dataFields = schema.fields.zipWithIndex
       .filterNot { case (_, i) => partIdx.contains(i) }
@@ -257,12 +305,16 @@ object TypedLake {
 
     def write(row: InternalRow): Unit = {
       val dir = dirOf(row)
-      var f = open.getOrElseUpdate(dir, newFile(dir))
+      val b = bucket.map { case (i, dt, n) =>
+        bucketId(if (row.isNullAt(i)) null else row.get(i, dt), dt, n)
+      }
+      val key = b.map(k => s"$dir#$k").getOrElse(dir)
+      var f = open.getOrElseUpdate(key, newFile(dir, b))
       if (maxRecordsPerFile > 0 && f.rows >= maxRecordsPerFile) {
         f.writer.close()
         entries += f.entryLine()
-        f = newFile(dir)
-        open.update(dir, f)
+        f = newFile(dir, b)
+        open.update(key, f)
       }
       if (statsIdx.nonEmpty) {
         val rendered = statsProj(row)
@@ -277,11 +329,12 @@ object TypedLake {
       f.rows += 1
     }
 
-    private def newFile(dir: String): OpenFile = {
+    private def newFile(dir: String, b: Option[Int] = None): OpenFile = {
       val fs = new Path(dir).getFileSystem(conf)
       fs.mkdirs(new Path(dir))
+      val prefix = b.map(k => s"part-b$k").getOrElse("part")
       new OpenFile(new Path(dir,
-        s"part-$op-${UUID.randomUUID().toString}.parquet").toString)
+        s"$prefix-$op-${UUID.randomUUID().toString}.parquet").toString)
     }
 
     /** Close every open file and return all entry lines written by this
