@@ -75,7 +75,11 @@ class TypedLakeModelSpec extends SparkSpec {
         model ++= rows
       }
       for (i <- 1 to 11) {
-        val op = rng.nextInt(11)
+        val op = rng.nextInt(12)
+        // mor ops randomize the delete-file FLAVOR per op — the table
+        // organically mixes position and equality files across its
+        // history, the exact state every reader must subtract correctly
+        def flavor(): Boolean = rng.nextBoolean()
         op match {
           case 0 => // append brand-new keys
             val rows = freshRows(1 + rng.nextInt(3))
@@ -94,7 +98,8 @@ class TypedLakeModelSpec extends SparkSpec {
               .map(k => (k, rng.between(0L, 1000L)))
             val rows = existing ++ freshRows(1)
             TypedLake.mergeTypedMor(spark, lake, schema, pc,
-              payload(rows), keyCols = Seq("k", "city"))
+              payload(rows), keyCols = Seq("k", "city"),
+              positionDeletes = flavor())
             model ++= rows
           case 3 => // copy-on-write delete of a residue class
             val r = rng.nextInt(4)
@@ -104,7 +109,8 @@ class TypedLakeModelSpec extends SparkSpec {
           case 4 => // MERGE-ON-READ delete of a residue class
             val r = rng.nextInt(4)
             TypedLake.deleteTypedMor(spark, lake, schema, pc,
-              predicate = df => df("k") % 4 === r)
+              predicate = df => df("k") % 4 === r,
+              positionDeletes = flavor(), statsFields = Seq("k"))
             model = model.filter { case (k, _) => k % 4 != r }
           case 5 => // copy-on-write update to a key-derived value
             val r = rng.nextInt(3)
@@ -122,9 +128,12 @@ class TypedLakeModelSpec extends SparkSpec {
             val r = rng.nextInt(3)
             TypedLake.updateTypedMor(spark, lake, schema, pc,
               predicate = df => df("k") % 3 === r,
-              assignments = Seq("v" -> (df => df("k") * 9 + r)))
+              assignments = Seq("v" -> (df => df("k") * 9 + r)),
+              positionDeletes = flavor())
             model = model.map { case (k, v) =>
               k -> (if (k % 3 == r) k * 9 + r else v) }
+          case 11 => // delete-file consolidation (directives only)
+            TypedLake.compactMorDeletes(spark, lake, schema)
         }
         assert(lakeState == model, s"trial $trial op#$i (kind $op) diverged")
         applyFeed()
