@@ -1,12 +1,11 @@
 package graft.plans
 
-import org.apache.spark.sql.{GraftPlanBridge, SparkSession}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Alias
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreeNodeTag
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.functions.{broadcast, input_file_name, regexp_replace}
 
 import graft.sources.{LakeCatalog, TypedLake, WeatherLakeV2Sink}
 
@@ -17,57 +16,57 @@ import graft.sources.{LakeCatalog, TypedLake, WeatherLakeV2Sink}
   *     ([[WeatherLakeV2Sink.MorDeletePrefix]]) must never answer a
   *     `SELECT` with deleted rows — the subtraction happens one level
   *     up, as a LOGICAL rewrite during analysis (the Spark-first move:
-  *     declare the anti-join, let Catalyst/AQE pick the physical form —
-  *     a small delete set broadcasts, a huge one shuffles).
+  *     declare the plan, let Catalyst/AQE pick the physical join — a
+  *     small delete set broadcasts, a huge one shuffles).
   *  2. **Renamed columns** ([[TypedLake.HistoricalNamesKey]] column
   *     metadata): files written before a `RENAME COLUMN` keep the old
   *     physical name, and a name-forced scan would null-fill the new
   *     one — the rewrite reads through [[TypedLake]]'s widened
   *     scan-schema + coalesce mapping instead.
   *
-  * Rewritten shape (attribute ids preserved, so parents resolve
-  * unchanged):
+  * The mor rewrite is a SPLIT SCAN ([[TypedLake.readResolvedSplit]]):
+  * data files outside every live delete file's target range read PLAIN
+  * (no per-row ordinal, no file-key broadcast map, no anti-join probe),
+  * unioned with the resolved read of the targeted sliver —
   *
   * {{{
   * Project(relation.output aliases,
-  *   [LeftAnti join of]                         // only with live deletes
-  *     (data read + recovered __file [+ __pos])  // pruning intact
-  *     against the delete rows                   // plain parquet, O(deleted)
-  *   on (position: target file == file AND ordinal == pos;
-  *       equality: target file == file AND every column null-safe equal))
+  *   Union(
+  *     plain read of CLEAN files,                 // pruning intact
+  *     LeftAnti join of
+  *       (targeted read + __file [+ __pos])
+  *       against the delete rows                  // O(deleted)
+  *     on (position: target file == file AND ordinal == pos;
+  *         equality: target file == file AND all columns null-safe =)))
   * }}}
   *
   * pinned to ONE snapshot for BOTH legs (data files and delete files
   * resolve from the same manifest set — never a racing commit's data
-  * against an older delete set). Tables with neither state — the
-  * overwhelmingly common case — return untouched after one cached
+  * against an older delete set). At CDC rates deletes touch a small
+  * fraction of a 100 TB table's files, so the subtraction machinery
+  * costs O(targeted files), not O(table). Tables with neither state —
+  * the overwhelmingly common case — return untouched after one cached
   * manifest check ([[LakeCatalog.TypedLakeCatalogTable.morContext]])
   * and one metadata lookup.
   *
-  * Data-leg shapes:
-  *
-  *  - EQUALITY-only delete sets on UNRENAMED tables keep the DSv2
-  *    relation itself as the data leg (pinned to the snapshot, same
-  *    output attribute ids, reported statistics intact);
-  *  - any POSITION delete — the subtraction needs each row's
-  *    `_metadata.row_index`, which DSv2 `FileTable` does not expose —
-  *    or any name mapping forces the v1 parquet file source
-  *    ([[TypedLake.framedTyped]] / [[TypedLake.readTyped]], both
-  *    mapping-aware). The v1 leg keeps filter/column pushdown and `k=v`
-  *    partition recovery; the outer Project is tagged with the table
-  *    ([[MorScanResolution.MorTable]]) so [[LakeDmlSql.resolveTarget]]
-  *    still recognizes the lake table under a DML statement.
+  * The data legs are the v1 parquet file source (DSv2 `FileTable`
+  * exposes no `_metadata.row_index` for position deletes, and the
+  * name mapping needs the widened-schema read) — filter/column
+  * pushdown and `k=v` partition recovery intact. The outer Project is
+  * re-aliased to the ORIGINAL relation's attribute ids (parents
+  * resolve unchanged) and tagged with the table
+  * ([[MorScanResolution.MorTable]]) so [[LakeDmlSql.resolveTarget]]
+  * still recognizes the lake table under a DML statement.
   *
   * Write plans are unaffected by construction: a V2 write command holds
   * its target table out-of-children, and the DML commands resolve their
-  * target through [[LakeDmlSql.resolveTarget]], which recognizes the
-  * rewritten pin (either shape).
+  * target through [[LakeDmlSql.resolveTarget]].
   */
 object MorScanResolution extends Rule[LogicalPlan] {
   private[graft] val Applied = TreeNodeTag[Boolean]("graft.mor.applied")
 
-  /** Set on the outer Project of a v1-leg rewrite: the lake table the
-    * rewritten read came from (that plan has no DataSourceV2Relation
+  /** Set on the outer Project of a rewrite: the lake table the
+    * rewritten read came from (the v1 legs have no DataSourceV2Relation
     * for [[LakeDmlSql.resolveTarget]] to find).
     */
   private[graft] val MorTable =
@@ -105,51 +104,15 @@ object MorScanResolution extends Rule[LogicalPlan] {
               proj.setTagValue(MorTable, tbl)
               proj
             }
-          case Some((snap, deleteFiles)) =>
+          case Some((snap, deleteLines)) =>
             val files = WeatherLakeV2Sink.filesAsOf(tbl.path, snap)
-            if (mapped || deleteFiles.exists(TypedLake.isPosDelete)) {
-              // v1 data leg: row ordinals and/or name mapping
-              if (files.isEmpty) r // deletes dangle; nothing to subtract
-              else {
-                val framed = TypedLake.framedTyped(spark, tbl.path, schema,
-                  files,
-                  withPos = deleteFiles.exists(TypedLake.isPosDelete))
-                val resolved = TypedLake.applyMorDeletes(spark, schema,
-                    framed, deleteFiles)
-                  .select(schema.fieldNames.toSeq
-                    .map(org.apache.spark.sql.functions.col): _*)
-                val proj = aliasedTo(r, resolved.queryExecution.analyzed)
-                proj.setTagValue(MorTable, tbl)
-                proj
-              }
-            } else {
-              // EQUALITY-only, unrenamed: pin data to the SAME snapshot
-              // the delete files came from, keep the DSv2 relation as
-              // the data leg
-              val pinnedTbl = new LakeCatalog.TypedLakeCatalogTable(
-                tbl.name(), tbl.path, schema, tbl.partCols,
-                tbl.properties(), pinned = Some(snap), morResolved = true)
-              val newRel = r.copy(table = pinnedTbl)
-              newRel.setTagValue(Applied, true)
-              // recover each row's manifest entry path (framedTyped's
-              // move: input_file_name is the URL-encoded raw URI, the
-              // broadcast key map takes it back to the manifest's own
-              // path form)
-              val session = spark
-              import session.implicits._
-              val keyed = files.map(f =>
-                (WeatherLakeV2Sink.manifestJoinKey(f), f))
-                .toDF("__path", "__file")
-              val base = GraftPlanBridge.ofRows(spark, newRel)
-              val framed = base
-                .withColumn("__path", regexp_replace(input_file_name(),
-                  WeatherLakeV2Sink.SchemeAuthorityPattern, ""))
-                .join(broadcast(keyed), Seq("__path"))
-                .drop("__path")
-              val resolved = TypedLake.applyMorDeletes(spark, schema,
-                framed, deleteFiles)
-              // same output attribute ids as the original relation
-              Project(newRel.output, resolved.queryExecution.analyzed)
+            if (files.isEmpty) r // deletes dangle; nothing to subtract
+            else {
+              val resolved = TypedLake.readResolvedSplit(spark, tbl.path,
+                schema, files, deleteLines)
+              val proj = aliasedTo(r, resolved.queryExecution.analyzed)
+              proj.setTagValue(MorTable, tbl)
+              proj
             }
         }
     }

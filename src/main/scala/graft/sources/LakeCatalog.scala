@@ -1064,7 +1064,9 @@ object LakeCatalog {
       */
     lazy val morContext: Option[(Seq[String], Seq[String])] = {
       val snap = pinned.getOrElse(WeatherLakeV2Sink.liveManifests(path))
-      val dels = WeatherLakeV2Sink.morDeleteFilesAsOf(path, snap)
+      // the full directive PAYLOAD lines (path + target-range stats) —
+      // the rewrite's split-scan leg prunes on the ranges
+      val dels = WeatherLakeV2Sink.morDeleteLinesAsOf(path, snap)
       if (dels.isEmpty) None else Some((snap, dels))
     }
 

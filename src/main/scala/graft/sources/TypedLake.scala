@@ -473,11 +473,7 @@ object TypedLake {
     val snapshot = WeatherLakeV2Sink.liveManifests(basePath)
     val files = WeatherLakeV2Sink.filesAsOf(basePath, snapshot)
     val deleteLines = morDeleteLinesOf(basePath, snapshot)
-    if (deleteLines.isEmpty) readTyped(spark, basePath, schema, files)
-    else if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else resolvedFramed(spark, basePath, schema, files, deleteLines)
-      .select(schema.fieldNames.toSeq.map(col): _*)
+    readResolvedSplit(spark, basePath, schema, files, deleteLines)
   }
 
   /** Append `df` as one manifest commit (the typed twin of the classic
@@ -752,6 +748,58 @@ object TypedLake {
       lineKeep: String => Boolean = _ => true): Seq[String] =
     pruneMorDeleteLines(deleteLines.filter(l =>
       lineStats(l).isEmpty || lineKeep(l)), files)
+
+  /** The data files any live delete file could TARGET, by the delete
+    * entry lines' target-range stats — the inverse of
+    * [[pruneMorDeleteLines]], and the driver-side split every
+    * subtraction-only read uses: files OUTSIDE every range are CLEAN
+    * and bypass the anti-join (and its file-key broadcast map)
+    * entirely. Fail-SAFE toward "targeted": a delete line without
+    * usable stats marks every file (the subtraction still runs —
+    * correctness never rides the split). O((files + lines) log files)
+    * driver metadata.
+    */
+  private[graft] def possiblyTargetedFiles(files: Seq[String],
+      deleteLines: Seq[String]): Set[String] = {
+    if (deleteLines.isEmpty) return Set.empty
+    def ascii(s: String): Boolean = s.forall(_ < 128)
+    val ranges = deleteLines.map(l => lineStats(l).get(MorTargetCol))
+    if (ranges.exists(r => r.isEmpty || r.get.numeric ||
+        !ascii(r.get.min) || !ascii(r.get.max)) ||
+        !files.forall(ascii))
+      return files.toSet // no usable range somewhere: everything targeted
+    val rs = ranges.map(_.get)
+    files.filter(f => rs.exists(r => r.min <= f && f <= r.max)).toSet
+  }
+
+  /** SPLIT-SCAN mor resolution for SUBTRACTION-ONLY reads (SELECT
+    * faces, CDF sides, compaction inputs — anything that only needs the
+    * resolved ROWS, not per-row `__file` bookkeeping): clean files read
+    * PLAIN (no ordinals, no file-key broadcast map, no anti-join probe
+    * per row) and union the resolved read of the targeted sliver. At
+    * CDC rates deletes touch a small fraction of a 100 TB table's
+    * files; the subtraction machinery now costs O(targeted files), not
+    * O(table). DML ops keep [[resolvedFramed]] — they need `__file` on
+    * every candidate row regardless.
+    */
+  private[graft] def readResolvedSplit(spark: SparkSession,
+      basePath: String, schema: StructType, files: Seq[String],
+      deleteLines: Seq[String]): DataFrame = {
+    val names = schema.fieldNames.toSeq
+    if (files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    val deletes = pruneMorDeleteLines(deleteLines, files)
+    if (deletes.isEmpty) return readTyped(spark, basePath, schema, files)
+    val targeted = possiblyTargetedFiles(files,
+      deleteLines.filter(l => deletes.contains(entryPath(l))))
+    val clean = files.filterNot(targeted)
+    val resolved = applyMorDeletes(spark, schema,
+        framedTyped(spark, basePath, schema, targeted.toSeq.sorted,
+          withPos = deletes.exists(isPosDelete)), deletes)
+      .select(names.map(col): _*)
+    if (clean.isEmpty) resolved
+    else readTyped(spark, basePath, schema, clean).unionByName(resolved)
+  }
 
   /** Resolve `files` through the PRUNED live delete set: one framed
     * read — ordinals included exactly when a position-delete file
@@ -1616,16 +1664,8 @@ object TypedLake {
       if (deleteDiff.isEmpty) Seq.empty
       else morDeleteTargets(spark, schema, deleteDiff)
         .filter(t => fromFiles(t) && toFiles(t)).toSeq.sorted
-    def resolvedSide(files: Seq[String], deleteLines: Seq[String]): DataFrame = {
-      val deletes = pruneMorDeleteLines(deleteLines, files)
-      if (files.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      else if (deletes.isEmpty) readTyped(spark, basePath, schema, files)
-      else applyMorDeletes(spark, schema,
-          framedTyped(spark, basePath, schema, files,
-            withPos = deletes.exists(isPosDelete)), deletes)
-        .select(names.map(col): _*)
-    }
+    def resolvedSide(files: Seq[String], deleteLines: Seq[String]): DataFrame =
+      readResolvedSplit(spark, basePath, schema, files, deleteLines)
     def tagged(df: DataFrame, change: String): DataFrame =
       df.select(lit(change).as("_change") +: names.map(col): _*)
     val oldOnlyEmpty = removed.isEmpty && changedTargets.isEmpty
@@ -1798,15 +1838,8 @@ object TypedLake {
     // compacting a directory doubles as its reconcile; the affected
     // delete rows dangle afterwards and vacuum/reconcile clears them
     val liveDeleteLines = morDeleteLinesOf(basePath, snapshot)
-    val rows = {
-      val files = multi.values.flatten.toSeq
-      val deletes = pruneMorDeleteLines(liveDeleteLines, files)
-      if (deletes.isEmpty) readTyped(spark, basePath, schema, files)
-      else applyMorDeletes(spark, schema,
-          framedTyped(spark, basePath, schema, files,
-            withPos = deletes.exists(isPosDelete)), deletes)
-        .select(schema.fieldNames.toSeq.map(col): _*)
-    }
+    val rows = readResolvedSplit(spark, basePath, schema,
+      multi.values.flatten.toSeq, liveDeleteLines)
     // honor targetBytes in the OUTPUT too, not only in candidacy: the
     // typed task writer rolls on maxRecordsPerFile alone, so without a
     // cap a clustered compaction would write ONE unbounded file per
