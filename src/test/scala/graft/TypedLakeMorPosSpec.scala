@@ -124,6 +124,32 @@ class TypedLakeMorPosSpec extends SparkSpec {
     assert(ids(lake) == (5L until 55L).toSet)
   }
 
+  test("SPLIT SCAN: files outside every delete file's target range " +
+      "bypass the subtraction (plan shows Union(plain scan, anti-join)), " +
+      "the targeted-file classifier is range-exact and fail-safe, and " +
+      "answers stay identical") {
+    val lake = tmp("morsplit")
+    seedWide(lake, n = 80) // r0/r1, one file each
+    // delete only from r0's file — r1's file must ride the clean leg
+    TypedLake.deleteTypedMor(spark, lake, wide, pc,
+      predicate = df => df("id") === 6L) // 6 is even → region r0
+    val lines = WeatherLakeV2Sink.morDeleteLinesAsOf(lake,
+      WeatherLakeV2Sink.liveManifests(lake))
+    val files = WeatherLakeV2Sink.committedFiles(lake)
+    val targeted = TypedLake.possiblyTargetedFiles(files, lines)
+    val r0 = files.filter(_.contains("region=r0")).toSet
+    assert(targeted == r0, s"targeted $targeted vs r0 $r0")
+    // fail-safe: a stats-less delete line marks EVERYTHING targeted
+    assert(TypedLake.possiblyTargetedFiles(files,
+      Seq("/tmp/nostats.parquet")) == files.toSet)
+    // the read plans as Union(clean scan, subtracted targeted scan)
+    val df = TypedLake.readCommittedTyped(spark, lake, wide)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("Union"), plan)
+    assert(df.select("id").collect().map(_.getLong(0)).toSet ==
+      (0L until 80L).toSet - 6L)
+  }
+
   test("SQL face: morDeletes defaults to position (DML over LIVE " +
       "position deletes still resolves the lake target — MERGE/UPDATE/" +
       "DELETE stack, SELECT and time travel subtract), and " +
