@@ -55,13 +55,13 @@ class TypedLakeChangeFeed extends StreamSourceProvider
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) =
-    (shortName(), changeSchema(tableSchemaOf(schema)))
+    (shortName(),
+      changeSchema(resolveTable(sqlContext, schema, parameters)._2))
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
-    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
-      "TypedLakeChangeFeed: the 'path' option (table location) is required"))
+    val (path, tableSchema) = resolveTable(sqlContext, schema, parameters)
     val keyCols = parameters.get("keycols").orElse(parameters.get("keyCols"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(throw new IllegalArgumentException(
@@ -73,8 +73,44 @@ class TypedLakeChangeFeed extends StreamSourceProvider
     require(maxPerTrigger > 0,
       "TypedLakeChangeFeed: maxManifestsPerTrigger must be positive")
     new TypedLakeCdfSource(sqlContext.sparkSession, path,
-      tableSchemaOf(schema), keyCols, maxPerTrigger)
+      tableSchema, keyCols, maxPerTrigger)
   }
+
+  /** (location, TABLE schema) of the feed: either `table = <catalog
+    * identifier>` — resolved through the session catalog, which is the
+    * ONLY safe form for RENAMED tables (the schema must carry the
+    * historicalNames metadata or old files would silently null-fill the
+    * renamed column; a hand-passed `.schema(...)` cannot know it) — or
+    * `path` + an explicit `.schema(...)` for path-addressed lakes.
+    */
+  private def resolveTable(sqlContext: SQLContext,
+      schema: Option[StructType],
+      parameters: Map[String, String]): (String, StructType) =
+    parameters.get("table") match {
+      case Some(name) =>
+        val analyzed = sqlContext.sparkSession.table(name)
+          .queryExecution.analyzed
+        val tbl = analyzed.collectFirst {
+          case r: org.apache.spark.sql.execution.datasources.v2
+              .DataSourceV2Relation
+              if r.table.isInstanceOf[LakeCatalog.TypedLakeCatalogTable] =>
+            r.table.asInstanceOf[LakeCatalog.TypedLakeCatalogTable]
+        }.orElse(analyzed.collectFirst {
+          case p if p.getTagValue(
+              graft.plans.MorScanResolution.MorTable).isDefined =>
+            p.getTagValue(graft.plans.MorScanResolution.MorTable).get
+        }).getOrElse(throw new IllegalArgumentException(
+          s"TypedLakeChangeFeed: '$name' is not a typed lake catalog " +
+            "table"))
+        (tbl.path, tbl.tableSchema)
+      case None =>
+        val path = parameters.getOrElse("path",
+          throw new IllegalArgumentException(
+            "TypedLakeChangeFeed: pass either 'table' (catalog " +
+              "identifier — required for renamed tables, the schema " +
+              "must carry the name mapping) or 'path' + .schema(...)"))
+        (path, tableSchemaOf(schema))
+    }
 }
 
 object TypedLakeChangeFeed {

@@ -176,6 +176,37 @@ class TypedLakeCdfStreamSpec extends SparkSpec {
     assert(WeatherLakeV2Sink.committedMorDeleteFiles(lake).nonEmpty)
   }
 
+  test("option(\"table\") resolves path AND schema through the catalog " +
+      "— the only safe form for RENAMED tables: old-generation files " +
+      "stream under the new column name with VALUES, never nulls") {
+    val w = Files.createTempDirectory("cdftable").toString
+    spark.conf.set("spark.sql.catalog.cdft", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.cdft.warehouse", w)
+    spark.sql("""CREATE TABLE cdft.t (id BIGINT, score BIGINT,
+      region STRING) USING lake PARTITIONED BY (region)
+      TBLPROPERTIES ('dmlMode' = 'mor')""")
+    spark.sql("""INSERT INTO cdft.t
+      SELECT id, id * 10, concat('r', id % 2) FROM range(6)""")
+    spark.sql("ALTER TABLE cdft.t RENAME COLUMN score TO quality")
+    spark.sql("DELETE FROM cdft.t WHERE id = 2") // live position deletes
+    val q = spark.readStream
+      .format("graft.sources.TypedLakeChangeFeed")
+      .option("table", "cdft.t")
+      .option("keyCols", "id")
+      .load()
+      .writeStream.format("memory").queryName("cdf_table")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("cdf_table").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      // pre-rename files answer under `quality` with their VALUES
+      assert(rows == (0L until 6L).filter(_ != 2L)
+        .map(i => ("insert", i, i * 10)).toSet, rows)
+    } finally q.stop()
+    spark.sql("DROP TABLE cdft.t")
+  }
+
   test("vacuum past the consumer's frontier fails the restart LOUDLY " +
       "(never a silent skip), while a caught-up consumer survives " +
       "routine checkpoint + vacuum") {
