@@ -2242,13 +2242,19 @@ object LakeCatalog {
               (_: org.apache.spark.sql.DataFrame) =>
                 org.apache.spark.sql.functions.expr(text))
             Array(InternalRow(typed match {
+              case Some((schema, partCols))
+                  if tprops.containsKey(BucketColProp) =>
+                // bucketed tables compact PER BUCKET with the routing
+                // markers preserved (clusterExpr has no meaning there —
+                // the layout IS the cluster)
+                if (fn.isDefined) throw new UnsupportedOperationException(
+                  "LakeCatalog: cluster_expr does not apply to a " +
+                    "bucketed table — its layout is the bucket hash")
+                TypedLake.compactTypedBucketed(spark, path, schema,
+                  bucketCol = tprops.get(BucketColProp),
+                  numBuckets = tprops.get(BucketCountProp).toInt,
+                  statsFields = statsFields)
               case Some((schema, partCols)) =>
-                if (tprops.containsKey(BucketColProp))
-                  throw new UnsupportedOperationException(
-                    "LakeCatalog: compact would rewrite a bucketed " +
-                      "table's files without their bucket markers, " +
-                      "demoting future joins to shuffles — rebuild via " +
-                      "INSERT OVERWRITE/CTAS instead")
                 TypedLake.compactTyped(spark, path, schema, partCols,
                   targetBytes = input.getLong(1), clusterExpr = fn,
                   statsFields = statsFields)

@@ -1803,6 +1803,67 @@ object TypedLake {
     * the OPTIMIZE ZORDER move) with the rewrite on typed frames. Rolls
     * at `maxRecordsPerFile` when positive.
     */
+  /** BUCKET-PRESERVING compaction for hash-bucketed tables: every
+    * append lands one file per bucket, so after k inserts each bucket
+    * holds k small files — exactly the population a log-structured
+    * append table needs folded. Candidacy per BUCKET (more than one
+    * file, or any unmarked stray); each candidate bucket's rows rewrite
+    * through the bucket-routing writer (markers preserved — the
+    * storage-partitioned join layout survives), one partially-
+    * superseding commit. Unmarked files (pre-bucketing adoption,
+    * foreign writers) are folded INTO their hash bucket, upgrading the
+    * table back to the zero-exchange join layout. Bucketed tables take
+    * no row-level DML, so there are never delete files to resolve.
+    * Returns the number of compacted buckets.
+    */
+  def compactTypedBucketed(spark: SparkSession, basePath: String,
+      schema: StructType, bucketCol: String, numBuckets: Int,
+      statsFields: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 0L): Int = {
+    WeatherLakeV2Sink.requirePayload(basePath, Payload,
+      "compactTypedBucketed")
+    val snapshot = WeatherLakeV2Sink.liveManifests(basePath)
+    val byManifest = WeatherLakeV2Sink.entryLinesByManifest(basePath, snapshot)
+    val files = byManifest.flatMap(_._2).map(entryPath)
+    val byBucket = files.groupBy(bucketOfFile)
+    // a bucket is a candidate when it holds >1 file; ANY unmarked file
+    // is a candidate of its own (re-bucketing it restores the layout)
+    val strays = byBucket.getOrElse(None, Seq.empty)
+    val multi = byBucket.collect {
+      case (Some(b), fs) if fs.size > 1 => b -> fs
+    }
+    if (strays.isEmpty && multi.isEmpty) return 0
+    val victims = (multi.values.flatten ++ strays).toSeq
+    val victimSet = victims.toSet
+    val touchedManifests = byManifest.collect {
+      case (n, ls) if ls.exists(l => victimSet(entryPath(l))) => n
+    }
+    val touchedSet = touchedManifests.toSet
+    val keep = byManifest
+      .filter { case (n, _) => touchedSet(n) }
+      .flatMap(_._2)
+      .filterNot(l => victimSet(entryPath(l)))
+    val rows = readTyped(spark, basePath, schema, victims)
+    // route through the bucket writer: one task per bucket, markers on
+    val base = basePath; val sch = schema; val sf = statsFields
+    val mrpf = maxRecordsPerFile; val bc = bucketCol; val n = numBuckets
+    val bucketExpr = org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.hash(col(bc)), lit(n))
+    val newFiles = rows.select(schema.fieldNames.map(col).toSeq: _*)
+      .repartition(n, bucketExpr)
+      .queryExecution.toRdd.mapPartitions { it =>
+        val w = new TypedTaskWriter(base, "compact", sch, Seq.empty, sf,
+          mrpf, bucketSpec = Some((bc, n)))
+        try { it.foreach(w.write); w.closeAll().iterator }
+        catch { case e: Throwable => w.abortAll(); throw e }
+      }.collect().toSeq
+    WeatherLakeV2Sink.publishCommit(basePath, "compact",
+      snapshot = snapshot, supersedes = touchedManifests,
+      lines = keep ++ newFiles,
+      readDomain = Some(_ => false), payload = Some(Payload))
+    multi.size + (if (strays.nonEmpty) 1 else 0)
+  }
+
   def compactTyped(spark: SparkSession, basePath: String,
       schema: StructType, partCols: Seq[String],
       targetBytes: Long = 128L * 1024 * 1024,

@@ -92,12 +92,36 @@ class TypedLakeBucketedJoinSpec extends SparkSpec {
       assert(rows == plain)
     }
 
-    // guards: DML and compact refuse rather than silently demote joins
+    // guard: row-level DML refuses rather than silently demote joins
     val e1 = intercept[Exception](
       spark.sql("DELETE FROM spjlake.facts WHERE k = 1"))
     assert(e1.getMessage.contains("BUCKETED"), e1.getMessage)
-    val e2 = intercept[Exception](
-      spark.sql("CALL spjlake.system.compact('facts')"))
+    // a second insert doubles the per-bucket file count; CALL compact
+    // folds each bucket back to ONE file with the markers preserved —
+    // the layout (and the zero-exchange join) survives maintenance
+    spark.sql("""INSERT INTO spjlake.facts
+      SELECT id % 50, id * 3 FROM range(400)""")
+    assert(WeatherLakeV2Sink.committedFiles(s"$w/facts").size
+      > buckets.distinct.size)
+    val compacted = spark.sql("CALL spjlake.system.compact('facts')")
+      .head.getInt(0)
+    assert(compacted > 0)
+    val after = WeatherLakeV2Sink.committedFiles(s"$w/facts")
+    val afterBuckets = after.flatMap(TypedLake.bucketOfFile)
+    assert(afterBuckets.size == after.size &&
+      afterBuckets.distinct.size == afterBuckets.size,
+      s"one marked file per bucket after compact, got $after")
+    assert(spark.table("spjlake.facts").count() == 800)
+    withSpjConfs {
+      val joined2 = spark.sql("""SELECT f.k, count(*) AS n
+        FROM spjlake.facts f JOIN spjlake.dims d ON f.k = d.k
+        GROUP BY f.k""")
+      assert(shuffles(joined2) == 0,
+        joined2.queryExecution.executedPlan.toString)
+    }
+    // cluster_expr has no meaning on a bucketed table — loud
+    val e2 = intercept[Exception](spark.sql(
+      "CALL spjlake.system.compact('facts', cluster_expr => 'k')"))
     assert(e2.getMessage.contains("bucket"), e2.getMessage)
     // INSERT OVERWRITE stays legal and re-buckets
     spark.sql("""INSERT OVERWRITE spjlake.facts
