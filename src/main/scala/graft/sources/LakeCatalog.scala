@@ -2091,7 +2091,14 @@ object LakeCatalog {
           StructField("live_manifests", IntegerType, nullable = false),
           StructField("total_manifests", IntegerType, nullable = false),
           StructField("stats_covered_files", IntegerType, nullable = false),
-          StructField("live_delete_files", IntegerType, nullable = false)))
+          StructField("live_delete_files", IntegerType, nullable = false),
+          // appended (index-stable for older readers): flavor split of
+          // the merge-on-read debt, and the files a resolved read must
+          // actually anti-join (target-range classification — the
+          // split-scan's own arithmetic)
+          StructField("live_position_delete_files", IntegerType,
+            nullable = false),
+          StructField("mor_targeted_files", IntegerType, nullable = false)))
         case "convert" => StructType(Seq(
           StructField("adopted_files", IntegerType, nullable = false),
           StructField("measured_files", IntegerType, nullable = false)))
@@ -2304,12 +2311,21 @@ object LakeCatalog {
             val withStats = lines.count(l =>
               WeatherLakeV2Sink.lineStats(l).nonEmpty)
             // live_delete_files > 0 = merge-on-read debt: reads pay an
-            // anti-join until CALL reconcile folds it back
+            // anti-join over mor_targeted_files until reconcile (or a
+            // compaction of those directories) folds it back;
+            // compact_deletes bounds the delete-file count itself
+            val liveDel = WeatherLakeV2Sink.committedMorDeleteFiles(path)
+            val delLines = WeatherLakeV2Sink.morDeleteLinesAsOf(path,
+              WeatherLakeV2Sink.liveManifests(path))
+            val targeted =
+              if (delLines.isEmpty) 0
+              else TypedLake.possiblyTargetedFiles(files, delLines).size
             Array(InternalRow(UTF8String.fromString(path), files.size,
               bytes, partitions,
               WeatherLakeV2Sink.liveManifests(path).size,
               WeatherLakeV2Sink.manifestNames(path).size, withStats,
-              WeatherLakeV2Sink.committedMorDeleteFiles(path).size))
+              liveDel.size,
+              liveDel.count(TypedLake.isPosDelete), targeted))
           case "history" =>
             val fs = new Path(path).getFileSystem(new Configuration())
             val mdir = new Path(path, WeatherLakeV2Sink.ManifestDir)

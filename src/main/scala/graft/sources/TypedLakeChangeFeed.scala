@@ -72,8 +72,26 @@ class TypedLakeChangeFeed extends StreamSourceProvider
       .getOrElse(Int.MaxValue)
     require(maxPerTrigger > 0,
       "TypedLakeChangeFeed: maxManifestsPerTrigger must be positive")
+    // startingAt = earliest (default): genesis batch = the current
+    // resolved state as inserts. latest: deltas only — the frontier at
+    // FIRST START is persisted under the stream's metadata path, so a
+    // crash before the first offset commits replays the SAME frontier
+    // (never a window that depends on when the source object was
+    // rebuilt).
+    val genesis: Seq[String] =
+      parameters.get("startingat").orElse(parameters.get("startingAt"))
+        .map(_.trim.toLowerCase).getOrElse("earliest") match {
+        case "earliest" => Seq.empty
+        case "latest" =>
+          persistedGenesis(metadataPath,
+            WeatherLakeV2Sink.manifestHistory(path))
+        case other => throw new IllegalArgumentException(
+          s"TypedLakeChangeFeed: unknown startingAt '$other' — use " +
+            "'earliest' (full current state as inserts) or 'latest' " +
+            "(new changes only)")
+      }
     new TypedLakeCdfSource(sqlContext.sparkSession, path,
-      tableSchema, keyCols, maxPerTrigger)
+      tableSchema, keyCols, maxPerTrigger, genesis)
   }
 
   /** (location, TABLE schema) of the feed: either `table = <catalog
@@ -114,6 +132,41 @@ class TypedLakeChangeFeed extends StreamSourceProvider
 }
 
 object TypedLakeChangeFeed {
+  /** Read-or-write-once genesis frontier under the stream's metadata
+    * path (the v1-source pattern: FileStreamSource keeps its seen-files
+    * log there) — written temp-then-rename so it appears atomically.
+    */
+  private def persistedGenesis(metadataPath: String,
+      current: Seq[String]): Seq[String] = {
+    val fs = new org.apache.hadoop.fs.Path(metadataPath)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val file = new org.apache.hadoop.fs.Path(metadataPath,
+      "graft-cdf-genesis")
+    if (fs.exists(file)) {
+      val in = fs.open(file)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      parseJson(txt)
+    } else {
+      fs.mkdirs(new org.apache.hadoop.fs.Path(metadataPath))
+      val tmp = new org.apache.hadoop.fs.Path(metadataPath,
+        s".graft-cdf-genesis.tmp-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, false)
+      try out.write(CdfOffset(current).json()
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (!fs.rename(tmp, file)) {
+        // a concurrent restart won the race: adopt ITS frontier
+        fs.delete(tmp, false)
+        val in = fs.open(file)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        return parseJson(txt)
+      }
+      current
+    }
+  }
+
   private def tableSchemaOf(schema: Option[StructType]): StructType =
     schema.getOrElse(throw new IllegalArgumentException(
       "TypedLakeChangeFeed: pass the TABLE schema via .schema(...) — the " +
@@ -158,7 +211,8 @@ object TypedLakeChangeFeed {
     * batch IS the snapshot-diff change feed between its offsets.
     */
   final class TypedLakeCdfSource(spark: SparkSession, path: String,
-      tableSchema: StructType, keyCols: Seq[String], maxPerTrigger: Int)
+      tableSchema: StructType, keyCols: Seq[String], maxPerTrigger: Int,
+      genesis: Seq[String] = Seq.empty)
       extends Source {
     WeatherLakeV2Sink.requirePayload(path, TypedLake.Payload,
       "the typed change feed")
@@ -166,8 +220,10 @@ object TypedLakeChangeFeed {
     override def schema: StructType = changeSchema(tableSchema)
 
     // the engine drives start offsets from its own log; this mirror only
-    // paces ADMISSION (how much history the next getOffset exposes)
-    @volatile private var planned: Set[String] = Set.empty
+    // paces ADMISSION (how much history the next getOffset exposes).
+    // startingAt=latest seeds it with the persisted genesis frontier —
+    // those manifests are "already consumed" without ever being emitted
+    @volatile private var planned: Set[String] = genesis.toSet
 
     override def getOffset: Option[V1Offset] = {
       // commit order pins WHICH manifests an admission-bounded batch
@@ -185,7 +241,7 @@ object TypedLakeChangeFeed {
     }
 
     override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
-      val from = start.map(offsetManifests).getOrElse(Seq.empty)
+      val from = start.map(offsetManifests).getOrElse(genesis)
       val to = offsetManifests(end)
       // restart: the engine replays from ITS log — adopt the replayed
       // frontier so admission continues from there, never re-plans it

@@ -207,6 +207,42 @@ class TypedLakeCdfStreamSpec extends SparkSpec {
     spark.sql("DROP TABLE cdft.t")
   }
 
+  test("startingAt=latest skips the genesis state (deltas only), the " +
+      "frontier persists in the stream's metadata path across restarts, " +
+      "and Trigger.AvailableNow drains and terminates") {
+    val lake = tmp("cdflatest")
+    seed(lake, n = 30) // pre-existing history the consumer must SKIP
+    TypedLake.deleteTypedMor(spark, lake, schema, pc,
+      predicate = df => df("id") === 1L)
+    val ckpt = Files.createTempDirectory("cdflatestck").toString
+    val got = mutable.ArrayBuffer.empty[(String, Long)]
+    def run(): Unit = {
+      val q = feed(lake, "startingAt" -> "latest").writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], _: Long) =>
+          got.synchronized {
+            got ++= df.collect().map(r => (r.getString(0), r.getLong(1)))
+          }; ()
+        }.start()
+      // AvailableNow must terminate on its own
+      assert(q.awaitTermination(60000), "AvailableNow did not terminate")
+    }
+    run()
+    assert(got.synchronized(got.isEmpty),
+      s"latest start must emit NO genesis rows, got $got")
+    // new commits stream as deltas across the restart
+    TypedLake.deleteTypedMor(spark, lake, schema, pc,
+      predicate = df => df("id") === 5L)
+    val s2 = spark
+    import s2.implicits._
+    TypedLake.appendTyped(spark, lake,
+      Seq((200L, "n-200", "r0")).toDF("id", "name", "region"), schema, pc)
+    run()
+    assert(got.synchronized(got.toSet) ==
+      Set(("delete", 5L), ("insert", 200L)), got)
+  }
+
   test("vacuum past the consumer's frontier fails the restart LOUDLY " +
       "(never a silent skip), while a caught-up consumer survives " +
       "routine checkpoint + vacuum") {

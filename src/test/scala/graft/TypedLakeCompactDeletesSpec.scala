@@ -126,10 +126,13 @@ class TypedLakeCompactDeletesSpec extends SparkSpec {
     spark.sql("DELETE FROM cdlake.t WHERE id = 13")
     val detailBefore = spark.sql("CALL cdlake.system.detail('t')").head
     assert(detailBefore.getInt(7) == 3, detailBefore) // live_delete_files
+    assert(detailBefore.getInt(8) == 3, detailBefore) // all position
+    assert(detailBefore.getInt(9) > 0, detailBefore) // targeted files
     val r = spark.sql("CALL cdlake.system.compact_deletes('t')").head
     assert(r.getInt(0) == 3 && r.getInt(1) == 1, r)
     val detailAfter = spark.sql("CALL cdlake.system.detail('t')").head
     assert(detailAfter.getInt(7) == 1, detailAfter)
+    assert(detailAfter.getInt(8) == 1, detailAfter)
     assert(spark.table("cdlake.t").count() == 47)
     assert(spark.sql(
       "SELECT count(*) FROM cdlake.t WHERE id IN (11, 12, 13)")
