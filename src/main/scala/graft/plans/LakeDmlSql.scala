@@ -126,7 +126,8 @@ object LakeDmlSql {
       statsFields: Seq[String], changeLog: Boolean,
       typed: Option[(StructType, Seq[String], Long)] = None,
       morDml: Boolean = false,
-      morPositionDeletes: Boolean = true)
+      morPositionDeletes: Boolean = true,
+      bucketSpec: Option[(String, Int)] = None)
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"lake DML: $msg")
@@ -199,17 +200,17 @@ object LakeDmlSql {
         if (t.pinned.isDefined && !t.morResolved)
           fail(s"'$name' is a time-travel read (VERSION/TIMESTAMP AS OF) " +
             "— history is immutable; point the DML at the table itself")
-        if (t.bucketSpec.isDefined)
-          fail(s"'$name' is a HASH-BUCKETED table (bucket ids ride data " +
-            "file names for the zero-exchange join layout) — row-level " +
-            "DML would rewrite files without their bucket markers and " +
-            "silently demote every future join to a shuffle; bucketed " +
-            "tables are append/overwrite-only in this engine (use " +
-            "INSERT/INSERT OVERWRITE, or rebuild via CTAS)")
+        // bucketed tables take the FULL DML surface: rewrites re-route
+        // through the bucket writer (markers — and the zero-exchange
+        // join layout — preserved); mor deletes touch no data file at
+        // all. While delete files are live the scan rewrite drops the
+        // reported partitioning (the join shuffles, correctly) until
+        // reconcile restores it.
         LakeTarget(t.path, targetBytes = 0L,
           statsFields = t.statsFields, changeLog = false,
           typed = Some((t.tableSchema, t.partCols, t.maxRecordsPerFile)),
-          morDml = t.morDml, morPositionDeletes = t.morPositionDeletes)
+          morDml = t.morDml, morPositionDeletes = t.morPositionDeletes,
+          bucketSpec = t.bucketSpec)
       case other => fail(s"'$name' resolves to ${other.name()}, not a " +
         "lake table — DML runs only against the manifest lake")
     }
@@ -655,7 +656,8 @@ case class LakeDeleteCommand(stmt: DeleteFromTable) extends LeafRunnableCommand 
           prune = LakeDmlSql.typedPruneFor(
             LakeDmlSql.typedPartitionEqs(stmt.condition, partCols, schema),
             LakeDmlSql.typedStatsBounds(stmt.condition, schema)),
-          statsFields = t.statsFields, maxRecordsPerFile = mrpf)
+          statsFields = t.statsFields, maxRecordsPerFile = mrpf,
+          bucketSpec = t.bucketSpec)
       case None =>
         WeatherLakeV2Sink.deleteCommitted(spark, t.path,
           predicate = df => LakeDmlSql.bind(stmt.condition, df, "DELETE WHERE"),
@@ -710,10 +712,12 @@ case class LakeUpdateCommand(stmt: UpdateTable) extends LeafRunnableCommand {
           schema, partCols, predicate = pred, assignments = assigns,
           prune = prune, statsFields = t.statsFields,
           maxRecordsPerFile = mrpf,
-          positionDeletes = t.morPositionDeletes)
+          positionDeletes = t.morPositionDeletes,
+          bucketSpec = t.bucketSpec)
         else graft.sources.TypedLake.updateTyped(spark, t.path, schema,
           partCols, predicate = pred, assignments = assigns, prune = prune,
-          statsFields = t.statsFields, maxRecordsPerFile = mrpf)
+          statsFields = t.statsFields, maxRecordsPerFile = mrpf,
+          bucketSpec = t.bucketSpec)
       return Seq(Row(st.touchedFiles, st.newFiles, st.updatedRows))
     }
     val assign = stmt.assignments match {
@@ -1133,10 +1137,12 @@ case class LakeMergeCommand(stmt: MergeIntoTable) extends LeafRunnableCommand {
       if (t.morDml) TypedLake.mergeTypedMor(spark, t.path, schema, partCols,
         batch = sourceDF, keyCols = keyCols, actions = mergeActions,
         statsFields = t.statsFields, maxRecordsPerFile = mrpf,
-        positionDeletes = t.morPositionDeletes)
+        positionDeletes = t.morPositionDeletes,
+        bucketSpec = t.bucketSpec)
       else TypedLake.mergeTyped(spark, t.path, schema, partCols,
         batch = sourceDF, keyCols = keyCols, actions = mergeActions,
-        statsFields = t.statsFields, maxRecordsPerFile = mrpf)
+        statsFields = t.statsFields, maxRecordsPerFile = mrpf,
+        bucketSpec = t.bucketSpec)
     Seq(Row(st.touchedFiles, st.newFiles))
   }
 }

@@ -2279,7 +2279,9 @@ object LakeCatalog {
               else input.getUTF8String(1).toString
                 .split(",").map(_.trim).filter(_.nonEmpty).toSeq
             Array(InternalRow(TypedLake.reconcileMor(spark, path, schema,
-              partCols, statsFields = sf)))
+              partCols, statsFields = sf,
+              bucketSpec = Option(tprops.get(BucketColProp)).map(c =>
+                (c, tprops.get(BucketCountProp).toInt)))))
           case "compact_deletes" =>
             val (schema, _) = typed.getOrElse(
               throw new UnsupportedOperationException(

@@ -369,18 +369,27 @@ object TypedLake {
     */
   private[sources] def writeTypedFrame(df: DataFrame, basePath: String,
       op: String, schema: StructType, partCols: Seq[String],
-      statsFields: Seq[String], maxRecordsPerFile: Long): Seq[String] = {
+      statsFields: Seq[String], maxRecordsPerFile: Long,
+      bucketSpec: Option[(String, Int)] = None): Seq[String] = {
     val aligned = df.select(schema.fieldNames.map(col).toSeq: _*)
-    val routed =
-      if (partCols.isEmpty) aligned
-      else aligned.repartition(partCols.map(col): _*)
+    // bucketed tables (flat on disk) cluster by the routing hash so each
+    // bucket's rows land in ONE task → one marked file per bucket per
+    // write; identity-partitioned tables shuffle by their directories
+    val routed = bucketSpec match {
+      case Some((c, n)) =>
+        aligned.repartition(n, org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.hash(col(c)), lit(n)))
+      case None if partCols.isEmpty => aligned
+      case None => aligned.repartition(partCols.map(col): _*)
+    }
     val base = basePath
     val sch = schema
     val pc = partCols
     val sf = statsFields
     val mrpf = maxRecordsPerFile
+    val bs = bucketSpec
     routed.queryExecution.toRdd.mapPartitions { it =>
-      val w = new TypedTaskWriter(base, op, sch, pc, sf, mrpf)
+      val w = new TypedTaskWriter(base, op, sch, pc, sf, mrpf, bs)
       try {
         it.foreach(w.write)
         w.closeAll().iterator
@@ -483,7 +492,8 @@ object TypedLake {
   def appendTyped(spark: SparkSession, basePath: String, df: DataFrame,
       schema: StructType, partCols: Seq[String],
       statsFields: Seq[String] = Nil, manifestId: Option[String] = None,
-      maxRecordsPerFile: Long = 0L): Unit = {
+      maxRecordsPerFile: Long = 0L,
+      bucketSpec: Option[(String, Int)] = None): Unit = {
     val id = manifestId.getOrElse(UUID.randomUUID().toString)
     WeatherLakeV2Sink.ReservedIdPrefixes.find(id.startsWith).foreach { p =>
       throw new IllegalArgumentException(
@@ -493,7 +503,7 @@ object TypedLake {
     if (manifestId.exists(WeatherLakeV2Sink.manifestExists(basePath, _)))
       return // exactly-once replay: already published
     val entries = writeTypedFrame(df, basePath, "b", schema, partCols,
-      statsFields, maxRecordsPerFile)
+      statsFields, maxRecordsPerFile, bucketSpec)
     WeatherLakeV2Sink.writeManifest(basePath, id, entries,
       payload = Some(Payload))
   }
@@ -956,7 +966,8 @@ object TypedLake {
         matchedUpdate = Some(None), insert = Some(None)),
       statsFields: Seq[String] = Nil,
       maxRecordsPerFile: Long = 0L,
-      positionDeletes: Boolean = true): WeatherLakeV2Sink.MergeStats = {
+      positionDeletes: Boolean = true,
+      bucketSpec: Option[(String, Int)] = None): WeatherLakeV2Sink.MergeStats = {
     import org.apache.spark.sql.functions.{coalesce, when}
     WeatherLakeV2Sink.requirePayload(basePath, Payload, "mergeTypedMor")
     val names = schema.fieldNames.toSeq
@@ -1081,7 +1092,7 @@ object TypedLake {
     // other append — mor-merged data must not quietly fall out of the
     // skipping/bloom layer until a compaction
     val newDataFiles = writeTypedFrame(appendRows, basePath, "mormerge",
-      schema, partCols, statsFields, maxRecordsPerFile)
+      schema, partCols, statsFields, maxRecordsPerFile, bucketSpec)
     if (newDeleteFiles.isEmpty && newDataFiles.isEmpty)
       return WeatherLakeV2Sink.MergeStats(0, 0) // true no-op: no commit
     WeatherLakeV2Sink.publishCommit(basePath, "mormerge",
@@ -1111,7 +1122,8 @@ object TypedLake {
         (_, _) => true,
       statsFields: Seq[String] = Nil,
       maxRecordsPerFile: Long = 0L,
-      positionDeletes: Boolean = true): WeatherLakeV2Sink.UpdateStats = {
+      positionDeletes: Boolean = true,
+      bucketSpec: Option[(String, Int)] = None): WeatherLakeV2Sink.UpdateStats = {
     import org.apache.spark.sql.functions.coalesce
     WeatherLakeV2Sink.requirePayload(basePath, Payload, "updateTypedMor")
     val names = schema.fieldNames.toSeq
@@ -1155,7 +1167,7 @@ object TypedLake {
         col("__file").as(MorTargetCol) +: names.map(col): _*),
         updatedRows, basePath, schema, maxRecordsPerFile, statsFields)
     val newDataFiles = writeTypedFrame(appendRows, basePath, "morupdate",
-      schema, partCols, statsFields, maxRecordsPerFile)
+      schema, partCols, statsFields, maxRecordsPerFile, bucketSpec)
     WeatherLakeV2Sink.publishCommit(basePath, "morupdate",
       snapshot = snapshot, supersedes = Seq.empty,
       lines = newDataFiles ++ newDeleteFiles.map(l =>
@@ -1178,7 +1190,8 @@ object TypedLake {
   def reconcileMor(spark: SparkSession, basePath: String,
       schema: StructType, partCols: Seq[String],
       statsFields: Seq[String] = Nil,
-      maxRecordsPerFile: Long = 0L): Int = {
+      maxRecordsPerFile: Long = 0L,
+      bucketSpec: Option[(String, Int)] = None): Int = {
     WeatherLakeV2Sink.requirePayload(basePath, Payload, "reconcileMor")
     val snapshot = WeatherLakeV2Sink.liveManifests(basePath)
     val byManifest = WeatherLakeV2Sink.entryLinesByManifest(basePath, snapshot)
@@ -1212,7 +1225,7 @@ object TypedLake {
             withPos = liveDeletes.exists(isPosDelete)), liveDeletes)
           .select(schema.fieldNames.toSeq.map(col): _*)
         writeTypedFrame(resolved, basePath, "reconcile", schema, partCols,
-          statsFields, maxRecordsPerFile)
+          statsFields, maxRecordsPerFile, bucketSpec)
       }
     // every live directive is consumed (all applicable targets rewritten,
     // the rest dangling), so NOTHING is carried over — that is the point.
@@ -1312,7 +1325,8 @@ object TypedLake {
       prune: (Map[String, String], Map[String, FieldStats]) => Boolean =
         (_, _) => true,
       statsFields: Seq[String] = Nil,
-      maxRecordsPerFile: Long = 0L): WeatherLakeV2Sink.DeleteStats = {
+      maxRecordsPerFile: Long = 0L,
+      bucketSpec: Option[(String, Int)] = None): WeatherLakeV2Sink.DeleteStats = {
     import org.apache.spark.sql.functions.{coalesce, count, not}
     WeatherLakeV2Sink.requirePayload(basePath, Payload, "deleteTyped")
     val snapshot = WeatherLakeV2Sink.liveManifests(basePath)
@@ -1349,7 +1363,7 @@ object TypedLake {
     val tf = resolved(touched)
     val survivors = tf.filter(not(hit(tf)))
     val newFiles = writeTypedFrame(survivors, basePath, "delete", schema,
-      partCols, statsFields, maxRecordsPerFile)
+      partCols, statsFields, maxRecordsPerFile, bucketSpec)
     WeatherLakeV2Sink.publishCommit(basePath, "delete", snapshot = snapshot,
       supersedes = touchedManifests,
       // a superseded MIXED manifest's mor directives stay part of the
@@ -1379,7 +1393,8 @@ object TypedLake {
       prune: (Map[String, String], Map[String, FieldStats]) => Boolean =
         (_, _) => true,
       statsFields: Seq[String] = Nil,
-      maxRecordsPerFile: Long = 0L): WeatherLakeV2Sink.UpdateStats = {
+      maxRecordsPerFile: Long = 0L,
+      bucketSpec: Option[(String, Int)] = None): WeatherLakeV2Sink.UpdateStats = {
     import org.apache.spark.sql.functions.{coalesce, count, when}
     WeatherLakeV2Sink.requirePayload(basePath, Payload, "updateTyped")
     val names = schema.fieldNames.toSeq
@@ -1426,7 +1441,7 @@ object TypedLake {
       }
     }: _*)
     val newFiles = writeTypedFrame(rewrite, basePath, "update", schema,
-      partCols, statsFields, maxRecordsPerFile)
+      partCols, statsFields, maxRecordsPerFile, bucketSpec)
     WeatherLakeV2Sink.publishCommit(basePath, "update", snapshot = snapshot,
       supersedes = touchedManifests,
       lines = untouched ++ newFiles ++
@@ -1488,7 +1503,8 @@ object TypedLake {
       actions: TypedMergeActions = TypedMergeActions(
         matchedUpdate = Some(None), insert = Some(None)),
       statsFields: Seq[String] = Nil,
-      maxRecordsPerFile: Long = 0L): WeatherLakeV2Sink.MergeStats = {
+      maxRecordsPerFile: Long = 0L,
+      bucketSpec: Option[(String, Int)] = None): WeatherLakeV2Sink.MergeStats = {
     import org.apache.spark.sql.functions.{coalesce, when}
     WeatherLakeV2Sink.requirePayload(basePath, Payload, "mergeTyped")
     val names = schema.fieldNames.toSeq
@@ -1612,7 +1628,7 @@ object TypedLake {
     }
     val rewrite = joined.filter(keepRow).select(outCols: _*)
     val newFiles = writeTypedFrame(rewrite, basePath, "merge", schema,
-      partCols, statsFields, maxRecordsPerFile)
+      partCols, statsFields, maxRecordsPerFile, bucketSpec)
     WeatherLakeV2Sink.publishCommit(basePath, "merge", snapshot = snapshot,
       supersedes = touchedManifests,
       lines = untouched ++ newFiles ++

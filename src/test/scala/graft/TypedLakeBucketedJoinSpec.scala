@@ -92,10 +92,6 @@ class TypedLakeBucketedJoinSpec extends SparkSpec {
       assert(rows == plain)
     }
 
-    // guard: row-level DML refuses rather than silently demote joins
-    val e1 = intercept[Exception](
-      spark.sql("DELETE FROM spjlake.facts WHERE k = 1"))
-    assert(e1.getMessage.contains("BUCKETED"), e1.getMessage)
     // a second insert doubles the per-bucket file count; CALL compact
     // folds each bucket back to ONE file with the markers preserved —
     // the layout (and the zero-exchange join) survives maintenance
@@ -119,6 +115,41 @@ class TypedLakeBucketedJoinSpec extends SparkSpec {
       assert(shuffles(joined2) == 0,
         joined2.queryExecution.executedPlan.toString)
     }
+    // FULL DML, layout preserved: a copy-on-write DELETE rewrites the
+    // touched buckets THROUGH the bucket writer — markers survive, the
+    // join stays zero-exchange. (800 rows here; v=3 matches the two
+    // duplicate id=1 rows.)
+    spark.sql("DELETE FROM spjlake.facts WHERE v = 3")
+    assert(spark.table("spjlake.facts").count() == 798)
+    val afterDelete = WeatherLakeV2Sink.committedFiles(s"$w/facts")
+    assert(afterDelete.flatMap(TypedLake.bucketOfFile).size
+      == afterDelete.size, s"unmarked rewrite in $afterDelete")
+    withSpjConfs {
+      val j = spark.sql("""SELECT f.k, count(*) AS n FROM spjlake.facts f
+        JOIN spjlake.dims d ON f.k = d.k GROUP BY f.k""")
+      assert(shuffles(j) == 0, j.queryExecution.executedPlan.toString)
+    }
+    // merge-on-read DML: delete files only, data files untouched; the
+    // scan rewrite drops the reported partitioning while deletes are
+    // live (the join shuffles, CORRECTLY), and reconcile — also
+    // bucket-routed — restores the zero-exchange layout
+    spark.sql("ALTER TABLE spjlake.facts SET TBLPROPERTIES " +
+      "('dmlMode' = 'mor')")
+    val dataBefore = WeatherLakeV2Sink.committedFiles(s"$w/facts").toSet
+    spark.sql("DELETE FROM spjlake.facts WHERE v = 6")
+    assert(WeatherLakeV2Sink.committedFiles(s"$w/facts").toSet
+      == dataBefore, "mor DELETE must rewrite no data file")
+    assert(spark.table("spjlake.facts").count() == 796)
+    spark.sql("CALL spjlake.system.reconcile('facts')")
+    val afterRec = WeatherLakeV2Sink.committedFiles(s"$w/facts")
+    assert(afterRec.flatMap(TypedLake.bucketOfFile).size == afterRec.size,
+      s"reconcile must keep bucket markers, got $afterRec")
+    withSpjConfs {
+      val j = spark.sql("""SELECT f.k, count(*) AS n FROM spjlake.facts f
+        JOIN spjlake.dims d ON f.k = d.k GROUP BY f.k""")
+      assert(shuffles(j) == 0, j.queryExecution.executedPlan.toString)
+    }
+    assert(spark.table("spjlake.facts").count() == 796)
     // cluster_expr has no meaning on a bucketed table — loud
     val e2 = intercept[Exception](spark.sql(
       "CALL spjlake.system.compact('facts', cluster_expr => 'k')"))
