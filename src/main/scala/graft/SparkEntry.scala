@@ -542,6 +542,31 @@ object SparkEntry {
   private val bucketedTableCache =
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
 
+  /** q123's fixture: a bucketed documents table that TAKES DML — kept
+    * separate from q122's join fixtures (those must stay immutable so
+    * the join oracle replays). (doc_id BIGINT, val BIGINT) bucketed by
+    * doc_id into 8.
+    */
+  private def bucketedDmlTable(s: SparkSession, dir: String): String =
+    typedTableCache.getOrElseUpdate(
+      s"bdml#${System.identityHashCode(s)}#$dir", {
+      s.conf.set("spark.sql.catalog.graftlake", "graft.sources.LakeCatalog")
+      s.conf.set("spark.sql.catalog.graftlake.warehouse",
+        "/tmp/graft_catalog_wh")
+      val docs = Tables.documents(s, dir)
+      val sig = graft.similarity.ModelExport.corpusSig(docs, "doc_id")
+      val t = s"spj_dml_$sig"
+      val p = s"/tmp/graft_catalog_wh/$t"
+      s.sql(s"""CREATE TABLE IF NOT EXISTS graftlake.$t
+        (doc_id BIGINT, val BIGINT) USING lake
+        PARTITIONED BY (bucket(8, doc_id))""")
+      if (!graft.sources.WeatherLakeV2Sink.manifestExists(p, "base"))
+        docs.select(col("doc_id").cast("long").as("doc_id"),
+            col("doc_id").cast("long").as("val"))
+          .writeTo(s"graftlake.$t").option("manifestId", "base").append()
+      t
+    })
+
   /** q113's fixture: the NATION table as a TYPED lake catalog dim
     * (n_nationkey BIGINT, n_name STRING), unpartitioned — small enough
     * that the scan-reported statistics must elect an automatic broadcast
@@ -6887,6 +6912,48 @@ object SparkEntry {
             s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         }
         s.sql(sql)
+      }),
+
+    QueryDef("q123_bucketed_dml",
+      "FULL DML on a hash-bucketed table with the layout preserved: a " +
+        "copy-on-write UPDATE and a MERGE upsert rewrite their touched " +
+        "buckets THROUGH the bucket-routing writer, so every committed " +
+        "file keeps its part-b<id> marker and the zero-exchange join " +
+        "layout survives row-level maintenance (in-pass pin: all files " +
+        "marked after both verbs). Values are key-derived, so replays " +
+        "converge to the same state without re-arm loops: pass 2+ does " +
+        "the same real rewrites onto identical values. The oracle " +
+        "replays the final state relationally.",
+      Some("""SELECT doc_id, val FROM (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    CAST(CASE WHEN doc_id % 4 = 1 THEN doc_id * 3
+        |      ELSE doc_id END AS BIGINT) AS val
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT CAST(-1 - doc_id AS BIGINT),
+        |    CAST((-1 - doc_id) * 2 AS BIGINT)
+        |  FROM documents WHERE doc_id < 15)""".stripMargin),
+      (s, dir) => {
+        val t = bucketedDmlTable(s, dir)
+        val docs = Tables.documents(s, dir)
+        s.sql(s"""UPDATE graftlake.$t SET val = doc_id * 3
+          WHERE doc_id % 4 = 1 AND doc_id >= 0""")
+        docs.filter(col("doc_id") < 15).select(
+            (lit(-1L) - col("doc_id")).as("doc_id"),
+            ((lit(-1L) - col("doc_id")) * 2).as("val"))
+          .createOrReplaceTempView("bdml_src")
+        s.sql(s"""MERGE INTO graftlake.$t t USING bdml_src s
+          ON t.doc_id = s.doc_id
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""")
+        // layout pin: every committed file still carries its bucket
+        // marker after both rewriting verbs
+        val p = s"/tmp/graft_catalog_wh/$t"
+        val files = graft.sources.WeatherLakeV2Sink.committedFiles(p)
+        require(files.nonEmpty && files.forall(f =>
+          graft.sources.TypedLake.bucketOfFile(f).isDefined),
+          s"bucket markers must survive DML, got $files")
+        s.sql(s"SELECT doc_id, val FROM graftlake.$t")
       })
   )
 
