@@ -1433,6 +1433,12 @@ object LakeCatalog {
     override def readSchema(): StructType = inner.readSchema()
     override def description(): String = inner.description()
 
+    /** The delegate Batch, planned ONCE — bucketGroups and toBatch both
+      * consume it, and re-building would repeat the delegate's file
+      * planning (and any listing IO) per query.
+      */
+    private lazy val delegateBatch: Batch = inner.toBatch
+
     /** The delegate's planned files grouped per bucket id (file-name
       * marker, [[TypedLake.bucketOfFile]]) — None when the table is not
       * bucketed OR any planned file lacks the marker (fail-safe: report
@@ -1441,7 +1447,7 @@ object LakeCatalog {
     private lazy val bucketGroups: Option[Seq[(Int,
         Seq[org.apache.spark.sql.execution.datasources.PartitionedFile])]] =
       bucketSpec.flatMap { case (_, _) =>
-        val parts = inner.toBatch.planInputPartitions().toSeq
+        val parts = delegateBatch.planInputPartitions().toSeq
         val fileParts = parts.collect {
           case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
             fp
@@ -1480,9 +1486,9 @@ object LakeCatalog {
       }
 
     override def toBatch: Batch = bucketGroups match {
-      case None => inner.toBatch
+      case None => delegateBatch
       case Some(groups) =>
-        val delegate = inner.toBatch
+        val delegate = delegateBatch
         new Batch {
           override def planInputPartitions(): Array[InputPartition] =
             groups.zipWithIndex.map { case ((b, fs), i) =>

@@ -1829,8 +1829,13 @@ object TypedLake {
     * superseding commit. Unmarked files (pre-bucketing adoption,
     * foreign writers) are folded INTO their hash bucket, upgrading the
     * table back to the zero-exchange join layout. Bucketed tables take
-    * no row-level DML, so there are never delete files to resolve.
-    * Returns the number of compacted buckets.
+    * the FULL DML surface including `dmlMode = 'mor'`, so victims are
+    * read MOR-RESOLVED (live deletions applied — a bucket's compaction
+    * doubles as its reconcile, same as [[compactTyped]]) and the touched
+    * manifests' `#mordelete` directives ride the superseding commit
+    * verbatim — deletions against UNTOUCHED buckets' files must stay
+    * live, never silently dropped. Returns the number of compacted
+    * buckets.
     */
   def compactTypedBucketed(spark: SparkSession, basePath: String,
       schema: StructType, bucketCol: String, numBuckets: Int,
@@ -1859,7 +1864,11 @@ object TypedLake {
       .filter { case (n, _) => touchedSet(n) }
       .flatMap(_._2)
       .filterNot(l => victimSet(entryPath(l)))
-    val rows = readTyped(spark, basePath, schema, victims)
+    // victims read MOR-RESOLVED: a bucketed table with dmlMode='mor'
+    // holds live delete files, and rewriting raw file bytes would bake
+    // resurrected ghost rows into new files no delete targets
+    val rows = readResolvedSplit(spark, basePath, schema, victims,
+      morDeleteLinesOf(basePath, snapshot))
     // route through the bucket writer: one task per bucket, markers on
     val base = basePath; val sch = schema; val sf = statsFields
     val mrpf = maxRecordsPerFile; val bc = bucketCol; val n = numBuckets
@@ -1873,9 +1882,14 @@ object TypedLake {
         try { it.foreach(w.write); w.closeAll().iterator }
         catch { case e: Throwable => w.abortAll(); throw e }
       }.collect().toSeq
+    // directives of TOUCHED manifests re-list verbatim (compactTyped's
+    // rule): a delete may target an UNTOUCHED bucket's file whose only
+    // live listing rides a manifest this rewrite supersedes — dropping
+    // the directive would resurrect those deletions table-wide
     WeatherLakeV2Sink.publishCommit(basePath, "compact",
       snapshot = snapshot, supersedes = touchedManifests,
-      lines = keep ++ newFiles,
+      lines = keep ++ newFiles ++
+        WeatherLakeV2Sink.morDirectivesOf(basePath, touchedManifests),
       readDomain = Some(_ => false), payload = Some(Payload))
     multi.size + (if (strays.nonEmpty) 1 else 0)
   }

@@ -162,6 +162,48 @@ class TypedLakeBucketedJoinSpec extends SparkSpec {
     spark.sql("DROP TABLE spjlake.dims")
   }
 
+  test("compact on a bucketed mor table resolves live deletions and " +
+      "carries touched manifests' delete directives — no resurrection") {
+    val w = Files.createTempDirectory("spjm").toString
+    spark.conf.set("spark.sql.catalog.spjm", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.spjm.warehouse", w)
+    spark.sql("""CREATE TABLE spjm.f (k BIGINT, v BIGINT) USING lake
+      PARTITIONED BY (bucket(4, k))
+      TBLPROPERTIES ('dmlMode' = 'mor')""")
+    spark.sql("INSERT INTO spjm.f SELECT id % 20, id FROM range(200)")
+    spark.sql("INSERT INTO spjm.f SELECT id % 20, id + 200 FROM range(200)")
+    // mor DELETE: data files untouched, delete files live
+    val dataBefore = WeatherLakeV2Sink.committedFiles(s"$w/f").toSet
+    spark.sql("DELETE FROM spjm.f WHERE v < 50")
+    assert(WeatherLakeV2Sink.committedFiles(s"$w/f").toSet == dataBefore,
+      "mor DELETE must rewrite no data file")
+    assert(spark.table("spjm.f").count() == 350)
+    // every bucket now holds 2 files -> all candidates; the rewrite MUST
+    // read mor-resolved (else the 50 deleted rows bake back in) and the
+    // touched manifests' directives MUST ride the superseding commit
+    val compacted = spark.sql("CALL spjm.system.compact('f')").head.getInt(0)
+    assert(compacted > 0)
+    assert(spark.table("spjm.f").count() == 350,
+      "compact resurrected mor-deleted rows")
+    assert(spark.sql("SELECT count(*) FROM spjm.f WHERE v < 50")
+      .head.getLong(0) == 0L, "deleted rows visible after compact")
+    val after = WeatherLakeV2Sink.committedFiles(s"$w/f")
+    assert(after.flatMap(TypedLake.bucketOfFile).size == after.size,
+      s"compact must keep bucket markers, got $after")
+    // a SECOND mor delete against the compacted files, then a partial
+    // compact (only some buckets multi-file): untouched buckets'
+    // deletions stay subtracted through the carried directives
+    spark.sql("DELETE FROM spjm.f WHERE v >= 390")
+    assert(spark.table("spjm.f").count() == 340)
+    spark.sql("INSERT INTO spjm.f SELECT 0, 1000 + id FROM range(4)")
+    spark.sql("CALL spjm.system.compact('f')")
+    assert(spark.table("spjm.f").count() == 344,
+      "partial compact dropped live delete directives")
+    assert(spark.sql("SELECT count(*) FROM spjm.f WHERE v >= 390 AND v < 1000")
+      .head.getLong(0) == 0L)
+    spark.sql("DROP TABLE spjm.f")
+  }
+
   test("bucketing guards: bucket() must be the only transform, the " +
       "column must exist, and an unbucketed table still reports unknown " +
       "partitioning (no mis-grouping)") {
