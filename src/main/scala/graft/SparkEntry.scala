@@ -6605,7 +6605,13 @@ object SparkEntry {
         "re-arms by merging the doomed keys back (their re-inserted rows " +
         "land in NEW files, which old delete rows cannot kill — the " +
         "file-scoped targeting contract), then mor-deletes them again; " +
-        "the final state is constant and the oracle replays it.",
+        "the final state is constant and the oracle replays it. When the " +
+        "fixture's delete history turns MIXED-flavor (r13-era equality " +
+        "files + position files — two anti-join legs per read) or its " +
+        "delete-file population exceeds the CDC-maintenance bound, ONE " +
+        "compact_deletes converges it back to a single position file — " +
+        "the steady state a 100 TB operator would hold with the same " +
+        "call on a schedule.",
       Some("""SELECT doc_id, CAST(doc_id AS BIGINT) AS val
         |FROM documents WHERE doc_id % 5 <> 3""".stripMargin),
       (s, dir) => {
@@ -6623,6 +6629,14 @@ object SparkEntry {
           WHEN MATCHED THEN UPDATE SET *
           WHEN NOT MATCHED THEN INSERT *""")
         s.sql(s"DELETE FROM graftlake.$t WHERE doc_id % 5 = 3")
+        // flavor/population convergence: a mixed history (two anti-join
+        // legs) or per-pass confetti beyond the maintenance bound folds
+        // to ONE position file in one directive-only commit
+        val live = graft.sources.WeatherLakeV2Sink
+          .committedMorDeleteFiles(s"/tmp/graft_catalog_wh/$t")
+        if (live.exists(f => !graft.sources.TypedLake.isPosDelete(f)) ||
+            live.size > 4)
+          s.sql(s"CALL graftlake.system.compact_deletes('$t')")
         s.sql(s"SELECT doc_id, val FROM graftlake.$t")
       }),
 
@@ -6795,10 +6809,13 @@ object SparkEntry {
         "only commit that re-lists every data line VERBATIM — zero data " +
         "rewrites, view unchanged, CDF silent, data-file identity " +
         "preserved (concurrent mor publishers tolerate it like " +
-        "checkpoint/measure). Each pass re-arms, sheds TWO delete files " +
-        "via separate DELETEs, then compacts them; the in-pass pins " +
-        "assert before>after and an unchanged committed file set. The " +
-        "oracle replays the constant final state.",
+        "checkpoint/measure), and equality-flavor history CONVERTS to " +
+        "position form (old images resolve to ordinals) so a read plans " +
+        "ONE anti-join leg forever after. Each pass re-arms, sheds one " +
+        "fresh delete file, then compacts it into the standing " +
+        "consolidated file; the in-pass pins assert the population " +
+        "folds to ≤1 position-flavor file over an unchanged committed " +
+        "file set. The oracle replays the constant final state.",
       Some("""SELECT doc_id, CAST(doc_id AS BIGINT) AS val
         |FROM documents WHERE doc_id % 13 <> 5 AND doc_id % 13 <> 6"""
         .stripMargin),
@@ -6816,17 +6833,21 @@ object SparkEntry {
           ON t.doc_id = s.doc_id AND t.source = s.source
           WHEN MATCHED THEN UPDATE SET *
           WHEN NOT MATCHED THEN INSERT *""")
-        s.sql(s"DELETE FROM graftlake.$t WHERE doc_id % 13 = 5")
-        s.sql(s"DELETE FROM graftlake.$t WHERE doc_id % 13 = 6")
+        s.sql(s"DELETE FROM graftlake.$t " +
+          s"WHERE doc_id % 13 = 5 OR doc_id % 13 = 6")
         val p = s"/tmp/graft_catalog_wh/$t"
         val filesBefore =
           graft.sources.WeatherLakeV2Sink.committedFiles(p).toSet
         val r = s.sql(
           s"CALL graftlake.system.compact_deletes('$t')").head
-        require(r.getInt(0) > r.getInt(1) && r.getInt(1) >= 1,
-          s"expected consolidation, got (${r.getInt(0)}, ${r.getInt(1)})")
+        require(r.getInt(0) >= r.getInt(1) && r.getInt(1) <= 1,
+          s"expected ≤1-file fold, got (${r.getInt(0)}, ${r.getInt(1)})")
         require(graft.sources.WeatherLakeV2Sink.committedFiles(p).toSet
           == filesBefore, "compact_deletes must rewrite no data file")
+        val liveAfter = graft.sources.WeatherLakeV2Sink
+          .committedMorDeleteFiles(p)
+        require(liveAfter.forall(graft.sources.TypedLake.isPosDelete),
+          s"post-compact flavor must be position-only, got $liveAfter")
         s.sql(s"SELECT doc_id, val FROM graftlake.$t")
       }),
 

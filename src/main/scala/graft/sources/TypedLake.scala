@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, SafeProjection, UnsafeProjection}
 import org.apache.spark.sql.execution.datasources.parquet.{ParquetOutputWriter, ParquetWriteSupport}
-import org.apache.spark.sql.functions.{col, input_file_name, lit, regexp_replace}
+import org.apache.spark.sql.functions.{broadcast, col, input_file_name, lit, regexp_replace}
 import org.apache.spark.sql.types._
 
 /** TYPED, Parquet-backed lake tables — the general form of the manifest
@@ -1241,59 +1241,99 @@ object TypedLake {
   }
 
   /** COMPACT DELETE FILES — rewrite DIRECTIVES, not data (Iceberg's
-    * `rewrite_position_delete_files`): merge every live delete file into
-    * at most one consolidated file per flavor (rolled at
-    * `maxRecordsPerFile` when positive), dropping dangling rows whose
-    * target data file is no longer committed, and publish ONE manifest
-    * superseding every directive-carrying manifest with its DATA lines
-    * re-listed verbatim. ZERO data files are rewritten, the committed
-    * VIEW is unchanged (the CDF across the commit is empty — both sides
-    * resolve the re-read targets identically), and data-file identity is
-    * preserved — concurrent mor publishers tolerate it exactly like
-    * checkpoint/measure ([[WeatherLakeV2Sink.publishCommit]]'s
+    * `rewrite_position_delete_files`): consolidate every live delete
+    * file into AT MOST ONE position-flavor file (rolled at
+    * `maxRecordsPerFile` when positive), CONVERTING equality rows to
+    * position form on the way — each still-committed equality old image
+    * is resolved to the (file, ordinal) set it kills with ONE bounded
+    * framed read of the files it targets (O(targeted files), the
+    * split-scan class — never the table). Post-compact a table holds
+    * ONLY `part-morpos-*` files, so a read plans ONE anti-join leg no
+    * matter how mixed the table's delete history was, and the
+    * consolidated footprint is O(16 B/deleted row) even when the
+    * equality history carried wide old images. Equality old images read
+    * through the NAME MAPPING (widened + coalesced,
+    * [[readMorDeletesRenamed]]) so pre-rename delete files convert
+    * losslessly — a current-names-only read would null-fill the renamed
+    * column and the consolidated subtraction would both resurrect those
+    * deletions and kill unrelated null-valued rows. Dangling rows whose
+    * target data file is no longer committed drop. ONE manifest
+    * supersedes every directive-carrying manifest with its DATA lines
+    * re-listed verbatim: ZERO data files rewritten, the committed VIEW
+    * unchanged (position form subtracts exactly the rows the equality
+    * images matched — the CDF across the commit is empty), data-file
+    * identity preserved — concurrent mor publishers tolerate it exactly
+    * like checkpoint/measure ([[WeatherLakeV2Sink.publishCommit]]'s
     * `compactdel` classification). At hourly CDC rates this bounds the
-    * `_mor_deletes/` population (one small file per commit otherwise)
-    * without paying reconcile's data rewrite; vacuum then reclaims the
-    * superseded delete files.
+    * `_mor_deletes/` population without paying reconcile's data
+    * rewrite; vacuum then reclaims the superseded delete files.
     *
-    * Returns (live delete files before, after). A table with ≤ 1 live
-    * delete file publishes nothing.
+    * Returns (live delete files before, after). A table already holding
+    * ≤ 1 position-flavor file publishes nothing; ANY live equality file
+    * triggers conversion.
     */
   def compactMorDeletes(spark: SparkSession, basePath: String,
       schema: StructType, maxRecordsPerFile: Long = 0L): (Int, Int) = {
-    import org.apache.spark.sql.functions.broadcast
     WeatherLakeV2Sink.requirePayload(basePath, Payload, "compactMorDeletes")
     val snapshot = WeatherLakeV2Sink.liveManifests(basePath)
     val byManifest = WeatherLakeV2Sink.entryLinesByManifest(basePath, snapshot)
     val liveDeleteFiles = morDeleteFilesOf(basePath, snapshot)
-    if (liveDeleteFiles.size <= 1)
+    val (posFiles, eqFiles) = liveDeleteFiles.partition(isPosDelete)
+    if (eqFiles.isEmpty && posFiles.size <= 1)
       return (liveDeleteFiles.size, liveDeleteFiles.size)
     val session = spark
     import session.implicits._
     // targets resolve against THIS snapshot's committed set; a data file
     // cannot leave it without a commit that either conflicts here
     // (supersede-liveness) or has already applied the deletions
-    val committedDf = byManifest.flatMap(_._2).map(entryPath)
-      .toDF("__live_file")
-    def consolidated(files: Seq[String], sch: StructType,
-        op: String): Seq[String] =
-      if (files.isEmpty) Seq.empty
+    val committedSet = byManifest.flatMap(_._2).map(entryPath).toSet
+    val committedDf = committedSet.toSeq.toDF("__live_file")
+    // live position rows pass through, dangling targets dropped
+    val posRows =
+      if (posFiles.isEmpty) None
+      else Some(spark.read.schema(MorPosSchema).parquet(posFiles: _*)
+        .join(broadcast(committedDf),
+          col(MorTargetCol) === col("__live_file"), "left_semi"))
+    // equality rows RESOLVE to ordinals: frame the still-committed
+    // targets with their physical positions and keep exactly the rows
+    // some old image kills (file-scoped null-safe equality — the same
+    // condition every read's equality leg anti-joins on, so the
+    // converted position set subtracts identically by construction)
+    val eqRows =
+      if (eqFiles.isEmpty) None
       else {
-        val rows = spark.read.schema(sch).parquet(files: _*)
-          .join(broadcast(committedDf),
-            col(MorTargetCol) === col("__live_file"), "left_semi")
+        val del = readMorDeletesRenamed(spark, schema, eqFiles)
+        // bounded driver metadata: distinct targets ≤ touched files
+        val targets = del.select(col(MorTargetCol)).distinct()
+          .collect().map(_.getString(0)).filter(committedSet).toSeq.sorted
+        if (targets.isEmpty) None
+        else {
+          val framed = framedTyped(spark, basePath, schema, targets,
+            withPos = true)
+          val cond = schema.fieldNames.toSeq
+            .map(n => framed(n) <=> del(s"__d_$n"))
+            .foldLeft(framed("__file") === del(MorTargetCol))(_ && _)
+          Some(framed.join(broadcast(del), cond, "left_semi")
+            .select(col("__file").as(MorTargetCol),
+              col(PosFrameCol).as(MorPosCol)))
+        }
+      }
+    // an equality image may name a row a live position delete already
+    // kills — (target, ordinal) pairs dedup, the view cannot double-drop
+    val allRows = (posRows.toSeq ++ eqRows.toSeq)
+      .reduceOption(_.unionByName(_)).map(_.distinct())
+    val newLines = allRows match {
+      case None => Seq.empty
+      case Some(rows) =>
         // O(deleted rows) — the artifact being compacted is small by
         // construction; the count sizes the coalesce like every mor write
         val n = rows.count()
         if (n == 0L) Seq.empty
         else writeTypedFrame(
           if (n <= MorDeleteCoalesceRows) rows.coalesce(1) else rows,
-          s"$basePath/$MorDeleteDir", op, sch, Seq.empty,
+          s"$basePath/$MorDeleteDir", "morpos", MorPosSchema, Seq.empty,
           Seq(MorTargetCol), maxRecordsPerFile)
-      }
-    val (posFiles, eqFiles) = liveDeleteFiles.partition(isPosDelete)
-    val newLines = consolidated(posFiles, MorPosSchema, "morpos") ++
-      consolidated(eqFiles, morDeleteSchema(schema), "mordelete")
+    }
     val directiveManifests = snapshot.filter(n =>
       WeatherLakeV2Sink.morDirectivesOf(basePath, Seq(n)).nonEmpty)
     val dSet = directiveManifests.toSet

@@ -35,9 +35,10 @@ class TypedLakeCompactDeletesSpec extends SparkSpec {
     TypedLake.readCommittedTyped(spark, lake, schema)
       .select("id").collect().map(_.getLong(0)).toSet
 
-  test("many delete files consolidate to ONE per flavor: view unchanged, " +
-      "ZERO data rewrites, dangling rows dropped, CDF silent across the " +
-      "commit, vacuum reclaims the superseded confetti") {
+  test("a MIXED-flavor delete history consolidates to ONE position file " +
+      "(equality rows resolved to ordinals): view unchanged, ZERO data " +
+      "rewrites, one anti-join leg planned, CDF silent, vacuum reclaims " +
+      "the superseded confetti") {
     val lake = tmp("cdel")
     seed(lake)
     // three mor commits → three delete files (two position, one equality)
@@ -52,23 +53,30 @@ class TypedLakeCompactDeletesSpec extends SparkSpec {
     val snapBefore = WeatherLakeV2Sink.manifestNames(lake)
 
     val (before, after) = TypedLake.compactMorDeletes(spark, lake, schema)
-    assert(before == 3 && after == 2, s"($before, $after)") // 1 pos + 1 eq
+    assert(before == 3 && after == 1, s"($before, $after)")
     val live = WeatherLakeV2Sink.committedMorDeleteFiles(lake)
-    assert(live.size == 2)
-    assert(live.count(TypedLake.isPosDelete) == 1)
+    assert(live.size == 1 && live.forall(TypedLake.isPosDelete),
+      s"post-compact flavor must be position-only, got $live")
     // data identity preserved bit-for-bit: same committed file SET
     assert(WeatherLakeV2Sink.committedFiles(lake).toSet == filesBefore)
     // the view is unchanged
     assert(ids(lake) == (0L until 60L).toSet -- Set(1L, 2L, 3L))
+    // the mixed history's TWO anti-join legs collapsed back to ONE
+    val legs = TypedLake.readCommittedTyped(spark, lake, schema)
+      .queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti =>
+          j
+      }
+    assert(legs.size == 1, s"expected ONE anti-join leg, got ${legs.size}")
     // CDF across the compactdel commit is EMPTY (layout-only for the feed)
     val snapAfter = WeatherLakeV2Sink.manifestNames(lake)
     val changes = TypedLake.changesBetweenTyped(spark, lake, schema,
       keyCols = Seq("id"), from = snapBefore, to = snapAfter)
     assert(changes.count() == 0, changes.collect().mkString(", "))
-    // a second call consolidates the two per-flavor files into the same
-    // shape again — effectively idempotent, always harmless
+    // a second call is a no-op: one position file is the fixed point
     val (b2, a2) = TypedLake.compactMorDeletes(spark, lake, schema)
-    assert(b2 == 2 && a2 == 2, s"($b2, $a2)")
+    assert(b2 == 1 && a2 == 1, s"($b2, $a2)")
     assert(ids(lake) == (0L until 60L).toSet -- Set(1L, 2L, 3L))
     // vacuum reclaims the superseded per-commit delete files
     val reclaimed = WeatherLakeV2Sink.vacuum(lake, minAgeMs = 1L,
@@ -108,6 +116,40 @@ class TypedLakeCompactDeletesSpec extends SparkSpec {
     assert(before == 2 && after == 0, s"($before, $after)")
     assert(WeatherLakeV2Sink.committedMorDeleteFiles(lake).isEmpty)
     assert(ids(lake) == expect)
+  }
+
+  test("RENAME × equality × compact_deletes: pre-rename equality old " +
+      "images convert to ordinals through the name mapping — the " +
+      "renamed column's values resolve (not null-fill), so nothing " +
+      "resurrects and no unrelated row dies") {
+    val w = Files.createTempDirectory("cdelren").toString
+    spark.conf.set("spark.sql.catalog.cdren", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.cdren.warehouse", w)
+    spark.sql("""CREATE TABLE cdren.t (id BIGINT, score BIGINT,
+      region STRING) USING lake PARTITIONED BY (region)
+      TBLPROPERTIES ('dmlMode' = 'mor', 'morDeletes' = 'equality')""")
+    spark.sql("""INSERT INTO cdren.t
+      SELECT id, id * 10, concat('r', id % 2) FROM range(20)""")
+    // pre-rename equality delete files: old images carry the OLD name
+    spark.sql("DELETE FROM cdren.t WHERE id = 3")
+    spark.sql("DELETE FROM cdren.t WHERE id = 4")
+    spark.sql("ALTER TABLE cdren.t RENAME COLUMN score TO quality")
+    assert(spark.table("cdren.t").count() == 18)
+    // conversion MUST read the old images through the widened mapping: a
+    // current-names-only read would null-fill `quality`, and the
+    // converted set would miss these rows (resurrection) — or, matched
+    // null-safely, kill unrelated null rows
+    val r = spark.sql("CALL cdren.system.compact_deletes('t')").head
+    assert(r.getInt(0) == 2 && r.getInt(1) == 1, r)
+    val live = WeatherLakeV2Sink.committedMorDeleteFiles(s"$w/t")
+    assert(live.size == 1 && live.forall(TypedLake.isPosDelete), live)
+    assert(spark.table("cdren.t").count() == 18,
+      "conversion changed the view")
+    assert(spark.sql("SELECT count(*) FROM cdren.t WHERE id IN (3, 4)")
+      .head.getLong(0) == 0, "pre-rename deletions resurrected")
+    assert(spark.sql("SELECT CAST(sum(quality) AS BIGINT) FROM cdren.t")
+      .head.getLong(0) == (0L until 20L).map(_ * 10).sum - 70L)
+    spark.sql("DROP TABLE cdren.t")
   }
 
   test("SQL face: CALL lake.system.compact_deletes returns (before, " +
