@@ -6898,16 +6898,34 @@ object SparkEntry {
         "join plans with ZERO exchange on either side — asserted " +
         "in-pass on the executed plan (broadcast disabled for the " +
         "probe) — and the same-key aggregate rides the clustering " +
-        "exchange-free too. At 100 TB this is THE posture for a " +
-        "repeated fact-fact join: co-locate once at write, never " +
-        "shuffle again.",
+        "exchange-free too. The probe runs WITH LIVE POSITION-DELETE " +
+        "FILES on the lineitem side (one idempotent mor DELETE, armed " +
+        "on the first pass and a publish-nothing no-op after): the " +
+        "scan subtracts them INSIDE the bucketed partition readers " +
+        "(ordinal skip sets — deletions never move a row across " +
+        "buckets), so SPJ and merge-on-read compose on the same table. " +
+        "At 100 TB this is THE posture for a CDC-rate fact-fact join: " +
+        "co-locate once at write, never shuffle again, absorb deletes " +
+        "without rewrites.",
       Some("""SELECT o.o_orderkey AS k, COUNT(*) AS n,
         |  CAST(ROUND(SUM(l.l_quantity), 2) AS DOUBLE) AS q,
         |  CAST(ROUND(MAX(o.o_totalprice), 2) AS DOUBLE) AS tp
         |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey % 97 <> 13
         |GROUP BY 1""".stripMargin),
       (s, dir) => {
         val (ot, lt) = bucketedOrderTables(s, dir)
+        // one-time mor debt on the lineitem side: every pass after the
+        // first finds the rows already subtracted and publishes nothing
+        // (the delete FILES stay live — the probe pins SPJ × mor)
+        s.sql(s"ALTER TABLE graftlake.$lt SET TBLPROPERTIES " +
+          "('dmlMode' = 'mor')")
+        s.sql(s"DELETE FROM graftlake.$lt WHERE l_orderkey % 97 = 13")
+        val liveDel = graft.sources.WeatherLakeV2Sink
+          .committedMorDeleteFiles(s"/tmp/graft_catalog_wh/$lt")
+        require(liveDel.nonEmpty &&
+          liveDel.forall(graft.sources.TypedLake.isPosDelete),
+          s"expected live position-delete files, got $liveDel")
         val sql = s"""SELECT o.o_orderkey AS k, COUNT(*) AS n,
             CAST(ROUND(SUM(l.l_quantity), 2) AS DOUBLE) AS q,
             CAST(ROUND(MAX(o.o_totalprice), 2) AS DOUBLE) AS tp
@@ -6915,7 +6933,8 @@ object SparkEntry {
             ON o.o_orderkey = l.l_orderkey
           GROUP BY o.o_orderkey"""
         // in-pass SPJ probe: under v2 bucketing with broadcast off, the
-        // executed plan must contain ZERO shuffle exchanges
+        // executed plan must contain ZERO shuffle exchanges EVEN WITH
+        // the live mor debt on one side
         val savedB = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
         s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
         s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

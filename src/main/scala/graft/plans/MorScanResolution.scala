@@ -104,6 +104,12 @@ object MorScanResolution extends Rule[LogicalPlan] {
               proj.setTagValue(MorTable, tbl)
               proj
             }
+          // POSITION-ONLY debt under the inline bound subtracts INSIDE
+          // the DSv2 scan (per-file ordinal skip sets in the partition
+          // readers) — the relation stays, so SupportsReportStatistics
+          // (auto-broadcast), KeyGroupedPartitioning (zero-exchange
+          // SPJ) and manifest-stats pruning all survive live deletes
+          case Some(_) if tbl.morInline => r
           case Some((snap, deleteLines)) =>
             val files = WeatherLakeV2Sink.filesAsOf(tbl.path, snap)
             if (files.isEmpty) r // deletes dangle; nothing to subtract

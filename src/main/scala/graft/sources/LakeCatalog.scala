@@ -1070,6 +1070,43 @@ object LakeCatalog {
       if (dels.isEmpty) None else Some((snap, dels))
     }
 
+    /** Whether live mor debt subtracts INSIDE the DSv2 scan (per-file
+      * sorted-ordinal skip sets in the partition reader — the
+      * Iceberg/Delta deletion-vector read path) instead of demoting the
+      * read to [[graft.plans.MorScanResolution]]'s v1 rewrite. Inline
+      * subtraction keeps every DSv2 scan face the rewrite drops:
+      * `SupportsReportStatistics` (a small mor dim still elects
+      * auto-broadcast), `KeyGroupedPartitioning` (a CDC-rate bucketed
+      * fact keeps its zero-exchange storage-partitioned join), and
+      * manifest-stats file pruning. Eligible when EVERY live delete
+      * file is POSITION flavor (ordinals carry no data columns, so no
+      * name mapping applies on the delete side and a deletion can never
+      * move a row across buckets — per-bucket subtraction preserves the
+      * reported partitioning by construction), the schema carries no
+      * name mapping (renamed DATA columns still need the widened v1
+      * read), and the delete payload fits [[LakeCatalog
+      * .MorInlineMaxBytes]] (the skip sets ride the planned partitions;
+      * past the bound the v1 broadcast-anti-join rewrite is the better
+      * physical shape anyway). Equality-flavor or over-bound tables
+      * demote exactly as before — fail-safe, and `compact_deletes`
+      * converts them back to position flavor.
+      */
+    lazy val morInline: Boolean = morContext match {
+      case None => false
+      case Some((_, lines)) =>
+        TypedLake.historicalNames(tableSchema).isEmpty && {
+          val paths = lines.map(WeatherLakeV2Sink.entryPath)
+          paths.forall(TypedLake.isPosDelete) && {
+            val conf = new Configuration()
+            val bytes = paths.map { f =>
+              val p = new Path(f)
+              p.getFileSystem(conf).getFileStatus(p).getLen
+            }.sum
+            bytes <= MorInlineMaxBytes
+          }
+        }
+    }
+
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
       val spark = SparkSession.active
       // live scans carry the manifest ENTRY LINES so the builder can
@@ -1081,7 +1118,15 @@ object LakeCatalog {
           (WeatherLakeV2Sink.filesAsOf(path, snap),
             Map.empty[String, Map[String, WeatherLakeV2Sink.FieldStats]])
         case None =>
-          val lines = WeatherLakeV2Sink.committedEntryLines(path)
+          // inline-mor scans pin data files to the SAME snapshot the
+          // delete lines resolved from — never a racing commit's data
+          // against an older delete set
+          val lines =
+            if (morInline)
+              WeatherLakeV2Sink
+                .entryLinesByManifest(path, morContext.get._1)
+                .flatMap(_._2)
+            else WeatherLakeV2Sink.committedEntryLines(path)
           (lines.map(l => l.split('\t').head),
             lines.map(l => l.split('\t').head ->
               WeatherLakeV2Sink.lineStats(l)).toMap)
@@ -1116,7 +1161,8 @@ object LakeCatalog {
         options.entrySet().forEach(e => merged.put(e.getKey, e.getValue))
         new StatsPrunedParquetScanBuilder(ident, spark, path, tableSchema,
           files.sorted, statsOf, new CaseInsensitiveStringMap(merged),
-          pinnedTable = pinned.isDefined, bucketSpec = bucketSpec)
+          pinnedTable = pinned.isDefined, bucketSpec = bucketSpec,
+          morDeleteLines = if (morInline) morContext.get._2 else Nil)
       }
     }
 
@@ -1284,7 +1330,8 @@ object LakeCatalog {
       statsOf: Map[String, Map[String, WeatherLakeV2Sink.FieldStats]],
       options: CaseInsensitiveStringMap,
       pinnedTable: Boolean = false,
-      bucketSpec: Option[(String, Int)] = None)
+      bucketSpec: Option[(String, Int)] = None,
+      morDeleteLines: Seq[String] = Nil)
       extends ScanBuilder
       with SupportsPushDownRequiredColumns
       with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -1387,18 +1434,40 @@ object LakeCatalog {
       prunedTo = Some(requiredSchema)
       ensure().pruneColumns(requiredSchema)
     }
+    // aggregate pushdown reads parquet FOOTER counts — blind to mor
+    // debt, so a pushed count(*) would count deleted rows: refuse while
+    // delete files are live (reads stay correct through the skip sets)
     override def pushAggregation(
         agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-      ensure().pushAggregation(agg)
+      morDeleteLines.isEmpty && ensure().pushAggregation(agg)
     override def supportCompletePushDown(
         agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-      ensure().supportCompletePushDown(agg)
+      morDeleteLines.isEmpty && ensure().supportCompletePushDown(agg)
     override def pushVariantExtractions(
         extractions: Array[org.apache.spark.sql.connector.read.VariantExtraction]): Array[Boolean] =
       ensure().pushVariantExtractions(extractions)
-    override def build(): Scan = new TypedLakeStreamableScan(
-      ensure().build(), path, tableSchema, prunedTo, options, pinnedTable,
-      bucketSpec)
+    override def build(): Scan = {
+      // inline-mor scans carry a SECOND delegate with the same projection
+      // and NO pushed filters: targeted files must be read in full
+      // physical order (row-group/page skipping would break ordinal
+      // reconstruction). The engine re-evaluates data filters above every
+      // file scan, so the filterless read is sliver-side IO cost only,
+      // never correctness.
+      val primary = ensure().build()
+      val ordinalScan =
+        if (morDeleteLines.isEmpty) None
+        else {
+          val b = mkInner(files)
+          prunedTo.foreach(b.pruneColumns)
+          val s = b.build()
+          require(s.readSchema() == primary.readSchema(),
+            "mor-inline ordinal delegate must project the same schema")
+          Some(s)
+        }
+      new TypedLakeStreamableScan(
+        primary, path, tableSchema, prunedTo, options, pinnedTable,
+        bucketSpec, morDeleteLines, ordinalScan)
+    }
 
     /** Test seam: the file list the delegate was (or would be) built
       * over — what a plan-level spec asserts stats pruning against.
@@ -1425,7 +1494,9 @@ object LakeCatalog {
   class TypedLakeStreamableScan(inner: Scan, path: String,
       tableSchema: StructType, prunedTo: Option[StructType],
       options: CaseInsensitiveStringMap, pinnedTable: Boolean,
-      bucketSpec: Option[(String, Int)] = None)
+      bucketSpec: Option[(String, Int)] = None,
+      morDeleteLines: Seq[String] = Nil,
+      ordinalScan: Option[Scan] = None)
       extends Scan
       with org.apache.spark.sql.connector.read.SupportsReportStatistics
       with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -1438,6 +1509,44 @@ object LakeCatalog {
       * planning (and any listing IO) per query.
       */
     private lazy val delegateBatch: Batch = inner.toBatch
+
+    /** INLINE MOR SUBTRACTION: per-target sorted deleted-ordinal arrays,
+      * keyed by the target file's manifest join key — loaded once per
+      * scan with one tiny job over the live position-delete files
+      * (O(deleted rows), exactly the payload the v1 rewrite would
+      * broadcast to every anti-join probe anyway, bounded by
+      * [[MorInlineMaxBytes]] at eligibility). Each targeted file's array
+      * rides ITS OWN planned partition — no broadcast plumbing, and a
+      * clean file's partition carries nothing.
+      */
+    private lazy val morSkips: Map[String, Array[Long]] =
+      if (morDeleteLines.isEmpty) Map.empty
+      else {
+        val spark = SparkSession.active
+        val files = morDeleteLines.map(WeatherLakeV2Sink.entryPath)
+        spark.read.schema(TypedLake.MorPosSchema).parquet(files: _*)
+          .collect()
+          .groupBy(r => WeatherLakeV2Sink.manifestJoinKey(r.getString(0)))
+          .map { case (k, rows) =>
+            k -> rows.map(_.getLong(1)).distinct.sorted
+          }
+      }
+
+    private def skipKeyOf(
+        f: org.apache.spark.sql.execution.datasources.PartitionedFile)
+        : String =
+      WeatherLakeV2Sink.manifestJoinKey(f.filePath.toString)
+
+    /** A targeted file re-planned as ONE whole-file split: the skip
+      * reader reconstructs each row's physical ordinal by counting
+      * emitted rows, which is exact only over a full filterless read
+      * from offset 0 (the ordinal delegate pushes no filters, so no
+      * row group or page is skipped).
+      */
+    private def wholeFile(
+        f: org.apache.spark.sql.execution.datasources.PartitionedFile)
+        : org.apache.spark.sql.execution.datasources.PartitionedFile =
+      f.copy(start = 0L, length = f.fileSize)
 
     /** The delegate's planned files grouped per bucket id (file-name
       * marker, [[TypedLake.bucketOfFile]]) — None when the table is not
@@ -1485,20 +1594,69 @@ object LakeCatalog {
             .UnknownPartitioning(0)
       }
 
-    override def toBatch: Batch = bucketGroups match {
-      case None => delegateBatch
-      case Some(groups) =>
+    override def toBatch: Batch = (bucketGroups, morSkips.isEmpty) match {
+      case (None, true) => delegateBatch
+      case (None, false) =>
+        // NON-BUCKETED inline mor: targeted files leave their delegate
+        // splits and re-plan as whole-file skip partitions; clean files
+        // keep the delegate's own split planning untouched
         val delegate = delegateBatch
+        val skips = morSkips
+        val ordFactory = ordinalScan.get.toBatch.createReaderFactory()
+        new Batch {
+          override def planInputPartitions(): Array[InputPartition] = {
+            val parts = delegate.planInputPartitions()
+            val fileParts = parts.collect {
+              case fp: org.apache.spark.sql.execution.datasources
+                  .FilePartition => fp
+            }
+            require(fileParts.length == parts.length,
+              "LakeCatalog: inline mor subtraction needs a file-based " +
+                "delegate scan")
+            val clean = fileParts.toSeq
+              .map(fp => fp.copy(
+                files = fp.files.filterNot(f => skips.contains(skipKeyOf(f)))))
+              .filter(_.files.nonEmpty)
+              .zipWithIndex.map { case (fp, i) => fp.copy(index = i) }
+            val targeted = fileParts.flatMap(_.files)
+              .filter(f => skips.contains(skipKeyOf(f)))
+              .groupBy(skipKeyOf).toSeq.sortBy(_._1)
+              .zipWithIndex.map { case ((k, fs), i) =>
+                TargetedMorFilePartition(
+                  org.apache.spark.sql.execution.datasources.FilePartition(
+                    clean.size + i, Array(wholeFile(fs.head))),
+                  skips(k))
+              }
+            (clean ++ targeted).toArray
+          }
+          override def createReaderFactory(): PartitionReaderFactory =
+            new MorSkipReaderFactory(delegate.createReaderFactory(),
+              ordFactory)
+        }
+      case (Some(groups), noMor) =>
+        val delegate = delegateBatch
+        val skips = morSkips
+        val ordFactory =
+          if (noMor) None
+          else Some(ordinalScan.get.toBatch.createReaderFactory())
         new Batch {
           override def planInputPartitions(): Array[InputPartition] =
             groups.zipWithIndex.map { case ((b, fs), i) =>
+              // position deletes never move a row across buckets, so
+              // per-bucket subtraction preserves the reported key: the
+              // bucket keeps ONE partition holding its clean splits plus
+              // its targeted whole files with their skip sets
+              val (tg, clean) = fs.partition(f => skips.contains(skipKeyOf(f)))
+              val targeted = tg.groupBy(skipKeyOf).toSeq.sortBy(_._1)
+                .map { case (k, sp) => (wholeFile(sp.head), skips(k)) }
               BucketFilesPartition(
                 org.apache.spark.sql.execution.datasources
-                  .FilePartition(i, fs.toArray),
-                InternalRow(b)): InputPartition
+                  .FilePartition(i, clean.toArray),
+                InternalRow(b), targeted): InputPartition
             }.toArray
           override def createReaderFactory(): PartitionReaderFactory =
-            new BucketReaderFactory(delegate.createReaderFactory())
+            new BucketReaderFactory(delegate.createReaderFactory(),
+              ordFactory, anyTargeted = skips.nonEmpty)
         }
     }
     override def columnarSupportMode(): Scan.ColumnarSupportMode =
@@ -1618,13 +1776,28 @@ object LakeCatalog {
       inner.preferredLocations()
   }
 
+  /** The cap on live position-delete bytes an inline-mor scan will
+    * carry in its planned partitions (per-file sorted ordinal arrays,
+    * ~16 B/deleted row → ~4 M deleted rows here). Past it the read
+    * demotes to the v1 broadcast-anti-join rewrite, whose shuffle-free
+    * broadcast is the better physical shape for heavy debt anyway —
+    * and `compact_deletes`/reconcile is overdue at that point.
+    */
+  private[sources] val MorInlineMaxBytes: Long = 64L * 1024 * 1024
+
   /** One bucket's files as an input partition CARRYING ITS KEY — what
     * the engine's storage-partitioned-join machinery groups and aligns
-    * across the two sides of a co-bucketed join.
+    * across the two sides of a co-bucketed join. `targeted` holds the
+    * bucket's mor-targeted files as whole-file splits with their
+    * deleted-ordinal skip sets: subtraction happens inside the bucket's
+    * own reader, so the reported KeyGroupedPartitioning stays truthful
+    * under live position deletes.
     */
   private[sources] final case class BucketFilesPartition(
       inner: org.apache.spark.sql.execution.datasources.FilePartition,
-      key: InternalRow)
+      key: InternalRow,
+      targeted: Seq[(org.apache.spark.sql.execution.datasources
+        .PartitionedFile, Array[Long])] = Nil)
       extends InputPartition
       with org.apache.spark.sql.connector.read.HasPartitionKey {
     override def partitionKey(): InternalRow = key
@@ -1632,20 +1805,118 @@ object LakeCatalog {
       inner.preferredLocations()
   }
 
-  /** Unwraps [[BucketFilesPartition]] for the delegate parquet reader. */
+  /** A mor-targeted file of an UNBUCKETED inline scan: one whole-file
+    * split plus the sorted deleted ordinals its reader skips.
+    */
+  private[sources] final case class TargetedMorFilePartition(
+      inner: org.apache.spark.sql.execution.datasources.FilePartition,
+      skip: Array[Long])
+      extends InputPartition {
+    override def preferredLocations(): Array[String] =
+      inner.preferredLocations()
+  }
+
+  /** Subtract a sorted deleted-ordinal set while streaming a whole-file
+    * read in physical order — the Iceberg position-delete / Delta
+    * deletion-vector read path: O(1) amortized per row, no join, no
+    * per-row hashing, zero boxing.
+    */
+  private[sources] final class MorSkipReader(
+      inner: PartitionReader[InternalRow], skip: Array[Long])
+      extends PartitionReader[InternalRow] {
+    private var pos = -1L
+    private var si = 0
+    override def next(): Boolean = {
+      while (inner.next()) {
+        pos += 1
+        while (si < skip.length && skip(si) < pos) si += 1
+        if (si >= skip.length || skip(si) != pos) return true
+      }
+      false
+    }
+    override def get(): InternalRow = inner.get()
+    override def close(): Unit = inner.close()
+  }
+
+  /** Chains readers within one input partition (a bucket's clean splits
+    * followed by its targeted skip-reads), opening each lazily.
+    */
+  private[sources] final class ConcatPartitionReader(
+      parts: Seq[() => PartitionReader[InternalRow]])
+      extends PartitionReader[InternalRow] {
+    private var cur: PartitionReader[InternalRow] = _
+    private var idx = 0
+    override def next(): Boolean = {
+      while (true) {
+        if (cur == null) {
+          if (idx >= parts.size) return false
+          cur = parts(idx)(); idx += 1
+        }
+        if (cur.next()) return true
+        cur.close(); cur = null
+      }
+      false
+    }
+    override def get(): InternalRow = cur.get()
+    override def close(): Unit = if (cur != null) cur.close()
+  }
+
+  /** Unwraps [[BucketFilesPartition]] for the delegate parquet reader;
+    * buckets carrying mor-targeted files concatenate the delegate's
+    * clean read with per-file skip reads off the filterless ordinal
+    * factory. Any live skip set forces the WHOLE scan row-based (the
+    * engine cannot mix columnar and row partitions in one scan);
+    * parquet decode stays vectorized inside the reader either way.
+    */
   private[sources] final class BucketReaderFactory(
-      delegate: PartitionReaderFactory) extends PartitionReaderFactory {
+      delegate: PartitionReaderFactory,
+      ordinal: Option[PartitionReaderFactory] = None,
+      anyTargeted: Boolean = false) extends PartitionReaderFactory {
     private def unwrap(p: InputPartition): InputPartition = p match {
-      case BucketFilesPartition(inner, _) => inner
+      case b: BucketFilesPartition => b.inner
       case other => other
     }
     override def createReader(p: InputPartition):
-        PartitionReader[InternalRow] = delegate.createReader(unwrap(p))
+        PartitionReader[InternalRow] = p match {
+      case b: BucketFilesPartition if b.targeted.nonEmpty =>
+        val of = ordinal.getOrElse(throw new IllegalStateException(
+          "LakeCatalog: targeted bucket partition without an ordinal " +
+            "reader factory"))
+        val parts =
+          (if (b.inner.files.nonEmpty)
+            Seq(() => delegate.createReader(b.inner))
+          else Seq.empty) ++
+            b.targeted.map { case (pf, skip) => () =>
+              new MorSkipReader(of.createReader(
+                org.apache.spark.sql.execution.datasources.FilePartition(
+                  b.inner.index, Array(pf))), skip)
+                : PartitionReader[InternalRow]
+            }
+        new ConcatPartitionReader(parts)
+      case other => delegate.createReader(unwrap(other))
+    }
     override def createColumnarReader(p: InputPartition):
         PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
       delegate.createColumnarReader(unwrap(p))
     override def supportColumnarReads(p: InputPartition): Boolean =
-      delegate.supportColumnarReads(unwrap(p))
+      !anyTargeted && delegate.supportColumnarReads(unwrap(p))
+  }
+
+  /** Routes an UNBUCKETED inline-mor scan's partitions: targeted files
+    * read through the filterless ordinal factory under a skip reader,
+    * everything else through the delegate. Row-based throughout (mixed
+    * modes are illegal within one scan).
+    */
+  private[sources] final class MorSkipReaderFactory(
+      delegate: PartitionReaderFactory,
+      ordinal: PartitionReaderFactory) extends PartitionReaderFactory {
+    override def createReader(p: InputPartition):
+        PartitionReader[InternalRow] = p match {
+      case TargetedMorFilePartition(inner, skip) =>
+        new MorSkipReader(ordinal.createReader(inner), skip)
+      case other => delegate.createReader(other)
+    }
+    override def supportColumnarReads(p: InputPartition): Boolean = false
   }
 
   /** Stateless dispatcher: every partition knows its own factory. */

@@ -129,17 +129,33 @@ class TypedLakeBucketedJoinSpec extends SparkSpec {
         JOIN spjlake.dims d ON f.k = d.k GROUP BY f.k""")
       assert(shuffles(j) == 0, j.queryExecution.executedPlan.toString)
     }
-    // merge-on-read DML: delete files only, data files untouched; the
-    // scan rewrite drops the reported partitioning while deletes are
-    // live (the join shuffles, CORRECTLY), and reconcile — also
-    // bucket-routed — restores the zero-exchange layout
+    // merge-on-read DML: delete files only, data files untouched — and
+    // the join stays ZERO-EXCHANGE anyway: position deletes never move
+    // a row across buckets, so the scan subtracts them INSIDE the
+    // bucketed partition readers (ordinal skip sets) and keeps
+    // reporting KeyGroupedPartitioning. The two headline scale
+    // features — SPJ and mor — compose on the same CDC-rate fact table.
     spark.sql("ALTER TABLE spjlake.facts SET TBLPROPERTIES " +
       "('dmlMode' = 'mor')")
     val dataBefore = WeatherLakeV2Sink.committedFiles(s"$w/facts").toSet
     spark.sql("DELETE FROM spjlake.facts WHERE v = 6")
     assert(WeatherLakeV2Sink.committedFiles(s"$w/facts").toSet
       == dataBefore, "mor DELETE must rewrite no data file")
+    assert(WeatherLakeV2Sink.committedMorDeleteFiles(s"$w/facts").nonEmpty,
+      "live position delete files expected")
     assert(spark.table("spjlake.facts").count() == 796)
+    withSpjConfs {
+      val jm = spark.sql("""SELECT f.k, count(*) AS n FROM spjlake.facts f
+        JOIN spjlake.dims d ON f.k = d.k GROUP BY f.k""")
+      assert(shuffles(jm) == 0,
+        s"SPJ must survive live position deletes:\n" +
+          jm.queryExecution.executedPlan.toString)
+      // parity: k=2 held 16 rows (8 per insert); the mor DELETE killed
+      // its two v=6 rows (id=2 from each insert) — the zero-exchange
+      // result must see 14
+      val n = jm.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(n(2L) == 14L, s"expected 14 rows for k=2, got ${n.get(2L)}")
+    }
     spark.sql("CALL spjlake.system.reconcile('facts')")
     val afterRec = WeatherLakeV2Sink.committedFiles(s"$w/facts")
     assert(afterRec.flatMap(TypedLake.bucketOfFile).size == afterRec.size,
