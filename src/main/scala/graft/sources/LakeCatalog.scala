@@ -1524,18 +1524,28 @@ object LakeCatalog {
       else {
         val spark = SparkSession.active
         val files = morDeleteLines.map(WeatherLakeV2Sink.entryPath)
+        // keys live in the RAW DISK-PATH domain: delete-file targets ARE
+        // manifest entry paths (raw, scheme-less by writer construction)
         spark.read.schema(TypedLake.MorPosSchema).parquet(files: _*)
           .collect()
-          .groupBy(r => WeatherLakeV2Sink.manifestJoinKey(r.getString(0)))
+          .groupBy(_.getString(0))
           .map { case (k, rows) =>
             k -> rows.map(_.getLong(1)).distinct.sorted
           }
       }
 
+    /** A planned split's path in the raw disk domain: the engine's
+      * `SparkPath` string is scheme-qualified and URL-encoded exactly
+      * ONCE relative to the entry path (an escaped partition dir's
+      * literal `%` arrives as `%25`) — `URI.getPath` strips the scheme
+      * and undoes that one encoding. Never apply `manifestJoinKey`
+      * here: it RE-encodes, and a literal-`%` path would double-encode
+      * past the delete targets (resurrecting their rows).
+      */
     private def skipKeyOf(
         f: org.apache.spark.sql.execution.datasources.PartitionedFile)
         : String =
-      WeatherLakeV2Sink.manifestJoinKey(f.filePath.toString)
+      new java.net.URI(f.filePath.toString).getPath
 
     /** A targeted file re-planned as ONE whole-file split: the skip
       * reader reconstructs each row's physical ordinal by counting

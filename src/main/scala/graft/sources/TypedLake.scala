@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, SafeProjection, UnsafeProjection}
 import org.apache.spark.sql.execution.datasources.parquet.{ParquetOutputWriter, ParquetWriteSupport}
-import org.apache.spark.sql.functions.{broadcast, col, input_file_name, lit, regexp_replace}
+import org.apache.spark.sql.functions.{broadcast, col, lit}
 import org.apache.spark.sql.types._
 
 /** TYPED, Parquet-backed lake tables — the general form of the manifest
@@ -522,21 +522,49 @@ object TypedLake {
       k -> ExternalCatalogUtils.unescapePathName(v)
     }
 
-  /** The scan row's source file joined back to manifest entries — the
-    * typed twin of the classic filePathCol/manifestJoinKey pair (full
-    * scheme-stripped raw-URI path; basenames are NOT unique across
-    * directories).
+  /** The spellings the engine's `_metadata.file_path` can report for
+    * `file`, MOST AUTHORITATIVE FIRST — computed once per file on the
+    * DRIVER, so the scan side carries no per-row path normalization at
+    * all (`file_path` is constant per reader split; the old
+    * `regexp_replace(input_file_name(), …)` paid a regex per data row).
+    * The engine reports `scheme:` + URL-ENCODED raw path
+    * (probe-verified `file:/…%20…` for an escaped partition dir) —
+    * that form leads; the decoded qualified string, the caller's
+    * spelling and the bare join key ride along as aliases.
     */
-  private def filePathCol: Column =
-    regexp_replace(input_file_name(),
-      WeatherLakeV2Sink.SchemeAuthorityPattern, "")
+  private def filePathSpellings(file: String): Seq[String] = {
+    val p = new Path(file)
+    val q = p.getFileSystem(new Configuration()).makeQualified(p)
+    val u = q.toUri
+    val auth = Option(u.getAuthority).map("//" + _).getOrElse("")
+    val encodedQualified = s"${u.getScheme}:$auth${u.getRawPath}"
+    Seq(encodedQualified, q.toString, file, manifestJoinKey(file)).distinct
+  }
+
+  /** The broadcast (reported spelling → manifest entry path) map of a
+    * framed read. Alias spellings of one file can collide with another
+    * file's authoritative form (a literal `%20` vs an escaped space):
+    * each spelling keeps its HIGHEST-priority owner, and the engine
+    * always reports the priority-0 form — a lookup can never land on a
+    * shadowed alias.
+    */
+  private def filePathMap(files: Seq[String]): Seq[(String, String)] =
+    files
+      .flatMap { f =>
+        filePathSpellings(f).zipWithIndex.map { case (s, pri) => (s, f, pri) }
+      }
+      .groupBy(_._1).valuesIterator
+      .map(_.minBy(_._3)).map(t => (t._1, t._2)).toSeq
 
   /** Candidate files of a typed op as a frame carrying `__file` (the
     * manifest-joinable path) and — when `withPos` — `__pos`, the row's
     * ordinal within its data file (the engine's `_metadata.row_index`,
     * stable under pushed filters and row-group skipping: it is the
     * PHYSICAL position, which is what makes position-delete targeting
-    * sound). Reads only `files`, typed.
+    * sound). Reads only `files`, typed. `__file` derives from
+    * `_metadata.file_path` — a per-split CONSTANT — against a
+    * driver-built broadcast spelling map: zero per-row path work on the
+    * scan side.
     */
   private[graft] def framedTyped(spark: SparkSession, basePath: String,
       schema: StructType, files: Seq[String],
@@ -544,7 +572,7 @@ object TypedLake {
     import org.apache.spark.sql.functions.broadcast
     val session = spark
     import session.implicits._
-    val keyed = files.map(f => (manifestJoinKey(f), f))
+    val keyed = filePathMap(files)
     val base = spark.read.option("basePath", basePath)
       .schema(widenedSchema(schema))
       .parquet(files: _*)
@@ -553,7 +581,7 @@ object TypedLake {
     // columns fold their historical spellings here too
     val cols = (if (withPos)
         Seq(col("_metadata.row_index").as(PosFrameCol)) else Seq.empty) ++
-      Seq(filePathCol.as("__path")) ++
+      Seq(col("_metadata.file_path").as("__path")) ++
       schema.fieldNames.toSeq.map(mappedCol(schema))
     base.select(cols: _*)
       .join(broadcast(keyed.toDF("__path", "__file")), "__path")

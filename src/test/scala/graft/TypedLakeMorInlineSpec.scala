@@ -148,6 +148,30 @@ class TypedLakeMorInlineSpec extends SparkSpec {
     spark.sql("DROP TABLE mic.t")
   }
 
+  test("ESCAPED partition values: inline subtraction keys planned splits " +
+      "back to delete targets across the engine's URL encoding — a " +
+      "literal-% partition dir neither resurrects nor over-deletes") {
+    val w = freshCat("e")
+    spark.sql("""CREATE TABLE mie.t (id BIGINT, region STRING) USING lake
+      PARTITIONED BY (region) TBLPROPERTIES ('dmlMode' = 'mor')""")
+    // 'a%20b' needs escaping on disk (literal percent), 'a b' too (space)
+    spark.sql("""INSERT INTO mie.t SELECT id,
+      CASE WHEN id % 2 = 0 THEN 'a%20b' ELSE 'a b' END FROM range(20)""")
+    spark.sql("DELETE FROM mie.t WHERE id IN (2, 3)")
+    val live = WeatherLakeV2Sink.committedMorDeleteFiles(s"$w/t")
+    assert(live.nonEmpty && live.forall(TypedLake.isPosDelete), live)
+    val q = spark.table("mie.t")
+    assert(antiLegs(q) == 0, q.queryExecution.optimizedPlan.toString)
+    assert(q.count() == 18)
+    assert(spark.sql("SELECT count(*) FROM mie.t WHERE id IN (2, 3)")
+      .head.getLong(0) == 0, "escaped-dir targets must still subtract")
+    assert(spark.sql("SELECT count(*) FROM mie.t WHERE region = 'a%20b'")
+      .head.getLong(0) == 9)
+    assert(spark.sql("SELECT count(*) FROM mie.t WHERE region = 'a b'")
+      .head.getLong(0) == 9)
+    spark.sql("DROP TABLE mie.t")
+  }
+
   test("time travel composes: a VERSION AS OF read with live position " +
       "deletes subtracts the PINNED snapshot's debt inline") {
     val w = freshCat("d")
