@@ -1,10 +1,17 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
-import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
-import org.apache.spark.sql.execution.streaming.runtime.SerializedOffset
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import java.util.UUID
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
+import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** STREAMING CHANGE FEED over a TYPED lake table — the face that lets a
   * merge-on-read table feed a streaming consumer WITHOUT constant
@@ -23,76 +30,66 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   *   .load()                               // _change + table columns
   * }}}
   *
+  * This is a NATIVE DSv2 stream — `TableProvider` →
+  * [[TypedLakeChangeFeed.CdfTable]] → `MicroBatchStream with
+  * SupportsAdmissionControl` — one stream stack with the typed append
+  * source, not a v1 `Source` shim: admission rides the engine's own
+  * `ReadLimit` (`maxManifestsPerTrigger` becomes the default read
+  * limit; the engine passes the consumed offset back into
+  * `latestOffset(start, limit)`, so there is no hand-rolled mutable
+  * admission mirror), `Trigger.AvailableNow` drains through the
+  * engine's wrapper against `reportLatestOffset`, and restart replay
+  * is the engine's offset-log contract.
+  *
   * Each micro-batch is [[TypedLake.changesBetweenTyped]] between the
   * consumed manifest set and the admitted one — the exact NET row
   * deltas (insert / delete / update_preimage / update_postimage), each
   * side MOR-RESOLVED through its own delete files, several commits
   * collapsing to their net effect, layout-only commits (compact /
   * checkpoint / measure / compactdel) contributing nothing by
-  * construction (no file-set or delete-set difference survives the
-  * diff). A fresh stream's first batch is the current resolved state as
-  * inserts — the Delta `readChangeFeed` + `startingVersion=latest-ish`
-  * genesis this engine's batch cursor feed
-  * ([[TypedLake.readNewChangesTyped]]) already pins.
+  * construction. A fresh stream's first batch is the current resolved
+  * state as inserts — the Delta `readChangeFeed` genesis the batch
+  * cursor feed ([[TypedLake.readNewChangesTyped]]) already pins.
+  *
+  * A DSv2 micro-batch serves PARTITIONS, not a plan fragment, so each
+  * admitted window's diff MATERIALIZES once under the stream's
+  * checkpoint (`<checkpoint>/graft-cdf-stage/b-<offset-pair hash>`,
+  * written temp-then-rename, keyed by the (start, end) offsets — the
+  * same move as Delta's `_change_data` files, pushed to read time):
+  * replays of the same window re-serve the SAME staged files without
+  * re-running the diff (and survive a vacuum that would have broken a
+  * re-derivation), `commit(end)` garbage-collects stages at-or-before
+  * the committed frontier, and the data legs stay O(changed files +
+  * delete bytes) per batch — never O(table).
   *
   * Offsets are manifest-name SETS (the classic stream's offset form):
   * deterministic replay after restart re-derives the SAME delta from
-  * the manifest history — and a vacuum that reclaimed part of that
-  * history fails the replay LOUDLY ([[WeatherLakeV2Sink.filesAsOf]]'s
-  * vacuum-horizon error), never silently skips. `maxManifestsPerTrigger`
-  * bounds admission per batch.
-  *
-  * Scale posture: offsets and admission are O(manifests) driver
-  * metadata; every data leg is the CDF diff itself — O(changed files +
-  * delete bytes), never O(table).
+  * the manifest history — and a vacuum that reclaimed BOTH the history
+  * and the staged batch fails the replay LOUDLY
+  * ([[WeatherLakeV2Sink.filesAsOf]]'s vacuum-horizon error), never
+  * silently skips.
   */
-class TypedLakeChangeFeed extends StreamSourceProvider
-    with DataSourceRegister {
+class TypedLakeChangeFeed extends TableProvider with DataSourceRegister {
   import TypedLakeChangeFeed._
 
   override def shortName(): String = "lake-typed-cdf"
 
-  override def sourceSchema(sqlContext: SQLContext,
-      schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): (String, StructType) =
-    (shortName(),
-      changeSchema(resolveTable(sqlContext, schema, parameters)._2))
+  // the 'path' form carries the table schema via .schema(...) — it is
+  // external metadata by design (a path-addressed lake stores none)
+  override def supportsExternalMetadata(): Boolean = true
 
-  override def createSource(sqlContext: SQLContext, metadataPath: String,
-      schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): Source = {
-    val (path, tableSchema) = resolveTable(sqlContext, schema, parameters)
-    val keyCols = parameters.get("keycols").orElse(parameters.get("keyCols"))
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse(throw new IllegalArgumentException(
-        "TypedLakeChangeFeed: the 'keyCols' option (row identity) is " +
-          "required — the feed nets deltas per key"))
-    val maxPerTrigger = parameters.get("maxmanifestspertrigger")
-      .orElse(parameters.get("maxManifestsPerTrigger")).map(_.toInt)
-      .getOrElse(Int.MaxValue)
-    require(maxPerTrigger > 0,
-      "TypedLakeChangeFeed: maxManifestsPerTrigger must be positive")
-    // startingAt = earliest (default): genesis batch = the current
-    // resolved state as inserts. latest: deltas only — the frontier at
-    // FIRST START is persisted under the stream's metadata path, so a
-    // crash before the first offset commits replays the SAME frontier
-    // (never a window that depends on when the source object was
-    // rebuilt).
-    val genesis: Seq[String] =
-      parameters.get("startingat").orElse(parameters.get("startingAt"))
-        .map(_.trim.toLowerCase).getOrElse("earliest") match {
-        case "earliest" => Seq.empty
-        case "latest" =>
-          persistedGenesis(metadataPath,
-            WeatherLakeV2Sink.manifestHistory(path))
-        case other => throw new IllegalArgumentException(
-          s"TypedLakeChangeFeed: unknown startingAt '$other' — use " +
-            "'earliest' (full current state as inserts) or 'latest' " +
-            "(new changes only)")
-      }
-    new TypedLakeCdfSource(sqlContext.sparkSession, path,
-      tableSchema, keyCols, maxPerTrigger, genesis)
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    resolveTable(options, None)._2
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val (path, tableSchema) = resolveTable(opts, Some(schema))
+    new CdfTable(path, tableSchema)
   }
+}
+
+object TypedLakeChangeFeed {
 
   /** (location, TABLE schema) of the feed: either `table = <catalog
     * identifier>` — resolved through the session catalog, which is the
@@ -101,12 +98,11 @@ class TypedLakeChangeFeed extends StreamSourceProvider
     * renamed column; a hand-passed `.schema(...)` cannot know it) — or
     * `path` + an explicit `.schema(...)` for path-addressed lakes.
     */
-  private def resolveTable(sqlContext: SQLContext,
-      schema: Option[StructType],
-      parameters: Map[String, String]): (String, StructType) =
-    parameters.get("table") match {
+  private def resolveTable(options: CaseInsensitiveStringMap,
+      userSchema: Option[StructType]): (String, StructType) =
+    Option(options.get("table")) match {
       case Some(name) =>
-        val analyzed = sqlContext.sparkSession.table(name)
+        val analyzed = SparkSession.active.table(name)
           .queryExecution.analyzed
         val tbl = analyzed.collectFirst {
           case r: org.apache.spark.sql.execution.datasources.v2
@@ -122,35 +118,67 @@ class TypedLakeChangeFeed extends StreamSourceProvider
             "table"))
         (tbl.path, tbl.tableSchema)
       case None =>
-        val path = parameters.getOrElse("path",
+        val path = Option(options.get("path")).getOrElse(
           throw new IllegalArgumentException(
             "TypedLakeChangeFeed: pass either 'table' (catalog " +
               "identifier — required for renamed tables, the schema " +
               "must carry the name mapping) or 'path' + .schema(...)"))
-        (path, tableSchemaOf(schema))
+        (path, userSchema.getOrElse(throw new IllegalArgumentException(
+          "TypedLakeChangeFeed: pass the TABLE schema via .schema(...) — " +
+            "the feed emits it plus the _change column")))
     }
-}
 
-object TypedLakeChangeFeed {
-  /** Read-or-write-once genesis frontier under the stream's metadata
-    * path (the v1-source pattern: FileStreamSource keeps its seen-files
-    * log there) — written temp-then-rename so it appears atomically.
+  /** The feed's row shape: `_change` + the table columns (exactly
+    * [[TypedLake.changesBetweenTyped]]'s output).
+    */
+  def changeSchema(tableSchema: StructType): StructType =
+    StructType(StructField("_change", StringType, nullable = false) +:
+      tableSchema.fields)
+
+  /** The consumed manifest set as a streaming offset (JSON array — the
+    * classic stream's offset form).
+    */
+  final case class CdfOffset(consumed: Seq[String]) extends Offset {
+    override def json(): String = {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val arr = mapper.createArrayNode()
+      consumed.sorted.foreach(arr.add)
+      mapper.writeValueAsString(arr)
+    }
+  }
+
+  private[sources] def offsetManifests(o: Offset): Seq[String] = o match {
+    case CdfOffset(consumed) => consumed
+    case other => parseJson(other.json())
+  }
+
+  private def parseJson(json: String): Seq[String] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(json)
+    val names = Seq.newBuilder[String]
+    node.forEach(n => names += n.asText())
+    names.result()
+  }
+
+  /** Read-or-write-once genesis frontier under the stream's checkpoint
+    * (the engine only logs END offsets, so a crash between first start
+    * and the first offset commit would otherwise re-derive a DIFFERENT
+    * `latest` frontier) — written temp-then-rename so it appears
+    * atomically; a concurrent restart adopts the winner's frontier.
     */
   private def persistedGenesis(metadataPath: String,
       current: Seq[String]): Seq[String] = {
-    val fs = new org.apache.hadoop.fs.Path(metadataPath)
-      .getFileSystem(new org.apache.hadoop.conf.Configuration())
-    val file = new org.apache.hadoop.fs.Path(metadataPath,
-      "graft-cdf-genesis")
+    val fs = new Path(metadataPath).getFileSystem(new Configuration())
+    val file = new Path(metadataPath, "graft-cdf-genesis")
     if (fs.exists(file)) {
       val in = fs.open(file)
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
       parseJson(txt)
     } else {
-      fs.mkdirs(new org.apache.hadoop.fs.Path(metadataPath))
-      val tmp = new org.apache.hadoop.fs.Path(metadataPath,
-        s".graft-cdf-genesis.tmp-${java.util.UUID.randomUUID()}")
+      fs.mkdirs(new Path(metadataPath))
+      val tmp = new Path(metadataPath,
+        s".graft-cdf-genesis.tmp-${UUID.randomUUID()}")
       val out = fs.create(tmp, false)
       try out.write(CdfOffset(current).json()
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -167,92 +195,179 @@ object TypedLakeChangeFeed {
     }
   }
 
-  private def tableSchemaOf(schema: Option[StructType]): StructType =
-    schema.getOrElse(throw new IllegalArgumentException(
-      "TypedLakeChangeFeed: pass the TABLE schema via .schema(...) — the " +
-        "feed emits it plus the _change column"))
-
-  /** The feed's row shape: `_change` + the table columns (exactly
-    * [[TypedLake.changesBetweenTyped]]'s output).
+  /** The DSv2 table face of the feed: streaming-only (a batch read of a
+    * change feed has no cursor — use the batch CDF functions), schema =
+    * `_change` + table columns.
     */
-  def changeSchema(tableSchema: StructType): StructType =
-    StructType(StructField("_change", StringType, nullable = false) +:
-      tableSchema.fields)
-
-  /** The consumed manifest set as a v1 streaming offset (JSON array —
-    * the classic stream's offset form on the v1 `Source` face).
-    */
-  final case class CdfOffset(consumed: Seq[String]) extends V1Offset {
-    override def json(): String = {
-      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      val arr = mapper.createArrayNode()
-      consumed.sorted.foreach(arr.add)
-      mapper.writeValueAsString(arr)
-    }
-  }
-
-  private[sources] def offsetManifests(
-      o: org.apache.spark.sql.connector.read.streaming.Offset): Seq[String] =
-    o match {
-      case CdfOffset(consumed) => consumed
-      case SerializedOffset(json) => parseJson(json)
-      case other => parseJson(other.json())
-    }
-
-  private def parseJson(json: String): Seq[String] = {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val node = mapper.readTree(json)
-    val names = Seq.newBuilder[String]
-    node.forEach(n => names += n.asText())
-    names.result()
-  }
-
-  /** The v1 [[Source]]: offsets admit manifests in commit order; each
-    * batch IS the snapshot-diff change feed between its offsets.
-    */
-  final class TypedLakeCdfSource(spark: SparkSession, path: String,
-      tableSchema: StructType, keyCols: Seq[String], maxPerTrigger: Int,
-      genesis: Seq[String] = Seq.empty)
-      extends Source {
+  final class CdfTable(path: String, tableSchema: StructType)
+      extends Table with SupportsRead {
     WeatherLakeV2Sink.requirePayload(path, TypedLake.Payload,
       "the typed change feed")
+    override def name(): String = s"lake_typed_cdf($path)"
+    override def schema(): StructType = changeSchema(tableSchema)
+    override def capabilities(): java.util.Set[TableCapability] =
+      java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
 
-    override def schema: StructType = changeSchema(tableSchema)
+    override def newScanBuilder(options: CaseInsensitiveStringMap)
+        : ScanBuilder = {
+      val keyCols = Option(options.get("keyCols"))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(throw new IllegalArgumentException(
+          "TypedLakeChangeFeed: the 'keyCols' option (row identity) is " +
+            "required — the feed nets deltas per key"))
+      val maxPerTrigger = Option(options.get("maxManifestsPerTrigger"))
+        .map(_.toInt).getOrElse(Int.MaxValue)
+      require(maxPerTrigger > 0,
+        "TypedLakeChangeFeed: maxManifestsPerTrigger must be positive")
+      val startLatest = Option(options.get("startingAt"))
+        .map(_.trim.toLowerCase).getOrElse("earliest") match {
+        case "earliest" => false
+        case "latest" => true
+        case other => throw new IllegalArgumentException(
+          s"TypedLakeChangeFeed: unknown startingAt '$other' — use " +
+            "'earliest' (full current state as inserts) or 'latest' " +
+            "(new changes only)")
+      }
+      val p = path; val ts = tableSchema
+      new ScanBuilder with Scan {
+        override def build(): Scan = this
+        override def readSchema(): StructType = changeSchema(ts)
+        override def description(): String = s"lake_typed_cdf($p)"
+        override def toBatch: Batch = throw new UnsupportedOperationException(
+          "TypedLakeChangeFeed is a STREAMING source — for batch change " +
+            "reads use the CDF functions (changesBetweenTyped / " +
+            "readNewChangesTyped) or time-travel diffs")
+        override def toMicroBatchStream(checkpointLocation: String)
+            : MicroBatchStream =
+          new CdfMicroBatchStream(p, ts, keyCols, maxPerTrigger,
+            startLatest, checkpointLocation)
+      }
+    }
+  }
 
-    // the engine drives start offsets from its own log; this mirror only
-    // paces ADMISSION (how much history the next getOffset exposes).
-    // startingAt=latest seeds it with the persisted genesis frontier —
-    // those manifests are "already consumed" without ever being emitted
-    @volatile private var planned: Set[String] = genesis.toSet
+  /** The DSv2 micro-batch stream: offsets admit manifests in commit
+    * order under the engine's own `ReadLimit`; each admitted window's
+    * diff stages once and serves file partitions.
+    */
+  final class CdfMicroBatchStream(path: String, tableSchema: StructType,
+      keyCols: Seq[String], maxPerTrigger: Int, startLatest: Boolean,
+      checkpointLocation: String)
+      extends MicroBatchStream with SupportsAdmissionControl {
 
-    override def getOffset: Option[V1Offset] = {
+    private def spark = SparkSession.active
+    private val stageRoot = new Path(checkpointLocation, "graft-cdf-stage")
+    private def fs = stageRoot.getFileSystem(new Configuration())
+
+    override def initialOffset(): Offset =
+      if (!startLatest) CdfOffset(Seq.empty)
+      else CdfOffset(persistedGenesis(checkpointLocation,
+        WeatherLakeV2Sink.manifestHistory(path)))
+
+    override def getDefaultReadLimit: ReadLimit =
+      if (maxPerTrigger == Int.MaxValue) ReadLimit.allAvailable()
+      else ReadLimit.maxFiles(maxPerTrigger)
+
+    override def latestOffset(): Offset =
+      throw new UnsupportedOperationException(
+        "TypedLakeChangeFeed paces admission through latestOffset(start, " +
+          "limit) — the SupportsAdmissionControl contract")
+
+    override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+      val consumed = offsetManifests(start).toSet
       // commit order pins WHICH manifests an admission-bounded batch
       // takes; the offset itself is order-free (a set)
-      val history = WeatherLakeV2Sink.manifestHistory(path)
-      val fresh = history.filterNot(planned)
-      if (fresh.isEmpty && planned.nonEmpty)
-        Some(CdfOffset(planned.toSeq.sorted))
-      else if (fresh.isEmpty) None
-      else {
-        val admitted = planned ++ fresh.take(maxPerTrigger)
-        planned = admitted
-        Some(CdfOffset(admitted.toSeq.sorted))
+      val fresh = WeatherLakeV2Sink.manifestHistory(path)
+        .filterNot(consumed)
+      val take = limit match {
+        case f: ReadMaxFiles => f.maxFiles()
+        case _ => Int.MaxValue
+      }
+      CdfOffset((consumed ++ fresh.take(take)).toSeq.sorted)
+    }
+
+    override def reportLatestOffset(): Offset =
+      CdfOffset(WeatherLakeV2Sink.manifestHistory(path).sorted)
+
+    override def deserializeOffset(json: String): Offset =
+      CdfOffset(parseJson(json))
+
+    /** Materialize the window's diff exactly once (keyed by the offset
+      * pair, temp-then-rename) and return its parquet files. A replay
+      * of the same window re-serves the staged files without
+      * re-deriving the diff.
+      */
+    private def stageBatch(from: Seq[String], to: Seq[String])
+        : Seq[String] = {
+      val digest = java.security.MessageDigest.getInstance("SHA-1")
+        .digest((from.sorted.mkString(",") + "->" + to.sorted.mkString(","))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+      val dir = new Path(stageRoot, s"b-$digest")
+      if (!fs.exists(dir)) {
+        val tmp = new Path(stageRoot, s".b-$digest.tmp-${UUID.randomUUID()}")
+        TypedLake.changesBetweenTyped(spark, path, tableSchema, keyCols,
+            from = from, to = to)
+          .write.parquet(tmp.toString)
+        // GC metadata: the admitted frontier this stage belongs to
+        val meta = fs.create(new Path(tmp, "graft-cdf-meta"), false)
+        try meta.write(CdfOffset(to).json()
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally meta.close()
+        if (!fs.rename(tmp, dir)) fs.delete(tmp, true) // a replay won
+      }
+      fs.listStatus(dir).map(_.getPath.toString)
+        .filter(_.endsWith(".parquet")).sorted.toSeq
+    }
+
+    override def planInputPartitions(start: Offset, end: Offset)
+        : Array[InputPartition] = {
+      val from = offsetManifests(start)
+      val to = offsetManifests(end)
+      if (from.toSet == to.toSet) return Array.empty
+      val staged = stageBatch(from, to)
+      if (staged.isEmpty) return Array.empty
+      val b = org.apache.spark.sql.execution.datasources.v2.parquet
+        .ParquetTable(s"lake_typed_cdf($path)", spark,
+          CaseInsensitiveStringMap.empty(), staged.toIndexedSeq,
+          Some(changeSchema(tableSchema)),
+          classOf[org.apache.spark.sql.execution.datasources.parquet
+            .ParquetFileFormat])
+        .newScanBuilder(CaseInsensitiveStringMap.empty())
+        .build().toBatch
+      val factory = b.createReaderFactory()
+      // each planned partition CARRIES its batch's reader factory —
+      // plan-then-read pairing is structural (the append stream's rule)
+      b.planInputPartitions().map(p =>
+        LakeCatalog.TypedBatchPartition(p, factory): InputPartition)
+    }
+
+    override def createReaderFactory(): PartitionReaderFactory =
+      LakeCatalog.TypedBatchReaderFactory
+
+    /** Drop staged windows at-or-before the committed frontier: the
+      * engine never replays a committed batch, so a stage whose end set
+      * is contained in the committed set can only be garbage.
+      */
+    override def commit(end: Offset): Unit = {
+      val committed = offsetManifests(end).toSet
+      if (!fs.exists(stageRoot)) return
+      fs.listStatus(stageRoot).filter(_.isDirectory).foreach { st =>
+        val metaFile = new Path(st.getPath, "graft-cdf-meta")
+        val to =
+          try {
+            if (!fs.exists(metaFile)) Seq.empty
+            else {
+              val in = fs.open(metaFile)
+              try parseJson(scala.io.Source
+                .fromInputStream(in, "UTF-8").mkString)
+              finally in.close()
+            }
+          } catch { case _: Exception => Seq.empty }
+        if (to.nonEmpty && to.forall(committed))
+          fs.delete(st.getPath, true)
       }
     }
 
-    override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
-      val from = start.map(offsetManifests).getOrElse(genesis)
-      val to = offsetManifests(end)
-      // restart: the engine replays from ITS log — adopt the replayed
-      // frontier so admission continues from there, never re-plans it
-      planned = planned ++ to
-      // a v1 Source's batch must present as a STREAMING frame
-      org.apache.spark.sql.GraftPlanBridge.asStreamingFrame(
-        TypedLake.changesBetweenTyped(spark, path, tableSchema, keyCols,
-          from = from, to = to))
-    }
-
-    override def commit(end: V1Offset): Unit = ()
     override def stop(): Unit = ()
   }
 }

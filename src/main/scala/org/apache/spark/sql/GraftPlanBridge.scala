@@ -25,18 +25,6 @@ object GraftPlanBridge {
   def expressionOf(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 
-  /** Re-plan a BATCH frame as a STREAMING one (`isStreaming = true`) —
-    * what a v1 streaming `Source.getBatch` must return. The engine's own
-    * `FileStreamSource` does exactly this through
-    * `internalCreateDataFrame`, which is `private[sql]` — the same
-    * doorway rationale as [[ofRows]].
-    */
-  def asStreamingFrame(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession.asInstanceOf[ClassicSparkSession]
-    spark.internalCreateDataFrame(
-      df.queryExecution.toRdd, df.schema, isStreaming = true)
-  }
-
   /** Test-only peek: the strategies a [[SparkSessionExtensions]] instance
     * would inject (`buildPlannerStrategies` is `private[sql]`).
     */
