@@ -663,6 +663,71 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
     val props = readMarker(fs.getConf, dir)
     (props.getOrDefault(TableCatalog.PROP_LOCATION, dir), props)
   }
+
+  /** NAME-MAPPING RETIREMENT — the lazy migration's close: once NO file
+    * any live snapshot can still read carries a historical physical
+    * spelling, the mapping is dead weight (every read pays the widened
+    * v1 rewrite, which costs the DSv2 scan faces: manifest-stats
+    * pruning, parquet filter pushdown on the renamed column,
+    * auto-broadcast stats, SPJ). Called by `CALL lake.system.compact`
+    * after a typed rewrite: checks the parquet FOOTER schema of every
+    * file referenced ANYWHERE in the manifest history that still exists
+    * on disk (vacuumed files are unreadable regardless — the
+    * vacuum-horizon contract already fails those time travels loudly),
+    * plus every live equality delete file still on disk (their
+    * old-image columns ride the mapping too). All clear → the marker
+    * schema drops [[TypedLake.HistoricalNamesKey]] and reads return to
+    * the plain DSv2 path; TIME TRAVEL stays exact because no reachable
+    * snapshot references an old-spelling byte. O(history files) footer
+    * GETs — maintenance-time cost, the compaction-candidacy class.
+    * Returns whether the mapping was retired.
+    */
+  private[sources] def retireNameMappingIfClear(tableName: String): Boolean = {
+    val parts = tableName.split('.')
+    val ident = Identifier.of(parts.dropRight(1), parts.last)
+    val regDir = regDirOf(ident).getOrElse(return false)
+    val props = readMarker(fs.getConf, regDir)
+    val location = props.getOrDefault(TableCatalog.PROP_LOCATION, regDir)
+    val schema = Option(props.get(SchemaProp)).map(j =>
+      DataType.fromJson(j).asInstanceOf[StructType]).getOrElse(return false)
+    val hist = TypedLake.historicalNames(schema)
+    if (hist.isEmpty) return false
+    val spellings = hist.values.flatten.map(_.toLowerCase).toSet
+    val conf = new Configuration()
+    val dataFs = new Path(location).getFileSystem(conf)
+    val history = WeatherLakeV2Sink.manifestHistory(location)
+    val candidates =
+      (history.flatMap(m => WeatherLakeV2Sink
+          .entryLinesByManifest(location, Seq(m)).flatMap(_._2))
+        .map(l => l.split('\t').head) ++
+        history.flatMap(m => WeatherLakeV2Sink
+          .morDeleteFilesAsOf(location, Seq(m)))
+          .filterNot(TypedLake.isPosDelete))
+        .distinct.filter(f => dataFs.exists(new Path(f)))
+    val anyOld = candidates.exists { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new Path(f), conf))
+      try {
+        val it = r.getFileMetaData.getSchema.getFields.iterator()
+        var hit = false
+        while (!hit && it.hasNext)
+          hit = spellings(it.next().getName.toLowerCase)
+        hit
+      } finally r.close()
+    }
+    if (anyOld) return false
+    val cleaned = StructType(schema.fields.map { fld =>
+      if (fld.metadata.contains(TypedLake.HistoricalNamesKey))
+        fld.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(fld.metadata)
+          .remove(TypedLake.HistoricalNamesKey).build())
+      else fld
+    })
+    props.put(SchemaProp, cleaned.json)
+    writeMarker(fs.getConf, regDir, props, overwrite = true)
+    true
+  }
 }
 
 object LakeCatalog {
@@ -2529,7 +2594,13 @@ object LakeCatalog {
           case "compact" =>
             val clusterExpr = if (input.isNullAt(2)) None
               else Some(input.getUTF8String(2).toString)
-            val statsFields = if (input.isNullAt(3)) Seq.empty[String]
+            // default to the TABLE's own statsFields: a maintenance
+            // rewrite must refresh (never silently drop) the per-file
+            // stats the scan's pruning runs on — and post-rename it is
+            // what migrates old-spelling stats to the current name
+            val statsFields = if (input.isNullAt(3))
+              Option(tprops.get("statsFields")).toSeq
+                .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
               else input.getUTF8String(3).toString
                 .split(",").map(_.trim).filter(_.nonEmpty).toSeq
             val fn = clusterExpr.map(text =>
@@ -2544,14 +2615,20 @@ object LakeCatalog {
                 if (fn.isDefined) throw new UnsupportedOperationException(
                   "LakeCatalog: cluster_expr does not apply to a " +
                     "bucketed table — its layout is the bucket hash")
-                TypedLake.compactTypedBucketed(spark, path, schema,
+                val n = TypedLake.compactTypedBucketed(spark, path, schema,
                   bucketCol = tprops.get(BucketColProp),
                   numBuckets = tprops.get(BucketCountProp).toInt,
                   statsFields = statsFields)
+                catalog.retireNameMappingIfClear(table)
+                n
               case Some((schema, partCols)) =>
-                TypedLake.compactTyped(spark, path, schema, partCols,
+                val n = TypedLake.compactTyped(spark, path, schema, partCols,
                   targetBytes = input.getLong(1), clusterExpr = fn,
                   statsFields = statsFields)
+                // post-rename lazy migration's close: drop the mapping
+                // once nothing reachable still spells the old name
+                catalog.retireNameMappingIfClear(table)
+                n
               case None =>
                 WeatherLakeV2Sink.compact(spark, path,
                   targetBytes = input.getLong(1), clusterExpr = fn,

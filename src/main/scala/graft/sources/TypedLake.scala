@@ -1975,12 +1975,28 @@ object TypedLake {
     val byManifest = WeatherLakeV2Sink.entryLinesByManifest(basePath, snapshot)
     val entriesByDir = byManifest.flatMap(_._2)
       .groupBy(l => new Path(entryPath(l)).getParent.toString)
-    val multi = entriesByDir.view.mapValues(_.map(entryPath)).filter {
-      case (_, fls) =>
+    // NAME-MAPPING STATS MIGRATION: post-rename, files written under a
+    // historical spelling carry their per-file stats under the OLD key,
+    // so predicate pruning on the renamed column fails open for them
+    // forever. A file whose entry-line stats use a historical spelling
+    // is a compaction candidate regardless of size — the rewrite lands
+    // under the CURRENT schema with stats re-measured under the current
+    // name, and pruning returns as maintenance proceeds (the rename
+    // itself stays metadata-only; this is the lazy migration).
+    val histSpellings = historicalNames(schema).values.flatten
+      .map(_.toLowerCase).toSet
+    def oldSpelling(line: String): Boolean =
+      histSpellings.nonEmpty &&
+        lineStats(line).keysIterator.exists(k => histSpellings(k.toLowerCase))
+    val multi = entriesByDir.view.filter {
+      case (_, ls) =>
+        val fls = ls.map(entryPath)
         val sizes = fls.map(f => fs.getFileStatus(new Path(f)).getLen)
-        if (clusterExpr.isDefined) fls.size > 1 || sizes.sum > targetBytes
-        else fls.size > 1 && sizes.sum.toDouble / fls.size < targetBytes / 2.0
-    }.toMap
+        ls.exists(oldSpelling) || {
+          if (clusterExpr.isDefined) fls.size > 1 || sizes.sum > targetBytes
+          else fls.size > 1 && sizes.sum.toDouble / fls.size < targetBytes / 2.0
+        }
+    }.mapValues(_.map(entryPath)).toMap
     if (multi.isEmpty) return 0
     val compactedDirs = multi.keySet
     def inCompactedDir(l: String): Boolean =

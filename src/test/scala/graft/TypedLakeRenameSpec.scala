@@ -136,4 +136,92 @@ class TypedLakeRenameSpec extends SparkSpec {
     refuse("ALTER TABLE renc.t RENAME COLUMN id TO score", "historical")
     spark.sql("DROP TABLE renc.t")
   }
+
+  test("compact MIGRATES old-spelling stats: post-rename, files whose " +
+      "entry-line stats ride the historical name are candidates " +
+      "regardless of size — the rewrite re-measures under the current " +
+      "spelling and point predicates prune the old generation again") {
+    val w = freshCatalog("d")
+    spark.sql("""CREATE TABLE rend.t (id BIGINT, score BIGINT,
+      region STRING) USING lake PARTITIONED BY (region)
+      TBLPROPERTIES ('statsFields' = 'score')""")
+    // old generation: one comfortable file per partition dir — never a
+    // small-file candidate on its own
+    spark.sql("""INSERT INTO rend.t
+      SELECT id, id, concat('r', id % 2) FROM range(200)""")
+    spark.sql("ALTER TABLE rend.t RENAME COLUMN score TO quality")
+    // new generation under the current spelling, disjoint value range
+    spark.sql("""INSERT INTO rend.t
+      SELECT id + 10000, id + 10000, 'r2' FROM range(50)""")
+    val p = s"$w/t"
+    def splitConj(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+      e match {
+        case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+          splitConj(l) ++ splitConj(r)
+        case other => Seq(other)
+      }
+    def planned(cond: String): Seq[String] = {
+      val df = spark.table("rend.t").filter(cond)
+      // the RESOLVED conjuncts the engine would push
+      val conds = df.queryExecution.optimizedPlan.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          splitConj(f.condition)
+      }.getOrElse(Seq.empty)
+      val lines = WeatherLakeV2Sink.committedEntryLines(p)
+      val statsOf = lines.map(l => l.split('\t').head ->
+        WeatherLakeV2Sink.lineStats(l)).toMap
+      val all = lines.map(_.split('\t').head)
+      new graft.sources.LakeCatalog.StatsPrunedParquetScanBuilder("rend.t",
+        spark, p, spark.table("rend.t").schema, all.sorted, statsOf,
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Map.of("basePath", p)))
+        .plannedFiles(conds)
+    }
+    // pre-compact: the mapping forces the widened coalesce read — a
+    // point predicate on 'quality' fails OPEN everywhere
+    val total = WeatherLakeV2Sink.committedFiles(p).size
+    assert(planned("quality >= 10000").size == total,
+      "old-generation files must fail open before migration")
+    val compacted = spark.sql("CALL rend.system.compact('t')").head.getInt(0)
+    assert(compacted >= 2, s"old-spelling dirs must be candidates, " +
+      s"got $compacted")
+    // post-compact: every entry line's stats key is the CURRENT name
+    val lines = WeatherLakeV2Sink.committedEntryLines(p)
+    assert(lines.forall(l => !WeatherLakeV2Sink.lineStats(l)
+      .keysIterator.exists(_.equalsIgnoreCase("score"))),
+      s"old-spelling stats must be gone, got:\n${lines.mkString("\n")}")
+    // values intact across the migration, mapping still live (superseded
+    // old-spelling files remain on disk — pinned snapshots can read them)
+    assert(spark.table("rend.t").count() == 250)
+    assert(spark.sql("SELECT CAST(sum(quality) AS BIGINT) FROM rend.t")
+      .head.getLong(0) ==
+        (0L until 200L).sum + (10000L until 10050L).sum)
+    // the MARKER's schema carries the mapping (read plans alias it away)
+    def mapping(): Map[String, Seq[String]] = {
+      val cat = spark.sessionState.catalogManager.catalog("rend")
+        .asInstanceOf[graft.sources.LakeCatalog]
+      TypedLake.historicalNames(cat.loadTable(
+        org.apache.spark.sql.connector.catalog.Identifier.of(
+          Array.empty[String], "t")).schema())
+    }
+    assert(mapping().nonEmpty,
+      "mapping must survive while old-spelling bytes are reachable")
+    // vacuum reclaims the superseded generation; the next maintenance
+    // pass RETIRES the mapping (footer-verified: nothing reachable still
+    // spells 'score') and reads return to the plain pruned scan path
+    spark.sql("CALL rend.system.vacuum('t', min_age_ms => 1, force => true)")
+    assert(spark.sql("CALL rend.system.compact('t')").head.getInt(0) == 0)
+    assert(mapping().isEmpty,
+      "mapping must retire once nothing reachable spells the old name")
+    val after = planned("quality >= 10000")
+    assert(after.size < total && after.size >= 1,
+      s"expected pruning after migration, planned $after")
+    assert(after.forall(_.contains("region=r2")), after.toString)
+    assert(spark.table("rend.t").count() == 250)
+    assert(spark.sql("SELECT CAST(sum(quality) AS BIGINT) FROM rend.t")
+      .head.getLong(0) ==
+        (0L until 200L).sum + (10000L until 10050L).sum)
+    spark.sql("DROP TABLE rend.t")
+  }
 }
