@@ -444,6 +444,27 @@ object SparkEntry {
     */
   private val typedTableCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
+  /** Bound a DML fixture's accumulated state the way a real CDC
+    * operator would — small-file compaction, manifest checkpoint and an
+    * aggressive vacuum once the per-pass confetti crosses a bound. The
+    * persisted fixture lakes replay their DML every bench pass forever;
+    * without scheduled maintenance their file/manifest population grows
+    * without bound and every later pass pays O(history) instead of
+    * O(steady state). All three verbs are view-preserving, so the
+    * oracles are untouched; pins that need FRESH per-pass state run
+    * after this, on the cleaned table.
+    */
+  private def maintainLakeFixture(s: SparkSession, t: String,
+      maxFiles: Int = 60): Unit = {
+    val p = s"/tmp/graft_catalog_wh/$t"
+    if (graft.sources.WeatherLakeV2Sink.committedFiles(p).size > maxFiles) {
+      s.sql(s"CALL graftlake.system.compact('$t')")
+      s.sql(s"CALL graftlake.system.checkpoint('$t')")
+      s.sql(s"CALL graftlake.system.vacuum('$t', min_age_ms => 1, " +
+        "force => true)")
+    }
+  }
+
   private def typedDocsTable(s: SparkSession, dir: String,
       kind: String): String =
     typedTableCache.getOrElseUpdate(
@@ -458,7 +479,12 @@ object SparkEntry {
       s.sql(s"""CREATE TABLE IF NOT EXISTS graftlake.$t
         (doc_id BIGINT, val BIGINT, source STRING) USING lake
         PARTITIONED BY (source) TBLPROPERTIES ('statsFields' = 'doc_id')""")
-      if (!graft.sources.WeatherLakeV2Sink.manifestExists(p, "base")) {
+      // seed iff EMPTY: fixture maintenance vacuums aggressively, which
+      // can reclaim the superseded "base" manifest past the tombstone
+      // window — the exactly-once guard must be the table's emptiness,
+      // not the token's survival, or a later pass would re-seed
+      if (!graft.sources.WeatherLakeV2Sink.manifestExists(p, "base") &&
+          graft.sources.WeatherLakeV2Sink.committedFiles(p).isEmpty) {
         docs.select(col("doc_id").cast("long").as("doc_id"),
             col("doc_id").cast("long").as("val"), col("source"))
           .writeTo(s"graftlake.$t").option("manifestId", "base").append()
@@ -496,7 +522,8 @@ object SparkEntry {
         (doc_id BIGINT, text STRING, source STRING) USING lake
         PARTITIONED BY (source) TBLPROPERTIES ('statsFields' = 'doc_id',
         'dmlMode' = 'mor')""")
-      if (!graft.sources.WeatherLakeV2Sink.manifestExists(p, "base")) {
+      if (!graft.sources.WeatherLakeV2Sink.manifestExists(p, "base") &&
+          graft.sources.WeatherLakeV2Sink.committedFiles(p).isEmpty) {
         docs.select(col("doc_id").cast("long").as("doc_id"),
             col("text"), col("source"))
           .writeTo(s"graftlake.$t").option("manifestId", "base").append()
@@ -6616,6 +6643,7 @@ object SparkEntry {
         |FROM documents WHERE doc_id % 5 <> 3""".stripMargin),
       (s, dir) => {
         val t = typedDocsTable(s, dir, "mor")
+        maintainLakeFixture(s, t)
         s.sql(s"ALTER TABLE graftlake.$t SET TBLPROPERTIES " +
           s"('dmlMode' = 'mor')")
         val docs = Tables.documents(s, dir)
@@ -6656,6 +6684,7 @@ object SparkEntry {
         |FROM documents WHERE doc_id % 11 <> 7""".stripMargin),
       (s, dir) => {
         val t = typedDocsTable(s, dir, "morrec")
+        maintainLakeFixture(s, t)
         s.sql(s"ALTER TABLE graftlake.$t SET TBLPROPERTIES " +
           s"('dmlMode' = 'mor')")
         val docs = Tables.documents(s, dir)
@@ -6717,6 +6746,7 @@ object SparkEntry {
         |  FROM documents WHERE doc_id < 20)""".stripMargin),
       (s, dir) => {
         val t = typedDocsTable(s, dir, "morcdc")
+        maintainLakeFixture(s, t)
         s.sql(s"ALTER TABLE graftlake.$t SET TBLPROPERTIES " +
           s"('dmlMode' = 'mor')")
         val docs = Tables.documents(s, dir)
@@ -6773,6 +6803,7 @@ object SparkEntry {
         |WHERE doc_id % 7 <> 2""".stripMargin),
       (s, dir) => {
         val t = typedWideDocsTable(s, dir, "morpos")
+        maintainLakeFixture(s, t)
         val docs = Tables.documents(s, dir)
         // re-arm: restore the keys this pass position-deletes
         docs.filter(col("doc_id") % 7 === 2).select(
@@ -6821,6 +6852,7 @@ object SparkEntry {
         .stripMargin),
       (s, dir) => {
         val t = typedDocsTable(s, dir, "cdel")
+        maintainLakeFixture(s, t)
         s.sql(s"ALTER TABLE graftlake.$t SET TBLPROPERTIES " +
           s"('dmlMode' = 'mor')")
         val docs = Tables.documents(s, dir)
@@ -6915,12 +6947,16 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin),
       (s, dir) => {
         val (ot, lt) = bucketedOrderTables(s, dir)
-        // one-time mor debt on the lineitem side: every pass after the
-        // first finds the rows already subtracted and publishes nothing
-        // (the delete FILES stay live — the probe pins SPJ × mor)
-        s.sql(s"ALTER TABLE graftlake.$lt SET TBLPROPERTIES " +
-          "('dmlMode' = 'mor')")
-        s.sql(s"DELETE FROM graftlake.$lt WHERE l_orderkey % 97 = 13")
+        // one-time mor debt on the lineitem side: the DELETE arms the
+        // fixture exactly once (the live delete files themselves are the
+        // done-marker — re-running the statement would publish nothing
+        // but still pay a full matching pass per run)
+        if (graft.sources.WeatherLakeV2Sink
+            .committedMorDeleteFiles(s"/tmp/graft_catalog_wh/$lt").isEmpty) {
+          s.sql(s"ALTER TABLE graftlake.$lt SET TBLPROPERTIES " +
+            "('dmlMode' = 'mor')")
+          s.sql(s"DELETE FROM graftlake.$lt WHERE l_orderkey % 97 = 13")
+        }
         val liveDel = graft.sources.WeatherLakeV2Sink
           .committedMorDeleteFiles(s"/tmp/graft_catalog_wh/$lt")
         require(liveDel.nonEmpty &&
@@ -6994,6 +7030,51 @@ object SparkEntry {
           graft.sources.TypedLake.bucketOfFile(f).isDefined),
           s"bucket markers must survive DML, got $files")
         s.sql(s"SELECT doc_id, val FROM graftlake.$t")
+      }),
+
+    QueryDef("q124_snapshot_tag",
+      "NAMED SNAPSHOT REFS (Iceberg create_tag — the round-14 verdict's " +
+        "stretch item): CALL lake.system.tag pins the live manifest set " +
+        "under an immutable name, VERSION AS OF '<tag>' reads it " +
+        "forever, and the tag is a VACUUM RETENTION ROOT — the in-pass " +
+        "pin runs an aggressive force-vacuum every pass and the tagged " +
+        "read still answers (numeric-version history may be reclaimed; " +
+        "the tag cannot be). Pass 1 tags the freshly seeded table and " +
+        "appends one exactly-once batch past it; later passes find both " +
+        "done — no re-arm loop. The result unions the tagged (genesis) " +
+        "state with the live state; the oracle replays both " +
+        "relationally. At 100 TB this is how a training-data RELEASE is " +
+        "cut: tag the corpus snapshot, keep curating, reproduce any run " +
+        "against the tag.",
+      Some("""SELECT gen, doc_id, val FROM (
+        |  SELECT 'tagged' AS gen, CAST(doc_id AS BIGINT) AS doc_id,
+        |         CAST(doc_id AS BIGINT) AS val FROM documents
+        |  UNION ALL
+        |  SELECT 'live', CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'live', CAST(-1 - doc_id AS BIGINT),
+        |         CAST(doc_id * 11 AS BIGINT)
+        |  FROM documents WHERE doc_id < 20)""".stripMargin),
+      (s, dir) => {
+        val t = typedDocsTable(s, dir, "tagref")
+        val p = s"/tmp/graft_catalog_wh/$t"
+        if (!graft.sources.WeatherLakeV2Sink.tagNames(p).contains("genesis"))
+          s.sql(s"CALL graftlake.system.tag('$t', 'genesis')")
+        val docs = Tables.documents(s, dir)
+        docs.filter(col("doc_id") < 20).select(
+            (lit(-1L) - col("doc_id")).as("doc_id"),
+            (col("doc_id") * 11).cast("long").as("val"),
+            lit("tagged-append").as("source"))
+          .writeTo(s"graftlake.$t").option("manifestId", "post-tag")
+          .append()
+        // retention-root pin: aggressive vacuum cannot break the tag
+        s.sql(s"CALL graftlake.system.vacuum('$t', min_age_ms => 1, " +
+          "force => true)")
+        s.sql(s"""SELECT 'tagged' AS gen, doc_id, val
+          FROM graftlake.$t VERSION AS OF 'genesis'
+          UNION ALL
+          SELECT 'live' AS gen, doc_id, val FROM graftlake.$t""")
       })
   )
 

@@ -171,11 +171,14 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
     val dir = regDirOf(ident).getOrElse(throw new NoSuchTableException(ident))
     val props = readMarker(fs.getConf, dir)
     val location = props.getOrDefault(TableCatalog.PROP_LOCATION, dir)
-    val v = version.toIntOption.getOrElse(throw new IllegalArgumentException(
-      s"LakeCatalog: VERSION AS OF expects an integer commit version, " +
-        s"got '$version'"))
-    tableOf(ident, location, props,
-      pinned = Some(WeatherLakeV2Sink.snapshotAt(location, v)))
+    // an integer is a commit version; anything else is a NAMED REF —
+    // `VERSION AS OF 'v1'` reads the tag's pinned snapshot (Iceberg
+    // refs), which vacuum protects until the tag is dropped
+    val snap = version.toIntOption match {
+      case Some(v) => WeatherLakeV2Sink.snapshotAt(location, v)
+      case None => WeatherLakeV2Sink.readTag(location, version)
+    }
+    tableOf(ident, location, props, pinned = Some(snap))
   }
 
   /** `TIMESTAMP AS OF t` (micros since epoch): the greatest commit
@@ -762,7 +765,7 @@ object LakeCatalog {
   val ProcedureNames: Seq[String] =
     Seq("vacuum", "sweep_orphans", "checkpoint", "compact", "history",
       "measure_stats", "detail", "convert", "reconcile",
-      "compact_deletes")
+      "compact_deletes", "tag", "drop_tag", "tags")
 
   /** The one row shape a lake table has: three path-encoded partition
     * keys plus the raw payload line. `value` (read face) and `raw_json`
@@ -2380,6 +2383,12 @@ object LakeCatalog {
       case "compact_deletes" =>
         "consolidate merge-on-read delete files (directives only, no " +
           "data rewrite)"
+      case "tag" =>
+        "pin the current snapshot under an immutable name (VERSION AS " +
+          "OF '<tag>'); tags are vacuum retention roots"
+      case "drop_tag" => "drop a named tag (its snapshot stops being " +
+        "a retention root)"
+      case "tags" => "list the table's tags and their pinned snapshots"
     }
 
     override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
@@ -2417,6 +2426,9 @@ object LakeCatalog {
         case "reconcile" => Array(p("table", StringType),
           pd("stats_fields", StringType, "NULL"))
         case "compact_deletes" => Array(p("table", StringType))
+        case "tag" | "drop_tag" =>
+          Array(p("table", StringType), p("name", StringType))
+        case "tags" => Array(p("table", StringType))
       }
 
       private def resultSchema: StructType = procName match {
@@ -2459,6 +2471,13 @@ object LakeCatalog {
         case "compact_deletes" => StructType(Seq(
           StructField("delete_files_before", IntegerType, nullable = false),
           StructField("delete_files_after", IntegerType, nullable = false)))
+        case "tag" => StructType(Seq(
+          StructField("pinned_manifests", IntegerType, nullable = false)))
+        case "drop_tag" => StructType(Seq(
+          StructField("existed", BooleanType, nullable = false)))
+        case "tags" => StructType(Seq(
+          StructField("name", StringType, nullable = false),
+          StructField("pinned_manifests", IntegerType, nullable = false)))
       }
 
       /** CONVERT TO LAKE: adopt an EXISTING plain Parquet directory into
@@ -2655,6 +2674,17 @@ object LakeCatalog {
             val (before, after) =
               TypedLake.compactMorDeletes(spark, path, schema)
             Array(InternalRow(before, after))
+          case "tag" =>
+            Array(InternalRow(WeatherLakeV2Sink.createTag(path,
+              input.getUTF8String(1).toString).size))
+          case "drop_tag" =>
+            Array(InternalRow(WeatherLakeV2Sink.dropTag(path,
+              input.getUTF8String(1).toString)))
+          case "tags" =>
+            WeatherLakeV2Sink.tagNames(path).map(n => InternalRow(
+              UTF8String.fromString(n),
+              WeatherLakeV2Sink.readTag(path, n).size): InternalRow)
+              .toArray
           case "measure_stats" =>
             val fields = input.getUTF8String(1).toString
               .split(",").map(_.trim).filter(_.nonEmpty).toSeq

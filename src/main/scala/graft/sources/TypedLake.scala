@@ -532,9 +532,10 @@ object TypedLake {
     * that form leads; the decoded qualified string, the caller's
     * spelling and the bare join key ride along as aliases.
     */
-  private def filePathSpellings(file: String): Seq[String] = {
+  private def filePathSpellings(file: String,
+      fs: org.apache.hadoop.fs.FileSystem): Seq[String] = {
     val p = new Path(file)
-    val q = p.getFileSystem(new Configuration()).makeQualified(p)
+    val q = fs.makeQualified(p)
     val u = q.toUri
     val auth = Option(u.getAuthority).map("//" + _).getOrElse("")
     val encodedQualified = s"${u.getScheme}:$auth${u.getRawPath}"
@@ -546,15 +547,22 @@ object TypedLake {
     * file's authoritative form (a literal `%20` vs an escaped space):
     * each spelling keeps its HIGHEST-priority owner, and the engine
     * always reports the priority-0 form — a lookup can never land on a
-    * shadowed alias.
+    * shadowed alias. ONE Configuration + cached FileSystem for the
+    * whole list — constructing a Configuration is an XML parse, and
+    * per-file construction turns O(files) driver work into seconds on
+    * an accumulated table.
     */
-  private def filePathMap(files: Seq[String]): Seq[(String, String)] =
+  private def filePathMap(files: Seq[String]): Seq[(String, String)] = {
+    if (files.isEmpty) return Seq.empty
+    val fs = new Path(files.head).getFileSystem(new Configuration())
     files
       .flatMap { f =>
-        filePathSpellings(f).zipWithIndex.map { case (s, pri) => (s, f, pri) }
+        filePathSpellings(f, fs).zipWithIndex
+          .map { case (s, pri) => (s, f, pri) }
       }
       .groupBy(_._1).valuesIterator
       .map(_.minBy(_._3)).map(t => (t._1, t._2)).toSeq
+  }
 
   /** Candidate files of a typed op as a frame carrying `__file` (the
     * manifest-joinable path) and — when `withPos` — `__pos`, the row's

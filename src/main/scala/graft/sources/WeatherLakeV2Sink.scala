@@ -2540,13 +2540,27 @@ object WeatherLakeV2Sink {
       val ls = readLines(fs, new Path(mdir, n))
       changePaths(ls) ++ morDeletePaths(ls)
     }.toSet
+    // TAGGED snapshots are RETENTION ROOTS (Iceberg refs): every file a
+    // tag's pinned read resolves — data, change-log and delete files —
+    // plus the tag's manifests themselves are protected until the tag
+    // is dropped, no matter the age. `VERSION AS OF '<tag>'` therefore
+    // never hits the vacuum horizon; untagged history keeps the age
+    // contract unchanged.
+    val tagSnaps = tagNames(basePath).map(n => readTag(basePath, n))
+    val taggedManifests = tagSnaps.flatten.toSet
+    val taggedFiles = tagSnaps.flatMap { snap =>
+      filesAsOf(basePath, snap) ++ snap.flatMap { n =>
+        val ls = readLines(fs, new Path(mdir, n))
+        changePaths(ls) ++ morDeletePaths(ls)
+      }
+    }.toSet
     var removed = 0
     superseded.foreach { n =>
       val lines = readLines(fs, new Path(mdir, n))
       val present = (lines
         .filter(l => l.nonEmpty && !l.startsWith("#"))
         .map(entryPath) ++ changePaths(lines) ++ morDeletePaths(lines))
-        .filterNot(f => liveFiles(f) || liveChanges(f))
+        .filterNot(f => liveFiles(f) || liveChanges(f) || taggedFiles(f))
         .map(new Path(_))
         .filter(fs.exists)
       val (old, young) =
@@ -2554,13 +2568,103 @@ object WeatherLakeV2Sink {
       old.foreach(fs.delete(_, false))
       removed += old.size
       // manifest deletion honors the age guard too: its NAME is the
-      // exactly-once replay token (see above)
+      // exactly-once replay token (see above) — and a tag-pinned
+      // manifest survives regardless
       val mPath = new Path(mdir, n)
-      if (young.isEmpty &&
+      if (young.isEmpty && !taggedManifests(n) &&
           fs.getFileStatus(mPath).getModificationTime < cutoff)
         fs.delete(mPath, false)
     }
     removed
+  }
+
+  // -------------------------------------------------------------------
+  // named refs: TAGS (immutable snapshot pins — Iceberg refs)
+  // -------------------------------------------------------------------
+
+  /** Where named refs live under a table root — underscore-prefixed so
+    * data walks skip it structurally, sibling of [[ManifestDir]].
+    */
+  val RefsDir = "_refs"
+
+  private def tagFile(basePath: String, name: String): Path = {
+    require(name.nonEmpty &&
+      name.forall(c => c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"tag name '$name' must be non-empty [A-Za-z0-9._-]")
+    new Path(new Path(basePath, RefsDir), s"tag-$name")
+  }
+
+  /** The table's tag names, sorted. O(refs) driver metadata. */
+  def tagNames(basePath: String): Seq[String] = {
+    val refs = new Path(basePath, RefsDir)
+    val fs = refs.getFileSystem(new Configuration())
+    if (!fs.exists(refs)) Seq.empty
+    else fs.listStatus(refs).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("tag-")).map(_.stripPrefix("tag-")).sorted
+  }
+
+  /** Pin the CURRENT live snapshot under an immutable name (Iceberg
+    * `create_tag`): one tiny JSON file of manifest names, written
+    * temp-then-rename so it appears atomically. Tags are retention
+    * roots — [[vacuum]] keeps every file and manifest the tagged
+    * snapshot resolves until [[dropTag]]. Re-creating an existing name
+    * refuses LOUDLY (immutability is the point of a tag); a lost race
+    * against a concurrent create of the same name refuses the same way.
+    * Returns the pinned manifest set.
+    */
+  def createTag(basePath: String, name: String): Seq[String] = {
+    val file = tagFile(basePath, name)
+    val fs = file.getFileSystem(new Configuration())
+    if (fs.exists(file)) throw new IllegalArgumentException(
+      s"tag '$name' already exists on $basePath — tags are IMMUTABLE; " +
+        s"CALL lake.system.drop_tag first to re-point it")
+    val snap = liveManifests(basePath)
+    require(snap.nonEmpty, s"cannot tag $basePath before its first commit")
+    fs.mkdirs(new Path(basePath, RefsDir))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val arr = mapper.createArrayNode()
+    snap.sorted.foreach(arr.add)
+    val tmp = new Path(new Path(basePath, RefsDir),
+      s".tag-$name.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write(mapper.writeValueAsString(arr)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, file)) {
+      fs.delete(tmp, false)
+      throw new IllegalArgumentException(
+        s"tag '$name' already exists on $basePath (lost a concurrent " +
+          "create) — tags are IMMUTABLE; drop it first")
+    }
+    snap
+  }
+
+  /** The manifest set a tag pins — loud on an unknown name, listing the
+    * table's tags (the typo answer a `VERSION AS OF '<tag>'` user needs).
+    */
+  def readTag(basePath: String, name: String): Seq[String] = {
+    val file = tagFile(basePath, name)
+    val fs = file.getFileSystem(new Configuration())
+    if (!fs.exists(file)) throw new IllegalArgumentException(
+      s"unknown tag '$name' on $basePath — existing tags: " +
+        s"[${tagNames(basePath).mkString(", ")}]")
+    val in = fs.open(file)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(txt)
+    val names = Seq.newBuilder[String]
+    node.forEach(n => names += n.asText())
+    names.result()
+  }
+
+  /** Drop a tag: the snapshot stops being a retention root and the next
+    * [[vacuum]] reclaims whatever only it was keeping. Returns whether
+    * the tag existed.
+    */
+  def dropTag(basePath: String, name: String): Boolean = {
+    val file = tagFile(basePath, name)
+    file.getFileSystem(new Configuration()).delete(file, false)
   }
 
   /** Reclaim TRUE orphans — data files referenced by NO manifest at all:
@@ -2601,7 +2705,12 @@ object WeatherLakeV2Sink {
       fs.listStatus(dir).toSeq.flatMap { st =>
         if (st.getPath.getName.startsWith(".")) Seq.empty
         else if (st.isDirectory) {
-          if (st.getPath.getName == ManifestDir) Seq.empty else walk(st.getPath)
+          // metadata dirs are not data: manifests and named refs are
+          // referenced by NAME, not by entry lines, so the orphan rule
+          // does not apply to them
+          if (st.getPath.getName == ManifestDir ||
+            st.getPath.getName == RefsDir) Seq.empty
+          else walk(st.getPath)
         } else Seq(st)
       }
     val victims = walk(new Path(basePath)).filter { st =>
