@@ -1975,7 +1975,18 @@ object LakeCatalog {
     }
     override def createColumnarReader(p: InputPartition):
         PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-      delegate.createColumnarReader(unwrap(p))
+      p match {
+        // never silently unwrap a targeted bucket to its clean splits —
+        // the columnar path cannot apply skip sets, and dropping the
+        // targeted files would lose rows; supportColumnarReads already
+        // reports false for the whole scan, so this is unreachable
+        // unless the engine's contract changes — fail LOUDLY then
+        case b: BucketFilesPartition if b.targeted.nonEmpty =>
+          throw new IllegalStateException(
+            "LakeCatalog: columnar read requested for a mor-targeted " +
+              "bucket partition — inline subtraction is row-based")
+        case other => delegate.createColumnarReader(unwrap(other))
+      }
     override def supportColumnarReads(p: InputPartition): Boolean =
       !anyTargeted && delegate.supportColumnarReads(unwrap(p))
   }
