@@ -2473,7 +2473,11 @@ object LakeCatalog {
           // split-scan's own arithmetic)
           StructField("live_position_delete_files", IntegerType,
             nullable = false),
-          StructField("mor_targeted_files", IntegerType, nullable = false)))
+          StructField("mor_targeted_files", IntegerType, nullable = false),
+          // appended round 15 (index-stable): named refs pinning vacuum
+          // retention roots — a non-zero count explains "why didn't
+          // vacuum reclaim my history"
+          StructField("tags", IntegerType, nullable = false)))
         case "convert" => StructType(Seq(
           StructField("adopted_files", IntegerType, nullable = false),
           StructField("measured_files", IntegerType, nullable = false)))
@@ -2732,7 +2736,8 @@ object LakeCatalog {
               WeatherLakeV2Sink.liveManifests(path).size,
               WeatherLakeV2Sink.manifestNames(path).size, withStats,
               liveDel.size,
-              liveDel.count(TypedLake.isPosDelete), targeted))
+              liveDel.count(TypedLake.isPosDelete), targeted,
+              WeatherLakeV2Sink.tagNames(path).size))
           case "history" =>
             val fs = new Path(path).getFileSystem(new Configuration())
             val mdir = new Path(path, WeatherLakeV2Sink.ManifestDir)

@@ -2555,8 +2555,23 @@ object WeatherLakeV2Sink {
       }
     }.toSet
     var removed = 0
+    // manifest deletion is TWO-PHASE: a manifest's #supersedes lines are
+    // the tombstones keeping its targets OUT of the live set, so a
+    // superseder's manifest file may only be deleted together-with-or-
+    // after everything it supersedes. Phase 1 reclaims data files and
+    // collects deletion candidates; phase 2 retains (by fixpoint) any
+    // candidate that supersedes a manifest remaining on disk — a tag
+    // hold (or an age/straggler hold) on a target therefore retains its
+    // whole superseder chain's manifest FILES, else the target would
+    // resurrect into the live view the moment its tombstone vanished
+    // (found by the model spec: tag → reconcile → zero-age vacuum
+    // resurrected a checkpoint's superseded lines).
+    val candidates = scala.collection.mutable.Set.empty[String]
+    val supersedesOf = scala.collection.mutable.Map.empty[String, Seq[String]]
     superseded.foreach { n =>
       val lines = readLines(fs, new Path(mdir, n))
+      supersedesOf(n) = lines.filter(_.startsWith(SupersedesPrefix))
+        .map(_.stripPrefix(SupersedesPrefix).trim)
       val present = (lines
         .filter(l => l.nonEmpty && !l.startsWith("#"))
         .map(entryPath) ++ changePaths(lines) ++ morDeletePaths(lines))
@@ -2573,8 +2588,19 @@ object WeatherLakeV2Sink {
       val mPath = new Path(mdir, n)
       if (young.isEmpty && !taggedManifests(n) &&
           fs.getFileStatus(mPath).getModificationTime < cutoff)
-        fs.delete(mPath, false)
+        candidates += n
     }
+    var changed = true
+    while (changed) {
+      changed = false
+      candidates.toSeq.foreach { n =>
+        val retainedTargets = supersedesOf.getOrElse(n, Seq.empty).exists {
+          t => !candidates(t) && fs.exists(new Path(mdir, t))
+        }
+        if (retainedTargets) { candidates -= n; changed = true }
+      }
+    }
+    candidates.foreach(n => fs.delete(new Path(mdir, n), false))
     removed
   }
 

@@ -8,10 +8,11 @@ import org.apache.spark.sql.types._
 
 import graft.sources.{TypedLake, WeatherLakeV2Sink}
 
-/** Model-based property test of the TYPED lake incl. MERGE-ON-READ:
-  * random sequences of TEN table operations — append, copy-on-write
-  * merge/delete/update, MOR merge/delete, compact, checkpoint, measure,
-  * reconcile — against both the real table and a trivial in-memory Map.
+/** Model-based property test of the TYPED lake incl. MERGE-ON-READ
+  * and NAMED REFS: random sequences of table operations — append,
+  * copy-on-write merge/delete/update, MOR merge/delete/update, compact,
+  * checkpoint, measure, reconcile, compact_deletes, tag, drop_tag —
+  * against both the real table and a trivial in-memory Map.
   * After EVERY op the mor-resolved committed view must equal the model,
   * and a SHADOW consumer fed only the typed incremental change feed
   * (readNewChangesTyped + replaceCursor) must reconstruct the same state
@@ -37,6 +38,12 @@ class TypedLakeModelSpec extends SparkSpec {
       val lake = s"$base/lake"; val cursor = s"$base/cursor"
       var model = Map.empty[Long, Long]
       var shadow = Map.empty[Long, Long]
+      // every live tag remembers the MODEL state at creation: after any
+      // op (CoW rewrites, mor debt, maintenance, the final zero-age
+      // vacuum) the tagged snapshot must still read EXACTLY that state —
+      // the retention-root property under the op mix
+      var tagged = Map.empty[String, Map[Long, Long]]
+      var tagSeq = 0
       var nextKey = 0L
       def payload(rows: Seq[(Long, Long)]): DataFrame =
         rows.toDF("k", "v").select(col("k"), col("v"),
@@ -63,6 +70,14 @@ class TypedLakeModelSpec extends SparkSpec {
           }
         WeatherLakeV2Sink.replaceCursor(cursor, view)
       }
+      def tagState(name: String): Map[Long, Long] = {
+        val snap = WeatherLakeV2Sink.readTag(lake, name)
+        val files = WeatherLakeV2Sink.filesAsOf(lake, snap)
+        val dels = WeatherLakeV2Sink.morDeleteLinesAsOf(lake, snap)
+        TypedLake.readResolvedSplit(spark, lake, schema, files, dels)
+          .select("k", "v").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
       def freshRows(n: Int): Seq[(Long, Long)] =
         (0 until n).map { _ =>
           nextKey += 1; (nextKey, rng.between(0L, 1000L))
@@ -75,7 +90,7 @@ class TypedLakeModelSpec extends SparkSpec {
         model ++= rows
       }
       for (i <- 1 to 11) {
-        val op = rng.nextInt(12)
+        val op = rng.nextInt(14)
         // mor ops randomize the delete-file FLAVOR per op — the table
         // organically mixes position and equality files across its
         // history, the exact state every reader must subtract correctly
@@ -134,8 +149,24 @@ class TypedLakeModelSpec extends SparkSpec {
               k -> (if (k % 3 == r) k * 9 + r else v) }
           case 11 => // delete-file consolidation (directives only)
             TypedLake.compactMorDeletes(spark, lake, schema)
+          case 12 if tagged.size < 2 => // pin a named ref
+            tagSeq += 1
+            val name = s"t$tagSeq"
+            WeatherLakeV2Sink.createTag(lake, name)
+            tagged += name -> model
+          case 12 => () // tag budget full: no-op round
+          case 13 => // drop a random ref (its snapshot stops pinning)
+            rng.shuffle(tagged.keys.toSeq).headOption.foreach { name =>
+              assert(WeatherLakeV2Sink.dropTag(lake, name))
+              tagged -= name
+            }
         }
         assert(lakeState == model, s"trial $trial op#$i (kind $op) diverged")
+        tagged.foreach { case (n, st) =>
+          assert(tagState(n) == st,
+            s"trial $trial op#$i (kind $op): tag '$n' no longer reads " +
+              "its pinned state")
+        }
         applyFeed()
         assert(shadow == model,
           s"trial $trial op#$i (kind $op): feed-reconstructed state diverged")
@@ -154,6 +185,12 @@ class TypedLakeModelSpec extends SparkSpec {
       applyFeed()
       assert(shadow == model)
       assert(WeatherLakeV2Sink.committedMorDeleteFiles(lake).isEmpty)
+      // the harshest retention test: every tag still reads its pinned
+      // state after a ZERO-AGE forced vacuum swept the untagged history
+      tagged.foreach { case (n, st) =>
+        assert(tagState(n) == st,
+          s"trial $trial: tag '$n' broken by the zero-age vacuum")
+      }
     }
   }
 }

@@ -114,6 +114,19 @@ class TypedLakeMorInlineSpec extends SparkSpec {
     assert(hasBhj(j.queryExecution.executedPlan),
       s"mor dim must still auto-broadcast:\n${j.queryExecution.executedPlan}")
     assert(j.count() == 49)
+    // the DEMOTED (equality-flavor) rewrite keeps broadcastability too:
+    // its v1 legs carry file-index size stats and anti-join/union stats
+    // compose, so a small dim under the threshold still elects BHJ
+    spark.sql("ALTER TABLE mib.dim SET TBLPROPERTIES " +
+      "('morDeletes' = 'equality')")
+    spark.sql("DELETE FROM mib.dim WHERE k = 48")
+    val j2 = spark.sql("""SELECT f.k, count(*) AS n, max(d.name) AS dn
+      FROM mib.fact f JOIN mib.dim d ON f.k = d.k GROUP BY f.k""")
+    j2.collect()
+    assert(hasBhj(j2.queryExecution.executedPlan),
+      s"demoted mor dim must still auto-broadcast:\n" +
+        j2.queryExecution.executedPlan)
+    assert(j2.count() == 48)
     spark.sql("DROP TABLE mib.dim")
     spark.sql("DROP TABLE mib.fact")
   }

@@ -80,6 +80,45 @@ class TypedLakeRefsSpec extends SparkSpec {
     spark.sql("DROP TABLE refs.t")
   }
 
+  test("a tag hold retains its SUPERSEDER chain's manifests: tag → " +
+      "reconcile (supersedes the tagged manifests) → zero-age vacuum " +
+      "must not resurrect the superseded state into the live view") {
+    val w = Files.createTempDirectory("refsr").toString
+    spark.conf.set("spark.sql.catalog.refsr", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.refsr.warehouse", w)
+    spark.sql("""CREATE TABLE refsr.t (id BIGINT, v BIGINT) USING lake
+      TBLPROPERTIES ('dmlMode' = 'mor')""")
+    spark.sql("INSERT INTO refsr.t SELECT id, id FROM range(20)")
+    spark.sql("DELETE FROM refsr.t WHERE id = 5")
+    spark.sql("CALL refsr.system.tag('t', 'pin')")
+    // reconcile SUPERSEDES the tagged manifests (its tombstones keep
+    // them out of the live set); a vacuum that deleted the reconcile
+    // manifest while the tag retained its targets would resurrect the
+    // pre-reconcile lines — the live view would double every row the
+    // reconcile re-listed and re-show id=5
+    spark.sql("CALL refsr.system.reconcile('t')")
+    spark.sql("DELETE FROM refsr.t WHERE id = 6")
+    spark.sql("CALL refsr.system.vacuum('t', min_age_ms => 0, " +
+      "force => true)")
+    assert(spark.table("refsr.t").count() == 18,
+      "superseded state resurrected into the live view")
+    assert(spark.sql("SELECT count(*) FROM refsr.t WHERE id IN (5, 6)")
+      .head.getLong(0) == 0)
+    // and the tag still answers its pinned state exactly
+    assert(spark.sql("SELECT count(*) FROM refsr.t VERSION AS OF 'pin'")
+      .head.getLong(0) == 19)
+    assert(spark.sql(
+      "SELECT count(*) FROM refsr.t VERSION AS OF 'pin' WHERE id = 5")
+      .head.getLong(0) == 0)
+    // dropping the tag releases the whole chain; the next vacuum
+    // reclaims it and the live view is unchanged
+    spark.sql("CALL refsr.system.drop_tag('t', 'pin')")
+    spark.sql("CALL refsr.system.vacuum('t', min_age_ms => 0, " +
+      "force => true)")
+    assert(spark.table("refsr.t").count() == 18)
+    spark.sql("DROP TABLE refsr.t")
+  }
+
   test("function face: tags survive sweep_orphans, tag names validate, " +
       "and an empty table refuses to tag") {
     val lake = Files.createTempDirectory("refsf").toString + "/lake"
