@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, SafeProjection, UnsafeProjection}
 import org.apache.spark.sql.execution.datasources.parquet.{ParquetOutputWriter, ParquetWriteSupport}
-import org.apache.spark.sql.functions.{broadcast, col, lit}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, concat, lit, raise_error}
 import org.apache.spark.sql.types._
 
 /** TYPED, Parquet-backed lake tables — the general form of the manifest
@@ -591,8 +591,18 @@ object TypedLake {
         Seq(col("_metadata.row_index").as(PosFrameCol)) else Seq.empty) ++
       Seq(col("_metadata.file_path").as("__path")) ++
       schema.fieldNames.toSeq.map(mappedCol(schema))
+    // LEFT join + loud per-row guard, not an inner join: an engine
+    // spelling the driver map did not anticipate (a Spark/Hadoop upgrade
+    // changing SparkPath's encoding or authority rendering) must FAIL the
+    // rewrite, never silently drop that file's rows from a DELETE/UPDATE/
+    // MERGE (which would be data loss). The guard is a constant-per-split
+    // coalesce, zero cost on the matched path.
     base.select(cols: _*)
-      .join(broadcast(keyed.toDF("__path", "__file")), "__path")
+      .join(broadcast(keyed.toDF("__path", "__file")), Seq("__path"), "left")
+      .withColumn("__file", coalesce(col("__file"), raise_error(concat(
+        lit("TypedLake.framedTyped: engine-reported file_path spelling " +
+          "not in the driver spelling map (path-encoding drift?): "),
+        col("__path")))))
       .drop("__path")
   }
 

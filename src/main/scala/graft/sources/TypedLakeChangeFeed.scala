@@ -291,10 +291,25 @@ object TypedLakeChangeFeed {
     override def deserializeOffset(json: String): Offset =
       CdfOffset(parseJson(json))
 
+    /** SHA-1 of the feed's CURRENT change schema (column names included):
+      * staged parquet written before a column rename carries the OLD
+      * spelling, and re-reading it under the new schema would null-fill
+      * the renamed column silently — the stage is only replayable while
+      * the schema it was written under still holds.
+      */
+    private def schemaSha: String =
+      java.security.MessageDigest.getInstance("SHA-1")
+        .digest(changeSchema(tableSchema).json
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+
     /** Materialize the window's diff exactly once (keyed by the offset
       * pair, temp-then-rename) and return its parquet files. A replay
       * of the same window re-serves the staged files without
-      * re-deriving the diff.
+      * re-deriving the diff — unless the table schema changed since the
+      * stage was written (meta records the schema sha): then the stage
+      * is DISCARDED and the diff re-derives under the current schema,
+      * which reads old spellings through the name mapping.
       */
     private def stageBatch(from: Seq[String], to: Seq[String])
         : Seq[String] = {
@@ -303,14 +318,25 @@ object TypedLakeChangeFeed {
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         .map("%02x".format(_)).mkString
       val dir = new Path(stageRoot, s"b-$digest")
+      if (fs.exists(dir) &&
+          !readMeta(dir).exists(_._2.contains(schemaSha)))
+        // legacy meta (no schema sha) or a schema drift since staging:
+        // never replay bytes whose column spellings may no longer match
+        fs.delete(dir, true)
       if (!fs.exists(dir)) {
         val tmp = new Path(stageRoot, s".b-$digest.tmp-${UUID.randomUUID()}")
         TypedLake.changesBetweenTyped(spark, path, tableSchema, keyCols,
             from = from, to = to)
           .write.parquet(tmp.toString)
-        // GC metadata: the admitted frontier this stage belongs to
+        // GC + replay metadata: the admitted frontier this stage belongs
+        // to, and the schema it was derived under
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val obj = mapper.createObjectNode()
+        val arr = obj.putArray("to")
+        to.sorted.foreach(arr.add)
+        obj.put("schemaSha", schemaSha)
         val meta = fs.create(new Path(tmp, "graft-cdf-meta"), false)
-        try meta.write(CdfOffset(to).json()
+        try meta.write(mapper.writeValueAsString(obj)
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally meta.close()
         if (!fs.rename(tmp, dir)) fs.delete(tmp, true) // a replay won
@@ -318,6 +344,33 @@ object TypedLakeChangeFeed {
       fs.listStatus(dir).map(_.getPath.toString)
         .filter(_.endsWith(".parquet")).sorted.toSeq
     }
+
+    /** A stage's (admitted frontier, schema sha) — None when the meta
+      * file is missing or unreadable; schema sha None on the legacy
+      * array-only form (pre-schema-stamp stages).
+      */
+    private def readMeta(dir: Path): Option[(Seq[String], Option[String])] =
+      try {
+        val metaFile = new Path(dir, "graft-cdf-meta")
+        if (!fs.exists(metaFile)) None
+        else {
+          val in = fs.open(metaFile)
+          val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          val node = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(txt)
+          if (node.isArray) {
+            val names = Seq.newBuilder[String]
+            node.forEach(n => names += n.asText())
+            Some((names.result(), None))
+          } else {
+            val names = Seq.newBuilder[String]
+            node.get("to").forEach(n => names += n.asText())
+            Some((names.result(), Option(node.get("schemaSha"))
+              .map(_.asText())))
+          }
+        }
+      } catch { case _: Exception => None }
 
     override def planInputPartitions(start: Offset, end: Offset)
         : Array[InputPartition] = {
@@ -352,17 +405,7 @@ object TypedLakeChangeFeed {
       val committed = offsetManifests(end).toSet
       if (!fs.exists(stageRoot)) return
       fs.listStatus(stageRoot).filter(_.isDirectory).foreach { st =>
-        val metaFile = new Path(st.getPath, "graft-cdf-meta")
-        val to =
-          try {
-            if (!fs.exists(metaFile)) Seq.empty
-            else {
-              val in = fs.open(metaFile)
-              try parseJson(scala.io.Source
-                .fromInputStream(in, "UTF-8").mkString)
-              finally in.close()
-            }
-          } catch { case _: Exception => Seq.empty }
+        val to = readMeta(st.getPath).map(_._1).getOrElse(Seq.empty)
         if (to.nonEmpty && to.forall(committed))
           fs.delete(st.getPath, true)
       }

@@ -2600,7 +2600,32 @@ object WeatherLakeV2Sink {
         if (retainedTargets) { candidates -= n; changed = true }
       }
     }
-    candidates.foreach(n => fs.delete(new Path(mdir, n), false))
+    // Deletion is ORDERED targets-first (reverse-topological over the
+    // #supersedes edges): a superseder manifest — whose lines are the
+    // tombstones keeping its targets dead — falls only after every
+    // candidate it supersedes is confirmed gone from disk. A crash (or
+    // a false-returning fs.delete) mid-sweep then strands at worst a
+    // tombstone whose targets are already deleted, never a target
+    // stripped of its tombstone: the resurrection the fixpoint above
+    // prevents cannot reopen as a crash window. A failed delete keeps
+    // its manifest in `remaining`, which blocks the whole dependent
+    // superseder chain this pass (the next vacuum retries).
+    val remaining = scala.collection.mutable.Set.empty[String] ++ candidates
+    var progress = true
+    while (progress) {
+      progress = false
+      remaining.toSeq.sorted.foreach { n =>
+        val blocked = supersedesOf.getOrElse(n, Seq.empty)
+          .exists(remaining)
+        if (!blocked) {
+          val p = new Path(mdir, n)
+          if (fs.delete(p, false) || !fs.exists(p)) {
+            remaining -= n
+            progress = true
+          }
+        }
+      }
+    }
     removed
   }
 
@@ -2630,15 +2655,26 @@ object WeatherLakeV2Sink {
   }
 
   /** Pin the CURRENT live snapshot under an immutable name (Iceberg
-    * `create_tag`): one tiny JSON file of manifest names, written
-    * temp-then-rename so it appears atomically. Tags are retention
-    * roots — [[vacuum]] keeps every file and manifest the tagged
-    * snapshot resolves until [[dropTag]]. Re-creating an existing name
-    * refuses LOUDLY (immutability is the point of a tag); a lost race
-    * against a concurrent create of the same name refuses the same way.
-    * Returns the pinned manifest set.
+    * `create_tag`): one tiny JSON file of manifest names. The final file
+    * is created with `overwrite = false` — the filesystem's atomic
+    * fail-if-exists — NOT temp-then-rename: `RawLocalFileSystem` (and
+    * several object-store connectors) overwrite on rename and return
+    * true, so a rename-based guard would let a concurrent duplicate
+    * create silently re-point an "immutable" tag. The cost is that a
+    * reader racing the ~100-byte write can see a truncated file — which
+    * fails [[readTag]]'s JSON parse LOUDLY and transiently, never
+    * resolves to a wrong snapshot. Tags are retention roots — [[vacuum]]
+    * keeps every file and manifest the tagged snapshot resolves until
+    * [[dropTag]]. Re-creating an existing name refuses LOUDLY
+    * (immutability is the point of a tag). All-digit names are rejected:
+    * `VERSION AS OF` resolves numeric strings as commit versions FIRST,
+    * so such a tag could never be read back. Returns the pinned set.
     */
   def createTag(basePath: String, name: String): Seq[String] = {
+    require(!name.forall(_.isDigit),
+      s"tag name '$name' is all digits — VERSION AS OF resolves numeric " +
+        "strings as commit versions before tag names, so this tag could " +
+        "never be read; pick a name with a non-digit character")
     val file = tagFile(basePath, name)
     val fs = file.getFileSystem(new Configuration())
     if (fs.exists(file)) throw new IllegalArgumentException(
@@ -2650,18 +2686,24 @@ object WeatherLakeV2Sink {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val arr = mapper.createArrayNode()
     snap.sorted.foreach(arr.add)
-    val tmp = new Path(new Path(basePath, RefsDir),
-      s".tag-$name.tmp-${java.util.UUID.randomUUID()}")
-    val out = fs.create(tmp, false)
+    val out =
+      try fs.create(file, false)
+      catch {
+        // FileAlreadyExistsException is the spec'd signal; some
+        // connectors throw plain IOException — re-classify only when
+        // the file verifiably appeared (a real IO fault stays an error)
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          throw new IllegalArgumentException(
+            s"tag '$name' already exists on $basePath (lost a concurrent " +
+              "create) — tags are IMMUTABLE; drop it first")
+        case e: java.io.IOException if fs.exists(file) =>
+          throw new IllegalArgumentException(
+            s"tag '$name' already exists on $basePath (lost a concurrent " +
+              "create) — tags are IMMUTABLE; drop it first", e)
+      }
     try out.write(mapper.writeValueAsString(arr)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    if (!fs.rename(tmp, file)) {
-      fs.delete(tmp, false)
-      throw new IllegalArgumentException(
-        s"tag '$name' already exists on $basePath (lost a concurrent " +
-          "create) — tags are IMMUTABLE; drop it first")
-    }
     snap
   }
 

@@ -133,7 +133,19 @@ class TypedLakeRefsSpec extends SparkSpec {
       Seq.empty, manifestId = Some("base"))
     intercept[IllegalArgumentException](
       WeatherLakeV2Sink.createTag(lake, "bad name!"))
+    // all-digit names shadow VERSION AS OF's numeric resolution — a tag
+    // named '123' could be created but never read back; refuse loudly
+    val digits = intercept[IllegalArgumentException](
+      WeatherLakeV2Sink.createTag(lake, "123"))
+    assert(digits.getMessage.contains("all digits"))
     WeatherLakeV2Sink.createTag(lake, "rel-1.0")
+    // immutability holds even on filesystems whose rename overwrites:
+    // the tag file is created fail-if-exists, so a duplicate create
+    // refuses and the ORIGINAL pinned snapshot survives byte-identical
+    val pinned = WeatherLakeV2Sink.readTag(lake, "rel-1.0")
+    intercept[IllegalArgumentException](
+      WeatherLakeV2Sink.createTag(lake, "rel-1.0"))
+    assert(WeatherLakeV2Sink.readTag(lake, "rel-1.0") == pinned)
     assert(WeatherLakeV2Sink.tagNames(lake) == Seq("rel-1.0"))
     // the refs dir is metadata, not data: the orphan sweep skips it
     WeatherLakeV2Sink.sweepOrphans(lake, minAgeMs = 1L)
