@@ -1464,7 +1464,14 @@ object LakeCatalog {
       }
     }
 
+    // the engine-pushed conjuncts, kept so the inline-mor targeted leg
+    // can re-push the SAME filters into its own delegate (row-group and
+    // page skipping on targeted files — the row-index column keeps
+    // ordinal subtraction exact under skipping)
+    private var pushedExprs: Seq[Expression] = Nil
+
     override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+      pushedExprs = filters
       if (inner == null && statsOf.nonEmpty) {
         val bounds = filters.flatMap(boundsOf)
         // lexical (non-numeric) stats compare in Java-string order while
@@ -1503,38 +1510,78 @@ object LakeCatalog {
       ensure().pruneColumns(requiredSchema)
     }
     // aggregate pushdown reads parquet FOOTER counts — blind to mor
-    // debt, so a pushed count(*) would count deleted rows: refuse while
-    // delete files are live (reads stay correct through the skip sets)
+    // debt, so a pushed aggregate would see deleted rows. COUNT(*) with
+    // no grouping is the one EXACTLY compensable case under position
+    // debt (this builder only carries morDeleteLines when every live
+    // delete file is position flavor — inline eligibility): each file's
+    // footer count minus its skip-set size IS its live row count, so the
+    // pushed partials stay per-file ([[MorCompensatedCountScan]]) and
+    // the engine's final sum is exact. Everything else (MIN/MAX touch
+    // values, grouped counts key on data) stays refused while debt is
+    // live — reads remain correct through the skip sets.
+    private var aggPushedUnderMor = false
+    private def countStarOnly(
+        agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+        : Boolean =
+      agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+        agg.aggregateExpressions.forall(
+          _.isInstanceOf[org.apache.spark.sql.connector.expressions
+            .aggregate.CountStar])
     override def pushAggregation(
         agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-      morDeleteLines.isEmpty && ensure().pushAggregation(agg)
+      if (morDeleteLines.isEmpty) ensure().pushAggregation(agg)
+      else if (countStarOnly(agg) && ensure().pushAggregation(agg)) {
+        aggPushedUnderMor = true
+        true
+      } else false
     override def supportCompletePushDown(
         agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+      // under debt the compensated counts are PER-FILE partials — the
+      // engine must keep its final aggregation to sum them
       morDeleteLines.isEmpty && ensure().supportCompletePushDown(agg)
     override def pushVariantExtractions(
         extractions: Array[org.apache.spark.sql.connector.read.VariantExtraction]): Array[Boolean] =
       ensure().pushVariantExtractions(extractions)
     override def build(): Scan = {
-      // inline-mor scans carry a SECOND delegate with the same projection
-      // and NO pushed filters: targeted files must be read in full
-      // physical order (row-group/page skipping would break ordinal
-      // reconstruction). The engine re-evaluates data filters above every
-      // file scan, so the filterless read is sliver-side IO cost only,
-      // never correctness.
       val primary = ensure().build()
-      val ordinalScan =
+      if (aggPushedUnderMor)
+        return new MorCompensatedCountScan(primary, morDeleteLines)
+      // inline-mor scans carry a SECOND delegate over the TARGETED files
+      // only, built lazily by the Scan once the skip sets are loaded
+      // (the targeted file list is the delete files' payload). Two
+      // flavors: the ROW-INDEX delegate projects the engine's
+      // `_tmp_metadata_row_index` column and re-pushes the same filters
+      // — the parquet readers stamp each row's exact physical ordinal,
+      // so row-group/page skipping stays ON for targeted files and
+      // subtraction looks the ordinal up instead of counting emitted
+      // rows. The LEGACY delegate (schemas the vectorized reader cannot
+      // take — the row path generates no row indices) keeps the old
+      // contract: no filters, whole-file reads, counted ordinals.
+      val mkOrdinal: Option[(Seq[String], Boolean) => Scan] =
         if (morDeleteLines.isEmpty) None
-        else {
-          val b = mkInner(files)
-          prunedTo.foreach(b.pruneColumns)
-          val s = b.build()
-          require(s.readSchema() == primary.readSchema(),
-            "mor-inline ordinal delegate must project the same schema")
-          Some(s)
+        else Some { (targeted, withRowIdx) =>
+          val b = mkInner(targeted)
+          val base = prunedTo.getOrElse(tableSchema)
+          if (withRowIdx) {
+            // NULLABLE is load-bearing: the column is absent from every
+            // data file, and the vectorized reader admits a missing
+            // column only when OPTIONAL — it then recognizes the
+            // row-index name and fills the vector from the generator
+            // instead of nulls (a required field would throw
+            // "Required column is missing" before the special case)
+            b.pruneColumns(StructType(base.fields :+ StructField(
+              org.apache.spark.sql.execution.datasources.parquet
+                .ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
+              LongType, nullable = true)))
+            b.pushFilters(pushedExprs)
+          } else {
+            b.pruneColumns(base)
+          }
+          b.build()
         }
       new TypedLakeStreamableScan(
         primary, path, tableSchema, prunedTo, options, pinnedTable,
-        bucketSpec, morDeleteLines, ordinalScan)
+        bucketSpec, morDeleteLines, mkOrdinal)
     }
 
     /** Test seam: the file list the delegate was (or would be) built
@@ -1564,7 +1611,7 @@ object LakeCatalog {
       options: CaseInsensitiveStringMap, pinnedTable: Boolean,
       bucketSpec: Option[(String, Int)] = None,
       morDeleteLines: Seq[String] = Nil,
-      ordinalScan: Option[Scan] = None)
+      mkOrdinal: Option[(Seq[String], Boolean) => Scan] = None)
       extends Scan
       with org.apache.spark.sql.connector.read.SupportsReportStatistics
       with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -1615,16 +1662,116 @@ object LakeCatalog {
         : String =
       new java.net.URI(f.filePath.toString).getPath
 
-    /** A targeted file re-planned as ONE whole-file split: the skip
-      * reader reconstructs each row's physical ordinal by counting
-      * emitted rows, which is exact only over a full filterless read
-      * from offset 0 (the ordinal delegate pushes no filters, so no
-      * row group or page is skipped).
+    /** A targeted file re-planned as ONE whole-file split — the LEGACY
+      * (counting) ordinal mode: the skip reader reconstructs each row's
+      * physical ordinal by counting emitted rows, which is exact only
+      * over a full filterless read from offset 0.
       */
     private def wholeFile(
         f: org.apache.spark.sql.execution.datasources.PartitionedFile)
         : org.apache.spark.sql.execution.datasources.PartitionedFile =
       f.copy(start = 0L, length = f.fileSize)
+
+    /** The primary delegate's planned partitions when ALL are file-based
+      * (the invariant every inline-mor and bucket path rides) — None on
+      * a non-file delegate. Planned once.
+      */
+    private lazy val delegateFileParts:
+        Option[Seq[org.apache.spark.sql.execution.datasources.FilePartition]] = {
+      val parts = delegateBatch.planInputPartitions().toSeq
+      val fileParts = parts.collect {
+        case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+          fp
+      }
+      if (fileParts.size != parts.size) None else Some(fileParts)
+    }
+
+    /** The inline-mor TARGETED leg, resolved once per scan:
+      *
+      *  - ROW-INDEX mode (vectorized-readable schemas — the common
+      *    case): a second delegate over ONLY the targeted files projects
+      *    the parquet readers' `_tmp_metadata_row_index` column and
+      *    re-pushes the scan's filters. Each emitted row carries its
+      *    exact PHYSICAL ordinal (the generator reads row-group/page
+      *    offsets from the footer), so filters, row-group skipping and
+      *    split planning all stay ON for targeted files; subtraction is
+      *    a lookup, and the extra column projects away into the
+      *    primary's column order. The delegate's vectorized reader also
+      *    gives the leg a COLUMNAR face ([[RowIdxSkipColumnarReader]]),
+      *    so one live delete file no longer demotes the whole scan's
+      *    columnar handoff.
+      *  - LEGACY (counting) mode (schemas the vectorized reader cannot
+      *    take — the DSv2 parquet-mr row path generates no row
+      *    indices): filterless whole-file reads with counted ordinals,
+      *    row-based, exactly the r15 contract. Fail-safe, never
+      *    fail-wrong.
+      */
+    private lazy val ordinalLeg: Option[MorOrdinalLeg] = {
+      if (morSkips.isEmpty) None
+      else {
+        val fileParts = delegateFileParts.getOrElse(
+          throw new IllegalStateException(
+            "LakeCatalog: inline mor subtraction needs a file-based " +
+              "delegate scan"))
+        val skips = morSkips
+        val targetedRaw = fileParts.flatMap(_.files)
+          .map(skipKeyOf).distinct.filter(skips.contains).sorted
+        if (targetedRaw.isEmpty) None
+        else {
+          val mk = mkOrdinal.getOrElse(throw new IllegalStateException(
+            "LakeCatalog: inline mor scan without an ordinal delegate"))
+          val sqlConf = SparkSession.active.sessionState.conf
+          val rowIdxName = org.apache.spark.sql.execution.datasources
+            .parquet.ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME
+          // a table column spelled like the temp row-index column would
+          // collide with the generator — vanishingly unlikely; demote
+          val rowIdxScan =
+            if (tableSchema.fieldNames.contains(rowIdxName)) None
+            else Some(mk(targetedRaw, true))
+          val vectorized = rowIdxScan.exists(s =>
+            org.apache.spark.sql.execution.datasources.parquet.ParquetUtils
+              .isBatchReadSupportedForSchema(sqlConf, s.readSchema()))
+          if (vectorized) {
+            val scan = rowIdxScan.get
+            val schema = scan.readSchema()
+            val rowIdxOrd = schema.fieldIndex(rowIdxName)
+            val prim = inner.readSchema()
+            val outOrdinals = prim.fields.map(f => schema.fieldIndex(f.name))
+            val batch = scan.toBatch
+            // regroup the delegate's planned splits ONE PARTITION PER
+            // TARGETED FILE (splits sorted by offset, so row indices
+            // stay monotonic per reader): each partition pairs with its
+            // file's skip set
+            val partsByFile = batch.planInputPartitions().toSeq
+              .collect { case fp: org.apache.spark.sql.execution
+                  .datasources.FilePartition => fp }
+              .flatMap(_.files)
+              .groupBy(skipKeyOf)
+              .map { case (k, fs) =>
+                k -> org.apache.spark.sql.execution.datasources
+                  .FilePartition(0, fs.sortBy(_.start).toArray)
+              }
+            Some(MorOrdinalLeg(batch.createReaderFactory(), partsByFile,
+              rowIdxOrd = rowIdxOrd, outOrdinals = outOrdinals,
+              outSchema = prim, rowIndexMode = true))
+          } else {
+            val scan = mk(targetedRaw, false)
+            require(scan.readSchema() == inner.readSchema(),
+              "mor-inline ordinal delegate must project the same schema")
+            val partsByFile = fileParts.flatMap(_.files)
+              .filter(f => skips.contains(skipKeyOf(f)))
+              .groupBy(skipKeyOf)
+              .map { case (k, fs) =>
+                k -> org.apache.spark.sql.execution.datasources
+                  .FilePartition(0, Array(wholeFile(fs.head)))
+              }
+            Some(MorOrdinalLeg(scan.toBatch.createReaderFactory(),
+              partsByFile, rowIdxOrd = -1, outOrdinals = Array.empty,
+              outSchema = inner.readSchema(), rowIndexMode = false))
+          }
+        }
+      }
+    }
 
     /** The delegate's planned files grouped per bucket id (file-name
       * marker, [[TypedLake.bucketOfFile]]) — None when the table is not
@@ -1634,13 +1781,7 @@ object LakeCatalog {
     private lazy val bucketGroups: Option[Seq[(Int,
         Seq[org.apache.spark.sql.execution.datasources.PartitionedFile])]] =
       bucketSpec.flatMap { case (_, _) =>
-        val parts = delegateBatch.planInputPartitions().toSeq
-        val fileParts = parts.collect {
-          case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
-            fp
-        }
-        if (fileParts.size != parts.size) None // non-file delegate
-        else {
+        delegateFileParts.flatMap { fileParts =>
           val tagged = fileParts.flatMap(_.files).map(f =>
             TypedLake.bucketOfFile(f.urlEncodedPath) -> f)
           if (tagged.exists(_._1.isEmpty)) None
@@ -1676,65 +1817,56 @@ object LakeCatalog {
       case (None, true) => delegateBatch
       case (None, false) =>
         // NON-BUCKETED inline mor: targeted files leave their delegate
-        // splits and re-plan as whole-file skip partitions; clean files
-        // keep the delegate's own split planning untouched
+        // splits and re-plan as per-file ordinal-leg partitions; clean
+        // files keep the delegate's own split planning untouched
         val delegate = delegateBatch
         val skips = morSkips
-        val ordFactory = ordinalScan.get.toBatch.createReaderFactory()
+        val leg = ordinalLeg
         new Batch {
           override def planInputPartitions(): Array[InputPartition] = {
-            val parts = delegate.planInputPartitions()
-            val fileParts = parts.collect {
-              case fp: org.apache.spark.sql.execution.datasources
-                  .FilePartition => fp
-            }
-            require(fileParts.length == parts.length,
-              "LakeCatalog: inline mor subtraction needs a file-based " +
-                "delegate scan")
-            val clean = fileParts.toSeq
+            val fileParts = delegateFileParts.getOrElse(
+              throw new IllegalStateException(
+                "LakeCatalog: inline mor subtraction needs a file-based " +
+                  "delegate scan"))
+            val clean = fileParts
               .map(fp => fp.copy(
                 files = fp.files.filterNot(f => skips.contains(skipKeyOf(f)))))
               .filter(_.files.nonEmpty)
               .zipWithIndex.map { case (fp, i) => fp.copy(index = i) }
-            val targeted = fileParts.flatMap(_.files)
-              .filter(f => skips.contains(skipKeyOf(f)))
-              .groupBy(skipKeyOf).toSeq.sortBy(_._1)
-              .zipWithIndex.map { case ((k, fs), i) =>
-                TargetedMorFilePartition(
-                  org.apache.spark.sql.execution.datasources.FilePartition(
-                    clean.size + i, Array(wholeFile(fs.head))),
+            val targeted = leg.map(_.partsByFile.toSeq.sortBy(_._1)
+              .zipWithIndex.map { case ((k, fp), i) =>
+                TargetedMorFilePartition(fp.copy(index = clean.size + i),
                   skips(k))
-              }
+              }).getOrElse(Seq.empty)
             (clean ++ targeted).toArray
           }
           override def createReaderFactory(): PartitionReaderFactory =
-            new MorSkipReaderFactory(delegate.createReaderFactory(),
-              ordFactory)
+            new MorSkipReaderFactory(delegate.createReaderFactory(), leg)
         }
       case (Some(groups), noMor) =>
         val delegate = delegateBatch
         val skips = morSkips
-        val ordFactory =
-          if (noMor) None
-          else Some(ordinalScan.get.toBatch.createReaderFactory())
+        val leg = if (noMor) None else ordinalLeg
         new Batch {
           override def planInputPartitions(): Array[InputPartition] =
             groups.zipWithIndex.map { case ((b, fs), i) =>
               // position deletes never move a row across buckets, so
               // per-bucket subtraction preserves the reported key: the
               // bucket keeps ONE partition holding its clean splits plus
-              // its targeted whole files with their skip sets
+              // its targeted files' ordinal-leg partitions + skip sets
               val (tg, clean) = fs.partition(f => skips.contains(skipKeyOf(f)))
-              val targeted = tg.groupBy(skipKeyOf).toSeq.sortBy(_._1)
-                .map { case (k, sp) => (wholeFile(sp.head), skips(k)) }
+              val targeted = tg.map(skipKeyOf).distinct.sorted.flatMap { k =>
+                // a targeted file the ordinal delegate pruned entirely
+                // (partition filters) has no surviving rows — no leg
+                leg.flatMap(_.partsByFile.get(k)).map(fp => (fp, skips(k)))
+              }
               BucketFilesPartition(
                 org.apache.spark.sql.execution.datasources
                   .FilePartition(i, clean.toArray),
                 InternalRow(b), targeted): InputPartition
             }.toArray
           override def createReaderFactory(): PartitionReaderFactory =
-            new BucketReaderFactory(delegate.createReaderFactory(),
-              ordFactory, anyTargeted = skips.nonEmpty)
+            new BucketReaderFactory(delegate.createReaderFactory(), leg)
         }
     }
     override def columnarSupportMode(): Scan.ColumnarSupportMode =
@@ -1866,7 +1998,7 @@ object LakeCatalog {
   /** One bucket's files as an input partition CARRYING ITS KEY — what
     * the engine's storage-partitioned-join machinery groups and aligns
     * across the two sides of a co-bucketed join. `targeted` holds the
-    * bucket's mor-targeted files as whole-file splits with their
+    * bucket's mor-targeted files as ordinal-leg partitions with their
     * deleted-ordinal skip sets: subtraction happens inside the bucket's
     * own reader, so the reported KeyGroupedPartitioning stays truthful
     * under live position deletes.
@@ -1875,7 +2007,7 @@ object LakeCatalog {
       inner: org.apache.spark.sql.execution.datasources.FilePartition,
       key: InternalRow,
       targeted: Seq[(org.apache.spark.sql.execution.datasources
-        .PartitionedFile, Array[Long])] = Nil)
+        .FilePartition, Array[Long])] = Nil)
       extends InputPartition
       with org.apache.spark.sql.connector.read.HasPartitionKey {
     override def partitionKey(): InternalRow = key
@@ -1883,8 +2015,9 @@ object LakeCatalog {
       inner.preferredLocations()
   }
 
-  /** A mor-targeted file of an UNBUCKETED inline scan: one whole-file
-    * split plus the sorted deleted ordinals its reader skips.
+  /** A mor-targeted file of an UNBUCKETED inline scan: its ordinal-leg
+    * splits (per-file, offset-sorted) plus the sorted deleted ordinals
+    * its reader skips.
     */
   private[sources] final case class TargetedMorFilePartition(
       inner: org.apache.spark.sql.execution.datasources.FilePartition,
@@ -1894,21 +2027,88 @@ object LakeCatalog {
       inner.preferredLocations()
   }
 
+  /** The resolved targeted leg of an inline-mor scan (see
+    * [[TypedLakeStreamableScan]].ordinalLeg): the ordinal delegate's
+    * reader factory, its per-file planned partitions, and the projection
+    * from the delegate's row layout back to the primary's.
+    *
+    * `rowIndexMode`: the delegate projects the parquet readers'
+    * `_tmp_metadata_row_index` column (exact physical ordinals even
+    * under pushed filters and row-group skipping — the generator reads
+    * offsets from the footer), carries the scan's filters, and serves a
+    * COLUMNAR face. Legacy mode (non-vectorizable schemas) reads whole
+    * files filterless and counts ordinals, rows only.
+    */
+  private[sources] final case class MorOrdinalLeg(
+      factory: PartitionReaderFactory,
+      partsByFile: Map[String,
+        org.apache.spark.sql.execution.datasources.FilePartition],
+      rowIdxOrd: Int,
+      outOrdinals: Array[Int],
+      outSchema: StructType,
+      rowIndexMode: Boolean) {
+
+    def createRowReader(
+        fp: org.apache.spark.sql.execution.datasources.FilePartition,
+        skip: Array[Long]): PartitionReader[InternalRow] =
+      if (rowIndexMode)
+        new RowIdxSkipRowReader(factory.createReader(fp), skip,
+          rowIdxOrd, outOrdinals, outSchema)
+      else new MorSkipReader(factory.createReader(fp), skip)
+
+    def createColumnarReader(
+        fp: org.apache.spark.sql.execution.datasources.FilePartition,
+        skip: Array[Long])
+        : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+      require(rowIndexMode, "LakeCatalog: columnar mor subtraction " +
+        "requires the row-index ordinal delegate")
+      new RowIdxSkipColumnarReader(factory.createColumnarReader(fp), skip,
+        rowIdxOrd, outOrdinals)
+    }
+
+    def supportsColumnar(
+        fp: org.apache.spark.sql.execution.datasources.FilePartition)
+        : Boolean =
+      rowIndexMode && factory.supportColumnarReads(fp)
+  }
+
+  /** An ascending cursor over a sorted deleted-ordinal array: O(1)
+    * amortized membership per (monotonically increasing) probe, with a
+    * binary-search re-seat if a probe ever goes backwards (defensive —
+    * per-file splits are offset-sorted, so ordinals only grow).
+    */
+  private[sources] final class SkipCursor(skip: Array[Long]) {
+    private var si = 0
+    def deleted(idx: Long): Boolean = {
+      if (si > 0 && skip(si - 1) >= idx) si = lowerBound(idx)
+      while (si < skip.length && skip(si) < idx) si += 1
+      si < skip.length && skip(si) == idx
+    }
+    private def lowerBound(idx: Long): Int = {
+      var lo = 0
+      var hi = skip.length
+      while (lo < hi) {
+        val m = (lo + hi) >>> 1
+        if (skip(m) < idx) lo = m + 1 else hi = m
+      }
+      lo
+    }
+  }
+
   /** Subtract a sorted deleted-ordinal set while streaming a whole-file
-    * read in physical order — the Iceberg position-delete / Delta
-    * deletion-vector read path: O(1) amortized per row, no join, no
-    * per-row hashing, zero boxing.
+    * read in physical order — the LEGACY counting mode (ordinals are
+    * reconstructed by counting emitted rows, exact only filterless from
+    * offset 0): O(1) amortized per row, no join, no per-row hashing.
     */
   private[sources] final class MorSkipReader(
       inner: PartitionReader[InternalRow], skip: Array[Long])
       extends PartitionReader[InternalRow] {
     private var pos = -1L
-    private var si = 0
+    private val cursor = new SkipCursor(skip)
     override def next(): Boolean = {
       while (inner.next()) {
         pos += 1
-        while (si < skip.length && skip(si) < pos) si += 1
-        if (si >= skip.length || skip(si) != pos) return true
+        if (!cursor.deleted(pos)) return true
       }
       false
     }
@@ -1916,13 +2116,108 @@ object LakeCatalog {
     override def close(): Unit = inner.close()
   }
 
+  /** ROW-INDEX mode row face: each delegate row carries its physical
+    * ordinal in the `_tmp_metadata_row_index` column — drop the row if
+    * the ordinal is deleted, else project back to the primary's column
+    * order (codegen'd UnsafeProjection, built once per reader).
+    */
+  private[sources] final class RowIdxSkipRowReader(
+      inner: PartitionReader[InternalRow], skip: Array[Long],
+      rowIdxOrd: Int, outOrdinals: Array[Int], outSchema: StructType)
+      extends PartitionReader[InternalRow] {
+    private val cursor = new SkipCursor(skip)
+    private var current: InternalRow = _
+    private lazy val proj = {
+      val exprs = outOrdinals.toIndexedSeq.zipWithIndex.map {
+        case (ord, i) =>
+          org.apache.spark.sql.catalyst.expressions.BoundReference(ord,
+            outSchema.fields(i).dataType, outSchema.fields(i).nullable)
+            : org.apache.spark.sql.catalyst.expressions.Expression
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+        .create(exprs)
+    }
+    override def next(): Boolean = {
+      while (inner.next()) {
+        val row = inner.get()
+        if (!cursor.deleted(row.getLong(rowIdxOrd))) {
+          current = row
+          return true
+        }
+      }
+      false
+    }
+    override def get(): InternalRow = proj(current)
+    override def close(): Unit = inner.close()
+  }
+
+  /** ROW-INDEX mode COLUMNAR face: subtract deleted ordinals from each
+    * delegate batch by reading the row-index vector, then re-expose the
+    * surviving rows ZERO-COPY — when nothing in the batch is deleted the
+    * output batch shares the delegate's vectors directly (minus the
+    * row-index column); when something is, each column wraps in a
+    * [[MorMappedColumnVector]] over the kept-position mapping (Iceberg's
+    * vectorized position-delete shape). Either way parquet decode stays
+    * vectorized AND the scan keeps its columnar handoff to codegen.
+    */
+  private[sources] final class RowIdxSkipColumnarReader(
+      inner: PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch],
+      skip: Array[Long], rowIdxOrd: Int, outOrdinals: Array[Int])
+      extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+    private val cursor = new SkipCursor(skip)
+    private var current: org.apache.spark.sql.vectorized.ColumnarBatch = _
+    override def next(): Boolean = {
+      while (inner.next()) {
+        val batch = inner.get()
+        val n = batch.numRows()
+        if (n > 0) {
+          val idxVec = batch.column(rowIdxOrd)
+          val mapping = new Array[Int](n)
+          var kept = 0
+          var i = 0
+          while (i < n) {
+            if (!cursor.deleted(idxVec.getLong(i))) {
+              mapping(kept) = i
+              kept += 1
+            }
+            i += 1
+          }
+          if (kept > 0) {
+            val cols = new Array[org.apache.spark.sql.vectorized
+              .ColumnVector](outOrdinals.length)
+            var j = 0
+            if (kept == n) {
+              while (j < cols.length) {
+                cols(j) = batch.column(outOrdinals(j)); j += 1
+              }
+            } else {
+              val m = java.util.Arrays.copyOf(mapping, kept)
+              while (j < cols.length) {
+                cols(j) = new MorMappedColumnVector(
+                  batch.column(outOrdinals(j)), m)
+                j += 1
+              }
+            }
+            current = new org.apache.spark.sql.vectorized.ColumnarBatch(
+              cols, kept)
+            return true
+          }
+        }
+      }
+      false
+    }
+    override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
+      current
+    override def close(): Unit = inner.close()
+  }
+
   /** Chains readers within one input partition (a bucket's clean splits
     * followed by its targeted skip-reads), opening each lazily.
     */
-  private[sources] final class ConcatPartitionReader(
-      parts: Seq[() => PartitionReader[InternalRow]])
-      extends PartitionReader[InternalRow] {
-    private var cur: PartitionReader[InternalRow] = _
+  private[sources] final class ConcatReader[T](
+      parts: Seq[() => PartitionReader[T]])
+      extends PartitionReader[T] {
+    private var cur: PartitionReader[T] = _
     private var idx = 0
     override def next(): Boolean = {
       while (true) {
@@ -1935,74 +2230,206 @@ object LakeCatalog {
       }
       false
     }
-    override def get(): InternalRow = cur.get()
+    override def get(): T = cur.get()
     override def close(): Unit = if (cur != null) cur.close()
   }
 
   /** Unwraps [[BucketFilesPartition]] for the delegate parquet reader;
     * buckets carrying mor-targeted files concatenate the delegate's
-    * clean read with per-file skip reads off the filterless ordinal
-    * factory. Any live skip set forces the WHOLE scan row-based (the
-    * engine cannot mix columnar and row partitions in one scan);
-    * parquet decode stays vectorized inside the reader either way.
+    * clean read with the targeted files' ordinal-leg skip reads — on
+    * BOTH faces: in row-index mode the whole bucket partition stays
+    * COLUMNAR (clean splits via the delegate's columnar reader, targeted
+    * files via [[RowIdxSkipColumnarReader]]), so a live skip set no
+    * longer demotes the scan's columnar handoff. Legacy (counting) legs
+    * report row-based for every partition — the engine cannot mix modes
+    * within one scan.
     */
   private[sources] final class BucketReaderFactory(
       delegate: PartitionReaderFactory,
-      ordinal: Option[PartitionReaderFactory] = None,
-      anyTargeted: Boolean = false) extends PartitionReaderFactory {
+      leg: Option[MorOrdinalLeg] = None) extends PartitionReaderFactory {
     private def unwrap(p: InputPartition): InputPartition = p match {
       case b: BucketFilesPartition => b.inner
       case other => other
     }
+    private def legOf(b: BucketFilesPartition): MorOrdinalLeg =
+      leg.getOrElse(throw new IllegalStateException(
+        "LakeCatalog: targeted bucket partition without an ordinal leg"))
     override def createReader(p: InputPartition):
         PartitionReader[InternalRow] = p match {
       case b: BucketFilesPartition if b.targeted.nonEmpty =>
-        val of = ordinal.getOrElse(throw new IllegalStateException(
-          "LakeCatalog: targeted bucket partition without an ordinal " +
-            "reader factory"))
+        val l = legOf(b)
         val parts =
           (if (b.inner.files.nonEmpty)
             Seq(() => delegate.createReader(b.inner))
           else Seq.empty) ++
-            b.targeted.map { case (pf, skip) => () =>
-              new MorSkipReader(of.createReader(
-                org.apache.spark.sql.execution.datasources.FilePartition(
-                  b.inner.index, Array(pf))), skip)
-                : PartitionReader[InternalRow]
+            b.targeted.map { case (fp, skip) => () =>
+              l.createRowReader(fp, skip)
             }
-        new ConcatPartitionReader(parts)
+        new ConcatReader(parts)
       case other => delegate.createReader(unwrap(other))
     }
     override def createColumnarReader(p: InputPartition):
         PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
       p match {
-        // never silently unwrap a targeted bucket to its clean splits —
-        // the columnar path cannot apply skip sets, and dropping the
-        // targeted files would lose rows; supportColumnarReads already
-        // reports false for the whole scan, so this is unreachable
-        // unless the engine's contract changes — fail LOUDLY then
         case b: BucketFilesPartition if b.targeted.nonEmpty =>
-          throw new IllegalStateException(
-            "LakeCatalog: columnar read requested for a mor-targeted " +
-              "bucket partition — inline subtraction is row-based")
+          val l = legOf(b)
+          val parts =
+            (if (b.inner.files.nonEmpty)
+              Seq(() => delegate.createColumnarReader(b.inner))
+            else Seq.empty) ++
+              b.targeted.map { case (fp, skip) => () =>
+                l.createColumnarReader(fp, skip)
+              }
+          new ConcatReader(parts)
         case other => delegate.createColumnarReader(unwrap(other))
       }
     override def supportColumnarReads(p: InputPartition): Boolean =
-      !anyTargeted && delegate.supportColumnarReads(unwrap(p))
+      p match {
+        case b: BucketFilesPartition if b.targeted.nonEmpty =>
+          b.targeted.forall { case (fp, _) =>
+            leg.exists(_.supportsColumnar(fp))
+          } &&
+            (b.inner.files.isEmpty ||
+              delegate.supportColumnarReads(b.inner))
+        case other =>
+          // a LEGACY leg anywhere in the scan forces every partition
+          // row-based (one scan, one mode)
+          leg.forall(_.rowIndexMode) &&
+            delegate.supportColumnarReads(unwrap(other))
+      }
   }
 
   /** Routes an UNBUCKETED inline-mor scan's partitions: targeted files
-    * read through the filterless ordinal factory under a skip reader,
-    * everything else through the delegate. Row-based throughout (mixed
-    * modes are illegal within one scan).
+    * read through the ordinal leg under a skip reader (columnar in
+    * row-index mode), everything else through the delegate.
     */
   private[sources] final class MorSkipReaderFactory(
       delegate: PartitionReaderFactory,
-      ordinal: PartitionReaderFactory) extends PartitionReaderFactory {
+      leg: Option[MorOrdinalLeg]) extends PartitionReaderFactory {
+    private def legOrFail: MorOrdinalLeg =
+      leg.getOrElse(throw new IllegalStateException(
+        "LakeCatalog: targeted mor partition without an ordinal leg"))
     override def createReader(p: InputPartition):
         PartitionReader[InternalRow] = p match {
       case TargetedMorFilePartition(inner, skip) =>
-        new MorSkipReader(ordinal.createReader(inner), skip)
+        legOrFail.createRowReader(inner, skip)
+      case other => delegate.createReader(other)
+    }
+    override def createColumnarReader(p: InputPartition):
+        PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+      p match {
+        case TargetedMorFilePartition(inner, skip) =>
+          legOrFail.createColumnarReader(inner, skip)
+        case other => delegate.createColumnarReader(other)
+      }
+    override def supportColumnarReads(p: InputPartition): Boolean =
+      p match {
+        case TargetedMorFilePartition(inner, _) =>
+          leg.exists(_.supportsColumnar(inner))
+        case other =>
+          leg.forall(_.rowIndexMode) &&
+            delegate.supportColumnarReads(other)
+      }
+  }
+
+  /** The compensated COUNT(*) scan of an inline-mor table (position-only
+    * debt — the only flavor this builder carries): the delegate is the
+    * engine's own footer-count pushed-aggregate scan, re-planned ONE
+    * PARTITION PER FILE so each emitted partial row is attributable to
+    * its file, and each targeted file's partial subtracts its skip-set
+    * size (deleted ordinals are distinct per file, so the subtraction is
+    * exact). `supportCompletePushDown` stays false under debt, so the
+    * engine sums the partials — `SELECT COUNT(*)` on a mor table plans
+    * the pushed aggregate and never opens a data page.
+    */
+  private[sources] final class MorCompensatedCountScan(
+      inner: Scan, morDeleteLines: Seq[String]) extends Scan {
+    override def readSchema(): StructType = inner.readSchema()
+    override def description(): String =
+      s"${inner.description()} (mor-compensated count)"
+    locally {
+      val s = inner.readSchema()
+      require(s.fields.length >= 1 &&
+        s.fields.forall(_.dataType == LongType),
+        s"MorCompensatedCountScan: expected count(*) columns, got $s")
+    }
+
+    /** Per-target deleted-ordinal COUNTS (raw disk-path keys) — one tiny
+      * job over the delete files, O(deleted rows).
+      */
+    private lazy val skipCounts: Map[String, Long] = {
+      val spark = SparkSession.active
+      val files = morDeleteLines.map(WeatherLakeV2Sink.entryPath)
+      spark.read.schema(TypedLake.MorPosSchema).parquet(files: _*)
+        .collect()
+        .groupBy(_.getString(0))
+        .map { case (k, rows) =>
+          k -> rows.map(_.getLong(1)).distinct.length.toLong
+        }
+    }
+
+    override def toBatch: Batch = {
+      val delegate = inner.toBatch
+      val counts = skipCounts
+      new Batch {
+        override def planInputPartitions(): Array[InputPartition] = {
+          val parts = delegate.planInputPartitions()
+          val fileParts = parts.collect {
+            case fp: org.apache.spark.sql.execution.datasources
+                .FilePartition => fp
+          }
+          require(fileParts.length == parts.length,
+            "LakeCatalog: compensated count needs a file-based delegate")
+          fileParts.flatMap(_.files).zipWithIndex.map { case (f, i) =>
+            val sub = counts.getOrElse(
+              new java.net.URI(f.filePath.toString).getPath, 0L)
+            CompensatedCountPartition(
+              org.apache.spark.sql.execution.datasources.FilePartition(
+                i, Array(f)), sub): InputPartition
+          }
+        }
+        override def createReaderFactory(): PartitionReaderFactory =
+          new CompensatedCountReaderFactory(delegate.createReaderFactory())
+      }
+    }
+  }
+
+  /** One file's footer-count partition plus the deleted-row count its
+    * partial must subtract.
+    */
+  private[sources] final case class CompensatedCountPartition(
+      inner: org.apache.spark.sql.execution.datasources.FilePartition,
+      subtract: Long)
+      extends InputPartition {
+    override def preferredLocations(): Array[String] =
+      inner.preferredLocations()
+  }
+
+  /** Wraps the delegate's footer-aggregate reader: every emitted partial
+    * row (one per file — each partition carries exactly one file) has
+    * `subtract` taken off each count column.
+    */
+  private[sources] final class CompensatedCountReaderFactory(
+      delegate: PartitionReaderFactory) extends PartitionReaderFactory {
+    override def createReader(p: InputPartition):
+        PartitionReader[InternalRow] = p match {
+      case CompensatedCountPartition(inner, subtract) =>
+        val reader = delegate.createReader(inner)
+        new PartitionReader[InternalRow] {
+          override def next(): Boolean = reader.next()
+          override def get(): InternalRow = {
+            val row = reader.get()
+            val out = new Array[Any](row.numFields)
+            var i = 0
+            while (i < out.length) {
+              out(i) = row.getLong(i) - subtract
+              i += 1
+            }
+            new org.apache.spark.sql.catalyst.expressions
+              .GenericInternalRow(out)
+          }
+          override def close(): Unit = reader.close()
+        }
       case other => delegate.createReader(other)
     }
     override def supportColumnarReads(p: InputPartition): Boolean = false

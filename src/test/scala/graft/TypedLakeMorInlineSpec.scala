@@ -69,7 +69,9 @@ class TypedLakeMorInlineSpec extends SparkSpec {
     assert(scans(q).nonEmpty, q.queryExecution.executedPlan.toString)
     assert(q.count() == 97)
     assert(spark.sql("SELECT count(*) FROM mia.t").head.getLong(0) == 97,
-      "a footer-pushed count(*) would say 100 — pushdown must be refused")
+      "a raw footer count(*) would say 100 — with aggregate pushdown off " +
+        "the subtracting scan answers; with it on, the COMPENSATED " +
+        "pushed count does (TypedLakeMorScanPhysicsSpec)")
     assert(spark.sql("SELECT count(*) FROM mia.t WHERE id IN (3, 7, 90)")
       .head.getLong(0) == 0)
     // data filters re-evaluate above the scan: a filter overlapping a
