@@ -7075,6 +7075,97 @@ object SparkEntry {
           FROM graftlake.$t VERSION AS OF 'genesis'
           UNION ALL
           SELECT 'live' AS gen, doc_id, val FROM graftlake.$t""")
+      }),
+
+    QueryDef("q125_branch_wap",
+      "WRITABLE BRANCHES / WRITE-AUDIT-PUBLISH (Iceberg wap.branch + " +
+        "fast_forward — the round-15 verdict's #4): a branch pins an " +
+        "immutable BASE and stages append-only manifests OUTSIDE the " +
+        "main namespace; `spark.graft.wap.branch` reroutes catalog " +
+        "appends onto it and serves base+staged to gate queries while " +
+        "main stays byte-identical, the WAP fence refuses any non-append " +
+        "main publish while staging, and CALL lake.system.fast_forward " +
+        "publishes the staged files in ONE atomic commit (strict " +
+        "ancestry: it refuses if main advanced since the fork). Pass 1 " +
+        "runs the full release cycle (fork → stage → gate → publish); " +
+        "EVERY pass runs a reject cycle — fork a gate branch, stage " +
+        "rows, assert the gate sees them and main does not, assert the " +
+        "DML fence fires, abandon the branch, sweep the orphaned staged " +
+        "files. At 100 TB this is how risky ingest lands: audit the " +
+        "batch on its branch, publish in O(1) metadata or walk away " +
+        "with main untouched.",
+      Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |       CAST(doc_id AS BIGINT) AS val FROM documents
+        |UNION ALL
+        |SELECT CAST(-1 - doc_id AS BIGINT), CAST(doc_id * 13 AS BIGINT)
+        |FROM documents WHERE doc_id < 25""".stripMargin),
+      (s, dir) => {
+        import graft.sources.WeatherLakeV2Sink
+        val t = typedDocsTable(s, dir, "wap")
+        val p = s"/tmp/graft_catalog_wh/$t"
+        val docs = Tables.documents(s, dir)
+        def mainNegatives(): Long =
+          s.sql(s"SELECT count(*) FROM graftlake.$t WHERE doc_id < 0")
+            .head.getLong(0)
+        // one-time WRITE-AUDIT-PUBLISH release cycle, exactly-once
+        // across passes (main's published rows are the done-marker; a
+        // crashed pass's leftover branch is dropped and redone)
+        if (mainNegatives() == 0) {
+          if (WeatherLakeV2Sink.branchExists(p, "release"))
+            s.sql(s"CALL graftlake.system.drop_branch('$t', 'release')")
+              .collect()
+          s.sql(s"CALL graftlake.system.create_branch('$t', 'release')")
+            .collect()
+          s.conf.set(WeatherLakeV2Sink.WapBranchConf, "release")
+          try {
+            docs.filter(col("doc_id") < 25).select(
+                (lit(-1L) - col("doc_id")).as("doc_id"),
+                (col("doc_id") * 13).cast("long").as("val"),
+                lit("wap-release").as("source"))
+              .writeTo(s"graftlake.$t").append()
+            // GATE: the staged view serves the audit query
+            val gate = mainNegatives()
+            require(gate == 25,
+              s"q125: gate read must see the 25 staged rows, got $gate")
+          } finally s.conf.unset(WeatherLakeV2Sink.WapBranchConf)
+          require(mainNegatives() == 0,
+            "q125: main must stay untouched until fast_forward")
+          s.sql(s"CALL graftlake.system.fast_forward('$t', 'release')")
+            .collect()
+          s.sql(s"CALL graftlake.system.drop_branch('$t', 'release')")
+            .collect()
+        }
+        // EVERY pass: the REJECT cycle — fork, stage, audit, walk away
+        if (WeatherLakeV2Sink.branchExists(p, "gate"))
+          s.sql(s"CALL graftlake.system.drop_branch('$t', 'gate')")
+            .collect()
+        s.sql(s"CALL graftlake.system.create_branch('$t', 'gate')")
+          .collect()
+        s.conf.set(WeatherLakeV2Sink.WapBranchConf, "gate")
+        try {
+          docs.filter(col("doc_id") < 5).select(
+              (lit(-9000L) - col("doc_id")).as("doc_id"),
+              lit(0L).as("val"), lit("gate-reject").as("source"))
+            .writeTo(s"graftlake.$t").append()
+          val staged = s.sql(
+            s"SELECT count(*) FROM graftlake.$t WHERE doc_id <= -9000")
+            .head.getLong(0)
+          require(staged == 5,
+            s"q125: the gate branch must see its staged rows, got $staged")
+          // the WAP fence: a DML rewrite cannot touch main while staging
+          val fenced =
+            try { s.sql(s"DELETE FROM graftlake.$t WHERE doc_id = 0"); false }
+            catch { case _: Exception => true }
+          require(fenced, "q125: the WAP fence must refuse DML while staging")
+        } finally s.conf.unset(WeatherLakeV2Sink.WapBranchConf)
+        s.sql(s"CALL graftlake.system.drop_branch('$t', 'gate')").collect()
+        s.sql(s"CALL graftlake.system.sweep_orphans('$t', min_age_ms => 1)")
+          .collect()
+        require(s.sql(
+            s"SELECT count(*) FROM graftlake.$t WHERE doc_id <= -9000")
+          .head.getLong(0) == 0,
+          "q125: abandoned staged rows must never reach main")
+        s.sql(s"SELECT doc_id, val FROM graftlake.$t")
       })
   )
 

@@ -88,6 +88,12 @@ object MorScanResolution extends Rule[LogicalPlan] {
         val spark = SparkSession.active
         val schema = tbl.tableSchema
         val mapped = TypedLake.historicalNames(schema).nonEmpty
+        // a WAP-staged read's extra files (branch appends) ride every
+        // v1-rewrite leg too — the rewrite resolves explicit file lists,
+        // so dropping them here would silently hide staged rows from a
+        // renamed or equality-debt table's branch view
+        def staged: Seq[String] = tbl.wapReadBranch.toSeq
+          .flatMap(WeatherLakeV2Sink.branchFiles(tbl.path, _))
         tbl.morContext match {
           case None if !mapped => r
           case None =>
@@ -95,7 +101,11 @@ object MorScanResolution extends Rule[LogicalPlan] {
             // pinned to the same file set the relation would have read
             val files = tbl.pinned
               .map(WeatherLakeV2Sink.filesAsOf(tbl.path, _))
-              .getOrElse(WeatherLakeV2Sink.committedFiles(tbl.path))
+              .orElse(tbl.wapReadBranch.map(b =>
+                WeatherLakeV2Sink.filesAsOf(tbl.path,
+                  WeatherLakeV2Sink.readBranchBase(tbl.path, b))))
+              .getOrElse(WeatherLakeV2Sink.committedFiles(tbl.path)) ++
+              staged
             if (files.isEmpty) r // empty scan: nothing to misread
             else {
               val resolved = TypedLake.readTyped(spark, tbl.path, schema,
@@ -111,7 +121,11 @@ object MorScanResolution extends Rule[LogicalPlan] {
           // SPJ) and manifest-stats pruning all survive live deletes
           case Some(_) if tbl.morInline => r
           case Some((snap, deleteLines)) =>
-            val files = WeatherLakeV2Sink.filesAsOf(tbl.path, snap)
+            // snap is already the branch BASE on a WAP-staged read
+            // (morContext pins it); staged appends carry no deletes, so
+            // they join the split-scan's clean leg
+            val files = WeatherLakeV2Sink.filesAsOf(tbl.path, snap) ++
+              staged
             if (files.isEmpty) r // deletes dangle; nothing to subtract
             else {
               val resolved = TypedLake.readResolvedSplit(spark, tbl.path,

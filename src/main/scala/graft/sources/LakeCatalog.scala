@@ -765,7 +765,8 @@ object LakeCatalog {
   val ProcedureNames: Seq[String] =
     Seq("vacuum", "sweep_orphans", "checkpoint", "compact", "history",
       "measure_stats", "detail", "convert", "reconcile",
-      "compact_deletes", "tag", "drop_tag", "tags")
+      "compact_deletes", "tag", "drop_tag", "tags",
+      "create_branch", "fast_forward", "drop_branch", "branches")
 
   /** The one row shape a lake table has: three path-encoded partition
     * keys plus the raw payload line. `value` (read face) and `raw_json`
@@ -1123,15 +1124,34 @@ object LakeCatalog {
             "'position' (default) or 'equality'")
       }
 
+    /** The WAP staging branch this table instance reads/writes through —
+      * the session conf names one AND this table carries it (or a write
+      * is about to create it). Reads of a table WITHOUT the branch stay
+      * on main (so a staged fact joins un-staged dims naturally); writes
+      * create the branch on first append (Iceberg wap.branch). Pinned
+      * (time-travel) reads ignore WAP — VERSION AS OF addresses MAIN
+      * history by contract.
+      */
+    private[sources] lazy val wapBranch: Option[String] =
+      if (pinned.isDefined) None
+      else WeatherLakeV2Sink.activeWapBranch()
+    private[graft] lazy val wapReadBranch: Option[String] =
+      wapBranch.filter(WeatherLakeV2Sink.branchExists(path, _))
+
     /** The analysis-time merge-on-read context of this table instance:
       * None when no delete rows are live (the overwhelmingly common
       * case — one cached manifest read answers it), else the pinned
       * (snapshot, delete files) pair [[graft.plans.MorScanResolution]]
       * rewrites reads through. Lazy + cached per table instance so the
-      * analyzer's fixpoint passes pay the filesystem once.
+      * analyzer's fixpoint passes pay the filesystem once. A WAP-staged
+      * read resolves mor debt AS OF the branch's base (the branch view
+      * is base + appends; a main delete landed after the fork is not
+      * part of it).
       */
     lazy val morContext: Option[(Seq[String], Seq[String])] = {
-      val snap = pinned.getOrElse(WeatherLakeV2Sink.liveManifests(path))
+      val snap = pinned.orElse(
+        wapReadBranch.map(WeatherLakeV2Sink.readBranchBase(path, _)))
+        .getOrElse(WeatherLakeV2Sink.liveManifests(path))
       // the full directive PAYLOAD lines (path + target-range stats) —
       // the rewrite's split-scan leg prunes on the ranges
       val dels = WeatherLakeV2Sink.morDeleteLinesAsOf(path, snap)
@@ -1188,13 +1208,21 @@ object LakeCatalog {
         case None =>
           // inline-mor scans pin data files to the SAME snapshot the
           // delete lines resolved from — never a racing commit's data
-          // against an older delete set
-          val lines =
+          // against an older delete set. A WAP-staged read resolves the
+          // branch's base (== morContext's snapshot when debt is live)
+          // and appends the staged entry lines, stats intact.
+          val mainLines =
             if (morInline)
               WeatherLakeV2Sink
                 .entryLinesByManifest(path, morContext.get._1)
                 .flatMap(_._2)
-            else WeatherLakeV2Sink.committedEntryLines(path)
+            else wapReadBranch match {
+              case Some(b) => WeatherLakeV2Sink.entryLinesByManifest(path,
+                WeatherLakeV2Sink.readBranchBase(path, b)).flatMap(_._2)
+              case None => WeatherLakeV2Sink.committedEntryLines(path)
+            }
+          val lines = mainLines ++ wapReadBranch.toSeq.flatMap(b =>
+            WeatherLakeV2Sink.branchEntryLines(path, b))
           (lines.map(l => l.split('\t').head),
             lines.map(l => l.split('\t').head ->
               WeatherLakeV2Sink.lineStats(l)).toMap)
@@ -1319,19 +1347,34 @@ object LakeCatalog {
                   val entries = messages.collect {
                     case WeatherLakeV2Sink.FilesWritten(ls) => ls
                   }.flatten.toIndexedSeq
-                  if (truncateFirst)
-                    WeatherLakeV2Sink.publishCommit(path, "overwrite",
-                      snapshot = overwriteSnapshot,
-                      supersedes = overwriteSnapshot, lines = entries,
-                      payload = Some(TypedLake.Payload))
-                  else if (overwriteEq.isDefined || dynamicOverwrite)
-                    WeatherLakeV2Sink.commitPartitionOverwrite(path,
-                      overwriteSnapshot, entries, overwriteEq,
-                      dynamicOverwrite, payload = Some(TypedLake.Payload),
-                      decodeValue = org.apache.spark.sql.catalyst.catalog
-                        .ExternalCatalogUtils.unescapePathName)
-                  else WeatherLakeV2Sink.writeManifest(path, jobId, entries,
-                    payload = Some(TypedLake.Payload))
+                  tbl.wapBranch match {
+                    case Some(b) if overwriting =>
+                      throw new UnsupportedOperationException(
+                        s"LakeCatalog: session stages on WAP branch '$b' " +
+                          s"(${WeatherLakeV2Sink.WapBranchConf}) and " +
+                          "branches are APPEND-ONLY — INSERT INTO stages; " +
+                          "run overwrites on main after fast_forward/" +
+                          "drop_branch")
+                    case Some(b) =>
+                      // stage on the branch (created at the live snapshot
+                      // on first write — Iceberg wap.branch behavior)
+                      WeatherLakeV2Sink.branchCommit(path, b, jobId,
+                        entries, payload = Some(TypedLake.Payload))
+                    case None =>
+                      if (truncateFirst)
+                        WeatherLakeV2Sink.publishCommit(path, "overwrite",
+                          snapshot = overwriteSnapshot,
+                          supersedes = overwriteSnapshot, lines = entries,
+                          payload = Some(TypedLake.Payload))
+                      else if (overwriteEq.isDefined || dynamicOverwrite)
+                        WeatherLakeV2Sink.commitPartitionOverwrite(path,
+                          overwriteSnapshot, entries, overwriteEq,
+                          dynamicOverwrite, payload = Some(TypedLake.Payload),
+                          decodeValue = org.apache.spark.sql.catalyst.catalog
+                            .ExternalCatalogUtils.unescapePathName)
+                      else WeatherLakeV2Sink.writeManifest(path, jobId,
+                        entries, payload = Some(TypedLake.Payload))
+                  }
                 }
                 override def abort(
                     messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = ()
@@ -1358,6 +1401,13 @@ object LakeCatalog {
                     tbl.partCols, sf, mrpf, tbl.bucketSpec)
                 override def commit(epochId: Long,
                     messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+                  tbl.wapBranch.foreach { b =>
+                    throw new UnsupportedOperationException(
+                      s"LakeCatalog: session stages on WAP branch '$b' " +
+                        s"(${WeatherLakeV2Sink.WapBranchConf}) — streaming " +
+                        "epoch commits do not stage on branches; unset the " +
+                        "conf for streaming sinks")
+                  }
                   val entries = messages.collect {
                     case WeatherLakeV2Sink.FilesWritten(ls) => ls
                   }.flatten.toIndexedSeq
@@ -2827,6 +2877,15 @@ object LakeCatalog {
       case "drop_tag" => "drop a named tag (its snapshot stops being " +
         "a retention root)"
       case "tags" => "list the table's tags and their pinned snapshots"
+      case "create_branch" =>
+        "open an append-only staging branch at the current snapshot " +
+          "(write-audit-publish; stage via the spark.graft.wap.branch conf)"
+      case "fast_forward" =>
+        "publish a branch's staged appends to main in ONE atomic commit " +
+          "(requires main unchanged since the fork)"
+      case "drop_branch" => "drop a branch (staged files become " +
+        "sweepable orphans)"
+      case "branches" => "list the table's branches and their staged state"
     }
 
     override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
@@ -2867,6 +2926,9 @@ object LakeCatalog {
         case "tag" | "drop_tag" =>
           Array(p("table", StringType), p("name", StringType))
         case "tags" => Array(p("table", StringType))
+        case "create_branch" | "fast_forward" | "drop_branch" =>
+          Array(p("table", StringType), p("name", StringType))
+        case "branches" => Array(p("table", StringType))
       }
 
       private def resultSchema: StructType = procName match {
@@ -2920,6 +2982,17 @@ object LakeCatalog {
         case "tags" => StructType(Seq(
           StructField("name", StringType, nullable = false),
           StructField("pinned_manifests", IntegerType, nullable = false)))
+        case "create_branch" => StructType(Seq(
+          StructField("base_manifests", IntegerType, nullable = false)))
+        case "fast_forward" => StructType(Seq(
+          StructField("published_files", IntegerType, nullable = false)))
+        case "drop_branch" => StructType(Seq(
+          StructField("existed", BooleanType, nullable = false)))
+        case "branches" => StructType(Seq(
+          StructField("name", StringType, nullable = false),
+          StructField("base_manifests", IntegerType, nullable = false),
+          StructField("staged_commits", IntegerType, nullable = false),
+          StructField("staged_files", IntegerType, nullable = false)))
       }
 
       /** CONVERT TO LAKE: adopt an EXISTING plain Parquet directory into
@@ -3127,6 +3200,22 @@ object LakeCatalog {
               UTF8String.fromString(n),
               WeatherLakeV2Sink.readTag(path, n).size): InternalRow)
               .toArray
+          case "create_branch" =>
+            Array(InternalRow(WeatherLakeV2Sink.createBranch(path,
+              input.getUTF8String(1).toString).size))
+          case "fast_forward" =>
+            Array(InternalRow(WeatherLakeV2Sink.fastForward(path,
+              input.getUTF8String(1).toString)))
+          case "drop_branch" =>
+            Array(InternalRow(WeatherLakeV2Sink.dropBranch(path,
+              input.getUTF8String(1).toString)))
+          case "branches" =>
+            WeatherLakeV2Sink.branchNames(path).map(n => InternalRow(
+              UTF8String.fromString(n),
+              WeatherLakeV2Sink.readBranchBase(path, n).size,
+              WeatherLakeV2Sink.branchManifestNames(path, n).size,
+              WeatherLakeV2Sink.branchEntryLines(path, n).size)
+              : InternalRow).toArray
           case "measure_stats" =>
             val fields = input.getUTF8String(1).toString
               .split(",").map(_.trim).filter(_.nonEmpty).toSeq

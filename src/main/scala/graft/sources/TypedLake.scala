@@ -508,6 +508,20 @@ object TypedLake {
       payload = Some(Payload))
   }
 
+  /** Stage `df` on a BRANCH (the function-face twin of the catalog's
+    * WAP staging path, [[WeatherLakeV2Sink.branchCommit]]): files land
+    * in the data tree, the manifest lands in the branch's own staging
+    * dir — invisible to main until `fast_forward` publishes it.
+    */
+  def appendTypedToBranch(spark: SparkSession, basePath: String,
+      branch: String, df: DataFrame, schema: StructType,
+      partCols: Seq[String], statsFields: Seq[String] = Nil): Unit = {
+    val entries = writeTypedFrame(df, basePath, "b", schema, partCols,
+      statsFields, maxRecordsPerFile = 0L, bucketSpec = None)
+    WeatherLakeV2Sink.branchCommit(basePath, branch,
+      UUID.randomUUID().toString, entries, payload = Some(Payload))
+  }
+
   /** A typed file's partition values as the LOGICAL (unescaped) values —
     * the typed writer path-escapes (`a b` → `a%20b`), so every typed
     * prune/domain comparison against batch or statement values must

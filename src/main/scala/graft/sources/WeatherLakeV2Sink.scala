@@ -1358,7 +1358,20 @@ object WeatherLakeV2Sink {
       snapshot: Seq[String], supersedes: Seq[String], lines: Seq[String],
       readDomain: Option[String => Boolean] = None,
       payload: Option[String] = None,
-      fileIdentityDependent: Boolean = false): Unit =
+      fileIdentityDependent: Boolean = false,
+      requireLiveExactly: Option[Set[String]] = None): Unit = {
+    // WAP fence: while the session stages on a branch, every main
+    // publish except the publish step itself refuses — a DML rewrite or
+    // maintenance op the user believes is staged must never silently
+    // mutate main (appends are rerouted at the catalog layer; everything
+    // else lands here)
+    if (op != "fastforward") activeWapBranch().foreach { b =>
+      throw new UnsupportedOperationException(
+        s"WeatherLakeV2Sink: session is staging on WAP branch '$b' " +
+          s"($WapBranchConf) — branches are APPEND-ONLY, and '$op' would " +
+          s"commit to MAIN at $basePath. Unset the conf (and " +
+          "fast_forward or drop_branch) first.")
+    }
     withPublishLock(basePath, op) { verifyHeld =>
       // ONE read of the manifest set inside the lease (the lock window is
       // time-bounded; a second liveManifests pass would double the
@@ -1372,6 +1385,17 @@ object WeatherLakeV2Sink {
         .filter(_.startsWith(SupersedesPrefix))
         .map(_.stripPrefix(SupersedesPrefix).trim).toSet
       val live = linesByName.keys.toSeq.filterNot(supersededSet)
+      requireLiveExactly.foreach { want =>
+        if (live.toSet != want)
+          throw new java.util.ConcurrentModificationException(
+            s"WeatherLakeV2Sink: cannot fast-forward $basePath — main " +
+              "advanced past the branch's base snapshot (" +
+              s"${(live.toSet -- want).toSeq.sorted.mkString(", ")} " +
+              "appeared; " +
+              s"${(want -- live.toSet).toSeq.sorted.mkString(", ")} " +
+              "gone). Fast-forward needs strict ancestry: re-create the " +
+              "branch from the current state (rebase) and retry.")
+      }
       val liveSet = live.toSet
       val gone = supersedes.filterNot(liveSet)
       if (gone.nonEmpty) throw new java.util.ConcurrentModificationException(
@@ -1452,6 +1476,7 @@ object WeatherLakeV2Sink {
         supersedes.map(n => s"$SupersedesPrefix$n") ++ lines, op = Some(op),
         payload = payload)
     }
+  }
 
   /** Test seam over [[publishCommit]] — lets specs interleave snapshots
     * and publishes by hand to pin the conflict rules.
@@ -2545,8 +2570,14 @@ object WeatherLakeV2Sink {
     // plus the tag's manifests themselves are protected until the tag
     // is dropped, no matter the age. `VERSION AS OF '<tag>'` therefore
     // never hits the vacuum horizon; untagged history keeps the age
-    // contract unchanged.
-    val tagSnaps = tagNames(basePath).map(n => readTag(basePath, n))
+    // contract unchanged. BRANCH BASES pin identically: a branch's view
+    // is base + staged commits, and main maintenance superseding a base
+    // manifest must not let vacuum pull the snapshot out from under the
+    // branch before fast_forward/drop_branch. (Staged branch files need
+    // no protection here — no MAIN manifest references them, so this
+    // walk can never reach them; sweepOrphans is their guard.)
+    val tagSnaps = tagNames(basePath).map(n => readTag(basePath, n)) ++
+      branchNames(basePath).map(n => readBranchBase(basePath, n))
     val taggedManifests = tagSnaps.flatten.toSet
     val taggedFiles = tagSnaps.flatMap { snap =>
       filesAsOf(basePath, snap) ++ snap.flatMap { n =>
@@ -2735,6 +2766,219 @@ object WeatherLakeV2Sink {
     file.getFileSystem(new Configuration()).delete(file, false)
   }
 
+  // -------------------------------------------------------------------
+  // named refs: BRANCHES (append-only staging heads — write-audit-publish)
+  // -------------------------------------------------------------------
+
+  /** Session conf that reroutes the CATALOG write/read surface of typed
+    * lake tables onto a staging branch (Iceberg's `spark.wap.branch`):
+    * V2 APPENDS land on the branch (auto-created at first write, base =
+    * the live snapshot), reads of a table CARRYING the branch resolve
+    * base + staged files, and every non-append publish (DML rewrites,
+    * maintenance) refuses loudly while the conf is set — a statement the
+    * user believes is staged must never silently mutate main. Publish =
+    * `CALL lake.system.fast_forward(t, branch)`.
+    */
+  val WapBranchConf = "spark.graft.wap.branch"
+
+  private def branchRefFile(basePath: String, name: String): Path = {
+    require(name.nonEmpty &&
+      name.forall(c => c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"branch name '$name' must be non-empty [A-Za-z0-9._-]")
+    require(!name.forall(_.isDigit),
+      s"branch name '$name' is all digits — it would shadow numeric " +
+        "commit versions; pick a name with a non-digit character")
+    new Path(new Path(basePath, RefsDir), s"branch-$name")
+  }
+
+  /** Where a branch's staged manifests live — OUTSIDE [[ManifestDir]],
+    * so main's liveness, conflict scans, history and vacuum never see
+    * them; the branch read path composes them explicitly.
+    */
+  private def branchManifestDir(basePath: String, name: String): Path =
+    new Path(new Path(new Path(basePath, RefsDir), "branches"), name)
+
+  /** The table's branch names, sorted. O(refs) driver metadata. */
+  def branchNames(basePath: String): Seq[String] = {
+    val refs = new Path(basePath, RefsDir)
+    val fs = refs.getFileSystem(new Configuration())
+    if (!fs.exists(refs)) Seq.empty
+    else fs.listStatus(refs).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("branch-")).map(_.stripPrefix("branch-")).sorted
+  }
+
+  def branchExists(basePath: String, name: String): Boolean =
+    try {
+      val f = branchRefFile(basePath, name)
+      f.getFileSystem(new Configuration()).exists(f)
+    } catch { case _: IllegalArgumentException => false }
+
+  /** Create a branch: pin the CURRENT live snapshot as its immutable
+    * BASE (one JSON file, atomic fail-if-exists like [[createTag]]) and
+    * open its empty staging area. The branch's view = base + staged
+    * commits; staged commits are APPEND-ONLY (the WAP posture — row-level
+    * rewrites stay on main). Branches are vacuum retention roots until
+    * dropped. Returns the pinned base.
+    */
+  def createBranch(basePath: String, name: String): Seq[String] = {
+    val file = branchRefFile(basePath, name)
+    val fs = file.getFileSystem(new Configuration())
+    if (fs.exists(file)) throw new IllegalArgumentException(
+      s"branch '$name' already exists on $basePath — drop_branch first " +
+        "or fast_forward it")
+    val snap = liveManifests(basePath)
+    require(snap.nonEmpty,
+      s"cannot branch $basePath before its first commit")
+    fs.mkdirs(new Path(basePath, RefsDir))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val arr = mapper.createArrayNode()
+    snap.sorted.foreach(arr.add)
+    val out =
+      try fs.create(file, false)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          throw new IllegalArgumentException(
+            s"branch '$name' already exists on $basePath (lost a " +
+              "concurrent create)")
+        case e: java.io.IOException if fs.exists(file) =>
+          throw new IllegalArgumentException(
+            s"branch '$name' already exists on $basePath (lost a " +
+              "concurrent create)", e)
+      }
+    try out.write(mapper.writeValueAsString(arr)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    snap
+  }
+
+  /** The MAIN manifest set a branch was forked from — loud on an unknown
+    * name, listing the table's branches.
+    */
+  def readBranchBase(basePath: String, name: String): Seq[String] = {
+    val file = branchRefFile(basePath, name)
+    val fs = file.getFileSystem(new Configuration())
+    if (!fs.exists(file)) throw new IllegalArgumentException(
+      s"unknown branch '$name' on $basePath — existing branches: " +
+        s"[${branchNames(basePath).mkString(", ")}]")
+    val in = fs.open(file)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(txt)
+    val names = Seq.newBuilder[String]
+    node.forEach(n => names += n.asText())
+    names.result()
+  }
+
+  /** Names of a branch's staged manifests (its own commit history). */
+  def branchManifestNames(basePath: String, name: String): Seq[String] = {
+    val dir = branchManifestDir(basePath, name)
+    val fs = dir.getFileSystem(new Configuration())
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("manifest-")).sorted
+  }
+
+  /** The staged commits' data FILES — [[branchEntryLines]] sans stats. */
+  def branchFiles(basePath: String, name: String): Seq[String] =
+    branchEntryLines(basePath, name).map(entryPath)
+
+  /** The staged commits' data ENTRY LINES (path, or path + tab + stats)
+    * — what a branch read appends to its base's lines, stats intact.
+    */
+  def branchEntryLines(basePath: String, name: String): Seq[String] = {
+    val dir = branchManifestDir(basePath, name)
+    val fs = dir.getFileSystem(new Configuration())
+    branchManifestNames(basePath, name)
+      .flatMap(n => readLines(fs, new Path(dir, n)))
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+  }
+
+  /** Stage one append on a branch: the manifest publishes into the
+    * branch's OWN directory (one atomic rename — invisible to main's
+    * liveness by construction), creating the branch at the live
+    * snapshot first if this is its first write (Iceberg's wap.branch
+    * behavior). Payload uniformity gates exactly like a main publish.
+    */
+  def branchCommit(basePath: String, name: String, jobId: String,
+      lines: Seq[String], payload: Option[String] = None): Unit = {
+    if (!branchExists(basePath, name)) createBranch(basePath, name)
+    val declared = payload.getOrElse("json")
+    val actual = payloadFormat(basePath)
+    if (manifestNames(basePath).nonEmpty && declared != actual)
+      throw new IllegalStateException(
+        s"WeatherLakeV2Sink: refusing to stage a '$declared'-payload " +
+          s"branch commit on the lake at $basePath whose commits hold " +
+          s"'$actual' data files")
+    val dir = branchManifestDir(basePath, name)
+    val fs = dir.getFileSystem(new Configuration())
+    fs.mkdirs(dir)
+    val tmp = new Path(dir,
+      s".manifest-$jobId.${UUID.randomUUID().toString}.tmp")
+    val out = fs.create(tmp, true)
+    try {
+      val version = if (payload.isDefined) 2 else FormatVersion
+      out.write(s"$FormatPrefix$version\n".getBytes("UTF-8"))
+      payload.foreach(p => out.write(s"$PayloadPrefix$p\n".getBytes("UTF-8")))
+      out.write(s"${OpPrefix}branchappend\n".getBytes("UTF-8"))
+      lines.foreach(l => out.write((l + "\n").getBytes("UTF-8")))
+    } finally out.close()
+    val dest = new Path(dir, s"manifest-$jobId.txt")
+    if (!fs.rename(tmp, dest)) {
+      if (!fs.exists(dest))
+        throw new java.io.IOException(
+          s"WeatherLakeV2Sink: failed to stage branch manifest $dest")
+      fs.delete(tmp, false) // same-jobId replay already published
+    }
+  }
+
+  /** PUBLISH a branch (Iceberg `fast_forward('main', branch)`): ONE
+    * atomic main commit re-lists every staged entry line verbatim
+    * (stats intact). Inside the publish lock, main's live set must be
+    * EXACTLY the branch's base — strict ancestry, the Iceberg
+    * fast-forward contract: any main commit since the fork (data,
+    * row-level DML, even layout-only maintenance, which rewrites
+    * manifest identity) refuses loudly, and the fix is re-creating the
+    * branch from the current state. A second fast_forward of the same
+    * branch refuses the same way (the first one's commit advanced
+    * main). Returns the number of published entry lines; a branch with
+    * nothing staged publishes nothing.
+    */
+  def fastForward(basePath: String, name: String): Int = {
+    val base = readBranchBase(basePath, name)
+    val lines = branchEntryLines(basePath, name)
+    if (lines.isEmpty) return 0
+    val fmt = payloadFormat(basePath)
+    publishCommit(basePath, "fastforward", snapshot = base,
+      supersedes = Seq.empty, lines = lines,
+      payload = if (fmt == "json") None else Some(fmt),
+      requireLiveExactly = Some(base.toSet))
+    lines.size
+  }
+
+  /** Drop a branch: delete its ref and staged manifests. The staged
+    * DATA files (if never fast-forwarded) become true orphans —
+    * [[sweepOrphans]]' age-guarded walk reclaims them. Returns whether
+    * the branch existed.
+    */
+  def dropBranch(basePath: String, name: String): Boolean = {
+    val file = branchRefFile(basePath, name)
+    val fs = file.getFileSystem(new Configuration())
+    val existed = fs.delete(file, false)
+    fs.delete(branchManifestDir(basePath, name), true)
+    existed
+  }
+
+  /** The active WAP staging branch of `basePath`, when the session conf
+    * names one — raw conf value, NOT gated on existence: the guard
+    * sites must refuse even before the first staged write creates the
+    * ref.
+    */
+  private[sources] def activeWapBranch(): Option[String] =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(s => Option(s.conf.get(WapBranchConf, null)))
+      .map(_.trim).filter(_.nonEmpty)
+
   /** Reclaim TRUE orphans — data files referenced by NO manifest at all:
     * the attempts that died between task commit and job commit, the
     * exactly-once race losers, and failed rolling-writer tasks. [[vacuum]]
@@ -2756,8 +3000,13 @@ object WeatherLakeV2Sink {
         "files may belong to an in-flight write job")
     val fs = new Path(basePath).getFileSystem(new Configuration())
     val mdir = new Path(basePath, ManifestDir)
-    val referenced = manifestNames(basePath)
-      .flatMap(n => readLines(fs, new Path(mdir, n)))
+    // branch-STAGED files are referenced by branch manifests only (they
+    // live outside the main manifest dir) — an un-published branch's
+    // data must survive the sweep until drop_branch orphans it for real
+    val branchLines = branchNames(basePath)
+      .flatMap(n => branchEntryLines(basePath, n))
+    val referenced = (manifestNames(basePath)
+      .flatMap(n => readLines(fs, new Path(mdir, n))) ++ branchLines)
       .flatMap(l =>
         // data entry lines, #changes and #mordelete directives all pin
         // their files (a live manifest's change log / delete file is not
@@ -2769,17 +3018,22 @@ object WeatherLakeV2Sink {
       .map(l => new Path(l).toUri.getPath)
       .toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
+    // the underscore namespace is METADATA (manifests, named refs, the
+    // catalog marker _lake_table.json): referenced by NAME, not by entry
+    // lines, so the orphan rule does not apply — sweeping them would
+    // destroy the table's registration or its refs. The two exceptions
+    // hold data-like ARTIFACTS whose live members are directive-
+    // referenced (change logs, mor delete files): their orphans (aborted
+    // jobs' leftovers) are exactly what this sweep exists to reclaim.
+    val artifactDirs = Set("_changes", TypedLake.MorDeleteDir)
     def walk(dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
       fs.listStatus(dir).toSeq.flatMap { st =>
-        if (st.getPath.getName.startsWith(".")) Seq.empty
-        else if (st.isDirectory) {
-          // metadata dirs are not data: manifests and named refs are
-          // referenced by NAME, not by entry lines, so the orphan rule
-          // does not apply to them
-          if (st.getPath.getName == ManifestDir ||
-            st.getPath.getName == RefsDir) Seq.empty
-          else walk(st.getPath)
-        } else Seq(st)
+        val name = st.getPath.getName
+        if (name.startsWith(".")) Seq.empty
+        else if (name.startsWith("_") &&
+          !(st.isDirectory && artifactDirs(name))) Seq.empty
+        else if (st.isDirectory) walk(st.getPath)
+        else Seq(st)
       }
     val victims = walk(new Path(basePath)).filter { st =>
       !referenced(st.getPath.toUri.getPath) &&

@@ -11,7 +11,8 @@ import graft.sources.{TypedLake, WeatherLakeV2Sink}
 /** Model-based property test of the TYPED lake incl. MERGE-ON-READ
   * and NAMED REFS: random sequences of table operations — append,
   * copy-on-write merge/delete/update, MOR merge/delete/update, compact,
-  * checkpoint, measure, reconcile, compact_deletes, tag, drop_tag —
+  * checkpoint, measure, reconcile, compact_deletes, tag, drop_tag,
+  * create_branch, branch-stage, fast_forward —
   * against both the real table and a trivial in-memory Map.
   * After EVERY op the mor-resolved committed view must equal the model,
   * and a SHADOW consumer fed only the typed incremental change feed
@@ -44,6 +45,13 @@ class TypedLakeModelSpec extends SparkSpec {
       // the retention-root property under the op mix
       var tagged = Map.empty[String, Map[Long, Long]]
       var tagSeq = 0
+      // at most one live BRANCH: (name, model at fork, staged rows) —
+      // after any main op (CoW rewrites superseding the base, mor debt,
+      // maintenance, the final zero-age vacuum) the branch view must
+      // still read fork-state + staged, and fast_forward must succeed
+      // IFF main is still exactly the base (strict ancestry)
+      var branch: Option[(String, Map[Long, Long], Map[Long, Long])] = None
+      var branchSeq = 0
       var nextKey = 0L
       def payload(rows: Seq[(Long, Long)]): DataFrame =
         rows.toDF("k", "v").select(col("k"), col("v"),
@@ -78,6 +86,15 @@ class TypedLakeModelSpec extends SparkSpec {
           .select("k", "v").collect()
           .map(r => r.getLong(0) -> r.getLong(1)).toMap
       }
+      def branchState(name: String): Map[Long, Long] = {
+        val base = WeatherLakeV2Sink.readBranchBase(lake, name)
+        val files = WeatherLakeV2Sink.filesAsOf(lake, base) ++
+          WeatherLakeV2Sink.branchFiles(lake, name)
+        val dels = WeatherLakeV2Sink.morDeleteLinesAsOf(lake, base)
+        TypedLake.readResolvedSplit(spark, lake, schema, files, dels)
+          .select("k", "v").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
       def freshRows(n: Int): Seq[(Long, Long)] =
         (0 until n).map { _ =>
           nextKey += 1; (nextKey, rng.between(0L, 1000L))
@@ -89,8 +106,8 @@ class TypedLakeModelSpec extends SparkSpec {
           statsFields = Seq("k"))
         model ++= rows
       }
-      for (i <- 1 to 11) {
-        val op = rng.nextInt(14)
+      for (i <- 1 to 13) {
+        val op = rng.nextInt(17)
         // mor ops randomize the delete-file FLAVOR per op — the table
         // organically mixes position and equality files across its
         // history, the exact state every reader must subtract correctly
@@ -160,12 +177,47 @@ class TypedLakeModelSpec extends SparkSpec {
               assert(WeatherLakeV2Sink.dropTag(lake, name))
               tagged -= name
             }
+          case 14 if branch.isEmpty => // fork a staging branch
+            branchSeq += 1
+            val name = s"b$branchSeq"
+            WeatherLakeV2Sink.createBranch(lake, name)
+            branch = Some((name, model, Map.empty))
+          case 14 => () // branch budget full: no-op round
+          case 15 => // stage an append (fresh keys) on the live branch
+            branch.foreach { case (name, fork, staged) =>
+              val rows = freshRows(1 + rng.nextInt(2))
+              TypedLake.appendTypedToBranch(spark, lake, name,
+                payload(rows), schema, pc, statsFields = Seq("k"))
+              branch = Some((name, fork, staged ++ rows))
+            }
+          case 16 => // fast_forward: succeeds IFF main is still the base
+            branch.foreach { case (name, fork, staged) =>
+              val base = WeatherLakeV2Sink.readBranchBase(lake, name)
+              val ancestral =
+                WeatherLakeV2Sink.liveManifests(lake).toSet == base.toSet
+              if (ancestral) {
+                WeatherLakeV2Sink.fastForward(lake, name)
+                model ++= staged // published atomically
+              } else {
+                if (staged.nonEmpty)
+                  intercept[java.util.ConcurrentModificationException](
+                    WeatherLakeV2Sink.fastForward(lake, name))
+                else assert(WeatherLakeV2Sink.fastForward(lake, name) == 0)
+              }
+              assert(WeatherLakeV2Sink.dropBranch(lake, name))
+              branch = None
+            }
         }
         assert(lakeState == model, s"trial $trial op#$i (kind $op) diverged")
         tagged.foreach { case (n, st) =>
           assert(tagState(n) == st,
             s"trial $trial op#$i (kind $op): tag '$n' no longer reads " +
               "its pinned state")
+        }
+        branch.foreach { case (n, fork, staged) =>
+          assert(branchState(n) == fork ++ staged,
+            s"trial $trial op#$i (kind $op): branch '$n' no longer " +
+              "reads fork-state + staged")
         }
         applyFeed()
         assert(shadow == model,
@@ -190,6 +242,12 @@ class TypedLakeModelSpec extends SparkSpec {
       tagged.foreach { case (n, st) =>
         assert(tagState(n) == st,
           s"trial $trial: tag '$n' broken by the zero-age vacuum")
+      }
+      // and a live branch still reads fork + staged — vacuum × branch
+      // retention is the same trap class the tag fixpoint closed
+      branch.foreach { case (n, fork, staged) =>
+        assert(branchState(n) == fork ++ staged,
+          s"trial $trial: branch '$n' broken by the zero-age vacuum")
       }
     }
   }
