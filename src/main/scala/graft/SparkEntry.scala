@@ -7166,6 +7166,53 @@ object SparkEntry {
           .head.getLong(0) == 0,
           "q125: abandoned staged rows must never reach main")
         s.sql(s"SELECT doc_id, val FROM graftlake.$t")
+      }),
+
+    QueryDef("q126_merge_schema_evolution",
+      "MERGE WITH SCHEMA EVOLUTION (Delta's clause — the round-15 " +
+        "verdict's #7): a source carrying a column the table lacks " +
+        "widens the registration FIRST through the same metadata-only " +
+        "ALTER path as explicit evolution (nullable, appended before " +
+        "the partition suffix, ZERO data files rewritten), then the " +
+        "merge's SET */INSERT * carry it through — matched rows take " +
+        "the new value, inserted rows carry it, every untouched row " +
+        "null-fills on read. The merge is idempotent, so every pass " +
+        "replays it: pass 1 exercises the widening, later passes the " +
+        "no-new-columns degradation to a plain merge. The oracle " +
+        "replays the upsert + widening relationally. At 100 TB this is " +
+        "the ingest-ergonomics primitive: an upstream producer adds a " +
+        "field and the nightly merge absorbs it without a migration.",
+      Some("""SELECT doc_id, val, grade FROM (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |         CAST(CASE WHEN doc_id % 5 = 0 THEN doc_id * 3
+        |              ELSE doc_id END AS BIGINT) AS val,
+        |         CASE WHEN doc_id % 5 = 0
+        |              THEN 'g' || CAST(doc_id AS BIGINT) END AS grade
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT CAST(-1 - doc_id AS BIGINT),
+        |         CAST(doc_id * 7 AS BIGINT), 'new'
+        |  FROM documents WHERE doc_id < 15)""".stripMargin),
+      (s, dir) => {
+        val t = typedDocsTable(s, dir, "mevo")
+        val docs = Tables.documents(s, dir)
+        docs.select(col("doc_id").cast("long").as("doc_id"),
+            col("doc_id").cast("long").as("val"), col("source"),
+            lit(null).cast("string").as("grade"))
+          .filter(col("doc_id") % 5 === 0)
+          .withColumn("val", col("doc_id") * 3)
+          .withColumn("grade", concat(lit("g"), col("doc_id")))
+          .unionByName(docs.filter(col("doc_id") < 15).select(
+            (lit(-1L) - col("doc_id")).as("doc_id"),
+            (col("doc_id") * 7).cast("long").as("val"),
+            lit("evolved-insert").as("source"),
+            lit("new").as("grade")))
+          .createOrReplaceTempView("q126_src")
+        s.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO graftlake.$t t
+          USING q126_src s ON t.doc_id = s.doc_id
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""")
+        s.sql(s"SELECT doc_id, val, grade FROM graftlake.$t")
       })
   )
 

@@ -762,9 +762,6 @@ case class LakeMergeCommand(stmt: MergeIntoTable) extends LeafRunnableCommand {
 
   override def run(spark: SparkSession): Seq[Row] = {
     val t = LakeDmlSql.resolveTarget(spark, stmt.targetTable)
-    if (stmt.withSchemaEvolution)
-      fail("WITH SCHEMA EVOLUTION is meaningless here — the lake schema " +
-        "is fixed at CREATE")
 
     // names anchoring each ON side: the target/source aliases and
     // relation names as written
@@ -776,6 +773,46 @@ case class LakeMergeCommand(stmt: MergeIntoTable) extends LeafRunnableCommand {
     }
     val targetNames = namesOf(stmt.targetTable)
     val sourceNames = namesOf(stmt.sourceTable)
+
+    // MERGE WITH SCHEMA EVOLUTION (Delta's clause, typed tables only):
+    // source-only top-level columns are ADDED to the table first —
+    // through the SAME metadata-only ALTER path as explicit evolution
+    // (nullable, appended before the partition suffix; old files
+    // null-fill on read, zero bytes rewritten) — and the merge then
+    // runs against the widened registration, so `SET * ` / `INSERT *`
+    // carry the new columns through. A no-new-columns source degrades
+    // to a plain merge.
+    if (stmt.withSchemaEvolution) {
+      if (t.typed.isEmpty)
+        fail("WITH SCHEMA EVOLUTION applies to typed lake tables only — " +
+          "the classic lake row is fixed (city, ds, hour, value)")
+      val targetSchema = t.typed.get._1
+      val sourceDF = GraftPlanBridge.ofRows(spark, stmt.sourceTable)
+      val newCols = sourceDF.schema.fields.filter(f =>
+        !targetSchema.fieldNames.exists(_.equalsIgnoreCase(f.name)) &&
+          !f.name.startsWith("__")).toSeq
+      if (newCols.nonEmpty) {
+        def relName(p: LogicalPlan): Option[Seq[String]] = p match {
+          case SubqueryAlias(_, child) => relName(child)
+          case r: UnresolvedRelation => Some(r.multipartIdentifier)
+          case _ => None
+        }
+        val name = relName(stmt.targetTable)
+          .map(_.map(part => s"`$part`").mkString("."))
+          .getOrElse(fail("WITH SCHEMA EVOLUTION needs a named target " +
+            "table to alter"))
+        newCols.foreach { f =>
+          spark.sql(
+            s"ALTER TABLE $name ADD COLUMN `${f.name}` ${f.dataType.sql}")
+        }
+        // the widened registration is the merge's target now
+        val t2 = LakeDmlSql.resolveTarget(spark, stmt.targetTable)
+        val (schema2, partCols2, mrpf2) = t2.typed.getOrElse(
+          fail("target lost its typed schema mid-evolution"))
+        return runTyped(spark, t2, schema2, partCols2, mrpf2,
+          targetNames, sourceNames)
+      }
+    }
 
     // TYPED tables: real SQL MERGE semantics over arbitrary columns —
     // conditional matched UPDATE/DELETE, guarded INSERT (no negated-guard
