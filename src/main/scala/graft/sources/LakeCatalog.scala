@@ -3118,8 +3118,13 @@ object LakeCatalog {
         val spark = SparkSession.active
         val resultRows: Array[InternalRow] = procName match {
           case "vacuum" =>
+            // `cdfRetentionMs` table property = the declared change-feed
+            // bootstrap/replay window; a vacuum (even forced zero-age)
+            // never reclaims history younger than it
             Array(InternalRow(WeatherLakeV2Sink.vacuum(path,
-              minAgeMs = input.getLong(1), force = input.getBoolean(2))))
+              minAgeMs = input.getLong(1), force = input.getBoolean(2),
+              cdfRetentionMs = Option(tprops.get("cdfRetentionMs"))
+                .map(_.trim.toLong).getOrElse(0L))))
           case "sweep_orphans" =>
             Array(InternalRow(WeatherLakeV2Sink.sweepOrphans(path,
               minAgeMs = input.getLong(1))))

@@ -2536,7 +2536,7 @@ object WeatherLakeV2Sink {
     * two-generation window can never race a replay.
     */
   def vacuum(basePath: String, minAgeMs: Long = VacuumRetentionFloorMs,
-      force: Boolean = false): Int = {
+      force: Boolean = false, cdfRetentionMs: Long = 0L): Int = {
     // Safety rail (Delta's retentionDurationCheck analogue): a
     // copy-pasted `min_age_ms => 0` maintenance call silently destroys
     // the horizon of every lagging reader — a pinned snapshot mid-scan,
@@ -2554,7 +2554,18 @@ object WeatherLakeV2Sink {
     val mdir = new Path(basePath, ManifestDir)
     val live = liveManifests(basePath)
     val liveFiles = committedFiles(basePath).toSet
-    val cutoff = System.currentTimeMillis() - minAgeMs
+    // the CHANGE-FEED RETENTION CONTRACT (`cdfRetentionMs` table
+    // property, resolved by the CALL face): a declared bootstrap/replay
+    // window that even a forced zero-age vacuum honors — history
+    // younger than the window survives, so a change-feed consumer (or
+    // an earliest-bootstrap restart) whose lag is inside the declared
+    // window can never lose its horizon to maintenance; outside it the
+    // existing loud vacuum-horizon failure stands. Age is a FLOOR over
+    // the whole retention arithmetic (manifests and their files alike)
+    // — retaining a manifest without its change/delete/data files would
+    // be a horizon that resolves to missing paths.
+    val cutoff = System.currentTimeMillis() -
+      math.max(minAgeMs, cdfRetentionMs)
     val superseded = manifestNames(basePath).filterNot(live.toSet)
     // live manifests' CHANGE-LOG and MOR-DELETE files are protected like
     // live data (a CDF stream that hasn't consumed the manifest still
