@@ -456,6 +456,11 @@ object SparkEntry {
     */
   private def maintainLakeFixture(s: SparkSession, t: String,
       maxFiles: Int = 60): Unit = {
+    // Honesty switch: GRAFT_SKIP_FIXTURE_MAINTENANCE=1 disables the
+    // steady-state maintenance entirely — a full Verify run under it
+    // must still pass every oracle (correctness can never DEPEND on
+    // maintenance having run; maintenance only bounds fixture growth).
+    if (sys.env.get("GRAFT_SKIP_FIXTURE_MAINTENANCE").contains("1")) return
     val p = s"/tmp/graft_catalog_wh/$t"
     if (graft.sources.WeatherLakeV2Sink.committedFiles(p).size > maxFiles) {
       s.sql(s"CALL graftlake.system.compact('$t')")
