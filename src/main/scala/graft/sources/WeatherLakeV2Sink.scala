@@ -2837,9 +2837,10 @@ object WeatherLakeV2Sink {
     if (fs.exists(file)) throw new IllegalArgumentException(
       s"branch '$name' already exists on $basePath — drop_branch first " +
         "or fast_forward it")
+    // an EMPTY base is legal (unlike a tag, which pins a snapshot): a
+    // brand-new table's first commits are a legitimate thing to stage —
+    // fast_forward then requires main to still be empty
     val snap = liveManifests(basePath)
-    require(snap.nonEmpty,
-      s"cannot branch $basePath before its first commit")
     fs.mkdirs(new Path(basePath, RefsDir))
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val arr = mapper.createArrayNode()

@@ -213,6 +213,19 @@ class TypedLakeBranchSpec extends SparkSpec {
     spark.sql("CALL bre.system.fast_forward('t', 'stage')").collect()
     assert(spark.sql("SELECT count(*) FROM bre.t").head.getLong(0) == 58)
 
+    // a brand-new table's FIRST commits can be staged (empty base) and
+    // published — the bootstrap WAP flow
+    spark.sql("CREATE TABLE bre.fresh (id BIGINT) USING lake")
+    staging("boot") {
+      spark.sql("INSERT INTO bre.fresh SELECT id FROM range(7)")
+      assert(spark.sql("SELECT count(*) FROM bre.fresh").head.getLong(0) == 7)
+    }
+    assert(spark.sql("SELECT count(*) FROM bre.fresh").head.getLong(0) == 0)
+    spark.sql("CALL bre.system.fast_forward('fresh', 'boot')").collect()
+    assert(spark.sql("SELECT count(*) FROM bre.fresh").head.getLong(0) == 7)
+    spark.sql("CALL bre.system.drop_branch('fresh', 'boot')").collect()
+    spark.sql("DROP TABLE bre.fresh")
+
     val digits = intercept[Exception](
       spark.sql("CALL bre.system.create_branch('t', '123')").collect())
     assert(digits.getMessage.contains("all digits"))
