@@ -7218,6 +7218,68 @@ object SparkEntry {
           WHEN MATCHED THEN UPDATE SET *
           WHEN NOT MATCHED THEN INSERT *""")
         s.sql(s"SELECT doc_id, val, grade FROM graftlake.$t")
+      }),
+
+    QueryDef("q127_runtime_file_pruning",
+      "RUNTIME FILE PRUNING (SupportsRuntimeV2Filtering, round 16): the " +
+        "engine evaluates the SELECTIVE side of a join first and hands " +
+        "the lake scan its IN-set as a runtime predicate; the scan drops " +
+        "whole FILES before a single footer is opened — on partition " +
+        "values (classic dynamic partition pruning) and on manifest " +
+        "min/max stats (dynamic FILE pruning, the Delta/Photon DFP " +
+        "move: a dim-driven value set skips fact files no plan-time " +
+        "literal could). In-pass pins: the executed plan carries the " +
+        "dynamicpruning expression AND the scan's kept-file count " +
+        "dropped below total (test seam). Every unknown fails open and " +
+        "the join re-evaluates, so pruning is IO-only. At 100 TB this " +
+        "is the star-join posture: a 20-partition dim filter touches " +
+        "3/20ths of the fact's files, not all of them. The oracle " +
+        "replays the join relationally.",
+      Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |       CAST(doc_id AS BIGINT) AS val, source FROM documents
+        |WHERE source IN ('src3', 'src7', 'src12')""".stripMargin),
+      (s, dir) => {
+        val t = typedDocsTable(s, dir, "dpp")
+        val docs = Tables.documents(s, dir)
+        docs.select(col("source")).distinct()
+          .withColumn("pick", col("source").isin("src3", "src7", "src12"))
+          .createOrReplaceTempView("q127_dim")
+        val sql = s"""SELECT f.doc_id, f.val, f.source FROM graftlake.$t f
+          JOIN q127_dim d ON f.source = d.source WHERE d.pick"""
+        val probe = s.sql(sql)
+        probe.collect()
+        val planStr = probe.queryExecution.executedPlan.toString
+        require(planStr.toLowerCase.contains("dynamicpruning"),
+          s"q127: expected a runtime filter on the lake scan:\n$planStr")
+        def walk(p: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[org.apache.spark.sql.execution.SparkPlan] =
+          p +: (p.children.flatMap(walk) ++ (p match {
+            case a: org.apache.spark.sql.execution.adaptive
+                .AdaptiveSparkPlanExec => walk(a.executedPlan)
+            case q: org.apache.spark.sql.execution.adaptive
+                .QueryStageExec => walk(q.plan)
+            case _ => Seq.empty
+          }))
+        val kept = walk(probe.queryExecution.executedPlan).collect {
+          case b: org.apache.spark.sql.execution.datasources.v2
+              .BatchScanExec => b.scan
+        }.collect {
+          case sc: graft.sources.LakeCatalog.TypedLakeStreamableScan =>
+            sc.runtimeKeptFiles
+        }.flatten
+        // compare against the table's COMMITTED file count, not the
+        // delegate's planned count: under AQE the materialized dim
+        // values ALSO re-push as a literal IN at re-optimization, so
+        // the delegate may have pruned already (kept == planned-total
+        // is then correct); the invariant is that the query read a
+        // strict subset of the table's files either way
+        val committed = graft.sources.WeatherLakeV2Sink
+          .committedFiles(s"/tmp/graft_catalog_wh/$t").size
+        require(kept.nonEmpty && kept.forall { case (k, _) =>
+          k > 0 && k < committed },
+          s"q127: the runtime filter must drop whole files " +
+            s"(committed=$committed), got $kept")
+        s.sql(sql)
       })
   )
 

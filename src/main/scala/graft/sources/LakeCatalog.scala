@@ -1258,7 +1258,8 @@ object LakeCatalog {
         new StatsPrunedParquetScanBuilder(ident, spark, path, tableSchema,
           files.sorted, statsOf, new CaseInsensitiveStringMap(merged),
           pinnedTable = pinned.isDefined, bucketSpec = bucketSpec,
-          morDeleteLines = if (morInline) morContext.get._2 else Nil)
+          morDeleteLines = if (morInline) morContext.get._2 else Nil,
+          partCols = partCols)
       }
     }
 
@@ -1449,7 +1450,8 @@ object LakeCatalog {
       options: CaseInsensitiveStringMap,
       pinnedTable: Boolean = false,
       bucketSpec: Option[(String, Int)] = None,
-      morDeleteLines: Seq[String] = Nil)
+      morDeleteLines: Seq[String] = Nil,
+      partCols: Seq[String] = Nil)
       extends ScanBuilder
       with SupportsPushDownRequiredColumns
       with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -1592,6 +1594,113 @@ object LakeCatalog {
     override def pushVariantExtractions(
         extractions: Array[org.apache.spark.sql.connector.read.VariantExtraction]): Array[Boolean] =
       ensure().pushVariantExtractions(extractions)
+    /** One canonical rendering of a V2 literal — the same domain as
+      * [[render]] (what the writer's stats and partition paths carry).
+      */
+    private def renderV2(
+        l: org.apache.spark.sql.connector.expressions.Literal[_])
+        : Option[String] =
+      if (l.value == null) None
+      else render(org.apache.spark.sql.catalyst.expressions.Literal
+        .create(l.value, l.dataType))
+
+    /** A runtime (DPP-delivered) predicate as (top-level field, rendered
+      * candidate values) — IN and equality only; anything else is None
+      * (fail open, the keep-rule of all pruning here). A null among the
+      * values fails the whole predicate open (three-valued semantics).
+      */
+    private def parseRuntime(
+        p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+        : Option[(String, Seq[String])] = {
+      def field(e: org.apache.spark.sql.connector.expressions.Expression)
+          : Option[String] = e match {
+        case f: org.apache.spark.sql.connector.expressions.NamedReference
+            if f.fieldNames().length == 1 =>
+          Some(f.fieldNames()(0))
+        case _ => None
+      }
+      def lit(e: org.apache.spark.sql.connector.expressions.Expression)
+          : Option[String] = e match {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          renderV2(l)
+        case _ => None
+      }
+      val ch = p.children()
+      p.name() match {
+        case "IN" if ch.length >= 2 =>
+          field(ch.head).flatMap { f =>
+            val vals = ch.tail.toSeq.map(lit)
+            if (vals.exists(_.isEmpty)) None else Some(f -> vals.flatten)
+          }
+        case "=" if ch.length == 2 =>
+          field(ch(0)).flatMap(f => lit(ch(1)).map(v => f -> Seq(v)))
+            .orElse(field(ch(1)).flatMap(f => lit(ch(0)).map(v => f -> Seq(v))))
+        case _ => None
+      }
+    }
+
+    /** RUNTIME FILE PRUNING (the scan-side half of
+      * [[TypedLakeStreamableScan]]'s `SupportsRuntimeV2Filtering` face):
+      * given the engine's join-driven runtime predicates, the surviving
+      * file set — pruned on PARTITION VALUES (classic dynamic partition
+      * pruning, against the typed writer's unescaped path values) and on
+      * MANIFEST STATS (dynamic FILE pruning: a per-file min/max range no
+      * candidate value overlaps rules the file out, with the same
+      * domain/ASCII keep-rules as plan-time stats pruning). Every
+      * unknown — unparseable predicate, missing partition segment,
+      * missing stats, domain mismatch — fails OPEN.
+      */
+    private def runtimePrune(
+        preds: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+        : Option[Set[String]] = {
+      val conds = preds.toSeq.flatMap(parseRuntime(_))
+      if (conds.isEmpty) None
+      else {
+        def ascii(s: String): Boolean = s.forall(_ < 128)
+        val pcs = partCols.map(_.toLowerCase).toSet
+        Some(files.filter { f =>
+          conds.forall { case (fieldName, vals) =>
+            if (pcs(fieldName.toLowerCase)) {
+              TypedLake.partitionValuesTyped(path, f)
+                .collectFirst { case (k, v)
+                    if k.equalsIgnoreCase(fieldName) => v }
+                .forall(vals.contains)
+            } else {
+              val numericDomain = tableSchema.fields
+                .find(_.name.equalsIgnoreCase(fieldName))
+                .exists(_.dataType
+                  .isInstanceOf[org.apache.spark.sql.types.NumericType])
+              statsOf.getOrElse(f, Map.empty)
+                .collectFirst { case (k, fs)
+                    if k.equalsIgnoreCase(fieldName) => fs }
+                .forall { fs =>
+                  if (fs.numeric != numericDomain) true
+                  else if (!fs.numeric && !(ascii(fs.min) && ascii(fs.max) &&
+                      vals.forall(ascii))) true
+                  else vals.exists(v => fs.overlaps(Some(v), Some(v)))
+                }
+            }
+          }
+        }.toSet)
+      }
+    }
+
+    /** The attributes runtime filters may target: partition columns
+      * (dynamic partition pruning) plus every stats-covered field
+      * (dynamic file pruning). EMPTY for bucketed tables — their scans
+      * report KeyGroupedPartitioning, and runtime-pruned buckets would
+      * break the storage-partitioned join's partition alignment; the
+      * zero-exchange join is worth more than the prune.
+      */
+    private def runtimeAttrs: Seq[String] =
+      if (bucketSpec.isDefined) Seq.empty
+      else {
+        val statFields = statsOf.valuesIterator.flatMap(_.keysIterator)
+          .toSet.toSeq
+        (partCols ++ statFields).distinct
+          .filter(n => tableSchema.fieldNames.exists(_.equalsIgnoreCase(n)))
+      }
+
     override def build(): Scan = {
       val primary = ensure().build()
       if (aggPushedUnderMor)
@@ -1631,7 +1740,8 @@ object LakeCatalog {
         }
       new TypedLakeStreamableScan(
         primary, path, tableSchema, prunedTo, options, pinnedTable,
-        bucketSpec, morDeleteLines, mkOrdinal)
+        bucketSpec, morDeleteLines, mkOrdinal,
+        runtimeAttrs = runtimeAttrs, runtimePruneFn = runtimePrune)
     }
 
     /** Test seam: the file list the delegate was (or would be) built
@@ -1661,13 +1771,49 @@ object LakeCatalog {
       options: CaseInsensitiveStringMap, pinnedTable: Boolean,
       bucketSpec: Option[(String, Int)] = None,
       morDeleteLines: Seq[String] = Nil,
-      mkOrdinal: Option[(Seq[String], Boolean) => Scan] = None)
+      mkOrdinal: Option[(Seq[String], Boolean) => Scan] = None,
+      runtimeAttrs: Seq[String] = Nil,
+      runtimePruneFn: Array[org.apache.spark.sql.connector.expressions
+        .filter.Predicate] => Option[Set[String]] = _ => None)
       extends Scan
       with org.apache.spark.sql.connector.read.SupportsReportStatistics
       with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+      with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
       with org.apache.spark.sql.internal.connector.SupportsMetadata {
     override def readSchema(): StructType = inner.readSchema()
     override def description(): String = inner.description()
+
+    /** RUNTIME (join-driven) FILE PRUNING — `SupportsRuntimeV2Filtering`:
+      * the engine evaluates the build side of a selective join first,
+      * hands the probe-side scan the resulting IN/equality predicates
+      * on any attribute this scan advertised, and re-plans partitions.
+      * The prune drops whole FILES — on partition values (classic DPP)
+      * and on manifest stats (dynamic file pruning, the Photon/Delta
+      * "DFP" move: a dim-driven range can skip fact files no plan-time
+      * literal could) — before a single footer is opened. The engine
+      * re-evaluates the join itself, so pruning is an IO optimization,
+      * never a correctness gate; every unknown fails open. Bucketed
+      * scans advertise NO attributes (pruned buckets would break the
+      * storage-partitioned join's alignment).
+      */
+    @volatile private var runtimeKeep: Option[Set[String]] = None
+    /** Test seam: (kept, total planned) after a runtime filter fired. */
+    @volatile private[graft] var runtimeKeptFiles: Option[(Int, Int)] = None
+    override def filterAttributes():
+        Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+      // only columns surviving the scan's own column pruning: the
+      // engine RESOLVES these against the pruned relation output and
+      // fails hard (not open) on a miss
+      runtimeAttrs
+        .filter(n => readSchema().fieldNames.exists(_.equalsIgnoreCase(n)))
+        .map(Expressions.column).toArray
+    override def filter(predicates: Array[org.apache.spark.sql.connector
+        .expressions.filter.Predicate]): Unit =
+      runtimeKeep = runtimePruneFn(predicates)
+    private def keepAfterRuntime(
+        f: org.apache.spark.sql.execution.datasources.PartitionedFile)
+        : Boolean =
+      runtimeKeep.forall(_.contains(skipKeyOf(f)))
 
     /** The delegate Batch, planned ONCE — bucketGroups and toBatch both
       * consume it, and re-building would repeat the delegate's file
@@ -1864,11 +2010,38 @@ object LakeCatalog {
       }
 
     override def toBatch: Batch = (bucketGroups, morSkips.isEmpty) match {
-      case (None, true) => delegateBatch
+      case (None, true) if runtimeAttrs.isEmpty => delegateBatch
+      case (None, true) =>
+        // plain scan with runtime filtering advertised: pass through
+        // untouched until a runtime filter actually fires, then re-plan
+        // the delegate's own partitions minus the pruned files
+        val delegate = delegateBatch
+        new Batch {
+          override def planInputPartitions(): Array[InputPartition] =
+            runtimeKeep match {
+              case None => delegate.planInputPartitions()
+              case Some(_) => delegateFileParts match {
+                case None => delegate.planInputPartitions() // non-file
+                case Some(fileParts) =>
+                  val total = fileParts.map(_.files.length).sum
+                  val kept = fileParts
+                    .map(fp => fp.copy(files = fp.files.filter(keepAfterRuntime)))
+                    .filter(_.files.nonEmpty)
+                    .zipWithIndex.map { case (fp, i) => fp.copy(index = i) }
+                  runtimeKeptFiles =
+                    Some((kept.map(_.files.length).sum, total))
+                  kept.toArray
+              }
+            }
+          override def createReaderFactory(): PartitionReaderFactory =
+            delegate.createReaderFactory()
+        }
       case (None, false) =>
         // NON-BUCKETED inline mor: targeted files leave their delegate
         // splits and re-plan as per-file ordinal-leg partitions; clean
-        // files keep the delegate's own split planning untouched
+        // files keep the delegate's own split planning untouched. A
+        // fired runtime filter prunes BOTH legs (a pruned targeted
+        // file's skip set is simply never read).
         val delegate = delegateBatch
         val skips = morSkips
         val leg = ordinalLeg
@@ -1880,14 +2053,21 @@ object LakeCatalog {
                   "delegate scan"))
             val clean = fileParts
               .map(fp => fp.copy(
-                files = fp.files.filterNot(f => skips.contains(skipKeyOf(f)))))
+                files = fp.files.filterNot(f => skips.contains(skipKeyOf(f)))
+                  .filter(keepAfterRuntime)))
               .filter(_.files.nonEmpty)
               .zipWithIndex.map { case (fp, i) => fp.copy(index = i) }
-            val targeted = leg.map(_.partsByFile.toSeq.sortBy(_._1)
+            val targeted = leg.map(_.partsByFile.toSeq
+              .filter { case (k, _) => runtimeKeep.forall(_.contains(k)) }
+              .sortBy(_._1)
               .zipWithIndex.map { case ((k, fp), i) =>
                 TargetedMorFilePartition(fp.copy(index = clean.size + i),
                   skips(k))
               }).getOrElse(Seq.empty)
+            if (runtimeKeep.isDefined)
+              runtimeKeptFiles = Some((
+                clean.map(_.files.length).sum + targeted.size,
+                fileParts.map(_.files.length).sum))
             (clean ++ targeted).toArray
           }
           override def createReaderFactory(): PartitionReaderFactory =
