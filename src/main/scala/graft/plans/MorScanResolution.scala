@@ -88,12 +88,14 @@ object MorScanResolution extends Rule[LogicalPlan] {
         val spark = SparkSession.active
         val schema = tbl.tableSchema
         val mapped = TypedLake.historicalNames(schema).nonEmpty
-        // a WAP-staged read's extra files (branch appends) ride every
-        // v1-rewrite leg too — the rewrite resolves explicit file lists,
+        // a branch read's extra files — WAP conf staging OR a pinned
+        // `VERSION AS OF '<branch>'` read (pinnedExtra) — ride every
+        // v1-rewrite leg too: the rewrite resolves explicit file lists,
         // so dropping them here would silently hide staged rows from a
         // renamed or equality-debt table's branch view
-        def staged: Seq[String] = tbl.wapReadBranch.toSeq
-          .flatMap(WeatherLakeV2Sink.branchFiles(tbl.path, _))
+        def staged: Seq[String] = tbl.pinnedExtra ++
+          tbl.wapReadBranch.toSeq
+            .flatMap(WeatherLakeV2Sink.branchFiles(tbl.path, _))
         tbl.morContext match {
           case None if !mapped => r
           case None =>

@@ -146,7 +146,8 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
   /** Route a loaded marker to the classic or typed table face. */
   private def tableOf(ident: Identifier, location: String,
       props: util.HashMap[String, String],
-      pinned: Option[Seq[String]]): Table =
+      pinned: Option[Seq[String]],
+      pinnedExtra: Seq[String] = Nil): Table =
     Option(props.get(SchemaProp)) match {
       case Some(json) =>
         val schema = DataType.fromJson(json).asInstanceOf[StructType]
@@ -154,7 +155,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
           .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
           .getOrElse(Seq.empty)
         new TypedLakeCatalogTable(fullName(ident), location, schema,
-          partCols, props, pinned)
+          partCols, props, pinned, pinnedExtra = pinnedExtra)
       case None =>
         new LakeCatalogTable(fullName(ident), location, props, pinned)
     }
@@ -172,13 +173,24 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
     val props = readMarker(fs.getConf, dir)
     val location = props.getOrDefault(TableCatalog.PROP_LOCATION, dir)
     // an integer is a commit version; anything else is a NAMED REF —
-    // `VERSION AS OF 'v1'` reads the tag's pinned snapshot (Iceberg
-    // refs), which vacuum protects until the tag is dropped
-    val snap = version.toIntOption match {
-      case Some(v) => WeatherLakeV2Sink.snapshotAt(location, v)
-      case None => WeatherLakeV2Sink.readTag(location, version)
+    // a TAG first (immutable pins win the namespace), then a BRANCH:
+    // `VERSION AS OF 'audit'` reads the branch VIEW (base + staged),
+    // the gate-query surface that needs no session conf. Typed tables
+    // only for branches (the classic write path never stages).
+    version.toIntOption match {
+      case Some(v) =>
+        tableOf(ident, location, props,
+          pinned = Some(WeatherLakeV2Sink.snapshotAt(location, v)))
+      case None =>
+        val isTag = WeatherLakeV2Sink.tagNames(location).contains(version)
+        if (!isTag && props.get(SchemaProp) != null &&
+            WeatherLakeV2Sink.branchExists(location, version))
+          tableOf(ident, location, props,
+            pinned = Some(WeatherLakeV2Sink.readBranchBase(location, version)),
+            pinnedExtra = WeatherLakeV2Sink.branchFiles(location, version))
+        else tableOf(ident, location, props,
+          pinned = Some(WeatherLakeV2Sink.readTag(location, version)))
     }
-    tableOf(ident, location, props, pinned = Some(snap))
   }
 
   /** `TIMESTAMP AS OF t` (micros since epoch): the greatest commit
@@ -1063,7 +1075,8 @@ object LakeCatalog {
       val tableSchema: StructType, val partCols: Seq[String],
       props: util.Map[String, String],
       val pinned: Option[Seq[String]] = None,
-      val morResolved: Boolean = false)
+      val morResolved: Boolean = false,
+      val pinnedExtra: Seq[String] = Nil)
       extends Table with SupportsRead with SupportsWrite {
     override def name(): String = ident
     override def schema(): StructType = tableSchema
@@ -1203,7 +1216,9 @@ object LakeCatalog {
       // stats pruning (history reads are not the hot path)
       val (files, statsOf) = pinned match {
         case Some(snap) =>
-          (WeatherLakeV2Sink.filesAsOf(path, snap),
+          // pinnedExtra = a BRANCH read's staged files (VERSION AS OF
+          // '<branch>'): the view is base-snapshot + staged appends
+          (WeatherLakeV2Sink.filesAsOf(path, snap) ++ pinnedExtra,
             Map.empty[String, Map[String, WeatherLakeV2Sink.FieldStats]])
         case None =>
           // inline-mor scans pin data files to the SAME snapshot the

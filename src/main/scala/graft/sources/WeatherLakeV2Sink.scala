@@ -2756,8 +2756,9 @@ object WeatherLakeV2Sink {
     val file = tagFile(basePath, name)
     val fs = file.getFileSystem(new Configuration())
     if (!fs.exists(file)) throw new IllegalArgumentException(
-      s"unknown tag '$name' on $basePath — existing tags: " +
-        s"[${tagNames(basePath).mkString(", ")}]")
+      s"unknown ref '$name' on $basePath — existing tags: " +
+        s"[${tagNames(basePath).mkString(", ")}]; branches: " +
+        s"[${branchNames(basePath).mkString(", ")}]")
     val in = fs.open(file)
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()

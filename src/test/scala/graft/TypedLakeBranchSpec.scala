@@ -226,6 +226,32 @@ class TypedLakeBranchSpec extends SparkSpec {
     spark.sql("CALL bre.system.drop_branch('fresh', 'boot')").collect()
     spark.sql("DROP TABLE bre.fresh")
 
+    // VERSION AS OF '<branch>' reads the branch VIEW with NO staging
+    // conf — the gate-query surface for a reviewer session; mor debt
+    // resolves at the branch's base, and a TAG of the same name wins
+    // the ref namespace (immutable pins first)
+    spark.sql("CALL bre.system.create_branch('t', 'review')").collect()
+    staging("review") {
+      spark.sql("INSERT INTO bre.t SELECT id, id FROM range(200, 207)")
+    }
+    assert(spark.sql("SELECT count(*) FROM bre.t VERSION AS OF 'review'")
+      .head.getLong(0) == 65) // 58 published + 7 staged
+    assert(spark.sql("SELECT count(*) FROM bre.t VERSION AS OF 'review' " +
+      "WHERE id IN (7, 13)").head.getLong(0) == 0,
+      "branch view must resolve the base's mor deletions")
+    assert(spark.sql("SELECT count(*) FROM bre.t").head.getLong(0) == 58)
+    spark.sql("CALL bre.system.tag('t', 'review2')").collect()
+    spark.sql("CALL bre.system.create_branch('t', 'review2')").collect()
+    staging("review2") {
+      spark.sql("INSERT INTO bre.t SELECT id, id FROM range(300, 310)")
+    }
+    assert(spark.sql("SELECT count(*) FROM bre.t VERSION AS OF 'review2'")
+      .head.getLong(0) == 58,
+      "a tag and a branch sharing a name resolve to the TAG")
+    spark.sql("CALL bre.system.drop_branch('t', 'review')").collect()
+    spark.sql("CALL bre.system.drop_branch('t', 'review2')").collect()
+    spark.sql("CALL bre.system.drop_tag('t', 'review2')").collect()
+
     val digits = intercept[Exception](
       spark.sql("CALL bre.system.create_branch('t', '123')").collect())
     assert(digits.getMessage.contains("all digits"))

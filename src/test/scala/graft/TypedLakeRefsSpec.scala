@@ -57,7 +57,7 @@ class TypedLakeRefsSpec extends SparkSpec {
     // guards: unknown tag (listing existing ones), duplicate create
     val e1 = intercept[Exception](
       spark.sql("SELECT * FROM refs.t VERSION AS OF 'nope'").collect())
-    assert(e1.getMessage.contains("unknown tag") &&
+    assert(e1.getMessage.contains("unknown ref") &&
       e1.getMessage.contains("v1"), e1.getMessage)
     val e2 = intercept[Exception](
       spark.sql("CALL refs.system.tag('t', 'v1')").collect())
@@ -74,7 +74,7 @@ class TypedLakeRefsSpec extends SparkSpec {
     assert(reclaimed > 0, "dropping the tag must free its files")
     val e3 = intercept[Exception](
       spark.sql("SELECT * FROM refs.t VERSION AS OF 'v1'").collect())
-    assert(e3.getMessage.contains("unknown tag"), e3.getMessage)
+    assert(e3.getMessage.contains("unknown ref"), e3.getMessage)
     // the LIVE table is untouched by all of it
     assert(spark.table("refs.t").count() == 10)
     spark.sql("DROP TABLE refs.t")
