@@ -7280,6 +7280,54 @@ object SparkEntry {
           s"q127: the runtime filter must drop whole files " +
             s"(committed=$committed), got $kept")
         s.sql(sql)
+      }),
+
+    QueryDef("q128_manifest_stats_agg",
+      "MANIFEST-STATS AGGREGATE ANSWERING (round 16 — Iceberg's " +
+        "manifest-aggregate move): an unfiltered, ungrouped, debt-free " +
+        "MIN/MAX over a column whose per-file stats cover every live " +
+        "entry line is answered from the MANIFEST alone — O(files) " +
+        "driver metadata, zero file IO, not even a footer GET; the plan " +
+        "is a LocalTableScan with NO BatchScan (in-pass pin). Values " +
+        "reduce in the column's own internal ordering; quantized " +
+        "integral endpoints (past 2^53), domain mismatches, missing " +
+        "coverage, filters, grouping and mor debt all REFUSE back to " +
+        "the ordinary scan. At 100 TB `SELECT max(event_ts)` is a " +
+        "metadata lookup, not a 100 TB scan. The oracle replays the " +
+        "aggregate relationally.",
+      Some("""SELECT CAST(min(doc_id) AS BIGINT) AS min_id,
+        |       CAST(max(doc_id) AS BIGINT) AS max_id,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM documents""".stripMargin),
+      (s, dir) => {
+        val t = typedDocsTable(s, dir, "dpp") // seed-only fixture (q127's)
+        s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        try {
+          val probe = s.sql(
+            s"SELECT min(doc_id), max(doc_id) FROM graftlake.$t")
+          probe.collect()
+          def walk(p: org.apache.spark.sql.execution.SparkPlan)
+              : Seq[org.apache.spark.sql.execution.SparkPlan] =
+            p +: (p.children.flatMap(walk) ++ (p match {
+              case a: org.apache.spark.sql.execution.adaptive
+                  .AdaptiveSparkPlanExec => walk(a.executedPlan)
+              case q: org.apache.spark.sql.execution.adaptive
+                  .QueryStageExec => walk(q.plan)
+              case _ => Seq.empty
+            }))
+          val plans = walk(probe.queryExecution.executedPlan)
+          require(plans.exists(_.isInstanceOf[
+              org.apache.spark.sql.execution.LocalTableScanExec]) &&
+            !plans.exists(_.isInstanceOf[
+              org.apache.spark.sql.execution.datasources.v2.BatchScanExec]),
+            s"q128: min/max must answer from the manifest (LocalTableScan," +
+              s" no BatchScan):\n${probe.queryExecution.executedPlan}")
+          // count(*) is NOT manifest-answerable (no row counts in
+          // stats) — it rides the footer path; the mixed query is the
+          // result, exercising both
+          s.sql(s"""SELECT min(doc_id) AS min_id, max(doc_id) AS max_id,
+            count(*) AS n FROM graftlake.$t""")
+        } finally s.conf.unset("spark.sql.parquet.aggregatePushdown")
       })
   )
 

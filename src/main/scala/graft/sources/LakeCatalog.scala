@@ -1594,10 +1594,152 @@ object LakeCatalog {
         agg.aggregateExpressions.forall(
           _.isInstanceOf[org.apache.spark.sql.connector.expressions
             .aggregate.CountStar])
+
+    /** MANIFEST-STATS aggregate answering: an unfiltered, ungrouped,
+      * debt-free MIN/MAX over columns whose per-file stats cover EVERY
+      * live entry line is answered from the manifest alone — O(files)
+      * driver metadata, zero file IO, not even a footer GET (the
+      * Iceberg manifest-aggregate move; at 100 TB, `SELECT max(ts)
+      * FROM t` is a metadata lookup, not a scan). Exactness rules:
+      * values reduce in the COLUMN's own internal ordering after a
+      * cast back from the writer's canonical string rendering (never
+      * the pruning layer's double-compare — longs above 2^53 matter
+      * for ANSWERS); lexical stats require all-ASCII endpoints (Java
+      * vs UTF8-binary order agree on ASCII, and an ASCII extreme
+      * bounds every value in both orders); a domain mismatch, a
+      * missing per-file entry, an unparsable value, mor debt, pushed
+      * filters or grouping all REFUSE — the ordinary scan answers.
+      * Gated by the same conf as parquet aggregate pushdown.
+      */
+    private var statsAggAnswer: Option[(StructType, InternalRow)] = None
+    private def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case r: org.apache.spark.sql.connector.expressions.NamedReference
+          if r.fieldNames().length == 1 => Some(r.fieldNames()(0))
+      case _ => None
+    }
+
+    /** Whether the FOOTER aggregate path is safe to take: the engine's
+      * footer reader crashes on a file missing an aggregated column
+      * (metadata-only schema evolution leaves old files without it).
+      * Per-file stats are a presence witness — a column whose stats
+      * cover SOME but not ALL live files is the evolution signature,
+      * so the footer path refuses (the ordinary scan answers, null-
+      * filling old files correctly). Zero coverage (statsFields never
+      * configured) keeps the pre-existing forwarding behavior.
+      */
+    private def aggFooterSafe(
+        agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+        : Boolean = {
+      import org.apache.spark.sql.connector.expressions.aggregate.{Count, Max, Min}
+      val cols = agg.aggregateExpressions.toSeq.flatMap {
+        case m: Min => fieldOf(m.column)
+        case m: Max => fieldOf(m.column)
+        case c: Count => fieldOf(c.column)
+        case _ => Seq.empty
+      }
+      cols.forall { name =>
+        val covered = files.count(f => statsOf.getOrElse(f, Map.empty)
+          .keys.exists(_.equalsIgnoreCase(name)))
+        covered == 0 || covered == files.size
+      }
+    }
+
+    private def manifestStatsAnswer(
+        agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+        : Option[(StructType, InternalRow)] = {
+      import org.apache.spark.sql.connector.expressions.aggregate.{Max, Min}
+      if (!spark.sessionState.conf.getConf(org.apache.spark.sql.internal
+          .SQLConf.PARQUET_AGGREGATE_PUSHDOWN_ENABLED)) return None
+      if (agg.groupByExpressions.nonEmpty || pushedExprs.nonEmpty ||
+          morDeleteLines.nonEmpty || files.isEmpty) return None
+      val wants: Seq[(Boolean, String)] =
+        agg.aggregateExpressions.toSeq.map {
+          case m: Min => fieldOf(m.column) match {
+            case Some(n) => (true, n)
+            case None => return None
+          }
+          case m: Max => fieldOf(m.column) match {
+            case Some(n) => (false, n)
+            case None => return None
+          }
+          case _ => return None
+        }
+      if (wants.isEmpty) return None
+      val answered = wants.map { case (isMin, name) =>
+        val field = tableSchema.fields
+          .find(_.name.equalsIgnoreCase(name)).getOrElse(return None)
+        val numericDomain =
+          field.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+        val perFile: Seq[String] = files.map { f =>
+          val fs = statsOf.getOrElse(f, Map.empty)
+            .collectFirst { case (k, st)
+                if k.equalsIgnoreCase(name) => st }
+            .getOrElse(return None)
+          if (fs.numeric != numericDomain) return None
+          if (!fs.numeric &&
+              !(fs.min.forall(_ < 128) && fs.max.forall(_ < 128)))
+            return None
+          if (isMin) fs.min else fs.max
+        }
+        import org.apache.spark.sql.types.{ByteType, DateType, DoubleType, FloatType, IntegerType, ShortType, TimestampType}
+        // the numeric-domain accumulator quantizes through DOUBLE, so
+        // integral answers are exact only strictly below 2^53 and whole
+        // (pruning stays sound either way — both prune sides quantize
+        // monotonically — but an ANSWER must refuse past exactness);
+        // decimals refuse outright (quantized), double/float endpoints
+        // ARE the stored doubles, and the lexical domains (string/date/
+        // timestamp/boolean) carry exact canonical renderings whose
+        // order matches SQL order (ASCII-guarded for strings)
+        val value: Any = field.dataType match {
+          case LongType | IntegerType | ShortType | ByteType =>
+            val ds = perFile.map(_.toDoubleOption.getOrElse(return None))
+            if (!ds.forall(d => d.isWhole &&
+                math.abs(d) < 9007199254740992.0)) return None
+            val l = if (isMin) ds.map(_.toLong).min else ds.map(_.toLong).max
+            field.dataType match {
+              case LongType => l
+              case IntegerType => l.toInt
+              case ShortType => l.toShort
+              case ByteType => l.toByte
+              case _ => return None
+            }
+          case DoubleType =>
+            val ds = perFile.map(_.toDoubleOption.getOrElse(return None))
+            if (isMin) ds.min else ds.max
+          case FloatType =>
+            val ds = perFile
+              .map(_.toDoubleOption.getOrElse(return None).toFloat)
+            if (isMin) ds.min else ds.max
+          case _: org.apache.spark.sql.types.DecimalType => return None
+          case StringType | DateType | TimestampType | BooleanType =>
+            val internal = perFile.map { s =>
+              val v = CCast(org.apache.spark.sql.catalyst.expressions
+                .Literal(org.apache.spark.unsafe.types.UTF8String
+                  .fromString(s), StringType),
+                field.dataType, Some("UTC")).eval(null)
+              if (v == null) return None
+              v
+            }
+            val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+              .getInterpretedOrdering(field.dataType)
+            if (isMin) internal.min(ord) else internal.max(ord)
+          case _ => return None
+        }
+        (StructField(s"${if (isMin) "min" else "max"}(${field.name})",
+          field.dataType, nullable = true), value)
+      }
+      Some((StructType(answered.map(_._1)),
+        InternalRow.fromSeq(answered.map(_._2))))
+    }
+
     override def pushAggregation(
         agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-      if (morDeleteLines.isEmpty) ensure().pushAggregation(agg)
-      else if (countStarOnly(agg) && ensure().pushAggregation(agg)) {
+      if (morDeleteLines.isEmpty) {
+        if (statsAggAnswer.isEmpty) statsAggAnswer = manifestStatsAnswer(agg)
+        statsAggAnswer.isDefined ||
+          (aggFooterSafe(agg) && ensure().pushAggregation(agg))
+      } else if (countStarOnly(agg) && ensure().pushAggregation(agg)) {
         aggPushedUnderMor = true
         true
       } else false
@@ -1605,7 +1747,11 @@ object LakeCatalog {
         agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
       // under debt the compensated counts are PER-FILE partials — the
       // engine must keep its final aggregation to sum them
-      morDeleteLines.isEmpty && ensure().supportCompletePushDown(agg)
+      if (morDeleteLines.isEmpty) {
+        statsAggAnswer = manifestStatsAnswer(agg)
+        statsAggAnswer.isDefined ||
+          (aggFooterSafe(agg) && ensure().supportCompletePushDown(agg))
+      } else false
     override def pushVariantExtractions(
         extractions: Array[org.apache.spark.sql.connector.read.VariantExtraction]): Array[Boolean] =
       ensure().pushVariantExtractions(extractions)
@@ -1717,6 +1863,9 @@ object LakeCatalog {
       }
 
     override def build(): Scan = {
+      statsAggAnswer.foreach { case (schema, row) =>
+        return new ManifestStatsAggScan(ident, schema, row)
+      }
       val primary = ensure().build()
       if (aggPushedUnderMor)
         return new MorCompensatedCountScan(primary, morDeleteLines)
@@ -2575,6 +2724,19 @@ object LakeCatalog {
           leg.forall(_.rowIndexMode) &&
             delegate.supportColumnarReads(other)
       }
+  }
+
+  /** The manifest-answered MIN/MAX scan: one row computed on the driver
+    * from per-file stats — the engine converts a [[LocalScan]] to a
+    * local relation, so the "scan" never touches an executor.
+    */
+  private[sources] final class ManifestStatsAggScan(ident: String,
+      schema: StructType, row: InternalRow)
+      extends org.apache.spark.sql.connector.read.LocalScan {
+    override def rows(): Array[InternalRow] = Array(row)
+    override def readSchema(): StructType = schema
+    override def description(): String =
+      s"$ident (manifest-stats aggregate)"
   }
 
   /** The compensated COUNT(*) scan of an inline-mor table (position-only
