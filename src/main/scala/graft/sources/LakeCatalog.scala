@@ -3323,7 +3323,12 @@ object LakeCatalog {
           // appended round 15 (index-stable): named refs pinning vacuum
           // retention roots — a non-zero count explains "why didn't
           // vacuum reclaim my history"
-          StructField("tags", IntegerType, nullable = false)))
+          StructField("tags", IntegerType, nullable = false),
+          // appended round 16 (index-stable): staging branches are
+          // retention roots too, and their staged files are invisible
+          // to main — a non-zero count explains both "why didn't
+          // vacuum/sweep reclaim" and "where is my staged data"
+          StructField("branches", IntegerType, nullable = false)))
         case "convert" => StructType(Seq(
           StructField("adopted_files", IntegerType, nullable = false),
           StructField("measured_files", IntegerType, nullable = false)))
@@ -3615,7 +3620,8 @@ object LakeCatalog {
               WeatherLakeV2Sink.manifestNames(path).size, withStats,
               liveDel.size,
               liveDel.count(TypedLake.isPosDelete), targeted,
-              WeatherLakeV2Sink.tagNames(path).size))
+              WeatherLakeV2Sink.tagNames(path).size,
+              WeatherLakeV2Sink.branchNames(path).size))
           case "history" =>
             val fs = new Path(path).getFileSystem(new Configuration())
             val mdir = new Path(path, WeatherLakeV2Sink.ManifestDir)

@@ -59,6 +59,9 @@ class TypedLakeBranchSpec extends SparkSpec {
     val br = spark.sql("CALL bra.system.branches('t')").collect()
     assert(br.length == 1 && br.head.getString(0) == "audit" &&
       br.head.getInt(2) == 2, br.toSeq)
+    // observability: detail's appended branches column counts it
+    val det = spark.sql("CALL bra.system.detail('t')").head
+    assert(det.getInt(det.fieldIndex("branches")) == 1)
 
     // PUBLISH: one atomic commit; main now serves the full view
     val published =
