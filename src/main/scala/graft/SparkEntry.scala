@@ -7328,6 +7328,49 @@ object SparkEntry {
           s.sql(s"""SELECT min(doc_id) AS min_id, max(doc_id) AS max_id,
             count(*) AS n FROM graftlake.$t""")
         } finally s.conf.unset("spark.sql.parquet.aggregatePushdown")
+      }),
+
+    QueryDef("q129_rollback",
+      "ROLLBACK / RESTORE (round 16 — Delta RESTORE, Iceberg " +
+        "rollback_to_snapshot): CALL lake.system.rollback restores the " +
+        "live view to an earlier version or tag as ONE new commit — " +
+        "zero data IO (the as-of entry lines and mor directives are " +
+        "re-listed verbatim), history preserved. Every pass appends a " +
+        "junk batch, rolls back to the 'pre-junk' tag, and force-" +
+        "vacuums: the restored view must survive the reclamation of " +
+        "the generation it rolled away (in-pass pins: the rollback " +
+        "dropped >= 1 file, the live history op IS rollback). At " +
+        "100 TB this is the bad-pipeline-run undo: a poisoned batch " +
+        "disappears in one metadata commit, no rewrite of the good " +
+        "99.9%. The oracle replays the seed state relationally.",
+      Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |       CAST(doc_id AS BIGINT) AS val, source FROM documents"""
+        .stripMargin),
+      (s, dir) => {
+        val t = typedDocsTable(s, dir, "rollb")
+        val p = s"/tmp/graft_catalog_wh/$t"
+        if (!graft.sources.WeatherLakeV2Sink.tagNames(p).contains("pre-junk"))
+          s.sql(s"CALL graftlake.system.tag('$t', 'pre-junk')")
+        // the poisoned batch: new keys, recognizably junk values
+        val docs = Tables.documents(s, dir)
+        docs.filter(col("doc_id") < 25).select(
+            (lit(-1000L) - col("doc_id")).as("doc_id"),
+            lit(-1L).as("val"), lit("junk").as("source"))
+          .writeTo(s"graftlake.$t").append()
+        val st = s.sql(
+          s"CALL graftlake.system.rollback('$t', 'pre-junk')").head
+        require(st.getInt(1) >= 1,
+          s"q129: the rollback must drop the junk generation, got $st")
+        val liveOps = s.sql(s"CALL graftlake.system.history('$t')")
+          .filter(col("live")).select("op").collect().map(_.getString(0))
+        require(liveOps.toSeq == Seq("rollback"),
+          s"q129: the live history must be the rollback commit, got " +
+            liveOps.mkString(", "))
+        // the rolled-away generation is reclaimable; the restored view
+        // is not — the oracle compare reads AFTER this vacuum
+        s.sql(s"CALL graftlake.system.vacuum('$t', min_age_ms => 1, " +
+          "force => true)")
+        s.sql(s"SELECT doc_id, val, source FROM graftlake.$t")
       })
   )
 

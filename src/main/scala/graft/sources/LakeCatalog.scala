@@ -778,7 +778,8 @@ object LakeCatalog {
     Seq("vacuum", "sweep_orphans", "checkpoint", "compact", "history",
       "measure_stats", "detail", "convert", "reconcile",
       "compact_deletes", "tag", "drop_tag", "tags",
-      "create_branch", "fast_forward", "drop_branch", "branches")
+      "create_branch", "fast_forward", "drop_branch", "branches",
+      "rollback")
 
   /** The one row shape a lake table has: three path-encoded partition
     * keys plus the raw payload line. `value` (read face) and `raw_json`
@@ -3243,6 +3244,9 @@ object LakeCatalog {
       case "drop_branch" => "drop a branch (staged files become " +
         "sweepable orphans)"
       case "branches" => "list the table's branches and their staged state"
+      case "rollback" =>
+        "restore the live view to an earlier version or tag as a NEW " +
+          "commit (RESTORE / rollback_to_snapshot; history preserved)"
     }
 
     override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
@@ -3286,6 +3290,10 @@ object LakeCatalog {
         case "create_branch" | "fast_forward" | "drop_branch" =>
           Array(p("table", StringType), p("name", StringType))
         case "branches" => Array(p("table", StringType))
+        case "rollback" =>
+          // an integer string is a commit version (history's axis);
+          // anything else is a TAG name — the VERSION AS OF resolution
+          Array(p("table", StringType), p("version", StringType))
       }
 
       private def resultSchema: StructType = procName match {
@@ -3355,6 +3363,11 @@ object LakeCatalog {
           StructField("base_manifests", IntegerType, nullable = false),
           StructField("staged_commits", IntegerType, nullable = false),
           StructField("staged_files", IntegerType, nullable = false)))
+        case "rollback" => StructType(Seq(
+          StructField("restored_files", IntegerType, nullable = false),
+          StructField("removed_files", IntegerType, nullable = false),
+          StructField("restored_delete_files", IntegerType, nullable = false),
+          StructField("removed_delete_files", IntegerType, nullable = false)))
       }
 
       /** CONVERT TO LAKE: adopt an EXISTING plain Parquet directory into
@@ -3583,6 +3596,18 @@ object LakeCatalog {
               WeatherLakeV2Sink.branchManifestNames(path, n).size,
               WeatherLakeV2Sink.branchEntryLines(path, n).size)
               : InternalRow).toArray
+          case "rollback" =>
+            val ref = input.getUTF8String(1).toString
+            // the VERSION AS OF resolution: integer = commit version,
+            // else an immutable tag (branches are staging heads, not
+            // main-history points — fast_forward is their publish)
+            val snap = ref.toIntOption match {
+              case Some(v) => WeatherLakeV2Sink.snapshotAt(path, v)
+              case None => WeatherLakeV2Sink.readTag(path, ref)
+            }
+            val st = WeatherLakeV2Sink.rollbackTo(path, snap)
+            Array(InternalRow(st.restoredFiles, st.removedFiles,
+              st.restoredDeleteFiles, st.removedDeleteFiles))
           case "measure_stats" =>
             val fields = input.getUTF8String(1).toString
               .split(",").map(_.trim).filter(_.nonEmpty).toSeq

@@ -318,6 +318,23 @@ object WeatherLakeV2Sink {
       .filter(_.startsWith(MorDeletePrefix))
       .map(_.stripPrefix(MorDeletePrefix).trim)
 
+  /** Surviving data ENTRY lines (path + stats, re-publishable verbatim)
+    * of a captured snapshot — [[filesAsOf]] keeping the full lines, the
+    * resolution [[rollbackTo]] re-lists. Same within-set supersede rules
+    * and loud vacuum-horizon failure.
+    */
+  def entryLinesAsOf(basePath: String, snap: Seq[String]): Seq[String] =
+    survivingLinesAsOf(basePath, snap)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+
+  /** Surviving `#mordelete` directive lines of a captured snapshot with
+    * the PREFIX KEPT (re-publishable verbatim) — [[morDeleteLinesAsOf]]'s
+    * carry-over twin, for commits that must re-list an as-of deletion
+    * state wholesale ([[rollbackTo]]).
+    */
+  def morDirectiveLinesAsOf(basePath: String, snap: Seq[String]): Seq[String] =
+    survivingLinesAsOf(basePath, snap).filter(_.startsWith(MorDeletePrefix))
+
   /** Directive stamped when a row-level commit RAN with `changeLog =
     * true` but its net change set is EMPTY (an idempotent batch replay,
     * an identity transform): the commit is logged-and-empty, not
@@ -1388,13 +1405,15 @@ object WeatherLakeV2Sink {
       requireLiveExactly.foreach { want =>
         if (live.toSet != want)
           throw new java.util.ConcurrentModificationException(
-            s"WeatherLakeV2Sink: cannot fast-forward $basePath — main " +
-              "advanced past the branch's base snapshot (" +
+            s"WeatherLakeV2Sink: cannot publish '$op' on $basePath — the " +
+              "live set advanced past this operation's snapshot (" +
               s"${(live.toSet -- want).toSeq.sorted.mkString(", ")} " +
               "appeared; " +
               s"${(want -- live.toSet).toSeq.sorted.mkString(", ")} " +
-              "gone). Fast-forward needs strict ancestry: re-create the " +
-              "branch from the current state (rebase) and retry.")
+              s"gone). '$op' needs strict ancestry (the WHOLE live view " +
+              "is its input): retry on the current state" +
+              (if (op == "fastforward")
+                " — re-create the branch from it (rebase)" else "") + ".")
       }
       val liveSet = live.toSet
       val gone = supersedes.filterNot(liveSet)
@@ -2207,6 +2226,91 @@ object WeatherLakeV2Sink {
         snapshot.size
       }
     }
+
+  // -----------------------------------------------------------------
+  // rollback (restore an earlier snapshot as a NEW commit)
+  // -----------------------------------------------------------------
+
+  /** Result of a [[rollbackTo]]: the file-set delta between the view
+    * being restored and the view it replaced.
+    */
+  final case class RollbackStats(restoredFiles: Int, removedFiles: Int,
+      restoredDeleteFiles: Int, removedDeleteFiles: Int) {
+    def isNoop: Boolean = restoredFiles == 0 && removedFiles == 0 &&
+      restoredDeleteFiles == 0 && removedDeleteFiles == 0
+  }
+
+  /** Restore the table's LIVE VIEW to a captured snapshot — the Delta
+    * `RESTORE` / Iceberg `rollback_to_snapshot` move, as ONE superseding
+    * commit (history preserved, never rewritten): the as-of surviving
+    * entry lines (stats intact) and `#mordelete` directives are re-listed
+    * VERBATIM in a manifest that supersedes the whole current live set,
+    * exactly [[checkpointManifests]]'s rollup shape pointed at an older
+    * resolution. Zero data IO — files never move; the view flips in one
+    * atomic rename, and `VERSION AS OF` keeps resolving both the rolled-
+    * away versions and the rollback itself until [[vacuum]] reclaims.
+    *
+    * Restores the DATA view only (file set + merge-on-read deletion
+    * state): the typed SCHEMA lives in the catalog marker and stays
+    * current, so as-of files read exactly as time travel reads them
+    * (additive evolution null-fills, widening casts, renames map).
+    * Per-file stats ride the as-of entry lines — as-of-correct for the
+    * as-of files by construction.
+    *
+    * Fails loudly, never partially: past the vacuum horizon
+    * ([[readAsOf]]'s contract), and on any resolved file missing from
+    * disk (a crashed vacuum's half-reclaimed window — making THAT state
+    * live again would plant missing-file failures in every later scan).
+    * A rollback to a view identical to the current one publishes
+    * NOTHING ([[RollbackStats.isNoop]]); per-file stats are not view
+    * state. Optimistic like checkpoint: a concurrent commit makes the
+    * publish lose loudly. The classic commit-log change feed refuses a
+    * rollback commit like an overwrite (its delta is not representable
+    * without a key); the typed snapshot-diff feed derives the exact
+    * restore delta from the commit structure.
+    */
+  def rollbackTo(basePath: String, snap: Seq[String]): RollbackStats = {
+    val live = liveManifests(basePath)
+    val asOfEntries = entryLinesAsOf(basePath, snap)
+    val asOfMor = morDirectiveLinesAsOf(basePath, snap)
+    val curEntries = entryLinesByManifest(basePath, live).flatMap(_._2)
+    val curMor = morDirectivesOf(basePath, live)
+    val asOfFiles = asOfEntries.map(entryPath).toSet
+    val curFiles = curEntries.map(entryPath).toSet
+    def delPath(l: String): String =
+      entryPath(l.stripPrefix(MorDeletePrefix).trim)
+    val asOfDel = asOfMor.map(delPath).toSet
+    val curDel = curMor.map(delPath).toSet
+    if (asOfFiles == curFiles && asOfDel == curDel)
+      return RollbackStats(0, 0, 0, 0)
+    // belt over the manifest-chain argument: the files the restored view
+    // references must exist NOW (a vacuum that crashed between file and
+    // manifest reclamation leaves readable-looking metadata over missing
+    // bytes — refuse to make that the live view). O(as-of files) driver
+    // metadata, the detail-procedure class.
+    val fs = new Path(basePath).getFileSystem(new Configuration())
+    val missing = ((asOfFiles -- curFiles) ++ (asOfDel -- curDel))
+      .filterNot(f => fs.exists(new Path(f)))
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"WeatherLakeV2Sink.rollbackTo: the target snapshot references " +
+        s"files no longer on disk (partially vacuumed history): " +
+        s"${missing.toSeq.sorted.take(5).mkString(", ")}" +
+        (if (missing.size > 5) s" … (${missing.size} total)" else ""))
+    val payload = payloadFormat(basePath) match {
+      case "json" => None
+      case p => Some(p)
+    }
+    // strict ancestry (requireLiveExactly): the restore's input is the
+    // WHOLE live view — an append racing between this function's
+    // snapshot and the publish must fail the rollback loudly, not
+    // survive it (supersedes-only validation would let its rows ride
+    // through a commit that claims to have restored version V)
+    publishCommit(basePath, "rollback", snapshot = live, supersedes = live,
+      lines = asOfEntries ++ asOfMor, payload = payload,
+      requireLiveExactly = Some(live.toSet))
+    RollbackStats((asOfFiles -- curFiles).size, (curFiles -- asOfFiles).size,
+      (asOfDel -- curDel).size, (curDel -- asOfDel).size)
+  }
 
   // -----------------------------------------------------------------
   // copy-on-write UPDATE (row-level transform of the committed lake)

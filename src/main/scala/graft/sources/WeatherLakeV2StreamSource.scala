@@ -546,9 +546,11 @@ object WeatherLakeV2StreamSource {
       s"WeatherLakeV2StreamSource: $n is a row-level maintenance " +
         "commit without a change log — run the operation with " +
         "changeLog = true, or consume readNewChanges instead")
-    else if (op == "overwrite") throw new IllegalStateException(
-      s"WeatherLakeV2StreamSource: $n replaced the table wholesale " +
-        "(INSERT OVERWRITE) and carries no row-level change log — its " +
+    else if (op == "overwrite" || op == "rollback") throw new IllegalStateException(
+      s"WeatherLakeV2StreamSource: $n replaced the table wholesale (" +
+        (if (op == "rollback") "RESTORE of an earlier snapshot"
+         else "INSERT OVERWRITE") +
+        ") and carries no row-level change log — its " +
         "delta is not representable in the feed. Restart the feed with " +
         "startingAt = 'latest' (bootstrapping state from a snapshot " +
         "read), or diff snapshots with changesBetween.")

@@ -12,7 +12,8 @@ import graft.sources.{TypedLake, WeatherLakeV2Sink}
   * and NAMED REFS: random sequences of table operations — append,
   * copy-on-write merge/delete/update, MOR merge/delete/update, compact,
   * checkpoint, measure, reconcile, compact_deletes, tag, drop_tag,
-  * create_branch, branch-stage, fast_forward —
+  * create_branch, branch-stage, fast_forward, rollback-to-a-recorded-
+  * snapshot —
   * against both the real table and a trivial in-memory Map.
   * After EVERY op the mor-resolved committed view must equal the model,
   * and a SHADOW consumer fed only the typed incremental change feed
@@ -99,15 +100,21 @@ class TypedLakeModelSpec extends SparkSpec {
         (0 until n).map { _ =>
           nextKey += 1; (nextKey, rng.between(0L, 1000L))
         }
+      // every op records (snapshot, model) — rollback's restore points.
+      // Mid-trial nothing deletes manifests (vacuum runs only at trial
+      // end), so every recorded point stays resolvable by contract.
+      val restorePoints =
+        scala.collection.mutable.ArrayBuffer.empty[(Seq[String], Map[Long, Long])]
       // seed so every op has something to chew on
       locally {
         val rows = freshRows(4)
         TypedLake.appendTyped(spark, lake, payload(rows), schema, pc,
           statsFields = Seq("k"))
         model ++= rows
+        restorePoints += ((WeatherLakeV2Sink.snapshot(lake), model))
       }
       for (i <- 1 to 13) {
-        val op = rng.nextInt(17)
+        val op = rng.nextInt(18)
         // mor ops randomize the delete-file FLAVOR per op — the table
         // organically mixes position and equality files across its
         // history, the exact state every reader must subtract correctly
@@ -207,7 +214,16 @@ class TypedLakeModelSpec extends SparkSpec {
               assert(WeatherLakeV2Sink.dropBranch(lake, name))
               branch = None
             }
+          case 17 => // rollback to a RANDOM earlier recorded snapshot:
+            // the view must become exactly the model recorded THEN, and
+            // every downstream oracle (tags, branch, the change feed's
+            // net diff) must survive the wholesale restore
+            val (snap, recorded) =
+              restorePoints(rng.nextInt(restorePoints.size))
+            WeatherLakeV2Sink.rollbackTo(lake, snap)
+            model = recorded
         }
+        restorePoints += ((WeatherLakeV2Sink.snapshot(lake), model))
         assert(lakeState == model, s"trial $trial op#$i (kind $op) diverged")
         tagged.foreach { case (n, st) =>
           assert(tagState(n) == st,
