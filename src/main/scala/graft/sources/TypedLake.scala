@@ -1878,22 +1878,36 @@ object TypedLake {
     val files = lines.map(entryPath)
     val numericOf = fields.map(f =>
       f -> schema(f).dataType.isInstanceOf[NumericType]).toMap
+    // aggregate the NATIVE values and render driver-side with the
+    // writer's exact canonical cast (`Cast(x AS STRING)` with the zone
+    // PINNED to UTC — statsProj's rendering). A DataFrame-level
+    // `.cast(StringType)` renders timestamps in the SESSION zone, so a
+    // non-UTC session's ANALYZE would write endpoints in a different
+    // domain than the write-time stats, the pruning layer's render()
+    // and the manifest-stats answer path (all UTC-pinned) — silently
+    // unsound pruning and wrong manifest-answered aggregates there.
     val aggs = fields.flatMap(f => Seq(
-      min(col(f)).cast(StringType).as(s"__min_$f"),
-      max(col(f)).cast(StringType).as(s"__max_$f")))
+      min(col(f)).as(s"__min_$f"), max(col(f)).as(s"__max_$f")))
+    def canon(v: Any): Option[String] = Option(v).flatMap { x =>
+      val lit = org.apache.spark.sql.catalyst.expressions.Literal.create(x)
+      Option(Cast(lit, StringType, Some("UTC")).eval(null)).map(_.toString)
+    }
     val perFile = framedTyped(spark, basePath, schema, files)
       .groupBy(col("__file")).agg(aggs.head, aggs.tail: _*)
       .collect().map { r =>
         val stats = fields.zipWithIndex.flatMap { case (f, i) =>
-          val mn = r.getString(1 + 2 * i)
-          val mx = r.getString(2 + 2 * i)
-          if (mn == null || mx == null) None
-          // NaN poisons a numeric range (the engine orders NaN greatest
-          // and NaN = NaN holds, so no finite endpoint witnesses NaN
-          // rows): emit no stats for the field — fail open (FieldAcc
-          // applies the same rule at write time)
-          else if (numericOf(f) && (mn == "NaN" || mx == "NaN")) None
-          else Some(f -> FieldStats(mn, mx, numericOf(f)))
+          val mn = canon(r.get(1 + 2 * i))
+          val mx = canon(r.get(2 + 2 * i))
+          (mn, mx) match {
+            case (Some(lo), Some(hi)) =>
+              // NaN poisons a numeric range (the engine orders NaN
+              // greatest and NaN = NaN holds, so no finite endpoint
+              // witnesses NaN rows): emit no stats for the field — fail
+              // open (FieldAcc applies the same rule at write time)
+              if (numericOf(f) && (lo == "NaN" || hi == "NaN")) None
+              else Some(f -> FieldStats(lo, hi, numericOf(f)))
+            case _ => None
+          }
         }.toMap
         r.getString(0) -> stats
       }.toMap // O(files x fields) driver metadata, the manifest-read class

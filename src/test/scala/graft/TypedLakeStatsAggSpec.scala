@@ -174,4 +174,38 @@ class TypedLakeStatsAggSpec extends SparkSpec {
     }
     spark.sql("DROP TABLE sac.t")
   }
+
+  test("ANALYZE under a non-UTC session re-renders the writer's UTC-" +
+      "pinned canonical endpoints — measure_stats and write-time stats " +
+      "agree byte-for-byte, and the manifest answer stays exact") {
+    freshCat("tz")
+    spark.sql("""CREATE TABLE satz.t (id BIGINT, ts TIMESTAMP)
+      USING lake TBLPROPERTIES ('statsFields' = 'id,ts')""")
+    spark.sql("""INSERT INTO satz.t VALUES
+      (1, timestamp'2024-03-01 10:30:00.5'),
+      (2, timestamp'2025-01-01 00:00:00')""")
+    val loc = spark.sql("CALL satz.system.detail('t')").head.getString(0)
+    def tsStats: Seq[(String, String)] =
+      graft.sources.WeatherLakeV2Sink.committedEntryLines(loc)
+        .flatMap(l => graft.sources.WeatherLakeV2Sink.lineStats(l).get("ts"))
+        .map(st => (st.min, st.max)).sorted
+    val atWrite = tsStats
+    assert(atWrite.nonEmpty)
+    // +8:45, no DST — any session-zone leak in the rendering shows up
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Australia/Eucla")
+    try {
+      spark.sql("CALL satz.system.measure_stats('t', 'ts')")
+      assert(tsStats == atWrite,
+        s"a non-UTC session's ANALYZE must re-render the writer's " +
+          s"canonical (UTC) endpoints: $tsStats vs $atWrite")
+      withAggPushdown {
+        val q = spark.sql("SELECT max(ts) FROM satz.t")
+        assert(isManifestAnswered(q), s"${q.queryExecution.executedPlan}")
+        assert(q.head.getTimestamp(0).toString
+          .startsWith("2025-01-01 00:00:00"))
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+    spark.sql("DROP TABLE satz.t")
+  }
 }
