@@ -599,6 +599,51 @@ object SparkEntry {
       t
     })
 
+  /** q130/q131's fixtures: a bucket(4)-seeded typed table EVOLVED to
+    * bucket(8) with one post-evolution append. `migrate = false` (q130)
+    * leaves BOTH generations live permanently — the mixed-generation
+    * read posture; `migrate = true` (q131) compacts once so every file
+    * re-stamps under the current count and the zero-exchange join
+    * layout returns. Armed exactly-once per step; later passes find
+    * each step done.
+    */
+  private def bucketEvoTable(s: SparkSession, dir: String,
+      kind: String, migrate: Boolean): String =
+    typedTableCache.getOrElseUpdate(
+      s"bevo_$kind#${System.identityHashCode(s)}#$dir", {
+      s.conf.set("spark.sql.catalog.graftlake", "graft.sources.LakeCatalog")
+      s.conf.set("spark.sql.catalog.graftlake.warehouse",
+        "/tmp/graft_catalog_wh")
+      val docs = Tables.documents(s, dir)
+      val sig = graft.similarity.ModelExport.corpusSig(docs, "doc_id")
+      val t = s"bevo_${kind}_$sig"
+      val p = s"/tmp/graft_catalog_wh/$t"
+      s.sql(s"""CREATE TABLE IF NOT EXISTS graftlake.$t
+        (doc_id BIGINT, val BIGINT) USING lake
+        PARTITIONED BY (bucket(4, doc_id))""")
+      if (!graft.sources.WeatherLakeV2Sink.manifestExists(p, "base") &&
+          graft.sources.WeatherLakeV2Sink.committedFiles(p).isEmpty)
+        docs.select(col("doc_id").cast("long").as("doc_id"),
+            col("doc_id").cast("long").as("val"))
+          .writeTo(s"graftlake.$t").option("manifestId", "base").append()
+      // arm the evolution exactly once — the marker's declared count is
+      // the done-marker (a second call refuses "already bucket(8)")
+      try s.sql(s"CALL graftlake.system.evolve_bucketing('$t', 8)")
+      catch { case e: Exception
+          if e.getMessage.contains("already bucket(8)") => () }
+      if (!graft.sources.WeatherLakeV2Sink.manifestExists(p, "post-evo"))
+        docs.filter(col("doc_id") < 30).select(
+            (lit(-1L) - col("doc_id")).as("doc_id"),
+            (col("doc_id") * 13).cast("long").as("val"))
+          .writeTo(s"graftlake.$t").option("manifestId", "post-evo")
+          .append()
+      if (migrate && graft.sources.WeatherLakeV2Sink.committedFiles(p)
+          .exists(f => !graft.sources.TypedLake.bucketGenOfFile(f)
+            .exists(_._2.contains(8))))
+        s.sql(s"CALL graftlake.system.compact('$t')")
+      t
+    })
+
   /** q113's fixture: the NATION table as a TYPED lake catalog dim
     * (n_nationkey BIGINT, n_name STRING), unpartitioned — small enough
     * that the scan-reported statistics must elect an automatic broadcast
@@ -7371,6 +7416,103 @@ object SparkEntry {
         s.sql(s"CALL graftlake.system.vacuum('$t', min_age_ms => 1, " +
           "force => true)")
         s.sql(s"SELECT doc_id, val, source FROM graftlake.$t")
+      }),
+
+    QueryDef("q130_bucket_evolution_mixed",
+      "BUCKET-COUNT EVOLUTION, metadata-only (round 16 — the Iceberg " +
+        "partition-spec-evolution model on the one axis a flat " +
+        "bucketed table has): CALL lake.system.evolve_bucketing flips " +
+        "the declared count; existing files keep their GENERATION (the " +
+        "count rides the part-b<id>c<count> file-name marker), new " +
+        "writes route and stamp under the new count, and reads stay " +
+        "EXACT over mixed generations because the bucket column is a " +
+        "data column. The scan WITHHOLDS its KeyGroupedPartitioning " +
+        "claim while generations are mixed — mis-grouping a count-4 " +
+        "file under count-8 ids would be wrong SPJ answers, not a lost " +
+        "optimization — pinned in-pass: both generations live AND a " +
+        "self-join under SPJ confs plans a shuffle. This fixture stays " +
+        "mixed forever (no maintenance): the read posture itself is " +
+        "the feature. The oracle replays seed + post-evolution append " +
+        "relationally.",
+      Some("""SELECT doc_id, val FROM (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |         CAST(doc_id AS BIGINT) AS val FROM documents
+        |  UNION ALL
+        |  SELECT CAST(-1 - doc_id AS BIGINT), CAST(doc_id * 13 AS BIGINT)
+        |  FROM documents WHERE doc_id < 30)""".stripMargin),
+      (s, dir) => {
+        val t = bucketEvoTable(s, dir, "mixed", migrate = false)
+        val p = s"/tmp/graft_catalog_wh/$t"
+        val gens = graft.sources.WeatherLakeV2Sink.committedFiles(p)
+          .flatMap(graft.sources.TypedLake.bucketGenOfFile)
+          .flatMap(_._2).distinct.sorted
+        require(gens == Seq(4, 8),
+          s"q130: both bucket generations must be live, got $gens")
+        // the SPJ claim must be WITHHELD over mixed generations
+        val savedB = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          val probe = s.sql(s"""SELECT a.doc_id FROM graftlake.$t a
+            JOIN graftlake.$t b ON a.doc_id = b.doc_id""")
+          probe.collect()
+          val plan = probe.queryExecution.executedPlan.toString
+          require(plan.contains("Exchange"),
+            s"q130: mixed generations must not claim co-partitioning " +
+              s"(a shuffle is REQUIRED for correctness):\n$plan")
+        } finally savedB match {
+          case Some(v) =>
+            s.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+          case None =>
+            s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        }
+        s.sql(s"SELECT doc_id, val FROM graftlake.$t")
+      }),
+
+    QueryDef("q131_bucket_evolution_migrated",
+      "BUCKET-COUNT EVOLUTION, the migration close: one CALL compact " +
+        "after the evolution rewrites every wrong-generation file " +
+        "through the CURRENT-count router (rows re-hash to their true " +
+        "buckets, markers re-stamp c8), the generation is uniform " +
+        "again, and the zero-exchange storage-partitioned join " +
+        "RETURNS — pinned in-pass: every committed file carries the " +
+        "c8 stamp and a self-join under SPJ confs plans ZERO shuffle " +
+        "exchanges. At 100 TB this is how a bucketed fact outgrows its " +
+        "bucket count: flip the metadata, let routine compaction " +
+        "migrate, never block writes or reads. The oracle replays the " +
+        "self-join relationally.",
+      Some("""SELECT doc_id, val, val AS val2 FROM (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |         CAST(doc_id AS BIGINT) AS val FROM documents
+        |  UNION ALL
+        |  SELECT CAST(-1 - doc_id AS BIGINT), CAST(doc_id * 13 AS BIGINT)
+        |  FROM documents WHERE doc_id < 30)""".stripMargin),
+      (s, dir) => {
+        val t = bucketEvoTable(s, dir, "mig", migrate = true)
+        val p = s"/tmp/graft_catalog_wh/$t"
+        require(graft.sources.WeatherLakeV2Sink.committedFiles(p)
+          .forall(f => graft.sources.TypedLake.bucketGenOfFile(f)
+            .exists(_._2.contains(8))),
+          "q131: every file must be current-generation after migration")
+        val sql = s"""SELECT a.doc_id, a.val, b.val AS val2
+          FROM graftlake.$t a JOIN graftlake.$t b ON a.doc_id = b.doc_id"""
+        val savedB = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          val probe = s.sql(sql)
+          probe.collect()
+          val plan = probe.queryExecution.executedPlan.toString
+          require(!plan.contains("ShuffleExchange") &&
+            !plan.contains("Exchange hashpartitioning"),
+            s"q131: the migrated table must SPJ with zero exchanges:\n$plan")
+        } finally savedB match {
+          case Some(v) =>
+            s.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+          case None =>
+            s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        }
+        s.sql(sql)
       })
   )
 

@@ -697,6 +697,41 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
     * GETs — maintenance-time cost, the compaction-candidacy class.
     * Returns whether the mapping was retired.
     */
+  /** BUCKET-COUNT EVOLUTION (metadata-only): flip the marker's declared
+    * bucket count and append the old count to the evolution history.
+    * Existing files keep their generation — their count rides the
+    * file-name marker (or, for legacy un-stamped markers, resolves to
+    * the history HEAD, the count before the first evolution); new
+    * writes route and stamp under the new count. Reads stay correct
+    * over mixed generations (the bucket column is a data column; the
+    * scan simply withholds its `KeyGroupedPartitioning` claim until
+    * `compact` migrates every file — see the uniformity gate in
+    * [[TypedLakeStreamableScan]]). Returns (old count, new count, the
+    * generation legacy markers now resolve to).
+    */
+  private[sources] def evolveBucketing(tableName: String,
+      newCount: Int): (Int, Int, Int) = {
+    val parts = tableName.split('.')
+    val ident = Identifier.of(parts.dropRight(1), parts.last)
+    val regDir = regDirOf(ident).getOrElse(
+      throw new NoSuchTableException(ident))
+    val props = readMarker(fs.getConf, regDir)
+    val cur = Option(props.get(BucketCountProp)).map(_.toInt).getOrElse(
+      throw new UnsupportedOperationException(
+        s"LakeCatalog: '$tableName' is not bucketed"))
+    require(newCount > 0 && newCount <= 65536,
+      s"LakeCatalog: bucket count $newCount out of range (1..65536)")
+    require(newCount != cur,
+      s"LakeCatalog: '$tableName' is already bucket($cur) — nothing to " +
+        "evolve")
+    val history = Option(props.get(BucketPriorCountsProp))
+      .map(h => s"$h,$cur").getOrElse(cur.toString)
+    props.put(BucketPriorCountsProp, history)
+    props.put(BucketCountProp, newCount.toString)
+    writeMarker(fs.getConf, regDir, props, overwrite = true)
+    (cur, newCount, history.split(",").head.trim.toInt)
+  }
+
   private[sources] def retireNameMappingIfClear(tableName: String): Boolean = {
     val parts = tableName.split('.')
     val ident = Identifier.of(parts.dropRight(1), parts.last)
@@ -779,7 +814,7 @@ object LakeCatalog {
       "measure_stats", "detail", "convert", "reconcile",
       "compact_deletes", "tag", "drop_tag", "tags",
       "create_branch", "fast_forward", "drop_branch", "branches",
-      "rollback")
+      "rollback", "evolve_bucketing")
 
   /** The one row shape a lake table has: three path-encoded partition
     * keys plus the raw payload line. `value` (read face) and `raw_json`
@@ -821,6 +856,14 @@ object LakeCatalog {
     */
   val BucketColProp = "bucketColumn"
   val BucketCountProp = "bucketCount"
+
+  /** Bucket-count EVOLUTION history (oldest first, csv): present iff
+    * `CALL lake.system.evolve_bucketing` ever ran. Its head is what a
+    * legacy un-stamped `part-b<id>-` marker's generation resolves to —
+    * the count before the first evolution; every post-stamp file
+    * carries its own count in the marker ([[TypedLake.bucketGenOfFile]]).
+    */
+  val BucketPriorCountsProp = "bucketPriorCounts"
 
   /** Identity partition-column names of a typed CREATE (bucket/days/etc.
     * transforms have no path-directory form here — loud).
@@ -1094,6 +1137,15 @@ object LakeCatalog {
       Option(props.get(BucketColProp)).map(c =>
         (c, props.get(BucketCountProp).toInt))
 
+    /** The generation a legacy un-stamped bucket marker resolves to:
+      * the count before the first `evolve_bucketing` (history head),
+      * None when the table never evolved (legacy = current count).
+      */
+    def bucketPriorHead: Option[Int] =
+      Option(props.get(BucketPriorCountsProp))
+        .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)
+          .headOption.map(_.toInt))
+
     override def capabilities(): util.Set[TableCapability] =
       if (pinned.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)
       else util.EnumSet.of(TableCapability.BATCH_READ,
@@ -1275,7 +1327,7 @@ object LakeCatalog {
           files.sorted, statsOf, new CaseInsensitiveStringMap(merged),
           pinnedTable = pinned.isDefined, bucketSpec = bucketSpec,
           morDeleteLines = if (morInline) morContext.get._2 else Nil,
-          partCols = partCols)
+          partCols = partCols, bucketPriorCount = bucketPriorHead)
       }
     }
 
@@ -1467,7 +1519,8 @@ object LakeCatalog {
       pinnedTable: Boolean = false,
       bucketSpec: Option[(String, Int)] = None,
       morDeleteLines: Seq[String] = Nil,
-      partCols: Seq[String] = Nil)
+      partCols: Seq[String] = Nil,
+      bucketPriorCount: Option[Int] = None)
       extends ScanBuilder
       with SupportsPushDownRequiredColumns
       with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -1906,7 +1959,8 @@ object LakeCatalog {
       new TypedLakeStreamableScan(
         primary, path, tableSchema, prunedTo, options, pinnedTable,
         bucketSpec, morDeleteLines, mkOrdinal,
-        runtimeAttrs = runtimeAttrs, runtimePruneFn = runtimePrune)
+        runtimeAttrs = runtimeAttrs, runtimePruneFn = runtimePrune,
+        bucketPriorCount = bucketPriorCount)
     }
 
     /** Test seam: the file list the delegate was (or would be) built
@@ -1939,7 +1993,8 @@ object LakeCatalog {
       mkOrdinal: Option[(Seq[String], Boolean) => Scan] = None,
       runtimeAttrs: Seq[String] = Nil,
       runtimePruneFn: Array[org.apache.spark.sql.connector.expressions
-        .filter.Predicate] => Option[Set[String]] = _ => None)
+        .filter.Predicate] => Option[Set[String]] = _ => None,
+      bucketPriorCount: Option[Int] = None)
       extends Scan
       with org.apache.spark.sql.connector.read.SupportsReportStatistics
       with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -2141,12 +2196,25 @@ object LakeCatalog {
       */
     private lazy val bucketGroups: Option[Seq[(Int,
         Seq[org.apache.spark.sql.execution.datasources.PartitionedFile])]] =
-      bucketSpec.flatMap { case (_, _) =>
+      bucketSpec.flatMap { case (_, n) =>
         delegateFileParts.flatMap { fileParts =>
           val tagged = fileParts.flatMap(_.files).map(f =>
-            TypedLake.bucketOfFile(f.urlEncodedPath) -> f)
-          if (tagged.exists(_._1.isEmpty)) None
-          else Some(tagged.groupBy(_._1.get).toSeq
+            TypedLake.bucketGenOfFile(f.urlEncodedPath) -> f)
+          // generation UNIFORMITY gates the co-partitioning claim: a
+          // file written under a different bucket COUNT holds keys that
+          // split across several current-count ids, so reporting
+          // KeyGroupedPartitioning over mixed generations would
+          // mis-group (wrong SPJ answers, not just a lost
+          // optimization). A file's generation = its stamped count,
+          // else the pre-evolution count (legacy markers), else the
+          // current count. Mixed or unmarked → unknown partitioning
+          // (correct, just shuffles); compact migrates and the SPJ
+          // layout returns.
+          def genOf(cnt: Option[Int]): Int =
+            cnt.orElse(bucketPriorCount).getOrElse(n)
+          if (tagged.exists(t => t._1.isEmpty ||
+              genOf(t._1.get._2) != n)) None
+          else Some(tagged.groupBy(_._1.get._1).toSeq
             .map { case (b, fs) => b -> fs.map(_._2) }
             .sortBy(_._1))
         }
@@ -3247,6 +3315,10 @@ object LakeCatalog {
       case "rollback" =>
         "restore the live view to an earlier version or tag as a NEW " +
           "commit (RESTORE / rollback_to_snapshot; history preserved)"
+      case "evolve_bucketing" =>
+        "change a bucketed table's bucket COUNT metadata-only: old " +
+          "files keep their generation (reads stay correct; the zero-" +
+          "exchange join layout pauses until compact migrates them)"
     }
 
     override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
@@ -3294,6 +3366,8 @@ object LakeCatalog {
           // an integer string is a commit version (history's axis);
           // anything else is a TAG name — the VERSION AS OF resolution
           Array(p("table", StringType), p("version", StringType))
+        case "evolve_bucketing" =>
+          Array(p("table", StringType), p("num_buckets", IntegerType))
       }
 
       private def resultSchema: StructType = procName match {
@@ -3368,6 +3442,10 @@ object LakeCatalog {
           StructField("removed_files", IntegerType, nullable = false),
           StructField("restored_delete_files", IntegerType, nullable = false),
           StructField("removed_delete_files", IntegerType, nullable = false)))
+        case "evolve_bucketing" => StructType(Seq(
+          StructField("prior_count", IntegerType, nullable = false),
+          StructField("new_count", IntegerType, nullable = false),
+          StructField("files_to_migrate", IntegerType, nullable = false)))
       }
 
       /** CONVERT TO LAKE: adopt an EXISTING plain Parquet directory into
@@ -3532,7 +3610,10 @@ object LakeCatalog {
                 val n = TypedLake.compactTypedBucketed(spark, path, schema,
                   bucketCol = tprops.get(BucketColProp),
                   numBuckets = tprops.get(BucketCountProp).toInt,
-                  statsFields = statsFields)
+                  statsFields = statsFields,
+                  priorCount = Option(tprops.get(BucketPriorCountsProp))
+                    .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)
+                      .headOption.map(_.toInt)))
                 catalog.retireNameMappingIfClear(table)
                 n
               case Some((schema, partCols)) =>
@@ -3608,6 +3689,32 @@ object LakeCatalog {
             val st = WeatherLakeV2Sink.rollbackTo(path, snap)
             Array(InternalRow(st.restoredFiles, st.removedFiles,
               st.restoredDeleteFiles, st.removedDeleteFiles))
+          case "evolve_bucketing" =>
+            if (typed.isEmpty || !tprops.containsKey(BucketColProp))
+              throw new UnsupportedOperationException(
+                s"LakeCatalog: evolve_bucketing applies to typed " +
+                  "BUCKETED tables only — to bucket an unbucketed " +
+                  "table, CTAS into one (the rows must be routed once " +
+                  "regardless; there is no metadata-only shortcut)")
+            // the WAP fence, manually (this is a marker rewrite, not a
+            // manifest publish): a staging session re-routing MAIN's
+            // writer would be exactly the silent-main-mutation the
+            // fence exists to refuse
+            WeatherLakeV2Sink.activeWapBranch().foreach { b =>
+              throw new UnsupportedOperationException(
+                s"LakeCatalog: session is staging on WAP branch '$b' — " +
+                  "evolve_bucketing changes main's write routing; " +
+                  "publish or drop the branch first")
+            }
+            val (prior, now, legacyGen) =
+              catalog.evolveBucketing(table, input.getInt(1))
+            val migrate = WeatherLakeV2Sink.committedFiles(path).count { f =>
+              TypedLake.bucketGenOfFile(f) match {
+                case Some((_, cnt)) => cnt.getOrElse(legacyGen) != now
+                case None => true // unmarked strays migrate too
+              }
+            }
+            Array(InternalRow(prior, now, migrate))
           case "measure_stats" =>
             val fields = input.getUTF8String(1).toString
               .split(",").map(_.trim).filter(_.nonEmpty).toSeq

@@ -81,20 +81,43 @@ object TypedLake {
   }
 
   /** Bucket file-name marker: bucketed data files are
-    * `part-b<id>-<op>-<uuid>.parquet` — the bucket id is STRUCTURAL
-    * (same move as the delete-file flavor marker), so the scan groups
-    * files per bucket with no extra metadata and a file that lacks the
-    * marker makes the scan fall back to unknown partitioning (correct,
-    * just shuffles) instead of mis-grouping.
+    * `part-b<id>c<count>-<op>-<uuid>.parquet` — bucket id AND bucket
+    * count are STRUCTURAL (same move as the delete-file flavor marker),
+    * so the scan groups files per bucket with no extra metadata and a
+    * file that lacks the marker makes the scan fall back to unknown
+    * partitioning (correct, just shuffles) instead of mis-grouping.
+    * The count suffix is the file's bucket GENERATION — without it a
+    * bucket(8) file and a bucket(16) file with the same id would be
+    * indistinguishable, and a count evolution would silently mis-group
+    * (a count-8 id-5 file holds keys that split across ids 5 and 13
+    * under 16 buckets). Legacy `part-b<id>-` markers (pre-count-stamp
+    * writers) resolve to the table's pre-evolution count — see
+    * [[LakeCatalog.BucketPriorCountsProp]]. A pre-stamp READER parses a
+    * stamped name as unmarked: fail-safe (falls back to shuffling),
+    * never fail-wrong.
     */
-  private[graft] def bucketOfFile(path: String): Option[Int] = {
+  private[graft] def bucketOfFile(path: String): Option[Int] =
+    bucketGenOfFile(path).map(_._1)
+
+  /** (bucket id, explicit bucket count) of a marked file — count is
+    * None for legacy pre-stamp markers (their generation is the table's
+    * pre-evolution count), None overall for unmarked files.
+    */
+  private[graft] def bucketGenOfFile(path: String): Option[(Int, Option[Int])] = {
     val name = new Path(path).getName
     if (!name.startsWith("part-b")) None
     else {
-      val rest = name.stripPrefix("part-b").takeWhile(_.isDigit)
-      if (rest.isEmpty) None
-      else if (name.startsWith(s"part-b$rest-")) Some(rest.toInt)
-      else None
+      val id = name.stripPrefix("part-b").takeWhile(_.isDigit)
+      if (id.isEmpty) None
+      else if (name.startsWith(s"part-b$id-")) Some((id.toInt, None))
+      else {
+        val after = name.stripPrefix(s"part-b$id")
+        val cnt = after.stripPrefix("c").takeWhile(_.isDigit)
+        if (after.startsWith("c") && cnt.nonEmpty &&
+            after.startsWith(s"c$cnt-"))
+          Some((id.toInt, Some(cnt.toInt)))
+        else None
+      }
     }
   }
 
@@ -332,7 +355,11 @@ object TypedLake {
     private def newFile(dir: String, b: Option[Int] = None): OpenFile = {
       val fs = new Path(dir).getFileSystem(conf)
       fs.mkdirs(new Path(dir))
-      val prefix = b.map(k => s"part-b$k").getOrElse("part")
+      // the count suffix stamps the file's bucket GENERATION — what a
+      // later bucket-count evolution classifies files by (legacy
+      // unstamped markers resolve to the pre-evolution count)
+      val prefix = b.map(k => s"part-b${k}c${bucket.get._3}")
+        .getOrElse("part")
       new OpenFile(new Path(dir,
         s"$prefix-$op-${UUID.randomUUID().toString}.parquet").toString)
     }
@@ -1954,21 +1981,34 @@ object TypedLake {
   def compactTypedBucketed(spark: SparkSession, basePath: String,
       schema: StructType, bucketCol: String, numBuckets: Int,
       statsFields: Seq[String] = Nil,
-      maxRecordsPerFile: Long = 0L): Int = {
+      maxRecordsPerFile: Long = 0L,
+      priorCount: Option[Int] = None): Int = {
     WeatherLakeV2Sink.requirePayload(basePath, Payload,
       "compactTypedBucketed")
     val snapshot = WeatherLakeV2Sink.liveManifests(basePath)
     val byManifest = WeatherLakeV2Sink.entryLinesByManifest(basePath, snapshot)
     val files = byManifest.flatMap(_._2).map(entryPath)
-    val byBucket = files.groupBy(bucketOfFile)
-    // a bucket is a candidate when it holds >1 file; ANY unmarked file
-    // is a candidate of its own (re-bucketing it restores the layout)
-    val strays = byBucket.getOrElse(None, Seq.empty)
-    val multi = byBucket.collect {
-      case (Some(b), fs) if fs.size > 1 => b -> fs
+    val tagged = files.map(f => f -> bucketGenOfFile(f))
+    // a file's bucket GENERATION: the stamped count, else the table's
+    // pre-evolution count (legacy markers), else the current count
+    def genOf(cnt: Option[Int]): Int =
+      cnt.orElse(priorCount).getOrElse(numBuckets)
+    // candidates: unmarked strays (re-bucketing restores the layout),
+    // WRONG-GENERATION files (a bucket-count evolution's migration —
+    // the rewrite routes their rows by the CURRENT hash, so one compact
+    // returns the table to a uniform generation and the zero-exchange
+    // join layout), and current-generation buckets holding >1 file
+    val strays = tagged.collect { case (f, None) => f }
+    val wrongGen = tagged.collect {
+      case (f, Some((_, cnt))) if genOf(cnt) != numBuckets => f
     }
-    if (strays.isEmpty && multi.isEmpty) return 0
-    val victims = (multi.values.flatten ++ strays).toSeq
+    val multi = tagged.collect {
+      case (f, Some((b, cnt))) if genOf(cnt) == numBuckets => b -> f
+    }.groupBy(_._1).collect {
+      case (b, fs) if fs.size > 1 => b -> fs.map(_._2)
+    }
+    if (strays.isEmpty && wrongGen.isEmpty && multi.isEmpty) return 0
+    val victims = (multi.values.flatten ++ strays ++ wrongGen).toSeq
     val victimSet = victims.toSet
     val touchedManifests = byManifest.collect {
       case (n, ls) if ls.exists(l => victimSet(entryPath(l))) => n
@@ -2005,7 +2045,8 @@ object TypedLake {
       lines = keep ++ newFiles ++
         WeatherLakeV2Sink.morDirectivesOf(basePath, touchedManifests),
       readDomain = Some(_ => false), payload = Some(Payload))
-    multi.size + (if (strays.nonEmpty) 1 else 0)
+    multi.size + (if (strays.nonEmpty) 1 else 0) +
+      (if (wrongGen.nonEmpty) 1 else 0)
   }
 
   def compactTyped(spark: SparkSession, basePath: String,

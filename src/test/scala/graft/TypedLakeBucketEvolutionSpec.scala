@@ -1,0 +1,208 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+import graft.sources.{TypedLake, WeatherLakeV2Sink}
+
+/** BUCKET-COUNT EVOLUTION (metadata-only — the Iceberg partition-spec-
+  * evolution model on the one axis a flat bucketed table has):
+  * `CALL lake.system.evolve_bucketing('t', n)` flips the declared count;
+  * old files keep their GENERATION (the count rides the file-name
+  * marker `part-b<id>c<count>`; legacy un-stamped markers resolve to
+  * the pre-evolution count), new writes route and stamp under the new
+  * count. Reads and DML stay CORRECT over mixed generations — the
+  * bucket column is a data column and every DML candidate set is
+  * content-driven — but the scan withholds its KeyGroupedPartitioning
+  * claim (mis-grouping a count-4 file under count-8 ids would be wrong
+  * SPJ answers, not a lost optimization). `compact` migrates
+  * wrong-generation files through the current-count router and the
+  * zero-exchange join layout returns.
+  */
+class TypedLakeBucketEvolutionSpec extends SparkSpec {
+
+  private def withSpjConfs[T](body: => T): T = {
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "true")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
+    df.collect()
+    def count(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      (p match {
+        case _: ShuffleExchangeExec => 1
+        case _ => 0
+      }) + p.children.map(count).sum + p.subqueries.map(count).sum +
+        (p match {
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => count(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive
+              .QueryStageExec => count(q.plan)
+          case _ => 0
+        })
+    count(df.queryExecution.executedPlan)
+  }
+
+  test("evolve 4→8: reads and DML stay correct over mixed generations, " +
+      "the SPJ claim is withheld while mixed, compact migrates (markers " +
+      "re-stamped), and the zero-exchange join returns") {
+    val w = Files.createTempDirectory("bevo").toString
+    spark.conf.set("spark.sql.catalog.bevo", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.bevo.warehouse", w)
+    spark.sql("""CREATE TABLE bevo.t (k BIGINT, v BIGINT)
+      USING lake PARTITIONED BY (bucket(4, k))""")
+    spark.sql("INSERT INTO bevo.t SELECT id, id * 10 FROM range(40)")
+    val loc = spark.sql("CALL bevo.system.detail('t')").head.getString(0)
+    // generation stamps ride the markers from day one
+    assert(WeatherLakeV2Sink.committedFiles(loc).forall(f =>
+      TypedLake.bucketGenOfFile(f).exists(_._2.contains(4))))
+    def joined = spark.sql(
+      "SELECT a.k, a.v, b.v AS v2 FROM bevo.t a JOIN bevo.t b ON a.k = b.k")
+    withSpjConfs { assert(shuffles(joined) == 0, "uniform c4: SPJ") }
+
+    val ev = spark.sql("CALL bevo.system.evolve_bucketing('t', 8)").head
+    assert(ev.getInt(0) == 4 && ev.getInt(1) == 8 && ev.getInt(2) > 0, ev)
+    spark.sql("INSERT INTO bevo.t SELECT id, id * 10 FROM range(40, 60)")
+    val gens = WeatherLakeV2Sink.committedFiles(loc)
+      .flatMap(f => TypedLake.bucketGenOfFile(f)).flatMap(_._2).distinct
+    assert(gens.sorted == Seq(4, 8), s"both generations live: $gens")
+
+    // reads over MIXED generations are exact
+    assert(spark.table("bevo.t").count() == 60)
+    assert(spark.sql("SELECT CAST(sum(v) AS BIGINT) FROM bevo.t")
+      .head.getLong(0) == (0L until 60L).map(_ * 10).sum)
+
+    // the SPJ claim is WITHHELD while mixed (wrong grouping would be
+    // wrong answers) — the join shuffles and stays correct. Probed
+    // BEFORE any DML: a copy-on-write rewrite re-routes touched rows
+    // through the CURRENT-count writer, which can itself retire the
+    // old generation.
+    withSpjConfs {
+      assert(shuffles(joined) > 0, "mixed generations must not SPJ")
+      assert(joined.count() == 60)
+    }
+
+    // DML over mixed generations is exact (candidates are content-
+    // driven, never marker-driven): touch rows in BOTH generations.
+    // The rewrite itself routes through the CURRENT-count writer, so
+    // the touched old-generation files retire as a side effect.
+    spark.sql("UPDATE bevo.t SET v = v + 1 WHERE k % 2 = 0")
+    spark.sql("DELETE FROM bevo.t WHERE k = 7")
+    assert(spark.sql("SELECT CAST(sum(v) AS BIGINT) FROM bevo.t")
+      .head.getLong(0) ==
+      (0L until 60L).filterNot(_ == 7).map(k =>
+        k * 10 + (if (k % 2 == 0) 1 else 0)).sum)
+
+    // SECOND evolution (8→16, history grows): every live file is now
+    // wrong-generation, and compact is the migration — it rewrites
+    // them all through the count-16 router, markers re-stamp c16, and
+    // the zero-exchange join returns at the new count
+    val before = WeatherLakeV2Sink.committedFiles(loc)
+    val ev2 = spark.sql("CALL bevo.system.evolve_bucketing('t', 16)").head
+    assert(ev2.getInt(0) == 8 && ev2.getInt(1) == 16 &&
+      ev2.getInt(2) == before.size, ev2)
+    withSpjConfs {
+      assert(shuffles(joined) > 0, "wrong-generation files must not SPJ")
+    }
+    assert(spark.sql("CALL bevo.system.compact('t')").head.getInt(0) > 0)
+    val after = WeatherLakeV2Sink.committedFiles(loc)
+    assert(after.nonEmpty && after.forall(f =>
+      TypedLake.bucketGenOfFile(f).exists { case (b, c) =>
+        b >= 0 && b < 16 && c.contains(16) }),
+      s"every file must be current-generation after compact: $after")
+    withSpjConfs {
+      assert(shuffles(joined) == 0, "uniform c16: SPJ returns")
+      assert(joined.count() == 59)
+    }
+    assert(spark.table("bevo.t").count() == 59)
+    spark.sql("DROP TABLE bevo.t")
+  }
+
+  test("legacy un-stamped markers resolve to the pre-evolution count: " +
+      "gated from SPJ after an evolution, migrated by compact with " +
+      "their rows intact") {
+    val w = Files.createTempDirectory("bleg").toString
+    spark.conf.set("spark.sql.catalog.bleg", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.bleg.warehouse", w)
+    spark.sql("""CREATE TABLE bleg.t (k BIGINT, v BIGINT)
+      USING lake PARTITIONED BY (bucket(4, k))""")
+    spark.sql("INSERT INTO bleg.t SELECT id, id FROM range(20)")
+    val loc = spark.sql("CALL bleg.system.detail('t')").head.getString(0)
+    // craft a LEGACY file (pre-count-stamp writer): plain part-b<id>-
+    // marker, adopted via a test publish — k=100 hashes wherever, the
+    // marker id is what the reader trusts
+    val s = spark
+    import s.implicits._
+    val tmp = Files.createTempDirectory("blegtmp").toString
+    Seq((100L, 100L)).toDF("k", "v").coalesce(1).write
+      .mode("overwrite").parquet(tmp)
+    val fs = new Path(tmp).getFileSystem(
+      new org.apache.hadoop.conf.Configuration())
+    val part = fs.listStatus(new Path(tmp)).map(_.getPath)
+      .find(_.getName.startsWith("part-")).get
+    val legacy = new Path(loc, "part-b0-legacy-adopt.parquet")
+    assert(fs.rename(part, legacy))
+    WeatherLakeV2Sink.publishForTest(loc, "append",
+      snapshot = WeatherLakeV2Sink.liveManifests(loc),
+      supersedes = Seq.empty, lines = Seq(legacy.toString),
+      payload = Some("parquet"))
+    assert(spark.table("bleg.t").count() == 21)
+    assert(TypedLake.bucketGenOfFile(legacy.toString) == Some((0, None)))
+
+    spark.sql("CALL bleg.system.evolve_bucketing('t', 8)")
+    // the legacy file's generation resolves to 4 (pre-evolution head):
+    // wrong generation → SPJ withheld even after stamped files migrate
+    def joined = spark.sql(
+      "SELECT a.k FROM bleg.t a JOIN bleg.t b ON a.k = b.k")
+    withSpjConfs { assert(shuffles(joined) > 0) }
+    assert(spark.sql("CALL bleg.system.compact('t')").head.getInt(0) > 0)
+    assert(WeatherLakeV2Sink.committedFiles(loc).forall(f =>
+      TypedLake.bucketGenOfFile(f).exists(_._2.contains(8))))
+    assert(spark.table("bleg.t").count() == 21, "legacy rows must survive")
+    assert(spark.sql("SELECT count(*) FROM bleg.t WHERE k = 100")
+      .head.getLong(0) == 1)
+    withSpjConfs { assert(shuffles(joined) == 0, "uniform c8 after") }
+    spark.sql("DROP TABLE bleg.t")
+  }
+
+  test("guards: non-bucketed tables, the identity count, out-of-range " +
+      "counts, and a WAP-staging session all refuse loudly") {
+    val w = Files.createTempDirectory("bgrd").toString
+    spark.conf.set("spark.sql.catalog.bgrd", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.bgrd.warehouse", w)
+    spark.sql("CREATE TABLE bgrd.plain (k BIGINT, v BIGINT) USING lake")
+    val e1 = intercept[Exception](
+      spark.sql("CALL bgrd.system.evolve_bucketing('plain', 8)").collect())
+    assert(e1.getMessage.contains("BUCKETED tables only"), e1.getMessage)
+    spark.sql("""CREATE TABLE bgrd.b (k BIGINT, v BIGINT)
+      USING lake PARTITIONED BY (bucket(4, k))""")
+    spark.sql("INSERT INTO bgrd.b SELECT id, id FROM range(5)")
+    val e2 = intercept[Exception](
+      spark.sql("CALL bgrd.system.evolve_bucketing('b', 4)").collect())
+    assert(e2.getMessage.contains("already bucket(4)"), e2.getMessage)
+    val e3 = intercept[Exception](
+      spark.sql("CALL bgrd.system.evolve_bucketing('b', 0)").collect())
+    assert(e3.getMessage.contains("out of range"), e3.getMessage)
+    spark.conf.set("spark.graft.wap.branch", "audit")
+    try {
+      val e4 = intercept[Exception](
+        spark.sql("CALL bgrd.system.evolve_bucketing('b', 8)").collect())
+      assert(e4.getMessage.contains("staging on WAP branch"), e4.getMessage)
+    } finally spark.conf.unset("spark.graft.wap.branch")
+    // none of the refusals moved the marker
+    val ev = spark.sql("CALL bgrd.system.evolve_bucketing('b', 8)").head
+    assert(ev.getInt(0) == 4 && ev.getInt(1) == 8)
+    spark.sql("DROP TABLE bgrd.plain"); spark.sql("DROP TABLE bgrd.b")
+  }
+}
