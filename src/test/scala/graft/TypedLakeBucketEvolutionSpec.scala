@@ -176,6 +176,84 @@ class TypedLakeBucketEvolutionSpec extends SparkSpec {
     spark.sql("DROP TABLE bleg.t")
   }
 
+  test("property: random append/merge/delete/update/evolve/compact " +
+      "sequences — the resolved view equals the model after every op, " +
+      "and the SPJ claim appears IFF the live generation is uniform") {
+    for (trial <- 1 to 2) {
+      val rng = new scala.util.Random(20260816 + trial)
+      val w = Files.createTempDirectory(s"bprop$trial").toString
+      val cat = s"bprop$trial"
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LakeCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+      spark.sql(s"""CREATE TABLE $cat.t (k BIGINT, v BIGINT)
+        USING lake PARTITIONED BY (bucket(4, k))""")
+      var model = Map.empty[Long, Long]
+      var nextKey = 0L
+      var count = 4
+      val counts = Seq(4, 8, 16)
+      def fresh(n: Int): Seq[(Long, Long)] =
+        (0 until n).map { _ => nextKey += 1; (nextKey, rng.between(0L, 99L)) }
+      def insert(rows: Seq[(Long, Long)]): Unit =
+        spark.sql(s"INSERT INTO $cat.t VALUES " +
+          rows.map { case (k, v) => s"($k, $v)" }.mkString(", "))
+      locally { val seed = fresh(6); insert(seed); model ++= seed }
+      val loc = spark.sql(s"CALL $cat.system.detail('t')").head.getString(0)
+      for (i <- 1 to 12) {
+        val op = rng.nextInt(6)
+        op match {
+          case 0 => // append fresh keys
+            val rows = fresh(1 + rng.nextInt(3))
+            insert(rows); model ++= rows
+          case 1 => // merge upsert: existing + one fresh
+            val existing = rng.shuffle(model.keys.toSeq)
+              .take(rng.nextInt(3)).map(k => (k, rng.between(0L, 99L)))
+            val rows = existing ++ fresh(1)
+            spark.sql(s"""MERGE INTO $cat.t t USING (SELECT * FROM VALUES
+              ${rows.map { case (k, v) => s"($k, $v)" }.mkString(", ")}
+              AS s(k, v)) s ON t.k = s.k
+              WHEN MATCHED THEN UPDATE SET *
+              WHEN NOT MATCHED THEN INSERT *""")
+            model ++= rows
+          case 2 => // delete a residue class
+            val r = rng.nextInt(4)
+            spark.sql(s"DELETE FROM $cat.t WHERE k % 4 = $r")
+            model = model.filter { case (k, _) => k % 4 != r }
+          case 3 => // update to a key-derived value
+            val r = rng.nextInt(3)
+            spark.sql(s"UPDATE $cat.t SET v = k * 7 + $r WHERE k % 3 = $r")
+            model = model.map { case (k, v) =>
+              k -> (if (k % 3 == r) k * 7 + r else v) }
+          case 4 => // evolve to a different count
+            val next = rng.shuffle(counts.filterNot(_ == count)).head
+            val ev = spark.sql(
+              s"CALL $cat.system.evolve_bucketing('t', $next)").head
+            assert(ev.getInt(0) == count && ev.getInt(1) == next, ev)
+            count = next
+          case 5 => // compact (the migration path)
+            spark.sql(s"CALL $cat.system.compact('t')")
+        }
+        assert(spark.table(s"$cat.t").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap == model,
+          s"trial $trial op#$i (kind $op) diverged")
+        // the SPJ consistency invariant: the zero-exchange claim
+        // appears IFF every live file is stamped with the CURRENT
+        // count — and either way the join answers the model
+        val uniform = WeatherLakeV2Sink.committedFiles(loc).forall(f =>
+          TypedLake.bucketGenOfFile(f).exists(_._2.contains(count)))
+        if (model.nonEmpty) withSpjConfs {
+          val j = spark.sql(
+            s"SELECT a.k FROM $cat.t a JOIN $cat.t b ON a.k = b.k")
+          val n = shuffles(j)
+          assert(if (uniform) n == 0 else n > 0,
+            s"trial $trial op#$i (kind $op): uniform=$uniform but " +
+              s"$n shuffles")
+          assert(j.count() == model.size)
+        }
+      }
+      spark.sql(s"DROP TABLE $cat.t")
+    }
+  }
+
   test("guards: non-bucketed tables, the identity count, out-of-range " +
       "counts, and a WAP-staging session all refuse loudly") {
     val w = Files.createTempDirectory("bgrd").toString
