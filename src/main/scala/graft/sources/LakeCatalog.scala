@@ -3679,12 +3679,32 @@ object LakeCatalog {
               : InternalRow).toArray
           case "rollback" =>
             val ref = input.getUTF8String(1).toString
-            // the VERSION AS OF resolution: integer = commit version,
-            // else an immutable tag (branches are staging heads, not
-            // main-history points — fast_forward is their publish)
+            // resolution: integer = commit version, then an immutable
+            // TAG (pins win the namespace, same precedence as VERSION
+            // AS OF), then a TIMESTAMP (Delta's RESTORE TO TIMESTAMP —
+            // ISO instant, or 'yyyy-MM-dd HH:mm:ss[.S]' read as UTC,
+            // the zone every canonical rendering here pins); anything
+            // else fails loudly listing the known tags. Branches are
+            // staging heads, not main-history points — fast_forward is
+            // their publish.
+            def parseTsMs(s: String): Option[Long] =
+              (try Some(java.time.Instant.parse(s))
+              catch { case _: Exception =>
+                try Some(java.time.LocalDateTime
+                  .parse(s.trim.replace(' ', 'T'))
+                  .toInstant(java.time.ZoneOffset.UTC))
+                catch { case _: Exception => None }
+              }).map(_.toEpochMilli)
             val snap = ref.toIntOption match {
               case Some(v) => WeatherLakeV2Sink.snapshotAt(path, v)
-              case None => WeatherLakeV2Sink.readTag(path, ref)
+              case None
+                  if WeatherLakeV2Sink.tagNames(path).contains(ref) =>
+                WeatherLakeV2Sink.readTag(path, ref)
+              case None => parseTsMs(ref) match {
+                case Some(ms) =>
+                  WeatherLakeV2Sink.snapshotAtTimestamp(path, ms)
+                case None => WeatherLakeV2Sink.readTag(path, ref)
+              }
             }
             val st = WeatherLakeV2Sink.rollbackTo(path, snap)
             Array(InternalRow(st.restoredFiles, st.removedFiles,

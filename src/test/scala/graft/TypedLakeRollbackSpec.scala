@@ -130,6 +130,44 @@ class TypedLakeRollbackSpec extends SparkSpec {
     spark.sql("DROP TABLE rtag.t")
   }
 
+  test("rollback to a TIMESTAMP (RESTORE TO TIMESTAMP AS OF): resolves " +
+      "the greatest commit at-or-before the instant, UTC-read wall " +
+      "forms accepted; pre-history instants and unknown refs are loud") {
+    val w = Files.createTempDirectory("rollts").toString
+    spark.conf.set("spark.sql.catalog.rts", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.rts.warehouse", w)
+    spark.sql("CREATE TABLE rts.t (id BIGINT) USING lake")
+    val t0 = System.currentTimeMillis() - 5
+    spark.sql("INSERT INTO rts.t SELECT id FROM range(10)")
+    Thread.sleep(30)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(30)
+    spark.sql("INSERT INTO rts.t SELECT id FROM range(100, 150)")
+    assert(spark.table("rts.t").count() == 60)
+    // ISO instant form
+    val iso = java.time.Instant.ofEpochMilli(mid).toString
+    spark.sql(s"CALL rts.system.rollback('t', '$iso')")
+    assert(spark.table("rts.t").count() == 10)
+    // wall form (read as UTC) — resolves to the same pre-mid commit:
+    // the view is already there, so this is a publish-nothing no-op
+    val wall = java.time.LocalDateTime.ofInstant(
+      java.time.Instant.ofEpochMilli(mid), java.time.ZoneOffset.UTC)
+      .toString.replace('T', ' ')
+    val noop = spark.sql(s"CALL rts.system.rollback('t', '$wall')").head
+    assert((0 to 3).forall(noop.getInt(_) == 0), noop.toString)
+    // an instant BEFORE the first commit is loud (snapshotAtTimestamp)
+    val e1 = intercept[Exception](spark.sql("CALL rts.system.rollback(" +
+      s"'t', '${java.time.Instant.ofEpochMilli(t0 - 60000).toString}')")
+      .collect())
+    assert(e1.getMessage.contains("no commit"), e1.getMessage)
+    // a non-version non-tag non-timestamp ref is loud, listing tags
+    val e2 = intercept[Exception](
+      spark.sql("CALL rts.system.rollback('t', 'not-a-ref')").collect())
+    assert(e2.getMessage.contains("unknown ref") ||
+      e2.getMessage.contains("no tag"), e2.getMessage)
+    spark.sql("DROP TABLE rts.t")
+  }
+
   test("typed snapshot-diff change feed across a rollback: an append " +
       "rolled back before the consumer drains nets to ZERO changes; a " +
       "drained append's rollback emits its deletes") {
