@@ -3410,7 +3410,12 @@ object LakeCatalog {
           // retention roots too, and their staged files are invisible
           // to main — a non-zero count explains both "why didn't
           // vacuum/sweep reclaim" and "where is my staged data"
-          StructField("branches", IntegerType, nullable = false)))
+          StructField("branches", IntegerType, nullable = false),
+          // appended round 16 (index-stable): files NOT in the current
+          // bucket generation (wrong count stamp, or unmarked) — a
+          // non-zero count explains "why doesn't my bucketed join SPJ"
+          // and sizes the pending compact migration; 0 for unbucketed
+          StructField("stale_bucket_files", IntegerType, nullable = false)))
         case "convert" => StructType(Seq(
           StructField("adopted_files", IntegerType, nullable = false),
           StructField("measured_files", IntegerType, nullable = false)))
@@ -3766,6 +3771,17 @@ object LakeCatalog {
             val targeted =
               if (delLines.isEmpty) 0
               else TypedLake.possiblyTargetedFiles(files, delLines).size
+            val staleBucket = (for {
+              col <- Option(tprops.get(BucketColProp))
+              n <- Option(tprops.get(BucketCountProp)).map(_.toInt)
+            } yield {
+              val prior = Option(tprops.get(BucketPriorCountsProp))
+                .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)
+                  .headOption.map(_.toInt))
+              files.count(f => !TypedLake.bucketGenOfFile(f).exists {
+                case (_, cnt) => cnt.orElse(prior).getOrElse(n) == n
+              })
+            }).getOrElse(0)
             Array(InternalRow(UTF8String.fromString(path), files.size,
               bytes, partitions,
               WeatherLakeV2Sink.liveManifests(path).size,
@@ -3773,7 +3789,7 @@ object LakeCatalog {
               liveDel.size,
               liveDel.count(TypedLake.isPosDelete), targeted,
               WeatherLakeV2Sink.tagNames(path).size,
-              WeatherLakeV2Sink.branchNames(path).size))
+              WeatherLakeV2Sink.branchNames(path).size, staleBucket))
           case "history" =>
             val fs = new Path(path).getFileSystem(new Configuration())
             val mdir = new Path(path, WeatherLakeV2Sink.ManifestDir)

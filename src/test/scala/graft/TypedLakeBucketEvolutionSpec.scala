@@ -73,6 +73,10 @@ class TypedLakeBucketEvolutionSpec extends SparkSpec {
 
     val ev = spark.sql("CALL bevo.system.evolve_bucketing('t', 8)").head
     assert(ev.getInt(0) == 4 && ev.getInt(1) == 8 && ev.getInt(2) > 0, ev)
+    // observability: detail's stale_bucket_files sizes the migration
+    val det = spark.sql("CALL bevo.system.detail('t')").head
+    assert(det.getInt(det.fieldIndex("stale_bucket_files")) ==
+      ev.getInt(2), det.toString)
     spark.sql("INSERT INTO bevo.t SELECT id, id * 10 FROM range(40, 60)")
     val gens = WeatherLakeV2Sink.committedFiles(loc)
       .flatMap(f => TypedLake.bucketGenOfFile(f)).flatMap(_._2).distinct
@@ -125,6 +129,9 @@ class TypedLakeBucketEvolutionSpec extends SparkSpec {
       assert(shuffles(joined) == 0, "uniform c16: SPJ returns")
       assert(joined.count() == 59)
     }
+    val det2 = spark.sql("CALL bevo.system.detail('t')").head
+    assert(det2.getInt(det2.fieldIndex("stale_bucket_files")) == 0,
+      "post-migration detail must report zero stale bucket files")
     assert(spark.table("bevo.t").count() == 59)
     spark.sql("DROP TABLE bevo.t")
   }
