@@ -542,9 +542,14 @@ object TypedLake {
     */
   def appendTypedToBranch(spark: SparkSession, basePath: String,
       branch: String, df: DataFrame, schema: StructType,
-      partCols: Seq[String], statsFields: Seq[String] = Nil): Unit = {
+      partCols: Seq[String], statsFields: Seq[String] = Nil,
+      bucketSpec: Option[(String, Int)] = None): Unit = {
+    // bucketed tables stage through the SAME bucket-routing writer as
+    // main appends (the catalog's WAP path shares main's writer and
+    // only swaps the commit destination) — staged files carry their
+    // markers, so the zero-exchange layout survives fast_forward
     val entries = writeTypedFrame(df, basePath, "b", schema, partCols,
-      statsFields, maxRecordsPerFile = 0L, bucketSpec = None)
+      statsFields, maxRecordsPerFile = 0L, bucketSpec = bucketSpec)
     WeatherLakeV2Sink.branchCommit(basePath, branch,
       UUID.randomUUID().toString, entries, payload = Some(Payload))
   }

@@ -261,6 +261,43 @@ class TypedLakeBucketEvolutionSpec extends SparkSpec {
     }
   }
 
+  test("WAP staging on a bucketed table rides the bucket-routing " +
+      "writer: staged files carry count-stamped markers and the zero-" +
+      "exchange layout survives fast_forward") {
+    val w = Files.createTempDirectory("bwap").toString
+    spark.conf.set("spark.sql.catalog.bwap", "graft.sources.LakeCatalog")
+    spark.conf.set("spark.sql.catalog.bwap.warehouse", w)
+    spark.sql("""CREATE TABLE bwap.t (k BIGINT, v BIGINT)
+      USING lake PARTITIONED BY (bucket(4, k))""")
+    spark.sql("INSERT INTO bwap.t SELECT id, id FROM range(12)")
+    val loc = spark.sql("CALL bwap.system.detail('t')").head.getString(0)
+    spark.conf.set("spark.graft.wap.branch", "audit")
+    try {
+      spark.sql("INSERT INTO bwap.t SELECT id, id FROM range(100, 112)")
+      // staged THROUGH the bucket writer: marked, count-stamped
+      val staged = WeatherLakeV2Sink.branchEntryLines(loc, "audit")
+        .map(_.takeWhile(_ != '\t')) // entry line = path [+ \t stats]
+      assert(staged.nonEmpty && staged.forall(f =>
+        TypedLake.bucketGenOfFile(f).exists(_._2.contains(4))), staged)
+      assert(spark.table("bwap.t").count() == 24, "branch view = base+staged")
+    } finally spark.conf.unset("spark.graft.wap.branch")
+    assert(spark.table("bwap.t").count() == 12, "main untouched")
+    assert(spark.sql("CALL bwap.system.fast_forward('t', 'audit')")
+      .head.getInt(0) > 0)
+    spark.sql("CALL bwap.system.drop_branch('t', 'audit')")
+    assert(spark.table("bwap.t").count() == 24)
+    // published staged files keep the layout: SPJ holds, no strays
+    assert(WeatherLakeV2Sink.committedFiles(loc).forall(f =>
+      TypedLake.bucketGenOfFile(f).exists(_._2.contains(4))))
+    withSpjConfs {
+      val j = spark.sql(
+        "SELECT a.k FROM bwap.t a JOIN bwap.t b ON a.k = b.k")
+      assert(shuffles(j) == 0, "SPJ must survive the WAP publish")
+      assert(j.count() == 24)
+    }
+    spark.sql("DROP TABLE bwap.t")
+  }
+
   test("guards: non-bucketed tables, the identity count, out-of-range " +
       "counts, and a WAP-staging session all refuse loudly") {
     val w = Files.createTempDirectory("bgrd").toString
