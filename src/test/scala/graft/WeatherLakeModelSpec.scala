@@ -66,8 +66,13 @@ class WeatherLakeModelSpec extends SparkSpec {
         (0 until n).map { _ =>
           nextKey += 1; (nextKey, rng.between(0L, 1000L))
         }
+      // every op records (snapshot, model) — rollback's restore points
+      // (nothing deletes manifests before the end-of-trial vacuum, so
+      // every recorded point stays resolvable by contract)
+      val restorePoints =
+        scala.collection.mutable.ArrayBuffer.empty[(Seq[String], Map[Long, Long])]
       for (i <- 1 to 8) {
-        val op = rng.nextInt(7)
+        val op = rng.nextInt(8)
         op match {
           case 0 => // append brand-new keys
             val rows = freshRows(1 + rng.nextInt(3))
@@ -108,7 +113,19 @@ class WeatherLakeModelSpec extends SparkSpec {
             payload(rows).write.format("graft.sources.WeatherLakeV2Sink")
               .mode("overwrite").save(lake)
             model = rows.toMap
+          case 7 if restorePoints.nonEmpty => // rollback to a recorded
+            // snapshot: the classic lake's RESTORE (payload-agnostic) —
+            // the SHADOW consumer rides the snapshot-diff cursor feed,
+            // which derives the restore's net delta (the commit-log #op
+            // router refuses rollback; that refusal is spec-pinned in
+            // TypedLakeRollbackSpec)
+            val (snap, recorded) =
+              restorePoints(rng.nextInt(restorePoints.size))
+            WeatherLakeV2Sink.rollbackTo(lake, snap)
+            model = recorded
+          case 7 => () // nothing recorded yet: no-op round
         }
+        restorePoints += ((WeatherLakeV2Sink.snapshot(lake), model))
         assert(lakeState == model, s"trial $trial op#$i (kind $op) diverged")
         applyFeed()
         assert(shadow == model,
