@@ -26,7 +26,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -38,7 +38,16 @@ object Bench {
       // does not change any plan
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // profiling hook (off unless the env var is set — the driver never
+    // sets it): persist the Spark event log so per-query job/stage wall
+    // time can be attributed offline. Pure observability; no plan or
+    // timing-methodology change.
+    sys.env.get("SPARK_GRAFT_EVENTLOG_DIR").foreach { d =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+      builder.config("spark.eventLog.enabled", "true")
+        .config("spark.eventLog.dir", s"file://$d")
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM (classloading, codegen, shuffle machinery) outside any
     // timed region so the first alphabetical query isn't charged for it
@@ -67,6 +76,10 @@ object Bench {
         only.forall(o => o.contains(n) || o.contains(n.takeWhile(_ != '_'))) }
     val samples = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
     for (pass <- 1 to passes; (name, fn) <- ordered) {
+      // label jobs (guide §1.5) so event logs / the UI attribute every
+      // job, including the DML side effects a query runs before its
+      // final noop write, to the query that issued it
+      spark.sparkContext.setJobDescription(s"$name pass=$pass")
       val elapsed =
         try {
           val t0 = System.nanoTime()

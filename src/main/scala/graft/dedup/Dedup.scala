@@ -171,7 +171,12 @@ object Dedup {
         explode(sequence(lit(1), col("__n") - (minLen - 1))).as("pos"),
         col("__text"))
       .select(col(idCol), col("pos"),
-        md5(expr(s"substring(__text, pos, $minLen)")).as("__g"))
+        // internal duplicate-detection key only (never output): xxhash64
+        // instead of md5 — same duplicate classification up to 64-bit
+        // collisions (~n²/2⁶⁵, immaterial at any shuffle-able n) for a
+        // fraction of the hash CPU, and the corpus-wide shuffle carries
+        // an 8-byte long per window instead of a 32-char hex string
+        xxhash64(expr(s"substring(__text, pos, $minLen)")).as("__g"))
     val dup = pos
       .withColumn("__c", count(lit(1)).over(Window.partitionBy(col("__g"))))
       .filter(col("__c") > 1)
@@ -559,7 +564,10 @@ object Dedup {
     // (id, flag, digest, token set) feeds the exact screen, both sides of
     // the verify join, and the final left joins — one materialization
     val base = tagged.select(col(idCol).as("id"), col("__arch"),
-      md5(col(textCol)).as("__d"),
+      // internal exact-match key only (the output carries the boolean,
+      // never the digest): xxhash64 equality = text equality up to 64-bit
+      // collisions, far cheaper than md5 and 8 bytes on the wire
+      xxhash64(col(textCol)).as("__d"),
       array_distinct(graft.text.Text.tokens(col(textCol))).as("__toks"))
       .localCheckpoint(true)
     val batch = base.filter(!col("__arch"))

@@ -107,7 +107,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
     (warehouse +: ident.namespace.map(checkPart) :+ checkPart(ident.name))
       .mkString("/")
 
-  private def fs = new Path(warehouse).getFileSystem(new Configuration())
+  private def fs = new Path(warehouse).getFileSystem(LakeIO.conf)
 
   /** Registration vs location: the REGISTRATION directory is always
     * `warehouse/<namespace>/<name>` and holds the marker (its presence IS
@@ -743,7 +743,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
     val hist = TypedLake.historicalNames(schema)
     if (hist.isEmpty) return false
     val spellings = hist.values.flatten.map(_.toLowerCase).toSet
-    val conf = new Configuration()
+    val conf = LakeIO.conf
     val dataFs = new Path(location).getFileSystem(conf)
     val history = WeatherLakeV2Sink.manifestHistory(location)
     val candidates =
@@ -1009,7 +1009,7 @@ object LakeCatalog {
     // atomically, and a concurrent CREATE TABLE of the same name loses
     // (rename onto an existing destination fails) instead of clobbering
     val tmp = new Path(dir, s"$MarkerFile.tmp-${util.UUID.randomUUID()}")
-    val out = fs.create(tmp, false)
+    val out = LakeIO.newOutput(fs, tmp, false)
     try out.write(mapper.writeValueAsBytes(root)) finally out.close()
     val dest = new Path(dir, MarkerFile)
     if (overwrite) {
@@ -1251,7 +1251,7 @@ object LakeCatalog {
         TypedLake.historicalNames(tableSchema).isEmpty && {
           val paths = lines.map(WeatherLakeV2Sink.entryPath)
           paths.forall(TypedLake.isPosDelete) && {
-            val conf = new Configuration()
+            val conf = LakeIO.conf
             val bytes = paths.map { f =>
               val p = new Path(f)
               p.getFileSystem(conf).getFileStatus(p).getLen
@@ -1529,11 +1529,18 @@ object LakeCatalog {
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Cast => CCast, EqualTo => CEq, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal => CLit}
 
     private var inner: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder = _
-    private def mkInner(fs: Seq[String]) =
-      org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
-        ident, spark, options, fs.toIndexedSeq, Some(tableSchema),
-        classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
-        .newScanBuilder(options)
+    private def mkInner(fs: Seq[String]) = DriverListing(spark) {
+      val table =
+        org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
+          ident, spark, options, fs.toIndexedSeq, Some(tableSchema),
+          classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
+      // force the lazy InMemoryFileIndex while the listing conf is scoped:
+      // the paths are the manifest's exact leaf files, so the distributed
+      // listing job Spark would otherwise launch for >32 paths re-stats
+      // names we already hold (measured 0.1-0.2 s per scan at sf0.1)
+      table.fileIndex
+      table.newScanBuilder(options)
+    }
     private def ensure() = {
       if (inner == null) inner = mkInner(files)
       inner
@@ -2057,7 +2064,8 @@ object LakeCatalog {
         val files = morDeleteLines.map(WeatherLakeV2Sink.entryPath)
         // keys live in the RAW DISK-PATH domain: delete-file targets ARE
         // manifest entry paths (raw, scheme-less by writer construction)
-        spark.read.schema(TypedLake.MorPosSchema).parquet(files: _*)
+        DriverListing(spark)(
+          spark.read.schema(TypedLake.MorPosSchema).parquet(files: _*))
           .collect()
           .groupBy(_.getString(0))
           .map { case (k, rows) =>
@@ -2394,11 +2402,15 @@ object LakeCatalog {
     }
 
     private def delegateBatch(files: Seq[String]): Batch = {
-      val b = org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
-        s"lake_typed_stream($path)", SparkSession.active, options,
-        files.toIndexedSeq, Some(tableSchema),
-        classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
-        .newScanBuilder(options)
+      val b = DriverListing(SparkSession.active) {
+        val table =
+          org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
+            s"lake_typed_stream($path)", SparkSession.active, options,
+            files.toIndexedSeq, Some(tableSchema),
+            classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
+        table.fileIndex // force listing while the conf is scoped
+        table.newScanBuilder(options)
+      }
       prunedTo.foreach(b.pruneColumns)
       b.build().toBatch
     }
@@ -2836,7 +2848,8 @@ object LakeCatalog {
     private lazy val skipCounts: Map[String, Long] = {
       val spark = SparkSession.active
       val files = morDeleteLines.map(WeatherLakeV2Sink.entryPath)
-      spark.read.schema(TypedLake.MorPosSchema).parquet(files: _*)
+      DriverListing(spark)(
+        spark.read.schema(TypedLake.MorPosSchema).parquet(files: _*))
         .collect()
         .groupBy(_.getString(0))
         .map { case (k, rows) =>
@@ -3189,7 +3202,7 @@ object LakeCatalog {
       * scan. Row count is left unknown — lines are unparsed until read.
       */
     override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
-      val fs = new Path(path).getFileSystem(new Configuration())
+      val fs = new Path(path).getFileSystem(LakeIO.conf)
       val wanted = plannedFiles.map(f => new Path(f).toUri.getPath).toSet
       val bytes = plannedFiles.map(f => new Path(f).getParent).distinct
         .flatMap { dir =>
@@ -3250,7 +3263,7 @@ object LakeCatalog {
           pv.get(f.name.toLowerCase)
             .map(v => UTF8String.fromString(v): AnyRef).orNull
         }.toArray
-        private val fs = new Path(file).getFileSystem(new Configuration())
+        private val fs = new Path(file).getFileSystem(LakeIO.conf)
         private val reader = new java.io.BufferedReader(
           new java.io.InputStreamReader(fs.open(new Path(file)), "UTF-8"))
         private var line: String = _
@@ -3487,7 +3500,7 @@ object LakeCatalog {
         if (catalog.tableExists(ident))
           throw new TableAlreadyExistsException(ident)
         val regDir = catalog.defaultDir(ident)
-        val fs = new Path(dir).getFileSystem(new Configuration())
+        val fs = new Path(dir).getFileSystem(LakeIO.conf)
         if (!fs.exists(new Path(dir)))
           throw new IllegalArgumentException(
             s"LakeCatalog convert: $dir does not exist")
@@ -3753,7 +3766,7 @@ object LakeCatalog {
             // one row of table health — all O(committed files) driver
             // metadata (the same class as the manifest read itself)
             val lines = WeatherLakeV2Sink.committedEntryLines(path)
-            val fs = new Path(path).getFileSystem(new Configuration())
+            val fs = new Path(path).getFileSystem(LakeIO.conf)
             val files = lines.map(WeatherLakeV2Sink.entryPath)
             val bytes = files.map(f =>
               fs.getFileStatus(new Path(f)).getLen).sum
@@ -3791,7 +3804,7 @@ object LakeCatalog {
               WeatherLakeV2Sink.tagNames(path).size,
               WeatherLakeV2Sink.branchNames(path).size, staleBucket))
           case "history" =>
-            val fs = new Path(path).getFileSystem(new Configuration())
+            val fs = new Path(path).getFileSystem(LakeIO.conf)
             val mdir = new Path(path, WeatherLakeV2Sink.ManifestDir)
             val live = WeatherLakeV2Sink.liveManifests(path).toSet
             WeatherLakeV2Sink.manifestHistory(path).zipWithIndex.map {

@@ -203,7 +203,10 @@ object TypedLake {
     */
   private[sources] def parquetTaskConf(data: StructType,
       bloomFor: Seq[String] = Nil): Configuration = {
-    val conf = new Configuration()
+    // copy, not fresh: this conf is mutated below, but the copy
+    // constructor clones the already-parsed properties instead of
+    // re-reading the default XML resources per writer task
+    val conf = new Configuration(LakeIO.conf)
     conf.set("parquet.write.support.class", classOf[ParquetWriteSupport].getName)
     ParquetWriteSupport.setSchema(data, conf)
     conf.set("spark.sql.parquet.writeLegacyFormat", "false")
@@ -496,9 +499,9 @@ object TypedLake {
       files: Seq[String]): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else spark.read.option("basePath", basePath)
+    else DriverListing(spark)(spark.read.option("basePath", basePath)
       .schema(widenedSchema(schema))
-      .parquet(files: _*)
+      .parquet(files: _*))
       .select(schema.fieldNames.map(mappedCol(schema)).toSeq: _*)
 
   def readCommittedTyped(spark: SparkSession, basePath: String,
@@ -600,7 +603,7 @@ object TypedLake {
     */
   private def filePathMap(files: Seq[String]): Seq[(String, String)] = {
     if (files.isEmpty) return Seq.empty
-    val fs = new Path(files.head).getFileSystem(new Configuration())
+    val fs = new Path(files.head).getFileSystem(LakeIO.conf)
     files
       .flatMap { f =>
         filePathSpellings(f, fs).zipWithIndex
@@ -627,9 +630,9 @@ object TypedLake {
     val session = spark
     import session.implicits._
     val keyed = filePathMap(files)
-    val base = spark.read.option("basePath", basePath)
+    val base = DriverListing(spark)(spark.read.option("basePath", basePath)
       .schema(widenedSchema(schema))
-      .parquet(files: _*)
+      .parquet(files: _*))
     // ONE select over the raw relation: `_metadata` is a metadata column
     // and must be projected before any other Project hides it; renamed
     // columns fold their historical spellings here too
@@ -716,8 +719,9 @@ object TypedLake {
     */
   private def readMorDeletesRenamed(spark: SparkSession, schema: StructType,
       deleteFiles: Seq[String]): DataFrame =
-    spark.read.schema(morDeleteSchema(widenedSchema(schema)))
-      .parquet(deleteFiles: _*)
+    DriverListing(spark)(
+      spark.read.schema(morDeleteSchema(widenedSchema(schema)))
+        .parquet(deleteFiles: _*))
       .select(col(MorTargetCol) +:
         schema.fieldNames.toSeq.map(n =>
           mappedCol(schema)(n).as(s"__d_$n")): _*)
@@ -751,7 +755,8 @@ object TypedLake {
         require(framed.columns.contains(PosFrameCol),
           "TypedLake: position-delete subtraction needs the framed " +
             s"read's $PosFrameCol ordinal column (framedTyped withPos)")
-        val pd = spark.read.schema(MorPosSchema).parquet(posFiles: _*)
+        val pd = DriverListing(spark)(
+          spark.read.schema(MorPosSchema).parquet(posFiles: _*))
           .select(col(MorTargetCol).as("__d_target"),
             col(MorPosCol).as("__d_pos"))
         framed.join(pd,
@@ -777,7 +782,8 @@ object TypedLake {
     val (posFiles, eqFiles) = deleteFiles.partition(isPosDelete)
     val sides = Seq(
       if (posFiles.isEmpty) None
-      else Some(spark.read.schema(MorPosSchema).parquet(posFiles: _*)
+      else Some(DriverListing(spark)(
+        spark.read.schema(MorPosSchema).parquet(posFiles: _*))
         .select(col(MorTargetCol))),
       if (eqFiles.isEmpty) None
       else Some(readMorDeletesRenamed(spark, schema, eqFiles)
@@ -1383,7 +1389,8 @@ object TypedLake {
     // live position rows pass through, dangling targets dropped
     val posRows =
       if (posFiles.isEmpty) None
-      else Some(spark.read.schema(MorPosSchema).parquet(posFiles: _*)
+      else Some(DriverListing(spark)(
+        spark.read.schema(MorPosSchema).parquet(posFiles: _*))
         .join(broadcast(committedDf),
           col(MorTargetCol) === col("__live_file"), "left_semi"))
     // equality rows RESOLVE to ordinals: frame the still-committed
@@ -2062,7 +2069,7 @@ object TypedLake {
       maxRecordsPerFile: Long = 0L): Int = {
     require(targetBytes > 0, "targetBytes must be positive")
     WeatherLakeV2Sink.requirePayload(basePath, Payload, "compactTyped")
-    val fs = new Path(basePath).getFileSystem(new Configuration())
+    val fs = new Path(basePath).getFileSystem(LakeIO.conf)
     val snapshot = WeatherLakeV2Sink.liveManifests(basePath)
     val byManifest = WeatherLakeV2Sink.entryLinesByManifest(basePath, snapshot)
     val entriesByDir = byManifest.flatMap(_._2)
@@ -2127,7 +2134,7 @@ object TypedLake {
           .map(f => fs.getFileStatus(new Path(f)).getLen).sum
         if (inputBytes <= targetBytes) 0L // can't exceed the target anyway
         else {
-          val conf = new Configuration()
+          val conf = LakeIO.conf
           val inputRows = multi.values.flatten.map { f =>
             val r = org.apache.parquet.hadoop.ParquetFileReader.open(
               org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(

@@ -168,7 +168,7 @@ object TypedLakeChangeFeed {
     */
   private def persistedGenesis(metadataPath: String,
       current: Seq[String]): Seq[String] = {
-    val fs = new Path(metadataPath).getFileSystem(new Configuration())
+    val fs = new Path(metadataPath).getFileSystem(LakeIO.conf)
     val file = new Path(metadataPath, "graft-cdf-genesis")
     if (fs.exists(file)) {
       val in = fs.open(file)
@@ -179,7 +179,7 @@ object TypedLakeChangeFeed {
       fs.mkdirs(new Path(metadataPath))
       val tmp = new Path(metadataPath,
         s".graft-cdf-genesis.tmp-${UUID.randomUUID()}")
-      val out = fs.create(tmp, false)
+      val out = LakeIO.newOutput(fs, tmp, false)
       try out.write(CdfOffset(current).json()
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
@@ -256,7 +256,7 @@ object TypedLakeChangeFeed {
 
     private def spark = SparkSession.active
     private val stageRoot = new Path(checkpointLocation, "graft-cdf-stage")
-    private def fs = stageRoot.getFileSystem(new Configuration())
+    private def fs = stageRoot.getFileSystem(LakeIO.conf)
 
     override def initialOffset(): Offset =
       if (!startLatest) CdfOffset(Seq.empty)
@@ -335,7 +335,7 @@ object TypedLakeChangeFeed {
         val arr = obj.putArray("to")
         to.sorted.foreach(arr.add)
         obj.put("schemaSha", schemaSha)
-        val meta = fs.create(new Path(tmp, "graft-cdf-meta"), false)
+        val meta = LakeIO.newOutput(fs, new Path(tmp, "graft-cdf-meta"), false)
         try meta.write(mapper.writeValueAsString(obj)
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally meta.close()

@@ -290,7 +290,7 @@ object WeatherLakeV2Sink {
     */
   private[sources] def morDirectivesOf(basePath: String,
       manifests: Seq[String]): Seq[String] = {
-    val fs = new Path(basePath).getFileSystem(new Configuration())
+    val fs = new Path(basePath).getFileSystem(LakeIO.conf)
     val mdir = new Path(basePath, ManifestDir)
     manifests.flatMap(n => readLines(fs, new Path(mdir, n))
       .filter(_.startsWith(MorDeletePrefix)))
@@ -391,7 +391,7 @@ object WeatherLakeV2Sink {
     val names = manifestNames(basePath)
     if (names.isEmpty) "json"
     else {
-      val fs = new Path(basePath).getFileSystem(new Configuration())
+      val fs = new Path(basePath).getFileSystem(LakeIO.conf)
       val lines = readLines(fs, new Path(new Path(basePath, ManifestDir), names.head))
       checkFormatVersion(names.head, lines)
       manifestPayload(lines).getOrElse("json")
@@ -518,7 +518,7 @@ object WeatherLakeV2Sink {
   private[sources] def writeManifest(basePath: String, jobId: String,
       files: Seq[String], op: Option[String] = None,
       payload: Option[String] = None): Unit = {
-    val fs = new Path(basePath).getFileSystem(new Configuration())
+    val fs = new Path(basePath).getFileSystem(LakeIO.conf)
     // payload-uniformity gate (O(1): one existing manifest answers for
     // the table, see [[payloadFormat]]) — a classic JSON-line append into
     // a typed Parquet lake (or the reverse) would poison every reader's
@@ -542,7 +542,7 @@ object WeatherLakeV2Sink {
     // the DESTINATION name carries the deterministic identity
     val tmp = new Path(mdir,
       s".manifest-$jobId.${UUID.randomUUID().toString}.tmp")
-    val out = fs.create(tmp, true)
+    val out = LakeIO.newOutput(fs, tmp, true)
     try {
       // a non-default payload is a SEMANTIC change (data files are not
       // text lines), so such manifests stamp version 2 — v1 readers fail
@@ -576,7 +576,7 @@ object WeatherLakeV2Sink {
     * resolves either the old live set or the new one — never both).
     */
   def liveManifests(basePath: String): Seq[String] = {
-    val fs = new Path(basePath).getFileSystem(new Configuration())
+    val fs = new Path(basePath).getFileSystem(LakeIO.conf)
     val mdir = new Path(basePath, ManifestDir)
     val names = manifestNames(basePath)
     val superseded = names.flatMap { n =>
@@ -598,7 +598,7 @@ object WeatherLakeV2Sink {
     */
   private def entryLinesOf(basePath: String,
       manifests: Seq[String]): Seq[String] = {
-    val fs = new Path(basePath).getFileSystem(new Configuration())
+    val fs = new Path(basePath).getFileSystem(LakeIO.conf)
     val mdir = new Path(basePath, ManifestDir)
     manifests
       .flatMap(n => readLines(fs, new Path(mdir, n)))
@@ -730,7 +730,7 @@ object WeatherLakeV2Sink {
 
   /** Whether a manifest with this id has been published. */
   def manifestExists(basePath: String, manifestId: String): Boolean = {
-    val fs = new Path(basePath).getFileSystem(new Configuration())
+    val fs = new Path(basePath).getFileSystem(LakeIO.conf)
     fs.exists(new Path(new Path(basePath, ManifestDir),
       s"manifest-$manifestId.txt"))
   }
@@ -813,7 +813,7 @@ object WeatherLakeV2Sink {
       changeLog: Boolean = false):
       (org.apache.spark.sql.DataFrame, Long) => Unit = (epoch, epochId) => {
     import org.apache.spark.sql.functions.{col, row_number}
-    val fs = new Path(silverPath).getFileSystem(new Configuration())
+    val fs = new Path(silverPath).getFileSystem(LakeIO.conf)
     val marker = new Path(new Path(silverPath, ManifestDir),
       f".apply-$streamId-b$epochId%09d")
     if (!fs.exists(marker)) {
@@ -837,7 +837,7 @@ object WeatherLakeV2Sink {
           changeLog = changeLog,
           deleteMatched = Some(df => df("__delete")))
       fs.mkdirs(marker.getParent)
-      val out = fs.create(marker, true)
+      val out = LakeIO.newOutput(fs, marker, true)
       try out.write("applied\n".getBytes("UTF-8")) finally out.close()
     }
   }
@@ -848,7 +848,7 @@ object WeatherLakeV2Sink {
 
   /** Names of every completed job's manifest under the lake root. */
   def manifestNames(basePath: String): Seq[String] = {
-    val fs = new Path(basePath).getFileSystem(new Configuration())
+    val fs = new Path(basePath).getFileSystem(LakeIO.conf)
     val mdir = new Path(basePath, ManifestDir)
     if (!fs.exists(mdir)) Seq.empty
     else fs.listStatus(mdir).toSeq.map(_.getPath.getName)
@@ -866,7 +866,7 @@ object WeatherLakeV2Sink {
     */
   def consumedManifests(cursorPath: String): Set[String] = {
     val p = new Path(cursorPath)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(LakeIO.conf)
     if (fs.exists(p)) readLines(fs, p).filter(_.nonEmpty).toSet else Set.empty
   }
 
@@ -897,7 +897,7 @@ object WeatherLakeV2Sink {
     requirePayload(basePath, "json", "the incremental commit reader")
     val fresh = liveManifests(basePath)
       .filterNot(consumedManifests(cursorPath))
-    val fs = new Path(basePath).getFileSystem(new Configuration())
+    val fs = new Path(basePath).getFileSystem(LakeIO.conf)
     val lines = fresh
       .flatMap(n => readLines(fs, new Path(new Path(basePath, ManifestDir), n)))
       .filter(l => l.nonEmpty && !l.startsWith("#"))
@@ -909,7 +909,7 @@ object WeatherLakeV2Sink {
     if (files.isEmpty) {
       import spark.implicits._
       spark.emptyDataset[String].toDF("value")
-    } else spark.read.text(files: _*)
+    } else DriverListing(spark)(spark.read.text(files: _*))
 
   def readNewCommits(spark: org.apache.spark.sql.SparkSession,
       basePath: String, cursorPath: String):
@@ -1015,7 +1015,7 @@ object WeatherLakeV2Sink {
       set: Seq[String]): Seq[String] = liveWithin(basePath, set)
 
   private def liveWithin(basePath: String, set: Seq[String]): Seq[String] = {
-    val fs = new Path(basePath).getFileSystem(new Configuration())
+    val fs = new Path(basePath).getFileSystem(LakeIO.conf)
     val mdir = new Path(basePath, ManifestDir)
     val present = set.distinct.filter(n => fs.exists(new Path(mdir, n)))
     val superseded = present.flatMap(n =>
@@ -1043,9 +1043,9 @@ object WeatherLakeV2Sink {
     */
   def replaceCursor(cursorPath: String, manifests: Seq[String]): Unit = {
     val p = new Path(cursorPath)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(LakeIO.conf)
     val tmp = new Path(p.getParent, s".${p.getName}.tmp")
-    val out = fs.create(tmp, true)
+    val out = LakeIO.newOutput(fs, tmp, true)
     try manifests.sorted.foreach(n => out.write((n + "\n").getBytes("UTF-8")))
     finally out.close()
     // Hadoop rename refuses an existing destination: drop the old cursor
@@ -1073,7 +1073,7 @@ object WeatherLakeV2Sink {
     * version axis [[snapshotAt]] indexes.
     */
   def manifestHistory(basePath: String): Seq[String] = {
-    val fs = new Path(basePath).getFileSystem(new Configuration())
+    val fs = new Path(basePath).getFileSystem(LakeIO.conf)
     val mdir = new Path(basePath, ManifestDir)
     manifestNames(basePath)
       .map(n => (fs.getFileStatus(new Path(mdir, n)).getModificationTime, n))
@@ -1102,7 +1102,7 @@ object WeatherLakeV2Sink {
     * commit yet at that instant, rather than an empty table.
     */
   def snapshotAtTimestamp(basePath: String, tsMs: Long): Seq[String] = {
-    val fs = new Path(basePath).getFileSystem(new Configuration())
+    val fs = new Path(basePath).getFileSystem(LakeIO.conf)
     val mdir = new Path(basePath, ManifestDir)
     val timed = manifestNames(basePath)
       .map(n => (fs.getFileStatus(new Path(mdir, n)).getModificationTime, n))
@@ -1133,7 +1133,7 @@ object WeatherLakeV2Sink {
     if (files.isEmpty) {
       import spark.implicits._
       spark.emptyDataset[String].toDF("value")
-    } else spark.read.text(files: _*)
+    } else DriverListing(spark)(spark.read.text(files: _*))
   }
 
   /** The data files a captured snapshot resolves to — [[readAsOf]]'s
@@ -1155,7 +1155,7 @@ object WeatherLakeV2Sink {
     */
   private def survivingLinesAsOf(basePath: String,
       snap: Seq[String]): Seq[String] = {
-    val fs = new Path(basePath).getFileSystem(new Configuration())
+    val fs = new Path(basePath).getFileSystem(LakeIO.conf)
     val mdir = new Path(basePath, ManifestDir)
     def linesIfPresent(n: String): Option[Seq[String]] = {
       val p = new Path(mdir, n)
@@ -1284,7 +1284,7 @@ object WeatherLakeV2Sink {
     */
   private def withPublishLock[T](basePath: String, op: String,
       staleLockMs: Long = 60L * 1000)(body: (() => Unit) => T): T = {
-    val fs = new Path(basePath).getFileSystem(new Configuration())
+    val fs = new Path(basePath).getFileSystem(LakeIO.conf)
     val mdir = new Path(basePath, ManifestDir)
     fs.mkdirs(mdir)
     val lock = new Path(mdir, ".maintenance.lock")
@@ -1293,7 +1293,7 @@ object WeatherLakeV2Sink {
       try readLines(fs, lock).headOption catch { case _: Exception => None }
     def tryAcquire(): Boolean =
       try {
-        val out = fs.create(lock, false) // throws if the lock exists
+        val out = LakeIO.newOutput(fs, lock, false) // throws if the lock exists
         try out.write((token + "\n").getBytes("UTF-8"))
         finally out.close()
         true
@@ -1342,7 +1342,7 @@ object WeatherLakeV2Sink {
     */
   private[sources] def entryLinesByManifest(basePath: String,
       manifests: Seq[String]): Seq[(String, Seq[String])] = {
-    val fs = new Path(basePath).getFileSystem(new Configuration())
+    val fs = new Path(basePath).getFileSystem(LakeIO.conf)
     val mdir = new Path(basePath, ManifestDir)
     manifests.map { n =>
       n -> readLines(fs, new Path(mdir, n))
@@ -1393,7 +1393,7 @@ object WeatherLakeV2Sink {
       // ONE read of the manifest set inside the lease (the lock window is
       // time-bounded; a second liveManifests pass would double the
       // critical-section IO at commit-log scale)
-      val fs = new Path(basePath).getFileSystem(new Configuration())
+      val fs = new Path(basePath).getFileSystem(LakeIO.conf)
       val mdir = new Path(basePath, ManifestDir)
       val linesByName = manifestNames(basePath)
         .map(n => n -> readLines(fs, new Path(mdir, n))).toMap
@@ -1656,10 +1656,10 @@ object WeatherLakeV2Sink {
     arranged
       .select(col("dir"), col("value"))
       .mapPartitions { it =>
-        val pfs = new Path(basePath).getFileSystem(new Configuration())
+        val pfs = new Path(basePath).getFileSystem(LakeIO.conf)
         // per-dir open stream + bytes written since its last roll
         val streams = mutable.Map.empty[String,
-          (org.apache.hadoop.fs.FSDataOutputStream, Long)]
+          (java.io.OutputStream, Long)]
         val entries = mutable.ArrayBuffer.empty[String]
         val accs = mutable.Map.empty[String, Array[FieldAcc]]
         val fileOfDir = mutable.Map.empty[String, String]
@@ -1669,12 +1669,12 @@ object WeatherLakeV2Sink {
               acc.stats.map(f -> _) }.toMap).getOrElse(Map.empty)
           if (st.isEmpty) path else s"$path\t${statsToJson(st)}"
         }
-        def open(dir: String): (org.apache.hadoop.fs.FSDataOutputStream, Long) = {
+        def open(dir: String): (java.io.OutputStream, Long) = {
           val f = new Path(dir, s"part-$op-${UUID.randomUUID().toString}.json")
           fileOfDir(dir) = f.toString
           if (statsFields.nonEmpty)
             accs(f.toString) = Array.fill(statsFields.length)(new FieldAcc)
-          (pfs.create(f, false), 0L)
+          (LakeIO.newOutput(pfs, f, false), 0L)
         }
         it.foreach { row =>
           val dir = row.getString(0)
@@ -2288,7 +2288,7 @@ object WeatherLakeV2Sink {
     // manifest reclamation leaves readable-looking metadata over missing
     // bytes — refuse to make that the live view). O(as-of files) driver
     // metadata, the detail-procedure class.
-    val fs = new Path(basePath).getFileSystem(new Configuration())
+    val fs = new Path(basePath).getFileSystem(LakeIO.conf)
     val missing = ((asOfFiles -- curFiles) ++ (asOfDel -- curDel))
       .filterNot(f => fs.exists(new Path(f)))
     if (missing.nonEmpty) throw new IllegalStateException(
@@ -2492,7 +2492,7 @@ object WeatherLakeV2Sink {
     import org.apache.spark.sql.functions.{broadcast, col}
     require(targetBytes > 0, "targetBytes must be positive")
     requirePayload(basePath, "json", "compact")
-    val fs = new Path(basePath).getFileSystem(new Configuration())
+    val fs = new Path(basePath).getFileSystem(LakeIO.conf)
     val snapshot = liveManifests(basePath)
     val byManifest = entryLinesByManifest(basePath, snapshot)
     // entry LINES grouped by directory: untouched directories re-list
@@ -2537,7 +2537,8 @@ object WeatherLakeV2Sink {
       // every directory it touches)
       val dirOfPath = multi.toSeq.flatMap { case (d, fls) =>
         fls.map(f => (manifestJoinKey(f), d)) }
-      val rows = session.read.text(multi.values.flatten.toSeq: _*)
+      val rows = DriverListing(session)(
+        session.read.text(multi.values.flatten.toSeq: _*))
         .select(filePathCol.as("path"), col("value"))
         .join(broadcast(dirOfPath.toDF("path", "dir")), "path")
         .select(col("dir"), col("value"))
@@ -2587,7 +2588,7 @@ object WeatherLakeV2Sink {
     val fieldsB = fields.toIndexedSeq
     val computed: Map[String, Map[String, FieldStats]] =
       spark.sparkContext.parallelize(files, files.size).map { f =>
-        val fs = new Path(f).getFileSystem(new Configuration())
+        val fs = new Path(f).getFileSystem(LakeIO.conf)
         val in = new java.io.BufferedReader(
           new java.io.InputStreamReader(fs.open(new Path(f)), "UTF-8"))
         val accs = Array.fill(fieldsB.length)(new FieldAcc)
@@ -2654,7 +2655,7 @@ object WeatherLakeV2Sink {
           "and streaming replays may still need. Pass force = true " +
           "(SQL: CALL lake.system.vacuum(t, min_age_ms => ..., force => " +
           "true)) only when no reader can be behind this table's head.")
-    val fs = new Path(basePath).getFileSystem(new Configuration())
+    val fs = new Path(basePath).getFileSystem(LakeIO.conf)
     val mdir = new Path(basePath, ManifestDir)
     val live = liveManifests(basePath)
     val liveFiles = committedFiles(basePath).toSet
@@ -2794,7 +2795,7 @@ object WeatherLakeV2Sink {
   /** The table's tag names, sorted. O(refs) driver metadata. */
   def tagNames(basePath: String): Seq[String] = {
     val refs = new Path(basePath, RefsDir)
-    val fs = refs.getFileSystem(new Configuration())
+    val fs = refs.getFileSystem(LakeIO.conf)
     if (!fs.exists(refs)) Seq.empty
     else fs.listStatus(refs).toSeq.map(_.getPath.getName)
       .filter(_.startsWith("tag-")).map(_.stripPrefix("tag-")).sorted
@@ -2822,7 +2823,7 @@ object WeatherLakeV2Sink {
         "strings as commit versions before tag names, so this tag could " +
         "never be read; pick a name with a non-digit character")
     val file = tagFile(basePath, name)
-    val fs = file.getFileSystem(new Configuration())
+    val fs = file.getFileSystem(LakeIO.conf)
     if (fs.exists(file)) throw new IllegalArgumentException(
       s"tag '$name' already exists on $basePath — tags are IMMUTABLE; " +
         s"CALL lake.system.drop_tag first to re-point it")
@@ -2833,7 +2834,7 @@ object WeatherLakeV2Sink {
     val arr = mapper.createArrayNode()
     snap.sorted.foreach(arr.add)
     val out =
-      try fs.create(file, false)
+      try LakeIO.newOutput(fs, file, false)
       catch {
         // FileAlreadyExistsException is the spec'd signal; some
         // connectors throw plain IOException — re-classify only when
@@ -2858,7 +2859,7 @@ object WeatherLakeV2Sink {
     */
   def readTag(basePath: String, name: String): Seq[String] = {
     val file = tagFile(basePath, name)
-    val fs = file.getFileSystem(new Configuration())
+    val fs = file.getFileSystem(LakeIO.conf)
     if (!fs.exists(file)) throw new IllegalArgumentException(
       s"unknown ref '$name' on $basePath — existing tags: " +
         s"[${tagNames(basePath).mkString(", ")}]; branches: " +
@@ -2879,7 +2880,7 @@ object WeatherLakeV2Sink {
     */
   def dropTag(basePath: String, name: String): Boolean = {
     val file = tagFile(basePath, name)
-    file.getFileSystem(new Configuration()).delete(file, false)
+    file.getFileSystem(LakeIO.conf).delete(file, false)
   }
 
   // -------------------------------------------------------------------
@@ -2917,7 +2918,7 @@ object WeatherLakeV2Sink {
   /** The table's branch names, sorted. O(refs) driver metadata. */
   def branchNames(basePath: String): Seq[String] = {
     val refs = new Path(basePath, RefsDir)
-    val fs = refs.getFileSystem(new Configuration())
+    val fs = refs.getFileSystem(LakeIO.conf)
     if (!fs.exists(refs)) Seq.empty
     else fs.listStatus(refs).toSeq.map(_.getPath.getName)
       .filter(_.startsWith("branch-")).map(_.stripPrefix("branch-")).sorted
@@ -2926,7 +2927,7 @@ object WeatherLakeV2Sink {
   def branchExists(basePath: String, name: String): Boolean =
     try {
       val f = branchRefFile(basePath, name)
-      f.getFileSystem(new Configuration()).exists(f)
+      f.getFileSystem(LakeIO.conf).exists(f)
     } catch { case _: IllegalArgumentException => false }
 
   /** Create a branch: pin the CURRENT live snapshot as its immutable
@@ -2938,7 +2939,7 @@ object WeatherLakeV2Sink {
     */
   def createBranch(basePath: String, name: String): Seq[String] = {
     val file = branchRefFile(basePath, name)
-    val fs = file.getFileSystem(new Configuration())
+    val fs = file.getFileSystem(LakeIO.conf)
     if (fs.exists(file)) throw new IllegalArgumentException(
       s"branch '$name' already exists on $basePath — drop_branch first " +
         "or fast_forward it")
@@ -2951,7 +2952,7 @@ object WeatherLakeV2Sink {
     val arr = mapper.createArrayNode()
     snap.sorted.foreach(arr.add)
     val out =
-      try fs.create(file, false)
+      try LakeIO.newOutput(fs, file, false)
       catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
           throw new IllegalArgumentException(
@@ -2973,7 +2974,7 @@ object WeatherLakeV2Sink {
     */
   def readBranchBase(basePath: String, name: String): Seq[String] = {
     val file = branchRefFile(basePath, name)
-    val fs = file.getFileSystem(new Configuration())
+    val fs = file.getFileSystem(LakeIO.conf)
     if (!fs.exists(file)) throw new IllegalArgumentException(
       s"unknown branch '$name' on $basePath — existing branches: " +
         s"[${branchNames(basePath).mkString(", ")}]")
@@ -2990,7 +2991,7 @@ object WeatherLakeV2Sink {
   /** Names of a branch's staged manifests (its own commit history). */
   def branchManifestNames(basePath: String, name: String): Seq[String] = {
     val dir = branchManifestDir(basePath, name)
-    val fs = dir.getFileSystem(new Configuration())
+    val fs = dir.getFileSystem(LakeIO.conf)
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).toSeq.map(_.getPath.getName)
       .filter(_.startsWith("manifest-")).sorted
@@ -3005,7 +3006,7 @@ object WeatherLakeV2Sink {
     */
   def branchEntryLines(basePath: String, name: String): Seq[String] = {
     val dir = branchManifestDir(basePath, name)
-    val fs = dir.getFileSystem(new Configuration())
+    val fs = dir.getFileSystem(LakeIO.conf)
     branchManifestNames(basePath, name)
       .flatMap(n => readLines(fs, new Path(dir, n)))
       .filter(l => l.nonEmpty && !l.startsWith("#"))
@@ -3028,11 +3029,11 @@ object WeatherLakeV2Sink {
           s"branch commit on the lake at $basePath whose commits hold " +
           s"'$actual' data files")
     val dir = branchManifestDir(basePath, name)
-    val fs = dir.getFileSystem(new Configuration())
+    val fs = dir.getFileSystem(LakeIO.conf)
     fs.mkdirs(dir)
     val tmp = new Path(dir,
       s".manifest-$jobId.${UUID.randomUUID().toString}.tmp")
-    val out = fs.create(tmp, true)
+    val out = LakeIO.newOutput(fs, tmp, true)
     try {
       val version = if (payload.isDefined) 2 else FormatVersion
       out.write(s"$FormatPrefix$version\n".getBytes("UTF-8"))
@@ -3080,7 +3081,7 @@ object WeatherLakeV2Sink {
     */
   def dropBranch(basePath: String, name: String): Boolean = {
     val file = branchRefFile(basePath, name)
-    val fs = file.getFileSystem(new Configuration())
+    val fs = file.getFileSystem(LakeIO.conf)
     val existed = fs.delete(file, false)
     fs.delete(branchManifestDir(basePath, name), true)
     existed
@@ -3115,7 +3116,7 @@ object WeatherLakeV2Sink {
     require(minAgeMs > 0,
       "sweepOrphans needs a positive age guard: unreferenced-but-young " +
         "files may belong to an in-flight write job")
-    val fs = new Path(basePath).getFileSystem(new Configuration())
+    val fs = new Path(basePath).getFileSystem(LakeIO.conf)
     val mdir = new Path(basePath, ManifestDir)
     // branch-STAGED files are referenced by branch manifests only (they
     // live outside the main manifest dir) — an un-published branch's
@@ -3290,8 +3291,8 @@ object WeatherLakeV2Sink {
   class LakeDataWriter(basePath: String, partitionId: Int, taskId: Long,
       statsFields: Seq[String] = Seq.empty)
       extends DataWriter[InternalRow] {
-    private val fs = new Path(basePath).getFileSystem(new Configuration())
-    private val streams = mutable.Map.empty[String, org.apache.hadoop.fs.FSDataOutputStream]
+    private val fs = new Path(basePath).getFileSystem(LakeIO.conf)
+    private val streams = mutable.Map.empty[String, java.io.OutputStream]
     private val written = mutable.ArrayBuffer.empty[String]
     private val fileOfDir = mutable.Map.empty[String, String]
     private val accs = mutable.Map.empty[String, Array[FieldAcc]]
@@ -3320,7 +3321,7 @@ object WeatherLakeV2Sink {
         written += f.toString
         fileOfDir(dir) = f.toString
         accs(f.toString) = Array.fill(statsFields.length)(new FieldAcc)
-        fs.create(f, false)
+        LakeIO.newOutput(fs, f, false)
       })
       val json = row.getString(3)
       if (statsFields.nonEmpty) {

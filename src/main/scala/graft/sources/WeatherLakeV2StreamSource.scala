@@ -235,7 +235,7 @@ object WeatherLakeV2StreamSource {
             // drop changes. Same loud contract as the streaming feed's
             // earliest bootstrap.
             locally {
-              val fsv = new Path(path).getFileSystem(new Configuration())
+              val fsv = new Path(path).getFileSystem(LakeIO.conf)
               val mdirv = new Path(path, WeatherLakeV2Sink.ManifestDir)
               val present = history.toSet
               val missing = history.flatMap { n =>
@@ -266,7 +266,7 @@ object WeatherLakeV2StreamSource {
                   s"[$start, $end] over a history of ${history.size} " +
                   s"commits (valid versions: 0..${history.size - 1}, " +
                   "start <= end)")
-            val fs = new Path(path).getFileSystem(new Configuration())
+            val fs = new Path(path).getFileSystem(LakeIO.conf)
             val mdir = new Path(path, WeatherLakeV2Sink.ManifestDir)
             val prune = parsePrune(options)
             val keep: String => Boolean =
@@ -361,7 +361,7 @@ object WeatherLakeV2StreamSource {
     override def initialOffset(): Offset = {
       if (cdc && !startLatest) {
         val present = WeatherLakeV2Sink.manifestNames(path).toSet
-        val fs = new Path(path).getFileSystem(new Configuration())
+        val fs = new Path(path).getFileSystem(LakeIO.conf)
         val mdir = new Path(path, WeatherLakeV2Sink.ManifestDir)
         val supersededNames = present.toSeq.flatMap { n =>
           val in = fs.open(new Path(mdir, n))
@@ -430,7 +430,7 @@ object WeatherLakeV2StreamSource {
       * mid-plan fails loudly below, not here.
       */
     private def commitOrdered(names: Seq[String]): Seq[(String, Long)] = {
-      val fs = new Path(path).getFileSystem(new Configuration())
+      val fs = new Path(path).getFileSystem(LakeIO.conf)
       val mdir = new Path(path, WeatherLakeV2Sink.ManifestDir)
       names.map { n =>
         val p = new Path(mdir, n)
@@ -443,7 +443,7 @@ object WeatherLakeV2StreamSource {
     override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
       val consumed = start.asInstanceOf[LakeOffset].consumed
       val fresh = end.asInstanceOf[LakeOffset].consumed -- consumed
-      val fs = new Path(path).getFileSystem(new Configuration())
+      val fs = new Path(path).getFileSystem(LakeIO.conf)
       val mdir = new Path(path, WeatherLakeV2Sink.ManifestDir)
       fresh.toSeq.sorted.flatMap { n =>
         val commitTs = {
@@ -573,7 +573,7 @@ object WeatherLakeV2StreamSource {
     override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
       val p = partition.asInstanceOf[LakeCdcFilePartition]
       new PartitionReader[InternalRow] {
-        private val fs = new Path(p.file).getFileSystem(new Configuration())
+        private val fs = new Path(p.file).getFileSystem(LakeIO.conf)
         private val reader = new java.io.BufferedReader(
           new java.io.InputStreamReader(fs.open(new Path(p.file)), "UTF-8"))
         private val commit = UTF8String.fromString(p.commit)
@@ -603,7 +603,7 @@ object WeatherLakeV2StreamSource {
     override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
       val file = partition.asInstanceOf[LakeFilePartition].file
       new PartitionReader[InternalRow] {
-        private val fs = new Path(file).getFileSystem(new Configuration())
+        private val fs = new Path(file).getFileSystem(LakeIO.conf)
         private val reader = new java.io.BufferedReader(
           new java.io.InputStreamReader(fs.open(new Path(file)), "UTF-8"))
         private var line: String = _
