@@ -164,19 +164,20 @@ object Dedup {
   def exactSubstrSpans(docs: DataFrame, minLen: Int = 40,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(minLen > 0, "minLen must be positive")
+    // internal duplicate-detection key only (never output): per-position
+    // window hashes from ONE native O(len) pass per document
+    // ([[graft.functions.CharWindowHash64]] — bit-identical to
+    // xxhash64(substring(__text, pos, minLen)), whose per-exploded-row
+    // substring restarts its codepoint walk from byte 0 and so costs
+    // O(len²) per document). Same duplicate classification as md5 up to
+    // 64-bit collisions (~n²/2⁶⁵, immaterial at any shuffle-able n), and
+    // the corpus-wide shuffle carries an 8-byte long per window.
+    graft.functions.CharWindowHash64.register(docs.sparkSession)
     val pos = docs.filter(length(col(textCol)) >= minLen)
-      .select(col(idCol), col(textCol).as("__text"),
-        length(col(textCol)).as("__n"))
       .select(col(idCol),
-        explode(sequence(lit(1), col("__n") - (minLen - 1))).as("pos"),
-        col("__text"))
-      .select(col(idCol), col("pos"),
-        // internal duplicate-detection key only (never output): xxhash64
-        // instead of md5 — same duplicate classification up to 64-bit
-        // collisions (~n²/2⁶⁵, immaterial at any shuffle-able n) for a
-        // fraction of the hash CPU, and the corpus-wide shuffle carries
-        // an 8-byte long per window instead of a 32-char hex string
-        xxhash64(expr(s"substring(__text, pos, $minLen)")).as("__g"))
+        posexplode(expr(s"${graft.functions.CharWindowHash64.FnName}(" +
+          s"$textCol, $minLen)")))
+      .select(col(idCol), (col("pos") + 1).as("pos"), col("col").as("__g"))
     val dup = pos
       .withColumn("__c", count(lit(1)).over(Window.partitionBy(col("__g"))))
       .filter(col("__c") > 1)
@@ -226,7 +227,7 @@ object Dedup {
       threshold: Double,
       idCol: String,
       feats: Column): DataFrame = {
-    val raw = docs.select(
+    val raw = parallelismFloor(docs, col(idCol)).select(
       col(blockCol).as("block"),
       col(idCol).as("id"),
       explode(feats).as("tok"))
@@ -236,7 +237,12 @@ object Dedup {
     // the same key even if a subtree re-executes after executor loss
     // (monotonically_increasing_id would not survive that). Collision odds
     // for 64-bit hashes are ~n²/2⁶⁵ — immaterial below ~10⁸ distinct keys.
-    val postings = raw.select(col("id"), xxhash64(col("block"), col("tok")).as("key_id"))
+    // The self-join's exchange is PINNED ([[pinnedPartitions]]): the pair
+    // probing downstream is CPU-dense on few bytes, and the exchange
+    // doubles as the join's required clustering, so both aliases reuse it.
+    val postings = raw
+      .select(col("id"), xxhash64(col("block"), col("tok")).as("key_id"))
+      .repartition(pinnedPartitions(docs), col("key_id"))
     val sizes = docs.select(
       col(idCol).as("id"),
       size(feats).cast("long").as("sz"))
@@ -360,7 +366,7 @@ object Dedup {
     // Rows with a NULL blocking key are dropped up front: xxhash64 skips
     // NULL inputs, which would silently co-block every null-keyed doc,
     // while the SQL equality join this mirrors never matches NULL = NULL.
-    val base = docs
+    val base0 = docs
       .filter(blockCols.map(col(_).isNotNull).reduce(_ && _))
       .select(
         col(idCol).as("id"),
@@ -368,18 +374,27 @@ object Dedup {
         col(textCol).as("txt"),
         length(col(textCol)).cast("long").as("len"))
       .withColumn("g", greatest(col("len") - lit(n - 1), lit(1L)))
-      .localCheckpoint(true)
-    // per-doc gram MULTISET as (gram, count) — one explode + hash agg
+    // parallelism floor (see [[parallelismFloor]]): the per-doc work
+    // downstream of the checkpoint (gram hashing, candidate probing
+    // against the broadcast build side, banded levenshtein verification)
+    // is CPU-heavy on few bytes and would otherwise inherit a narrow
+    // scan's partitioning.
+    val base = parallelismFloor(base0, col("id")).localCheckpoint(true)
+    // per-doc gram MULTISET as (key, cnt) — finished INSIDE one native
+    // per-row loop ([[graft.functions.CharGramCounts64]]): the former
+    // explode(substr)+groupBy shipped every gram OCCURRENCE (a fresh
+    // UTF8String each) through a corpus-wide hash aggregation whose keys
+    // never cross a document, i.e. a full shuffle of O(corpus chars) rows
+    // for per-row work. Now only the per-doc distinct grams become rows,
+    // and the candidate self-join's two sides shuffle the SAME subtree on
+    // the same key, so the exchange is planned once and reused.
+    graft.functions.CharGramCounts64.register(docs.sparkSession)
     val gramCnt = base
-      .select(col("id"), col("blk"), col("g"),
-        explode(transform(
-          sequence(lit(1), greatest(col("len") - lit(n - 1), lit(1L)).cast("int")),
-          i => col("txt").substr(i, lit(n)))).as("gram"))
-      .groupBy(col("id"), col("g"), xxhash64(col("blk"), col("gram")).as("key"))
-      .agg(count(lit(1)).as("cnt"))
-      // both sides of the candidate self-join consume this — materialize
-      // so the char-gram explode+agg (the dominant map work) runs once
-      .localCheckpoint(true)
+      .select(col("id"), col("g"),
+        explode(expr(s"${graft.functions.CharGramCounts64.FnName}(" +
+          s"txt, $n, blk)")).as("kc"))
+      .select(col("id"), col("g"),
+        col("kc.key").as("key"), col("kc.cnt").as("cnt"))
     val gramCands = gramCnt.as("a")
       .join(gramCnt.as("b"),
         col("a.key") === col("b.key") && col("a.id") < col("b.id"))
@@ -387,6 +402,13 @@ object Dedup {
       .agg(sum(least(col("a.cnt"), col("b.cnt"))).as("common"),
         max(col("a.g")).as("g_a"), max(col("b.g")).as("g_b"))
       .filter(col("common") >= greatest(col("g_a"), col("g_b")) - lit(kn))
+      // route disjointness: a pair with BOTH sides short (max g ≤ k·n) is
+      // found completely by the banded short route below; keeping it out
+      // here makes the two candidate streams provably disjoint, so their
+      // union needs no global distinct. Pairs with a long side (max g >
+      // k·n) must share ≥ max(g)−k·n ≥ 1 grams, so the gram join finds
+      // every one of them — no false negatives.
+      .filter(greatest(col("g_a"), col("g_b")) > kn)
       .select(col("doc_a"), col("doc_b"))
     // docs with ≤ k·n grams can pass ed ≤ k while sharing NO gram — the
     // bound cannot prune them; pair them via a (block, length-bucket)
@@ -399,17 +421,28 @@ object Dedup {
     // fallback linear in docs-per-(block, ~k-length-range), not
     // quadratic in docs-per-block.
     val bucket = (col("len") / lit(maxDist + 1)).cast("long")
-    val short = base.filter(col("g") <= kn)
+    // one-sided 3-bucket explode: probe side a emits {b−1, b, b+1}, build
+    // side b keeps its own bucket — every qualifying pair (|len diff| ≤ k
+    // forces |bucket diff| ≤ 1) matches EXACTLY once, where the old
+    // both-sides {b, b+1} explode emitted same-bucket pairs twice and
+    // leaned on the downstream distinct to drop the dup
+    val shortBase = base.filter(col("g") <= kn)
+      .select(col("id"), col("blk"), col("len"))
+    val short = shortBase
       .select(col("id"), col("blk"), col("len"),
-        explode(array(bucket, bucket + 1)).as("lb"))
+        explode(array(bucket - 1, bucket, bucket + 1)).as("lb"))
     val shortCands = short.as("a")
-      .join(short.as("b"),
+      .join(shortBase.withColumn("lb", bucket).as("b"),
         col("a.blk") === col("b.blk") && col("a.lb") === col("b.lb") &&
           col("a.id") < col("b.id") &&
           abs(col("a.len") - col("b.len")) <= maxDist)
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
     val sides = base.select(col("id"), col("txt"), col("len"))
-    gramCands.union(shortCands).distinct()
+    // gramCands is unique (it exits a groupBy) and pair-disjoint from
+    // shortCands (max-g filter above); shortCands is unique by the
+    // one-sided explode — the union is duplicate-free WITHOUT the former
+    // global distinct, removing a full exchange of the candidate set
+    gramCands.union(shortCands)
       .join(sides.select(col("id").as("doc_a"), col("txt").as("txt_a"),
         col("len").as("len_a")), "doc_a")
       .join(sides.select(col("id").as("doc_b"), col("txt").as("txt_b"),
@@ -419,6 +452,36 @@ object Dedup {
         levenshtein(col("txt_a"), col("txt_b"), maxDist).cast("long"))
       .filter(col("edit_dist") >= 0)
       .select(col("doc_a"), col("doc_b"), col("edit_dist"))
+  }
+
+  /** Scale-adaptive parallelism floor for a frame about to anchor
+    * CPU-heavy per-row work (gram hashing, candidate probing, per-pair
+    * verification): when the frame's planned partition count is below the
+    * cluster's default parallelism — a small input read as one split at
+    * test SF, where byte-based AQE coalescing cannot see the CPU cost —
+    * spread it by `key`; a wide frame at real scale already exceeds the
+    * floor and is returned untouched. Both bounds derive from the
+    * runtime, never a constant; partition count is plan metadata, so no
+    * job runs here.
+    */
+  private def parallelismFloor(df: DataFrame, key: Column): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par, key) else df
+  }
+
+  /** Partition count for a PINNED exchange feeding CPU-dense work (pair
+    * probing, per-pair verification): byte-based AQE coalescing would
+    * fold the few-MB shuffle of a similarity join into one or two
+    * partitions and serialize per-pair CPU that bytes cannot predict, so
+    * these exchanges use an explicit count AQE leaves alone. Never a
+    * constant: cluster width or the session's shuffle-partition setting,
+    * whichever is larger, so a production setting tuned above core count
+    * is respected.
+    */
+  private def pinnedPartitions(df: DataFrame): Int = {
+    val spark = df.sparkSession
+    math.max(spark.sparkContext.defaultParallelism,
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
   }
 
   /** Shared PPJoin core over pre-hashed documents `t` = (id, toks:
@@ -434,7 +497,9 @@ object Dedup {
     // the gram hashing per reference (only exchanges get reused, not
     // projection subtrees). Same for the prefix index below — it IS an
     // index; every PPJoin implementation builds it once before probing.
-    val t = tRaw.localCheckpoint(true)
+    // Parallelism floor first: the checkpoint anchors the posting explode
+    // and the per-pair merge-intersect verification.
+    val t = parallelismFloor(tRaw, col("id")).localCheckpoint(true)
     val postings = t.select(col("id"), col("sz"), explode(col("toks")).as("tok"))
     // document frequency of the block-hashed key (= block-local df)
     // defines the rare-first prefix order — a consistent total order
@@ -442,10 +507,19 @@ object Dedup {
     val tokenDf = postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val prefixLen = col("sz") - ceil(lit(threshold) * col("sz")) + 1
     val byDoc = Window.partitionBy(col("id")).orderBy(col("df").asc, col("tok").asc)
+    // both exchanges below are PINNED ([[pinnedPartitions]]): the per-doc
+    // rare-first sort under the window and the prefix self-join's pair
+    // probing are CPU-dense on few bytes, exactly what byte-based AQE
+    // coalescing serializes. Each pinned repartition doubles as the
+    // required clustering of the operator after it (window on id; join on
+    // tok), so no exchange is added — only the count is fixed.
+    val pp = pinnedPartitions(tRaw)
     val prefixes = postings.join(tokenDf, "tok")
+      .repartition(pp, col("id"))
       .withColumn("pos", row_number().over(byDoc))
       .filter(col("pos") <= prefixLen)
       .select(col("id"), col("sz"), col("tok"))
+      .repartition(pp, col("tok"))
       .localCheckpoint(true)
     val candidates = prefixes.as("a")
       .join(prefixes.as("b"),
@@ -560,15 +634,20 @@ object Dedup {
   def archiveScreen(docs: DataFrame, isArchive: Column,
       threshold: Double = 0.9, numHashes: Int = 16, rowsPerBand: Int = 8,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val tagged = docs.withColumn("__arch", isArchive)
+    // parallelism floor up front: every downstream phase (tokenization +
+    // 16 minhash permutations per doc, band joins, per-pair verification)
+    // is CPU-dense per row and would inherit a narrow scan's partitioning
+    val tagged = parallelismFloor(docs, col(idCol))
+      .withColumn("__arch", isArchive)
     // (id, flag, digest, token set) feeds the exact screen, both sides of
     // the verify join, and the final left joins — one materialization
-    val base = tagged.select(col(idCol).as("id"), col("__arch"),
+    val base = parallelismFloor(tagged.select(col(idCol).as("id"), col("__arch"),
       // internal exact-match key only (the output carries the boolean,
       // never the digest): xxhash64 equality = text equality up to 64-bit
       // collisions, far cheaper than md5 and 8 bytes on the wire
       xxhash64(col(textCol)).as("__d"),
-      array_distinct(graft.text.Text.tokens(col(textCol))).as("__toks"))
+      array_distinct(graft.text.Text.tokens(col(textCol))).as("__toks")),
+      col("id"))
       .localCheckpoint(true)
     val batch = base.filter(!col("__arch"))
     val arch = base.filter(col("__arch"))

@@ -91,6 +91,12 @@ object GraftFunctions {
     reg(CharGramHash64.FnName, classOf[CharGramHash64], 3,
       "_FUNC_(str, n, seed) - sorted distinct xxhash64 char n-grams")(
       CharGramHash64.builder),
+    reg(CharWindowHash64.FnName, classOf[CharWindowHash64], 2,
+      "_FUNC_(str, w) - positional xxhash64 of every w-char window")(
+      CharWindowHash64.builder),
+    reg(CharGramCounts64.FnName, classOf[CharGramCounts64], 3,
+      "_FUNC_(str, n, seed) - (hash, count) char n-gram multiset")(
+      CharGramCounts64.builder),
     reg(GramStats.FnName, classOf[GramStats], 2,
       "_FUNC_(toks, n) - [n_grams, dups, max_count] n-gram stats")(
       GramStats.builder),

@@ -1529,18 +1529,12 @@ object LakeCatalog {
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Cast => CCast, EqualTo => CEq, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal => CLit}
 
     private var inner: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder = _
-    private def mkInner(fs: Seq[String]) = DriverListing(spark) {
-      val table =
-        org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
-          ident, spark, options, fs.toIndexedSeq, Some(tableSchema),
-          classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
-      // force the lazy InMemoryFileIndex while the listing conf is scoped:
-      // the paths are the manifest's exact leaf files, so the distributed
-      // listing job Spark would otherwise launch for >32 paths re-stats
-      // names we already hold (measured 0.1-0.2 s per scan at sf0.1)
-      table.fileIndex
-      table.newScanBuilder(options)
-    }
+    // zero-RPC construction: the paths are the manifest's exact leaf
+    // files, so the file index is seeded from batched directory listings
+    // instead of the engine's per-file glob-check + re-stat
+    // ([[DriverListing]])
+    private def mkInner(fs: Seq[String]) =
+      DriverListing.parquetScanBuilder(ident, spark, options, fs, tableSchema)
     private def ensure() = {
       if (inner == null) inner = mkInner(files)
       inner
@@ -2064,8 +2058,7 @@ object LakeCatalog {
         val files = morDeleteLines.map(WeatherLakeV2Sink.entryPath)
         // keys live in the RAW DISK-PATH domain: delete-file targets ARE
         // manifest entry paths (raw, scheme-less by writer construction)
-        DriverListing(spark)(
-          spark.read.schema(TypedLake.MorPosSchema).parquet(files: _*))
+        DriverListing.parquetFrame(spark, files, TypedLake.MorPosSchema)
           .collect()
           .groupBy(_.getString(0))
           .map { case (k, rows) =>
@@ -2402,15 +2395,9 @@ object LakeCatalog {
     }
 
     private def delegateBatch(files: Seq[String]): Batch = {
-      val b = DriverListing(SparkSession.active) {
-        val table =
-          org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
-            s"lake_typed_stream($path)", SparkSession.active, options,
-            files.toIndexedSeq, Some(tableSchema),
-            classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
-        table.fileIndex // force listing while the conf is scoped
-        table.newScanBuilder(options)
-      }
+      val b = DriverListing.parquetScanBuilder(
+        s"lake_typed_stream($path)", SparkSession.active, options,
+        files, tableSchema)
       prunedTo.foreach(b.pruneColumns)
       b.build().toBatch
     }
@@ -2848,8 +2835,7 @@ object LakeCatalog {
     private lazy val skipCounts: Map[String, Long] = {
       val spark = SparkSession.active
       val files = morDeleteLines.map(WeatherLakeV2Sink.entryPath)
-      DriverListing(spark)(
-        spark.read.schema(TypedLake.MorPosSchema).parquet(files: _*))
+      DriverListing.parquetFrame(spark, files, TypedLake.MorPosSchema)
         .collect()
         .groupBy(_.getString(0))
         .map { case (k, rows) =>

@@ -499,9 +499,8 @@ object TypedLake {
       files: Seq[String]): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else DriverListing(spark)(spark.read.option("basePath", basePath)
-      .schema(widenedSchema(schema))
-      .parquet(files: _*))
+    else DriverListing.parquetFrame(spark, files, widenedSchema(schema),
+        Map("basePath" -> basePath))
       .select(schema.fieldNames.map(mappedCol(schema)).toSeq: _*)
 
   def readCommittedTyped(spark: SparkSession, basePath: String,
@@ -630,9 +629,8 @@ object TypedLake {
     val session = spark
     import session.implicits._
     val keyed = filePathMap(files)
-    val base = DriverListing(spark)(spark.read.option("basePath", basePath)
-      .schema(widenedSchema(schema))
-      .parquet(files: _*))
+    val base = DriverListing.parquetFrame(spark, files,
+      widenedSchema(schema), Map("basePath" -> basePath))
     // ONE select over the raw relation: `_metadata` is a metadata column
     // and must be projected before any other Project hides it; renamed
     // columns fold their historical spellings here too
@@ -719,9 +717,8 @@ object TypedLake {
     */
   private def readMorDeletesRenamed(spark: SparkSession, schema: StructType,
       deleteFiles: Seq[String]): DataFrame =
-    DriverListing(spark)(
-      spark.read.schema(morDeleteSchema(widenedSchema(schema)))
-        .parquet(deleteFiles: _*))
+    DriverListing.parquetFrame(spark, deleteFiles,
+        morDeleteSchema(widenedSchema(schema)))
       .select(col(MorTargetCol) +:
         schema.fieldNames.toSeq.map(n =>
           mappedCol(schema)(n).as(s"__d_$n")): _*)
@@ -755,8 +752,7 @@ object TypedLake {
         require(framed.columns.contains(PosFrameCol),
           "TypedLake: position-delete subtraction needs the framed " +
             s"read's $PosFrameCol ordinal column (framedTyped withPos)")
-        val pd = DriverListing(spark)(
-          spark.read.schema(MorPosSchema).parquet(posFiles: _*))
+        val pd = DriverListing.parquetFrame(spark, posFiles, MorPosSchema)
           .select(col(MorTargetCol).as("__d_target"),
             col(MorPosCol).as("__d_pos"))
         framed.join(pd,
@@ -782,8 +778,7 @@ object TypedLake {
     val (posFiles, eqFiles) = deleteFiles.partition(isPosDelete)
     val sides = Seq(
       if (posFiles.isEmpty) None
-      else Some(DriverListing(spark)(
-        spark.read.schema(MorPosSchema).parquet(posFiles: _*))
+      else Some(DriverListing.parquetFrame(spark, posFiles, MorPosSchema)
         .select(col(MorTargetCol))),
       if (eqFiles.isEmpty) None
       else Some(readMorDeletesRenamed(spark, schema, eqFiles)
@@ -1389,8 +1384,7 @@ object TypedLake {
     // live position rows pass through, dangling targets dropped
     val posRows =
       if (posFiles.isEmpty) None
-      else Some(DriverListing(spark)(
-        spark.read.schema(MorPosSchema).parquet(posFiles: _*))
+      else Some(DriverListing.parquetFrame(spark, posFiles, MorPosSchema)
         .join(broadcast(committedDf),
           col(MorTargetCol) === col("__live_file"), "left_semi"))
     // equality rows RESOLVE to ordinals: frame the still-committed

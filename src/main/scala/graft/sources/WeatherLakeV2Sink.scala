@@ -909,7 +909,7 @@ object WeatherLakeV2Sink {
     if (files.isEmpty) {
       import spark.implicits._
       spark.emptyDataset[String].toDF("value")
-    } else DriverListing(spark)(spark.read.text(files: _*))
+    } else DriverListing.textFrame(spark, files)
 
   def readNewCommits(spark: org.apache.spark.sql.SparkSession,
       basePath: String, cursorPath: String):
@@ -1133,7 +1133,7 @@ object WeatherLakeV2Sink {
     if (files.isEmpty) {
       import spark.implicits._
       spark.emptyDataset[String].toDF("value")
-    } else DriverListing(spark)(spark.read.text(files: _*))
+    } else DriverListing.textFrame(spark, files)
   }
 
   /** The data files a captured snapshot resolves to — [[readAsOf]]'s
@@ -2537,8 +2537,8 @@ object WeatherLakeV2Sink {
       // every directory it touches)
       val dirOfPath = multi.toSeq.flatMap { case (d, fls) =>
         fls.map(f => (manifestJoinKey(f), d)) }
-      val rows = DriverListing(session)(
-        session.read.text(multi.values.flatten.toSeq: _*))
+      val rows = DriverListing
+        .textFrame(session, multi.values.flatten.toSeq)
         .select(filePathCol.as("path"), col("value"))
         .join(broadcast(dirOfPath.toDF("path", "dir")), "path")
         .select(col("dir"), col("value"))
